@@ -1,0 +1,204 @@
+"""The vectorized extraction stage (SURVEY.md §2.2 E1-E7, §3.1).
+
+Replaces the reference's per-file subprocess chain (soffice → pdftoppm →
+pdfinfo → pdftotext per page → python3 per page, all behind numParallel=1
+queues — TypeConverter.class.js:24-191, PdfUtil.class.js:41-164,
+Tokenizer.class.js:28-75) with one distributed pass over the interleaved
+`documents` table:
+
+* media spans  → OCR text        (deterministic OCR-sim; a real Tesseract
+                                  binding slots into the same batch function)
+* text spans   → boilerplate strip (HTML tags, chrome lines, char strip)
+* media_ref    → normalized '<doc_id>-<offset>.png'
+                 (mirrors ProcessDirector.class.js:119-141 flat renaming)
+* offset order → preserved per doc (the golden-fixture invariant,
+                 PdfUtil.class.js:63-76)
+
+Two interchangeable implementations, tested for equality:
+
+``impl='columnar'`` — pure Spark expressions via ``F.transform`` over the
+span array: zero shuffle, zero Python, whole-stage codegen. The fastest
+possible plan; used when the extraction functions are expressible as SQL.
+
+``impl='pandas'``   — one ``mapInPandas`` stage over Arrow batches: the
+contract a real OCR / layout-parsing engine needs (BASELINE.json
+north_star: "vectorized pandas/Arrow UDF stage"). Per-batch failure is
+recorded in an ``error`` column instead of silently dropped
+(X2: PromiseUtil.const.js:20-38 swallowed rejections; we record them).
+
+Skew (SURVEY §4.2.1): ~1% mega-docs (100×-median span arrays). Row-weight
+skew is handled by (a) salted hash repartition on doc_id so mega-docs
+spread uniformly across tasks, and (b) a span-level split path
+(``extract_spans_exploded``) for rows too big for one Arrow batch:
+posexplode → columnar per-span transform → regroup with
+``array_sort(collect_list(struct(offset, …)))`` — offset is the only
+order authority, so the regroup is exactly order-restoring (E6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import EXTRACTED_WITH_ERRORS
+from ..textproc import (
+    MEDIA_REF_PAD,
+    normalize_media_ref_col,
+    ocr_text_batch,
+    ocr_text_col,
+    strip_boilerplate_batch,
+    strip_boilerplate_col,
+)
+
+
+def _extracted_span_expr(doc_id, s):
+    """Columnar per-span transform (shared by array and exploded paths)."""
+    is_media = s["kind"] == "media"
+    return F.struct(
+        s["kind"].alias("kind"),
+        F.when(is_media, ocr_text_col(s["media_ref"]))
+        .otherwise(strip_boilerplate_col(s["text"]))
+        .alias("text"),
+        F.when(is_media, normalize_media_ref_col(doc_id, s["offset"]))
+        .otherwise(F.lit(""))
+        .alias("media_ref"),
+        s["offset"].alias("offset"),
+    )
+
+
+def extract_spans_columnar(documents: DataFrame) -> DataFrame:
+    """Zero-shuffle, zero-Python extraction: F.transform over the array."""
+    doc_id = F.col("doc_id")
+    spans = F.transform(F.col("spans"), lambda s: _extracted_span_expr(doc_id, s))
+    return documents.select(
+        "doc_id", spans.alias("spans"), F.lit(None).cast("string").alias("error")
+    )
+
+
+def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized extraction of one Arrow batch.
+
+    Flattens all spans of the batch into one flat frame, applies the
+    vectorized text functions once per column (not per row), regroups in
+    original (row, offset) order.
+    """
+    import numpy as np
+
+    if len(pdf) == 0:
+        return pd.DataFrame({"doc_id": [], "spans": [], "error": []})
+    lens = pdf["spans"].map(len).to_numpy()
+    flat = pd.DataFrame(
+        [s for spans in pdf["spans"] for s in spans],
+        columns=["kind", "text", "media_ref", "offset"],
+    )
+    flat["row"] = np.repeat(np.arange(len(pdf)), lens)
+    flat["doc_id"] = np.repeat(pdf["doc_id"].to_numpy(), lens)
+
+    media = flat["kind"].eq("media")
+    out_text = strip_boilerplate_batch(flat["text"].where(~media, ""))
+    if media.any():
+        out_text.loc[media] = ocr_text_batch(flat.loc[media, "media_ref"])
+    out_ref = pd.Series("", index=flat.index, dtype=object)
+    if media.any():
+        out_ref.loc[media] = (
+            flat.loc[media, "doc_id"]
+            + "-"
+            + flat.loc[media, "offset"].astype(int).astype(str).str.zfill(MEDIA_REF_PAD)
+            + ".png"
+        )
+    flat = flat.assign(text=out_text, media_ref=out_ref)
+    flat = flat.sort_values(["row", "offset"], kind="stable")
+
+    recs = flat[["kind", "text", "media_ref", "offset"]].to_dict("records")
+    order = flat["row"].to_numpy()
+    # flat is (row, offset)-sorted, so appending in sequence rebuilds each
+    # row's span list in offset order even if the input spans were shuffled.
+    row_slices: list[list] = [[] for _ in range(len(pdf))]
+    for rec, r in zip(recs, order):
+        row_slices[int(r)].append(rec)
+    return pd.DataFrame(
+        {"doc_id": pdf["doc_id"].to_numpy(), "spans": row_slices, "error": None}
+    )
+
+
+def _extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        try:
+            yield _extract_batch(pdf)
+        except Exception as exc:  # X3: degraded result, recorded not dropped
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "spans": [[] for _ in range(len(pdf))],
+                    "error": f"{type(exc).__name__}: {exc}",
+                }
+            )
+
+
+def extract_spans_pandas(documents: DataFrame) -> DataFrame:
+    """Arrow-batched mapInPandas extraction — the real-OCR-shaped stage."""
+    return documents.mapInPandas(_extract_iter, schema=EXTRACTED_WITH_ERRORS)
+
+
+def extract_spans_exploded(documents: DataFrame) -> DataFrame:
+    """Span-level split path for pathological rows: posexplode → per-span
+    columnar transform → order-restoring regroup. One shuffle, but
+    parallelism becomes per-*span*, so a single 10^6-span doc no longer
+    pins one task (SURVEY §7.2)."""
+    flat = documents.select("doc_id", F.explode("spans").alias("s"))
+    out = flat.select("doc_id", _extracted_span_expr(F.col("doc_id"), F.col("s")).alias("s"))
+    # array_sort on struct sorts by fields in order → offset must lead.
+    regrouped = (
+        out.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("s.offset", "s.kind", "s.text", "s.media_ref"))
+            ).alias("ordered")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                "ordered",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans"),
+            F.lit(None).cast("string").alias("error"),
+        )
+    )
+    return regrouped
+
+
+def repartition_salted(documents: DataFrame, num_partitions: int) -> DataFrame:
+    """Uniform spread of row weight: hash-repartition on xxhash64(doc_id).
+
+    doc_id is unique, so the only skew is per-row *weight* (mega span
+    arrays); a salted hash scatters the heavy tail uniformly so no task
+    inherits a cluster of mega-docs (e.g. all pages of one huge file,
+    which ARE adjacent in the input ordering)."""
+    return documents.repartition(num_partitions, F.xxhash64("doc_id"))
+
+
+def extract_spans(
+    documents: DataFrame,
+    impl: str = "pandas",
+    skew_threshold: int | None = 512,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The extraction stage. Docs with ≤ skew_threshold spans go through
+    the batch path (no shuffle); bigger docs through the span-split path.
+    Returns (doc_id, spans, error)."""
+    if num_partitions:
+        documents = repartition_salted(documents, num_partitions)
+    batch_fn = extract_spans_pandas if impl == "pandas" else extract_spans_columnar
+    if skew_threshold is None:
+        return batch_fn(documents)
+    small = documents.where(F.size("spans") <= skew_threshold)
+    big = documents.where(F.size("spans") > skew_threshold)
+    return batch_fn(small).unionByName(extract_spans_exploded(big))

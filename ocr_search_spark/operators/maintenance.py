@@ -1,0 +1,98 @@
+"""Catalog + index maintenance, set-oriented (SURVEY §2.1 S3/S6-S8, §2.3).
+
+The reference does all of this row-at-a-time against MongoDB (one upsert
+per page, one per (doc, term) posting — DbInterface.class.js:140-156,
+:236-251, :366-381; one deleteMany per doc — :335-356). Every operation
+here is a single DataFrame statement over natural keys, which preserves
+the reference's idempotence contract (X4: re-processing a file is a
+no-op) while being mergeable at any scale.
+
+Without Iceberg jars the MERGE INTO statements are emulated with
+anti-join + union (last-writer-wins on the natural key) — see storage.py
+for the table-level wrapper; these functions are the pure-plan versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_catalog(synthesized: DataFrame) -> DataFrame:
+    """E7 + S10: the `docs` catalog from a corpus carrying provenance
+    columns. file_id = sha256(ori_file_path) (PdfUtil.class.js:55);
+    img_path = '<doc_id>.png' (ProcessDirector.class.js:119-141 flat
+    rename)."""
+    return synthesized.select(
+        "doc_id",
+        F.sha2(F.col("ori_file_path"), 256).alias("file_id"),
+        "ori_file_path",
+        F.col("page_idx").cast("int").alias("page_idx"),
+        F.concat(F.col("doc_id"), F.lit(".png")).alias("img_path"),
+    )
+
+
+def diff_filelib(original: DataFrame, changed: DataFrame) -> DataFrame:
+    """S3 (DropboxSynchronizer.class.js:198-242): classify paths into
+    added / modified / deleted by full-outer join on path.
+
+    Inputs: (path, mtime). Output: (path, status) with status ∈
+    {'added','modified','deleted'}; unchanged paths are dropped.
+    `modified` means present in both with strictly newer changed mtime —
+    exactly the reference's `>` comparison (:216)."""
+    o = original.select(F.col("path"), F.col("mtime").alias("o_mtime"))
+    c = changed.select(F.col("path"), F.col("mtime").alias("c_mtime"))
+    joined = o.join(c, "path", "full_outer")
+    status = (
+        F.when(F.col("o_mtime").isNull(), F.lit("added"))
+        .when(F.col("c_mtime").isNull(), F.lit("deleted"))
+        .when(F.col("c_mtime") > F.col("o_mtime"), F.lit("modified"))
+    )
+    return joined.select("path", status.alias("status")).where(F.col("status").isNotNull())
+
+
+def upsert_by_key(existing: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE emulation: last-writer-wins upsert on natural keys (X4).
+    Equivalent to `MERGE INTO existing USING updates ON keys WHEN MATCHED
+    UPDATE * WHEN NOT MATCHED INSERT *`."""
+    updates = updates.select(*existing.columns).dropDuplicates(keys)
+    return existing.join(updates, keys, "left_anti").unionByName(updates)
+
+
+def delete_by_key(existing: DataFrame, doomed_keys: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE … WHEN MATCHED DELETE emulation: anti-join."""
+    return existing.join(doomed_keys.select(*keys).distinct(), keys, "left_anti")
+
+
+def delete_file(
+    docs: DataFrame,
+    postings: DataFrame,
+    extracted: DataFrame | None,
+    ori_file_paths: list[str] | DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+    """I4 / §3.3 delete cascade: one set-oriented statement per table.
+
+    Reference: getFilePages → per-doc deleteMany on docs AND term_freqs
+    (DbInterface.class.js:109-118, :335-356). Here: resolve doomed doc_ids
+    once, anti-join each table."""
+    spark = docs.sparkSession
+    if isinstance(ori_file_paths, list):
+        paths_df = spark.createDataFrame([(p,) for p in ori_file_paths], "ori_file_path string")
+    else:
+        paths_df = ori_file_paths.select("ori_file_path")
+    doomed = docs.join(F.broadcast(paths_df), "ori_file_path").select("doc_id")
+    new_docs = delete_by_key(docs, doomed, ["doc_id"])
+    new_postings = delete_by_key(postings, doomed, ["doc_id"])
+    new_extracted = (
+        delete_by_key(extracted, doomed, ["doc_id"]) if extracted is not None else None
+    )
+    return new_docs, new_postings, new_extracted
+
+
+def symmetric_correlation_rows(corr: DataFrame) -> DataFrame:
+    """S8 (DbInterface.class.js:189-218): store both (t1,t2) and (t2,t1)."""
+    return corr.unionByName(
+        corr.select(
+            F.col("term2").alias("term1"), F.col("term1").alias("term2"), "tcr"
+        )
+    ).dropDuplicates(["term1", "term2"])

@@ -1,0 +1,113 @@
+"""The search read path as Spark SQL (SURVEY.md §2.4 Q1-Q7, §3.2).
+
+Reference flow (TermMatcher.class.js:25-53 + ApiHandler.const.js:19-46):
+per search term a Mongo ``find`` plus one point lookup *per posting* (N+1),
+then an in-memory merge keeping ``score = max(tf)`` per doc, a JS sort, and
+a slice. Here the whole thing is one declarative plan:
+
+    postings ⋈ broadcast(query_terms)      (semi-join on term)
+      → groupBy(doc_id).agg(max(tf) as score)   (hash agg)
+      → ⋈ docs on doc_id                    (metadata attach)
+      → orderBy(score desc, doc_id asc).limit(k)  (TakeOrderedAndProject)
+
+Scoring semantics pinned from the reference: score is the MAX tf over the
+matched terms, not the sum (TermMatcher.class.js:40-51); ties broken by
+doc_id ascending for determinism (the reference relies on stable JS sort —
+SURVEY §7.0); default k=20 (AppConfig.const.js:22).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tokenize import term_freq_dict
+
+DEFAULT_MAX_RETURN = 20  # AppConfig.const.js:22 NUM_SEARCH_RETURN
+
+
+def match_terms(
+    postings: DataFrame,
+    terms: list[str],
+    docs: DataFrame | None = None,
+    max_return: int = DEFAULT_MAX_RETURN,
+) -> DataFrame:
+    """Q2-Q5 for an already-tokenized term list."""
+    spark = postings.sparkSession
+    if not terms:
+        # empty-after-tokenize edge case: no hits (reference: match([]) → [])
+        terms = ["\uf0d8never-a-term"]
+    terms_df = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    scored = (
+        postings.join(F.broadcast(terms_df), "term")
+        .groupBy("doc_id")
+        .agg(F.max("tf").alias("score"))
+    )
+    if docs is not None:
+        scored = scored.join(docs, "doc_id")
+        cols = ["ori_file_path", "page_idx", "img_path", "doc_id", "score"]
+    else:
+        cols = ["doc_id", "score"]
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .select(*cols)
+        .limit(max_return)
+    )
+
+
+def search(
+    spark: SparkSession,
+    postings: DataFrame,
+    query: str,
+    docs: DataFrame | None = None,
+    max_return: int = DEFAULT_MAX_RETURN,
+    history_sink=None,
+) -> DataFrame:
+    """Full Q0-Q6: tokenize the query with the document tokenizer (Q1),
+    optionally log it (Q6/S9), match (Q2-Q5)."""
+    if not isinstance(query, str):
+        raise TypeError("searchTerm must be a string")  # Q0 validation
+    if max_return < 1:
+        raise ValueError("maxReturn must be a positive integer")
+    tf_dict = term_freq_dict(query)
+    if history_sink is not None:
+        history_sink.log(tf_dict, query)
+    # query-side tf is discarded: search terms are the distinct keys
+    # (ApiHandler.const.js:33 Object.keys)
+    return match_terms(postings, list(tf_dict.keys()), docs, max_return)
+
+
+def search_expanded(
+    postings: DataFrame,
+    correlations: DataFrame,
+    terms: list[str],
+    docs: DataFrame | None = None,
+    top_corr: int = 5,
+    max_return: int = DEFAULT_MAX_RETURN,
+) -> DataFrame:
+    """Q7 — the reference's *dead-code* query expansion
+    (TermMatcher.class.js:55-80), resurrected set-oriented: each query term
+    is expanded with its top-`top_corr` correlated terms; expanded hits are
+    scored ``tcr × tf``; original terms score ``tf`` (tcr=1)."""
+    from pyspark.sql import Window as W
+
+    spark = postings.sparkSession
+    terms_df = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    w = W.partitionBy("term1").orderBy(F.desc("tcr"), F.asc("term2"))
+    expansions = (
+        correlations.join(F.broadcast(terms_df), correlations.term1 == terms_df.term)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_corr)
+        .select(F.col("term2").alias("term"), F.col("tcr").alias("weight"))
+    )
+    weighted = expansions.unionByName(
+        terms_df.select("term", F.lit(1.0).alias("weight"))
+    ).groupBy("term").agg(F.max("weight").alias("weight"))
+    scored = (
+        postings.join(F.broadcast(weighted), "term")
+        .groupBy("doc_id")
+        .agg(F.max(F.col("tf") * F.col("weight")).alias("score"))
+    )
+    if docs is not None:
+        scored = scored.join(docs, "doc_id")
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(max_return)

@@ -1,0 +1,106 @@
+"""Tokenization + inverted-index build (SURVEY.md §2.2 E8-E15).
+
+The reference spawns one ``python3 tokenize_and_stem.py`` subprocess per
+page *and per query* (Tokenizer.class.js:28-75) — ~100ms fork + NLTK
+import per call, globally serialized. Here the whole pipeline is columnar
+expressions (lowercase, char strip, punctuation→space, whitespace split,
+English filter, regexp-chain lemmatizer) with exactly one Arrow-batched
+pandas UDF for the CJK forward-max-match segmenter — the only step that
+genuinely needs a dictionary walk.
+
+The inverted index (Mongo ``term_freqs``, DbInterface.class.js:366-381)
+becomes `explode → groupBy(doc_id, term).count()`: Spark's hash aggregate
+with map-side partial aggregation — the per-doc TF dict of
+tokenize_and_stem.py:55-66 falls out of the final aggregate for free.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import textproc
+from ..textproc import cjk_chars_col, english_tokens_col, segment_cjk_batch
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _segment_cjk_udf(chars: pd.Series) -> pd.Series:
+    return segment_cjk_batch(chars)
+
+
+def doc_terms(extracted: DataFrame, text_col: str = "doc_text") -> DataFrame:
+    """(doc_id, spans) → (doc_id, terms: array<string>).
+
+    Span texts are joined in offset order (spans are offset-ordered by the
+    extraction invariant) — mirrors the page-content concatenation of
+    PdfUtil.class.js:140-164 before tokenization."""
+    if "spans" in extracted.columns:
+        text = F.array_join(F.transform("spans", lambda s: s["text"]), " ")
+        df = extracted.select("doc_id", text.alias(text_col))
+    else:
+        df = extracted
+    eng = english_tokens_col(F.col(text_col))
+    cjk = _segment_cjk_udf(cjk_chars_col(F.col(text_col)))
+    return df.select("doc_id", F.concat(eng, cjk).alias("terms"))
+
+
+def term_postings(extracted: DataFrame) -> DataFrame:
+    """Build the inverted index: (term, doc_id, tf)."""
+    terms = doc_terms(extracted)
+    return (
+        terms.select("doc_id", F.explode("terms").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+
+
+# ------------------------------------------------- driver-side query path
+# The search entry point tokenizes ONE string; doing that through a Spark
+# job would be absurd (the reference's per-query subprocess, inverted).
+# Same spec, pure Python, shared constants.
+
+import re  # noqa: E402
+
+_PUNCT_TABLE = str.maketrans(textproc.ASCII_PUNCT, " " * len(textproc.ASCII_PUNCT))
+_STRIP_TABLE = str.maketrans("", "", textproc.STRIP_CHARS)
+_LEMMA_RULES_PY = [
+    (re.compile(pat), rep.replace("$1", "\\1")) for pat, rep in textproc.LEMMA_RULES
+]
+_CJK_KEEP = re.compile(f"[^{textproc.CJK_CHAR_RANGE}]")
+
+
+def lemmatize_py(token: str) -> str:
+    exc = textproc.LEMMA_EXCEPTIONS.get(token)
+    if exc is not None:
+        return exc
+    for pat, rep in _LEMMA_RULES_PY:
+        token = pat.sub(rep, token)
+    return token
+
+
+def tokenize_text(text: str) -> list[str]:
+    """Pure-Python tokenizer following the textproc SPEC exactly; used for
+    single-query tokenization (Q1, ApiHandler.const.js:28-34)."""
+    t = text.lower().translate(_STRIP_TABLE).translate(_PUNCT_TABLE)
+    toks = t.split()
+    out: list[str] = []
+    cjk_buf: list[str] = []
+    for tok in toks:
+        if tok.isascii():
+            if len(tok) > 1 and re.search("[a-z]", tok) and tok not in textproc.STOPWORDS_SET:
+                out.append(lemmatize_py(tok))
+        else:
+            cjk_buf.append(_CJK_KEEP.sub("", tok))
+    if cjk_buf:
+        out.extend(textproc.segment_cjk("".join(cjk_buf)))
+    return out
+
+
+def term_freq_dict(text: str) -> dict[str, int]:
+    """The reference's TermFreqDict shape (Tokenizer.class.js:19-26)."""
+    freqs: dict[str, int] = {}
+    for t in tokenize_text(text):
+        freqs[t] = freqs.get(t, 0) + 1
+    return freqs

@@ -1,0 +1,69 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local mode is the test harness; the conf is written for a real multi-
+executor cluster (AQE on, skew-join on, Arrow batching tuned for span
+payloads) so the same job scales by changing only master/executor flags.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ocr_search_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``cores=None`` → ``local[*]``.  ``shuffle_partitions`` defaults to the
+    core count: at 100 TB on a real cluster this should instead be
+    ~2-3× total executor cores (or left to AQE coalescing from a high
+    initial value) — the point is it is never the Spark default 200 for
+    tiny local data nor 200 for a 1000-executor cluster.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+
+    # Executor Python workers are separate processes that do NOT inherit the
+    # driver's sys.path — make this package importable on them. On a real
+    # cluster this is `spark-submit --py-files` (BASELINE.json north_rule);
+    # for local/driver-API use, prepending the package root to PYTHONPATH
+    # before the JVM starts is the equivalent.
+    pkg_root = str(Path(__file__).resolve().parents[1])
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pypath if pypath else "")
+        )
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Span payloads are fat rows; keep Arrow batches bounded so one
+        # batch of mega-docs cannot blow executor memory (SURVEY §4.2.1).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,83 @@
+"""Inverted-index + search parity vs the golden oracle (SURVEY §2.2 E15,
+§2.4 Q1-Q5), plus the posting-consistency invariant of FIXTURES.md §3."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_search_spark import golden
+from ocr_search_spark.operators import extract, search, tokenize
+
+
+@pytest.fixture(scope="module")
+def postings_df(corpus_df, spark):
+    ext = extract.extract_spans(
+        corpus_df.select("doc_id", "spans"), impl="pandas", skew_threshold=64
+    ).drop("error")
+    return tokenize.term_postings(ext).cache()
+
+
+def test_postings_match_golden(postings_df, golden_postings):
+    got = {(r["term"], r["doc_id"]): r["tf"] for r in postings_df.collect()}
+    assert got == golden_postings
+
+
+def test_posting_tf_sums_equal_token_counts(postings_df, golden_extracted):
+    """sum(tf) per doc == token count of the doc's extracted text."""
+    got = {
+        r["doc_id"]: r["total"]
+        for r in postings_df.groupBy("doc_id").agg(F.sum("tf").alias("total")).collect()
+    }
+    for d, spans in golden_extracted.items():
+        n_tokens = len(golden.tokenize(golden.doc_text(spans)))
+        assert got.get(d, 0) == n_tokens, d
+
+
+QUERIES = [
+    "merged tables query",
+    "running children feet",
+    "機器學習 搜尋",
+    "the of and",  # stopwords only → empty result
+    "zzz-not-a-term",
+    "Data, SCAN. kernels!",
+    "資料處理 engine",
+]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_search_matches_golden(q, postings_df, golden_postings, spark):
+    exp = golden.search(golden_postings, q, 20)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search.search(spark, postings_df, q).collect()
+    ]
+    assert got == exp, q
+
+
+def test_search_respects_max_return(postings_df, golden_postings, spark):
+    exp = golden.search(golden_postings, "table", 5)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search.search(spark, postings_df, "table", max_return=5).collect()
+    ]
+    assert got == exp
+    assert len(got) <= 5
+
+
+def test_search_attaches_doc_metadata(postings_df, corpus_df, spark):
+    from ocr_search_spark.operators.maintenance import doc_catalog
+
+    docs = doc_catalog(corpus_df)
+    out = search.search(spark, postings_df, "table", docs=docs).collect()
+    assert out, "expected hits"
+    for r in out:
+        assert r["img_path"] == r["doc_id"] + ".png"
+        assert r["ori_file_path"].startswith("folder")
+
+
+def test_search_validation(postings_df, spark):
+    with pytest.raises(TypeError):
+        search.search(spark, postings_df, 123)  # type: ignore[arg-type]
+    with pytest.raises(ValueError):
+        search.search(spark, postings_df, "x", max_return=0)
