@@ -1,38 +1,825 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship end-to-end pipeline on sf0.001.
+``queries()`` — one (spark, sf_dir) -> DataFrame per implemented operator
+(SURVEY.md §2); ``oracle_sql()`` — the DuckDB-equivalent ANSI SQL.
+
+Determinism rules used throughout so the Spark/DuckDB value-hash compare
+is exact regardless of the driver session's timezone or partitioning:
+
+* timestamps never surface raw: they are compared/grouped/output as epoch
+  seconds (``cast(ts as long)`` ≡ ``floor(epoch(ts))``), which reads the
+  same parquet micros on both engines with no session-TZ interpretation;
+* double aggregations go through exact DECIMAL casts (sums are exact,
+  then one cast to double) or are rounded to a pinned precision, so
+  partial-aggregation order cannot change the value;
+* every top-k has a total order (explicit tie-break columns).
 """
 
 from __future__ import annotations
 
+import string as _string
+import sys
 from collections.abc import Callable
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_search_spark import textproc
+from ocr_search_spark.deploy import ensure_shipped
+from ocr_search_spark.operators import correlate
+from ocr_search_spark.operators.extract import (
+    extract_spans_columnar,
+    extract_spans_pandas,
+)
+from ocr_search_spark.operators.maintenance import (
+    delete_file,
+    diff_filelib,
+    doc_catalog,
+    upsert_by_key,
+)
+from ocr_search_spark.operators.search import match_terms
+from ocr_search_spark.operators.tokenize import term_postings, tokenize_text
+
+# --------------------------------------------------------------------------
+# Shared canonical mapping: the driver's flat `documents` table (doc_id
+# int64, text, lang, source, n_chars) is lifted into the engine's
+# interleaved span model (BASELINE.json input_hint) identically in Spark
+# and in the DuckDB oracle SQL:
+#   ori_file_path = source || '/doc_' || (doc_id div 4) || '.pdf'
+#   page_idx      = doc_id % 4 + 1
+#   doc_key       = sha256(ori_file_path || '-' || page_idx)
+#   spans: [ (text , noisy(text)        , ''            , 0),
+#            (media, ''                 , source/img-id , 1),
+#            (text , substr(text,1,80)  , ''            , 2) ]
+# noisy() wraps the text in HTML tags + chrome lines + strip-chars so the
+# boilerplate-strip stage has real work whose output is oracle-checked.
+# --------------------------------------------------------------------------
+
+_NOISE_PRE = '<div class="nav">'
+_NOISE_MID = "</div>\nhome\ncopyright 2020 acme corp\n• "
+
+
+def _tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
+
+
+def _with_doc_key(docs: DataFrame) -> DataFrame:
+    path = F.concat(
+        F.col("source"),
+        F.lit("/doc_"),
+        F.expr("doc_id div 4").cast("string"),
+        F.lit(".pdf"),
+    )
+    page = (F.col("doc_id") % 4 + 1).cast("int")
+    key = F.sha2(F.concat(path, F.lit("-"), page.cast("string")), 256)
+    return docs.select(
+        F.col("doc_id").alias("flat_id"),
+        "text",
+        "source",
+        path.alias("ori_file_path"),
+        page.alias("page_idx"),
+        key.alias("doc_key"),
+    )
+
+
+def _interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat driver docs → the interleaved (doc_id, spans) input shape."""
+    d = _with_doc_key(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    noisy = F.concat(F.lit(_NOISE_PRE), F.col("text"), F.lit(_NOISE_MID), F.col("text"))
+    ref = F.concat(F.col("source"), F.lit("/img-"), F.col("flat_id").cast("string"))
+    span = lambda kind, text, mref, off: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"),
+        text.alias("text"),
+        mref.alias("media_ref"),
+        F.lit(off).cast("int").alias("offset"),
+    )
+    spans = F.array(
+        span("text", noisy, F.lit(""), 0),
+        span("media", F.lit(""), ref, 1),
+        span("text", F.substring("text", 1, 80), F.lit(""), 2),
+    )
+    return d.select(F.col("doc_key").alias("doc_id"), spans.alias("spans"))
+
+
+def _flatten_extracted(extracted: DataFrame) -> DataFrame:
+    s = F.explode("spans")
+    return extracted.select("doc_id", s.alias("s")).select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: interleaved build → columnar extraction → tokenize →
+    inverted index (term, doc_id, tf)."""
+    extracted = extract_spans_columnar(_interleaved(spark, sf_dir))
+    ensure_shipped(spark)  # CJK segmenter pandas UDF runs on executors
+    return term_postings(extracted.select("doc_id", "spans")).withColumn(
+        "tf", F.col("tf").cast("long")
+    )
+
+
+def _docs_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _with_doc_key(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return doc_catalog(
+        d.select(F.col("doc_key").alias("doc_id"), "ori_file_path", "page_idx")
+    )
+
+
+_SEARCH_QUERY = "Tables scanned fast, slow values!"
+_SEARCH_TERMS = sorted(set(tokenize_text(_SEARCH_QUERY)))
+
+
+# ---------------------------------------------------------------- epoch K
+_EPOCH_1995 = 788918400  # 1995-01-01 UTC
+_EPOCH_1996 = 820454400  # 1996-01-01 UTC
+_EPOCH_1997 = 852076800  # 1997-01-01 UTC
+
+
+def _ep_us(col: str) -> F.Column:
+    """Epoch micros of a timestamp column, TZ-proof on either flavor.
+
+    TIMESTAMP_NTZ (Spark 4 parquet default): assembled from naive
+    calendar fields — no session-TZ interpretation anywhere.
+    TIMESTAMP_LTZ: ``unix_micros`` reads the internal instant directly.
+    Both equal DuckDB's ``epoch_us(ts)`` on the naive parquet value.
+    """
+    c = F.col(col)
+    whole = (
+        F.unix_date(F.to_date(c)).cast("long") * 86400
+        + F.hour(c).cast("long") * 3600
+        + F.minute(c).cast("long") * 60
+        + F.second(c).cast("long")
+    )
+    frac_us = ((F.date_part(F.lit("SECOND"), c) - F.second(c)) * 1000000).cast("long")
+    ntz = whole * 1000000 + frac_us
+    return ntz
+
+
+def _epoch(col: str) -> F.Column:
+    """Epoch seconds (floor) of a timestamp column — TZ-proof."""
+    return F.floor(_ep_us(col) / F.lit(1000000)).cast("long")
+
+
+_DEC = "decimal(18,4)"  # event values (small magnitudes)
+_DEC2 = "decimal(14,2)"  # prices / quantities
+_DEC4 = "decimal(8,4)"  # discounts / taxes (kept narrow so products stay
+#                          inside DECIMAL(38) with exact arithmetic on both
+#                          engines — no precision-loss rounding divergence)
+
+
+def _dec(col_or_expr, typ: str = _DEC) -> F.Column:
+    c = F.col(col_or_expr) if isinstance(col_or_expr, str) else col_or_expr
+    return c.cast(typ)
+
+
+# ==========================================================================
+# queries()
+# ==========================================================================
+
+
+def q_extract_columnar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1-E7 via pure columnar expressions (zero Python, zero shuffle)."""
+    return _flatten_extracted(extract_spans_columnar(_interleaved(spark, sf_dir)))
+
+
+def q_extract_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same extraction through the Arrow-batched mapInPandas stage —
+    proves the vectorized-UDF path (BASELINE north_star) bit-matches the
+    columnar plan and the independent SQL oracle."""
+    ensure_shipped(spark)
+    out = extract_spans_pandas(_interleaved(spark, sf_dir))
+    return _flatten_extracted(out.select("doc_id", "spans"))
+
+
+def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8-E15: extraction output → tokenizer → inverted index."""
+    return _postings(spark, sf_dir)
+
+
+def q_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-Q5: tokenize query, score = max(tf) per doc, top-20."""
+    hits = match_terms(_postings(spark, sf_dir), list(_SEARCH_TERMS), max_return=20)
+    return hits.select("doc_id", F.col("score").cast("long").alias("score"))
+
+
+def q_term_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I8/I9 resurrected: all-pairs cosine over the inverted index."""
+    corr = correlate.term_correlations(_postings(spark, sf_dir))
+    return corr.select("term1", "term2", F.round("tcr", 6).alias("tcr")).where(
+        F.col("tcr") >= 0.25
+    )
+
+
+def q_top_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I10 (fixed): per-term top-3 correlated terms via window ranking."""
+    corr = correlate.term_correlations(_postings(spark, sf_dir)).select(
+        "term1", "term2", F.round("tcr", 6).alias("tcr")
+    )
+    sym = correlate.symmetric(corr.where(F.col("tcr") >= 0.25))
+    return correlate.top_correlated(sym, k=3)
+
+
+def q_docs_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7/S10: stable sha256 ids + flat img_path catalog."""
+    return _docs_catalog(spark, sf_dir).withColumn(
+        "page_idx", F.col("page_idx").cast("long")
+    )
+
+
+def q_docs_by_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6: postings for one term joined to doc metadata (replaces the
+    reference's N+1 point-lookup loop with one broadcast join)."""
+    p = _postings(spark, sf_dir).where(F.col("term") == "table")
+    return p.join(_docs_catalog(spark, sf_dir), "doc_id").select(
+        "doc_id", "tf", "ori_file_path", F.col("page_idx").cast("long").alias("page_idx"), "img_path"
+    )
+
+
+def q_terms_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I7: all terms of one doc (doc resolved from flat doc_id 0)."""
+    d = _with_doc_key(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    key = d.where(F.col("flat_id") == 0).select(F.col("doc_key").alias("doc_id"))
+    return _postings(spark, sf_dir).join(F.broadcast(key), "doc_id").select(
+        "term", "tf"
+    )
+
+
+def q_search_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 (reference dead code, resurrected): query expansion via top-2
+    correlated terms, score = max(weight·tf). Scores are rounded *before*
+    the top-k order so the Spark and DuckDB rankings agree exactly."""
+    from pyspark.sql import Window as W
+
+    p = _postings(spark, sf_dir)
+    corr = correlate.term_correlations(p).select(
+        "term1", "term2", F.round("tcr", 6).alias("tcr")
+    )
+    sym = correlate.symmetric(corr.where(F.col("tcr") >= 0.25))
+    qterms = spark.createDataFrame([("table",), ("scan",)], "term string")
+    w = W.partitionBy("term1").orderBy(F.desc("tcr"), F.asc("term2"))
+    expansions = (
+        sym.join(F.broadcast(qterms), sym.term1 == qterms.term)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select(F.col("term2").alias("term"), F.col("tcr").alias("weight"))
+    )
+    weighted = (
+        expansions.unionByName(qterms.select("term", F.lit(1.0).alias("weight")))
+        .groupBy("term")
+        .agg(F.max("weight").alias("weight"))
+    )
+    return (
+        p.join(F.broadcast(weighted), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.max(F.col("tf") * F.col("weight")), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def q_diff_filelib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: added/modified/deleted classification by full-outer join."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = F.concat(F.lit("p"), F.col("o_orderkey").cast("string"))
+    original = o.where(F.col("o_orderkey") % 7 != 0).select(
+        path.alias("path"), F.col("o_totalprice").alias("mtime")
+    )
+    changed = o.where(F.col("o_orderkey") % 5 != 0).select(
+        path.alias("path"),
+        (
+            F.col("o_totalprice")
+            * F.when(F.col("o_orderkey") % 3 == 0, F.lit(2.0)).otherwise(F.lit(1.0))
+        ).alias("mtime"),
+    )
+    return diff_filelib(original, changed)
+
+
+def q_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4/§3.3: delete all docs of source 'src0' — postings survive only
+    for other sources (anti-join cascade)."""
+    docs = _docs_catalog(spark, sf_dir)
+    postings = _postings(spark, sf_dir)
+    doomed_paths = docs.where(F.col("ori_file_path").startswith("src0/")).select(
+        "ori_file_path"
+    ).distinct()
+    _, new_postings, _ = delete_file(docs, postings, None, doomed_paths)
+    return new_postings
+
+
+def q_upsert_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/X4: idempotent MERGE-style upsert on the (term, doc_id) key."""
+    p = _postings(spark, sf_dir)
+    updates = p.where(F.col("term") == "table").withColumn(
+        "tf", F.col("tf") + F.lit(100).cast("long")
+    ).unionByName(
+        spark.createDataFrame(
+            [("zzz_new_term", "zzz_new_doc", 1)], "term string, doc_id string, tf long"
+        )
+    )
+    return upsert_by_key(p, updates, ["term", "doc_id"])
+
+
+# ------------------------------------------------------------ relational
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide hash aggregate with exact-decimal sums."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    l = l.where(_epoch("l_shipdate") < _EPOCH_1997)
+    one = F.lit(1).cast(_DEC4)
+    disc = _dec("l_discount", _DEC4)
+    price = _dec("l_extendedprice", _DEC2)
+    tax = _dec("l_tax", _DEC4)
+    qty = _dec("l_quantity", _DEC2)
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price * (one - disc)), 4).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(price * (one - disc) * (one + tax)), 4).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10."""
+    c, o, l = _tables(spark, sf_dir, "customer", "orders", "lineitem")
+    seg = c.select("c_custkey", "c_mktsegment").where(F.col("c_mktsegment") == "BUILDING")
+    rev = _dec("l_extendedprice", _DEC2) * (F.lit(1).cast(_DEC4) - _dec("l_discount", _DEC4))
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(seg), o.o_custkey == seg.c_custkey)
+        .where(_epoch("o_orderdate") < _EPOCH_1996)
+        .where(_epoch("l_shipdate") >= _EPOCH_1996)
+    )
+    agg = joined.groupBy("l_orderkey").agg(
+        F.sum(rev).alias("rev_dec"),
+        F.max(_epoch("o_orderdate")).alias("o_orderdate_epoch"),
+    )
+    return (
+        agg.orderBy(F.desc("rev_dec"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round(F.col("rev_dec"), 4).cast("double").alias("revenue"),
+            "o_orderdate_epoch",
+        )
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join, small dims broadcast."""
+    c, o, l, s, n, r = _tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    rev = _dec("l_extendedprice", _DEC2) * (F.lit(1).cast(_DEC4) - _dec("l_discount", _DEC4))
+    dim = (
+        n.join(F.broadcast(r.where(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .where(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(dim), s.s_nationkey == F.col("n_nationkey"))
+        .where(
+            (_epoch("o_orderdate") >= _EPOCH_1995) & (_epoch("o_orderdate") < _EPOCH_1996)
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(rev), 4).cast("double").alias("revenue")
+    )
+
+
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: top-3 orders per customer by totalprice."""
+    from pyspark.sql import Window as W
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: customers ordering in 1995 ∩/∖ 1996."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    y95 = o.where(
+        (_epoch("o_orderdate") >= _EPOCH_1995) & (_epoch("o_orderdate") < _EPOCH_1996)
+    ).select("o_custkey")
+    y96 = o.where(
+        (_epoch("o_orderdate") >= _EPOCH_1996) & (_epoch("o_orderdate") < _EPOCH_1997)
+    ).select("o_custkey")
+    both = y95.intersect(y96).select("o_custkey", F.lit("both").alias("tag"))
+    only95 = y95.subtract(y96).select("o_custkey", F.lit("only_1995").alias("tag"))
+    return both.unionByName(only95)
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregation over the event stream (the batch
+    equivalence of the Structured Streaming windowed agg — same plan the
+    streaming job produces per micro-batch)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hour = F.floor(_epoch("ts") / 3600).cast("long")
+    return (
+        e.groupBy(hour.alias("hour_bucket"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) via cumulative window —
+    the deterministic batch twin of applyInPandasWithState sessionization."""
+    from pyspark.sql import Window as W
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ep_us", _ep_us("ts")
+    )
+    ep = F.col("ep_us")
+    w = W.partitionBy("user_id").orderBy(ep, "event_id")
+    gap = ep - F.lag(ep).over(w)
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > 1800 * 1000000), 1).otherwise(0)
+    ).over(w)
+    return (
+        e.withColumn("sess_idx", sess)
+        .groupBy("user_id", "sess_idx")
+        .agg(
+            F.floor(F.min(ep) / F.lit(1000000)).cast("long").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .withColumn("sess_idx", F.col("sess_idx").cast("long"))
+    )
+
+
+# ==========================================================================
+# entry + registry
+# ==========================================================================
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interleaved build → vectorized extraction (Arrow path) →
+    tokenize → inverted index → one search, on sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    ensure_shipped(spark)
+    extracted = extract_spans_pandas(_interleaved(spark, sf_dir))
+    postings = term_postings(extracted.select("doc_id", "spans"))
+    return match_terms(postings, list(_SEARCH_TERMS), max_return=20)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_columnar": q_extract_columnar,
+        "extract_pandas": q_extract_pandas,
+        "postings": q_postings,
+        "search_topk": q_search_topk,
+        "term_correlations": q_term_correlations,
+        "top_correlated": q_top_correlated,
+        "docs_catalog": q_docs_catalog,
+        "docs_by_term": q_docs_by_term,
+        "terms_by_doc": q_terms_by_doc,
+        "search_expanded": q_search_expanded,
+        "diff_filelib": q_diff_filelib,
+        "delete_cascade": q_delete_cascade,
+        "upsert_postings": q_upsert_postings,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "window_top_orders": q_window_top_orders,
+        "set_ops": q_set_ops,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ==========================================================================
+# oracle_sql() — DuckDB SQL over the pre-registered views
+# ==========================================================================
+
+
+def _sq(s: str) -> str:
+    """SQL single-quoted literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+_PUNCT_LIT = _sq(_string.punctuation)
+_SPACES_LIT = _sq(" " * len(_string.punctuation))
+_STRIP_LIT = _sq(textproc.STRIP_CHARS)
+_VOCAB_LIT = "[" + ", ".join(_sq(w) for w in textproc.OCR_VOCAB) + "]"
+_STOPWORDS_IN = ", ".join(_sq(w) for w in textproc.STOPWORDS)
+_BOILER_LIT = _sq("(?im)" + textproc.BOILERPLATE_LINE_RE)
+
+
+def _lemma_sql(expr: str) -> str:
+    chain = expr
+    for pat, rep in textproc.LEMMA_RULES:
+        chain = f"regexp_replace({chain}, {_sq(pat)}, {_sq(rep.replace('$1', chr(92) + '1'))})"
+    cases = " ".join(
+        f"WHEN {_sq(k)} THEN {_sq(v)}" for k, v in textproc.LEMMA_EXCEPTIONS.items()
+    )
+    return f"(CASE {expr} {cases} ELSE {chain} END)"
+
+
+def _strip_sql(expr: str) -> str:
+    return (
+        "trim(regexp_replace(translate(regexp_replace(regexp_replace("
+        f"{expr}, '<[^>]*>', ' ', 'g'), {_BOILER_LIT}, '', 'g'), "
+        f"{_STRIP_LIT}, ''), '\\s+', ' ', 'g'))"
+    )
+
+
+def _ocr_sql(h: str) -> str:
+    """OCR-sim given a sha256-hex column expression ``h``."""
+    return (
+        "array_to_string(list_transform("
+        f"range(0, 3 + (('0x' || substring({h}, 1, 2))::INT % 6)), "
+        f"i -> {_VOCAB_LIT}[(('0x' || substring({h}, 3 + 2*i, 2))::INT % 64) + 1]), ' ')"
+    )
+
+
+_NOISE_SQL = (
+    f"{_sq(_NOISE_PRE)} || text || "
+    "e'</div>\\nhome\\ncopyright 2020 acme corp\\n• ' || text"
+)
+
+_BASE_CTE = """base AS (
+  SELECT doc_id AS flat_id, text, source,
+         source || '/doc_' || (doc_id // 4)::VARCHAR || '.pdf' AS ori_file_path,
+         (doc_id % 4 + 1)::INT AS page_idx,
+         sha256(source || '/doc_' || (doc_id // 4)::VARCHAR || '.pdf'
+                || '-' || (doc_id % 4 + 1)::VARCHAR) AS doc_key
+  FROM documents
+)"""
+
+_SPANS_CTE = f"""spans AS (
+  SELECT doc_key, 0 AS off, 'text' AS kind, {_NOISE_SQL} AS raw, '' AS ref FROM base
+  UNION ALL
+  SELECT doc_key, 1, 'media', '', source || '/img-' || flat_id::VARCHAR FROM base
+  UNION ALL
+  SELECT doc_key, 2, 'text', substring(text, 1, 80), '' FROM base
+)"""
+
+_EXTRACTED_CTE = f"""extracted AS (
+  SELECT doc_key AS doc_id, off::BIGINT AS "offset", kind,
+         CASE WHEN kind = 'media' THEN {_ocr_sql("sha256(ref)")}
+              ELSE {_strip_sql("raw")} END AS text,
+         CASE WHEN kind = 'media'
+              THEN doc_key || '-' || lpad(off::VARCHAR, {textproc.MEDIA_REF_PAD}, '0') || '.png'
+              ELSE '' END AS media_ref
+  FROM spans
+)"""
+
+_EXTRACT_SQL = (
+    f"WITH {_BASE_CTE}, {_SPANS_CTE}, {_EXTRACTED_CTE}\n"
+    'SELECT doc_id, "offset", kind, text, media_ref FROM extracted'
+)
+
+# doc text = span texts joined in offset order with single spaces
+_DOCTEXT_CTE = """doctext AS (
+  SELECT doc_id, string_agg(text, ' ' ORDER BY "offset") AS dtext
+  FROM extracted GROUP BY doc_id
+)"""
+
+_TOKS_CTE = f"""toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(
+           translate(translate(lower(dtext), {_STRIP_LIT}, ''), {_PUNCT_LIT}, {_SPACES_LIT}),
+           '\\s+')) AS tok
+  FROM doctext
+)"""
+
+_ENG_CTE = f"""eng AS (
+  SELECT doc_id, {_lemma_sql("tok")} AS term
+  FROM toks
+  WHERE tok <> '' AND regexp_matches(tok, '^[\\x00-\\x7F]+$')
+    AND length(tok) > 1 AND regexp_matches(tok, '[a-z]')
+    AND tok NOT IN ({_STOPWORDS_IN})
+)"""
+
+_POSTINGS_BODY = (
+    f"{_BASE_CTE}, {_SPANS_CTE}, {_EXTRACTED_CTE}, {_DOCTEXT_CTE}, {_TOKS_CTE}, {_ENG_CTE}, "
+    "postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM eng GROUP BY 1, 2)"
+)
+
+_POSTINGS_SQL = f"WITH {_POSTINGS_BODY}\nSELECT term, doc_id, tf FROM postings"
+
+_CORR_BODY = (
+    _POSTINGS_BODY
+    + """,
+norms AS (
+  SELECT term, CASE WHEN sqrt(sum(tf*tf)) = 0 THEN 1.0 ELSE sqrt(sum(tf*tf)) END AS norm
+  FROM postings GROUP BY term
+),
+dots AS (
+  SELECT a.term AS term1, b.term AS term2, sum(a.tf * b.tf) AS dot
+  FROM postings a
+  JOIN postings b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+),
+corr AS (
+  SELECT term1, term2, round(dot / (na.norm * nb.norm), 6) AS tcr
+  FROM dots
+  JOIN norms na ON na.term = dots.term1
+  JOIN norms nb ON nb.term = dots.term2
+)"""
+)
+
+_DOCS_CATALOG_SQL = f"""WITH {_BASE_CTE}
+SELECT DISTINCT doc_key AS doc_id,
+       sha256(ori_file_path) AS file_id,
+       ori_file_path,
+       page_idx::BIGINT AS page_idx,
+       doc_key || '.png' AS img_path
+FROM base"""
+
+_SEARCH_TERMS_IN = ", ".join(_sq(t) for t in _SEARCH_TERMS)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    dec = "::DECIMAL(18,4)"  # event values
+    d2 = "::DECIMAL(14,2)"  # prices / quantities
+    d4 = "::DECIMAL(8,4)"  # discounts / taxes
+    one = "1::DECIMAL(8,4)"
+    return {
+        "extract_columnar": _EXTRACT_SQL,
+        "extract_pandas": _EXTRACT_SQL,
+        "postings": _POSTINGS_SQL,
+        "search_topk": f"""WITH {_POSTINGS_BODY}
+SELECT doc_id, max(tf)::BIGINT AS score
+FROM postings WHERE term IN ({_SEARCH_TERMS_IN})
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 20""",
+        "term_correlations": f"""WITH {_CORR_BODY}
+SELECT term1, term2, tcr FROM corr WHERE tcr >= 0.25""",
+        "top_correlated": f"""WITH {_CORR_BODY},
+sym AS (
+  SELECT term1, term2, tcr FROM corr WHERE tcr >= 0.25
+  UNION ALL
+  SELECT term2, term1, tcr FROM corr WHERE tcr >= 0.25
+),
+ranked AS (
+  SELECT term1, term2, tcr,
+         row_number() OVER (PARTITION BY term1 ORDER BY tcr DESC, term2 ASC) AS rn
+  FROM sym
+)
+SELECT term1, term2, tcr FROM ranked WHERE rn <= 3""",
+        "docs_catalog": _DOCS_CATALOG_SQL,
+        "docs_by_term": f"""WITH {_POSTINGS_BODY},
+catalog AS (
+  SELECT DISTINCT doc_key AS doc_id, ori_file_path,
+         page_idx::BIGINT AS page_idx, doc_key || '.png' AS img_path
+  FROM base
+)
+SELECT p.doc_id, p.tf, c.ori_file_path, c.page_idx, c.img_path
+FROM postings p JOIN catalog c ON p.doc_id = c.doc_id
+WHERE p.term = 'table'""",
+        "terms_by_doc": f"""WITH {_POSTINGS_BODY}
+SELECT term, tf FROM postings
+WHERE doc_id IN (SELECT doc_key FROM base WHERE flat_id = 0)""",
+        "search_expanded": f"""WITH {_CORR_BODY},
+sym AS (
+  SELECT term1, term2, tcr FROM corr WHERE tcr >= 0.25
+  UNION ALL
+  SELECT term2, term1, tcr FROM corr WHERE tcr >= 0.25
+),
+qterms AS (SELECT unnest(['table', 'scan']) AS term),
+expansions AS (
+  SELECT term2 AS term, tcr AS weight,
+         row_number() OVER (PARTITION BY term1 ORDER BY tcr DESC, term2 ASC) AS rn
+  FROM sym JOIN qterms ON sym.term1 = qterms.term
+),
+weighted AS (
+  SELECT term, max(weight) AS weight FROM (
+    SELECT term, weight FROM expansions WHERE rn <= 2
+    UNION ALL SELECT term, 1.0 FROM qterms
+  ) GROUP BY term
+)
+SELECT p.doc_id, round(max(p.tf * w.weight), 6) AS score
+FROM postings p JOIN weighted w ON p.term = w.term
+GROUP BY p.doc_id
+ORDER BY score DESC, p.doc_id ASC
+LIMIT 20""",
+        "diff_filelib": """WITH o AS (
+  SELECT 'p' || o_orderkey::VARCHAR AS path, o_totalprice AS mtime
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+c AS (
+  SELECT 'p' || o_orderkey::VARCHAR AS path,
+         o_totalprice * (CASE WHEN o_orderkey % 3 = 0 THEN 2.0 ELSE 1.0 END) AS mtime
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT coalesce(o.path, c.path) AS path,
+       CASE WHEN o.path IS NULL THEN 'added'
+            WHEN c.path IS NULL THEN 'deleted'
+            WHEN c.mtime > o.mtime THEN 'modified' END AS status
+FROM o FULL OUTER JOIN c ON o.path = c.path
+WHERE (CASE WHEN o.path IS NULL THEN 'added'
+            WHEN c.path IS NULL THEN 'deleted'
+            WHEN c.mtime > o.mtime THEN 'modified' END) IS NOT NULL""",
+        "delete_cascade": f"""WITH {_POSTINGS_BODY}
+SELECT term, doc_id, tf FROM postings
+WHERE doc_id NOT IN (SELECT doc_key FROM base WHERE source = 'src0')""",
+        "upsert_postings": f"""WITH {_POSTINGS_BODY}
+SELECT term, doc_id, CASE WHEN term = 'table' THEN tf + 100 ELSE tf END AS tf
+FROM postings
+UNION ALL
+SELECT 'zzz_new_term', 'zzz_new_doc', 1::BIGINT""",
+        "tpch_q1": f"""SELECT l_returnflag, l_linestatus,
+       sum(l_quantity{d2})::DOUBLE AS sum_qty,
+       sum(l_extendedprice{d2})::DOUBLE AS sum_base_price,
+       round(sum(l_extendedprice{d2} * ({one} - l_discount{d4})), 4)::DOUBLE AS sum_disc_price,
+       round(sum(l_extendedprice{d2} * ({one} - l_discount{d4}) * ({one} + l_tax{d4})), 4)::DOUBLE AS sum_charge,
+       (sum(l_quantity{d2})::DOUBLE / count(*)) AS avg_qty,
+       (sum(l_extendedprice{d2})::DOUBLE / count(*)) AS avg_price,
+       (sum(l_discount{d4})::DOUBLE / count(*)) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE (epoch_us(l_shipdate) // 1000000) < {_EPOCH_1997}
+GROUP BY l_returnflag, l_linestatus""",
+        "tpch_q3": f"""SELECT l_orderkey,
+       round(sum(l_extendedprice{d2} * ({one} - l_discount{d4})), 4)::DOUBLE AS revenue,
+       max((epoch_us(o_orderdate) // 1000000)) AS o_orderdate_epoch
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND (epoch_us(o_orderdate) // 1000000) < {_EPOCH_1996}
+  AND (epoch_us(l_shipdate) // 1000000) >= {_EPOCH_1996}
+GROUP BY l_orderkey
+ORDER BY sum(l_extendedprice{d2} * ({one} - l_discount{d4})) DESC, l_orderkey ASC
+LIMIT 10""",
+        "tpch_q5": f"""SELECT n_name,
+       round(sum(l_extendedprice{d2} * ({one} - l_discount{d4})), 4)::DOUBLE AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND (epoch_us(o_orderdate) // 1000000) >= {_EPOCH_1995}
+  AND (epoch_us(o_orderdate) // 1000000) < {_EPOCH_1996}
+GROUP BY n_name""",
+        "window_top_orders": """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)::BIGINT AS rn
+  FROM orders
+) WHERE rn <= 3""",
+        "set_ops": f"""WITH y95 AS (
+  SELECT o_custkey FROM orders
+  WHERE (epoch_us(o_orderdate) // 1000000) >= {_EPOCH_1995}
+    AND (epoch_us(o_orderdate) // 1000000) < {_EPOCH_1996}
+),
+y96 AS (
+  SELECT o_custkey FROM orders
+  WHERE (epoch_us(o_orderdate) // 1000000) >= {_EPOCH_1996}
+    AND (epoch_us(o_orderdate) // 1000000) < {_EPOCH_1997}
+)
+SELECT o_custkey, 'both' AS tag FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+UNION ALL
+SELECT o_custkey, 'only_1995' AS tag
+FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)""",
+        "events_hourly": f"""SELECT ((epoch_us(ts) // 1000000) // 3600) AS hour_bucket,
+       event_type, count(*) AS n, sum(value{dec})::DOUBLE AS sum_value
+FROM events GROUP BY 1, 2""",
+        "events_sessionize": f"""WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ep, value FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ep, value,
+         CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id, ep, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ep, event_id)::BIGINT AS sess_idx
+  FROM flagged
+)
+SELECT user_id, sess_idx, (min(ep) // 1000000) AS session_start,
+       count(*) AS n_events, sum(value{dec})::DOUBLE AS sum_value
+FROM sessions GROUP BY user_id, sess_idx""",
+    }

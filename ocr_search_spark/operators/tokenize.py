@@ -30,29 +30,82 @@ def _segment_cjk_udf(chars: pd.Series) -> pd.Series:
     return segment_cjk_batch(chars)
 
 
+def _doc_text(extracted: DataFrame, text_col: str = "doc_text") -> DataFrame:
+    """(doc_id, spans) → (doc_id, doc_text): span texts joined in offset
+    order (spans are offset-ordered by the extraction invariant) — mirrors
+    the page-content concatenation of PdfUtil.class.js:140-164."""
+    if "spans" in extracted.columns:
+        text = F.array_join(F.transform("spans", lambda s: s["text"]), " ")
+        return extracted.select("doc_id", text.alias(text_col))
+    return extracted
+
+
 def doc_terms(extracted: DataFrame, text_col: str = "doc_text") -> DataFrame:
     """(doc_id, spans) → (doc_id, terms: array<string>).
 
-    Span texts are joined in offset order (spans are offset-ordered by the
-    extraction invariant) — mirrors the page-content concatenation of
-    PdfUtil.class.js:140-164 before tokenization."""
-    if "spans" in extracted.columns:
-        text = F.array_join(F.transform("spans", lambda s: s["text"]), " ")
-        df = extracted.select("doc_id", text.alias(text_col))
-    else:
-        df = extracted
+    NOTE: embeds the CJK pandas UDF as a column expression — fine for a
+    terminal projection, but do NOT feed this into explode/aggregate
+    directly (Catalyst inlines the projection into the Generate/Aggregate
+    node, where a Python UDF cannot be evaluated). The pipeline path is
+    :func:`term_postings`, which keeps the UDF in its own plan node.
+    """
+    df = _doc_text(extracted, text_col)
     eng = english_tokens_col(F.col(text_col))
     cjk = _segment_cjk_udf(cjk_chars_col(F.col(text_col)))
     return df.select("doc_id", F.concat(eng, cjk).alias("terms"))
 
 
+def _cjk_term_rows(doc_text: DataFrame, text_col: str) -> DataFrame:
+    """CJK branch as a mapInPandas stage: (doc_id, cjk_chars) → one row per
+    segmented term. mapInPandas is a plan-level node (ArrowEvalPython
+    cannot be inlined into Generate/Aggregate the way an expression-level
+    pandas UDF can), so this composes safely with any downstream plan.
+    Docs with no CJK content are filtered out JVM-side first — at web
+    scale the Python stage only ever sees the (rare) CJK rows."""
+    chars_df = doc_text.select(
+        "doc_id", cjk_chars_col(F.col(text_col)).alias("cjk_chars")
+    ).where(F.length("cjk_chars") > 0)
+
+    def seg_iter(batches):
+        for pdf in batches:
+            segs = segment_cjk_batch(pdf["cjk_chars"])
+            lens = segs.map(len)
+            if lens.sum() == 0:
+                continue
+            import numpy as np
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), lens.to_numpy()),
+                    "term": [t for ts in segs for t in ts],
+                }
+            )
+
+    return chars_df.mapInPandas(
+        seg_iter, schema=T.StructType(
+            [
+                T.StructField("doc_id", T.StringType(), False),
+                T.StructField("term", T.StringType(), False),
+            ]
+        )
+    )
+
+
 def term_postings(extracted: DataFrame) -> DataFrame:
-    """Build the inverted index: (term, doc_id, tf)."""
-    terms = doc_terms(extracted)
-    return (
-        terms.select("doc_id", F.explode("terms").alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count("*").cast("int").alias("tf"))
+    """Build the inverted index: (term, doc_id, tf).
+
+    English branch: pure columnar expressions → explode (all JVM-side,
+    whole-stage codegen). CJK branch: mapInPandas segmentation over only
+    the docs that contain CJK chars. Union → hash aggregate with map-side
+    partial aggregation (the per-doc TF dict of tokenize_and_stem.py:55-66
+    falls out of the final aggregate for free)."""
+    dt = _doc_text(extracted)
+    eng_rows = dt.select(
+        "doc_id", F.explode(english_tokens_col(F.col("doc_text"))).alias("term")
+    )
+    all_rows = eng_rows.unionByName(_cjk_term_rows(dt, "doc_text"))
+    return all_rows.groupBy("term", "doc_id").agg(
+        F.count("*").cast("int").alias("tf")
     )
 
 
