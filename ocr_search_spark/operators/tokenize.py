@@ -62,12 +62,19 @@ def _cjk_term_rows(doc_text: DataFrame, text_col: str) -> DataFrame:
     pandas UDF can), so this composes safely with any downstream plan.
     Docs with no CJK content are filtered out JVM-side first — at web
     scale the Python stage only ever sees the (rare) CJK rows."""
+    # The empty-chars filter lives INSIDE the Python stage: a JVM-side
+    # .where() on the aliased column would be pushed below the projection
+    # and duplicate the (expensive) cjk_chars expression into both Filter
+    # and Project. Empty strings cost ~nothing to ship via Arrow.
     chars_df = doc_text.select(
         "doc_id", cjk_chars_col(F.col(text_col)).alias("cjk_chars")
-    ).where(F.length("cjk_chars") > 0)
+    )
 
     def seg_iter(batches):
         for pdf in batches:
+            pdf = pdf[pdf["cjk_chars"].str.len() > 0]
+            if len(pdf) == 0:
+                continue
             segs = segment_cjk_batch(pdf["cjk_chars"])
             lens = segs.map(len)
             if lens.sum() == 0:

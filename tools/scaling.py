@@ -1,0 +1,133 @@
+"""Two-parallelism scaling evidence (BASELINE.json north_rule).
+
+No real cluster exists in this sandbox, so the N-vs-4N-executor criterion
+is evidenced by running the *same* pipeline on the *same deterministic
+input* at two local parallelism levels in separate JVMs and reporting
+throughput at both plus efficiency = (tput_4N / tput_N) / 4.
+
+Methodology notes (recorded in BENCH.md):
+
+* The corpus generator is partition-count-invariant (corpus.py builds
+  every value from xxhash64 of stable keys), so both levels see
+  bit-identical input.
+* This sandbox VM reports 32 CPUs but sustains only ~16 cores of real
+  parallel throughput (measured: 8→16 multiprocessing sha256 scales at
+  ~0.92, 16→32 at ~0.53), and the oversubscribed host steals CPU with
+  ~2-3× wall-clock noise. Therefore (a) the default pair is
+  local[4] vs local[16] — both inside the machine's linear region — and
+  (b) each level runs the timed pipeline REPEAT times and takes the
+  minimum (the least-interference estimate).
+* Pipeline per run: read documents parquet → salted repartition →
+  mapInArrow extraction (+ span-split for mega-docs) → write
+  extracted_spans parquet → read → tokenize → postings agg → noop sink.
+
+Usage: python tools/scaling.py [n_docs] [N] [4N]   (writes BENCH.md)
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+REPEAT = int(__import__("os").environ.get("SCALING_REPEAT", "3"))
+
+_RUN_SNIPPET = """
+import sys, time, json
+sys.path.insert(0, {repo!r})
+from ocr_search_spark.session import get_spark
+from ocr_search_spark import corpus
+from ocr_search_spark.operators import extract, tokenize
+
+cores = {cores}
+spark = get_spark("scaling", cores=cores, shuffle_partitions=2 * cores)
+docs_path = "/tmp/spark_graft_scaling_docs_" + str(cores)
+ext_path = "/tmp/spark_graft_scaling_ext_" + str(cores)
+corpus.documents_table(spark, {n_docs}, skew=True).write.mode(
+    "overwrite").parquet(docs_path)
+src = spark.read.parquet(docs_path)
+
+def pipeline(inp):
+    ext = extract.extract_spans(inp, impl="arrow", skew_threshold=64,
+                                num_partitions=2 * cores)
+    ext.drop("error").write.mode("overwrite").parquet(ext_path)
+    tokenize.term_postings(
+        spark.read.parquet(ext_path)
+    ).write.mode("overwrite").format("noop").save()
+
+pipeline(src.limit(2000))  # warm JIT/codegen/python workers
+best = None
+for _ in range({repeat}):
+    t0 = time.time()
+    pipeline(src)
+    dt = time.time() - t0
+    best = dt if best is None or dt < best else best
+print(json.dumps({{"cores": cores, "sec": best,
+                   "docs_per_sec": {n_docs} / best}}))
+"""
+
+
+def run_at(cores: int, n_docs: int) -> dict:
+    code = _RUN_SNIPPET.format(
+        repo=str(REPO), cores=cores, n_docs=n_docs, repeat=REPEAT
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=3000,
+        cwd=str(REPO),
+    )
+    for line in out.stdout.splitlines()[::-1]:
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"run at cores={cores} failed:\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 160000
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * lo
+    results = {}
+    for cores in (lo, hi):
+        t0 = time.time()
+        results[cores] = run_at(cores, n_docs)
+        print(
+            f"local[{cores}]: {results[cores]} (wall {time.time()-t0:.0f}s)",
+            file=sys.stderr,
+        )
+    eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)
+    summary = {
+        "n_docs": n_docs,
+        f"local{lo}_docs_per_sec": round(results[lo]["docs_per_sec"], 1),
+        f"local{hi}_docs_per_sec": round(results[hi]["docs_per_sec"], 1),
+        f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
+        "target": 0.8,
+    }
+    print(json.dumps(summary))
+    (REPO / "BENCH.md").write_text(
+        "# BENCH — scaling evidence (same job, two parallelism levels)\n\n"
+        "Same pipeline, same deterministic input (the corpus generator is\n"
+        "partition-invariant), one JVM per level, best-of-"
+        f"{REPEAT} timed runs per level (this sandbox's host is\n"
+        "oversubscribed — 32 reported CPUs sustain ~16 cores of real\n"
+        "throughput with 2-3× wall-clock noise; minimum-of-N is the\n"
+        "least-interference estimator, and the core pair stays inside\n"
+        "the machine's measured linear-scaling region).\n\n"
+        "Pipeline: read documents parquet → salted repartition →\n"
+        "mapInArrow extraction (+ span-level split of mega-docs) → write\n"
+        "extracted_spans parquet → read → tokenize (columnar English +\n"
+        "mapInPandas CJK) → postings aggregate → noop sink.\n\n"
+        f"| docs | local[{lo}] docs/s | local[{hi}] docs/s | "
+        "efficiency (→4×) |\n|---|---|---|---|\n"
+        f"| {n_docs} | {summary[f'local{lo}_docs_per_sec']} | "
+        f"{summary[f'local{hi}_docs_per_sec']} | "
+        f"{summary[f'scaling_efficiency_{lo}_to_{hi}']} (target ≥ 0.8) |\n"
+    )
+
+
+if __name__ == "__main__":
+    main()
