@@ -823,3 +823,435 @@ SELECT user_id, sess_idx, (min(ep) // 1000000) AS session_start,
        count(*) AS n_events, sum(value{dec})::DOUBLE AS sum_value
 FROM sessions GROUP BY user_id, sess_idx""",
     }
+
+
+# ==========================================================================
+# Training-data pipeline queries (dedup / similarity / text analysis /
+# multimodal) — ocr_search_spark.training.*
+# ==========================================================================
+
+from ocr_search_spark.training import dedup as D
+from ocr_search_spark.training import multimodal as MM
+from ocr_search_spark.training import similarity as SIM
+from ocr_search_spark.training import textstats as TS
+
+
+def _docs_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(_docs_flat(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_docs_flat(spark, sf_dir), k=3, threshold=0.5)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.minhash_signatures(_docs_flat(spark, sf_dir), k=3, num_hashes=16)
+    return D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+
+
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.minhash_signatures(_docs_flat(spark, sf_dir), k=3, num_hashes=16)
+    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    return D.minhash_jaccard_estimate(sigs, pairs.select("id_a", "id_b"), 16)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_docs_flat(spark, sf_dir))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(D.simhash(_docs_flat(spark, sf_dir)), max_hamming=8)
+
+
+def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = SIM.ivf_centroids(emb, n_centroids=8)
+    assign = SIM.ivf_assign(emb, cents)
+    return SIM.ivf_search(emb, emb.where(F.col("vec_id") < 10), cents, assign, k=5, nprobe=1)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.lang_id(_docs_flat(spark, sf_dir))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.token_counts(_docs_flat(spark, sf_dir))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.quality_score(_docs_flat(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.fingerprint(_docs_flat(spark, sf_dir))
+
+
+def q_extract_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-split (posexplode -> regroup) skew path forced for every
+    doc; must produce byte-identical output to the batch paths."""
+    from ocr_search_spark.operators.extract import extract_spans
+
+    out = extract_spans(_interleaved(spark, sf_dir), impl="columnar", skew_threshold=0)
+    return _flatten_extracted(out.select("doc_id", "spans"))
+
+
+def q_extract_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow extraction path (the scale path) vs the same oracle."""
+    from ocr_search_spark.operators.extract import extract_spans_arrow
+
+    ensure_shipped(spark)
+    out = extract_spans_arrow(_interleaved(spark, sf_dir))
+    return _flatten_extracted(out.select("doc_id", "spans"))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_shipped(spark)
+    extracted = extract_spans_columnar(_interleaved(spark, sf_dir))
+    media = MM.media_table(extracted.select("doc_id", "spans"))
+    return MM.decode_image_features(media)
+
+
+def q_cjk_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CJK-term postings over the synthetic interleaved corpus (the
+    driver documents are ASCII-only). Forward-max-match segmentation is
+    iterative — not SQL-expressible — so this entry is rows-only."""
+    from ocr_search_spark import corpus
+
+    ensure_shipped(spark)
+    docs = corpus.documents_table(spark, 400, skew=False)
+    extracted = extract_spans_columnar(docs)
+    p = term_postings(extracted.select("doc_id", "spans"))
+    return p.where(F.col("term").rlike("[\u4e00-\u9fff]"))
+
+
+_TRAINING_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_estimate": q_dedup_minhash_estimate,
+    "dedup_simhash": q_dedup_simhash,
+    "simhash_pairs": q_simhash_pairs,
+    "embed_cosine_topk": q_embed_cosine_topk,
+    "embed_ann_ivf": q_embed_ann_ivf,
+    "lang_id": q_lang_id,
+    "token_counts": q_token_counts,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_doc_fingerprint,
+    "extract_exploded": q_extract_exploded,
+    "extract_arrow": q_extract_arrow,
+    "multimodal_features": q_multimodal_features,
+    "cjk_postings": q_cjk_postings,
+}
+
+
+def _h60_sql(expr: str) -> str:
+    return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
+
+
+_WORDS_SQL = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+)
+
+_SHINGLES_CTE = f"""words AS (
+  SELECT doc_id AS id, {_WORDS_SQL} AS ws FROM documents
+),
+shingles AS (
+  SELECT id, list_distinct(list_transform(
+           range(1, greatest(len(ws) - 1, 1)),
+           i -> array_to_string(ws[i:i+2], ' '))) AS shs
+  FROM words WHERE len(ws) >= 3
+),
+shingle_rows AS (
+  SELECT id, {_h60_sql('sh')} AS sh
+  FROM (SELECT id, unnest(shs) AS sh FROM shingles)
+)"""
+
+_MINHASH_CTE = (
+    """words AS (
+  SELECT doc_id AS id, """ + _WORDS_SQL + """ AS ws FROM documents
+),
+shingles AS (
+  SELECT id, list_distinct(list_transform(
+           range(1, greatest(len(ws) - 1, 1)),
+           i -> array_to_string(ws[i:i+2], ' '))) AS shs
+  FROM words WHERE len(ws) >= 3
+),
+srows AS (SELECT id, unnest(shs) AS shingle FROM shingles),
+sigs AS (
+  SELECT id, """
+    + ", ".join(
+        f"min({_h60_sql(chr(39) + str(i) + ':' + chr(39) + ' || shingle')}) AS m{i}"
+        for i in range(16)
+    )
+    + """
+  FROM srows GROUP BY id
+),
+bands AS (
+"""
+    + "\n  UNION ALL\n".join(
+        "  SELECT id, "
+        + str(b)
+        + " AS band_idx, md5("
+        + "':'".join(
+            [f"{b}::VARCHAR || "]
+            + [f" || m{b*4+r}::VARCHAR || " for r in range(3)]
+            + [f" || m{b*4+3}::VARCHAR"]
+        )
+        + ") AS band_hash FROM sigs"
+        for b in range(4)
+    )
+    + "\n)"
+)
+
+
+# ---------------------------------------------------------------- oracles
+# for the training-data queries. Hash/round conventions match the Spark
+# modules exactly (see training/hashing.py H60_SQL).
+
+_LANG_STOP_SQL = {
+    lang: ", ".join("'" + w + "'" for w in stops)
+    for lang, stops in TS.LANG_STOPWORDS.items()
+}
+
+_SIMHASH_FP_CTE = f"""words AS (
+  SELECT doc_id AS id, {_WORDS_SQL} AS ws FROM documents
+),
+toks AS (SELECT id, unnest(ws) AS w FROM words),
+tf AS (SELECT id, w, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+hashed AS (SELECT id, {_h60_sql('w')} AS h, tf FROM tf),
+sums AS (
+  SELECT id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM hashed CROSS JOIN range(60) t(j) GROUP BY id, j
+),
+fp AS (
+  SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS simhash
+  FROM sums GROUP BY id
+)"""
+
+_EMB_FLAT_CTE = """flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS nrm FROM flat GROUP BY vec_id
+)"""
+
+_MM_ORACLE = f"""WITH {_BASE_CTE},
+media AS (SELECT doc_key || '-0001.png' AS media_ref FROM base),
+hexed AS (SELECT media_ref, sha256(media_ref) AS hx FROM media),
+b AS (
+  SELECT media_ref, hx,
+         list_transform(range(0, 32), i -> ('0x' || substring(hx, 2*i + 1, 2))::INT) AS bs
+  FROM hexed
+)
+SELECT media_ref,
+       32::BIGINT AS n_bytes,
+       round(list_sum(list_transform(bs, x -> x::DOUBLE)) / 32.0, 6) AS byte_mean,
+       (len(list_distinct(bs)) // 16)::INT AS byte_entropy_bucket,
+       ('0x' || substring(hx, 1, 14))::BIGINT AS phash
+FROM b"""
+
+
+def _minhash_est_cases() -> str:
+    return " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+
+
+def _lang_fold_sql() -> str:
+    hits = ", ".join(
+        f"len(list_filter(ws, x -> x IN ({_LANG_STOP_SQL[lang]}))) AS h_{lang}"
+        for lang in TS.LANG_STOPWORDS
+    )
+    sql = f"WITH w AS (SELECT doc_id AS id, {_WORDS_SQL} AS ws FROM documents),\n"
+    sql += f"h AS (SELECT id, {hits} FROM w),\n"
+    prev = "h"
+    step = 0
+    langs = list(TS.LANG_STOPWORDS)
+    bl, bh = "'und'", "0"
+    for lang in langs:
+        step += 1
+        sql += (
+            f"s{step} AS (SELECT id, "
+            + ", ".join(f"h_{l2}" for l2 in langs[step:])
+            + (", " if langs[step:] else "")
+            + f"CASE WHEN h_{lang} > {bh} THEN '{lang}' ELSE {bl} END AS bl{step}, "
+            f"CASE WHEN h_{lang} > {bh} THEN h_{lang} ELSE {bh} END AS bh{step} "
+            f"FROM {prev}),\n"
+        )
+        prev, bl, bh = f"s{step}", f"bl{step}", f"bh{step}"
+    sql = sql.rstrip(",\n") + f"\nSELECT id, {bl} AS lang_pred FROM {prev}"
+    return sql
+
+
+_QUALITY_ORACLE = f"""WITH w AS (
+  SELECT doc_id AS id, text, {_WORDS_SQL} AS ws FROM documents
+),
+m AS (
+  SELECT id,
+         len(ws) AS n_tok,
+         list_sum(list_transform(ws, x -> length(x)::DOUBLE))
+           / (CASE WHEN len(ws) > 0 THEN len(ws) ELSE 1 END) AS mean_len,
+         length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE
+           / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END) AS punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+           / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END) AS digit,
+         len(list_filter(ws, x -> x IN ({_LANG_STOP_SQL['en']})))::DOUBLE
+           / (CASE WHEN len(ws) > 0 THEN len(ws) ELSE 1 END) AS stop
+  FROM w
+)
+SELECT id, n_tok::BIGINT AS n_tokens,
+       round(mean_len, 6) AS mean_token_len,
+       round(punct, 6) AS punct_ratio,
+       round(stop, 6) AS stopword_ratio,
+       round(digit, 6) AS digit_ratio,
+       round(stop * 2.0 + least(mean_len, 8.0) / 8.0 - punct * 4.0 - digit * 2.0, 6) AS score
+FROM m"""
+
+_TRAINING_ORACLES = {
+    "dedup_exact": """WITH d AS (SELECT doc_id AS id, md5(text) AS digest FROM documents),
+c AS (SELECT digest, min(id) AS canonical_id FROM d GROUP BY digest)
+SELECT id, canonical_id, id <> canonical_id AS is_dup FROM d JOIN c USING (digest)""",
+    "dedup_ngram_jaccard": f"""WITH {_SHINGLES_CTE},
+sizes AS (SELECT id, count(*) AS n FROM shingle_rows GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM shingle_rows a JOIN shingle_rows b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, common::DOUBLE / (sa.n + sb.n - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5""",
+    "dedup_minhash_lsh": f"""WITH {_MINHASH_CTE}
+SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_bands
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+GROUP BY 1, 2""",
+    "dedup_minhash_estimate": f"""WITH {_MINHASH_CTE},
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ({_minhash_est_cases()}) / 16.0 AS est_jaccard
+FROM pairs
+JOIN sigs sa ON sa.id = id_a
+JOIN sigs sb ON sb.id = id_b""",
+    "dedup_simhash": f"WITH {_SIMHASH_FP_CTE}\nSELECT id, simhash FROM fp",
+    "simhash_pairs": f"""WITH {_SIMHASH_FP_CTE},
+chunks AS (
+  SELECT id, simhash, c, (simhash >> (c * 15)::INT) & 32767 AS chunk
+  FROM fp CROSS JOIN range(4) t(c)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS f_a, b.simhash AS f_b
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk AND a.id < b.id
+)
+SELECT id_a, id_b, bit_count(xor(f_a, f_b))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(f_a, f_b)) <= 8""",
+    "embed_cosine_topk": f"""WITH {_EMB_FLAT_CTE},
+flatq AS (SELECT * FROM flat WHERE vec_id < 10),
+dots AS (
+  SELECT fq.vec_id AS query_id, fc.vec_id AS neighbor_id,
+         sum(fq.v::DOUBLE * fc.v::DOUBLE) AS dot
+  FROM flatq fq JOIN flat fc ON fq.i = fc.i AND fq.vec_id <> fc.vec_id
+  GROUP BY 1, 2
+),
+cosd AS (
+  SELECT query_id, neighbor_id, round(dot / (nq.nrm * nn.nrm), 6) AS cos
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nn ON nn.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM cosd
+) WHERE rn <= 5""",
+    "embed_ann_ivf": f"""WITH {_EMB_FLAT_CTE},
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, vec_id AS cvid
+  FROM embeddings WHERE vec_id < 8
+),
+cflat AS (SELECT c.cid, f.i, f.v FROM cents c JOIN flat f ON f.vec_id = c.cvid),
+cnorm AS (SELECT cid, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS cn FROM cflat GROUP BY cid),
+vc AS (
+  SELECT f.vec_id, cf.cid, sum(f.v::DOUBLE * cf.v::DOUBLE) AS dot
+  FROM flat f JOIN cflat cf ON f.i = cf.i GROUP BY 1, 2
+),
+vccos AS (
+  SELECT vec_id, cid, round(dot / (n.nrm * cn.cn), 6) AS cos
+  FROM vc JOIN norms n USING (vec_id) JOIN cnorm cn USING (cid)
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM vccos
+  ) WHERE rn = 1
+),
+probed AS (SELECT vec_id AS query_id, cid FROM assign WHERE vec_id < 10),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probed p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, sum(fq.v::DOUBLE * fn.v::DOUBLE) AS dot
+  FROM cand c
+  JOIN flat fq ON fq.vec_id = c.query_id
+  JOIN flat fn ON fn.vec_id = c.neighbor_id AND fn.i = fq.i
+  GROUP BY 1, 2
+),
+cosd AS (
+  SELECT query_id, neighbor_id, round(dot / (nq.nrm * nn.nrm), 6) AS cos
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nn ON nn.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM cosd
+) WHERE rn <= 5""",
+    "lang_id": _lang_fold_sql(),
+    "token_counts": f"""SELECT doc_id AS id,
+       length(text)::BIGINT AS n_chars,
+       len({_WORDS_SQL})::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_bpe_tokens
+FROM documents""",
+    "quality_score": _QUALITY_ORACLE,
+    "doc_fingerprint": f"""SELECT doc_id AS id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform({_WORDS_SQL}, w -> {_h60_sql('w')} % 1000000000)),
+         (a, b) -> (a * 31 + b) % 1000000007) AS fp
+FROM documents""",
+    "extract_exploded": _EXTRACT_SQL,
+    "extract_arrow": _EXTRACT_SQL,
+    "multimodal_features": _MM_ORACLE,
+    # cjk_postings: rows-only (iterative forward-max-match segmentation)
+}
+
+_base_queries = queries
+_base_oracles = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _base_queries()
+    out.update(_TRAINING_QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _base_oracles()
+    out.update(_TRAINING_ORACLES)
+    return out

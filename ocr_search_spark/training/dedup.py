@@ -1,0 +1,297 @@
+"""Deduplication operators for web-scale corpus preparation.
+
+Four families, all pure DataFrame plans (no driver-side loops, no RDDs):
+
+* exact        — hash-groupBy on a content digest; one shuffle.
+* n-gram Jaccard — shingle self-join; exact similarity on candidate pairs.
+* MinHash+LSH  — signature → band buckets → bucket self-join; the scale
+                 path for near-dup detection (shuffle ∝ corpus, not pairs²).
+* SimHash      — 60-bit fingerprint; banded Hamming candidate pairs.
+
+Scale notes (100 TB):
+- every self-join goes through bucket keys whose cardinality we control
+  (band hashes / shingle hashes), so AQE's skew-join splitting applies;
+- ``max_df`` drops stop-shingles before any join (a shingle appearing in
+  10^9 docs would otherwise create a quadratic bucket) — the standard
+  web-dedup mitigation, applied set-orientedly;
+- ``h60`` hashes are md5-based for cross-engine verification; swap
+  ``hashing.h64_fast`` in production for cheaper shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import h60, h60_salted
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content digest: (id, canonical_id, is_dup) where
+    canonical = min id of the digest group. One hash-aggregate + one
+    broadcast-able join back; never materializes pairs."""
+    d = docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("digest"))
+    canon = d.groupBy("digest").agg(F.min("id").alias("canonical_id"))
+    return (
+        d.join(canon, "digest")
+        .select("id", "canonical_id", (F.col("id") != F.col("canonical_id")).alias("is_dup"))
+    )
+
+
+# ------------------------------------------------------------- shingling
+
+
+def words_col(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a text column (array<string>)."""
+    w = words_col(text)
+    n = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(w, i, k), " "),
+    )
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(id, shingle_hash) — exploded distinct shingles, 60-bit hashed.
+    ``max_df`` removes stop-shingles (df > max_df) set-orientedly."""
+    rows = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(F.col(text_col), k)).alias("shingle"),
+    ).select("id", h60(F.col("shingle")).alias("sh"))
+    if max_df is not None:
+        dfreq = rows.groupBy("sh").agg(F.count("*").alias("df"))
+        rows = rows.join(dfreq.where(F.col("df") <= max_df).select("sh"), "sh")
+    return rows
+
+
+# ------------------------------------------------------ n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over word-k-gram shingle sets for every candidate
+    pair sharing ≥1 shingle: (id_a, id_b, jaccard), id_a < id_b.
+
+    The reference has no dedup at all; this is the exact-similarity
+    baseline the MinHash path approximates. Candidate generation is the
+    shingle self-join — bounded by ``max_df`` at scale."""
+    rows = shingle_rows(docs, text_col, id_col, k, max_df)
+    sizes = rows.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = rows.select(F.col("id").alias("id_a"), "sh")
+    b = rows.select(F.col("id").alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "nb"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------- MinHash+LSH
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(id, sig: array<long>) — num_hashes column-wise minima in ONE
+    aggregation pass (no row explosion by hash index: each shingle row
+    carries all hash family members as columns, the groupBy computes all
+    minima map-side)."""
+    rows = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(F.col(text_col), k)).alias("shingle"),
+    )
+    if max_df is not None:
+        sh = rows.select("id", h60(F.col("shingle")).alias("shh"), "shingle")
+        dfreq = sh.groupBy("shh").agg(F.count("*").alias("df"))
+        rows = sh.join(dfreq.where(F.col("df") <= max_df).select("shh"), "shh").select(
+            "id", "shingle"
+        )
+    hashed = rows.select(
+        "id",
+        *[h60_salted(F.col("shingle"), i).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    agg = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Banding: docs agreeing on ALL rows of ≥1 band become candidate
+    pairs (id_a, id_b, n_bands). Bucket key = md5 of the band's slice, so
+    the self-join key space is uniform; bucket skew (a band value shared
+    by millions of near-identical docs) is handled by AQE skew-join."""
+    n = bands * rows_per_band
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(b),
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        "id", F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+    a = banded.withColumnsRenamed({"id": "id_a"})
+    b = banded.withColumnsRenamed({"id": "id_b"})
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def minhash_jaccard_estimate(
+    signatures: DataFrame, pairs: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """Signature-agreement fraction per candidate pair — the MinHash
+    estimator of Jaccard: (id_a, id_b, est_jaccard)."""
+    s = signatures
+    return (
+        pairs.join(s.withColumnsRenamed({"id": "id_a", "sig": "sig_a"}), "id_a")
+        .join(s.withColumnsRenamed({"id": "id_b", "sig": "sig_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                ).cast("double")
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+# -------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 60  # stay positive in int64 on both engines
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(id, simhash) — 60-bit SimHash over tf-weighted word hashes.
+
+    One explode to (id, word-hash, tf), then a single groupBy computing
+    all ``bits`` signed sums as aggregate columns (map-side combinable),
+    then the fingerprint is folded columnar — no per-bit row blowup."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(words_col(F.col(text_col))).alias("w")
+    )
+    tf = toks.groupBy("id", "w").agg(F.count("*").alias("tf"))
+    hashed = tf.select("id", h60(F.col("w")).alias("h"), "tf")
+    sums = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+                .otherwise(-F.col("tf"))
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << j).cast("long")
+        fp = bit if fp is None else fp + bit
+    return sums.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-dup pairs by banded Hamming search: split the fingerprint
+    into ``chunks`` bit-ranges; any pair within ``max_hamming`` (< chunks)
+    must agree exactly on ≥1 chunk (pigeonhole), so the self-join runs on
+    chunk values, never all-pairs. Output (id_a, id_b, hamming)."""
+    per = bits // chunks
+    mask = (1 << per) - 1
+    chunk_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), c * per).bitwiseAND(F.lit(mask)).cast("long")
+            for c in range(chunks)
+        ]
+    )
+    banded = fingerprints.select(
+        F.col("id"), F.col("simhash"), F.posexplode(chunk_arr).alias("c", "chunk")
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("f_a"), "c", "chunk"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("f_b"), "c", "chunk"
+    )
+    cands = (
+        a.join(b, ["c", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "f_a", "f_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("f_a").bitwiseXOR(F.col("f_b")))
+    return cands.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,126 @@
+"""Text analysis for corpus preparation: language ID, quality scoring,
+token counting, document fingerprinting.
+
+Everything is pure columnar expressions (whole-stage codegen, zero
+Python) with pinned constants, so every operator is cross-engine
+verifiable and costs one projection over the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import h60
+
+# Pinned tiny stopword lexicons for the language-ID heuristic.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": "the and of to in is that for with are was this have from".split(),
+    "de": "der die das und ist nicht mit ein eine von für auf dem".split(),
+    "fr": "le la les et des une dans est pour que sur pas avec".split(),
+    "es": "el la los las y una para con por del está más como".split(),
+}
+
+FP_BASE = 31
+FP_MOD = 1_000_000_007
+WORD_HASH_MOD = 1_000_000_000
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def lang_id_col(text: Column) -> Column:
+    """Predicted language = lexicon with the most token hits; ties and
+    zero hits → 'und' (undetermined). Deterministic: candidates are
+    evaluated in pinned lexicon order, strict > to win."""
+    w = _words(text)
+    hits = {
+        lang: F.size(F.filter(w, lambda t: t.isin(*stops)))
+        for lang, stops in LANG_STOPWORDS.items()
+    }
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in LANG_STOPWORDS:  # pinned dict order
+        is_better = hits[lang] > best_hits
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(is_better, hits[lang]).otherwise(best_hits)
+    return best_lang
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("id"), lang_id_col(F.col(text_col)).alias("lang_pred")
+    )
+
+
+def token_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_chars, n_ws_tokens, n_bpe_tokens): whitespace tokens plus a
+    BPE-ish regex segmentation (letter runs / digit runs / single other
+    non-space chars) — the standard pre-tokenizer shape."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.length(t).cast("long").alias("n_chars"),
+        F.size(_words(t)).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower(t), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def quality_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality features + a pinned composite score:
+    (id, n_tokens, mean_token_len, punct_ratio, stopword_ratio, digit_ratio,
+    score). score = stopword_ratio·2 + min(mean_len,8)/8 − punct·4 − digit·2,
+    rounded to 6 — a C4/Gopher-style cheap filter signal."""
+    t = F.col(text_col)
+    w = _words(t)
+    n_tok = F.size(w)
+    n_chars = F.length(t)
+    nz = F.when(n_chars > 0, n_chars.cast("double")).otherwise(F.lit(1.0))
+    nt = F.when(n_tok > 0, n_tok.cast("double")).otherwise(F.lit(1.0))
+    mean_len = F.aggregate(
+        w, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+    ) / nt
+    punct = F.length(F.regexp_replace(t, "[^!-/:-@\\[-`{-~]", "")).cast("double") / nz
+    digit = F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double") / nz
+    stop = F.size(
+        F.filter(w, lambda x: x.isin(*LANG_STOPWORDS["en"]))
+    ).cast("double") / nt
+    score = (
+        stop * 2.0
+        + F.least(mean_len, F.lit(8.0)) / 8.0
+        - punct * 4.0
+        - digit * 2.0
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(stop, 6).alias("stopword_ratio"),
+        F.round(digit, 6).alias("digit_ratio"),
+        F.round(score, 6).alias("score"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, fp) — polynomial rolling hash over the word sequence:
+    fp = fold(words, 0, acc → (acc·31 + h(word) mod 1e9) mod 1e9+7).
+    Order-sensitive (unlike the shingle-set digests), exact-integer
+    arithmetic (no overflow: (1e9+6)·31 + 1e9 < 2^63)."""
+    w = _words(F.col(text_col))
+    hashes = F.transform(w, lambda x: F.pmod(h60(x), F.lit(WORD_HASH_MOD)))
+    fp = F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * FP_BASE + h, F.lit(FP_MOD)),
+    )
+    return docs.select(F.col(id_col).alias("id"), fp.alias("fp"))

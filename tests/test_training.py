@@ -1,0 +1,172 @@
+"""Tests for the training-data pipeline operators (dedup / similarity /
+textstats / multimodal) against small hand-built inputs and NumPy
+oracles."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_search_spark.training import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def small_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (4, "completely different content about spark pipelines here"),
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(small_docs):
+    out = {r["id"]: r for r in dedup.exact_duplicates(small_docs).collect()}
+    assert out[2]["canonical_id"] == 1 and out[2]["is_dup"]
+    assert not out[1]["is_dup"]
+    assert not out[3]["is_dup"]  # near dup is NOT an exact dup
+
+
+def test_ngram_jaccard(small_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(small_docs, threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.1 < pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh(small_docs):
+    sigs = dedup.minhash_signatures(small_docs).cache()
+    by_id = {r["id"]: r["sig"] for r in sigs.collect()}
+    assert by_id[1] == by_id[2]  # identical text → identical signature
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    got = {(r["id_a"], r["id_b"]): r["n_bands"] for r in pairs.collect()}
+    assert got[(1, 2)] == 4  # all bands agree
+    est = dedup.minhash_jaccard_estimate(
+        sigs, pairs.select("id_a", "id_b")
+    ).collect()
+    est_map = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in est}
+    assert est_map[(1, 2)] == 1.0
+
+
+def test_simhash(small_docs):
+    fps = dedup.simhash(small_docs).cache()
+    by_id = {r["id"]: r["simhash"] for r in fps.collect()}
+    assert by_id[1] == by_id[2]
+    assert all(0 <= v < (1 << 60) for v in by_id.values())
+    near = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(fps, max_hamming=10).collect()
+    }
+    assert near[(1, 2)] == 0
+    # near-dup should be within a few bits; unrelated docs should not
+    assert near.get((1, 3), 99) <= 10
+    assert (1, 4) not in near
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_cosine_topk_vs_numpy(emb):
+    out = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["cos"]))
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    for qid in (0, 1, 2):
+        q = vecs[qid]
+        cos = {
+            nid: round(float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), 6)
+            for nid, v in vecs.items()
+            if nid != qid
+        }
+        expect = sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        got_sorted = sorted(got[qid], key=lambda kv: (-kv[1], kv[0]))
+        assert [n for n, _ in got_sorted] == [n for n, _ in expect]
+        for (_, a), (_, b) in zip(got_sorted, expect):
+            assert abs(a - b) < 1e-6
+
+
+def test_ivf_search_probes_own_cluster(emb):
+    cents = similarity.ivf_centroids(emb, n_centroids=4)
+    assign = similarity.ivf_assign(emb, cents).cache()
+    out = similarity.ivf_search(
+        emb, emb.where(F.col("vec_id") < 3), cents, assign, k=3, nprobe=1
+    )
+    amap = {r["vec_id"]: r["cid"] for r in assign.collect()}
+    rows = out.collect()
+    assert len(rows) > 0
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+        # nprobe=1 → every neighbor is in the query's own cluster
+        assert amap[r["neighbor_id"]] == amap[r["query_id"]]
+    for q, rs in per_q.items():
+        assert len(rs) <= 3
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog! 42 times."), (2, "")],
+        "doc_id long, text string",
+    )
+    tc = {r["id"]: r for r in textstats.token_counts(df).collect()}
+    assert tc[1]["n_ws_tokens"] == 7
+    # [the,cat,and,the,dog,!,42,times,.] → letter runs + digits + punct
+    assert tc[1]["n_bpe_tokens"] == 9
+    assert tc[2]["n_ws_tokens"] == 0
+
+    qs = {r["id"]: r for r in textstats.quality_score(df).collect()}
+    assert qs[1]["n_tokens"] == 7
+    assert qs[1]["stopword_ratio"] == pytest.approx(3 / 7, abs=1e-6)
+    assert qs[2]["score"] is not None  # empty text doesn't divide by zero
+
+    lang = {r["id"]: r["lang_pred"] for r in textstats.lang_id(df).collect()}
+    assert lang[1] == "en"
+    assert lang[2] == "und"
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta alpha"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    fp = {r["id"]: r["fp"] for r in textstats.fingerprint(df).collect()}
+    assert fp[1] == fp[3]
+    assert fp[1] != fp[2]
+
+
+def test_multimodal_features(spark, corpus_df):
+    from ocr_search_spark.operators.extract import extract_spans_columnar
+
+    ext = extract_spans_columnar(corpus_df.select("doc_id", "spans"))
+    media = multimodal.media_table(ext.select("doc_id", "spans"))
+    feats = multimodal.decode_image_features(media)
+    rows = feats.limit(50).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_bytes"] == 32
+        assert 0.0 <= r["byte_mean"] <= 255.0
+        assert r["phash"] >= 0
+    # determinism: same refs → same features
+    again = {
+        r["media_ref"]: r["phash"]
+        for r in multimodal.decode_image_features(media).limit(50).collect()
+    }
+    for r in rows:
+        assert again[r["media_ref"]] == r["phash"]
+
+
+def test_real_decoder_gated():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(None)

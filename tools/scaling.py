@@ -91,20 +91,33 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 160000
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * lo
-    results = {}
-    for cores in (lo, hi):
-        t0 = time.time()
-        results[cores] = run_at(cores, n_docs)
-        print(
-            f"local[{cores}]: {results[cores]} (wall {time.time()-t0:.0f}s)",
-            file=sys.stderr,
-        )
-    eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)
+    rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    # Interleaved rounds: each round measures lo and hi back-to-back so
+    # slow host-load drift (this VM's host is oversubscribed) hits both
+    # levels equally; the reported figure is the median round.
+    effs = []
+    per_round = []
+    for r in range(rounds):
+        res = {}
+        for cores in (lo, hi):
+            t0 = time.time()
+            res[cores] = run_at(cores, n_docs)
+            print(
+                f"round {r} local[{cores}]: {res[cores]} "
+                f"(wall {time.time()-t0:.0f}s)",
+                file=sys.stderr,
+            )
+        eff = (res[hi]["docs_per_sec"] / res[lo]["docs_per_sec"]) / (hi / lo)
+        effs.append((eff, res))
+        per_round.append(round(eff, 3))
+    effs.sort(key=lambda t: t[0])
+    med_eff, results = effs[len(effs) // 2]
     summary = {
         "n_docs": n_docs,
         f"local{lo}_docs_per_sec": round(results[lo]["docs_per_sec"], 1),
         f"local{hi}_docs_per_sec": round(results[hi]["docs_per_sec"], 1),
-        f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
+        f"scaling_efficiency_{lo}_to_{hi}": round(med_eff, 3),
+        "per_round_efficiency": per_round,
         "target": 0.8,
     }
     print(json.dumps(summary))
@@ -125,7 +138,9 @@ def main() -> None:
         "efficiency (→4×) |\n|---|---|---|---|\n"
         f"| {n_docs} | {summary[f'local{lo}_docs_per_sec']} | "
         f"{summary[f'local{hi}_docs_per_sec']} | "
-        f"{summary[f'scaling_efficiency_{lo}_to_{hi}']} (target ≥ 0.8) |\n"
+        f"{summary[f'scaling_efficiency_{lo}_to_{hi}']} (target ≥ 0.8) |\n\n"
+        f"Per-round efficiencies (interleaved rounds, median reported): "
+        f"{per_round}\n"
     )
 
 
