@@ -1,0 +1,116 @@
+"""Checkpoint/resume pipeline tests (SURVEY §4.2.2, north_rule lineage).
+
+Properties:
+* resume-from-partial == cold full run (byte-identical extracted table);
+* completed buckets are skipped, not recomputed;
+* lineage rows describe committed data (counts match the table);
+* re-running a completed run is a no-op;
+* search history sink appends and reads back.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_search_spark import pipeline
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    d = str(tmp_path / "warehouse")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _flat(df):
+    return df.select("doc_id", F.posexplode("spans").alias("pos", "s")).select(
+        "doc_id", "pos", "s.*"
+    )
+
+
+def test_resume_equals_cold_run(spark, corpus_df, out_dir, tmp_path):
+    docs = corpus_df.select("doc_id", "spans")
+    n_buckets = 8
+
+    # cold full run into a reference dir
+    cold_dir = str(tmp_path / "cold")
+    res = pipeline.run_extraction_job(
+        spark, docs, cold_dir, run_id="cold", n_buckets=n_buckets
+    )
+    assert res["buckets_processed"] == n_buckets
+
+    # partial run: only buckets < 3 (simulated failure after 3 buckets)
+    r1 = pipeline.run_extraction_job(
+        spark,
+        docs,
+        out_dir,
+        run_id="r1",
+        n_buckets=n_buckets,
+        bucket_filter=lambda b: b < 3,
+    )
+    assert r1["buckets_processed"] == 3
+
+    # resume: processes exactly the remaining buckets
+    r2 = pipeline.run_extraction_job(
+        spark, docs, out_dir, run_id="r1", n_buckets=n_buckets
+    )
+    assert r2["buckets_done"] == 3
+    assert r2["buckets_processed"] == n_buckets - 3
+
+    cold = _flat(spark.read.parquet(f"{cold_dir}/extracted_spans"))
+    resumed = _flat(spark.read.parquet(f"{out_dir}/extracted_spans"))
+    assert cold.exceptAll(resumed).count() == 0
+    assert resumed.exceptAll(cold).count() == 0
+
+    # re-run of a complete run: no-op
+    r3 = pipeline.run_extraction_job(
+        spark, docs, out_dir, run_id="r1", n_buckets=n_buckets
+    )
+    assert r3["buckets_processed"] == 0
+
+
+def test_lineage_matches_committed_data(spark, corpus_df, out_dir):
+    docs = corpus_df.select("doc_id", "spans")
+    pipeline.run_extraction_job(spark, docs, out_dir, run_id="x", n_buckets=4)
+    cp = spark.read.parquet(f"{out_dir}/checkpoint")
+    ext = spark.read.parquet(f"{out_dir}/extracted_spans")
+    assert cp.where(F.col("status") != "done").count() == 0
+    got = {r["partition_id"]: r for r in cp.collect()}
+    actual = {
+        r["bucket"]: r
+        for r in ext.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("spans")).alias("n_spans"),
+        )
+        .collect()
+    }
+    assert set(got) == set(actual)
+    for b, row in actual.items():
+        assert got[b]["n_docs"] == row["n_docs"]
+        assert got[b]["n_spans"] == row["n_spans"]
+    assert cp.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
+    assert cp.agg(F.sum("n_errors")).collect()[0][0] == 0
+
+
+def test_postings_build_and_history(spark, corpus_df, out_dir, tmp_path):
+    docs = corpus_df.select("doc_id", "spans").limit(60)
+    pipeline.run_extraction_job(spark, docs, out_dir, run_id="p", n_buckets=2)
+    pipeline.build_postings(spark, out_dir)
+    postings = spark.read.parquet(f"{out_dir}/term_postings")
+    assert postings.count() > 0
+    assert postings.columns == ["term", "doc_id", "tf"]
+
+    from ocr_search_spark.operators.search import search
+
+    sink = pipeline.HistorySink(spark, str(tmp_path / "history"))
+    search(spark, postings, "tables merged", history_sink=sink).collect()
+    hist = sink.read().collect()
+    assert len(hist) == 1
+    assert hist[0]["search_query"] == "tables merged"
+    # lemmatizer spec: 'tables'→'table' (N3), 'merged'→'merg' (V2) — the
+    # same mapping applies to documents, so search stays self-consistent
+    assert hist[0]["search_terms"] == {"table": 1, "merg": 1}

@@ -1,0 +1,81 @@
+"""Structured Streaming ingest tests: incremental extraction exactly-once
+across restarts (the S5 poll-loop replacement) and watermarked windowed
+aggregation equivalence with the batch twin."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_search_spark import corpus
+from ocr_search_spark.streaming import ingest
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        "in": str(tmp_path / "in"),
+        "out": str(tmp_path / "out"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    yield d
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_stream_extract_incremental(spark, dirs):
+    docs1 = corpus.documents_table(spark, 80, skew=False)
+    docs1.write.mode("append").parquet(dirs["in"])
+    ingest.stream_extract(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    out1 = spark.read.parquet(dirs["out"])
+    assert out1.count() == 80
+
+    # new files arrive; a restarted AvailableNow run processes ONLY them
+    docs2 = corpus.documents_table(spark, 120, skew=False).where(
+        ~F.col("doc_id").isin([r["doc_id"] for r in docs1.select("doc_id").collect()])
+    )
+    n_new = docs2.count()
+    docs2.write.mode("append").parquet(dirs["in"])
+    ingest.stream_extract(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    out2 = spark.read.parquet(dirs["out"])
+    assert out2.count() == 80 + n_new
+    # exactly-once: no doc extracted twice
+    assert out2.groupBy("doc_id").count().where(F.col("count") > 1).count() == 0
+    # output matches the batch extraction of the same input
+    from ocr_search_spark.operators.extract import extract_spans_columnar
+
+    batch = extract_spans_columnar(spark.read.parquet(dirs["in"]))
+    flat = lambda df: df.select(  # noqa: E731
+        "doc_id", F.posexplode("spans").alias("p", "s")
+    ).select("doc_id", "p", "s.*")
+    assert flat(batch).exceptAll(flat(out2)).count() == 0
+
+
+def test_stream_hourly_counts_vs_batch(spark, dirs):
+    events = spark.read.schema(ingest.EVENTS_DDL).parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    )
+    events.write.mode("overwrite").parquet(dirs["in"])
+    ingest.stream_hourly_event_counts(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    stream_rows = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(dirs["out"]).collect()
+    }
+    assert len(stream_rows) > 0
+    batch_rows = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in ingest.batch_hourly_event_counts(events).collect()
+    }
+    # append mode emits only watermark-finalized windows → subset, and
+    # every emitted window's count matches the batch twin exactly
+    for key, n in stream_rows.items():
+        assert batch_rows[key] == n
+    # everything older than max_ts - (watermark + window) must be emitted
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    cutoff = max_ts - datetime.timedelta(hours=4)
+    must_emit = [k for k in batch_rows if k[0] < cutoff]
+    for key in must_emit:
+        assert key in stream_rows
