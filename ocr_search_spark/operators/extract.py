@@ -282,6 +282,39 @@ def repartition_salted(documents: DataFrame, num_partitions: int) -> DataFrame:
     return documents.repartition(num_partitions, F.xxhash64("doc_id"))
 
 
+def doc_weight_col() -> F.Column:
+    """Extraction-cost model for one document row: text bytes + a pinned
+    OCR-cost constant per media span (media dominate real extraction)."""
+    text_len = F.aggregate(
+        F.transform("spans", lambda s: F.length(F.coalesce(s["text"], F.lit("")))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_media = F.size(F.filter("spans", lambda s: s["kind"] == "media"))
+    return text_len + n_media * F.lit(256)
+
+
+def repartition_size_bucketed(
+    documents: DataFrame,
+    num_partitions: int,
+    bucket_bounds: tuple[int, ...] = (512, 4096, 65536),
+) -> DataFrame:
+    """Size-bucketed + salted repartition (SURVEY §4.2.1): range-partition
+    on (weight_bucket, salt) so one Arrow batch never mixes a mega-doc
+    with thousands of tiny ones — batch memory stays bounded and task
+    runtimes stay uniform, while the salt spreads each bucket across all
+    partitions. Bounds are pinned percentile-ish thresholds; at 100 TB
+    compute them from ``approxQuantile(weight, [.5,.9,.99])`` instead."""
+    w = doc_weight_col()
+    bucket = F.lit(0)
+    for i, b in enumerate(bucket_bounds):
+        bucket = F.when(w >= b, F.lit(i + 1)).otherwise(bucket)
+    out = documents.withColumn("_wb", bucket).withColumn(
+        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(num_partitions))
+    )
+    return out.repartitionByRange(num_partitions, "_wb", "_salt").drop("_wb", "_salt")
+
+
 def extract_spans(
     documents: DataFrame,
     impl: str = "pandas",

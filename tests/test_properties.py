@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) for the text-processing spec.
+
+The three implementations (Spark columnar, pandas batch, pure-Python
+golden) must agree on arbitrary input, not just the synthetic corpus.
+Spark round-trips are batched: hypothesis generates a corpus of strings
+first, then ONE Spark job compares all of them (per-example Spark jobs
+would be minutes-slow)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_search_spark import golden, textproc
+from ocr_search_spark.operators.tokenize import lemmatize_py, tokenize_text
+
+# text alphabet: ASCII + CJK + strip chars + punctuation + whitespace
+_ALPHA = st.sampled_from(
+    list("abcdefghijklmnopqrstuvwxyzABCDE012 \t\n.,!?<>()[]'\"-_•、")
+    + list("機器學習資料處理引擎搜索尋")
+)
+_TEXT = st.lists(_ALPHA, min_size=0, max_size=60).map("".join)
+_TOKEN = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_TOKEN)
+def test_lemmatize_python_equals_golden(tok):
+    assert lemmatize_py(tok) == golden.lemmatize(tok)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_TEXT)
+def test_tokenize_python_equals_golden(text):
+    assert tokenize_text(text) == golden.tokenize(text)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_TEXT)
+def test_strip_boilerplate_pandas_equals_golden(text):
+    got = textproc.strip_boilerplate_batch(pd.Series([text]))[0]
+    assert got == golden.strip_boilerplate(text)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="機器學習資料處理引擎搜索尋一鿿", min_size=0, max_size=30))
+def test_segment_cjk_impls_agree(chars):
+    assert textproc.segment_cjk(chars) == golden.segment_cjk(chars)
+    # segmentation is a partition of the input
+    assert "".join(textproc.segment_cjk(chars)) == chars
+
+
+def test_spark_tokenizer_equals_golden_on_fuzz_corpus(spark):
+    """One Spark job over a hypothesis-style fuzz corpus: the columnar
+    English pipeline + mapInPandas CJK stage must equal the golden
+    tokenizer's term-frequency map for every string."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = (
+        list("abcdefghijklmnopqrstuvwxyz AB12 \t\n.,!?<>americanthe•、")
+        + list("機器學習資料處理引擎")
+    )
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 80)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "doc_id string, doc_text string"
+    )
+    from ocr_search_spark.operators.tokenize import term_postings
+
+    got: dict[str, dict[str, int]] = {}
+    for r in term_postings(df).collect():
+        got.setdefault(r["doc_id"], {})[r["term"]] = r["tf"]
+    for i, t in enumerate(texts):
+        expect: dict[str, int] = {}
+        for term in golden.tokenize(t):
+            expect[term] = expect.get(term, 0) + 1
+        assert got.get(str(i), {}) == expect, f"doc {i}: {t!r}"
+
+
+def test_size_bucketed_repartition_bounds_batches(spark, corpus_df):
+    """Size-bucketed repartition keeps every partition's weight within a
+    sane multiple of the mean (no task inherits the whole skew tail)."""
+    from pyspark.sql import functions as F
+
+    from ocr_search_spark.operators.extract import (
+        doc_weight_col,
+        repartition_size_bucketed,
+    )
+
+    docs = corpus_df.select("doc_id", "spans")
+    parts = repartition_size_bucketed(docs, 8).withColumn("w", doc_weight_col())
+    per = (
+        parts.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.sum("w").alias("w"))
+        .collect()
+    )
+    weights = [r["w"] for r in per]
+    assert len(weights) <= 8
+    assert max(weights) <= 6 * (sum(weights) / len(weights))
