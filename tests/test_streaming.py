@@ -79,3 +79,36 @@ def test_stream_hourly_counts_vs_batch(spark, dirs):
     must_emit = [k for k in batch_rows if k[0] < cutoff]
     for key in must_emit:
         assert key in stream_rows
+
+
+def test_stateful_sessionize_vs_batch(spark, dirs):
+    from ocr_search_spark.streaming import sessionize
+
+    events = spark.read.schema(ingest.EVENTS_DDL).parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    )
+    events.write.mode("overwrite").parquet(dirs["in"])
+    sessionize.stream_sessionize(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    stream = {
+        (r["user_id"], r["session_start"]): r
+        for r in spark.read.parquet(dirs["out"]).collect()
+    }
+    assert len(stream) > 0
+    batch = {
+        (r["user_id"], r["session_start"]): r
+        for r in sessionize.batch_sessionize(events).collect()
+    }
+    # every emitted (closed) session matches the batch twin exactly
+    for key, sr in stream.items():
+        br = batch[key]
+        assert sr["session_end"] == br["session_end"]
+        assert sr["n_events"] == br["n_events"]
+        assert abs(sr["sum_value"] - br["sum_value"]) < 1e-6
+    # all sessions that closed well before end-of-stream must be emitted
+    import datetime
+
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    cutoff = (max_ts - datetime.timedelta(hours=2)).timestamp()
+    must = [k for k, v in batch.items() if v["session_end"] < cutoff]
+    for k in must:
+        assert k in stream, f"closed session {k} not emitted"
