@@ -291,7 +291,7 @@ def simhash_near_pairs(
         .select("id_a", "id_b", "f_a", "f_b")
         .distinct()
     )
-    ham = F.bit_count(F.col("f_a").bitwiseXOR(F.col("f_b")))
+    ham = F.bit_count(F.col("f_a").bitwiseXOR(F.col("f_b"))).cast("long")
     return cands.select("id_a", "id_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )

@@ -26,13 +26,15 @@ def _expected(golden_extracted):
     }
 
 
-@pytest.mark.parametrize("impl", ["columnar", "pandas", "exploded", "combined"])
+@pytest.mark.parametrize("impl", ["columnar", "pandas", "arrow", "exploded", "combined"])
 def test_extract_golden_equality(impl, corpus_df, golden_extracted):
     docs = corpus_df.select("doc_id", "spans")
     if impl == "columnar":
         out = extract.extract_spans_columnar(docs)
     elif impl == "pandas":
         out = extract.extract_spans_pandas(docs)
+    elif impl == "arrow":
+        out = extract.extract_spans_arrow(docs)
     elif impl == "exploded":
         out = extract.extract_spans_exploded(docs)
     else:
@@ -54,13 +56,13 @@ def test_extract_handles_unordered_spans(spark, corpus_df, golden_extracted):
             "CASE WHEN xxhash64(a.offset) < xxhash64(b.offset) THEN -1 ELSE 1 END)"
         ).alias("spans"),
     )
-    for impl in ("pandas", "exploded"):
-        out = (
-            extract.extract_spans_pandas(docs)
-            if impl == "pandas"
-            else extract.extract_spans_exploded(docs)
-        )
-        got = _spans_of(out)
+    impls = {
+        "pandas": extract.extract_spans_pandas,
+        "arrow": extract.extract_spans_arrow,
+        "exploded": extract.extract_spans_exploded,
+    }
+    for impl, fn in impls.items():
+        got = _spans_of(fn(docs))
         exp = _expected(golden_extracted)
         for d in exp:
             assert got[d] == exp[d], (impl, d)

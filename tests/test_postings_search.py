@@ -81,3 +81,23 @@ def test_search_validation(postings_df, spark):
         search.search(spark, postings_df, 123)  # type: ignore[arg-type]
     with pytest.raises(ValueError):
         search.search(spark, postings_df, "x", max_return=0)
+
+
+def test_upsert_idempotence(postings_df):
+    """X4: MERGE-emulation upsert is idempotent — applying the same
+    updates twice equals applying them once, and upserting a table into
+    itself is a no-op."""
+    from ocr_search_spark.operators.maintenance import upsert_by_key
+
+    keys = ["term", "doc_id"]
+    once = upsert_by_key(postings_df, postings_df, keys)
+    twice = upsert_by_key(once, postings_df, keys)
+    assert once.count() == postings_df.count()
+    assert twice.exceptAll(postings_df).count() == 0
+    assert postings_df.exceptAll(twice).count() == 0
+
+    updates = postings_df.limit(25).withColumn("tf", F.col("tf") + 7)
+    u1 = upsert_by_key(postings_df, updates, keys)
+    u2 = upsert_by_key(u1, updates, keys)
+    assert u1.exceptAll(u2).count() == 0 and u2.exceptAll(u1).count() == 0
+    assert u1.count() == postings_df.count()

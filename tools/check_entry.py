@@ -23,6 +23,28 @@ TABLES = (
 ).split()
 
 
+_DUCK_TYPES = {
+    "BIGINT": "long",
+    "INTEGER": "int",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "TIMESTAMP": "timestamp",
+    "DATE": "date",
+    "HUGEINT": "hugeint",
+    "NUMBER": "number",
+}
+
+
+def canon_duck_type(t: str) -> str:
+    return _DUCK_TYPES.get(t.upper(), t.lower())
+
+
+def canon_spark_type(t: str) -> str:
+    return {"bigint": "long", "timestamp_ntz": "timestamp"}.get(t, t)
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -65,6 +87,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = {c: canon_spark_type(t) for c, t in sdf.dtypes}
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
             print(f"FAIL  {name}: spark error: {exc}")
@@ -78,6 +101,10 @@ def main() -> int:
             res = con.execute(sql)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            otypes = {
+                r[0]: canon_duck_type(str(r[1]))
+                for r in con.execute(f"DESCRIBE {sql}").fetchall()
+            }
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures.append(name)
@@ -85,6 +112,15 @@ def main() -> int:
         dt = time.time() - t0
         if sorted(scols) != sorted(ocols):
             print(f"FAIL  {name}: cols spark={sorted(scols)} duck={sorted(ocols)}")
+            failures.append(name)
+            continue
+        tdiff = {
+            c: (stypes[c], otypes.get(c))
+            for c in scols
+            if stypes[c] != otypes.get(c)
+        }
+        if tdiff:
+            print(f"FAIL  {name}: dtype mismatch {tdiff}")
             failures.append(name)
             continue
         if len(srows) != len(orows):
