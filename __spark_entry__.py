@@ -1255,3 +1255,83 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _base_oracles()
     out.update(_TRAINING_ORACLES)
     return out
+
+
+# ---------------------------------------------------------- custom joins
+
+from ocr_search_spark.operators.joins import asof_join, range_join_binned
+
+_EV0_US = 1704067200 * 1_000_000  # 2024-01-01 UTC, the events era
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (union + running-last window — one shuffle):
+    each event picks up the latest order of its key at or before the
+    event time. Order times are deterministically mapped into the events
+    era with globally-unique timestamps (no-tie contract)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.select(
+        "event_id", (F.col("user_id") % 25).alias("k"), _ep_us("ts").alias("t_us")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    right = orders.select(
+        (F.col("o_orderkey") % 25).alias("k"),
+        (F.lit(_EV0_US) + F.col("o_orderkey") * 1_000_000).alias("rt_us"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    out = asof_join(left, right, on=["k"], left_on="t_us", right_on="rt_us")
+    return out.select("event_id", "k", "o_orderkey", "o_totalprice")
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bin bucketing (equi-join on overlap bins + exact
+    predicate — no nested-loop cross product), aggregated per interval."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    points = orders.select(
+        F.col("o_orderkey").alias("pt_id"), (F.col("o_totalprice") % 5000).alias("p")
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    intervals = part.select(
+        "p_partkey",
+        (F.col("p_partkey") % 4000).cast("long").alias("lo"),
+        ((F.col("p_partkey") % 4000) + (F.col("p_size") % 7) * 5).cast("long").alias("hi"),
+    )
+    joined = range_join_binned(points, "p", intervals, "lo", "hi", bin_width=50)
+    return joined.groupBy("p_partkey").agg(
+        F.count("*").alias("n_points"),
+        F.sum(_dec("p", "decimal(14,2)")).cast("double").alias("sum_points"),
+    )
+
+
+_JOIN_QUERIES = {"asof_join": q_asof_join, "range_join": q_range_join}
+
+_JOIN_ORACLES = {
+    "asof_join": f"""WITH l AS (
+  SELECT event_id, user_id % 25 AS k, epoch_us(ts) AS t_us FROM events
+),
+r AS (
+  SELECT o_orderkey % 25 AS k,
+         {_EV0_US} + o_orderkey * 1000000 AS rt_us,
+         o_orderkey, o_totalprice
+  FROM orders
+)
+SELECT l.event_id, l.k, r.o_orderkey, r.o_totalprice
+FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.t_us >= r.rt_us""",
+    "range_join": """WITH pts AS (
+  SELECT o_orderkey AS pt_id, o_totalprice % 5000 AS p FROM orders
+),
+iv AS (
+  SELECT p_partkey,
+         (p_partkey % 4000)::BIGINT AS lo,
+         ((p_partkey % 4000) + (p_size % 7) * 5)::BIGINT AS hi
+  FROM part
+)
+SELECT p_partkey, count(*) AS n_points,
+       sum(p::DECIMAL(14,2))::DOUBLE AS sum_points
+FROM pts JOIN iv ON p >= lo AND p <= hi
+GROUP BY p_partkey""",
+}
+
+_TRAINING_QUERIES.update(_JOIN_QUERIES)
+_TRAINING_ORACLES.update(_JOIN_ORACLES)

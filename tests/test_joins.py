@@ -1,0 +1,53 @@
+"""as-of and range join operators vs brute-force Python oracles."""
+
+from __future__ import annotations
+
+import random
+
+from ocr_search_spark.operators.joins import asof_join, range_join_binned
+
+
+def test_asof_join_vs_bruteforce(spark):
+    rng = random.Random(7)
+    left = [(i, rng.randrange(4), rng.randrange(1000)) for i in range(300)]
+    right = [(rng.randrange(4), t, f"v{j}") for j, t in enumerate(rng.sample(range(1000), 200))]
+    ldf = spark.createDataFrame(left, "lid long, k long, t long")
+    rdf = spark.createDataFrame(right, "k long, rt long, v string")
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join(ldf, rdf, on=["k"], left_on="t", right_on="rt").collect()
+    }
+    for lid, k, t in left:
+        cands = [(rt, v) for (rk, rt, v) in right if rk == k and rt <= t]
+        expect = max(cands)[1] if cands else None
+        assert got[lid] == expect, (lid, k, t)
+
+
+def test_asof_join_rejects_collisions(spark):
+    import pytest
+
+    ldf = spark.createDataFrame([(1, 1, "x")], "k long, t long, v string")
+    rdf = spark.createDataFrame([(1, 1, "y")], "k long, rt long, v string")
+    with pytest.raises(ValueError):
+        asof_join(ldf, rdf, on=["k"], left_on="t", right_on="rt")
+
+
+def test_range_join_vs_bruteforce(spark):
+    rng = random.Random(11)
+    points = [(i, rng.uniform(0, 500)) for i in range(400)]
+    ivs = [(j, lo, lo + rng.randrange(0, 40)) for j, lo in enumerate(rng.choices(range(0, 480), k=60))]
+    pdf = spark.createDataFrame(points, "pt_id long, p double")
+    idf = spark.createDataFrame(ivs, "iv_id long, lo long, hi long")
+    got = sorted(
+        (r["pt_id"], r["iv_id"])
+        for r in range_join_binned(pdf, "p", idf, "lo", "hi", bin_width=25).collect()
+    )
+    expect = sorted(
+        (pid, ivid)
+        for pid, p in points
+        for ivid, lo, hi in ivs
+        if lo <= p <= hi
+    )
+    assert got == expect
+    # each matching pair appears exactly once (no bin double-count)
+    assert len(got) == len(set(got))
