@@ -1335,3 +1335,25 @@ GROUP BY p_partkey""",
 
 _TRAINING_QUERIES.update(_JOIN_QUERIES)
 _TRAINING_ORACLES.update(_JOIN_ORACLES)
+
+
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate: ROLLUP(returnflag, linestatus) — subtotal
+    and grand-total rows with exact-decimal sums (beyond the reference's
+    operator set; exercises grouping-set planning)."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("l_extendedprice", _DEC2)).cast("double").alias("sum_price"),
+        )
+    )
+
+
+_TRAINING_QUERIES["rollup_pricing"] = q_rollup_pricing
+_TRAINING_ORACLES["rollup_pricing"] = """SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       sum(l_extendedprice::DECIMAL(14,2))::DOUBLE AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)"""

@@ -56,12 +56,20 @@ def upsert_by_key(existing: DataFrame, updates: DataFrame, keys: list[str]) -> D
     Equivalent to `MERGE INTO existing USING updates ON keys WHEN MATCHED
     UPDATE * WHEN NOT MATCHED INSERT *`."""
     updates = updates.select(*existing.columns).dropDuplicates(keys)
-    return existing.join(updates, keys, "left_anti").unionByName(updates)
+    return (
+        existing.join(updates, keys, "left_anti")
+        .select(*existing.columns)
+        .unionByName(updates)
+    )
 
 
 def delete_by_key(existing: DataFrame, doomed_keys: DataFrame, keys: list[str]) -> DataFrame:
-    """MERGE … WHEN MATCHED DELETE emulation: anti-join."""
-    return existing.join(doomed_keys.select(*keys).distinct(), keys, "left_anti")
+    """MERGE … WHEN MATCHED DELETE emulation: anti-join. Column order is
+    preserved (a bare join moves the key columns first, which silently
+    breaks positional set ops like exceptAll downstream)."""
+    return existing.join(doomed_keys.select(*keys).distinct(), keys, "left_anti").select(
+        *existing.columns
+    )
 
 
 def delete_file(

@@ -114,3 +114,71 @@ def test_postings_build_and_history(spark, corpus_df, out_dir, tmp_path):
     # lemmatizer spec: 'tables'→'table' (N3), 'merged'→'merg' (V2) — the
     # same mapping applies to documents, so search stays self-consistent
     assert hist[0]["search_terms"] == {"table": 1, "merg": 1}
+
+
+def test_incremental_update_equals_full_rebuild(spark, corpus_df):
+    """M3/X4 end-to-end: when a diff of documents changes (modified +
+    deleted + added), re-extracting ONLY the changed docs and MERGE-ing
+    into the standing tables equals a full rebuild from the new corpus."""
+    from ocr_search_spark.operators.extract import extract_spans_columnar
+    from ocr_search_spark.operators.maintenance import delete_by_key, upsert_by_key
+    from ocr_search_spark.operators.tokenize import term_postings
+
+    docs_v1 = corpus_df.select("doc_id", "spans").limit(100).cache()
+    ids = [r["doc_id"] for r in docs_v1.select("doc_id").collect()]
+    modified, deleted = set(ids[:10]), set(ids[10:15])
+
+    # v2 corpus: 10 docs get a prepended span, 5 are deleted
+    new_span = F.struct(
+        F.lit("text").alias("kind"),
+        F.lit("brand new modified content").alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    )
+    bumped = F.transform(
+        "spans",
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            (s["offset"] + 1).cast("int").alias("offset"),
+        ),
+    )
+    docs_v2 = (
+        docs_v1.where(~F.col("doc_id").isin(*deleted))
+        .withColumn(
+            "spans",
+            F.when(
+                F.col("doc_id").isin(*modified),
+                F.concat(F.array(new_span), bumped),
+            ).otherwise(F.col("spans")),
+        )
+        .cache()
+    )
+
+    # full rebuild from v2
+    full_ext = extract_spans_columnar(docs_v2).drop("error")
+    full_post = term_postings(full_ext)
+
+    # incremental: standing tables from v1, then MERGE the diff only
+    ext_v1 = extract_spans_columnar(docs_v1).drop("error").cache()
+    post_v1 = term_postings(ext_v1).cache()
+    changed = docs_v2.where(F.col("doc_id").isin(*modified))
+    ext_delta = extract_spans_columnar(changed).drop("error")
+    post_delta = term_postings(ext_delta)
+
+    doomed = spark.createDataFrame(
+        [(d,) for d in sorted(deleted | modified)], "doc_id string"
+    )
+    ext_inc = upsert_by_key(
+        delete_by_key(ext_v1, doomed, ["doc_id"]), ext_delta, ["doc_id"]
+    )
+    post_inc = delete_by_key(post_v1, doomed, ["doc_id"]).unionByName(post_delta)
+
+    flat = lambda df: df.select(  # noqa: E731
+        "doc_id", F.posexplode("spans").alias("p", "s")
+    ).select("doc_id", "p", "s.*")
+    assert flat(full_ext).exceptAll(flat(ext_inc)).count() == 0
+    assert flat(ext_inc).exceptAll(flat(full_ext)).count() == 0
+    assert full_post.exceptAll(post_inc).count() == 0
+    assert post_inc.exceptAll(full_post).count() == 0
