@@ -1357,3 +1357,52 @@ _TRAINING_ORACLES["rollup_pricing"] = """SELECT l_returnflag, l_linestatus,
        sum(l_extendedprice::DECIMAL(14,2))::DOUBLE AS sum_price
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregate — customer
+    distribution by order count, zero-order customers included."""
+    c, o = _tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_TRAINING_QUERIES["tpch_q13"] = q_tpch_q13
+_TRAINING_ORACLES["tpch_q13"] = """SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): events per (user bucket, event_type) as
+    one column per pinned type — missing cells are 0, not null."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = (
+        e.groupBy((F.col("user_id") % 10).alias("bucket"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+    return out.select(
+        "bucket", *[F.col(t).cast("long").alias(t) for t in _EVENT_TYPES]
+    )
+
+
+_TRAINING_QUERIES["events_pivot"] = q_events_pivot
+_TRAINING_ORACLES["events_pivot"] = """SELECT user_id % 10 AS bucket,
+       """ + ",\n       ".join(
+    f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS {t}"
+    for t in _EVENT_TYPES
+) + """
+FROM events GROUP BY 1"""
