@@ -864,7 +864,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_near_pairs(D.simhash(_docs_flat(spark, sf_dir)), max_hamming=8)
+    """Near pairs within Hamming 3 on 60-bit SimHash, chunks=4: the
+    pigeonhole bound (max_hamming < chunks) holds, so recall is exact —
+    every qualifying pair shares at least one 15-bit chunk."""
+    return D.simhash_near_pairs(D.simhash(_docs_flat(spark, sf_dir)), max_hamming=3)
 
 
 def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1160,7 +1163,7 @@ cand AS (
   FROM chunks a JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk AND a.id < b.id
 )
 SELECT id_a, id_b, bit_count(xor(f_a, f_b))::BIGINT AS hamming
-FROM cand WHERE bit_count(xor(f_a, f_b)) <= 8""",
+FROM cand WHERE bit_count(xor(f_a, f_b)) <= 3""",
     "embed_cosine_topk": f"""WITH {_EMB_FLAT_CTE},
 flatq AS (SELECT * FROM flat WHERE vec_id < 10),
 dots AS (

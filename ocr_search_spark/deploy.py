@@ -30,11 +30,26 @@ def package_zip() -> str:
     latest = max(p.stat().st_mtime for p in srcs)
     if os.path.exists(out) and os.path.getmtime(out) >= latest:
         return out
-    tmp = out + ".tmp"
-    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-        for p in srcs:
-            zf.write(p, arcname=str(Path("ocr_search_spark") / p.relative_to(_PKG_DIR)))
-    os.replace(tmp, out)
+    # Unique staging name (mkstemp) so concurrent drivers (bench + checker)
+    # can never interleave writes into one .tmp; os.replace stays atomic.
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(out), prefix="ocr_search_spark_pyfiles.", suffix=".tmp"
+    )
+    try:
+        with os.fdopen(fd, "wb") as fh, zipfile.ZipFile(
+            fh, "w", zipfile.ZIP_DEFLATED
+        ) as zf:
+            for p in srcs:
+                zf.write(
+                    p, arcname=str(Path("ocr_search_spark") / p.relative_to(_PKG_DIR))
+                )
+        os.replace(tmp, out)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return out
 
 

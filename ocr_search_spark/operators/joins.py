@@ -43,6 +43,16 @@ def asof_join(
     clash = set(rpayload) & set(left.columns)
     if clash:
         raise ValueError(f"right payload columns collide with left: {clash}")
+    reserved = {
+        c
+        for c in set(left.columns) | set(right.columns)
+        if c in ("_t", "_side") or c.startswith("_r_")
+    }
+    if reserved:
+        raise ValueError(
+            f"input columns collide with asof_join internals: {sorted(reserved)} "
+            "(rename them; '_t', '_side' and '_r_*' are reserved)"
+        )
 
     lt = left.withColumn("_t", F.col(left_on)).withColumn("_side", F.lit(1))
     rt = (
@@ -91,11 +101,14 @@ def range_join_binned(
     Pick ``bin_width`` ≈ the median interval width; AQE handles residual
     hot bins.
     """
-    clash = (set(intervals.columns) & set(points.columns)) | {"_bin"} & set(
-        points.columns
+    clash = (set(intervals.columns) & set(points.columns)) | (
+        {"_bin"} & (set(points.columns) | set(intervals.columns))
     )
-    if set(intervals.columns) & set(points.columns):
-        raise ValueError(f"column collision: {clash}")
+    if clash:
+        raise ValueError(
+            f"column collision: {sorted(clash)} "
+            "(inputs must be disjoint and neither may carry '_bin')"
+        )
     pb = points.withColumn(
         "_bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("long")
     )

@@ -51,11 +51,37 @@ def diff_filelib(original: DataFrame, changed: DataFrame) -> DataFrame:
     return joined.select("path", status.alias("status")).where(F.col("status").isNotNull())
 
 
-def upsert_by_key(existing: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+def upsert_by_key(
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    version_col: str | None = None,
+) -> DataFrame:
     """MERGE emulation: last-writer-wins upsert on natural keys (X4).
     Equivalent to `MERGE INTO existing USING updates ON keys WHEN MATCHED
-    UPDATE * WHEN NOT MATCHED INSERT *`."""
-    updates = updates.select(*existing.columns).dropDuplicates(keys)
+    UPDATE * WHEN NOT MATCHED INSERT *`.
+
+    Duplicate keys inside ``updates`` are resolved DETERMINISTICALLY (a
+    bare dropDuplicates keeps an arbitrary, partitioning-dependent row):
+    the survivor is the max payload tuple, compared with ``version_col``
+    first when given (the natural "newest version wins"), then the
+    remaining payload columns in table order as tie-break."""
+    updates = updates.select(*existing.columns)
+    payload = [c for c in existing.columns if c not in keys]
+    if payload:
+        order = (
+            [version_col] + [c for c in payload if c != version_col]
+            if version_col
+            else payload
+        )
+        surv = updates.groupBy(*keys).agg(
+            F.max(F.struct(*order)).alias("_payload")
+        )
+        updates = surv.select(
+            *keys, *[F.col(f"_payload.{c}").alias(c) for c in payload]
+        ).select(*existing.columns)
+    else:
+        updates = updates.dropDuplicates(keys)
     return (
         existing.join(updates, keys, "left_anti")
         .select(*existing.columns)

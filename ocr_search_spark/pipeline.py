@@ -29,6 +29,7 @@ loop never runs driver-side.
 
 from __future__ import annotations
 
+import hashlib
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,17 +47,39 @@ def bucket_col(doc_id, n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(doc_id), F.lit(n_buckets))
 
 
-def read_done_buckets(spark: SparkSession, out_dir: str, run_id: str) -> set[int]:
+def run_config_hash(n_buckets: int, impl: str, skew_threshold: int | None) -> str:
+    """Stable digest of everything bucket membership / output shape depends
+    on. Persisted in every checkpoint row so a resume under a DIFFERENT
+    config (e.g. another n_buckets — a different bucketing scheme entirely)
+    is refused instead of silently skipping wrong buckets."""
+    return hashlib.md5(
+        f"n_buckets={n_buckets}:impl={impl}:skew={skew_threshold}".encode()
+    ).hexdigest()[:16]
+
+
+def read_done_buckets(
+    spark: SparkSession, out_dir: str, run_id: str, config_hash: str
+) -> set[int]:
+    """Buckets already committed for (run_id, config_hash). Raises if the
+    run_id was previously checkpointed under a different config — resuming
+    it would mix incompatible bucketing schemes."""
     try:
         cp = spark.read.parquet(f"{out_dir}/{CHECKPOINT_DIR}")
     except Exception:
         return set()
     rows = (
         cp.where((F.col("run_id") == run_id) & (F.col("status") == "done"))
-        .select("partition_id")
+        .select("partition_id", "config_hash")
         .distinct()
         .collect()
     )
+    foreign = {r["config_hash"] for r in rows} - {config_hash}
+    if foreign:
+        raise ValueError(
+            f"run_id={run_id!r} has checkpoints under different run config "
+            f"(config_hash {sorted(foreign)} != {config_hash}); use a new "
+            "run_id or rerun with the original n_buckets/impl/skew_threshold"
+        )
     return {r["partition_id"] for r in rows}
 
 
@@ -78,7 +101,8 @@ def run_extraction_job(
     which buckets this invocation processes — simulates a partial run.
     Returns a summary dict."""
     run_id = run_id or uuid.uuid4().hex[:12]
-    done = read_done_buckets(spark, out_dir, run_id)
+    cfg = run_config_hash(n_buckets, impl, skew_threshold)
+    done = read_done_buckets(spark, out_dir, run_id, cfg)
 
     docs = documents.withColumn("bucket", bucket_col(F.col("doc_id"), n_buckets))
     todo = docs
@@ -126,6 +150,7 @@ def run_extraction_job(
     )
     cp_rows = lineage.select(
         F.lit(run_id).alias("run_id"),
+        F.lit(cfg).alias("config_hash"),
         F.col("bucket").cast("int").alias("partition_id"),
         "doc_id_min",
         "doc_id_max",

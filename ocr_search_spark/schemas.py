@@ -77,6 +77,7 @@ SEARCH_HISTORY = T.StructType(
 CHECKPOINT = T.StructType(
     [
         T.StructField("run_id", T.StringType(), False),
+        T.StructField("config_hash", T.StringType(), False),
         T.StructField("partition_id", T.IntegerType(), False),
         T.StructField("doc_id_min", T.StringType(), True),
         T.StructField("doc_id_max", T.StringType(), True),

@@ -267,7 +267,22 @@ def simhash_near_pairs(
     """Near-dup pairs by banded Hamming search: split the fingerprint
     into ``chunks`` bit-ranges; any pair within ``max_hamming`` (< chunks)
     must agree exactly on ≥1 chunk (pigeonhole), so the self-join runs on
-    chunk values, never all-pairs. Output (id_a, id_b, hamming)."""
+    chunk values, never all-pairs. Output (id_a, id_b, hamming).
+
+    The pigeonhole recall guarantee REQUIRES ``max_hamming < chunks`` and
+    ``chunks`` dividing ``bits`` (otherwise trailing bits would escape
+    every band); both are enforced, never silently degraded."""
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"pigeonhole bound violated: max_hamming={max_hamming} requires "
+            f"chunks > max_hamming (got chunks={chunks}); pairs differing in "
+            f"{chunks}..{max_hamming} bits could share no chunk and be missed"
+        )
+    if bits % chunks != 0:
+        raise ValueError(
+            f"chunks={chunks} must divide bits={bits}: the top {bits % chunks} "
+            "bits would otherwise belong to no band"
+        )
     per = bits // chunks
     mask = (1 << per) - 1
     chunk_arr = F.array(

@@ -71,6 +71,13 @@ def test_resume_equals_cold_run(spark, corpus_df, out_dir, tmp_path):
     )
     assert r3["buckets_processed"] == 0
 
+    # resuming the same run_id under a DIFFERENT bucketing config must be
+    # refused (the recorded buckets belong to another scheme entirely)
+    with pytest.raises(ValueError, match="different run config"):
+        pipeline.run_extraction_job(
+            spark, docs, out_dir, run_id="r1", n_buckets=n_buckets * 2
+        )
+
 
 def test_lineage_matches_committed_data(spark, corpus_df, out_dir):
     docs = corpus_df.select("doc_id", "spans")

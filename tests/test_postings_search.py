@@ -101,3 +101,23 @@ def test_upsert_idempotence(postings_df):
     u2 = upsert_by_key(u1, updates, keys)
     assert u1.exceptAll(u2).count() == 0 and u2.exceptAll(u1).count() == 0
     assert u1.count() == postings_df.count()
+
+
+def test_upsert_duplicate_keys_deterministic(spark):
+    """Duplicate keys inside the updates batch resolve to the SAME
+    survivor regardless of partitioning/order: max (version, payload)."""
+    from ocr_search_spark.operators.maintenance import upsert_by_key
+
+    existing = spark.createDataFrame(
+        [("k1", 0, "old")], "k string, ver int, val string"
+    )
+    dup_rows = [("k1", 2, "newest"), ("k1", 1, "mid"), ("k2", 5, "b"), ("k2", 5, "a")]
+    for nparts in (1, 4):
+        updates = spark.createDataFrame(
+            dup_rows, "k string, ver int, val string"
+        ).repartition(nparts)
+        got = {
+            r["k"]: (r["ver"], r["val"])
+            for r in upsert_by_key(existing, updates, ["k"], version_col="ver").collect()
+        }
+        assert got == {"k1": (2, "newest"), "k2": (5, "b")}

@@ -63,12 +63,18 @@ def test_simhash(small_docs):
     assert all(0 <= v < (1 << 60) for v in by_id.values())
     near = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in dedup.simhash_near_pairs(fps, max_hamming=10).collect()
+        for r in dedup.simhash_near_pairs(fps, max_hamming=10, chunks=12).collect()
     }
     assert near[(1, 2)] == 0
     # near-dup should be within a few bits; unrelated docs should not
     assert near.get((1, 3), 99) <= 10
     assert (1, 4) not in near
+    # pigeonhole guard: recall hole (max_hamming >= chunks) and dropped
+    # trailing bits (chunks not dividing 60) must raise, never silently miss
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_pairs(fps, max_hamming=4, chunks=4)
+    with pytest.raises(ValueError, match="divide"):
+        dedup.simhash_near_pairs(fps, max_hamming=3, chunks=7)
 
 
 @pytest.fixture(scope="module")
