@@ -210,20 +210,34 @@ def q_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("doc_id", F.col("score").cast("long").alias("score"))
 
 
-def q_term_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I8/I9 resurrected: all-pairs cosine over the inverted index."""
-    corr = correlate.term_correlations(_postings(spark, sf_dir))
-    return corr.select("term1", "term2", F.round("tcr", 6).alias("tcr")).where(
-        F.col("tcr") >= 0.25
+# Fraction-of-corpus document-frequency cap for every correlation query:
+# the synthetic corpus has 28 terms present in ~79% of docs (measured at
+# sf0.01) — exactly the ultra-common terms that make the doc_id self-join
+# quadratic at scale. The guard drops them plan-side before the join.
+_CORR_MAX_DF_RATIO = 0.3
+_CORR_MIN_TCR = 0.1
+
+
+def _corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-guarded correlations shared by the three correlation queries."""
+    corr = correlate.term_correlations(
+        _postings(spark, sf_dir), max_df_ratio=_CORR_MAX_DF_RATIO
     )
+    return corr.select("term1", "term2", F.round("tcr", 6).alias("tcr"))
+
+
+def q_term_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I8/I9 resurrected: all-pairs cosine over the inverted index,
+    df-guarded (max_df_ratio) so the self-join stays linear-ish in corpus
+    size even with stopword-like terms present in most documents."""
+    return _corr(spark, sf_dir).where(F.col("tcr") >= _CORR_MIN_TCR)
 
 
 def q_top_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I10 (fixed): per-term top-3 correlated terms via window ranking."""
-    corr = correlate.term_correlations(_postings(spark, sf_dir)).select(
-        "term1", "term2", F.round("tcr", 6).alias("tcr")
+    sym = correlate.symmetric(
+        _corr(spark, sf_dir).where(F.col("tcr") >= _CORR_MIN_TCR)
     )
-    sym = correlate.symmetric(corr.where(F.col("tcr") >= 0.25))
     return correlate.top_correlated(sym, k=3)
 
 
@@ -259,10 +273,9 @@ def q_search_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     p = _postings(spark, sf_dir)
-    corr = correlate.term_correlations(p).select(
-        "term1", "term2", F.round("tcr", 6).alias("tcr")
+    sym = correlate.symmetric(
+        _corr(spark, sf_dir).where(F.col("tcr") >= _CORR_MIN_TCR)
     )
-    sym = correlate.symmetric(corr.where(F.col("tcr") >= 0.25))
     qterms = spark.createDataFrame([("table",), ("scan",)], "term string")
     w = W.partitionBy("term1").orderBy(F.desc("tcr"), F.asc("term2"))
     expansions = (
@@ -627,14 +640,21 @@ _POSTINGS_SQL = f"WITH {_POSTINGS_BODY}\nSELECT term, doc_id, tf FROM postings"
 _CORR_BODY = (
     _POSTINGS_BODY
     + """,
+dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+ndocs AS (SELECT count(DISTINCT doc_id) AS n FROM postings),
+fpost AS (
+  SELECT p.term, p.doc_id, p.tf
+  FROM postings p JOIN dfreq USING (term) CROSS JOIN ndocs
+  WHERE dfreq.df <= 0.3 * ndocs.n
+),
 norms AS (
   SELECT term, CASE WHEN sqrt(sum(tf*tf)) = 0 THEN 1.0 ELSE sqrt(sum(tf*tf)) END AS norm
-  FROM postings GROUP BY term
+  FROM fpost GROUP BY term
 ),
 dots AS (
   SELECT a.term AS term1, b.term AS term2, sum(a.tf * b.tf) AS dot
-  FROM postings a
-  JOIN postings b ON a.doc_id = b.doc_id AND a.term < b.term
+  FROM fpost a
+  JOIN fpost b ON a.doc_id = b.doc_id AND a.term < b.term
   GROUP BY a.term, b.term
 ),
 corr AS (
@@ -672,12 +692,12 @@ GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT 20""",
         "term_correlations": f"""WITH {_CORR_BODY}
-SELECT term1, term2, tcr FROM corr WHERE tcr >= 0.25""",
+SELECT term1, term2, tcr FROM corr WHERE tcr >= 0.1""",
         "top_correlated": f"""WITH {_CORR_BODY},
 sym AS (
-  SELECT term1, term2, tcr FROM corr WHERE tcr >= 0.25
+  SELECT term1, term2, tcr FROM corr WHERE tcr >= 0.1
   UNION ALL
-  SELECT term2, term1, tcr FROM corr WHERE tcr >= 0.25
+  SELECT term2, term1, tcr FROM corr WHERE tcr >= 0.1
 ),
 ranked AS (
   SELECT term1, term2, tcr,
@@ -700,9 +720,9 @@ SELECT term, tf FROM postings
 WHERE doc_id IN (SELECT doc_key FROM base WHERE flat_id = 0)""",
         "search_expanded": f"""WITH {_CORR_BODY},
 sym AS (
-  SELECT term1, term2, tcr FROM corr WHERE tcr >= 0.25
+  SELECT term1, term2, tcr FROM corr WHERE tcr >= 0.1
   UNION ALL
-  SELECT term2, term1, tcr FROM corr WHERE tcr >= 0.25
+  SELECT term2, term1, tcr FROM corr WHERE tcr >= 0.1
 ),
 qterms AS (SELECT unnest(['table', 'scan']) AS term),
 expansions AS (
@@ -923,17 +943,64 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_image_features(media)
 
 
-def q_cjk_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CJK-term postings over the synthetic interleaved corpus (the
-    driver documents are ASCII-only). Forward-max-match segmentation is
-    iterative — not SQL-expressible — so this entry is rows-only."""
-    from ocr_search_spark import corpus
+# CJK item pool for the oracle-checked segmentation corpus: the pinned FMM
+# dictionary plus single filler chars, several of which are PREFIXES of
+# dictionary words — so greedy maximal matching is actually exercised.
+_CJK_POOL = list(textproc.CJK_DICT) + ["機", "學", "資", "的", "宇", "宙", "星", "空"]
 
+
+def _cjk_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CJK corpus derived from the driver's ``documents``
+    table with md5-based item selection — bit-identical reproducible in
+    DuckDB (training/hashing.py H60 convention), unlike the xxhash64-
+    seeded synthetic corpus. Each doc gets 'data ' + 5..10 concatenated
+    pool items as one text span."""
+    from ocr_search_spark.training.hashing import h60
+
+    # The output column is ALSO named doc_id; Spark's lateral-column-alias
+    # resolution would bind references inside sibling select expressions to
+    # that alias ('cjk-…') instead of the input column — so the seed lives
+    # in a dedicated _did projection first.
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("_did")
+    )
+    did = F.col("_did")
+    pool = F.array(*[F.lit(w) for w in _CJK_POOL])
+    n = (h60(F.concat(did, F.lit(":n:cjk"))) % 6 + 5).cast("int")
+    items = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.element_at(
+            pool,
+            (
+                h60(F.concat(did, F.lit(":"), i.cast("string"), F.lit(":cjk")))
+                % len(_CJK_POOL)
+                + 1
+            ).cast("int"),
+        ),
+    )
+    text = F.concat(F.lit("data "), F.array_join(items, ""))
+    span = F.struct(
+        F.lit("text").alias("kind"),
+        text.alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    )
+    return d.select(
+        F.concat(F.lit("cjk-"), did).alias("doc_id"), F.array(span).alias("spans")
+    )
+
+
+def q_cjk_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14: CJK forward-max-match segmentation → postings, through the
+    real pipeline (extraction + mapInPandas segmenter stage). Oracle:
+    the same greedy maximal match as a DuckDB recursive CTE over the
+    pinned ≤4-char dictionary (see _TRAINING_ORACLES['cjk_postings'])."""
     ensure_shipped(spark)
-    docs = corpus.documents_table(spark, 400, skew=False)
-    extracted = extract_spans_columnar(docs)
+    extracted = extract_spans_columnar(_cjk_interleaved(spark, sf_dir))
     p = term_postings(extracted.select("doc_id", "spans"))
-    return p.where(F.col("term").rlike("[\u4e00-\u9fff]"))
+    return p.where(F.col("term").rlike("[\u4e00-\u9fff]")).withColumn(
+        "tf", F.col("tf").cast("long")
+    )
 
 
 _TRAINING_QUERIES = {
@@ -1120,6 +1187,44 @@ SELECT id, n_tok::BIGINT AS n_tokens,
        round(stop * 2.0 + least(mean_len, 8.0) / 8.0 - punct * 4.0 - digit * 2.0, 6) AS score
 FROM m"""
 
+def _cjk_oracle() -> str:
+    """DuckDB twin of q_cjk_postings: identical md5-seeded corpus, then
+    forward max-match as a recursive CTE — at each position greedily take
+    the longest dictionary match (4, then 3, then 2 chars; DuckDB substr
+    is character-based on UTF-8), else emit the single char."""
+    pool_lit = "[" + ", ".join("'" + w + "'" for w in _CJK_POOL) + "]"
+    by_len: dict[int, list[str]] = {}
+    for w in textproc.CJK_DICT:
+        by_len.setdefault(len(w), []).append(w)
+    inlist = lambda ln: ", ".join("'" + w + "'" for w in sorted(by_len[ln]))  # noqa: E731
+    h = lambda e: f"('0x' || substring(md5({e}), 1, 15))::BIGINT"  # noqa: E731
+    return f"""WITH RECURSIVE gen AS (
+  SELECT 'cjk-' || doc_id::VARCHAR AS did,
+         array_to_string(list_transform(
+           range(0, (5 + {h("doc_id::VARCHAR || ':n:cjk'")} % 6)::INT),
+           i -> ({pool_lit})[({h("doc_id::VARCHAR || ':' || i::VARCHAR || ':cjk'")} % {len(_CJK_POOL)} + 1)::INT]
+         ), '') AS s
+  FROM documents
+),
+seg(did, s, pos, term) AS (
+  SELECT did, s, 1, CAST(NULL AS VARCHAR) FROM gen
+  UNION ALL
+  SELECT did, s, pos + length(term), term FROM (
+    SELECT did, s, pos,
+      CASE
+        WHEN substr(s, pos, 4) IN ({inlist(4)}) THEN substr(s, pos, 4)
+        WHEN substr(s, pos, 3) IN ({inlist(3)}) THEN substr(s, pos, 3)
+        WHEN substr(s, pos, 2) IN ({inlist(2)}) THEN substr(s, pos, 2)
+        ELSE substr(s, pos, 1)
+      END AS term
+    FROM seg WHERE pos <= length(s)
+  ) st
+)
+SELECT term, did AS doc_id, count(*)::BIGINT AS tf
+FROM seg WHERE term IS NOT NULL
+GROUP BY term, did"""
+
+
 _TRAINING_ORACLES = {
     "dedup_exact": """WITH d AS (SELECT doc_id AS id, md5(text) AS digest FROM documents),
 c AS (SELECT digest, min(id) AS canonical_id FROM d GROUP BY digest)
@@ -1241,7 +1346,7 @@ FROM documents""",
     "extract_exploded": _EXTRACT_SQL,
     "extract_arrow": _EXTRACT_SQL,
     "multimodal_features": _MM_ORACLE,
-    # cjk_postings: rows-only (iterative forward-max-match segmentation)
+    "cjk_postings": _cjk_oracle(),
 }
 
 _base_queries = queries

@@ -38,18 +38,33 @@ def term_correlations(
     postings: DataFrame,
     min_tcr: float = 0.0,
     max_df: int | None = None,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """All-pairs cosine over the inverted index: (term1, term2, tcr) with
     term1 < term2 (use :func:`symmetric` for the reference's stored-
     both-ways layout, DbInterface.class.js:189-218).
 
-    ``max_df`` drops terms appearing in more than that many docs before
-    the self-join — the skew guard for web-scale postings.
+    ``max_df`` (absolute) / ``max_df_ratio`` (fraction of distinct docs)
+    drop ultra-common terms before the self-join — THE skew guard for
+    web-scale postings: a term present in half the corpus makes the
+    doc_id self-join quadratic in corpus size, and its correlations are
+    semantically worthless (it co-occurs with everything). The ratio
+    form is scale-free, so the same query works at any sf; the doc count
+    is computed plan-side (1-row broadcast), never collected.
     """
     p = postings.select("term", "doc_id", "tf")
-    if max_df is not None:
-        dfreq = p.groupBy("term").agg(F.count("*").alias("df"))
-        p = p.join(dfreq.where(F.col("df") <= max_df).select("term"), "term")
+    if max_df is not None or max_df_ratio is not None:
+        dfreq = p.groupBy("term").agg(F.count("*").alias("_df"))
+        if max_df_ratio is not None:
+            ndocs = p.select(F.countDistinct("doc_id").alias("_n"))
+            keep = (
+                dfreq.crossJoin(F.broadcast(ndocs))
+                .where(F.col("_df") <= F.lit(max_df_ratio) * F.col("_n"))
+                .select("term")
+            )
+        else:
+            keep = dfreq.where(F.col("_df") <= max_df).select("term")
+        p = p.join(keep, "term")
     a = p.select(F.col("term").alias("term1"), "doc_id", F.col("tf").alias("tf1"))
     b = p.select(F.col("term").alias("term2"), "doc_id", F.col("tf").alias("tf2"))
     dots = (

@@ -103,6 +103,26 @@ def test_upsert_idempotence(postings_df):
     assert u1.count() == postings_df.count()
 
 
+def test_correlations_df_guard(spark):
+    """Skewed-df fixture: a term present in 100% of docs (the quadratic
+    self-join killer) must be dropped by max_df_ratio while normal terms
+    keep their exact correlations."""
+    from ocr_search_spark.operators import correlate
+
+    rows = [("hot", f"d{d}", 1) for d in range(20)]
+    rows += [(t, f"d{d}", 2) for d in range(4) for t in ("aa", "bb")]
+    p = spark.createDataFrame(rows, "term string, doc_id string, tf int")
+
+    unguarded = correlate.term_correlations(p)
+    assert unguarded.where("term1 = 'hot' OR term2 = 'hot'").count() > 0
+
+    guarded = correlate.term_correlations(p, max_df_ratio=0.5).collect()
+    terms = {r["term1"] for r in guarded} | {r["term2"] for r in guarded}
+    assert "hot" not in terms
+    tcr = {(r["term1"], r["term2"]): r["tcr"] for r in guarded}
+    assert abs(tcr[("aa", "bb")] - 1.0) < 1e-9  # identical posting vectors
+
+
 def test_upsert_duplicate_keys_deterministic(spark):
     """Duplicate keys inside the updates batch resolve to the SAME
     survivor regardless of partitioning/order: max (version, payload)."""
