@@ -902,6 +902,18 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_search(emb, emb.where(F.col("vec_id") < 10), cents, assign, k=5, nprobe=1)
 
 
+def q_embed_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN with k-means-refined centroids (2 deterministic Lloyd
+    iterations from the first-m seed) — the declared upgrade over
+    embed_ann_ivf's seed centroids; same probe/search contract."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = SIM.kmeans_centroids(emb, n_centroids=8, iters=2)
+    assign = SIM.ivf_assign(emb, cents)
+    return SIM.ivf_search(
+        emb, emb.where(F.col("vec_id") < 10), cents, assign, k=5, nprobe=1
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.lang_id(_docs_flat(spark, sf_dir))
 
@@ -1012,6 +1024,7 @@ _TRAINING_QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "embed_cosine_topk": q_embed_cosine_topk,
     "embed_ann_ivf": q_embed_ann_ivf,
+    "embed_ann_kmeans": q_embed_ann_kmeans,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "quality_score": q_quality_score,
@@ -1187,6 +1200,90 @@ SELECT id, n_tok::BIGINT AS n_tokens,
        round(stop * 2.0 + least(mean_len, 8.0) / 8.0 - punct * 4.0 - digit * 2.0, 6) AS score
 FROM m"""
 
+def _kmeans_oracle(iters: int = 2) -> str:
+    """DuckDB twin of q_embed_ann_kmeans: the Lloyd iterations unrolled
+    as CTE pairs (assign against c{k-1} → mean into c{k}), same rounded-
+    cosine assignment (round 6, cid tie-break) and exact-DECIMAL means
+    (floats rounded to 9 dp, one cast to double, round 6)."""
+    parts = [
+        """flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS nrm FROM flat GROUP BY vec_id
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, vec_id AS cvid
+  FROM embeddings WHERE vec_id < 8
+),
+c0 AS (SELECT s.cid, f.i, f.v::DOUBLE AS v FROM seeds s JOIN flat f ON f.vec_id = s.cvid)"""
+    ]
+    for k in range(1, iters + 1):
+        prev = f"c{k - 1}"
+        parts.append(
+            f"""cn{k} AS (SELECT cid, sqrt(sum(v * v)) AS cn FROM {prev} GROUP BY cid),
+vc{k} AS (
+  SELECT f.vec_id, c.cid, sum(f.v::DOUBLE * c.v) AS dot
+  FROM flat f JOIN {prev} c ON f.i = c.i GROUP BY 1, 2
+),
+a{k} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY round(dot / (n.nrm * cn.cn), 6) DESC, cid) AS rn
+    FROM vc{k} JOIN norms n USING (vec_id) JOIN cn{k} cn USING (cid)
+  ) WHERE rn = 1
+),
+c{k} AS (
+  SELECT a.cid, f.i,
+         round(sum(round(f.v::DOUBLE, 9)::DECIMAL(28,12))::DOUBLE / count(*), 6) AS v
+  FROM a{k} a JOIN flat f USING (vec_id) GROUP BY a.cid, f.i
+)"""
+        )
+    fin = iters + 1
+    last = f"c{iters}"
+    parts.append(
+        f"""cn{fin} AS (SELECT cid, sqrt(sum(v * v)) AS cn FROM {last} GROUP BY cid),
+vc{fin} AS (
+  SELECT f.vec_id, c.cid, sum(f.v::DOUBLE * c.v) AS dot
+  FROM flat f JOIN {last} c ON f.i = c.i GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY round(dot / (n.nrm * cn.cn), 6) DESC, cid) AS rn
+    FROM vc{fin} JOIN norms n USING (vec_id) JOIN cn{fin} cn USING (cid)
+  ) WHERE rn = 1
+),
+probed AS (SELECT vec_id AS query_id, cid FROM assign WHERE vec_id < 10),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probed p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, sum(fq.v::DOUBLE * fn.v::DOUBLE) AS dot
+  FROM cand c
+  JOIN flat fq ON fq.vec_id = c.query_id
+  JOIN flat fn ON fn.vec_id = c.neighbor_id AND fn.i = fq.i
+  GROUP BY 1, 2
+),
+cosd AS (
+  SELECT query_id, neighbor_id, round(dot / (nq.nrm * nn.nrm), 6) AS cos
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nn ON nn.vec_id = neighbor_id
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT query_id, neighbor_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM cosd
+) WHERE rn <= 5"""
+
+
 def _cjk_oracle() -> str:
     """DuckDB twin of q_cjk_postings: identical md5-seeded corpus, then
     forward max-match as a recursive CTE — at each position greedily take
@@ -1330,6 +1427,7 @@ SELECT query_id, neighbor_id, cos FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
   FROM cosd
 ) WHERE rn <= 5""",
+    "embed_ann_kmeans": _kmeans_oracle(iters=2),
     "lang_id": _lang_fold_sql(),
     "token_counts": f"""SELECT doc_id AS id,
        length(text)::BIGINT AS n_chars,

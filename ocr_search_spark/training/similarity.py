@@ -91,6 +91,60 @@ def ivf_centroids(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deterministic Lloyd refinement of the first-m seed, pure DataFrame
+    ops — replaces :func:`ivf_centroids` without touching assign/search.
+
+    Each iteration: cosine-assign every vector to its nearest centroid
+    (rounded score, cid tie-break — a total order), then recompute each
+    centroid as the element-wise mean of its members. Means go through
+    exact DECIMAL sums (floats rounded to 9 dp first) with ONE cast to
+    double and pinned rounding, so the result is independent of partial-
+    aggregation order and cross-engine verifiable. Empty clusters simply
+    drop out (both engines agree).
+
+    Scale: per iteration one broadcast join (centroids ≪ corpus), one
+    posexplode and one (cid, i) hash aggregate — shuffle volume is
+    corpus × dim rows of partial sums, with full map-side combine; no
+    driver-side data beyond the loop counter."""
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col).select(
+        "cid", F.transform("cv", lambda x: x.cast("double")).alias("cv")
+    )
+    vecs = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    for _ in range(iters):
+        assign = ivf_assign(corpus, cents, id_col, vec_col, round_digits)
+        flat = assign.join(vecs, "vec_id").select(
+            "cid", F.posexplode("v").alias("i", "x")
+        )
+        means = (
+            flat.groupBy("cid", "i")
+            .agg(
+                F.sum(
+                    F.round(F.col("x").cast("double"), 9).cast("decimal(28,12)")
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                "cid",
+                "i",
+                F.round(F.col("s").cast("double") / F.col("n"), round_digits).alias("m"),
+            )
+        )
+        cents = (
+            means.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
+            .select("cid", F.transform("pairs", lambda s: s["m"]).alias("cv"))
+        )
+    return cents
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

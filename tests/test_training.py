@@ -121,6 +121,30 @@ def test_ivf_search_probes_own_cluster(emb):
         assert len(rs) <= 3
 
 
+def test_kmeans_centroids_deterministic_and_recall(emb):
+    """Lloyd refinement: two independent runs produce identical centroids
+    (exact-DECIMAL means + pinned rounding), every centroid has dim 64,
+    and ANN recall@5 vs exact cosine stays above a sanity floor."""
+    c1 = similarity.kmeans_centroids(emb, n_centroids=4, iters=2)
+    c2 = similarity.kmeans_centroids(emb, n_centroids=4, iters=2)
+    m1 = {r["cid"]: r["cv"] for r in c1.collect()}
+    m2 = {r["cid"]: r["cv"] for r in c2.collect()}
+    assert m1 == m2
+    assert all(len(v) == 64 for v in m1.values())
+
+    q = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    assign = similarity.ivf_assign(emb, c1)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_search(emb, q, c1, assign, k=5, nprobe=2).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.5
+
+
 def test_textstats(spark):
     df = spark.createDataFrame(
         [(1, "The cat and the dog! 42 times."), (2, "")],
