@@ -1,0 +1,124 @@
+"""Table-level MERGE emulation with partition-pruned rewrites.
+
+`operators.maintenance.upsert_by_key` / `delete_by_key` are pure plans —
+applied naively to a stored table they rewrite the WHOLE table, which at
+100 TB rewrites the world for a 1-row upsert. The production answer is a
+table format with MERGE INTO (Iceberg/Delta); without those jars this
+module provides the same contract on plain parquet:
+
+* the table is partitioned by ``bucket = pmod(xxhash64(key cols), n)``
+  — deterministic from the merge key, so an updated row always lands in
+  the same bucket as the row it replaces;
+* ``upsert``/``delete`` first compute the distinct buckets touched by
+  the updates (bounded driver-side list, ≤ n_buckets ints), read ONLY
+  those partitions (partition pruning on the bucket column), merge, and
+  dynamic-partition-overwrite ONLY those partitions;
+* untouched partitions' files are never opened, let alone rewritten —
+  byte-identity is asserted in tests/test_storage.py.
+
+Reference: the Mongo per-row upserts of DbInterface.class.js:236-251 /
+:366-381 give per-document update cost; this gives per-bucket cost with
+set-oriented execution, the scalable analogue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.maintenance import delete_by_key, upsert_by_key
+
+BUCKET_COL = "_mbucket"
+
+
+class BucketedTable:
+    """A parquet table bucketed by merge key for partition-pruned MERGE."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: list[str],
+        n_buckets: int = 64,
+    ):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.n_buckets = n_buckets
+
+    # ------------------------------------------------------------ helpers
+    def _bucket(self) -> F.Column:
+        return F.pmod(F.xxhash64(*self.keys), F.lit(self.n_buckets)).cast("int")
+
+    def _touched_buckets(self, updates: DataFrame) -> list[int]:
+        """Distinct buckets of the update keys — bounded by n_buckets, so
+        the collect ships at most n_buckets ints to the driver (this is
+        partition *pruning* metadata, not data)."""
+        rows = (
+            updates.select(self._bucket().alias(BUCKET_COL)).distinct().collect()
+        )
+        return sorted(r[BUCKET_COL] for r in rows)
+
+    def _overwrite_buckets(self, df: DataFrame) -> None:
+        mode = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(self.path)
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+
+    # ------------------------------------------------------------ public
+    def init(self, df: DataFrame) -> None:
+        """Full initial load (the only whole-table write)."""
+        self._columns = df.columns
+        self._overwrite_buckets(df.withColumn(BUCKET_COL, self._bucket()))
+
+    def read(self) -> DataFrame:
+        raw = self.spark.read.parquet(self.path)
+        return raw.select([c for c in raw.columns if c != BUCKET_COL])
+
+    def upsert(self, updates: DataFrame, version_col: str | None = None) -> list[int]:
+        """MERGE: last-writer-wins upsert of ``updates`` on the table
+        keys, rewriting only the buckets the update keys hash into.
+        Returns the list of rewritten buckets."""
+        touched = self._touched_buckets(updates)
+        if not touched:
+            return []
+        raw = self.spark.read.parquet(self.path)
+        cols = [c for c in raw.columns if c != BUCKET_COL]
+        current = raw.where(F.col(BUCKET_COL).isin(touched)).select(cols)
+        merged = upsert_by_key(current, updates.select(cols), self.keys, version_col)
+        self._overwrite_buckets(merged.withColumn(BUCKET_COL, self._bucket()))
+        return touched
+
+    def delete(self, doomed_keys: DataFrame) -> list[int]:
+        """MERGE … WHEN MATCHED DELETE, partition-pruned the same way.
+
+        A bucket whose every row is deleted needs special care: dynamic
+        partition overwrite only replaces partitions PRESENT in the
+        written data, so an empty bucket would silently keep its stale
+        files — those partitions are dropped through the Hadoop FS API
+        instead (works on any FileSystem implementation)."""
+        touched = self._touched_buckets(doomed_keys.select(*self.keys))
+        if not touched:
+            return []
+        raw = self.spark.read.parquet(self.path)
+        cols = [c for c in raw.columns if c != BUCKET_COL]
+        current = raw.where(F.col(BUCKET_COL).isin(touched)).select(cols)
+        remaining = delete_by_key(current, doomed_keys, self.keys).withColumn(
+            BUCKET_COL, self._bucket()
+        )
+        nonempty = {
+            r[BUCKET_COL]
+            for r in remaining.select(BUCKET_COL).distinct().collect()
+        }
+        if nonempty:
+            self._overwrite_buckets(remaining.where(F.col(BUCKET_COL).isin(sorted(nonempty))))
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        for b in sorted(set(touched) - nonempty):
+            p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{BUCKET_COL}={b}")
+            p.getFileSystem(hconf).delete(p, True)
+        return touched

@@ -1,0 +1,114 @@
+"""BucketedTable: partition-pruned MERGE on parquet storage.
+
+The contract under test (VERDICT round-1 item 5): an upsert/delete must
+leave every untouched bucket partition's files BYTE-IDENTICAL (never
+opened, never rewritten), while the table contents equal the pure-plan
+upsert_by_key/delete_by_key applied to the whole table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_search_spark.operators.maintenance import delete_by_key, upsert_by_key
+from ocr_search_spark.storage import BUCKET_COL, BucketedTable
+
+N_BUCKETS = 8
+KEYS = ["term", "doc_id"]
+
+
+def _file_state(root: str) -> dict[str, str]:
+    """{relative parquet file path: md5} — byte-level partition state."""
+    out = {}
+    for p in Path(root).rglob("*.parquet"):
+        out[str(p.relative_to(root))] = hashlib.md5(p.read_bytes()).hexdigest()
+    return out
+
+
+def _by_bucket(state: dict[str, str]) -> dict[int, dict[str, str]]:
+    out: dict[int, dict[str, str]] = {}
+    for rel, digest in state.items():
+        b = int(rel.split(f"{BUCKET_COL}=")[1].split("/")[0])
+        out.setdefault(b, {})[rel] = digest
+    return out
+
+
+@pytest.fixture()
+def base_df(spark):
+    rows = [(f"t{i % 37}", f"d{i % 101}", i % 7 + 1) for i in range(400)]
+    return spark.createDataFrame(rows, "term string, doc_id string, tf int").dropDuplicates(KEYS)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, base_df, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = BucketedTable(spark, path, KEYS, n_buckets=N_BUCKETS)
+    t.init(base_df)
+    before = _by_bucket(_file_state(path))
+    assert set(before) == set(range(N_BUCKETS))  # enough rows to fill all
+
+    updates = spark.createDataFrame(
+        [("t1", "d1", 99), ("zzz", "znew", 5)], "term string, doc_id string, tf int"
+    )
+    touched = t.upsert(updates)
+    assert 0 < len(touched) <= 2
+
+    after = _by_bucket(_file_state(path))
+    for b in range(N_BUCKETS):
+        if b in touched:
+            assert after[b] != before[b], f"touched bucket {b} not rewritten"
+        else:
+            assert after[b] == before[b], f"untouched bucket {b} was modified"
+
+    expected = upsert_by_key(base_df, updates, KEYS)
+    assert _rows(t.read()) == _rows(expected)
+
+
+def test_delete_prunes_and_drops_emptied_buckets(spark, base_df, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = BucketedTable(spark, path, KEYS, n_buckets=N_BUCKETS)
+    t.init(base_df)
+    before = _by_bucket(_file_state(path))
+
+    bucketed = base_df.withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64(*KEYS), F.lit(N_BUCKETS)).cast("int")
+    )
+    # every key of bucket 0 (empties it) + one key from another bucket.
+    # Materialized: a lazy limit(1) would re-pick a different row on every
+    # re-evaluation of the doomed plan.
+    doom_all = bucketed.where(F.col(BUCKET_COL) == 0).select(*KEYS)
+    other = bucketed.where(F.col(BUCKET_COL) != 0).select(*KEYS).limit(1)
+    doomed = spark.createDataFrame(
+        doom_all.unionByName(other).collect(), "term string, doc_id string"
+    )
+
+    touched = t.delete(doomed)
+    assert 0 in touched and len(touched) == 2
+
+    after = _by_bucket(_file_state(path))
+    assert 0 not in after, "emptied bucket partition must be dropped"
+    partial = [b for b in touched if b != 0][0]
+    assert after[partial] != before[partial]
+    for b in set(range(N_BUCKETS)) - set(touched):
+        assert after[b] == before[b], f"untouched bucket {b} was modified"
+
+    expected = delete_by_key(base_df, doomed, KEYS)
+    assert _rows(t.read()) == _rows(expected)
+
+
+def test_upsert_noop_on_empty_updates(spark, base_df, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = BucketedTable(spark, path, KEYS, n_buckets=N_BUCKETS)
+    t.init(base_df)
+    before = _file_state(path)
+    empty = base_df.where(F.lit(False))
+    assert t.upsert(empty) == []
+    assert t.delete(empty.select(*KEYS)) == []
+    assert _file_state(path) == before
