@@ -914,6 +914,35 @@ def q_embed_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_pref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 original-file attribution (PdfUtil.class.js:46-55): each file
+    stem is attributed to the preferred existing original, pptx > docx >
+    pdf. Availability flags are md5-derived from the stem (deterministic,
+    cross-engine); the operator itself is maintenance.prefer_original."""
+    from ocr_search_spark.operators.maintenance import prefer_original
+    from ocr_search_spark.training.hashing import h60
+
+    stems = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.concat(
+                F.col("source"), F.lit("/doc_"), F.expr("doc_id div 4").cast("string")
+            ).alias("stem")
+        )
+        .distinct()
+    )
+    has_pptx = h60(F.concat(F.col("stem"), F.lit(":pptx"))) % 4 == 0
+    has_docx = h60(F.concat(F.col("stem"), F.lit(":docx"))) % 3 == 0
+    empty = F.array().cast("array<string>")
+    formats = F.concat(
+        F.when(has_pptx, F.array(F.lit("pptx"))).otherwise(empty),
+        F.when(has_docx, F.array(F.lit("docx"))).otherwise(empty),
+        F.array(F.lit("pdf")),
+    )
+    files = stems.select("stem", formats.alias("formats"))
+    return prefer_original(files).select("stem", "ori_format", "ori_file_path")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.lang_id(_docs_flat(spark, sf_dir))
 
@@ -1025,6 +1054,7 @@ _TRAINING_QUERIES = {
     "embed_cosine_topk": q_embed_cosine_topk,
     "embed_ann_ivf": q_embed_ann_ivf,
     "embed_ann_kmeans": q_embed_ann_kmeans,
+    "attribution_pref": q_attribution_pref,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "quality_score": q_quality_score,
@@ -1428,6 +1458,23 @@ SELECT query_id, neighbor_id, cos FROM (
   FROM cosd
 ) WHERE rn <= 5""",
     "embed_ann_kmeans": _kmeans_oracle(iters=2),
+    "attribution_pref": """WITH stems AS (
+  SELECT DISTINCT source || '/doc_' || (doc_id // 4)::VARCHAR AS stem FROM documents
+),
+flags AS (
+  SELECT stem,
+         (('0x' || substring(md5(stem || ':pptx'), 1, 15))::BIGINT % 4 = 0) AS has_pptx,
+         (('0x' || substring(md5(stem || ':docx'), 1, 15))::BIGINT % 3 = 0) AS has_docx
+  FROM stems
+),
+chosen AS (
+  SELECT stem,
+         CASE WHEN has_pptx THEN 'pptx'
+              WHEN has_docx THEN 'docx'
+              ELSE 'pdf' END AS ori_format
+  FROM flags
+)
+SELECT stem, ori_format, stem || '.' || ori_format AS ori_file_path FROM chosen""",
     "lang_id": _lang_fold_sql(),
     "token_counts": f"""SELECT doc_id AS id,
        length(text)::BIGINT AS n_chars,

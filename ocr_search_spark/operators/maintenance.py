@@ -32,6 +32,36 @@ def doc_catalog(synthesized: DataFrame) -> DataFrame:
     )
 
 
+# E7 original-file attribution: when a converted PDF's provenance is
+# resolved, the reference probes for sibling originals in this order and
+# attributes the first that exists (PdfUtil.class.js:46-55: pptx, then
+# docx, falling back to the pdf itself).
+FORMAT_PREFERENCE = ["pptx", "docx", "pdf"]
+
+
+def prefer_original(
+    files: DataFrame, stem_col: str = "stem", formats_col: str = "formats"
+) -> DataFrame:
+    """Attribute each file stem to its preferred original format.
+
+    Input: (stem, formats: array<string> of formats that exist for the
+    stem). Output adds ``ori_format`` (first of FORMAT_PREFERENCE present;
+    'pdf' fallback when none matched — the reference keeps the pdf path)
+    and ``ori_file_path`` = stem.ori_format. Pure columnar — the
+    existence probe of the reference becomes a precomputed availability
+    column at scale (one listing join, no per-file stat calls)."""
+    pref = F.array(*[F.lit(x) for x in FORMAT_PREFERENCE])
+    chosen = F.element_at(
+        F.filter(pref, lambda p: F.array_contains(F.col(formats_col), p)), 1
+    )
+    fmt = F.coalesce(chosen, F.lit("pdf"))
+    return files.select(
+        "*",
+        fmt.alias("ori_format"),
+        F.concat(F.col(stem_col), F.lit("."), fmt).alias("ori_file_path"),
+    )
+
+
 def diff_filelib(original: DataFrame, changed: DataFrame) -> DataFrame:
     """S3 (DropboxSynchronizer.class.js:198-242): classify paths into
     added / modified / deleted by full-outer join on path.
