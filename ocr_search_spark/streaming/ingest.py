@@ -32,10 +32,19 @@ def stream_extract(
     out_path: str,
     checkpoint_path: str,
     await_termination: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """documents parquet dir (growing) → extracted_spans parquet, exactly
-    the new files each run (Trigger.AvailableNow)."""
-    src = spark.readStream.schema(DOCUMENTS).parquet(input_path)
+    the new files each run (Trigger.AvailableNow).
+
+    ``max_files_per_trigger`` splits the available backlog into multiple
+    micro-batches (AvailableNow honors it) — bounded state/commit units
+    at scale, and the lever the kill-and-resume chaos test uses to stop a
+    run with the backlog half-committed."""
+    reader = spark.readStream.schema(DOCUMENTS)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_path)
     extracted = extract_spans_columnar(src)
     q = (
         extracted.writeStream.format("parquet")

@@ -52,6 +52,58 @@ def test_stream_extract_incremental(spark, dirs):
     assert flat(batch).exceptAll(flat(out2)).count() == 0
 
 
+def test_stream_extract_kill_and_resume(spark, dirs):
+    """Exactly-once across a MID-RUN kill: the backlog is split into many
+    micro-batches (maxFilesPerTrigger=1), the query is stopped after the
+    first commit, and a restarted run with the same checkpoint must end
+    with every doc extracted exactly once, equal to the batch twin —
+    regardless of where the kill landed."""
+    import time
+
+    docs = corpus.documents_table(spark, 200, skew=False)
+    docs.repartition(8).write.mode("append").parquet(dirs["in"])
+
+    q = ingest.stream_extract(
+        spark,
+        dirs["in"],
+        dirs["out"],
+        dirs["ckpt"],
+        await_termination=False,
+        max_files_per_trigger=1,
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p is not None and p["numInputRows"] > 0:
+            break
+        time.sleep(0.1)
+    q.stop()  # kill with part of the backlog committed, part not
+    q.awaitTermination()
+
+    try:
+        partial = spark.read.parquet(dirs["out"]).count()
+    except Exception:
+        partial = 0
+    assert partial < 200, "kill landed after full completion — no partial state"
+
+    # resume from the same checkpoint: processes exactly the remainder
+    ingest.stream_extract(
+        spark, dirs["in"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    )
+    out = spark.read.parquet(dirs["out"])
+    assert out.count() == 200
+    assert out.groupBy("doc_id").count().where(F.col("count") > 1).count() == 0
+
+    from ocr_search_spark.operators.extract import extract_spans_columnar
+
+    batch = extract_spans_columnar(spark.read.parquet(dirs["in"]))
+    flat = lambda df: df.select(  # noqa: E731
+        "doc_id", F.posexplode("spans").alias("p", "s")
+    ).select("doc_id", "p", "s.*")
+    assert flat(batch).exceptAll(flat(out)).count() == 0
+    assert flat(out).exceptAll(flat(batch)).count() == 0
+
+
 def test_stream_hourly_counts_vs_batch(spark, dirs):
     events = spark.read.schema(ingest.EVENTS_DDL).parquet(
         "/root/testdata/sf0.001/events.parquet"
