@@ -914,6 +914,19 @@ def q_embed_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cjk_postings_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14 search mode: jieba.cut_for_search-style overlapping sub-word
+    emission (tokenize_and_stem.py:52) over the same md5-seeded corpus —
+    a query for a 2-char dictionary word now hits docs indexed under the
+    4-char compound containing it. See FIDELITY.md."""
+    ensure_shipped(spark)
+    extracted = extract_spans_columnar(_cjk_interleaved(spark, sf_dir))
+    p = term_postings(extracted.select("doc_id", "spans"), cjk_mode="search")
+    return p.where(F.col("term").rlike("[一-鿿]")).withColumn(
+        "tf", F.col("tf").cast("long")
+    )
+
+
 def q_attribution_pref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E7 original-file attribution (PdfUtil.class.js:46-55): each file
     stem is attributed to the preferred existing original, pptx > docx >
@@ -1055,6 +1068,7 @@ _TRAINING_QUERIES = {
     "embed_ann_ivf": q_embed_ann_ivf,
     "embed_ann_kmeans": q_embed_ann_kmeans,
     "attribution_pref": q_attribution_pref,
+    "cjk_postings_search": q_cjk_postings_search,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "quality_score": q_quality_score,
@@ -1314,18 +1328,22 @@ SELECT query_id, neighbor_id, cos FROM (
 ) WHERE rn <= 5"""
 
 
-def _cjk_oracle() -> str:
+def _cjk_oracle(search_mode: bool = False) -> str:
     """DuckDB twin of q_cjk_postings: identical md5-seeded corpus, then
     forward max-match as a recursive CTE — at each position greedily take
     the longest dictionary match (4, then 3, then 2 chars; DuckDB substr
-    is character-based on UTF-8), else emit the single char."""
+    is character-based on UTF-8), else emit the single char.
+
+    ``search_mode`` adds the jieba cut_for_search-style expansion: every
+    segmented word additionally emits its contained dictionary sub-words
+    of length 2 (when len > 2) and 3 (when len > 3)."""
     pool_lit = "[" + ", ".join("'" + w + "'" for w in _CJK_POOL) + "]"
     by_len: dict[int, list[str]] = {}
     for w in textproc.CJK_DICT:
         by_len.setdefault(len(w), []).append(w)
     inlist = lambda ln: ", ".join("'" + w + "'" for w in sorted(by_len[ln]))  # noqa: E731
     h = lambda e: f"('0x' || substring(md5({e}), 1, 15))::BIGINT"  # noqa: E731
-    return f"""WITH RECURSIVE gen AS (
+    base = f"""WITH RECURSIVE gen AS (
   SELECT 'cjk-' || doc_id::VARCHAR AS did,
          array_to_string(list_transform(
            range(0, (5 + {h("doc_id::VARCHAR || ':n:cjk'")} % 6)::INT),
@@ -1346,10 +1364,38 @@ seg(did, s, pos, term) AS (
       END AS term
     FROM seg WHERE pos <= length(s)
   ) st
-)
+)"""
+    if not search_mode:
+        return (
+            base
+            + """
 SELECT term, did AS doc_id, count(*)::BIGINT AS tf
 FROM seg WHERE term IS NOT NULL
 GROUP BY term, did"""
+        )
+    return (
+        base
+        + f""",
+words AS (SELECT did, term FROM seg WHERE term IS NOT NULL),
+expanded AS (
+  SELECT did, term FROM words
+  UNION ALL
+  SELECT did, sub FROM (
+    SELECT did, unnest(list_transform(range(1, length(term)),
+                       j -> substr(term, j::INT, 2))) AS sub
+    FROM words WHERE length(term) > 2
+  ) WHERE sub IN ({inlist(2)})
+  UNION ALL
+  SELECT did, sub FROM (
+    SELECT did, unnest(list_transform(range(1, length(term) - 1),
+                       j -> substr(term, j::INT, 3))) AS sub
+    FROM words WHERE length(term) > 3
+  ) WHERE sub IN ({inlist(3)})
+)
+SELECT term, did AS doc_id, count(*)::BIGINT AS tf
+FROM expanded
+GROUP BY term, did"""
+    )
 
 
 _TRAINING_ORACLES = {
@@ -1492,6 +1538,7 @@ FROM documents""",
     "extract_arrow": _EXTRACT_SQL,
     "multimodal_features": _MM_ORACLE,
     "cjk_postings": _cjk_oracle(),
+    "cjk_postings_search": _cjk_oracle(search_mode=True),
 }
 
 _base_queries = queries

@@ -55,7 +55,9 @@ def doc_terms(extracted: DataFrame, text_col: str = "doc_text") -> DataFrame:
     return df.select("doc_id", F.concat(eng, cjk).alias("terms"))
 
 
-def _cjk_term_rows(doc_text: DataFrame, text_col: str) -> DataFrame:
+def _cjk_term_rows(
+    doc_text: DataFrame, text_col: str, cjk_mode: str = "fmm"
+) -> DataFrame:
     """CJK branch as a mapInPandas stage: (doc_id, cjk_chars) → one row per
     segmented term. mapInPandas is a plan-level node (ArrowEvalPython
     cannot be inlined into Generate/Aggregate the way an expression-level
@@ -69,13 +71,16 @@ def _cjk_term_rows(doc_text: DataFrame, text_col: str) -> DataFrame:
     chars_df = doc_text.select(
         "doc_id", cjk_chars_col(F.col(text_col)).alias("cjk_chars")
     )
+    seg_batch = (
+        textproc.segment_cjk_search_batch if cjk_mode == "search" else segment_cjk_batch
+    )
 
     def seg_iter(batches):
         for pdf in batches:
             pdf = pdf[pdf["cjk_chars"].str.len() > 0]
             if len(pdf) == 0:
                 continue
-            segs = segment_cjk_batch(pdf["cjk_chars"])
+            segs = seg_batch(pdf["cjk_chars"])
             lens = segs.map(len)
             if lens.sum() == 0:
                 continue
@@ -98,19 +103,22 @@ def _cjk_term_rows(doc_text: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def term_postings(extracted: DataFrame) -> DataFrame:
+def term_postings(extracted: DataFrame, cjk_mode: str = "fmm") -> DataFrame:
     """Build the inverted index: (term, doc_id, tf).
 
     English branch: pure columnar expressions → explode (all JVM-side,
     whole-stage codegen). CJK branch: mapInPandas segmentation over only
     the docs that contain CJK chars. Union → hash aggregate with map-side
     partial aggregation (the per-doc TF dict of tokenize_and_stem.py:55-66
-    falls out of the final aggregate for free)."""
+    falls out of the final aggregate for free).
+
+    ``cjk_mode``: 'fmm' (plain forward max-match) or 'search' (jieba
+    cut_for_search-style overlapping sub-word emission)."""
     dt = _doc_text(extracted)
     eng_rows = dt.select(
         "doc_id", F.explode(english_tokens_col(F.col("doc_text"))).alias("term")
     )
-    all_rows = eng_rows.unionByName(_cjk_term_rows(dt, "doc_text"))
+    all_rows = eng_rows.unionByName(_cjk_term_rows(dt, "doc_text", cjk_mode))
     return all_rows.groupBy("term", "doc_id").agg(
         F.count("*").cast("int").alias("tf")
     )

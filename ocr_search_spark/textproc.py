@@ -284,3 +284,34 @@ def segment_cjk(chars: str) -> list[str]:
 def segment_cjk_batch(chars: pd.Series) -> pd.Series:
     """Batch wrapper used by the pandas UDF in tokenize.py."""
     return chars.fillna("").map(segment_cjk)
+
+
+def segment_cjk_search(chars: str) -> list[str]:
+    """Search-mode segmentation: jieba.cut_for_search's overlapping
+    sub-word emission (tokenize_and_stem.py:52) re-pinned over CJK_DICT.
+
+    jieba's search mode runs the base cut, then for every multi-char word
+    also emits the contained dictionary words of length 2 (if len > 2)
+    and length 3 (if len > 3), sub-words before the word itself. Same
+    contract here with FMM as the base cut: a query for 學習 now hits
+    documents indexed under 機器學習. FIDELITY.md quantifies the delta
+    vs real jieba."""
+    out: list[str] = []
+    for w in segment_cjk(chars):
+        n = len(w)
+        if n > 2:
+            for j in range(n - 1):
+                g = w[j : j + 2]
+                if g in CJK_DICT_SET:
+                    out.append(g)
+        if n > 3:
+            for j in range(n - 2):
+                g = w[j : j + 3]
+                if g in CJK_DICT_SET:
+                    out.append(g)
+        out.append(w)
+    return out
+
+
+def segment_cjk_search_batch(chars: pd.Series) -> pd.Series:
+    return chars.fillna("").map(segment_cjk_search)

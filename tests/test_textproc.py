@@ -105,3 +105,17 @@ def test_ocr_determinism_and_shape():
     n = len(t.split())
     assert 3 <= n <= 8
     assert all(w in textproc.OCR_VOCAB for w in t.split())
+
+
+def test_segment_cjk_search_mode():
+    """jieba cut_for_search analogue: contained dictionary sub-words are
+    emitted before each multi-char FMM word; plain FMM is unchanged."""
+    from ocr_search_spark.textproc import segment_cjk, segment_cjk_search
+
+    assert segment_cjk("機器學習") == ["機器學習"]
+    assert segment_cjk_search("機器學習") == ["學習", "機器學習"]  # 學習 ∈ dict
+    assert segment_cjk_search("資料庫") == ["資料", "資料庫"]  # 2-gram of 3-char word
+    assert segment_cjk_search("索引") == ["索引"]  # len-2 word: no expansion
+    assert segment_cjk_search("宇宙") == ["宇", "宙"]  # unmatched singles
+    # concatenation: expansion applies per segmented word
+    assert segment_cjk_search("資料庫索引") == ["資料", "資料庫", "索引"]
