@@ -914,6 +914,79 @@ def q_embed_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- skew sf
+# Zipf-like + mega-doc stress corpus, md5-seeded (cross-engine exact):
+# word index = floor(64 · r³) with r = h60/2⁶⁰ uniform — cubing piles
+# ~25% of all positions on vocab[1]; 1% of docs get 80 spans instead of
+# 2. OCR_VOCAB words are lowercase, non-stopword and lemma-invariant, so
+# the tokenizer passes them through and the SQL twin needs no lemma
+# replay. This puts a genuinely hot term (df≈100%) and mega-docs into
+# the CORRECTNESS gate — the skew machinery (size-bucketed extraction,
+# df-guarded correlations) is now correctness-gated, not just benched.
+
+_TWO60 = float(1 << 60)
+
+
+def _skewed_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.hashing import h60
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("_did")
+    )
+    did = F.col("_did")
+    vocab = F.array(*[F.lit(w) for w in textproc.OCR_VOCAB])
+    mega = h60(F.concat(did, F.lit(":mega"))) % 100 == 0
+    n_spans = F.when(mega, F.lit(80)).otherwise(F.lit(2))
+
+    def word(o, w):
+        h = h60(
+            F.concat(
+                did, F.lit(":"), o.cast("string"), F.lit(":"), w.cast("string"),
+                F.lit(":zipf"),
+            )
+        )
+        r = h.cast("double") / F.lit(_TWO60)
+        idx = (F.floor(F.lit(64.0) * r * r * r) + 1).cast("int")
+        return F.element_at(vocab, idx)
+
+    def span(o):
+        words = F.transform(F.sequence(F.lit(0), F.lit(7)), lambda w: word(o, w))
+        return F.struct(
+            F.lit("text").alias("kind"),
+            F.array_join(words, " ").alias("text"),
+            F.lit("").alias("media_ref"),
+            o.cast("int").alias("offset"),
+        )
+
+    spans = F.transform(F.sequence(F.lit(0), n_spans - 1), span)
+    return d.select(
+        F.concat(F.lit("sk-"), did).alias("doc_id"), spans.alias("spans")
+    )
+
+
+def q_postings_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the Zipf+mega-doc corpus through the full
+    extraction+tokenize pipeline — hot-term and huge-span-array stress
+    with an exact SQL twin."""
+    ensure_shipped(spark)
+    extracted = extract_spans_columnar(_skewed_interleaved(spark, sf_dir))
+    p = term_postings(extracted.select("doc_id", "spans"))
+    return p.withColumn("tf", F.col("tf").cast("long"))
+
+
+def q_correlations_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-guarded correlations on the skewed corpus: the ~100%-df hot
+    terms MUST be dropped by the guard (otherwise the doc_id self-join is
+    quadratic); surviving pairs are exact vs DuckDB."""
+    ensure_shipped(spark)
+    extracted = extract_spans_columnar(_skewed_interleaved(spark, sf_dir))
+    p = term_postings(extracted.select("doc_id", "spans"))
+    corr = correlate.term_correlations(p, max_df_ratio=_CORR_MAX_DF_RATIO)
+    return corr.select("term1", "term2", F.round("tcr", 6).alias("tcr")).where(
+        F.col("tcr") >= _CORR_MIN_TCR
+    )
+
+
 def q_cjk_postings_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E14 search mode: jieba.cut_for_search-style overlapping sub-word
     emission (tokenize_and_stem.py:52) over the same md5-seeded corpus —
@@ -1069,6 +1142,8 @@ _TRAINING_QUERIES = {
     "embed_ann_kmeans": q_embed_ann_kmeans,
     "attribution_pref": q_attribution_pref,
     "cjk_postings_search": q_cjk_postings_search,
+    "postings_skewed": q_postings_skewed,
+    "correlations_skewed": q_correlations_skewed,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "quality_score": q_quality_score,
@@ -1328,6 +1403,62 @@ SELECT query_id, neighbor_id, cos FROM (
 ) WHERE rn <= 5"""
 
 
+def _skew_oracle(corr: bool = False) -> str:
+    """DuckDB twin of the Zipf+mega-doc corpus queries. r = h60/2⁶⁰ uses
+    one long→double cast and pure *,/ on powers of two plus r·r·r — the
+    identical IEEE operation sequence Spark executes, so floor(64·r³)
+    picks the same vocab index on both engines."""
+    vocab_lit = "[" + ", ".join("'" + w + "'" for w in textproc.OCR_VOCAB) + "]"
+    h = lambda e: f"('0x' || substring(md5({e}), 1, 15))::BIGINT"  # noqa: E731
+    base = f"""sk AS (SELECT doc_id::VARCHAR AS did FROM documents),
+spanidx AS (
+  SELECT did, unnest(range(0,
+    CASE WHEN {h("did || ':mega'")} % 100 = 0 THEN 80 ELSE 2 END)) AS o
+  FROM sk
+),
+wordidx AS (SELECT did, o, unnest(range(0, 8)) AS w FROM spanidx),
+terms AS (
+  SELECT did, ({vocab_lit})[(floor(64.0 * r * r * r) + 1)::INT] AS term
+  FROM (
+    SELECT did,
+           {h("did || ':' || o::VARCHAR || ':' || w::VARCHAR || ':zipf'")}::DOUBLE
+             / 1152921504606846976.0 AS r
+    FROM wordidx
+  )
+),
+postings_sk AS (
+  SELECT term, 'sk-' || did AS doc_id, count(*)::BIGINT AS tf
+  FROM terms GROUP BY 1, 2
+)"""
+    if not corr:
+        return f"WITH {base}\nSELECT term, doc_id, tf FROM postings_sk"
+    return f"""WITH {base},
+dfreq AS (SELECT term, count(*) AS df FROM postings_sk GROUP BY term),
+ndocs AS (SELECT count(DISTINCT doc_id) AS n FROM postings_sk),
+fpost AS (
+  SELECT p.term, p.doc_id, p.tf
+  FROM postings_sk p JOIN dfreq USING (term) CROSS JOIN ndocs
+  WHERE dfreq.df <= 0.3 * ndocs.n
+),
+norms AS (
+  SELECT term, CASE WHEN sqrt(sum(tf*tf)) = 0 THEN 1.0 ELSE sqrt(sum(tf*tf)) END AS norm
+  FROM fpost GROUP BY term
+),
+dots AS (
+  SELECT a.term AS term1, b.term AS term2, sum(a.tf * b.tf) AS dot
+  FROM fpost a
+  JOIN fpost b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+),
+corr AS (
+  SELECT term1, term2, round(dot / (na.norm * nb.norm), 6) AS tcr
+  FROM dots
+  JOIN norms na ON na.term = dots.term1
+  JOIN norms nb ON nb.term = dots.term2
+)
+SELECT term1, term2, tcr FROM corr WHERE tcr >= 0.1"""
+
+
 def _cjk_oracle(search_mode: bool = False) -> str:
     """DuckDB twin of q_cjk_postings: identical md5-seeded corpus, then
     forward max-match as a recursive CTE — at each position greedily take
@@ -1539,6 +1670,8 @@ FROM documents""",
     "multimodal_features": _MM_ORACLE,
     "cjk_postings": _cjk_oracle(),
     "cjk_postings_search": _cjk_oracle(search_mode=True),
+    "postings_skewed": _skew_oracle(),
+    "correlations_skewed": _skew_oracle(corr=True),
 }
 
 _base_queries = queries

@@ -59,17 +59,27 @@ def main() -> None:
         "events_sessionize",
     ]
 
+    # Two estimators per query (VERDICT r1 item 10): BEST of the samples
+    # (least-interference estimate given the 2-3x host noise — the number
+    # compared against the gate) and the MEDIAN of 3 samples (robust
+    # center — the number to compare round-over-round, since the best is
+    # a noise-floor estimate that improves with luck).
+    import statistics
+
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
     total = 0.0
+    total_med = 0.0
     for name in bench_queries:
-        best = None
-        for _ in range(2):  # best-of-2: host noise is 2-3x (see BENCH.md)
+        samples = []
+        for _ in range(3):
             t0 = time.time()
             _noop(qs[name](spark, sf_dir))
-            d = time.time() - t0
-            best = d if best is None or d < best else best
-        times[name] = round(best, 3)
-        total += best
+            samples.append(time.time() - t0)
+        times[name] = round(min(samples), 3)
+        medians[name] = round(statistics.median(samples), 3)
+        total += min(samples)
+        total_med += medians[name]
 
     # Flagship: extraction throughput on the interleaved synthetic corpus
     # (skew tail enabled — exercises the salted/size-bucketed path).
@@ -96,14 +106,18 @@ def main() -> None:
     pipeline(src.limit(2000))  # warmup (JIT, codegen, python workers)
     # best-of-2: this sandbox's host steals CPU with 2-3x wall-clock
     # noise; the minimum is the least-interference estimate
-    dt = None
+    pipe_samples = []
     for _ in range(2):
         t0 = time.time()
         pipeline(src)
-        d = time.time() - t0
-        dt = d if dt is None or d < dt else dt
+        pipe_samples.append(time.time() - t0)
+    dt = min(pipe_samples)
     times["extract_pipeline_synthetic"] = round(dt, 3)
+    medians["extract_pipeline_synthetic"] = round(
+        statistics.median(pipe_samples), 3
+    )
     total += dt
+    total_med += medians["extract_pipeline_synthetic"]
     docs_per_sec = N_DOCS_EXTRACT / dt
 
     print(
@@ -114,6 +128,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
+                "queries_median": medians,
+                "value_median": round(total_med, 3),
                 "sf": sf,
                 "extract_docs_per_sec": round(docs_per_sec, 1),
                 "cpus": cpus,
