@@ -78,7 +78,14 @@ def ivf_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Deterministic coarse centroids: the n lowest-id vectors.
-    (Replaceable by k-means — the IVF contract only needs (cid, cv).)"""
+    (Replaceable by :func:`kmeans_centroids` — the IVF contract only
+    needs (cid, cv).)
+
+    Scale note: the row_number window below is UNPARTITIONED — a single-
+    partition sort. Fine for the coarse-quantizer regime (n_centroids in
+    the hundreds-to-thousands: the input is already `.limit(n)`-pruned),
+    wrong if anyone raises n_centroids toward corpus size — partition the
+    id space first if that ever happens."""
     return (
         corpus.orderBy(F.asc(id_col))
         .limit(n_centroids)
