@@ -1117,6 +1117,25 @@ def _cjk_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio path: payload bytes as int8 samples → RMS, zero
+    crossings, byte-derived duration, via the same Arrow-batched decode
+    slot as images (byte-level parity-checked vs DuckDB)."""
+    ensure_shipped(spark)
+    extracted = extract_spans_columnar(_interleaved(spark, sf_dir))
+    media = MM.media_table(extracted.select("doc_id", "spans"))
+    return MM.decode_audio_features(media)
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video path: every-2nd-frame sampling with 4-byte
+    window hashes — the mapInPandas demuxer slot, fan-out shape real."""
+    ensure_shipped(spark)
+    extracted = extract_spans_columnar(_interleaved(spark, sf_dir))
+    media = MM.media_table(extracted.select("doc_id", "spans"))
+    return MM.sample_frames(media, every_n=2)
+
+
 def q_cjk_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E14: CJK forward-max-match segmentation → postings, through the
     real pipeline (extraction + mapInPandas segmenter stage). Oracle:
@@ -1151,6 +1170,8 @@ _TRAINING_QUERIES = {
     "extract_exploded": q_extract_exploded,
     "extract_arrow": q_extract_arrow,
     "multimodal_features": q_multimodal_features,
+    "audio_features": q_audio_features,
+    "video_frames": q_video_frames,
     "cjk_postings": q_cjk_postings,
 }
 
@@ -1261,6 +1282,39 @@ SELECT media_ref,
        (len(list_distinct(bs)) // 16)::INT AS byte_entropy_bucket,
        ('0x' || substring(hx, 1, 14))::BIGINT AS phash
 FROM b"""
+
+
+_AUDIO_ORACLE = f"""WITH {_BASE_CTE},
+media AS (SELECT doc_key || '-0001.png' AS media_ref FROM base),
+hexed AS (SELECT media_ref, sha256(media_ref) AS hx FROM media),
+b AS (
+  SELECT media_ref,
+         list_transform(range(0, 32), i -> ('0x' || substring(hx, 2*i + 1, 2))::INT) AS bs
+  FROM hexed
+),
+s AS (
+  SELECT media_ref, bs,
+         list_transform(bs, x -> CASE WHEN x >= 128 THEN x - 256 ELSE x END) AS sb
+  FROM b
+)
+SELECT media_ref,
+       32::BIGINT AS n_samples,
+       round(sqrt(list_sum(list_transform(sb, x -> (x*x)::DOUBLE)) / 32.0), 6) AS rms,
+       len(list_filter(range(1, 32), i -> (sb[i] >= 0) <> (sb[i+1] >= 0)))::BIGINT AS zero_crossings,
+       round(32000.0 / (8000 * (1 + bs[1] % 4)), 6) AS duration_ms
+FROM s"""
+
+_VIDEO_ORACLE = f"""WITH {_BASE_CTE},
+media AS (SELECT doc_key || '-0001.png' AS media_ref FROM base),
+hexed AS (SELECT media_ref, sha256(media_ref) AS hx FROM media),
+f AS (
+  SELECT media_ref, hx,
+         unnest(range(0, 4 + ('0x' || substring(hx, 3, 2))::INT % 5, 2)) AS frame_idx
+  FROM hexed
+)
+SELECT media_ref, frame_idx::BIGINT AS frame_idx,
+       ('0x' || substring(hx, ((frame_idx % 8) * 8 + 1)::INT, 8))::BIGINT AS frame_hash
+FROM f"""
 
 
 def _minhash_est_cases() -> str:
@@ -1668,6 +1722,8 @@ FROM documents""",
     "extract_exploded": _EXTRACT_SQL,
     "extract_arrow": _EXTRACT_SQL,
     "multimodal_features": _MM_ORACLE,
+    "audio_features": _AUDIO_ORACLE,
+    "video_frames": _VIDEO_ORACLE,
     "cjk_postings": _cjk_oracle(),
     "cjk_postings_search": _cjk_oracle(search_mode=True),
     "postings_skewed": _skew_oracle(),

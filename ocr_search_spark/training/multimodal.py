@@ -113,6 +113,94 @@ def decode_image_features(media: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ audio/video
+# Same plumbing contract for the other modalities (task list: "decode /
+# feature-extract / resize / frame-sample as Pandas UDFs"): typed
+# metadata derived deterministically from the payload, features computed
+# byte-level (int8-sample interpretation for audio, 4-byte frame windows
+# for video) so they are exact cross-engine — a real codec slots into
+# the same batch function.
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("zero_crossings", T.LongType(), False),
+        T.StructField("duration_ms", T.DoubleType(), False),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_hash", T.LongType(), False),
+    ]
+)
+
+
+def _audio_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import math
+
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for ref, p in zip(pdf["media_ref"], pdf["payload"]):
+            a = np.frombuffer(p, dtype=np.uint8)
+            s = a.astype(np.int8).astype(np.float64)
+            n = len(s)
+            rms = round(math.sqrt(float((s * s).sum()) / n), 6) if n else 0.0
+            zc = int(((s[:-1] >= 0) != (s[1:] >= 0)).sum()) if n > 1 else 0
+            rate = 8000 * (1 + int(a[0]) % 4) if n else 8000
+            rows.append((ref, n, rms, zc, round(n * 1000.0 / rate, 6)))
+        yield pd.DataFrame(
+            rows,
+            columns=["media_ref", "n_samples", "rms", "zero_crossings", "duration_ms"],
+        )
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction: payload bytes as int8
+    samples → RMS, zero crossings, duration from the byte-derived sample
+    rate. Same mapInPandas shape a real resampler/codec would use."""
+    return media.select("media_ref", "payload").mapInPandas(
+        _audio_iter, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+def _frame_iter(every_n: int):
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for ref, p in zip(pdf["media_ref"], pdf["payload"]):
+                a = np.frombuffer(p, dtype=np.uint8)
+                n_frames = 4 + int(a[1]) % 5 if len(a) > 1 else 0
+                for idx in range(0, n_frames, every_n):
+                    w = (idx % 8) * 4
+                    rows.append(
+                        (ref, idx, int.from_bytes(bytes(a[w : w + 4]), "big"))
+                    )
+            yield pd.DataFrame(rows, columns=["media_ref", "frame_idx", "frame_hash"])
+
+    return it
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling: every ``every_n``-th frame of the byte-derived
+    frame count, each hashed from its 4-byte payload window — the
+    mapInPandas slot where a real demuxer (pyav/ffmpeg) plugs in. One
+    input row fans out to ~n_frames/every_n output rows; Arrow batch
+    sizes stay bounded because frames-per-doc is metadata-bounded (at
+    scale: repartition upstream on media_ref for fan-out skew)."""
+    return media.select("media_ref", "payload").mapInPandas(
+        _frame_iter(every_n), schema=FRAME_SCHEMA
+    )
+
+
 def decode_image_real(media: DataFrame) -> DataFrame:  # pragma: no cover
     """Real decoder slot — requires PIL, which this container lacks."""
     try:

@@ -200,3 +200,42 @@ def test_multimodal_features(spark, corpus_df):
 def test_real_decoder_gated():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(None)
+
+
+def test_multimodal_audio_video(spark, corpus_df):
+    """Byte-level parity of the audio/video decode slots: int8-sample RMS
+    and zero crossings recomputed independently in numpy; frame sampling
+    honors the byte-derived frame count and the every_n stride."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from ocr_search_spark.training import multimodal as MM
+
+    media = MM.media_table(corpus_df.select("doc_id", "spans")).limit(20).cache()
+    refs = [r["media_ref"] for r in media.select("media_ref").collect()]
+    assert refs
+
+    audio = {r["media_ref"]: r for r in MM.decode_audio_features(media).collect()}
+    frames = {}
+    for r in MM.sample_frames(media, every_n=2).collect():
+        frames.setdefault(r["media_ref"], []).append((r["frame_idx"], r["frame_hash"]))
+
+    for ref in refs:
+        p = hashlib.sha256(ref.encode()).digest()
+        a = np.frombuffer(p, dtype=np.uint8)
+        s = a.astype(np.int8).astype(np.float64)
+        row = audio[ref]
+        assert row["n_samples"] == 32
+        assert abs(row["rms"] - round(math.sqrt(float((s * s).sum()) / 32), 6)) < 1e-9
+        assert row["zero_crossings"] == int(((s[:-1] >= 0) != (s[1:] >= 0)).sum())
+        rate = 8000 * (1 + int(a[0]) % 4)
+        assert abs(row["duration_ms"] - round(32000.0 / rate, 6)) < 1e-9
+
+        n_frames = 4 + int(a[1]) % 5
+        expect = [
+            (i, int.from_bytes(p[(i % 8) * 4 : (i % 8) * 4 + 4], "big"))
+            for i in range(0, n_frames, 2)
+        ]
+        assert sorted(frames[ref]) == expect

@@ -127,29 +127,22 @@ def main() -> None:
         "per_round_efficiency": per_round,
         "target": 0.8,
     }
-    results = {lo: {"docs_per_sec": best_lo}, hi: {"docs_per_sec": best_hi}}
     print(json.dumps(summary))
-    (REPO / "BENCH.md").write_text(
-        "# BENCH — scaling evidence (same job, two parallelism levels)\n\n"
-        "Same pipeline, same deterministic input (the corpus generator is\n"
-        "partition-invariant), one JVM per level, best-of-"
-        f"{REPEAT} timed runs per level (this sandbox's host is\n"
-        "oversubscribed — 32 reported CPUs sustain ~16 cores of real\n"
-        "throughput with 2-3× wall-clock noise; minimum-of-N is the\n"
-        "least-interference estimator, and the core pair stays inside\n"
-        "the machine's measured linear-scaling region).\n\n"
-        "Pipeline: read documents parquet → salted repartition →\n"
-        "mapInArrow extraction (+ span-level split of mega-docs) → write\n"
-        "extracted_spans parquet → read → tokenize (columnar English +\n"
-        "mapInPandas CJK) → postings aggregate → noop sink.\n\n"
+    # Append (never clobber — BENCH.md accumulates per-round measurements
+    # and methodology context).
+    section = (
+        f"\n## Measured run: {n_docs} docs, local[{lo}] vs local[{hi}] "
+        f"(best-of-{REPEAT} per level, {rounds} interleaved rounds)\n\n"
         f"| docs | local[{lo}] docs/s | local[{hi}] docs/s | "
-        "efficiency (→4×) |\n|---|---|---|---|\n"
+        "efficiency |\n|---|---|---|---|\n"
         f"| {n_docs} | {summary[f'local{lo}_docs_per_sec']} | "
         f"{summary[f'local{hi}_docs_per_sec']} | "
         f"{summary[f'scaling_efficiency_{lo}_to_{hi}']} (target ≥ 0.8) |\n\n"
-        f"Per-round efficiencies (interleaved rounds, median reported): "
+        f"Per-round (paired) efficiencies, median {summary['median_round_efficiency']}: "
         f"{per_round}\n"
     )
+    with open(REPO / "BENCH.md", "a") as fh:
+        fh.write(section)
 
 
 if __name__ == "__main__":
