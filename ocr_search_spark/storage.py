@@ -40,15 +40,27 @@ class BucketedTable:
         path: str,
         keys: list[str],
         n_buckets: int = 64,
+        bucket_keys: list[str] | None = None,
     ):
+        """``keys`` = the MERGE key (row identity). ``bucket_keys``
+        (default: keys) = the partition-pruning key; must be a subset of
+        ``keys`` so an updated row always lands in its old row's bucket.
+        Bucketing postings by ``doc_id`` alone while merging on
+        ``(term, doc_id)`` colocates each document's rows — a doc-level
+        replace then touches only that doc's bucket."""
         self.spark = spark
         self.path = path
         self.keys = list(keys)
+        self.bucket_keys = list(bucket_keys) if bucket_keys is not None else list(keys)
+        if not set(self.bucket_keys) <= set(self.keys):
+            raise ValueError(
+                f"bucket_keys {self.bucket_keys} must be a subset of keys {self.keys}"
+            )
         self.n_buckets = n_buckets
 
     # ------------------------------------------------------------ helpers
     def _bucket(self) -> F.Column:
-        return F.pmod(F.xxhash64(*self.keys), F.lit(self.n_buckets)).cast("int")
+        return F.pmod(F.xxhash64(*self.bucket_keys), F.lit(self.n_buckets)).cast("int")
 
     def _touched_buckets(self, updates: DataFrame) -> list[int]:
         """Distinct buckets of the update keys — bounded by n_buckets, so
@@ -90,6 +102,37 @@ class BucketedTable:
         cols = [c for c in raw.columns if c != BUCKET_COL]
         current = raw.where(F.col(BUCKET_COL).isin(touched)).select(cols)
         merged = upsert_by_key(current, updates.select(cols), self.keys, version_col)
+        self._overwrite_buckets(merged.withColumn(BUCKET_COL, self._bucket()))
+        return touched
+
+    def exists(self) -> bool:
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(self.path)
+        return p.getFileSystem(self.spark._jsc.hadoopConfiguration()).exists(p)
+
+    def replace_group(self, updates: DataFrame, group_keys: list[str]) -> list[int]:
+        """Group-level replace: every group (e.g. a doc_id) present in
+        ``updates`` has ALL its existing rows dropped and the update rows
+        inserted — the MERGE shape of re-processing a changed document,
+        whose new token set need not overlap its old one. Requires
+        ``bucket_keys ⊆ group_keys`` so a group lives entirely inside its
+        buckets; rewrites only those buckets. Idempotent: re-applying the
+        same updates (e.g. a replayed foreachBatch) reproduces the same
+        table state."""
+        if not set(self.bucket_keys) <= set(group_keys):
+            raise ValueError(
+                f"group_keys {group_keys} must contain bucket_keys "
+                f"{self.bucket_keys} (a group must not span buckets)"
+            )
+        touched = self._touched_buckets(updates)
+        if not touched:
+            return []
+        raw = self.spark.read.parquet(self.path)
+        cols = [c for c in raw.columns if c != BUCKET_COL]
+        current = raw.where(F.col(BUCKET_COL).isin(touched)).select(cols)
+        groups = updates.select(*group_keys).distinct()
+        remaining = current.join(groups, group_keys, "left_anti").select(cols)
+        merged = remaining.unionByName(updates.select(cols))
         self._overwrite_buckets(merged.withColumn(BUCKET_COL, self._bucket()))
         return touched
 

@@ -164,3 +164,91 @@ def test_stateful_sessionize_vs_batch(spark, dirs):
     must = [k for k, v in batch.items() if v["session_end"] < cutoff]
     for k in must:
         assert k in stream, f"closed session {k} not emitted"
+
+
+def test_stream_maintain_postings(spark, dirs, tmp_path):
+    """Doc-level incremental index maintenance: a stream of document
+    versions MERGEs into a standing BucketedTable; final state equals a
+    batch rebuild over the latest corpus, and buckets holding only
+    untouched docs stay byte-identical across the second run."""
+    from tests.test_storage import _by_bucket, _file_state
+
+    from ocr_search_spark.operators.extract import extract_spans_columnar
+    from ocr_search_spark.operators.tokenize import term_postings
+    from ocr_search_spark.streaming import index_maintain as IM
+
+    table_path = str(tmp_path / "postings_tbl")
+    n_buckets = 32
+
+    docs_v1 = corpus.documents_table(spark, 100, skew=False).cache()
+    docs_v1.write.mode("append").parquet(dirs["in"])
+    IM.stream_maintain_postings(
+        spark, dirs["in"], table_path, dirs["ckpt"], n_buckets=n_buckets
+    )
+    table = IM.postings_table(spark, table_path, n_buckets)
+    expect1 = term_postings(extract_spans_columnar(docs_v1).select("doc_id", "spans"))
+    got1 = table.read()
+    assert got1.exceptAll(expect1).count() == 0
+    assert expect1.exceptAll(got1).count() == 0
+
+    # v2: 10 docs get a prepended span (new version), 30 brand-new docs
+    ids = sorted(r["doc_id"] for r in docs_v1.select("doc_id").collect())
+    modified = set(ids[:10])
+    new_span = F.struct(
+        F.lit("text").alias("kind"),
+        F.lit("brand new incremental content").alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    )
+    bumped = F.transform(
+        "spans",
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            (s["offset"] + 1).cast("int").alias("offset"),
+        ),
+    )
+    docs_mod = docs_v1.where(F.col("doc_id").isin(*modified)).withColumn(
+        "spans", F.concat(F.array(new_span), bumped)
+    )
+    extra = (
+        corpus.documents_table(spark, 130, skew=False)
+        .join(docs_v1.select("doc_id"), "doc_id", "left_anti")
+        .cache()
+    )
+    assert extra.count() == 30
+    updates = docs_mod.unionByName(extra)
+    updates.write.mode("append").parquet(dirs["in"])
+
+    before = _by_bucket(_file_state(table_path))
+    IM.stream_maintain_postings(
+        spark, dirs["in"], table_path, dirs["ckpt"], n_buckets=n_buckets
+    )
+    after = _by_bucket(_file_state(table_path))
+
+    latest = (
+        docs_v1.where(~F.col("doc_id").isin(*modified))
+        .unionByName(docs_mod)
+        .unionByName(extra)
+    )
+    expect2 = term_postings(extract_spans_columnar(latest).select("doc_id", "spans"))
+    got2 = table.read()
+    assert got2.exceptAll(expect2).count() == 0
+    assert expect2.exceptAll(got2).count() == 0
+
+    # buckets containing no updated doc must be byte-identical
+    from ocr_search_spark.storage import BUCKET_COL
+
+    touched = {
+        r[BUCKET_COL]
+        for r in updates.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int").alias(BUCKET_COL)
+        )
+        .distinct()
+        .collect()
+    }
+    untouched = set(before) - touched
+    assert untouched, "fixture should leave at least one bucket untouched"
+    for b in untouched:
+        assert after[b] == before[b], f"untouched bucket {b} was rewritten"
