@@ -126,6 +126,13 @@ def kmeans_centroids(
     )
     vecs = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     for _ in range(iters):
+        # Materialize each iteration's centroids (n_centroids × dim — tiny).
+        # Without this every downstream reference re-executes the FULL
+        # prior-iteration lineage, and the physical plan grows
+        # exponentially in iters (observed: the 2-iter plan embeds the
+        # corpus scan 7×). Cache keeps results identical; it only pins
+        # the iteration boundary.
+        cents = cents.cache()
         assign = ivf_assign(corpus, cents, id_col, vec_col, round_digits)
         flat = assign.join(vecs, "vec_id").select(
             "cid", F.posexplode("v").alias("i", "x")
@@ -149,7 +156,7 @@ def kmeans_centroids(
             .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
             .select("cid", F.transform("pairs", lambda s: s["m"]).alias("cv"))
         )
-    return cents
+    return cents.cache()  # assign + search both re-reference it
 
 
 def ivf_assign(
