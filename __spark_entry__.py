@@ -1895,3 +1895,144 @@ _TRAINING_ORACLES["events_pivot"] = """SELECT user_id % 10 AS bucket,
     for t in _EVENT_TYPES
 ) + """
 FROM events GROUP BY 1"""
+
+
+# ------------------------------------------------------- round-2 relational
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): two broadcast nation dims with
+    an OR'd pair predicate, exact-decimal volume sums per (supp_nation,
+    cust_nation, year)."""
+    li, o, c, s, n = _tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    vol = _dec("l_extendedprice", _DEC2) * (F.lit(1).cast(_DEC4) - _dec("l_discount", _DEC4))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .where(pair)
+        .where(
+            (_epoch("l_shipdate") >= _EPOCH_1995) & (_epoch("l_shipdate") < _EPOCH_1997)
+        )
+    )
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            vol.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 4).cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share): NATION_3 suppliers' share of PROMO
+    part volume sold to ASIA customers, per order year. Null-skipping
+    conditional sum with exact decimals, one double division at the end."""
+    li, o, c, s, n, r, p = _tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation",
+        "region", "part",
+    )
+    nc = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    ns = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    asia = r.where(F.col("r_name") == "ASIA").select(F.col("r_regionkey").alias("c_rk"))
+    promo = p.where(F.col("p_type") == "PROMO").select(F.col("p_partkey").alias("l_partkey"))
+    vol = _dec("l_extendedprice", _DEC2) * (F.lit(1).cast(_DEC4) - _dec("l_discount", _DEC4))
+    j = (
+        li.join(F.broadcast(promo), "l_partkey")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(asia), "c_rk")
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("s_nk"))
+        .where(
+            (_epoch("o_orderdate") >= _EPOCH_1995)
+            & (_epoch("o_orderdate") < _EPOCH_1997)
+        )
+    )
+    yearly = j.select(
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        vol.alias("volume"),
+        F.when(F.col("supp_nation") == "NATION_3", vol).alias("nvol"),
+    ).groupBy("o_year").agg(
+        F.coalesce(F.sum("nvol"), F.lit(0)).cast("double").alias("n_sum"),
+        F.sum("volume").cast("double").alias("t_sum"),
+    )
+    return yearly.select(
+        "o_year", F.round(F.col("n_sum") / F.col("t_sum"), 6).alias("mkt_share")
+    )
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (grouping sets): counts + exact-decimal value sums over every
+    combination of (user bucket, event_type), including the roll-up rows
+    (NULL dimensions) — the multi-granularity aggregation shape."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.select((F.col("user_id") % 10).alias("bucket"), "event_type", "value")
+        .cube("bucket", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_dec("value")), 4).cast("double").alias("sum_value"),
+        )
+    )
+
+
+_TRAINING_QUERIES["tpch_q7"] = q_tpch_q7
+_TRAINING_QUERIES["tpch_q8"] = q_tpch_q8
+_TRAINING_QUERIES["events_cube"] = q_events_cube
+_TRAINING_ORACLES["tpch_q7"] = f"""SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 4)::DOUBLE AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice::DECIMAL(14,2) * (1::DECIMAL(8,4) - l_discount::DECIMAL(8,4)) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND (epoch_us(l_shipdate) // 1000000) >= {_EPOCH_1995}
+    AND (epoch_us(l_shipdate) // 1000000) < {_EPOCH_1997}
+)
+GROUP BY 1, 2, 3"""
+_TRAINING_ORACLES["tpch_q8"] = f"""WITH j AS (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice::DECIMAL(14,2) * (1::DECIMAL(8,4) - l_discount::DECIMAL(8,4)) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+    AND (epoch_us(o_orderdate) // 1000000) >= {_EPOCH_1995}
+    AND (epoch_us(o_orderdate) // 1000000) < {_EPOCH_1997}
+)
+SELECT o_year,
+       round(coalesce(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume END), 0)::DOUBLE
+             / sum(volume)::DOUBLE, 6) AS mkt_share
+FROM j GROUP BY o_year"""
+_TRAINING_ORACLES["events_cube"] = """SELECT user_id % 10 AS bucket, event_type,
+       count(*) AS n,
+       round(sum(value::DECIMAL(18,4)), 4)::DOUBLE AS sum_value
+FROM events
+GROUP BY CUBE (1, 2)"""
