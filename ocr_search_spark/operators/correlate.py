@@ -88,6 +88,113 @@ def term_correlations(
     return out
 
 
+def incremental_correlations(
+    old_postings: DataFrame,
+    new_postings: DataFrame,
+    changed_doc_ids: DataFrame,
+    stored_corr: DataFrame,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """Incremental view maintenance for the correlation table (S8/I8-I9):
+    after a batch of documents changes (``changed_doc_ids`` — added,
+    modified or deleted), recompute ONLY the pairs that can have changed
+    and carry every other stored pair over verbatim.
+
+    Why it is exact:
+    * dot(t1,t2) changes only if some changed doc contains both terms →
+      only pairs with ≥1 *affected* term (a term appearing in a changed
+      doc, before or after).
+    * norm(t) changes only for affected terms.
+    * the df-guard's keep-set can flip for an UNchanged term when the
+      corpus doc count moves — guard-flipped terms are folded into the
+      affected set, so carried pairs are exactly those whose dot, norms
+      and guard membership are all provably unchanged.
+
+    Cost ∝ postings volume of affected terms (their full posting lists
+    self-joined), not the corpus — the set-oriented version of the
+    reference's "refresh correlations for this file's terms" intent
+    (DbInterface.class.js:163-180) that its O(terms²) loop made
+    unaffordable.
+
+    Returns the complete new correlation table (term1 < term2); compare
+    against ``term_correlations(new_postings, …)`` for equivalence."""
+    changed = changed_doc_ids.select("doc_id").distinct()
+
+    def _keep(p: DataFrame) -> DataFrame:
+        if max_df_ratio is None:
+            return p.select("term").distinct()
+        dfreq = p.groupBy("term").agg(F.count("*").alias("_df"))
+        ndocs = p.select(F.countDistinct("doc_id").alias("_n"))
+        return (
+            dfreq.crossJoin(F.broadcast(ndocs))
+            .where(F.col("_df") <= F.lit(max_df_ratio) * F.col("_n"))
+            .select("term")
+        )
+
+    keep_old, keep_new = _keep(old_postings), _keep(new_postings)
+    touched_terms = (
+        old_postings.join(changed, "doc_id")
+        .select("term")
+        .unionByName(new_postings.join(changed, "doc_id").select("term"))
+        .distinct()
+    )
+    flipped = keep_old.exceptAll(keep_new).unionByName(
+        keep_new.exceptAll(keep_old)
+    ).distinct()
+    affected = touched_terms.unionByName(flipped).distinct()
+
+    # carried: stored pairs with BOTH sides unaffected (dot, norms and
+    # guard membership all unchanged)
+    carried = (
+        stored_corr.join(
+            affected.withColumnsRenamed({"term": "term1"}), "term1", "left_anti"
+        ).join(affected.withColumnsRenamed({"term": "term2"}), "term2", "left_anti")
+        .select(*stored_corr.columns)
+    )
+
+    # recomputed: every pair involving an affected term, from the new
+    # guarded postings. Orientation rule keeps each pair exactly once:
+    # (a < b) always, plus (a > b) only when b is NOT affected (else the
+    # b-side row produced it already).
+    p = new_postings.join(keep_new, "term") if max_df_ratio is not None else new_postings
+    p = p.select("term", "doc_id", "tf")
+    aff_mark = affected.withColumn("_aff", F.lit(True))
+    pa = p.join(aff_mark.select("term", "_aff"), "term").select(
+        F.col("term").alias("ta"), "doc_id", F.col("tf").alias("tfa")
+    )
+    pb = p.join(aff_mark.select("term", "_aff"), "term", "left").select(
+        F.col("term").alias("tb"),
+        "doc_id",
+        F.col("tf").alias("tfb"),
+        F.coalesce(F.col("_aff"), F.lit(False)).alias("b_aff"),
+    )
+    rows = (
+        pa.join(pb, "doc_id")
+        .where(
+            (F.col("ta") < F.col("tb"))
+            | ((F.col("ta") > F.col("tb")) & ~F.col("b_aff"))
+        )
+        .select(
+            F.least("ta", "tb").alias("term1"),
+            F.greatest("ta", "tb").alias("term2"),
+            (F.col("tfa") * F.col("tfb")).alias("prod"),
+        )
+    )
+    dots = rows.groupBy("term1", "term2").agg(F.sum("prod").alias("dot"))
+    norms = term_norms(p)
+    recomputed = (
+        dots.join(norms.withColumnsRenamed({"term": "term1", "norm": "n1"}), "term1")
+        .join(norms.withColumnsRenamed({"term": "term2", "norm": "n2"}), "term2")
+        .select(
+            "term1",
+            "term2",
+            (F.col("dot") / (F.col("n1") * F.col("n2"))).alias("tcr"),
+        )
+        .select(*stored_corr.columns)
+    )
+    return carried.unionByName(recomputed)
+
+
 def symmetric(corr: DataFrame) -> DataFrame:
     """Store both (t1,t2) and (t2,t1) — the reference's layout (S8)."""
     return corr.unionByName(

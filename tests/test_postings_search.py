@@ -141,3 +141,53 @@ def test_upsert_duplicate_keys_deterministic(spark):
             for r in upsert_by_key(existing, updates, ["k"], version_col="ver").collect()
         }
         assert got == {"k1": (2, "newest"), "k2": (5, "b")}
+
+
+def test_incremental_correlations_equals_full(spark, corpus_df):
+    """IVM for the correlation table: after a doc diff (modify + delete +
+    add), carrying unaffected pairs and recomputing only affected-term
+    pairs equals a full recompute — with and without the df-guard."""
+    from ocr_search_spark.operators import correlate
+    from ocr_search_spark.operators.extract import extract_spans_columnar
+    from ocr_search_spark.operators.tokenize import term_postings
+
+    all_docs = corpus_df.select("doc_id", "spans").limit(140).cache()
+    ids = sorted(r["doc_id"] for r in all_docs.select("doc_id").collect())
+    v1_ids, extra_ids = set(ids[:120]), set(ids[120:])
+    modified, deleted = set(ids[:10]), set(ids[10:15])
+
+    docs_v1 = all_docs.where(F.col("doc_id").isin(*v1_ids)).cache()
+    new_span = F.struct(
+        F.lit("text").alias("kind"),
+        F.lit("freshly injected correlation content").alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    )
+    docs_v2 = (
+        all_docs.where(~F.col("doc_id").isin(*deleted))
+        .withColumn(
+            "spans",
+            F.when(
+                F.col("doc_id").isin(*modified), F.concat(F.array(new_span), F.col("spans"))
+            ).otherwise(F.col("spans")),
+        )
+        .cache()
+    )
+    changed = spark.createDataFrame(
+        [(d,) for d in sorted(modified | deleted | extra_ids)], "doc_id string"
+    )
+
+    p1 = term_postings(extract_spans_columnar(docs_v1).select("doc_id", "spans")).cache()
+    p2 = term_postings(extract_spans_columnar(docs_v2).select("doc_id", "spans")).cache()
+
+    for ratio in (None, 0.3):
+        stored = correlate.term_correlations(p1, max_df_ratio=ratio)
+        inc = correlate.incremental_correlations(
+            p1, p2, changed, stored, max_df_ratio=ratio
+        )
+        full = correlate.term_correlations(p2, max_df_ratio=ratio)
+        r = lambda df: df.select(  # noqa: E731
+            "term1", "term2", F.round("tcr", 9).alias("tcr")
+        )
+        assert r(inc).exceptAll(r(full)).count() == 0, f"extra pairs (ratio={ratio})"
+        assert r(full).exceptAll(r(inc)).count() == 0, f"missing pairs (ratio={ratio})"
