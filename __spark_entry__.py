@@ -2036,3 +2036,63 @@ _TRAINING_ORACLES["events_cube"] = """SELECT user_id % 10 AS bucket, event_type,
        round(sum(value::DECIMAL(18,4)), 4)::DOUBLE AS sum_value
 FROM events
 GROUP BY CUBE (1, 2)"""
+
+
+_BATCH_QUERIES = [
+    "tables scanned fast",
+    "merged queries sorted",
+    "running children data",
+    "slow kernel rows",
+    "index filter partition",
+]
+
+
+def q_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-query search: 5 pinned queries scored in ONE job
+    (broadcast query-term table + single aggregate + per-query window
+    top-k) — the offline-eval shape the reference's per-HTTP-call API
+    cannot express."""
+    from ocr_search_spark.operators.search import match_terms_batch
+
+    rows = [
+        (qi, t)
+        for qi, q in enumerate(_BATCH_QUERIES)
+        for t in sorted(set(tokenize_text(q)))
+    ]
+    qt = spark.createDataFrame(rows, "query_id int, term string")
+    out = match_terms_batch(_postings(spark, sf_dir), qt, max_return=10)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id",
+        F.col("score").cast("long").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _search_batch_oracle() -> str:
+    vals = ",\n    ".join(
+        f"({qi}, '{t}')"
+        for qi, q in enumerate(_BATCH_QUERIES)
+        for t in sorted(set(tokenize_text(q)))
+    )
+    return f"""WITH {_POSTINGS_BODY},
+qt(query_id, term) AS (
+  VALUES
+    {vals}
+),
+scored AS (
+  SELECT qt.query_id, p.doc_id, max(p.tf) AS score
+  FROM postings p JOIN qt ON p.term = qt.term
+  GROUP BY 1, 2
+)
+SELECT query_id::BIGINT AS query_id, doc_id, score::BIGINT AS score, rank::BIGINT AS rank
+FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10"""
+
+
+_TRAINING_QUERIES["search_batch"] = q_search_batch
+_TRAINING_ORACLES["search_batch"] = _search_batch_oracle()

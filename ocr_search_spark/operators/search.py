@@ -77,6 +77,37 @@ def search(
     return match_terms(postings, list(tf_dict.keys()), docs, max_return)
 
 
+def match_terms_batch(
+    postings: DataFrame,
+    query_terms: DataFrame,
+    max_return: int = DEFAULT_MAX_RETURN,
+) -> DataFrame:
+    """Batch search: score MANY queries in one job — (query_id, term)
+    rows in, per-query top-k (query_id, doc_id, score, rank) out.
+
+    The reference's API serves one query per HTTP call; at engine scale
+    (offline eval sets, query-log replay, training-pair mining) you score
+    millions of queries in one pass: broadcast the query-term table,
+    one semi-join + one (query_id, doc_id) aggregate, then a window
+    top-k per query. Same Q3 scoring semantics (max tf, doc_id
+    tie-break). Postings shuffle once on (query_id, doc_id) — never per
+    query. For query sets too big to broadcast, drop the broadcast hint
+    and let AQE pick a shuffle join on term."""
+    from pyspark.sql import Window as W
+
+    scored = (
+        postings.join(F.broadcast(query_terms.select("query_id", "term")), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.max("tf").alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= max_return)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def search_expanded(
     postings: DataFrame,
     correlations: DataFrame,
