@@ -2096,3 +2096,41 @@ FROM (
 
 _TRAINING_QUERIES["search_batch"] = q_search_batch
 _TRAINING_ORACLES["search_batch"] = _search_batch_oracle()
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters over the n-gram Jaccard pair graph
+    (threshold 0.5): (id, cluster_id = min reachable id). Min-label
+    propagation on Spark; transitive-closure recursive CTE in DuckDB."""
+    docs = _docs_flat(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.5).select("id_a", "id_b")
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return D.connected_components(nodes, pairs)
+
+
+_TRAINING_QUERIES["dedup_clusters"] = q_dedup_clusters
+_TRAINING_ORACLES["dedup_clusters"] = f"""WITH RECURSIVE {_SHINGLES_CTE},
+sizes AS (SELECT id, count(*) AS n FROM shingle_rows GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM shingle_rows a JOIN shingle_rows b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jpairs
+  UNION ALL
+  SELECT id_b, id_a FROM jpairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src"""

@@ -219,6 +219,59 @@ def minhash_jaccard_estimate(
     )
 
 
+# ------------------------------------------------- connected components
+
+
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Transitive near-duplicate CLUSTERS from candidate pairs:
+    (id, cluster_id) with cluster_id = min id reachable in the pair
+    graph; isolated docs are their own cluster. This is what a dedup
+    pipeline actually keeps — "retain one doc per cluster" needs the
+    transitive closure, not raw pairs (A~B, B~C ⇒ {A,B,C} even when A~C
+    never became a candidate).
+
+    Algorithm: min-label propagation — comp'(v) = min(comp(v),
+    min_{u∈N(v)} comp(u)) until fixpoint. Deterministic (unique
+    fixpoint regardless of execution order), converges in O(diameter)
+    iterations ≤ O(log n) for the short chains dedup graphs exhibit;
+    each iteration is one join + one aggregate, labels are cached and
+    materialized by the convergence-check action so lineage stays flat
+    (the kmeans plan-growth lesson). Driver sees one change-count scalar
+    per iteration, never data."""
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = nodes.select(F.col("id"), F.col("id").alias("comp")).cache()
+    labels.count()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.withColumnsRenamed({"id": "dst", "comp": "ncomp"}), "dst")
+            .groupBy("src")
+            .agg(F.min("ncomp").alias("nmin"))
+            .withColumnsRenamed({"src": "id"})
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select("id", F.least("comp", F.coalesce("nmin", "comp")).alias("comp"))
+            .cache()
+        )
+        changed = (
+            new_labels.withColumnsRenamed({"comp": "ncomp"})
+            .join(labels, "id")
+            .where(F.col("ncomp") != F.col("comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("comp").alias("cluster_id"))
+
+
 # -------------------------------------------------------------- SimHash
 
 SIMHASH_BITS = 60  # stay positive in int64 on both engines

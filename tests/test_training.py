@@ -239,3 +239,17 @@ def test_multimodal_audio_video(spark, corpus_df):
             for i in range(0, n_frames, 2)
         ]
         assert sorted(frames[ref]) == expect
+
+
+def test_connected_components(spark):
+    """Chain A~B~C merges into one cluster even though A~C was never a
+    candidate pair; isolated nodes stay singletons; deterministic."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 7)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components(nodes, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
