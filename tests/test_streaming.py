@@ -252,3 +252,52 @@ def test_stream_maintain_postings(spark, dirs, tmp_path):
     assert untouched, "fixture should leave at least one bucket untouched"
     for b in untouched:
         assert after[b] == before[b], f"untouched bucket {b} was rewritten"
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf (its state "
+    "server speaks protobuf to the JVM); not installed in this container",
+)
+def test_transform_with_state_sessionize_vs_batch(spark, dirs):
+    """The transformWithStateInPandas sessionizer (modern stateful API)
+    must agree with the batch twin on every emitted (closed) session and
+    emit everything that closed well before end-of-stream — the same
+    contract as the applyInPandasWithState twin."""
+    import datetime
+
+    from ocr_search_spark.streaming import sessionize, sessionize_tws
+
+    events = spark.read.schema(ingest.EVENTS_DDL).parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    )
+    events.write.mode("overwrite").parquet(dirs["in"])
+    sessionize_tws.stream_sessionize_tws(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    stream = {
+        (r["user_id"], r["session_start"]): r
+        for r in spark.read.parquet(dirs["out"]).collect()
+    }
+    assert len(stream) > 0
+    batch = {
+        (r["user_id"], r["session_start"]): r
+        for r in sessionize.batch_sessionize(events).collect()
+    }
+    for key, sr in stream.items():
+        br = batch[key]
+        assert sr["session_end"] == br["session_end"]
+        assert sr["n_events"] == br["n_events"]
+        assert abs(sr["sum_value"] - br["sum_value"]) < 1e-6
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    cutoff = (max_ts - datetime.timedelta(hours=2)).timestamp()
+    must = [k for k, v in batch.items() if v["session_end"] < cutoff]
+    for k in must:
+        assert k in stream, f"closed session {k} not emitted"
