@@ -2134,3 +2134,25 @@ reach(src, dst) AS (
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
 )
 SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage check: docs with doc_id % 29 == 0 form the
+    pinned eval split; every remaining training doc is flagged when it
+    shares >= 1 word-3-gram shingle with the eval set."""
+    docs = _docs_flat(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 29 == 0)
+    tr = docs.where(F.col("doc_id") % 29 != 0)
+    return D.contamination(tr, ev, k=3, min_hits=1)
+
+
+_TRAINING_QUERIES["decontaminate"] = q_decontaminate
+_TRAINING_ORACLES["decontaminate"] = f"""WITH {_SHINGLES_CTE},
+ev AS (SELECT DISTINCT sh FROM shingle_rows WHERE id % 29 = 0),
+tr AS (SELECT id, sh FROM shingle_rows WHERE id % 29 <> 0),
+hits AS (SELECT id, count(*) AS n FROM tr JOIN ev USING (sh) GROUP BY id)
+SELECT d.doc_id AS id,
+       coalesce(h.n, 0)::BIGINT AS n_hits,
+       coalesce(h.n, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+WHERE d.doc_id % 29 <> 0"""

@@ -219,6 +219,42 @@ def minhash_jaccard_estimate(
     )
 
 
+# ---------------------------------------------------- decontamination
+
+
+def contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_hits: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Train/eval decontamination: flag training docs sharing ≥
+    ``min_hits`` word-k-gram shingles with the eval/benchmark set —
+    (id, n_hits, contaminated) for EVERY training doc (0/false when
+    clean). The GPT-3/PaLM-style leakage check, set-oriented: eval
+    shingles are deduplicated once and joined against training shingle
+    rows; cost ∝ corpus shingles, never pairs. At scale the eval side is
+    tiny (benchmarks ≪ corpus) — broadcast it; ``max_df`` drops
+    stop-shingles that would flag everything."""
+    tr = shingle_rows(train, text_col, id_col, k, max_df)
+    ev = shingle_rows(eval_docs, text_col, id_col, k).select("sh").distinct()
+    hits = tr.join(F.broadcast(ev), "sh").groupBy("id").agg(
+        F.count("*").alias("_hits")
+    )
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
 # ------------------------------------------------- connected components
 
 
