@@ -1,0 +1,120 @@
+"""Plan-shape regression guards: the performance story is TESTED, not
+hoped. Each assertion pins a physical-plan property that a future
+refactor could silently lose (an extra shuffle, a nested-loop join, a
+lost broadcast) — exactly the regressions .explain review catches once
+and tests keep caught. Plans are inspected pre-execution (AQE initial
+plan), which is what the optimizer statically guarantees.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def tree_of(df) -> str:
+    """Just the plan tree (first block) — node names appear once here,
+    while the full formatted output repeats them in the detail section."""
+    return plan_of(df).split("\n\n")[0]
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.001"
+
+
+def test_extraction_is_shuffle_free(spark):
+    from ocr_search_spark import corpus
+    from ocr_search_spark.operators.extract import extract_spans_columnar
+
+    docs = corpus.documents_table(spark, 50, skew=False)  # un-cached: real plan
+    p = plan_of(extract_spans_columnar(docs))
+    assert "Exchange" not in p, "extraction must stay a narrow map"
+    assert "codegen id" in p, "extraction must run inside whole-stage codegen"
+
+
+def test_postings_single_shuffle(spark, corpus_df):
+    from ocr_search_spark.operators.extract import extract_spans_columnar
+    from ocr_search_spark.operators.tokenize import term_postings
+
+    ext = extract_spans_columnar(corpus_df.select("doc_id", "spans"))
+    df = term_postings(ext.select("doc_id", "spans"))
+    t = tree_of(df)
+    n_exchanges = t.count("Exchange")
+    assert n_exchanges == 1, f"index build must shuffle exactly once, saw {n_exchanges}"
+    assert "MapInPandas" in t  # CJK stage is an isolated plan node
+    assert "partial_count" in plan_of(df), "map-side partial aggregation lost"
+
+
+def test_search_broadcasts_and_takeordered(spark, corpus_df):
+    from ocr_search_spark.operators.extract import extract_spans_columnar
+    from ocr_search_spark.operators.search import match_terms
+    from ocr_search_spark.operators.tokenize import term_postings
+
+    ext = extract_spans_columnar(corpus_df.select("doc_id", "spans"))
+    postings = term_postings(ext.select("doc_id", "spans"))
+    p = plan_of(match_terms(postings, ["table", "scan"], max_return=20))
+    assert "BroadcastHashJoin" in p, "query terms must broadcast"
+    assert "TakeOrderedAndProject" in p, "top-k must not be a global sort"
+    assert "SortMergeJoin" not in p
+
+
+def test_custom_joins_avoid_nested_loop(spark):
+    from ocr_search_spark.operators.joins import asof_join, range_join_binned
+
+    left = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 10).alias("t"), F.col("id").alias("lv")
+    )
+    right = spark.range(20).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 55).alias("rt"), F.col("id").alias("rv")
+    )
+    p = plan_of(asof_join(left, right, on=["k"], left_on="t", right_on="rt"))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+    points = spark.range(100).select(F.col("id").alias("p"), F.col("id").alias("pv"))
+    iv = spark.range(10).select(
+        (F.col("id") * 17).alias("lo"), (F.col("id") * 17 + 30).alias("hi")
+    )
+    p2 = plan_of(range_join_binned(points, "p", iv, "lo", "hi", bin_width=16))
+    assert "BroadcastNestedLoopJoin" not in p2
+    assert "CartesianProduct" not in p2
+
+
+def test_tpch_q5_broadcasts_dims(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    p = plan_of(entry.q_tpch_q5(spark, sf_dir))
+    # every dimension (region, nation, supplier, customer at sf) joins
+    # without shuffling the fact side more than the one agg requires
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "PushedFilters: [IsNotNull(r_name)" in p or "EqualTo(r_name,ASIA)" in p, (
+        "region filter must reach the parquet scan"
+    )
+
+
+def test_scan_pruning_extract(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    p = plan_of(entry.q_cjk_postings(spark, sf_dir))
+    assert "ReadSchema: struct<doc_id:bigint>" in p, (
+        "generator queries must prune the documents scan to doc_id only"
+    )
+
+
+def test_dedup_lsh_no_cartesian(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    p = plan_of(entry.q_dedup_minhash_lsh(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
