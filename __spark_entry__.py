@@ -2156,3 +2156,44 @@ SELECT d.doc_id AS id,
        coalesce(h.n, 0) >= 1 AS contaminated
 FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
 WHERE d.doc_id % 29 <> 0"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix sampling: exactly 30 docs per language, hash-ordered
+    (deterministic at any parallelism — unlike rand()/sample())."""
+    docs = _docs_flat(spark, sf_dir).select("doc_id", "lang")
+    return TS.stratified_sample(docs, "lang", quota=30)
+
+
+_TRAINING_QUERIES["stratified_sample"] = q_stratified_sample
+_TRAINING_ORACLES["stratified_sample"] = """SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 30"""
+
+
+def q_search_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF ranked search with integer-micros idf (exact long sums)."""
+    from ocr_search_spark.operators.search import match_terms_tfidf
+
+    return match_terms_tfidf(_postings(spark, sf_dir), list(_SEARCH_TERMS), max_return=20)
+
+
+_TRAINING_QUERIES["search_tfidf"] = q_search_tfidf
+_TRAINING_ORACLES["search_tfidf"] = f"""WITH {_POSTINGS_BODY},
+matched AS (SELECT * FROM postings WHERE term IN ({_SEARCH_TERMS_IN})),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM matched GROUP BY term),
+ndocs AS (SELECT count(DISTINCT doc_id) AS n FROM postings),
+weights AS (
+  SELECT term, floor(1000000.0 * ln(n::DOUBLE / df))::BIGINT AS idf_micros
+  FROM dfreq CROSS JOIN ndocs
+)
+SELECT doc_id, sum(m.tf::BIGINT * w.idf_micros)::BIGINT AS score
+FROM matched m JOIN weights w USING (term)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 20"""

@@ -108,6 +108,45 @@ def match_terms_batch(
     )
 
 
+def match_terms_tfidf(
+    postings: DataFrame,
+    terms: list[str],
+    max_return: int = DEFAULT_MAX_RETURN,
+) -> DataFrame:
+    """TF-IDF ranked search — the natural upgrade over the reference's
+    raw max-tf scoring (TermMatcher.class.js:40-51), pinned for exact
+    cross-engine replay: idf is scaled to integer micros
+    (``floor(1e6 · ln(N/df))``) so per-doc scores are EXACT long sums —
+    no float-summation order sensitivity anywhere. df/N are computed
+    plan-side over the postings of the query terms only (one broadcast
+    semi-join; df = docs containing the term, N = corpus doc count)."""
+    spark = postings.sparkSession
+    if not terms:
+        terms = ["never-a-term"]
+    terms_df = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    matched = postings.join(F.broadcast(terms_df), "term")
+    dfreq = matched.groupBy("term").agg(F.countDistinct("doc_id").alias("_df"))
+    ndocs = postings.select(F.countDistinct("doc_id").alias("_n"))
+    weights = dfreq.crossJoin(F.broadcast(ndocs)).select(
+        "term",
+        F.floor(
+            F.lit(1_000_000.0) * F.log(F.col("_n").cast("double") / F.col("_df"))
+        )
+        .cast("long")
+        .alias("idf_micros"),
+    )
+    scored = (
+        matched.join(F.broadcast(weights), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf").cast("long") * F.col("idf_micros")).alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(max_return)
+        .select("doc_id", "score")
+    )
+
+
 def search_expanded(
     postings: DataFrame,
     correlations: DataFrame,

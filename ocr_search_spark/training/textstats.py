@@ -124,3 +124,32 @@ def fingerprint(
         lambda acc, h: F.pmod(acc * FP_BASE + h, F.lit(FP_MOD)),
     )
     return docs.select(F.col(id_col).alias("id"), fp.alias("fp"))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    quota: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling: exactly min(quota, |stratum|)
+    docs per stratum, selected by hash order — the training-mix builder
+    ("N docs per language/source") with reproducible output at any
+    parallelism, unlike `sample()` (seeded per-partition → changes with
+    partitioning).
+
+    Hash-ranking (h60 of the id, id tie-break) is an unbiased uniform
+    draw per stratum; one window per stratum key, no global sort. At
+    scale: strata are partition keys, so this is a WindowGroupLimit —
+    each task keeps quota rows per key, no full-stratum materialization.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(strata_col).orderBy(
+        h60(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= quota)
+        .drop("_rk")
+    )
