@@ -1,0 +1,100 @@
+"""spark-submit job entry points (BASELINE.json north_rule: "run via
+spark-submit --py-files on a multi-executor cluster").
+
+Usage (cluster):
+
+    ZIP=$(python -c 'from ocr_search_spark.deploy import package_zip; print(package_zip())')
+    spark-submit --py-files "$ZIP" -m ocr_search_spark extract \
+        --input /data/documents --out /data/warehouse --n-buckets 1024
+
+or locally: ``python -m ocr_search_spark <job> …`` (the session factory
+ships the package itself via addPyFile — same mechanism).
+
+Jobs:
+  extract          resumable bucketed extraction + postings build
+  maintain-stream  incremental postings MERGE from a document stream
+  search           top-k query against a stored postings table
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--cores", type=int, default=None, help="local[N] cores")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="ocr_search_spark")
+    sub = ap.add_subparsers(dest="job", required=True)
+
+    pe = sub.add_parser("extract", help="bucketed extraction + postings build")
+    pe.add_argument("--input", required=True, help="documents parquet dir")
+    pe.add_argument("--out", required=True, help="warehouse output dir")
+    pe.add_argument("--run-id", default=None)
+    pe.add_argument("--n-buckets", type=int, default=32)
+    pe.add_argument("--impl", default="arrow", choices=["columnar", "pandas", "arrow"])
+    pe.add_argument("--skew-threshold", type=int, default=64)
+    pe.add_argument("--skip-postings", action="store_true")
+    _add_common(pe)
+
+    pm = sub.add_parser("maintain-stream", help="incremental postings MERGE")
+    pm.add_argument("--input", required=True)
+    pm.add_argument("--table", required=True)
+    pm.add_argument("--checkpoint", required=True)
+    pm.add_argument("--n-buckets", type=int, default=32)
+    _add_common(pm)
+
+    ps = sub.add_parser("search", help="top-k query against stored postings")
+    ps.add_argument("--postings", required=True, help="postings parquet dir")
+    ps.add_argument("--query", required=True)
+    ps.add_argument("--max-return", type=int, default=20)
+    _add_common(ps)
+
+    args = ap.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark("ocr_search_spark_job", cores=args.cores)
+
+    if args.job == "extract":
+        from .pipeline import build_postings, run_extraction_job
+
+        docs = spark.read.parquet(args.input).select("doc_id", "spans")
+        summary = run_extraction_job(
+            spark,
+            docs,
+            args.out,
+            run_id=args.run_id,
+            n_buckets=args.n_buckets,
+            impl=args.impl,
+            skew_threshold=args.skew_threshold,
+        )
+        if not args.skip_postings:
+            build_postings(spark, args.out)
+        print(json.dumps(summary))
+    elif args.job == "maintain-stream":
+        from .streaming.index_maintain import stream_maintain_postings
+
+        stream_maintain_postings(
+            spark, args.input, args.table, args.checkpoint, n_buckets=args.n_buckets
+        )
+        print(json.dumps({"job": "maintain-stream", "table": args.table}))
+    elif args.job == "search":
+        from .operators.search import search
+
+        postings = spark.read.parquet(args.postings)
+        rows = search(spark, postings, args.query, max_return=args.max_return).collect()
+        print(
+            json.dumps(
+                {"hits": [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]}
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

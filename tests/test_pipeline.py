@@ -189,3 +189,32 @@ def test_incremental_update_equals_full_rebuild(spark, corpus_df):
     assert flat(ext_inc).exceptAll(flat(full_ext)).count() == 0
     assert full_post.exceptAll(post_inc).count() == 0
     assert post_inc.exceptAll(full_post).count() == 0
+
+
+def test_jobs_cli_extract_and_search(spark, corpus_df, tmp_path, capsys):
+    """The spark-submit job surface: extract job writes warehouse +
+    postings and prints its summary; search job answers from the stored
+    postings. (In-process smoke — the cluster path differs only by
+    --py-files, which deploy.package_zip provides.)"""
+    import json
+
+    from ocr_search_spark import jobs
+
+    docs_path = str(tmp_path / "docs")
+    corpus_df.select("doc_id", "spans").limit(60).write.parquet(docs_path)
+    out = str(tmp_path / "wh")
+    rc = jobs.main(
+        ["extract", "--input", docs_path, "--out", out, "--n-buckets", "4",
+         "--run-id", "cli"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["run_id"] == "cli"
+    assert summary["buckets_processed"] == 4
+
+    rc = jobs.main(
+        ["search", "--postings", f"{out}/term_postings", "--query", "tables merged"]
+    )
+    assert rc == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["hits"]
+    assert hits and all(h["score"] >= 1 for h in hits)
