@@ -102,3 +102,54 @@ def test_size_bucketed_repartition_bounds_batches(spark, corpus_df):
     weights = [r["w"] for r in per]
     assert len(weights) <= 8
     assert max(weights) <= 6 * (sum(weights) / len(weights))
+
+
+_CJK_TEXT = st.lists(
+    st.sampled_from(list("機器學習資料處理引擎搜尋索引查詢系統文件分析網路模型宇宙星空的")),
+    min_size=0,
+    max_size=40,
+).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_CJK_TEXT)
+def test_segment_cjk_partition_property(s):
+    """FMM is a PARTITION of the input: segments concatenate back to the
+    original string, every multi-char segment is a dictionary word, and
+    greediness holds (no segment is a proper prefix of a longer dict word
+    that also matches at its position)."""
+    segs = textproc.segment_cjk(s)
+    assert "".join(segs) == s
+    pos = 0
+    for seg in segs:
+        if len(seg) > 1:
+            assert seg in textproc.CJK_DICT_SET
+        # greedy maximal match: no longer dict word starts here (only
+        # lengths that actually fit — Python slicing clamps past the end)
+        for ln in range(min(textproc.CJK_MAX_WORD, len(s) - pos), len(seg), -1):
+            assert s[pos : pos + ln] not in textproc.CJK_DICT_SET, (s, pos, seg)
+        pos += len(seg)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_CJK_TEXT)
+def test_segment_cjk_search_superset_property(s):
+    """Search mode = base cut + contained dictionary sub-words, nothing
+    else: base segments appear in order with the same multiplicity, and
+    every extra emission is a dict word contained in some base segment."""
+    base = textproc.segment_cjk(s)
+    search = textproc.segment_cjk_search(s)
+    # base is a subsequence of search (sub-words precede their word)
+    it = iter(search)
+    for w in base:
+        for x in it:
+            if x == w:
+                break
+        else:
+            raise AssertionError(f"base segment {w!r} lost: {s!r} {base} {search}")
+    from collections import Counter
+
+    extra = Counter(search) - Counter(base)
+    for w, _ in extra.items():
+        assert w in textproc.CJK_DICT_SET and len(w) in (2, 3)
+        assert any(w in b for b in base if len(b) > len(w)), (s, w)
