@@ -2197,3 +2197,53 @@ FROM matched m JOIN weights w USING (term)
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT 20"""
+
+
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window operator (vs the hand-rolled window-function
+    sessionization of events_sessionize): 30-min inactivity-gap sessions
+    per user via Spark's built-in session grouping. Output pinned to
+    epoch seconds; window.end is last event + gap by definition, so the
+    oracle adds the gap to the max event time. Boundary note: Spark
+    separates sessions at gap == gapDuration exactly (windows must
+    OVERLAP to merge) while the oracle's lag-comparison merges at
+    equality; the fixture has no exact-1800s gaps, and the gate would
+    flag one immediately if data changed."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec("value")), 4).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            _ep_us("w.start").alias("ses_start_us"),
+            _ep_us("w.end").alias("ses_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_TRAINING_QUERIES["events_session_window"] = q_events_session_window
+_TRAINING_ORACLES["events_session_window"] = """WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ep, value FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ep, value,
+         CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+),
+sessions AS (
+  SELECT user_id, ep, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ep, event_id) AS sess_idx
+  FROM flagged
+)
+SELECT user_id,
+       min(ep) AS ses_start_us,
+       max(ep) + 1800 * 1000000 AS ses_end_us,
+       count(*) AS n_events,
+       round(sum(value::DECIMAL(18,4)), 4)::DOUBLE AS sum_value
+FROM sessions GROUP BY user_id, sess_idx"""
