@@ -2247,3 +2247,42 @@ SELECT user_id,
        count(*) AS n_events,
        round(sum(value::DECIMAL(18,4)), 4)::DOUBLE AS sum_value
 FROM sessions GROUP BY user_id, sess_idx"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): HAVING-filtered
+    aggregate as a semi-join driver — orders whose total quantity
+    exceeds 260, joined back to customer/order attributes. The filtered
+    aggregate is tiny, so AQE turns the join into a broadcast."""
+    li, o, c = _tables(spark, sf_dir, "lineitem", "orders", "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity", _DEC2)).alias("sum_qty_d"))
+        .where(F.col("sum_qty_d") > 260)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            _epoch("o_orderdate").alias("o_orderdate_epoch"),
+            _dec("o_totalprice", _DEC2).cast("double").alias("o_totalprice"),
+            F.col("sum_qty_d").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+_TRAINING_QUERIES["tpch_q18"] = q_tpch_q18
+_TRAINING_ORACLES["tpch_q18"] = """WITH big AS (
+  SELECT l_orderkey, sum(l_quantity::DECIMAL(14,2)) AS sum_qty_d
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity::DECIMAL(14,2)) > 260
+)
+SELECT c_custkey, o_orderkey,
+       (epoch_us(o_orderdate) // 1000000) AS o_orderdate_epoch,
+       o_totalprice::DECIMAL(14,2)::DOUBLE AS o_totalprice,
+       sum_qty_d::DOUBLE AS sum_qty
+FROM orders
+JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey"""
