@@ -2286,3 +2286,78 @@ SELECT c_custkey, o_orderkey,
 FROM orders
 JOIN big ON o_orderkey = big.l_orderkey
 JOIN customer ON o_custkey = c_custkey"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): scalar-subquery
+    threshold (exact-decimal average, one cast) + anti-join against
+    customers with any URGENT-priority order, per-nation rollup — the
+    "rich but never-urgent" cohort (an unrestricted anti-join is empty on
+    this dense corpus: every customer has orders in every period, so the
+    priority predicate keeps the check non-vacuous)."""
+    o, c = _tables(spark, sf_dir, "orders", "customer")
+    bal = _dec("c_acctbal", _DEC2)
+    thr = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(
+            F.round(
+                F.sum(bal).cast("double") / F.count("*"), 6
+            ).alias("_thr")
+        )
+    )
+    rich = c.crossJoin(F.broadcast(thr)).where(F.col("c_acctbal") > F.col("_thr"))
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
+    no_orders = rich.join(
+        urgent.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_anti",
+    )
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum(bal), 2).cast("double").alias("totacctbal"),
+    )
+
+
+_TRAINING_QUERIES["tpch_q22"] = q_tpch_q22
+_TRAINING_ORACLES["tpch_q22"] = """WITH thr AS (
+  SELECT round(sum(c_acctbal::DECIMAL(14,2))::DOUBLE / count(*), 6) AS t
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, count(*) AS numcust,
+       round(sum(c_acctbal::DECIMAL(14,2)), 2)::DOUBLE AS totacctbal
+FROM customer, thr
+WHERE c_acctbal > thr.t
+  AND c_custkey NOT IN (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey"""
+
+
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops surface: one-row health summary of the inverted index —
+    term/doc/posting counts, df extremes, exact-decimal mean df. The
+    query an operator runs before/after every maintenance MERGE."""
+    p = _postings(spark, sf_dir)
+    dfreq = p.groupBy("term").agg(F.count("*").alias("df"))
+    return dfreq.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.min("df").cast("long").alias("min_df"),
+        F.max("df").cast("long").alias("max_df"),
+        F.round(F.sum("df").cast("double") / F.count("*"), 6).alias("mean_df"),
+    ).crossJoin(
+        F.broadcast(
+            p.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+        )
+    ).select("n_terms", "n_docs", "n_postings", "min_df", "max_df", "mean_df")
+
+
+_TRAINING_QUERIES["index_stats"] = q_index_stats
+_TRAINING_ORACLES["index_stats"] = f"""WITH {_POSTINGS_BODY},
+dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term)
+SELECT count(*)::BIGINT AS n_terms,
+       (SELECT count(DISTINCT doc_id) FROM postings)::BIGINT AS n_docs,
+       sum(df)::BIGINT AS n_postings,
+       min(df)::BIGINT AS min_df,
+       max(df)::BIGINT AS max_df,
+       round(sum(df)::DOUBLE / count(*), 6) AS mean_df
+FROM dfreq"""
