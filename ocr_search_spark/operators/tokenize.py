@@ -148,11 +148,15 @@ def lemmatize_py(token: str) -> str:
     return token
 
 
-def tokenize_text(text: str) -> list[str]:
+def tokenize_text(text: str, treebank: bool = False) -> list[str]:
     """Pure-Python tokenizer following the textproc SPEC exactly; used for
-    single-query tokenization (Q1, ApiHandler.const.js:28-34)."""
+    single-query tokenization (Q1, ApiHandler.const.js:28-34).
+    ``treebank=True`` applies the TREEBANK_SPLITS contraction rules
+    (FIDELITY.md T1) — must match english_tokens_col(treebank=True)."""
     t = text.lower().translate(_STRIP_TABLE).translate(_PUNCT_TABLE)
     toks = t.split()
+    if treebank:
+        toks = [p for tok in toks for p in textproc.TREEBANK_SPLITS.get(tok, tok).split()]
     out: list[str] = []
     cjk_buf: list[str] = []
     for tok in toks:

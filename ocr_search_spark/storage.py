@@ -84,7 +84,6 @@ class BucketedTable:
     # ------------------------------------------------------------ public
     def init(self, df: DataFrame) -> None:
         """Full initial load (the only whole-table write)."""
-        self._columns = df.columns
         self._overwrite_buckets(df.withColumn(BUCKET_COL, self._bucket()))
 
     def read(self) -> DataFrame:

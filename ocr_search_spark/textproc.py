@@ -130,6 +130,18 @@ LEMMA_RULES = [
     (r"^(...+)ed$", r"$1"),
 ]
 
+# Treebank-style contraction splits (FIDELITY.md T1): the residual
+# word_tokenize behaviors that survive punctuation removal. Optional —
+# tokenize mode "treebank" applies them; the default SPEC does not.
+TREEBANK_SPLITS = {
+    "cannot": "can not",
+    "gonna": "gon na",
+    "gotta": "got ta",
+    "wanna": "wan na",
+    "lemme": "lem me",
+    "gimme": "gim me",
+}
+
 # Pinned CJK dictionary for the forward-max-match segmenter (longest-first).
 CJK_DICT = [
     "機器學習", "人工智慧", "資料庫", "搜尋引擎", "文字探勘", "自然語言",
@@ -202,13 +214,26 @@ def lemmatize_col(token: Column) -> Column:
     )
 
 
-def english_tokens_col(text: Column) -> Column:
+def english_tokens_col(text: Column, treebank: bool = False) -> Column:
     """Columnar E8-E13: lowercase → strip → punct→space → split →
     English filter → lemmatize. Returns array<string> of lemmatized terms
-    (CJK branch handled separately — see tokenize.py)."""
+    (CJK branch handled separately — see tokenize.py).
+
+    ``treebank=True`` additionally applies the TREEBANK_SPLITS
+    contraction rules (FIDELITY.md T1) before splitting — the residual
+    nltk.word_tokenize behaviors on punctuation-free text."""
     t = F.lower(text)
     t = F.translate(t, STRIP_CHARS, "")
     t = F.translate(t, ASCII_PUNCT, " " * len(ASCII_PUNCT))
+    if treebank:
+        # whitespace-anchored (not \b): a \b fires at CJK adjacency too,
+        # where the python twin routes the mixed token to the CJK branch —
+        # only whole whitespace-delimited tokens may split. All \s first
+        # normalized to ' ' so tab/newline-delimited tokens anchor too.
+        t = F.regexp_replace(t, r"\s", " ")
+        t = F.concat(F.lit(" "), t, F.lit(" "))
+        for k, v in TREEBANK_SPLITS.items():
+            t = F.regexp_replace(t, rf"(?<= ){k}(?= )", v)
     toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
     eng = F.filter(
         toks,

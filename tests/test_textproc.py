@@ -119,3 +119,47 @@ def test_segment_cjk_search_mode():
     assert segment_cjk_search("宇宙") == ["宇", "宙"]  # unmatched singles
     # concatenation: expansion applies per segmented word
     assert segment_cjk_search("資料庫索引") == ["資料", "資料庫", "索引"]
+
+
+def test_treebank_mode_parity(spark):
+    """FIDELITY T1 closure: treebank contraction splits agree between the
+    columnar and pure-Python tokenizers, including the adversarial CJK-
+    adjacency and whitespace-variant cases, and change nothing else."""
+    from pyspark.sql import functions as F
+
+    from ocr_search_spark.operators.tokenize import tokenize_text
+
+    cases = [
+        "I cannot do that",
+        "gonna gotta wanna lemme gimme",
+        "cannot",
+        "xcannot cannotx",          # no split: not whole tokens
+        "cannot機器學習 機cannot",   # CJK adjacency → python CJK branch
+        "cannot\tgonna\ncannot",    # tab/newline separators
+        "can not already split",
+        "",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = {
+        r["t"]: r["toks"]
+        for r in df.select(
+            "t", textproc.english_tokens_col(F.col("t"), treebank=True).alias("toks")
+        ).collect()
+    }
+    for c in cases:
+        # python twin: english terms only (CJK branch excluded, as in the
+        # columnar english_tokens_col)
+        expect = [
+            t for t in tokenize_text(c, treebank=True)
+            if t.isascii()
+        ]
+        assert got[c] == expect, (c, got[c], expect)
+    # default mode unchanged: 'cannot' survives as one token
+    base = {
+        r["t"]: r["toks"]
+        for r in df.select(
+            "t", textproc.english_tokens_col(F.col("t")).alias("toks")
+        ).collect()
+    }
+    assert base["I cannot do that"] == ["cannot", "do"]
+    assert base["cannot"] == ["cannot"]
