@@ -2,13 +2,19 @@
 columns with typed metadata, processed by Arrow-batched stages.
 
 The Spark-side contract is real and tested — schema, batching,
-partition behavior, vectorized UDF signatures. The actual media
-*decoding* is stubbed: this container has no image/audio libraries, so
-``decode_image_features`` computes deterministic pseudo-features from
-the bytes (clearly marked), and ``decode_image_real`` raises
-``NotImplementedError`` unless PIL is importable. A real decoder slots
-into the same ``mapInPandas`` batch function without touching the
-pipeline.
+partition behavior, vectorized UDF signatures. Two decode tiers:
+
+* ``decode_image_features`` — deterministic byte-level features
+  (clearly marked as the cross-engine-verifiable fake; the DuckDB
+  oracle replays it exactly);
+* ``decode_image_real`` — an ACTUAL PNG decode path built on the
+  dependency-free codec in ``png.py`` (stdlib zlib + numpy; this
+  container has no PIL/libvips): pixels → dimensions, channel stats,
+  64-bit average-hash. Undecodable payloads record their error per row
+  (X2) instead of failing the stage. Verified in tests/test_png.py
+  against numpy ground truth on self-encoded fixtures.
+
+Audio/video decode slots follow the same pattern further down.
 
 Reference anchor: the per-page PNG render of
 ``/root/reference/src/TypeConverter/TypeConverter.class.js:124-191`` is
@@ -201,13 +207,84 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     )
 
 
-def decode_image_real(media: DataFrame) -> DataFrame:  # pragma: no cover
-    """Real decoder slot — requires PIL, which this container lacks."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "real image decoding needs PIL/libvips; use "
-            "decode_image_features (deterministic fake) in this sandbox"
-        ) from exc
-    raise NotImplementedError("wire PIL decode into _decode_batch")
+# ------------------------------------------------------------ real decode
+# training/png.py is a dependency-free PNG codec (stdlib zlib + numpy),
+# so the "real decoder" slot no longer needs PIL: payloads that are
+# actual PNG bytes are decoded to pixels and featurized for real.
+
+REAL_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("px_mean", T.DoubleType(), True),
+        T.StructField("px_std", T.DoubleType(), True),
+        T.StructField("ahash", T.LongType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def average_hash(gray: "np.ndarray") -> int:  # noqa: F821
+    """64-bit average hash: 8×8 block means thresholded at their mean —
+    the classic perceptual near-dup signature, pure numpy."""
+    import numpy as np
+
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    blocks = np.empty((8, 8), dtype=np.float64)
+    for i in range(8):
+        for j in range(8):
+            blocks[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    bits = (blocks > blocks.mean()).flatten()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # two's-complement int64 (Arrow/Spark LongType) — standard for hashes
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def _decode_real_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from .png import decode_png
+
+    for pdf in batches:
+        rows = []
+        for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+            try:
+                arr = decode_png(bytes(payload))
+                h, w, ch = arr.shape
+                px = arr.astype(np.float64)
+                gray = px.mean(axis=2)
+                rows.append(
+                    (
+                        ref, w, h, ch,
+                        round(float(px.mean()), 6),
+                        round(float(px.std()), 6),
+                        average_hash(gray),
+                        None,
+                    )
+                )
+            except Exception as exc:  # X2: recorded, not silent
+                rows.append((ref, None, None, None, None, None, None, str(exc)))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_ref", "width", "height", "channels",
+                "px_mean", "px_std", "ahash", "error",
+            ],
+        )
+
+
+def decode_image_real(media: DataFrame) -> DataFrame:
+    """REAL image decode over the payload column: PNG bytes → pixels →
+    (dimensions, channel count, pixel mean/std, 64-bit average hash).
+    Same Arrow-batched mapInPandas slot as the byte-stat fake; rows whose
+    payload is not a decodable PNG carry the error instead of failing
+    the stage (X2 recorded degradation)."""
+    return media.select("media_ref", "payload").mapInPandas(
+        _decode_real_iter, schema=REAL_FEATURE_SCHEMA
+    )

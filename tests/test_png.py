@@ -1,0 +1,61 @@
+"""Real PNG decode path (training/png.py + multimodal.decode_image_real):
+codec roundtrip across every channel count and filter type, Spark-side
+pixel-feature parity vs direct numpy, and recorded (not thrown) errors
+for undecodable payloads."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ocr_search_spark.training import multimodal
+from ocr_search_spark.training.png import decode_png, encode_png
+
+
+def test_codec_roundtrip_all_filters_and_channels():
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        for ft in range(5):
+            arr = rng.integers(0, 256, size=(13, 9, ch), dtype=np.uint8)
+            assert np.array_equal(decode_png(encode_png(arr, ft)), arr), (ch, ft)
+    grad = np.tile(np.arange(64, dtype=np.uint8), (64, 1))
+    assert np.array_equal(decode_png(encode_png(grad, 1)), grad[:, :, None])
+
+
+def test_codec_rejects_malformed():
+    import pytest
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+    ok = encode_png(np.zeros((4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_png(ok[:8] + ok[20:])  # IHDR stripped
+
+
+def test_decode_image_real_features(spark):
+    rng = np.random.default_rng(3)
+    rows = []
+    expected = {}
+    for i, (shape, ft) in enumerate([((16, 12, 3), 0), ((9, 7, 1), 2), ((20, 5, 4), 4)]):
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        ref = f"img{i}.png"
+        rows.append((ref, bytearray(encode_png(arr, ft))))
+        px = arr.astype(np.float64)
+        expected[ref] = (
+            shape[1], shape[0], shape[2],
+            round(float(px.mean()), 6),
+            round(float(px.std()), 6),
+            multimodal.average_hash(px.mean(axis=2)),
+        )
+    rows.append(("garbage.bin", bytearray(b"definitely not a png")))
+    media = spark.createDataFrame(rows, "media_ref string, payload binary")
+    got = {r["media_ref"]: r for r in multimodal.decode_image_real(media).collect()}
+
+    for ref, (w, h, ch, m, s, ah) in expected.items():
+        r = got[ref]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, ch)
+        assert abs(r["px_mean"] - m) < 1e-9
+        assert abs(r["px_std"] - s) < 1e-9
+        assert r["ahash"] == ah
+        assert r["error"] is None
+    g = got["garbage.bin"]
+    assert g["error"] is not None and g["width"] is None
