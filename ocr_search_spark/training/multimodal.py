@@ -119,6 +119,49 @@ def decode_image_features(media: DataFrame) -> DataFrame:
     )
 
 
+def media_table_png(extracted: DataFrame, seed_tag: str = "png") -> DataFrame:
+    """Media table whose payloads are REAL PNG bytes: per media_ref a
+    deterministic sha-seeded image (8-24 px sides, PCG64-seeded pixels,
+    sha-chosen scanline filter) encoded by the dependency-free codec —
+    end-to-end food for :func:`decode_image_real`. In production this
+    select is replaced by the blob-store read; everything downstream is
+    identical."""
+    import hashlib
+
+    refs = (
+        extracted.select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .png import encode_png
+
+        for pdf in batches:
+            rows = []
+            for ref in pdf["media_ref"]:
+                dig = hashlib.sha256((seed_tag + ":" + ref).encode()).digest()
+                h = 8 + dig[0] % 17
+                w = 8 + dig[1] % 17
+                ch = (1, 3, 4)[dig[2] % 3]
+                rng = np.random.default_rng(int.from_bytes(dig[3:11], "big"))
+                arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+                rows.append((ref, encode_png(arr, filter_type=dig[11] % 5)))
+            yield pd.DataFrame(rows, columns=["media_ref", "payload"])
+
+    return refs.mapInPandas(
+        gen,
+        schema=T.StructType(
+            [
+                T.StructField("media_ref", T.StringType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
 # ------------------------------------------------------------ audio/video
 # Same plumbing contract for the other modalities (task list: "decode /
 # feature-extract / resize / frame-sample as Pandas UDFs"): typed

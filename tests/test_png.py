@@ -59,3 +59,28 @@ def test_decode_image_real_features(spark):
         assert r["error"] is None
     g = got["garbage.bin"]
     assert g["error"] is not None and g["width"] is None
+
+
+def test_real_decode_end_to_end(spark, corpus_df):
+    """Full pipeline: extraction → media refs → real PNG payloads →
+    real decode. Every row decodes (no recorded errors), dims/channels
+    stay in the generator's envelope, and the run is deterministic."""
+    from ocr_search_spark.deploy import ensure_shipped
+    from ocr_search_spark.operators.extract import extract_spans_columnar
+
+    ensure_shipped(spark)
+    ext = extract_spans_columnar(corpus_df.select("doc_id", "spans"))
+    media = multimodal.media_table_png(ext.select("doc_id", "spans")).limit(40)
+    feats = multimodal.decode_image_real(media).collect()
+    assert feats
+    for r in feats:
+        assert r["error"] is None, r
+        assert 8 <= r["width"] <= 24 and 8 <= r["height"] <= 24
+        assert r["channels"] in (1, 3, 4)
+        assert 0.0 <= r["px_mean"] <= 255.0
+    again = {
+        r["media_ref"]: r["ahash"]
+        for r in multimodal.decode_image_real(media).collect()
+    }
+    for r in feats:
+        assert again[r["media_ref"]] == r["ahash"]
