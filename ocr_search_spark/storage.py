@@ -117,7 +117,8 @@ class BucketedTable:
         ``bucket_keys ⊆ group_keys`` so a group lives entirely inside its
         buckets; rewrites only those buckets. Idempotent: re-applying the
         same updates (e.g. a replayed foreachBatch) reproduces the same
-        table state."""
+        table state. The table must exist (``init`` first — see
+        ``exists()``; streaming callers guard on it)."""
         if not set(self.bucket_keys) <= set(group_keys):
             raise ValueError(
                 f"group_keys {group_keys} must contain bucket_keys "

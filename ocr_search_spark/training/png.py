@@ -40,7 +40,11 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → uint8 array of shape (h, w, channels)."""
+    """PNG bytes → uint8 array of shape (h, w, channels).
+
+    Chunk CRCs are not verified (pipeline payloads are integrity-checked
+    at the storage layer; zlib's own adler32 still catches IDAT
+    corruption); truncated/malformed streams raise ValueError."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
