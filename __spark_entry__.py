@@ -2361,3 +2361,45 @@ SELECT count(*)::BIGINT AS n_terms,
        max(df)::BIGINT AS max_df,
        round(sum(df)::DOUBLE / count(*), 6) AS mean_df
 FROM dfreq"""
+
+
+def q_extract_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based main-content extraction (readability/boilerpipe-
+    style block classification, textproc.extract_main_content_col): the
+    DOM-heuristic mode of the north_rule. Tag-wrapped body prose is KEPT
+    (density decides), chrome lines are dropped whether known (pattern)
+    or unknown (short/markup-heavy)."""
+    d = _interleaved(spark, sf_dir)
+    s = F.explode("spans")
+    flat = d.select("doc_id", s.alias("s")).select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+    )
+    return flat.where(F.col("kind") == "text").select(
+        "doc_id",
+        "offset",
+        textproc.extract_main_content_col(F.col("text")).alias("main_text"),
+    )
+
+
+_TRAINING_QUERIES["extract_density"] = q_extract_density
+_DENSITY_BLOCK_SQL = r"""list_filter(
+      string_split(raw, chr(10)),
+      b -> NOT regexp_matches(trim(regexp_replace(b, '<[^>]*>', ' ', 'g')),
+                              '(?i)^[ \t]*(?:home|about|contact|menu|login|sign up|share this|advertisement|cookie policy|privacy policy|terms of service|all rights reserved|copyright\b[^\n]*|©[^\n]*)[ \t]*$')
+       AND len(list_filter(string_split_regex(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\s+'), w -> w <> '')) >= 3
+       AND (length(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\s', '', 'g'))::DOUBLE
+            / CASE WHEN length(regexp_replace(b, '\s', '', 'g')) > 0
+                   THEN length(regexp_replace(b, '\s', '', 'g'))::DOUBLE ELSE 1.0 END)
+           >= 0.5)"""
+_TRAINING_ORACLES["extract_density"] = f"""WITH {_BASE_CTE}, {_SPANS_CTE}
+SELECT doc_key AS doc_id, off::BIGINT AS "offset",
+       trim(regexp_replace(
+         replace(replace(array_to_string(
+           list_transform({_DENSITY_BLOCK_SQL},
+                          b -> regexp_replace(b, '<[^>]*>', ' ', 'g')), ' '),
+           '•', ''), '、', ''),
+         '\\s+', ' ', 'g')) AS main_text
+FROM spans WHERE kind = 'text'"""

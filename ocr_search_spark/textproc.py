@@ -351,3 +351,54 @@ def segment_cjk_search(chars: str) -> list[str]:
 
 def segment_cjk_search_batch(chars: pd.Series) -> pd.Series:
     return chars.fillna("").map(segment_cjk_search)
+
+
+# -------------------------------------------- density-based main content
+# Readability/boilerpipe-style block classification (north_rule: "HTML
+# boilerplate strip … DOM heuristics"), pinned so Spark and the DuckDB
+# oracle agree exactly:
+#   1. split the raw text into blocks on newlines;
+#   2. per block: markup_chars = chars removed by tag strip,
+#      text = tag-stripped block, density = len(text)/(len(text)+markup),
+#      words = whitespace word count of text;
+#   3. drop a block if its tag-stripped trimmed text matches
+#      BOILERPLATE_LINE_RE (known chrome — density alone would keep
+#      prose-like chrome such as copyright lines), else keep iff
+#      words >= MIN_BLOCK_WORDS and density >= MIN_TEXT_DENSITY
+#      (unknown chrome is short or markup-heavy; body prose is long and
+#      clean — and is kept even when tag-wrapped, which the line-pattern
+#      pass alone cannot decide);
+#   4. join kept blocks with single spaces, strip STRIP_CHARS, collapse
+#      whitespace.
+
+MIN_BLOCK_WORDS = 3
+MIN_TEXT_DENSITY = 0.5
+
+
+def extract_main_content_col(text: Column) -> Column:
+    """Columnar density-based main-content extraction (see block comment
+    above). Returns the cleaned text; entirely whole-stage-codegen."""
+    blocks = F.split(text, "\n")
+
+    def keep(b: Column) -> Column:
+        stripped = F.regexp_replace(b, HTML_TAG_RE, " ")
+        chrome = F.trim(stripped).rlike("(?i)" + BOILERPLATE_LINE_RE)
+        words = F.filter(F.split(stripped, r"\s+"), lambda x: x != "")
+        text_len = F.length(F.regexp_replace(stripped, r"\s", ""))
+        markup_len = F.length(F.regexp_replace(b, r"\s", "")) - text_len
+        density = text_len.cast("double") / F.when(
+            (text_len + markup_len) > 0, (text_len + markup_len).cast("double")
+        ).otherwise(F.lit(1.0))
+        return (
+            ~chrome
+            & (F.size(words) >= MIN_BLOCK_WORDS)
+            & (density >= MIN_TEXT_DENSITY)
+        )
+
+    kept = F.filter(blocks, keep)
+    joined = F.array_join(
+        F.transform(kept, lambda b: F.regexp_replace(b, HTML_TAG_RE, " ")), " "
+    )
+    t = F.translate(joined, STRIP_CHARS, "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)

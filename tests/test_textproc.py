@@ -163,3 +163,24 @@ def test_treebank_mode_parity(spark):
     }
     assert base["I cannot do that"] == ["cannot", "do"]
     assert base["cannot"] == ["cannot"]
+
+
+def test_extract_main_content_density(spark):
+    """Block-density main-content extraction: tag-wrapped prose survives,
+    known chrome (pattern), short blocks, and link farms are dropped."""
+    from pyspark.sql import functions as F
+
+    body = "the quick brown fox jumps over the lazy dog repeatedly"
+    raw = (
+        f'<div class="nav">{body}</div>\n'
+        "home\n"
+        "copyright 2020 acme corp\n"
+        '<a href="#">x</a> <a href="#">y</a> <a href="#">z</a>\n'
+        f"plain second paragraph of real text\n"
+        "ok go\n"  # two words: below MIN_BLOCK_WORDS
+    )
+    df = spark.createDataFrame([(raw,)], "t string")
+    got = df.select(
+        textproc.extract_main_content_col(F.col("t")).alias("o")
+    ).collect()[0]["o"]
+    assert got == f"{body} plain second paragraph of real text"
