@@ -2403,3 +2403,36 @@ SELECT doc_key AS doc_id, off::BIGINT AS "offset",
            '•', ''), '、', ''),
          '\\s+', ' ', 'g')) AS main_text
 FROM spans WHERE kind = 'text'"""
+
+
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram LM quality signal: train the count model on the
+    corpus in one aggregation, score every doc by mean integer-micros
+    log-count of its trigrams (self-perplexity stand-in — garbled or
+    out-of-distribution text scores low)."""
+    docs = _docs_flat(spark, sf_dir)
+    lm = TS.char_ngram_counts(docs, n=3)
+    return TS.lm_quality_score(docs, lm, n=3)
+
+
+_TRAINING_QUERIES["lm_quality"] = q_lm_quality
+_TRAINING_ORACLES["lm_quality"] = """WITH grams AS (
+  SELECT doc_id AS id,
+         unnest(list_transform(
+           range(1, greatest(length(lower(text)) - 2, 0) + 1),
+           i -> substr(lower(text), i::INT, 3))) AS gram
+  FROM documents
+),
+lm AS (SELECT gram, count(*) AS cnt FROM grams GROUP BY gram),
+w AS (SELECT gram, floor(1000000.0 * ln(cnt::DOUBLE + 1.0))::BIGINT AS w FROM lm),
+scored AS (
+  SELECT g.id, count(*)::BIGINT AS n_grams, sum(coalesce(w.w, 0))::BIGINT AS wsum
+  FROM grams g LEFT JOIN w USING (gram)
+  GROUP BY g.id
+)
+SELECT d.doc_id AS id,
+       coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+       CASE WHEN coalesce(s.n_grams, 0) > 0
+            THEN round(s.wsum::DOUBLE / s.n_grams / 1000000.0, 6)
+            ELSE 0.0 END AS avg_logcnt
+FROM documents d LEFT JOIN scored s ON s.id = d.doc_id"""

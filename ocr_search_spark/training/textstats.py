@@ -153,3 +153,71 @@ def stratified_sample(
         .where(F.col("_rk") <= quota)
         .drop("_rk")
     )
+
+
+def char_ngram_counts(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Corpus character-n-gram model: (gram, cnt). Grams over the
+    lowercased raw text (whitespace included — it carries word-boundary
+    signal). One explode + one count: the 'training' of a count-based
+    LM is a single aggregation at any corpus size."""
+    t = F.lower(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0))),
+        lambda i: F.substring(t, i, n),
+    )
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def lm_quality_score(
+    docs: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Count-based LM quality signal (KenLM-perplexity stand-in):
+    per doc, the mean log-count of its character n-grams under ``lm`` —
+    garbled/rare text scores low, common fluent text high.
+
+    Exact cross-engine arithmetic: per-gram weight is the INTEGER
+    ``floor(1e6 · ln(cnt + 1))`` (one ln per distinct gram; unseen grams
+    weigh 0), summed as longs — no float-summation order anywhere — then
+    one division by the gram count, rounded to 6.
+    Output: (id, n_grams, avg_logcnt)."""
+    t = F.lower(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0))),
+        lambda i: F.substring(t, i, n),
+    )
+    rows = docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+    w = lm.select(
+        "gram",
+        F.floor(F.lit(1_000_000.0) * F.log(F.col("cnt").cast("double") + 1.0))
+        .cast("long")
+        .alias("w"),
+    )
+    scored = (
+        rows.join(w, "gram", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.coalesce("w", F.lit(0))).alias("wsum"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("id"))
+    return base.join(scored, "id", "left").select(
+        "id",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.when(
+            F.coalesce("n_grams", F.lit(0)) > 0,
+            F.round(F.col("wsum").cast("double") / F.col("n_grams") / 1_000_000.0, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_logcnt"),
+    )
