@@ -81,6 +81,27 @@ def main() -> None:
         total += min(samples)
         total_med += medians[name]
 
+    # Extended section: round-2 operators, single-sample (informational —
+    # NOT part of `value`, which stays comparable round-over-round).
+    extended = [
+        "cjk_postings",
+        "cjk_postings_search",
+        "postings_skewed",
+        "correlations_skewed",
+        "extract_density",
+        "search_tfidf",
+        "search_batch",
+        "embed_ann_kmeans",
+        "dedup_clusters",
+        "decontaminate",
+        "lm_quality",
+    ]
+    times_ext: dict[str, float] = {}
+    for name in extended:
+        t0 = time.time()
+        _noop(qs[name](spark, sf_dir))
+        times_ext[name] = round(time.time() - t0, 3)
+
     # Flagship: extraction throughput on the interleaved synthetic corpus
     # (skew tail enabled — exercises the salted/size-bucketed path).
     # Input is materialized to parquet untimed (the north_star reads
@@ -129,6 +150,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "queries_median": medians,
+                "queries_extended": times_ext,
                 "value_median": round(total_med, 3),
                 "sf": sf,
                 "extract_docs_per_sec": round(docs_per_sec, 1),

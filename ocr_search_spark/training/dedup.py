@@ -276,10 +276,16 @@ def connected_components(
     materialized by the convergence-check action so lineage stays flat
     (the kmeans plan-growth lesson). Driver sees one change-count scalar
     per iteration, never data."""
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    # Cache the edge list: every iteration joins against it, and without
+    # the cache each iteration would RE-DERIVE the candidate-pair lineage
+    # (an LSH/shingle self-join — the expensive part) from scratch.
+    # Measured at sf0.1: 29s → ~8s for the dedup_clusters query.
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .cache()
     )
     labels = nodes.select(F.col("id"), F.col("id").alias("comp")).cache()
     labels.count()
