@@ -23,12 +23,15 @@ set-oriented execution, the scalable analogue.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.maintenance import delete_by_key, upsert_by_key
 
 BUCKET_COL = "_mbucket"
+META_FILE = "_bucketed_table_meta.json"
 
 
 class BucketedTable:
@@ -83,8 +86,10 @@ class BucketedTable:
 
     # ------------------------------------------------------------ public
     def init(self, df: DataFrame) -> None:
-        """Full initial load (the only whole-table write)."""
+        """Full initial load (the only whole-table write); persists the
+        bucket-layout metadata the mutation guard verifies."""
         self._overwrite_buckets(df.withColumn(BUCKET_COL, self._bucket()))
+        self._write_meta()
 
     def read(self) -> DataFrame:
         raw = self.spark.read.parquet(self.path)
@@ -94,6 +99,7 @@ class BucketedTable:
         """MERGE: last-writer-wins upsert of ``updates`` on the table
         keys, rewriting only the buckets the update keys hash into.
         Returns the list of rewritten buckets."""
+        self._check_meta()
         touched = self._touched_buckets(updates)
         if not touched:
             return []
@@ -109,6 +115,56 @@ class BucketedTable:
         p = jvm.org.apache.hadoop.fs.Path(self.path)
         return p.getFileSystem(self.spark._jsc.hadoopConfiguration()).exists(p)
 
+    # --------------------------------------------------------- meta guard
+    # The bucket layout is a durable property of the TABLE, not of the
+    # handle: reopening with a different n_buckets/keys and merging would
+    # scatter new row versions into buckets their old versions don't live
+    # in — silent corruption. init() persists the layout; every mutation
+    # verifies it.
+    def _meta_path(self):
+        jvm = self.spark._jvm
+        return jvm.org.apache.hadoop.fs.Path(f"{self.path}/{META_FILE}")
+
+    def _write_meta(self) -> None:
+        p = self._meta_path()
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        out = fs.create(p, True)
+        out.write(
+            json.dumps(
+                {
+                    "keys": self.keys,
+                    "bucket_keys": self.bucket_keys,
+                    "n_buckets": self.n_buckets,
+                }
+            ).encode("utf-8")
+        )
+        out.close()
+
+    def _check_meta(self) -> None:
+        p = self._meta_path()
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return  # pre-guard table (or external layout): trust the caller
+        stream = fs.open(p)
+        try:
+            raw = bytes(
+                self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        meta = json.loads(raw.decode("utf-8"))
+        mine = {
+            "keys": self.keys,
+            "bucket_keys": self.bucket_keys,
+            "n_buckets": self.n_buckets,
+        }
+        if meta != mine:
+            raise ValueError(
+                f"bucket layout mismatch for {self.path}: table was created "
+                f"with {meta}, handle configured with {mine} — merging would "
+                "scatter rows across incompatible buckets"
+            )
+
     def replace_group(self, updates: DataFrame, group_keys: list[str]) -> list[int]:
         """Group-level replace: every group (e.g. a doc_id) present in
         ``updates`` has ALL its existing rows dropped and the update rows
@@ -119,6 +175,7 @@ class BucketedTable:
         same updates (e.g. a replayed foreachBatch) reproduces the same
         table state. The table must exist (``init`` first — see
         ``exists()``; streaming callers guard on it)."""
+        self._check_meta()
         if not set(self.bucket_keys) <= set(group_keys):
             raise ValueError(
                 f"group_keys {group_keys} must contain bucket_keys "
@@ -144,6 +201,7 @@ class BucketedTable:
         written data, so an empty bucket would silently keep its stale
         files — those partitions are dropped through the Hadoop FS API
         instead (works on any FileSystem implementation)."""
+        self._check_meta()
         touched = self._touched_buckets(doomed_keys.select(*self.keys))
         if not touched:
             return []

@@ -112,3 +112,20 @@ def test_upsert_noop_on_empty_updates(spark, base_df, tmp_path):
     assert t.upsert(empty) == []
     assert t.delete(empty.select(*KEYS)) == []
     assert _file_state(path) == before
+
+
+def test_layout_mismatch_refused(spark, base_df, tmp_path):
+    """Reopening a table with a different bucket layout must refuse to
+    merge — rows would scatter into buckets their old versions don't
+    inhabit."""
+    path = str(tmp_path / "tbl")
+    BucketedTable(spark, path, KEYS, n_buckets=N_BUCKETS).init(base_df)
+    wrong = BucketedTable(spark, path, KEYS, n_buckets=N_BUCKETS * 2)
+    upd = base_df.limit(1)
+    with pytest.raises(ValueError, match="bucket layout mismatch"):
+        wrong.upsert(upd)
+    with pytest.raises(ValueError, match="bucket layout mismatch"):
+        wrong.delete(upd.select(*KEYS))
+    # the matching handle still works
+    ok = BucketedTable(spark, path, KEYS, n_buckets=N_BUCKETS)
+    assert ok.upsert(upd)
