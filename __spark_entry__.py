@@ -2436,3 +2436,72 @@ SELECT d.doc_id AS id,
             THEN round(s.wsum::DOUBLE / s.n_grams / 1000000.0, 6)
             ELSE 0.0 END AS avg_logcnt
 FROM documents d LEFT JOIN scored s ON s.id = d.doc_id"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (sequence analytics): per user, earliest view →
+    first click within 1h of it → first purchase within 1h of that;
+    funnel_stage = how deep the user got. Three same-key aggregates —
+    the shuffle partitioning on user_id is reused across stages."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", _ep_us("ts").alias("ep")
+    )
+    H = 3600 * 1000000
+    v = e.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ep").alias("t_view")
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("ep") >= F.col("t_view")) & (F.col("ep") <= F.col("t_view") + H))
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where((F.col("ep") >= F.col("t_click")) & (F.col("ep") <= F.col("t_click") + H))
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t_purchase"))
+    )
+    out = (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("funnel_stage"),
+            "t_view",
+            "t_click",
+            "t_purchase",
+        )
+    )
+    return out
+
+
+_TRAINING_QUERIES["events_funnel"] = q_events_funnel
+_TRAINING_ORACLES["events_funnel"] = """WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ep FROM events
+),
+v AS (SELECT user_id, min(ep) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(ep) AS t_click
+  FROM e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND ep >= t_view AND ep <= t_view + 3600000000
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(ep) AS t_purchase
+  FROM e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND ep >= t_click AND ep <= t_click + 3600000000
+  GROUP BY e.user_id
+)
+SELECT v.user_id,
+       (1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS funnel_stage,
+       v.t_view, c.t_click, p.t_purchase
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id"""
