@@ -2505,3 +2505,52 @@ SELECT v.user_id,
        v.t_view, c.t_click, p.t_purchase
 FROM v LEFT JOIN c ON v.user_id = c.user_id
 LEFT JOIN p ON v.user_id = p.user_id"""
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    retention(k) = fraction of the cohort active k weeks later. Epoch
+    arithmetic only (TZ-proof); rates via exact integer counts with one
+    final division."""
+    W = 7 * 86400
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.floor(_epoch("ts") / F.lit(W)).cast("long").alias("week")
+    )
+    first = e.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    active = e.select("user_id", "week").distinct()
+    cohort_sizes = first.groupBy("cohort").agg(F.count("*").alias("n_cohort"))
+    ret = (
+        active.join(first, "user_id")
+        .select("cohort", (F.col("week") - F.col("cohort")).alias("k"))
+        .groupBy("cohort", "k")
+        .agg(F.count("*").alias("n_active"))
+        .join(cohort_sizes, "cohort")
+        .select(
+            "cohort",
+            "k",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("n_cohort").cast("long").alias("n_cohort"),
+            F.round(
+                F.col("n_active").cast("double") / F.col("n_cohort"), 6
+            ).alias("retention"),
+        )
+    )
+    return ret
+
+
+_TRAINING_QUERIES["events_retention"] = q_events_retention
+_TRAINING_ORACLES["events_retention"] = """WITH e AS (
+  SELECT user_id, ((epoch_us(ts) // 1000000) // 604800) AS week FROM events
+),
+first AS (SELECT user_id, min(week) AS cohort FROM e GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, week FROM e),
+sizes AS (SELECT cohort, count(*) AS n_cohort FROM first GROUP BY cohort),
+ret AS (
+  SELECT f.cohort, a.week - f.cohort AS k, count(*) AS n_active
+  FROM active a JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT r.cohort, r.k, r.n_active::BIGINT AS n_active,
+       s.n_cohort::BIGINT AS n_cohort,
+       round(r.n_active::DOUBLE / s.n_cohort, 6) AS retention
+FROM ret r JOIN sizes s USING (cohort)"""
