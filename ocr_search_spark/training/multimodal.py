@@ -322,6 +322,71 @@ def _decode_real_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         )
 
 
+AUDIO_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def _decode_audio_real_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import math
+
+    import numpy as np
+
+    from .wav import decode_wav
+
+    for pdf in batches:
+        rows = []
+        for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+            try:
+                rate, s = decode_wav(bytes(payload))
+                n_frames, n_ch = s.shape
+                mono = s.mean(axis=1)
+                rms = (
+                    round(math.sqrt(float((mono * mono).sum()) / len(mono)), 6)
+                    if len(mono)
+                    else 0.0
+                )
+                zc = (
+                    int(((mono[:-1] >= 0) != (mono[1:] >= 0)).sum())
+                    if len(mono) > 1
+                    else 0
+                )
+                rows.append(
+                    (
+                        ref, rate, n_frames, n_ch,
+                        round(n_frames * 1000.0 / rate, 6), rms, zc, None,
+                    )
+                )
+            except Exception as exc:
+                rows.append((ref, None, None, None, None, None, None, str(exc)))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_ref", "sample_rate", "n_frames", "n_channels",
+                "duration_ms", "rms", "zero_crossings", "error",
+            ],
+        )
+
+
+def decode_audio_real(media: DataFrame) -> DataFrame:
+    """REAL audio decode: WAV/PCM payloads → header-true sample rate,
+    frame counts, duration, per-sample RMS and zero crossings on the
+    decoded waveform (wav.py, stdlib struct — no audio lib needed).
+    Undecodable payloads record their error per row (X2)."""
+    return media.select("media_ref", "payload").mapInPandas(
+        _decode_audio_real_iter, schema=AUDIO_REAL_SCHEMA
+    )
+
+
 def decode_image_real(media: DataFrame) -> DataFrame:
     """REAL image decode over the payload column: PNG bytes → pixels →
     (dimensions, channel count, pixel mean/std, 64-bit average hash).
