@@ -2554,3 +2554,34 @@ SELECT r.cohort, r.k, r.n_active::BIGINT AS n_active,
        s.n_cohort::BIGINT AS n_cohort,
        round(r.n_active::DOUBLE / s.n_cohort, 6) AS retention
 FROM ret r JOIN sizes s USING (cohort)"""
+
+
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked search (k1=1.2, b=0.75), integer-micros weights."""
+    from ocr_search_spark.operators.search import match_terms_bm25
+
+    return match_terms_bm25(_postings(spark, sf_dir), list(_SEARCH_TERMS), max_return=20)
+
+
+_TRAINING_QUERIES["search_bm25"] = q_search_bm25
+_TRAINING_ORACLES["search_bm25"] = f"""WITH {_POSTINGS_BODY},
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+matched AS (SELECT * FROM postings WHERE term IN ({_SEARCH_TERMS_IN})),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM matched GROUP BY term),
+widf AS (
+  SELECT term, ln((n::DOUBLE - df + 0.5) / (df::DOUBLE + 0.5) + 1.0) AS idf, avgdl
+  FROM dfreq CROSS JOIN stats
+),
+scored AS (
+  SELECT m.doc_id,
+         sum(floor(1000000.0 * w.idf *
+             ((m.tf::DOUBLE * 2.2) /
+              (m.tf::DOUBLE + 1.2 * (0.25 + 0.75 * d.dl::DOUBLE / w.avgdl))))::BIGINT
+         ) AS score
+  FROM matched m JOIN widf w USING (term) JOIN dl d USING (doc_id)
+  GROUP BY m.doc_id
+)
+SELECT doc_id, score::BIGINT AS score FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 20"""

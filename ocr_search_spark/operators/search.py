@@ -147,6 +147,63 @@ def match_terms_tfidf(
     )
 
 
+def match_terms_bm25(
+    postings: DataFrame,
+    terms: list[str],
+    max_return: int = DEFAULT_MAX_RETURN,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked search (tf saturation + doc-length normalization) —
+    the standard upgrade over raw-tf and plain tf-idf, pinned for exact
+    cross-engine replay like :func:`match_terms_tfidf`:
+
+        idf(t)  = ln((N − df + 0.5)/(df + 0.5) + 1)            (≥ 0)
+        sat     = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        w       = floor(1e6 · idf · sat)                        (long)
+        score   = Σ_t w                                          (exact)
+
+    dl = Σtf per doc (one aggregate over the postings), avgdl = exact
+    long sum / doc count. Every per-row float op is a deterministic
+    function of exact integers, and the doc score is an exact long sum —
+    no float-summation order sensitivity. Output (doc_id, score) with
+    score in micros."""
+    spark = postings.sparkSession
+    if not terms:
+        terms = ["never-a-term"]
+    terms_df = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("_n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    matched = postings.join(F.broadcast(terms_df), "term")
+    dfreq = matched.groupBy("term").agg(F.countDistinct("doc_id").alias("_df"))
+    widf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            (F.col("_n").cast("double") - F.col("_df") + 0.5)
+            / (F.col("_df").cast("double") + 0.5)
+            + 1.0
+        ).alias("idf"),
+        "avgdl",
+    )
+    j = matched.join(F.broadcast(widf), "term").join(dl, "doc_id")
+    tf = F.col("tf").cast("double")
+    sat = (tf * (k1 + 1.0)) / (
+        tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    w = F.floor(F.lit(1_000_000.0) * F.col("idf") * sat).cast("long")
+    scored = j.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
+        F.sum("w").alias("score")
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(max_return)
+        .select("doc_id", "score")
+    )
+
+
 def search_expanded(
     postings: DataFrame,
     correlations: DataFrame,
