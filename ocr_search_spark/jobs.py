@@ -1,11 +1,11 @@
 """spark-submit job entry points (BASELINE.json north_rule: "run via
 spark-submit --py-files on a multi-executor cluster").
 
-Usage (cluster):
+Usage (cluster — spark-submit takes an application FILE, it has no -m):
 
     ZIP=$(python -c 'from ocr_search_spark.deploy import package_zip; print(package_zip())')
-    spark-submit --py-files "$ZIP" -m ocr_search_spark extract \
-        --input /data/documents --out /data/warehouse --n-buckets 1024
+    spark-submit --py-files "$ZIP" path/to/ocr_search_spark/__main__.py \
+        extract --input /data/documents --out /data/warehouse --n-buckets 1024
 
 or locally: ``python -m ocr_search_spark <job> …`` (the session factory
 ships the package itself via addPyFile — same mechanism).

@@ -51,8 +51,11 @@ def prefer_original(
     existence probe of the reference becomes a precomputed availability
     column at scale (one listing join, no per-file stat calls)."""
     pref = F.array(*[F.lit(x) for x in FORMAT_PREFERENCE])
-    chosen = F.element_at(
-        F.filter(pref, lambda p: F.array_contains(F.col(formats_col), p)), 1
+    # try_element_at, NOT element_at: under ANSI mode (Spark 4 default)
+    # element_at on the empty filtered array THROWS, making the 'pdf'
+    # fallback unreachable for stems with only unknown formats.
+    chosen = F.try_element_at(
+        F.filter(pref, lambda p: F.array_contains(F.col(formats_col), p)), F.lit(1)
     )
     fmt = F.coalesce(chosen, F.lit("pdf"))
     return files.select(

@@ -6,15 +6,19 @@ applied naively to a stored table they rewrite the WHOLE table, which at
 table format with MERGE INTO (Iceberg/Delta); without those jars this
 module provides the same contract on plain parquet:
 
-* the table is partitioned by ``bucket = pmod(xxhash64(key cols), n)``
-  — deterministic from the merge key, so an updated row always lands in
-  the same bucket as the row it replaces;
-* ``upsert``/``delete`` first compute the distinct buckets touched by
-  the updates (bounded driver-side list, ≤ n_buckets ints), read ONLY
-  those partitions (partition pruning on the bucket column), merge, and
+* the table is partitioned by ``bucket = pmod(xxhash64(bucket keys), n)``
+  — deterministic from (a prefix of) the merge key, so an updated row
+  always lands in the same bucket as the row it replaces;
+* mutations first compute the distinct buckets touched by the updates
+  (bounded driver-side list, ≤ n_buckets ints), read ONLY those
+  partitions (partition pruning on the bucket column), merge, and
   dynamic-partition-overwrite ONLY those partitions;
 * untouched partitions' files are never opened, let alone rewritten —
-  byte-identity is asserted in tests/test_storage.py.
+  byte-identity is asserted in tests/test_storage.py;
+* buckets a mutation EMPTIES are dropped through the Hadoop FS API
+  (dynamic overwrite cannot write an absent partition), and a table
+  with zero data files still reads as an empty DataFrame (the schema is
+  persisted in the table metadata).
 
 Reference: the Mongo per-row upserts of DbInterface.class.js:236-251 /
 :366-381 give per-document update cost; this gives per-bucket cost with
@@ -27,6 +31,7 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .operators.maintenance import delete_by_key, upsert_by_key
 
@@ -61,17 +66,22 @@ class BucketedTable:
             )
         self.n_buckets = n_buckets
 
+    # ------------------------------------------------------------ fs utils
+    def _fs_path(self, p: str):
+        return self.spark._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self, jpath):
+        return jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+
     # ------------------------------------------------------------ helpers
     def _bucket(self) -> F.Column:
         return F.pmod(F.xxhash64(*self.bucket_keys), F.lit(self.n_buckets)).cast("int")
 
-    def _touched_buckets(self, updates: DataFrame) -> list[int]:
-        """Distinct buckets of the update keys — bounded by n_buckets, so
-        the collect ships at most n_buckets ints to the driver (this is
-        partition *pruning* metadata, not data)."""
-        rows = (
-            updates.select(self._bucket().alias(BUCKET_COL)).distinct().collect()
-        )
+    def _touched_buckets(self, key_rows: DataFrame) -> list[int]:
+        """Distinct buckets of the given key rows — bounded by n_buckets,
+        so the collect ships at most n_buckets ints to the driver (this
+        is partition *pruning* metadata, not data)."""
+        rows = key_rows.select(self._bucket().alias(BUCKET_COL)).distinct().collect()
         return sorted(r[BUCKET_COL] for r in rows)
 
     def _overwrite_buckets(self, df: DataFrame) -> None:
@@ -84,15 +94,125 @@ class BucketedTable:
         finally:
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
 
+    def _drop_bucket_dirs(self, buckets) -> None:
+        """Remove emptied partition dirs — dynamic overwrite only replaces
+        partitions PRESENT in the written data, so an emptied bucket would
+        silently keep its stale files."""
+        for b in buckets:
+            p = self._fs_path(f"{self.path}/{BUCKET_COL}={b}")
+            self._fs(p).delete(p, True)
+
+    def _commit_touched(
+        self, touched: list[int], final: DataFrame
+    ) -> None:
+        """Write the post-merge rows of the touched buckets: dynamic
+        overwrite for buckets with rows, FS-drop for buckets the merge
+        emptied. ``final`` must already carry BUCKET_COL. Cached for the
+        duration so the lineage executes once (the nonempty probe and the
+        write would otherwise both run it)."""
+        final = final.cache()
+        try:
+            nonempty = {
+                r[BUCKET_COL]
+                for r in final.select(BUCKET_COL).distinct().collect()
+            }
+            if nonempty:
+                self._overwrite_buckets(
+                    final.where(F.col(BUCKET_COL).isin(sorted(nonempty)))
+                )
+            self._drop_bucket_dirs(sorted(set(touched) - nonempty))
+        finally:
+            final.unpersist()
+
+    # --------------------------------------------------------- meta guard
+    # The bucket layout is a durable property of the TABLE, not of the
+    # handle: reopening with a different n_buckets/keys and merging would
+    # scatter new row versions into buckets their old versions don't live
+    # in — silent corruption. init() persists layout + schema; every
+    # mutation verifies the layout, and the schema keeps a fully-emptied
+    # table readable.
+    def _meta_path(self):
+        return self._fs_path(f"{self.path}/{META_FILE}")
+
+    def _write_meta(self, schema: T.StructType) -> None:
+        p = self._meta_path()
+        out = self._fs(p).create(p, True)
+        out.write(
+            json.dumps(
+                {
+                    "keys": self.keys,
+                    "bucket_keys": self.bucket_keys,
+                    "n_buckets": self.n_buckets,
+                    "schema": schema.jsonValue(),
+                }
+            ).encode("utf-8")
+        )
+        out.close()
+
+    def _read_meta(self) -> dict | None:
+        p = self._meta_path()
+        fs = self._fs(p)
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            raw = bytes(
+                self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        return json.loads(raw.decode("utf-8"))
+
+    def _check_meta(self) -> None:
+        meta = self._read_meta()
+        if meta is None:
+            return  # pre-guard table (or external layout): trust the caller
+        mine = {
+            "keys": self.keys,
+            "bucket_keys": self.bucket_keys,
+            "n_buckets": self.n_buckets,
+        }
+        theirs = {k: meta.get(k) for k in mine}
+        if theirs != mine:
+            raise ValueError(
+                f"bucket layout mismatch for {self.path}: table was created "
+                f"with {theirs}, handle configured with {mine} — merging "
+                "would scatter rows across incompatible buckets"
+            )
+
+    def _read_raw(self) -> DataFrame:
+        """The stored table INCLUDING the bucket column; a table whose
+        every bucket was emptied still reads (empty frame from the
+        persisted schema) instead of failing schema inference."""
+        try:
+            return self.spark.read.parquet(self.path)
+        except Exception:
+            meta = self._read_meta()
+            if meta is None or "schema" not in meta:
+                raise
+            schema = T.StructType.fromJson(meta["schema"]).add(
+                BUCKET_COL, T.IntegerType()
+            )
+            return self.spark.createDataFrame([], schema)
+
     # ------------------------------------------------------------ public
+    def exists(self) -> bool:
+        p = self._fs_path(self.path)
+        return self._fs(p).exists(p)
+
     def init(self, df: DataFrame) -> None:
-        """Full initial load (the only whole-table write); persists the
-        bucket-layout metadata the mutation guard verifies."""
+        """Full initial load. The table dir is removed first: a dynamic
+        overwrite alone would leave stale bucket dirs from a previous
+        load (it only replaces partitions present in the new data)."""
+        root = self._fs_path(self.path)
+        fs = self._fs(root)
+        if fs.exists(root):
+            fs.delete(root, True)
         self._overwrite_buckets(df.withColumn(BUCKET_COL, self._bucket()))
-        self._write_meta()
+        self._write_meta(df.schema)
 
     def read(self) -> DataFrame:
-        raw = self.spark.read.parquet(self.path)
+        raw = self._read_raw()
         return raw.select([c for c in raw.columns if c != BUCKET_COL])
 
     def upsert(self, updates: DataFrame, version_col: str | None = None) -> list[int]:
@@ -103,123 +223,68 @@ class BucketedTable:
         touched = self._touched_buckets(updates)
         if not touched:
             return []
-        raw = self.spark.read.parquet(self.path)
+        raw = self._read_raw()
         cols = [c for c in raw.columns if c != BUCKET_COL]
         current = raw.where(F.col(BUCKET_COL).isin(touched)).select(cols)
         merged = upsert_by_key(current, updates.select(cols), self.keys, version_col)
+        # upsert can never empty a touched bucket (every touched bucket
+        # receives at least one update row), so the plain overwrite works
         self._overwrite_buckets(merged.withColumn(BUCKET_COL, self._bucket()))
         return touched
 
-    def exists(self) -> bool:
-        jvm = self.spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(self.path)
-        return p.getFileSystem(self.spark._jsc.hadoopConfiguration()).exists(p)
+    def replace_group(
+        self,
+        updates: DataFrame,
+        group_keys: list[str],
+        groups: DataFrame | None = None,
+    ) -> list[int]:
+        """Group-level replace: every group (e.g. a doc_id) in ``groups``
+        (default: the distinct group keys present in ``updates``) has ALL
+        its existing rows dropped and its update rows inserted — the
+        MERGE shape of re-processing a changed document, whose new token
+        set need not overlap its old one.
 
-    # --------------------------------------------------------- meta guard
-    # The bucket layout is a durable property of the TABLE, not of the
-    # handle: reopening with a different n_buckets/keys and merging would
-    # scatter new row versions into buckets their old versions don't live
-    # in — silent corruption. init() persists the layout; every mutation
-    # verifies it.
-    def _meta_path(self):
-        jvm = self.spark._jvm
-        return jvm.org.apache.hadoop.fs.Path(f"{self.path}/{META_FILE}")
-
-    def _write_meta(self) -> None:
-        p = self._meta_path()
-        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        out = fs.create(p, True)
-        out.write(
-            json.dumps(
-                {
-                    "keys": self.keys,
-                    "bucket_keys": self.bucket_keys,
-                    "n_buckets": self.n_buckets,
-                }
-            ).encode("utf-8")
-        )
-        out.close()
-
-    def _check_meta(self) -> None:
-        p = self._meta_path()
-        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        if not fs.exists(p):
-            return  # pre-guard table (or external layout): trust the caller
-        stream = fs.open(p)
-        try:
-            raw = bytes(
-                self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-            )
-        finally:
-            stream.close()
-        meta = json.loads(raw.decode("utf-8"))
-        mine = {
-            "keys": self.keys,
-            "bucket_keys": self.bucket_keys,
-            "n_buckets": self.n_buckets,
-        }
-        if meta != mine:
-            raise ValueError(
-                f"bucket layout mismatch for {self.path}: table was created "
-                f"with {meta}, handle configured with {mine} — merging would "
-                "scatter rows across incompatible buckets"
-            )
-
-    def replace_group(self, updates: DataFrame, group_keys: list[str]) -> list[int]:
-        """Group-level replace: every group (e.g. a doc_id) present in
-        ``updates`` has ALL its existing rows dropped and the update rows
-        inserted — the MERGE shape of re-processing a changed document,
-        whose new token set need not overlap its old one. Requires
-        ``bucket_keys ⊆ group_keys`` so a group lives entirely inside its
-        buckets; rewrites only those buckets. Idempotent: re-applying the
-        same updates (e.g. a replayed foreachBatch) reproduces the same
-        table state. The table must exist (``init`` first — see
-        ``exists()``; streaming callers guard on it)."""
+        Pass ``groups`` explicitly when a group's new version can be
+        EMPTY (a re-processed doc with no tokens): it then has no update
+        rows, so deriving groups from ``updates`` alone would leave its
+        stale rows in place. Requires ``bucket_keys ⊆ group_keys``;
+        rewrites only the touched buckets, FS-drops any the replace
+        empties. Idempotent: re-applying the same batch reproduces the
+        same table state. The table must exist (``init`` first)."""
         self._check_meta()
         if not set(self.bucket_keys) <= set(group_keys):
             raise ValueError(
                 f"group_keys {group_keys} must contain bucket_keys "
                 f"{self.bucket_keys} (a group must not span buckets)"
             )
-        touched = self._touched_buckets(updates)
+        if groups is None:
+            groups = updates.select(*group_keys).distinct()
+        else:
+            groups = groups.select(*group_keys).distinct()
+        touched = self._touched_buckets(groups)
         if not touched:
             return []
-        raw = self.spark.read.parquet(self.path)
+        raw = self._read_raw()
         cols = [c for c in raw.columns if c != BUCKET_COL]
         current = raw.where(F.col(BUCKET_COL).isin(touched)).select(cols)
-        groups = updates.select(*group_keys).distinct()
         remaining = current.join(groups, group_keys, "left_anti").select(cols)
         merged = remaining.unionByName(updates.select(cols))
-        self._overwrite_buckets(merged.withColumn(BUCKET_COL, self._bucket()))
+        self._commit_touched(touched, merged.withColumn(BUCKET_COL, self._bucket()))
         return touched
 
     def delete(self, doomed_keys: DataFrame) -> list[int]:
-        """MERGE … WHEN MATCHED DELETE, partition-pruned the same way.
-
-        A bucket whose every row is deleted needs special care: dynamic
-        partition overwrite only replaces partitions PRESENT in the
-        written data, so an empty bucket would silently keep its stale
-        files — those partitions are dropped through the Hadoop FS API
-        instead (works on any FileSystem implementation)."""
+        """MERGE … WHEN MATCHED DELETE, partition-pruned the same way;
+        emptied buckets are FS-dropped, and a fully-emptied table stays
+        readable via the persisted schema."""
         self._check_meta()
         touched = self._touched_buckets(doomed_keys.select(*self.keys))
         if not touched:
             return []
-        raw = self.spark.read.parquet(self.path)
+        raw = self._read_raw()
         cols = [c for c in raw.columns if c != BUCKET_COL]
         current = raw.where(F.col(BUCKET_COL).isin(touched)).select(cols)
-        remaining = delete_by_key(current, doomed_keys, self.keys).withColumn(
-            BUCKET_COL, self._bucket()
+        remaining = delete_by_key(current, doomed_keys, self.keys)
+        self._commit_touched(
+            touched, remaining.withColumn(BUCKET_COL, self._bucket())
         )
-        nonempty = {
-            r[BUCKET_COL]
-            for r in remaining.select(BUCKET_COL).distinct().collect()
-        }
-        if nonempty:
-            self._overwrite_buckets(remaining.where(F.col(BUCKET_COL).isin(sorted(nonempty))))
-        jvm = self.spark._jvm
-        hconf = self.spark._jsc.hadoopConfiguration()
-        for b in sorted(set(touched) - nonempty):
-            p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{BUCKET_COL}={b}")
-            p.getFileSystem(hconf).delete(p, True)
         return touched

@@ -62,7 +62,12 @@ def merge_doc_batch(table: BucketedTable, docs: DataFrame) -> None:
     if not table.exists():
         table.init(posts)
     else:
-        table.replace_group(posts, group_keys=["doc_id"])
+        # groups = the batch's doc_ids, NOT the postings' doc_ids: a doc
+        # whose new version tokenizes to ZERO terms produces no posting
+        # rows, but its old postings must still be dropped
+        table.replace_group(
+            posts, group_keys=["doc_id"], groups=latest.select("doc_id")
+        )
 
 
 def stream_maintain_postings(

@@ -289,6 +289,7 @@ def connected_components(
     )
     labels = nodes.select(F.col("id"), F.col("id").alias("comp")).cache()
     labels.count()
+    converged = False
     for _ in range(max_iter):
         neigh = (
             edges.join(labels.withColumnsRenamed({"id": "dst", "comp": "ncomp"}), "dst")
@@ -310,7 +311,15 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    edges.unpersist()  # the cached LSH/shingle self-join — don't leak it
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(component diameter exceeds max_iter); raise max_iter — a "
+            "silent non-fixpoint would return WRONG cluster labels"
+        )
     return labels.select("id", F.col("comp").alias("cluster_id"))
 
 

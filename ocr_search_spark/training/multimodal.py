@@ -275,12 +275,19 @@ def average_hash(gray: "np.ndarray") -> int:  # noqa: F821
     import numpy as np
 
     h, w = gray.shape
-    ys = (np.arange(9) * h) // 8
-    xs = (np.arange(9) * w) // 8
-    blocks = np.empty((8, 8), dtype=np.float64)
-    for i in range(8):
-        for j in range(8):
-            blocks[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    if h < 8 or w < 8:
+        # tiny image: block slicing would produce EMPTY slices (NaN means
+        # → ahash silently 0); nearest-sample an 8×8 grid instead
+        blocks = gray[(np.arange(8) * h) // 8][:, (np.arange(8) * w) // 8].astype(
+            np.float64
+        )
+    else:
+        ys = (np.arange(9) * h) // 8
+        xs = (np.arange(9) * w) // 8
+        blocks = np.empty((8, 8), dtype=np.float64)
+        for i in range(8):
+            for j in range(8):
+                blocks[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
     bits = (blocks > blocks.mean()).flatten()
     out = 0
     for b in bits:

@@ -163,10 +163,16 @@ def char_ngram_counts(
     signal). One explode + one count: the 'training' of a count-based
     LM is a single aggregation at any corpus size."""
     t = F.lower(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0))),
-        lambda i: F.substring(t, i, n),
-    )
+    # guard: F.sequence(1, 0) produces the DESCENDING [1, 0] (default
+    # step -1 when start > stop), so sub-n texts would emit two bogus
+    # truncated grams instead of none
+    grams = F.when(
+        F.length(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (n - 1)),
+            lambda i: F.substring(t, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         docs.select(F.explode(grams).alias("gram"))
         .groupBy("gram")
@@ -191,10 +197,13 @@ def lm_quality_score(
     one division by the gram count, rounded to 6.
     Output: (id, n_grams, avg_logcnt)."""
     t = F.lower(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0))),
-        lambda i: F.substring(t, i, n),
-    )
+    grams = F.when(
+        F.length(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (n - 1)),
+            lambda i: F.substring(t, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     rows = docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
     w = lm.select(
         "gram",

@@ -129,3 +129,46 @@ def test_layout_mismatch_refused(spark, base_df, tmp_path):
     # the matching handle still works
     ok = BucketedTable(spark, path, KEYS, n_buckets=N_BUCKETS)
     assert ok.upsert(upd)
+
+
+def test_reinit_clears_previous_load(spark, base_df, tmp_path):
+    """init on an existing table must not leave stale buckets from the
+    previous load (dynamic overwrite alone only replaces partitions
+    present in the new data)."""
+    path = str(tmp_path / "tbl")
+    t = BucketedTable(spark, path, KEYS, n_buckets=N_BUCKETS)
+    t.init(base_df)
+    small = base_df.limit(3)
+    t.init(small)
+    assert sorted(tuple(r) for r in t.read().collect()) == sorted(
+        tuple(r) for r in small.collect()
+    )
+
+
+def test_delete_everything_keeps_table_readable(spark, base_df, tmp_path):
+    """Emptying every bucket leaves a parquet-less dir; read() and the
+    next mutation must still work (schema persisted in the meta)."""
+    path = str(tmp_path / "tbl")
+    t = BucketedTable(spark, path, KEYS, n_buckets=N_BUCKETS)
+    t.init(base_df)
+    t.delete(base_df.select(*KEYS))
+    assert t.read().count() == 0
+    assert t.read().columns == base_df.columns
+    # table keeps working: an upsert into the empty table
+    t.upsert(base_df.limit(2))
+    assert t.read().count() == 2
+
+
+def test_replace_group_with_empty_new_version(spark, base_df, tmp_path):
+    """A group replaced by ZERO rows (re-processed doc with no tokens)
+    must still have its old rows dropped — groups passed explicitly."""
+    path = str(tmp_path / "tbl")
+    t = BucketedTable(spark, path, KEYS, n_buckets=N_BUCKETS, bucket_keys=["doc_id"])
+    t.init(base_df)
+    vid = base_df.select("doc_id").distinct().limit(1).collect()[0]["doc_id"]
+    victim = spark.createDataFrame([(vid,)], "doc_id string")
+    empty_updates = base_df.where(F.lit(False))
+    t.replace_group(empty_updates, group_keys=["doc_id"], groups=victim)
+    left = t.read()
+    assert left.where(F.col("doc_id") == vid).count() == 0
+    assert left.count() == base_df.where(F.col("doc_id") != vid).count()

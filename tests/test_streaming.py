@@ -301,3 +301,27 @@ def test_transform_with_state_sessionize_vs_batch(spark, dirs):
     must = [k for k, v in batch.items() if v["session_end"] < cutoff]
     for k in must:
         assert k in stream, f"closed session {k} not emitted"
+
+
+def test_stream_maintain_zero_term_doc_version(spark, dirs, tmp_path):
+    """A document re-arriving with NO tokenizable content (media-only
+    spans) must lose its old postings — the doc-replace contract even
+    when the new version contributes zero posting rows."""
+    from ocr_search_spark.streaming import index_maintain as IM
+
+    table_path = str(tmp_path / "ptbl")
+    docs_v1 = corpus.documents_table(spark, 40, skew=False).cache()
+    docs_v1.write.mode("append").parquet(dirs["in"])
+    IM.stream_maintain_postings(spark, dirs["in"], table_path, dirs["ckpt"], n_buckets=8)
+    table = IM.postings_table(spark, table_path, 8)
+    vid = sorted(r["doc_id"] for r in docs_v1.select("doc_id").collect())[0]
+    assert table.read().where(F.col("doc_id") == vid).count() > 0
+
+    # v2 of that doc: an empty span array → zero terms (media spans
+    # would still produce OCR-sim terms)
+    empty_doc = spark.createDataFrame([(vid,)], "doc_id string").select(
+        "doc_id", F.array().cast(docs_v1.schema["spans"].dataType).alias("spans")
+    )
+    empty_doc.write.mode("append").parquet(dirs["in"])
+    IM.stream_maintain_postings(spark, dirs["in"], table_path, dirs["ckpt"], n_buckets=8)
+    assert table.read().where(F.col("doc_id") == vid).count() == 0

@@ -254,3 +254,44 @@ def test_connected_components(spark):
         for r in dedup.connected_components(nodes, pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
+
+
+def test_prefer_original_unknown_formats_fallback(spark):
+    """ANSI-mode regression: a stem with none of pptx/docx/pdf must fall
+    back to 'pdf', not crash on element_at of an empty array."""
+    from ocr_search_spark.operators.maintenance import prefer_original
+
+    df = spark.createDataFrame(
+        [("a", ["txt"]), ("b", ["pdf", "pptx"]), ("c", [])],
+        "stem string, formats array<string>",
+    )
+    got = {r["stem"]: r["ori_format"] for r in prefer_original(df).collect()}
+    assert got == {"a": "pdf", "b": "pptx", "c": "pdf"}
+
+
+def test_char_ngrams_short_text(spark):
+    """Spark sequence(1, 0) is DESCENDING — sub-n texts must yield zero
+    grams, not two truncated ones, and lm scores must stay well-defined."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "ab"), (3, "abc"), (4, "abcd")], "doc_id long, text string"
+    )
+    lm = {r["gram"]: r["cnt"] for r in textstats.char_ngram_counts(df, n=3).collect()}
+    assert lm == {"abc": 2, "bcd": 1}
+    scores = {r["id"]: r for r in textstats.lm_quality_score(df, textstats.char_ngram_counts(df, n=3), n=3).collect()}
+    assert scores[1]["n_grams"] == 0 and scores[1]["avg_logcnt"] == 0.0
+    assert scores[2]["n_grams"] == 0
+    assert scores[3]["n_grams"] == 1
+    assert scores[4]["n_grams"] == 2
+
+
+def test_ahash_tiny_images():
+    """Sub-8px images must hash via nearest sampling, never NaN→0."""
+    import numpy as np
+
+    g = np.arange(16, dtype=np.float64).reshape(4, 4)
+    h = multimodal.average_hash(g)
+    assert h != 0
+    assert h == multimodal.average_hash(g)  # deterministic
+    # gradient: half the samples above the mean → mixed bits
+    bits = bin(h & ((1 << 64) - 1)).count("1")
+    assert 0 < bits < 64
