@@ -1734,16 +1734,39 @@ _base_queries = queries
 _base_oracles = oracle_sql
 
 
+# The driver's correctness gate checks the FIRST 50 entries of queries()
+# in dict order.  Entries named here are emitted first so that queries
+# without a green driver row from a previous round land inside that
+# window (VERDICT r2 item #1); everything else follows in insertion
+# order and keeps its prior-round rows on record.
+_GATE_PRIORITY = [
+    # 15 entries added late in round 2 that fell outside the r2 window
+    "events_cube", "search_batch", "dedup_clusters", "decontaminate",
+    "stratified_sample", "search_tfidf", "events_session_window",
+    "tpch_q18", "tpch_q22", "index_stats", "extract_density",
+    "lm_quality", "events_funnel", "events_retention", "search_bm25",
+    # new in round 3
+    "dedup_skewed", "correlations_incremental", "search_batch_bm25",
+    "png_pixel_stats", "postings_wordnet",
+]
+
+
+def _prioritized(full: dict) -> dict:
+    head = {k: full[k] for k in _GATE_PRIORITY if k in full}
+    head.update(full)
+    return head
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
     out = _base_queries()
     out.update(_TRAINING_QUERIES)
-    return out
+    return _prioritized(out)
 
 
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _base_oracles()
     out.update(_TRAINING_ORACLES)
-    return out
+    return _prioritized(out)
 
 
 # ---------------------------------------------------------- custom joins

@@ -180,6 +180,24 @@ class BucketedTable:
                 "would scatter rows across incompatible buckets"
             )
 
+    def _has_data_files(self) -> bool:
+        """True iff the table dir holds at least one parquet data file.
+        Distinguishes 'table legitimately emptied' from 'read failed for
+        another reason' so a transient/corruption error is never treated
+        as an empty table (which would silently drop the surviving rows
+        on the next upsert/replace/delete)."""
+        root = self._fs_path(self.path)
+        fs = self._fs(root)
+        if not fs.exists(root):
+            return False
+        it = fs.listFiles(root, True)  # recursive
+        while it.hasNext():
+            f = it.next()
+            name = f.getPath().getName()
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                return True
+        return False
+
     def _read_raw(self) -> DataFrame:
         """The stored table INCLUDING the bucket column; a table whose
         every bucket was emptied still reads (empty frame from the
@@ -187,6 +205,10 @@ class BucketedTable:
         try:
             return self.spark.read.parquet(self.path)
         except Exception:
+            # Only the fully-emptied-table case may fall back to an empty
+            # frame; any failure while data files exist must surface.
+            if self._has_data_files():
+                raise
             meta = self._read_meta()
             if meta is None or "schema" not in meta:
                 raise

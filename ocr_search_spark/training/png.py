@@ -51,11 +51,17 @@ def decode_png(data: bytes) -> np.ndarray:
     ihdr = None
     idat = bytearray()
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated chunk header")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError(f"truncated {ctype!r} chunk (declared {length} bytes)")
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length  # len + type + body + crc
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError(f"bad IHDR length {length}")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"IDAT":
             idat.extend(body)
@@ -68,10 +74,15 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"unsupported bit depth {depth} (only 8)")
     if color not in _CHANNELS:
         raise ValueError(f"unsupported color type {color}")
+    if comp != 0 or filt != 0:
+        raise ValueError(f"bad IHDR compression/filter method {comp}/{filt}")
     if interlace != 0:
         raise ValueError("Adam7 interlace unsupported")
     ch = _CHANNELS[color]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT size mismatch")

@@ -31,10 +31,18 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         cid = data[pos : pos + 4]
         (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError(
+                f"truncated {cid!r} chunk (declared {clen}, got {len(body)} bytes)"
+            )
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
         if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError(f"short fmt chunk ({clen} bytes)")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
+            if pcm is not None:
+                raise ValueError("multiple data chunks")
             pcm = body
     if fmt is None or pcm is None:
         raise ValueError("missing fmt/data chunk")

@@ -22,6 +22,8 @@ def test_codec_roundtrip_all_filters_and_channels():
 
 
 def test_codec_rejects_malformed():
+    import struct
+
     import pytest
 
     with pytest.raises(ValueError, match="signature"):
@@ -29,6 +31,23 @@ def test_codec_rejects_malformed():
     ok = encode_png(np.zeros((4, 4), dtype=np.uint8))
     with pytest.raises(ValueError):
         decode_png(ok[:8] + ok[20:])  # IHDR stripped
+    # every malformation raises ValueError (never struct/zlib errors)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(ok[:14])  # mid-chunk-header truncation
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(ok[:30])  # truncated IHDR body
+    idat_at = ok.index(b"IDAT") - 4
+    corrupt = bytearray(ok)
+    corrupt[idat_at + 8 : idat_at + 12] = b"\xff\xff\xff\xff"  # smash zlib header
+    with pytest.raises(ValueError, match="IDAT"):
+        decode_png(bytes(corrupt))
+    bad_comp = bytearray(ok)
+    bad_comp[8 + 8 + 10] = 9  # IHDR compression-method byte
+    bad_comp[8 + 8 + 13 : 8 + 8 + 17] = struct.pack(
+        ">I", __import__("zlib").crc32(bytes(bad_comp[8 + 4 : 8 + 8 + 13])) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="compression/filter"):
+        decode_png(bytes(bad_comp))
 
 
 def test_decode_image_real_features(spark):

@@ -172,3 +172,18 @@ def test_replace_group_with_empty_new_version(spark, base_df, tmp_path):
     left = t.read()
     assert left.where(F.col("doc_id") == vid).count() == 0
     assert left.count() == base_df.where(F.col("doc_id") != vid).count()
+
+
+def test_corrupt_data_file_raises_not_empty(spark, base_df, tmp_path):
+    """A parquet read failure while data files still exist must RAISE
+    (ADVICE r2): treating it as an empty table would let the next
+    upsert overwrite the surviving rows with only the update rows."""
+    path = str(tmp_path / "tbl")
+    t = BucketedTable(spark, path, KEYS, n_buckets=N_BUCKETS)
+    t.init(base_df)
+    victim = next(Path(path).rglob("*.parquet"))
+    victim.write_bytes(b"PAR1 this is not a parquet file")
+    with pytest.raises(Exception):
+        t.read().count()
+    with pytest.raises(Exception):
+        t.upsert(base_df.limit(3))

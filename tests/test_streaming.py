@@ -58,33 +58,43 @@ def test_stream_extract_kill_and_resume(spark, dirs):
     first commit, and a restarted run with the same checkpoint must end
     with every doc extracted exactly once, equal to the batch twin —
     regardless of where the kill landed."""
+    import shutil
     import time
 
     docs = corpus.documents_table(spark, 200, skew=False)
-    docs.repartition(8).write.mode("append").parquet(dirs["in"])
+    # many single-file micro-batches → the stop lands mid-backlog with
+    # overwhelming probability; retried (fresh state) if a fast idle host
+    # still commits everything before the stop takes effect (q.stop() is
+    # not instantaneous — see ADVICE r2)
+    docs.repartition(32).write.mode("append").parquet(dirs["in"])
 
-    q = ingest.stream_extract(
-        spark,
-        dirs["in"],
-        dirs["out"],
-        dirs["ckpt"],
-        await_termination=False,
-        max_files_per_trigger=1,
-    )
-    deadline = time.time() + 120
-    while time.time() < deadline:
-        p = q.lastProgress
-        if p is not None and p["numInputRows"] > 0:
+    partial = 200
+    for _attempt in range(3):
+        shutil.rmtree(dirs["out"], ignore_errors=True)
+        shutil.rmtree(dirs["ckpt"], ignore_errors=True)
+        q = ingest.stream_extract(
+            spark,
+            dirs["in"],
+            dirs["out"],
+            dirs["ckpt"],
+            await_termination=False,
+            max_files_per_trigger=1,
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p is not None and p["numInputRows"] > 0:
+                break
+            time.sleep(0.05)
+        q.stop()  # kill with part of the backlog committed, part not
+        q.awaitTermination()
+        try:
+            partial = spark.read.parquet(dirs["out"]).count()
+        except Exception:
+            partial = 0
+        if partial < 200:
             break
-        time.sleep(0.1)
-    q.stop()  # kill with part of the backlog committed, part not
-    q.awaitTermination()
-
-    try:
-        partial = spark.read.parquet(dirs["out"]).count()
-    except Exception:
-        partial = 0
-    assert partial < 200, "kill landed after full completion — no partial state"
+    assert partial < 200, "kill landed after full completion on 3 attempts"
 
     # resume from the same checkpoint: processes exactly the remainder
     ingest.stream_extract(

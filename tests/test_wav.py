@@ -32,6 +32,14 @@ def test_codec_rejects_malformed():
     ok = encode_wav(np.zeros((10, 1)), 8000)
     with pytest.raises(ValueError, match="missing fmt"):
         decode_wav(ok[:12])  # chunks stripped
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(ok[:-6])  # data chunk shorter than its declared length
+    import struct
+
+    extra = ok + b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="multiple data"):
+        # second data chunk appended (RIFF size patched to cover it)
+        decode_wav(extra[:4] + struct.pack("<I", len(extra) - 8) + extra[8:])
 
 
 def test_decode_audio_real_features(spark):
