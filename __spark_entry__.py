@@ -2608,3 +2608,112 @@ scored AS (
 SELECT doc_id, score::BIGINT AS score FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT 20"""
+
+
+# ------------------------------------------------------- dedup skew gate
+# Near-dup corpus with a HOT boilerplate block (VERDICT r2 item #2): a
+# fixed 9-word footer appears in ~50% of docs, so its interior shingles
+# have df ≈ N/2 — an unguarded shingle self-join would build a quadratic
+# (N/2)² candidate clique out of them at any scale. `max_df` drops those
+# stop-shingles plan-side before the join (dedup.py:77); genuine near-dup
+# groups (df = group size « max_df) survive and their exact Jaccard is
+# matched against DuckDB. Mirrors what correlations_skewed does for the
+# I8/I9 guard. Word draws are uniform (not Zipf): h60-seeded, identical
+# IEEE double ops on both engines.
+
+_BOILERPLATE = ["all", "rights", "reserved", "terms", "of", "service",
+                "apply", "contact", "us"]
+_NEARDUP_GROUPS = 150
+_NEARDUP_MAX_DF = 100
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.hashing import h60
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("id")
+    )
+    did = F.col("id")
+    vocab = F.array(*[F.lit(w) for w in textproc.OCR_VOCAB])
+
+    def pick(seed):
+        r = h60(seed).cast("double") / F.lit(_TWO60)
+        return F.element_at(vocab, (F.floor(F.lit(64.0) * r) + 1).cast("int"))
+
+    g = (h60(F.concat(did, F.lit(":grp"))) % _NEARDUP_GROUPS).cast("string")
+    bp = h60(F.concat(did, F.lit(":bp"))) % 2 == 0
+    base = F.transform(
+        F.sequence(F.lit(0), F.lit(11)),
+        lambda j: pick(F.concat(F.lit("g"), g, F.lit(":"), j.cast("string"), F.lit(":base"))),
+    )
+    uniq = F.transform(
+        F.sequence(F.lit(0), F.lit(2)),
+        lambda j: pick(F.concat(did, F.lit(":"), j.cast("string"), F.lit(":uniq"))),
+    )
+    bpw = F.array(*[F.lit(w) for w in _BOILERPLATE])
+    words = F.when(bp, F.concat(base, uniq, bpw)).otherwise(F.concat(base, uniq))
+    return d.select("id", F.array_join(words, " ").alias("text"))
+
+
+def q_dedup_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.ngram_jaccard_pairs(
+        _neardup_corpus(spark, sf_dir), text_col="text", id_col="id",
+        k=3, threshold=0.5, max_df=_NEARDUP_MAX_DF,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_TRAINING_QUERIES["dedup_skewed"] = q_dedup_skewed
+
+
+def _neardup_oracle() -> str:
+    vocab_lit = "[" + ", ".join("'" + w + "'" for w in textproc.OCR_VOCAB) + "]"
+    bp_lit = "[" + ", ".join("'" + w + "'" for w in _BOILERPLATE) + "]"
+    h = lambda e: f"('0x' || substring(md5({e}), 1, 15))::BIGINT"  # noqa: E731
+    pick = (
+        lambda seed: f"({vocab_lit})[(floor(64.0 * ({h(seed)}::DOUBLE"
+        f" / 1152921504606846976.0)) + 1)::INT]"
+    )  # noqa: E731
+    return f"""WITH ids AS (SELECT doc_id::VARCHAR AS did FROM documents),
+base AS (
+  SELECT did,
+         ({h("did || ':grp'")} % {_NEARDUP_GROUPS})::VARCHAR AS g,
+         {h("did || ':bp'")} % 2 = 0 AS bp
+  FROM ids
+),
+wordarr AS (
+  SELECT did,
+    list_transform(range(0, 12),
+      j -> {pick("'g' || g || ':' || j::VARCHAR || ':base'")})
+    || list_transform(range(0, 3),
+      j -> {pick("did || ':' || j::VARCHAR || ':uniq'")})
+    || CASE WHEN bp THEN {bp_lit} ELSE []::VARCHAR[] END AS ws
+  FROM base
+),
+gramidx AS (
+  SELECT did, ws, unnest(range(1, len(ws) - 1)) AS i FROM wordarr
+),
+grams AS (
+  SELECT DISTINCT did, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS gram
+  FROM gramidx
+),
+dfreq AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram),
+fgrams AS (
+  SELECT g2.did, g2.gram FROM grams g2
+  JOIN dfreq USING (gram) WHERE df <= {_NEARDUP_MAX_DF}
+),
+sizes AS (SELECT did, count(*) AS n FROM fgrams GROUP BY did),
+common AS (
+  SELECT a.did AS id_a, b.did AS id_b, count(*) AS c
+  FROM fgrams a JOIN fgrams b USING (gram)
+  WHERE a.did < b.did GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.did = common.id_a
+JOIN sizes sb ON sb.did = common.id_b
+WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5"""
+
+
+_TRAINING_ORACLES["dedup_skewed"] = _neardup_oracle()

@@ -295,3 +295,31 @@ def test_ahash_tiny_images():
     # gradient: half the samples above the mean → mixed bits
     bits = bin(h & ((1 << 64) - 1)).count("1")
     assert 0 < bits < 64
+
+
+def test_max_df_guard_kills_boilerplate_clique(spark):
+    """ADVICE/VERDICT r2: a shingle shared by ~half the corpus (site
+    boilerplate) must be droppable plan-side — unguarded, it alone welds
+    every boilerplate pair into a quadratic candidate clique; with
+    max_df it contributes nothing while genuine near-dup pairs keep
+    their exact Jaccard."""
+    bp = "all rights reserved terms of service apply contact us"
+    rows = []
+    for i in range(80):
+        body = f"unique{i}a unique{i}b unique{i}c unique{i}d unique{i}e"
+        rows.append((i, body + (" " + bp if i % 2 == 0 else "")))
+    # one genuine near-dup pair, both carrying the boilerplate
+    rows.append((900, "spark shuffles partition data across executors nightly " + bp))
+    rows.append((901, "spark shuffles partition data across executors weekly " + bp))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+    unguarded = dedup.ngram_jaccard_pairs(docs, threshold=0.0)
+    guarded = dedup.ngram_jaccard_pairs(docs, threshold=0.0, max_df=10)
+    n_un, n_g = unguarded.count(), guarded.count()
+    assert n_un >= (41 * 40) // 2  # the 41 bp docs form a full clique
+    assert n_g < 50  # guard collapses it to real candidates only
+
+    g_pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in guarded.collect()}
+    assert (900, 901) in g_pairs  # survivor: true near-dup, bp stripped
+    # 7 shingles survive per doc (bp-interior grams dropped), 4 shared
+    assert abs(g_pairs[(900, 901)] - 4 / 10) < 1e-12
