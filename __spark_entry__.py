@@ -67,6 +67,20 @@ def _tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
 
 
+def _widened(docs: DataFrame) -> DataFrame:
+    """Widen a narrow scan to the session's parallelism before the
+    expensive extract/tokenize derivation. The small-SF corpus is one
+    tiny parquet file → 1-2 input splits, so every downstream narrow op
+    (regex strip, lemma chain, CJK stage) would run on 2 of 32 cores
+    (measured: postings 3.3 s → 1.9 s, delete_cascade 4.8 s → 2.5 s at
+    sf0.1 warm). At production scale the scan already has ≥ parallelism
+    splits and this is a no-op — no blind repartition of big inputs."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target, "doc_id")
+    return docs
+
+
 def _with_doc_key(docs: DataFrame) -> DataFrame:
     path = F.concat(
         F.col("source"),
@@ -88,7 +102,7 @@ def _with_doc_key(docs: DataFrame) -> DataFrame:
 
 def _interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat driver docs → the interleaved (doc_id, spans) input shape."""
-    d = _with_doc_key(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    d = _with_doc_key(_widened(spark.read.parquet(f"{sf_dir}/documents.parquet")))
     noisy = F.concat(F.lit(_NOISE_PRE), F.col("text"), F.lit(_NOISE_MID), F.col("text"))
     ref = F.concat(F.col("source"), F.lit("/img-"), F.col("flat_id").cast("string"))
     span = lambda kind, text, mref, off: F.struct(  # noqa: E731
@@ -127,7 +141,7 @@ def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _with_doc_key(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    d = _with_doc_key(_widened(spark.read.parquet(f"{sf_dir}/documents.parquet")))
     return doc_catalog(
         d.select(F.col("doc_key").alias("doc_id"), "ori_file_path", "page_idx")
     )
@@ -259,7 +273,7 @@ def q_docs_by_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_terms_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I7: all terms of one doc (doc resolved from flat doc_id 0)."""
-    d = _with_doc_key(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    d = _with_doc_key(_widened(spark.read.parquet(f"{sf_dir}/documents.parquet")))
     key = d.where(F.col("flat_id") == 0).select(F.col("doc_key").alias("doc_id"))
     return _postings(spark, sf_dir).join(F.broadcast(key), "doc_id").select(
         "term", "tf"
@@ -857,7 +871,7 @@ from ocr_search_spark.training import textstats as TS
 
 
 def _docs_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _widened(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -930,7 +944,7 @@ _TWO60 = float(1 << 60)
 def _skewed_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_search_spark.training.hashing import h60
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _widened(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
         F.col("doc_id").cast("string").alias("_did")
     )
     did = F.col("_did")
@@ -1088,7 +1102,7 @@ def _cjk_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     # resolution would bind references inside sibling select expressions to
     # that alias ('cjk-…') instead of the input column — so the seed lives
     # in a dedicated _did projection first.
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _widened(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
         F.col("doc_id").cast("string").alias("_did")
     )
     did = F.col("_did")
@@ -2630,7 +2644,7 @@ _NEARDUP_MAX_DF = 100
 def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_search_spark.training.hashing import h60
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _widened(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
         F.col("doc_id").cast("string").alias("id")
     )
     did = F.col("id")
