@@ -558,9 +558,9 @@ _STOPWORDS_IN = ", ".join(_sq(w) for w in textproc.STOPWORDS)
 _BOILER_LIT = _sq("(?im)" + textproc.BOILERPLATE_LINE_RE)
 
 
-def _lemma_sql(expr: str) -> str:
+def _lemma_sql(expr: str, wordnet: bool = False) -> str:
     chain = expr
-    for pat, rep in textproc.LEMMA_RULES:
+    for pat, rep in textproc.lemma_rules(wordnet=wordnet):
         chain = f"regexp_replace({chain}, {_sq(pat)}, {_sq(rep.replace('$1', chr(92) + '1'))})"
     cases = " ".join(
         f"WHEN {_sq(k)} THEN {_sq(v)}" for k, v in textproc.LEMMA_EXCEPTIONS.items()
@@ -2731,3 +2731,78 @@ WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5"""
 
 
 _TRAINING_ORACLES["dedup_skewed"] = _neardup_oracle()
+
+
+# ------------------------------------------------- wordnet lemma mode
+# FIDELITY.md T3 closer (VERDICT r2 item #4): the opt-in undouble +
+# e-restore verb rules (merged→merge, running→run — matching WordNet's
+# verb pass on the systematic deltas) replayed through the full pipeline
+# on BOTH engines. Opt-in because flipping the default would re-key
+# every recorded posting.
+
+# One form per new rule plus the documented boundary cases (kept-ll,
+# kept-ss, add/egg guard, -ng guard), exceptions, plural rules and two
+# stopwords (filter exercise). 24 entries → uniform h60 draw.
+_WN_POOL = [
+    "grabbing", "nodded", "jogging", "humming", "planning", "stopped",
+    "referred", "submitted",              # undouble b d g m n p r t
+    "producing", "arguing", "saving", "organizing",   # e-restore c u v z
+    "merged", "charging",                 # e-restore [^n]g
+    "sorted", "working",                  # plain strips
+    "falling", "missing", "adding", "singing",  # guards hold (no change)
+    "children", "tables", "queries", "the",     # exception / plurals / stop
+]
+assert len(_WN_POOL) == 24
+
+
+def q_postings_wordnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.hashing import h60
+
+    ensure_shipped(spark)
+    d = _widened(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    )
+    did = F.col("doc_id")
+    pool = F.array(*[F.lit(w) for w in _WN_POOL])
+
+    def pick(j):
+        r = h60(
+            F.concat(did, F.lit(":"), j.cast("string"), F.lit(":wn"))
+        ).cast("double") / F.lit(_TWO60)
+        return F.element_at(pool, (F.floor(F.lit(24.0) * r) + 1).cast("int"))
+
+    text = F.array_join(F.transform(F.sequence(F.lit(0), F.lit(5)), pick), " ")
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"), text.alias("text"),
+            F.lit("").alias("media_ref"), F.lit(0).cast("int").alias("offset"),
+        )
+    )
+    return term_postings(
+        d.select("doc_id", spans.alias("spans")), wordnet=True
+    ).withColumn("tf", F.col("tf").cast("long"))
+
+
+def _wordnet_oracle() -> str:
+    pool_lit = "[" + ", ".join("'" + w + "'" for w in _WN_POOL) + "]"
+    h = lambda e: f"('0x' || substring(md5({e}), 1, 15))::BIGINT"  # noqa: E731
+    return f"""WITH ids AS (SELECT doc_id::VARCHAR AS did FROM documents),
+toks AS (
+  SELECT did AS doc_id,
+         unnest(list_transform(range(0, 6),
+           j -> ({pool_lit})[(floor(24.0 * ({h("did || ':' || j::VARCHAR || ':wn'")}::DOUBLE
+                 / 1152921504606846976.0)) + 1)::INT])) AS tok
+  FROM ids
+),
+eng AS (
+  SELECT doc_id, {_lemma_sql("tok", wordnet=True)} AS term
+  FROM toks
+  WHERE tok <> '' AND regexp_matches(tok, '^[\\x00-\\x7F]+$')
+    AND length(tok) > 1 AND regexp_matches(tok, '[a-z]')
+    AND tok NOT IN ({_STOPWORDS_IN})
+)
+SELECT term, doc_id, count(*)::BIGINT AS tf FROM eng GROUP BY 1, 2"""
+
+
+_TRAINING_QUERIES["postings_wordnet"] = q_postings_wordnet
+_TRAINING_ORACLES["postings_wordnet"] = _wordnet_oracle()

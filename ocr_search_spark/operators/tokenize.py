@@ -103,7 +103,9 @@ def _cjk_term_rows(
     )
 
 
-def term_postings(extracted: DataFrame, cjk_mode: str = "fmm") -> DataFrame:
+def term_postings(
+    extracted: DataFrame, cjk_mode: str = "fmm", wordnet: bool = False
+) -> DataFrame:
     """Build the inverted index: (term, doc_id, tf).
 
     English branch: pure columnar expressions → explode (all JVM-side,
@@ -116,7 +118,8 @@ def term_postings(extracted: DataFrame, cjk_mode: str = "fmm") -> DataFrame:
     cut_for_search-style overlapping sub-word emission)."""
     dt = _doc_text(extracted)
     eng_rows = dt.select(
-        "doc_id", F.explode(english_tokens_col(F.col("doc_text"))).alias("term")
+        "doc_id",
+        F.explode(english_tokens_col(F.col("doc_text"), wordnet=wordnet)).alias("term"),
     )
     all_rows = eng_rows.unionByName(_cjk_term_rows(dt, "doc_text", cjk_mode))
     return all_rows.groupBy("term", "doc_id").agg(
@@ -133,22 +136,28 @@ import re  # noqa: E402
 
 _PUNCT_TABLE = str.maketrans(textproc.ASCII_PUNCT, " " * len(textproc.ASCII_PUNCT))
 _STRIP_TABLE = str.maketrans("", "", textproc.STRIP_CHARS)
-_LEMMA_RULES_PY = [
-    (re.compile(pat), rep.replace("$1", "\\1")) for pat, rep in textproc.LEMMA_RULES
-]
+_LEMMA_RULES_PY = {
+    wn: [
+        (re.compile(pat), rep.replace("$1", "\\1"))
+        for pat, rep in textproc.lemma_rules(wordnet=wn)
+    ]
+    for wn in (False, True)
+}
 _CJK_KEEP = re.compile(f"[^{textproc.CJK_CHAR_RANGE}]")
 
 
-def lemmatize_py(token: str) -> str:
+def lemmatize_py(token: str, wordnet: bool = False) -> str:
     exc = textproc.LEMMA_EXCEPTIONS.get(token)
     if exc is not None:
         return exc
-    for pat, rep in _LEMMA_RULES_PY:
+    for pat, rep in _LEMMA_RULES_PY[wordnet]:
         token = pat.sub(rep, token)
     return token
 
 
-def tokenize_text(text: str, treebank: bool = False) -> list[str]:
+def tokenize_text(
+    text: str, treebank: bool = False, wordnet: bool = False
+) -> list[str]:
     """Pure-Python tokenizer following the textproc SPEC exactly; used for
     single-query tokenization (Q1, ApiHandler.const.js:28-34).
     ``treebank=True`` applies the TREEBANK_SPLITS contraction rules
@@ -162,7 +171,7 @@ def tokenize_text(text: str, treebank: bool = False) -> list[str]:
     for tok in toks:
         if tok.isascii():
             if len(tok) > 1 and re.search("[a-z]", tok) and tok not in textproc.STOPWORDS_SET:
-                out.append(lemmatize_py(tok))
+                out.append(lemmatize_py(tok, wordnet=wordnet))
         else:
             cjk_buf.append(_CJK_KEEP.sub("", tok))
     if cjk_buf:

@@ -122,13 +122,41 @@ LEMMA_EXCEPTIONS = {
 
 # Ordered (pattern, replacement) chain — Java-regex and RE2 compatible
 # (no lookarounds, no pattern backrefs) so Spark, DuckDB and Python agree.
-LEMMA_RULES = [
-    (r"^(..+)sses$", r"$1ss"),
-    (r"^(..+)ies$", r"$1y"),
-    (r"^(.*[^sui])s$", r"$1"),
-    (r"^(...+)ing$", r"$1"),
-    (r"^(...+)ed$", r"$1"),
-]
+#
+# ``wordnet=True`` (FIDELITY.md T3, opt-in — flipping the default would
+# re-key every recorded posting) adds the two WordNet-delta closers
+# before each plain verb strip:
+#   * undouble — gemination before the suffix is undone when the stem
+#     shows the classic C·V·C doubling shape (running→run, stopped→stop,
+#     submitted→submit); the leading [^aeiou][aeiou] guard keeps
+#     add/egg-style stems intact, and l/s are excluded from the doubled
+#     set (falling→fall, missing→miss beat controlled→control in corpus
+#     frequency — the general case needs WordNet's lexicon).
+#   * e-restore — stems ending c/u/v/z or non-n consonant+g get the
+#     silent e back (merged→merge, producing→produce, saving→save);
+#     -nge stems (changing) stay truncated so -ng verbs (singing,
+#     bringing) don't grow a spurious e.
+WORDNET_UNDOUBLE = "bdgmnprt"
+
+
+def lemma_rules(wordnet: bool = False) -> list[tuple[str, str]]:
+    rules = [
+        (r"^(..+)sses$", r"$1ss"),
+        (r"^(..+)ies$", r"$1y"),
+        (r"^(.*[^sui])s$", r"$1"),
+    ]
+    for suf in ("ing", "ed"):
+        if wordnet:
+            for c in WORDNET_UNDOUBLE:
+                rules.append((rf"^(.*[^aeiou][aeiou]{c}){c}{suf}$", r"$1"))
+            rules.append((rf"^(..+[cuvz]){suf}$", r"$1e"))
+            rules.append((rf"^(..+[^n]g){suf}$", r"$1e"))
+        rules.append((rf"^(...+){suf}$", r"$1"))
+    return rules
+
+
+LEMMA_RULES = lemma_rules()
+LEMMA_RULES_WORDNET = lemma_rules(wordnet=True)
 
 # Treebank-style contraction splits (FIDELITY.md T1): the residual
 # word_tokenize behaviors that survive punctuation removal. Optional —
@@ -192,11 +220,11 @@ def normalize_media_ref_col(doc_id: Column, offset: Column) -> Column:
     )
 
 
-def lemmatize_col(token: Column) -> Column:
+def lemmatize_col(token: Column, wordnet: bool = False) -> Column:
     """Columnar lemmatizer: exception map lookup, else the regexp chain.
 
-    Fast path: every LEMMA_RULE pattern ends in s/g/d, so tokens with any
-    other final char can skip all five regex engines behind one cheap
+    Fast path: every lemma rule pattern ends in s/g/d, so tokens with any
+    other final char can skip all the regex engines behind one cheap
     endswith guard (CASE branches evaluate lazily in codegen). Measured
     2.2× on the lemma expression over a realistic ending mix; output
     bit-identical — the guard is implied by the rule patterns."""
@@ -204,7 +232,7 @@ def lemmatize_col(token: Column) -> Column:
         *[F.lit(x) for kv in LEMMA_EXCEPTIONS.items() for x in kv]
     )
     ruled = token
-    for pat, rep in LEMMA_RULES:
+    for pat, rep in (LEMMA_RULES_WORDNET if wordnet else LEMMA_RULES):
         ruled = F.regexp_replace(ruled, pat, rep)
     may_match = (
         token.endswith("s") | token.endswith("g") | token.endswith("d")
@@ -214,7 +242,9 @@ def lemmatize_col(token: Column) -> Column:
     )
 
 
-def english_tokens_col(text: Column, treebank: bool = False) -> Column:
+def english_tokens_col(
+    text: Column, treebank: bool = False, wordnet: bool = False
+) -> Column:
     """Columnar E8-E13: lowercase → strip → punct→space → split →
     English filter → lemmatize. Returns array<string> of lemmatized terms
     (CJK branch handled separately — see tokenize.py).
@@ -242,7 +272,7 @@ def english_tokens_col(text: Column, treebank: bool = False) -> Column:
         & x.rlike("[a-z]")
         & ~x.isin(*STOPWORDS),
     )
-    return F.transform(eng, lemmatize_col)
+    return F.transform(eng, lambda x: lemmatize_col(x, wordnet=wordnet))
 
 
 def cjk_chars_col(text: Column) -> Column:

@@ -184,3 +184,47 @@ def test_extract_main_content_density(spark):
         textproc.extract_main_content_col(F.col("t")).alias("o")
     ).collect()[0]["o"]
     assert got == f"{body} plain second paragraph of real text"
+
+
+WN_CASES = {
+    # undouble (one per letter of WORDNET_UNDOUBLE)
+    "grabbing": "grab", "nodded": "nod", "jogging": "jog", "humming": "hum",
+    "planning": "plan", "stopped": "stop", "referred": "refer",
+    "submitted": "submit",
+    # e-restore c/u/v/z and [^n]g
+    "producing": "produce", "arguing": "argue", "saving": "save",
+    "organizing": "organize", "merged": "merge", "charging": "charge",
+    # guards hold: ll/ss kept, add/egg shape kept, -ng kept
+    "falling": "fall", "missing": "miss", "adding": "add", "egging": "egg",
+    "singing": "sing", "dressing": "dress",
+    # untouched by the new rules
+    "sorted": "sort", "needed": "need", "tables": "table",
+    "queries": "query", "classes": "class", "children": "child",
+    # documented residual deltas (pinned so a drift is visible)
+    "controlled": "controll", "changing": "chang", "housing": "hous",
+    "agreed": "agre",
+}
+
+
+def test_wordnet_mode_parity_and_cases(spark):
+    from ocr_search_spark.operators.tokenize import lemmatize_py
+
+    for w, want in WN_CASES.items():
+        assert lemmatize_py(w, wordnet=True) == want, (w, lemmatize_py(w, wordnet=True))
+    df = spark.createDataFrame([(w,) for w in WN_CASES], "w string")
+    got = {
+        r["w"]: r["l"]
+        for r in df.select(
+            "w", textproc.lemmatize_col(F.col("w"), wordnet=True).alias("l")
+        ).collect()
+    }
+    for w, want in WN_CASES.items():
+        assert got[w] == want, (w, got[w])
+    # default mode is untouched by the flag's existence
+    for w in WORDS:
+        assert lemmatize_py(w) == golden.lemmatize(w), w
+
+
+def test_wordnet_mode_tokenize_text(spark):
+    got = tokenize_text("The running jobs merged tables", wordnet=True)
+    assert got == ["run", "job", "merge", "table"]
