@@ -95,6 +95,11 @@ def main() -> None:
         "dedup_clusters",
         "decontaminate",
         "lm_quality",
+        "dedup_skewed",
+        "correlations_incremental",
+        "search_batch_bm25",
+        "png_pixel_stats",
+        "postings_wordnet",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:

@@ -204,6 +204,62 @@ def match_terms_bm25(
     )
 
 
+def match_terms_batch_bm25(
+    postings: DataFrame,
+    query_terms: DataFrame,
+    max_return: int = DEFAULT_MAX_RETURN,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batch BM25: ranked scoring of MANY queries in one job — the
+    composition of :func:`match_terms_batch` (broadcast (query_id, term)
+    table, one aggregate, per-query window top-k) with
+    :func:`match_terms_bm25`'s exact integer-micros weights. df/idf are
+    computed once per DISTINCT term (query-independent), so an eval-set
+    replay shares all corpus statistics across queries. Postings shuffle
+    once on (query_id, doc_id) — never per query."""
+    from pyspark.sql import Window as W
+
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("_n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    terms_df = query_terms.select("term").distinct()
+    matched = postings.join(F.broadcast(terms_df), "term")
+    dfreq = matched.groupBy("term").agg(F.countDistinct("doc_id").alias("_df"))
+    widf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            (F.col("_n").cast("double") - F.col("_df") + 0.5)
+            / (F.col("_df").cast("double") + 0.5)
+            + 1.0
+        ).alias("idf"),
+        "avgdl",
+    )
+    j = (
+        matched.join(F.broadcast(widf), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(query_terms.select("query_id", "term")), "term")
+    )
+    tf = F.col("tf").cast("double")
+    sat = (tf * (k1 + 1.0)) / (
+        tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    w = F.floor(F.lit(1_000_000.0) * F.col("idf") * sat).cast("long")
+    scored = (
+        j.select("query_id", "doc_id", w.alias("w"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w").alias("score"))
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= max_return)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def search_expanded(
     postings: DataFrame,
     correlations: DataFrame,
@@ -238,3 +294,34 @@ def search_expanded(
     if docs is not None:
         scored = scored.join(docs, "doc_id")
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(max_return)
+
+
+def phrase_search(
+    pos_postings: DataFrame,
+    phrase_terms: list[str],
+    max_return: int = DEFAULT_MAX_RETURN,
+) -> DataFrame:
+    """Exact-phrase search over a positional index (term, doc_id, pos):
+    docs where ``phrase_terms`` occur at consecutive positions, scored by
+    occurrence count. k-term phrase = k−1 equi-joins on
+    (doc_id, pos+offset) — each term's posting rows are filtered first so
+    the joins touch only the phrase terms' lists, never the corpus. Empty
+    phrase → empty result (no match-all surprise)."""
+    spark = pos_postings.sparkSession
+    if not phrase_terms:
+        return spark.createDataFrame([], "doc_id string, n_matches long")
+    cur = (
+        pos_postings.where(F.col("term") == phrase_terms[0])
+        .select("doc_id", F.col("pos").alias("p0"))
+    )
+    for k, t in enumerate(phrase_terms[1:], start=1):
+        nxt = pos_postings.where(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - k).alias("p0")
+        )
+        cur = cur.join(nxt, ["doc_id", "p0"])
+    return (
+        cur.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_matches"))
+        .orderBy(F.desc("n_matches"), F.asc("doc_id"))
+        .limit(max_return)
+    )

@@ -185,3 +185,23 @@ def term_freq_dict(text: str) -> dict[str, int]:
     for t in tokenize_text(text):
         freqs[t] = freqs.get(t, 0) + 1
     return freqs
+
+
+def positional_postings(
+    extracted: DataFrame, wordnet: bool = False
+) -> DataFrame:
+    """Positional inverted index: (term, doc_id, pos) rows, ``pos`` the
+    0-based index of the term in the doc's FILTERED English token
+    sequence (post stopword-drop, post lemma — the sequence phrase
+    queries actually run over; the reference's index is positionless,
+    TermFreqDict only). English branch only: CJK terms come from a
+    concatenated char stream with no stable token positions (see
+    textproc SPEC step 5), so phrase adjacency is undefined there.
+    Pure columnar: one posexplode, zero Python."""
+    dt = _doc_text(extracted)
+    return dt.select(
+        "doc_id",
+        F.posexplode(english_tokens_col(F.col("doc_text"), wordnet=wordnet)).alias(
+            "pos", "term"
+        ),
+    ).select("term", "doc_id", F.col("pos").cast("int").alias("pos"))

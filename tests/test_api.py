@@ -113,3 +113,52 @@ def test_path_convert_columnar(spark):
         .alias("o")
     ).collect()[0]["o"]
     assert r == "data/png/data/pdf/x.pdf"
+
+
+def test_http_server_end_to_end(spark, tiny_index, tmp_path):
+    """The stdlib HTTP façade serves the README's curl examples
+    verbatim: 200 pageList (sliced by maxReturn), the exact 400
+    messages, 404 elsewhere, and /pageImg static bytes with traversal
+    refused (README.md:40-65, ApiHandler.const.js:19-46)."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from ocr_search_spark.server import PagesServer
+
+    postings, docs = tiny_index
+    png = tmp_path / "png"
+    png.mkdir()
+    (png / "doc0.png").write_bytes(b"\x89PNGfake")
+
+    def get(url):
+        try:
+            with urllib.request.urlopen(url, timeout=30) as r:
+                return r.status, r.read()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read()
+
+    with PagesServer(spark, postings, docs, png_root=str(png)) as srv:
+        base = f"http://127.0.0.1:{srv.port}"
+        code, body = get(base + "/pages?searchTerm=table&maxReturn=2")
+        assert code == 200
+        page_list = json.loads(body)["pageList"]
+        assert len(page_list) == 2
+        assert set(page_list[0]) == {"oriFilePath", "pageIdx", "imgPath"}
+        # ranked by max-tf desc → doc4 first
+        assert page_list[0]["oriFilePath"] == "data/pdf/f4.pdf"
+
+        code, body = get(base + "/pages?maxReturn=2")
+        assert code == 400
+        assert json.loads(body)["message"] == (
+            "search term is not specified or is in wrong format"
+        )
+        code, body = get(base + "/pages?searchTerm=table&maxReturn=007")
+        assert code == 400
+        assert json.loads(body)["message"] == "maxReturn should be a positive integer"
+
+        assert get(base + "/nope")[0] == 404
+        code, body = get(base + "/pageImg/doc0.png")
+        assert (code, body) == (200, b"\x89PNGfake")
+        assert get(base + "/pageImg/missing.png")[0] == 404
+        assert get(base + "/pageImg/../secret.txt")[0] == 404

@@ -191,3 +191,34 @@ def test_incremental_correlations_equals_full(spark, corpus_df):
         )
         assert r(inc).exceptAll(r(full)).count() == 0, f"extra pairs (ratio={ratio})"
         assert r(full).exceptAll(r(inc)).count() == 0, f"missing pairs (ratio={ratio})"
+
+
+def test_positional_phrase_search(spark):
+    """Positional index + k-term phrase adjacency: positions are over
+    the FILTERED English sequence (stopwords dropped before positions,
+    so 'scan the table' matches phrase ['scan', 'table']), counts are
+    per-occurrence, empty phrase is empty."""
+    from ocr_search_spark.operators.search import phrase_search
+    from ocr_search_spark.operators.tokenize import positional_postings
+
+    rows = [
+        ("d1", "fast table value part slow fast table value part"),
+        ("d2", "table value the part"),   # 'the' dropped -> value,part adjacent
+        ("d3", "value table part fast"),  # wrong order
+        ("d4", "scan the table value part scan"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, doc_text string")
+    pos = positional_postings(docs).cache()
+    # 3-term phrase
+    got = {r["doc_id"]: r["n_matches"] for r in
+           phrase_search(pos, ["table", "value", "part"]).collect()}
+    assert got == {"d1": 2, "d2": 1, "d4": 1}
+    # stopword removal shifts positions: 'scan table' matches d4
+    got2 = {r["doc_id"]: r["n_matches"] for r in
+            phrase_search(pos, ["scan", "table"]).collect()}
+    assert got2 == {"d4": 1}
+    assert phrase_search(pos, []).count() == 0
+    # single-term phrase degenerates to tf
+    got1 = {r["doc_id"]: r["n_matches"] for r in
+            phrase_search(pos, ["value"]).collect()}
+    assert got1 == {"d1": 2, "d2": 1, "d3": 1, "d4": 1}
