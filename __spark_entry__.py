@@ -1763,7 +1763,7 @@ _GATE_PRIORITY = [
     "dedup_skewed", "correlations_incremental", "search_batch_bm25",
     "png_pixel_stats", "postings_wordnet",
     "tpch_q4", "tpch_q6", "tpch_q10", "tpch_q14", "tpch_q17",
-    "phrase_search",
+    "phrase_search", "embed_neardup",
 ]
 
 
@@ -3278,3 +3278,105 @@ LIMIT 20"""
 
 _TRAINING_QUERIES["phrase_search"] = q_phrase_search
 _TRAINING_ORACLES["phrase_search"] = _phrase_oracle()
+
+
+# ------------------------------------------------ embedding near-dup LSH
+# Task-list capability "embedding-cosine near-dup", scale path: random-
+# hyperplane LSH (SimHash over real vectors) — signatures via one
+# broadcast join + one aggregate, banded candidate buckets, exact cosine
+# on candidates only (never all-pairs). The driver embeddings have no
+# true near-dups (max pair cosine ≈ 0.51 at sf0.01), so the corpus is
+# augmented with deterministic perturbed twins (vec_id % 10 == 0 →
+# twin at id+100000, each component nudged by an h60-derived ±0.025) —
+# the pairs the operator must find, matched exactly against the DuckDB
+# twin of the same LSH.
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.hashing import h60
+
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb0.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    # the twin's output column is ALSO named vec_id: Spark's lateral-
+    # column-alias resolution would bind the seed expression inside the
+    # sibling transform to the +100000 alias — keep the seed in a
+    # dedicated _vid projection (same trap as _cjk_interleaved)
+    seeded = emb0.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("_vid"), "embedding"
+    )
+
+    def delta(i):
+        h = h60(
+            F.concat(
+                F.col("_vid").cast("string"), F.lit(":"), i.cast("string"), F.lit(":nd")
+            )
+        )
+        return (h % 1000).cast("double") / F.lit(20000.0) - F.lit(0.025)
+
+    twins = seeded.select(
+        (F.col("_vid") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x.cast("double") + delta(i)
+        ).alias("embedding"),
+    )
+    corpus2 = base.unionByName(twins)
+    return SIM.hyperplane_lsh_pairs(
+        corpus2, n_planes=64, band_bits=16, threshold=0.9
+    )
+
+
+def _neardup_emb_oracle() -> str:
+    h = lambda e: f"('0x' || substring(md5({e}), 1, 15))::BIGINT"  # noqa: E731
+    return f"""WITH flat0 AS (
+  SELECT vec_id AS vid, (generate_subscripts(embedding, 1) - 1)::INT AS j,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+flat AS (
+  SELECT vid, j, v FROM flat0
+  UNION ALL
+  SELECT vid + 100000, j,
+         v + (({h("vid::VARCHAR || ':' || j::VARCHAR || ':nd'")} % 1000)::DOUBLE
+              / 20000.0 - 0.025)
+  FROM flat0 WHERE vid % 10 = 0
+),
+hp AS (
+  SELECT p::INT AS p, j::INT AS j,
+         CASE WHEN {h("'hp:' || p::VARCHAR || ':' || j::VARCHAR")} % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM (SELECT unnest(range(0, 64)) AS p), (SELECT unnest(range(0, 64)) AS j)
+),
+sig AS (
+  SELECT vid, p, sum(v * s) >= 0 AS bit FROM flat JOIN hp USING (j)
+  GROUP BY vid, p
+),
+bands AS (
+  SELECT vid, (p // 16)::INT AS band,
+         sum(CASE WHEN bit THEN (1::BIGINT << (p % 16)) ELSE 0 END)::BIGINT AS key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vid < b.vid
+),
+dots AS (
+  SELECT c.id_a, c.id_b, sum(fa.v * fb.v) AS dot
+  FROM cand c
+  JOIN flat fa ON fa.vid = c.id_a
+  JOIN flat fb ON fb.vid = c.id_b AND fb.j = fa.j
+  GROUP BY 1, 2
+),
+norms2 AS (SELECT vid, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY vid)
+SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+FROM dots
+JOIN norms2 na ON na.vid = id_a
+JOIN norms2 nb ON nb.vid = id_b
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.9"""
+
+
+_TRAINING_QUERIES["embed_neardup"] = q_embed_neardup
+_TRAINING_ORACLES["embed_neardup"] = _neardup_emb_oracle()

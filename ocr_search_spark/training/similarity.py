@@ -238,3 +238,102 @@ def ivf_search(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos")
     )
+
+
+def hyperplane_planes(
+    spark, n_planes: int = 64, dim: int = 64
+) -> DataFrame:
+    """Deterministic random-hyperplane table (p, j, s∈{−1,+1}): signs
+    from the md5-derived h60 of 'hp:p:j', so Spark and any SQL twin
+    materialize the identical matrix with no literal shipping. Small
+    (n_planes·dim rows) → broadcast to the signature join."""
+    from .hashing import h60
+
+    planes = spark.range(n_planes).select(F.col("id").cast("int").alias("p"))
+    dims = spark.range(dim).select(F.col("id").cast("int").alias("j"))
+    pj = planes.crossJoin(dims)
+    sign = F.when(
+        h60(
+            F.concat(F.lit("hp:"), F.col("p").cast("string"), F.lit(":"),
+                     F.col("j").cast("string"))
+        ) % 2 == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    return pj.select("p", "j", sign.alias("s"))
+
+
+def hyperplane_lsh_pairs(
+    emb: DataFrame,
+    n_planes: int = 64,
+    band_bits: int = 16,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs via random-hyperplane LSH (the
+    SimHash construction for real vectors): signature bit p =
+    sign(v · hp_p), bits grouped into (n_planes / band_bits) bands,
+    candidates = pairs sharing any band key, then EXACT cosine on the
+    candidates only, thresholded. Returns (id_a, id_b, cos) with
+    id_a < id_b, cos rounded to 6.
+
+    Scale shape: signatures are one flatten + one broadcast join + one
+    (id, band) aggregate — cost ∝ corpus·dim·n_planes; the candidate
+    self-join is banded-bucket-bounded like dedup.lsh_candidate_pairs,
+    never all-pairs. Angular miss probability for a pair at cosine c is
+    (1 − (1 − acos(c)/π)^band_bits)^n_bands — ~3·10⁻⁴ per band for
+    random 64-dim pairs at the defaults, so candidate volume stays
+    ∝ true near-dups."""
+    if n_planes % band_bits != 0:
+        raise ValueError("band_bits must divide n_planes")
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+    hp = hyperplane_planes(spark, n_planes, dim)
+    flat = emb.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(vec_col).alias("j", "v"),
+    )
+    sig = (
+        flat.join(F.broadcast(hp), "j")
+        .groupBy("vid", "p")
+        .agg((F.sum(F.col("v").cast("double") * F.col("s")) >= 0).alias("bit"))
+    )
+    bands = sig.groupBy(
+        "vid", (F.col("p") / band_bits).cast("int").alias("band")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("bit"),
+                # shiftleft needs a literal count in the Python API; the
+                # SQL form takes the per-row bit position
+                F.expr(f"shiftleft(1L, p % {band_bits})"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("key")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .where(F.col("a.vid") < F.col("b.vid"))
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
+    fa = flat.select(F.col("vid").alias("id_a"), "j", F.col("v").alias("va"))
+    fb = flat.select(F.col("vid").alias("id_b"), "j", F.col("v").alias("vb"))
+    dots = (
+        cand.join(fa, "id_a")
+        .join(fb, ["id_b", "j"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("va").cast("double") * F.col("vb").cast("double")).alias("dot"))
+    )
+    norms = flat.groupBy("vid").agg(
+        F.sqrt(F.sum(F.col("v").cast("double") * F.col("v").cast("double"))).alias("nrm")
+    )
+    out = (
+        dots.join(norms.withColumnsRenamed({"vid": "id_a", "nrm": "na"}), "id_a")
+        .join(norms.withColumnsRenamed({"vid": "id_b", "nrm": "nb"}), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+    )
+    return out.where(F.col("cos") >= threshold)

@@ -323,3 +323,30 @@ def test_max_df_guard_kills_boilerplate_clique(spark):
     assert (900, 901) in g_pairs  # survivor: true near-dup, bp stripped
     # 7 shingles survive per doc (bp-interior grams dropped), 4 shared
     assert abs(g_pairs[(900, 901)] - 4 / 10) < 1e-12
+
+
+def test_hyperplane_lsh_neardup(spark):
+    """Random-hyperplane LSH: a perturbed twin is found with its exact
+    cosine; orthogonal-ish vectors produce no pair; the candidate set is
+    band-bounded (no all-pairs)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=64)
+    twin = base + rng.normal(scale=0.02, size=64)
+    far = rng.normal(size=64)
+    rows = [
+        (1, [float(x) for x in base]),
+        (2, [float(x) for x in twin]),
+        (3, [float(x) for x in far]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]): r["cos"] for r in
+           similarity.hyperplane_lsh_pairs(emb, threshold=0.9).collect()}
+    assert set(got) == {(1, 2)}
+    expected = float(base @ twin / (np.linalg.norm(base) * np.linalg.norm(twin)))
+    assert abs(got[(1, 2)] - round(expected, 6)) < 2e-6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        similarity.hyperplane_lsh_pairs(emb, n_planes=64, band_bits=10)
