@@ -1763,7 +1763,8 @@ _GATE_PRIORITY = [
     "dedup_skewed", "correlations_incremental", "search_batch_bm25",
     "png_pixel_stats", "postings_wordnet",
     "tpch_q4", "tpch_q6", "tpch_q10", "tpch_q14", "tpch_q17",
-    "phrase_search", "embed_neardup",
+    "phrase_search", "embed_neardup", "dedup_containment",
+    "events_sliding",
 ]
 
 
@@ -3380,3 +3381,129 @@ WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.9"""
 
 _TRAINING_QUERIES["embed_neardup"] = q_embed_neardup
 _TRAINING_ORACLES["embed_neardup"] = _neardup_emb_oracle()
+
+
+# ------------------------------------------------- containment dedup
+# Excerpt/quote detection: containment c(a⊂b) = |Sa∩Sb|/|Sa| — the
+# asymmetric near-dup Jaccard misses (an excerpt inside a long doc has
+# c ≈ 1 but low Jaccard). Corpus: 15-word docs + for ~1/5 of docs an
+# excerpt doc carrying words 4..12 verbatim → its 7 shingles are a
+# subset of the parent's 13 (containment exactly 1.0, reverse 7/13
+# filtered out).
+
+
+def _containment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.hashing import h60
+
+    d = _widened(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
+        F.col("doc_id").cast("string").alias("_did")
+    )
+    did = F.col("_did")
+    vocab = F.array(*[F.lit(w) for w in textproc.OCR_VOCAB])
+
+    def word(j):
+        r = h60(
+            F.concat(did, F.lit(":"), j.cast("string"), F.lit(":ct"))
+        ).cast("double") / F.lit(_TWO60)
+        return F.element_at(vocab, (F.floor(F.lit(64.0) * r) + 1).cast("int"))
+
+    words15 = F.transform(F.sequence(F.lit(0), F.lit(14)), word)
+    parents = d.select(
+        did.alias("id"), F.array_join(words15, " ").alias("text")
+    )
+    words_x = F.transform(F.sequence(F.lit(4), F.lit(12)), word)
+    excerpts = d.where(h60(F.concat(did, F.lit(":xc"))) % 5 == 0).select(
+        F.concat(F.lit("x-"), did).alias("id"),
+        F.array_join(words_x, " ").alias("text"),
+    )
+    return parents.unionByName(excerpts)
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.containment_pairs(
+        _containment_corpus(spark, sf_dir), text_col="text", id_col="id",
+        k=3, threshold=0.9,
+    )
+    return pairs.select(
+        "id_small", "id_big", F.round("containment", 6).alias("containment")
+    )
+
+
+def _containment_oracle() -> str:
+    vocab_lit = "[" + ", ".join("'" + w + "'" for w in textproc.OCR_VOCAB) + "]"
+    h = lambda e: f"('0x' || substring(md5({e}), 1, 15))::BIGINT"  # noqa: E731
+    pick = (
+        lambda seed: f"({vocab_lit})[(floor(64.0 * ({h(seed)}::DOUBLE"
+        f" / 1152921504606846976.0)) + 1)::INT]"
+    )  # noqa: E731
+    w = pick("did || ':' || j::VARCHAR || ':ct'")
+    return f"""WITH ids AS (SELECT doc_id::VARCHAR AS did FROM documents),
+parents AS (
+  SELECT did AS id, list_transform(range(0, 15), j -> {w}) AS ws FROM ids
+),
+excerpts AS (
+  SELECT 'x-' || did AS id, list_transform(range(4, 13), j -> {w}) AS ws
+  FROM ids WHERE {h("did || ':xc'")} % 5 = 0
+),
+corpus AS (SELECT * FROM parents UNION ALL SELECT * FROM excerpts),
+gramidx AS (SELECT id, ws, unnest(range(1, len(ws) - 1)) AS i FROM corpus),
+grams AS (
+  SELECT DISTINCT id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS gram
+  FROM gramidx
+),
+sizes AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
+common AS (
+  SELECT a.id AS id_small, b.id AS id_big, count(*) AS c
+  FROM grams a JOIN grams b USING (gram)
+  WHERE a.id <> b.id GROUP BY 1, 2
+)
+SELECT id_small, id_big, round(c::DOUBLE / s.n, 6) AS containment
+FROM common JOIN sizes s ON s.id = common.id_small
+WHERE c::DOUBLE / s.n >= 0.9"""
+
+
+_TRAINING_QUERIES["dedup_containment"] = q_dedup_containment
+_TRAINING_ORACLES["dedup_containment"] = _containment_oracle()
+
+
+# ----------------------------------------------------- sliding windows
+# Native sliding-window aggregation (F.window size=1h slide=15min) —
+# the overlapping-window family the tumbling events_hourly doesn't
+# cover; each event lands in exactly 4 windows. Output keyed by the
+# window START as epoch seconds (TZ-proof like every other ts query).
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+    return out.select(
+        _ep_us("w.start")
+        .cast("long")
+        .alias("ws_us"),
+        "event_type",
+        "n",
+        "sum_value",
+    ).withColumn("window_start", (F.col("ws_us") / 1_000_000).cast("long")).drop(
+        "ws_us"
+    ).select("window_start", "event_type", "n", "sum_value")
+
+
+_TRAINING_QUERIES["events_sliding"] = q_events_sliding
+_TRAINING_ORACLES["events_sliding"] = """WITH e AS (
+  SELECT (epoch_us(ts) // 1000000) AS t, event_type, value FROM events
+),
+wins AS (
+  SELECT ((t // 900) * 900 - k * 900) AS window_start, event_type, value
+  FROM e, (SELECT unnest(range(0, 4)) AS k)
+)
+SELECT window_start, event_type, count(*) AS n,
+       round(sum(value::DECIMAL(18,4)), 4)::DOUBLE AS sum_value
+FROM wins GROUP BY 1, 2"""

@@ -414,3 +414,45 @@ def simhash_near_pairs(
     return cands.select("id_a", "id_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment c(a ⊂ b) = |Sa ∩ Sb| / |Sa|
+    — the quote/excerpt/boilerplate-wrapper detector Jaccard misses (a
+    short doc fully quoted inside a long one has high containment but low
+    Jaccard, because the union is dominated by the long doc). Returns
+    (id_small, id_big, containment) for ordered pairs with
+    containment ≥ threshold and id_small ≠ id_big; both directions are
+    evaluated (a may be contained in b while b is not in a).
+
+    Same candidate machinery as :func:`ngram_jaccard_pairs` — shingle
+    self-join bounded by ``max_df`` — so the 100 TB guardrails carry
+    over unchanged."""
+    rows = shingle_rows(docs, text_col, id_col, k, max_df)
+    sizes = rows.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = rows.select(F.col("id").alias("id_small"), "sh")
+    b = rows.select(F.col("id").alias("id_big"), "sh")
+    common = (
+        a.join(b, "sh")
+        .where(F.col("id_small") != F.col("id_big"))
+        .groupBy("id_small", "id_big")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnsRenamed({"id": "id_small", "n_sh": "ns"}), "id_small"
+        )
+        .select(
+            "id_small",
+            "id_big",
+            (F.col("common").cast("double") / F.col("ns")).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

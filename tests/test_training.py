@@ -350,3 +350,18 @@ def test_hyperplane_lsh_neardup(spark):
 
     with _pytest.raises(ValueError):
         similarity.hyperplane_lsh_pairs(emb, n_planes=64, band_bits=10)
+
+
+def test_containment_asymmetric(spark):
+    """Containment finds the excerpt⊂parent pair Jaccard misses, in the
+    right DIRECTION only."""
+    parent = "a1 b2 c3 d4 e5 f6 g7 h8 i9 j10 k11 l12"
+    excerpt = "d4 e5 f6 g7 h8 i9"
+    rows = [(1, parent), (2, excerpt), (3, "x1 y2 z3 w4 v5 u6")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_small"], r["id_big"]): r["containment"] for r in
+           dedup.containment_pairs(docs, threshold=0.9).collect()}
+    assert got == {(2, 1): 1.0}
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           dedup.ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    assert jac[(1, 2)] < 0.9  # Jaccard misses what containment catches
