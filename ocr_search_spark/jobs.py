@@ -14,6 +14,9 @@ Jobs:
   extract          resumable bucketed extraction + postings build
   maintain-stream  incremental postings MERGE from a document stream
   search           top-k query against a stored postings table
+  serve            HTTP /pages + /pageImg façade over stored tables
+                   (the reference's runserver.script.js equivalent,
+                   default port 7055 = AppConfig.const.js:21)
 """
 
 from __future__ import annotations
@@ -54,6 +57,14 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--max-return", type=int, default=20)
     _add_common(ps)
 
+    pv = sub.add_parser("serve", help="HTTP /pages facade over stored tables")
+    pv.add_argument("--postings", required=True, help="postings parquet dir")
+    pv.add_argument("--docs", required=True, help="doc catalog parquet dir")
+    pv.add_argument("--png-root", default=None, help="static /pageImg root")
+    pv.add_argument("--port", type=int, default=7055)
+    pv.add_argument("--host", default="127.0.0.1")
+    _add_common(pv)
+
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -93,6 +104,21 @@ def main(argv: list[str] | None = None) -> int:
                 {"hits": [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]}
             )
         )
+    elif args.job == "serve":
+        from .server import PagesServer
+
+        postings = spark.read.parquet(args.postings).cache()
+        docs = spark.read.parquet(args.docs).cache()
+        postings.count(), docs.count()  # warm before accepting requests
+        srv = PagesServer(
+            spark, postings, docs,
+            host=args.host, port=args.port, png_root=args.png_root,
+        ).start()
+        print(json.dumps({"job": "serve", "port": srv.port}), flush=True)
+        try:
+            srv._thread.join()
+        except KeyboardInterrupt:
+            srv.stop()
     return 0
 
 
