@@ -94,7 +94,8 @@ def incremental_correlations(
     changed_doc_ids: DataFrame,
     stored_corr: DataFrame,
     max_df_ratio: float | None = None,
-) -> DataFrame:
+    return_parts: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame, DataFrame]:
     """Incremental view maintenance for the correlation table (S8/I8-I9):
     after a batch of documents changes (``changed_doc_ids`` — added,
     modified or deleted), recompute ONLY the pairs that can have changed
@@ -192,6 +193,13 @@ def incremental_correlations(
         )
         .select(*stored_corr.columns)
     )
+    if return_parts:
+        # (carried, recomputed, affected): lets a storage layer write
+        # ONLY the changed region — delete stored pairs touching an
+        # affected term, upsert the recomputed ones; carried rows are
+        # provably byte-identical and never rewritten (index_maintain's
+        # streaming correlation MERGE rides this)
+        return carried, recomputed, affected
     return carried.unionByName(recomputed)
 
 
