@@ -17,6 +17,10 @@ Jobs:
   serve            HTTP /pages + /pageImg façade over stored tables
                    (the reference's runserver.script.js equivalent,
                    default port 7055 = AppConfig.const.js:21)
+  sync             one poll iteration: list source dir, diff vs the
+                   standing file library, MERGE added/modified docs,
+                   cascade-delete removed files' docs (the reference's
+                   15-min DropboxSynchronizer loop, idempotent)
 """
 
 from __future__ import annotations
@@ -64,6 +68,12 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--port", type=int, default=7055)
     pv.add_argument("--host", default="127.0.0.1")
     _add_common(pv)
+
+    py = sub.add_parser("sync", help="one source-tree sync iteration")
+    py.add_argument("--source", required=True, help="source documents dir")
+    py.add_argument("--warehouse", required=True, help="standing tables dir")
+    py.add_argument("--n-buckets", type=int, default=32)
+    _add_common(py)
 
     args = ap.parse_args(argv)
 
@@ -119,6 +129,13 @@ def main(argv: list[str] | None = None) -> int:
             srv._thread.join()
         except KeyboardInterrupt:
             srv.stop()
+    elif args.job == "sync":
+        from .sync import sync_once
+
+        out = sync_once(
+            spark, args.source, args.warehouse, n_buckets=args.n_buckets
+        )
+        print(json.dumps({"job": "sync", **out}))
     return 0
 
 

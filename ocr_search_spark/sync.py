@@ -1,0 +1,165 @@
+"""One-shot source-tree synchronization — the reference's poll loop
+(DropboxSynchronizer.class.js:125-156 list/download, :198-242 diff →
+ProcessDirector.handle*Update/Delete per file) re-expressed as ONE
+idempotent set-oriented iteration:
+
+    list source dir → diff vs standing file library →
+      added/modified files:  read → extract → tokenize → doc-replace
+                             MERGE into the postings table
+      deleted files:         cascade-delete their documents' postings
+    → update file library + membership tables
+
+A "file" here is a parquet file of (doc_id, spans) document versions —
+the unit the reference moves around as pptx/pdf. Ownership follows the
+reference's ``deleteFile({oriFilePath})`` semantics: the membership
+table records which file contributed each doc_id; deleting a file
+deletes its documents. Re-running with an unchanged source touches
+NOTHING (the diff is empty — every table file stays byte-identical),
+which is what makes a 15-minute cron of this loop exactly the
+reference's ``SYNC_INTERVAL`` behavior with restart safety for free.
+
+At scale the same code runs with the listing as a DataFrame from an
+object-store inventory instead of a local walk; everything after the
+diff is already set-oriented.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.maintenance import diff_filelib
+from .storage import BucketedTable
+from .streaming.index_maintain import merge_doc_batch, postings_table
+
+
+def _list_source(spark: SparkSession, source_path: str) -> DataFrame:
+    """(path, mtime) for every parquet data file under ``source_path`` —
+    the driver-side directory listing, exactly the reference's
+    filesLibrary shape (path + server_modified)."""
+    rows = []
+    for root, _dirs, files in os.walk(source_path):
+        for name in sorted(files):
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                p = os.path.join(root, name)
+                rows.append((os.path.relpath(p, source_path), int(os.stat(p).st_mtime)))
+    return spark.createDataFrame(rows or [], "path string, mtime long")
+
+
+def filelib_table(spark: SparkSession, path: str, n_buckets: int = 8) -> BucketedTable:
+    return BucketedTable(spark, path, keys=["path"], n_buckets=n_buckets)
+
+
+def membership_table(
+    spark: SparkSession, path: str, n_buckets: int = 8
+) -> BucketedTable:
+    return BucketedTable(
+        spark, path, keys=["path", "doc_id"], n_buckets=n_buckets,
+        bucket_keys=["path"],
+    )
+
+
+def sync_once(
+    spark: SparkSession,
+    source_path: str,
+    warehouse: str,
+    n_buckets: int = 32,
+) -> dict:
+    """One poll iteration; returns counts per change class. Idempotent:
+    an unchanged source yields {'added': 0, 'modified': 0, 'deleted': 0}
+    and zero table writes."""
+    lib = filelib_table(spark, f"{warehouse}/filelib")
+    mem = membership_table(spark, f"{warehouse}/membership")
+    posts = postings_table(spark, f"{warehouse}/postings", n_buckets)
+
+    listing = _list_source(spark, source_path)
+    old = lib.read() if lib.exists() else spark.createDataFrame(
+        [], "path string, mtime long"
+    )
+    diff = diff_filelib(old, listing).cache()
+    counts = {
+        r["status"]: r["n"]
+        for r in diff.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    out = {k: counts.get(k, 0) for k in ("added", "modified", "deleted")}
+    if not any(out.values()):
+        return out
+
+    changed_paths = [
+        r["path"] for r in diff.where(F.col("status") != "deleted").collect()
+    ]
+    deleted_paths = [
+        r["path"] for r in diff.where(F.col("status") == "deleted").collect()
+    ]
+
+    # deletions first (a path deleted and re-added in one poll is a
+    # modify; the diff never emits both states for one path)
+    if deleted_paths:
+        doomed_paths = spark.createDataFrame(
+            [(p,) for p in deleted_paths], "path string"
+        )
+        doomed_docs = (
+            mem.read().join(F.broadcast(doomed_paths), "path")
+            .select("doc_id").distinct().localCheckpoint()
+        )
+        if posts.exists():
+            posts.replace_group(
+                posts.read().where(F.lit(False)),
+                group_keys=["doc_id"],
+                groups=doomed_docs,
+            )
+        mem.replace_group(
+            mem.read().where(F.lit(False)), group_keys=["path"], groups=doomed_paths
+        )
+
+    if changed_paths:
+        # per-file read + lit(path): robust against input_file_name's
+        # URL-encoding; the poll batch is a handful of files (at object-
+        # store scale the listing arrives as a table and this becomes a
+        # join against it instead)
+        from functools import reduce
+
+        parts = [
+            spark.read.parquet(os.path.join(source_path, rel)).withColumn(
+                "path", F.lit(rel)
+            )
+            for rel in changed_paths
+        ]
+        src = reduce(DataFrame.unionByName, parts)
+        docs = src.select("doc_id", "spans")
+        merge_doc_batch(posts, docs)
+        new_mem = src.select("path", "doc_id").distinct()
+        if mem.exists():
+            mem.replace_group(
+                new_mem,
+                group_keys=["path"],
+                groups=new_mem.select("path").distinct(),
+            )
+        else:
+            mem.init(new_mem)
+
+    if lib.exists():
+        if deleted_paths:
+            lib.replace_group(
+                listing.where(F.lit(False)).select("path", "mtime"),
+                group_keys=["path"],
+                groups=spark.createDataFrame(
+                    [(p,) for p in deleted_paths], "path string"
+                ),
+            )
+        if changed_paths:
+            lib.upsert(
+                listing.join(
+                    F.broadcast(
+                        spark.createDataFrame(
+                            [(p,) for p in changed_paths], "path string"
+                        )
+                    ),
+                    "path",
+                )
+            )
+    else:
+        lib.init(listing)
+    return out

@@ -1,0 +1,94 @@
+"""sync_once: the poll-diff-process loop end-to-end — add, modify,
+delete, idempotence (byte-identical tables on a no-change poll)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ocr_search_spark import corpus, sync
+from ocr_search_spark.operators.extract import extract_spans_columnar
+from ocr_search_spark.operators.tokenize import term_postings
+from tests.test_storage import _file_state
+
+
+def _write_file(docs, path):
+    docs.repartition(1).write.mode("overwrite").parquet(path + ".tmp")
+    import glob
+    import shutil
+
+    part = glob.glob(path + ".tmp/part-*.parquet")[0]
+    shutil.move(part, path)
+    shutil.rmtree(path + ".tmp")
+
+
+def test_sync_add_modify_delete_idempotent(spark, tmp_path):
+    source = str(tmp_path / "source")
+    wh = str(tmp_path / "wh")
+    os.makedirs(source)
+    all_docs = corpus.documents_table(spark, 60, skew=False).cache()
+    ids = sorted(r["doc_id"] for r in all_docs.select("doc_id").collect())
+    third = len(ids) // 3
+    f1 = all_docs.where(F.col("doc_id").isin(ids[:third]))
+    f2 = all_docs.where(F.col("doc_id").isin(ids[third : 2 * third]))
+    f3 = all_docs.where(F.col("doc_id").isin(ids[2 * third :]))
+    _write_file(f1, f"{source}/f1.parquet")
+    _write_file(f2, f"{source}/f2.parquet")
+
+    out = sync.sync_once(spark, source, wh)
+    assert out == {"added": 2, "modified": 0, "deleted": 0}
+    posts = sync.postings_table(spark, f"{wh}/postings", 32)
+
+    def expect(docs):
+        return term_postings(
+            extract_spans_columnar(docs.select("doc_id", "spans"))
+        )
+
+    got = posts.read()
+    want = expect(f1.unionByName(f2))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # no-change poll: zero work, every table file byte-identical
+    before = _file_state(wh)
+    assert sync.sync_once(spark, source, wh) == {
+        "added": 0, "modified": 0, "deleted": 0,
+    }
+    assert _file_state(wh) == before
+
+    # modify f1 (new doc versions), add f3, delete f2
+    f1b = f1.withColumn(
+        "spans",
+        F.concat(
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.lit("resynced fresh content").alias("text"),
+                    F.lit("").alias("media_ref"),
+                    F.lit(0).cast("int").alias("offset"),
+                )
+            ),
+            F.transform(
+                "spans",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    (s["offset"] + 1).cast("int").alias("offset"),
+                ),
+            ),
+        ),
+    )
+    _write_file(f1b, f"{source}/f1.parquet")
+    os.utime(f"{source}/f1.parquet", (2_000_000_000, 2_000_000_000))
+    _write_file(f3, f"{source}/f3.parquet")
+    os.remove(f"{source}/f2.parquet")
+
+    out = sync.sync_once(spark, source, wh)
+    assert out == {"added": 1, "modified": 1, "deleted": 1}
+    got = posts.read()
+    want = expect(f1b.unionByName(f3))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # f2's docs are fully gone
+    f2_ids = [r["doc_id"] for r in f2.select("doc_id").collect()]
+    assert got.where(F.col("doc_id").isin(f2_ids)).count() == 0
