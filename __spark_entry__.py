@@ -100,9 +100,12 @@ def _with_doc_key(docs: DataFrame) -> DataFrame:
     )
 
 
-def _interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _interleaved(
+    spark: SparkSession, sf_dir: str, widen: bool = True
+) -> DataFrame:
     """Flat driver docs → the interleaved (doc_id, spans) input shape."""
-    d = _with_doc_key(_widened(spark.read.parquet(f"{sf_dir}/documents.parquet")))
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _with_doc_key(_widened(d) if widen else d)
     noisy = F.concat(F.lit(_NOISE_PRE), F.col("text"), F.lit(_NOISE_MID), F.col("text"))
     ref = F.concat(F.col("source"), F.lit("/img-"), F.col("flat_id").cast("string"))
     span = lambda kind, text, mref, off: F.struct(  # noqa: E731
@@ -130,10 +133,12 @@ def _flatten_extracted(extracted: DataFrame) -> DataFrame:
     )
 
 
-def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _postings(
+    spark: SparkSession, sf_dir: str, widen: bool = True
+) -> DataFrame:
     """End-to-end: interleaved build → columnar extraction → tokenize →
     inverted index (term, doc_id, tf)."""
-    extracted = extract_spans_columnar(_interleaved(spark, sf_dir))
+    extracted = extract_spans_columnar(_interleaved(spark, sf_dir, widen=widen))
     ensure_shipped(spark)  # CJK segmenter pandas UDF runs on executors
     return term_postings(extracted.select("doc_id", "spans")).withColumn(
         "tf", F.col("tf").cast("long")
@@ -233,9 +238,15 @@ _CORR_MIN_TCR = 0.1
 
 
 def _corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df-guarded correlations shared by the three correlation queries."""
+    """df-guarded correlations shared by the three correlation queries.
+
+    widen=False: for the pair self-join the compact 2-split input plans
+    a cheaper join than 32-way shuffles of the pair-exploded
+    intermediate (measured 5.7 s vs 10-18 s at sf0.1) — the extraction
+    saving is noise next to the join, so this query keeps the narrow
+    scan."""
     corr = correlate.term_correlations(
-        _postings(spark, sf_dir), max_df_ratio=_CORR_MAX_DF_RATIO
+        _postings(spark, sf_dir, widen=False), max_df_ratio=_CORR_MAX_DF_RATIO
     )
     return corr.select("term1", "term2", F.round("tcr", 6).alias("tcr"))
 
@@ -1764,7 +1775,7 @@ _GATE_PRIORITY = [
     "png_pixel_stats", "postings_wordnet",
     "tpch_q4", "tpch_q6", "tpch_q10", "tpch_q14", "tpch_q17",
     "phrase_search", "embed_neardup", "dedup_containment",
-    "events_sliding",
+    "events_sliding", "corpus_ngrams",
 ]
 
 
@@ -2827,7 +2838,7 @@ _IVM_DEL_TERM = "whiskey"
 
 
 def q_correlations_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    old = _postings(spark, sf_dir).cache()
+    old = _postings(spark, sf_dir, widen=False).cache()  # see _corr note
     mod = old.where(F.col("term") == _IVM_MOD_TERM).select("doc_id").distinct()
     dele = old.where(F.col("term") == _IVM_DEL_TERM).select("doc_id").distinct()
     changed = mod.unionByName(dele).distinct()
@@ -3507,3 +3518,34 @@ wins AS (
 SELECT window_start, event_type, count(*) AS n,
        round(sum(value::DECIMAL(18,4)), 4)::DOUBLE AS sum_value
 FROM wins GROUP BY 1, 2"""
+
+
+# --------------------------------------------------- corpus n-gram top-k
+# LM-prep vocabulary surface: the corpus-wide character-trigram count
+# model (the same single aggregation lm_quality trains on), exposed as a
+# ranked top-100 — (gram, cnt) with count-then-gram total order.
+
+
+def q_corpus_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = TS.char_ngram_counts(docs, n=3)
+    return (
+        counts.orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(100)
+        .select("gram", F.col("cnt").cast("long").alias("cnt"))
+    )
+
+
+_TRAINING_QUERIES["corpus_ngrams"] = q_corpus_ngrams
+_TRAINING_ORACLES["corpus_ngrams"] = """WITH grams AS (
+  SELECT substring(lower(text), i, 3) AS gram
+  FROM (
+    SELECT lower(text) AS text,
+           unnest(range(1, length(text) - 1)) AS i
+    FROM documents WHERE length(text) >= 3
+  )
+)
+SELECT gram, count(*)::BIGINT AS cnt
+FROM grams GROUP BY gram
+ORDER BY cnt DESC, gram ASC
+LIMIT 100"""
