@@ -3247,6 +3247,10 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_shipped(spark)
     extracted = extract_spans_columnar(_interleaved(spark, sf_dir))
+    # uncached by design: k filtered passes over the tiny corpus beat
+    # materializing the FULL positional index (measured 9s vs 29s at
+    # sf0.01); a production deployment reads a STORED positional table,
+    # where the per-term filter pushes down to the scan instead
     pos = positional_postings(extracted.select("doc_id", "spans"))
     return phrase_search(pos, _PHRASE, max_return=20)
 
