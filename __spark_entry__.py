@@ -1775,7 +1775,7 @@ _GATE_PRIORITY = [
     "png_pixel_stats", "postings_wordnet",
     "tpch_q4", "tpch_q6", "tpch_q10", "tpch_q14", "tpch_q17",
     "phrase_search", "embed_neardup", "dedup_containment",
-    "events_sliding", "corpus_ngrams",
+    "events_sliding", "corpus_ngrams", "redact_pii", "repetition_signals",
 ]
 
 
@@ -3553,3 +3553,118 @@ SELECT gram, count(*)::BIGINT AS cnt
 FROM grams GROUP BY gram
 ORDER BY cnt DESC, gram ASC
 LIMIT 100"""
+
+
+# ------------------------------------------------------ corpus cleaning
+# C4/Gopher-style pipeline steps: PII scrub (emails/phones/IPs →
+# tokens, per-doc counts recorded) and intra-doc repetition signals.
+# The driver corpus carries no PII, so the scrub query injects
+# deterministic synthetic PII (h60-routed per doc: email / phone / ip /
+# none) and both engines redact the identical text.
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.hashing import h60
+
+    d = _widened(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
+        F.col("doc_id").cast("string").alias("_did"), "text"
+    )
+    did = F.col("_did")
+    h = h60(F.concat(did, F.lit(":pii")))
+    injected = F.concat(
+        F.col("text"),
+        F.when(h % 4 == 0, F.concat(F.lit(" reach me at user"), did, F.lit("@example.com")))
+        .when(
+            h % 4 == 1,
+            F.concat(
+                F.lit(" call 555-"),
+                (h % 900 + 100).cast("string"),
+                F.lit("-"),
+                (h % 9000 + 1000).cast("string"),
+            ),
+        )
+        .when(
+            h % 4 == 2,
+            F.concat(
+                F.lit(" from 10.0."),
+                (h % 256).cast("string"),
+                F.lit("."),
+                (h % 250 + 1).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    docs = d.select(did.alias("doc_id"), injected.alias("text"))
+    return TS.redact_pii(docs)
+
+
+_TRAINING_QUERIES["redact_pii"] = q_redact_pii
+
+
+def _pii_oracle() -> str:
+    h = "('0x' || substring(md5(did || ':pii'), 1, 15))::BIGINT"
+    email = TS.EMAIL_RE.replace("'", "''")
+    phone = TS.PHONE_RE.replace("'", "''")
+    ip = TS.IPV4_RE.replace("'", "''")
+    return f"""WITH base AS (
+  SELECT doc_id::VARCHAR AS did, text FROM documents
+),
+inj AS (
+  SELECT did AS id,
+         text || CASE
+           WHEN {h} % 4 = 0 THEN ' reach me at user' || did || '@example.com'
+           WHEN {h} % 4 = 1 THEN ' call 555-' || ({h} % 900 + 100)::VARCHAR
+                || '-' || ({h} % 9000 + 1000)::VARCHAR
+           WHEN {h} % 4 = 2 THEN ' from 10.0.' || ({h} % 256)::VARCHAR
+                || '.' || ({h} % 250 + 1)::VARCHAR
+           ELSE '' END AS text
+  FROM base
+),
+r1 AS (
+  SELECT id, len(regexp_extract_all(text, '{email}'))::BIGINT AS n_emails,
+         regexp_replace(text, '{email}', '<EMAIL>', 'g') AS t FROM inj
+),
+r2 AS (
+  SELECT id, n_emails, len(regexp_extract_all(t, '{phone}'))::BIGINT AS n_phones,
+         regexp_replace(t, '{phone}', '<PHONE>', 'g') AS t FROM r1
+)
+SELECT id, n_emails, n_phones,
+       len(regexp_extract_all(t, '{ip}'))::BIGINT AS n_ips,
+       regexp_replace(t, '{ip}', '<IP>', 'g') AS clean_text
+FROM r2"""
+
+
+_TRAINING_ORACLES["redact_pii"] = _pii_oracle()
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _widened(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return TS.repetition_signals(docs)
+
+
+_TRAINING_QUERIES["repetition_signals"] = q_repetition_signals
+_TRAINING_ORACLES["repetition_signals"] = """WITH w AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+m AS (
+  SELECT id, ws, len(ws) AS n, len(list_distinct(ws)) AS nd,
+         CASE WHEN len(ws) >= 2
+              THEN list_transform(range(1, len(ws)),
+                                  i -> ws[i] || ' ' || ws[i + 1])
+              ELSE []::VARCHAR[] END AS gs
+  FROM w
+)
+SELECT id, n::BIGINT AS n_words,
+       CASE WHEN n > 0 THEN round((n - nd)::DOUBLE / n, 6) ELSE 0.0 END
+         AS dup_word_frac,
+       CASE WHEN n > 0 THEN round(coalesce(
+           list_max(list_transform(list_distinct(ws),
+                                   w2 -> len(list_filter(ws, x -> x = w2)))),
+           0)::DOUBLE / n, 6) ELSE 0.0 END AS top_word_frac,
+       CASE WHEN len(gs) > 0
+            THEN round((len(gs) - len(list_distinct(gs)))::DOUBLE / len(gs), 6)
+            ELSE 0.0 END AS dup_bigram_frac
+FROM m"""

@@ -230,3 +230,83 @@ def lm_quality_score(
         .otherwise(F.lit(0.0))
         .alias("avg_logcnt"),
     )
+
+
+# ------------------------------------------------------------- cleaning
+
+# RE2- and Java-regex compatible (no lookarounds) so Spark and any SQL
+# twin agree byte-for-byte.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Training-data PII scrub (the C4-style cleanup step): emails,
+    phone numbers and IPv4 literals are replaced with fixed tokens, with
+    per-doc match counts recorded (X2-style: degradation is visible, not
+    silent). Pure columnar — three regexp passes, order pinned
+    email → phone → ip (an email can contain digits that would
+    otherwise phone-match after partial rewrites).
+
+    Output: (id, n_emails, n_phones, n_ips, clean_text)."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    t1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(t1, F.lit(PHONE_RE), F.lit(0)))
+    t2 = F.regexp_replace(t1, PHONE_RE, "<PHONE>")
+    n_ips = F.size(F.regexp_extract_all(t2, F.lit(IPV4_RE), F.lit(0)))
+    t3 = F.regexp_replace(t2, IPV4_RE, "<IP>")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        n_ips.cast("long").alias("n_ips"),
+        t3.alias("clean_text"),
+    )
+
+
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style intra-document repetition quality signals over the
+    whitespace token stream: duplicate-word fraction, top-word share,
+    duplicate-bigram fraction — the filters that kill boilerplate-loops
+    and keyword-stuffed pages in web-scale corpus prep. One projection,
+    all array expressions (no shuffle, no Python).
+
+    Output: (id, n_words, dup_word_frac, top_word_frac,
+    dup_bigram_frac), fractions rounded to 6; all-zero for docs with
+    < 1 word (< 2 for the bigram signal)."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    n = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(words, i), F.lit(" "), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_g = F.size(grams)
+    ng_distinct = F.size(F.array_distinct(grams))
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda w: F.size(F.filter(words, lambda x: x == w)),
+        )
+    )
+    frac = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.round(num.cast("double") / den, 6)
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_words"),
+        frac(n - n_distinct, n).alias("dup_word_frac"),
+        frac(F.coalesce(top_cnt, F.lit(0)), n).alias("top_word_frac"),
+        frac(n_g - ng_distinct, n_g).alias("dup_bigram_frac"),
+    )

@@ -365,3 +365,24 @@ def test_containment_asymmetric(spark):
     jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
            dedup.ngram_jaccard_pairs(docs, threshold=0.0).collect()}
     assert jac[(1, 2)] < 0.9  # Jaccard misses what containment catches
+
+
+def test_redact_pii_and_repetition(spark):
+    rows = [
+        (1, "mail bob.smith@corp.io or call 555-123-4567 from 10.0.0.5 now"),
+        (2, "clean text with no secrets"),
+        (3, "spam spam spam spam ham"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    red = {r["id"]: r for r in textstats.redact_pii(docs).collect()}
+    assert (red[1]["n_emails"], red[1]["n_phones"], red[1]["n_ips"]) == (1, 1, 1)
+    assert red[1]["clean_text"] == "mail <EMAIL> or call <PHONE> from <IP> now"
+    assert red[2]["clean_text"] == "clean text with no secrets"
+
+    rep = {r["id"]: r for r in textstats.repetition_signals(docs).collect()}
+    assert rep[3]["n_words"] == 5
+    assert rep[3]["dup_word_frac"] == pytest.approx(3 / 5)
+    assert rep[3]["top_word_frac"] == pytest.approx(4 / 5)
+    assert rep[3]["dup_bigram_frac"] == pytest.approx(2 / 4)
+    assert rep[4]["n_words"] == 0 and rep[4]["dup_word_frac"] == 0.0
