@@ -100,6 +100,16 @@ def main() -> None:
         "search_batch_bm25",
         "png_pixel_stats",
         "postings_wordnet",
+        "phrase_search",
+        "embed_neardup",
+        "dedup_containment",
+        "events_sliding",
+        "corpus_ngrams",
+        "redact_pii",
+        "repetition_signals",
+        "tpch_q6",
+        "tpch_q10",
+        "tpch_q17",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:

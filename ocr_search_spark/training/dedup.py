@@ -287,8 +287,11 @@ def connected_components(
         )
         .cache()
     )
-    labels = nodes.select(F.col("id"), F.col("id").alias("comp")).cache()
-    labels.count()
+    # localCheckpoint (not cache): caching keeps the LOGICAL plan, which
+    # deepens every iteration and makes Catalyst analysis cost grow
+    # superlinearly on long chains (a 16-node chain blew past minutes);
+    # the eager checkpoint truncates lineage so each iteration stays O(1)
+    labels = nodes.select(F.col("id"), F.col("id").alias("comp")).localCheckpoint()
     converged = False
     for _ in range(max_iter):
         neigh = (
@@ -300,7 +303,7 @@ def connected_components(
         new_labels = (
             labels.join(neigh, "id", "left")
             .select("id", F.least("comp", F.coalesce("nmin", "comp")).alias("comp"))
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.withColumnsRenamed({"comp": "ncomp"})
@@ -308,7 +311,6 @@ def connected_components(
             .where(F.col("ncomp") != F.col("comp"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True
@@ -319,6 +321,70 @@ def connected_components(
             f"connected_components did not converge in {max_iter} iterations "
             "(component diameter exceeds max_iter); raise max_iter — a "
             "silent non-fixpoint would return WRONG cluster labels"
+        )
+    return labels.select("id", F.col("comp").alias("cluster_id"))
+
+
+def connected_components_jump(
+    nodes: DataFrame, pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Pointer-jumping variant of :func:`connected_components`: each
+    iteration does the neighbor-min propagation AND a pointer jump
+    (comp(v) ← min(comp(v), comp(comp(v)))), so labels race down
+    chains exponentially — O(log diameter) iterations instead of
+    O(diameter). Same unique fixpoint (min reachable id), same
+    convergence-or-raise contract; the jump join keys on the label
+    itself, so its cost is one extra hash join per iteration —
+    worthwhile exactly when components are long chains (pathological
+    near-dup corpora: shingled paginated archives, OCR page runs),
+    where the propagation variant would need max_iter ≈ diameter."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .cache()
+    )
+    labels = nodes.select(F.col("id"), F.col("id").alias("comp")).localCheckpoint()
+    converged = False
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.withColumnsRenamed({"id": "dst", "comp": "ncomp"}), "dst")
+            .groupBy("src")
+            .agg(F.min("ncomp").alias("nmin"))
+            .withColumnsRenamed({"src": "id"})
+        )
+        half = labels.join(neigh, "id", "left").select(
+            "id", F.least("comp", F.coalesce("nmin", "comp")).alias("comp")
+        )
+        # jump through the CURRENT labels: comp(comp(v))
+        hop = labels.select(
+            F.col("id").alias("comp"), F.col("comp").alias("jcomp")
+        )
+        new_labels = (
+            half.join(hop, "comp", "left")
+            .select(
+                "id",
+                F.least("comp", F.coalesce("jcomp", "comp")).alias("comp"),
+            )
+            .localCheckpoint()  # truncate lineage — see propagation variant
+        )
+        changed = (
+            new_labels.withColumnsRenamed({"comp": "ncomp"})
+            .join(labels, "id")
+            .where(F.col("ncomp") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_jump did not converge in {max_iter} "
+            "iterations; raise max_iter — a silent non-fixpoint would "
+            "return WRONG cluster labels"
         )
     return labels.select("id", F.col("comp").alias("cluster_id"))
 

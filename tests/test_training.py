@@ -386,3 +386,31 @@ def test_redact_pii_and_repetition(spark):
     assert rep[3]["top_word_frac"] == pytest.approx(4 / 5)
     assert rep[3]["dup_bigram_frac"] == pytest.approx(2 / 4)
     assert rep[4]["n_words"] == 0 and rep[4]["dup_word_frac"] == 0.0
+
+
+def test_cc_pointer_jumping_on_long_chain(spark):
+    """A 64-node chain: min-label propagation needs ~diameter iterations
+    (raises at max_iter=10), pointer jumping converges within 10 and
+    labels the whole chain with its min id; both agree on a branchy
+    graph."""
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.connected_components(nodes, chain, max_iter=10)
+    got = {r["id"]: r["cluster_id"] for r in
+           dedup.connected_components_jump(nodes, chain, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5), (6, 5), (8, 9), (9, 0)], "id_a long, id_b long"
+    )
+    nodes2 = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    a = {r["id"]: r["cluster_id"] for r in
+         dedup.connected_components(nodes2, pairs).collect()}
+    b = {r["id"]: r["cluster_id"] for r in
+         dedup.connected_components_jump(nodes2, pairs).collect()}
+    assert a == b
+    assert a[2] == 0 and a[6] == 4 and a[3] == 3
