@@ -1776,6 +1776,8 @@ _GATE_PRIORITY = [
     "tpch_q4", "tpch_q6", "tpch_q10", "tpch_q14", "tpch_q17",
     "phrase_search", "embed_neardup", "dedup_containment",
     "events_sliding", "corpus_ngrams", "redact_pii", "repetition_signals",
+    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q15",
+    "tpch_q16", "tpch_q19", "tpch_q20", "tpch_q21",
 ]
 
 
@@ -3229,6 +3231,384 @@ per_part AS (
 SELECT round(sum(l_extendedprice{_ORA_D2})::DOUBLE / 7.0, 4) AS avg_yearly
 FROM lb JOIN per_part USING (l_partkey)
 WHERE l_quantity{_ORA_D2} * 5 * n < sumq"""
+
+
+# ---------------------------------------------- TPC-H: remaining shapes
+# Completes the 22-query suite. This corpus has no partsupp table and a
+# trimmed column set (no l_commitdate/l_shipmode/p_container — see
+# TESTDATA.md), so the partsupp-dependent queries (q2/q9/q11/q16/q20)
+# and the commitdate ones (q12/q21) are "shape" variants, same
+# convention as q4/q17 above: the operator STRUCTURE of the official
+# query (correlated min, scalar-subquery threshold, semi/anti self-join,
+# disjunctive pushdown) over the columns that exist, with lineitem as
+# the part↔supplier bridge relation. Threshold comparisons that would
+# overflow DECIMAL(38) as a product are carried as ×10^k-scaled BIGINTs
+# so both engines compare exactly (no float boundary drift).
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: min observed price per size-15 part among EUROPE
+    suppliers, then every (supplier, part) row achieving that min —
+    the correlated-min subquery as a per-part aggregate + equi-join
+    back (no re-scan, no nested loop)."""
+    p, s, l, n, r = _tables(spark, sf_dir, "part", "supplier", "lineitem", "nation", "region")
+    europe = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = p.where(F.col("p_size") == 15).select("p_partkey", "p_brand")
+    offers = (
+        l.join(F.broadcast(parts), l.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(europe), l.l_suppkey == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name",
+                _dec("l_extendedprice", _DEC2).alias("_price"))
+    )
+    min_price = offers.groupBy("p_partkey").agg(F.min("_price").alias("_minp"))
+    return (
+        offers.join(min_price, "p_partkey")
+        .where(F.col("_price") == F.col("_minp"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+                F.col("_minp").cast("double").alias("min_price"))
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (profit proxy: tax in place of ps_supplycost): nation ×
+    order-year profit on 'widget' parts — the 4-way join tree with the
+    substring part filter broadcast-pruned before the fact scan."""
+    p, s, l, o, n = _tables(spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation")
+    amount = (
+        _dec("l_extendedprice", _DEC2) * (F.lit(1).cast(_DEC4) - _dec("l_discount", _DEC4))
+        - _dec("l_extendedprice", _DEC2) * _dec("l_tax", _DEC4)
+    )
+    j = (
+        l.join(F.broadcast(p.where(F.col("p_name").contains("widget")).select("p_partkey")),
+               l.l_partkey == F.col("p_partkey"))
+        .join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"),
+                  F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(amount), 4).cast("double").alias("sum_profit"))
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: per-part shipped value from NATION_7's suppliers, kept
+    when > 2x the mean per-part share of that scope's total (scale-
+    invariant, unlike the official fixed fraction that must be retuned
+    per SF) — the scalar-subquery threshold as a broadcast cross-join of
+    a one-row aggregate. Values are exact ×10^4 BIGINTs end to end."""
+    s, l, n = _tables(spark, sf_dir, "supplier", "lineitem", "nation")
+    nat = (
+        s.join(F.broadcast(n.where(F.col("n_name") == "NATION_7")),
+               s.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    val_e4 = (_dec("l_extendedprice", _DEC2) * _dec("l_quantity", _DEC2) * 10000).cast("long")
+    vals = (
+        l.join(F.broadcast(nat), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey").agg(F.sum(val_e4).alias("value_e4"))
+    )
+    total = vals.agg(F.sum("value_e4").alias("_total_e4"),
+                     F.count("*").alias("_nparts"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .where(F.col("value_e4") * F.col("_nparts") > F.col("_total_e4") * 2)
+        .select("l_partkey", "value_e4")
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (late = shipped ≥60 d after order date; linestatus in
+    place of shipmode): dual conditional counts per group, one pass."""
+    o, l = _tables(spark, sf_dir, "orders", "lineitem")
+    j = (
+        l.join(o.select("o_orderkey", "o_orderpriority", _epoch("o_orderdate").alias("_od")),
+               l.l_orderkey == F.col("o_orderkey"))
+        .where((_epoch("l_shipdate") >= F.col("_od") + 60 * 86400)
+               & (_epoch("l_shipdate") >= _EPOCH_1995)
+               & (_epoch("l_shipdate") < _EPOCH_1996))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: top supplier(s) by Q1-1995 revenue — the revenue view joined
+    against its own max (scalar subquery), exact-decimal equality."""
+    s, l = _tables(spark, sf_dir, "supplier", "lineitem")
+    rev = (
+        l.where((_epoch("l_shipdate") >= _EPOCH_1995)
+                & (_epoch("l_shipdate") < _EPOCH_1995_APR))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_extendedprice", _DEC2)
+                   * (F.lit(1).cast(_DEC4) - _dec("l_discount", _DEC4))).alias("_rev"))
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("_rev") == F.col("_mx"))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.round(F.col("_rev"), 4).cast("double").alias("total_revenue"))
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier count per part attribute bucket,
+    negative-balance suppliers excluded by anti-join (the NOT IN)."""
+    p, s, l = _tables(spark, sf_dir, "part", "supplier", "lineitem")
+    excl = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = (
+        p.where((F.col("p_brand") != "Brand#1")
+                & (~F.col("p_type").startswith("PROMO"))
+                & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    j = (
+        l.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(excl), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: disjunction of brand/size/quantity conjunctions — a single
+    OR predicate after one broadcast join, so Catalyst can push the
+    common part down to both scans."""
+    p, l = _tables(spark, sf_dir, "part", "lineitem")
+    j = l.join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+               l.l_partkey == F.col("p_partkey"))
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & sz.between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & sz.between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & sz.between(1, 15) & q.between(20, 30))
+    )
+    rev = _dec("l_extendedprice", _DEC2) * (F.lit(1).cast(_DEC4) - _dec("l_discount", _DEC4))
+    return j.where(cond).agg(F.round(F.sum(rev), 4).cast("double").alias("revenue"))
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: NATION_3 suppliers that shipped >30 % of some 'red'
+    part's 1995 volume — nested aggregation feeding a two-level
+    semi-join chain. Quantities as exact ×100 BIGINTs."""
+    p, s, l, n = _tables(spark, sf_dir, "part", "supplier", "lineitem", "nation")
+    red = p.where(F.col("p_name").startswith("red")).select("p_partkey")
+    lr = (
+        l.where((_epoch("l_shipdate") >= _EPOCH_1995)
+                & (_epoch("l_shipdate") < _EPOCH_1996))
+        .join(F.broadcast(red), l.l_partkey == F.col("p_partkey"))
+    )
+    q_e2 = (_dec("l_quantity", _DEC2) * 100).cast("long")
+    per_ps = lr.groupBy("l_partkey", "l_suppkey").agg(F.sum(q_e2).alias("_sq"))
+    per_p = per_ps.groupBy("l_partkey").agg(F.sum("_sq").alias("_tq"))
+    dominant = (
+        per_ps.join(per_p, "l_partkey")
+        .where(F.col("_sq") * 10 > F.col("_tq") * 3)
+        .select("l_suppkey").distinct()
+    )
+    nat = (
+        s.join(F.broadcast(n.where(F.col("n_name") == "NATION_3")),
+               s.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return nat.join(dominant, nat.s_suppkey == dominant.l_suppkey, "left_semi")
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (late = shipped >90 d after order date): NATION_1
+    suppliers whose line was the ONLY late one in a multi-supplier 'F'
+    order — the exists as a left-semi and the not-exists as a left-anti
+    self-join at order grain, then a count ranking."""
+    s, l, o, n = _tables(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
+    lo = (
+        l.join(o.where(F.col("o_orderstatus") == "F")
+                .select("o_orderkey", _epoch("o_orderdate").alias("_od")),
+               l.l_orderkey == F.col("o_orderkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"),
+                (_epoch("l_shipdate") > F.col("_od") + 90 * 86400).alias("late"))
+    )
+    l1 = lo.where(F.col("late")).select("ok", "sk").distinct()
+    others = lo.select(F.col("ok").alias("ok2"), F.col("sk").alias("sk2")).distinct()
+    ex = l1.join(others, (l1.ok == F.col("ok2")) & (l1.sk != F.col("sk2")), "left_semi")
+    late_others = (
+        lo.where(F.col("late"))
+        .select(F.col("ok").alias("ok3"), F.col("sk").alias("sk3")).distinct()
+    )
+    res = ex.join(late_others, (ex.ok == F.col("ok3")) & (ex.sk != F.col("sk3")), "left_anti")
+    nat = (
+        s.join(F.broadcast(n.where(F.col("n_name") == "NATION_1")),
+               s.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        res.join(F.broadcast(nat), res.sk == F.col("s_suppkey"))
+        .groupBy("s_name").agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+for _q in ("q2", "q9", "q11", "q12", "q15", "q16", "q19", "q20", "q21"):
+    _TRAINING_QUERIES[f"tpch_{_q}"] = globals()[f"q_tpch_{_q}"]
+
+_TRAINING_ORACLES["tpch_q2"] = f"""WITH europe AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+parts AS (SELECT p_partkey, p_brand FROM part WHERE p_size = 15),
+offers AS (
+  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+         l_extendedprice{_ORA_D2} AS price
+  FROM lineitem JOIN parts ON l_partkey = p_partkey
+  JOIN europe ON l_suppkey = s_suppkey
+),
+mn AS (SELECT p_partkey, min(price) AS minp FROM offers GROUP BY p_partkey)
+SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       minp::DOUBLE AS min_price
+FROM offers JOIN mn USING (p_partkey)
+WHERE price = minp
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100"""
+
+_TRAINING_ORACLES["tpch_q9"] = f"""SELECT n_name AS nation,
+  year(o_orderdate)::BIGINT AS o_year,
+  round(sum(l_extendedprice{_ORA_D2} * ({_ORA_ONE} - l_discount{_ORA_D4})
+            - l_extendedprice{_ORA_D2} * l_tax{_ORA_D4}), 4)::DOUBLE AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)"""
+
+_TRAINING_ORACLES["tpch_q11"] = f"""WITH nat AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+),
+vals AS (
+  SELECT l_partkey,
+         sum((l_extendedprice{_ORA_D2} * l_quantity{_ORA_D2} * 10000)::BIGINT)::BIGINT
+           AS value_e4
+  FROM lineitem JOIN nat ON l_suppkey = s_suppkey
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value_e4
+FROM vals
+WHERE value_e4 * (SELECT count(*) FROM vals)
+      > (SELECT sum(value_e4) FROM vals) * 2"""
+
+_TRAINING_ORACLES["tpch_q12"] = f"""SELECT l_linestatus,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+    AS high_line_count,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT
+    AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE {_ORA_EP('l_shipdate')} >= {_ORA_EP('o_orderdate')} + 60 * 86400
+  AND {_ORA_EP('l_shipdate')} >= {_EPOCH_1995}
+  AND {_ORA_EP('l_shipdate')} < {_EPOCH_1996}
+GROUP BY l_linestatus"""
+
+_TRAINING_ORACLES["tpch_q15"] = f"""WITH rev AS (
+  SELECT l_suppkey,
+         sum(l_extendedprice{_ORA_D2} * ({_ORA_ONE} - l_discount{_ORA_D4})) AS r
+  FROM lineitem
+  WHERE {_ORA_EP('l_shipdate')} >= {_EPOCH_1995}
+    AND {_ORA_EP('l_shipdate')} < {_EPOCH_1995_APR}
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(r, 4)::DOUBLE AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT max(r) FROM rev)"""
+
+_TRAINING_ORACLES["tpch_q16"] = """SELECT p_brand, p_type, p_size,
+  count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size"""
+
+_TRAINING_ORACLES["tpch_q19"] = f"""SELECT
+  round(sum(l_extendedprice{_ORA_D2} * ({_ORA_ONE} - l_discount{_ORA_D4})),
+        4)::DOUBLE AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)"""
+
+_TRAINING_ORACLES["tpch_q20"] = f"""WITH red AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+),
+lr AS (
+  SELECT l_partkey, l_suppkey, (l_quantity{_ORA_D2} * 100)::BIGINT AS q_e2
+  FROM lineitem JOIN red ON l_partkey = p_partkey
+  WHERE {_ORA_EP('l_shipdate')} >= {_EPOCH_1995}
+    AND {_ORA_EP('l_shipdate')} < {_EPOCH_1996}
+),
+per_ps AS (
+  SELECT l_partkey, l_suppkey, sum(q_e2) AS sq FROM lr
+  GROUP BY l_partkey, l_suppkey
+),
+per_p AS (SELECT l_partkey, sum(sq) AS tq FROM per_ps GROUP BY l_partkey),
+dominant AS (
+  SELECT DISTINCT l_suppkey FROM per_ps JOIN per_p USING (l_partkey)
+  WHERE sq * 10 > tq * 3
+)
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (SELECT l_suppkey FROM dominant)"""
+
+_TRAINING_ORACLES["tpch_q21"] = f"""WITH lo AS (
+  SELECT l_orderkey AS ok, l_suppkey AS sk,
+         ({_ORA_EP('l_shipdate')} > {_ORA_EP('o_orderdate')} + 90 * 86400)
+           AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+l1 AS (SELECT DISTINCT ok, sk FROM lo WHERE late),
+waiting AS (
+  SELECT l1.ok, l1.sk FROM l1
+  WHERE EXISTS (SELECT 1 FROM lo o2
+                WHERE o2.ok = l1.ok AND o2.sk <> l1.sk)
+    AND NOT EXISTS (SELECT 1 FROM lo o3
+                    WHERE o3.ok = l1.ok AND o3.sk <> l1.sk AND o3.late)
+)
+SELECT s_name, count(*) AS numwait
+FROM waiting
+JOIN supplier ON sk = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20"""
 
 
 # ------------------------------------------------ positional / phrase

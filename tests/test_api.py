@@ -133,7 +133,9 @@ def test_http_server_end_to_end(spark, tiny_index, tmp_path):
 
     def get(url):
         try:
-            with urllib.request.urlopen(url, timeout=30) as r:
+            # generous: the first /pages request runs a real Spark job and
+            # this box's wall-clock stretches 2-3x under concurrent load
+            with urllib.request.urlopen(url, timeout=180) as r:
                 return r.status, r.read()
         except urllib.error.HTTPError as e:
             return e.code, e.read()
