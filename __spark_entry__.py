@@ -1778,6 +1778,7 @@ _GATE_PRIORITY = [
     "events_sliding", "corpus_ngrams", "redact_pii", "repetition_signals",
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q15",
     "tpch_q16", "tpch_q19", "tpch_q20", "tpch_q21",
+    "quantiles_pricing", "events_argmax", "rolling_revenue", "zorder_curve",
 ]
 
 
@@ -3609,6 +3610,131 @@ WHERE n_name = 'NATION_1'
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 20"""
+
+
+# ------------------------------------------- classic OLAP: quantiles /
+# argmax / rolling windows / Z-order keys.  The quantile entry gates
+# Spark's EXACT percentile (bit-identical to DuckDB's quantile_cont,
+# including interpolation float repr — verified before gating); the
+# 100 TB path for monitoring-grade numbers is approx_percentile, which
+# no cross-engine hash can pin and so stays out of the gate.
+
+
+def q_quantiles_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag exact price percentiles. Exact percentile memory is
+    O(distinct values per group) on the final aggregate — fine at any
+    group count, the right tool below ~10^8 distincts per group; above
+    that swap in approx_percentile (same plan shape, sketch merge)."""
+    (l,) = _tables(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.25).alias("p25"),
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.75).alias("p75"),
+        F.percentile("l_extendedprice", 0.95).alias("p95"),
+        F.median("l_quantity").alias("qty_med"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_events_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user argmax (the event carrying the max value): row_number
+    over (value desc, event_id desc) — one shuffle on user_id, fully
+    deterministic under ties, where max_by/arg_max are not. Catalyst
+    rewrites rn=1 windows to a WindowGroupLimit (top-1 per key heap),
+    so no per-user full sort materializes."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), F.desc("event_id"))
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", F.col("event_id").alias("top_event"),
+                F.col("value").alias("top_value"))
+    )
+
+
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue + 7-day rolling sum. The rolling window is
+    unpartitioned by construction but runs over DAY-grain rows — its
+    cardinality is bounded by the calendar (~2.5k rows even at 10^12
+    source docs), the same bounded-domain argument as ivf_centroids.
+    Sums stay exact DECIMAL inside the frame; doubles only at output."""
+    (l,) = _tables(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window as W
+
+    rev = _dec("l_extendedprice", _DEC2) * (F.lit(1).cast(_DEC4) - _dec("l_discount", _DEC4))
+    daily = l.groupBy(
+        F.floor(_epoch("l_shipdate") / F.lit(86400)).cast("long").alias("day")
+    ).agg(F.sum(rev).alias("_rev"))
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.round(F.col("_rev"), 4).cast("double").alias("revenue"),
+        F.round(F.sum("_rev").over(w), 4).cast("double").alias("rev_7d"),
+    )
+
+
+def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Morton key at the heart of zorder_write
+    (operators/layout.py) gated bit-for-bit: interleave 10 bits of two
+    key-derived dimensions, all columnar shift/and/or — the layout
+    optimizer's hot loop runs entirely inside whole-stage codegen."""
+    from ocr_search_spark.operators.layout import zvalue_col
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    x = (F.col("o_orderkey") % 1024).cast("long")
+    y = (F.col("o_custkey") % 1024).cast("long")
+    return o.select("o_orderkey", zvalue_col([x, y], bits=10).alias("zval"))
+
+
+_TRAINING_QUERIES["quantiles_pricing"] = q_quantiles_pricing
+_TRAINING_QUERIES["events_argmax"] = q_events_argmax
+_TRAINING_QUERIES["rolling_revenue"] = q_rolling_revenue
+_TRAINING_QUERIES["zorder_curve"] = q_zorder_curve
+
+_TRAINING_ORACLES["quantiles_pricing"] = """SELECT l_returnflag,
+  quantile_cont(l_extendedprice, 0.25) AS p25,
+  quantile_cont(l_extendedprice, 0.5) AS p50,
+  quantile_cont(l_extendedprice, 0.75) AS p75,
+  quantile_cont(l_extendedprice, 0.95) AS p95,
+  median(l_quantity) AS qty_med,
+  count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag"""
+
+_TRAINING_ORACLES["events_argmax"] = """SELECT user_id,
+  event_id AS top_event, value AS top_value
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1"""
+
+_TRAINING_ORACLES["rolling_revenue"] = f"""WITH daily AS (
+  SELECT {_ORA_EP('l_shipdate')} // 86400 AS day,
+         sum(l_extendedprice{_ORA_D2} * ({_ORA_ONE} - l_discount{_ORA_D4})) AS rev
+  FROM lineitem GROUP BY 1
+)
+SELECT day, round(rev, 4)::DOUBLE AS revenue,
+  round(sum(rev) OVER (ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+        4)::DOUBLE AS rev_7d
+FROM daily"""
+
+
+def _morton_sql(xe: str, ye: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xe} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ye} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_TRAINING_ORACLES["zorder_curve"] = f"""SELECT o_orderkey,
+  ({_morton_sql('(o_orderkey % 1024)', '(o_custkey % 1024)', 10)})::BIGINT AS zval
+FROM orders"""
 
 
 # ------------------------------------------------ positional / phrase

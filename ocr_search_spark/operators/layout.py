@@ -1,0 +1,95 @@
+"""Z-order (Morton-curve) clustering for data-skipping layouts.
+
+At 100 TB the dominant cost of a selective query is how many files /
+row groups its predicate must OPEN, not how fast it scans them.
+Parquet keeps per-column min/max statistics on every row group, but
+sorting a table by one column only clusters THAT column — a predicate
+on any other column still touches every file.  Interleaving the bits
+of several columns' normalized values (the Morton / Z-order curve) and
+sorting by the interleaved key gives EVERY participating column
+locality, so min/max pruning works on all of them at once.  This is
+the open-primitives re-expression of Delta/Iceberg ``OPTIMIZE ZORDER
+BY``; the reference system stores one MongoDB document per page and
+has no layout optimizer to mirror (DbAdapter.class.js — inserts only).
+
+Everything here is columnar JVM arithmetic (shift/and/or unrolled over
+bit positions — whole-stage codegen, no UDF), one range repartition,
+and one local sort: exactly the shuffle budget of a plain
+``repartitionByRange`` write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zvalue_col", "zorder_write"]
+
+
+def zvalue_col(cols: list[Column], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of each (non-negative integral)
+    column into one Morton key: bit i of column j lands at position
+    ``i * len(cols) + j``.  Pure unrolled shift/and/or — Catalyst sees
+    ``2 * bits * len(cols)`` leaf expressions inside one codegen stage.
+
+    ``bits * len(cols)`` must stay ≤ 63 (the key is a signed long).
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError("z-ordering needs at least 2 columns")
+    if bits * n > 63:
+        raise ValueError(f"bits={bits} x {n} columns overflows a long")
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        c = c.cast("long")
+        for i in range(bits):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def _scaled(df: DataFrame, col: str, bits: int) -> Column:
+    """Map a numeric column linearly onto [0, 2^bits) using its global
+    min/max.  Linear scaling is one tiny aggregate and stays fully
+    columnar; heavily skewed columns would prefer quantile (rank)
+    scaling — at the cost of an extra pass — which callers can emulate
+    by pre-ranking the column themselves.
+    """
+    row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+    lo, hi = float(row["lo"]), float(row["hi"])
+    span = (hi - lo) or 1.0
+    top = (1 << bits) - 1
+    return F.least(
+        F.lit(top).cast("long"),
+        F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(span) * (top + 1)).cast(
+            "long"
+        ),
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    n_files: int = 64,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` to parquet clustered along the Z-order curve of
+    ``cols``: scale each column to [0, 2^bits), interleave, range-
+    repartition on the key (equi-depth file boundaries via Spark's
+    range-partitioning sample), sort within each file, drop the key.
+
+    One extra shuffle versus a plain write — the same budget as any
+    clustered write — and every output file covers a compact Z-range,
+    i.e. a small hyper-rectangle of the value space, so parquet
+    row-group stats prune on EVERY clustered column.
+    """
+    z = zvalue_col([_scaled(df, c, bits) for c in cols], bits=bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
