@@ -1779,6 +1779,7 @@ _GATE_PRIORITY = [
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q15",
     "tpch_q16", "tpch_q19", "tpch_q20", "tpch_q21",
     "quantiles_pricing", "events_argmax", "rolling_revenue", "zorder_curve",
+    "search_fuzzy", "events_outliers",
 ]
 
 
@@ -3735,6 +3736,78 @@ def _morton_sql(xe: str, ye: str, bits: int) -> str:
 _TRAINING_ORACLES["zorder_curve"] = f"""SELECT o_orderkey,
   ({_morton_sql('(o_orderkey % 1024)', '(o_custkey % 1024)', 10)})::BIGINT AS zval
 FROM orders"""
+
+
+_FUZZY_TERMS = ["tabl", "valu"]  # 1-edit typos of corpus terms
+
+
+def q_search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant search (operators/search.py match_terms_fuzzy):
+    Levenshtein ≤ 1 against the distinct vocabulary with the
+    length/first-char prefilter as join predicates, then the standard
+    max-tf scoring path."""
+    from ocr_search_spark.operators.search import match_terms_fuzzy
+
+    hits = match_terms_fuzzy(_postings(spark, sf_dir), _FUZZY_TERMS, max_dist=1)
+    return hits.select("doc_id", F.col("score").cast("long").alias("score"))
+
+
+def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 2-sigma outliers with ZERO floating-point in the
+    decision: x := floor(value·10^6) (floor is pinned identically in
+    both engines), and |x − mean| > 2σ is algebraized to
+    (n·x − Σx)² > 4·(n·Σx² − (Σx)²) — every factor an exact
+    DECIMAL(38,0)/HUGEINT integer, so no sqrt, no division, no
+    boundary drift. At 10^12-row groups the raw second moment would
+    outgrow 38 digits; the production variant centers per-partition
+    first (Welford merge) — same plan shape, one extra map-side agg."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * 1000000).cast("decimal(38,0)").alias("x"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("_n"),
+        F.sum("x").alias("_s"),
+        F.sum(F.col("x") * F.col("x")).alias("_ss"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    dev = F.col("_n") * F.col("x") - F.col("_s")
+    var4 = (F.col("_n") * F.col("_ss") - F.col("_s") * F.col("_s")) * 4
+    return j.where(dev * dev > var4).select(
+        "event_type", "event_id", F.col("x").cast("long").alias("value_e6")
+    )
+
+
+_TRAINING_QUERIES["search_fuzzy"] = q_search_fuzzy
+_TRAINING_QUERIES["events_outliers"] = q_events_outliers
+
+_TRAINING_ORACLES["search_fuzzy"] = f"""WITH {_POSTINGS_BODY},
+vocab AS (SELECT DISTINCT term FROM postings),
+q AS (SELECT unnest(['tabl', 'valu']) AS qt),
+cand AS (
+  SELECT DISTINCT term FROM vocab, q
+  WHERE abs(length(term) - length(qt)) <= 1
+    AND substr(term, 1, 1) = substr(qt, 1, 1)
+    AND levenshtein(term, qt) <= 1
+)
+SELECT doc_id, max(tf)::BIGINT AS score
+FROM postings JOIN cand USING (term)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 20"""
+
+_TRAINING_ORACLES["events_outliers"] = """WITH ev AS (
+  SELECT event_id, event_type, floor(value * 1000000)::HUGEINT AS x
+  FROM events
+),
+stats AS (
+  SELECT event_type, count(*)::HUGEINT AS n,
+         sum(x)::HUGEINT AS s, sum(x * x)::HUGEINT AS ss
+  FROM ev GROUP BY event_type
+)
+SELECT event_type, event_id, x::BIGINT AS value_e6
+FROM ev JOIN stats USING (event_type)
+WHERE (n * x - s) * (n * x - s) > 4 * (n * ss - s * s)"""
 
 
 # ------------------------------------------------ positional / phrase

@@ -108,6 +108,48 @@ def match_terms_batch(
     )
 
 
+def match_terms_fuzzy(
+    postings: DataFrame,
+    terms: list[str],
+    max_dist: int = 1,
+    max_return: int = DEFAULT_MAX_RETURN,
+) -> DataFrame:
+    """Typo-tolerant search: a query term also matches vocabulary terms
+    within ``max_dist`` Levenshtein edits (the reference has no fuzzy
+    mode at all — TermMatcher.class.js:25 is exact-match only).
+
+    Scale shape: edit distance runs against the DISTINCT vocabulary
+    (∝ unique terms, not postings), and the vocabulary×query pairing is
+    pruned BEFORE the Levenshtein compare by the classic spell-checker
+    prefilter — length difference ≤ max_dist and a shared first
+    character — expressed as join predicates so only the tiny
+    candidate set reaches the O(len²) compare. Matched vocabulary
+    terms then flow through the normal Q2-Q5 scoring path (max tf,
+    doc_id tie-break)."""
+    spark = postings.sparkSession
+    if not terms:
+        terms = ["never-a-term"]
+    terms_df = spark.createDataFrame([(t,) for t in set(terms)], "q string")
+    vocab = postings.select("term").distinct()
+    cand = (
+        vocab.join(
+            F.broadcast(terms_df),
+            (F.abs(F.length("term") - F.length("q")) <= max_dist)
+            & (F.substring("term", 1, 1) == F.substring("q", 1, 1)),
+        )
+        .where(F.levenshtein(F.col("term"), F.col("q")) <= max_dist)
+        .select("term")
+        .distinct()
+    )
+    return (
+        postings.join(F.broadcast(cand), "term")
+        .groupBy("doc_id")
+        .agg(F.max("tf").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(max_return)
+    )
+
+
 def match_terms_tfidf(
     postings: DataFrame,
     terms: list[str],
