@@ -2259,11 +2259,12 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionization of events_sessionize): 30-min inactivity-gap sessions
     per user via Spark's built-in session grouping. Output pinned to
     epoch seconds; window.end is last event + gap by definition, so the
-    oracle adds the gap to the max event time. Boundary note: Spark
-    separates sessions at gap == gapDuration exactly (windows must
-    OVERLAP to merge) while the oracle's lag-comparison merges at
-    equality; the fixture has no exact-1800s gaps, and the gate would
-    flag one immediately if data changed."""
+    oracle adds the gap to the max event time. Boundary semantics
+    (pinned empirically in test_streaming.py's exact-gap test): Spark
+    MERGES two events exactly gapDuration apart — an event starting at
+    the previous window's end joins it — so the oracle's lag-comparison
+    starts a new session only at gap > gapDuration, identical at every
+    gap value including the exact-1800s boundary."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))

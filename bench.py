@@ -110,6 +110,13 @@ def main() -> None:
         "tpch_q6",
         "tpch_q10",
         "tpch_q17",
+        "tpch_q9",
+        "tpch_q21",
+        "quantiles_pricing",
+        "rolling_revenue",
+        "zorder_curve",
+        "search_fuzzy",
+        "events_outliers",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:

