@@ -142,7 +142,10 @@ def incremental_correlations(
     flipped = keep_old.exceptAll(keep_new).unionByName(
         keep_new.exceptAll(keep_old)
     ).distinct()
-    affected = touched_terms.unionByName(flipped).distinct()
+    # affected feeds four branches (two carried anti-joins, two
+    # recompute marks) and is tiny (⊆ vocabulary): pin it so the
+    # touched/flipped derivation runs once, not per branch
+    affected = touched_terms.unionByName(flipped).distinct().cache()
 
     # carried: stored pairs with BOTH sides unaffected (dot, norms and
     # guard membership all unchanged)
@@ -158,6 +161,10 @@ def incremental_correlations(
     # (a < b) always, plus (a > b) only when b is NOT affected (else the
     # b-side row produced it already).
     p = new_postings.join(keep_new, "term") if max_df_ratio is not None else new_postings
+    # NOT cached: p feeds three branches, but each re-derivation is one
+    # cheap join of the (caller-cached) new postings with a small agg —
+    # measured at sf0.1, caching the ~postings-sized p cost more in
+    # materialization than the re-joins it saved
     p = p.select("term", "doc_id", "tf")
     aff_mark = affected.withColumn("_aff", F.lit(True))
     pa = p.join(aff_mark.select("term", "_aff"), "term").select(

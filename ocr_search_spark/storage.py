@@ -294,6 +294,47 @@ class BucketedTable:
         self._commit_touched(touched, merged.withColumn(BUCKET_COL, self._bucket()))
         return touched
 
+    def compact(self, max_files: int = 1) -> list[int]:
+        """Defragment buckets littered by repeated MERGEs: every bucket
+        holding more than ``max_files`` data files is rewritten to one
+        file; the row multiset is unchanged and untouched buckets stay
+        byte-identical (asserted in test_storage.py).
+
+        Streaming maintenance commits one file per micro-batch per
+        touched bucket, so a long-lived table pays a growing small-files
+        tax on EVERY read (a task + a footer per file). This is the
+        plain-parquet analogue of Delta/Iceberg ``OPTIMIZE``: the
+        fragmentation probe lists per-bucket files through the FS API
+        (driver cost ∝ n_buckets), only over-budget buckets are read,
+        and the rewrite hash-partitions on the bucket column so each
+        bucket lands in exactly one task → one file, committed with the
+        same pruned dynamic overwrite as every other mutation.  Returns
+        the compacted bucket ids."""
+        self._check_meta()
+        root = self._fs_path(self.path)
+        fs = self._fs(root)
+        if not fs.exists(root):
+            return []
+        fragmented: list[int] = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith(f"{BUCKET_COL}="):
+                continue
+            n = 0
+            for f in fs.listStatus(st.getPath()):
+                fn = f.getPath().getName()
+                if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                    n += 1
+            if n > max_files:
+                fragmented.append(int(name.split("=", 1)[1]))
+        if not fragmented:
+            return []
+        rows = self._read_raw().where(F.col(BUCKET_COL).isin(fragmented))
+        # hash-repartition on the bucket column: every bucket's rows in
+        # exactly one task, so dynamic overwrite emits one file per dir
+        self._overwrite_buckets(rows.repartition(len(fragmented), F.col(BUCKET_COL)))
+        return sorted(fragmented)
+
     def delete(self, doomed_keys: DataFrame) -> list[int]:
         """MERGE … WHEN MATCHED DELETE, partition-pruned the same way;
         emptied buckets are FS-dropped, and a fully-emptied table stays
