@@ -1779,7 +1779,7 @@ _GATE_PRIORITY = [
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q15",
     "tpch_q16", "tpch_q19", "tpch_q20", "tpch_q21",
     "quantiles_pricing", "events_argmax", "rolling_revenue", "zorder_curve",
-    "search_fuzzy", "events_outliers",
+    "search_fuzzy", "events_outliers", "zorder_scaled",
 ]
 
 
@@ -3789,6 +3789,45 @@ def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL zorder_write key path (operators/layout.py): linear
+    min/max scaling of two real-valued dimensions onto [0, 2^8), then
+    the Morton interleave — replayed bit-for-bit in SQL. The scale
+    literals come from one driver-side min/max row; the oracle derives
+    the same doubles with subqueries, and both sides run the identical
+    IEEE expression, so even the bucket-edge floors agree exactly."""
+    from ocr_search_spark.operators.layout import scaled_col, zvalue_col
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    z = zvalue_col(
+        [scaled_col(o, "o_totalprice", 8), scaled_col(o, "o_custkey", 8)], bits=8
+    )
+    return o.select("o_orderkey", z.alias("zval"))
+
+
+def _scaled_sql(col: str, lo: str, hi: str, bits: int) -> str:
+    top = (1 << bits) - 1
+    span = f"(CASE WHEN {hi} - {lo} = 0 THEN 1.0 ELSE {hi} - {lo} END)"
+    return (
+        f"least({top}, floor((({col})::DOUBLE - {lo}) / {span} * {top + 1}))::BIGINT"
+    )
+
+
+_TRAINING_ORACLES["zorder_scaled"] = f"""WITH mm AS (
+  SELECT min(o_totalprice)::DOUBLE AS lo_p, max(o_totalprice)::DOUBLE AS hi_p,
+         min(o_custkey)::DOUBLE AS lo_c, max(o_custkey)::DOUBLE AS hi_c
+  FROM orders
+),
+sc AS (
+  SELECT o_orderkey,
+         {_scaled_sql('o_totalprice', 'lo_p', 'hi_p', 8)} AS x,
+         {_scaled_sql('o_custkey', 'lo_c', 'hi_c', 8)} AS y
+  FROM orders CROSS JOIN mm
+)
+SELECT o_orderkey, ({_morton_sql('x', 'y', 8)})::BIGINT AS zval
+FROM sc"""
+
+_TRAINING_QUERIES["zorder_scaled"] = q_zorder_scaled
 _TRAINING_QUERIES["search_fuzzy"] = q_search_fuzzy
 _TRAINING_QUERIES["events_outliers"] = q_events_outliers
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zvalue_col", "zorder_write"]
+__all__ = ["scaled_col", "zvalue_col", "zorder_write"]
 
 
 def zvalue_col(cols: list[Column], bits: int = 16) -> Column:
@@ -48,7 +48,7 @@ def zvalue_col(cols: list[Column], bits: int = 16) -> Column:
     return z
 
 
-def _scaled(df: DataFrame, col: str, bits: int) -> Column:
+def scaled_col(df: DataFrame, col: str, bits: int) -> Column:
     """Map a numeric column linearly onto [0, 2^bits) using its global
     min/max.  Linear scaling is one tiny aggregate and stays fully
     columnar; heavily skewed columns would prefer quantile (rank)
@@ -84,7 +84,7 @@ def zorder_write(
     i.e. a small hyper-rectangle of the value space, so parquet
     row-group stats prune on EVERY clustered column.
     """
-    z = zvalue_col([_scaled(df, c, bits) for c in cols], bits=bits)
+    z = zvalue_col([scaled_col(df, c, bits) for c in cols], bits=bits)
     (
         df.withColumn("_z", z)
         .repartitionByRange(n_files, "_z")
