@@ -1779,7 +1779,7 @@ _GATE_PRIORITY = [
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q15",
     "tpch_q16", "tpch_q19", "tpch_q20", "tpch_q21",
     "quantiles_pricing", "events_argmax", "rolling_revenue", "zorder_curve",
-    "search_fuzzy", "events_outliers", "zorder_scaled",
+    "search_fuzzy", "events_outliers", "zorder_scaled", "wav_sample_stats",
 ]
 
 
@@ -3067,6 +3067,98 @@ FROM (VALUES
 
 _TRAINING_QUERIES["png_pixel_stats"] = q_png_pixel_stats
 _TRAINING_ORACLES["png_pixel_stats"] = _png_oracle()
+
+
+# ------------------------------------------------- real WAV decode gate
+# The audio twin of png_pixel_stats: the dependency-free RIFF/PCM codec
+# (training/wav.py) in the driver gate. Fixture samples are chosen
+# exactly representable at the PCM bit depth (ints/2^k), so
+# encode → mapInPandas decode → waveform stats is the exact identity
+# against stats computed on the pre-encoding float64 arrays with the
+# decode path's own formulas. sf-invariant by construction.
+
+
+def _wav_fixture():
+    import math as _math
+
+    import numpy as np
+
+    from ocr_search_spark.training.wav import encode_wav
+
+    rows = []
+    i = 0
+    for bits in (8, 16):
+        for ch in (1, 2):
+            for rate in (8000, 16000, 44100):
+                rng = np.random.default_rng(7000 + i)
+                n = 50 + (i * 37) % 200
+                if bits == 16:
+                    ints = rng.integers(-32768, 32768, size=(n, ch))
+                    s = ints.astype(np.float64) / 32768.0
+                else:
+                    ints = rng.integers(0, 256, size=(n, ch))
+                    s = (ints.astype(np.float64) - 128.0) / 128.0
+                mono = s.mean(axis=1)
+                rms = round(_math.sqrt(float((mono * mono).sum()) / len(mono)), 6)
+                zc = int(((mono[:-1] >= 0) != (mono[1:] >= 0)).sum())
+                rows.append(
+                    {
+                        "media_ref": f"fix/clip-{i:02d}.wav",
+                        "payload": encode_wav(s, rate, bits=bits),
+                        "sample_rate": rate,
+                        "n_frames": n,
+                        "n_channels": ch,
+                        "duration_ms": round(n * 1000.0 / rate, 6),
+                        "rms": rms,
+                        "zero_crossings": zc,
+                    }
+                )
+                i += 1
+    return rows
+
+
+def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.multimodal import decode_audio_real
+
+    ensure_shipped(spark)
+    fix = _wav_fixture()
+    media = spark.createDataFrame(
+        [(r["media_ref"], bytearray(r["payload"])) for r in fix],
+        "media_ref string, payload binary",
+    ).repartition(4, "media_ref")
+    out = decode_audio_real(media)
+    return out.select(
+        "media_ref",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_frames",
+        F.col("n_channels").cast("long").alias("n_channels"),
+        "duration_ms",
+        "rms",
+        "zero_crossings",
+        "error",
+    )
+
+
+def _wav_oracle() -> str:
+    vals = ",\n    ".join(
+        "('{}', {}, {}, {}, {!r}, {!r}, {}, NULL)".format(
+            r["media_ref"], r["sample_rate"], r["n_frames"], r["n_channels"],
+            r["duration_ms"], r["rms"], r["zero_crossings"],
+        )
+        for r in _wav_fixture()
+    )
+    return f"""SELECT media_ref, sample_rate::BIGINT AS sample_rate,
+       n_frames::BIGINT AS n_frames, n_channels::BIGINT AS n_channels,
+       duration_ms::DOUBLE AS duration_ms, rms::DOUBLE AS rms,
+       zero_crossings::BIGINT AS zero_crossings, error::VARCHAR AS error
+FROM (VALUES
+    {vals}
+) AS t(media_ref, sample_rate, n_frames, n_channels, duration_ms, rms,
+       zero_crossings, error)"""
+
+
+_TRAINING_QUERIES["wav_sample_stats"] = q_wav_sample_stats
+_TRAINING_ORACLES["wav_sample_stats"] = _wav_oracle()
 
 
 # ----------------------------------------------------- more TPC-H shapes
