@@ -3410,7 +3410,10 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     when > 2x the mean per-part share of that scope's total (scale-
     invariant, unlike the official fixed fraction that must be retuned
     per SF) — the scalar-subquery threshold as a broadcast cross-join of
-    a one-row aggregate. Values are exact ×10^4 BIGINTs end to end."""
+    a one-row aggregate. Values are exact ×10^4 BIGINTs end to end; the
+    threshold compare itself runs in DECIMAL(38,0) (HUGEINT in the
+    oracle) because value_e4 × n_parts can overflow a long at high SF —
+    a silent-wrap wrong answer under default (non-ANSI) Spark."""
     s, l, n = _tables(spark, sf_dir, "supplier", "lineitem", "nation")
     nat = (
         s.join(F.broadcast(n.where(F.col("n_name") == "NATION_7")),
@@ -3424,9 +3427,13 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = vals.agg(F.sum("value_e4").alias("_total_e4"),
                      F.count("*").alias("_nparts"))
+    big = "decimal(38,0)"
     return (
         vals.crossJoin(F.broadcast(total))
-        .where(F.col("value_e4") * F.col("_nparts") > F.col("_total_e4") * 2)
+        .where(
+            F.col("value_e4").cast(big) * F.col("_nparts").cast(big)
+            > F.col("_total_e4").cast(big) * 2
+        )
         .select("l_partkey", "value_e4")
     )
 
@@ -3621,8 +3628,8 @@ vals AS (
 )
 SELECT l_partkey, value_e4
 FROM vals
-WHERE value_e4 * (SELECT count(*) FROM vals)
-      > (SELECT sum(value_e4) FROM vals) * 2"""
+WHERE value_e4::HUGEINT * (SELECT count(*) FROM vals)
+      > (SELECT sum(value_e4)::HUGEINT FROM vals) * 2"""
 
 _TRAINING_ORACLES["tpch_q12"] = f"""SELECT l_linestatus,
   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
@@ -3763,6 +3770,9 @@ def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned by construction but runs over DAY-grain rows — its
     cardinality is bounded by the calendar (~2.5k rows even at 10^12
     source docs), the same bounded-domain argument as ivf_centroids.
+    The frame is RANGE over the numeric day (day-6 .. day), not ROWS:
+    with calendar gaps a 7-ROW frame silently widens to more than 7
+    calendar days, while RANGE keeps the stated 7-day semantics.
     Sums stay exact DECIMAL inside the frame; doubles only at output."""
     (l,) = _tables(spark, sf_dir, "lineitem")
     from pyspark.sql import Window as W
@@ -3771,7 +3781,7 @@ def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = l.groupBy(
         F.floor(_epoch("l_shipdate") / F.lit(86400)).cast("long").alias("day")
     ).agg(F.sum(rev).alias("_rev"))
-    w = W.orderBy("day").rowsBetween(-6, 0)
+    w = W.orderBy("day").rangeBetween(-6, 0)
     return daily.select(
         "day",
         F.round(F.col("_rev"), 4).cast("double").alias("revenue"),
@@ -3823,7 +3833,7 @@ _TRAINING_ORACLES["rolling_revenue"] = f"""WITH daily AS (
 )
 SELECT day, round(rev, 4)::DOUBLE AS revenue,
   round(sum(rev) OVER (ORDER BY day
-                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
         4)::DOUBLE AS rev_7d
 FROM daily"""
 

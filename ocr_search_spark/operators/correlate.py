@@ -143,9 +143,12 @@ def incremental_correlations(
         keep_new.exceptAll(keep_old)
     ).distinct()
     # affected feeds four branches (two carried anti-joins, two
-    # recompute marks) and is tiny (⊆ vocabulary): pin it so the
-    # touched/flipped derivation runs once, not per branch
-    affected = touched_terms.unionByName(flipped).distinct().cache()
+    # recompute marks). NOT cached here: within one action Spark offers
+    # no cross-subtree reuse guarantee before the first materialization,
+    # and callers spanning multiple actions (index_maintain) cache the
+    # returned handle themselves — where the reuse is provable — so a
+    # cache here would only leak (this function has no unpersist point).
+    affected = touched_terms.unionByName(flipped).distinct()
 
     # carried: stored pairs with BOTH sides unaffected (dot, norms and
     # guard membership all unchanged)

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["scaled_col", "zvalue_col", "zorder_write"]
+__all__ = ["scaled_col", "scaled_col_from_bounds", "zvalue_col", "zorder_write"]
 
 
 def zvalue_col(cols: list[Column], bits: int = 16) -> Column:
@@ -49,14 +49,19 @@ def zvalue_col(cols: list[Column], bits: int = 16) -> Column:
 
 
 def scaled_col(df: DataFrame, col: str, bits: int) -> Column:
-    """Map a numeric column linearly onto [0, 2^bits) using its global
-    min/max.  Linear scaling is one tiny aggregate and stays fully
-    columnar; heavily skewed columns would prefer quantile (rank)
-    scaling — at the cost of an extra pass — which callers can emulate
-    by pre-ranking the column themselves.
-    """
+    """Convenience wrapper: compute this one column's global min/max
+    (one tiny aggregate job) and delegate to ``scaled_col_from_bounds``.
+    Fine for ad-hoc use; ``zorder_write`` itself batches ALL columns'
+    bounds into a single aggregate instead of calling this per column."""
     row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
-    lo, hi = float(row["lo"]), float(row["hi"])
+    return scaled_col_from_bounds(col, float(row["lo"]), float(row["hi"]), bits)
+
+
+def scaled_col_from_bounds(col: str, lo: float, hi: float, bits: int) -> Column:
+    """Map a numeric column linearly onto [0, 2^bits) given its global
+    min/max (pure column expression — no job). ``zorder_write`` computes
+    the bounds of ALL clustering columns in one combined aggregate and
+    feeds them here, so an n-column key costs one scan, not n."""
     span = (hi - lo) or 1.0
     top = (1 << bits) - 1
     return F.least(
@@ -83,8 +88,24 @@ def zorder_write(
     clustered write — and every output file covers a compact Z-range,
     i.e. a small hyper-rectangle of the value space, so parquet
     row-group stats prune on EVERY clustered column.
+
+    All columns' min/max bounds come from ONE combined aggregate (a
+    single scan regardless of key width), then the Z-key is a pure
+    column expression over those literals.
     """
-    z = zvalue_col([scaled_col(df, c, bits) for c in cols], bits=bits)
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+    row = df.agg(*aggs).first()
+    z = zvalue_col(
+        [
+            scaled_col_from_bounds(
+                c, float(row[f"_lo_{c}"]), float(row[f"_hi_{c}"]), bits
+            )
+            for c in cols
+        ],
+        bits=bits,
+    )
     (
         df.withColumn("_z", z)
         .repartitionByRange(n_files, "_z")

@@ -120,22 +120,31 @@ def match_terms_fuzzy(
 
     Scale shape: edit distance runs against the DISTINCT vocabulary
     (∝ unique terms, not postings), and the vocabulary×query pairing is
-    pruned BEFORE the Levenshtein compare by the classic spell-checker
-    prefilter — length difference ≤ max_dist and a shared first
-    character — expressed as join predicates so only the tiny
-    candidate set reaches the O(len²) compare. Matched vocabulary
+    pruned BEFORE the Levenshtein compare by the length prefilter
+    (|len(term) − len(q)| ≤ max_dist, a necessary condition for edit
+    distance ≤ max_dist) expressed as a join predicate, so only a thin
+    length band of the vocabulary reaches the O(len²) compare. The
+    classic shared-first-character prefilter is deliberately NOT used:
+    it is unsound for edit distance ("spark"→"zpark" is one
+    substitution yet differs in the first character) and would
+    silently lose recall exactly on first-letter typos. Matched vocabulary
     terms then flow through the normal Q2-Q5 scoring path (max tf,
     doc_id tie-break)."""
     spark = postings.sparkSession
     if not terms:
-        terms = ["never-a-term"]
+        # no query terms -> no matches: return the empty result directly
+        # instead of running a sentinel term through the vocabulary scan
+        return (
+            postings.groupBy("doc_id")
+            .agg(F.max("tf").alias("score"))
+            .limit(0)
+        )
     terms_df = spark.createDataFrame([(t,) for t in set(terms)], "q string")
     vocab = postings.select("term").distinct()
     cand = (
         vocab.join(
             F.broadcast(terms_df),
-            (F.abs(F.length("term") - F.length("q")) <= max_dist)
-            & (F.substring("term", 1, 1) == F.substring("q", 1, 1)),
+            F.abs(F.length("term") - F.length("q")) <= max_dist,
         )
         .where(F.levenshtein(F.col("term"), F.col("q")) <= max_dist)
         .select("term")

@@ -331,8 +331,14 @@ class BucketedTable:
             return []
         rows = self._read_raw().where(F.col(BUCKET_COL).isin(fragmented))
         # hash-repartition on the bucket column: every bucket's rows in
-        # exactly one task, so dynamic overwrite emits one file per dir
-        self._overwrite_buckets(rows.repartition(len(fragmented), F.col(BUCKET_COL)))
+        # exactly one task, so dynamic overwrite emits one file per dir.
+        # Committed via _commit_touched (not a bare dynamic overwrite):
+        # a fragmented bucket whose files hold ZERO rows would never
+        # appear in the written data, so dynamic overwrite would leave
+        # its stale files behind — _commit_touched FS-drops it instead.
+        self._commit_touched(
+            fragmented, rows.repartition(len(fragmented), F.col(BUCKET_COL))
+        )
         return sorted(fragmented)
 
     def delete(self, doomed_keys: DataFrame) -> list[int]:
