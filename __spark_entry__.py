@@ -1779,7 +1779,13 @@ _GATE_PRIORITY = [
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q15",
     "tpch_q16", "tpch_q19", "tpch_q20", "tpch_q21",
     "quantiles_pricing", "events_argmax", "rolling_revenue", "zorder_curve",
-    "search_fuzzy", "events_outliers", "zorder_scaled", "wav_sample_stats",
+    "search_fuzzy", "events_outliers", "wav_sample_stats",
+    # passage-level dedup (this session)
+    "dup_passages", "passage_dup_stats",
+    # zorder_scaled intentionally sits at position 51: the 50-entry
+    # driver window can't fit every rowless query, and the zorder family
+    # already gets a driver row via zorder_curve (same key path).
+    "zorder_scaled",
 ]
 
 
@@ -4399,3 +4405,80 @@ SELECT id, n::BIGINT AS n_words,
             THEN round((len(gs) - len(list_distinct(gs)))::DOUBLE / len(gs), 6)
             ELSE 0.0 END AS dup_bigram_frac
 FROM m"""
+
+
+# ------------------------------------------------- passage-level dedup
+# Lee et al. "Deduplicating Training Data Makes Language Models Better"
+# (ExactSubstr), word-grain: cross-document duplicated k-gram passages
+# plus the per-document coverage filter signal. Reference analogue: the
+# repo's index answers only term-level queries (createOrUpdateDoc,
+# DbManager.class.js:1-40); passage-grain dedup is part of the
+# training-pipeline tier this engine adds on top.
+
+_PASSAGE_K = 8
+
+
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus inventory of cross-document duplicated 8-gram passages:
+    one hash-aggregate over positional windows (shuffle ∝ token count,
+    partial-agg map-side; no pair joins anywhere)."""
+    return D.duplicated_passages(_docs_flat(spark, sf_dir), k=_PASSAGE_K, min_docs=2)
+
+
+def q_passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-passage coverage via exact interval-union
+    (gaps-and-islands over duplicated windows only — no k× position
+    explosion); dup_frac_e6 is floor-integer so both engines agree
+    bit-for-bit."""
+    return D.passage_dup_stats(_docs_flat(spark, sf_dir), k=_PASSAGE_K, min_docs=2)
+
+
+_PASSAGE_WIN_CTE = f"""w AS (
+  SELECT doc_id AS id, {_WORDS_SQL} AS ws FROM documents
+),
+win AS (
+  SELECT id, i - 1 AS s,
+         {_h60_sql(f"array_to_string(ws[i:i+{_PASSAGE_K - 1}], ' ')")} AS h
+  FROM w, UNNEST(range(1, len(ws) - {_PASSAGE_K} + 2)) AS t(i)
+  WHERE len(ws) >= {_PASSAGE_K}
+)"""
+
+_TRAINING_QUERIES["dup_passages"] = q_dup_passages
+_TRAINING_ORACLES["dup_passages"] = f"""WITH {_PASSAGE_WIN_CTE}
+SELECT h, count(DISTINCT id)::BIGINT AS n_docs, count(*)::BIGINT AS n_occ
+FROM win GROUP BY h HAVING count(DISTINCT id) >= 2"""
+
+_TRAINING_QUERIES["passage_dup_stats"] = q_passage_dup_stats
+_TRAINING_ORACLES["passage_dup_stats"] = f"""WITH {_PASSAGE_WIN_CTE},
+dup AS (
+  SELECT h FROM win GROUP BY h HAVING count(DISTINCT id) >= 2
+),
+iv AS (
+  SELECT id, s, s + {_PASSAGE_K - 1} AS e FROM win JOIN dup USING (h)
+),
+marked AS (
+  SELECT id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                  PARTITION BY id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM iv
+),
+isl AS (
+  SELECT id, s, e,
+         sum(new_isl) OVER (PARTITION BY id ORDER BY s, e) AS g
+  FROM marked
+),
+cov AS (
+  SELECT id, sum(seg)::BIGINT AS dup_tokens
+  FROM (SELECT id, g, max(e) - min(s) + 1 AS seg FROM isl GROUP BY id, g)
+  GROUP BY id
+),
+tot AS (SELECT id, len(ws)::BIGINT AS n_tokens FROM w)
+SELECT tot.id, tot.n_tokens,
+       coalesce(cov.dup_tokens, 0)::BIGINT AS dup_tokens,
+       CASE WHEN tot.n_tokens > 0
+            THEN floor(coalesce(cov.dup_tokens, 0) * 1000000.0
+                       / tot.n_tokens)::BIGINT
+            ELSE 0 END AS dup_frac_e6
+FROM tot LEFT JOIN cov ON tot.id = cov.id"""

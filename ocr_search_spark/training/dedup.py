@@ -522,3 +522,127 @@ def containment_pairs(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+# ------------------------------------------------- passage-level dedup
+
+
+def passage_windows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """(id, s, h) — EVERY positional k-word window of every document
+    (0-based start ``s``, 60-bit hash ``h`` of the space-joined gram).
+    Unlike :func:`shingle_rows` these are NOT distinct-per-doc: position
+    identity is the point — it is what lets the caller map duplicated
+    grams back onto character-stream coverage. One narrow projection +
+    explode; no joins, no shuffle."""
+    w = words_col(F.col(text_col))
+    n = F.size(w)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.struct(
+                i.cast("int").alias("s"),
+                h60(F.array_join(F.slice(w, i + 1, k), " ")).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<s:int,h:bigint>>"))
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("w")
+    ).select("id", F.col("w.s").alias("s"), F.col("w.h").alias("h"))
+
+
+def duplicated_passages(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus inventory of duplicated passages: (h, n_docs, n_occ) for
+    every k-gram appearing in ≥ ``min_docs`` DISTINCT documents (the
+    cross-document notion of Lee et al.'s ExactSubstr dedup, word-grain;
+    within-doc repetition alone does not qualify — that signal lives in
+    :func:`~ocr_search_spark.training.textstats.repetition_signals`).
+
+    Scale shape: one hash-aggregate over the exploded windows — shuffle
+    ∝ corpus token count, never pairs². The aggregate is partial
+    (map-side combine) and the group key is a 60-bit hash, so AQE skew
+    splitting applies to boilerplate mega-grams."""
+    win = passage_windows(docs, text_col, id_col, k)
+    return (
+        win.groupBy("h")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def passage_dup_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-passage coverage: (id, n_tokens,
+    dup_tokens, dup_frac_e6) where ``dup_tokens`` counts token positions
+    covered by ≥1 cross-document duplicated k-gram window and
+    ``dup_frac_e6`` = floor(dup_tokens · 10⁶ / n_tokens) (exact integer
+    — no float rounding to diverge between engines). This is the
+    standard passage-dedup *filter* signal: drop or trim documents whose
+    coverage exceeds a policy threshold.
+
+    Coverage is exact interval-union arithmetic, NOT a k× position
+    explosion: duplicated windows [s, s+k-1] are merged per document
+    with one gaps-and-islands window pass (island starts where s exceeds
+    the running max end of all earlier intervals), then summed as
+    max(e)−min(s)+1 per island. Cost: one per-doc sort of the
+    *duplicated* windows only — already filtered by the semi-join
+    against the corpus-level duplicate inventory."""
+    from pyspark.sql import Window as W
+
+    win = passage_windows(docs, text_col, id_col, k)
+    dup = duplicated_passages(docs, text_col, id_col, k, min_docs).select("h")
+    iv = win.join(dup, "h").select(
+        "id", "s", (F.col("s") + F.lit(k - 1)).alias("e")
+    )
+    byid = W.partitionBy("id").orderBy("s", "e")
+    run_prev = (
+        F.max("e").over(byid.rowsBetween(W.unboundedPreceding, -1))
+    )
+    marked = iv.withColumn(
+        "_new", F.when(F.col("s") > F.coalesce(run_prev, F.lit(-1)), 1).otherwise(0)
+    ).withColumn("_isl", F.sum("_new").over(byid))
+    covered = (
+        marked.groupBy("id", "_isl")
+        .agg((F.max("e") - F.min("s") + 1).alias("_len"))
+        .groupBy("id")
+        .agg(F.sum("_len").alias("dup_tokens"))
+    )
+    totals = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(words_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return (
+        totals.join(covered, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            F.when(F.col("n_tokens") > 0,
+                   F.floor(
+                       F.coalesce(F.col("dup_tokens"), F.lit(0)) * F.lit(1_000_000)
+                       / F.col("n_tokens")
+                   ))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_frac_e6"),
+        )
+    )

@@ -414,3 +414,47 @@ def test_cc_pointer_jumping_on_long_chain(spark):
          dedup.connected_components_jump(nodes2, pairs).collect()}
     assert a == b
     assert a[2] == 0 and a[6] == 4 and a[3] == 3
+
+
+def test_passage_dedup_coverage(spark):
+    """Hand-built corpus with known interval-union coverage, k=3:
+
+    - docs 1 & 2 share the run "a b c d" => windows (a b c)@s and
+      (b c d)@s+1 duplicated in both; overlapping intervals must merge
+      to ONE island of 4 covered tokens per doc (not 3+3=6).
+    - doc 3 shares nothing of length 3; zero coverage.
+    - doc 4 has fewer than k tokens; zero windows, still reported.
+    """
+    rows = [
+        (1, "a b c d x y z"),          # coverage: positions 0-3 -> 4 of 7
+        (2, "p q a b c d r"),          # coverage: positions 2-5 -> 4 of 7
+        (3, "a b x c d y a b"),        # has "a b" but never a shared 3-gram
+        (4, "t u"),                    # < k tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    inv = dedup.duplicated_passages(docs, k=3, min_docs=2).collect()
+    assert len(inv) == 2  # "a b c" and "b c d"
+    assert all(r["n_docs"] == 2 and r["n_occ"] == 2 for r in inv)
+
+    stats = {r["id"]: r for r in dedup.passage_dup_stats(docs, k=3).collect()}
+    assert set(stats) == {1, 2, 3, 4}
+    assert (stats[1]["n_tokens"], stats[1]["dup_tokens"]) == (7, 4)
+    assert (stats[2]["n_tokens"], stats[2]["dup_tokens"]) == (7, 4)
+    assert stats[1]["dup_frac_e6"] == 4 * 1_000_000 // 7
+    assert stats[3]["dup_tokens"] == 0 and stats[3]["dup_frac_e6"] == 0
+    assert (stats[4]["n_tokens"], stats[4]["dup_tokens"]) == (2, 0)
+
+
+def test_passage_dedup_disjoint_islands(spark):
+    """Two separated duplicated runs in one doc must count as two
+    islands (no bridging across the gap)."""
+    rows = [
+        (1, "a b c GAP1 GAP2 d e f"),
+        (2, "a b c SOLO d e f"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r["id"]: r for r in dedup.passage_dup_stats(docs, k=3).collect()}
+    # doc1: islands [0,2] and [5,7] -> 6 of 8; doc2: [0,2],[4,6] -> 6 of 7
+    assert (stats[1]["n_tokens"], stats[1]["dup_tokens"]) == (8, 6)
+    assert (stats[2]["n_tokens"], stats[2]["dup_tokens"]) == (7, 6)
