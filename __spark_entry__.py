@@ -4482,3 +4482,55 @@ SELECT tot.id, tot.n_tokens,
                        / tot.n_tokens)::BIGINT
             ELSE 0 END AS dup_frac_e6
 FROM tot LEFT JOIN cov ON tot.id = cov.id"""
+
+
+# ------------------------------------------- packing / corpus mixing
+
+from ocr_search_spark.training import packing as PK
+
+_PACK_BUDGET = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing over the salted-shuffle order.
+    The engine side uses the two-phase bucketed prefix sum (no global
+    single-task window — see training/packing.py); the oracle is the
+    naive global window, so the gate also proves the two-phase scan
+    equals the straightforward semantics."""
+    return PK.pack_sequences(_docs_flat(spark, sf_dir), budget=_PACK_BUDGET)
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights toward a uniform target mix, exact
+    BIGINT div arithmetic end to end."""
+    return PK.source_mix_weights(_docs_flat(spark, sf_dir))
+
+
+_TRAINING_QUERIES["pack_sequences"] = q_pack_sequences
+_TRAINING_ORACLES["pack_sequences"] = f"""WITH t AS (
+  SELECT doc_id AS id,
+         len({_WORDS_SQL})::BIGINT AS n_tokens,
+         {_h60_sql("'pack:' || doc_id::VARCHAR")} AS h
+  FROM documents
+),
+p AS (
+  SELECT id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY h, id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS g
+  FROM t
+)
+SELECT id, n_tokens,
+       (g // {_PACK_BUDGET})::BIGINT AS bin_id,
+       (g % {_PACK_BUDGET})::BIGINT AS bin_offset
+FROM p"""
+
+_TRAINING_QUERIES["source_mix"] = q_source_mix
+_TRAINING_ORACLES["source_mix"] = """WITH c AS (
+  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+),
+t AS (SELECT sum(n_docs)::BIGINT AS _total, count(*)::BIGINT AS _nsrc FROM c)
+SELECT source, n_docs,
+       ((n_docs * 1000000) // _total)::BIGINT AS share_e6,
+       (((1000000 // _nsrc) * _total) // n_docs)::BIGINT AS weight_e6
+FROM c, t"""

@@ -1,0 +1,135 @@
+"""Training-sequence packing and corpus-mixing operators.
+
+``pack_sequences`` is the concat-and-chunk preparation step of LLM
+training: put the corpus in a deterministic shuffled order, concatenate
+token streams, and cut fixed-size training sequences. The per-document
+outputs (global token offset → bin id + offset-in-bin) are exactly what
+a downstream tokenizing writer needs to emit packed examples.
+
+The global prefix sum is the interesting part at 10^12 documents: a
+naive ``sum() OVER (ORDER BY h)`` is an unpartitioned window — one task
+sees the world. Here it is the classic two-phase scan, all DataFrame:
+
+1. docs get a uniform 60-bit shuffle hash ``h`` (md5-based, seeded) and
+   a range bucket ``b = h >> (60 - log2(B))`` — h is uniform, so the B
+   buckets are balanced without sampling;
+2. within-bucket prefix sums use a PARTITIONED window (scales);
+3. bucket totals (B rows, driver-bounded) get their own tiny cumulative
+   window and broadcast-join back as offsets.
+
+Total cost: one partitioned sort + one B-row aggregate — no global
+single-task stage anywhere.
+
+Reference parity: none (the reference indexes documents; it never packs
+them) — this is part of the training-pipeline tier the engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import words_col
+from .hashing import h60
+
+
+N_RANGE_BUCKETS = 256  # power of two; 60-bit h >> 52 → 256 buckets
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "pack",
+) -> DataFrame:
+    """(id, n_tokens, bin_id, bin_offset) — deterministic shuffled
+    concat-and-chunk packing of the corpus into ``budget``-token bins.
+
+    Order is the salted shuffle hash (re-salt to re-shuffle between
+    epochs); ``bin_id = floor(exclusive_prefix / budget)`` and
+    ``bin_offset = exclusive_prefix % budget`` describe where each
+    document's token stream starts inside the packed example stream —
+    documents may straddle a bin boundary, as in standard
+    concat-then-chunk training prep.
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(words_col(F.col(text_col))).cast("long").alias("n_tokens"),
+        h60(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))).alias(
+            "_h"
+        ),
+    ).withColumn("_b", F.shiftright("_h", 52).cast("int"))
+
+    # phase 1: partitioned (scalable) within-bucket exclusive prefix
+    wb = (
+        Window.partitionBy("_b")
+        .orderBy("_h", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("_local", F.coalesce(F.sum("n_tokens").over(wb), F.lit(0)))
+
+    # phase 2: B-row bucket totals → cumulative offsets (bounded domain:
+    # the unpartitioned window runs over ≤ N_RANGE_BUCKETS rows)
+    totals = d.groupBy("_b").agg(F.sum("n_tokens").alias("_btotal"))
+    wo = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_btotal").over(wo), F.lit(0))
+    ).select("_b", "_off")
+
+    # BIGINT `div`/`%`: the global offset passes 2^53 long before 10^12
+    # docs, where double division would corrupt bin ids
+    packed = (
+        d.join(F.broadcast(offsets), "_b")
+        .withColumn("_g", F.col("_off") + F.col("_local"))
+        .select(
+            "id",
+            "n_tokens",
+            F.expr(f"_g div {int(budget)}").cast("long").alias("bin_id"),
+            (F.col("_g") % budget).cast("long").alias("bin_offset"),
+        )
+    )
+    return packed
+
+
+def source_mix_weights(
+    docs: DataFrame,
+    target: dict[str, float] | None = None,
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, share_e6, weight_e6) — per-source sampling
+    weights to reach a target corpus mix (default: uniform across the
+    observed sources). ``weight = target_share / actual_share``, both
+    carried as exact ×10⁶ integers (floor) so engines agree bit-for-bit.
+
+    One tiny aggregate (cardinality = n_sources) + a broadcast of the
+    one-row total; weights feed ``F.rand() < weight``-style samplers or
+    loss re-weighting downstream."""
+    counts = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_docs")
+    )
+    total = counts.agg(
+        F.sum("n_docs").alias("_total"), F.count("*").alias("_nsrc")
+    )
+    out = counts.crossJoin(F.broadcast(total))
+    if target is None:
+        out = out.withColumn("_tgt_e6", F.expr("1000000 div _nsrc"))
+    else:
+        mapping = F.create_map(
+            *[x for k, v in sorted(target.items())
+              for x in (F.lit(k), F.lit(int(v * 1_000_000)))]
+        )
+        out = out.withColumn(
+            "_tgt_e6", F.coalesce(mapping[F.col("source")], F.lit(0)).cast("long")
+        )
+    # BIGINT `div` keeps both ratios exact — a double division would
+    # silently lose precision once the numerator passes 2^53 (true at
+    # 10^12 rows x e6 scaling)
+    return out.select(
+        "source",
+        "n_docs",
+        F.expr("(n_docs * 1000000) div _total").cast("long").alias("share_e6"),
+        F.expr("(_tgt_e6 * _total) div n_docs").cast("long").alias("weight_e6"),
+    )

@@ -458,3 +458,52 @@ def test_passage_dedup_disjoint_islands(spark):
     # doc1: islands [0,2] and [5,7] -> 6 of 8; doc2: [0,2],[4,6] -> 6 of 7
     assert (stats[1]["n_tokens"], stats[1]["dup_tokens"]) == (8, 6)
     assert (stats[2]["n_tokens"], stats[2]["dup_tokens"]) == (7, 6)
+
+
+def test_pack_sequences_contract(spark):
+    """Packing = exclusive prefix sums over the salted-hash order:
+    offsets are contiguous, bins respect the budget arithmetic, and the
+    two-phase (bucketed) prefix sum equals the naive global one."""
+    from ocr_search_spark.training import packing
+
+    rows = [(i, " ".join(["w"] * (i % 7 + 1))) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = packing.pack_sequences(docs, budget=10).collect()
+    assert len(out) == 200
+
+    # reconstruct the naive oracle: sort by (h, id), exclusive cumsum
+    from ocr_search_spark.training.hashing import h60
+    hashed = docs.select(
+        F.col("doc_id").alias("id"),
+        h60(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))).alias("h"),
+    ).collect()
+    order = {r["id"]: r["h"] for r in hashed}
+    toks = {i: i % 7 + 1 for i in range(200)}
+    prefix = 0
+    expect = {}
+    for i in sorted(toks, key=lambda i: (order[i], i)):
+        expect[i] = (prefix // 10, prefix % 10)
+        prefix += toks[i]
+    got = {r["id"]: (r["bin_id"], r["bin_offset"]) for r in out}
+    assert got == expect
+
+    with pytest.raises(ValueError):
+        packing.pack_sequences(docs, budget=0)
+
+
+def test_source_mix_weights(spark):
+    from ocr_search_spark.training import packing
+
+    rows = [(i, "x", "web" if i < 60 else ("code" if i < 90 else "books"))
+            for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in packing.source_mix_weights(docs).collect()}
+    assert out["web"]["share_e6"] == 600_000
+    # uniform target share = 333333 e6; weight = tgt * total / n
+    assert out["web"]["weight_e6"] == 333_333 * 100 // 60
+    assert out["books"]["weight_e6"] == 333_333 * 100 // 10  # upweighted
+
+    tgt = {"web": 0.2, "code": 0.5, "books": 0.3}
+    out2 = {r["source"]: r for r in packing.source_mix_weights(docs, tgt).collect()}
+    assert out2["web"]["weight_e6"] == 200_000 * 100 // 60
+    assert out2["code"]["weight_e6"] == 500_000 * 100 // 30
