@@ -2238,10 +2238,15 @@ _TRAINING_ORACLES["stratified_sample"] = """SELECT doc_id, lang FROM (
 
 
 def q_search_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF ranked search with integer-micros idf (exact long sums)."""
+    """TF-IDF ranked search with integer-micros idf (exact long sums).
+    The postings lineage (full tokenize rebuild in this stateless gate)
+    feeds both the corpus-stats pass and the match pass — pinned so it
+    runs once, as it would read once from the stored index."""
     from ocr_search_spark.operators.search import match_terms_tfidf
 
-    return match_terms_tfidf(_postings(spark, sf_dir), list(_SEARCH_TERMS), max_return=20)
+    return match_terms_tfidf(
+        _postings(spark, sf_dir).cache(), list(_SEARCH_TERMS), max_return=20
+    )
 
 
 _TRAINING_QUERIES["search_tfidf"] = q_search_tfidf
@@ -2619,10 +2624,14 @@ FROM ret r JOIN sizes s USING (cohort)"""
 
 
 def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked search (k1=1.2, b=0.75), integer-micros weights."""
+    """BM25 ranked search (k1=1.2, b=0.75), integer-micros weights.
+    Postings pinned: the lineage feeds dl + matched passes (see
+    q_search_tfidf note)."""
     from ocr_search_spark.operators.search import match_terms_bm25
 
-    return match_terms_bm25(_postings(spark, sf_dir), list(_SEARCH_TERMS), max_return=20)
+    return match_terms_bm25(
+        _postings(spark, sf_dir).cache(), list(_SEARCH_TERMS), max_return=20
+    )
 
 
 _TRAINING_QUERIES["search_bm25"] = q_search_bm25
@@ -2935,7 +2944,10 @@ def q_search_batch_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in sorted(set(tokenize_text(q)))
     ]
     qt = spark.createDataFrame(rows, "query_id int, term string")
-    out = match_terms_batch_bm25(_postings(spark, sf_dir), qt, max_return=10)
+    # postings pinned: the BM25 composition references the lineage three
+    # times (doc lengths, df stats, scoring join) - one tokenize rebuild
+    # instead of three in this stateless gate
+    out = match_terms_batch_bm25(_postings(spark, sf_dir).cache(), qt, max_return=10)
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         "doc_id",
