@@ -117,6 +117,10 @@ def main() -> None:
         "zorder_curve",
         "search_fuzzy",
         "events_outliers",
+        "dup_passages",
+        "passage_dup_stats",
+        "pack_sequences",
+        "source_mix",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:
