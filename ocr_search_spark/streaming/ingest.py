@@ -112,3 +112,56 @@ def batch_hourly_event_counts(events: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    await_termination: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming EXACT dedup gate: documents parquet dir (growing) →
+    first-seen documents only, across micro-batches AND restarts.
+
+    ``dropDuplicates`` on the content digest runs against the streaming
+    state store, so a document whose text already passed in ANY earlier
+    micro-batch (or an earlier run — the state lives in the checkpoint)
+    is suppressed. This is the streaming twin of
+    :func:`ocr_search_spark.training.dedup.exact_duplicates`: the batch
+    operator labels duplicates corpus-wide; this gate admits the first
+    occurrence in arrival order and drops the rest at ingest time —
+    the shape a continuously-fed training corpus needs.
+
+    State sizing at scale: one digest (16 bytes keyed state) per unique
+    document ever seen. Unbounded by design here because the corpus
+    identity is global; bound it with ``withWatermark`` on an event-time
+    column when the producer guarantees bounded lateness (then dedup
+    state ages out, Spark's documented watermarked-dedup contract).
+
+    No within-batch order guarantee exists between two docs with equal
+    digests in ONE micro-batch (Spark keeps an arbitrary first); the
+    batch dedup's min-id canonicalization is the deterministic twin.
+    """
+    reader = spark.readStream.schema(DOCUMENTS)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_path)
+    # content digest over the canonical JSON of the FULL span payload
+    # (kind/text/media_ref/offset) — two docs are duplicates iff their
+    # interleaved streams are identical, doc_id excluded
+    deduped = src.withColumn(
+        "digest", F.md5(F.to_json(F.col("spans")))
+    ).dropDuplicates(["digest"])
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q

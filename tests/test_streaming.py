@@ -454,3 +454,40 @@ def test_session_window_exact_gap_boundary(spark):
 SELECT user_id, sum(is_new) AS n_sessions FROM flagged GROUP BY user_id"""
     ).fetchall()
     assert {u: int(n) for u, n in oracle} == sessions
+
+
+def test_stream_dedup_exact_across_batches_and_restarts(spark, dirs):
+    """The streaming dedup gate suppresses span-payload duplicates
+    across micro-batches AND across restarted runs (state lives in the
+    checkpoint); doc_id differences do not defeat the digest."""
+    docs1 = corpus.documents_table(spark, 60, skew=False).cache()
+    docs1.write.mode("append").parquet(dirs["in"])
+    ingest.stream_dedup_exact(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    out1 = spark.read.parquet(dirs["out"])
+    n1 = out1.count()
+    assert n1 <= 60
+    assert out1.select("digest").distinct().count() == n1
+
+    # second wave: re-send 60 ALREADY-SEEN docs under fresh doc_ids plus
+    # genuinely new ones — only the new payloads may pass the gate
+    resent = docs1.withColumn(
+        "doc_id", F.concat(F.lit("resent-"), F.col("doc_id"))
+    )
+    fresh = corpus.documents_table(spark, 100, skew=False).where(
+        ~F.md5(F.to_json(F.col("spans"))).isin(
+            [r["digest"] for r in out1.select("digest").collect()]
+        )
+    ).cache()
+    n_fresh_payloads = (
+        fresh.select(F.md5(F.to_json(F.col("spans"))).alias("d"))
+        .distinct()
+        .count()
+    )
+    resent.unionByName(fresh).write.mode("append").parquet(dirs["in"])
+    ingest.stream_dedup_exact(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    out2 = spark.read.parquet(dirs["out"])
+    assert out2.count() == n1 + n_fresh_payloads
+    # the global invariant: one output row per distinct payload ever seen
+    assert out2.groupBy("digest").count().where(F.col("count") > 1).count() == 0
+    # and no resent doc_id slipped through
+    assert out2.where(F.col("doc_id").startswith("resent-")).count() == 0
