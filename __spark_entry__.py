@@ -1777,19 +1777,21 @@ _GATE_PRIORITY = [
     "phrase_search", "embed_neardup", "dedup_containment",
     "events_sliding", "corpus_ngrams", "redact_pii", "repetition_signals",
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q15",
-    "tpch_q16", "tpch_q19", "tpch_q21",
+    "tpch_q21",
     "quantiles_pricing", "events_argmax", "rolling_revenue", "zorder_curve",
     "search_fuzzy", "events_outliers", "wav_sample_stats",
-    # passage-level dedup + training-mix ops
+    # passage-level dedup + training-mix + graph/vector ops
     "dup_passages", "pack_sequences", "source_mix",
+    "pagerank_centrality", "embed_quantize",
     # Entries 51+ below exceed the 50-entry driver window on purpose:
     # every rowless query can't fit, so the overflow picks queries whose
     # key code path already earns a driver row through a sibling entry —
     # passage_dup_stats (same k-gram inventory as dup_passages),
-    # zorder_scaled (same zorder key path as zorder_curve), tpch_q20
-    # (correlated-sum shape covered by q17/q2). All three are verified
-    # locally by tools/check_entry.py (see COVERAGE.md).
-    "passage_dup_stats", "zorder_scaled", "tpch_q20",
+    # zorder_scaled (same zorder key path as zorder_curve), tpch_q16/
+    # q19/q20 (semi-join, OR-predicate and correlated-sum shapes covered
+    # by q4/q14/q17/q2 rows). All are verified locally by
+    # tools/check_entry.py (see COVERAGE.md).
+    "passage_dup_stats", "zorder_scaled", "tpch_q16", "tpch_q19", "tpch_q20",
 ]
 
 
@@ -4556,3 +4558,113 @@ SELECT source, n_docs,
        ((n_docs * 1000000) // _total)::BIGINT AS share_e6,
        (((1000000 // _nsrc) * _total) // n_docs)::BIGINT AS weight_e6
 FROM c, t"""
+
+
+# ------------------------------------------------- link-graph centrality
+
+from ocr_search_spark.operators.graph import pagerank_integer
+
+_SUPP_NODE_BASE = 10_000_000  # suppliers offset into the shared node-id space
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph.py) over the bipartite
+    customer->supplier purchase graph (distinct edges from
+    orders |><| lineitem). 3 fixed iterations, BIGINT micro-rank units —
+    the corpus-curation quality prior, bit-identical at any parallelism.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(_SUPP_NODE_BASE) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank_integer(edges, iters=3)
+
+
+_TRAINING_QUERIES["pagerank_centrality"] = q_pagerank
+_TRAINING_ORACLES["pagerank_centrality"] = f"""WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS src, {_SUPP_NODE_BASE} + l.l_suppkey AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+params AS (SELECT count(*)::BIGINT AS n FROM nodes),
+outdeg AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.od FROM edges e JOIN outdeg d ON d.src = e.src),
+r0 AS (
+  SELECT node, (1000000000000 // n)::BIGINT AS rank FROM nodes, params
+),
+r1 AS (
+  SELECT nodes.node,
+         ((150000000000 // p.n) + coalesce(s.contrib, 0))::BIGINT AS rank
+  FROM nodes CROSS JOIN params p
+  LEFT JOIN (
+    SELECT ed.dst AS node, sum((r.rank * 17) // (20 * ed.od))::BIGINT AS contrib
+    FROM ed JOIN r0 r ON r.node = ed.src GROUP BY ed.dst
+  ) s ON s.node = nodes.node
+),
+r2 AS (
+  SELECT nodes.node,
+         ((150000000000 // p.n) + coalesce(s.contrib, 0))::BIGINT AS rank
+  FROM nodes CROSS JOIN params p
+  LEFT JOIN (
+    SELECT ed.dst AS node, sum((r.rank * 17) // (20 * ed.od))::BIGINT AS contrib
+    FROM ed JOIN r1 r ON r.node = ed.src GROUP BY ed.dst
+  ) s ON s.node = nodes.node
+),
+r3 AS (
+  SELECT nodes.node,
+         ((150000000000 // p.n) + coalesce(s.contrib, 0))::BIGINT AS rank
+  FROM nodes CROSS JOIN params p
+  LEFT JOIN (
+    SELECT ed.dst AS node, sum((r.rank * 17) // (20 * ed.od))::BIGINT AS contrib
+    FROM ed JOIN r2 r ON r.node = ed.src GROUP BY ed.dst
+  ) s ON s.node = nodes.node
+)
+SELECT node, rank FROM r3"""
+
+
+# ------------------------------------------- embedding scalar quantization
+
+from ocr_search_spark.training.similarity import scalar_quantize
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-style scalar quantization (training/similarity.py) of the
+    embeddings table, gated as per-dimension totals: every one of the
+    n_vecs * dims codes feeds sum_codes, so a single misquantized value
+    anywhere flips the hash."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = scalar_quantize(emb, codes=256)
+    return q.groupBy("pos").agg(
+        F.min("dmin").alias("dmin"),
+        F.max("dmax").alias("dmax"),
+        F.sum("code").alias("sum_codes"),
+        F.count("*").alias("n_vals"),
+    ).select(
+        F.col("pos").cast("long").alias("pos"),
+        "dmin", "dmax", "sum_codes", "n_vals",
+    )
+
+
+_TRAINING_QUERIES["embed_quantize"] = q_embed_quantize
+_TRAINING_ORACLES["embed_quantize"] = """WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+stats AS (SELECT pos, min(v) AS dmin, max(v) AS dmax FROM flat GROUP BY pos)
+SELECT f.pos::BIGINT AS pos, s.dmin, s.dmax,
+       sum(CASE WHEN s.dmax = s.dmin THEN 0
+                ELSE least(255, greatest(0,
+                     floor((f.v - s.dmin) * 255 / (s.dmax - s.dmin))::BIGINT))
+           END)::BIGINT AS sum_codes,
+       count(*)::BIGINT AS n_vals
+FROM flat f JOIN stats s USING (pos)
+GROUP BY f.pos, s.dmin, s.dmax"""

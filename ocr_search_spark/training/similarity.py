@@ -337,3 +337,49 @@ def hyperplane_lsh_pairs(
         )
     )
     return out.where(F.col("cos") >= threshold)
+
+
+def scalar_quantize(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: int = 256,
+) -> DataFrame:
+    """Per-dimension scalar quantization (the int8 compression every
+    billion-vector ANN index applies before IVF/HNSW): map each value to
+    ``floor((v - dmin) * (codes-1) / (dmax - dmin))`` with per-dimension
+    [dmin, dmax] learned from the corpus; a constant dimension
+    (dmax == dmin) quantizes to 0. Returns one row per (id, pos) with
+    the code and the dimension's range so callers can dequantize
+    (``dmin + code * (dmax - dmin) / (codes - 1)``).
+
+    Determinism: min/max are comparison aggregates (order-free) and the
+    quantize expression is one fixed IEEE-double evaluation per value —
+    identical at any parallelism, clamped into [0, codes-1] against the
+    one-ulp overshoot of x*(codes-1)/x. Shape at scale: a 2·dims-row
+    stats table broadcast onto the flattened corpus — one explode, one
+    tiny agg, zero corpus shuffles (partial agg absorbs the explode).
+    """
+    if codes < 2:
+        raise ValueError(f"codes must be >= 2, got {codes}")
+    flat = emb.select(
+        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    stats = flat.groupBy("pos").agg(
+        F.min("v").alias("dmin"), F.max("v").alias("dmax")
+    )
+    top = F.lit(codes - 1)
+    code = F.when(F.col("dmax") == F.col("dmin"), F.lit(0)).otherwise(
+        F.least(
+            top,
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("v") - F.col("dmin")) * top / (F.col("dmax") - F.col("dmin"))
+                ),
+            ),
+        )
+    )
+    return flat.join(F.broadcast(stats), "pos").select(
+        "id", "pos", code.cast("long").alias("code"), "dmin", "dmax"
+    )

@@ -1,0 +1,64 @@
+"""Integer-exact PageRank vs a brute-force Python replay of the same
+recurrence, plus the invariants that make the DuckDB oracle byte-exact."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ocr_search_spark.operators.graph import SCALE, pagerank_integer
+
+
+def _pagerank_py(edges, iters=3, scale=SCALE):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    od = {}
+    for s, _ in edges:
+        od[s] = od.get(s, 0) + 1
+    r = {v: scale // n for v in nodes}
+    teleport = (scale * 3 // 20) // n
+    for _ in range(iters):
+        nxt = {v: teleport for v in nodes}
+        for s, d in edges:
+            nxt[d] += (r[s] * 17) // (20 * od[s])
+        r = nxt
+    return r
+
+
+def test_pagerank_vs_bruteforce(spark):
+    rng = random.Random(23)
+    edges = sorted({(rng.randrange(30), 100 + rng.randrange(12)) for _ in range(200)})
+    # a few supplier->supplier edges so not every sink dangles
+    edges += [(100, 101), (101, 100)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank_integer(df, iters=3).collect()}
+    assert got == _pagerank_py(edges)
+
+
+def test_pagerank_parallelism_invariant(spark):
+    """Bit-identical ranks at 1 and 32 partitions (the whole point of
+    the integer formulation)."""
+    rng = random.Random(5)
+    edges = sorted({(rng.randrange(50), rng.randrange(50)) for _ in range(300)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["node"]: r["rank"] for r in pagerank_integer(df.coalesce(1)).collect()}
+    b = {r["node"]: r["rank"] for r in pagerank_integer(df.repartition(32)).collect()}
+    assert a == b
+
+
+def test_pagerank_mass_and_positivity(spark):
+    edges = [(i, (i + 1) % 10) for i in range(10)]  # ring: no dangling mass
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = pagerank_integer(df, iters=4).collect()
+    total = sum(r["rank"] for r in ranks)
+    # Ring graph conserves mass up to per-node floor truncation:
+    # each node loses < 1 unit per division, teleport floors once more.
+    assert SCALE - 10 * 2 * 4 <= total <= SCALE
+    assert all(r["rank"] > 0 for r in ranks)
+
+
+def test_pagerank_rejects_bad_iters(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank_integer(df, iters=0)

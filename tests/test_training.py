@@ -507,3 +507,40 @@ def test_source_mix_weights(spark):
     out2 = {r["source"]: r for r in packing.source_mix_weights(docs, tgt).collect()}
     assert out2["web"]["weight_e6"] == 200_000 * 100 // 60
     assert out2["code"]["weight_e6"] == 500_000 * 100 // 30
+
+
+def test_scalar_quantize_roundtrip(emb):
+    """Codes replay exactly in numpy-free Python; dequantization error is
+    bounded by one quantization step per dimension."""
+    out = similarity.scalar_quantize(emb, codes=256).collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    dims = {}
+    for vid, v in vecs.items():
+        for pos, x in enumerate(v):
+            lo, hi = dims.get(pos, (x, x))
+            dims[pos] = (min(lo, x), max(hi, x))
+    assert len(out) == len(vecs) * len(dims)
+    for r in out:
+        x = vecs[r["id"]][r["pos"]]
+        dmin, dmax = dims[r["pos"]]
+        assert (r["dmin"], r["dmax"]) == (dmin, dmax)
+        if dmax == dmin:
+            assert r["code"] == 0
+            continue
+        expect = min(255, max(0, math.floor((x - dmin) * 255 / (dmax - dmin))))
+        assert r["code"] == expect
+        step = (dmax - dmin) / 255
+        deq = dmin + r["code"] * step
+        assert abs(deq - x) <= step * (1 + 1e-9)
+
+
+def test_scalar_quantize_constant_dim_and_validation(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [1.0, 7.0])], "vec_id long, embedding array<float>"
+    )
+    rows = {(r["id"], r["pos"]): r["code"]
+            for r in similarity.scalar_quantize(df, codes=4).collect()}
+    assert rows[(0, 0)] == 0 and rows[(1, 0)] == 0  # constant dim -> 0
+    assert rows[(0, 1)] == 0 and rows[(1, 1)] == 3  # full range -> top code
+    with pytest.raises(ValueError):
+        similarity.scalar_quantize(df, codes=1)
