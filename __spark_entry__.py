@@ -1776,22 +1776,23 @@ _GATE_PRIORITY = [
     "tpch_q4", "tpch_q6", "tpch_q10", "tpch_q14", "tpch_q17",
     "phrase_search", "embed_neardup", "dedup_containment",
     "events_sliding", "corpus_ngrams", "redact_pii", "repetition_signals",
-    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q15",
+    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12",
     "tpch_q21",
     "quantiles_pricing", "events_argmax", "rolling_revenue", "zorder_curve",
     "search_fuzzy", "events_outliers", "wav_sample_stats",
-    # passage-level dedup + training-mix + graph/vector ops
+    # passage-level dedup + training-mix + graph/vector/tokenizer ops
     "dup_passages", "pack_sequences", "source_mix",
-    "pagerank_centrality", "embed_quantize",
+    "pagerank_centrality", "embed_quantize", "bpe_merges",
     # Entries 51+ below exceed the 50-entry driver window on purpose:
     # every rowless query can't fit, so the overflow picks queries whose
     # key code path already earns a driver row through a sibling entry —
     # passage_dup_stats (same k-gram inventory as dup_passages),
-    # zorder_scaled (same zorder key path as zorder_curve), tpch_q16/
-    # q19/q20 (semi-join, OR-predicate and correlated-sum shapes covered
-    # by q4/q14/q17/q2 rows). All are verified locally by
+    # zorder_scaled (same zorder key path as zorder_curve), tpch_q15/q16/
+    # q19/q20 (view-max, semi-join, OR-predicate and correlated-sum
+    # shapes covered by q4/q14/q17/q2 rows). All are verified locally by
     # tools/check_entry.py (see COVERAGE.md).
-    "passage_dup_stats", "zorder_scaled", "tpch_q16", "tpch_q19", "tpch_q20",
+    "passage_dup_stats", "zorder_scaled",
+    "tpch_q15", "tpch_q16", "tpch_q19", "tpch_q20",
 ]
 
 
@@ -4668,3 +4669,67 @@ SELECT f.pos::BIGINT AS pos, s.dmin, s.dmax,
        count(*)::BIGINT AS n_vals
 FROM flat f JOIN stats s USING (pos)
 GROUP BY f.pos, s.dmin, s.dmax"""
+
+
+# ----------------------------------------------------- BPE merge learning
+
+from ocr_search_spark.training import bpe as BPE
+
+_BPE_STEPS = 4
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (training/bpe.py): first 4
+    merges over the lowercase [a-z]+ word-frequency table of the
+    documents corpus. The oracle replays the identical greedy semantics
+    as 4 unrolled CTE rounds (the doubled-separator replace trick)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .where(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    return BPE.learn_bpe_merges(words, _BPE_STEPS)
+
+
+def _bpe_oracle(steps: int) -> str:
+    parts = [
+        """WITH occ AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents
+),
+words AS (
+  SELECT word, count(*)::BIGINT AS freq FROM occ
+  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word
+),
+w0 AS (
+  SELECT word, freq, '||' || regexp_replace(word, '(.)', '\\1||', 'g') AS s
+  FROM words
+)"""
+    ]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+p{k} AS (
+  SELECT u.p[1] AS a, u.p[2] AS b, sum(t.freq)::BIGINT AS cnt
+  FROM (SELECT freq, list_filter(string_split(s, '||'), x -> x <> '') AS arr
+        FROM w{k - 1}) t,
+       unnest(list_zip(t.arr, t.arr[2:])) AS u(p)
+  WHERE u.p[2] IS NOT NULL
+  GROUP BY 1, 2
+),
+b{k} AS (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
+w{k} AS (
+  SELECT w.word, w.freq,
+         replace(w.s, '|' || m.a || '||' || m.b || '|',
+                      '|' || m.a || m.b || '|') AS s
+  FROM w{k - 1} w CROSS JOIN b{k} m
+)""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT {k}::BIGINT AS step, a AS sym_a, b AS sym_b, cnt AS pair_count FROM b{k}"
+        for k in range(1, steps + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+_TRAINING_QUERIES["bpe_merges"] = q_bpe_merges
+_TRAINING_ORACLES["bpe_merges"] = _bpe_oracle(_BPE_STEPS)

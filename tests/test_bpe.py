@@ -1,0 +1,86 @@
+"""Distributed BPE merge learning vs a straight-line Python reference
+implementation of the classic algorithm."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ocr_search_spark.training import bpe
+
+
+def _bpe_py(word_freq: dict[str, int], n_merges: int):
+    """Textbook BPE: count adjacent pairs, merge the argmax greedily
+    left-to-right, repeat. Tiebreak (count desc, a asc, b asc)."""
+    words = {w: list(w) for w in word_freq}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + word_freq[w]
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, cnt))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges, words
+
+
+def test_bpe_vs_reference(spark):
+    rng = random.Random(31)
+    vocab = ["low", "lower", "lowest", "newer", "newest", "wide", "wider",
+             "aaaa", "aaab", "banana", "bananas"]
+    wf = {w: rng.randrange(1, 40) for w in vocab}
+    df = spark.createDataFrame(list(wf.items()), "word string, freq long")
+    got = [(r["step"], r["sym_a"], r["sym_b"], r["pair_count"])
+           for r in bpe.learn_bpe_merges(df, 6).orderBy("step").collect()]
+    expect, words_py = _bpe_py(wf, 6)
+    assert got == expect
+
+    enc = {r["word"]: list(r["symbols"])
+           for r in bpe.encode_words(df, [(a, b) for _, a, b, _ in expect]).collect()}
+    assert enc == words_py
+
+
+def test_bpe_repeated_symbol_greedy(spark):
+    """The doubled-separator replace must merge back-to-back equal pairs
+    exactly like the greedy scan: aaaa -> (aa)(aa), aaa -> (aa)a."""
+    df = spark.createDataFrame([("aaaa", 2), ("aaa", 1)], "word string, freq long")
+    merges = bpe.learn_bpe_merges(df, 2).orderBy("step").collect()
+    # step 1: pair (a,a) count = 3*2 + 2*1 = 8
+    assert (merges[0]["sym_a"], merges[0]["sym_b"], merges[0]["pair_count"]) == ("a", "a", 8)
+    enc = {r["word"]: list(r["symbols"])
+           for r in bpe.encode_words(df, [("a", "a")]).collect()}
+    assert enc == {"aaaa": ["aa", "aa"], "aaa": ["aa", "a"]}
+
+
+def test_bpe_no_false_boundary_match(spark):
+    """A symbol that merely ends with 'a' must not satisfy an (a, b)
+    merge: after merging (x,a) the word 'xab' holds symbols [xa, b],
+    and a later (a, b) merge may not touch it."""
+    df = spark.createDataFrame([("xab", 1)], "word string, freq long")
+    enc = {r["word"]: list(r["symbols"])
+           for r in bpe.encode_words(df, [("x", "a"), ("a", "b")]).collect()}
+    assert enc == {"xab": ["xa", "b"]}
+
+
+def test_bpe_exhausts_and_validates(spark):
+    df = spark.createDataFrame([("ab", 1)], "word string, freq long")
+    merges = bpe.learn_bpe_merges(df, 5).collect()
+    assert len(merges) == 1  # one pair exists, then the corpus is dry
+    with pytest.raises(ValueError):
+        bpe.learn_bpe_merges(df, 0)
+    with pytest.raises(ValueError):
+        bpe.encode_words(df, [("a|", "b")])
