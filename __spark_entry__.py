@@ -1776,23 +1776,24 @@ _GATE_PRIORITY = [
     "tpch_q4", "tpch_q6", "tpch_q10", "tpch_q14", "tpch_q17",
     "phrase_search", "embed_neardup", "dedup_containment",
     "events_sliding", "corpus_ngrams", "redact_pii", "repetition_signals",
-    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12",
+    "tpch_q2", "tpch_q9", "tpch_q11",
     "tpch_q21",
     "quantiles_pricing", "events_argmax", "rolling_revenue", "zorder_curve",
     "search_fuzzy", "events_outliers", "wav_sample_stats",
-    # passage-level dedup + training-mix + graph/vector/tokenizer ops
+    # passage-level dedup + training-mix + graph/vector/tokenizer/index ops
     "dup_passages", "pack_sequences", "source_mix",
     "pagerank_centrality", "embed_quantize", "bpe_merges",
+    "postings_compression",
     # Entries 51+ below exceed the 50-entry driver window on purpose:
     # every rowless query can't fit, so the overflow picks queries whose
     # key code path already earns a driver row through a sibling entry —
     # passage_dup_stats (same k-gram inventory as dup_passages),
-    # zorder_scaled (same zorder key path as zorder_curve), tpch_q15/q16/
-    # q19/q20 (view-max, semi-join, OR-predicate and correlated-sum
-    # shapes covered by q4/q14/q17/q2 rows). All are verified locally by
-    # tools/check_entry.py (see COVERAGE.md).
+    # zorder_scaled (same zorder key path as zorder_curve), tpch_q12/q15/
+    # q16/q19/q20 (conditional-count, view-max, semi-join, OR-predicate
+    # and correlated-sum shapes covered by q4/q14/q17/q2 rows). All are
+    # verified locally by tools/check_entry.py (see COVERAGE.md).
     "passage_dup_stats", "zorder_scaled",
-    "tpch_q15", "tpch_q16", "tpch_q19", "tpch_q20",
+    "tpch_q12", "tpch_q15", "tpch_q16", "tpch_q19", "tpch_q20",
 ]
 
 
@@ -4733,3 +4734,45 @@ w{k} AS (
 
 _TRAINING_QUERIES["bpe_merges"] = q_bpe_merges
 _TRAINING_ORACLES["bpe_merges"] = _bpe_oracle(_BPE_STEPS)
+
+
+# -------------------------------------------- postings compression stats
+
+from ocr_search_spark.operators.maintenance import postings_varint_stats
+
+
+def q_postings_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta+varint size of every posting list (operators/maintenance.py
+    postings_varint_stats) — the storage-planning query behind index
+    layout decisions; exact integer thresholds, no float."""
+    return postings_varint_stats(_postings(spark, sf_dir))
+
+
+_TRAINING_QUERIES["postings_compression"] = q_postings_compression
+_TRAINING_ORACLES["postings_compression"] = f"""WITH {_POSTINGS_BODY},
+docnums AS (
+  SELECT doc_id, dense_rank() OVER (ORDER BY doc_id) AS dn
+  FROM (SELECT DISTINCT doc_id FROM postings)
+),
+pn AS (SELECT term, dn FROM postings JOIN docnums USING (doc_id)),
+d AS (
+  SELECT term,
+         coalesce(dn - lag(dn) OVER (PARTITION BY term ORDER BY dn), dn) AS delta
+  FROM pn
+),
+v AS (
+  SELECT term,
+         CASE WHEN delta < 128 THEN 1
+              WHEN delta < 16384 THEN 2
+              WHEN delta < 2097152 THEN 3
+              WHEN delta < 268435456 THEN 4
+              WHEN delta < 34359738368 THEN 5
+              WHEN delta < 4398046511104 THEN 6
+              WHEN delta < 562949953421312 THEN 7
+              WHEN delta < 72057594037927936 THEN 8
+              ELSE 9 END AS vb
+  FROM d
+)
+SELECT term, count(*)::BIGINT AS n_postings, sum(vb)::BIGINT AS bytes_varint,
+       (count(*) * 8)::BIGINT AS bytes_fixed
+FROM v GROUP BY term"""

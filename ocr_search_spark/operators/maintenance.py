@@ -163,3 +163,41 @@ def symmetric_correlation_rows(corr: DataFrame) -> DataFrame:
             F.col("term2").alias("term1"), F.col("term1").alias("term2"), "tcr"
         )
     ).dropDuplicates(["term1", "term2"])
+
+
+def postings_varint_stats(postings: DataFrame) -> DataFrame:
+    """Index-compression planning: per-term size of the posting list
+    under delta + varint encoding (how Lucene/PFOR-class indexes store
+    doc-id lists) vs fixed 8-byte ids. Doc ids map to DENSE ordinals
+    (delta coding only wins on dense numbering — a hash id space would
+    make every delta ~2^54 and varint WORSE than fixed, measured in
+    test_postings_search.py history), lists sort ascending, and each
+    delta varint-encodes in ceil(bits/7) bytes via exact threshold
+    compares (no log/float). The first entry stores its absolute value.
+
+    Scale shape: ordinals come from a dense_rank over the DISTINCT doc
+    ids — a doc-catalog-sized (not postings-sized) single-partition
+    window standing in for the monotonic doc numbering an ingest
+    pipeline assigns at write time; it broadcast-joins back onto the
+    postings stream. The per-term window matches the on-disk layout of
+    a posting list. No global ordering over postings anywhere.
+    """
+    from pyspark.sql import Window as W
+
+    docnums = (
+        postings.select("doc_id")
+        .distinct()
+        .select("doc_id", F.dense_rank().over(W.orderBy("doc_id")).alias("dn"))
+    )
+    pn = postings.join(F.broadcast(docnums), "doc_id").select("term", "dn")
+    w = W.partitionBy("term").orderBy("dn")
+    delta = F.coalesce(F.col("dn") - F.lag("dn").over(w), F.col("dn"))
+    d = pn.select("term", delta.alias("delta"))
+    vb = F.lit(9)
+    for nbytes in range(8, 0, -1):
+        vb = F.when(F.col("delta") < F.lit(1 << (7 * nbytes)), nbytes).otherwise(vb)
+    return d.groupBy("term").agg(
+        F.count("*").cast("long").alias("n_postings"),
+        F.sum(vb).cast("long").alias("bytes_varint"),
+        (F.count("*") * 8).cast("long").alias("bytes_fixed"),
+    )

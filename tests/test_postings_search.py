@@ -222,3 +222,31 @@ def test_positional_phrase_search(spark):
     got1 = {r["doc_id"]: r["n_matches"] for r in
             phrase_search(pos, ["value"]).collect()}
     assert got1 == {"d1": 2, "d2": 1, "d3": 1, "d4": 1}
+
+
+def test_postings_varint_stats_vs_python(spark):
+    """Delta+varint byte counts replay exactly in plain Python."""
+    from ocr_search_spark.operators.maintenance import postings_varint_stats
+
+    rows = [("alpha", f"d{i:03d}", 1) for i in range(40)] + [
+        ("beta", "d001", 2), ("beta", "d999", 1), ("gamma", "d500", 1)
+    ]
+    df = spark.createDataFrame(rows, "term string, doc_id string, tf long")
+    got = {r["term"]: (r["n_postings"], r["bytes_varint"], r["bytes_fixed"])
+           for r in postings_varint_stats(df).collect()}
+
+    def vbytes(x):
+        n = 1
+        while x >= (1 << (7 * n)) and n < 9:
+            n += 1
+        return n
+
+    ordinal = {d: i + 1 for i, d in enumerate(sorted({d for _, d, _ in rows}))}
+    expect = {}
+    for term in {t for t, _, _ in rows}:
+        dns = sorted(ordinal[d] for t, d, _ in rows if t == term)
+        deltas = [dns[0]] + [b - a for a, b in zip(dns, dns[1:])]
+        expect[term] = (len(dns), sum(vbytes(x) for x in deltas), 8 * len(dns))
+    assert got == expect
+    # sorted deltas compress: varint bytes strictly below fixed for runs
+    assert got["alpha"][1] < got["alpha"][2]
