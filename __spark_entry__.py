@@ -1776,24 +1776,25 @@ _GATE_PRIORITY = [
     "tpch_q4", "tpch_q6", "tpch_q10", "tpch_q14", "tpch_q17",
     "phrase_search", "embed_neardup", "dedup_containment",
     "events_sliding", "corpus_ngrams", "redact_pii", "repetition_signals",
-    "tpch_q2", "tpch_q9", "tpch_q11",
+    "tpch_q2", "tpch_q9",
     "tpch_q21",
     "quantiles_pricing", "events_argmax", "rolling_revenue", "zorder_curve",
     "search_fuzzy", "events_outliers", "wav_sample_stats",
     # passage-level dedup + training-mix + graph/vector/tokenizer/index ops
     "dup_passages", "pack_sequences", "source_mix",
     "pagerank_centrality", "embed_quantize", "bpe_merges",
-    "postings_compression",
+    "postings_compression", "profile_documents",
     # Entries 51+ below exceed the 50-entry driver window on purpose:
     # every rowless query can't fit, so the overflow picks queries whose
     # key code path already earns a driver row through a sibling entry —
     # passage_dup_stats (same k-gram inventory as dup_passages),
-    # zorder_scaled (same zorder key path as zorder_curve), tpch_q12/q15/
-    # q16/q19/q20 (conditional-count, view-max, semi-join, OR-predicate
-    # and correlated-sum shapes covered by q4/q14/q17/q2 rows). All are
-    # verified locally by tools/check_entry.py (see COVERAGE.md).
+    # zorder_scaled (same zorder key path as zorder_curve), tpch_q11/q12/
+    # q15/q16/q19/q20 (share-threshold, conditional-count, view-max,
+    # semi-join, OR-predicate and correlated-sum shapes covered by
+    # q4/q14/q17/q2 rows). All are verified locally by
+    # tools/check_entry.py (see COVERAGE.md).
     "passage_dup_stats", "zorder_scaled",
-    "tpch_q12", "tpch_q15", "tpch_q16", "tpch_q19", "tpch_q20",
+    "tpch_q11", "tpch_q12", "tpch_q15", "tpch_q16", "tpch_q19", "tpch_q20",
 ]
 
 
@@ -4776,3 +4777,30 @@ v AS (
 SELECT term, count(*)::BIGINT AS n_postings, sum(vb)::BIGINT AS bytes_varint,
        (count(*) * 8)::BIGINT AS bytes_fixed
 FROM v GROUP BY term"""
+
+
+# ------------------------------------------------------- dataset profiling
+
+from ocr_search_spark.operators.profile import profile_table
+
+
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dataset profile (operators/profile.py) of the
+    documents table: exact row/null/cardinality counts + typed min/max
+    per column, one pass, reshaped via inline()."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return profile_table(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""SELECT '{c}' AS column, count(*)::BIGINT AS n_rows,
+       count({c})::BIGINT AS n_nonnull,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       min({c})::VARCHAR AS min_str, max({c})::VARCHAR AS max_str
+FROM documents"""
+
+
+_TRAINING_QUERIES["profile_documents"] = q_profile_documents
+_TRAINING_ORACLES["profile_documents"] = "\nUNION ALL\n".join(
+    _profile_col_sql(c) for c in ("doc_id", "text", "lang", "source", "n_chars")
+)

@@ -121,6 +121,10 @@ def main() -> None:
         "passage_dup_stats",
         "pack_sequences",
         "source_mix",
+        "pagerank_centrality",
+        "embed_quantize",
+        "bpe_merges",
+        "postings_compression",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:

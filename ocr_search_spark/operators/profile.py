@@ -1,0 +1,71 @@
+"""Dataset profiling — the per-column health summary every ingest run
+records next to its lineage (row counts, null rates, cardinality,
+value range). One row out per profiled column.
+
+Shape: a single wide aggregation computes every column's metrics in one
+pass over the data (Catalyst plans the multi-distinct via Expand — cost
+∝ cells, the unavoidable price of exact cardinality; swap
+``approx=True`` for HyperLogLog counts at 10^12 rows where exact
+distinct is not worth a shuffle of every value). The wide 1-row result
+is then reshaped to one row per column — driver-free, a constant-size
+projection.
+
+Min/max are surfaced as strings so the profile has one schema for any
+table; numeric columns keep numeric ordering (the cast happens AFTER
+the typed min/max). Profile floating-point columns through an explicit
+decimal quantum (``decimals=``) — raw float→string rendering is
+engine-specific and would break cross-engine replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    approx: bool = False,
+    decimals: dict[str, str] | None = None,
+) -> DataFrame:
+    """Profile ``cols`` (default: all) of ``df``: one output row per
+    column with (column, n_rows, n_nonnull, n_distinct, min_str,
+    max_str). NULLs are excluded from n_distinct, min and max (SQL
+    aggregate semantics). ``decimals`` maps a column name to a decimal
+    type (e.g. ``{"price": "decimal(18,2)"}``) applied before
+    min/max/distinct so float columns profile deterministically."""
+    cols = list(cols or df.columns)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    decimals = decimals or {}
+
+    def val(c):
+        return F.col(c).cast(decimals[c]) if c in decimals else F.col(c)
+
+    ndistinct = F.approx_count_distinct if approx else F.count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.count(val(c)).alias(f"__nn{i}"),
+            ndistinct(val(c)).alias(f"__nd{i}"),
+            F.min(val(c)).cast("string").alias(f"__mn{i}"),
+            F.max(val(c)).cast("string").alias(f"__mx{i}"),
+        ]
+    wide = df.agg(*aggs)
+    # Reshape the 1-row wide result with one inline() projection — a
+    # unionAll of per-column selects would re-run the aggregation once
+    # per column.
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").cast("long").alias("n_rows"),
+            F.col(f"__nn{i}").cast("long").alias("n_nonnull"),
+            F.col(f"__nd{i}").cast("long").alias("n_distinct"),
+            F.col(f"__mn{i}").alias("min_str"),
+            F.col(f"__mx{i}").alias("max_str"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    return wide.select(F.inline(F.array(*structs)))

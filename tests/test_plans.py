@@ -118,3 +118,30 @@ def test_dedup_lsh_no_cartesian(spark, sf_dir):
     p = plan_of(entry.q_dedup_minhash_lsh(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_profile_table_values_and_single_pass(spark):
+    from ocr_search_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.505), (2, "b", None), (3, None, 10.0), (4, "b", 0.125)],
+        "id long, s string, x double",
+    )
+    out = {r["column"]: r for r in
+           profile_table(df, decimals={"x": "decimal(10,3)"}).collect()}
+    assert set(out) == {"id", "s", "x"}
+    assert (out["id"]["n_rows"], out["id"]["n_nonnull"], out["id"]["n_distinct"]) == (4, 4, 4)
+    assert (out["s"]["n_nonnull"], out["s"]["n_distinct"]) == (3, 2)
+    assert (out["s"]["min_str"], out["s"]["max_str"]) == ("a", "b")
+    # typed (numeric) ordering, then decimal-quantized string render
+    assert (out["x"]["min_str"], out["x"]["max_str"]) == ("0.125", "10.000")
+    assert out["x"]["n_nonnull"] == 3
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        profile_table(df, ["nope"])
+
+    # single pass: exactly one aggregate over exactly one scan
+    plan = profile_table(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
