@@ -1,0 +1,205 @@
+"""Probabilistic sketches as pure DataFrame aggregations.
+
+At 10^12 documents the exact answers to "how often does each term
+occur", "how many distinct terms are there" and "is this term in the
+eval set" each cost a corpus-wide shuffle keyed on the term. The
+classic sketches answer them with FIXED-size state that map-side
+combines inside a single scan:
+
+* **Count-min sketch** — a ``depth x width`` grid of counters; every
+  occurrence increments one bucket per row (independent hash family).
+  The estimate for a term is the min over its ``depth`` buckets —
+  always >= the true count, with overestimate bounded by ``2N/width``
+  at 1 - (1/2)^depth confidence.  Build = one scan + one groupBy on
+  (row, bucket): ``depth*width`` cells regardless of corpus size, so
+  the partial aggregation collapses every partition to <= depth*width
+  rows before the shuffle, and the finished sketch is broadcastable.
+* **HyperLogLog** — ``m = 2^b`` registers, each holding the max
+  "leading-zero rank" of the hashed values routed to it.  One scan +
+  one ``groupBy(register).max(rho)``: m rows of state, mergeable by
+  max, estimate ``alpha * m^2 / sum(2^-rho)``.  The gate-facing output
+  is the INTEGER register table (and the dyadic numerator
+  ``sum(2^(54-rho))``), so the cross-engine compare never touches
+  floats; the float estimate is asserted in pytest.
+* **Bloom filter** — ``m`` bits, ``k`` hash probes per element, packed
+  32 bits per word via ``bit_or`` so the whole filter is ``m/32``
+  bigint rows.  Membership = all k probed bits set.  The filter over a
+  (small) eval set broadcasts; the corpus-side probe is a single scan
+  — exactly the decontamination shape where the exact semi-join would
+  shuffle the full corpus vocabulary.
+
+All three use the md5-backed :func:`~ocr_search_spark.training.hashing.h60`
+family so a DuckDB oracle replays them bit-for-bit (the sketches are
+deterministic data structures, not approximations of the QUERY — the
+oracle builds the same sketch and must land on identical cells).
+
+Reference parity note: the reference engine (tom6311tom6311/ocr_search)
+keeps exact Mongo collections and has no sketch tier; these are the
+scale-path additions a 100 TB corpus needs (task brief: "a novel
+sketch" as a first-class custom operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_search_spark.training.hashing import h60, h60_salted
+
+# ------------------------------------------------------------ count-min
+
+
+def _row_buckets(col: Column, depth: int, width: int) -> Column:
+    """Array of (row, bucket) structs — one scan computes every row's
+    bucket, then a single explode feeds the (row, bucket) aggregate."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (h60_salted(col, i) % width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def cms_build(items: DataFrame, col: str, depth: int = 4, width: int = 512) -> DataFrame:
+    """Count-min sketch of the multiset in ``items[col]``.
+
+    Returns (row, bucket, cnt) — at most ``depth*width`` rows. The
+    groupBy's partial (map-side) aggregation bounds every task's output
+    at depth*width cells, so the shuffle moves sketch-sized state, not
+    corpus-sized state.
+    """
+    return (
+        items.select(F.explode(_row_buckets(F.col(col), depth, width)).alias("rb"))
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Point-query the sketch for every probe value.
+
+    Output: probes' columns + ``cms_est``. The sketch (<= depth*width
+    rows) broadcasts; a probed bucket with no sketch row means no
+    element ever hashed there → that row's counter is exactly 0.
+    """
+    pb = probes.select(
+        "*", F.explode(_row_buckets(F.col(col), depth, width)).alias("rb")
+    ).select("*", "rb.row", "rb.bucket").drop("rb")
+    est = (
+        pb.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(*probes.columns)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+    return est
+
+
+# ----------------------------------------------------------- hyperloglog
+
+# h60 yields 60 uniform bits: the low b bits route to a register, the
+# remaining 60-b bits feed the rank.  With b=6 the rank field is 54
+# bits; rho = (# leading zeros in the 54-bit field) + 1 = 55 - bitlen.
+
+HLL_B = 6
+HLL_M = 1 << HLL_B
+_RANK_BITS = 60 - HLL_B  # 54
+
+
+def hll_registers(items: DataFrame, col: str) -> DataFrame:
+    """HyperLogLog register table over the DISTINCT values of ``col``.
+
+    Returns (register, max_rho) — <= 64 rows.  Only occupied registers
+    appear; an absent register is rho=0 by convention (callers padding
+    for the estimate use :func:`hll_estimate_from_registers`).
+    """
+    h = h60(F.col(col))
+    reg = (h % HLL_M).alias("register")
+    p = F.shiftright(h, HLL_B)
+    rho = (
+        F.when(p == 0, F.lit(_RANK_BITS + 1))
+        .otherwise(F.lit(_RANK_BITS + 1) - F.length(F.bin(p)))
+        .cast("int")
+        .alias("rho")
+    )
+    return (
+        items.select(reg, rho)
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate_from_registers(rows: list[tuple[int, int]]) -> float:
+    """Driver-side estimate from the (register, max_rho) table — floats
+    stay OUT of the gated query; pytest asserts accuracy with this."""
+    regs = {r: v for r, v in rows}
+    m = HLL_M
+    z = sum(2.0 ** -regs.get(j, 0) for j in range(m))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / z
+    zero = sum(1 for j in range(m) if regs.get(j, 0) == 0)
+    if est <= 2.5 * m and zero:  # small-range (linear counting) correction
+        import math
+
+        est = m * math.log(m / zero)
+    return est
+
+
+# ---------------------------------------------------------- bloom filter
+
+_WORD_BITS = 32  # pack 32 bits per bigint word: 1<<31 still positive
+
+
+def _bit_positions(col: Column, m_bits: int, k: int) -> Column:
+    """Array of the k probed bit positions for one element (salts offset
+    by 100 so the bloom family is independent from the CMS family)."""
+    return F.array(*[h60_salted(col, 100 + i) % m_bits for i in range(k)])
+
+
+def bloom_build(items: DataFrame, col: str, m_bits: int = 1 << 15, k: int = 3) -> DataFrame:
+    """Bloom filter over the values of ``col``: (word_idx, bits) rows,
+    <= m_bits/32 of them, bit j of word w set iff some element hashed
+    to position w*32+j.  bit_or partial-aggregates map-side, so the
+    shuffle carries filter-sized state."""
+    pos = (
+        items.select(F.explode(_bit_positions(F.col(col), m_bits, k)).alias("pos"))
+        .select(
+            (F.col("pos") / _WORD_BITS).cast("long").alias("word_idx"),
+            F.expr(f"shiftleft(1L, cast(pos % {_WORD_BITS} as int))").alias("bitval"),
+        )
+    )
+    return pos.groupBy("word_idx").agg(F.bit_or("bitval").alias("bits"))
+
+
+def bloom_probe(
+    bloom: DataFrame, probes: DataFrame, col: str, m_bits: int = 1 << 15, k: int = 3
+) -> DataFrame:
+    """Probe every row of ``probes`` against the filter.
+
+    Output: probes' columns + ``bloom_hit`` (true iff ALL k bits set —
+    i.e. "possibly in the set"; false is definite).  The filter
+    broadcasts (<= m_bits/32 rows); the probe side is one scan.
+    """
+    pp = (
+        probes.select("*", F.explode(_bit_positions(F.col(col), m_bits, k)).alias("pos"))
+        .select(
+            "*",
+            (F.col("pos") / _WORD_BITS).cast("long").alias("word_idx"),
+            F.expr(f"shiftleft(1L, cast(pos % {_WORD_BITS} as int))").alias("bitval"),
+        )
+        .drop("pos")
+    )
+    hit = (
+        pp.join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            *probes.columns,
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bitval")) != 0).alias("_set"),
+        )
+        .groupBy(*probes.columns)
+        .agg((F.count(F.lit(1)) == F.sum(F.col("_set").cast("int"))).alias("bloom_hit"))
+    )
+    return hit

@@ -1,0 +1,83 @@
+"""Sketch accuracy + structural guarantees (training/sketches.py).
+
+The CORRECTNESS gate proves the sketches are built bit-identically to
+the DuckDB twin; these tests prove they are USEFUL — the probabilistic
+guarantees actually hold on realistic data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_search_spark.training import sketches as SK
+
+
+def _zipf_words(spark, n_rows=20_000, vocab=800):
+    """Deterministic Zipf-ish multiset: word_j appears ~ n/(j+1) times."""
+    return (
+        spark.range(n_rows)
+        .select(
+            F.concat(
+                F.lit("w"),
+                (
+                    F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+                    .cast("long")
+                    % F.lit(vocab)
+                ).cast("string"),
+            ).alias("w")
+        )
+    )
+
+
+def test_cms_never_underestimates_and_bound(spark):
+    words = _zipf_words(spark).cache()
+    depth, width = 4, 512
+    sketch = SK.cms_build(words, "w", depth, width)
+    exact = words.groupBy("w").agg(F.count(F.lit(1)).alias("exact"))
+    est = SK.cms_estimate(sketch, exact, "w", depth, width).collect()
+    n_total = words.count()
+    assert est, "no estimates produced"
+    for r in est:
+        assert r.cms_est >= r.exact, f"CMS underestimated {r.w}"
+        # Markov bound: overestimate <= 2N/width holds w.h.p. per row;
+        # with depth=4 the min is far inside it in practice.
+        assert r.cms_est - r.exact <= 2 * n_total / width + 1
+    words.unpersist()
+
+
+def test_hll_estimate_within_tolerance(spark):
+    # 5000 exact-distinct values; m=64 gives ~1.04/sqrt(64) = 13% std err
+    vals = spark.range(5000).select(F.concat(F.lit("v"), F.col("id")).alias("w"))
+    regs = SK.hll_registers(vals, "w").collect()
+    est = SK.hll_estimate_from_registers([(r.register, r.max_rho) for r in regs])
+    assert abs(est - 5000) / 5000 < 0.30, f"HLL est {est} vs 5000"
+
+
+def test_hll_small_range_correction(spark):
+    vals = spark.range(20).select(F.concat(F.lit("s"), F.col("id")).alias("w"))
+    regs = SK.hll_registers(vals, "w").collect()
+    est = SK.hll_estimate_from_registers([(r.register, r.max_rho) for r in regs])
+    assert abs(est - 20) / 20 < 0.35, f"linear-counting est {est} vs 20"
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    members = spark.range(1000).select(F.concat(F.lit("m"), F.col("id")).alias("w"))
+    others = spark.range(4000).select(F.concat(F.lit("x"), F.col("id")).alias("w"))
+    m_bits, k = 1 << 15, 3
+    bloom = SK.bloom_build(members, "w", m_bits, k)
+    in_hits = SK.bloom_probe(bloom, members, "w", m_bits, k)
+    assert in_hits.filter(~F.col("bloom_hit")).count() == 0, "false negative!"
+    fp = SK.bloom_probe(bloom, others, "w", m_bits, k).filter(F.col("bloom_hit")).count()
+    # (1 - e^{-kn/m})^k with n=1000, m=2^15, k=3 -> ~0.6% expected
+    assert fp / 4000 < 0.05, f"false-positive rate {fp/4000:.3%}"
+
+
+def test_cms_sketch_state_is_bounded(spark):
+    words = _zipf_words(spark, n_rows=5000, vocab=3000)
+    sketch = SK.cms_build(words, "w", depth=4, width=64)
+    assert sketch.count() <= 4 * 64
+    # The aggregate must partial-combine map-side: the plan carries a
+    # partial_count before the exchange (sketch-sized shuffle, not
+    # corpus-sized).
+    plan = sketch._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "partial" in plan.lower()
