@@ -4942,3 +4942,122 @@ hit AS (
 )
 SELECT id, count(*)::BIGINT AS n_words, sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END)::BIGINT AS n_bloom_pos
 FROM hit GROUP BY id"""
+
+
+# ------------------------------------------------- graph: triangle count
+# Degree-ordered triangle counting (operators/graph.py:triangle_count)
+# over the word-bigram co-occurrence graph: nodes = words, edge iff the
+# bigram occurs >= 2 times corpus-wide. The orientation bounds every
+# out-degree at O(sqrt(m)) so hub words cannot detonate the wedge join —
+# the property that matters on a web-scale co-occurrence graph.
+
+from ocr_search_spark.operators.graph import triangle_count
+
+
+def q_word_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    pairs = F.explode(
+        F.expr(
+            "transform(sequence(1, size(ws) - 1),"
+            " i -> struct(element_at(ws, i) AS p, element_at(ws, i + 1) AS q))"
+        )
+    )
+    bi = (
+        docs.select(ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(pairs.alias("pq"))
+        .select("pq.p", "pq.q")
+        .filter(F.col("p") != F.col("q"))
+    )
+    edges = (
+        bi.select(F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("a", "b")
+    )
+    return triangle_count(edges)
+
+
+_TRAINING_QUERIES["word_triangles"] = q_word_triangles
+_TRAINING_ORACLES["word_triangles"] = f"""WITH d AS (
+  SELECT {_WORDS_SQL} AS ws FROM documents
+),
+bi AS (
+  SELECT ws[i] AS p, ws[i + 1] AS q
+  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM d WHERE len(ws) >= 2)
+  WHERE ws[i] <> ws[i + 1]
+),
+ed AS (
+  SELECT least(p, q) AS a, greatest(p, q) AS b
+  FROM bi GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT a AS node FROM ed UNION ALL SELECT b AS node FROM ed)
+  GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND ed.a < ed.b)
+              THEN ed.a ELSE ed.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND ed.a < ed.b)
+              THEN ed.b ELSE ed.a END AS v
+  FROM ed JOIN deg da ON ed.a = da.node JOIN deg db ON ed.b = db.node
+),
+w AS (
+  SELECT o1.u AS u, o1.v AS x, o2.v AS y
+  FROM o o1 JOIN o o2 ON o1.u = o2.u
+  WHERE o1.v < o2.v
+),
+closing AS (SELECT least(u, v) AS x, greatest(u, v) AS y FROM o),
+tri AS (
+  SELECT 1 FROM w
+  WHERE EXISTS (SELECT 1 FROM closing c WHERE c.x = w.x AND c.y = w.y)
+)
+SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+       (SELECT count(*) FROM ed)::BIGINT AS n_edges,
+       (SELECT count(*) FROM w)::BIGINT AS n_wedges,
+       (SELECT count(*) FROM tri)::BIGINT AS n_triangles"""
+
+
+# --------------------------------------------- unicode NFC normalization
+# training/textstats.py:normalize_nfc — the driver corpus is ASCII, so
+# the query injects deterministic decomposed-Unicode suffixes (h60-routed
+# per doc: e + COMBINING ACUTE / ANGSTROM SIGN / none) and both engines
+# must normalize the identical text to the identical NFC digest.
+
+from ocr_search_spark.training.textstats import normalize_nfc
+
+_NFC_SUFFIX_1 = " cafe\u0301"  # decomposed e+COMBINING ACUTE; NFC composes it
+_NFC_SUFFIX_2 = " \u212bngstro\u0308m"  # ANGSTROM SIGN + o+COMBINING DIAERESIS
+
+
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.hashing import h60
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    route = h60(F.concat(F.col("doc_id").cast("string"), F.lit(":nfc"))) % 3
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(route == 0, F.lit(_NFC_SUFFIX_1))
+            .when(route == 1, F.lit(_NFC_SUFFIX_2))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return normalize_nfc(seeded)
+
+
+_TRAINING_QUERIES["nfc_normalize"] = q_nfc_normalize
+_TRAINING_ORACLES["nfc_normalize"] = f"""WITH seeded AS (
+  SELECT doc_id AS id,
+         text || CASE ('0x' || substring(md5(doc_id::VARCHAR || ':nfc'), 1, 15))::BIGINT % 3
+                 WHEN 0 THEN '{_NFC_SUFFIX_1}'
+                 WHEN 1 THEN '{_NFC_SUFFIX_2}'
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT id, md5(nfc_normalize(t)) AS nfc_digest, nfc_normalize(t) <> t AS changed
+FROM seeded"""

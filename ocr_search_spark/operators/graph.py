@@ -93,3 +93,74 @@ def pagerank_integer(
             .cache()
         )
     return ranks
+
+
+# ------------------------------------------------------ triangle counting
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count of an UNDIRECTED simple graph.
+
+    ``edges``: one row per undirected edge, columns ``a``, ``b`` with
+    ``a <> b`` and each {a,b} pair appearing once (callers canonicalize
+    with least/greatest + distinct).
+
+    Classic degree-ordered orientation (the MapReduce-era
+    Suri-Vassilvitskii "node-iterator++"): orient every edge from the
+    (degree, node)-smaller endpoint to the larger, enumerate wedges by
+    self-joining the oriented adjacency on its source, and close each
+    wedge against the oriented edge list. Orientation bounds every
+    out-degree at O(sqrt(m)), so the wedge join is skew-resistant even
+    on power-law graphs — a hub of degree d contributes O(d) oriented
+    wedges, not O(d^2): this is what survives a web-scale co-occurrence
+    graph where the naive adjacency self-join detonates on hubs.
+
+    Returns a single row (n_nodes, n_edges, n_wedges, n_triangles) —
+    all exact BIGINTs. Wedge count = sum over nodes of C(outdeg, 2)
+    under the orientation (every triangle is counted from exactly one
+    wedge apex, so n_triangles <= n_wedges).
+    """
+    e = edges.select("a", "b")
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Orient a->b iff (deg_a, a) < (deg_b, b); total order, no ties.
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a").join(db, "b")
+        .select(
+            F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    # Wedges (v, w) from a shared oriented source u, ordered v < w to
+    # enumerate each unordered pair once; close against oriented edges.
+    w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "u").filter(F.col("x") < F.col("y"))
+    # A closing edge between x and y exists in exactly one orientation;
+    # match either.
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    ).select(F.least("x", "y").alias("x"), F.greatest("x", "y").alias("y"))
+    tri = wedges.select(
+        F.least("x", "y").alias("x"), F.greatest("x", "y").alias("y")
+    ).join(closing, ["x", "y"], "left_semi")
+    return (
+        e.select(
+            F.lit(1).alias("_one"),
+        )
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .crossJoin(deg.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
+        .crossJoin(wedges.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_wedges")))
+        .crossJoin(tri.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    )

@@ -310,3 +310,63 @@ def repetition_signals(
         frac(F.coalesce(top_cnt, F.lit(0)), n).alias("top_word_frac"),
         frac(n_g - ng_distinct, n_g).alias("dup_bigram_frac"),
     )
+
+
+def normalize_nfc(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode NFC canonicalization — (id, nfc_digest, changed).
+
+    Web text arrives in mixed normalization forms (decomposed accents
+    from mac filesystems, compatibility codepoints from PDF extractors);
+    dedup digests and tokenizer keys must see ONE canonical byte
+    sequence or the same document hashes differently per source. Spark
+    has no JVM-side ICU normalizer builtin, so this is a legitimate
+    Arrow-batched Python stage (same contract as the PNG/WAV codecs:
+    per-payload work the SQL layer cannot express), kept off the hot
+    path — one string in, one string out, no per-row Python beyond the
+    unicodedata C call.
+
+    Output: ``id``, ``nfc_digest`` (md5 of the NFC form — the dedup
+    key), ``changed`` (true iff normalization altered the bytes;
+    corpus-level ratio = how un-normalized the source is).
+    """
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.types import (
+        BooleanType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id", docs.schema[id_col].dataType, True),
+            StructField("nfc_text", StringType(), True),
+            StructField("changed", BooleanType(), True),
+        ]
+    )
+
+    def batches(it):
+        import unicodedata
+
+        for pdf in it:
+            norm = pdf[text_col].map(
+                lambda s: unicodedata.normalize("NFC", s) if s is not None else None
+            )
+            # SQL three-valued logic: NULL text -> NULL changed (pandas
+            # object != would yield True for None != None).
+            changed = (norm != pdf[text_col]).mask(pdf[text_col].isna(), None)
+            yield type(pdf)(
+                {
+                    "id": pdf[id_col],
+                    "nfc_text": norm,
+                    "changed": changed,
+                }
+            )
+
+    normed = docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+    return normed.select(
+        "id", F.md5("nfc_text").alias("nfc_digest"), "changed"
+    )

@@ -62,3 +62,39 @@ def test_pagerank_rejects_bad_iters(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         pagerank_integer(df, iters=0)
+
+
+# ----------------------------------------------------- triangle counting
+
+from ocr_search_spark.operators.graph import triangle_count
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "a long, b long")
+    return triangle_count(df).collect()[0]
+
+
+def test_triangles_k4_plus_pendant(spark):
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    r = _tri(spark, k4 + [(4, 5)])
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (6, 7, 4)
+
+
+def test_triangles_path_none(spark):
+    r = _tri(spark, [(0, 1), (1, 2), (2, 3)])
+    assert r.n_triangles == 0 and r.n_wedges >= 0
+
+
+def test_triangles_shared_edge(spark):
+    r = _tri(spark, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)])
+    assert r.n_triangles == 2
+
+
+def test_triangles_star_hub_no_blowup(spark):
+    # hub of degree 100: naive adjacency self-join would enumerate
+    # C(100,2)=4950 pairs; degree orientation points every edge AT the
+    # hub, so the oriented wedge count from the hub is 0.
+    star = [(100_000, i) for i in range(100)]
+    r = _tri(spark, star)
+    assert r.n_triangles == 0
+    assert r.n_wedges == 0, "orientation failed to defuse the hub"

@@ -228,3 +228,36 @@ def test_wordnet_mode_parity_and_cases(spark):
 def test_wordnet_mode_tokenize_text(spark):
     got = tokenize_text("The running jobs merged tables", wordnet=True)
     assert got == ["run", "job", "merge", "table"]
+
+
+# --------------------------------------------------- NFC normalization
+
+def test_normalize_nfc_digest_and_changed(spark):
+    from ocr_search_spark.training.textstats import normalize_nfc
+    import hashlib
+    import unicodedata
+
+    rows = [
+        (1, "plain ascii"),
+        (2, "cafe\u0301 decomposed"),
+        (3, "\u212bngstro\u0308m sign"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in normalize_nfc(df).collect()}
+    for i, t in rows:
+        if t is None:
+            assert got[i].nfc_digest is None
+            continue
+        nfc = unicodedata.normalize("NFC", t)
+        assert got[i].nfc_digest == hashlib.md5(nfc.encode()).hexdigest()
+        assert got[i].changed == (nfc != t)
+    assert got[2].changed and got[3].changed and not got[1].changed
+
+
+def test_normalize_nfc_null_text_yields_null_changed(spark):
+    from ocr_search_spark.training.textstats import normalize_nfc
+
+    df = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    r = normalize_nfc(df).collect()[0]
+    assert r.nfc_digest is None and r.changed is None
