@@ -5061,3 +5061,93 @@ _TRAINING_ORACLES["nfc_normalize"] = f"""WITH seeded AS (
 )
 SELECT id, md5(nfc_normalize(t)) AS nfc_digest, nfc_normalize(t) <> t AS changed
 FROM seeded"""
+
+
+# ----------------------------------------------------- product quantization
+# training/similarity.py PQ tier: codebooks -> encode -> ADC top-k, all
+# in exact integer-micros arithmetic (floor(x*1e6) per element, bigint
+# squared-L2 sums) so the DuckDB twin replays every distance bit-exactly
+# at any parallelism. Completes the vector-compression ladder:
+# brute-force (oracle) -> IVF/kmeans (list pruning) -> int8 scalar
+# quantize (memory) -> PQ codes + ADC (memory AND distance-lookup
+# compute; the billion-vector index layout).
+
+_PQ_M, _PQ_CODES, _PQ_SD = 4, 8, 16  # dim=64 -> 4 subspaces of 16
+
+
+def q_embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = SIM.pq_codebooks(emb, m_sub=_PQ_M, n_codes=_PQ_CODES)
+    codes = SIM.pq_encode(emb, cb, m_sub=_PQ_M)
+    return codes.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("sub").cast("int").alias("sub"),
+        F.col("code").cast("int").alias("code"),
+    )
+
+
+def q_embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = SIM.pq_codebooks(emb, m_sub=_PQ_M, n_codes=_PQ_CODES)
+    codes = SIM.pq_encode(emb, cb, m_sub=_PQ_M)
+    out = SIM.pq_search(
+        cb, codes, emb.where(F.col("vec_id") < 10), k=5, m_sub=_PQ_M
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("adc_d2").cast("long").alias("adc_d2"),
+    )
+
+
+_PQ_CTE = f"""mv AS (
+  SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS mv
+  FROM embeddings
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS code, mv
+  FROM (SELECT * FROM mv ORDER BY vec_id LIMIT {_PQ_CODES})
+),
+subsq AS (SELECT unnest(range({_PQ_M})) AS sub),
+cb AS (
+  SELECT sub, code, mv[sub * {_PQ_SD} + 1 : sub * {_PQ_SD} + {_PQ_SD}] AS cv
+  FROM seeds CROSS JOIN subsq
+),
+fl AS (
+  SELECT vec_id AS id, sub, mv[sub * {_PQ_SD} + 1 : sub * {_PQ_SD} + {_PQ_SD}] AS sv
+  FROM mv CROSS JOIN subsq
+),
+scored AS (
+  SELECT f.id, f.sub, c.code,
+         list_sum(list_transform(range(1, {_PQ_SD} + 1),
+                  i -> (f.sv[i] - c.cv[i]) * (f.sv[i] - c.cv[i])))::BIGINT AS d2
+  FROM fl f JOIN cb c ON f.sub = c.sub
+),
+best AS (
+  SELECT id, sub, code, d2 FROM scored
+  QUALIFY row_number() OVER (PARTITION BY id, sub ORDER BY d2, code) = 1
+)"""
+
+_TRAINING_QUERIES["embed_pq_codes"] = q_embed_pq_codes
+_TRAINING_ORACLES["embed_pq_codes"] = f"""WITH {_PQ_CTE}
+SELECT id::BIGINT AS id, sub::INTEGER AS sub, code::INTEGER AS code FROM best"""
+
+_TRAINING_QUERIES["embed_pq_topk"] = q_embed_pq_topk
+_TRAINING_ORACLES["embed_pq_topk"] = f"""WITH {_PQ_CTE},
+dtab AS (
+  SELECT q.vec_id AS query_id, q.sub, c.code,
+         list_sum(list_transform(range(1, {_PQ_SD} + 1),
+                  i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i])))::BIGINT AS d2
+  FROM (SELECT vec_id, sub, mv[sub * {_PQ_SD} + 1 : sub * {_PQ_SD} + {_PQ_SD}] AS sv
+        FROM mv CROSS JOIN subsq WHERE vec_id < 10) q
+  JOIN cb c ON q.sub = c.sub
+),
+adc AS (
+  SELECT d.query_id, b.id AS neighbor_id, sum(d.d2)::BIGINT AS adc_d2
+  FROM best b JOIN dtab d ON b.sub = d.sub AND b.code = d.code
+  WHERE b.id <> d.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id, adc_d2
+FROM adc
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) <= 5"""

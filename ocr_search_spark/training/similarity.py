@@ -383,3 +383,172 @@ def scalar_quantize(
     return flat.join(F.broadcast(stats), "pos").select(
         "id", "pos", code.cast("long").alias("code"), "dmin", "dmax"
     )
+
+
+# ---------------------------------------------------- product quantization
+
+
+def _micros(vec: Column) -> Column:
+    """array<float> -> array<long> integer micros: floor(x * 1e6).
+    floor (not round) so Spark and any SQL twin agree bit-for-bit, and
+    all downstream distance arithmetic is EXACT bigint — immune to
+    float summation order at any parallelism."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * 1_000_000.0).cast("long"))
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m_sub: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks: (sub, code, cv) with ``cv`` the
+    sub-vector in integer micros, ``sub`` in [0, m_sub), ``code`` in
+    [1, n_codes].
+
+    Seeds are the n_codes lowest-id vectors' sub-slices — the same
+    deterministic seeding contract as :func:`ivf_centroids` (swap in a
+    Lloyd refinement per subspace exactly as :func:`kmeans_centroids`
+    does for IVF if recall needs it; encode/search only consume
+    (sub, code, cv)). The codebook is m_sub*n_codes rows — broadcast
+    state, like every quantizer table in this module.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sd = dim // m_sub
+    seeds = (
+        corpus.orderBy(F.asc(id_col))
+        .limit(n_codes)
+        .select(
+            F.row_number().over(W.orderBy(F.asc(id_col))).alias("code"),
+            _micros(F.col(vec_col)).alias("mv"),
+        )
+    )
+    subs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice("mv", s * sd + 1, sd).alias("cv"),
+                )
+                for s in range(m_sub)
+            ]
+        )
+    )
+    return seeds.select("code", subs.alias("sc")).select("sc.sub", "code", "sc.cv")
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Exact squared L2 between two integer-micros arrays (bigint sum —
+    associative, order-free)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m_sub: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode every vector: (id, sub, code) — nearest codebook entry
+    per subspace under exact integer-micros squared L2, ties broken by
+    code asc (total order, cross-engine stable).
+
+    Scale shape: one explode to (id, sub, subvec) — m_sub rows per
+    vector — joined to the BROADCAST codebook, then a (id, sub) min_by
+    aggregate. No corpus-keyed shuffle beyond the final aggregate, and
+    partial aggregation collapses it map-side. Storage: codes are
+    m_sub * ceil(log2(n_codes)) bits per vector vs 32*dim — the 100 TB
+    memory story for billion-vector indexes.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    sd = dim // m_sub
+    subs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice("mv", s * sd + 1, sd).alias("sv"),
+                )
+                for s in range(m_sub)
+            ]
+        )
+    )
+    flat = (
+        corpus.select(F.col(id_col).alias("id"), _micros(F.col(vec_col)).alias("mv"))
+        .select("id", subs.alias("sc"))
+        .select("id", "sc.sub", "sc.sv")
+    )
+    scored = flat.join(F.broadcast(codebooks), "sub").select(
+        "id", "sub", "code", _sq_l2(F.col("sv"), F.col("cv")).alias("d2")
+    )
+    # argmin with (d2, code) total order via min_by on a packed struct
+    best = scored.groupBy("id", "sub").agg(
+        F.min(F.struct("d2", "code")).alias("best")
+    )
+    return best.select("id", "sub", F.col("best.code").alias("code"))
+
+
+def pq_search(
+    codebooks: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m_sub: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: for each query, distance to a
+    corpus vector is the sum over subspaces of the exact integer-micros
+    squared L2 between the query's sub-slice and the vector's ASSIGNED
+    codeword. Returns (query_id, neighbor_id, adc_d2) with
+    (adc_d2 asc, neighbor_id asc) ranking — a total order.
+
+    Scale shape: the per-query distance TABLE (m_sub * n_codes rows per
+    query) is computed once against the broadcast codebook, then joined
+    onto the codes by (sub, code) — corpus-side work is one lookup per
+    stored code, never a vector arithmetic op; the final top-k is a
+    per-query window (TakeOrderedAndProject shape).
+    """
+    dim = len(queries.select(vec_col).first()[0])
+    sd = dim // m_sub
+    subs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice("mv", s * sd + 1, sd).alias("sv"),
+                )
+                for s in range(m_sub)
+            ]
+        )
+    )
+    qflat = (
+        queries.select(F.col(id_col).alias("query_id"), _micros(F.col(vec_col)).alias("mv"))
+        .select("query_id", subs.alias("sc"))
+        .select("query_id", "sc.sub", "sc.sv")
+    )
+    # distance table: (query_id, sub, code, d2) — tiny, broadcastable
+    dtab = qflat.join(F.broadcast(codebooks), "sub").select(
+        "query_id", "sub", "code", _sq_l2(F.col("sv"), F.col("cv")).alias("d2")
+    )
+    scored = (
+        codes.withColumnRenamed("id", "neighbor_id")
+        .join(F.broadcast(dtab), ["sub", "code"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adc_d2")
+    )

@@ -544,3 +544,63 @@ def test_scalar_quantize_constant_dim_and_validation(spark):
     assert rows[(0, 1)] == 0 and rows[(1, 1)] == 3  # full range -> top code
     with pytest.raises(ValueError):
         similarity.scalar_quantize(df, codes=1)
+
+
+# ------------------------------------------------- product quantization
+
+
+def _clustered_vecs(spark, n=120, dim=16, n_clusters=4):
+    """Deterministic clustered vectors: cluster center c has coordinate
+    pattern (c+1)*[1,2,...]; members add a small id-dependent jitter."""
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        vec = [
+            float((c + 1) * (j + 1)) + ((i * 31 + j * 7) % 5) * 0.01
+            for j in range(dim)
+        ]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_encode_shape_and_range(spark):
+    from ocr_search_spark.training import similarity as SIM
+
+    emb = _clustered_vecs(spark)
+    cb = SIM.pq_codebooks(emb, m_sub=4, n_codes=8)
+    assert cb.count() == 4 * 8
+    codes = SIM.pq_encode(emb, cb, m_sub=4)
+    per_id = codes.groupBy("id").count().collect()
+    assert all(r["count"] == 4 for r in per_id) and len(per_id) == 120
+    rng = codes.agg(F.min("code"), F.max("code")).collect()[0]
+    assert rng[0] >= 1 and rng[1] <= 8
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    from ocr_search_spark.training import similarity as SIM
+
+    emb = _clustered_vecs(spark, dim=10)
+    with pytest.raises(ValueError):
+        SIM.pq_codebooks(emb, m_sub=4)
+
+
+def test_pq_adc_recall_vs_exact_l2(spark):
+    from ocr_search_spark.training import similarity as SIM
+
+    emb = _clustered_vecs(spark).cache()
+    cb = SIM.pq_codebooks(emb, m_sub=4, n_codes=8)
+    codes = SIM.pq_encode(emb, cb, m_sub=4).cache()
+    queries = emb.where(F.col("vec_id") < 8)
+    got = SIM.pq_search(cb, codes, queries, k=5, m_sub=4).collect()
+    # Same-cluster members share a codeword, so ADC cannot rank inside a
+    # cluster (ties break by id — by design); the property PQ must
+    # deliver is CLUSTER purity: every returned neighbor belongs to the
+    # query's cluster, at distance 0 to the query's own codeword.
+    for r in got:
+        assert r.neighbor_id % 4 == r.query_id % 4, (
+            f"query {r.query_id} got cross-cluster neighbor {r.neighbor_id}"
+        )
+        assert r.adc_d2 >= 0
+    assert len(got) == 8 * 5
+    emb.unpersist()
+    codes.unpersist()
