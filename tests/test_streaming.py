@@ -491,3 +491,46 @@ def test_stream_dedup_exact_across_batches_and_restarts(spark, dirs):
     assert out2.groupBy("digest").count().where(F.col("count") > 1).count() == 0
     # and no resent doc_id slipped through
     assert out2.where(F.col("doc_id").startswith("resent-")).count() == 0
+
+
+def test_watermark_drops_late_events(spark, dirs):
+    """An event arriving BEHIND the checkpointed watermark must be
+    dropped: the already-finalized window is neither re-emitted nor
+    updated (append mode), and no duplicate window row appears."""
+    import datetime
+
+    def ev(eid, hh, mm):
+        return (
+            eid,
+            datetime.datetime(2024, 1, 1, hh, mm, 0),
+            eid,
+            "click",
+            1.0,
+            "{}",
+        )
+
+    mk = lambda rows: spark.createDataFrame(rows, ingest.EVENTS_DDL)  # noqa: E731
+
+    # Run 1: 00:30 plus 12:00 -> watermark after run = 10:00 (2h wm),
+    # so the 00:00 window is finalized and emitted with n=1.
+    mk([ev(1, 0, 30), ev(2, 12, 0)]).write.mode("append").parquet(dirs["in"])
+    ingest.stream_hourly_event_counts(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    first = {
+        (r["window_start"], r["n"]) for r in spark.read.parquet(dirs["out"]).collect()
+    }
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    assert (t0, 1) in first, f"00:00 window not finalized: {first}"
+
+    # Run 2 (same checkpoint): a LATE event inside the closed 00:00
+    # window plus a fresh 23:00 event that closes the 12:00 window.
+    mk([ev(3, 0, 45), ev(4, 23, 0)]).write.mode("append").parquet(dirs["in"])
+    ingest.stream_hourly_event_counts(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    rows = spark.read.parquet(dirs["out"]).collect()
+    per_window = {}
+    for r in rows:
+        per_window.setdefault(r["window_start"], []).append(r["n"])
+    # late event dropped: 00:00 window still exactly one row with n=1
+    assert per_window[t0] == [1], f"late event leaked: {per_window[t0]}"
+    # the 12:00 window was closed by the new watermark and emitted once
+    t12 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    assert per_window[t12] == [1]
