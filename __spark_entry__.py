@@ -5151,3 +5151,50 @@ adc AS (
 SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id, adc_d2
 FROM adc
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) <= 5"""
+
+
+# ------------------------------------------------------ BPE encode gate
+# Inference-time application of the learned merge table
+# (training/bpe.py:encode_words): same greedy merge order the trainer
+# produced, applied as 4 chained JVM replace()s — zero Python in the
+# encode path. The oracle extends the bpe_merges CTE chain one step:
+# after w{N}, each word's final segmentation IS the answer.
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .where(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    merges = [
+        (r.sym_a, r.sym_b)
+        for r in BPE.learn_bpe_merges(words, _BPE_STEPS)
+        .orderBy("step")
+        .collect()
+    ]
+    enc = BPE.encode_words(words, merges)
+    return enc.select(
+        "word",
+        "freq",
+        F.size("symbols").cast("long").alias("n_symbols"),
+        F.array_join("symbols", "+").alias("seg"),
+    )
+
+
+def _bpe_encode_oracle(steps: int) -> str:
+    # Reuse the bpe_merges CTE chain verbatim; swap the final merge-table
+    # select for the segmentation of w{steps}.
+    base = _bpe_oracle(steps)
+    head, _sel = base.split("\nSELECT 1::BIGINT AS step", 1)
+    return f"""{head}
+SELECT word, freq,
+       len(list_filter(string_split(s, '||'), x -> x <> ''))::BIGINT AS n_symbols,
+       list_aggregate(list_filter(string_split(s, '||'), x -> x <> ''), 'string_agg', '+') AS seg
+FROM w{steps}"""
+
+
+_TRAINING_QUERIES["bpe_encode"] = q_bpe_encode
+_TRAINING_ORACLES["bpe_encode"] = _bpe_encode_oracle(_BPE_STEPS)
