@@ -120,13 +120,19 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     under the orientation (every triangle is counted from exactly one
     wedge apex, so n_triangles <= n_wedges).
     """
-    e = edges.select("a", "b")
+    # Catalyst does not dedupe common subplans across DataFrame
+    # references: deg is read twice and oriented three times below, each
+    # of which would otherwise re-run the whole upstream edge pipeline
+    # (e.g. the corpus-wide bigram aggregate feeding word_triangles).
+    # Pin both — they are graph-sized (edges/nodes), far smaller than
+    # the corpus, and cache() spills to disk if not.
+    e = edges.select("a", "b").cache()
     deg = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    ).cache()
     # Orient a->b iff (deg_a, a) < (deg_b, b); total order, no ties.
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
@@ -139,7 +145,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
-    )
+    ).cache()
     # Wedges (v, w) from a shared oriented source u, ordered v < w to
     # enumerate each unordered pair once; close against oriented edges.
     w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
