@@ -5198,3 +5198,42 @@ FROM w{steps}"""
 
 _TRAINING_QUERIES["bpe_encode"] = q_bpe_encode
 _TRAINING_ORACLES["bpe_encode"] = _bpe_encode_oracle(_BPE_STEPS)
+
+
+# ------------------------------------------------------ document chunking
+# training/packing.py:chunk_documents — sliding word windows (RAG /
+# context-window prep). Pure projection + one explode, zero shuffles;
+# the digest column is the downstream chunk-level dedup key.
+
+from ocr_search_spark.training.packing import chunk_documents
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 32, 24
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
+
+
+_TRAINING_QUERIES["chunk_documents"] = q_chunk_documents
+_TRAINING_ORACLES["chunk_documents"] = f"""WITH d AS (
+  SELECT doc_id AS id, {_WORDS_SQL} AS ws FROM documents
+),
+c AS (
+  SELECT id, ws,
+         CASE WHEN len(ws) <= {_CHUNK_SIZE} THEN 1
+              ELSE 1 + ceil((len(ws) - {_CHUNK_SIZE})::DOUBLE / {_CHUNK_STRIDE})::BIGINT
+         END AS n_chunks
+  FROM d
+),
+x AS (SELECT id, ws, unnest(range(0, n_chunks)) AS chunk_idx FROM c),
+s AS (
+  SELECT id, chunk_idx,
+         ws[chunk_idx * {_CHUNK_STRIDE} + 1 : chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}] AS piece
+  FROM x
+)
+SELECT id, chunk_idx::BIGINT AS chunk_idx,
+       len(piece)::BIGINT AS n_words,
+       coalesce(list_aggregate(piece, 'string_agg', ' '), '') AS chunk_text,
+       md5(coalesce(list_aggregate(piece, 'string_agg', ' '), '')) AS chunk_digest
+FROM s"""

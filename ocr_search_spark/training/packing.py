@@ -133,3 +133,55 @@ def source_mix_weights(
         F.expr("(n_docs * 1000000) div _total").cast("long").alias("share_e6"),
         F.expr("(_tgt_e6 * _total) div n_docs").cast("long").alias("weight_e6"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step
+    every RAG / long-document training pipeline runs before embedding
+    or packing: split each document into word windows of ``size`` with
+    ``stride`` between window starts (overlap = size - stride).
+
+    Returns (id, chunk_idx, n_words, chunk_text, chunk_digest). Window
+    starts are 0, stride, 2*stride, ...; the LAST window may be short;
+    a document shorter than one window yields exactly one chunk. Chunk
+    count is exact integer math — ``1 + ceil((n - size)/stride)`` for
+    n > size else 1 — so any SQL twin lands on identical boundaries.
+
+    Shape at scale: one projection — per-row array ops (split, slice,
+    join) inside whole-stage codegen, then one explode; no shuffle at
+    all, so it composes with downstream dedup/embedding stages without
+    a repartition. The digest column is the downstream exact-dedup /
+    decontamination key (chunks repeat across near-dup docs far more
+    than whole documents do).
+    """
+    if size < 1 or stride < 1:
+        raise ValueError(f"size and stride must be >= 1, got {size}/{stride}")
+    if stride > size:
+        raise ValueError(f"stride {stride} > size {size} would drop words")
+    ws = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    n = F.size(ws)
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - F.lit(size)).cast("double") / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(ws, i * stride + 1, size), " "),
+    )
+    out = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    )
+    return out.select(
+        "id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(F.filter(F.split("chunk_text", r"\s+"), lambda x: x != ""))
+        .cast("long")
+        .alias("n_words"),
+        "chunk_text",
+        F.md5("chunk_text").alias("chunk_digest"),
+    )

@@ -604,3 +604,51 @@ def test_pq_adc_recall_vs_exact_l2(spark):
     assert len(got) == 8 * 5
     emb.unpersist()
     codes.unpersist()
+
+
+# ------------------------------------------------------ document chunking
+
+
+def test_chunk_documents_boundaries(spark):
+    from ocr_search_spark.training.packing import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 words
+    df = spark.createDataFrame(
+        [(1, words), (2, "short text"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {(r.id, r.chunk_idx): r for r in chunk_documents(df, size=4, stride=3).collect()}
+    # doc 1: starts 0,3,6,9 -> 1+ceil((10-4)/3)=3 chunks? ceil(6/3)=2 -> 3 chunks
+    d1 = sorted(k for k in out if k[0] == 1)
+    assert d1 == [(1, 0), (1, 1), (1, 2)]
+    assert out[(1, 0)].chunk_text == "w0 w1 w2 w3"
+    assert out[(1, 1)].chunk_text == "w3 w4 w5 w6"
+    assert out[(1, 2)].chunk_text == "w6 w7 w8 w9"
+    assert all(out[k].n_words == 4 for k in d1)
+    # doc 2: shorter than one window -> exactly one chunk
+    assert [k for k in out if k[0] == 2] == [(2, 0)]
+    assert out[(2, 0)].chunk_text == "short text" and out[(2, 0)].n_words == 2
+    # doc 3: empty text -> one empty chunk, zero words
+    assert out[(3, 0)].chunk_text == "" and out[(3, 0)].n_words == 0
+
+
+def test_chunk_documents_overlap_covers_everything(spark):
+    from ocr_search_spark.training.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = chunk_documents(df, size=16, stride=12).collect()
+    seen = set()
+    for r in chunks:
+        seen.update(r.chunk_text.split())
+    assert seen == {f"t{i}" for i in range(100)}, "stride dropped words"
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    from ocr_search_spark.training.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=0)
