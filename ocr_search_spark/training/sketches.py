@@ -203,3 +203,39 @@ def bloom_probe(
         .agg((F.count(F.lit(1)) == F.sum(F.col("_set").cast("int"))).alias("bloom_hit"))
     )
     return hit
+
+
+# ------------------------------------------------------------- mergeability
+# The property that makes sketches work at 100 TB: states built on
+# disjoint shards (or successive stream batches) merge into exactly the
+# state a single pass would have built — CMS by cell-wise sum, HLL by
+# register-wise max, Bloom by word-wise OR. Incremental maintenance of
+# a stored sketch is therefore the same groupBy, fed by the stored
+# state unioned with the new shard's state.
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS states (cell-wise sum): merge(build(A), build(B)) ==
+    build(A union-all B), exactly."""
+    from functools import reduce
+
+    u = reduce(DataFrame.unionByName, sketches)
+    return u.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hll_merge(*registers: DataFrame) -> DataFrame:
+    """Merge HLL register tables (register-wise max)."""
+    from functools import reduce
+
+    u = reduce(DataFrame.unionByName, registers)
+    return u.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Merge Bloom filters of the SAME (m_bits, k) geometry (word-wise
+    OR). Merging filters of different geometry is meaningless; callers
+    own that invariant (the tables carry no geometry metadata)."""
+    from functools import reduce
+
+    u = reduce(DataFrame.unionByName, blooms)
+    return u.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))

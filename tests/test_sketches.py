@@ -81,3 +81,24 @@ def test_cms_sketch_state_is_bounded(spark):
     # corpus-sized).
     plan = sketch._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_sketch_merges_equal_single_pass(spark):
+    """merge(build(A), build(B)) must equal build(A ∪ B) cell-for-cell —
+    the property that makes shard-parallel and streaming-incremental
+    sketch maintenance exact."""
+    a = _zipf_words(spark, n_rows=4000, vocab=500)
+    b = _zipf_words(spark, n_rows=3000, vocab=900)
+    both = a.unionByName(b)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    m = SK.cms_merge(SK.cms_build(a, "w"), SK.cms_build(b, "w"))
+    assert rows(m) == rows(SK.cms_build(both, "w"))
+
+    hm = SK.hll_merge(SK.hll_registers(a, "w"), SK.hll_registers(b, "w"))
+    assert rows(hm) == rows(SK.hll_registers(both, "w"))
+
+    bm = SK.bloom_merge(SK.bloom_build(a, "w"), SK.bloom_build(b, "w"))
+    assert rows(bm) == rows(SK.bloom_build(both, "w"))
