@@ -461,39 +461,35 @@ def pq_encode(
     per subspace under exact integer-micros squared L2, ties broken by
     code asc (total order, cross-engine stable).
 
-    Scale shape: one explode to (id, sub, subvec) — m_sub rows per
-    vector — joined to the BROADCAST codebook, then a (id, sub) min_by
-    aggregate. No corpus-keyed shuffle beyond the final aggregate, and
-    partial aggregation collapses it map-side. Storage: codes are
+    ZERO-shuffle plan: the whole codebook (m_sub*n_codes rows) is folded
+    into ONE array column and broadcast-cross-joined onto the corpus, and
+    each subspace's argmin is an ``array_min`` over structs — order-free,
+    so the nondeterministic collect_list order cannot perturb it. The
+    executed plan is scan -> broadcast join -> project -> explode: no
+    Exchange at any corpus size (vs the naive explode + groupBy-argmin,
+    which shuffles corpus x m_sub rows). Storage: codes are
     m_sub * ceil(log2(n_codes)) bits per vector vs 32*dim — the 100 TB
     memory story for billion-vector indexes.
     """
     dim = len(corpus.select(vec_col).first()[0])
     sd = dim // m_sub
-    subs = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("sub"),
-                    F.slice("mv", s * sd + 1, sd).alias("sv"),
-                )
-                for s in range(m_sub)
-            ]
+    cbarr = codebooks.groupBy().agg(
+        F.collect_list(F.struct("sub", "code", "cv")).alias("cb")
+    )
+    flat = corpus.select(
+        F.col(id_col).alias("id"), _micros(F.col(vec_col)).alias("mv")
+    ).crossJoin(F.broadcast(cbarr))
+
+    def best_code(s):
+        sv = F.slice("mv", s * sd + 1, sd)
+        cands = F.filter("cb", lambda c: c.sub == F.lit(s))
+        scored = F.transform(
+            cands, lambda c: F.struct(_sq_l2(sv, c.cv).alias("d2"), c.code.alias("code"))
         )
-    )
-    flat = (
-        corpus.select(F.col(id_col).alias("id"), _micros(F.col(vec_col)).alias("mv"))
-        .select("id", subs.alias("sc"))
-        .select("id", "sc.sub", "sc.sv")
-    )
-    scored = flat.join(F.broadcast(codebooks), "sub").select(
-        "id", "sub", "code", _sq_l2(F.col("sv"), F.col("cv")).alias("d2")
-    )
-    # argmin with (d2, code) total order via min_by on a packed struct
-    best = scored.groupBy("id", "sub").agg(
-        F.min(F.struct("d2", "code")).alias("best")
-    )
-    return best.select("id", "sub", F.col("best.code").alias("code"))
+        return F.array_min(scored).code
+
+    codes = F.array(*[best_code(s) for s in range(m_sub)])
+    return flat.select("id", F.posexplode(codes).alias("sub", "code"))
 
 
 def pq_search(
