@@ -5237,3 +5237,43 @@ SELECT id, chunk_idx::BIGINT AS chunk_idx,
        coalesce(list_aggregate(piece, 'string_agg', ' '), '') AS chunk_text,
        md5(coalesce(list_aggregate(piece, 'string_agg', ' '), '')) AS chunk_digest
 FROM s"""
+
+
+# ------------------------------------------------------ grouped HLL gate
+# Distinct-vocabulary estimate PER LANGUAGE — the grouped-sketch shape:
+# 64 integer registers per lang regardless of group size, so "how many
+# distinct terms does each language contribute" costs one scan with a
+# (langs x 64)-row shuffle instead of a distinct over (lang, term).
+
+
+def q_hll_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lw = (
+        docs.select(
+            "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    out = SKETCH.hll_registers(lw, "w", group_cols=("lang",))
+    return out.select(
+        "lang",
+        F.col("register").cast("long").alias("register"),
+        F.col("max_rho").cast("int").alias("max_rho"),
+    )
+
+
+_TRAINING_QUERIES["hll_by_lang"] = q_hll_by_lang
+_TRAINING_ORACLES["hll_by_lang"] = f"""WITH lw AS (
+  SELECT DISTINCT lang, w FROM (
+    SELECT lang, unnest({_WORDS_SQL}) AS w FROM documents
+  )
+),
+h AS (SELECT lang, ('0x' || substring(md5(w), 1, 15))::BIGINT AS h FROM lw),
+rr AS (
+  SELECT lang, h % 64 AS register,
+         CASE WHEN (h >> 6) = 0 THEN 55 ELSE 55 - length(bin(h >> 6)) END AS rho
+  FROM h
+)
+SELECT lang, register::BIGINT AS register, max(rho)::INTEGER AS max_rho
+FROM rr GROUP BY lang, register"""

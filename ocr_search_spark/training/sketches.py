@@ -110,12 +110,17 @@ HLL_M = 1 << HLL_B
 _RANK_BITS = 60 - HLL_B  # 54
 
 
-def hll_registers(items: DataFrame, col: str) -> DataFrame:
+def hll_registers(items: DataFrame, col: str, group_cols: tuple = ()) -> DataFrame:
     """HyperLogLog register table over the DISTINCT values of ``col``.
 
-    Returns (register, max_rho) — <= 64 rows.  Only occupied registers
-    appear; an absent register is rho=0 by convention (callers padding
-    for the estimate use :func:`hll_estimate_from_registers`).
+    Returns (*group_cols, register, max_rho) — <= 64 rows per group.
+    Only occupied registers appear; an absent register is rho=0 by
+    convention (callers padding for the estimate use
+    :func:`hll_estimate_from_registers`).  With ``group_cols`` this is
+    the grouped-sketch shape ("distinct terms per language/source"):
+    64-row state per group key regardless of group size, all map-side
+    combinable — the shuffle carries groups x 64 rows, never the
+    distinct values themselves.
     """
     h = h60(F.col(col))
     reg = (h % HLL_M).alias("register")
@@ -126,9 +131,10 @@ def hll_registers(items: DataFrame, col: str) -> DataFrame:
         .cast("int")
         .alias("rho")
     )
+    gcols = [F.col(g) for g in group_cols]
     return (
-        items.select(reg, rho)
-        .groupBy("register")
+        items.select(*gcols, reg, rho)
+        .groupBy(*group_cols, "register")
         .agg(F.max("rho").alias("max_rho"))
     )
 
