@@ -87,6 +87,10 @@ def cms_estimate(
     Output: probes' columns + ``cms_est``. The sketch (<= depth*width
     rows) broadcasts; a probed bucket with no sketch row means no
     element ever hashed there → that row's counter is exactly 0.
+
+    Contract: probes' columns must not be named row/bucket/cnt (they
+    would collide with the sketch join keys), and probe rows are
+    treated as a set (the groupBy collapses duplicates).
     """
     pb = probes.select(
         "*", F.explode(_row_buckets(F.col(col), depth, width)).alias("rb")
@@ -189,6 +193,10 @@ def bloom_probe(
     Output: probes' columns + ``bloom_hit`` (true iff ALL k bits set —
     i.e. "possibly in the set"; false is definite).  The filter
     broadcasts (<= m_bits/32 rows); the probe side is one scan.
+
+    Contract: probe rows are treated as a set (duplicates collapse into
+    one group, where count==sum still decides the all-bits-set check)
+    and must not carry columns named word_idx/bitval/bits.
     """
     pp = (
         probes.select("*", F.explode(_bit_positions(F.col(col), m_bits, k)).alias("pos"))
