@@ -1,0 +1,143 @@
+"""Incremental sketch maintenance from a document stream.
+
+Sketches are the natural streaming aggregate — fixed-size state,
+mergeable — but exactly-once composition with foreachBatch depends on
+the merge's algebra:
+
+* **HLL / Bloom** merges (max / or) are IDEMPOTENT: replaying a batch
+  re-applies the same maxima/bits and the state is unchanged. They can
+  merge straight into stored state.
+* **CMS** merge is a SUM — replaying a batch double-counts. The
+  exactly-once shape is therefore a PARTIALS table keyed by
+  ``batch_id``: each micro-batch ``replace_group``s its own partial
+  sketch (idempotent overwrite — a replayed batch rewrites the identical
+  rows), and the current sketch is the sum over partials at read time.
+  State is (batches x depth x width) until :func:`compact_cms_partials`
+  folds history into a single base partial — the same
+  bounded-log + compaction pattern every incremental-view store uses.
+
+At 10^12-doc scale each micro-batch writes <= depth*width rows into its
+own bucket; the read-side sum touches sketch-sized data only. Cost is
+independent of corpus size — that is the whole point of sketch state.
+
+Reference parity: the reference engine has no streaming or sketch tier
+(its sync loop re-processes whole files — DropboxSynchronizer
+.class.js:125-156); this composes the engine's own streaming checkpoint
+(S5) and MERGE storage (I1/I2) primitives with the sketch operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..storage import BucketedTable
+from ..training.sketches import cms_build
+
+BASE_BATCH_ID = -1  # compaction folds history into this pseudo-batch
+
+
+def cms_partials_table(
+    spark: SparkSession, table_path: str, n_buckets: int = 8
+) -> BucketedTable:
+    """(batch_id, row, bucket, cnt) partial sketches, bucketed by
+    batch_id so one micro-batch rewrites exactly one storage bucket."""
+    return BucketedTable(
+        spark,
+        table_path,
+        keys=["batch_id", "row", "bucket"],
+        n_buckets=n_buckets,
+        bucket_keys=["batch_id"],
+    )
+
+
+def merge_cms_batch(
+    table: BucketedTable,
+    items: DataFrame,
+    batch_id: int,
+    col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> None:
+    """Write one micro-batch's partial sketch, idempotently: a replayed
+    batch_id replaces its own rows and nothing else (the foreachBatch
+    exactly-once contract)."""
+    spark = items.sparkSession
+    partial = cms_build(items, col, depth, width).select(
+        F.lit(int(batch_id)).cast("long").alias("batch_id"), "row", "bucket", "cnt"
+    )
+    groups = spark.createDataFrame([(int(batch_id),)], "batch_id long")
+    if not table.exists():
+        table.init(partial)
+    else:
+        table.replace_group(partial, group_keys=["batch_id"], groups=groups)
+
+
+def current_cms(table: BucketedTable) -> DataFrame:
+    """The live sketch: cell-wise sum over all stored partials —
+    identical to a single-pass build over everything ingested so far
+    (cms_merge semantics; tested)."""
+    return (
+        table.read()
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def compact_cms_partials(table: BucketedTable) -> None:
+    """Fold all partials into the single BASE_BATCH_ID partial. Call
+    between streaming runs (never concurrently with one): a batch
+    replayed AFTER its partial was folded into the base would
+    double-count, so compaction must only cover committed batches —
+    running it while the query is stopped guarantees that."""
+    spark = table.spark
+    base = current_cms(table).select(
+        F.lit(BASE_BATCH_ID).cast("long").alias("batch_id"), "row", "bucket", "cnt"
+    )
+    # Replace EVERY stored batch group with the single base partial —
+    # sketch-sized rewrite (the whole table is <= batches x depth x width).
+    all_groups = table.read().select("batch_id").distinct().unionByName(
+        spark.createDataFrame([(BASE_BATCH_ID,)], "batch_id long")
+    )
+    # base must be materialized BEFORE replace_group starts dropping the
+    # rows it reads from.
+    base = spark.createDataFrame(base.collect(), base.schema)
+    table.replace_group(base, group_keys=["batch_id"], groups=all_groups)
+
+
+def stream_maintain_cms(
+    spark: SparkSession,
+    input_path: str,
+    table_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 512,
+    n_buckets: int = 8,
+    await_termination: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Maintain a corpus word-frequency CMS from a parquet file stream of
+    documents (whitespace words of lower(text), the corpus convention)."""
+    table = cms_partials_table(spark, table_path, n_buckets)
+    # Subset schema: parquet file streams prune to the listed columns.
+    reader = spark.readStream.schema("doc_id long, text string")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_path)
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        words = df.select(
+            F.explode(F.split(F.lower(text_col), r"\s+")).alias("w")
+        ).filter(F.col("w") != "")
+        merge_cms_batch(table, words, batch_id, "w", depth, width)
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q

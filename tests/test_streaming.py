@@ -534,3 +534,71 @@ def test_watermark_drops_late_events(spark, dirs):
     # the 12:00 window was closed by the new watermark and emitted once
     t12 = datetime.datetime(2024, 1, 1, 12, 0, 0)
     assert per_window[t12] == [1]
+
+
+def test_stream_maintain_cms_exactness_and_replay(spark, dirs, tmp_path):
+    """Streaming CMS maintenance == single-pass batch build, batch
+    replay is a no-op (exactly-once via batch-keyed partials), and
+    compaction folds history without changing the live sketch."""
+    from ocr_search_spark.streaming import sketch_maintain as SM
+    from ocr_search_spark.training.sketches import cms_build
+
+    def mk_docs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("alpha beta doc"),
+                F.lit(" w"), (F.col("id") % 13).cast("string"),
+                F.lit(" w"), (F.col("id") % 7).cast("string"),
+            ).alias("text"),
+        )
+
+    mk_docs(0, 60).write.mode("append").parquet(dirs["in"])
+    mk_docs(60, 160).write.mode("append").parquet(dirs["in"])
+
+    table_path = str(tmp_path / "cms_table")
+    SM.stream_maintain_cms(
+        spark, dirs["in"], table_path, dirs["ckpt"], max_files_per_trigger=1
+    )
+    table = SM.cms_partials_table(spark, table_path)
+
+    def words(df):
+        return df.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        ).filter(F.col("w") != "")
+
+    expect = sorted(
+        tuple(r)
+        for r in cms_build(words(spark.read.parquet(dirs["in"])), "w").collect()
+    )
+    live = lambda: sorted(tuple(r) for r in SM.current_cms(table).collect())  # noqa: E731
+    assert live() == expect
+
+    # sink idempotence (the foreachBatch replay contract): applying the
+    # SAME batch content under the same batch_id twice is a no-op
+    replay = spark.createDataFrame([(888888, "aa bb aa")], "doc_id long, text string")
+    SM.merge_cms_batch(table, words(replay), 500, "w")
+    after_once = live()
+    SM.merge_cms_batch(table, words(replay), 500, "w")
+    assert live() == after_once, "batch replay changed CMS state"
+    expect = after_once  # carry the extra batch into later comparisons
+
+    # compaction folds partials into the base without changing the sketch
+    SM.compact_cms_partials(table)
+    bids = {r.batch_id for r in table.read().select("batch_id").distinct().collect()}
+    assert bids == {SM.BASE_BATCH_ID}
+    assert live() == expect
+
+    # a post-compaction batch keeps merging correctly
+    extra = spark.createDataFrame([(999999, "zz zz zz")], "doc_id long, text string")
+    SM.merge_cms_batch(table, words(extra), 1000, "w")
+    expect2 = sorted(
+        tuple(r)
+        for r in cms_build(
+            words(
+                spark.read.parquet(dirs["in"]).unionByName(replay).unionByName(extra)
+            ),
+            "w",
+        ).collect()
+    )
+    assert live() == expect2
