@@ -5277,3 +5277,63 @@ rr AS (
 )
 SELECT lang, register::BIGINT AS register, max(rho)::INTEGER AS max_rho
 FROM rr GROUP BY lang, register"""
+
+
+# --------------------------------------------------- curation pipeline
+# The stages composed end-to-end — the shape a real training-data prep
+# job runs: quality filter (C4/Gopher heuristics) -> exact dedup (keep
+# canonical) -> sliding-window chunking. Each stage is individually
+# gated (quality_score / dedup_exact / chunk_documents); this entry
+# gates their COMPOSITION, where stage-boundary bugs (filter before vs
+# after dedup, dedup over filtered-out docs) would hide.
+
+_CURATE_MIN_SCORE = 0.65
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _widened(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    q = TS.quality_score(docs)
+    kept = docs.join(
+        q.where(F.col("score") >= _CURATE_MIN_SCORE).select("id", "score"),
+        docs["doc_id"] == F.col("id"),
+    ).select("doc_id", "text", "score")
+    canon = D.exact_duplicates(kept).where(~F.col("is_dup")).select("id")
+    surv = kept.join(canon, kept["doc_id"] == canon["id"], "left_semi")
+    chunks = chunk_documents(surv, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
+    per_doc = chunks.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n_words").cast("long").alias("n_words"),
+    )
+    return per_doc.join(
+        surv.select(F.col("doc_id").alias("id"), "score"), "id"
+    ).select("id", "score", "n_chunks", "n_words")
+
+
+_TRAINING_QUERIES["curation_pipeline"] = q_curation_pipeline
+_TRAINING_ORACLES["curation_pipeline"] = f"""WITH qual AS ({_QUALITY_ORACLE}),
+kept AS (
+  SELECT d.doc_id AS id, d.text, qual.score
+  FROM documents d JOIN qual ON qual.id = d.doc_id
+  WHERE qual.score >= {_CURATE_MIN_SCORE}
+),
+canon AS (
+  SELECT min(id) AS id
+  FROM (SELECT id, md5(text) AS dg FROM kept)
+  GROUP BY dg
+),
+surv AS (SELECT kept.* FROM kept JOIN canon USING (id)),
+ws AS (
+  SELECT id, score, {_WORDS_SQL} AS ws FROM surv
+),
+ck AS (
+  SELECT id, score, len(ws) AS n,
+         CASE WHEN len(ws) <= {_CHUNK_SIZE} THEN 1
+              ELSE 1 + ceil((len(ws) - {_CHUNK_SIZE})::DOUBLE / {_CHUNK_STRIDE})::BIGINT
+         END AS n_chunks,
+         ws
+  FROM ws
+),
+x AS (SELECT id, score, n_chunks, ws, unnest(range(0, n_chunks)) AS ci FROM ck)
+SELECT id, score, n_chunks::BIGINT AS n_chunks,
+       sum(len(ws[ci * {_CHUNK_STRIDE} + 1 : ci * {_CHUNK_STRIDE} + {_CHUNK_SIZE}]))::BIGINT AS n_words
+FROM x GROUP BY id, score, n_chunks"""
