@@ -5337,3 +5337,36 @@ x AS (SELECT id, score, n_chunks, ws, unnest(range(0, n_chunks)) AS ci FROM ck)
 SELECT id, score, n_chunks::BIGINT AS n_chunks,
        sum(len(ws[ci * {_CHUNK_STRIDE} + 1 : ci * {_CHUNK_STRIDE} + {_CHUNK_SIZE}]))::BIGINT AS n_words
 FROM x GROUP BY id, score, n_chunks"""
+
+
+# ---------------------------------------------- semi-structured extraction
+# events.props carries JSON payloads; the typed extraction path is
+# from_json with a pinned schema (Catalyst JsonToStructs — codegen'd,
+# null on malformed input, no Python). Aggregated per event_type so the
+# gate covers both the parse and its null semantics.
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.from_json("props", "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("k").cast("long").alias("n_parsed"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+_TRAINING_QUERIES["events_json_props"] = q_events_json_props
+_TRAINING_ORACLES["events_json_props"] = """SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       count(json_extract(props, '$.k'))::BIGINT AS n_parsed,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       min(json_extract(props, '$.k')::BIGINT)::BIGINT AS min_k,
+       max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k
+FROM events GROUP BY event_type"""
