@@ -1398,11 +1398,13 @@ SELECT id, n_tok::BIGINT AS n_tokens,
        round(stop * 2.0 + least(mean_len, 8.0) / 8.0 - punct * 4.0 - digit * 2.0, 6) AS score
 FROM m"""
 
-def _kmeans_oracle(iters: int = 2) -> str:
-    """DuckDB twin of q_embed_ann_kmeans: the Lloyd iterations unrolled
-    as CTE pairs (assign against c{k-1} → mean into c{k}), same rounded-
-    cosine assignment (round 6, cid tie-break) and exact-DECIMAL means
-    (floats rounded to 9 dp, one cast to double, round 6)."""
+def _kmeans_assign_ctes(iters: int = 2) -> list[str]:
+    """CTE chain (flat/norms/seeds/c0 → Lloyd pairs → final `assign`)
+    shared by every oracle that consumes a k-means clustering: the Lloyd
+    iterations unrolled as CTE pairs (assign against c{k-1} → mean into
+    c{k}), same rounded-cosine assignment (round 6, cid tie-break) and
+    exact-DECIMAL means (floats rounded to 9 dp, one cast to double,
+    round 6)."""
     parts = [
         """flat AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
@@ -1454,8 +1456,17 @@ assign AS (
                               ORDER BY round(dot / (n.nrm * cn.cn), 6) DESC, cid) AS rn
     FROM vc{fin} JOIN norms n USING (vec_id) JOIN cn{fin} cn USING (cid)
   ) WHERE rn = 1
-),
-probed AS (SELECT vec_id AS query_id, cid FROM assign WHERE vec_id < 10),
+)"""
+    )
+    return parts
+
+
+def _kmeans_oracle(iters: int = 2) -> str:
+    """DuckDB twin of q_embed_ann_kmeans: k-means assign CTEs + the
+    nprobe=1 IVF search (probe own cluster, exact cosine, top-5)."""
+    parts = _kmeans_assign_ctes(iters)
+    parts.append(
+        """probed AS (SELECT vec_id AS query_id, cid FROM assign WHERE vec_id < 10),
 cand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id
   FROM probed p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
@@ -1480,6 +1491,33 @@ SELECT query_id, neighbor_id, cos FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
   FROM cosd
 ) WHERE rn <= 5"""
+
+
+def _semantic_dedup_oracle(iters: int = 1, threshold: float = 0.3) -> str:
+    """DuckDB twin of SIM.semantic_dedup over kmeans_centroids(iters):
+    within-cluster pairs, rounded cosine >= threshold drops the higher
+    id; keep-lowest-id witness + strongest similarity per dropped row."""
+    parts = _kmeans_assign_ctes(iters)
+    parts.append(
+        f"""mem AS (SELECT a.vec_id, a.cid, n.nrm FROM assign a JOIN norms n USING (vec_id)),
+pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         round(sum(fa.v::DOUBLE * fb.v::DOUBLE) / (any_value(x.nrm) * any_value(y.nrm)), 6) AS cos
+  FROM mem x
+  JOIN mem y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  JOIN flat fa ON fa.vec_id = x.vec_id
+  JOIN flat fb ON fb.vec_id = y.vec_id AND fb.i = fa.i
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT id_b AS vec_id, min(id_a) AS kept_by, max(cos) AS max_cos
+  FROM pairs WHERE cos >= {threshold} GROUP BY id_b
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT a.vec_id, a.cid, d.kept_by IS NULL AS keep, d.kept_by, d.max_cos
+FROM assign a LEFT JOIN dropped d USING (vec_id)"""
 
 
 def _skew_oracle(corr: bool = False) -> str:
@@ -1773,12 +1811,16 @@ _GATE_PRIORITY = [
     # new in round 3
     "dedup_skewed", "correlations_incremental", "search_batch_bm25",
     "png_pixel_stats", "postings_wordnet",
-    "tpch_q4", "tpch_q6", "tpch_q10", "tpch_q14", "tpch_q17",
+    "tpch_q4", "tpch_q14", "tpch_q17",
     "phrase_search", "embed_neardup", "dedup_containment",
-    "events_sliding", "corpus_ngrams", "redact_pii", "repetition_signals",
+    "corpus_ngrams", "redact_pii", "repetition_signals",
     "tpch_q2", "tpch_q9",
     "tpch_q21",
-    "quantiles_pricing", "events_argmax", "rolling_revenue", "zorder_curve",
+    "quantiles_pricing", "rolling_revenue", "zorder_curve",
+    # session-5 training-mix ops — first-class curation operators take
+    # the window slots of four shape-siblings (see overflow note below)
+    "semantic_dedup", "weighted_sample", "gopher_filters",
+    "minhash_incremental",
     "search_fuzzy", "events_outliers", "wav_sample_stats",
     # passage-level dedup + training-mix + graph/vector/tokenizer/index ops
     "dup_passages", "pack_sequences", "source_mix",
@@ -1795,7 +1837,13 @@ _GATE_PRIORITY = [
     # tools/check_entry.py (see COVERAGE.md). The same applies to the
     # session-4 sketch entries (cms_heavy_hitters / hll_registers /
     # bloom_decontaminate) and everything registered after them.
+    # Session-5 evictions from the window, same sibling policy: tpch_q6
+    # (filter+agg = tpch_q1's r2 row), tpch_q10 (multiway join-agg =
+    # tpch_q3/q5 rows), events_argmax (ranked pick per group =
+    # window_top_orders' r2 row), events_sliding (window explode+agg =
+    # events_hourly's r2 row + rolling_revenue's in-window slot).
     "passage_dup_stats", "zorder_scaled",
+    "tpch_q6", "tpch_q10", "events_argmax", "events_sliding",
     "tpch_q11", "tpch_q12", "tpch_q15", "tpch_q16", "tpch_q19", "tpch_q20",
 ]
 
@@ -5370,3 +5418,126 @@ _TRAINING_ORACLES["events_json_props"] = """SELECT event_type,
        min(json_extract(props, '$.k')::BIGINT)::BIGINT AS min_k,
        max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k
 FROM events GROUP BY event_type"""
+
+
+# --------------------------------------------------- training-mix ops (s5)
+# Session-5 additions: semantic dedup over the embedding space, exact
+# A-ES weighted sampling, the Gopher quality-rule gate, and incremental
+# maintenance of the MinHash signature table.
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over kmeans(iters=1) clusters. threshold=0.3 is
+    calibrated to the synthetic near-orthogonal embeddings (max observed
+    same-label cosine ~0.38); real encoders run this at ~0.95."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = SIM.kmeans_centroids(emb, n_centroids=8, iters=1)
+    return SIM.semantic_dedup(emb, cents, threshold=0.3).select(
+        "vec_id", F.col("cid").cast("long").alias("cid"),
+        "keep", "kept_by", "max_cos",
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.weighted_sample(_docs_flat(spark, sf_dir), k=20)
+
+
+def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_stop_hits=1: the synthetic corpus has only 'the' from the
+    Gopher required-stopword list, so the paper's >=2 would zero the
+    rule; every other bound is the paper's."""
+    return TS.gopher_filters(_docs_flat(spark, sf_dir), min_stop_hits=1)
+
+
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM gate: base signatures computed over a STALE corpus (docs with
+    doc_id%10==0 carry appended junk), then one upsert batch of the true
+    text + one delete set (doc_id%17==3, overlapping the batch) must
+    reproduce the full recompute over the updated corpus — which is
+    exactly what the oracle computes."""
+    docs = _docs_flat(spark, sf_dir)
+    is_changed = F.col("doc_id") % 10 == 0
+    stale = docs.withColumn(
+        "text",
+        F.when(is_changed, F.concat(F.col("text"), F.lit(" stalemarker zz"))).otherwise(
+            F.col("text")
+        ),
+    )
+    base = D.minhash_signatures(stale, k=3, num_hashes=16)
+    changed = docs.where(is_changed)
+    deleted = docs.where(F.col("doc_id") % 17 == 3).select(
+        F.col("doc_id").alias("id")
+    )
+    out = D.minhash_upsert(base, changed, deleted, k=3, num_hashes=16)
+    # flat (id, h_idx, m) — the gate compares scalar columns only
+    return out.select(
+        "id", F.posexplode("sig").alias("h_idx", "m")
+    ).select("id", F.col("h_idx").cast("long").alias("h_idx"), "m")
+
+
+_TRAINING_QUERIES["semantic_dedup"] = q_semantic_dedup
+_TRAINING_ORACLES["semantic_dedup"] = _semantic_dedup_oracle(iters=1, threshold=0.3)
+
+_TRAINING_QUERIES["weighted_sample"] = q_weighted_sample
+_TRAINING_ORACLES["weighted_sample"] = f"""WITH w AS (
+  SELECT doc_id AS id, greatest(least(len({_WORDS_SQL}), 64), 1) AS weight
+  FROM documents
+),
+p AS (
+  SELECT id, weight,
+         list_max(list_transform(range(1, weight + 1),
+           j -> {_h60_sql("id::VARCHAR || ':' || j::VARCHAR || ':ws'")})) AS priority
+  FROM w
+)
+SELECT id, weight::BIGINT AS weight, priority FROM p
+ORDER BY priority DESC, id LIMIT 20"""
+
+_TRAINING_QUERIES["gopher_filters"] = q_gopher_filters
+_GOPHER_STOP_SQL = ", ".join("'" + s + "'" for s in TS.GOPHER_STOPWORDS)
+_TRAINING_ORACLES["gopher_filters"] = f"""WITH w AS (
+  SELECT doc_id AS id, text, {_WORDS_SQL} AS ws FROM documents
+),
+m AS (
+  SELECT id,
+         len(ws) AS n_words,
+         round(coalesce(list_sum(list_transform(ws, x -> length(x)::DOUBLE)), 0.0)
+               / (CASE WHEN len(ws) > 0 THEN len(ws) ELSE 1 END), 6) AS mean_word_len,
+         round((length(regexp_replace(text, '[^#]', '', 'g'))
+                + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE
+               / (CASE WHEN len(ws) > 0 THEN len(ws) ELSE 1 END), 6) AS symbol_ratio,
+         round(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+               / (CASE WHEN len(ws) > 0 THEN len(ws) ELSE 1 END), 6) AS alpha_ratio,
+         len(list_filter([{_GOPHER_STOP_SQL}], s -> list_contains(ws, s))) AS stop_hits
+  FROM w
+)
+SELECT id, n_words::BIGINT AS n_words, mean_word_len, symbol_ratio, alpha_ratio,
+       stop_hits::BIGINT AS stop_hits,
+       (n_words >= 50 AND n_words <= 100000) AS f_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS f_mean_len,
+       (symbol_ratio <= 0.1) AS f_symbols,
+       (alpha_ratio >= 0.8) AS f_alpha,
+       (stop_hits >= 1) AS f_stops,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8 AND stop_hits >= 1) AS keep
+FROM m"""
+
+_TRAINING_QUERIES["minhash_incremental"] = q_minhash_incremental
+_MINS_SQL = ", ".join(
+    f"min({_h60_sql(chr(39) + str(i) + ':' + chr(39) + ' || shingle')}) AS m{i}"
+    for i in range(16)
+)
+_TRAINING_ORACLES["minhash_incremental"] = f"""WITH words AS (
+  SELECT doc_id AS id, {_WORDS_SQL} AS ws FROM documents WHERE doc_id % 17 <> 3
+),
+shingles AS (
+  SELECT id, list_distinct(list_transform(
+           range(1, greatest(len(ws) - 1, 1)),
+           i -> array_to_string(ws[i:i+2], ' '))) AS shs
+  FROM words WHERE len(ws) >= 3
+),
+srows AS (SELECT id, unnest(shs) AS shingle FROM shingles),
+sigs AS (SELECT id, {_MINS_SQL} FROM srows GROUP BY id)
+SELECT id, substring(hname, 2)::BIGINT AS h_idx, m
+FROM (UNPIVOT sigs ON {", ".join(f"m{i}" for i in range(16))}
+      INTO NAME hname VALUE m)"""

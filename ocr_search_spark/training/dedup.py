@@ -219,6 +219,44 @@ def minhash_jaccard_estimate(
     )
 
 
+def minhash_upsert(
+    base_sigs: DataFrame,
+    changed_docs: DataFrame,
+    deleted_ids: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Incremental view maintenance for the MinHash signature table:
+    recompute signatures ONLY for the changed-docs batch, drop deleted
+    ids, keep everything else — the result equals a full recompute over
+    the updated corpus (the oracle), but the expensive shingle->hash
+    pass runs over the batch alone.
+
+    A delete that also appears in the batch wins (the doc is gone).
+    Docs that fall below the shingle minimum (< k words) simply have no
+    signature row, matching :func:`minhash_signatures`.
+
+    Scale: base is touched by one anti-join on id (partition-prunable
+    when base lives in a BucketedTable — only buckets containing doomed
+    ids rewrite); batch cost is proportional to the diff, not the
+    corpus. This is the index-maintenance twin of
+    ``correlate.incremental_correlations``, applied to the dedup index.
+    """
+    fresh = minhash_signatures(
+        changed_docs, text_col, id_col, k=k, num_hashes=num_hashes, max_df=max_df
+    )
+    doomed = (
+        changed_docs.select(F.col(id_col).alias("id"))
+        .unionByName(deleted_ids.select(F.col("id")))
+        .distinct()
+    )
+    kept = base_sigs.join(doomed, "id", "left_anti")
+    return kept.unionByName(fresh.join(deleted_ids, "id", "left_anti"))
+
+
 # ---------------------------------------------------- decontamination
 
 

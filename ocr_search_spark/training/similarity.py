@@ -240,6 +240,69 @@ def ivf_search(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, compare pairs ONLY
+    within a cluster, and drop every vector whose rounded cosine to a
+    LOWER-id cluster-mate reaches ``threshold`` (keep-lowest-id rule —
+    deterministic, unlike the paper's keep-random).
+
+    Output: one row per vector — (vec_id, cid, keep, kept_by, max_cos)
+    where kept_by = the smallest surviving witness id and max_cos the
+    strongest in-cluster similarity, both NULL for keepers.
+
+    Scale: the all-pairs step is confined to clusters, so cost is
+    sum(|cluster|^2); the cid equi-join shuffles once and AQE skew-split
+    handles a hot cluster. At 100 TB pick n_centroids ~ sqrt(N) so the
+    expected cluster is ~sqrt(N) vectors; never run this without a
+    clustering step (the unclustered all-pairs join is quadratic).
+    Replaces the reference's nothing — ocr_search has no embedding ops —
+    positioned as a training-data curation stage over the same tables.
+    """
+    assign = ivf_assign(corpus, centroids, id_col, vec_col, round_digits)
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        norm_col(F.col(vec_col)).alias("vn"),
+    )
+    m = assign.join(v, "vec_id")
+    a = m.select(
+        F.col("vec_id").alias("id_a"), "cid",
+        F.col("v").alias("va"), F.col("vn").alias("na"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("id_b"), "cid",
+        F.col("v").alias("vb"), F.col("vn").alias("nb"),
+    )
+    cos = F.round(
+        dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        round_digits,
+    )
+    dup = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= F.lit(threshold))
+    )
+    dropped = dup.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.min("id_a").alias("kept_by"), F.max("cos").alias("max_cos")
+    )
+    return assign.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        F.col("kept_by").isNull().alias("keep"),
+        "kept_by",
+        "max_cos",
+    )
+
+
 def hyperplane_planes(
     spark, n_planes: int = 64, dim: int = 64
 ) -> DataFrame:

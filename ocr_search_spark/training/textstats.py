@@ -155,6 +155,132 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 20,
+    max_weight: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weight-proportional sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES), integer-exact: the textbook scheme ranks
+    by u^(1/w) with u~U(0,1), but max of w iid uniforms has the SAME
+    CDF x^w — so each doc's priority is the max of w independent h60
+    hashes and the top-k by priority is an exact A-ES draw with zero
+    floating point (cross-engine replayable, no ln/pow ulp risk).
+
+    Weight = whitespace token count clamped to [1, max_weight] — the
+    "sample long docs proportionally more" training-mix primitive. The
+    clamp bounds the per-row hash array, so cost is one projection plus
+    a TakeOrderedAndProject; no shuffle beyond the global top-k.
+    """
+    w = F.greatest(
+        F.least(F.size(_words(F.col(text_col))), F.lit(max_weight)), F.lit(1)
+    )
+    pri = F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), w),
+            lambda j: h60(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    j.cast("string"),
+                    F.lit(":" + salt),
+                )
+            ),
+        )
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            w.cast("long").alias("weight"),
+            pri.alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.asc("id"))
+        .limit(k)
+    )
+
+
+# Gopher (Rae et al. 2021, arXiv:2112.11446) repetition-free quality
+# rules; the required-stopword list is the paper's own.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality gate as named per-rule columns:
+    every rule is auditable (which rule killed this doc?), `keep` is
+    their conjunction. All ratios are rounded to 6 dp BEFORE the flag
+    comparisons so Spark and the SQL oracle flag identically.
+
+    Rules (paper section A1.1): word count in [min,max]; mean word
+    length in [3,10]; '#'/'...'-to-word symbol ratio <= 0.1; >= 80% of
+    words contain an alphabetic character; at least ``min_stop_hits``
+    distinct required stopwords present.
+
+    One projection over the scan — no shuffle, no UDF; at 100 TB this
+    is the cheap first stage that prunes before any pairwise dedup.
+    """
+    ws = _words(F.col(text_col))
+    n = F.size(ws)
+    nd = F.when(n > 0, n.cast("double")).otherwise(F.lit(1.0))
+    mean_len = F.round(
+        F.aggregate(
+            ws, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+        )
+        / nd,
+        6,
+    )
+    n_symbols = F.regexp_count(F.col(text_col), F.lit(r"\.\.\.")) + F.regexp_count(
+        F.col(text_col), F.lit("#")
+    )
+    symbol_ratio = F.round(n_symbols.cast("double") / nd, 6)
+    alpha_ratio = F.round(
+        F.size(F.filter(ws, lambda t: t.rlike("[a-z]"))).cast("double") / nd, 6
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(ws, s),
+        )
+    )
+    out = docs.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    f_word_count = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    f_mean_len = (F.col("mean_word_len") >= min_mean_len) & (
+        F.col("mean_word_len") <= max_mean_len
+    )
+    f_symbols = F.col("symbol_ratio") <= max_symbol_ratio
+    f_alpha = F.col("alpha_ratio") >= min_alpha_ratio
+    f_stops = F.col("stop_hits") >= min_stop_hits
+    return out.select(
+        "*",
+        f_word_count.alias("f_word_count"),
+        f_mean_len.alias("f_mean_len"),
+        f_symbols.alias("f_symbols"),
+        f_alpha.alias("f_alpha"),
+        f_stops.alias("f_stops"),
+        (f_word_count & f_mean_len & f_symbols & f_alpha & f_stops).alias("keep"),
+    )
+
+
 def char_ngram_counts(
     docs: DataFrame, text_col: str = "text", n: int = 3
 ) -> DataFrame:

@@ -652,3 +652,126 @@ def test_chunk_documents_rejects_bad_params(spark):
         chunk_documents(df, size=4, stride=5)
     with pytest.raises(ValueError):
         chunk_documents(df, size=0)
+
+
+# ------------------------------------------- session-5 training-mix ops
+
+
+def test_semantic_dedup_keep_lowest_id(spark):
+    # Two tight duplicate groups + one singleton, vectors hand-built so
+    # cluster assignment and cosines are unambiguous.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.01, 0.999, 0.0, 0.0]),   # near-dup of 2
+        (4, [0.0, 0.0, 1.0, 0.0]),      # singleton
+    ]
+    emb5 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0]),
+         (3, [0.0, 0.0, 1.0, 0.0])],
+        "cid int, cv array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semantic_dedup(emb5, cents, threshold=0.95).collect()
+    }
+    assert len(out) == 5, "every vector must appear exactly once"
+    assert out[0]["keep"] and out[2]["keep"] and out[4]["keep"]
+    assert not out[1]["keep"] and out[1]["kept_by"] == 0
+    assert not out[3]["keep"] and out[3]["kept_by"] == 2
+    assert out[1]["max_cos"] >= 0.95
+    assert out[0]["kept_by"] is None and out[0]["max_cos"] is None
+
+
+def test_semantic_dedup_cross_cluster_pairs_ignored(spark):
+    # Identical vectors land in the same cluster and dedup; a pair split
+    # across clusters is never compared (the SemDeDup contract).
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    emb4 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.ivf_centroids(emb4, n_centroids=4)
+    out = similarity.semantic_dedup(emb4, cents, threshold=0.0).collect()
+    # orthogonal corpus, one vector per cluster: nothing to drop even at
+    # threshold 0 because no cluster has 2 members
+    assert all(r["keep"] for r in out)
+
+
+def test_weighted_sample_is_aes_exact(spark):
+    # The operator must equal the pure-python A-ES draw (max of w
+    # hashes) computed independently.
+    import hashlib
+
+    rows = [(i, " ".join(["w"] * (i + 1))) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = textstats.weighted_sample(docs, k=7, max_weight=8).collect()
+
+    def h60py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    pri = {
+        i: max(h60py(f"{i}:{j}:ws") for j in range(1, min(i + 1, 8) + 1))
+        for i in range(30)
+    }
+    expect = sorted(pri.items(), key=lambda kv: (-kv[1], kv[0]))[:7]
+    assert [(r["id"], r["priority"]) for r in got] == expect
+    assert all(r["weight"] == min(r["id"] + 1, 8) for r in got)
+
+
+def test_weighted_sample_without_replacement_and_partition_invariance(spark):
+    rows = [(i, "word " * 20) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = textstats.weighted_sample(docs, k=10).collect()
+    b = textstats.weighted_sample(docs.repartition(13), k=10).collect()
+    assert [r["id"] for r in a] == [r["id"] for r in b]
+    assert len({r["id"] for r in a}) == 10
+
+
+def test_gopher_filters_rule_boundaries(spark):
+    long_good = "the " + " ".join(f"word{i}" for i in range(60))
+    short = "the tiny doc"
+    numeric = " ".join(["12345"] * 60)  # fails alpha ratio
+    symbols = "the " + " ".join(["ok"] * 50) + " " + " ".join(["#"] * 20)
+    rows = [(1, long_good), (2, short), (3, numeric), (4, symbols)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in textstats.gopher_filters(docs, min_stop_hits=1).collect()
+    }
+    assert out[1]["keep"]
+    assert not out[2]["f_word_count"] and not out[2]["keep"]
+    assert not out[3]["f_alpha"] and not out[3]["keep"]
+    assert not out[4]["f_symbols"] and not out[4]["keep"]
+    # flags must be computed from the ROUNDED ratios the row reports
+    assert out[3]["alpha_ratio"] == 0.0 and out[1]["alpha_ratio"] > 0.9
+
+
+def test_minhash_upsert_equals_full_recompute(spark):
+    base_rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "one two three four five six seven"),
+        (3, "red green blue yellow purple orange"),
+        (4, "to be deleted entirely from the index"),
+        (5, "changed and deleted overlapping case here"),
+    ]
+    truth_rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "one two three four five six CHANGED seven"),  # changed
+        (3, "red green blue yellow purple orange"),
+        # 4 deleted; 5 changed AND deleted -> delete wins
+    ]
+    schema = "doc_id long, text string"
+    stale = spark.createDataFrame(
+        [(1, base_rows[0][1]), (2, "stale old text for doc two"),
+         (3, base_rows[2][1]), (4, base_rows[3][1]),
+         (5, "stale text for doc five")], schema)
+    base = dedup.minhash_signatures(stale, k=3, num_hashes=8)
+    changed = spark.createDataFrame(
+        [(2, truth_rows[1][1]), (5, "new text for five but it dies")], schema)
+    deleted = spark.createDataFrame([(4,), (5,)], "id long")
+    got = dedup.minhash_upsert(base, changed, deleted, k=3, num_hashes=8)
+    want = dedup.minhash_signatures(
+        spark.createDataFrame(truth_rows, schema), k=3, num_hashes=8)
+    g = {r["id"]: r["sig"] for r in got.collect()}
+    w = {r["id"]: r["sig"] for r in want.collect()}
+    assert g == w
