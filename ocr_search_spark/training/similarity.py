@@ -266,7 +266,9 @@ def semantic_dedup(
     Replaces the reference's nothing — ocr_search has no embedding ops —
     positioned as a training-data curation stage over the same tables.
     """
-    assign = ivf_assign(corpus, centroids, id_col, vec_col, round_digits)
+    # assign is consumed three times (both pair sides + the final join)
+    # and Catalyst never dedupes common subplans — pin it once.
+    assign = ivf_assign(corpus, centroids, id_col, vec_col, round_digits).cache()
     v = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
