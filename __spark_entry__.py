@@ -5541,3 +5541,78 @@ sigs AS (SELECT id, {_MINS_SQL} FROM srows GROUP BY id)
 SELECT id, substring(hname, 2)::BIGINT AS h_idx, m
 FROM (UNPIVOT sigs ON {", ".join(f"m{i}" for i in range(16))}
       INTO NAME hname VALUE m)"""
+
+
+# ------------------------------------------------ NLTK stopword fidelity
+# FIDELITY.md T2 closure: the opt-in 179-word NLTK English stopword list
+# (reference: tokenize_and_stem.py:39 `w not in stopwords.words()`).
+# Pool mixes words only the NLTK list drops (16), words both lists keep
+# (4), and words both lists drop (4) — so the gate fails if EITHER list
+# is applied on the wrong side. 24 entries -> uniform h60 draw, same
+# synthesis as the wordnet-mode gate.
+
+_NLTK_POOL = [
+    # dropped by the NLTK 179 list, KEPT by the pinned 60-word default
+    "about", "after", "again", "because", "before", "being", "doing",
+    "during", "itself", "under", "over", "once", "further", "very",
+    "own", "until",
+    # kept by both (content words)
+    "merge", "table", "spark", "data",
+    # dropped by both
+    "the", "and", "with", "this",
+]
+assert len(_NLTK_POOL) == 24
+_NLTK_STOP_IN = ", ".join(_sq(w) for w in textproc.NLTK_STOPWORDS)
+
+
+def q_postings_nltk_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.hashing import h60
+
+    ensure_shipped(spark)
+    d = _widened(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    )
+    did = F.col("doc_id")
+    pool = F.array(*[F.lit(w) for w in _NLTK_POOL])
+
+    def pick(j):
+        r = h60(
+            F.concat(did, F.lit(":"), j.cast("string"), F.lit(":nstop"))
+        ).cast("double") / F.lit(_TWO60)
+        return F.element_at(pool, (F.floor(F.lit(24.0) * r) + 1).cast("int"))
+
+    text = F.array_join(F.transform(F.sequence(F.lit(0), F.lit(5)), pick), " ")
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"), text.alias("text"),
+            F.lit("").alias("media_ref"), F.lit(0).cast("int").alias("offset"),
+        )
+    )
+    return term_postings(
+        d.select("doc_id", spans.alias("spans")), nltk_stop=True
+    ).withColumn("tf", F.col("tf").cast("long"))
+
+
+def _nltk_stop_oracle() -> str:
+    pool_lit = "[" + ", ".join("'" + w + "'" for w in _NLTK_POOL) + "]"
+    h = lambda e: f"('0x' || substring(md5({e}), 1, 15))::BIGINT"  # noqa: E731
+    return f"""WITH ids AS (SELECT doc_id::VARCHAR AS did FROM documents),
+toks AS (
+  SELECT did AS doc_id,
+         unnest(list_transform(range(0, 6),
+           j -> ({pool_lit})[(floor(24.0 * ({h("did || ':' || j::VARCHAR || ':nstop'")}::DOUBLE
+                 / 1152921504606846976.0)) + 1)::INT])) AS tok
+  FROM ids
+),
+eng AS (
+  SELECT doc_id, {_lemma_sql("tok")} AS term
+  FROM toks
+  WHERE tok <> '' AND regexp_matches(tok, '^[\\x00-\\x7F]+$')
+    AND length(tok) > 1 AND regexp_matches(tok, '[a-z]')
+    AND tok NOT IN ({_NLTK_STOP_IN})
+)
+SELECT term, doc_id, count(*)::BIGINT AS tf FROM eng GROUP BY 1, 2"""
+
+
+_TRAINING_QUERIES["postings_nltk_stop"] = q_postings_nltk_stop
+_TRAINING_ORACLES["postings_nltk_stop"] = _nltk_stop_oracle()

@@ -104,7 +104,10 @@ def _cjk_term_rows(
 
 
 def term_postings(
-    extracted: DataFrame, cjk_mode: str = "fmm", wordnet: bool = False
+    extracted: DataFrame,
+    cjk_mode: str = "fmm",
+    wordnet: bool = False,
+    nltk_stop: bool = False,
 ) -> DataFrame:
     """Build the inverted index: (term, doc_id, tf).
 
@@ -119,7 +122,11 @@ def term_postings(
     dt = _doc_text(extracted)
     eng_rows = dt.select(
         "doc_id",
-        F.explode(english_tokens_col(F.col("doc_text"), wordnet=wordnet)).alias("term"),
+        F.explode(
+            english_tokens_col(
+                F.col("doc_text"), wordnet=wordnet, nltk_stop=nltk_stop
+            )
+        ).alias("term"),
     )
     all_rows = eng_rows.unionByName(_cjk_term_rows(dt, "doc_text", cjk_mode))
     return all_rows.groupBy("term", "doc_id").agg(
@@ -156,21 +163,27 @@ def lemmatize_py(token: str, wordnet: bool = False) -> str:
 
 
 def tokenize_text(
-    text: str, treebank: bool = False, wordnet: bool = False
+    text: str,
+    treebank: bool = False,
+    wordnet: bool = False,
+    nltk_stop: bool = False,
 ) -> list[str]:
     """Pure-Python tokenizer following the textproc SPEC exactly; used for
     single-query tokenization (Q1, ApiHandler.const.js:28-34).
     ``treebank=True`` applies the TREEBANK_SPLITS contraction rules
-    (FIDELITY.md T1) — must match english_tokens_col(treebank=True)."""
+    (FIDELITY.md T1) — must match english_tokens_col(treebank=True).
+    ``nltk_stop=True`` uses the full NLTK 179-word stopword list
+    (FIDELITY.md T2) — must match english_tokens_col(nltk_stop=True)."""
     t = text.lower().translate(_STRIP_TABLE).translate(_PUNCT_TABLE)
     toks = t.split()
     if treebank:
         toks = [p for tok in toks for p in textproc.TREEBANK_SPLITS.get(tok, tok).split()]
+    stops = textproc.NLTK_STOPWORDS_SET if nltk_stop else textproc.STOPWORDS_SET
     out: list[str] = []
     cjk_buf: list[str] = []
     for tok in toks:
         if tok.isascii():
-            if len(tok) > 1 and re.search("[a-z]", tok) and tok not in textproc.STOPWORDS_SET:
+            if len(tok) > 1 and re.search("[a-z]", tok) and tok not in stops:
                 out.append(lemmatize_py(tok, wordnet=wordnet))
         else:
             cjk_buf.append(_CJK_KEEP.sub("", tok))

@@ -109,6 +109,29 @@ STOPWORDS = (
 ).split()
 STOPWORDS_SET = frozenset(STOPWORDS)
 
+# Opt-in FULL NLTK English stopword list (the 179-word corpus the
+# reference's `stopwords.words()` typically resolves to — FIDELITY.md
+# T2). Apostrophed and single-letter entries are unreachable through
+# this pipeline (punctuation became spaces, len>1 filter) but are kept
+# verbatim so the pinned list IS the published corpus.
+NLTK_STOPWORDS = (
+    "i me my myself we our ours ourselves you you're you've you'll you'd "
+    "your yours yourself yourselves he him his himself she she's her hers "
+    "herself it it's its itself they them their theirs themselves what "
+    "which who whom this that that'll these those am is are was were be "
+    "been being have has had having do does did doing a an the and but if "
+    "or because as until while of at by for with about against between "
+    "into through during before after above below to from up down in out "
+    "on off over under again further then once here there when where why "
+    "how all any both each few more most other some such no nor not only "
+    "own same so than too very s t can will just don don't should "
+    "should've now d ll m o re ve y ain aren aren't couldn couldn't didn "
+    "didn't doesn doesn't hadn hadn't hasn hasn't haven haven't isn isn't "
+    "ma mightn mightn't mustn mustn't needn needn't shan shan't shouldn "
+    "shouldn't wasn wasn't weren weren't won won't wouldn wouldn't"
+).split()
+NLTK_STOPWORDS_SET = frozenset(NLTK_STOPWORDS)
+
 LEMMA_EXCEPTIONS = {
     "men": "man",
     "women": "woman",
@@ -243,7 +266,10 @@ def lemmatize_col(token: Column, wordnet: bool = False) -> Column:
 
 
 def english_tokens_col(
-    text: Column, treebank: bool = False, wordnet: bool = False
+    text: Column,
+    treebank: bool = False,
+    wordnet: bool = False,
+    nltk_stop: bool = False,
 ) -> Column:
     """Columnar E8-E13: lowercase → strip → punct→space → split →
     English filter → lemmatize. Returns array<string> of lemmatized terms
@@ -251,7 +277,10 @@ def english_tokens_col(
 
     ``treebank=True`` additionally applies the TREEBANK_SPLITS
     contraction rules (FIDELITY.md T1) before splitting — the residual
-    nltk.word_tokenize behaviors on punctuation-free text."""
+    nltk.word_tokenize behaviors on punctuation-free text.
+    ``nltk_stop=True`` filters with the full 179-word NLTK English list
+    instead of the pinned 60-word default (FIDELITY.md T2) — opt-in so
+    recorded postings keep their keys."""
     t = F.lower(text)
     t = F.translate(t, STRIP_CHARS, "")
     t = F.translate(t, ASCII_PUNCT, " " * len(ASCII_PUNCT))
@@ -265,12 +294,13 @@ def english_tokens_col(
         for k, v in TREEBANK_SPLITS.items():
             t = F.regexp_replace(t, rf"(?<= ){k}(?= )", v)
     toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    stops = NLTK_STOPWORDS if nltk_stop else STOPWORDS
     eng = F.filter(
         toks,
         lambda x: x.rlike("^[\\x00-\\x7F]+$")
         & (F.length(x) > 1)
         & x.rlike("[a-z]")
-        & ~x.isin(*STOPWORDS),
+        & ~x.isin(*stops),
     )
     return F.transform(eng, lambda x: lemmatize_col(x, wordnet=wordnet))
 

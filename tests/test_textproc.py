@@ -261,3 +261,26 @@ def test_normalize_nfc_null_text_yields_null_changed(spark):
     df = spark.createDataFrame([(9, None)], "doc_id long, text string")
     r = normalize_nfc(df).collect()[0]
     assert r.nfc_digest is None and r.changed is None
+
+
+def test_nltk_stopword_mode(spark):
+    from ocr_search_spark import textproc
+    from ocr_search_spark.operators.tokenize import tokenize_text
+    from pyspark.sql import functions as F
+
+    text = "about the merge during very own table being data until spark"
+    # default 60-word list keeps the NLTK-only stopwords (lemmatized)
+    default = tokenize_text(text)
+    assert "dure" in default or "during" in default or "dur" in default
+    # full-list mode drops them; content words survive identically
+    full = tokenize_text(text, nltk_stop=True)
+    assert set(full) == {"merge", "table", "data", "spark"}
+    # columnar twin agrees exactly
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(
+        textproc.english_tokens_col(F.col("t"), nltk_stop=True).alias("a")
+    ).head()["a"]
+    assert got == full
+    # list is the published 179-word corpus
+    assert len(textproc.NLTK_STOPWORDS) == 179
+    assert len(textproc.NLTK_STOPWORDS_SET) == 179
