@@ -5616,3 +5616,89 @@ SELECT term, doc_id, count(*)::BIGINT AS tf FROM eng GROUP BY 1, 2"""
 
 _TRAINING_QUERIES["postings_nltk_stop"] = q_postings_nltk_stop
 _TRAINING_ORACLES["postings_nltk_stop"] = _nltk_stop_oracle()
+
+
+# ------------------------------------------------- lexical doc similarity
+# TF-IDF cosine between document pairs straight from the inverted index
+# (no embeddings): the term-keyed self-join IS the sparsity, max_df is
+# the hot-term guard (df² join rows per term), weights/dots/norms are
+# exact integer-micros DECIMAL sums. threshold tuned to the synthetic
+# corpus; the shape is the classic pre-LLM near-dup detector.
+
+_DOCSIM_MAX_DF = 100
+_DOCSIM_THRESHOLD = 0.5
+
+
+def q_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.tfidf_doc_similarity(
+        _postings(spark, sf_dir).cache(),
+        max_df=_DOCSIM_MAX_DF,
+        threshold=_DOCSIM_THRESHOLD,
+    )
+
+
+_TRAINING_QUERIES["doc_similarity"] = q_doc_similarity
+_TRAINING_ORACLES["doc_similarity"] = f"""WITH {_POSTINGS_BODY},
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM postings
+  GROUP BY term HAVING count(DISTINCT doc_id) <= {_DOCSIM_MAX_DF}
+),
+ndocs AS (SELECT count(DISTINCT doc_id) AS n FROM postings),
+weights AS (
+  SELECT term, floor(1000000.0 * ln(n::DOUBLE / df))::BIGINT AS idf
+  FROM dfreq CROSS JOIN ndocs
+),
+w AS (
+  SELECT doc_id, p.term, (p.tf::HUGEINT * idf::HUGEINT) AS w
+  FROM postings p JOIN weights USING (term)
+),
+norms AS (SELECT doc_id, sum(w * w) AS sq FROM w GROUP BY doc_id),
+dots AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, sum(x.w * y.w) AS dot
+  FROM w x JOIN w y ON x.term = y.term AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+cosd AS (
+  SELECT id_a, id_b,
+         round(dot::DOUBLE / (sqrt(na.sq::DOUBLE) * sqrt(nb.sq::DOUBLE)), 6) AS cos
+  FROM dots
+  JOIN norms na ON na.doc_id = id_a
+  JOIN norms nb ON nb.doc_id = id_b
+)
+SELECT id_a, id_b, cos FROM cosd WHERE cos >= {_DOCSIM_THRESHOLD}"""
+
+
+# -------------------------------------------- histogram quantile sketch
+# Fourth sketch family: fixed power-of-two-grid histogram (64 bins of
+# 2^18 cents) over l_extendedprice — bounded state, cell-wise-sum
+# mergeable, quantile error <= one bin width. Binning via shiftright is
+# bit-exact on both engines; the quantile rule cum*10^6 >= q*n avoids
+# any float or ceil.
+
+_HIST_QS = [250_000, 500_000, 750_000, 900_000, 990_000]
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = li.select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("c")
+    )
+    hist = SKETCH.hist_build(cents, "c", shift=18, n_bins=64)
+    return SKETCH.hist_quantiles(hist, _HIST_QS, shift=18)
+
+
+_TRAINING_QUERIES["hist_quantiles"] = q_hist_quantiles
+_TRAINING_ORACLES["hist_quantiles"] = f"""WITH cents AS (
+  SELECT round(l_extendedprice * 100)::BIGINT AS c FROM lineitem
+),
+hist AS (
+  SELECT greatest(least(c >> 18, 63), 0) AS bin, count(*)::BIGINT AS cnt
+  FROM cents GROUP BY 1
+),
+tot AS (SELECT sum(cnt) AS n FROM hist),
+cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM hist),
+qs AS (SELECT unnest([{", ".join(str(q) for q in _HIST_QS)}]) AS q_micros)
+SELECT q_micros::BIGINT AS q_micros,
+       ((min(bin) + 1) * {1 << 18})::BIGINT AS est
+FROM qs JOIN cum ON cum * 1000000 >= q_micros * (SELECT n FROM tot)
+GROUP BY q_micros"""

@@ -257,6 +257,86 @@ def minhash_upsert(
     return kept.unionByName(fresh.join(deleted_ids, "id", "left_anti"))
 
 
+def tfidf_doc_similarity(
+    postings: DataFrame,
+    max_df: int | None = None,
+    threshold: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity between DOCUMENT pairs from the
+    inverted index alone — the lexical near-dup detector that needs no
+    embeddings: docs sharing no term never meet (the term-keyed
+    self-join IS the sparsity), weights are integer-micros idf so dot
+    products and norms are EXACT (DECIMAL sums, one final double
+    division, pinned rounding).
+
+    ``max_df`` is the same plan-side hot-key guard as the correlation
+    and shingle paths: a term in df docs contributes df² join rows, so
+    an unguarded ubiquitous term is quadratic — drop terms with
+    df > max_df BEFORE the join (they carry ~zero idf anyway).
+
+    Returns (id_a, id_b, cos) for pairs with rounded cos >= threshold.
+    Scale: shuffle keyed by term (bounded by the guard), then one
+    (id_a, id_b) aggregate; norms broadcast back onto the pair rows.
+    """
+    dfreq = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("_df"))
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("_df") <= max_df)
+    ndocs = postings.select(F.countDistinct("doc_id").alias("_n"))
+    weights = dfreq.crossJoin(F.broadcast(ndocs)).select(
+        "term",
+        F.floor(
+            F.lit(1_000_000.0) * F.log(F.col("_n").cast("double") / F.col("_df"))
+        )
+        .cast("long")
+        .alias("idf_micros"),
+    )
+    # w feeds the norms aggregate AND both self-join sides; Catalyst does
+    # not dedupe common subplans, so pin it once.
+    w = (
+        postings.join(weights, "term")
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("decimal(19,0)")
+                * F.col("idf_micros").cast("decimal(19,0)")
+            )
+            .cast("decimal(19,0)")
+            .alias("w"),
+        )
+        .cache()
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)")).alias("sq")
+    )
+    a = w.select(
+        F.col("doc_id").alias("id_a"), "term", F.col("w").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("id_b"), "term", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum((F.col("wa") * F.col("wb")).cast("decimal(38,0)")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("sq").alias("sqa"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("sq").alias("sqb"))
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("sqa").cast("double")) * F.sqrt(F.col("sqb").cast("double"))),
+        round_digits,
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= F.lit(threshold))
+    )
+
+
 # ---------------------------------------------------- decontamination
 
 

@@ -253,3 +253,67 @@ def bloom_merge(*blooms: DataFrame) -> DataFrame:
 
     u = reduce(DataFrame.unionByName, blooms)
     return u.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+# ----------------------------------------------- histogram quantiles
+
+
+def hist_build(
+    items: DataFrame, col: str, shift: int = 18, n_bins: int = 64
+) -> DataFrame:
+    """Fixed power-of-two-grid histogram sketch of a non-negative
+    integer column: bin = clamp(col >> shift, 0, n_bins-1), state =
+    (bin, cnt) with at most n_bins rows. The shift (not division) makes
+    binning exact on both engines; like the other sketches, partial
+    aggregation bounds every task's shuffle output at n_bins cells and
+    shards merge by cell-wise sum (:func:`hist_merge`).
+
+    Quantile error is bounded by one bin width (2^shift) — the classic
+    equi-width-histogram guarantee; pick shift so 2^shift matches the
+    tolerated absolute error of the domain."""
+    b = F.greatest(
+        F.least(
+            F.shiftright(F.col(col).cast("long"), shift), F.lit(n_bins - 1)
+        ),
+        F.lit(0),
+    )
+    return (
+        items.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(*hists: DataFrame) -> DataFrame:
+    """Merge histogram states of the SAME (shift, n_bins) geometry
+    (cell-wise sum): merge(build(A), build(B)) == build(A ∪ B) exactly."""
+    from functools import reduce
+
+    u = reduce(DataFrame.unionByName, hists)
+    return u.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    hist: DataFrame, qs_micros: list[int], shift: int = 18
+) -> DataFrame:
+    """Quantile estimates from a histogram state: for each q (in
+    micros), the exclusive upper edge of the first bin whose cumulative
+    count reaches q·n — integer-exact everywhere (`cum·10^6 ≥ q·n`
+    replaces the ceil), so the estimate replays bit-for-bit in SQL.
+    The running-sum window is unpartitioned but runs over ≤ n_bins rows
+    (sketch state, never data)."""
+    from pyspark.sql import Window as W
+
+    spark = hist.sparkSession
+    total = hist.select(F.sum("cnt").alias("_n"))
+    cum = hist.withColumn("cum", F.sum("cnt").over(W.orderBy("bin")))
+    qs = spark.createDataFrame([(int(q),) for q in qs_micros], "q_micros long")
+    hit = (
+        qs.crossJoin(F.broadcast(cum.crossJoin(F.broadcast(total))))
+        .where(F.col("cum") * F.lit(1_000_000) >= F.col("q_micros") * F.col("_n"))
+        .groupBy("q_micros")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return hit.select(
+        "q_micros", ((F.col("bin") + 1) * F.lit(1 << shift)).alias("est")
+    )

@@ -102,3 +102,39 @@ def test_sketch_merges_equal_single_pass(spark):
 
     bm = SK.bloom_merge(SK.bloom_build(a, "w"), SK.bloom_build(b, "w"))
     assert rows(bm) == rows(SK.bloom_build(both, "w"))
+
+
+def test_hist_quantiles_error_bound_and_merge(spark):
+    from ocr_search_spark.training import sketches as SK
+    from pyspark.sql import functions as F
+
+    vals = [(i * i % 100000,) for i in range(5000)]
+    df = spark.createDataFrame(vals, "x long")
+    hist = SK.hist_build(df, "x", shift=10, n_bins=128)
+    got = {
+        r["q_micros"]: r["est"]
+        for r in SK.hist_quantiles(hist, [500_000, 900_000], shift=10).collect()
+    }
+    xs = sorted(v[0] for v in vals)
+    for qm in (500_000, 900_000):
+        exact = xs[max(0, -(-qm * len(xs) // 1_000_000) - 1)]
+        # estimate = upper edge of the hit bin: within one bin width above
+        assert exact <= got[qm] <= exact + (1 << 10), (qm, exact, got[qm])
+
+    # mergeability: shard-built states sum to the single-pass state
+    a = SK.hist_build(df.where(F.col("x") % 2 == 0), "x", shift=10, n_bins=128)
+    b = SK.hist_build(df.where(F.col("x") % 2 == 1), "x", shift=10, n_bins=128)
+    merged = {
+        (r["bin"]): r["cnt"] for r in SK.hist_merge(a, b).collect()
+    }
+    single = {(r["bin"]): r["cnt"] for r in hist.collect()}
+    assert merged == single
+
+
+def test_hist_build_clamps_overflow(spark):
+    from ocr_search_spark.training import sketches as SK
+
+    df = spark.createDataFrame([(0,), (10**15,), (-5,)], "x long")
+    bins = {r["bin"] for r in SK.hist_build(df, "x", shift=4, n_bins=8).collect()}
+    assert bins <= set(range(8))
+    assert 7 in bins and 0 in bins

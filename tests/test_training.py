@@ -775,3 +775,39 @@ def test_minhash_upsert_equals_full_recompute(spark):
     g = {r["id"]: r["sig"] for r in got.collect()}
     w = {r["id"]: r["sig"] for r in want.collect()}
     assert g == w
+
+
+def test_tfidf_doc_similarity_exact_and_guarded(spark):
+    import math
+
+    rows = [
+        (1, "apple banana cherry"),
+        (2, "apple banana cherry"),        # identical -> cos 1.0
+        (3, "apple banana durian"),        # shares 2 of 3 terms
+        (4, "xylophone zebra quartz"),     # disjoint -> no pair row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    posts = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).groupBy("term", "doc_id").count().withColumnRenamed("count", "tf")
+    out = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.tfidf_doc_similarity(posts, threshold=0.0).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    # replay the integer-micros weighting: idf_micros = floor(1e6*ln(4/df))
+    def idf(df_): return math.floor(1e6 * math.log(4 / df_))
+    wa = {"apple": idf(3), "banana": idf(3), "cherry": idf(2)}
+    wb = {"apple": idf(3), "banana": idf(3), "durian": idf(1)}
+    dot = wa["apple"] ** 2 + wa["banana"] ** 2
+    na = math.sqrt(sum(v * v for v in wa.values()))
+    nb = math.sqrt(sum(v * v for v in wb.values()))
+    assert out[(1, 3)] == round(dot / (na * nb), 6)
+    assert (1, 4) not in out and (2, 4) not in out
+    # df-guard: apple+banana (df=3) dropped at max_df=2 -> pair (1,3)
+    # loses its shared terms entirely
+    guarded = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.tfidf_doc_similarity(posts, max_df=2, threshold=0.0).collect()
+    }
+    assert (1, 3) not in guarded and (1, 2) in guarded
