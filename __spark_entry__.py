@@ -5702,3 +5702,54 @@ SELECT q_micros::BIGINT AS q_micros,
        ((min(bin) + 1) * {1 << 18})::BIGINT AS est
 FROM qs JOIN cum ON cum * 1000000 >= q_micros * (SELECT n FROM tot)
 GROUP BY q_micros"""
+
+
+# --------------------------------------------------------- data contracts
+# The expectations gate an ingest runs before publishing a partition:
+# every rule is an exact count. Rules chosen so the gate sees BOTH a
+# passing and a violated contract (o_totalprice deliberately bounded at
+# 200k: ~60% of orders violate at sf0.01).
+
+from ocr_search_spark.operators.profile import validate_table
+
+
+def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return validate_table(
+        orders,
+        not_null=["o_custkey", "o_orderdate"],
+        in_range=[("o_totalprice", 0.0, 200000.0)],
+        unique=[("o_orderkey",), ("o_custkey", "o_orderdate")],
+        foreign_key=[("o_custkey", cust, "c_custkey")],
+    )
+
+
+_TRAINING_QUERIES["validate_orders"] = q_validate_orders
+_TRAINING_ORACLES["validate_orders"] = """SELECT 'not_null:o_custkey' AS rule,
+       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_violations
+FROM orders
+UNION ALL
+SELECT 'not_null:o_orderdate',
+       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT
+FROM orders
+UNION ALL
+SELECT 'in_range:o_totalprice:0:200000',
+       sum(CASE WHEN o_totalprice IS NOT NULL
+                 AND (o_totalprice < 0 OR o_totalprice > 200000)
+            THEN 1 ELSE 0 END)::BIGINT
+FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey',
+       coalesce(sum(n - 1), 0)::BIGINT
+FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'unique:o_custkey,o_orderdate',
+       coalesce(sum(n - 1), 0)::BIGINT
+FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey, o_orderdate)
+UNION ALL
+SELECT 'foreign_key:o_custkey',
+       count(*)::BIGINT
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"""

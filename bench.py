@@ -125,6 +125,13 @@ def main() -> None:
         "embed_quantize",
         "bpe_merges",
         "postings_compression",
+        "semantic_dedup",
+        "weighted_sample",
+        "gopher_filters",
+        "minhash_incremental",
+        "doc_similarity",
+        "hist_quantiles",
+        "postings_nltk_stop",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:

@@ -69,3 +69,102 @@ def profile_table(
         for i, c in enumerate(cols)
     ]
     return wide.select(F.inline(F.array(*structs)))
+
+
+# ------------------------------------------------------ data contracts
+
+
+def validate_table(
+    df: DataFrame,
+    not_null: list[str] = (),
+    unique: list[tuple[str, ...]] = (),
+    in_range: list[tuple[str, float, float]] = (),
+    foreign_key: list[tuple[str, DataFrame, str]] = (),
+) -> DataFrame:
+    """Contract validation — the expectations gate a 100 TB ingest runs
+    before publishing a partition: one output row per rule,
+    (rule, n_violations), all counts exact.
+
+    * ``not_null``: columns that must never be NULL.
+    * ``unique``: column tuples that must be key-unique (violations =
+      rows beyond the first per duplicate key — the number of rows a
+      dedup would remove).
+    * ``in_range``: (col, lo, hi) inclusive bounds; NULLs don't count
+      (cover them with not_null).
+    * ``foreign_key``: (col, dim_df, dim_col) referential checks —
+      violations = rows whose non-null value misses the dimension (one
+      broadcast anti-join each; dims are small by definition).
+
+    Shape: every not_null/in_range rule folds into ONE conditional
+    aggregate over a single scan; unique adds one aggregate per key
+    tuple; FK adds one anti-join per reference. Results union into a
+    constant-size frame (rows = number of rules).
+    """
+    parts: list[DataFrame] = []
+    scan_aggs = []
+    for c in not_null:
+        scan_aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"not_null:{c}")
+        )
+    for c, lo, hi in in_range:
+        scan_aggs.append(
+            F.sum(
+                F.when(
+                    F.col(c).isNotNull()
+                    & ((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"in_range:{c}:{lo:g}:{hi:g}")
+        )
+    if scan_aggs:
+        wide = df.agg(*scan_aggs)
+        stack = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.col(f"`{name}`").alias("n_violations"),
+                    )
+                    for name in wide.columns
+                ]
+            )
+        ).alias("kv")
+        parts.append(wide.select(stack).select("kv.rule", "kv.n_violations"))
+    for key in unique:
+        key = tuple(key)
+        dup = (
+            df.groupBy(*key)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(
+                F.sum(F.col("_n") - F.lit(1)).cast("long").alias("n_violations")
+            )
+            .select(
+                F.lit("unique:" + ",".join(key)).alias("rule"),
+                F.coalesce(F.col("n_violations"), F.lit(0)).alias("n_violations"),
+            )
+        )
+        parts.append(dup)
+    for col, dim, dim_col in foreign_key:
+        miss = (
+            df.select(F.col(col).alias("_v"))
+            .where(F.col("_v").isNotNull())
+            .join(
+                F.broadcast(dim.select(F.col(dim_col).alias("_v")).distinct()),
+                "_v",
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+            .select(
+                F.lit(f"foreign_key:{col}").alias("rule"), "n_violations"
+            )
+        )
+        parts.append(miss)
+    if not parts:
+        raise ValueError("validate_table: no rules given")
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, parts)

@@ -288,6 +288,43 @@ class SnapshotTable:
                 n_files += 1
         return {"manifests": n_manifests, "files": n_files}
 
+    def diff_versions(
+        self, v_old: int, v_new: int, key_cols: list[str]
+    ) -> DataFrame:
+        """Change-data-capture between two snapshots: one full-outer
+        join on ``key_cols`` comparing a non-key row digest. Output:
+        the key columns + ``op`` ∈ {insert, delete, update} (unchanged
+        rows are absent). Mirrors Iceberg's changelog read, derived
+        purely from the two manifests' file sets — files shared by both
+        snapshots COULD be skipped entirely (their rows can only
+        compare equal); kept simple here since the join already prunes
+        to key+digest columns.
+
+        Key uniqueness per snapshot is the caller's contract (validate
+        with ``operators.profile.validate_table(unique=...)``); under
+        duplicate keys a full-outer join would fan out."""
+        old_df, new_df = self.read(v_old), self.read(v_new)
+        val_cols = [c for c in new_df.columns if c not in key_cols]
+        if [c for c in old_df.columns] != [c for c in new_df.columns]:
+            raise ValueError("diff_versions requires matching schemas")
+
+        def digested(df: DataFrame, tag: str) -> DataFrame:
+            dg = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in val_cols]))
+            return df.select(*key_cols, dg.alias(f"_dg_{tag}"))
+
+        j = digested(old_df, "o").join(
+            digested(new_df, "n"), list(key_cols), "full_outer"
+        )
+        op = (
+            F.when(F.col("_dg_o").isNull(), F.lit("insert"))
+            .when(F.col("_dg_n").isNull(), F.lit("delete"))
+            .when(F.col("_dg_o") != F.col("_dg_n"), F.lit("update"))
+        )
+        return (
+            j.select(*key_cols, op.alias("op"))
+            .where(F.col("op").isNotNull())
+        )
+
     # ------------------------------------------------------------ helpers
     def _require_current(self) -> int:
         v = self.current_version()

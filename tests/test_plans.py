@@ -145,3 +145,31 @@ def test_profile_table_values_and_single_pass(spark):
     # single pass: exactly one aggregate over exactly one scan
     plan = profile_table(df)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LogicalRDD") == 1
+
+
+def test_validate_table_rules(spark):
+    from ocr_search_spark.operators.profile import validate_table
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "a"), (2, 500.0, None), (3, -1.0, "b")],
+        "k long, v double, s string",
+    )
+    dim = spark.createDataFrame([("a",), ("b",)], "s string")
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in validate_table(
+            df,
+            not_null=["v", "s"],
+            in_range=[("v", 0.0, 100.0)],
+            unique=[("k",)],
+            foreign_key=[("s", dim, "s")],
+        ).collect()
+    }
+    assert out["not_null:v"] == 1
+    assert out["not_null:s"] == 1
+    assert out["in_range:v:0:100"] == 2      # 500 and -1; NULL not counted
+    assert out["unique:k"] == 1              # k=2 twice -> one surplus row
+    assert out["foreign_key:s"] == 0         # NULL s doesn't violate FK
+    with _pt.raises(ValueError):
+        validate_table(df)

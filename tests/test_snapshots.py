@@ -125,3 +125,27 @@ def test_append_schema_mismatch_raises(spark, table):
     bad = spark.range(5).select(F.col("id").alias("other"))
     with pytest.raises(ValueError):
         table.append(bad)
+
+
+def test_diff_versions_cdc(spark, table):
+    # v2: delete k<10 (10 deletes), then v3: append 100..120 (inserts)
+    # and overwrite is avoided so untouched rows stay identical
+    table.delete_where(F.col("k") < 10)
+    v2 = table.current_version()
+    table.append(_df(spark, 100, 120, "extra"))
+    v3 = table.current_version()
+    d12 = {(r["k"], r["op"]) for r in table.diff_versions(1, v2, ["k"]).collect()}
+    assert d12 == {(k, "delete") for k in range(10)}
+    d23 = {(r["k"], r["op"]) for r in table.diff_versions(v2, v3, ["k"]).collect()}
+    assert d23 == {(k, "insert") for k in range(100, 120)}
+    # update detection: rewrite the table with one changed value
+    cur = table.read()
+    mod = cur.withColumn(
+        "v", F.when(F.col("k") == 50, F.lit(-1)).otherwise(F.col("v"))
+    )
+    table.overwrite(mod)
+    v4 = table.current_version()
+    d34 = {(r["k"], r["op"]) for r in table.diff_versions(v3, v4, ["k"]).collect()}
+    assert d34 == {(50, "update")}
+    # symmetric sanity: empty diff of a version with itself
+    assert table.diff_versions(v4, v4, ["k"]).count() == 0
