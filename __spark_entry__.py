@@ -5753,3 +5753,40 @@ SELECT 'foreign_key:o_custkey',
 FROM orders o
 WHERE o.o_custkey IS NOT NULL
   AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"""
+
+
+# ------------------------------------------------ JL random projection
+# Dimensionality reduction ahead of ANN: 64 -> 16 dims with the
+# deterministic ±1 hyperplane matrix. Components floor to micros first,
+# so every projected coordinate is a signed BIGINT sum — exact at any
+# parallelism on either engine; one pinned-rounded division at the end.
+
+
+def q_embed_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact=True: the gate compares the raw signed-micros sums — the
+    divided float y lands exactly on a 6th-decimal half-boundary for
+    every sm = 2 (mod 4) and engines tie-break those differently (the
+    first run of this gate failed on exactly that; see the operator
+    docstring)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.random_projection(emb, out_dim=16, dim=64, exact=True).select(
+        "vec_id", F.col("p").cast("long").alias("p"), "sm"
+    )
+
+
+_TRAINING_QUERIES["embed_rp"] = q_embed_rp
+_TRAINING_ORACLES["embed_rp"] = """WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+         floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS m
+  FROM embeddings
+),
+planes AS (
+  SELECT p, j,
+         CASE WHEN ('0x' || substring(md5('hp:' || p::VARCHAR || ':' || j::VARCHAR), 1, 15))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM range(16) t(p), range(64) u(j)
+),
+proj AS (
+  SELECT vec_id, p, sum(s * m) AS sm FROM flat JOIN planes USING (j) GROUP BY 1, 2
+)
+SELECT vec_id, p::BIGINT AS p, sm::BIGINT AS sm FROM proj"""

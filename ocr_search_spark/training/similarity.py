@@ -327,6 +327,62 @@ def hyperplane_planes(
     return pj.select("p", "j", sign.alias("s"))
 
 
+def random_projection(
+    corpus: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    exact: bool = False,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with deterministic
+    ±1 signs (the Achlioptas construction): y_p = (Σ_j s(p,j)·x_j) /
+    sqrt(out_dim), signs from the same md5-derived matrix as
+    :func:`hyperplane_planes`.
+
+    Exactness: components floor to integer micros FIRST, so each output
+    coordinate is a signed BIGINT sum (immune to float summation order —
+    the dot is exact at any parallelism on any engine); one double
+    division at the end, pinned rounding. IEEE sqrt is correctly rounded,
+    so the denominator is engine-identical for any out_dim.
+
+    Output: (vec_id, p, y) flat rows — feed to groupBy-collect or keep
+    flat for downstream distance ops. ``exact=True`` returns the raw
+    signed sums (vec_id, p, sm) with NO division: y = sm/(10⁶·√out_dim)
+    lands exactly on a decimal half-boundary whenever sm ≡ 2 (mod 4)
+    for out_dim=16 — 25% of rows — and engines tie-break those
+    differently, so cross-engine verification must compare sm, not y.
+    Scale: corpus·dim rows join a broadcast out_dim·dim sign matrix,
+    then one (vec_id, p) hash aggregate with map-side combine; the
+    classic cheap first step before ANN when dim is large."""
+    spark = corpus.sparkSession
+    planes = hyperplane_planes(spark, n_planes=out_dim, dim=dim)
+    flat = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(vec_col).alias("j", "x"),
+    ).select(
+        "vec_id",
+        "j",
+        F.floor(F.col("x").cast("double") * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("m"),
+    )
+    proj = (
+        flat.join(F.broadcast(planes), "j")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("s").cast("long") * F.col("m")).alias("sm"))
+    )
+    if exact:
+        return proj.select("vec_id", "p", "sm")
+    denom = F.lit(1_000_000.0) * F.sqrt(F.lit(float(out_dim)))
+    return proj.select(
+        "vec_id",
+        "p",
+        F.round(F.col("sm").cast("double") / denom, round_digits).alias("y"),
+    )
+
+
 def hyperplane_lsh_pairs(
     emb: DataFrame,
     n_planes: int = 64,

@@ -811,3 +811,38 @@ def test_tfidf_doc_similarity_exact_and_guarded(spark):
         for r in dedup.tfidf_doc_similarity(posts, max_df=2, threshold=0.0).collect()
     }
     assert (1, 3) not in guarded and (1, 2) in guarded
+
+
+def test_random_projection_exact_and_distance_preserving(emb, spark):
+    out = similarity.random_projection(emb, out_dim=16, dim=64)
+    rows = out.collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], {})[r["p"]] = r["y"]
+    assert all(len(v) == 16 for v in by_vec.values())
+    # replay one coordinate in pure python (micros + signs)
+    import hashlib
+
+    def h60py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    first = emb.orderBy("vec_id").first()
+    vid, vec = first["vec_id"], first["embedding"]
+    for p in (0, 7):
+        sm = sum(
+            (1 if h60py(f"hp:{p}:{j}") % 2 == 0 else -1)
+            * math.floor(float(x) * 1e6)
+            for j, x in enumerate(vec)
+        )
+        assert by_vec[vid][p] == round(sm / (1e6 * math.sqrt(16.0)), 6)
+    # JL property (loose): squared-norm preserved within 60% for most
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    ok = 0
+    ids = sorted(vecs)[:30]
+    for i in ids:
+        orig = float(np.dot(vecs[i], vecs[i]))
+        proj = sum(y * y for y in by_vec[i].values())
+        if orig > 0 and 0.4 <= proj / orig <= 1.6:
+            ok += 1
+    assert ok >= 24, f"JL norm preservation too weak: {ok}/30"
