@@ -5790,3 +5790,74 @@ proj AS (
   SELECT vec_id, p, sum(s * m) AS sm FROM flat JOIN planes USING (j) GROUP BY 1, 2
 )
 SELECT vec_id, p::BIGINT AS p, sm::BIGINT AS sm FROM proj"""
+
+
+# --------------------------------------------------- Naive Bayes classify
+# Distributed supervised classifier: multinomial NB trained on the
+# doc_id%5!=0 split predicting `lang` on the held-out 20%. Every log is
+# floor(1e6·ln(integer)) and every score a signed BIGINT sum, so train
+# AND inference replay exactly in SQL.
+
+
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training import classify as CLS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    return CLS.nb_classify(train, test, label_col="lang")
+
+
+_TRAINING_QUERIES["nb_classify"] = q_nb_classify
+_TRAINING_ORACLES["nb_classify"] = f"""WITH tok AS (
+  SELECT doc_id AS id, lang AS label, unnest({_WORDS_SQL}) AS token
+  FROM documents
+),
+cnt AS (
+  SELECT label, token, count(*) AS cnt FROM tok WHERE id % 5 <> 0
+  GROUP BY 1, 2
+),
+weights AS (
+  SELECT label, token, floor(1000000.0 * ln(cnt + 1))::BIGINT AS w FROM cnt
+),
+vocab AS (SELECT count(DISTINCT token) AS v FROM tok WHERE id % 5 <> 0),
+totals AS (SELECT label, sum(cnt) AS n_tokens FROM cnt GROUP BY 1),
+ndocs AS (
+  SELECT lang AS label, count(*) AS n_docs FROM documents
+  WHERE doc_id % 5 <> 0 GROUP BY 1
+),
+ntotal AS (SELECT count(*) AS n_total FROM documents WHERE doc_id % 5 <> 0),
+classes AS (
+  SELECT label,
+         floor(1000000.0 * ln(n_docs))::BIGINT
+           - floor(1000000.0 * ln(n_total))::BIGINT AS prior,
+         floor(1000000.0 * ln(n_tokens + v))::BIGINT AS denom
+  FROM ndocs JOIN totals USING (label), vocab, ntotal
+),
+ttok AS (
+  SELECT id, token, count(*) AS tf FROM tok WHERE id % 5 = 0 GROUP BY 1, 2
+),
+seen AS (
+  SELECT t.id, w.label, sum(t.tf * w.w) AS seen_w
+  FROM ttok t JOIN weights w USING (token) GROUP BY 1, 2
+),
+ntok AS (SELECT id, sum(tf) AS n_tok FROM ttok GROUP BY 1),
+base AS (
+  SELECT d.doc_id AS id, c.label,
+         c.prior - coalesce(n.n_tok, 0) * c.denom AS base_w
+  FROM documents d LEFT JOIN ntok n ON n.id = d.doc_id, classes c
+  WHERE d.doc_id % 5 = 0
+),
+scored AS (
+  SELECT b.id, b.label, b.base_w + coalesce(s.seen_w, 0) AS score
+  FROM base b LEFT JOIN seen s ON s.id = b.id AND s.label = b.label
+),
+pred AS (
+  SELECT id, label AS label_pred, score,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY score DESC, label ASC) AS rn
+  FROM scored
+)
+SELECT d.doc_id AS id, d.lang AS label_true, p.label_pred,
+       p.score::BIGINT AS score, p.label_pred = d.lang AS correct
+FROM documents d JOIN pred p ON p.id = d.doc_id AND p.rn = 1"""

@@ -846,3 +846,46 @@ def test_random_projection_exact_and_distance_preserving(emb, spark):
         if orig > 0 and 0.4 <= proj / orig <= 1.6:
             ok += 1
     assert ok >= 24, f"JL norm preservation too weak: {ok}/30"
+
+
+def test_naive_bayes_classify_exact_and_accurate(spark):
+    from ocr_search_spark.training import classify
+
+    # two clearly separable "languages" + a deterministic holdout
+    rows = []
+    for i in range(40):
+        en = f"the cat sat on the mat and the dog ran fast {i % 3}"
+        de = f"der hund lief schnell und die katze sass auf der matte {i % 3}"
+        rows.append((2 * i, en, "en"))
+        rows.append((2 * i + 1, de, "de"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    out = classify.nb_classify(train, test, label_col="lang").collect()
+    assert len(out) == test.count()
+    assert all(r["correct"] for r in out)  # separable corpus → 100%
+
+    # exact replay of one doc's score in pure python
+    tr = [(r["lang"], r["text"]) for r in train.collect()]
+    toks = lambda s: [w for w in s.lower().split() if w]
+    cnt: dict = {}
+    for lab, tx in tr:
+        for t in toks(tx):
+            cnt[(lab, t)] = cnt.get((lab, t), 0) + 1
+    vocab = len({t for (_, t) in cnt})
+    ntok = {}
+    ndoc = {}
+    for lab, tx in tr:
+        ndoc[lab] = ndoc.get(lab, 0) + 1
+        ntok[lab] = ntok.get(lab, 0) + len(toks(tx))
+    L = lambda x: math.floor(1e6 * math.log(x))
+    probe = test.orderBy("doc_id").first()
+    want = {}
+    for lab in sorted(ndoc):
+        s = L(ndoc[lab]) - L(sum(ndoc.values()))
+        for t in toks(probe["text"]):
+            s += L(cnt.get((lab, t), 0) + 1) - L(ntok[lab] + vocab)
+        want[lab] = s
+    best = max(sorted(want), key=lambda lab: want[lab])
+    got = {r["id"]: r for r in out}[probe["doc_id"]]
+    assert got["label_pred"] == best and got["score"] == want[best]
