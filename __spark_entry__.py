@@ -5861,3 +5861,45 @@ pred AS (
 SELECT d.doc_id AS id, d.lang AS label_true, p.label_pred,
        p.score::BIGINT AS score, p.label_pred = d.lang AS correct
 FROM documents d JOIN pred p ON p.id = d.doc_id AND p.rn = 1"""
+
+
+# ----------------------------------------------------------------- DSIR
+# Data Selection via Importance Resampling (Xie et al. 2023): per-doc
+# log importance ratio of a target char-trigram LM (here: the lang='en'
+# slice) over the raw-corpus LM, every term floor(1e6·ln(integer)) so
+# the signed BIGINT sums replay exactly.
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TS.dsir_weights(docs, F.col("lang") == "en", n=3)
+
+
+_TRAINING_QUERIES["dsir_weights"] = q_dsir_weights
+_TRAINING_ORACLES["dsir_weights"] = """WITH grams AS (
+  SELECT doc_id AS id, lang,
+         unnest(list_transform(
+           range(1, greatest(length(lower(text)) - 2, 0) + 1),
+           i -> substr(lower(text), i::INT, 3))) AS gram
+  FROM documents
+),
+lm_r AS (SELECT gram, count(*) AS cnt_r FROM grams GROUP BY 1),
+lm_t AS (SELECT gram, count(*) AS cnt_t FROM grams WHERE lang = 'en' GROUP BY 1),
+scal AS (SELECT sum(cnt_r) AS n_r, count(*) AS v FROM lm_r),
+scal_t AS (SELECT sum(cnt_t) AS n_t FROM lm_t),
+wg AS (
+  SELECT r.gram,
+         floor(1000000.0 * ln(coalesce(t.cnt_t, 0) + 1))::BIGINT
+           - floor(1000000.0 * ln(coalesce(s2.n_t, 0) + s.v))::BIGINT
+           - floor(1000000.0 * ln(r.cnt_r + 1))::BIGINT
+           + floor(1000000.0 * ln(s.n_r + s.v))::BIGINT AS wg
+  FROM lm_r r LEFT JOIN lm_t t USING (gram), scal s, scal_t s2
+),
+scored AS (
+  SELECT g.id, count(*)::BIGINT AS n_grams, sum(w.wg)::BIGINT AS logratio
+  FROM grams g JOIN wg w USING (gram)
+  GROUP BY 1
+)
+SELECT d.doc_id AS id, coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(s.logratio, 0)::BIGINT AS logratio
+FROM documents d LEFT JOIN scored s ON s.id = d.doc_id"""

@@ -358,6 +358,89 @@ def lm_quality_score(
     )
 
 
+def dsir_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): per
+    doc, the log importance ratio of a target-distribution char-n-gram
+    LM over the raw-corpus LM — the published recipe for selecting
+    pretraining data that "looks like" a high-quality target set.
+
+    ``target_pred`` defines the target slice (e.g. a curated subset or
+    a quality-gate conjunction). Per-gram weight, all in log-micros over
+    integer counts (the lm_quality idiom, cross-engine exact):
+
+        wg = [L(cnt_t+1) − L(N_t+V)] − [L(cnt_r+1) − L(N_r+V)]
+
+    with V = raw-corpus distinct grams (shared smoothing vocabulary),
+    N_* = total gram mass. Output (id, n_grams, logratio) — logratio is
+    a signed BIGINT sum; resample by top-k or threshold downstream.
+
+    Scale: two corpus-scan aggregations build the LMs (gram-keyed,
+    map-side combinable; state = vocab-sized, not corpus-sized), the
+    scalar masses ride a broadcast 1-row crossJoin (never a driver
+    collect), and scoring is one explode + one gram-keyed join + one id
+    aggregation. ``broadcast_lm=False`` switches the scoring join to a
+    shuffle join when the gram table outgrows the broadcast budget."""
+    lm_r = char_ngram_counts(docs, text_col, n)
+    lm_t = char_ngram_counts(docs.where(target_pred), text_col, n)
+
+    def lmicro(x: Column) -> Column:
+        return F.floor(F.lit(1_000_000.0) * F.log(x.cast("double"))).cast("long")
+
+    scal_r = lm_r.agg(
+        F.sum("cnt").alias("n_r"), F.count("*").alias("v")
+    )
+    scal_t = lm_t.agg(F.sum("cnt").alias("n_t"))
+    wg = (
+        lm_r.withColumnRenamed("cnt", "cnt_r")
+        .join(lm_t.withColumnRenamed("cnt", "cnt_t"), "gram", "left")
+        .crossJoin(F.broadcast(scal_r))
+        .crossJoin(F.broadcast(scal_t))
+        .select(
+            "gram",
+            (
+                lmicro(F.coalesce("cnt_t", F.lit(0)) + 1)
+                - lmicro(F.coalesce("n_t", F.lit(0)) + F.col("v"))
+                - lmicro(F.col("cnt_r") + 1)
+                + lmicro(F.col("n_r") + F.col("v"))
+            ).alias("wg"),
+        )
+    )
+    t = F.lower(F.col(text_col))
+    grams = F.when(
+        F.length(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (n - 1)),
+            lambda i: F.substring(t, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rows = docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+    wtab = F.broadcast(wg) if broadcast_lm else wg
+    scored = (
+        rows.join(wtab, "gram")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("wg").alias("logratio"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("logratio", F.lit(0)).cast("long").alias("logratio"),
+        )
+    )
+
+
 # ------------------------------------------------------------- cleaning
 
 # RE2- and Java-regex compatible (no lookarounds) so Spark and any SQL

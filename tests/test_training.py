@@ -889,3 +889,47 @@ def test_naive_bayes_classify_exact_and_accurate(spark):
     best = max(sorted(want), key=lambda lab: want[lab])
     got = {r["id"]: r for r in out}[probe["doc_id"]]
     assert got["label_pred"] == best and got["score"] == want[best]
+
+
+def test_dsir_weights_ordering_and_exact(spark):
+    rows = [
+        # target slice: "science"-flavored grams
+        (1, "quantum physics experiment results analysis", "tgt"),
+        (2, "physics experiment quantum analysis of results", "tgt"),
+        (3, "experiment analysis quantum physics method", "tgt"),
+        # off-target: different gram mass
+        (4, "buy cheap viagra now click here winner", "raw"),
+        (5, "lottery winner click now buy cheap prize", "raw"),
+        # held-out probes, one of each flavor
+        (6, "quantum experiment physics analysis", "raw"),
+        (7, "cheap lottery click winner now", "raw"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, kind string")
+    out = {
+        r["id"]: r
+        for r in textstats.dsir_weights(docs, F.col("kind") == "tgt").collect()
+    }
+    assert len(out) == 7 and all(out[i]["n_grams"] > 0 for i in out)
+    # per-gram average: the science-flavored probe must outrank the spam one
+    avg6 = out[6]["logratio"] / out[6]["n_grams"]
+    avg7 = out[7]["logratio"] / out[7]["n_grams"]
+    assert avg6 > avg7
+
+    # exact python replay of doc 7
+    grams = lambda s: [s.lower()[i : i + 3] for i in range(len(s) - 2)]
+    from collections import Counter
+
+    cr: Counter = Counter()
+    ct: Counter = Counter()
+    for _id, tx, kind in rows:
+        cr.update(grams(tx))
+        if kind == "tgt":
+            ct.update(grams(tx))
+    v = len(cr)
+    n_r, n_t = sum(cr.values()), sum(ct.values())
+    L = lambda x: math.floor(1e6 * math.log(x))
+    want = sum(
+        L(ct.get(g, 0) + 1) - L(n_t + v) - L(cr[g] + 1) + L(n_r + v)
+        for g in grams(rows[6][1])
+    )
+    assert out[7]["logratio"] == want
