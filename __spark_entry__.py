@@ -5903,3 +5903,70 @@ scored AS (
 SELECT d.doc_id AS id, coalesce(s.n_grams, 0)::BIGINT AS n_grams,
        coalesce(s.logratio, 0)::BIGINT AS logratio
 FROM documents d LEFT JOIN scored s ON s.id = d.doc_id"""
+
+
+# ------------------------------------------- dedup policy: keep-best rep
+# Completes the dedup story end-to-end: pairs -> transitive clusters ->
+# elect one representative per cluster (longest text, id tie-break) and
+# flag every member with its kept_id witness.
+
+_CLUSTERS_CTE = f"""{_SHINGLES_CTE},
+sizes AS (SELECT id, count(*) AS n FROM shingle_rows GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM shingle_rows a JOIN shingle_rows b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jpairs
+  UNION ALL
+  SELECT id_b, id_a FROM jpairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src)"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_flat(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.5).select("id_a", "id_b")
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    clusters = D.connected_components(nodes, pairs)
+    scores = docs.select(F.col("doc_id").alias("id"), F.col("n_chars").alias("score"))
+    return D.keep_best_per_cluster(clusters, scores)
+
+
+_TRAINING_QUERIES["dedup_keep_best"] = q_dedup_keep_best
+_TRAINING_ORACLES["dedup_keep_best"] = f"""WITH RECURSIVE {_CLUSTERS_CTE},
+ranked AS (
+  SELECT c.cluster_id, c.id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.id ASC) AS rn
+  FROM clusters c JOIN documents d ON d.doc_id = c.id
+)
+SELECT c.id, c.cluster_id, k.id AS kept_id, c.id = k.id AS keep
+FROM clusters c JOIN ranked k ON k.cluster_id = c.cluster_id AND k.rn = 1"""
+
+
+def q_dedup_clusters_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointer-jumping connected components (O(log diameter) rounds)
+    gated against the SAME transitive-closure oracle as dedup_clusters —
+    cross-algorithm equivalence, not just cross-engine."""
+    docs = _docs_flat(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.5).select("id_a", "id_b")
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return D.connected_components_jump(nodes, pairs)
+
+
+_TRAINING_QUERIES["dedup_clusters_jump"] = q_dedup_clusters_jump
+_TRAINING_ORACLES["dedup_clusters_jump"] = _TRAINING_ORACLES["dedup_clusters"]

@@ -764,3 +764,41 @@ def passage_dup_stats(
             .alias("dup_frac_e6"),
         )
     )
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    score_col: str = "score",
+) -> DataFrame:
+    """The dedup *policy* step: given transitive clusters (id,
+    cluster_id) from :func:`connected_components` and any per-doc score
+    (id, score), elect one representative per cluster — highest score,
+    ties on lowest id — and flag every member.
+
+    Output: (id, cluster_id, kept_id, keep). A pipeline keeps
+    ``keep = true`` rows; the kept_id witness makes the drop auditable
+    (which doc shadowed this one?), mirroring semantic_dedup's kept_by.
+
+    Scale: one id-keyed join + one cluster-keyed rn=1 window
+    (WindowGroupLimit — per-task top-1 state, no cluster
+    materialization) + one cluster-keyed broadcast-able join back.
+    Cluster count ≤ doc count, so nothing here exceeds the corpus's own
+    key cardinality."""
+    from pyspark.sql import Window as W
+
+    j = clusters.join(scores, "id")
+    rn = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(F.desc(score_col), F.asc("id"))
+    )
+    kept = (
+        j.withColumn("_rn", rn)
+        .where(F.col("_rn") == 1)
+        .select("cluster_id", F.col("id").alias("kept_id"))
+    )
+    return clusters.join(kept, "cluster_id").select(
+        "id",
+        "cluster_id",
+        "kept_id",
+        (F.col("id") == F.col("kept_id")).alias("keep"),
+    )

@@ -933,3 +933,20 @@ def test_dsir_weights_ordering_and_exact(spark):
         for g in grams(rows[6][1])
     )
     assert out[7]["logratio"] == want
+
+
+def test_keep_best_per_cluster(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)], "id long, cluster_id long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 7), (5, 2)], "id long, score long"
+    )
+    out = {r["id"]: r for r in dedup.keep_best_per_cluster(clusters, scores).collect()}
+    assert len(out) == 5
+    # highest score wins, tie on LOWEST id: 2 beats 3
+    assert out[2]["keep"] and out[2]["kept_id"] == 2
+    assert not out[1]["keep"] and out[1]["kept_id"] == 2
+    assert not out[3]["keep"]
+    # singletons keep themselves
+    assert out[4]["keep"] and out[5]["keep"]
