@@ -32,6 +32,7 @@ from ocr_search_spark import textproc
 from ocr_search_spark.deploy import ensure_shipped
 from ocr_search_spark.operators import correlate
 from ocr_search_spark.operators.extract import (
+    coalesce_spans,
     extract_spans_columnar,
     extract_spans_pandas,
 )
@@ -1816,12 +1817,21 @@ _GATE_PRIORITY = [
     "corpus_ngrams", "redact_pii", "repetition_signals",
     "tpch_q2", "tpch_q9",
     "tpch_q21",
-    "quantiles_pricing", "rolling_revenue", "zorder_curve",
+    "quantiles_pricing", "zorder_curve",
     # session-5 training-mix ops — first-class curation operators take
     # the window slots of four shape-siblings (see overflow note below)
     "semantic_dedup", "weighted_sample", "gopher_filters",
     "minhash_incremental",
-    "search_fuzzy", "events_outliers", "wav_sample_stats",
+    "search_fuzzy",
+    # session-6 flagships: span-stream normalization (the north rule's
+    # "re-emit normalized span arrays" step), the ExactSubstr REMOVAL
+    # stage, and PMI collocation mining. Window slots freed by
+    # sibling-covered evictions: wav_sample_stats (real-codec media
+    # gate shape = png_pixel_stats' slot + audio_features r2 row +
+    # test_wav), events_outliers (windowed robust-stat shape =
+    # quantiles_pricing's slot), rolling_revenue (window-frame agg =
+    # events_hourly r2 row + events_sliding sibling).
+    "span_coalesce", "passage_removal", "collocations_pmi",
     # passage-level dedup + training-mix + graph/vector/tokenizer/index ops
     "dup_passages", "pack_sequences", "source_mix",
     "pagerank_centrality", "embed_quantize", "bpe_merges",
@@ -1845,6 +1855,10 @@ _GATE_PRIORITY = [
     "passage_dup_stats", "zorder_scaled",
     "tpch_q6", "tpch_q10", "events_argmax", "events_sliding",
     "tpch_q11", "tpch_q12", "tpch_q15", "tpch_q16", "tpch_q19", "tpch_q20",
+    "rolling_revenue", "events_outliers", "wav_sample_stats",
+    # char_entropy: quality-gate shape covered by gopher_filters /
+    # quality_score slots; verified via tools/check_entry.py.
+    "char_entropy",
 ]
 
 
@@ -5970,3 +5984,200 @@ def q_dedup_clusters_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRAINING_QUERIES["dedup_clusters_jump"] = q_dedup_clusters_jump
 _TRAINING_ORACLES["dedup_clusters_jump"] = _TRAINING_ORACLES["dedup_clusters"]
+
+
+# ------------------------------------------- span-stream normalization
+# North-rule step "re-emit normalized (kind, text, media_ref, offset)
+# span arrays": real converter output is fragmented (one text object
+# per PDF line — reference convert chain src/sh/convert_pipeline.sh) so
+# the normalizer sorts by offset, drops whitespace-only text spans,
+# merges adjacent text runs and re-numbers offsets densely. The fixture
+# array is deliberately UNSORTED and contains empty + adjacent text
+# spans so every leg (sort, drop, merge, renumber) is load-bearing.
+
+
+def q_span_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce_spans (operators/extract.py): zero-shuffle array-side
+    normalization — array_sort(comparator) → filter → aggregate-fold
+    with null-safe get() → transform re-index, all inside the span
+    column (one narrow map at 10^12 docs)."""
+    d = _with_doc_key(_widened(spark.read.parquet(f"{sf_dir}/documents.parquet")))
+    ref = F.concat(F.col("source"), F.lit("/img-"), F.col("flat_id").cast("string"))
+    span = lambda kind, text, mref, off: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"),
+        text.alias("text"),
+        mref.alias("media_ref"),
+        F.lit(off).cast("int").alias("offset"),
+    )
+    spans = F.array(  # deliberately out of offset order
+        span("media", F.lit(""), ref, 3),
+        span("text", F.substring("text", 1, 40), F.lit(""), 0),
+        span("text", F.upper(F.substring("text", 1, 20)), F.lit(""), 5),
+        span("text", F.lit("  "), F.lit(""), 2),
+        span("text", F.substring("text", 41, 40), F.lit(""), 1),
+        span("text", F.lit(""), F.lit(""), 4),
+    )
+    raw = d.select(F.col("doc_key").alias("doc_id"), spans.alias("spans"))
+    return _flatten_extracted(coalesce_spans(raw))
+
+
+_TRAINING_QUERIES["span_coalesce"] = q_span_coalesce
+_TRAINING_ORACLES["span_coalesce"] = f"""WITH {_BASE_CTE},
+raw AS (
+  SELECT doc_key, 0 AS off, 'text' AS kind, substring(text, 1, 40) AS t, '' AS ref FROM base
+  UNION ALL SELECT doc_key, 1, 'text', substring(text, 41, 40), '' FROM base
+  UNION ALL SELECT doc_key, 2, 'text', '  ', '' FROM base
+  UNION ALL SELECT doc_key, 3, 'media', '', source || '/img-' || flat_id::VARCHAR FROM base
+  UNION ALL SELECT doc_key, 4, 'text', '', '' FROM base
+  UNION ALL SELECT doc_key, 5, 'text', upper(substring(text, 1, 20)), '' FROM base
+),
+kept AS (SELECT * FROM raw WHERE kind <> 'text' OR trim(t) <> ''),
+marked AS (
+  SELECT doc_key, off, kind, t, ref,
+         CASE WHEN kind <> 'text'
+                OR lag(kind) OVER (PARTITION BY doc_key ORDER BY off)
+                   IS DISTINCT FROM 'text'
+              THEN 1 ELSE 0 END AS new_grp
+  FROM kept
+),
+grp AS (
+  SELECT *, sum(new_grp) OVER (PARTITION BY doc_key ORDER BY off) AS gid
+  FROM marked
+),
+merged AS (
+  SELECT doc_key, gid, min(kind) AS kind,
+         string_agg(t, ' ' ORDER BY off) AS text,
+         max(ref) AS media_ref
+  FROM grp GROUP BY doc_key, gid
+)
+SELECT doc_key AS doc_id,
+       (row_number() OVER (PARTITION BY doc_key ORDER BY gid) - 1)::BIGINT
+         AS "offset",
+       kind, text, media_ref
+FROM merged"""
+
+
+# --------------------------------------- ExactSubstr passage REMOVAL
+def q_passage_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remove_duplicated_passages (training/dedup.py): the REMOVAL stage
+    of ExactSubstr dedup — tokens covered by cross-document duplicated
+    8-gram windows are cut out of each document. Islands collapse to one
+    bounded array per doc; the removal itself is a zero-shuffle
+    filter-with-index over the token array (no k× position explosion)."""
+    return D.remove_duplicated_passages(
+        _docs_flat(spark, sf_dir), k=_PASSAGE_K, min_docs=2
+    )
+
+
+_TRAINING_QUERIES["passage_removal"] = q_passage_removal
+_TRAINING_ORACLES["passage_removal"] = f"""WITH {_PASSAGE_WIN_CTE},
+dup AS (
+  SELECT h FROM win GROUP BY h HAVING count(DISTINCT id) >= 2
+),
+iv AS (
+  SELECT id, s, s + {_PASSAGE_K - 1} AS e FROM win JOIN dup USING (h)
+),
+marked AS (
+  SELECT id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                  PARTITION BY id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM iv
+),
+isl AS (
+  SELECT id, s, e,
+         sum(new_isl) OVER (PARTITION BY id ORDER BY s, e) AS g
+  FROM marked
+),
+islands AS (SELECT id, g, min(s) AS s, max(e) AS e FROM isl GROUP BY id, g),
+cov AS (SELECT id, sum(e - s + 1)::BIGINT AS dup_tokens FROM islands GROUP BY id),
+pos AS (
+  SELECT id, unnest(ws) AS tok,
+         generate_subscripts(ws, 1) - 1 AS p
+  FROM w
+),
+keptpos AS (
+  SELECT pos.id, pos.tok, pos.p
+  FROM pos
+  WHERE NOT EXISTS (
+    SELECT 1 FROM islands i
+    WHERE i.id = pos.id AND i.s <= pos.p AND pos.p <= i.e
+  )
+),
+kept AS (
+  SELECT id, string_agg(tok, ' ' ORDER BY p) AS kept_text FROM keptpos GROUP BY id
+)
+SELECT w.id, len(w.ws)::BIGINT AS n_tokens,
+       coalesce(cov.dup_tokens, 0)::BIGINT AS dup_tokens,
+       coalesce(kept.kept_text, '') AS kept_text
+FROM w
+LEFT JOIN cov ON cov.id = w.id
+LEFT JOIN kept ON kept.id = w.id"""
+
+
+# ------------------------------------------- PMI collocation mining
+def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bigram_collocations (training/textstats.py): PMI phrase mining —
+    exact BIGINT unigram/bigram counts, one ln of an identical double
+    ratio floored at micros (Church & Hanks 1990)."""
+    return TS.bigram_collocations(_docs_flat(spark, sf_dir), min_count=5)
+
+
+_TRAINING_QUERIES["collocations_pmi"] = q_collocations_pmi
+_TRAINING_ORACLES["collocations_pmi"] = f"""WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+),
+uni AS (SELECT unnest(ws) AS tok FROM w),
+ucnt AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+nu AS (SELECT count(*) AS n_u FROM uni),
+bi AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM w, UNNEST(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+),
+nb AS (SELECT count(*) AS n_b FROM bi),
+bcnt AS (
+  SELECT w1, w2, count(*) AS c_xy FROM bi GROUP BY 1, 2
+  HAVING count(*) >= 5
+)
+SELECT b.w1, b.w2, b.c_xy::BIGINT AS c_xy,
+       floor(1000000.0 * ln((b.c_xy * nu.n_u * nu.n_u)::DOUBLE
+                            / (ca.c * cb.c * nb.n_b)::DOUBLE))::BIGINT AS pmi_e6
+FROM bcnt b
+CROSS JOIN nu CROSS JOIN nb
+JOIN ucnt ca ON ca.tok = b.w1
+JOIN ucnt cb ON cb.tok = b.w2"""
+
+
+# ------------------------------------------- character-entropy gate
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """char_entropy (training/textstats.py): Shannon character entropy
+    per doc in pinned fixed-point (every term a BIGINT before any sum —
+    no float accumulation order anywhere)."""
+    return TS.char_entropy(_docs_flat(spark, sf_dir))
+
+
+_TRAINING_QUERIES["char_entropy"] = q_char_entropy
+_TRAINING_ORACLES["char_entropy"] = """WITH chars AS (
+  SELECT doc_id AS id, substr(lower(text), i::INT, 1) AS ch
+  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+  WHERE length(text) >= 1
+),
+cnt AS (SELECT id, ch, count(*) AS c FROM chars GROUP BY id, ch),
+inner_s AS (
+  SELECT id,
+         sum(floor((1000000.0 * c) * ln(c::DOUBLE)))::BIGINT AS s,
+         sum(c)::BIGINT AS n
+  FROM cnt GROUP BY id
+),
+scored AS (
+  SELECT id, n AS n_chars,
+         (floor(1000000.0 * ln(n::DOUBLE))::BIGINT
+          - floor(s::DOUBLE / n::DOUBLE)::BIGINT) AS entropy_e6
+  FROM inner_s
+)
+SELECT d.doc_id AS id,
+       coalesce(sc.n_chars, 0)::BIGINT AS n_chars,
+       coalesce(sc.entropy_e6, 0)::BIGINT AS entropy_e6
+FROM documents d LEFT JOIN scored sc ON sc.id = d.doc_id"""

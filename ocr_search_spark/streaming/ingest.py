@@ -165,3 +165,50 @@ def stream_dedup_exact(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def stream_dedup_watermarked(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    delay: str = "1 hour",
+    await_termination: bool = True,
+):
+    """Watermark-BOUNDED streaming dedup: the state-ages-out variant the
+    :func:`stream_dedup_exact` docstring promises. Input rows carry an
+    event-time column ``ts``; ``dropDuplicatesWithinWatermark`` keeps a
+    digest key only until the watermark passes ``ts + delay``, so state
+    is bounded by the duplicate-arrival horizon instead of corpus
+    cardinality — the correct shape for a continuously-fed pipeline
+    where producers guarantee bounded duplicate lateness (e.g. at-least-
+    once upstream delivery), while corpus-global identity stays with the
+    batch operator / the unbounded exact gate.
+
+    Consequence (asserted in the chaos test): a digest re-sent AFTER its
+    state aged out is admitted again — by design; watermarked dedup
+    suppresses delivery duplicates, not historical re-publications.
+
+    State sizing at 10^12 docs/day: keys ∝ docs within the lateness
+    window only (hours, not history); the state store is RocksDB-backed
+    and checkpointed, surviving restarts like every other gate here.
+    """
+    src = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(input_path)
+    deduped = (
+        src.withColumn("digest", F.md5("text"))
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["digest"])
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q

@@ -702,6 +702,39 @@ def duplicated_passages(
     )
 
 
+def _dup_islands(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    min_docs: int,
+) -> DataFrame:
+    """Merged per-document coverage islands (id, s, e) of the
+    cross-document duplicated k-gram windows: windows [s, s+k-1] that
+    survive the semi-join against :func:`duplicated_passages` are
+    union-merged with one gaps-and-islands window pass (an island starts
+    where s exceeds the running max end of every earlier interval).
+    Shared by the coverage *signal* (:func:`passage_dup_stats`) and the
+    removal *transform* (:func:`remove_duplicated_passages`)."""
+    from pyspark.sql import Window as W
+
+    win = passage_windows(docs, text_col, id_col, k)
+    dup = duplicated_passages(docs, text_col, id_col, k, min_docs).select("h")
+    iv = win.join(dup, "h").select(
+        "id", "s", (F.col("s") + F.lit(k - 1)).alias("e")
+    )
+    byid = W.partitionBy("id").orderBy("s", "e")
+    run_prev = (
+        F.max("e").over(byid.rowsBetween(W.unboundedPreceding, -1))
+    )
+    marked = iv.withColumn(
+        "_new", F.when(F.col("s") > F.coalesce(run_prev, F.lit(-1)), 1).otherwise(0)
+    ).withColumn("_isl", F.sum("_new").over(byid))
+    return marked.groupBy("id", "_isl").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    ).drop("_isl")
+
+
 def passage_dup_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -724,25 +757,10 @@ def passage_dup_stats(
     max(e)−min(s)+1 per island. Cost: one per-doc sort of the
     *duplicated* windows only — already filtered by the semi-join
     against the corpus-level duplicate inventory."""
-    from pyspark.sql import Window as W
-
-    win = passage_windows(docs, text_col, id_col, k)
-    dup = duplicated_passages(docs, text_col, id_col, k, min_docs).select("h")
-    iv = win.join(dup, "h").select(
-        "id", "s", (F.col("s") + F.lit(k - 1)).alias("e")
-    )
-    byid = W.partitionBy("id").orderBy("s", "e")
-    run_prev = (
-        F.max("e").over(byid.rowsBetween(W.unboundedPreceding, -1))
-    )
-    marked = iv.withColumn(
-        "_new", F.when(F.col("s") > F.coalesce(run_prev, F.lit(-1)), 1).otherwise(0)
-    ).withColumn("_isl", F.sum("_new").over(byid))
     covered = (
-        marked.groupBy("id", "_isl")
-        .agg((F.max("e") - F.min("s") + 1).alias("_len"))
+        _dup_islands(docs, text_col, id_col, k, min_docs)
         .groupBy("id")
-        .agg(F.sum("_len").alias("dup_tokens"))
+        .agg(F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"))
     )
     totals = docs.select(
         F.col(id_col).alias("id"),
@@ -763,6 +781,62 @@ def passage_dup_stats(
             .cast("long")
             .alias("dup_frac_e6"),
         )
+    )
+
+
+def remove_duplicated_passages(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style REMOVAL stage (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", word grain): emit each
+    document with every token position covered by a cross-document
+    duplicated k-gram window cut out. Returns (id, n_tokens, dup_tokens,
+    kept_text) — kept_text is the space-join of the surviving lowercased
+    tokens in original order (the same token stream the window inventory
+    hashed, so coverage and removal can never disagree).
+
+    Scale shape: the corpus-level inventory and the per-doc island merge
+    are :func:`_dup_islands` (shuffle ∝ duplicated-window count, never
+    pairs²); the islands then collapse to ONE bounded array row per
+    document (islands are disjoint, ≤ n_tokens/k per doc), and the
+    actual removal is a zero-shuffle array transform on the joined row:
+    ``filter(tokens, (w, i) -> NOT exists(islands, v -> v.s ≤ i ≤ v.e))``
+    — no k× position explosion, no per-token join. Reference scope:
+    the reference engine has no dedup at all (SURVEY §2 gap list); this
+    is task-list "Deduplication" as a *transform*, complementing the
+    filter signal in :func:`passage_dup_stats`."""
+    islands = (
+        _dup_islands(docs, text_col, id_col, k, min_docs)
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "e"))).alias("_iv"))
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("_w")
+    )
+    joined = base.join(islands, "id", "left").withColumn(
+        "_iv",
+        F.coalesce(F.col("_iv"), F.array().cast("array<struct<s:int,e:int>>")),
+    )
+    kept = F.filter(
+        "_w",
+        lambda w, i: ~F.exists(
+            "_iv", lambda v: (v["s"] <= i) & (i <= v["e"])
+        ),
+    )
+    dup_tokens = F.aggregate(
+        "_iv",
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + (v["e"] - v["s"] + 1).cast("long"),
+    )
+    return joined.select(
+        "id",
+        F.size("_w").cast("long").alias("n_tokens"),
+        dup_tokens.alias("dup_tokens"),
+        F.array_join(kept, " ").alias("kept_text"),
     )
 
 

@@ -521,6 +521,125 @@ def repetition_signals(
     )
 
 
+def char_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shannon character entropy per document, exact fixed-point:
+    (id, n_chars, entropy_e6). Low entropy ⇒ repeated-character junk /
+    template padding; implausibly high ⇒ base64/binary blobs — the
+    classic cheap quality gate complementing :func:`quality_score`'s
+    ratio features and :func:`repetition_signals`' n-gram fractions.
+
+    Pinned integer semantics so the oracle replays it bit-for-bit
+    (a float Σ p·ln p would sum in engine-dependent order):
+    entropy_e6 = floor(10⁶·ln n) − floor(Σ_c floor(10⁶·c·ln c) / n)
+    over lowercased characters with count c, n = total chars; 0 for
+    empty text. The inner floors each lose < 1 micro-nat — a pinned
+    quantization, identical in both engines because every term is a
+    BIGINT before any sum.
+
+    Scale shape: one explode (∝ corpus chars, same cost class as the
+    trigram LM), one partial-aggregable count, one per-doc sum — no
+    joins wider than (doc, char)."""
+    t = F.lower(F.col(text_col))
+    chars = F.when(
+        F.length(t) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t)), lambda i: F.substring(t, i, 1)
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_char = (
+        docs.select(F.col(id_col).alias("id"), F.explode(chars).alias("ch"))
+        .groupBy("id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    inner = per_char.groupBy("id").agg(
+        F.sum(
+            F.floor(F.lit(1000000.0) * F.col("c") * F.log(F.col("c").cast("double")))
+        ).alias("s"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    scored = inner.select(
+        "id",
+        F.col("n").alias("n_chars"),
+        (
+            F.floor(F.lit(1000000.0) * F.log(F.col("n").cast("double")))
+            - F.floor(F.col("s") / F.col("n"))
+        )
+        .cast("long")
+        .alias("entropy_e6"),
+    )
+    base = docs.select(F.col(id_col).alias("id"))
+    return base.join(scored, "id", "left").select(
+        "id",
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("n_chars"),
+        F.coalesce(F.col("entropy_e6"), F.lit(0)).cast("long").alias("entropy_e6"),
+    )
+
+
+def bigram_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """PMI collocation mining over adjacent word bigrams: (w1, w2, c_xy,
+    pmi_e6) for every bigram occurring ≥ ``min_count`` times, where
+    pmi_e6 = floor(10⁶ · ln((c_xy·N_u²) / (c_x·c_y·N_b))) with N_u =
+    total tokens, N_b = total bigrams, c_x/c_y = corpus unigram counts
+    — the standard pointwise-mutual-information collocation score
+    (Church & Hanks 1990), pinned to one integer-exact formula so the
+    DuckDB oracle replays it bit-for-bit (all counts are exact BIGINTs;
+    the only float op is one ln of an identical double ratio, floored
+    at micros).
+
+    Scale shape: tokens and bigrams are array transforms per row (no
+    shuffle), then THREE partial-aggregable hash counts (unigram,
+    bigram, two scalar totals); the unigram table joins back on the
+    bigram's two word keys — shuffle ∝ vocabulary, never pairs². The
+    min_count HAVING prunes the long tail before the join. This is the
+    phrase-mining stage of a training-data pipeline (multi-word
+    expression detection for tokenizer/vocab construction)."""
+    w = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    n = F.size(w)
+    bi = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.struct(
+                F.get(w, i).alias("w1"), F.get(w, i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    toks = docs.select(F.explode(w).alias("tok"))
+    ucnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n_uni = toks.agg(F.count("*").cast("long").alias("n_u"))
+    bigrams = docs.select(F.explode(bi).alias("b")).select("b.w1", "b.w2")
+    n_bi = bigrams.agg(F.count("*").cast("long").alias("n_b"))
+    bcnt = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+        .where(F.col("c_xy") >= min_count)
+    )
+    ca = ucnt.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
+    cb = ucnt.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
+    scored = (
+        bcnt.join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    ratio = (F.col("c_xy") * F.col("n_u") * F.col("n_u")).cast("double") / (
+        F.col("c_a") * F.col("c_b") * F.col("n_b")
+    ).cast("double")
+    return scored.select(
+        "w1",
+        "w2",
+        F.col("c_xy").cast("long").alias("c_xy"),
+        F.floor(F.lit(1000000.0) * F.log(ratio)).cast("long").alias("pmi_e6"),
+    )
+
+
 def normalize_nfc(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

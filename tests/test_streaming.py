@@ -602,3 +602,55 @@ def test_stream_maintain_cms_exactness_and_replay(spark, dirs, tmp_path):
         ).collect()
     )
     assert live() == expect2
+
+
+def test_stream_dedup_watermarked_state_ages_out(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics, end to end across three
+    AvailableNow runs sharing one checkpoint: (1) in-horizon duplicates
+    are suppressed within AND across runs; (2) once the watermark passes
+    a key's ts + delay the state is evicted and a re-publication of the
+    same digest is ADMITTED again (bounded state, by design)."""
+    import datetime as dt
+
+    src, out, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+        ingest.stream_dedup_watermarked(
+            spark, src, out, ckpt, delay="1 hour"
+        )
+
+    # run 1: an in-batch duplicate pair + a singleton
+    feed(
+        [
+            (1, "alpha", t0),
+            (2, "alpha", t0 + dt.timedelta(minutes=5)),  # dup, in horizon
+            (3, "beta", t0),
+        ]
+    )
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 3 in got and len(got & {1, 2}) == 1  # exactly one alpha
+
+    # run 2: cross-run duplicate while state is live -> suppressed; a
+    # fresh far-future row advances the watermark to t0+3h-1h > t0+1h,
+    # evicting alpha's state at the end of this run
+    feed(
+        [
+            (4, "alpha", t0 + dt.timedelta(minutes=30)),  # dup, suppressed
+            (5, "gamma", t0 + dt.timedelta(hours=3)),  # watermark mover
+        ]
+    )
+    got2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 4 not in got2 and 5 in got2
+
+    # run 3: alpha re-published AFTER eviction -> admitted again
+    feed([(6, "alpha", t0 + dt.timedelta(hours=3, minutes=5))])
+    got3 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 6 in got3

@@ -950,3 +950,75 @@ def test_keep_best_per_cluster(spark):
     assert not out[3]["keep"]
     # singletons keep themselves
     assert out[4]["keep"] and out[5]["keep"]
+
+
+def test_remove_duplicated_passages(spark):
+    """Removal equals a hand-computed cut: doc1/doc2 share the 8-gram
+    'a b c d e f g h' (positions 0-7 and 1-8); doc3 is untouched."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x a b c d e f g h z"),
+            (3, "q w e r t y u i o p"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in dedup.remove_duplicated_passages(docs, k=8, min_docs=2).collect()
+    }
+    assert out[1]["kept_text"] == "i j" and out[1]["dup_tokens"] == 8
+    assert out[2]["kept_text"] == "x z" and out[2]["dup_tokens"] == 8
+    assert out[3]["kept_text"] == "q w e r t y u i o p"
+    assert out[3]["dup_tokens"] == 0 and out[3]["n_tokens"] == 10
+
+
+def test_remove_duplicated_passages_overlap_islands(spark):
+    """Overlapping duplicated windows merge into ONE island (no double
+    cut): two docs sharing a 9-token run yield two overlapping 8-gram
+    windows [0-7] and [1-8] that must union to 9 covered tokens."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i tail1"), (2, "a b c d e f g h i tail2")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in dedup.remove_duplicated_passages(docs, k=8, min_docs=2).collect()
+    }
+    assert out[1]["dup_tokens"] == 9 and out[1]["kept_text"] == "tail1"
+    assert out[2]["dup_tokens"] == 9 and out[2]["kept_text"] == "tail2"
+
+
+def test_bigram_collocations_pmi(spark):
+    """PMI matches the closed-form count formula on a tiny corpus."""
+    docs = spark.createDataFrame(
+        [(1, "new york new york city"), (2, "new york is big")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in textstats.bigram_collocations(docs, min_count=3).collect()
+    }
+    # tokens: 5 + 4 = 9; bigrams: 4 + 3 = 7
+    # c("new york") = 3, c("new") = 3, c("york") = 3
+    assert set(out) == {("new", "york")}
+    r = out[("new", "york")]
+    assert r["c_xy"] == 3
+    expected = math.floor(1e6 * math.log((3 * 9 * 9) / (3 * 3 * 7)))
+    assert r["pmi_e6"] == expected
+
+
+def test_char_entropy(spark):
+    """Fixed-point entropy matches the hand formula; degenerate docs
+    rank correctly (uniform junk low, empty zero)."""
+    docs = spark.createDataFrame(
+        [(1, "aab"), (2, "aaaaaaaa"), (3, ""), (4, "AaB")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in textstats.char_entropy(docs).collect()}
+    s = math.floor(1e6 * 2 * math.log(2))  # a=2; b=1 contributes 0
+    expected = math.floor(1e6 * math.log(3)) - math.floor(s / 3)
+    assert out[1]["entropy_e6"] == expected and out[1]["n_chars"] == 3
+    assert out[2]["entropy_e6"] == 0  # single repeated char
+    assert out[3]["entropy_e6"] == 0 and out[3]["n_chars"] == 0
+    assert out[4]["entropy_e6"] == expected  # lowercased first
