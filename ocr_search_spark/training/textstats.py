@@ -613,9 +613,13 @@ def bigram_collocations(
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     toks = docs.select(F.explode(w).alias("tok"))
     ucnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    n_uni = toks.agg(F.count("*").cast("long").alias("n_u"))
+    # scalar totals from array SIZES — one narrow scan each, no second
+    # explode of the corpus (explain showed the re-derived explode scans)
+    n_uni = docs.agg(F.sum(F.size(w)).cast("long").alias("n_u"))
     bigrams = docs.select(F.explode(bi).alias("b")).select("b.w1", "b.w2")
-    n_bi = bigrams.agg(F.count("*").cast("long").alias("n_b"))
+    n_bi = docs.agg(
+        F.sum(F.greatest(F.size(w) - 1, F.lit(0))).cast("long").alias("n_b")
+    )
     bcnt = (
         bigrams.groupBy("w1", "w2")
         .agg(F.count("*").alias("c_xy"))
