@@ -1816,7 +1816,10 @@ _GATE_PRIORITY = [
     "phrase_search", "embed_neardup", "dedup_containment",
     "corpus_ngrams", "redact_pii", "repetition_signals",
     "tpch_q2", "tpch_q9",
-    "tpch_q21",
+    # session-6: page-layout reading order (north-star "layout parsing"
+    # stage — a new operator class). Slot freed by tpch_q21 (EXISTS/NOT
+    # EXISTS semi/anti shapes = tpch_q4's slot + tpch_q22's window row).
+    "layout_reading_order",
     "quantiles_pricing", "zorder_curve",
     # session-5 training-mix ops — first-class curation operators take
     # the window slots of four shape-siblings (see overflow note below)
@@ -1859,6 +1862,7 @@ _GATE_PRIORITY = [
     # char_entropy: quality-gate shape covered by gopher_filters /
     # quality_score slots; verified via tools/check_entry.py.
     "char_entropy",
+    "tpch_q21",
 ]
 
 
@@ -6181,3 +6185,81 @@ SELECT d.doc_id AS id,
        coalesce(sc.n_chars, 0)::BIGINT AS n_chars,
        coalesce(sc.entropy_e6, 0)::BIGINT AS entropy_e6
 FROM documents d LEFT JOIN scored sc ON sc.id = d.doc_id"""
+
+
+# ------------------------------------------- page-layout reading order
+# North-star stage "PDF/PPTX layout parsing": OCR word boxes -> reading
+# order via the single-cut XY heuristic (operators/pagelayout.py). The
+# fixture synthesizes both page shapes deterministically: docs with
+# doc_id % 3 != 0 are TWO-column (inter-column whitespace ~331 mills >>
+# min_gap=80), the rest ONE-column (max pseudo-gap 30 < 80, so the cut
+# must be rejected, not just mis-placed).
+
+
+def q_layout_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reading_order (operators/pagelayout.py): widest-whitespace-gap
+    column cut + (col, y, x) ordering, pure integer window arithmetic."""
+    from ocr_search_spark.operators.pagelayout import reading_order
+    from ocr_search_spark.training.hashing import h60
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.explode(F.sequence(F.lit(0), F.lit(11))).alias("i")
+    b = d.select(F.col("doc_id"), i)
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("i").cast("string"))
+    j = F.pmod(h60(key), F.lit(50))
+    ydelta = F.pmod(h60(F.concat(F.lit("y:"), key)), F.lit(10))
+    side = F.pmod(F.col("i"), F.lit(2))
+    row = F.floor(F.col("i") / 2)
+    two_col = F.pmod(F.col("doc_id"), F.lit(3)) != 0
+    x0 = F.when(two_col, F.lit(100) + side * 500 + j).otherwise(
+        F.lit(100) + side * 150 + j
+    )
+    boxes = b.select(
+        "doc_id",
+        F.lit(1).cast("int").alias("page"),
+        F.col("i").cast("int").alias("box_id"),
+        x0.cast("long").alias("x0"),
+        (F.lit(100) + row * 60 + ydelta).cast("long").alias("y0"),
+        (x0 + 120).cast("long").alias("x1"),
+        (F.lit(140) + row * 60 + ydelta).cast("long").alias("y1"),
+    )
+    return reading_order(boxes, min_gap=80)
+
+
+_TRAINING_QUERIES["layout_reading_order"] = q_layout_reading_order
+_TRAINING_ORACLES["layout_reading_order"] = f"""WITH b AS (
+  SELECT doc_id, 1 AS page, i::INT AS box_id,
+         (CASE WHEN doc_id % 3 <> 0
+               THEN 100 + (i % 2) * 500 + {_h60_sql("doc_id::VARCHAR || ':' || i::VARCHAR")} % 50
+               ELSE 100 + (i % 2) * 150 + {_h60_sql("doc_id::VARCHAR || ':' || i::VARCHAR")} % 50
+          END)::BIGINT AS x0,
+         (100 + (i // 2) * 60 + {_h60_sql("'y:' || doc_id::VARCHAR || ':' || i::VARCHAR")} % 10)::BIGINT AS y0
+  FROM documents, UNNEST(range(0, 12)) AS t(i)
+),
+bx AS (SELECT *, x0 + 120 AS x1 FROM b),
+g AS (
+  SELECT *,
+         CASE WHEN max(x1) OVER wprev IS NOT NULL AND x0 > max(x1) OVER wprev
+              THEN x0 - max(x1) OVER wprev ELSE 0 END AS gap,
+         x0 + max(x1) OVER wprev AS split_x2
+  FROM bx
+  WINDOW wprev AS (PARTITION BY doc_id, page ORDER BY x0, x1, box_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+best AS (
+  SELECT doc_id, page, split_x2 AS cut_x2
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, page
+                                     ORDER BY gap DESC, x0, box_id) AS rn
+        FROM g)
+  WHERE rn = 1 AND gap >= 80
+),
+c AS (
+  SELECT g.doc_id, g.page, g.box_id, g.y0, g.x0,
+         CASE WHEN bb.cut_x2 IS NOT NULL AND g.x0 * 2 >= bb.cut_x2
+              THEN 1 ELSE 0 END AS col
+  FROM g LEFT JOIN best bb USING (doc_id, page)
+)
+SELECT doc_id, page::INT AS page, box_id, col::INT AS col,
+       (row_number() OVER (PARTITION BY doc_id, page
+                           ORDER BY col, y0, x0, box_id))::INT AS rank
+FROM c"""

@@ -132,6 +132,11 @@ def main() -> None:
         "doc_similarity",
         "hist_quantiles",
         "postings_nltk_stop",
+        "span_coalesce",
+        "passage_removal",
+        "collocations_pmi",
+        "char_entropy",
+        "layout_reading_order",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:
