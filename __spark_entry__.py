@@ -1863,6 +1863,9 @@ _GATE_PRIORITY = [
     # quality_score slots; verified via tools/check_entry.py.
     "char_entropy",
     "tpch_q21",
+    # source_regression: grouped-aggregate shape covered by the
+    # profile_documents / source_mix slots; check_entry-verified.
+    "source_regression",
 ]
 
 
@@ -6263,3 +6266,47 @@ SELECT doc_id, page::INT AS page, box_id, col::INT AS col,
        (row_number() OVER (PARTITION BY doc_id, page
                            ORDER BY col, y0, x0, box_id))::INT AS rank
 FROM c"""
+
+
+# ------------------------------------------- per-source OLS calibration
+def q_source_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouped_regression (operators/profile.py): per-source token-yield
+    calibration — OLS of whitespace-token count (y) on n_chars (x), all
+    sums exact BIGINT, one double division per coefficient floored at
+    micros. One hash aggregate; group-count-sized output."""
+    from ocr_search_spark.operators.profile import grouped_regression
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""))
+    return grouped_regression(
+        d.select("source", F.col("n_chars").alias("x"), toks.alias("y")),
+        "source",
+        "x",
+        "y",
+    )
+
+
+_TRAINING_QUERIES["source_regression"] = q_source_regression
+_TRAINING_ORACLES["source_regression"] = f"""WITH d AS (
+  SELECT source, n_chars::BIGINT AS x,
+         len({_WORDS_SQL})::BIGINT AS y
+  FROM documents
+),
+g AS (
+  SELECT source, count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+  FROM d GROUP BY source
+),
+s AS (
+  SELECT *, CASE WHEN n * sxx - sx * sx <> 0
+                 THEN floor(1000000.0 * ((n * sxy - sx * sy)::DOUBLE
+                                         / (n * sxx - sx * sx)::DOUBLE))::BIGINT
+            END AS slope_e6
+  FROM g
+)
+SELECT source, n, slope_e6,
+       CASE WHEN slope_e6 IS NOT NULL AND n > 0
+            THEN floor((sy * 1000000 - slope_e6 * sx)::DOUBLE / n::DOUBLE)::BIGINT
+       END AS intercept_e6
+FROM s"""

@@ -168,3 +168,64 @@ def validate_table(
     from functools import reduce
 
     return reduce(DataFrame.unionByName, parts)
+
+
+def grouped_regression(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary least squares in exact fixed-point:
+    (group, n, slope_e6, intercept_e6) with
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+
+    x and y must be integral columns, so every Σ is an exact BIGINT
+    (partial-aggregable, order-immune); each result does exactly ONE
+    double division of identical exact operands, floored at micros —
+    the same pinned-quantization contract as the other _e6 operators.
+    The intercept reuses the QUANTIZED slope — intercept_e6 =
+    floor((Σy·10⁶ − slope_e6·Σx) / n), numerator an exact BIGINT — so
+    both outputs are bit-replayable cross-engine.
+    Degenerate groups (all x equal, or n == 0) emit NULL slope and
+    intercept rather than a division blow-up.
+
+    Training-pipeline use: per-source calibration curves — e.g. token
+    yield per byte by crawl source for mix budgeting. Scale shape: one
+    hash aggregate (5 sums per group), group-count-sized output; no
+    second pass, no window, no joins.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    g = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope_e6 = F.when(
+        den != 0,
+        F.floor(F.lit(1000000.0) * (num.cast("double") / den.cast("double"))),
+    ).cast("long")
+    out = g.withColumn("slope_e6", slope_e6)
+    intercept_e6 = F.when(
+        F.col("slope_e6").isNotNull() & (F.col("n") > 0),
+        F.floor(
+            (
+                F.col("sy") * F.lit(1000000)
+                - F.col("slope_e6") * F.col("sx")
+            ).cast("double")
+            / F.col("n").cast("double")
+        ),
+    ).cast("long")
+    return out.select(
+        group_col,
+        "n",
+        "slope_e6",
+        intercept_e6.alias("intercept_e6"),
+    )

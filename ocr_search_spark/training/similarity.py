@@ -669,3 +669,83 @@ def pq_search(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "adc_d2")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam_e6: int = 700_000,
+    qid_col: str = "query_id",
+    id_col: str = "id",
+    rel_col: str = "rel_e6",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) of a BOUNDED per-query candidate set: greedily emit k items,
+    each maximizing  lam·relevance − (1−lam)·max-similarity-to-already-
+    selected  — the standard diversification pass after retrieval.
+
+    Contract: ``candidates`` is the OUTPUT of a distributed top-N stage
+    (e.g. :func:`cosine_topk` / :func:`ivf_search`), so each query
+    group is small (N ≲ a few hundred); the greedy loop is inherently
+    sequential per query, which makes this the documented
+    ``applyInPandas`` slot (per-group imperative logic Spark lacks) —
+    the only shuffle is the per-query grouping the retrieval stage
+    already produced. Nothing corpus-sized reaches this operator.
+
+    Exactness: relevance arrives as integer micros (``rel_e6``);
+    pairwise similarity is the exact int64 dot of integer-micros
+    components floor-divided by 10⁶ (comparable to rel_e6 when vectors
+    are unit-normalized, as the fixture embeddings are); every score is
+    an integer, ties break on smallest id — bit-deterministic at any
+    partitioning (asserted in pytest, with a pure-python greedy
+    replay). Greedy selection is legitimately non-SQL-expressible, so
+    this is pytest-gated like the real media codecs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    lo = int(lam_e6)
+    hi = 1_000_000 - lo
+    kk = int(k)
+
+    out_schema = (
+        f"{qid_col} long, {id_col} long, rank int, score_e6 long"
+    )
+
+    def _mmr(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        qid = int(pdf[qid_col].iloc[0])
+        ids = pdf[id_col].astype("int64").to_numpy()
+        rel = pdf[rel_col].astype("int64").to_numpy()
+        vecs = np.stack(
+            [
+                np.floor(np.asarray(v, dtype="float64") * 1_000_000).astype(
+                    "int64"
+                )
+                for v in pdf[vec_col]
+            ]
+        )
+        order = np.lexsort((ids,))  # canonical order: id asc
+        ids, rel, vecs = ids[order], rel[order], vecs[order]
+        n = len(ids)
+        alive = np.ones(n, dtype=bool)
+        # running max similarity to the selected set, in micros
+        maxsim = np.full(n, np.iinfo("int64").min, dtype="int64")
+        out_rows = []
+        for step in range(1, min(kk, n) + 1):
+            pen = np.where(maxsim == np.iinfo("int64").min, 0, maxsim)
+            score = lo * rel - hi * pen
+            score[~alive] = np.iinfo("int64").min
+            best = int(np.argmax(score))  # ties: first = smallest id
+            out_rows.append(
+                (qid, int(ids[best]), step, int(score[best] // 1_000_000))
+            )
+            alive[best] = False
+            dots = vecs @ vecs[best]  # exact int64
+            sims = dots // 1_000_000  # floor toward -inf, pinned
+            maxsim = np.maximum(maxsim, sims)
+        return pd.DataFrame(
+            out_rows, columns=[qid_col, id_col, "rank", "score_e6"]
+        )
+
+    return candidates.groupBy(qid_col).applyInPandas(_mmr, out_schema)

@@ -173,3 +173,28 @@ def test_validate_table_rules(spark):
     assert out["foreign_key:s"] == 0         # NULL s doesn't violate FK
     with _pt.raises(ValueError):
         validate_table(df)
+
+
+def test_grouped_regression_closed_form(spark):
+    """OLS coefficients match the hand formula; degenerate group NULLs."""
+    import math
+
+    from ocr_search_spark.operators.profile import grouped_regression
+
+    rows = [
+        # group a: y = 2x + 1 exactly -> slope 2.0, intercept 1.0
+        ("a", 1, 3), ("a", 2, 5), ("a", 3, 7),
+        # group b: noisy
+        ("b", 1, 2), ("b", 2, 2), ("b", 3, 5),
+        # group c: all x equal -> degenerate
+        ("c", 4, 1), ("c", 4, 9),
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r["g"]: r for r in grouped_regression(df, "g", "x", "y").collect()}
+    assert out["a"]["slope_e6"] == 2_000_000
+    assert out["a"]["intercept_e6"] == 1_000_000
+    n, sx, sy, sxy, sxx = 3, 6, 9, 21, 14
+    slope = math.floor(1e6 * (n * sxy - sx * sy) / (n * sxx - sx * sx))
+    assert out["b"]["slope_e6"] == slope
+    assert out["b"]["intercept_e6"] == math.floor((sy * 1000000 - slope * sx) / n)
+    assert out["c"]["slope_e6"] is None and out["c"]["intercept_e6"] is None
