@@ -1866,6 +1866,9 @@ _GATE_PRIORITY = [
     # source_regression: grouped-aggregate shape covered by the
     # profile_documents / source_mix slots; check_entry-verified.
     "source_regression",
+    # png_resize_stats: precomputed-table media gate shape covered by
+    # png_pixel_stats' window slot; check_entry-verified.
+    "png_resize_stats",
 ]
 
 
@@ -6310,3 +6313,83 @@ SELECT source, n, slope_e6,
             THEN floor((sy * 1000000 - slope_e6 * sx)::DOUBLE / n::DOUBLE)::BIGINT
        END AS intercept_e6
 FROM s"""
+
+
+# --------------------------------------------- real PNG resize gate
+# Task-list "resize" as a gated stage: decode -> integer-grid nearest
+# resize -> re-encode -> decode again, distributed; the expected table
+# is computed locally from the PRE-encode arrays, so the gate checks
+# the full byte loop (encode/decode/resize/encode/decode), not a
+# tautology.
+
+
+def _png_resize_fixture():
+    import numpy as np
+
+    from ocr_search_spark.training.multimodal import average_hash, resize_nearest
+    from ocr_search_spark.training.png import encode_png
+
+    rows = []
+    for i, ch in enumerate((1, 2, 3, 4)):
+        rng = np.random.default_rng(5000 + i)
+        h, w = 11 + 3 * i, 6 + 5 * i
+        arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        small = resize_nearest(arr, 8, 8)
+        px = small.astype(np.float64)
+        rows.append(
+            {
+                "media_ref": f"fix/rz-{i:02d}.png",
+                "payload": encode_png(arr, i % 5),
+                "channels": ch,
+                "px_mean": round(float(px.mean()), 6),
+                "px_std": round(float(px.std()), 6),
+                "ahash": average_hash(px.mean(axis=2)),
+            }
+        )
+    return rows
+
+
+def q_png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.multimodal import (
+        decode_image_real,
+        resize_image_real,
+    )
+
+    ensure_shipped(spark)
+    fix = _png_resize_fixture()
+    media = spark.createDataFrame(
+        [(r["media_ref"], bytearray(r["payload"])) for r in fix],
+        "media_ref string, payload binary",
+    ).repartition(4, "media_ref")
+    resized = resize_image_real(media, 8, 8)
+    out = decode_image_real(resized.where(F.col("error").isNull()))
+    return out.select(
+        "media_ref",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "px_mean",
+        "px_std",
+        "ahash",
+        "error",
+    )
+
+
+def _png_resize_oracle() -> str:
+    vals = ",\n    ".join(
+        "({}, 8, 8, {}, {!r}, {!r}, {}, NULL)".format(
+            "'" + r["media_ref"] + "'",
+            r["channels"], r["px_mean"], r["px_std"], r["ahash"],
+        )
+        for r in _png_resize_fixture()
+    )
+    return f"""SELECT media_ref, width::BIGINT AS width, height::BIGINT AS height,
+       channels::BIGINT AS channels, px_mean::DOUBLE AS px_mean,
+       px_std::DOUBLE AS px_std, ahash::BIGINT AS ahash, error::VARCHAR AS error
+FROM (VALUES
+    {vals}
+) AS t(media_ref, width, height, channels, px_mean, px_std, ahash, error)"""
+
+
+_TRAINING_QUERIES["png_resize_stats"] = q_png_resize_stats
+_TRAINING_ORACLES["png_resize_stats"] = _png_resize_oracle()

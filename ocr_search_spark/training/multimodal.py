@@ -403,3 +403,66 @@ def decode_image_real(media: DataFrame) -> DataFrame:
     return media.select("media_ref", "payload").mapInPandas(
         _decode_real_iter, schema=REAL_FEATURE_SCHEMA
     )
+
+
+def resize_nearest(arr: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":  # noqa: F821
+    """Nearest-neighbor resize with the PINNED index map
+    ``src = (dst * src_len) // dst_len`` (pure integer floor — the same
+    grid :func:`average_hash` samples, so both stages quantize
+    identically). No interpolation, no floats: byte-exact on any
+    platform."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[ys][:, xs]
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def resize_image_real(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Task-list "resize" stage, REAL and byte-deterministic: PNG bytes →
+    decode (hand-written codec) → nearest-neighbor integer-grid resize →
+    RE-ENCODE to PNG (fixed filter 0, fixed zlib level) → (media_ref,
+    width, height, payload, error). The full decode→transform→re-encode
+    loop a multimodal training pipeline runs before feature extraction,
+    in the same Arrow-batched mapInPandas slot as the decoders; bad
+    payloads carry the error instead of failing the stage (X2).
+
+    Determinism: the codec pair is dependency-free (training/png.py) and
+    the resize grid is integer floor arithmetic, so output BYTES are
+    identical on every executor/platform — asserted round-trip in
+    pytest."""
+    import numpy as np  # noqa: F401
+
+    from .png import decode_png, encode_png
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                try:
+                    arr = decode_png(bytes(payload))
+                    small = resize_nearest(arr, out_h, out_w)
+                    rows.append(
+                        (ref, out_w, out_h, encode_png(small, filter_type=0), None)
+                    )
+                except Exception as exc:  # X2: recorded, not silent
+                    rows.append((ref, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "width", "height", "payload", "error"]
+            )
+
+    return media.select("media_ref", "payload").mapInPandas(
+        it, schema=RESIZE_SCHEMA
+    )

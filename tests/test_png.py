@@ -103,3 +103,49 @@ def test_real_decode_end_to_end(spark, corpus_df):
     }
     for r in feats:
         assert again[r["media_ref"]] == r["ahash"]
+
+
+def test_resize_nearest_exact_grid():
+    # 4x4 -> 2x2 with the pinned map src = (dst*4)//2 = [0, 2]
+    arr = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = multimodal.resize_nearest(arr, 2, 2)
+    assert out.tolist() == [[0, 2], [8, 10]]
+    # upscale 2x2 -> 4x4: src = (dst*2)//4 = [0,0,1,1]
+    up = multimodal.resize_nearest(np.array([[1, 2], [3, 4]], dtype=np.uint8), 4, 4)
+    assert up.tolist() == [
+        [1, 1, 2, 2], [1, 1, 2, 2], [3, 3, 4, 4], [3, 3, 4, 4]
+    ]
+
+
+def test_resize_image_real_roundtrip(spark):
+    """decode(resize_stage(encode(img))) == hand nearest-sample, and the
+    re-encoded BYTES are deterministic across partitionings."""
+    rng = np.random.default_rng(11)
+    rows = []
+    expected = {}
+    for i, shape in enumerate([(16, 12, 3), (9, 7, 1)]):
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        ref = f"img{i}.png"
+        rows.append((ref, bytearray(encode_png(arr, 0))))
+        expected[ref] = multimodal.resize_nearest(arr, 8, 8)
+    rows.append(("garbage.bin", bytearray(b"nope")))
+    media = spark.createDataFrame(rows, "media_ref string, payload binary")
+    out = {
+        r["media_ref"]: r
+        for r in multimodal.resize_image_real(media, 8, 8).collect()
+    }
+    for ref, want in expected.items():
+        r = out[ref]
+        assert (r["width"], r["height"]) == (8, 8) and r["error"] is None
+        got = decode_png(bytes(r["payload"]))
+        want3 = want if want.ndim == 3 else want[:, :, None]
+        assert np.array_equal(got, want3)
+    assert out["garbage.bin"]["error"] is not None
+    # byte determinism across partitioning
+    b1 = {
+        r["media_ref"]: bytes(r["payload"]) if r["payload"] is not None else None
+        for r in multimodal.resize_image_real(media.repartition(4), 8, 8).collect()
+    }
+    assert all(
+        b1[ref] == bytes(out[ref]["payload"]) for ref in expected
+    )
