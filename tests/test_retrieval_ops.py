@@ -1,0 +1,170 @@
+"""Session-7 operators: RRF fusion, champion-list pruning, MaxSim
+late interaction, deletion-blocked edit-distance self-join — each
+verified against an independent brute-force/pure-Python replay."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from ocr_search_spark.operators.search import (
+    champion_lists,
+    match_terms,
+    match_terms_champion,
+    rrf_fuse,
+)
+from ocr_search_spark.operators.simjoin import edit1_pairs
+from ocr_search_spark.training.similarity import maxsim_topk
+
+
+# ------------------------------------------------------------------ RRF
+
+
+def test_rrf_fuse_matches_pure_python(spark):
+    r1 = spark.createDataFrame(
+        [(f"d{i}", i + 1) for i in range(10)], "doc_id string, rank long"
+    )
+    # second ranker: reversed order, overlapping on half the docs
+    r2 = spark.createDataFrame(
+        [(f"d{i}", 10 - i) for i in range(5, 15)], "doc_id string, rank long"
+    )
+    got = {
+        r["doc_id"]: (r["score"], r["n_rankers"], r["rank"])
+        for r in rrf_fuse([r1, r2], k=60, max_return=100).collect()
+    }
+    exp: dict[str, int] = {}
+    for d, rk in [(f"d{i}", i + 1) for i in range(10)] + [
+        (f"d{i}", 10 - i) for i in range(5, 15)
+    ]:
+        exp[d] = exp.get(d, 0) + 1_000_000 // (60 + rk)
+    order = sorted(exp, key=lambda d: (-exp[d], d))
+    for pos, d in enumerate(order, start=1):
+        n = 2 if d in {f"d{i}" for i in range(5, 10)} else 1
+        assert got[d] == (exp[d], n, pos)
+
+
+def test_rrf_requires_input(spark):
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+# ------------------------------------------------------- champion lists
+
+
+@pytest.fixture(scope="module")
+def tiny_postings(spark):
+    rows = [
+        (t, f"doc{d:02d}", (d * 7 + len(t) * 3) % 9 + 1)
+        for t in ["alpha", "beta", "gamma"]
+        for d in range(30)
+    ]
+    return spark.createDataFrame(rows, "term string, doc_id string, tf long").cache()
+
+
+def test_champion_lists_keep_top_m_by_impact(tiny_postings):
+    m = 5
+    champ = champion_lists(tiny_postings, m=m)
+    rows = champ.collect()
+    per_term: dict[str, list] = {}
+    for r in rows:
+        per_term.setdefault(r["term"], []).append((r["tf"], r["doc_id"]))
+    full = tiny_postings.collect()
+    for t, kept in per_term.items():
+        assert len(kept) == m
+        allp = sorted(
+            ((r["tf"], r["doc_id"]) for r in full if r["term"] == t),
+            key=lambda x: (-x[0], x[1]),
+        )
+        assert sorted(kept, key=lambda x: (-x[0], x[1])) == allp[:m]
+
+
+def test_champion_retrieval_equals_exhaustive_when_m_covers(tiny_postings):
+    # m >= docs per term -> champion pruning is lossless: identical to Q2-Q5
+    exact = match_terms(tiny_postings, ["alpha", "gamma"], max_return=10).collect()
+    pruned = match_terms_champion(
+        tiny_postings, ["alpha", "gamma"], m=30, max_return=10
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in exact] == [
+        (r["doc_id"], r["score"]) for r in pruned
+    ]
+
+
+def test_champion_retrieval_is_subset_scored_exactly(tiny_postings):
+    # tight m: every returned (doc, score) must carry the EXACT max-tf
+    # score (phase 2 rescoring), even though the candidate set is pruned
+    full = {
+        (r["doc_id"],): r["score"]
+        for r in match_terms(tiny_postings, ["alpha"], max_return=1000).collect()
+    }
+    for r in match_terms_champion(tiny_postings, ["alpha"], m=3, max_return=10).collect():
+        assert full[(r["doc_id"],)] == r["score"]
+
+
+# -------------------------------------------------------------- MaxSim
+
+
+def test_maxsim_matches_numpy_bruteforce(spark):
+    rng = np.random.RandomState(7)
+    dim, n_sub, n = 16, 4, 40
+    vecs = rng.uniform(-1, 1, size=(n, dim)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.where(F.col("vec_id") == 3)
+    got = [(r["vec_id"], r["score"]) for r in maxsim_topk(emb, q, n_sub=n_sub, k=10).collect()]
+
+    micros = np.floor(vecs.astype("float64") * 1_000_000).astype("int64")
+    qs = micros[3].reshape(n_sub, dim // n_sub)
+    scores = {}
+    for i in range(n):
+        ds = micros[i].reshape(n_sub, dim // n_sub)
+        scores[i] = int(sum((qs @ ds.T).max(axis=1)))
+    order = sorted(scores, key=lambda i: (-scores[i], i))[:10]
+    assert got == [(i, scores[i]) for i in order]
+    assert got[0][0] == 3  # self-match ranks first
+
+
+# -------------------------------------------------- edit-distance join
+
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+def test_edit1_pairs_equals_bruteforce(spark):
+    words = [
+        "spark", "spork", "sparks", "park", "sark", "shark",
+        "table", "tables", "cable", "tble", "tabl",
+        "ab", "ba", "abc", "zz", "zzz", "q",  # q dropped by min_length
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    got = sorted((r["s1"], r["s2"]) for r in edit1_pairs(df).collect())
+    kept = sorted({w for w in words if len(w) >= 2})
+    exp = sorted(
+        (a, b)
+        for a, b in itertools.combinations(kept, 2)
+        if _lev(a, b) == 1
+    )
+    assert got == exp
+    assert ("ab", "ba") not in got  # shared-key false positive verified away
+
+
+def test_edit1_pairs_unicode_and_dupes(spark):
+    words = ["héllo", "hèllo", "hello", "hello", "héllos"]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    got = sorted((r["s1"], r["s2"]) for r in edit1_pairs(df).collect())
+    uniq = sorted(set(words))
+    exp = sorted(
+        (a, b) for a, b in itertools.combinations(uniq, 2) if _lev(a, b) == 1
+    )
+    assert got == exp
