@@ -654,3 +654,57 @@ def test_stream_dedup_watermarked_state_ages_out(spark, tmp_path):
     feed([(6, "alpha", t0 + dt.timedelta(hours=3, minutes=5))])
     got3 = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert 6 in got3
+
+
+def test_stream_stream_interval_join_vs_batch(spark, tmp_path):
+    """Stream-stream watermarked interval join == the batch join, and a
+    second incremental run joins NEW clicks against views it buffered
+    in a PREVIOUS run (cross-batch state, the point of a stream join).
+    The arrival split is BY EVENT TIME (wave 2 = the later half), so no
+    input is late w.r.t. the watermark and the batch equality is exact —
+    state eviction only drops views no future click can reach."""
+    from ocr_search_spark.streaming import joins as SJ
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    views = ev.where(F.col("event_type") == "view")
+    clicks = ev.where(F.col("event_type") == "click")
+    d = {k: str(tmp_path / k) for k in ("v", "c", "out", "ckpt")}
+
+    # 1-day window: ~100 pairs at sf0.001 (600 s matches a single pair —
+    # too thin to exercise the state store)
+    win = 86400
+    mid = ev.agg(F.expr("percentile_approx(ts, 0.5)").alias("m")).collect()[0]["m"]
+    early = F.col("ts") <= F.lit(mid)
+
+    views.where(early).write.mode("append").parquet(d["v"])
+    clicks.where(early).write.mode("append").parquet(d["c"])
+    SJ.stream_attribute_clicks(spark, d["v"], d["c"], d["out"], d["ckpt"], window_s=win)
+    got1 = spark.read.parquet(d["out"])
+    exp1 = SJ.batch_attribute_clicks(views.where(early), clicks.where(early), window_s=win)
+    n1 = got1.count()
+    assert n1 == exp1.count() and n1 >= 10
+
+    # wave 2: the later half of BOTH streams arrives; its clicks must
+    # also match wave-1 views still inside the attribution window
+    views.where(~early).write.mode("append").parquet(d["v"])
+    clicks.where(~early).write.mode("append").parquet(d["c"])
+    SJ.stream_attribute_clicks(spark, d["v"], d["c"], d["out"], d["ckpt"], window_s=win)
+    got = spark.read.parquet(d["out"])
+    exp = SJ.batch_attribute_clicks(views, clicks, window_s=win)
+    assert got.count() == exp.count()
+    key = lambda df: sorted(  # noqa: E731
+        (r["click_id"], r["view_id"]) for r in df.select("click_id", "view_id").collect()
+    )
+    assert key(got) == key(exp)
+    # cross-batch state: some pair spans the waves (wave-2 click, wave-1 view)
+    spanning = got.join(
+        views.where(early).select(F.col("event_id").alias("view_id")), "view_id"
+    ).join(
+        clicks.where(~early).select(F.col("event_id").alias("click_id")), "click_id"
+    )
+    assert spanning.count() >= 1
+    # exactly-once across the restart: no attributed pair duplicated
+    assert (
+        got.groupBy("click_id", "view_id").count().where(F.col("count") > 1).count()
+        == 0
+    )
