@@ -6615,8 +6615,10 @@ def q_search_champion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/search.py match_terms_champion): candidates from the
     query terms' top-5 champion lists only, then exact Q3 rescoring
     (max tf, doc_id tie-break)."""
+    # postings pinned: the two-phase plan references the lineage twice
+    # (champion window + exact rescore) — one tokenize rebuild, not two
     hits = match_terms_champion(
-        _postings(spark, sf_dir), list(_SEARCH_TERMS), m=_CHAMPION_M, max_return=20
+        _postings(spark, sf_dir).cache(), list(_SEARCH_TERMS), m=_CHAMPION_M, max_return=20
     )
     return hits.select("doc_id", F.col("score").cast("long").alias("score"))
 
