@@ -1881,6 +1881,10 @@ _GATE_PRIORITY = [
     # png_resize_stats: precomputed-table media gate shape covered by
     # png_pixel_stats' window slot; check_entry-verified.
     "png_resize_stats",
+    # ivf_incremental: anti-join IVM shape covered by the in-window
+    # minhash_incremental / correlations_incremental rows;
+    # check_entry-verified.
+    "ivf_incremental",
 ]
 
 
@@ -6693,3 +6697,57 @@ WHERE levenshtein(a.s, b.s) <= 1"""
 
 _TRAINING_QUERIES["term_neighbors"] = q_term_neighbors
 _TRAINING_ORACLES["term_neighbors"] = _term_neighbors_oracle()
+
+
+# ------------------------------------------------ IVF assignment IVM
+
+def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM gate for the vector index (training/similarity.py
+    ivf_upsert): base assignments computed over a STALE corpus (vectors
+    with vec_id%10==0 sign-flipped, which moves them to a different
+    inverted list), then one upsert batch of the true vectors + one
+    delete set (vec_id%13==2, overlapping the batch) must reproduce the
+    full nearest-centroid recompute over the updated corpus — which is
+    exactly what the oracle computes. The expensive centroid-scoring
+    pass runs over the batch alone."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = SIM.ivf_centroids(emb, n_centroids=8)
+    is_changed = F.col("vec_id") % 10 == 0
+    stale = emb.withColumn(
+        "embedding",
+        F.when(
+            is_changed, F.transform("embedding", lambda x: -x)
+        ).otherwise(F.col("embedding")),
+    )
+    base = SIM.ivf_assign(stale, cents)
+    changed = emb.where(is_changed)
+    deleted = emb.where(F.col("vec_id") % 13 == 2).select("vec_id")
+    out = SIM.ivf_upsert(base, changed, deleted, cents)
+    return out.select("vec_id", F.col("cid").cast("long").alias("cid"))
+
+
+_TRAINING_QUERIES["ivf_incremental"] = q_ivf_incremental
+_TRAINING_ORACLES["ivf_incremental"] = f"""WITH {_EMB_FLAT_CTE},
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, vec_id AS cvid
+  FROM embeddings WHERE vec_id < 8
+),
+cflat AS (SELECT c.cid, f.i, f.v FROM cents c JOIN flat f ON f.vec_id = c.cvid),
+cnorm AS (SELECT cid, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS cn FROM cflat GROUP BY cid),
+vc AS (
+  SELECT f.vec_id, cf.cid, sum(f.v::DOUBLE * cf.v::DOUBLE) AS dot
+  FROM flat f JOIN cflat cf ON f.i = cf.i GROUP BY 1, 2
+),
+vccos AS (
+  SELECT vec_id, cid, round(dot / (n.nrm * cn.cn), 6) AS cos
+  FROM vc JOIN norms n USING (vec_id) JOIN cnorm cn USING (cid)
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM vccos
+  ) WHERE rn = 1
+)
+SELECT vec_id, cid::BIGINT AS cid
+FROM assign WHERE vec_id % 13 <> 2"""

@@ -803,3 +803,44 @@ def maxsim_topk(
     )
     scored = c.select(F.col(id_col), F.expr(score).alias("score"))
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def ivf_upsert(
+    base_assign: DataFrame,
+    changed_vectors: DataFrame,
+    deleted_ids: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Incremental view maintenance for the IVF assignment table under
+    vector churn: nearest-centroid assignment (:func:`ivf_assign`) is
+    recomputed ONLY for the changed-vector batch, deleted ids are
+    dropped, everything else is kept — the result equals a full
+    recompute over the updated corpus (the oracle), but the
+    centroid-scoring pass runs over the batch alone.
+
+    A delete that also appears in the batch wins (the vector is gone).
+    Centroids are the coarse quantizer and stay fixed; re-training them
+    is a separate (rare) kmeans_centroids job, after which assignments
+    rebuild fully.
+
+    Scale: base is touched by one anti-join on id — partition-prunable
+    when the assignment table lives in a BucketedTable keyed on vec_id
+    (only buckets containing doomed ids rewrite); batch cost ∝ diff,
+    never corpus. The vector-index twin of ``dedup.minhash_upsert`` and
+    ``correlate.incremental_correlations``."""
+    fresh = ivf_assign(
+        changed_vectors, centroids, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    )
+    doomed = (
+        changed_vectors.select(F.col(id_col).alias("vec_id"))
+        .unionByName(deleted_ids.select(F.col("vec_id")))
+        .distinct()
+    )
+    kept = base_assign.join(doomed, "vec_id", "left_anti")
+    return kept.unionByName(
+        fresh.join(deleted_ids.select("vec_id"), "vec_id", "left_anti")
+    )

@@ -1106,3 +1106,31 @@ def test_mmr_rerank_matches_python_replay_and_diversifies(spark):
         key=lambda t: t[1],
     )
     assert got8 == got
+
+
+def test_ivf_upsert_equals_full_recompute(spark):
+    """Vector-churn IVM: stale base + batch + deletes == full recompute;
+    a delete that also appears in the batch wins."""
+    import numpy as np
+    from ocr_search_spark.training import similarity as SIM
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    vecs = rng.uniform(-1, 1, size=(60, 8)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    cents = SIM.ivf_centroids(emb, n_centroids=4)
+    changed = F.col("vec_id") % 7 == 0
+    stale = emb.withColumn(
+        "embedding",
+        F.when(changed, F.transform("embedding", lambda x: -x)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    base = SIM.ivf_assign(stale, cents)
+    deleted = emb.where(F.col("vec_id").isin(0, 13, 14)).select("vec_id")  # 0,14 in batch
+    got = SIM.ivf_upsert(base, emb.where(changed), deleted, cents)
+    exp = SIM.ivf_assign(emb.where(~F.col("vec_id").isin(0, 13, 14)), cents)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
