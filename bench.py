@@ -137,6 +137,11 @@ def main() -> None:
         "collocations_pmi",
         "char_entropy",
         "layout_reading_order",
+        "search_hybrid_rrf",
+        "search_maxsim",
+        "search_champion",
+        "term_neighbors",
+        "ivf_incremental",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:
