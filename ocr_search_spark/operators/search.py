@@ -385,8 +385,9 @@ def rrf_fuse(
 ) -> DataFrame:
     """Reciprocal-rank fusion of N independent rankers (hybrid retrieval).
 
-    Each input is a (doc_id, rank) DataFrame with rank 1-based and
-    deterministic (ties already broken). The fused score is the classic
+    Each input is a (doc_id, rank) DataFrame with rank 1-based,
+    deterministic (ties already broken), and at most one row per doc_id
+    (a ranking, not a multiset — duplicates would double-count). The fused score is the classic
     RRF sum Σ_r 1/(k + rank_r) — pinned for exact cross-engine replay as
     integer micros via INTEGER division: ``1_000_000 div (k + rank)``,
     so per-doc scores are exact long sums with no float anywhere.

@@ -781,7 +781,12 @@ def maxsim_topk(
     zero explode, no per-row Python; the only exchange in the plan is
     the final TakeOrderedAndProject. At 10^12 vectors this composes with
     the IVF list pruning above (retrieve lists, then MaxSim-score the
-    survivors)."""
+    survivors).
+
+    Contract: ``n_sub`` must divide the vector length — the sub-vector
+    width is ``size div n_sub``, so a non-divisor would silently ignore
+    the trailing ``size mod n_sub`` components (the same rule as
+    pq_codebooks' m_sub)."""
     qm = query.select(_micros(F.col(vec_col)).alias("_qm")).limit(1)
     c = corpus.select(F.col(id_col), _micros(F.col(vec_col)).alias("_dm")).crossJoin(
         F.broadcast(qm)
@@ -822,9 +827,10 @@ def ivf_upsert(
     centroid-scoring pass runs over the batch alone.
 
     A delete that also appears in the batch wins (the vector is gone).
-    Centroids are the coarse quantizer and stay fixed; re-training them
-    is a separate (rare) kmeans_centroids job, after which assignments
-    rebuild fully.
+    ``deleted_ids`` carries a ``vec_id`` column; ``base_assign`` is the
+    (vec_id, cid) table :func:`ivf_assign` produces. Centroids are the
+    coarse quantizer and stay fixed; re-training them is a separate
+    (rare) kmeans_centroids job, after which assignments rebuild fully.
 
     Scale: base is touched by one anti-join on id — partition-prunable
     when the assignment table lives in a BucketedTable keyed on vec_id
