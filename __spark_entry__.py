@@ -6751,3 +6751,86 @@ assign AS (
 )
 SELECT vec_id, cid::BIGINT AS cid
 FROM assign WHERE vec_id % 13 <> 2"""
+
+
+# ------------------------------------------- page-chrome strip
+# North-star "boilerplate strip" as corpus statistics, not a regex
+# list: repeated header/footer lines across the pages of a doc
+# (operators/pagelayout.py:strip_page_chrome). The fixture synthesizes
+# 4 pages per doc: even docs carry a constant header on every page
+# (dropped), odd docs only on page 1 (kept — below min_pages); the
+# page-number footer normalizes digit runs to '#' so "Page 1 of 4" ==
+# "Page 3 of 4" and is dropped everywhere; body lines are doc-text
+# substrings in middle positions (never chrome by the edge rule).
+
+
+def q_layout_page_chrome(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strip_page_chrome (operators/pagelayout.py): cross-page repeated
+    edge-line detector + order-preserving reassembly, pure columnar
+    (posexplode, doc-keyed groupBy/joins, array_sort) — no UDFs."""
+    from ocr_search_spark.operators.pagelayout import strip_page_chrome
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("page"),
+    ).withColumn("page", F.col("page").cast("int"))
+    header = F.when(
+        (F.pmod(F.col("doc_id"), F.lit(2)) == 0) | (F.col("page") == 1),
+        F.lit("ACME Corp Confidential"),
+    ).otherwise(F.concat(F.lit("open "), F.expr("substring(text, page*2+1, 10)")))
+    page_text = F.concat_ws(
+        "\n",
+        header,
+        F.expr("substring(text, 6 + page*9, 8)"),
+        F.expr("substring(text, 11 + page*9, 8)"),
+        F.expr("substring(text, 16 + page*9, 8)"),
+        F.concat(F.lit("Page "), F.col("page").cast("string"), F.lit(" of 4")),
+    )
+    pages = p.select("doc_id", "page", page_text.alias("text"))
+    return strip_page_chrome(pages, edge_k=1, min_pages=2, min_frac_e6=500_000)
+
+
+_TRAINING_QUERIES["layout_page_chrome"] = q_layout_page_chrome
+_TRAINING_ORACLES["layout_page_chrome"] = """WITH p AS (
+  SELECT doc_id, page::INT AS page,
+         (CASE WHEN doc_id % 2 = 0 OR page = 1
+               THEN 'ACME Corp Confidential'
+               ELSE 'open ' || substr(text, page*2+1, 10) END)
+         || chr(10) || substr(text, 6 + page*9, 8)
+         || chr(10) || substr(text, 11 + page*9, 8)
+         || chr(10) || substr(text, 16 + page*9, 8)
+         || chr(10) || 'Page ' || page || ' of 4' AS text
+  FROM documents, UNNEST(range(1, 5)) AS t(page)
+),
+lines AS (
+  SELECT doc_id, page, i::INT AS pos0, l[i + 1] AS line, len(l) AS n_lines
+  FROM (SELECT doc_id, page, string_split(text, chr(10)) AS l FROM p),
+       UNNEST(range(0, len(l))) AS t(i)
+),
+tagged AS (
+  SELECT *,
+         regexp_replace(lower(trim(line)), '[0-9]+', '#', 'g') AS norm,
+         (pos0 < 1 OR pos0 >= n_lines - 1) AS edge
+  FROM lines
+),
+hits AS (
+  SELECT doc_id, norm, count(DISTINCT page) AS n_hit
+  FROM tagged WHERE edge AND norm <> '' GROUP BY doc_id, norm
+),
+np AS (SELECT doc_id, count(DISTINCT page) AS n_pages FROM p GROUP BY doc_id),
+flagged AS (
+  SELECT t.doc_id, t.page, t.pos0, t.line,
+         coalesce(t.edge AND t.norm <> '' AND h.n_hit >= 2
+                  AND h.n_hit * 1000000 >= 500000 * np.n_pages,
+                  FALSE) AS chrome
+  FROM tagged t
+  LEFT JOIN hits h ON h.doc_id = t.doc_id AND h.norm = t.norm
+  JOIN np ON np.doc_id = t.doc_id
+)
+SELECT doc_id, page,
+       coalesce(string_agg(line, chr(10) ORDER BY pos0)
+                  FILTER (WHERE NOT chrome), '') AS text,
+       (count(*) FILTER (WHERE chrome))::INT AS n_dropped
+FROM flagged GROUP BY doc_id, page"""

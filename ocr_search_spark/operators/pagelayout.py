@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["reading_order"]
+__all__ = ["reading_order", "strip_page_chrome"]
 
 
 def reading_order(
@@ -76,4 +76,110 @@ def reading_order(
         "box_id",
         col.cast("int").alias("col"),
         F.row_number().over(wr).cast("int").alias("rank"),
+    )
+
+
+def strip_page_chrome(
+    pages: DataFrame,
+    doc_col: str = "doc_id",
+    page_col: str = "page",
+    text_col: str = "text",
+    edge_k: int = 1,
+    min_pages: int = 2,
+    min_frac_e6: int = 500_000,
+) -> DataFrame:
+    """Drop repeated header/footer lines from per-page text — the
+    cross-page-repetition chrome detector the north-star "layout parse +
+    boilerplate strip" stage needs AFTER reading order (reference analog:
+    ocr_search OCRs each rendered page independently and keeps whatever
+    Tesseract returns, page furniture included — src/sh/*.sh; this is the
+    corpus-statistics fix a regex list can't express).
+
+    A line is chrome iff ALL of:
+
+      1. it sits in an EDGE position of its page — the first ``edge_k``
+         or last ``edge_k`` lines (0-based positions ``pos < edge_k`` or
+         ``pos >= n_lines - edge_k``);
+      2. its normal form — ``lower(trim(line))`` with every digit run
+         collapsed to ``#`` (so "Page 3 of 10" == "Page 7 of 10") — is
+         non-empty;
+      3. that normal form occupies an edge position on at least
+         ``min_pages`` distinct pages of the SAME doc, and on at least
+         ``min_frac_e6``/1e6 of the doc's pages (exact integer test:
+         ``n_hit * 1e6 >= min_frac_e6 * n_pages`` — no float ratio).
+
+    Kept lines are reassembled in original order (E6 discipline:
+    array_sort over (pos, line) structs, positions unique per page).
+    Pages whose every line is chrome stay in the output with text "".
+
+    Returns (doc, page, text, n_dropped int).
+
+    Scale shape: one explode, then every shuffle is keyed by the doc
+    (groupBy (doc, norm), join back on (doc, norm), groupBy (doc,
+    page)) — per-key cardinality is bounded by pages-per-doc × edge_k,
+    never corpus-wide; at 10^12 docs nothing aggregates across docs.
+    """
+    d, p = F.col(doc_col), F.col(page_col)
+    lines = pages.select(
+        d.alias("_doc"),
+        p.alias("_page"),
+        F.split(F.col(text_col), "\n").alias("_lines"),
+    ).select(
+        "_doc",
+        "_page",
+        F.size("_lines").alias("_n_lines"),
+        F.posexplode("_lines").alias("_pos", "_line"),
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("_line"))), "[0-9]+", "#")
+    edge = (F.col("_pos") < F.lit(edge_k)) | (
+        F.col("_pos") >= F.col("_n_lines") - F.lit(edge_k)
+    )
+    lines = lines.withColumn("_norm", norm).withColumn("_edge", edge)
+
+    hits = (
+        lines.where(F.col("_edge") & (F.col("_norm") != ""))
+        .groupBy("_doc", "_norm")
+        .agg(F.count_distinct("_page").alias("_n_hit"))
+    )
+    n_pages = pages.groupBy(d.alias("_doc")).agg(
+        F.count_distinct(p).alias("_n_pages")
+    )
+    j = (
+        lines.join(hits, ["_doc", "_norm"], "left")
+        .join(n_pages, ["_doc"])
+        .withColumn(
+            # coalesce: a line whose norm never hits (left-join miss,
+            # _n_hit NULL) must be KEPT, not null-propagated into the
+            # when() below and silently dropped from the reassembly
+            "_chrome",
+            F.coalesce(
+                F.col("_edge")
+                & (F.col("_norm") != "")
+                & (F.col("_n_hit") >= F.lit(min_pages))
+                & (
+                    F.col("_n_hit") * F.lit(1_000_000)
+                    >= F.lit(min_frac_e6) * F.col("_n_pages")
+                ),
+                F.lit(False),
+            ),
+        )
+    )
+    kept = F.when(~F.col("_chrome"), F.struct("_pos", "_line"))
+    return (
+        j.groupBy("_doc", "_page")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["_line"]
+                ),
+                "\n",
+            ).alias(text_col),
+            F.sum(F.col("_chrome").cast("int")).cast("int").alias("n_dropped"),
+        )
+        .select(
+            F.col("_doc").alias(doc_col),
+            F.col("_page").alias(page_col),
+            text_col,
+            "n_dropped",
+        )
     )

@@ -51,3 +51,86 @@ def test_pages_are_independent(spark):
         for r in reading_order(_boxes(spark, rows)).collect()
     }
     assert out[(1, 1)]["col"] == 1 and out[(2, 1)]["col"] == 0
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, page int, text string")
+
+
+def test_chrome_repeated_header_footer_dropped(spark):
+    from ocr_search_spark.operators.pagelayout import strip_page_chrome
+
+    pages = _pages(
+        spark,
+        [
+            (1, 1, "ACME Corp\nbody one\nPage 1 of 3"),
+            (1, 2, "ACME Corp\nbody two\nPage 2 of 3"),
+            (1, 3, "ACME Corp\nbody three\nPage 3 of 3"),
+        ],
+    )
+    out = {r["page"]: r for r in strip_page_chrome(pages).collect()}
+    assert out[1]["text"] == "body one" and out[1]["n_dropped"] == 2
+    assert out[3]["text"] == "body three"  # digit runs normalized to '#'
+
+
+def test_chrome_one_off_header_kept(spark):
+    from ocr_search_spark.operators.pagelayout import strip_page_chrome
+
+    pages = _pages(
+        spark,
+        [
+            (2, 1, "Chapter Intro\nalpha\nbeta"),
+            (2, 2, "something else\ngamma\ndelta"),
+            (2, 3, "another start\nepsilon\nzeta"),
+        ],
+    )
+    out = {r["page"]: r for r in strip_page_chrome(pages).collect()}
+    assert out[1]["text"] == "Chapter Intro\nalpha\nbeta"
+    assert all(r["n_dropped"] == 0 for r in out.values())
+
+
+def test_chrome_body_repetition_not_dropped(spark):
+    from ocr_search_spark.operators.pagelayout import strip_page_chrome
+
+    # 'refrain' repeats on every page but in a MIDDLE position
+    pages = _pages(
+        spark,
+        [
+            (3, 1, "h one\nrefrain\nt one"),
+            (3, 2, "h two\nrefrain\nt two"),
+        ],
+    )
+    out = {r["page"]: r for r in strip_page_chrome(pages).collect()}
+    assert "refrain" in out[1]["text"] and "refrain" in out[2]["text"]
+
+
+def test_chrome_blank_lines_and_all_chrome_page(spark):
+    from ocr_search_spark.operators.pagelayout import strip_page_chrome
+
+    # blank edge lines never count as chrome; a page that is ONLY
+    # chrome survives as an empty-text row
+    pages = _pages(
+        spark,
+        [
+            (4, 1, "FOOTER\n\nbody\nFOOTER"),
+            (4, 2, "FOOTER\n\nmore\nFOOTER"),
+            (5, 1, "SAME\nSAME"),
+            (5, 2, "SAME\nSAME"),
+        ],
+    )
+    out = {(r["doc_id"], r["page"]): r for r in strip_page_chrome(pages).collect()}
+    assert out[(4, 1)]["text"] == "\nbody" and out[(4, 1)]["n_dropped"] == 2
+    assert out[(5, 1)]["text"] == "" and out[(5, 1)]["n_dropped"] == 2
+
+
+def test_chrome_min_frac_threshold(spark):
+    from ocr_search_spark.operators.pagelayout import strip_page_chrome
+
+    # header on 2 of 5 pages: min_pages=2 satisfied but 2/5 < 50%
+    pages = _pages(
+        spark,
+        [(6, i, ("HDR\nbody %d" % i) if i <= 2 else ("x%d\nbody %d" % (i, i)))
+         for i in range(1, 6)],
+    )
+    out = {r["page"]: r for r in strip_page_chrome(pages).collect()}
+    assert out[1]["text"].startswith("HDR")
