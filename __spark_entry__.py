@@ -6834,3 +6834,62 @@ SELECT doc_id, page,
                   FILTER (WHERE NOT chrome), '') AS text,
        (count(*) FILTER (WHERE chrome))::INT AS n_dropped
 FROM flagged GROUP BY doc_id, page"""
+
+
+# ------------------------------------------- dehyphenation + reflow
+# North-star extraction post-pass: OCR/PDF text arrives hard-wrapped
+# with hyphen-split words (textproc.dehyphenate_reflow_col docstring).
+# The fixture rebuilds that shape deterministically from the documents
+# text: fixed-offset substrings glued with "-\n" (a mid-word split when
+# the cut lands inside a word — both engines see the same cut), a bare
+# "\n" soft wrap, and a "\n\n" paragraph break.
+
+
+def q_extract_dehyphen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dehyphenate_reflow_col (textproc.py): pinned 6-rule chain —
+    hyphen-join (lowercase continuation), hyphen-keep, paragraph
+    sentinel, soft-wrap to space, whitespace collapse. Pure regexp
+    columnar; RE2-subset patterns so DuckDB replays bit-for-bit."""
+    from ocr_search_spark.textproc import dehyphenate_reflow_col
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wrapped = F.concat(
+        F.expr("substring(text, 1, 37)"),
+        F.lit("-\n"),
+        F.expr("substring(text, 38, 35)"),
+        F.lit("\n"),
+        F.expr("substring(text, 73, 30)"),
+        F.lit("\n\n"),
+        F.expr("substring(text, 103, 1000000)"),
+    )
+    return d.select(
+        "doc_id",
+        dehyphenate_reflow_col(wrapped).alias("clean"),
+    ).withColumn("clean_chars", F.length("clean").cast("long"))
+
+
+_TRAINING_QUERIES["extract_dehyphen"] = q_extract_dehyphen
+_TRAINING_ORACLES["extract_dehyphen"] = """WITH w AS (
+  SELECT doc_id,
+         substr(text, 1, 37) || '-' || chr(10)
+         || substr(text, 38, 35) || chr(10)
+         || substr(text, 73, 30) || chr(10) || chr(10)
+         || substr(text, 103, 1000000) AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t, '(\\p{L})-\\n(\\p{Ll})', '\\1\\2', 'g'),
+                   '-\\n', '-', 'g'),
+                 '\\n{2,}', chr(1), 'g'),
+               '\\n', ' ', 'g'),
+             chr(1), chr(10) || chr(10), 'g'),
+           '[ \\t]+', ' ', 'g'), ' ' || chr(9) || chr(10)) AS clean
+  FROM w
+)
+SELECT doc_id, clean, length(clean)::BIGINT AS clean_chars FROM s"""

@@ -237,6 +237,42 @@ def strip_boilerplate_col(text: Column) -> Column:
     return F.trim(t)
 
 
+def dehyphenate_reflow_col(text: Column) -> Column:
+    """Columnar dehyphenation + soft line reflow for OCR'd page text.
+
+    Tesseract (and every PDF text layer) hard-wraps lines and splits
+    words with trailing hyphens; downstream tokenization then sees
+    "exam-" and "ple" as two garbage terms (reference analog: the OCR
+    output lands verbatim in the Mongo page doc — src/py/img_to_text.py
+    never repairs wraps). Pinned rule order, each a global replace:
+
+      D1  letter "-\\n" lowercase-letter  →  join, DROP the hyphen
+          ("exam-\\nple" → "example"); an uppercase continuation is a
+          likely true compound and falls through to
+      D2  remaining "-\\n"                →  keep the hyphen, drop the
+          break ("X-\\nRay" → "X-Ray")
+      R1  2+ consecutive newlines         →  U+0001 sentinel (paragraph)
+      R2  remaining single "\\n"          →  one space
+      R3  sentinel                        →  "\\n\\n"
+      R4  runs of spaces/tabs             →  one space; trim ends
+
+    The sentinel dance (instead of a lookaround on "\\n") keeps every
+    pattern inside RE2's subset so the DuckDB oracle replays this
+    bit-for-bit — RE2 has no lookbehind. U+0001 is pinned as reserved:
+    ingest strips control chars before this stage ("\\r" likewise is
+    not handled — upstream page text is LF-normalized at ingest).
+    """
+    t = F.regexp_replace(text, r"(\p{L})-\n(\p{Ll})", "$1$2")
+    t = F.regexp_replace(t, r"-\n", "-")
+    t = F.regexp_replace(t, r"\n{2,}", "\u0001")
+    t = F.regexp_replace(t, r"\n", " ")
+    t = F.regexp_replace(t, "\u0001", "\n\n")
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    # btrim with an explicit set: F.trim strips SPACES only, and a
+    # paragraph sentinel at either end must not survive as bare \n\n
+    return F.btrim(t, F.lit(" \t\n"))
+
+
 def normalize_media_ref_col(doc_id: Column, offset: Column) -> Column:
     return F.concat(
         doc_id, F.lit("-"), F.lpad(offset.cast("string"), MEDIA_REF_PAD, "0"), F.lit(".png")

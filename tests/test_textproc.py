@@ -284,3 +284,22 @@ def test_nltk_stopword_mode(spark):
     # list is the published 179-word corpus
     assert len(textproc.NLTK_STOPWORDS) == 179
     assert len(textproc.NLTK_STOPWORDS_SET) == 179
+
+
+def test_dehyphenate_reflow(spark):
+    from pyspark.sql import functions as F
+    from ocr_search_spark.textproc import dehyphenate_reflow_col
+
+    cases = [
+        ("exam-\nple", "example"),                  # D1 join, hyphen dropped
+        ("X-\nRay", "X-Ray"),                        # D2 uppercase keeps hyphen
+        ("a -\nb", "a -b"),                          # D2: no letter before '-'
+        ("one\ntwo", "one two"),                     # soft wrap → space
+        ("p1\n\n\np2", "p1\n\np2"),                  # 3 newlines → one break
+        ("  pad\t \nx \n\n", "pad x"),               # collapse + full trim
+        ("mid-\nstream flow re-\nuse", "midstream flow reuse"),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)], "i int, t string")
+    out = {r["i"]: r["c"] for r in df.select("i", dehyphenate_reflow_col(F.col("t")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert out[i] == want, (i, out[i], want)
