@@ -6893,3 +6893,68 @@ s AS (
   FROM w
 )
 SELECT doc_id, clean, length(clean)::BIGINT AS clean_chars FROM s"""
+
+
+# ------------------------------------------- Kneser-Ney bigram LM
+# CCNet-style perplexity filter: train interpolated-KN bigram stats on
+# HALF the corpus (even doc_ids), score EVERY doc — so the gate
+# exercises all three pinned unseen branches (unseen bigram under a
+# seen context, unseen continuation word, unseen context) alongside
+# the seen path. All counts exact BIGINTs; one ln(num)−ln(den) per
+# bigram floored at micros (training/textstats.py:kn_quality_score).
+
+
+def q_lm_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kn_bigram_stats + kn_quality_score (training/textstats.py):
+    interpolated Kneser-Ney with D=0.75 in exact integer micros; one
+    corpus bigram aggregate, vocab-sized context/continuation joins,
+    1-row broadcast total."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = TS.kn_bigram_stats(d.where(F.col("doc_id") % 2 == 0))
+    return TS.kn_quality_score(d, stats)
+
+
+_TRAINING_QUERIES["lm_kn_score"] = q_lm_kn_score
+_TRAINING_ORACLES["lm_kn_score"] = f"""WITH wd AS (
+  SELECT doc_id AS id, {_WORDS_SQL} AS ws FROM documents
+),
+bgall AS (
+  SELECT id, ws[i::INT] AS u, ws[i::INT + 1] AS w2
+  FROM wd, UNNEST(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+),
+bg AS (
+  SELECT u, w2, count(*)::BIGINT AS c_uw
+  FROM bgall WHERE id % 2 = 0 GROUP BY u, w2
+),
+ctx AS (SELECT u, sum(c_uw)::BIGINT AS c_u, count(*)::BIGINT AS n1f
+        FROM bg GROUP BY u),
+cont AS (SELECT w2, count(*)::BIGINT AS n1b FROM bg GROUP BY w2),
+tot AS (SELECT count(*)::BIGINT AS bb FROM bg),
+j AS (
+  SELECT a.id,
+         CASE WHEN c.c_u IS NOT NULL
+              THEN greatest(coalesce(b.c_uw, 0) * 1000000 - 750000, 0) * tot.bb
+                   + 750000 * c.n1f * coalesce(k.n1b, 1)
+              ELSE greatest(coalesce(k.n1b, 0), 1) END AS num,
+         CASE WHEN c.c_u IS NOT NULL
+              THEN c.c_u * 1000000 * tot.bb
+              ELSE tot.bb END AS den
+  FROM bgall a
+  LEFT JOIN bg b ON b.u = a.u AND b.w2 = a.w2
+  LEFT JOIN ctx c ON c.u = a.u
+  LEFT JOIN cont k ON k.w2 = a.w2
+  CROSS JOIN tot
+),
+sc AS (
+  SELECT id, count(*)::BIGINT AS n_bigrams,
+         sum(floor(1000000.0 * (ln(num::DOUBLE) - ln(den::DOUBLE)))::BIGINT)
+           AS wsum
+  FROM j GROUP BY id
+)
+SELECT d.doc_id AS id,
+       coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+       CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+            THEN round(sc.wsum::DOUBLE / sc.n_bigrams::DOUBLE / 1000000.0, 6)
+            ELSE 0.0 END AS avg_logp
+FROM documents d LEFT JOIN sc ON sc.id = d.doc_id"""

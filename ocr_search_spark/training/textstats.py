@@ -702,3 +702,137 @@ def normalize_nfc(
     return normed.select(
         "id", F.md5("nfc_text").alias("nfc_digest"), "changed"
     )
+
+
+def kn_bigram_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Interpolated Kneser-Ney bigram statistics over the corpus.
+
+    One row per observed bigram (u, w) carrying every count the KN
+    formula needs, so scoring is a single join:
+
+      c_uw   bigram count
+      c_u    context count = Σ_w c(u, ·)  (bigram events, KN convention)
+      n1f    N1+(u ·) — distinct continuations of u
+      n1b    N1+(· w) — distinct contexts preceding w
+      bb     B — total distinct bigrams in the corpus
+
+    Plan: one explode → one groupBy(u, w) → two narrow re-aggregations
+    joined back on u / w (each output ≤ vocab-sized) → one broadcast of
+    the 1-row distinct-bigram total. Nothing aggregates per doc; at
+    corpus scale the only wide shuffle is the (u, w) count. Counts are
+    exact BIGINTs; int64 headroom notes live in kn_quality_score."""
+    ws = _words(F.col(text_col))
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("u"),
+                F.element_at(ws, i + 1).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<u:string,w:string>>"))
+    bg = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.u", "p.w")
+        .groupBy("u", "w")
+        .agg(F.count("*").cast("long").alias("c_uw"))
+    )
+    ctx = bg.groupBy("u").agg(
+        F.sum("c_uw").alias("c_u"), F.count("*").cast("long").alias("n1f")
+    )
+    cont = bg.groupBy("w").agg(F.count("*").cast("long").alias("n1b"))
+    tot = bg.agg(F.count("*").cast("long").alias("bb"))
+    return (
+        bg.join(ctx, "u")
+        .join(cont, "w")
+        .crossJoin(F.broadcast(tot))
+        .select("u", "w", "c_uw", "c_u", "n1f", "n1b", "bb")
+    )
+
+
+def kn_quality_score(
+    docs: DataFrame,
+    stats: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount_e6: int = 750_000,
+) -> DataFrame:
+    """Per-doc mean Kneser-Ney bigram log-probability (the CCNet-style
+    perplexity filter, exact cross-engine arithmetic).
+
+    Per bigram, interpolated KN over integer-micros counts:
+
+      p(w|u) = max(c_uw − D, 0)/c_u  +  D·N1+(u·)/c_u · N1+(·w)/B
+
+    evaluated as ONE exact integer ratio num/den with common denominator
+    (D in micros, ``discount_e6``):
+
+      num = max(c_uw·1e6 − D6, 0)·B + D6·n1f(u)·n1b(w)
+      den = c_u·1e6·B
+
+    Unseen events are pinned: bigram unseen but context known → the
+    max() term is 0 (continuation mass only), and a w never seen as a
+    continuation anywhere takes n1b = 1 (add-one continuation floor —
+    keeps ln finite); context unseen → back off to num = max(n1b(w), 1),
+    den = B (unseen word gets 1/B). The only
+    floats are one ln(num) − ln(den) per bigram, floored at micros
+    before the long sum — no float accumulation order anywhere.
+
+    int64 headroom: num ≤ c_uw·1e6·B — fine while c_uw·B < 9·10^12 (true
+    at every test SF; a 10^12-doc run promotes num/den to DECIMAL(38,0),
+    same plan). Output: (id, n_bigrams, avg_logp)."""
+    d6 = F.lit(int(discount_e6))
+    ws = _words(F.col(text_col))
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("u"),
+                F.element_at(ws, i + 1).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<u:string,w:string>>"))
+    rows = docs.select(F.col(id_col).alias("id"), F.explode(pairs).alias("p")).select(
+        "id", "p.u", "p.w"
+    )
+    ctx = stats.select("u", "c_u", "n1f").distinct()
+    cont = stats.select("w", "n1b").distinct()
+    bb = stats.select("bb").distinct()
+    j = (
+        rows.join(stats.select("u", "w", "c_uw"), ["u", "w"], "left")
+        .join(ctx, "u", "left")
+        .join(cont, "w", "left")
+        .crossJoin(F.broadcast(bb))
+    )
+    seen_ctx = F.col("c_u").isNotNull()
+    num = F.when(
+        seen_ctx,
+        F.greatest(
+            F.coalesce(F.col("c_uw"), F.lit(0)) * F.lit(1_000_000) - d6, F.lit(0)
+        )
+        * F.col("bb")
+        + d6 * F.col("n1f") * F.coalesce(F.col("n1b"), F.lit(1)),
+    ).otherwise(F.greatest(F.coalesce(F.col("n1b"), F.lit(0)), F.lit(1)))
+    den = F.when(seen_ctx, F.col("c_u") * F.lit(1_000_000) * F.col("bb")).otherwise(
+        F.col("bb")
+    )
+    wgt = F.floor(
+        F.lit(1_000_000.0)
+        * (F.log(num.cast("double")) - F.log(den.cast("double")))
+    ).cast("long")
+    scored = j.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_bigrams"), F.sum(wgt).alias("wsum")
+    )
+    base = docs.select(F.col(id_col).alias("id"))
+    return base.join(scored, "id", "left").select(
+        "id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.when(
+            F.coalesce("n_bigrams", F.lit(0)) > 0,
+            F.round(F.col("wsum").cast("double") / F.col("n_bigrams") / 1_000_000.0, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_logp"),
+    )

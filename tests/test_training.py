@@ -1134,3 +1134,25 @@ def test_ivf_upsert_equals_full_recompute(spark):
     got = SIM.ivf_upsert(base, emb.where(changed), deleted, cents)
     exp = SIM.ivf_assign(emb.where(~F.col("vec_id").isin(0, 13, 14)), cents)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_kn_bigram_lm_hand_computed(spark):
+    import pyspark.sql.functions as F
+    from ocr_search_spark.training import textstats as TS
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b a"), (3, "a z b")], "doc_id long, text string"
+    )
+    stats = TS.kn_bigram_stats(docs.where(F.col("doc_id") <= 2))
+    srow = {(r["u"], r["w"]): r for r in stats.collect()}
+    assert srow[("b", "a")]["c_uw"] == 2
+    assert srow[("a", "b")]["c_u"] == 2 and srow[("a", "b")]["n1f"] == 2
+    assert all(r["bb"] == 3 for r in srow.values())
+
+    out = {r["id"]: r for r in TS.kn_quality_score(docs, stats).collect()}
+    # doc3 "a z b": (a,z) seen-ctx/unseen-cont -> p=0.25; (z,b) unseen ctx -> 1/3
+    assert out[3]["n_bigrams"] == 2
+    assert out[3]["avg_logp"] == -1.242454
+    # doc1: p(b|a)=p(c|a)=0.375, p(a|b)=0.75 (floors at micros)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_logp"] == -0.749781
