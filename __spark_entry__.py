@@ -6958,3 +6958,84 @@ SELECT d.doc_id AS id,
             THEN round(sc.wsum::DOUBLE / sc.n_bigrams::DOUBLE / 1000000.0, 6)
             ELSE 0.0 END AS avg_logp
 FROM documents d LEFT JOIN sc ON sc.id = d.doc_id"""
+
+
+# ------------------------------------------- unigram-LM tokenizer
+# SentencePiece-style subword tokenizer (Kudo 2018), from scratch
+# (training/unigram_lm.py): seed vocab = all single chars + top-60
+# multi-char substrings by exact weighted count; encode = per-word
+# Viterbi DP in an Arrow-batched mapInPandas stage. The oracle replays
+# the DP itself as a recursive CTE enumerating every segmentation and
+# ranking by the pinned (score DESC, n_pieces ASC, path ASC) order --
+# so the gate hash-checks the dynamic program, not just row counts.
+# (The hard-EM trainer is pytest-gated: tests/test_unigram_lm.py --
+# golden equivalence, round-trip, partition invariance, pruning.)
+
+
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """piece_vocab + viterbi_encode (training/unigram_lm.py): exact
+    integer-micros piece scores; DP over the DISTINCT-WORD table only
+    (corpus weight folded into word counts), vocab broadcast like the
+    IVF centroid table."""
+    from ocr_search_spark.training import unigram_lm as U
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = U.piece_vocab(d, n_multi=60, max_piece_len=4)
+    enc = U.viterbi_encode(U.word_counts(d, "text"), vocab)
+    return enc.select(
+        "word",
+        F.array_join("pieces", "\x1f").alias("pieces_str"),
+        "n_pieces",
+        "score_e6",
+    )
+
+
+_TRAINING_QUERIES["unigram_encode"] = q_unigram_encode
+_TRAINING_ORACLES["unigram_encode"] = f"""WITH RECURSIVE wd AS (
+  SELECT {_WORDS_SQL} AS ws FROM documents
+),
+wc AS (
+  SELECT w AS word, count(*)::BIGINT AS wcnt
+  FROM (SELECT unnest(ws) AS w FROM wd) GROUP BY w
+),
+pc AS (
+  SELECT substr(word, i::INT, l::INT) AS piece, sum(wcnt)::BIGINT AS cnt
+  FROM wc,
+       UNNEST(range(1, length(word) + 1)) AS t(i),
+       UNNEST(range(1, least(4, length(word) - i + 1) + 1)) AS t2(l)
+  GROUP BY 1
+),
+vocab AS (
+  SELECT piece, cnt FROM pc WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM pc WHERE length(piece) > 1
+    ORDER BY cnt DESC, piece ASC LIMIT 60
+  )
+),
+tot AS (SELECT sum(cnt)::BIGINT AS tot FROM vocab),
+vs AS (
+  SELECT piece,
+         floor(1000000.0 * (ln(cnt::DOUBLE) - ln(tot.tot::DOUBLE)))::BIGINT
+           AS score_e6
+  FROM vocab CROSS JOIN tot
+),
+seg AS (
+  SELECT word, 0 AS pos, 0::BIGINT AS score, 0 AS np, '' AS path FROM wc
+  UNION ALL
+  SELECT s.word, s.pos + length(v.piece), s.score + v.score_e6, s.np + 1,
+         CASE WHEN s.path = '' THEN v.piece
+              ELSE s.path || chr(31) || v.piece END
+  FROM seg s JOIN vs v
+    ON v.piece = substr(s.word, s.pos + 1, length(v.piece))
+  WHERE s.pos < length(s.word)
+),
+done AS (SELECT * FROM seg WHERE pos = length(word)),
+best AS (
+  SELECT word, path, np, score,
+         row_number() OVER (PARTITION BY word
+                            ORDER BY score DESC, np ASC, path ASC) AS rn
+  FROM done
+)
+SELECT word, path AS pieces_str, np::INT AS n_pieces, score AS score_e6
+FROM best WHERE rn = 1"""
