@@ -7039,3 +7039,48 @@ best AS (
 )
 SELECT word, path AS pieces_str, np::INT AS n_pieces, score AS score_e6
 FROM best WHERE rn = 1"""
+
+
+# ------------------------------------------- KN bigram-count IVM
+# Incremental maintenance of the LM base table: a changed-doc batch
+# (word-reversed after-images for doc_id%7==3, deletions for
+# doc_id%11==5) is folded into the stored (u, w, c_uw) counts as an
+# exact signed delta (training/textstats.py:kn_counts_upsert). The
+# oracle is the FULL bigram recount over the modified corpus, so the
+# gate proves delta-maintenance == rebuild. Both sides reverse the
+# same filtered lowercase word list (the _words/_WORDS_SQL twins).
+
+
+def q_kn_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kn_bigram_counts + kn_counts_upsert (training/textstats.py):
+    Δ(u,w) from the changed batch only, full-outer merge, non-positive
+    rows dropped — cost ∝ batch, bucket-prunable via BucketedTable."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    changed = F.pmod(F.col("doc_id"), F.lit(7)) == 3
+    deleted = F.pmod(F.col("doc_id"), F.lit(11)) == 5
+    rev = F.array_join(
+        F.reverse(F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")),
+        " ",
+    )
+    new_corpus = d.where(~deleted).withColumn(
+        "text", F.when(changed, rev).otherwise(F.col("text"))
+    )
+    stored = TS.kn_bigram_counts(d)
+    return TS.kn_counts_upsert(
+        stored, d.where(changed | deleted), new_corpus.where(changed)
+    )
+
+
+_TRAINING_QUERIES["kn_incremental"] = q_kn_incremental
+_TRAINING_ORACLES["kn_incremental"] = f"""WITH nc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3
+              THEN array_to_string(list_reverse({_WORDS_SQL}), ' ')
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 5
+),
+wd AS (SELECT {_WORDS_SQL} AS ws FROM nc)
+SELECT ws[i::INT] AS u, ws[i::INT + 1] AS w, count(*)::BIGINT AS c_uw
+FROM wd, UNNEST(range(1, len(ws))) AS t(i)
+WHERE len(ws) >= 2
+GROUP BY 1, 2"""

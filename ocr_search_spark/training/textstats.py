@@ -721,8 +721,12 @@ def kn_bigram_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     the 1-row distinct-bigram total. Nothing aggregates per doc; at
     corpus scale the only wide shuffle is the (u, w) count. Counts are
     exact BIGINTs; int64 headroom notes live in kn_quality_score."""
+    return kn_stats_from_counts(kn_bigram_counts(docs, text_col))
+
+
+def _bigram_pairs(text_col: str) -> Column:
     ws = _words(F.col(text_col))
-    pairs = F.when(
+    return F.when(
         F.size(ws) >= 2,
         F.transform(
             F.sequence(F.lit(1), F.size(ws) - 1),
@@ -732,12 +736,23 @@ def kn_bigram_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<u:string,w:string>>"))
-    bg = (
-        docs.select(F.explode(pairs).alias("p"))
+
+
+def kn_bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The maintainable base table: (u, w, c_uw) exact bigram counts —
+    one explode + one hash aggregate. ctx/cont/total KN statistics are
+    DERIVED views of this table (kn_stats_from_counts)."""
+    return (
+        docs.select(F.explode(_bigram_pairs(text_col)).alias("p"))
         .select("p.u", "p.w")
         .groupBy("u", "w")
         .agg(F.count("*").cast("long").alias("c_uw"))
     )
+
+
+def kn_stats_from_counts(bg: DataFrame) -> DataFrame:
+    """Derive the full KN stat row per bigram from the (u, w, c_uw)
+    base table: two vocab-sized re-aggregations + one 1-row broadcast."""
     ctx = bg.groupBy("u").agg(
         F.sum("c_uw").alias("c_u"), F.count("*").cast("long").alias("n1f")
     )
@@ -749,6 +764,52 @@ def kn_bigram_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("u", "w", "c_uw", "c_u", "n1f", "n1b", "bb")
     )
+
+
+def kn_counts_upsert(
+    stored_bg: DataFrame,
+    old_changed: DataFrame,
+    new_changed: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental view maintenance of the KN bigram base table after a
+    doc batch changes (the I8/minhash-IVM pattern applied to the LM).
+
+    ``old_changed`` / ``new_changed`` are the BEFORE and AFTER versions
+    of exactly the changed docs (a deleted doc appears only in old, an
+    added doc only in new). Bigram counts are pure sums, so the delta
+    is exact: Δ(u, w) = count_new − count_old over the changed docs
+    only; the new base table is stored + Δ with non-positive rows
+    dropped (a count can reach 0 only by exact cancellation).
+
+    Cost ∝ the changed batch (its explode + a delta-sized aggregate),
+    plus the merge join against stored — which the storage layer prunes
+    to touched buckets when the table lives in a u-bucketed
+    BucketedTable (storage.py MERGE), exactly like the postings table.
+    Derived ctx/cont/total views re-aggregate only affected u/w groups
+    downstream (kn_stats_from_counts recomputes them vocab-sized here;
+    at 10^12-doc scale those are maintained the same delta way).
+    Equivalence gate: kn_bigram_counts(modified corpus)."""
+    pos = new_changed.select(F.explode(_bigram_pairs(text_col)).alias("p")).select(
+        "p.u", "p.w", F.lit(1).alias("d")
+    )
+    neg = old_changed.select(F.explode(_bigram_pairs(text_col)).alias("p")).select(
+        "p.u", "p.w", F.lit(-1).alias("d")
+    )
+    delta = (
+        pos.unionByName(neg)
+        .groupBy("u", "w")
+        .agg(F.sum("d").cast("long").alias("dc"))
+        .where(F.col("dc") != 0)
+    )
+    merged = stored_bg.join(delta, ["u", "w"], "full_outer").select(
+        "u",
+        "w",
+        (F.coalesce("c_uw", F.lit(0)) + F.coalesce("dc", F.lit(0)))
+        .cast("long")
+        .alias("c_uw"),
+    )
+    return merged.where(F.col("c_uw") > 0)
 
 
 def kn_quality_score(

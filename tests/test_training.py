@@ -1156,3 +1156,32 @@ def test_kn_bigram_lm_hand_computed(spark):
     # doc1: p(b|a)=p(c|a)=0.375, p(a|b)=0.75 (floors at micros)
     assert out[1]["n_bigrams"] == 3
     assert out[1]["avg_logp"] == -0.749781
+
+
+def test_kn_counts_upsert_matches_full_recount(spark):
+    import pyspark.sql.functions as F
+    from ocr_search_spark.training import textstats as TS
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    changed = F.col("doc_id") % 7 == 3
+    deleted = F.col("doc_id") % 11 == 5
+    # after-image: changed docs get word-reversed text; deleted docs vanish
+    new_corpus = (
+        docs.where(~deleted)
+        .withColumn(
+            "text",
+            F.when(
+                changed,
+                F.array_join(F.reverse(F.split(F.col("text"), r"\s+")), " "),
+            ).otherwise(F.col("text")),
+        )
+    )
+    stored = TS.kn_bigram_counts(docs)
+    out = TS.kn_counts_upsert(
+        stored,
+        docs.where(changed | deleted),
+        new_corpus.where(changed),
+    )
+    want = sorted(map(tuple, TS.kn_bigram_counts(new_corpus).collect()))
+    got = sorted(map(tuple, out.collect()))
+    assert got == want and len(got) > 0
