@@ -7084,3 +7084,146 @@ SELECT ws[i::INT] AS u, ws[i::INT + 1] AS w, count(*)::BIGINT AS c_uw
 FROM wd, UNNEST(range(1, len(ws))) AS t(i)
 WHERE len(ws) >= 2
 GROUP BY 1, 2"""
+
+
+# ------------------------------------------- corpus subword counts
+# The tokenizer's CORPUS-SCALE path: Viterbi runs once per DISTINCT
+# word, then a broadcast join carries the piece table back over the
+# full corpus (unigram_lm module docstring) — this gate proves that
+# composition end to end: per-doc word + subword totals under the same
+# vocab/DP the unigram_encode oracle hash-checks.
+
+
+def q_unigram_corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word_counts → piece_vocab → viterbi_encode (distinct words) →
+    broadcast join back to the exploded corpus → per-doc exact totals."""
+    from ocr_search_spark.training import unigram_lm as U
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = U.piece_vocab(d, n_multi=60, max_piece_len=4)
+    enc = U.viterbi_encode(U.word_counts(d, "text"), vocab).select(
+        "word", "n_pieces"
+    )
+    words = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    per_doc = (
+        d.select("doc_id", F.explode(words).alias("word"))
+        .join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_subwords"),
+        )
+    )
+    base = d.select("doc_id")
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_subwords", F.lit(0)).cast("long").alias("n_subwords"),
+    )
+
+
+_TRAINING_QUERIES["unigram_corpus_tokens"] = q_unigram_corpus_tokens
+_TRAINING_ORACLES["unigram_corpus_tokens"] = f"""WITH RECURSIVE wd AS (
+  SELECT {_WORDS_SQL} AS ws FROM documents
+),
+wc AS (
+  SELECT w AS word, count(*)::BIGINT AS wcnt
+  FROM (SELECT unnest(ws) AS w FROM wd) GROUP BY w
+),
+pc AS (
+  SELECT substr(word, i::INT, l::INT) AS piece, sum(wcnt)::BIGINT AS cnt
+  FROM wc,
+       UNNEST(range(1, length(word) + 1)) AS t(i),
+       UNNEST(range(1, least(4, length(word) - i + 1) + 1)) AS t2(l)
+  GROUP BY 1
+),
+vocab AS (
+  SELECT piece, cnt FROM pc WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM pc WHERE length(piece) > 1
+    ORDER BY cnt DESC, piece ASC LIMIT 60
+  )
+),
+tot AS (SELECT sum(cnt)::BIGINT AS tot FROM vocab),
+vs AS (
+  SELECT piece,
+         floor(1000000.0 * (ln(cnt::DOUBLE) - ln(tot.tot::DOUBLE)))::BIGINT
+           AS score_e6
+  FROM vocab CROSS JOIN tot
+),
+seg AS (
+  SELECT word, 0 AS pos, 0::BIGINT AS score, 0 AS np, '' AS path FROM wc
+  UNION ALL
+  SELECT s.word, s.pos + length(v.piece), s.score + v.score_e6, s.np + 1,
+         CASE WHEN s.path = '' THEN v.piece
+              ELSE s.path || chr(31) || v.piece END
+  FROM seg s JOIN vs v
+    ON v.piece = substr(s.word, s.pos + 1, length(v.piece))
+  WHERE s.pos < length(s.word)
+),
+done AS (SELECT * FROM seg WHERE pos = length(word)),
+best AS (
+  SELECT word, np,
+         row_number() OVER (PARTITION BY word
+                            ORDER BY score DESC, np ASC, path ASC) AS rn
+  FROM done
+),
+enc AS (SELECT word, np FROM best WHERE rn = 1),
+docwords AS (
+  SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+),
+per_doc AS (
+  SELECT dw.doc_id, count(*)::BIGINT AS n_words, sum(e.np)::BIGINT AS n_subwords
+  FROM docwords dw JOIN enc e USING (word) GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_words, 0)::BIGINT AS n_words,
+       coalesce(p.n_subwords, 0)::BIGINT AS n_subwords
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id"""
+
+
+# ------------------------------------------- cross-doc media dedup
+# Interleaved corpora repeat the same media bytes across docs; the
+# pipeline stores one canonical copy and rewrites span refs
+# (training/multimodal.py:canonical_media). The fixture folds the
+# extracted media refs onto 50 synthetic content digests (h60 % 50) so
+# heavy cross-doc duplication is guaranteed; digest-in-production =
+# sha256(payload) from the decode stage.
+
+
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """canonical_media + rewrite_media_refs: one digest-keyed hash agg
+    (output = distinct contents) + broadcast join back over the media
+    spans. Canonical ref pinned as min(media_ref)."""
+    from ocr_search_spark.training.hashing import h60
+    from ocr_search_spark.training.multimodal import (
+        canonical_media,
+        rewrite_media_refs,
+    )
+
+    flat = _flatten_extracted(extract_spans_columnar(_interleaved(spark, sf_dir)))
+    media = (
+        flat.where(F.col("kind") == "media")
+        .select("doc_id", "offset", "media_ref")
+        .withColumn("digest", F.pmod(h60(F.col("media_ref")), F.lit(50)))
+    )
+    out = rewrite_media_refs(media, canonical_media(media))
+    return out.select(
+        "doc_id", "offset", "media_ref", "canonical_ref", "is_duplicate"
+    )
+
+
+_TRAINING_QUERIES["media_dedup"] = q_media_dedup
+_TRAINING_ORACLES["media_dedup"] = f"""WITH {_BASE_CTE}, {_SPANS_CTE}, {_EXTRACTED_CTE},
+media AS (
+  SELECT doc_id, "offset", media_ref,
+         {_h60_sql('media_ref')} % 50 AS digest
+  FROM extracted WHERE kind = 'media'
+),
+mapping AS (
+  SELECT digest, min(media_ref) AS canonical_ref FROM media GROUP BY digest
+)
+SELECT m.doc_id, m."offset", m.media_ref, mp.canonical_ref,
+       (m.media_ref <> mp.canonical_ref) AS is_duplicate
+FROM media m JOIN mapping mp USING (digest)"""

@@ -466,3 +466,49 @@ def resize_image_real(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
     return media.select("media_ref", "payload").mapInPandas(
         it, schema=RESIZE_SCHEMA
     )
+
+
+def canonical_media(
+    media_spans: DataFrame,
+    digest_col: str = "digest",
+    ref_col: str = "media_ref",
+) -> DataFrame:
+    """Cross-doc media deduplication mapping: one row per distinct
+    content digest with its pinned canonical ref and copy count.
+
+    Web corpora repeat the same image/audio bytes across millions of
+    pages (logos, icons, stock media); a training pipeline stores ONE
+    copy and rewrites references (reference analog: ocr_search renders
+    and stores every page PNG per doc with no content addressing —
+    ProcessDirector.class.js:119-141). The canonical ref is pinned as
+    the MINIMUM media_ref per digest (a total order, partition
+    invariant).
+
+    Plan: one hash aggregate keyed by digest — output cardinality =
+    distinct contents, broadcastable back over the corpus. In
+    production the digest is sha256(payload) computed in the decode
+    stage; callers pass whatever digest column they carry.
+    """
+    return media_spans.groupBy(F.col(digest_col).alias("digest")).agg(
+        F.min(ref_col).alias("canonical_ref"),
+        F.count("*").cast("long").alias("n_copies"),
+    )
+
+
+def rewrite_media_refs(
+    media_spans: DataFrame,
+    mapping: DataFrame,
+    digest_col: str = "digest",
+    ref_col: str = "media_ref",
+) -> DataFrame:
+    """Rewrite every media span's ref to its canonical copy (broadcast
+    join — the mapping is distinct-content-sized). Adds
+    ``canonical_ref`` and ``is_duplicate`` (true on every non-canonical
+    copy: the storage layer drops those payloads)."""
+    j = media_spans.join(
+        F.broadcast(mapping.select(F.col("digest").alias(digest_col), "canonical_ref")),
+        digest_col,
+    )
+    return j.withColumn(
+        "is_duplicate", F.col(ref_col) != F.col("canonical_ref")
+    )

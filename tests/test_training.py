@@ -1185,3 +1185,23 @@ def test_kn_counts_upsert_matches_full_recount(spark):
     want = sorted(map(tuple, TS.kn_bigram_counts(new_corpus).collect()))
     got = sorted(map(tuple, out.collect()))
     assert got == want and len(got) > 0
+
+
+def test_canonical_media_mapping_and_rewrite(spark):
+    import pyspark.sql.functions as F
+    from ocr_search_spark.training.multimodal import canonical_media, rewrite_media_refs
+
+    rows = [
+        (1, 0, "b.png", 7), (2, 0, "a.png", 7), (3, 1, "c.png", 7),
+        (4, 0, "z.png", 9),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, offset long, media_ref string, digest long"
+    )
+    m = {r["digest"]: r for r in canonical_media(media).collect()}
+    assert m[7]["canonical_ref"] == "a.png" and m[7]["n_copies"] == 3
+    assert m[9]["canonical_ref"] == "z.png" and m[9]["n_copies"] == 1
+    out = {r["media_ref"]: r for r in
+           rewrite_media_refs(media.repartition(3), canonical_media(media)).collect()}
+    assert out["b.png"]["is_duplicate"] and not out["a.png"]["is_duplicate"]
+    assert out["z.png"]["canonical_ref"] == "z.png"
