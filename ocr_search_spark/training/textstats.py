@@ -842,7 +842,14 @@ def kn_quality_score(
 
     int64 headroom: num ≤ c_uw·1e6·B — fine while c_uw·B < 9·10^12 (true
     at every test SF; a 10^12-doc run promotes num/den to DECIMAL(38,0),
-    same plan). Output: (id, n_bigrams, avg_logp)."""
+    same plan). Output: (id, n_bigrams, avg_logp).
+
+    Plan note: ``stats`` is normally a STORED table (the LM is trained
+    once, persisted, scored many times), so the three vocab-sized
+    derivations below (ctx/cont/bb) are cheap scans. When passed live
+    lineage instead (as the gate query does), AQE exchange reuse
+    dedupes the repeated subtrees at runtime — measured 16
+    ReusedExchange nodes, the corpus explode+agg executes once."""
     d6 = F.lit(int(discount_e6))
     ws = _words(F.col(text_col))
     pairs = F.when(
