@@ -1814,7 +1814,7 @@ _GATE_PRIORITY = [
     "png_pixel_stats", "postings_wordnet",
     "tpch_q4",
     "phrase_search", "embed_neardup", "dedup_containment",
-    "corpus_ngrams", "redact_pii", "repetition_signals",
+    "redact_pii", "repetition_signals",
     # session-7 flagships: the hybrid retrieval stack (dense+sparse RRF
     # fusion, late-interaction MaxSim, champion-list index pruning) and
     # the deletion-blocked edit-distance similarity SELF-join. Window
@@ -1833,7 +1833,16 @@ _GATE_PRIORITY = [
     # the window slots of four shape-siblings (see overflow note below)
     "semantic_dedup", "weighted_sample", "gopher_filters",
     "minhash_incremental",
-    "search_fuzzy",
+    # session-8 flagships: the unigram-LM subword tokenizer (Viterbi DP
+    # hash-checked by a recursive-CTE oracle), corpus-statistics page
+    # chrome removal, and the Kneser-Ney perplexity filter. Window slots
+    # freed by sibling-covered evictions (all three remain check_entry-
+    # verified in the overflow): search_fuzzy (edit-distance machinery =
+    # term_neighbors' in-window simjoin row + phrase_search's filtered-
+    # postings row), corpus_ngrams (n-gram inventory = collocations_pmi
+    # + dup_passages in-window rows), embed_quantize (int-micros array
+    # projection = embed_neardup + search_maxsim in-window rows).
+    "unigram_encode", "layout_page_chrome", "lm_kn_score",
     # session-6 flagships: span-stream normalization (the north rule's
     # "re-emit normalized span arrays" step), the ExactSubstr REMOVAL
     # stage, and PMI collocation mining. Window slots freed by
@@ -1845,7 +1854,7 @@ _GATE_PRIORITY = [
     "span_coalesce", "passage_removal", "collocations_pmi",
     # passage-level dedup + training-mix + graph/vector/tokenizer/index ops
     "dup_passages", "pack_sequences", "source_mix",
-    "pagerank_centrality", "embed_quantize", "bpe_merges",
+    "pagerank_centrality", "bpe_merges",
     "postings_compression", "profile_documents",
     # Entries 51+ below exceed the 50-entry driver window on purpose:
     # every rowless query can't fit, so the overflow picks queries whose
@@ -1885,6 +1894,17 @@ _GATE_PRIORITY = [
     # minhash_incremental / correlations_incremental rows;
     # check_entry-verified.
     "ivf_incremental",
+    # session-8 evictions (see the flagship note above) + overflow for
+    # the session-8 shape-siblings: kn_incremental (delta-merge IVM =
+    # minhash_incremental / correlations_incremental in-window rows),
+    # extract_dehyphen (narrow regexp projection = span_coalesce /
+    # extract rows), unigram_corpus_tokens (same DP oracle as the
+    # in-window unigram_encode + broadcast-join shape), media_dedup
+    # (digest agg + broadcast rewrite = dedup_exact's r2 row). All
+    # check_entry-verified at sf0.01.
+    "search_fuzzy", "corpus_ngrams", "embed_quantize",
+    "kn_incremental", "extract_dehyphen", "unigram_corpus_tokens",
+    "media_dedup",
 ]
 
 
@@ -7227,3 +7247,199 @@ mapping AS (
 SELECT m.doc_id, m."offset", m.media_ref, mp.canonical_ref,
        (m.media_ref <> mp.canonical_ref) AS is_duplicate
 FROM media m JOIN mapping mp USING (digest)"""
+
+
+# ------------------------------------------- shuffle-skew profiler
+# The measurement half of the salting story: before the first full run
+# on a new corpus, profile the prospective shuffle key — heavy keys,
+# exact corpus share, suggested salt fan-out (operators/profile.py:
+# skew_profile). Fixture: the Zipf-ish word key of the documents text.
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skew_profile: one key aggregate + 1-row broadcast total +
+    TakeOrderedAndProject; exact integer micros share and ceil-div
+    salt factor."""
+    from ocr_search_spark.operators.profile import skew_profile
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    rows = d.select(F.explode(words).alias("word"))
+    return skew_profile(rows, "word", n_top=15, salt_target=50)
+
+
+_TRAINING_QUERIES["skew_profile"] = q_skew_profile
+_TRAINING_ORACLES["skew_profile"] = f"""WITH wd AS (
+  SELECT unnest({_WORDS_SQL}) AS key FROM documents
+),
+c AS (SELECT key, count(*)::BIGINT AS cnt FROM wd GROUP BY key),
+t AS (SELECT sum(cnt)::BIGINT AS tot FROM c)
+SELECT key, cnt,
+       (cnt * 1000000 // tot)::BIGINT AS share_e6,
+       ((cnt + 49) // 50)::BIGINT AS salt
+FROM c CROSS JOIN t
+ORDER BY cnt DESC, key ASC LIMIT 15"""
+
+
+# ------------------------------------------- label propagation
+# Community detection over a deterministic star+bridge graph derived
+# from doc_ids: every non-multiple-of-5 node attaches to its 5-block
+# root; every multiple of 25 bridges to the next block root. Two
+# synchronous LPA rounds with pinned tie-breaks and the oscillation-
+# killing self-vote (operators/graph.py:label_propagation); the oracle
+# unrolls the same two rounds.
+
+
+def q_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_propagation: per-round edge⋈labels join + (node, label)
+    majority argmax (WindowGroupLimit), labels materialized per round
+    so lineage never nests."""
+    from ocr_search_spark.operators.graph import label_propagation
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stars = d.where(F.pmod("doc_id", F.lit(5)) != 0).select(
+        F.col("doc_id").alias("src"),
+        (F.floor(F.col("doc_id") / 5) * 5).cast("long").alias("dst"),
+    )
+    bridges = d.where(F.pmod("doc_id", F.lit(25)) == 0).select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") + 5).cast("long").alias("dst"),
+    )
+    return label_propagation(stars.unionByName(bridges), iters=2)
+
+
+_TRAINING_QUERIES["communities_lpa"] = q_communities_lpa
+_TRAINING_ORACLES["communities_lpa"] = """WITH e0 AS (
+  SELECT doc_id AS src, (doc_id // 5) * 5 AS dst
+  FROM documents WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id, doc_id + 5 FROM documents WHERE doc_id % 25 = 0
+),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+  )
+),
+n0 AS (SELECT DISTINCT src AS node FROM und),
+l0 AS (SELECT node, node AS label FROM n0),
+nb1 AS (SELECT u.src AS node, l.label FROM und u JOIN l0 l ON l.node = u.dst
+        UNION ALL SELECT node, label FROM l0),
+c1 AS (SELECT node, label, count(*) AS c FROM nb1 GROUP BY 1, 2),
+w1 AS (SELECT node, label FROM (
+         SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY c DESC, label ASC) AS rn
+         FROM c1) WHERE rn = 1),
+l1 AS (SELECT n0.node, coalesce(w1.label, n0.node) AS label
+       FROM n0 LEFT JOIN w1 USING (node)),
+nb2 AS (SELECT u.src AS node, l.label FROM und u JOIN l1 l ON l.node = u.dst
+        UNION ALL SELECT node, label FROM l1),
+c2 AS (SELECT node, label, count(*) AS c FROM nb2 GROUP BY 1, 2),
+w2 AS (SELECT node, label FROM (
+         SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY c DESC, label ASC) AS rn
+         FROM c2) WHERE rn = 1)
+SELECT n0.node, coalesce(w2.label, n0.node) AS label
+FROM n0 LEFT JOIN w2 USING (node)"""
+
+
+# ------------------------------------------- ANN recall evaluation
+# The evaluation half of the vector stack: recall@5 of the
+# nprobe=1 seed-IVF ranking against the exact cosine ranking, as a
+# first-class replayable operator (training/similarity.py:
+# ranking_recall) instead of an ad-hoc COVERAGE.md measurement. The
+# oracle rebuilds BOTH rankings (the embed_cosine_topk and
+# embed_ann_ivf oracle bodies as CTEs) and joins them.
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cosine_topk (truth) vs ivf_search nprobe=1 (candidate) →
+    ranking_recall: one (query, id) equi-join over two top-k tables +
+    exact integer-micros recall."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    truth = SIM.cosine_topk(emb, queries, k=5)
+    cents = SIM.ivf_centroids(emb, n_centroids=8)
+    assign = SIM.ivf_assign(emb, cents)
+    cand = SIM.ivf_search(emb, queries, cents, assign, k=5, nprobe=1)
+    return SIM.ranking_recall(truth, cand)
+
+
+_TRAINING_QUERIES["ann_recall"] = q_ann_recall
+_TRAINING_ORACLES["ann_recall"] = f"""WITH {_EMB_FLAT_CTE},
+flatq AS (SELECT * FROM flat WHERE vec_id < 10),
+tdots AS (
+  SELECT fq.vec_id AS query_id, fc.vec_id AS neighbor_id,
+         sum(fq.v::DOUBLE * fc.v::DOUBLE) AS dot
+  FROM flatq fq JOIN flat fc ON fq.i = fc.i AND fq.vec_id <> fc.vec_id
+  GROUP BY 1, 2
+),
+tcos AS (
+  SELECT query_id, neighbor_id, round(dot / (nq.nrm * nn.nrm), 6) AS cos
+  FROM tdots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nn ON nn.vec_id = neighbor_id
+),
+truthk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rn
+    FROM tcos
+  ) WHERE rn <= 5
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, vec_id AS cvid
+  FROM embeddings WHERE vec_id < 8
+),
+cflat AS (SELECT c.cid, f.i, f.v FROM cents c JOIN flat f ON f.vec_id = c.cvid),
+cnorm AS (SELECT cid, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS cn FROM cflat GROUP BY cid),
+vc AS (
+  SELECT f.vec_id, cf.cid, sum(f.v::DOUBLE * cf.v::DOUBLE) AS dot
+  FROM flat f JOIN cflat cf ON f.i = cf.i GROUP BY 1, 2
+),
+vccos AS (
+  SELECT vec_id, cid, round(dot / (n.nrm * cn.cn), 6) AS cos
+  FROM vc JOIN norms n USING (vec_id) JOIN cnorm cn USING (cid)
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM vccos
+  ) WHERE rn = 1
+),
+probed AS (SELECT vec_id AS query_id, cid FROM assign WHERE vec_id < 10),
+cnd AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probed p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+),
+cdots AS (
+  SELECT c.query_id, c.neighbor_id, sum(fq.v::DOUBLE * fn.v::DOUBLE) AS dot
+  FROM cnd c
+  JOIN flat fq ON fq.vec_id = c.query_id
+  JOIN flat fn ON fn.vec_id = c.neighbor_id AND fn.i = fq.i
+  GROUP BY 1, 2
+),
+ccos AS (
+  SELECT query_id, neighbor_id, round(dot / (nq.nrm * nn.nrm), 6) AS cos
+  FROM cdots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nn ON nn.vec_id = neighbor_id
+),
+candk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rn
+    FROM ccos
+  ) WHERE rn <= 5
+),
+base AS (SELECT query_id, count(*)::BIGINT AS n_truth FROM truthk GROUP BY 1),
+hits AS (
+  SELECT t.query_id, count(*)::BIGINT AS n_hit
+  FROM truthk t JOIN candk c USING (query_id, neighbor_id) GROUP BY 1
+)
+SELECT b.query_id, b.n_truth,
+       coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       (coalesce(h.n_hit, 0) * 1000000 // b.n_truth)::BIGINT AS recall_e6
+FROM base b LEFT JOIN hits h USING (query_id)"""

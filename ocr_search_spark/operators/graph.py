@@ -170,3 +170,68 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .crossJoin(tri.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
     )
+
+
+def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    2007), pinned deterministic: ``iters`` full rounds; each round
+    every node adopts the most frequent label among its neighbors PLUS
+    its own current label, one vote each (majority count DESC, then
+    smallest label — a total order). The self-vote is pinned: without
+    it, synchronous LPA flip-flops forever on stars and other bipartite
+    structures (root and spokes swap labels every round); with it the
+    star settles in one round. Classic async LPA is nondeterministic by
+    design — this synchronous variant trades a bit of convergence speed
+    for bit-replayability, the same choice the pointer-jumping CC
+    made.
+
+    ``edges`` (src, dst) is treated as undirected and deduplicated.
+    Returns (node, label) after exactly ``iters`` rounds (LPA on
+    bipartite-ish structures can oscillate; a FIXED round count is the
+    pinned semantic, and the oracle unrolls the same rounds).
+
+    Scale shape per round: one join of the edge list against the
+    vocab-sized label table (AQE picks broadcast while labels fit,
+    shuffled hash beyond), one (node, label) hash aggregate, one
+    per-node WindowGroupLimit argmax — all shuffles keyed by node.
+    Labels are materialized per round (node-count-sized cache), so
+    lineage does NOT nest across rounds — the kmeans/CC lesson.
+    """
+    from pyspark.sql import Window as W
+
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .cache()
+    )
+    nodes = und.select(F.col("src").alias("node")).distinct().cache()
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(int(iters)):
+        nb = (
+            und.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "label")
+            .unionByName(labels)  # the pinned self-vote
+        )
+        cnt = nb.groupBy("node", "label").agg(F.count("*").alias("_c"))
+        w = W.partitionBy("node").orderBy(F.desc("_c"), F.asc("label"))
+        new = (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+        labels = (
+            nodes.join(new, "node", "left")
+            .select(
+                "node", F.coalesce("label", F.col("node")).alias("label")
+            )
+            .cache()
+        )
+        labels.count()  # materialize: truncate per-round lineage
+    und.unpersist()
+    nodes.unpersist()
+    return labels

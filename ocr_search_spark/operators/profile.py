@@ -229,3 +229,45 @@ def grouped_regression(
         "slope_e6",
         intercept_e6.alias("intercept_e6"),
     )
+
+
+def skew_profile(
+    df: DataFrame,
+    key_col: str,
+    n_top: int = 15,
+    salt_target: int = 100_000,
+) -> DataFrame:
+    """Shuffle-skew diagnostics for a prospective groupBy/join key: the
+    ``n_top`` heaviest keys with their exact corpus share and the salt
+    fan-out that would bring each under ``salt_target`` rows/partition.
+
+    This is the measurement half of the engine's salting story (the
+    repartition_salted / skew-threshold machinery in extract.py and the
+    df-guards in correlate.py/dedup.py pick thresholds — this operator
+    is how you find them on a new corpus before the first full run).
+
+    Exact arithmetic: share_e6 = cnt·1e6 DIV total (integer micros),
+    salt = ceil(cnt / salt_target) = (cnt + t − 1) DIV t. Output is
+    top-N by (cnt DESC, key ASC) — a pinned total order.
+
+    Plan: one hash aggregate on the key (full map-side combine), a
+    1-row broadcast total, then TakeOrderedAndProject for the top-N cut
+    — no global window, no second shuffle; cost ∝ distinct keys.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    tot = counts.agg(F.sum("cnt").alias("tot"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            F.expr("cnt * 1000000 div tot").cast("long").alias("share_e6"),
+            F.expr(f"(cnt + {int(salt_target)} - 1) div {int(salt_target)}")
+            .cast("long")
+            .alias("salt"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(n_top)
+    )

@@ -850,3 +850,43 @@ def ivf_upsert(
     return kept.unionByName(
         fresh.join(deleted_ids.select("vec_id"), "vec_id", "left_anti")
     )
+
+
+def ranking_recall(
+    truth: DataFrame,
+    cand: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of a candidate ranking against a ground-truth
+    ranking: (query, n_truth, n_hit, recall_e6) — the evaluation half
+    of the ANN stack (COVERAGE.md reports recall@5 numbers measured
+    ad hoc; this makes the measurement a first-class, replayable
+    operator a pipeline can gate deployments on).
+
+    Exact arithmetic: recall_e6 = n_hit·1e6 DIV n_truth. Every query in
+    ``truth`` appears in the output (zero hits → recall 0).
+
+    Plan: one equi-join on (query, id) + two query-keyed aggregates —
+    both inputs are top-k tables (rows = queries × k), so this costs
+    nothing next to the rankings it evaluates.
+    """
+    t = truth.select(F.col(query_col).alias("_q"), F.col(id_col).alias("_n"))
+    c = cand.select(F.col(query_col).alias("_q"), F.col(id_col).alias("_n"))
+    base = t.groupBy("_q").agg(F.count("*").cast("long").alias("n_truth"))
+    hits = (
+        t.join(c, ["_q", "_n"])
+        .groupBy("_q")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    return (
+        base.join(hits, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            "n_truth",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.expr("coalesce(n_hit, 0) * 1000000 div n_truth")
+            .cast("long")
+            .alias("recall_e6"),
+        )
+    )

@@ -98,3 +98,43 @@ def test_triangles_star_hub_no_blowup(spark):
     r = _tri(spark, star)
     assert r.n_triangles == 0
     assert r.n_wedges == 0, "orientation failed to defuse the hub"
+
+
+def test_skew_profile_exact_shares_and_salts(spark):
+    from ocr_search_spark.operators.profile import skew_profile
+
+    rows = [("a",)] * 120 + [("b",)] * 57 + [("c",)] * 57 + [("d",)] * 6
+    df = spark.createDataFrame(rows, "k string").repartition(5)
+    out = skew_profile(df, "k", n_top=3, salt_target=50)
+    got = [(r["key"], r["cnt"], r["share_e6"], r["salt"]) for r in out.collect()]
+    # total=240; tie between b and c broken by key ASC; d cut by n_top
+    assert got == [
+        ("a", 120, 500_000, 3),
+        ("b", 57, 237_500, 2),
+        ("c", 57, 237_500, 2),
+    ]
+
+
+def test_label_propagation_star_communities(spark):
+    from ocr_search_spark.operators.graph import label_propagation
+
+    # two 4-spoke stars with roots 0 and 10: the self-vote settles each
+    # star on its root's label in one round and holds it there
+    edges = spark.createDataFrame(
+        [(i, 0) for i in (1, 2, 3, 4)] + [(i, 10) for i in (11, 12, 13, 14)],
+        "src long, dst long",
+    )
+    out = {r["node"]: r["label"] for r in label_propagation(edges, iters=2).collect()}
+    assert all(out[i] == 0 for i in (0, 1, 2, 3, 4))
+    assert all(out[i] == 10 for i in (10, 11, 12, 13, 14))
+
+
+def test_label_propagation_partition_invariance(spark):
+    from ocr_search_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "src long, dst long"
+    )
+    a = sorted(map(tuple, label_propagation(edges, iters=3).collect()))
+    b = sorted(map(tuple, label_propagation(edges.repartition(7), iters=3).collect()))
+    assert a == b

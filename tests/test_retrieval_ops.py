@@ -168,3 +168,20 @@ def test_edit1_pairs_unicode_and_dupes(spark):
         (a, b) for a, b in itertools.combinations(uniq, 2) if _lev(a, b) == 1
     )
     assert got == exp
+
+
+def test_ranking_recall_exact_counts(spark):
+    from ocr_search_spark.training.similarity import ranking_recall
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long",
+    )
+    cand = spark.createDataFrame(
+        [(1, 11), (1, 99), (1, 12), (2, 5)],
+        "query_id long, neighbor_id long",
+    )
+    out = {r["query_id"]: r for r in ranking_recall(truth, cand).collect()}
+    assert out[1]["n_truth"] == 3 and out[1]["n_hit"] == 2
+    assert out[1]["recall_e6"] == 666_666
+    assert out[2]["n_hit"] == 0 and out[2]["recall_e6"] == 0
