@@ -153,3 +153,105 @@ def test_segment_cjk_search_superset_property(s):
     for w, _ in extra.items():
         assert w in textproc.CJK_DICT_SET and len(w) in (2, 3)
         assert any(w in b for b in base if len(b) > len(w)), (s, w)
+
+
+# ---------------------------------------------------------- session 8
+
+_WORDISH = st.text(alphabet="abcdef", min_size=0, max_size=9)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_WORDISH, st.dictionaries(
+    st.text(alphabet="abcdef", min_size=1, max_size=3),
+    st.integers(min_value=-5_000_000, max_value=-1),
+    max_size=12,
+))
+def test_viterbi_score_is_optimal_vs_brute_force(word, multi_scores):
+    """The DP's score equals the max over ALL segmentations enumerated
+    brute-force, and the returned pieces reproduce that score exactly
+    under the same UNK fallback."""
+    from ocr_search_spark.training.unigram_lm import (
+        UNK_SCORE_E6,
+        viterbi_segment,
+    )
+
+    scores = dict(multi_scores)
+
+    def piece_score(p):
+        if p in scores:
+            return scores[p]
+        return UNK_SCORE_E6 if len(p) == 1 else None
+
+    def all_segs(w):
+        if not w:
+            yield []
+            return
+        for ln in range(1, min(4, len(w)) + 1):
+            head = w[:ln]
+            if piece_score(head) is None:
+                continue
+            for rest in all_segs(w[ln:]):
+                yield [head] + rest
+
+    pieces, got = viterbi_segment(word, scores, 4)
+    best = max(sum(piece_score(p) for p in seg) for seg in all_segs(word)) if word else 0
+    assert got == best
+    assert "".join(pieces) == word
+    assert sum(piece_score(p) for p in pieces) == got
+
+
+def _reflow_replica(t: str) -> str:
+    """Pure-Python twin of textproc.dehyphenate_reflow_col's pinned
+    6-rule chain (Python re replays these RE2-subset patterns exactly)."""
+    import re
+
+    t = re.sub(r"([^\W\d_])-\n([a-z])", r"\1\2", t)
+    t = re.sub(r"-\n", "-", t)
+    t = re.sub(r"\n{2,}", "\x01", t)
+    t = re.sub(r"\n", " ", t)
+    t = t.replace("\x01", "\n\n")
+    t = re.sub(r"[ \t]+", " ", t)
+    return t.strip(" \t\n")
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.sampled_from(list("abXY -\t\n")), max_size=50).map("".join))
+def test_dehyphenate_reflow_output_invariants(s):
+    """Whatever the input: no tabs, no space runs, no lone newline
+    (paragraph breaks only), no leading/trailing whitespace."""
+    import re
+
+    t = _reflow_replica(s)
+    assert "\t" not in t and "  " not in t
+    for para in t.split("\n\n"):
+        assert "\n" not in para
+    assert t == t.strip(" \t\n")
+
+
+def test_dehyphenate_reflow_spark_equals_replica_on_fuzz_corpus(spark):
+    """ONE Spark job over a hypothesis-shaped fuzz corpus: the columnar
+    regexp chain must equal the pure-Python replica byte-for-byte
+    (cross-engine determinism is the whole point of the pinned chain)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from ocr_search_spark.textproc import dehyphenate_reflow_col
+
+    alphabet = list("abXY -\t\n")
+    corpus = ["".join(c) for c in itertools.product(alphabet, repeat=3)]
+    corpus += [
+        "exam-\nple", "X-\nRay", "a -\nb", "p1\n\n\np2", "mid-\nstream",
+        "a-\n\nb", "a-\n\n\nb", "-\n-\n", "\n\n", " \t\n", "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "i int, t string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", dehyphenate_reflow_col(F.col("t")).alias("c")
+        ).collect()
+    }
+    for i, t in enumerate(corpus):
+        assert got[i] == _reflow_replica(t), (i, repr(t), repr(got[i]))

@@ -228,3 +228,54 @@ def test_compact_defragments_without_changing_rows(spark, base_df, tmp_path):
     # idempotent: a second compact is a no-op, files untouched
     assert t.compact(max_files=1) == []
     assert _by_bucket(_file_state(path)) == after
+
+
+def test_kn_counts_ivm_through_bucketed_merge(spark, tmp_path):
+    """The KN bigram-count IVM (training/textstats.py) wired through the
+    storage layer: the delta lands as a pruned MERGE (upsert of changed
+    counts + delete of exactly-cancelled rows); untouched u-buckets stay
+    byte-identical and the stored table equals the full recount."""
+    from ocr_search_spark.training import textstats as TS
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    changed = F.col("doc_id") % 9 == 2
+    new_corpus = docs.withColumn(
+        "text",
+        F.when(
+            changed,
+            F.array_join(F.reverse(F.split(F.lower("text"), r"\s+")), " "),
+        ).otherwise(F.col("text")),
+    )
+    t = BucketedTable(
+        spark, str(tmp_path / "kn"), keys=["u", "w"], n_buckets=8, bucket_keys=["u"]
+    )
+    t.init(TS.kn_bigram_counts(docs))
+    before = _file_state(t.path)
+
+    merged = TS.kn_counts_upsert(
+        t.read(), docs.where(changed), new_corpus.where(changed)
+    )
+    delta_keys = (
+        TS.kn_bigram_counts(docs.where(changed))
+        .select("u", "w")
+        .unionByName(TS.kn_bigram_counts(new_corpus.where(changed)).select("u", "w"))
+        .distinct()
+    )
+    # rows still present after the merge -> upsert; vanished -> delete.
+    # MATERIALIZE both before mutating the table: their lineage reads
+    # the stored files, and upsert() rewrites those files in place (the
+    # delta is batch-sized, so localizing it is the production shape too)
+    upserts = merged.join(delta_keys, ["u", "w"])
+    doomed = delta_keys.join(merged.select("u", "w"), ["u", "w"], "left_anti")
+    upserts = spark.createDataFrame(upserts.collect(), upserts.schema)
+    doomed = spark.createDataFrame(doomed.collect(), doomed.schema)
+    touched = set(t.upsert(upserts)) | set(t.delete(doomed))
+
+    want = sorted(map(tuple, TS.kn_bigram_counts(new_corpus).collect()))
+    got = sorted(map(tuple, t.read().select("u", "w", "c_uw").collect()))
+    assert got == want
+    after = _file_state(t.path)
+    for rel, digest in before.items():
+        b = int(rel.split(f"{BUCKET_COL}=")[1].split("/")[0])
+        if b not in touched:
+            assert after[rel] == digest, f"untouched bucket {b} rewritten"
