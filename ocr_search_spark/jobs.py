@@ -21,6 +21,8 @@ Jobs:
                    standing file library, MERGE added/modified docs,
                    cascade-delete removed files' docs (the reference's
                    15-min DropboxSynchronizer loop, idempotent)
+  tokenizer-train  learn a subword vocabulary over a documents table
+                   (unigram hard-EM or BPE merges) and write it out
 """
 
 from __future__ import annotations
@@ -68,6 +70,16 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--port", type=int, default=7055)
     pv.add_argument("--host", default="127.0.0.1")
     _add_common(pv)
+
+    pt = sub.add_parser(
+        "tokenizer-train", help="learn a subword vocab (unigram-EM | bpe)"
+    )
+    pt.add_argument("--input", required=True, help="documents parquet dir")
+    pt.add_argument("--out", required=True, help="vocab parquet output dir")
+    pt.add_argument("--algo", default="unigram", choices=["unigram", "bpe"])
+    pt.add_argument("--vocab-size", type=int, default=150, help="multi-char pieces / merges")
+    pt.add_argument("--iters", type=int, default=2, help="unigram EM rounds")
+    _add_common(pt)
 
     py = sub.add_parser("sync", help="one source-tree sync iteration")
     py.add_argument("--source", required=True, help="source documents dir")
@@ -129,6 +141,31 @@ def main(argv: list[str] | None = None) -> int:
             srv._thread.join()
         except KeyboardInterrupt:
             srv.stop()
+    elif args.job == "tokenizer-train":
+        if args.algo == "unigram":
+            from .training.unigram_lm import train_unigram
+
+            vocab = train_unigram(
+                spark.read.parquet(args.input),
+                n_multi=args.vocab_size,
+                iters=args.iters,
+            )
+            vocab.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"job": "tokenizer-train", "algo": "unigram",
+                              "pieces": vocab.count(), "out": args.out}))
+        else:
+            from pyspark.sql import functions as F
+
+            from .training.bpe import learn_bpe_merges
+            from .training.unigram_lm import word_counts
+
+            wf = word_counts(spark.read.parquet(args.input), "text").select(
+                "word", F.col("wcnt").alias("freq")
+            )
+            merges = learn_bpe_merges(wf, n_merges=args.vocab_size)
+            merges.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"job": "tokenizer-train", "algo": "bpe",
+                              "merges": merges.count(), "out": args.out}))
     elif args.job == "sync":
         from .sync import sync_once
 

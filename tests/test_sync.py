@@ -92,3 +92,28 @@ def test_sync_add_modify_delete_idempotent(spark, tmp_path):
     # f2's docs are fully gone
     f2_ids = [r["doc_id"] for r in f2.select("doc_id").collect()]
     assert got.where(F.col("doc_id").isin(f2_ids)).count() == 0
+
+
+def test_cli_tokenizer_train_both_algos(spark, tmp_path, capsys, monkeypatch):
+    import json
+
+    import ocr_search_spark.jobs as jobs
+    import ocr_search_spark.session as session
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    rc = jobs.main(["tokenizer-train", "--input", src,
+                    "--out", str(tmp_path / "uni"), "--vocab-size", "30",
+                    "--iters", "1"])
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out1["algo"] == "unigram" and out1["pieces"] > 0
+    assert spark.read.parquet(str(tmp_path / "uni")).columns == ["piece", "cnt", "score_e6"]
+
+    rc = jobs.main(["tokenizer-train", "--input", src,
+                    "--out", str(tmp_path / "bpe"), "--algo", "bpe",
+                    "--vocab-size", "5"])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out2["algo"] == "bpe" and out2["merges"] > 0
