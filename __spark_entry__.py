@@ -7443,3 +7443,41 @@ SELECT b.query_id, b.n_truth,
        coalesce(h.n_hit, 0)::BIGINT AS n_hit,
        (coalesce(h.n_hit, 0) * 1000000 // b.n_truth)::BIGINT AS recall_e6
 FROM base b LEFT JOIN hits h USING (query_id)"""
+
+
+# ------------------------------------------- Bloom-pruned join
+# Semi-join reduction for "huge fact |><| selective dim": the big side
+# is pre-filtered map-side by a literal-array Bloom of the dim's keys
+# before any shuffle (operators/joins.py:bloom_pruned_join); the exact
+# join then removes false positives, so the oracle is the PLAIN join —
+# the gate proves the reduction changes nothing but cost. Dim = the
+# top-price 2% of orders; fact = lineitem.
+
+
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bloom_pruned_join: filter folded to one 1024-word long-array
+    literal, probe = pure scan expression (no explode, no extra
+    shuffle); exact inner join after."""
+    from ocr_search_spark.operators.joins import bloom_pruned_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_totalprice") > 490000
+    ).select("o_orderkey", "o_custkey")
+    big = li.select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity")
+    j = bloom_pruned_join(big, o, "o_orderkey")
+    return j.groupBy("o_orderkey", "o_custkey").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+_TRAINING_QUERIES["bloom_join"] = q_bloom_join
+_TRAINING_ORACLES["bloom_join"] = """SELECT l.l_orderkey AS o_orderkey,
+       o.o_custkey,
+       count(*)::BIGINT AS n_items,
+       sum(l.l_quantity::BIGINT)::BIGINT AS sum_qty
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_totalprice > 490000
+GROUP BY 1, 2"""

@@ -126,3 +126,54 @@ def range_join_binned(
         .where((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col)))
         .drop("_bin")
     )
+
+
+def bloom_pruned_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    m_bits: int = 1 << 15,
+    k: int = 3,
+) -> DataFrame:
+    """Semi-join reduction: inner-join ``big`` ⋈ ``small`` on ``key``,
+    with the big side pre-filtered MAP-SIDE by a Bloom filter of the
+    small side's keys — the classic distributed-join optimization for
+    "huge fact ⋈ selective dim" when the dim is too big to broadcast
+    whole but its KEY SET fits a filter.
+
+    Result is EXACTLY the plain inner join (the real join removes the
+    Bloom's false positives); the filter only cuts the rows the big
+    side ships into the join shuffle. The filter is folded into ONE
+    literal long array (m_bits/32 words — 1 KiB-scale for the default,
+    the PQ-codebook trick), so the probe is a pure scan-side expression:
+    no explode, no per-row join, no extra shuffle anywhere.
+
+    The driver holds the m_bits/32-word array (bounded by the CHOSEN
+    filter size, never by data — the IVF-centroid pattern); the small
+    side is aggregated once to build it (filter-sized shuffle).
+
+    Uses the same h60-salted hash family as training/sketches.bloom_*,
+    so a filter persisted by bloom_build prunes identically.
+    """
+    from ..training.sketches import _WORD_BITS, _bit_positions, bloom_build
+
+    n_words = m_bits // _WORD_BITS
+    got = {
+        int(r["word_idx"]): int(r["bits"])
+        for r in bloom_build(small.select(key), key, m_bits, k).collect()
+    }
+    words = F.array(*[F.lit(got.get(i, 0)).cast("long") for i in range(n_words)])
+    # single-bit masks as a literal lookup (shiftleft needs a Python-int
+    # shift; a column-valued shift is spelled as element_at of this array)
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(_WORD_BITS)])
+    pos = _bit_positions(F.col(key), m_bits, k)
+    hit = F.forall(
+        pos,
+        lambda p: (
+            F.element_at(words, (p / F.lit(_WORD_BITS)).cast("int") + 1).bitwiseAND(
+                F.element_at(masks, (p % F.lit(_WORD_BITS)).cast("int") + 1)
+            )
+            != 0
+        ),
+    )
+    return big.where(hit).join(small, key)

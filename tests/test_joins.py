@@ -51,3 +51,23 @@ def test_range_join_vs_bruteforce(spark):
     assert got == expect
     # each matching pair appears exactly once (no bin double-count)
     assert len(got) == len(set(got))
+
+
+def test_bloom_pruned_join_equals_plain_join_and_prunes(spark):
+    import pyspark.sql.functions as F
+    from ocr_search_spark.operators.joins import bloom_pruned_join
+
+    big = spark.createDataFrame(
+        [(i % 100, i) for i in range(2000)], "k long, v long"
+    )
+    small = spark.createDataFrame([(3, "a"), (7, "b"), (99, "c")], "k long, tag string")
+    got = sorted(map(tuple, bloom_pruned_join(big, small, "k").collect()))
+    want = sorted(map(tuple, big.join(small, "k").collect()))
+    assert got == want and len(got) == 60
+    # the map-side filter actually prunes: count rows surviving the
+    # bloom predicate alone (false positives allowed, but << all rows)
+    from ocr_search_spark.training.sketches import bloom_build, bloom_probe
+    bl = bloom_build(small.select("k"), "k")
+    hits = bloom_probe(bl, big.select("k").distinct(), "k")
+    n_pass = hits.where("bloom_hit").count()
+    assert 3 <= n_pass <= 10  # 3 true keys + at most a few false positives
