@@ -708,3 +708,57 @@ def test_stream_stream_interval_join_vs_batch(spark, tmp_path):
         got.groupBy("click_id", "view_id").count().where(F.col("count") > 1).count()
         == 0
     )
+
+
+def test_stream_maintain_kn_exactness_replay_compaction(spark, dirs, tmp_path):
+    """Streaming KN maintenance == batch kn_bigram_counts over all
+    ingested docs; per-batch replay is a no-op; compaction folds
+    partials without changing the live counts; derived stats compose."""
+    from ocr_search_spark.streaming import lm_maintain as LM
+    from ocr_search_spark.training import textstats as TS
+
+    def mk_docs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("alpha beta"),
+                F.lit(" w"), (F.col("id") % 5).cast("string"),
+                F.lit(" beta gamma"),
+            ).alias("text"),
+        )
+
+    mk_docs(0, 40).write.mode("append").parquet(dirs["in"])
+    mk_docs(40, 90).write.mode("append").parquet(dirs["in"])
+
+    table_path = str(tmp_path / "kn_table")
+    LM.stream_maintain_kn(
+        spark, dirs["in"], table_path, dirs["ckpt"], max_files_per_trigger=1
+    )
+    table = LM.kn_partials_table(spark, table_path)
+
+    live = lambda: sorted(  # noqa: E731
+        tuple(r) for r in LM.current_kn_counts(table).collect()
+    )
+    expect = sorted(
+        tuple(r)
+        for r in TS.kn_bigram_counts(spark.read.parquet(dirs["in"])).collect()
+    )
+    assert live() == expect
+
+    # replay idempotence
+    replay = spark.createDataFrame([(888888, "aa bb aa bb")], "doc_id long, text string")
+    LM.merge_kn_batch(table, replay, 500)
+    once = live()
+    LM.merge_kn_batch(table, replay, 500)
+    assert live() == once, "batch replay changed KN counts"
+
+    # compaction preserves the live table and leaves only the base batch
+    LM.compact_kn_partials(table)
+    bids = {r.batch_id for r in table.read().select("batch_id").distinct().collect()}
+    assert bids == {LM.BASE_BATCH_ID}
+    assert live() == once
+
+    # derived stats compose from the maintained table
+    stats = TS.kn_stats_from_counts(LM.current_kn_counts(table))
+    row = {(r["u"], r["w"]): r for r in stats.collect()}[("aa", "bb")]
+    assert row["c_uw"] == 2 and row["bb"] > 0
