@@ -1905,6 +1905,13 @@ _GATE_PRIORITY = [
     "search_fuzzy", "corpus_ngrams", "embed_quantize",
     "kn_incremental", "extract_dehyphen", "unigram_corpus_tokens",
     "media_dedup",
+    # skew_profile (key agg + broadcast total = profile_documents /
+    # source_mix in-window rows), communities_lpa (iterative graph
+    # rounds = pagerank_centrality's in-window row), ann_recall
+    # (top-k join-evaluate = embed_ann_ivf/embed_cosine_topk r2 rows),
+    # bloom_join (result-transparent join reduction; oracle is the
+    # plain join = tpch_q3/q5/q13 rows). All check_entry-verified.
+    "skew_profile", "communities_lpa", "ann_recall", "bloom_join",
 ]
 
 
