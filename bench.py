@@ -142,6 +142,17 @@ def main() -> None:
         "search_champion",
         "term_neighbors",
         "ivf_incremental",
+        # session 8
+        "layout_page_chrome",
+        "extract_dehyphen",
+        "lm_kn_score",
+        "kn_incremental",
+        "unigram_encode",
+        "media_dedup",
+        "skew_profile",
+        "communities_lpa",
+        "ann_recall",
+        "bloom_join",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:
