@@ -876,3 +876,43 @@ def keep_best_per_cluster(
         "kept_id",
         (F.col("id") == F.col("kept_id")).alias("keep"),
     )
+
+
+def lsh_params(
+    threshold: float, n_perm: int, max_bands: int = None
+) -> tuple[int, int]:
+    """Choose (bands, rows_per_band) for minhash LSH at a target Jaccard
+    ``threshold`` — the MMDS S-curve calibration (Leskovec/Rajaraman/
+    Ullman ch.3, public): candidate-pair probability for similarity s is
+    ``1 − (1 − s^r)^b``; pick the factorization of ``n_perm`` whose
+    curve best separates below/above the threshold, by minimizing
+
+        fp + fn = ∫₀ᵗ P(s) ds + ∫ₜ¹ (1 − P(s)) ds
+
+    evaluated on a fixed 1000-point grid (deterministic — no RNG, no
+    optimizer). Returns (bands, rows_per_band) with bands·rows ≤ n_perm
+    using the largest usable prefix of the signature.
+
+    This is driver-side arithmetic over a handful of factorizations —
+    use it once when configuring minhash_signatures/lsh_candidate_pairs
+    for a corpus's dedup threshold instead of hand-picking 4×4.
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if n_perm < 2:
+        raise ValueError(f"n_perm must be >= 2, got {n_perm}")
+    best = None
+    for r in range(1, n_perm + 1):
+        b = n_perm // r
+        if b < 1 or (max_bands is not None and b > max_bands):
+            continue
+        # fp+fn on the grid, exact same arithmetic for every candidate
+        cost = 0.0
+        for i in range(1000):
+            s = (i + 0.5) / 1000.0
+            p = 1.0 - (1.0 - s**r) ** b
+            cost += (p if s < threshold else 1.0 - p) / 1000.0
+        key = (cost, -b * r, r)  # prefer lower cost, fuller signature use
+        if best is None or key < best[0]:
+            best = (key, (b, r))
+    return best[1]

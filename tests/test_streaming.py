@@ -762,3 +762,51 @@ def test_stream_maintain_kn_exactness_replay_compaction(spark, dirs, tmp_path):
     stats = TS.kn_stats_from_counts(LM.current_kn_counts(table))
     row = {(r["u"], r["w"]): r for r in stats.collect()}[("aa", "bb")]
     assert row["c_uw"] == 2 and row["bb"] > 0
+
+
+def test_stream_maintain_kn_kill_and_resume(spark, dirs, tmp_path):
+    """Exactly-once across a mid-run kill for the KN partials sink: stop
+    the query once the first micro-batch committed, resume from the same
+    checkpoint, and the summed counts must equal the batch recount —
+    whether or not the kill landed mid-backlog (the batch-keyed
+    replace_group makes replays no-ops either way)."""
+    import time
+
+    from ocr_search_spark.streaming import lm_maintain as LM
+    from ocr_search_spark.training import textstats as TS
+
+    docs = spark.range(0, 120).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("kilo lima"),
+            F.lit(" k"), (F.col("id") % 11).cast("string"),
+            F.lit(" lima mike"),
+        ).alias("text"),
+    )
+    docs.repartition(16).write.mode("append").parquet(dirs["in"])
+
+    table_path = str(tmp_path / "kn_kr")
+    q = LM.stream_maintain_kn(
+        spark, dirs["in"], table_path, dirs["ckpt"],
+        await_termination=False, max_files_per_trigger=1,
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p is not None and p["numInputRows"] > 0:
+            break
+        time.sleep(0.05)
+    q.stop()
+    q.awaitTermination()
+
+    # resume: remainder only; final state equals the batch twin exactly
+    LM.stream_maintain_kn(
+        spark, dirs["in"], table_path, dirs["ckpt"], max_files_per_trigger=1
+    )
+    table = LM.kn_partials_table(spark, table_path)
+    got = sorted(map(tuple, LM.current_kn_counts(table).collect()))
+    want = sorted(
+        tuple(r)
+        for r in TS.kn_bigram_counts(spark.read.parquet(dirs["in"])).collect()
+    )
+    assert got == want

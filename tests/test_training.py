@@ -1205,3 +1205,22 @@ def test_canonical_media_mapping_and_rewrite(spark):
            rewrite_media_refs(media.repartition(3), canonical_media(media)).collect()}
     assert out["b.png"]["is_duplicate"] and not out["a.png"]["is_duplicate"]
     assert out["z.png"]["canonical_ref"] == "z.png"
+
+
+def test_lsh_params_s_curve_calibration():
+    from ocr_search_spark.training.dedup import lsh_params
+    import pytest
+
+    # low threshold -> many bands of few rows; high threshold -> the
+    # opposite. 16 perms: t=0.2 should give r<=2; t=0.9 should give r>=4
+    b_lo, r_lo = lsh_params(0.2, 16)
+    b_hi, r_hi = lsh_params(0.9, 16)
+    assert r_lo <= 2 and b_lo * r_lo <= 16
+    assert r_hi >= 4 and b_hi * r_hi <= 16
+    # the standard 4x4 default is what a mid threshold picks at 16 perms
+    assert lsh_params(0.5, 16) in [(4, 4), (5, 3), (3, 5)]
+    # monotonicity of rows in threshold across a sweep
+    rs = [lsh_params(t / 10, 24)[1] for t in range(1, 10)]
+    assert rs == sorted(rs)
+    with pytest.raises(ValueError):
+        lsh_params(1.5, 16)
