@@ -7488,3 +7488,24 @@ FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE o.o_totalprice > 490000
 GROUP BY 1, 2"""
+
+
+# ------------------------------------------- MaxScore-pruned BM25
+# Safe dynamic pruning (Turtle & Flood): the oracle is the FULL BM25
+# ranking (identical SQL to search_bm25), so the gate proves the
+# pruning is result-transparent — same discipline as bloom_join.
+
+
+def q_search_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_terms_maxscore (operators/search.py): champion floor +
+    ascending-UB essential split + full rescore of the candidate set;
+    driver holds one long and a |query|-sized UB list."""
+    from ocr_search_spark.operators.search import match_terms_maxscore
+
+    return match_terms_maxscore(
+        _postings(spark, sf_dir).cache(), list(_SEARCH_TERMS), max_return=20
+    )
+
+
+_TRAINING_QUERIES["search_maxscore"] = q_search_maxscore
+_TRAINING_ORACLES["search_maxscore"] = _TRAINING_ORACLES["search_bm25"]

@@ -153,6 +153,7 @@ def main() -> None:
         "communities_lpa",
         "ann_recall",
         "bloom_join",
+        "search_maxscore",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:

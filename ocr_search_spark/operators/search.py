@@ -219,6 +219,23 @@ def match_terms_bm25(
     function of exact integers, and the doc score is an exact long sum —
     no float-summation order sensitivity. Output (doc_id, score) with
     score in micros."""
+    rows = _bm25_rows(postings, terms, k1, b)
+    scored = rows.select("doc_id", "w").groupBy("doc_id").agg(
+        F.sum("w").alias("score")
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(max_return)
+        .select("doc_id", "score")
+    )
+
+
+def _bm25_rows(
+    postings: DataFrame, terms: list[str], k1: float, b: float
+) -> DataFrame:
+    """(doc_id, term, w): the exact integer-micros per-(doc, term) BM25
+    contribution — the shared core of match_terms_bm25 and the
+    MaxScore-pruned variant."""
     spark = postings.sparkSession
     if not terms:
         terms = ["never-a-term"]
@@ -245,8 +262,72 @@ def match_terms_bm25(
         tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
     )
     w = F.floor(F.lit(1_000_000.0) * F.col("idf") * sat).cast("long")
-    scored = j.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
-        F.sum("w").alias("score")
+    return j.select("doc_id", "term", w.alias("w"))
+
+
+def match_terms_maxscore(
+    postings: DataFrame,
+    terms: list[str],
+    max_return: int = DEFAULT_MAX_RETURN,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """MaxScore-pruned BM25 top-k (Turtle & Flood 1995, public) — SAFE
+    dynamic pruning: the result is bit-identical to match_terms_bm25
+    (the gate's oracle is the full ranking), only the work changes.
+
+    Two-phase, all exact long arithmetic:
+
+      1. Floor θ = the ``max_return``-th largest per-doc MAX single-term
+         contribution. Each of those k docs' final score ≥ its max w,
+         so the true k-th best score ≥ θ.
+      2. Term upper bounds ub(t) = max w over t's matched rows. Sort
+         ascending; the NON-ESSENTIAL set P is the largest prefix with
+         Σ ub < θ (strict). A doc matching only P terms scores ≤
+         Σ ub(P) < θ ≤ k-th best — it can never enter the top-k, ties
+         included. Candidates = docs matching ≥ 1 essential term; they
+         are then scored on ALL their rows (exactness) and top-k'd.
+
+    The driver holds θ (one long) and the |query|-sized UB list —
+    bounded by the query, never by data. With fewer than ``max_return``
+    docs matched, θ is undefined and pruning is skipped (P = ∅).
+
+    At scale ub(t) comes from the impact-ordered index (the same stored
+    per-term maxima champion_lists materializes), making phase 1 a
+    k-row read; here both are computed exactly from the live rows. The
+    matched rows are cached — they feed three passes (floor, UBs,
+    final scoring), all bounded by the query's postings volume."""
+    rows = _bm25_rows(postings, terms, k1, b).cache()
+    champ = (
+        rows.groupBy("doc_id")
+        .agg(F.max("w").alias("_mw"))
+        .orderBy(F.desc("_mw"), F.asc("doc_id"))
+        .limit(max_return)
+        .collect()
+    )
+    theta = champ[-1]["_mw"] if len(champ) >= max_return else None
+    ubs = sorted(
+        ((r["ub"], r["term"]) for r in
+         rows.groupBy("term").agg(F.max("w").alias("ub")).collect()),
+    )
+    non_essential: set[str] = set()
+    if theta is not None:
+        acc = 0
+        for ub, t in ubs:
+            if acc + ub >= theta:
+                break
+            acc += ub
+            non_essential.add(t)
+    essential = [t for _, t in ubs if t not in non_essential]
+    cand = (
+        rows.where(F.col("term").isin(essential))
+        .select("doc_id")
+        .distinct()
+    )
+    scored = (
+        rows.join(cand, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("score"))
     )
     return (
         scored.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -250,3 +250,34 @@ def test_postings_varint_stats_vs_python(spark):
     assert got == expect
     # sorted deltas compress: varint bytes strictly below fixed for runs
     assert got["alpha"][1] < got["alpha"][2]
+
+
+def test_maxscore_equals_bm25_and_prunes(spark):
+    import pyspark.sql.functions as F
+    from ocr_search_spark.operators.search import (
+        match_terms_bm25,
+        match_terms_maxscore,
+        _bm25_rows,
+    )
+
+    # skewed postings: 'rare' carries huge tf in few docs, 'common' tiny
+    # tf everywhere -> 'common' should fall below the champion floor
+    rows = (
+        [(f"d{i}", "common", 1) for i in range(200)]
+        + [(f"d{i}", "rare", 9) for i in range(8)]
+        + [(f"d{i}", "mid", 3) for i in range(0, 60, 2)]
+    )
+    posts = spark.createDataFrame(rows, "doc_id string, term string, tf int")
+    terms = ["common", "rare", "mid"]
+    for k in (5, 8, 300):
+        got = [tuple(r) for r in match_terms_maxscore(posts, terms, max_return=k).collect()]
+        want = [tuple(r) for r in match_terms_bm25(posts, terms, max_return=k).collect()]
+        assert got == want, k
+    # the pruning is real for small k: 'common' is non-essential
+    w = _bm25_rows(posts, terms, 1.2, 0.75)
+    ubs = {r["term"]: r["ub"] for r in w.groupBy("term").agg(F.max("w").alias("ub")).collect()}
+    champ = sorted(
+        (r["mw"] for r in w.groupBy("doc_id").agg(F.max("w").alias("mw")).collect()),
+        reverse=True,
+    )
+    assert ubs["common"] < champ[4]  # below the k=5 floor -> prunable
