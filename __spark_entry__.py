@@ -7509,3 +7509,39 @@ def q_search_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRAINING_QUERIES["search_maxscore"] = q_search_maxscore
 _TRAINING_ORACLES["search_maxscore"] = _TRAINING_ORACLES["search_bm25"]
+
+
+# ------------------------------------------- temperature source mix
+# The multilingual-balancing sampler (share^alpha, alpha=0.3 — the
+# mT5 setting): exact integer shares, one ln/exp pair per source,
+# exact renormalization (training/packing.py:temperature_mix_weights).
+
+
+def q_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """temperature_mix_weights: n_sources-row aggregate + two 1-row
+    broadcasts; flattens the source distribution toward uniform."""
+    from ocr_search_spark.training.packing import temperature_mix_weights
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_mix_weights(d, alpha_e6=300_000)
+
+
+_TRAINING_QUERIES["source_temperature"] = q_source_temperature
+_TRAINING_ORACLES["source_temperature"] = """WITH c AS (
+  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+),
+t AS (SELECT sum(n_docs)::BIGINT AS total FROM c),
+s AS (
+  SELECT source, n_docs, (n_docs * 1000000 // t.total)::BIGINT AS share_e6
+  FROM c CROSS JOIN t
+),
+p AS (
+  SELECT *, floor(1000000.0 * exp(0.3 * ln(share_e6::DOUBLE / 1000000.0)))::BIGINT
+            AS pow_e6
+  FROM s
+),
+pt AS (SELECT sum(pow_e6)::BIGINT AS powtot FROM p)
+SELECT source, n_docs, share_e6,
+       (pow_e6 * 1000000 // pt.powtot)::BIGINT AS target_e6,
+       ((pow_e6 * 1000000 // pt.powtot) * 1000000 // share_e6)::BIGINT AS weight_e6
+FROM p CROSS JOIN pt"""

@@ -185,3 +185,48 @@ def chunk_documents(
         "chunk_text",
         F.md5("chunk_text").alias("chunk_digest"),
     )
+
+
+def temperature_mix_weights(
+    docs: DataFrame,
+    alpha_e6: int = 300_000,
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled source sampling (the multilingual-balancing
+    rule of mBERT/XLM-R/mT5, public): target share ∝ share^α with
+    α = ``alpha_e6``/1e6 ∈ (0, 1] — α=1 keeps natural proportions, α→0
+    flattens toward uniform, upweighting low-resource sources.
+
+    Pinned cross-engine arithmetic: share_e6 = n·1e6 DIV total (exact
+    BIGINT); pow_e6 = floor(1e6 · exp(α · ln(share_e6/1e6))) — ONE
+    ln/exp pair on the exact integer share; target_e6 = pow_e6·1e6 DIV
+    Σ pow_e6 (renormalized exactly); weight_e6 = target_e6·1e6 DIV
+    share_e6 (the resample ratio vs natural share).
+
+    Output: (source, n_docs, share_e6, target_e6, weight_e6). Shape:
+    one n_sources-row aggregate + two 1-row broadcasts — free at any
+    corpus size."""
+    if not (0 < alpha_e6 <= 1_000_000):
+        raise ValueError(f"alpha_e6 must be in (0, 1e6], got {alpha_e6}")
+    counts = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    total = counts.agg(F.sum("n_docs").alias("_total"))
+    alpha = alpha_e6 / 1_000_000.0
+    shared = counts.crossJoin(F.broadcast(total)).withColumn(
+        "share_e6", F.expr("n_docs * 1000000 div _total")
+    )
+    powed = shared.withColumn(
+        "_pow_e6",
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.exp(F.lit(alpha) * F.log(F.col("share_e6").cast("double") / 1_000_000.0))
+        ).cast("long"),
+    )
+    powtot = powed.agg(F.sum("_pow_e6").alias("_powtot"))
+    return (
+        powed.crossJoin(F.broadcast(powtot))
+        .withColumn("target_e6", F.expr("_pow_e6 * 1000000 div _powtot"))
+        .withColumn("weight_e6", F.expr("target_e6 * 1000000 div share_e6"))
+        .select("source", "n_docs", "share_e6", "target_e6", "weight_e6")
+    )

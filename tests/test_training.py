@@ -1224,3 +1224,21 @@ def test_lsh_params_s_curve_calibration():
     assert rs == sorted(rs)
     with pytest.raises(ValueError):
         lsh_params(1.5, 16)
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    import pytest
+    from ocr_search_spark.training.packing import temperature_mix_weights
+
+    rows = [("big",)] * 900 + [("small",)] * 100
+    docs = spark.createDataFrame(rows, "source string")
+    out = {r["source"]: r for r in temperature_mix_weights(docs, 300_000).collect()}
+    # alpha<1 upweights the rare source and downweights the common one
+    assert out["small"]["weight_e6"] > 1_000_000 > out["big"]["weight_e6"]
+    assert out["small"]["target_e6"] > out["small"]["share_e6"]
+    # alpha=1 keeps natural proportions (weight ~ 1.0 up to div flooring)
+    nat = {r["source"]: r for r in temperature_mix_weights(docs, 1_000_000).collect()}
+    for s in ("big", "small"):
+        assert abs(nat[s]["weight_e6"] - 1_000_000) <= 25_000
+    with pytest.raises(ValueError):
+        temperature_mix_weights(docs, 0)
