@@ -23,6 +23,8 @@ Jobs:
                    15-min DropboxSynchronizer loop, idempotent)
   tokenizer-train  learn a subword vocabulary over a documents table
                    (unigram hard-EM or BPE merges) and write it out
+  dedup            near-dup dedup pipeline: calibrated MinHash-LSH ->
+                   clusters -> one representative per cluster
 """
 
 from __future__ import annotations
@@ -80,6 +82,15 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--vocab-size", type=int, default=150, help="multi-char pieces / merges")
     pt.add_argument("--iters", type=int, default=2, help="unigram EM rounds")
     _add_common(pt)
+
+    pd_ = sub.add_parser("dedup", help="near-dup dedup: keep one doc per cluster")
+    pd_.add_argument("--input", required=True, help="documents parquet dir")
+    pd_.add_argument("--out", required=True, help="kept-docs parquet output dir")
+    pd_.add_argument("--decisions", default=None, help="optional decisions parquet dir")
+    pd_.add_argument("--threshold", type=float, default=0.8)
+    pd_.add_argument("--num-hashes", type=int, default=16)
+    pd_.add_argument("--max-df", type=int, default=None)
+    _add_common(pd_)
 
     py = sub.add_parser("sync", help="one source-tree sync iteration")
     py.add_argument("--source", required=True, help="source documents dir")
@@ -166,6 +177,22 @@ def main(argv: list[str] | None = None) -> int:
             merges.write.mode("overwrite").parquet(args.out)
             print(json.dumps({"job": "tokenizer-train", "algo": "bpe",
                               "merges": merges.count(), "out": args.out}))
+    elif args.job == "dedup":
+        from .training.dedup import dedup_corpus
+
+        docs = spark.read.parquet(args.input)
+        decisions, kept = dedup_corpus(
+            docs,
+            threshold=args.threshold,
+            num_hashes=args.num_hashes,
+            max_df=args.max_df,
+        )
+        if args.decisions:
+            decisions.write.mode("overwrite").parquet(args.decisions)
+        kept.write.mode("overwrite").parquet(args.out)
+        n_in, n_kept = docs.count(), spark.read.parquet(args.out).count()
+        print(json.dumps({"job": "dedup", "n_in": n_in, "n_kept": n_kept,
+                          "n_dropped": n_in - n_kept, "out": args.out}))
     elif args.job == "sync":
         from .sync import sync_once
 

@@ -916,3 +916,54 @@ def lsh_params(
         if best is None or key < best[0]:
             best = (key, (b, r))
     return best[1]
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    k: int = 3,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The end-to-end near-dup dedup PIPELINE as one call — the
+    composition every stage of this module exists for, wired the way a
+    production run would chain them:
+
+      minhash signatures (max_df stop-shingle guard)
+        → LSH candidate pairs at (bands, rows) CALIBRATED for
+          ``threshold`` by :func:`lsh_params`
+        → signature-agreement filter (est_jaccard ≥ threshold)
+        → transitive clusters (pointer-jumping connected components)
+        → one representative per cluster (longest text, ties lowest id
+          — :func:`keep_best_per_cluster`)
+
+    Returns (decisions, mapping): ``decisions`` = every doc with
+    (id, cluster_id, kept_id, keep); ``mapping`` = the docs frame
+    filtered to keep=true rows (the deduplicated corpus). Both lazy.
+
+    Every stage is individually oracle-gated; this wrapper adds no new
+    algebra — it pins the composition order and the calibrated banding
+    so the CLI and tests exercise the same pipeline users run.
+    """
+    bands, rows_per_band = lsh_params(threshold, num_hashes)
+    sigs = minhash_signatures(
+        docs, text_col=text_col, id_col=id_col, k=k,
+        num_hashes=num_hashes, max_df=max_df,
+    ).cache()
+    cand = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+    est = minhash_jaccard_estimate(sigs, cand.select("id_a", "id_b"), num_hashes)
+    pairs = est.where(F.col("est_jaccard") >= float(threshold)).select(
+        "id_a", "id_b"
+    )
+    nodes = docs.select(F.col(id_col).alias("id"))
+    clusters = connected_components_jump(nodes, pairs)
+    scores = docs.select(
+        F.col(id_col).alias("id"), F.length(text_col).cast("long").alias("score")
+    )
+    decisions = keep_best_per_cluster(clusters, scores)
+    kept = docs.join(
+        decisions.where("keep").select(F.col("id").alias(id_col)), id_col
+    )
+    return decisions, kept

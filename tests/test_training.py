@@ -1242,3 +1242,48 @@ def test_temperature_mix_flattens_toward_uniform(spark):
         assert abs(nat[s]["weight_e6"] - 1_000_000) <= 25_000
     with pytest.raises(ValueError):
         temperature_mix_weights(docs, 0)
+
+
+def test_dedup_corpus_pipeline_keeps_longest_per_cluster(spark):
+    from ocr_search_spark.training.dedup import dedup_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest tonight")
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra tail words here"),          # near-dup of 1, longer
+            (3, base.replace("quick", "swift")),            # near-dup of 1
+            (4, "completely different text about spark sql window functions "
+                "and shuffle partitions in a cluster deployment scenario"),
+        ],
+        "doc_id long, text string",
+    )
+    decisions, kept = dedup_corpus(docs, threshold=0.5)
+    d = {r["id"]: r for r in decisions.collect()}
+    # 1,2,3 cluster together; representative = longest text = doc 2
+    assert d[1]["cluster_id"] == d[2]["cluster_id"] == d[3]["cluster_id"]
+    assert d[1]["kept_id"] == 2 and not d[1]["keep"] and d[2]["keep"]
+    assert d[4]["keep"] and d[4]["cluster_id"] != d[1]["cluster_id"]
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 4]
+
+
+def test_cli_dedup_subprocess(spark, tmp_path, capsys, monkeypatch):
+    import json
+
+    import ocr_search_spark.jobs as jobs
+    import ocr_search_spark.session as session
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    # plant two exact-ish near-dups of doc 0
+    extra = docs.limit(1).selectExpr("doc_id + 1000 AS doc_id", "text",
+                                     "lang", "source", "n_chars")
+    src = str(tmp_path / "docs")
+    docs.unionByName(extra).write.parquet(src)
+    rc = jobs.main(["dedup", "--input", src, "--out", str(tmp_path / "kept"),
+                    "--decisions", str(tmp_path / "dec"), "--threshold", "0.7"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["n_in"] == 51 and out["n_dropped"] >= 1
+    dec = spark.read.parquet(str(tmp_path / "dec"))
+    assert set(dec.columns) == {"id", "cluster_id", "kept_id", "keep"}
