@@ -7545,3 +7545,64 @@ SELECT source, n_docs, share_e6,
        (pow_e6 * 1000000 // pt.powtot)::BIGINT AS target_e6,
        ((pow_e6 * 1000000 // pt.powtot) * 1000000 // share_e6)::BIGINT AS weight_e6
 FROM p CROSS JOIN pt"""
+
+
+# ------------------------------------------- clean-extraction pipeline
+# The north-rule stages composed in ONE gate: interleaved spans ->
+# extraction (OCR on media, boilerplate strip on text) -> E6 ordered
+# reassembly as hard-wrapped LINES -> dehyphenate/reflow -> per-doc
+# clean text + exact token count. Each stage is separately gated
+# (extract_*, extract_dehyphen); this row pins the composition.
+
+
+def q_extract_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_spans_columnar -> line reassembly -> dehyphenate_reflow_col
+    -> whitespace token count; one doc-keyed shuffle after extraction."""
+    from ocr_search_spark.textproc import dehyphenate_reflow_col
+
+    flat = _flatten_extracted(extract_spans_columnar(_interleaved(spark, sf_dir)))
+    wrapped = (
+        flat.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("offset", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            ).alias("wrapped")
+        )
+    )
+    clean = dehyphenate_reflow_col(F.col("wrapped"))
+    toks = F.size(F.filter(F.split(clean, " "), lambda t: t != ""))
+    return wrapped.select(
+        "doc_id",
+        clean.alias("clean"),
+        toks.cast("long").alias("n_tokens"),
+    )
+
+
+_TRAINING_QUERIES["extract_clean_pipeline"] = q_extract_clean_pipeline
+_TRAINING_ORACLES["extract_clean_pipeline"] = f"""WITH {_BASE_CTE}, {_SPANS_CTE}, {_EXTRACTED_CTE},
+wrapped AS (
+  SELECT doc_id, string_agg(text, chr(10) ORDER BY "offset") AS w
+  FROM extracted GROUP BY doc_id
+),
+s AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(w, '(\\p{{L}})-\\n(\\p{{Ll}})', '\\1\\2', 'g'),
+                   '-\\n', '-', 'g'),
+                 '\\n{{2,}}', chr(1), 'g'),
+               '\\n', ' ', 'g'),
+             chr(1), chr(10) || chr(10), 'g'),
+           '[ \\t]+', ' ', 'g'), ' ' || chr(9) || chr(10)) AS clean
+  FROM wrapped
+)
+SELECT doc_id, clean,
+       len(list_filter(string_split(clean, ' '), x -> x <> ''))::BIGINT AS n_tokens
+FROM s"""

@@ -154,6 +154,8 @@ def main() -> None:
         "ann_recall",
         "bloom_join",
         "search_maxscore",
+        "source_temperature",
+        "extract_clean_pipeline",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:
