@@ -52,11 +52,13 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--skip-postings", action="store_true")
     _add_common(pe)
 
-    pm = sub.add_parser("maintain-stream", help="incremental postings MERGE")
+    pm = sub.add_parser("maintain-stream", help="incremental postings/LM MERGE")
     pm.add_argument("--input", required=True)
     pm.add_argument("--table", required=True)
     pm.add_argument("--checkpoint", required=True)
     pm.add_argument("--n-buckets", type=int, default=32)
+    pm.add_argument("--what", default="postings", choices=["postings", "kn"],
+                    help="postings doc-replace MERGE | KN bigram partials")
     _add_common(pm)
 
     ps = sub.add_parser("search", help="top-k query against stored postings")
@@ -121,12 +123,22 @@ def main(argv: list[str] | None = None) -> int:
             build_postings(spark, args.out)
         print(json.dumps(summary))
     elif args.job == "maintain-stream":
-        from .streaming.index_maintain import stream_maintain_postings
+        if args.what == "kn":
+            from .streaming.lm_maintain import stream_maintain_kn
 
-        stream_maintain_postings(
-            spark, args.input, args.table, args.checkpoint, n_buckets=args.n_buckets
-        )
-        print(json.dumps({"job": "maintain-stream", "table": args.table}))
+            stream_maintain_kn(
+                spark, args.input, args.table, args.checkpoint,
+                n_buckets=args.n_buckets,
+            )
+        else:
+            from .streaming.index_maintain import stream_maintain_postings
+
+            stream_maintain_postings(
+                spark, args.input, args.table, args.checkpoint,
+                n_buckets=args.n_buckets,
+            )
+        print(json.dumps({"job": "maintain-stream", "what": args.what,
+                          "table": args.table}))
     elif args.job == "search":
         from .operators.search import search
 
