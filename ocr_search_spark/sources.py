@@ -72,3 +72,46 @@ def convert_to_parquet(
 
 
 __all__ = ["read_documents", "write_documents", "convert_to_parquet", "SPAN"]
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL ingest with a QUARANTINE channel instead of silent nulls:
+    returns (good, bad) — ``good`` in the pinned DOCUMENTS shape,
+    ``bad`` as (raw, reason) rows for the dead-letter table a 100 TB
+    ingest keeps next to its lineage (X2/X3 discipline: record errors,
+    never drop silently, never crash the job).
+
+    A row is quarantined when it is not valid JSON for the schema
+    (PERMISSIVE mode's corrupt-record column is set) OR when required
+    fields are missing (doc_id/spans null after a structurally-valid
+    parse). The split is one scan, two filters — the stream stays
+    columnar and the quarantine table is failure-sized.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(DOCUMENTS.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # corrupt-record capture requires materializing the parsed row
+        # before filtering on the corrupt column (Spark's documented
+        # from-file caveat) — cache keeps it one scan for both outputs
+        .cache()
+    )
+    corrupt = F.col("_corrupt_record").isNotNull()
+    incomplete = F.col("doc_id").isNull() | F.col("spans").isNull()
+    good = raw.where(~corrupt & ~incomplete).select("doc_id", "spans")
+    bad = raw.where(corrupt | incomplete).select(
+        F.coalesce(F.col("_corrupt_record"), F.to_json(F.struct("doc_id", "spans")))
+        .alias("raw"),
+        F.when(corrupt, F.lit("malformed_json"))
+        .otherwise(F.lit("missing_required_field"))
+        .alias("reason"),
+    )
+    return good, bad

@@ -51,3 +51,26 @@ def test_csv_malformed_spans_degrade(spark, tmp_path):
     rows = {r["doc_id"]: r["spans"] for r in back.collect()}
     assert rows["d1"][0]["text"] == "ok"
     assert rows["d2"] is None  # degraded, not crashed
+
+
+def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
+    from ocr_search_spark.sources import read_jsonl_quarantine
+
+    p = tmp_path / "docs.jsonl"
+    lines = [
+        '{"doc_id": "a", "spans": [{"kind": "text", "text": "hi", "media_ref": "", "offset": 0}]}',
+        "{this is not json",
+        '{"doc_id": null, "spans": [{"kind": "text", "text": "x", "media_ref": "", "offset": 0}]}',
+        '{"doc_id": "b", "spans": [{"kind": "media", "text": "", "media_ref": "m.png", "offset": 1}]}',
+        '{"doc_id": "c"}',
+    ]
+    p.write_text("\n".join(lines))
+    good, bad = read_jsonl_quarantine(spark, str(p))
+    g = {r["doc_id"]: r for r in good.collect()}
+    assert set(g) == {"a", "b"}
+    assert g["b"]["spans"][0]["media_ref"] == "m.png"
+    b = sorted((r["reason"], r["raw"] is not None) for r in bad.collect())
+    assert [x[0] for x in b] == [
+        "malformed_json", "missing_required_field", "missing_required_field"
+    ]
+    assert all(x[1] for x in b)
