@@ -7606,3 +7606,61 @@ s AS (
 SELECT doc_id, clean,
        len(list_filter(string_split(clean, ' '), x -> x <> ''))::BIGINT AS n_tokens
 FROM s"""
+
+
+# ------------------------------------------- per-source dedup report
+# Curation reporting: exact-duplicate rate per source (which crawl
+# feeds are redundant?) — exact_duplicates composed with a source
+# rollup, exact integer-micros rates.
+
+
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact_duplicates (training/dedup.py) -> per-source rollup:
+    (source, n_docs, n_dupes, dup_rate_e6); digest agg + source agg,
+    both bounded-output."""
+    from ocr_search_spark.training.dedup import exact_duplicates
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # plant determinism-friendly duplicates: every doc_id % 10 == 7 doc
+    # reuses the text of doc_id - 7 (same engine-side and oracle-side)
+    base = d.select("doc_id", "source", "text")
+    donor = d.select((F.col("doc_id") + 7).alias("doc_id"), F.col("text").alias("t2"))
+    fixture = base.join(donor, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.when(
+            (F.pmod("doc_id", F.lit(10)) == 7) & F.col("t2").isNotNull(), F.col("t2")
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    dup = exact_duplicates(fixture)
+    j = fixture.select(F.col("doc_id").alias("id"), "source").join(dup, "id")
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dupes"),
+        F.expr("sum(cast(is_dup as long)) * 1000000 div count(*)")
+        .cast("long")
+        .alias("dup_rate_e6"),
+    )
+
+
+_TRAINING_QUERIES["dedup_report"] = q_dedup_report
+_TRAINING_ORACLES["dedup_report"] = """WITH donor AS (
+  SELECT doc_id + 7 AS doc_id, text AS t2 FROM documents
+),
+fixture AS (
+  SELECT d.doc_id, d.source,
+         CASE WHEN d.doc_id % 10 = 7 AND donor.t2 IS NOT NULL
+              THEN donor.t2 ELSE d.text END AS text
+  FROM documents d LEFT JOIN donor USING (doc_id)
+),
+dg AS (SELECT doc_id, source, md5(text) AS digest FROM fixture),
+canon AS (SELECT digest, min(doc_id) AS canonical_id FROM dg GROUP BY digest),
+flagged AS (
+  SELECT dg.source, (dg.doc_id <> c.canonical_id) AS is_dup
+  FROM dg JOIN canon c USING (digest)
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dupes,
+       (sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT
+         AS dup_rate_e6
+FROM flagged GROUP BY source"""

@@ -156,6 +156,7 @@ def main() -> None:
         "search_maxscore",
         "source_temperature",
         "extract_clean_pipeline",
+        "dedup_report",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:
