@@ -7664,3 +7664,73 @@ SELECT source, count(*)::BIGINT AS n_docs,
        (sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT
          AS dup_rate_e6
 FROM flagged GROUP BY source"""
+
+
+# ------------------------------------------- proximity-ranked search
+# The positional complement of BM25 and phrase search: rank docs with
+# all query terms by adjacent-pair min distance, exact integer micros
+# (operators/search.py:proximity_search). Shares phrase_search's
+# positional-index lineage and the same "filtered per-term passes beat
+# materializing the full positional table" measurement.
+
+_PROX_TERMS = ["table", "scan", "merge"]
+
+
+def q_search_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.search import proximity_search
+    from ocr_search_spark.operators.tokenize import positional_postings
+
+    ensure_shipped(spark)
+    extracted = extract_spans_columnar(_interleaved(spark, sf_dir))
+    pos = positional_postings(extracted.select("doc_id", "spans"))
+    return proximity_search(pos, _PROX_TERMS, max_return=20)
+
+
+def _proximity_oracle() -> str:
+    filt = (
+        "t -> t <> '' AND regexp_matches(t, '^[\\x00-\\x7F]+$') "
+        "AND length(t) > 1 AND regexp_matches(t, '[a-z]') "
+        f"AND t NOT IN ({_STOPWORDS_IN})"
+    )
+    in_list = ", ".join(f"'{t}'" for t in _PROX_TERMS)
+    pair_ctes = ",\n".join(
+        f"""d{i} AS (
+  SELECT a.doc_id, min(abs(a.pos - b.pos)) AS d
+  FROM m a JOIN m b ON a.doc_id = b.doc_id
+   AND a.term = '{a}' AND b.term = '{b}'
+  GROUP BY a.doc_id
+)"""
+        for i, (a, b) in enumerate(zip(_PROX_TERMS, _PROX_TERMS[1:]))
+    )
+    score = " + ".join(
+        f"1000000 // (1 + d{i}.d)" for i in range(len(_PROX_TERMS) - 1)
+    )
+    joins = " ".join(f"JOIN d{i} USING (doc_id)" for i in range(len(_PROX_TERMS) - 1))
+    return f"""WITH {_BASE_CTE}, {_SPANS_CTE}, {_EXTRACTED_CTE}, {_DOCTEXT_CTE},
+wlist AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+           translate(translate(lower(dtext), {_STRIP_LIT}, ''),
+                     {_PUNCT_LIT}, {_SPACES_LIT}), '\\s+'),
+           {filt}) AS ws
+  FROM doctext
+),
+lemlist AS (
+  SELECT doc_id, list_transform(ws, t -> {_lemma_sql("t")}) AS ls FROM wlist
+),
+posidx AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i FROM lemlist),
+posrows AS (SELECT doc_id, (i - 1)::INT AS pos, ls[i] AS term FROM posidx),
+m AS (SELECT * FROM posrows WHERE term IN ({in_list})),
+cand AS (
+  SELECT doc_id FROM m GROUP BY doc_id
+  HAVING count(DISTINCT term) = {len(set(_PROX_TERMS))}
+),
+{pair_ctes}
+SELECT cand.doc_id, ({score})::BIGINT AS score
+FROM cand {joins}
+ORDER BY score DESC, doc_id ASC
+LIMIT 20"""
+
+
+_TRAINING_QUERIES["search_proximity"] = q_search_proximity
+_TRAINING_ORACLES["search_proximity"] = _proximity_oracle()

@@ -157,6 +157,7 @@ def main() -> None:
         "source_temperature",
         "extract_clean_pipeline",
         "dedup_report",
+        "search_proximity",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:

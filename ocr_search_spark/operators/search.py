@@ -565,3 +565,75 @@ def match_terms_champion(
         .limit(max_return)
         .select("doc_id", "score")
     )
+
+
+def proximity_search(
+    pos_postings: DataFrame,
+    terms: list[str],
+    max_return: int = DEFAULT_MAX_RETURN,
+) -> DataFrame:
+    """Proximity-ranked retrieval over the positional index: docs
+    containing ALL query terms, scored by how tightly adjacent query
+    terms co-occur —
+
+        score = Σ over adjacent pairs (tᵢ, tᵢ₊₁):
+                  1e6 DIV (1 + min |pos(tᵢ) − pos(tᵢ₊₁)|)
+
+    exact integer micros (adjacent occurrences score 500_000 per pair,
+    far-apart pairs decay harmonically). The BM25 family ranks bags of
+    words; this is the positional complement (phrase_search's exact
+    adjacency, relaxed to nearness) — together they bracket the
+    standard lexical ranking stack.
+
+    Plan: per-term filtered position lists joined doc-keyed per
+    adjacent pair (cost ∝ matched positions, never the corpus — the
+    per-doc pair join is tf(a)·tf(b), query-term lists only), one
+    min-aggregate per pair, then an inner join chain over the
+    candidate docs (docs holding all terms). Single-term queries
+    degrade to match-count scoring. Duplicate adjacent terms are
+    rejected (their min distance is trivially 0 — a phrase question,
+    not a proximity one).
+    """
+    spark = pos_postings.sparkSession
+    terms = list(terms)
+    if not terms:
+        return spark.createDataFrame([], "doc_id string, score long")
+    if any(a == b for a, b in zip(terms, terms[1:])):
+        raise ValueError("adjacent duplicate terms are not a proximity query")
+    uniq = sorted(set(terms))
+    tdf = spark.createDataFrame([(t,) for t in uniq], "term string")
+    m = pos_postings.join(F.broadcast(tdf), "term")
+    if len(terms) == 1:
+        scored = m.groupBy("doc_id").agg(
+            (F.count("*") * F.lit(1_000_000)).cast("long").alias("score")
+        )
+    else:
+        cand = (
+            m.groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("_k"))
+            .where(F.col("_k") == len(uniq))
+            .select("doc_id")
+        )
+        scored = cand
+        acc = None
+        for i, (a, b) in enumerate(zip(terms, terms[1:])):
+            pa = m.where(F.col("term") == a).select("doc_id", F.col("pos").alias("_pa"))
+            pb = m.where(F.col("term") == b).select("doc_id", F.col("pos").alias("_pb"))
+            d = (
+                pa.join(pb, "doc_id")
+                .groupBy("doc_id")
+                .agg(F.min(F.abs(F.col("_pa") - F.col("_pb"))).alias("_d"))
+                .select(
+                    "doc_id",
+                    F.expr("1000000 div (1 + _d)").cast("long").alias(f"_c{i}"),
+                )
+            )
+            scored = scored.join(d, "doc_id")
+            c = F.col(f"_c{i}")
+            acc = c if acc is None else acc + c
+        scored = scored.select("doc_id", acc.cast("long").alias("score"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(max_return)
+        .select("doc_id", "score")
+    )

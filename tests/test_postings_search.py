@@ -281,3 +281,27 @@ def test_maxscore_equals_bm25_and_prunes(spark):
         reverse=True,
     )
     assert ubs["common"] < champ[4]  # below the k=5 floor -> prunable
+
+
+def test_proximity_search_scoring_and_edges(spark):
+    import pytest
+    from ocr_search_spark.operators.search import proximity_search
+
+    pos = spark.createDataFrame(
+        [
+            ("a", "d1", 0), ("b", "d1", 1), ("c", "d1", 2),     # tight
+            ("a", "d2", 0), ("b", "d2", 10), ("c", "d2", 11),   # loose first pair
+            ("a", "d3", 0), ("b", "d3", 1),                      # missing c
+        ],
+        "term string, doc_id string, pos int",
+    )
+    out = {r["doc_id"]: r["score"] for r in proximity_search(pos, ["a", "b", "c"]).collect()}
+    assert "d3" not in out                       # must contain ALL terms
+    assert out["d1"] == 500_000 + 500_000        # both pairs adjacent
+    assert out["d2"] == 1_000_000 // 11 + 500_000
+    # single-term degrades to match count
+    one = {r["doc_id"]: r["score"] for r in proximity_search(pos, ["a"]).collect()}
+    assert one == {"d1": 1_000_000, "d2": 1_000_000, "d3": 1_000_000}
+    with pytest.raises(ValueError):
+        proximity_search(pos, ["a", "a"])
+    assert proximity_search(pos, []).count() == 0
