@@ -7734,3 +7734,65 @@ LIMIT 20"""
 
 _TRAINING_QUERIES["search_proximity"] = q_search_proximity
 _TRAINING_ORACLES["search_proximity"] = _proximity_oracle()
+
+
+# ------------------------------------------- content-defined chunking
+# FastCDC-family chunking for chunk-grain dedup/delta storage: boundary
+# where the trailing-window hash hits the mask, greedy min-length
+# acceptance, doc end closes the last chunk (training/packing.py:
+# cdc_chunks). The oracle replays the greedy scan as a per-doc
+# recursive CTE over the candidate boundary list.
+
+
+def q_chunks_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cdc_chunks: one transform over char positions + one greedy
+    aggregate + one posexplode, pure columnar; md5 chunk digests for
+    dedup joins."""
+    from ocr_search_spark.training.packing import cdc_chunks
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cdc_chunks(d, window=8, mask=63, min_len=16)
+
+
+_TRAINING_QUERIES["chunks_cdc"] = q_chunks_cdc
+_TRAINING_ORACLES["chunks_cdc"] = f"""WITH RECURSIVE d AS (
+  SELECT doc_id AS id, lower(text) AS t, length(text) AS n
+  FROM documents WHERE length(text) > 0
+),
+cand AS (
+  SELECT id, i::INT AS i,
+         row_number() OVER (PARTITION BY id ORDER BY i) AS ci
+  FROM d, UNNEST(range(8, n + 1)) AS u(i)
+  WHERE {_h60_sql("substr(t, i::INT - 7, 8)")} % 64 = 0
+),
+nc AS (SELECT id, count(*) AS n_cand FROM cand GROUP BY id),
+walk(id, ci, last, acc) AS (
+  SELECT id, 0, 0, []::INT[] FROM d
+  UNION ALL
+  SELECT w.id, c.ci, 
+         CASE WHEN c.i - w.last >= 16 THEN c.i ELSE w.last END,
+         CASE WHEN c.i - w.last >= 16 THEN list_append(w.acc, c.i)
+              ELSE w.acc END
+  FROM walk w JOIN cand c ON c.id = w.id AND c.ci = w.ci + 1
+),
+final AS (
+  SELECT w.id, w.acc
+  FROM walk w
+  LEFT JOIN nc ON nc.id = w.id
+  WHERE w.ci = coalesce(nc.n_cand, 0)
+),
+bounds AS (
+  SELECT f.id, d.t,
+         CASE WHEN len(f.acc) = 0 OR f.acc[-1] <> d.n
+              THEN list_append(f.acc, d.n::INT) ELSE f.acc END AS bs
+  FROM final f JOIN d ON d.id = f.id
+),
+chunks AS (
+  SELECT id, (j - 1)::INT AS chunk_idx,
+         (CASE WHEN j = 1 THEN 0 ELSE bs[j::INT - 1] END)::INT AS start,
+         substr(t, (CASE WHEN j = 1 THEN 0 ELSE bs[j::INT - 1] END) + 1,
+                bs[j::INT] - (CASE WHEN j = 1 THEN 0 ELSE bs[j::INT - 1] END))
+           AS chunk
+  FROM bounds, UNNEST(range(1, len(bs) + 1)) AS u(j)
+)
+SELECT id, chunk_idx, start, chunk, md5(chunk) AS digest FROM chunks"""

@@ -158,6 +158,7 @@ def main() -> None:
         "extract_clean_pipeline",
         "dedup_report",
         "search_proximity",
+        "chunks_cdc",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:

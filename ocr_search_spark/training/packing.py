@@ -230,3 +230,85 @@ def temperature_mix_weights(
         .withColumn("weight_e6", F.expr("target_e6 * 1000000 div share_e6"))
         .select("source", "n_docs", "share_e6", "target_e6", "weight_e6")
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    window: int = 8,
+    mask: int = 63,
+    min_len: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/FastCDC family, public):
+    chunk boundaries where the hash of the trailing ``window`` chars
+    satisfies ``h % (mask+1) == 0`` — boundaries move WITH the content,
+    so an insertion early in a doc shifts at most one chunk instead of
+    re-keying every fixed-size block. This is the dedup-friendly
+    chunker (backup/dedup literature; here: chunk-grain near-dup and
+    delta storage for a 10^12-doc corpus).
+
+    Pinned semantics: candidate boundary AFTER position i (1-based,
+    i ≥ window) iff h60(substr(text, i−window+1, window)) % (mask+1)
+    == 0; accepted boundaries must be ≥ ``min_len`` apart (greedy
+    left-to-right — F.aggregate over the candidate list, the exact
+    FastCDC min-size rule); the doc end always closes the last chunk.
+    Expected chunk length ≈ mask+1 chars + min_len.
+
+    Output: (id, chunk_idx, start, chunk, digest) — digest = md5(chunk)
+    for chunk-level dedup joins. Pure columnar: one transform over char
+    positions + one greedy aggregate + one posexplode; no UDFs. The
+    gate-scale hash is the md5-based h60 (cross-engine); production
+    swaps a gear/xxhash rolling hash — same plan, cheaper per char.
+    """
+    t = F.lower(F.col(text_col))
+    n = F.length(t)
+    w, m1, ml = int(window), int(mask) + 1, int(min_len)
+    from ..training.hashing import h60
+
+    cand = F.filter(
+        F.transform(
+            F.sequence(F.lit(w), n),
+            lambda i: F.when(
+                h60(F.substring(t, i - F.lit(w - 1), F.lit(w))) % m1 == 0, i
+            ).otherwise(F.lit(None)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    # greedy min-distance acceptance, then close the final chunk at n
+    accepted = F.aggregate(
+        cand,
+        F.array().cast("array<int>"),
+        lambda acc, i: F.when(
+            (F.size(acc) == 0) & (i >= ml)
+            | (F.size(acc) > 0) & (i - F.element_at(acc, -1) >= ml),
+            F.concat(acc, F.array(i.cast("int"))),
+        ).otherwise(acc),
+    )
+    bounds = F.when(
+        (F.size(accepted) == 0) | (F.element_at(accepted, -1) != n),
+        F.concat(accepted, F.array(n.cast("int"))),
+    ).otherwise(accepted)
+    # starts: 0-based start of chunk j = previous boundary (or 0)
+    starts = F.transform(
+        F.sequence(F.lit(1), F.size(bounds)),
+        lambda j: F.when(j == 1, F.lit(0)).otherwise(F.element_at(bounds, j - 1)),
+    )
+    spans = F.zip_with(
+        starts,
+        bounds,
+        lambda s, e: F.struct(
+            s.cast("int").alias("start"),
+            F.substring(t, s + 1, e - s).alias("chunk"),
+        ),
+    )
+    out = docs.where(n > 0).select(
+        F.col(id_col).alias("id"), F.posexplode(spans).alias("chunk_idx", "c")
+    )
+    return out.select(
+        "id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.start").alias("start"),
+        F.col("c.chunk").alias("chunk"),
+        F.md5("c.chunk").alias("digest"),
+    )

@@ -1287,3 +1287,26 @@ def test_cli_dedup_subprocess(spark, tmp_path, capsys, monkeypatch):
     assert rc == 0 and out["n_in"] == 51 and out["n_dropped"] >= 1
     dec = spark.read.parquet(str(tmp_path / "dec"))
     assert set(dec.columns) == {"id", "cluster_id", "kept_id", "keep"}
+
+
+def test_cdc_chunks_shift_resistance_and_roundtrip(spark):
+    import pyspark.sql.functions as F
+    from ocr_search_spark.training.packing import cdc_chunks
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    docs = spark.createDataFrame(
+        [(1, base), (2, "INSERTED PREFIX " + base)], "doc_id long, text string"
+    )
+    out = cdc_chunks(docs, window=6, mask=15, min_len=10)
+    rows = sorted(out.collect(), key=lambda r: (r["id"], r["chunk_idx"]))
+    by = {1: [], 2: []}
+    for r in rows:
+        by[r["id"]].append(r)
+    for i, txt in ((1, base), (2, "INSERTED PREFIX " + base)):
+        assert "".join(r["chunk"] for r in by[i]) == txt.lower()
+    # shift resistance: most of doc1's chunk digests reappear in doc2
+    d1 = {r["digest"] for r in by[1]}
+    d2 = {r["digest"] for r in by[2]}
+    shared = len(d1 & d2)
+    assert shared >= max(1, len(d1) - 2), (len(d1), shared)
