@@ -7745,13 +7745,27 @@ _TRAINING_ORACLES["search_proximity"] = _proximity_oracle()
 
 
 def q_chunks_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """cdc_chunks: one transform over char positions + one greedy
-    aggregate + one posexplode, pure columnar; md5 chunk digests for
-    dedup joins."""
+    """cdc_chunks: one codes projection + one integer-hash transform
+    over char positions + one greedy aggregate + one posexplode, pure
+    columnar; md5 chunk digests (one per chunk) for dedup joins."""
     from ocr_search_spark.training.packing import cdc_chunks
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return cdc_chunks(d, window=8, mask=63, min_len=16)
+
+
+def _cdc_hash_sql(w: int = 8, b: int = 257, m: int = 1_000_000_007) -> str:
+    """The polynomial window-hash WHERE-term twin of cdc_chunks' _wh:
+    Σ codes[i-w+1+k] * b^(w-1-k) mod m, leading char highest power."""
+    pows, p = [], 1
+    for _ in range(w):
+        pows.append(p)
+        p = (p * b) % m
+    pows.reverse()
+    terms = " + ".join(
+        f"(codes[(i - {w - 1 - k})::INT] * {pows[k]}) % {m}" for k in range(w)
+    )
+    return f"(({terms}) % {m})"
 
 
 _TRAINING_QUERIES["chunks_cdc"] = q_chunks_cdc
@@ -7759,11 +7773,17 @@ _TRAINING_ORACLES["chunks_cdc"] = f"""WITH RECURSIVE d AS (
   SELECT doc_id AS id, lower(text) AS t, length(text) AS n
   FROM documents WHERE length(text) > 0
 ),
+dc AS (
+  SELECT id, t, n,
+         list_transform(range(1, n + 1),
+                        p -> ascii(substr(t, p::INT, 1))::BIGINT) AS codes
+  FROM d
+),
 cand AS (
   SELECT id, i::INT AS i,
          row_number() OVER (PARTITION BY id ORDER BY i) AS ci
-  FROM d, UNNEST(range(8, n + 1)) AS u(i)
-  WHERE {_h60_sql("substr(t, i::INT - 7, 8)")} % 64 = 0
+  FROM dc, UNNEST(range(8, n + 1)) AS u(i)
+  WHERE {_cdc_hash_sql()} % 64 = 0
 ),
 nc AS (SELECT id, count(*) AS n_cand FROM cand GROUP BY id),
 walk(id, ci, last, acc) AS (

@@ -249,35 +249,65 @@ def cdc_chunks(
     delta storage for a 10^12-doc corpus).
 
     Pinned semantics: candidate boundary AFTER position i (1-based,
-    i ≥ window) iff h60(substr(text, i−window+1, window)) % (mask+1)
-    == 0; accepted boundaries must be ≥ ``min_len`` apart (greedy
-    left-to-right — F.aggregate over the candidate list, the exact
-    FastCDC min-size rule); the doc end always closes the last chunk.
-    Expected chunk length ≈ mask+1 chars + min_len.
+    i ≥ window) iff the polynomial window hash
+    ``h(i) = Σ_{k=0..w-1} codepoint(t[i−w+1+k]) · 257^(w−1−k) mod
+    1_000_000_007`` satisfies ``h % (mask+1) == 0`` (Rabin-Karp window
+    hash — public; exact 64-bit-safe integer math, identical in Spark
+    and DuckDB); accepted boundaries must be ≥ ``min_len`` apart
+    (greedy left-to-right — F.aggregate over the candidate list, the
+    exact FastCDC min-size rule); the doc end always closes the last
+    chunk. Expected chunk length ≈ mask+1 chars + min_len.
 
     Output: (id, chunk_idx, start, chunk, digest) — digest = md5(chunk)
-    for chunk-level dedup joins. Pure columnar: one transform over char
-    positions + one greedy aggregate + one posexplode; no UDFs. The
-    gate-scale hash is the md5-based h60 (cross-engine); production
-    swaps a gear/xxhash rolling hash — same plan, cheaper per char.
+    for chunk-level dedup joins (one md5 per CHUNK, not per char).
+    Pure columnar: one codes projection + one transform over char
+    positions (8 array reads + integer mul/add each — no per-position
+    digest; an earlier md5-per-position draft cost 103 s at sf0.1) +
+    one greedy aggregate + one posexplode; no UDFs, no shuffle.
     """
     t = F.lower(F.col(text_col))
     n = F.length(t)
     w, m1, ml = int(window), int(mask) + 1, int(min_len)
-    from ..training.hashing import h60
+    _B, _M = 257, 1_000_000_007
+    pows = []
+    p = 1
+    for _ in range(w):
+        pows.append(p)
+        p = (p * _B) % _M
+    pows.reverse()  # pows[k] = B^(w-1-k) mod M; k=0 is the leading char
+
+    codes = F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long"))
+    staged = docs.where(n > 0).select(
+        F.col(id_col).alias("id"), t.alias("_t"), n.alias("_n"), codes.alias("_codes")
+    )
+    tc, nc, cc = F.col("_t"), F.col("_n"), F.col("_codes")
+
+    def _wh(i):
+        # window covers positions i-w+1 .. i (1-based); each term < M,
+        # code*pow < 2^21 * 2^30 — exact in a 64-bit long everywhere
+        acc = None
+        for k in range(w):
+            term = (
+                F.element_at(cc, (i - F.lit(w - 1 - k)).cast("int")) * F.lit(pows[k])
+            ) % _M
+            acc = term if acc is None else acc + term
+        return acc % _M
 
     cand = F.filter(
         F.transform(
-            F.sequence(F.lit(w), n),
-            lambda i: F.when(
-                h60(F.substring(t, i - F.lit(w - 1), F.lit(w))) % m1 == 0, i
-            ).otherwise(F.lit(None)),
+            F.sequence(F.lit(w), nc),
+            lambda i: F.when(_wh(i) % m1 == 0, i).otherwise(F.lit(None)),
         ),
         lambda x: x.isNotNull(),
     )
+    # Each HOF lands in its OWN projection: higher-order functions run
+    # interpreted (no codegen CSE), so a nested cand→accepted→bounds
+    # expression tree re-evaluates the whole per-char scan once per
+    # reference — staging caps every step at once-per-row.
+    s_cand = staged.select("id", "_t", "_n", cand.alias("_cand"))
     # greedy min-distance acceptance, then close the final chunk at n
     accepted = F.aggregate(
-        cand,
+        F.col("_cand"),
         F.array().cast("array<int>"),
         lambda acc, i: F.when(
             (F.size(acc) == 0) & (i >= ml)
@@ -285,26 +315,28 @@ def cdc_chunks(
             F.concat(acc, F.array(i.cast("int"))),
         ).otherwise(acc),
     )
+    s_acc = s_cand.select("id", "_t", "_n", accepted.alias("_acc"))
+    ac = F.col("_acc")
     bounds = F.when(
-        (F.size(accepted) == 0) | (F.element_at(accepted, -1) != n),
-        F.concat(accepted, F.array(n.cast("int"))),
-    ).otherwise(accepted)
+        (F.size(ac) == 0) | (F.element_at(ac, -1) != nc),
+        F.concat(ac, F.array(nc.cast("int"))),
+    ).otherwise(ac)
+    s_bounds = s_acc.select("id", "_t", bounds.alias("_bounds"))
+    bc = F.col("_bounds")
     # starts: 0-based start of chunk j = previous boundary (or 0)
     starts = F.transform(
-        F.sequence(F.lit(1), F.size(bounds)),
-        lambda j: F.when(j == 1, F.lit(0)).otherwise(F.element_at(bounds, j - 1)),
+        F.sequence(F.lit(1), F.size(bc)),
+        lambda j: F.when(j == 1, F.lit(0)).otherwise(F.element_at(bc, j - 1)),
     )
     spans = F.zip_with(
         starts,
-        bounds,
+        bc,
         lambda s, e: F.struct(
             s.cast("int").alias("start"),
-            F.substring(t, s + 1, e - s).alias("chunk"),
+            F.substring(tc, s + 1, e - s).alias("chunk"),
         ),
     )
-    out = docs.where(n > 0).select(
-        F.col(id_col).alias("id"), F.posexplode(spans).alias("chunk_idx", "c")
-    )
+    out = s_bounds.select("id", F.posexplode(spans).alias("chunk_idx", "c"))
     return out.select(
         "id",
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
