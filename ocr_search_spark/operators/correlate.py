@@ -132,7 +132,17 @@ def incremental_correlations(
             .select("term")
         )
 
-    keep_old, keep_new = _keep(old_postings), _keep(new_postings)
+    # keep_old/keep_new/affected are SMALL term lists (≤ affected vocab
+    # slice) but expensive plans (agg + crossJoin + 4 exceptAll), and
+    # they fan out into 4+ downstream branches. A plain reference
+    # re-derives the whole subtree per branch (~80 near-empty shuffle
+    # stages of scheduler overhead measured at sf0.1 — 46 s for 37
+    # output rows); cache() would keep the logical plan AND leak (no
+    # unpersist point in this function). lazy localCheckpoint pins each
+    # to ONE RDD, so every branch shares a single materialization and
+    # the blocks are freed when the handle is GC'd.
+    keep_old = _keep(old_postings).localCheckpoint(eager=False)
+    keep_new = _keep(new_postings).localCheckpoint(eager=False)
     touched_terms = (
         old_postings.join(changed, "doc_id")
         .select("term")
@@ -142,13 +152,9 @@ def incremental_correlations(
     flipped = keep_old.exceptAll(keep_new).unionByName(
         keep_new.exceptAll(keep_old)
     ).distinct()
-    # affected feeds four branches (two carried anti-joins, two
-    # recompute marks). NOT cached here: within one action Spark offers
-    # no cross-subtree reuse guarantee before the first materialization,
-    # and callers spanning multiple actions (index_maintain) cache the
-    # returned handle themselves — where the reuse is provable — so a
-    # cache here would only leak (this function has no unpersist point).
-    affected = touched_terms.unionByName(flipped).distinct()
+    affected = (
+        touched_terms.unionByName(flipped).distinct().localCheckpoint(eager=False)
+    )
 
     # carried: stored pairs with BOTH sides unaffected (dot, norms and
     # guard membership all unchanged)
