@@ -245,9 +245,15 @@ def _corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cheaper join than 32-way shuffles of the pair-exploded
     intermediate (measured 5.7 s vs 10-18 s at sf0.1) — the extraction
     saving is noise next to the join, so this query keeps the narrow
-    scan."""
+    scan.
+
+    localCheckpoint: term_correlations references its postings input
+    FIVE times (self-join a and b sides, dfreq, ndocs, norms); pinning
+    the extract→tokenize lineage to one RDD turns five derivations into
+    one materialization + five block reads — 6.5→1.8 s cold at sf0.1."""
     corr = correlate.term_correlations(
-        _postings(spark, sf_dir, widen=False), max_df_ratio=_CORR_MAX_DF_RATIO
+        _postings(spark, sf_dir, widen=False).localCheckpoint(eager=False),
+        max_df_ratio=_CORR_MAX_DF_RATIO,
     )
     return corr.select("term1", "term2", F.round("tcr", 6).alias("tcr"))
 
@@ -7514,8 +7520,14 @@ def q_search_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver holds one long and a |query|-sized UB list."""
     from ocr_search_spark.operators.search import match_terms_maxscore
 
+    # localCheckpoint, not cache: MaxScore's three driver actions (floor,
+    # UBs, final rescore) each re-plan from postings; pinning the
+    # extract→tokenize lineage to one RDD drops the gate run 8.3→3.8 s
+    # at sf0.1 (cache keeps the logical plan and re-schedules it).
     return match_terms_maxscore(
-        _postings(spark, sf_dir).cache(), list(_SEARCH_TERMS), max_return=20
+        _postings(spark, sf_dir).localCheckpoint(eager=False),
+        list(_SEARCH_TERMS),
+        max_return=20,
     )
 
 
