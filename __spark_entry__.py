@@ -7840,3 +7840,78 @@ chunks AS (
   FROM bounds, UNNEST(range(1, len(bs) + 1)) AS u(j)
 )
 SELECT id, chunk_idx, start, chunk, md5(chunk) AS digest FROM chunks"""
+
+
+# ------------------------------------------- snippet generation (KWIC)
+# Keyword-in-context rendering over the positional index + forward
+# index (operators/search.py:snippet_search): best width-token window
+# per doc (distinct-term coverage, hit count, earliest start — pinned
+# lexicographic), global top-k BEFORE the forward-index join, so text
+# materializes for max_return docs only. The reference's UI serves whole
+# page images as context (ApiHandler.const.js:36-46); this is the
+# text-side analog at corpus scale.
+
+_SNIP_W = 8
+_SNIP_K = 15
+
+
+def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.search import snippet_search
+    from ocr_search_spark.operators.tokenize import (
+        positional_postings,
+        token_sequences,
+    )
+
+    ensure_shipped(spark)
+    extracted = extract_spans_columnar(_interleaved(spark, sf_dir))
+    pos = positional_postings(extracted.select("doc_id", "spans"))
+    toks = token_sequences(extracted.select("doc_id", "spans"))
+    return snippet_search(pos, toks, _PROX_TERMS, width=_SNIP_W, max_return=_SNIP_K)
+
+
+def _snippet_oracle() -> str:
+    filt = (
+        "t -> t <> '' AND regexp_matches(t, '^[\\x00-\\x7F]+$') "
+        "AND length(t) > 1 AND regexp_matches(t, '[a-z]') "
+        f"AND t NOT IN ({_STOPWORDS_IN})"
+    )
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(_PROX_TERMS)))
+    return f"""WITH {_BASE_CTE}, {_SPANS_CTE}, {_EXTRACTED_CTE}, {_DOCTEXT_CTE},
+wlist AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+           translate(translate(lower(dtext), {_STRIP_LIT}, ''),
+                     {_PUNCT_LIT}, {_SPACES_LIT}), '\\s+'),
+           {filt}) AS ws
+  FROM doctext
+),
+lemlist AS (
+  SELECT doc_id, list_transform(ws, t -> {_lemma_sql("t")}) AS ls FROM wlist
+),
+posidx AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i FROM lemlist),
+posrows AS (SELECT doc_id, (i - 1)::INT AS pos, ls[i] AS term FROM posidx),
+m AS (SELECT * FROM posrows WHERE term IN ({in_list})),
+wins AS (
+  SELECT a.doc_id, a.pos AS start,
+         count(DISTINCT b.term)::INT AS n_terms, count(*)::INT AS n_hits
+  FROM m a JOIN m b ON a.doc_id = b.doc_id
+   AND b.pos >= a.pos AND b.pos < a.pos + {_SNIP_W}
+  GROUP BY a.doc_id, a.pos
+),
+best AS (
+  SELECT doc_id, start, n_terms, n_hits FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY n_terms DESC, n_hits DESC, start ASC) AS rn
+    FROM wins) WHERE rn = 1
+),
+top AS (
+  SELECT * FROM best ORDER BY n_terms DESC, n_hits DESC, doc_id ASC
+  LIMIT {_SNIP_K}
+)
+SELECT t.doc_id, t.start, t.n_terms, t.n_hits,
+       array_to_string(l.ls[t.start + 1 : t.start + {_SNIP_W}], ' ') AS snippet
+FROM top t JOIN lemlist l USING (doc_id)"""
+
+
+_TRAINING_QUERIES["search_snippets"] = q_search_snippets
+_TRAINING_ORACLES["search_snippets"] = _snippet_oracle()

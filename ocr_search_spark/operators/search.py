@@ -637,3 +637,85 @@ def proximity_search(
         .limit(max_return)
         .select("doc_id", "score")
     )
+
+
+def snippet_search(
+    pos_postings: DataFrame,
+    doc_tokens: DataFrame,
+    terms: list[str],
+    width: int = 8,
+    max_return: int = 10,
+) -> DataFrame:
+    """Keyword-in-context snippet generation: for each matching doc pick
+    the best ``width``-token window over the indexed token sequence and
+    render it. The reference serves whole page images as "context"
+    (ApiHandler.const.js:36-46 returns page paths); this is the text-side
+    analog a search UI needs when the corpus outgrows per-page PNGs.
+
+    Window contract (pinned, cross-engine total order):
+      * candidate windows START at a query-term hit position;
+      * score = (#DISTINCT query terms in [s, s+width), #hits, earliest s)
+        — lexicographic, so array_max resolves it without any sort;
+      * docs ranked by (n_terms desc, n_hits desc, doc_id asc), top
+        ``max_return``.
+
+    Plan shape: postings ⋈ broadcast(terms) (semi-join — cost ∝ the query
+    terms' posting lists, never the corpus), per-doc hit arrays bounded
+    by Σ tf(query terms), window scoring entirely in array HOFs (zero
+    extra shuffle), global TakeOrderedAndProject, and ONLY THEN the
+    forward-index join (broadcast of max_return rows) to render text —
+    at scale that is k point lookups against the doc_tokens store, not a
+    corpus scan before the cut.
+    """
+    spark = pos_postings.sparkSession
+    uniq = sorted(set(terms))
+    empty_schema = (
+        "doc_id string, start int, n_terms int, n_hits int, snippet string"
+    )
+    if not uniq:
+        return spark.createDataFrame([], empty_schema)
+    tdf = spark.createDataFrame([(t,) for t in uniq], "term string")
+    hits = (
+        pos_postings.join(F.broadcast(tdf), "term")
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("pos", "term")).alias("hs"))
+    )
+    in_win = lambda h: F.filter(  # noqa: E731
+        F.col("hs"), lambda p: (p.pos >= h.pos) & (p.pos < h.pos + F.lit(width))
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("hs"),
+            lambda h: F.struct(
+                F.size(F.array_distinct(F.transform(in_win(h), lambda p: p.term)))
+                .alias("n_terms"),
+                F.size(in_win(h)).alias("n_hits"),
+                (-h.pos).alias("neg_start"),
+            ),
+        )
+    )
+    scored = hits.select(
+        "doc_id", best.alias("b")
+    ).select(
+        "doc_id",
+        (-F.col("b.neg_start")).cast("int").alias("start"),
+        F.col("b.n_terms").alias("n_terms"),
+        F.col("b.n_hits").alias("n_hits"),
+    )
+    top = (
+        scored.orderBy(F.desc("n_terms"), F.desc("n_hits"), F.asc("doc_id"))
+        .limit(max_return)
+    )
+    return (
+        doc_tokens.join(F.broadcast(top), "doc_id")
+        .select(
+            "doc_id",
+            "start",
+            "n_terms",
+            "n_hits",
+            F.concat_ws(
+                " ", F.slice(F.col("tokens"), F.col("start") + 1, width)
+            ).alias("snippet"),
+        )
+        .orderBy(F.desc("n_terms"), F.desc("n_hits"), F.asc("doc_id"))
+    )

@@ -218,3 +218,16 @@ def positional_postings(
             "pos", "term"
         ),
     ).select("term", "doc_id", F.col("pos").cast("int").alias("pos"))
+
+
+def token_sequences(extracted: DataFrame, wordnet: bool = False) -> DataFrame:
+    """Forward index: (doc_id, tokens) with ``tokens`` the SAME filtered
+    English token sequence :func:`positional_postings` indexes — the
+    store snippet rendering reads back by position. At scale this is a
+    doc_id-keyed table read with point lookups (k rows per query), never
+    a corpus scan per query."""
+    dt = _doc_text(extracted)
+    return dt.select(
+        "doc_id",
+        english_tokens_col(F.col("doc_text"), wordnet=wordnet).alias("tokens"),
+    )

@@ -185,3 +185,71 @@ def test_ranking_recall_exact_counts(spark):
     assert out[1]["n_truth"] == 3 and out[1]["n_hit"] == 2
     assert out[1]["recall_e6"] == 666_666
     assert out[2]["n_hit"] == 0 and out[2]["recall_e6"] == 0
+
+
+# ------------------------------------------------------------- snippets
+
+
+def _snip_fixture(spark):
+    from ocr_search_spark.operators.search import snippet_search
+
+    pos = spark.createDataFrame(
+        [
+            ("alpha", "d1", 0), ("beta", "d1", 2), ("gamma", "d1", 3),
+            ("alpha", "d1", 20),
+            ("alpha", "d2", 5),
+            ("beta", "d3", 1),
+        ],
+        "term string, doc_id string, pos int",
+    )
+    toks = spark.createDataFrame(
+        [
+            ("d1", [f"t{i}" for i in range(30)]),
+            ("d2", [f"u{i}" for i in range(10)]),
+            ("d3", ["a", "b", "c"]),
+        ],
+        "doc_id string, tokens array<string>",
+    )
+    return snippet_search, pos, toks
+
+
+def test_snippet_best_window_and_ranking(spark):
+    snippet_search, pos, toks = _snip_fixture(spark)
+    rows = snippet_search(pos, toks, ["alpha", "beta", "gamma"], width=5).collect()
+    assert [r["doc_id"] for r in rows] == ["d1", "d2", "d3"]
+    d1 = rows[0]
+    # window [0,5) covers alpha@0, beta@2, gamma@3 -> 3 distinct terms
+    assert (d1["start"], d1["n_terms"], d1["n_hits"]) == (0, 3, 3)
+    assert d1["snippet"] == "t0 t1 t2 t3 t4"
+    # clamp at the token-array tail
+    assert rows[2]["snippet"] == "b c"
+
+
+def test_snippet_tie_prefers_more_hits_then_earliest(spark):
+    from ocr_search_spark.operators.search import snippet_search
+
+    # two 1-term windows; the one with 2 hits (pos 10,11) must win over
+    # the earlier single-hit window only on n_hits — then, among equal
+    # (n_terms, n_hits), the EARLIEST start wins.
+    pos = spark.createDataFrame(
+        [("x", "d", 0), ("x", "d", 10), ("x", "d", 11)],
+        "term string, doc_id string, pos int",
+    )
+    toks = spark.createDataFrame(
+        [("d", [f"w{i}" for i in range(16)])], "doc_id string, tokens array<string>"
+    )
+    row = snippet_search(pos, toks, ["x"], width=4).collect()[0]
+    assert (row["start"], row["n_terms"], row["n_hits"]) == (10, 1, 2)
+    # equal-score tie -> earliest
+    pos2 = spark.createDataFrame(
+        [("x", "d", 3), ("x", "d", 9)], "term string, doc_id string, pos int"
+    )
+    row2 = snippet_search(pos2, toks, ["x"], width=4).collect()[0]
+    assert row2["start"] == 3
+
+
+def test_snippet_empty_terms_and_max_return(spark):
+    snippet_search, pos, toks = _snip_fixture(spark)
+    assert snippet_search(pos, toks, [], width=5).count() == 0
+    got = snippet_search(pos, toks, ["alpha", "beta"], width=5, max_return=1).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == "d1"
