@@ -7915,3 +7915,111 @@ FROM top t JOIN lemlist l USING (doc_id)"""
 
 _TRAINING_QUERIES["search_snippets"] = q_search_snippets
 _TRAINING_ORACLES["search_snippets"] = _snippet_oracle()
+
+
+# ------------------------------------------- winnowing fingerprints
+# MOSS robust winnowing (Schleimer/Wilkerson/Aiken SIGMOD'03) as a pure
+# narrow projection (training/textstats.py:winnow_fingerprints): min
+# k-gram hash per w-window, rightmost tie — resolved by ONE array_min
+# over (h, -pos) structs, no sort — giving position-anchored local
+# fingerprints with the (w+k-1)-match guarantee. winnow_overlap is the
+# report step: fp-keyed equi-join with the same plan-side max_df hot-key
+# guard as the dedup/correlation paths (boilerplate chrome carries no
+# overlap signal and would detonate the self-join at corpus scale).
+
+_WIN_K, _WIN_W = 8, 4
+
+_WINNOW_SEL_CTE = f"""grams AS (
+  SELECT id, p::INT AS p,
+         ('0x' || substring(md5(substr(t, p::INT, {_WIN_K})), 1, 15))::BIGINT AS h
+  FROM d, UNNEST(range(1, n - {_WIN_K} + 2)) AS u(p)
+),
+gcnt AS (SELECT id, count(*) AS ng FROM grams GROUP BY id),
+wj AS (
+  SELECT gcnt.id, j::INT AS j
+  FROM gcnt, UNNEST(range(1, greatest(1, ng - {_WIN_W} + 1) + 1)) AS u(j)
+),
+wins AS (
+  SELECT gr.id, wj.j, gr.p, gr.h,
+         row_number() OVER (
+           PARTITION BY gr.id, wj.j ORDER BY gr.h ASC, gr.p DESC) AS rn
+  FROM wj JOIN grams gr
+    ON gr.id = wj.id AND gr.p >= wj.j AND gr.p < wj.j + {_WIN_W}
+),
+sel AS (SELECT DISTINCT id, (p - 1)::INT AS pos, h AS fp FROM wins WHERE rn = 1)"""
+
+
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.textstats import winnow_fingerprints
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(d, k=_WIN_K, w=_WIN_W)
+
+
+_TRAINING_QUERIES["fingerprint_winnow"] = q_fingerprint_winnow
+_TRAINING_ORACLES["fingerprint_winnow"] = f"""WITH d AS (
+  SELECT doc_id AS id, lower(text) AS t, length(text)::INT AS n
+  FROM documents WHERE length(text) >= {_WIN_K}
+),
+{_WINNOW_SEL_CTE}
+SELECT id, pos, fp FROM sel"""
+
+
+_WIN_FOOTER = " FOOTER: standard license boilerplate v1"
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-report fixture with BOTH signal and poison: every 25th doc
+    gets a shared 40-char block (true overlap cluster, ~20 docs), and
+    EVERY doc gets the same license footer (a hot fingerprint in 100% of
+    docs — quadratic bucket if joined). max_df=30 drops the footer
+    fingerprints plan-side and keeps the cluster: the same guard
+    discipline dedup_skewed/correlations_skewed gate."""
+    from ocr_search_spark.training.textstats import (
+        winnow_fingerprints,
+        winnow_overlap,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blk = (
+        d.orderBy(F.asc("doc_id"))
+        .limit(1)
+        .select(F.substring("text", 1, 40).alias("blk"))
+    )
+    corpus = d.crossJoin(F.broadcast(blk)).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.when(F.col("doc_id") % 25 == 0, F.col("blk")).otherwise(F.lit("")),
+            F.lit(_WIN_FOOTER),
+        ).alias("text"),
+    )
+    fps = winnow_fingerprints(corpus, k=_WIN_K, w=_WIN_W)
+    return winnow_overlap(fps, max_df=30)
+
+
+_TRAINING_QUERIES["winnow_overlap"] = q_winnow_overlap
+_TRAINING_ORACLES["winnow_overlap"] = f"""WITH blk AS (
+  SELECT substr(text, 1, 40) AS b FROM documents ORDER BY doc_id LIMIT 1
+),
+corpus AS (
+  SELECT doc_id AS id0,
+         text || ' ' || (CASE WHEN doc_id % 25 = 0 THEN b ELSE '' END)
+              || '{_WIN_FOOTER}' AS t0
+  FROM documents, blk
+),
+d AS (
+  SELECT id0 AS id, lower(t0) AS t, length(t0)::INT AS n
+  FROM corpus WHERE length(t0) >= {_WIN_K}
+),
+{_WINNOW_SEL_CTE},
+dfp AS (SELECT DISTINCT id, fp FROM sel),
+keep AS (
+  SELECT fp FROM (SELECT fp, count(*) AS df FROM dfp GROUP BY fp)
+  WHERE df <= 30
+),
+ds AS (SELECT id, fp FROM dfp JOIN keep USING (fp))
+SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS shared
+FROM ds a JOIN ds b ON a.fp = b.fp AND a.id < b.id
+GROUP BY 1, 2"""

@@ -904,3 +904,102 @@ def kn_quality_score(
         .otherwise(F.lit(0.0))
         .alias("avg_logp"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Robust winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every char ``k``-gram of the
+    lowercased text, slide a ``w``-hash window, select the MINIMUM hash
+    per window with the RIGHTMOST occurrence on ties, and emit the
+    distinct selected (pos, fp) pairs. Guarantee: any substring match of
+    length >= w + k - 1 between two docs shares at least one fingerprint
+    — the local-selection property that makes cross-doc overlap a plain
+    equi-join instead of an all-pairs scan.
+
+    Unlike :func:`fingerprint` (ONE rolling hash per doc — exact-dup
+    grain), winnowing keeps ~2/(w+1) of the grams as position-anchored
+    local fingerprints, robust to insertions/reorders around a match.
+
+    Plan: each gram hashed EXACTLY once (one transform + posexplode —
+    never an array slice inside a lambda, which Catalyst would inline
+    and re-evaluate per window, turning O(g·w) into O(g²·k) md5 calls),
+    then ONE doc-keyed running-frame min over w rows: min of
+    struct(h, -pos) = (smallest hash, rightmost position) — the tie rule
+    falls out of struct ordering, no sort. One doc-keyed shuffle total;
+    per-key cardinality = grams per doc, never corpus-bound. ``h60`` is
+    the md5-based cross-engine hash; swap :func:`ocr_search_spark.
+    training.hashing.h64_fast` for production runs where DuckDB replay
+    isn't needed. Output: (id, pos, fp) with ``pos`` the 0-based char
+    offset of the selected gram.
+    """
+    from pyspark.sql import Window as W
+
+    t = F.lower(F.col(text_col))
+    n = F.length(t)
+    g = n - F.lit(k) + 1
+    grams = F.transform(
+        F.sequence(F.lit(1), g),
+        lambda p: h60(F.substring(t, p, F.lit(k))),
+    )
+    rows = docs.where(n >= k).select(
+        F.col(id_col).alias("id"),
+        g.cast("int").alias("_g"),
+        F.posexplode(grams).alias("i", "h"),
+    )
+    frame = W.partitionBy("id").orderBy("i").rowsBetween(0, w - 1)
+    # min struct = (smallest h, then smallest -i = LARGEST i): rightmost
+    # minimum per window. Rows past the last full window start are kept
+    # only when the doc has fewer grams than w (single clamped window).
+    mn = F.min(F.struct(F.col("h"), (-F.col("i")).cast("int").alias("negi"))).over(
+        frame
+    )
+    sel = (
+        rows.select("id", "i", "_g", mn.alias("m"))
+        .where((F.col("i") <= F.col("_g") - w) | (F.col("i") == 0))
+        .select(
+            "id",
+            (-F.col("m.negi")).cast("int").alias("pos"),
+            F.col("m.h").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def winnow_overlap(
+    fps: DataFrame,
+    max_df: int | None = None,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Cross-doc overlap detection over winnowing fingerprints: doc
+    pairs sharing >= ``min_shared`` distinct fingerprints, scored by the
+    shared count — the MOSS report step as one fp-keyed equi-join.
+
+    ``max_df`` is the same plan-side hot-key guard as the dedup/
+    correlation paths (training/dedup.py, operators/correlate.py): a
+    fingerprint present in more than ``max_df`` docs (boilerplate
+    chrome, license footers) would contribute a quadratic bucket to the
+    self-join at corpus scale, and carries no overlap signal — drop it
+    BEFORE the join. Output: (id_a, id_b, shared), id_a < id_b.
+    """
+    d = fps.select("id", "fp").distinct()
+    if max_df is not None:
+        keep = d.groupBy("fp").agg(F.count("*").alias("_df")).where(
+            F.col("_df") <= max_df
+        )
+        d = d.join(keep.select("fp"), "fp")
+    a = d.select(F.col("id").alias("id_a"), "fp")
+    b = d.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

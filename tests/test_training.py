@@ -1310,3 +1310,81 @@ def test_cdc_chunks_shift_resistance_and_roundtrip(spark):
     d2 = {r["digest"] for r in by[2]}
     shared = len(d1 & d2)
     assert shared >= max(1, len(d1) - 2), (len(d1), shared)
+
+
+# ----------------------------------------------------------- winnowing
+
+
+def _py_winnow(text: str, k: int, w: int) -> set:
+    import hashlib
+
+    t = text.lower()
+    if len(t) < k:
+        return set()
+    hs = [
+        int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(len(t) - k + 1)
+    ]
+    out = set()
+    for j in range(max(1, len(hs) - w + 1)):
+        win = hs[j : j + w]
+        m = min(win)
+        pos = j + max(i for i, h in enumerate(win) if h == m)  # rightmost
+        out.add((pos, m))
+    return out
+
+
+def test_winnow_matches_pure_python_replay(spark):
+    from ocr_search_spark.training.textstats import winnow_fingerprints
+
+    texts = [
+        ("d1", "the quick brown fox jumps over the lazy dog"),
+        ("d2", "xx the quick brown fox sat yy"),
+        ("d3", "ab"),  # shorter than k -> no rows
+        ("d4", "aaaaaaaaaaaa"),  # equal hashes -> rightmost-tie rule
+        ("d5", "short"),  # fewer grams than w -> single window
+    ]
+    df = spark.createDataFrame(texts, "doc_id string, text string")
+    got: dict = {}
+    for r in winnow_fingerprints(df, k=5, w=4).collect():
+        got.setdefault(r["id"], set()).add((r["pos"], r["fp"]))
+    for did, txt in texts:
+        assert got.get(did, set()) == _py_winnow(txt, 5, 4), did
+
+
+def test_winnow_match_guarantee_and_overlap(spark):
+    from ocr_search_spark.training.textstats import (
+        winnow_fingerprints,
+        winnow_overlap,
+    )
+
+    k, w = 5, 4
+    shared = "a very distinctive shared passage"
+    df = spark.createDataFrame(
+        [
+            ("a", f"prefix one {shared} suffix alpha"),
+            ("b", f"other beginning {shared} and a different end"),
+            ("c", "nothing in common with the others at all"),
+        ],
+        "doc_id string, text string",
+    )
+    fps = winnow_fingerprints(df, k=k, w=w)
+    pairs = {(r["id_a"], r["id_b"]) for r in winnow_overlap(fps).collect()}
+    # any match >= w+k-1 chars must share a fingerprint
+    assert ("a", "b") in pairs
+    assert ("a", "c") not in pairs and ("b", "c") not in pairs
+
+
+def test_winnow_overlap_max_df_guard(spark):
+    from ocr_search_spark.training.textstats import (
+        winnow_fingerprints,
+        winnow_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [(f"x{i}", f"GLOBAL-FOOTER shared by every doc {i}") for i in range(6)],
+        "doc_id string, text string",
+    )
+    fps = winnow_fingerprints(df, k=5, w=4)
+    assert winnow_overlap(fps).count() == 15  # all pairs, footer-driven
+    assert winnow_overlap(fps, max_df=2).count() == 0  # guard drops hot fps
