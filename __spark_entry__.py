@@ -8023,3 +8023,139 @@ ds AS (SELECT id, fp FROM dfp JOIN keep USING (fp))
 SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS shared
 FROM ds a JOIN ds b ON a.fp = b.fp AND a.id < b.id
 GROUP BY 1, 2"""
+
+
+# ------------------------------------------------------------------ lakehouse
+# SnapshotTable round-3 ops (storage_snapshots.py): COW MERGE, manifest
+# stats pruning, incremental append scan, bin-pack compaction, rollback.
+# Each entry builds a real on-disk snapshot table from the sf tables in a
+# fresh temp dir, runs the versioned operation, and returns content the
+# DuckDB oracle derives relationally — so the storage layer's *semantics*
+# (not just its plans) sit under the value-hash gate. File-granularity,
+# byte-identity and pruning-count claims are pytest-gated
+# (tests/test_snapshots.py). Window policy: overflow — the MERGE shape
+# earns its driver row through upsert_postings (r2 row), pruned-scan is
+# result-transparent like bloom_join, and the rest are check_entry-
+# verified (COVERAGE.md).
+
+
+def _snap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+
+def _snap_table(spark: SparkSession, tag: str):
+    import tempfile
+
+    from ocr_search_spark.storage_snapshots import SnapshotTable
+
+    return SnapshotTable(
+        spark, tempfile.mkdtemp(prefix=f"snap_gate_{tag}_") + "/t"
+    )
+
+
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COW MERGE INTO: base = keys k%4!=0; source = updates (k%4==1,
+    ck+1e6, status 'U') + inserts (k%4==0). Final table == relational
+    upsert, which is exactly what the oracle computes."""
+    o = _snap_orders(spark, sf_dir)
+    t = _snap_table(spark, "merge")
+    t.create(o.where(F.col("k") % 4 != 0).repartitionByRange(4, "k"))
+    src = (
+        o.where(F.col("k") % 4 == 1)
+        .select("k", (F.col("ck") + 1000000).alias("ck"), F.lit("U").alias("status"))
+        .unionByName(o.where(F.col("k") % 4 == 0))
+    )
+    t.merge(src, ["k"])
+    return t.read()
+
+
+def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel under mutation: create → COW merge → rollback(1).
+    The current table must be bit-equal to v1 (the merge remains in
+    history, rollback is append-only)."""
+    o = _snap_orders(spark, sf_dir)
+    t = _snap_table(spark, "rb")
+    t.create(o.where(F.col("k") % 4 != 0).repartitionByRange(4, "k"))
+    t.merge(
+        o.where(F.col("k") % 4 == 0).select(
+            "k", F.col("ck").alias("ck"), F.lit("U").alias("status")
+        ),
+        ["k"],
+    )
+    t.rollback(1)
+    assert [h["operation"] for h in t.history()] == ["rollback", "merge", "create"]
+    return t.read()
+
+
+def q_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan: create (k%3==0), append wave1 (k%3==1),
+    append wave2 (k%3==2); the (1, 3] changelog is exactly the two
+    waves, each tagged with its commit version — derived from manifest
+    file-set deltas alone, no diff join."""
+    o = _snap_orders(spark, sf_dir)
+    t = _snap_table(spark, "inc")
+    t.create(o.where(F.col("k") % 3 == 0))
+    t.append(o.where(F.col("k") % 3 == 1))
+    t.append(o.where(F.col("k") % 3 == 2))
+    return t.incremental_scan(1, 3).select(
+        "k", F.col("_commit_version").alias("commit_version")
+    )
+
+
+def q_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest min/max pruned scan, result-transparent (bloom_join
+    discipline): the oracle is the PLAIN filter — pruning may only
+    skip file opens, never change rows. With the range layout the
+    k-predicate keeps ~3 of 8 files (pruning counts pytest-gated)."""
+    o = _snap_orders(spark, sf_dir)
+    t = _snap_table(spark, "prune")
+    t.create(o.repartitionByRange(8, "k"), stats_cols=["k"])
+    return t.scan([("k", ">=", 500), ("k", "<", 900)]).select("k", "ck")
+
+
+def q_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-pack compaction is content-identical: 6+6 small commit files
+    from two appends collapse into one file; the table still reads as
+    the union of both slices (the oracle's plain SELECT)."""
+    o = _snap_orders(spark, sf_dir)
+    t = _snap_table(spark, "compact")
+    t.create(o.where(F.col("k") % 2 == 0).repartition(6))
+    t.append(o.where(F.col("k") % 2 == 1).repartition(6))
+    v = t.compact(small_bytes=1 << 30, target_bytes=1 << 40)
+    assert v is not None and len(t._manifest(v)["files"]) == 1
+    return t.read()
+
+
+_SNAP_BASE = "SELECT o_orderkey AS k, o_custkey AS ck, o_orderstatus AS status FROM orders"
+
+_TRAINING_QUERIES["snapshot_merge"] = q_snapshot_merge
+_TRAINING_ORACLES["snapshot_merge"] = f"""WITH base AS (
+  {_SNAP_BASE} WHERE o_orderkey % 4 <> 0
+),
+src AS (
+  SELECT k, ck + 1000000 AS ck, 'U' AS status FROM base WHERE k % 4 = 1
+  UNION ALL
+  {_SNAP_BASE} WHERE o_orderkey % 4 = 0
+)
+SELECT k, ck, status FROM src
+UNION ALL
+SELECT k, ck, status FROM base WHERE k % 4 IN (2, 3)"""
+
+_TRAINING_QUERIES["snapshot_rollback"] = q_snapshot_rollback
+_TRAINING_ORACLES["snapshot_rollback"] = f"{_SNAP_BASE} WHERE o_orderkey % 4 <> 0"
+
+_TRAINING_QUERIES["snapshot_incremental"] = q_snapshot_incremental
+_TRAINING_ORACLES["snapshot_incremental"] = """SELECT o_orderkey AS k,
+       (CASE WHEN o_orderkey % 3 = 1 THEN 2 ELSE 3 END)::INT AS commit_version
+FROM orders WHERE o_orderkey % 3 <> 0"""
+
+_TRAINING_QUERIES["snapshot_pruned_scan"] = q_snapshot_pruned_scan
+_TRAINING_ORACLES["snapshot_pruned_scan"] = """SELECT o_orderkey AS k, o_custkey AS ck
+FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 900"""
+
+_TRAINING_QUERIES["snapshot_compact"] = q_snapshot_compact
+_TRAINING_ORACLES["snapshot_compact"] = _SNAP_BASE

@@ -22,7 +22,26 @@ resumable 10^12-row pipeline on plain parquet + a JSON manifest log:
 * ``rollback(v)`` commits a NEW snapshot whose file set is version v's
   (history is append-only — Iceberg's rollback contract), and
   ``expire_snapshots(keep_last)`` drops old manifests plus any data
-  file no retained manifest references (the GC that bounds storage).
+  file no retained manifest references (the GC that bounds storage);
+* ``merge(source, keys)`` is MERGE INTO in copy-on-write mode: the
+  touched-file set is the files whose rows' keys appear in the source
+  (one semi-join + one distinct aggregate), those files are rewritten
+  with matched rows replaced and every other file carried by
+  reference; unmatched source rows become the inserts;
+* manifests carry per-file min/max column stats (``stats_cols=...`` at
+  create time) and ``scan(predicates)`` prunes the FILE LIST with them
+  before Spark ever plans the read — Iceberg's manifest-level pruning,
+  one tier above parquet row-group stats. Pruning is result-
+  transparent: the full predicate is re-applied to the surviving
+  files, so a stale/missing stat can only cost IO, never rows;
+* ``incremental_scan(v_from, v_to)`` reads exactly the files ADDED in
+  (v_from, v_to] — Iceberg's incremental append scan; it refuses
+  ranges containing non-append commits rather than under-reporting;
+* ``compact(small_bytes)`` bin-packs small data files into few large
+  ones as a content-identical snapshot (Iceberg ``rewrite_data_files``)
+  — the antidote to streaming/append commit dribble, where a 10^12-row
+  table otherwise accretes millions of kilobyte files whose OPEN cost
+  dominates every scan.
 
 Scale notes (100 TB): manifests are O(n_files) JSON, the only
 driver-side state; commits append files (no read-modify-write of
@@ -47,6 +66,45 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 CURRENT_PTR = "_current"
+
+# conjunctive scan predicates: op name -> residual Column builder
+_PRED_OPS = {
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+    "=": lambda c, v: c == v,
+}
+
+
+def _stat_scalar(v):
+    """Stats value → JSON-safe scalar whose ordering matches the column
+    ordering (ISO strings for date/timestamp sort like the values)."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return v.isoformat()  # date / datetime
+
+
+def _range_may_match(lo, hi, op: str, val) -> bool:
+    """Can any x in [lo, hi] satisfy ``x op val``? Conservative: True
+    when the stats are absent/unusable."""
+    val = _stat_scalar(val)
+    if lo is None or hi is None or val is None:
+        return True
+    try:
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+        if op == "=":
+            return lo <= val <= hi
+    except TypeError:
+        return True  # cross-type comparison: keep the file
+    raise ValueError(f"unknown predicate op {op!r}")
 
 
 class SnapshotTable:
@@ -135,7 +193,8 @@ class SnapshotTable:
         return json.loads(txt)
 
     def _commit(self, operation: str, files: list[str], schema: T.StructType,
-                parent: int | None) -> int:
+                parent: int | None, stats: dict | None = None,
+                stats_cols: list[str] | None = None) -> int:
         version = (parent or 0) + 1
         man = {
             "version": version,
@@ -143,6 +202,8 @@ class SnapshotTable:
             "operation": operation,
             "files": files,
             "schema": schema.jsonValue(),
+            "stats_cols": stats_cols or [],
+            "stats": {f: stats[f] for f in files if stats and f in stats},
         }
         self._write_text(f"{self.meta_dir}/v{version}.json", json.dumps(man))
         # the pointer flip is the commit point; a crash before it leaves
@@ -157,12 +218,31 @@ class SnapshotTable:
         return self._list_parquet(cdir)
 
     # ------------------------------------------------------------ public
-    def create(self, df: DataFrame) -> int:
-        """Initial snapshot (v1). Fails if the table already exists."""
+    def create(self, df: DataFrame, stats_cols: list[str] | None = None) -> int:
+        """Initial snapshot (v1). Fails if the table already exists.
+
+        ``stats_cols`` opts the table into per-file min/max stats in the
+        manifest (numeric/string/date columns) — the input to
+        :meth:`scan` file pruning. The choice is persisted and every
+        later commit maintains stats for its NEW files only (carried
+        files keep their recorded entries — file immutability makes the
+        stats immutable too)."""
         if self.current_version() is not None:
             raise ValueError(f"table {self.path} already exists")
+        for c in stats_cols or []:
+            t = df.schema[c].dataType
+            if not isinstance(
+                t, (T.NumericType, T.StringType, T.DateType, T.TimestampType)
+            ):
+                raise ValueError(
+                    f"stats_cols column {c} has non-orderable-scalar type {t}"
+                )
         files = self._write_commit_files(df, 1)
-        return self._commit("create", files, df.schema, None)
+        stats = self._collect_stats(files, df.schema, stats_cols or [])
+        return self._commit(
+            "create", files, df.schema, None, stats=stats,
+            stats_cols=stats_cols or [],
+        )
 
     def append(self, df: DataFrame) -> int:
         """New snapshot = parent's files + the appended files. No
@@ -172,15 +252,25 @@ class SnapshotTable:
         self._check_schema(df, man)
         version = parent + 1
         new_files = self._write_commit_files(df, version)
-        return self._commit("append", man["files"] + new_files, df.schema, parent)
+        stats = dict(man.get("stats") or {})
+        stats.update(self._collect_stats(new_files, df.schema, self._stats_cols(man)))
+        return self._commit(
+            "append", man["files"] + new_files, df.schema, parent,
+            stats=stats, stats_cols=self._stats_cols(man),
+        )
 
     def overwrite(self, df: DataFrame) -> int:
         """Full logical replace; prior files stay on disk for time
         travel until expired."""
         parent = self._require_current()
+        man = self._manifest(parent)
         version = parent + 1
         files = self._write_commit_files(df, version)
-        return self._commit("overwrite", files, df.schema, parent)
+        stats = self._collect_stats(files, df.schema, self._stats_cols(man))
+        return self._commit(
+            "overwrite", files, df.schema, parent,
+            stats=stats, stats_cols=self._stats_cols(man),
+        )
 
     def delete_where(self, cond: Column) -> int:
         """Copy-on-write delete: rewrite ONLY the files containing rows
@@ -203,7 +293,10 @@ class SnapshotTable:
         if not touched:
             # nothing matched: still commit a snapshot so the operation
             # is observable + idempotent in the history
-            return self._commit("delete", man["files"], current.schema, parent)
+            return self._commit(
+                "delete", man["files"], current.schema, parent,
+                stats=man.get("stats"), stats_cols=self._stats_cols(man),
+            )
         version = parent + 1
         survivors = (
             self._read_files(sorted(touched), man)
@@ -211,7 +304,76 @@ class SnapshotTable:
         )
         new_files = self._write_commit_files(survivors, version)
         kept = [f for f in man["files"] if f not in touched]
-        return self._commit("delete", kept + new_files, current.schema, parent)
+        stats = dict(man.get("stats") or {})
+        stats.update(
+            self._collect_stats(new_files, current.schema, self._stats_cols(man))
+        )
+        return self._commit(
+            "delete", kept + new_files, current.schema, parent,
+            stats=stats, stats_cols=self._stats_cols(man),
+        )
+
+    def merge(self, source: DataFrame, key_cols: list[str]) -> int:
+        """MERGE INTO, copy-on-write: rows in ``source`` REPLACE stored
+        rows with the same key; source rows with no stored match are
+        inserts. Only files that contain a matched key are rewritten;
+        every other file is carried into the new snapshot by reference.
+
+        Two set-oriented passes, no driver row loop:
+
+        1. discovery — ``input_file_name()`` + a LEFT SEMI join of the
+           current scan against the source's distinct keys, aggregated
+           to the distinct touched-file set (cost ∝ one pruned scan of
+           key columns; the key side is usually batch-sized, so AQE
+           broadcasts it);
+        2. rewrite — the touched files' rows ANTI-joined on the key
+           (drop the soon-replaced rows) unioned with the full source,
+           written as the commit's new files.
+
+        Every row whose key matches the source lives in a touched file
+        by construction, so anti-join + union is exactly upsert.
+        Key uniqueness within ``source`` and within the table is the
+        caller's contract (as in :meth:`diff_versions`); duplicate
+        source keys would all land in the new snapshot.
+
+        This is the snapshot-log sibling of
+        ``storage.BucketedTable.upsert`` (bucket-pruned, in-place): COW
+        merge costs a rewrite of touched FILES but keeps history, and
+        with a key-aligned layout (``zorder_write`` / range partition on
+        the key) the touched set stays proportional to the batch's key
+        range instead of the whole table."""
+        parent = self._require_current()
+        man = self._manifest(parent)
+        self._check_schema(source, man)
+        current = self._read_manifest_files(man)
+        keys = source.select(*key_cols).distinct()
+        touched_abs = {
+            urlparse(r["_file"]).path
+            for r in current.withColumn("_file", F.input_file_name())
+            .join(keys, key_cols, "left_semi")
+            .select("_file")
+            .distinct()
+            .collect()
+        }
+        touched = sorted(self._relativize(p) for p in touched_abs)
+        version = parent + 1
+        if touched:
+            survivors = self._read_files(touched, man).join(
+                keys, key_cols, "left_anti"
+            )
+            new_content = survivors.unionByName(source)
+        else:
+            new_content = source
+        new_files = self._write_commit_files(new_content, version)
+        kept = [f for f in man["files"] if f not in set(touched)]
+        stats = dict(man.get("stats") or {})
+        stats.update(
+            self._collect_stats(new_files, current.schema, self._stats_cols(man))
+        )
+        return self._commit(
+            "merge", kept + new_files, current.schema, parent,
+            stats=stats, stats_cols=self._stats_cols(man),
+        )
 
     def read(self, version: int | None = None) -> DataFrame:
         """Scan snapshot ``version`` (default: current). An ordinary
@@ -220,6 +382,133 @@ class SnapshotTable:
         v = version if version is not None else self._require_current()
         man = self._manifest(v)
         return self._read_manifest_files(man)
+
+    def scan(
+        self,
+        predicates: list[tuple[str, str, object]],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Manifest-pruned scan: drop every file whose recorded
+        [min, max] range for a predicate column PROVES the predicate
+        can match no row in it, then read the survivors and re-apply
+        the full predicate as an ordinary filter.
+
+        ``predicates`` — [(col, op, value)] with op ∈ {<, <=, >, >=, =},
+        conjunctive. Pruning is sound for any stats state: a file with
+        no stats (column not in ``stats_cols``, or an all-null file) is
+        kept, and the residual filter makes the result identical to
+        ``read().where(...)`` regardless — stats can only save IO.
+
+        This is the manifest tier of the skipping stack: manifest
+        min/max (skip whole FILES before the scan is planned) above
+        parquet row-group min/max (skip pages inside opened files, cf.
+        ``operators.layout.zorder_write`` which clusters values so both
+        tiers bite). At 10^12 rows the difference is opening thousands
+        of files instead of millions."""
+        v = version if version is not None else self._require_current()
+        man = self._manifest(v)
+        files = self._pruned_files(man, predicates)
+        df = self._read_files(files, man)
+        for col, op, val in predicates:
+            df = df.where(_PRED_OPS[op](F.col(col), F.lit(val)))
+        return df
+
+    def incremental_scan(self, v_from: int, v_to: int) -> DataFrame:
+        """Rows ADDED between snapshots: read exactly the files each
+        commit in ``(v_from, v_to]`` introduced, tagged with a
+        ``_commit_version`` column — Iceberg's incremental append scan,
+        the natural feed for downstream incremental consumers (the IVM
+        operators: ``kn_counts_upsert``, ``minhash_upsert``,
+        ``ivf_upsert``, postings MERGE).
+
+        Zero joins, zero diffing: the changelog is the manifest-log
+        file-set delta, cost ∝ new data only (contrast
+        :meth:`diff_versions`, which earns update/delete rows with a
+        full-outer join over both snapshots). Commits other than
+        ``append`` in the range raise — a file-set delta cannot see
+        rewrites' logical changes, and silently under-reporting would
+        corrupt every incremental consumer downstream."""
+        if v_to <= v_from or v_from < 0:
+            raise ValueError(f"empty incremental range ({v_from}, {v_to}]")
+        chain: list[dict] = []  # manifests v_to .. v_from+1, newest first
+        man = self._manifest(v_to)
+        while True:
+            chain.append(man)
+            if man["version"] == v_from + 1:
+                break
+            if man["parent"] is None:
+                raise ValueError(
+                    f"snapshot v{v_from} is not an ancestor of v{v_to}"
+                )
+            man = self._manifest(man["parent"])
+        # the root `create` commit counts as the appends-only base when
+        # the range starts at 0 (scan-from-genesis)
+        bad = [
+            m["version"]
+            for m in chain
+            if m["operation"] != "append"
+            and not (m["operation"] == "create" and m["parent"] is None)
+        ]
+        if bad:
+            raise ValueError(
+                f"incremental scan over non-append commits {sorted(bad)} — "
+                "use diff_versions for ranges containing rewrites"
+            )
+        man_to = chain[0]
+        out: DataFrame | None = None
+        for m in reversed(chain):
+            parent_files: set[str] = (
+                set() if m["parent"] is None
+                else set(self._manifest(m["parent"])["files"])
+            )
+            added = [f for f in m["files"] if f not in parent_files]
+            part = self._read_files(added, man_to).withColumn(
+                "_commit_version", F.lit(m["version"])
+            )
+            out = part if out is None else out.unionByName(part)
+        assert out is not None  # chain is never empty
+        return out
+
+    def compact(
+        self, small_bytes: int = 32 << 20, target_bytes: int = 128 << 20
+    ) -> int | None:
+        """Bin-pack data files smaller than ``small_bytes`` into
+        ~``target_bytes`` files; content-identical snapshot, operation
+        ``compact``. Returns the new version, or None if fewer than two
+        files qualify (nothing to bin-pack — no empty commit).
+
+        Why it exists at 10^12 rows: every append/streaming commit
+        dribbles files, and scan cost is dominated by file OPENS once
+        files are small (driver planning + footer reads per file), so an
+        append-heavy table degrades without a compactor. Only the small
+        files are read and rewritten (``coalesce`` — a plan-side fan-in,
+        no shuffle); large files are carried by reference, and history
+        still sees the pre-compaction snapshots unchanged."""
+        parent = self._require_current()
+        man = self._manifest(parent)
+        fs = self._fs()
+        sizes = {
+            f: fs.getFileStatus(self._jpath(self._absolute(f))).getLen()
+            for f in man["files"]
+        }
+        small = sorted(f for f, n in sizes.items() if n < small_bytes)
+        if len(small) < 2:
+            return None
+        total = sum(sizes[f] for f in small)
+        n_out = max(1, -(-total // target_bytes))
+        version = parent + 1
+        packed = self._read_files(small, man).coalesce(int(n_out))
+        new_files = self._write_commit_files(packed, version)
+        kept = [f for f in man["files"] if f not in set(small)]
+        schema = T.StructType.fromJson(man["schema"])
+        stats = dict(man.get("stats") or {})
+        stats.update(
+            self._collect_stats(new_files, schema, self._stats_cols(man))
+        )
+        return self._commit(
+            "compact", kept + new_files, schema, parent,
+            stats=stats, stats_cols=self._stats_cols(man),
+        )
 
     def rollback(self, version: int) -> int:
         """Append-only rollback: commit a NEW snapshot whose file set
@@ -231,6 +520,8 @@ class SnapshotTable:
             man["files"],
             T.StructType.fromJson(man["schema"]),
             parent,
+            stats=man.get("stats"),
+            stats_cols=self._stats_cols(man),
         )
 
     def history(self) -> list[dict]:
@@ -326,6 +617,59 @@ class SnapshotTable:
         )
 
     # ------------------------------------------------------------ helpers
+    @staticmethod
+    def _stats_cols(man: dict) -> list[str]:
+        return man.get("stats_cols") or []
+
+    def _collect_stats(
+        self, files: list[str], schema: T.StructType, stats_cols: list[str]
+    ) -> dict:
+        """Per-file min/max for ``stats_cols`` over just-written files:
+        one grouped aggregate keyed by ``input_file_name()``. The scan
+        is column-pruned to the stats columns, so the read-back costs a
+        fraction of the write it follows. (A production build would
+        lift these from the parquet footers the writer already
+        produced; an explicit aggregate keeps this engine-portable and
+        exactly as correct.)"""
+        if not stats_cols or not files:
+            return {}
+        df = self.spark.read.schema(schema).parquet(
+            *[self._absolute(f) for f in files]
+        )
+        aggs = []
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+        rows = df.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect()
+        out = {}
+        for r in rows:
+            rel = self._relativize(urlparse(r["_f"]).path)
+            out[rel] = {
+                c: [_stat_scalar(r[f"_mn_{c}"]), _stat_scalar(r[f"_mx_{c}"])]
+                for c in stats_cols
+            }
+        return out
+
+    def _pruned_files(
+        self, man: dict, predicates: list[tuple[str, str, object]]
+    ) -> list[str]:
+        """Manifest file list minus files whose stats refute a
+        predicate. Files without a stats entry for the column survive."""
+        stats = man.get("stats") or {}
+        out = []
+        for f in man["files"]:
+            fstats = stats.get(f) or {}
+            keep = True
+            for col, op, val in predicates:
+                if op not in _PRED_OPS:
+                    raise ValueError(f"unknown predicate op {op!r}")
+                rng = fstats.get(col)
+                if rng is not None and not _range_may_match(rng[0], rng[1], op, val):
+                    keep = False
+                    break
+            if keep:
+                out.append(f)
+        return out
+
     def _require_current(self) -> int:
         v = self.current_version()
         if v is None:

@@ -149,3 +149,137 @@ def test_diff_versions_cdc(spark, table):
     assert d34 == {(50, "update")}
     # symmetric sanity: empty diff of a version with itself
     assert table.diff_versions(v4, v4, ["k"]).count() == 0
+
+
+# ------------------------------------------------------------ round-3 ops
+
+
+def test_merge_is_file_granular_upsert(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    t.create(_df(spark, 0, 100, "base").repartitionByRange(4, "k"))
+    before = _file_digests(str(tmp_path / "snap"))
+    src = spark.createDataFrame(
+        [(5, 999, "upd"), (7, 777, "upd"), (200, 2000, "new")],
+        "k long, v long, tag string",
+    )
+    v2 = t.merge(src, ["k"])
+    out = t.read()
+    assert out.count() == 101  # 2 updates in place + 1 insert
+    assert {r["v"] for r in out.where("k in (5, 7)").collect()} == {999, 777}
+    assert out.where("k = 200").count() == 1
+    # keys 5 and 7 live in ONE range file: exactly 3 of 4 v1 files are
+    # carried by reference, and every v1 file stays byte-identical
+    man2 = set(t._manifest(v2)["files"])
+    assert len(man2 & set(before)) == 3
+    after = _file_digests(str(tmp_path / "snap"))
+    assert all(after.get(rel) == d for rel, d in before.items())
+    # time travel still sees the pre-merge table
+    assert t.read(version=1).where("k = 5").collect()[0]["v"] == 50
+
+
+def test_merge_no_match_is_pure_insert(spark, table):
+    src = spark.createDataFrame([(500, 1, "new")], "k long, v long, tag string")
+    v = table.merge(src, ["k"])
+    assert table.read().count() == 101
+    # no stored key matched: all parent files carried, nothing rewritten
+    man = t_man = table._manifest(v)
+    parent_files = set(table._manifest(v - 1)["files"])
+    assert parent_files <= set(t_man["files"])
+    assert table.history()[0]["operation"] == "merge"
+
+
+def test_stats_recorded_and_scan_prunes_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    t.create(
+        _df(spark, 0, 100, "base").repartitionByRange(4, "k"),
+        stats_cols=["k"],
+    )
+    man = t._manifest(1)
+    assert len(man["files"]) == 4
+    assert set(man["stats"]) == set(man["files"])
+    lo = min(s["k"][0] for s in man["stats"].values())
+    hi = max(s["k"][1] for s in man["stats"].values())
+    assert (lo, hi) == (0, 99)
+    # range-partitioned on k: a tight k-range predicate should keep 1 file
+    kept = t._pruned_files(man, [("k", ">=", 80)])
+    assert len(kept) == 1
+    # pruned result == unpruned filter (result transparency)
+    got = sorted(r["k"] for r in t.scan([("k", ">=", 80), ("k", "<", 90)]).collect())
+    assert got == list(range(80, 90))
+    # equality predicate
+    assert len(t._pruned_files(man, [("k", "=", 3)])) == 1
+    assert t.scan([("k", "=", 3)]).count() == 1
+    # a column with no stats never prunes, still filters
+    assert t.scan([("tag", "=", "base")]).count() == 100
+    assert t.scan([("tag", "=", "nope")]).count() == 0
+
+
+def test_stats_maintained_across_commits(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    t.create(_df(spark, 0, 40, "base").repartitionByRange(2, "k"), stats_cols=["k"])
+    t.append(_df(spark, 100, 140, "w1").coalesce(1))
+    t.merge(
+        spark.createDataFrame([(100, -1, "upd")], "k long, v long, tag string"),
+        ["k"],
+    )
+    man = t._manifest(t.current_version())
+    # every live file has a stats entry (carried ones kept, new ones computed)
+    assert set(man["stats"]) == set(man["files"])
+    # pruning still bites after the mixed history: k>=100 excludes base files
+    kept = t._pruned_files(man, [("k", ">=", 100)])
+    assert all("c1/" not in f for f in kept)
+    got = t.scan([("k", ">=", 100)])
+    assert got.count() == 40 and got.where("k = 100").collect()[0]["v"] == -1
+
+
+def test_non_orderable_stats_col_raises(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    df = spark.range(3).select(F.array(F.col("id")).alias("a"))
+    with pytest.raises(ValueError):
+        t.create(df, stats_cols=["a"])
+
+
+def test_incremental_scan_reads_only_added_files(spark, table):
+    v1 = 1
+    table.append(_df(spark, 100, 110, "w1"))
+    table.append(_df(spark, 110, 130, "w2"))
+    v3 = table.current_version()
+    inc = table.incremental_scan(v1, v3)
+    assert inc.count() == 30
+    per = {r["_commit_version"]: r["n"] for r in
+           inc.groupBy("_commit_version").agg(F.count("*").alias("n")).collect()}
+    assert per == {2: 10, 3: 20}
+    # from-genesis: create counts as the base append
+    assert table.incremental_scan(0, v3).count() == 130
+    # single-commit slice
+    assert table.incremental_scan(2, 3).count() == 20
+
+
+def test_incremental_scan_refuses_rewrites(spark, table):
+    table.append(_df(spark, 100, 110, "w1"))
+    table.delete_where(F.col("k") < 5)
+    v = table.current_version()
+    with pytest.raises(ValueError, match="non-append"):
+        table.incremental_scan(1, v)
+    with pytest.raises(ValueError, match="empty"):
+        table.incremental_scan(v, v)
+
+
+def test_compact_binpacks_small_files_content_identical(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    t.create(_df(spark, 0, 50, "base").repartition(8))  # 8 small files
+    before = _file_digests(str(tmp_path / "snap"))
+    pre = sorted((r["k"], r["v"], r["tag"]) for r in t.read().collect())
+    v2 = t.compact(small_bytes=1 << 20, target_bytes=1 << 30)
+    assert v2 == 2
+    man = t._manifest(v2)
+    assert len(man["files"]) == 1  # bin-packed into one
+    assert t.history()[0]["operation"] == "compact"
+    post = sorted((r["k"], r["v"], r["tag"]) for r in t.read().collect())
+    assert post == pre
+    # immutability: every v1 file still on disk byte-identical (time travel)
+    after = _file_digests(str(tmp_path / "snap"))
+    assert all(after.get(rel) == d for rel, d in before.items())
+    assert t.read(version=1).count() == 50
+    # nothing left to pack -> no empty commit
+    assert t.compact(small_bytes=1) is None
