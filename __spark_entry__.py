@@ -8159,3 +8159,79 @@ FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 900"""
 
 _TRAINING_QUERIES["snapshot_compact"] = q_snapshot_compact
 _TRAINING_ORACLES["snapshot_compact"] = _SNAP_BASE
+
+
+# ------------------------------------------------------------------ tables
+def q_layout_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table_cells (operators/pagelayout.py): stream-mode table recovery
+    — cumulative whitespace segmentation on both axes + pinned per-cell
+    text reassembly. Fixture: a jittered 3x3x2-word grid per document
+    (intra-cell word gaps < col_gap, gutters > col_gap; h60 jitter keeps
+    the oracle bit-exact). Window policy: overflow — the pagelayout
+    window shapes earn rows via layout_reading_order / layout_page_chrome."""
+    from ocr_search_spark.operators.pagelayout import table_cells
+    from ocr_search_spark.training.hashing import h60
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.explode(F.sequence(F.lit(0), F.lit(17))).alias("i")
+    b = d.select(F.col("doc_id"), i)
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("i").cast("string"))
+    jx = F.pmod(h60(F.concat(F.lit("x:"), key)), F.lit(10))
+    jy = F.pmod(h60(F.concat(F.lit("y:"), key)), F.lit(10))
+    r = F.floor(F.col("i") / 6)
+    c = F.pmod(F.floor(F.col("i") / 2), F.lit(3))
+    k = F.pmod(F.col("i"), F.lit(2))
+    x0 = F.lit(100) + c * 500 + k * 150 + jx
+    y0 = F.lit(100) + r * 80 + jy
+    boxes = b.select(
+        "doc_id",
+        F.lit(1).cast("int").alias("page"),
+        F.col("i").cast("int").alias("box_id"),
+        x0.cast("long").alias("x0"),
+        y0.cast("long").alias("y0"),
+        (x0 + 120).cast("long").alias("x1"),
+        (y0 + 40).cast("long").alias("y1"),
+        F.concat(F.lit("w"), r.cast("string"), c.cast("string"), k.cast("string")).alias("text"),
+    )
+    return table_cells(boxes)
+
+
+_TRAINING_QUERIES["layout_table_cells"] = q_layout_table_cells
+_TRAINING_ORACLES["layout_table_cells"] = f"""WITH b AS (
+  SELECT doc_id, 1 AS page, i::INT AS box_id,
+         (i // 6) AS r, ((i // 2) % 3) AS c, (i % 2) AS k,
+         (100 + ((i // 2) % 3) * 500 + (i % 2) * 150
+              + {_h60_sql("'x:' || doc_id::VARCHAR || ':' || i::VARCHAR")} % 10)::BIGINT AS x0,
+         (100 + (i // 6) * 80
+              + {_h60_sql("'y:' || doc_id::VARCHAR || ':' || i::VARCHAR")} % 10)::BIGINT AS y0
+  FROM documents, UNNEST(range(0, 18)) AS t(i)
+),
+bx AS (
+  SELECT doc_id, page, box_id, x0, y0, x0 + 120 AS x1, y0 + 40 AS y1,
+         'w' || r::VARCHAR || c::VARCHAR || k::VARCHAR AS text
+  FROM b
+),
+rb AS (
+  SELECT *,
+         CASE WHEN max(y1) OVER wy IS NOT NULL AND y0 - max(y1) OVER wy >= 1
+              THEN 1 ELSE 0 END AS rbrk,
+         CASE WHEN max(x1) OVER wx IS NOT NULL AND x0 - max(x1) OVER wx >= 100
+              THEN 1 ELSE 0 END AS cbrk
+  FROM bx
+  WINDOW wy AS (PARTITION BY doc_id, page ORDER BY y0, y1, box_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wx AS (PARTITION BY doc_id, page ORDER BY x0, x1, box_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+grid AS (
+  SELECT doc_id, page, box_id, x0, y0, x1, y1, text,
+         (sum(rbrk) OVER (PARTITION BY doc_id, page ORDER BY y0, y1, box_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::INT AS trow,
+         (sum(cbrk) OVER (PARTITION BY doc_id, page ORDER BY x0, x1, box_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::INT AS tcol
+  FROM rb
+)
+SELECT doc_id, page, trow AS "row", tcol AS col,
+       string_agg(text, ' ' ORDER BY x0, box_id) AS text,
+       min(x0) AS x0, min(y0) AS y0, max(x1) AS x1, max(y1) AS y1
+FROM grid GROUP BY doc_id, page, trow, tcol"""

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["reading_order", "strip_page_chrome"]
+__all__ = ["reading_order", "strip_page_chrome", "table_structure", "table_cells"]
 
 
 def reading_order(
@@ -182,4 +182,112 @@ def strip_page_chrome(
             text_col,
             "n_dropped",
         )
+    )
+
+
+def table_structure(
+    boxes: DataFrame,
+    doc_col: str = "doc_id",
+    page_col: str = "page",
+    row_gap: int = 1,
+    col_gap: int = 100,
+) -> DataFrame:
+    """Stream-mode table detection: assign every word box a (row, col)
+    cell coordinate by 1-D whitespace segmentation on each axis — the
+    lattice-free table recovery used by pdfplumber/Camelot "stream"
+    mode, and the natural next stage after :func:`reading_order` for
+    the north rule's "PDF/PPTX layout parsing" (the reference renders
+    pages to images whose OCR yields positioned words with no cell
+    structure — src/sh/convert_*.sh → PdfUtil.class.js:146).
+
+    Axis segmentation is the same pinned primitive as reading_order's
+    column cut, applied cumulatively instead of best-gap-only:
+
+    * order boxes by (y0, y1, box_id); a new ROW starts where
+      ``y0 − max(previous y1) ≥ row_gap`` (a horizontal whitespace band
+      the whole page width crosses — every earlier box ends above it);
+      row id = running count of such breaks;
+    * independently order by (x0, x1, box_id); a new COLUMN segment
+      starts where ``x0 − max(previous x1) ≥ col_gap``; intra-cell word
+      gaps stay below ``col_gap``, inter-column gutters exceed it, so
+      the column id is shared by every row — which is what makes the
+      output a grid rather than per-row runs.
+
+    Integer milli-unit arithmetic, two window passes over one
+    (doc, page) shuffle — a DuckDB oracle replays it bit-for-bit.
+    Scale shape: both windows partition by (doc, page) (thousands of
+    boxes), never corpus-wide; at 10^12 docs this is one page-keyed
+    shuffle then narrow.
+
+    Returns (doc_col, page_col, box_id, row, col), ints, one row per
+    input box.
+    """
+    keys = [doc_col, page_col]
+    wy = W.partitionBy(*keys).orderBy("y0", "y1", "box_id")
+    prev_y1 = F.max("y1").over(wy.rowsBetween(W.unboundedPreceding, -1))
+    wx = W.partitionBy(*keys).orderBy("x0", "x1", "box_id")
+    prev_x1 = F.max("x1").over(wx.rowsBetween(W.unboundedPreceding, -1))
+    flagged = boxes.select(
+        *keys,
+        "box_id",
+        F.when(
+            prev_y1.isNotNull() & (F.col("y0") - prev_y1 >= row_gap), 1
+        ).otherwise(0).alias("_rb"),
+        F.when(
+            prev_x1.isNotNull() & (F.col("x0") - prev_x1 >= col_gap), 1
+        ).otherwise(0).alias("_cb"),
+        "y0", "y1", "x0", "x1",
+    )
+    row_id = F.sum("_rb").over(
+        W.partitionBy(*keys).orderBy("y0", "y1", "box_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    col_id = F.sum("_cb").over(
+        W.partitionBy(*keys).orderBy("x0", "x1", "box_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return flagged.select(
+        *keys,
+        "box_id",
+        row_id.cast("int").alias("row"),
+        col_id.cast("int").alias("col"),
+    )
+
+
+def table_cells(
+    boxes: DataFrame,
+    doc_col: str = "doc_id",
+    page_col: str = "page",
+    text_col: str = "text",
+    row_gap: int = 1,
+    col_gap: int = 100,
+) -> DataFrame:
+    """Cell-level table extraction: :func:`table_structure` grid + text
+    reassembly per cell. ``boxes`` needs the geometry columns plus
+    ``text_col``. Cell text concatenates the cell's words in (x0,
+    box_id) order — pinned via ``array_sort`` over collected structs,
+    so the aggregate is deterministic at any parallelism (the E6
+    order-preserving reassembly discipline, extract.py:243).
+
+    Returns (doc, page, row, col, text, x0, y0, x1, y1) — one row per
+    cell with its bounding box. Group cardinality = words per cell, so
+    the collect_list is bounded and page-local.
+    """
+    keys = [doc_col, page_col]
+    grid = table_structure(
+        boxes, doc_col=doc_col, page_col=page_col,
+        row_gap=row_gap, col_gap=col_gap,
+    )
+    j = boxes.join(grid, [*keys, "box_id"])
+    words = F.array_sort(
+        F.collect_list(F.struct(F.col("x0"), F.col("box_id"), F.col(text_col)))
+    )
+    return j.groupBy(*keys, "row", "col").agg(
+        F.array_join(
+            F.transform(words, lambda s: s[text_col]), " "
+        ).alias("text"),
+        F.min("x0").alias("x0"),
+        F.min("y0").alias("y0"),
+        F.max("x1").alias("x1"),
+        F.max("y1").alias("y1"),
     )

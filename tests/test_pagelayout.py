@@ -134,3 +134,83 @@ def test_chrome_min_frac_threshold(spark):
     )
     out = {r["page"]: r for r in strip_page_chrome(pages).collect()}
     assert out[1]["text"].startswith("HDR")
+
+
+# ------------------------------------------------------------ tables
+
+
+def _grid_boxes(spark, n_rows=3, n_cols=3, words=2, jitter=None):
+    """Deterministic table grid: cell (r, c) holds `words` word boxes.
+    Intra-cell word gap ~30 (< col_gap), inter-column gutter ~230
+    (>= col_gap), row gap 40 (>= row_gap)."""
+    rows = []
+    for r in range(n_rows):
+        for c in range(n_cols):
+            for k in range(words):
+                bid = r * 100 + c * 10 + k
+                jx = jitter(bid) if jitter else 0
+                x0 = 100 + c * 500 + k * 150 + jx
+                y0 = 100 + r * 80 + (jitter(bid + 7) if jitter else 0)
+                rows.append(("d1", 1, bid, x0, y0, x0 + 120, y0 + 40,
+                             f"w{r}{c}{k}"))
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, page int, box_id int, x0 long, y0 long, "
+        "x1 long, y1 long, text string",
+    )
+
+
+def test_table_structure_recovers_grid(spark):
+    from ocr_search_spark.operators.pagelayout import table_structure
+
+    df = _grid_boxes(spark, jitter=lambda b: (b * 37) % 10)
+    got = {r["box_id"]: (r["row"], r["col"]) for r in table_structure(df).collect()}
+    for r in range(3):
+        for c in range(3):
+            for k in range(2):
+                assert got[r * 100 + c * 10 + k] == (r, c)
+
+
+def test_table_structure_column_shared_across_rows(spark):
+    from ocr_search_spark.operators.pagelayout import table_structure
+
+    # a sparse table: row 1 has no entry in column 1 — column ids must
+    # still be globally consistent because segmentation is page-global
+    df = _grid_boxes(spark, n_rows=2, n_cols=3)
+    df = df.where("box_id < 110 or box_id >= 120")
+    got = {r["box_id"]: (r["row"], r["col"]) for r in table_structure(df).collect()}
+    assert got[120] == (1, 2)  # NOT (1, 1): col 1's gutter still counted
+    assert got[10] == (0, 1)
+
+
+def test_table_structure_single_cell_and_gap_thresholds(spark):
+    from ocr_search_spark.operators.pagelayout import table_structure
+
+    df = _grid_boxes(spark, n_rows=1, n_cols=1, words=3)
+    got = table_structure(df).collect()
+    assert {(r["row"], r["col"]) for r in got} == {(0, 0)}
+    # with col_gap below the word gap every word becomes its own column
+    got2 = table_structure(df, col_gap=10).collect()
+    assert {(r["row"], r["col"]) for r in got2} == {(0, 0), (0, 1), (0, 2)}
+
+
+def test_table_cells_text_order_and_bbox(spark):
+    from ocr_search_spark.operators.pagelayout import table_cells
+
+    df = _grid_boxes(spark, jitter=lambda b: (b * 13) % 10)
+    cells = {(r["row"], r["col"]): r for r in table_cells(df).collect()}
+    assert len(cells) == 9
+    for r in range(3):
+        for c in range(3):
+            cell = cells[(r, c)]
+            assert cell["text"] == f"w{r}{c}0 w{r}{c}1"
+            assert cell["x0"] <= cell["x1"] and cell["y0"] <= cell["y1"]
+
+
+def test_table_structure_partition_invariance(spark):
+    from ocr_search_spark.operators.pagelayout import table_structure
+
+    df = _grid_boxes(spark, jitter=lambda b: (b * 7) % 10)
+    a = sorted(map(tuple, table_structure(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, table_structure(df.repartition(7)).collect()))
+    assert a == b
