@@ -8235,3 +8235,58 @@ SELECT doc_id, page, trow AS "row", tcol AS col,
        string_agg(text, ' ' ORDER BY x0, box_id) AS text,
        min(x0) AS x0, min(y0) AS y0, max(x1) AS x1, max(y1) AS y1
 FROM grid GROUP BY doc_id, page, trow, tcol"""
+
+
+def q_snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read equality deletes with sequence semantics: delete
+    keys k%7==0 as an O(batch) delete file (no rewrite), then APPEND a
+    'R'-status re-insert of the k%14==0 half — later-sequence rows must
+    survive the older delete. materialize_deletes() then folds the
+    delete to COW and the read must be unchanged (the returned frame is
+    the post-materialization table; its equality to the MOR read is
+    asserted in-flight)."""
+    o = _snap_orders(spark, sf_dir)
+    t = _snap_table(spark, "mor")
+    t.create(o.repartitionByRange(4, "k"))
+    t.delete_mor(o.where(F.col("k") % 7 == 0).select("k"))
+    t.append(
+        o.where(F.col("k") % 14 == 0).select(
+            "k", "ck", F.lit("R").alias("status")
+        )
+    )
+    mor_rows = sorted(map(tuple, t.read().collect()))
+    t.materialize_deletes()
+    cow = t.read()
+    assert sorted(map(tuple, cow.collect())) == mor_rows
+    return cow
+
+
+def q_snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish: a bad batch is staged, audited (its staged
+    read IS visible at its version), and aborted — it must leave no
+    trace; a good batch is staged and published. Final table = base +
+    good batch only."""
+    o = _snap_orders(spark, sf_dir)
+    t = _snap_table(spark, "wap")
+    t.create(o.where(F.col("k") % 2 == 0))
+    bad = t.stage_append(
+        o.where(F.col("k") % 2 == 1).select(
+            "k", F.lit(-1).alias("ck"), F.lit("BAD").alias("status")
+        )
+    )
+    assert t.read(version=bad).where(F.col("status") == "BAD").count() > 0
+    t.abort_staged(bad)
+    good = t.stage_append(o.where(F.col("k") % 2 == 1))
+    assert t.current_version() == 1  # still invisible
+    t.publish(good)
+    return t.read()
+
+
+_TRAINING_QUERIES["snapshot_mor_delete"] = q_snapshot_mor_delete
+_TRAINING_ORACLES["snapshot_mor_delete"] = f"""WITH base AS ({_SNAP_BASE})
+SELECT k, ck, status FROM base WHERE k % 7 <> 0
+UNION ALL
+SELECT k, ck, 'R' AS status FROM base WHERE k % 14 = 0"""
+
+_TRAINING_QUERIES["snapshot_wap"] = q_snapshot_wap
+_TRAINING_ORACLES["snapshot_wap"] = _SNAP_BASE

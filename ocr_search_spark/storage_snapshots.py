@@ -194,8 +194,15 @@ class SnapshotTable:
 
     def _commit(self, operation: str, files: list[str], schema: T.StructType,
                 parent: int | None, stats: dict | None = None,
-                stats_cols: list[str] | None = None) -> int:
+                stats_cols: list[str] | None = None,
+                delete_files: list[dict] | None = None,
+                publish: bool = True) -> int:
         version = (parent or 0) + 1
+        if self._read_text(f"{self.meta_dir}/v{version}.json") is not None:
+            raise ValueError(
+                f"snapshot v{version} already exists — a staged commit is "
+                "pending (publish or abort it) or a concurrent writer won"
+            )
         man = {
             "version": version,
             "parent": parent,
@@ -204,15 +211,29 @@ class SnapshotTable:
             "schema": schema.jsonValue(),
             "stats_cols": stats_cols or [],
             "stats": {f: stats[f] for f in files if stats and f in stats},
+            "delete_files": delete_files or [],
         }
+        if not publish:
+            man["staged"] = True
         self._write_text(f"{self.meta_dir}/v{version}.json", json.dumps(man))
-        # the pointer flip is the commit point; a crash before it leaves
-        # an unreferenced manifest + files (cleaned by expire_snapshots),
-        # never a torn table
-        self._write_text(f"{self.meta_dir}/{CURRENT_PTR}", str(version))
+        if publish:
+            # the pointer flip is the commit point; a crash before it leaves
+            # an unreferenced manifest + files (cleaned by expire_snapshots),
+            # never a torn table
+            self._write_text(f"{self.meta_dir}/{CURRENT_PTR}", str(version))
         return version
 
+    def _check_version_free(self, version: int) -> None:
+        """Raise BEFORE writing any file when the target version is
+        taken (a pending staged commit, or a concurrent writer)."""
+        if self._read_text(f"{self.meta_dir}/v{version}.json") is not None:
+            raise ValueError(
+                f"snapshot v{version} already exists — a staged commit is "
+                "pending (publish or abort it) or a concurrent writer won"
+            )
+
     def _write_commit_files(self, df: DataFrame, version: int) -> list[str]:
+        self._check_version_free(version)
         cdir = f"{self.data_dir}/c{version}"
         df.write.mode("error").parquet(cdir)
         return self._list_parquet(cdir)
@@ -257,6 +278,10 @@ class SnapshotTable:
         return self._commit(
             "append", man["files"] + new_files, df.schema, parent,
             stats=stats, stats_cols=self._stats_cols(man),
+            # pending equality deletes still apply to the OLD files; the
+            # appended files carry a higher sequence, so re-inserted keys
+            # survive (Iceberg sequence-number semantics)
+            delete_files=man.get("delete_files"),
         )
 
     def overwrite(self, df: DataFrame) -> int:
@@ -283,6 +308,7 @@ class SnapshotTable:
         keep even the discovery scan pruned."""
         parent = self._require_current()
         man = self._manifest(parent)
+        self._require_no_mor(man, "delete_where")
         current = self._read_manifest_files(man)
         tagged = current.withColumn("_file", F.input_file_name())
         touched_abs = {
@@ -344,6 +370,7 @@ class SnapshotTable:
         range instead of the whole table."""
         parent = self._require_current()
         man = self._manifest(parent)
+        self._require_no_mor(man, "merge")
         self._check_schema(source, man)
         current = self._read_manifest_files(man)
         keys = source.select(*key_cols).distinct()
@@ -378,10 +405,12 @@ class SnapshotTable:
     def read(self, version: int | None = None) -> DataFrame:
         """Scan snapshot ``version`` (default: current). An ordinary
         parquet read of the manifest's file list — pushdown and column
-        pruning apply as on any parquet scan."""
+        pruning apply as on any parquet scan. Pending merge-on-read
+        equality deletes (:meth:`delete_mor`) are applied with sequence
+        semantics; a table with no pending deletes pays nothing."""
         v = version if version is not None else self._require_current()
         man = self._manifest(v)
-        return self._read_manifest_files(man)
+        return self._apply_mor_deletes(self._read_manifest_files(man), man)
 
     def scan(
         self,
@@ -408,7 +437,7 @@ class SnapshotTable:
         v = version if version is not None else self._require_current()
         man = self._manifest(v)
         files = self._pruned_files(man, predicates)
-        df = self._read_files(files, man)
+        df = self._apply_mor_deletes(self._read_files(files, man), man)
         for col, op, val in predicates:
             df = df.where(_PRED_OPS[op](F.col(col), F.lit(val)))
         return df
@@ -486,6 +515,7 @@ class SnapshotTable:
         still sees the pre-compaction snapshots unchanged."""
         parent = self._require_current()
         man = self._manifest(parent)
+        self._require_no_mor(man, "compact")
         fs = self._fs()
         sizes = {
             f: fs.getFileStatus(self._jpath(self._absolute(f))).getLen()
@@ -522,6 +552,7 @@ class SnapshotTable:
             parent,
             stats=man.get("stats"),
             stats_cols=self._stats_cols(man),
+            delete_files=man.get("delete_files"),
         )
 
     def history(self) -> list[dict]:
@@ -559,7 +590,9 @@ class SnapshotTable:
         keep.add(current)
         live: set[str] = set()
         for v in keep:
-            live.update(self._manifest(v)["files"])
+            m = self._manifest(v)
+            live.update(m["files"])
+            live.update(d["file"] for d in m.get("delete_files") or [])
         fs = self._fs()
         n_manifests = n_files = 0
         # drop unreferenced manifests (both pre-keep chain and any
@@ -616,7 +649,228 @@ class SnapshotTable:
             .where(F.col("op").isNotNull())
         )
 
+
+    # ------------------------------------------------------ merge-on-read
+    def delete_mor(self, keys: DataFrame) -> int:
+        """Merge-on-read EQUALITY DELETE (Iceberg v2 MOR mode): record
+        the keys to delete as a delete file; no data file is read or
+        rewritten — commit cost O(batch), vs :meth:`delete_where`'s COW
+        rewrite of every touched file. Readers apply pending deletes as
+        one aggregate + one join (see ``_apply_mor_deletes``); at
+        10^12 rows this is THE viable shape for high-churn deletes
+        (GDPR erasure, retraction feeds), with :meth:`materialize_deletes`
+        as the amortizer that folds accumulated delete files back into
+        COW when read overhead grows.
+
+        ``keys``'s columns must be a subset of the table schema; a
+        stored row is deleted iff its values equal some key row AND its
+        data file's sequence (the ``data/c<v>/`` commit number) is at or
+        below this delete's commit — so keys re-inserted by LATER
+        appends survive, exactly Iceberg's sequence-number rule."""
+        parent = self._require_current()
+        man = self._manifest(parent)
+        stored = T.StructType.fromJson(man["schema"])
+        for c in keys.columns:
+            if c not in stored.fieldNames():
+                raise ValueError(f"delete key column {c} not in table schema")
+        version = parent + 1
+        self._check_version_free(version)
+        ddir = f"{self.data_dir}/c{version}"
+        keys.write.mode("error").parquet(ddir)
+        new_delete_files = [
+            {"file": f, "keys": list(keys.columns), "seq": version}
+            for f in self._list_parquet(ddir)
+        ]
+        return self._commit(
+            "delete-mor", man["files"], stored, parent,
+            stats=man.get("stats"), stats_cols=self._stats_cols(man),
+            delete_files=(man.get("delete_files") or []) + new_delete_files,
+        )
+
+    def materialize_deletes(self) -> int | None:
+        """Fold pending equality-delete files into copy-on-write: rewrite
+        ONLY the files that contain affected rows, carry the rest, clear
+        the delete list. Returns the new version, or None when no
+        deletes are pending. This is Iceberg's
+        ``rewrite_position_delete_files``/compaction step — the read-
+        amplification amortizer run on a maintenance cadence."""
+        parent = self._require_current()
+        man = self._manifest(parent)
+        if not man.get("delete_files"):
+            return None
+        raw = self._read_manifest_files(man).withColumn(
+            "_file", F.input_file_name()
+        )
+        doomed = self._mor_doomed(raw, man)
+        touched_abs = {
+            urlparse(r["_file"]).path
+            for r in doomed.select("_file").distinct().collect()
+        }
+        touched = sorted(self._relativize(pth) for pth in touched_abs)
+        version = parent + 1
+        stored = T.StructType.fromJson(man["schema"])
+        if not touched:
+            # deletes matched nothing: just clear them
+            return self._commit(
+                "materialize-deletes", man["files"], stored, parent,
+                stats=man.get("stats"), stats_cols=self._stats_cols(man),
+            )
+        survivors = self._apply_mor_deletes(
+            self._read_files(touched, man), man
+        )
+        new_files = self._write_commit_files(survivors, version)
+        kept = [f for f in man["files"] if f not in set(touched)]
+        stats = dict(man.get("stats") or {})
+        stats.update(self._collect_stats(new_files, stored, self._stats_cols(man)))
+        return self._commit(
+            "materialize-deletes", kept + new_files, stored, parent,
+            stats=stats, stats_cols=self._stats_cols(man),
+        )
+
+    # ------------------------------------------------------ write-audit-publish
+    def stage_append(self, df: DataFrame) -> int:
+        """Write-audit-publish, stage step: write the append's files AND
+        manifest but do NOT move ``_current`` — readers still see the
+        parent snapshot. Audit the staged version with
+        ``read(version=v)`` (e.g. ``operators.profile.validate_table``),
+        then :meth:`publish` it or :meth:`abort_staged` it. The WAP
+        pattern every production ingest wants: bad batches never become
+        visible, and the audit runs against exactly the bytes that will
+        be published, not a copy."""
+        parent = self._require_current()
+        man = self._manifest(parent)
+        self._check_schema(df, man)
+        version = parent + 1
+        new_files = self._write_commit_files(df, version)
+        stats = dict(man.get("stats") or {})
+        stats.update(self._collect_stats(new_files, df.schema, self._stats_cols(man)))
+        return self._commit(
+            "append", man["files"] + new_files, df.schema, parent,
+            stats=stats, stats_cols=self._stats_cols(man),
+            delete_files=man.get("delete_files"),
+            publish=False,
+        )
+
+    def publish(self, version: int) -> int:
+        """Flip ``_current`` to a staged snapshot. Refuses when the
+        table advanced since staging (parent mismatch) — re-stage on
+        top of the new current instead of silently dropping commits."""
+        man = self._manifest(version)
+        if not man.get("staged"):
+            raise ValueError(f"snapshot v{version} is not a staged commit")
+        cur = self._require_current()
+        if man["parent"] != cur:
+            raise ValueError(
+                f"staged v{version} was built on v{man['parent']} but the "
+                f"table is now at v{cur} — abort and re-stage"
+            )
+        man.pop("staged")
+        self._write_text(f"{self.meta_dir}/v{version}.json", json.dumps(man))
+        self._write_text(f"{self.meta_dir}/{CURRENT_PTR}", str(version))
+        return version
+
+    def abort_staged(self, version: int) -> None:
+        """Drop a staged snapshot: its manifest and the files it added
+        (files carried from the parent are untouched)."""
+        man = self._manifest(version)
+        if not man.get("staged"):
+            raise ValueError(f"snapshot v{version} is not a staged commit")
+        fs = self._fs()
+        # a commit's new files all live in its own data/c<version>/ dir
+        # (and the parent can never reference it) — drop the whole dir so
+        # the version number is reusable by the next commit
+        cdir = self._jpath(f"{self.data_dir}/c{version}")
+        if fs.exists(cdir):
+            fs.delete(cdir, True)
+        fs.delete(self._jpath(f"{self.meta_dir}/v{version}.json"), False)
+
+    # ------------------------------------------------------ schema evolution
+    def add_columns(self, fields: list[T.StructField]) -> int:
+        """Additive schema evolution: commit a new schema = old + the
+        given NULLABLE fields; zero data movement — old files read as
+        NULL for the new columns (Spark fills schema-absent parquet
+        columns), new appends must carry them. Only addition is offered:
+        this log resolves columns by NAME, so renames/drops would
+        corrupt old files' reads (Iceberg does those via field IDs —
+        out of scope for a plain-parquet log, and stated so)."""
+        parent = self._require_current()
+        man = self._manifest(parent)
+        stored = T.StructType.fromJson(man["schema"])
+        for f in fields:
+            if f.name in stored.fieldNames():
+                raise ValueError(f"column {f.name} already exists")
+            if not f.nullable:
+                raise ValueError(
+                    f"new column {f.name} must be nullable — existing "
+                    "files have no values for it"
+                )
+        new_schema = T.StructType(list(stored.fields) + list(fields))
+        return self._commit(
+            "evolve", man["files"], new_schema, parent,
+            stats=man.get("stats"), stats_cols=self._stats_cols(man),
+            delete_files=man.get("delete_files"),
+        )
+
     # ------------------------------------------------------------ helpers
+
+    @staticmethod
+    def _file_seq(rel_or_input: "Column") -> "Column":
+        """Commit sequence of a data file, parsed from its immutable
+        ``data/c<version>/`` path segment (the trailing segment match
+        keeps a ``data/cN`` elsewhere in the table root harmless)."""
+        return F.regexp_extract(
+            rel_or_input, r"/data/c(\d+)/[^/]+$", 1
+        ).cast("int")
+
+    def _require_no_mor(self, man: dict, op: str) -> None:
+        if man.get("delete_files"):
+            raise ValueError(
+                f"{op} cannot run with pending merge-on-read deletes "
+                "(a raw file rewrite would resurrect deleted rows) — "
+                "materialize_deletes() first"
+            )
+
+    def _mor_doomed(self, raw: DataFrame, man: dict) -> DataFrame:
+        """Rows of ``raw`` (which must carry every key column) that a
+        pending equality delete eliminates."""
+        flagged = self._mor_flagged(raw, man)
+        return flagged.where(F.col("_mor_del")).drop("_mor_del", "_data_seq")
+
+    def _apply_mor_deletes(self, df: DataFrame, man: dict) -> DataFrame:
+        dels = man.get("delete_files") or []
+        if not dels:
+            return df
+        flagged = self._mor_flagged(df, man)
+        return flagged.where(~F.col("_mor_del")).drop("_mor_del", "_data_seq")
+
+    def _mor_flagged(self, df: DataFrame, man: dict) -> DataFrame:
+        """Add ``_mor_del`` (bool): one grouped aggregate per distinct
+        key-column set (usually exactly one) + one left join each. The
+        delete side is batch-sized → AQE broadcasts it; the scan side
+        never shuffles."""
+        dels = man.get("delete_files") or []
+        out = df.withColumn("_data_seq", self._file_seq(F.input_file_name()))
+        groups: dict[tuple, list[dict]] = {}
+        for d in dels:
+            groups.setdefault(tuple(d["keys"]), []).append(d)
+        for i, (keys, entries) in enumerate(sorted(groups.items())):
+            frames = None
+            for e in entries:
+                kd = self.spark.read.parquet(self._absolute(e["file"]))
+                kd = kd.withColumn("_dseq", F.lit(int(e["seq"])))
+                frames = kd if frames is None else frames.unionByName(kd)
+            agg = frames.groupBy(*keys).agg(F.max("_dseq").alias(f"_dseq_{i}"))
+            out = out.join(agg, list(keys), "left")
+            out = out.withColumn(f"_hit_{i}", F.coalesce(
+                F.col(f"_dseq_{i}") >= F.col("_data_seq"), F.lit(False)
+            )).drop(f"_dseq_{i}")
+        hit_cols = [F.col(f"_hit_{i}") for i in range(len(groups))]
+        flag = hit_cols[0] if len(hit_cols) == 1 else F.greatest(*hit_cols)
+        out = out.withColumn("_mor_del", flag)
+        for i in range(len(groups)):
+            out = out.drop(f"_hit_{i}")
+        return out
+
     @staticmethod
     def _stats_cols(man: dict) -> list[str]:
         return man.get("stats_cols") or []

@@ -283,3 +283,102 @@ def test_compact_binpacks_small_files_content_identical(spark, tmp_path):
     assert t.read(version=1).count() == 50
     # nothing left to pack -> no empty commit
     assert t.compact(small_bytes=1) is None
+
+
+# ------------------------------------------------------------ MOR / WAP / evolve
+
+
+def test_mor_delete_is_o_batch_and_sequenced(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    t.create(_df(spark, 0, 100, "base").repartitionByRange(4, "k"))
+    before = _file_digests(str(tmp_path / "snap"))
+    t.delete_mor(spark.createDataFrame([(5,), (6,), (999,)], "k long"))
+    # no data file rewritten — the commit only added a delete file
+    after = _file_digests(str(tmp_path / "snap"))
+    assert all(after.get(rel) == d for rel, d in before.items())
+    man = t._manifest(t.current_version())
+    assert man["files"] == t._manifest(1)["files"]
+    assert len(man["delete_files"]) >= 1
+    out = t.read()
+    assert out.count() == 98 and out.where("k in (5, 6)").count() == 0
+    assert t.read(version=1).count() == 100
+    # sequence rule: a key re-inserted AFTER the delete survives
+    t.append(_df(spark, 5, 6, "reborn"))
+    assert t.read().where("k = 5").count() == 1
+    # and a second delete batch stacks on top of the first
+    t.delete_mor(spark.createDataFrame([(7,)], "k long"))
+    assert t.read().count() == 98  # 100 - {5,6,7} + reborn 5
+
+
+def test_mor_materialize_folds_to_cow(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    t.create(_df(spark, 0, 100, "base").repartitionByRange(4, "k"))
+    t.delete_mor(spark.createDataFrame([(3,)], "k long"))
+    logical = sorted((r["k"], r["v"]) for r in t.read().collect())
+    v = t.materialize_deletes()
+    assert v is not None
+    man = t._manifest(v)
+    assert man["delete_files"] == []
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == logical
+    # only the file containing k=3 was rewritten
+    carried = set(man["files"]) & set(t._manifest(1)["files"])
+    assert len(carried) == 3
+    # idempotent: nothing pending -> no commit
+    assert t.materialize_deletes() is None
+
+
+def test_mor_blocks_rewriting_ops(spark, table):
+    table.delete_mor(spark.createDataFrame([(1,)], "k long"))
+    src = spark.createDataFrame([(2, 0, "x")], "k long, v long, tag string")
+    with pytest.raises(ValueError, match="merge-on-read"):
+        table.merge(src, ["k"])
+    with pytest.raises(ValueError, match="merge-on-read"):
+        table.delete_where(F.col("k") < 5)
+    with pytest.raises(ValueError, match="merge-on-read"):
+        table.compact(small_bytes=1 << 30)
+    # expire keeps the delete file alive (it is referenced state)
+    table.expire_snapshots(keep_last=1)
+    assert table.read().where("k = 1").count() == 0
+
+
+def test_wap_stage_audit_publish_abort(spark, table):
+    staged = table.stage_append(_df(spark, 100, 110, "w"))
+    assert table.read().count() == 100          # invisible
+    assert table.read(version=staged).count() == 110  # auditable
+    assert table.current_version() == 1
+    table.publish(staged)
+    assert table.current_version() == staged
+    assert table.read().count() == 110
+    # abort path: files + manifest gone, parent untouched
+    bad = table.stage_append(_df(spark, 500, 505, "bad"))
+    table.abort_staged(bad)
+    assert table.read().count() == 110
+    with pytest.raises(ValueError):
+        table._manifest(bad)
+    # double-publish / publish of a live version refuse
+    with pytest.raises(ValueError):
+        table.publish(staged)
+
+
+def test_wap_publish_conflict_detection(spark, table):
+    staged = table.stage_append(_df(spark, 100, 110, "w"))
+    # the table advances underneath the staged commit...
+    with pytest.raises(ValueError, match="already exists"):
+        table.append(_df(spark, 200, 210, "x"))  # version collision guard
+    table.abort_staged(staged)
+    table.append(_df(spark, 200, 210, "x"))
+    assert table.read().count() == 110
+
+
+def test_add_columns_reads_null_then_populated(spark, table):
+    from pyspark.sql import types as T
+
+    table.add_columns([T.StructField("score", T.LongType(), True)])
+    out = table.read()
+    assert out.where("score IS NULL").count() == 100
+    table.append(_df(spark, 100, 102, "n").withColumn("score", F.lit(9)))
+    assert table.read().where("score = 9").count() == 2
+    with pytest.raises(ValueError, match="already exists"):
+        table.add_columns([T.StructField("score", T.LongType(), True)])
+    with pytest.raises(ValueError, match="nullable"):
+        table.add_columns([T.StructField("req", T.LongType(), False)])
