@@ -222,7 +222,20 @@ def table_structure(
     Returns (doc_col, page_col, box_id, row, col), ints, one row per
     input box.
     """
-    keys = [doc_col, page_col]
+    return _grid(boxes, [doc_col, page_col], row_gap, col_gap, keep=())
+
+
+def _grid(
+    boxes: DataFrame,
+    keys: list[str],
+    row_gap: int,
+    col_gap: int,
+    keep: tuple[str, ...],
+) -> DataFrame:
+    """Shared grid pass: (keys, box_id, row, col) + any ``keep`` columns
+    carried through so downstream consumers (table_cells) need no join
+    back to the boxes — the whole computation stays inside the single
+    (doc, page) shuffle."""
     wy = W.partitionBy(*keys).orderBy("y0", "y1", "box_id")
     prev_y1 = F.max("y1").over(wy.rowsBetween(W.unboundedPreceding, -1))
     wx = W.partitionBy(*keys).orderBy("x0", "x1", "box_id")
@@ -237,6 +250,7 @@ def table_structure(
             prev_x1.isNotNull() & (F.col("x0") - prev_x1 >= col_gap), 1
         ).otherwise(0).alias("_cb"),
         "y0", "y1", "x0", "x1",
+        *keep,
     )
     row_id = F.sum("_rb").over(
         W.partitionBy(*keys).orderBy("y0", "y1", "box_id")
@@ -246,11 +260,13 @@ def table_structure(
         W.partitionBy(*keys).orderBy("x0", "x1", "box_id")
         .rowsBetween(W.unboundedPreceding, 0)
     )
+    extra = ["y0", "y1", "x0", "x1", *keep] if keep else []
     return flagged.select(
         *keys,
         "box_id",
         row_id.cast("int").alias("row"),
         col_id.cast("int").alias("col"),
+        *extra,
     )
 
 
@@ -272,13 +288,14 @@ def table_cells(
     Returns (doc, page, row, col, text, x0, y0, x1, y1) — one row per
     cell with its bounding box. Group cardinality = words per cell, so
     the collect_list is bounded and page-local.
+
+    Plan shape: ONE exchange total. The grid pass carries ``text_col``
+    through its windows (no join back to the boxes), and the final
+    groupBy's keys extend the window partition keys, so the page-hash
+    partitioning is reused and the aggregate adds no shuffle.
     """
     keys = [doc_col, page_col]
-    grid = table_structure(
-        boxes, doc_col=doc_col, page_col=page_col,
-        row_gap=row_gap, col_gap=col_gap,
-    )
-    j = boxes.join(grid, [*keys, "box_id"])
+    j = _grid(boxes, keys, row_gap, col_gap, keep=(text_col,))
     words = F.array_sort(
         F.collect_list(F.struct(F.col("x0"), F.col("box_id"), F.col(text_col)))
     )
