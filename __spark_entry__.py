@@ -8290,3 +8290,59 @@ SELECT k, ck, 'R' AS status FROM base WHERE k % 14 = 0"""
 
 _TRAINING_QUERIES["snapshot_wap"] = q_snapshot_wap
 _TRAINING_ORACLES["snapshot_wap"] = _SNAP_BASE
+
+
+def q_snapshot_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule capstone composition: the interleaved corpus lands in
+    a SnapshotTable in three append waves; the postings index is
+    maintained INCREMENTALLY from the manifest changelog — each wave's
+    `incremental_scan` feeds extraction → tokenization → a keyed upsert
+    (S7 MERGE semantics). No wave re-extracts earlier docs, yet the
+    final index must hash-equal the one-shot full-corpus postings (the
+    `postings` entry's own oracle): incremental == batch, with the
+    snapshot log as the only bookkeeping."""
+    from ocr_search_spark.training.hashing import h60
+
+    docs = _interleaved(spark, sf_dir)
+    wave_of = F.pmod(h60(F.col("doc_id")), F.lit(3))
+    t = _snap_table(spark, "incpipe")
+    t.create(docs.where(wave_of == 0))
+    t.append(docs.where(wave_of == 1))
+    t.append(docs.where(wave_of == 2))
+    ensure_shipped(spark)
+    merged: DataFrame | None = None
+    for v in (1, 2, 3):
+        wave = t.incremental_scan(v - 1, v).drop("_commit_version")
+        extracted = extract_spans_columnar(wave)
+        p = term_postings(extracted.select("doc_id", "spans")).withColumn(
+            "tf", F.col("tf").cast("long")
+        )
+        merged = p if merged is None else upsert_by_key(merged, p, ["term", "doc_id"])
+    return merged
+
+
+_TRAINING_QUERIES["snapshot_incremental_postings"] = q_snapshot_incremental_postings
+_TRAINING_ORACLES["snapshot_incremental_postings"] = _POSTINGS_SQL
+
+
+def q_snapshot_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY on the snapshot log: the table starts range-
+    partitioned on k (so a ck predicate prunes nothing), is rewritten
+    along the (k, ck) Morton curve, and the two-column pruned scan must
+    still equal the plain filter (the oracle) while the manifest prune
+    rate measurably improves — asserted in-flight."""
+    o = _snap_orders(spark, sf_dir)
+    t = _snap_table(spark, "zorder")
+    t.create(o.repartitionByRange(8, "k"), stats_cols=["k", "ck"])
+    man1 = t._manifest(1)
+    pred = [("ck", ">=", 50), ("ck", "<", 100)]
+    pre = len(t._pruned_files(man1, pred))
+    v2 = t.optimize_zorder(["k", "ck"], n_files=8, bits=12)
+    post = len(t._pruned_files(t._manifest(v2), pred))
+    assert post < pre, (pre, post)
+    return t.scan(pred).select("k", "ck")
+
+
+_TRAINING_QUERIES["snapshot_zorder_scan"] = q_snapshot_zorder_scan
+_TRAINING_ORACLES["snapshot_zorder_scan"] = """SELECT o_orderkey AS k, o_custkey AS ck
+FROM orders WHERE o_custkey >= 50 AND o_custkey < 100"""

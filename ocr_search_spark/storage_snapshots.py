@@ -196,7 +196,7 @@ class SnapshotTable:
                 parent: int | None, stats: dict | None = None,
                 stats_cols: list[str] | None = None,
                 delete_files: list[dict] | None = None,
-                publish: bool = True) -> int:
+                publish: bool = True, info: dict | None = None) -> int:
         version = (parent or 0) + 1
         if self._read_text(f"{self.meta_dir}/v{version}.json") is not None:
             raise ValueError(
@@ -212,6 +212,7 @@ class SnapshotTable:
             "stats_cols": stats_cols or [],
             "stats": {f: stats[f] for f in files if stats and f in stats},
             "delete_files": delete_files or [],
+            "info": info or {},
         }
         if not publish:
             man["staged"] = True
@@ -239,7 +240,8 @@ class SnapshotTable:
         return self._list_parquet(cdir)
 
     # ------------------------------------------------------------ public
-    def create(self, df: DataFrame, stats_cols: list[str] | None = None) -> int:
+    def create(self, df: DataFrame, stats_cols: list[str] | None = None,
+               info: dict | None = None) -> int:
         """Initial snapshot (v1). Fails if the table already exists.
 
         ``stats_cols`` opts the table into per-file min/max stats in the
@@ -262,10 +264,10 @@ class SnapshotTable:
         stats = self._collect_stats(files, df.schema, stats_cols or [])
         return self._commit(
             "create", files, df.schema, None, stats=stats,
-            stats_cols=stats_cols or [],
+            stats_cols=stats_cols or [], info=info,
         )
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, info: dict | None = None) -> int:
         """New snapshot = parent's files + the appended files. No
         existing file is read or rewritten — O(new data) cost."""
         parent = self._require_current()
@@ -282,6 +284,7 @@ class SnapshotTable:
             # appended files carry a higher sequence, so re-inserted keys
             # survive (Iceberg sequence-number semantics)
             delete_files=man.get("delete_files"),
+            info=info,
         )
 
     def overwrite(self, df: DataFrame) -> int:
@@ -724,6 +727,55 @@ class SnapshotTable:
         stats.update(self._collect_stats(new_files, stored, self._stats_cols(man)))
         return self._commit(
             "materialize-deletes", kept + new_files, stored, parent,
+            stats=stats, stats_cols=self._stats_cols(man),
+        )
+
+    def optimize_zorder(
+        self, cols: list[str], n_files: int = 64, bits: int = 16
+    ) -> int:
+        """OPTIMIZE ZORDER BY: rewrite the table's files clustered along
+        the Morton curve of ``cols`` (operators.layout.zvalue_col — pure
+        unrolled shift/or arithmetic, whole-stage codegen), as a
+        content-identical commit. After it, the per-file min/max stats
+        recorded for THIS commit cover compact hyper-rectangles of the
+        value space, so :meth:`scan` prunes files on EVERY clustered
+        column at once — the manifest tier and the parquet row-group
+        tier both bite. This is the layout half of the skipping stack
+        (Delta/Iceberg ``OPTIMIZE ZORDER BY`` parity); one range
+        shuffle, the same budget as any clustered write."""
+        from .operators.layout import scaled_col_from_bounds, zvalue_col
+
+        parent = self._require_current()
+        man = self._manifest(parent)
+        self._require_no_mor(man, "optimize_zorder")
+        df = self._read_manifest_files(man)
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        row = df.agg(*aggs).first()
+        if any(row[f"_lo_{c}"] is None for c in cols):
+            raise ValueError("optimize_zorder on an empty table (or all-null key)")
+        z = zvalue_col(
+            [
+                scaled_col_from_bounds(
+                    c, float(row[f"_lo_{c}"]), float(row[f"_hi_{c}"]), bits
+                )
+                for c in cols
+            ],
+            bits=bits,
+        )
+        packed = (
+            df.withColumn("_z", z)
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        version = parent + 1
+        new_files = self._write_commit_files(packed, version)
+        schema = T.StructType.fromJson(man["schema"])
+        stats = self._collect_stats(new_files, schema, self._stats_cols(man))
+        return self._commit(
+            "optimize-zorder", new_files, schema, parent,
             stats=stats, stats_cols=self._stats_cols(man),
         )
 

@@ -1,0 +1,115 @@
+"""Exactly-once streaming append into a SnapshotTable.
+
+Structured Streaming's `foreachBatch` contract is AT-LEAST-ONCE: after a
+crash between the sink's write and the checkpoint commit, the same
+micro-batch replays. A plain `table.append` in the sink would then
+duplicate rows — the classic streaming-into-a-lakehouse bug. The fix is
+Iceberg's: fence on the batch id. Every append commit records its
+`batch_id` in the manifest (`info`), and a replayed batch whose id is
+already at-or-below the table's high-water mark becomes a no-op.
+
+Why the fence is sound: micro-batches commit IN ORDER (batch N+1 never
+starts until N's checkpoint commit), so "the most recent batch_id in the
+manifest chain ≥ incoming id" is exactly "this batch already landed".
+Maintenance commits (compact, materialize-deletes) interleave freely —
+the scan walks past manifests without a batch_id.
+
+This is the streaming twin of ``streaming/index_maintain`` (which fences
+BucketedTable merges by replace_group idempotence); here the snapshot
+log itself is the ledger, so resume needs no side state at all. At
+10^12 rows the sink commits O(batch) files per trigger and the
+compaction cadence (`SnapshotTable.compact`) bounds the file count.
+
+Reference parity: the reference's sync loop re-lists the whole remote
+tree and upserts per file (DropboxSynchronizer.class.js:64-110) with no
+replay protection; crash mid-sync re-converts files. Part of the
+lakehouse tier this engine adds.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import DOCUMENTS
+from ..storage_snapshots import SnapshotTable
+
+
+def last_committed_batch(table: SnapshotTable) -> int | None:
+    """Newest ``batch_id`` recorded in the manifest chain, or None.
+    Walks newest→oldest and stops at the FIRST append-fence entry —
+    O(commits since the last streaming append), not O(history)."""
+    v = table.current_version()
+    seen: set[int] = set()
+    while v is not None and v not in seen:
+        seen.add(v)
+        try:
+            man = table._manifest(v)
+        except ValueError:
+            return None  # expired tail
+        bid = (man.get("info") or {}).get("batch_id")
+        if bid is not None:
+            return int(bid)
+        v = man["parent"]
+    return None
+
+
+def append_batch(table: SnapshotTable, df: DataFrame, batch_id: int) -> bool:
+    """Idempotent sink body: append ``df`` unless ``batch_id`` already
+    landed. Returns True iff a commit happened. First batch creates the
+    table.
+
+    Operational sharp edge: on a table a live stream checkpoint drives,
+    never append with a MANUALLY chosen batch_id — ids at or above the
+    fence make the stream's matching future batch look like a replay
+    and its rows are (correctly, from the fence's view) dropped. Out-of-
+    band writes to a streamed table belong in plain ``table.append``
+    (no info fence), which the fence walk skips past."""
+    last = last_committed_batch(table)
+    if last is not None and last >= batch_id:
+        return False  # replay of an already-committed batch
+    if table.current_version() is None:
+        table.create(df, info={"batch_id": int(batch_id)})
+    else:
+        table.append(df, info={"batch_id": int(batch_id)})
+    return True
+
+
+def stream_append_snapshot(
+    spark: SparkSession,
+    input_path: str,
+    table: SnapshotTable,
+    checkpoint_path: str,
+    schema=DOCUMENTS,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    max_files_per_trigger: int | None = None,
+    await_termination: bool = True,
+):
+    """File-source stream → (optional transform) → exactly-once
+    SnapshotTable appends, ``Trigger.AvailableNow`` (each invocation
+    drains the backlog since the last checkpointed offset, then stops).
+
+    ``max_files_per_trigger`` splits the backlog into many micro-batches
+    — the kill-and-resume chaos lever, and the bounded commit unit at
+    scale."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_path)
+    if transform is not None:
+        src = transform(src)
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        append_batch(table, df, batch_id)
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q

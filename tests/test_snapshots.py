@@ -382,3 +382,36 @@ def test_add_columns_reads_null_then_populated(spark, table):
         table.add_columns([T.StructField("score", T.LongType(), True)])
     with pytest.raises(ValueError, match="nullable"):
         table.add_columns([T.StructField("req", T.LongType(), False)])
+
+
+def test_optimize_zorder_content_identical_and_prunes_both_cols(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    # two independent keys; initial layout clusters NEITHER (hash-scattered)
+    df = spark.range(4096).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id") * 2654435761, F.lit(4096)).alias("ck"),
+        (F.col("id") * 10).alias("v"),
+    )
+    t.create(df.repartition(16), stats_cols=["k", "ck"])
+    man1 = t._manifest(1)
+    # scattered layout: a tight ck-range predicate keeps ~all files
+    pre = len(t._pruned_files(man1, [("ck", ">=", 100), ("ck", "<", 200)]))
+    assert pre >= 12
+    before = sorted((r["k"], r["ck"], r["v"]) for r in t.read().collect())
+    v2 = t.optimize_zorder(["k", "ck"], n_files=16, bits=12)
+    man2 = t._manifest(v2)
+    assert t.history()[0]["operation"] == "optimize-zorder"
+    assert sorted((r["k"], r["ck"], r["v"]) for r in t.read().collect()) == before
+    # z-ordered layout: BOTH columns' range predicates prune hard
+    post_ck = len(t._pruned_files(man2, [("ck", ">=", 100), ("ck", "<", 200)]))
+    post_k = len(t._pruned_files(man2, [("k", ">=", 100), ("k", "<", 200)]))
+    assert post_ck <= pre // 2
+    assert post_k <= pre // 2
+    # and the pruned scan stays exact
+    got = sorted(r["k"] for r in t.scan([("ck", ">=", 100), ("ck", "<", 110)]).collect())
+    want = sorted(r["k"] for r in df.where("ck >= 100 and ck < 110").collect())
+    assert got == want
+    # refuses over pending MOR deletes
+    t.delete_mor(spark.createDataFrame([(1,)], "k long"))
+    with pytest.raises(ValueError, match="merge-on-read"):
+        t.optimize_zorder(["k", "ck"])

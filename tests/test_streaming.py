@@ -810,3 +810,106 @@ def test_stream_maintain_kn_kill_and_resume(spark, dirs, tmp_path):
         for r in TS.kn_bigram_counts(spark.read.parquet(dirs["in"])).collect()
     )
     assert got == want
+
+
+# ------------------------------------------------------------ snapshot sink
+
+
+def test_stream_append_snapshot_exactly_once_and_replay(spark, dirs, tmp_path):
+    from ocr_search_spark.storage_snapshots import SnapshotTable
+    from ocr_search_spark.streaming import snapshot_sink
+
+    docs = corpus.documents_table(spark, 60, skew=False)
+    docs.repartition(4).write.mode("append").parquet(dirs["in"])
+    t = SnapshotTable(spark, str(tmp_path / "snap_tbl"))
+    snapshot_sink.stream_append_snapshot(
+        spark, dirs["in"], t, dirs["ckpt"], max_files_per_trigger=1
+    )
+    out = t.read()
+    assert out.count() == 60
+    assert out.groupBy("doc_id").count().where(F.col("count") > 1).count() == 0
+    # every commit carries its fence
+    assert snapshot_sink.last_committed_batch(t) is not None
+
+    # manual replay of an already-committed batch id is a no-op
+    v_before = t.current_version()
+    did = snapshot_sink.append_batch(t, docs.limit(5), batch_id=0)
+    assert did is False and t.current_version() == v_before
+
+    # maintenance commits between batches don't break the fence walk
+    # (NOTE: never advance the fence manually on a stream-driven table —
+    # the stream's next checkpointed batch id would be absorbed as a
+    # replay and its rows dropped; that is the fence doing its job)
+    t.compact(small_bytes=1 << 30, target_bytes=1 << 40)
+    assert snapshot_sink.last_committed_batch(t) is not None
+    t2 = SnapshotTable(spark, str(tmp_path / "manual_tbl"))
+    assert snapshot_sink.append_batch(t2, docs.limit(5), batch_id=0) is True
+    t2.compact(small_bytes=1, target_bytes=1 << 40)  # no batch fence
+    assert snapshot_sink.last_committed_batch(t2) == 0
+    assert snapshot_sink.append_batch(t2, docs.limit(3), batch_id=1) is True
+    assert snapshot_sink.last_committed_batch(t2) == 1
+
+    # second wave: only the new files are appended
+    more = corpus.documents_table(spark, 90, skew=False).where(
+        ~F.col("doc_id").isin([r["doc_id"] for r in docs.select("doc_id").collect()])
+    )
+    n_new = more.count()
+    more.write.mode("append").parquet(dirs["in"])
+    snapshot_sink.stream_append_snapshot(
+        spark, dirs["in"], t, dirs["ckpt"], max_files_per_trigger=1
+    )
+    assert t.read().count() == 60 + n_new
+
+
+def test_stream_append_snapshot_kill_and_resume(spark, dirs, tmp_path):
+    """Mid-backlog kill: resume must land every doc exactly once in the
+    snapshot table — the foreachBatch replay is absorbed by the
+    batch-id fence, with the manifest log as the only ledger."""
+    import shutil
+    import time
+
+    from ocr_search_spark.storage_snapshots import SnapshotTable
+    from ocr_search_spark.streaming import snapshot_sink
+
+    docs = corpus.documents_table(spark, 120, skew=False)
+    docs.repartition(24).write.mode("append").parquet(dirs["in"])
+
+    partial = 120
+    for attempt in range(3):
+        shutil.rmtree(dirs["ckpt"], ignore_errors=True)
+        shutil.rmtree(str(tmp_path / f"kill_tbl{attempt - 1}"), ignore_errors=True)
+        t = SnapshotTable(spark, str(tmp_path / f"kill_tbl{attempt}"))
+        q = snapshot_sink.stream_append_snapshot(
+            spark, dirs["in"], t, dirs["ckpt"],
+            max_files_per_trigger=1, await_termination=False,
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p is not None and p["numInputRows"] > 0:
+                break
+            time.sleep(0.05)
+        q.stop()
+        q.awaitTermination()
+        partial = t.read().count() if t.current_version() is not None else 0
+        if partial < 120:
+            break
+    assert partial < 120, "kill landed after full completion on 3 attempts"
+
+    snapshot_sink.stream_append_snapshot(
+        spark, dirs["in"], t, dirs["ckpt"], max_files_per_trigger=1
+    )
+    out = t.read()
+    assert out.count() == 120
+    assert out.groupBy("doc_id").count().where(F.col("count") > 1).count() == 0
+    # and the table's history is all appends with monotonically
+    # increasing batch fences
+    bids = []
+    v = t.current_version()
+    while v is not None:
+        man = t._manifest(v)
+        bid = (man.get("info") or {}).get("batch_id")
+        if bid is not None:
+            bids.append(bid)
+        v = man["parent"]
+    assert bids == sorted(bids, reverse=True)
