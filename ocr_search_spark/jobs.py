@@ -25,6 +25,9 @@ Jobs:
                    (unigram hard-EM or BPE merges) and write it out
   dedup            near-dup dedup pipeline: calibrated MinHash-LSH ->
                    clusters -> one representative per cluster
+  snapshot         lakehouse maintenance on a SnapshotTable: history,
+                   bin-pack compact, snapshot expiry GC, merge-on-read
+                   delete materialization, OPTIMIZE ZORDER, rollback
 """
 
 from __future__ import annotations
@@ -93,6 +96,27 @@ def main(argv: list[str] | None = None) -> int:
     pd_.add_argument("--num-hashes", type=int, default=16)
     pd_.add_argument("--max-df", type=int, default=None)
     _add_common(pd_)
+
+    pn = sub.add_parser(
+        "snapshot", help="SnapshotTable maintenance (lakehouse tier)"
+    )
+    pn.add_argument("--table", required=True, help="snapshot table root")
+    pn.add_argument(
+        "action",
+        choices=["history", "compact", "expire", "materialize", "zorder",
+                 "rollback"],
+    )
+    pn.add_argument("--small-mb", type=int, default=32,
+                    help="compact: files below this are bin-packed")
+    pn.add_argument("--target-mb", type=int, default=128,
+                    help="compact: output file size target")
+    pn.add_argument("--keep-last", type=int, default=2,
+                    help="expire: snapshots to retain")
+    pn.add_argument("--cols", default=None,
+                    help="zorder: comma-separated cluster columns")
+    pn.add_argument("--n-files", type=int, default=64, help="zorder: output files")
+    pn.add_argument("--version", type=int, default=None, help="rollback target")
+    _add_common(pn)
 
     py = sub.add_parser("sync", help="one source-tree sync iteration")
     py.add_argument("--source", required=True, help="source documents dir")
@@ -205,6 +229,30 @@ def main(argv: list[str] | None = None) -> int:
         n_in, n_kept = docs.count(), spark.read.parquet(args.out).count()
         print(json.dumps({"job": "dedup", "n_in": n_in, "n_kept": n_kept,
                           "n_dropped": n_in - n_kept, "out": args.out}))
+    elif args.job == "snapshot":
+        from .storage_snapshots import SnapshotTable
+
+        t = SnapshotTable(spark, args.table)
+        if args.action == "history":
+            out = {"history": t.history()}
+        elif args.action == "compact":
+            v = t.compact(small_bytes=args.small_mb << 20,
+                          target_bytes=args.target_mb << 20)
+            out = {"compacted_to": v}
+        elif args.action == "expire":
+            out = t.expire_snapshots(keep_last=args.keep_last)
+        elif args.action == "materialize":
+            out = {"materialized_to": t.materialize_deletes()}
+        elif args.action == "zorder":
+            if not args.cols:
+                ap.error("zorder requires --cols")
+            v = t.optimize_zorder(args.cols.split(","), n_files=args.n_files)
+            out = {"zordered_to": v}
+        else:  # rollback
+            if args.version is None:
+                ap.error("rollback requires --version")
+            out = {"rolled_back_to": t.rollback(args.version)}
+        print(json.dumps({"job": "snapshot", "action": args.action, **out}))
     elif args.job == "sync":
         from .sync import sync_once
 

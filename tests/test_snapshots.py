@@ -415,3 +415,38 @@ def test_optimize_zorder_content_identical_and_prunes_both_cols(spark, tmp_path)
     t.delete_mor(spark.createDataFrame([(1,)], "k long"))
     with pytest.raises(ValueError, match="merge-on-read"):
         t.optimize_zorder(["k", "ck"])
+
+
+def test_jobs_cli_snapshot_maintenance(spark, tmp_path, capsys):
+    """The lakehouse maintenance CLI: history → materialize (MOR) →
+    zorder → compact → expire, each printing its JSON summary.
+    (In-process smoke; the cluster path differs only by --py-files.)"""
+    import json
+
+    from ocr_search_spark import jobs
+
+    root = str(tmp_path / "snap")
+    t = SnapshotTable(spark, root)
+    t.create(
+        spark.range(200).select(
+            F.col("id").alias("k"), (F.col("id") % 37).alias("ck")
+        ).repartition(8),
+        stats_cols=["k", "ck"],
+    )
+    t.delete_mor(spark.createDataFrame([(5,)], "k long"))
+
+    def run(*argv):
+        rc = jobs.main(["snapshot", *argv, "--table", root])
+        assert rc == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    hist = run("history")
+    assert [h["operation"] for h in hist["history"]] == ["delete-mor", "create"]
+    assert run("materialize")["materialized_to"] == 3
+    assert run("zorder", "--cols", "k,ck", "--n-files", "4")["zordered_to"] == 4
+    assert run("compact", "--small-mb", "512")["compacted_to"] == 5
+    gc = run("expire", "--keep-last", "1")
+    assert gc["manifests"] == 4 and gc["files"] > 0
+    assert spark.read.parquet(*[
+        f"{root}/{f}" for f in t._manifest(5)["files"]
+    ]).count() == 199
