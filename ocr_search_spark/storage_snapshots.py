@@ -254,11 +254,15 @@ class SnapshotTable:
             raise ValueError(f"table {self.path} already exists")
         for c in stats_cols or []:
             t = df.schema[c].dataType
-            if not isinstance(
+            if isinstance(t, T.DecimalType) or not isinstance(
                 t, (T.NumericType, T.StringType, T.DateType, T.TimestampType)
             ):
+                # DecimalType is excluded: JSON cannot carry it exactly and
+                # a string round-trip would compare lexicographically
+                # ("9" > "10") — silently wrong pruning is worse than none
                 raise ValueError(
-                    f"stats_cols column {c} has non-orderable-scalar type {t}"
+                    f"stats_cols column {c} has unsupported type {t} "
+                    "(numeric-non-decimal, string, date, timestamp only)"
                 )
         files = self._write_commit_files(df, 1)
         stats = self._collect_stats(files, df.schema, stats_cols or [])

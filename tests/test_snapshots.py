@@ -450,3 +450,10 @@ def test_jobs_cli_snapshot_maintenance(spark, tmp_path, capsys):
     assert spark.read.parquet(*[
         f"{root}/{f}" for f in t._manifest(5)["files"]
     ]).count() == 199
+
+
+def test_decimal_stats_col_refused(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    df = spark.range(3).select(F.col("id").cast("decimal(10,2)").alias("d"))
+    with pytest.raises(ValueError, match="unsupported type"):
+        t.create(df, stats_cols=["d"])
