@@ -8346,3 +8346,93 @@ def q_snapshot_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRAINING_QUERIES["snapshot_zorder_scan"] = q_snapshot_zorder_scan
 _TRAINING_ORACLES["snapshot_zorder_scan"] = """SELECT o_orderkey AS k, o_custkey AS ck
 FROM orders WHERE o_custkey >= 50 AND o_custkey < 100"""
+
+
+# ------------------------------------------------------------------ webtext
+def q_webtext_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize_web_text (operators/webtext.py): entity decode +
+    mojibake repair + control strip over a defect-injected corpus --
+    every doc gains '&amp;', a per-class defect (mojibake 'caf\u00c3\u00a9' /
+    numeric '&#39;' / named '&lt;b&gt;'), an out-of-range numeric entity
+    that must stay literal, a CRLF and a BEL. The oracle replays the
+    exact replace/split chains (DuckDB replace() is global like Spark's;
+    regexp_replace needs the 'g' flag -- pinned in the generated SQL)."""
+    from ocr_search_spark.operators.webtext import normalize_web_text
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    defect = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("caf\u00c3\u00a9"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("it&#39;s"))
+        .otherwise(F.lit("&lt;b&gt;bold&lt;/b&gt;"))
+    )
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" &amp; "),
+            defect,
+            F.lit(" &#999; x\r\ny\x07z"),
+        ).alias("text"),
+    )
+    return normalize_web_text(corpus)
+
+
+def _webtext_oracle() -> str:
+    from ocr_search_spark.operators.webtext import ENTITY_MAP, MOJIBAKE_MAP
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    # defect-injected corpus (must mirror q_webtext_normalize exactly)
+    corpus = (
+        "SELECT doc_id, text || ' &amp; ' || "
+        "(CASE WHEN doc_id % 3 = 0 THEN 'caf' || chr(195) || chr(169) "
+        " WHEN doc_id % 3 = 1 THEN 'it&#39;s' "
+        " ELSE '&lt;b&gt;bold&lt;/b&gt;' END) || "
+        "' &#999; x' || chr(13) || chr(10) || 'y' || chr(7) || 'z' AS t "
+        "FROM documents"
+    )
+    # counts on the INPUT
+    n_ent = (
+        "len(regexp_extract_all(t, "
+        "'&(lt|gt|quot|apos|nbsp|ndash|mdash|hellip|lsquo|rsquo|ldquo|rdquo"
+        "|copy|deg|amp|#[0-9]{1,7});'))::BIGINT"
+    )
+    moj_terms = [
+        f"((length(t) - length(replace(t, {q(src)}, ''))) // {len(src)})"
+        for src, _ in MOJIBAKE_MAP
+    ]
+    n_moj = "(" + " + ".join(moj_terms) + ")::BIGINT"
+    # controls -> mojibake
+    expr = (
+        "regexp_replace(regexp_replace(t, '\\r\\n?', chr(10), 'g'), "
+        "'[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g')"
+    )
+    for src, dst in MOJIBAKE_MAP:
+        expr = f"replace({expr}, {q(src)}, {q(dst)})"
+    # numeric entities: literal '&#' split, piece-wise decode
+    piece = (
+        "CASE WHEN regexp_matches(x, '^[0-9]{1,7};') "
+        "AND TRY_CAST(regexp_extract(x, '^([0-9]{1,7});', 1) AS INT) "
+        "BETWEEN 32 AND 126 "
+        "THEN chr(regexp_extract(x, '^([0-9]{1,7});', 1)::INT) "
+        "|| regexp_replace(x, '^[0-9]{1,7};', '') "
+        "ELSE '&#' || x END"
+    )
+    expr = (
+        f"(list_extract(string_split({expr}, '&#'), 1) || "
+        f"array_to_string(list_transform("
+        f"list_slice(string_split({expr}, '&#'), 2, "
+        f"len(string_split({expr}, '&#'))), x -> {piece}), ''))"
+    )
+    for src, dst in ENTITY_MAP:
+        expr = f"replace({expr}, {q(src)}, {q(dst)})"
+    return (
+        f"WITH corpus AS ({corpus})\n"
+        f"SELECT doc_id AS id, {expr} AS text, {n_ent} AS n_entities, "
+        f"{n_moj} AS n_mojibake FROM corpus"
+    )
+
+
+_TRAINING_QUERIES["webtext_normalize"] = q_webtext_normalize
+_TRAINING_ORACLES["webtext_normalize"] = _webtext_oracle()

@@ -1,0 +1,174 @@
+"""Web-text normalization: HTML entity decoding, mojibake repair,
+control stripping — the ftfy-style cleanup stage between raw crawl/HTML
+extraction and tokenization.
+
+The north rule's "HTML boilerplate strip … DOM heuristics" implies text
+that has been THROUGH an HTML pipeline, and such text arrives with three
+systematic defects a 100 TB corpus cannot hand-fix:
+
+* **entities** — ``&amp; &lt; &#39;`` survive naive tag stripping (the
+  reference pipes ``pdftotext`` output straight into the tokenizer,
+  PdfUtil.class.js:113 — no decode step exists to mirror, so this is
+  the added lakehouse-tier hygiene);
+* **mojibake** — UTF-8 bytes decoded as cp1252 once upstream
+  (``Ã©`` for ``é``, ``â€™`` for ``’``): the single most common crawl
+  corruption, repairable with a PINNED longest-first replacement chain
+  because the corrupted sequences are unambiguous two/three-char marks;
+* **controls** — C0 chars (minus ``\\n``/``\\t``) and ``\\r\\n`` litter
+  copy-pasted and OCR'd text and poison downstream shingling.
+
+Everything is a chain of literal ``replace`` + RE2-safe regexps + one
+array transform (for decimal numeric entities) — whole-stage codegen,
+no UDFs, and a DuckDB oracle replays it bit-for-bit. RE2 constraint
+matters: the numeric-entity split uses a literal ``&#`` delimiter and
+re-prefixes non-matching pieces, NOT a lookahead (DuckDB's RE2 has no
+lookahead; keeping both engines on the same mechanism is what makes the
+oracle exact).
+
+Decode order is the standard single-pass rule: every non-``&amp;``
+entity first, ``&amp;`` LAST — so ``&amp;lt;`` decodes to the literal
+text ``&lt;`` (one level), never to ``<``.
+
+Numeric entities are decoded for printable ASCII (32-126) only: Spark's
+``char()`` wraps at 256 (`chr(n % 256)`) while DuckDB's ``chr`` is full
+Unicode, so beyond ASCII the two engines would legitimately diverge —
+the guard pins the common cases (``&#39;`` ``&#34;``) and leaves rare
+high code points literal rather than wrong.
+
+Scale shape: pure narrow projection — no shuffle, no state; applied
+per-span or per-doc it composes with extract_density / strip_page_chrome
+in the clean-extraction pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ENTITY_MAP",
+    "MOJIBAKE_MAP",
+    "decode_entities_col",
+    "fix_mojibake_col",
+    "strip_controls_col",
+    "normalize_web_text",
+]
+
+# named entities, decode order = list order (amp LAST — single-pass rule)
+ENTITY_MAP: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&ndash;", "–"),
+    ("&mdash;", "—"),
+    ("&hellip;", "…"),
+    ("&lsquo;", "‘"),
+    ("&rsquo;", "’"),
+    ("&ldquo;", "“"),
+    ("&rdquo;", "”"),
+    ("&copy;", "©"),
+    ("&deg;", "°"),
+    ("&amp;", "&"),
+]
+
+# UTF-8-read-as-cp1252 marks, longest first (pinned order: a longer
+# corrupted sequence can contain a shorter one as a suffix)
+MOJIBAKE_MAP: list[tuple[str, str]] = [
+    ("â€™", "’"),  # â€™ -> ’
+    ("â€˜", "‘"),  # â€˜ -> ‘
+    ("â€œ", "“"),  # â€œ -> “
+    ("â€“", "–"),  # â€“ -> –
+    ("â€”", "—"),  # â€” -> —
+    ("â€¦", "…"),  # â€¦ -> …
+    ("Ã©", "é"),  # Ã© -> é
+    ("Ã¨", "è"),  # Ã¨ -> è
+    ("Ã¡", "á"),  # Ã¡ -> á
+    ("Ã³", "ó"),  # Ã³ -> ó
+    ("Ãº", "ú"),  # Ãº -> ú
+    ("Ã±", "ñ"),  # Ã± -> ñ
+    ("Ã§", "ç"),  # Ã§ -> ç
+    ("Ã¤", "ä"),  # Ã¤ -> ä
+    ("Ã¶", "ö"),  # Ã¶ -> ö
+    ("Ã¼", "ü"),  # Ã¼ -> ü
+    ("Â°", "°"),  # Â° -> °
+    ("Â£", "£"),  # Â£ -> £
+    ("Â©", "©"),  # Â© -> ©
+    ("Â»", "»"),  # Â» -> »
+]
+
+
+def decode_entities_col(text: Column) -> Column:
+    """Named entities (ENTITY_MAP order) + decimal numeric entities for
+    printable ASCII. Numeric path: split on the literal ``&#``; every
+    piece after the first originally started with ``&#`` — decode a
+    leading ``NN;`` (32 <= NN <= 126) to ``chr(NN)``, else restore the
+    ``&#`` prefix untouched."""
+    parts = F.split(text, "&#", -1)
+
+    def piece(p: Column) -> Column:
+        num = F.regexp_extract(p, r"^([0-9]{1,7});", 1)
+        code = F.when(num != "", num.cast("int")).otherwise(F.lit(None))
+        ok = code.isNotNull() & (code >= 32) & (code <= 126)
+        decoded = F.concat(
+            F.char(code), F.regexp_replace(p, r"^[0-9]{1,7};", "")
+        )
+        return F.when(ok, decoded).otherwise(F.concat(F.lit("&#"), p))
+
+    out = F.concat(
+        F.element_at(parts, 1),
+        F.array_join(
+            F.transform(F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))), piece),
+            "",
+        ),
+    )
+    for src, dst in ENTITY_MAP:
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return out
+
+
+def fix_mojibake_col(text: Column) -> Column:
+    """Pinned longest-first literal replacement of the MOJIBAKE_MAP
+    cp1252-mojibake marks."""
+    out = text
+    for src, dst in MOJIBAKE_MAP:
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return out
+
+
+def strip_controls_col(text: Column) -> Column:
+    """CRLF/CR → LF, then drop C0 controls except tab/newline."""
+    out = F.regexp_replace(text, "\r\n?", "\n")
+    return F.regexp_replace(
+        out, "[\x00-\x08\x0B-\x1F\x7F]", ""
+    )
+
+
+def normalize_web_text(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, text, n_entities, n_mojibake): the composed cleanup —
+    controls → mojibake → entities (entities last, so mojibake repair
+    cannot fabricate entity heads) — plus exact defect counts taken on
+    the INPUT (regexp count for entity heads; per-mark occurrence sum
+    for mojibake, computed from length deltas in one projection)."""
+    t = F.col(text_col)
+    n_ent = F.size(
+        F.regexp_extract_all(t, F.lit(r"&(lt|gt|quot|apos|nbsp|ndash|mdash|hellip|lsquo|rsquo|ldquo|rdquo|copy|deg|amp|#[0-9]{1,7});"), 0)
+    )
+    n_moj = F.lit(0).cast("long")
+    for src, _dst in MOJIBAKE_MAP:
+        # occurrences = length delta / pattern length, exact for literals
+        n_moj = n_moj + (
+            (F.length(t) - F.length(F.replace(t, F.lit(src)))) / F.lit(len(src))
+        ).cast("long")
+    cleaned = decode_entities_col(
+        fix_mojibake_col(strip_controls_col(t))
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        cleaned.alias("text"),
+        n_ent.cast("long").alias("n_entities"),
+        n_moj.alias("n_mojibake"),
+    )
