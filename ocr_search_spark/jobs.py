@@ -104,7 +104,7 @@ def main(argv: list[str] | None = None) -> int:
     pn.add_argument(
         "action",
         choices=["history", "compact", "expire", "materialize", "zorder",
-                 "rollback"],
+                 "rollback", "maintain"],
     )
     pn.add_argument("--small-mb", type=int, default=32,
                     help="compact: files below this are bin-packed")
@@ -248,6 +248,10 @@ def main(argv: list[str] | None = None) -> int:
                 ap.error("zorder requires --cols")
             v = t.optimize_zorder(args.cols.split(","), n_files=args.n_files)
             out = {"zordered_to": v}
+        elif args.action == "maintain":
+            out = t.maintain(small_bytes=args.small_mb << 20,
+                             target_bytes=args.target_mb << 20,
+                             keep_snapshots=args.keep_last)
         else:  # rollback
             if args.version is None:
                 ap.error("rollback requires --version")

@@ -783,6 +783,46 @@ class SnapshotTable:
             stats=stats, stats_cols=self._stats_cols(man),
         )
 
+    def maintain(
+        self,
+        small_bytes: int = 32 << 20,
+        target_bytes: int = 128 << 20,
+        max_small_files: int = 8,
+        max_delete_files: int = 4,
+        keep_snapshots: int = 10,
+    ) -> dict:
+        """One maintenance sweep with the standard policy, in dependency
+        order: (1) materialize pending equality deletes once the delete-
+        file count exceeds ``max_delete_files`` (read amplification is
+        one join per key-set, but every reader pays it every scan);
+        (2) bin-pack once more than ``max_small_files`` files sit under
+        ``small_bytes`` (compact refuses over pending deletes — hence
+        the ordering); (3) expire history beyond ``keep_snapshots``.
+        Each step is itself a no-op when below threshold, so running
+        this on a cron/foreachBatch cadence is idempotent and cheap —
+        the streaming-sink companion that keeps a 10^12-row append-heavy
+        table scannable. Returns {materialized, compacted, expired}."""
+        out: dict = {"materialized": None, "compacted": None, "expired": None}
+        man = self._manifest(self._require_current())
+        if len(man.get("delete_files") or []) > max_delete_files:
+            out["materialized"] = self.materialize_deletes()
+            man = self._manifest(self._require_current())
+        if not man.get("delete_files"):
+            fs = self._fs()
+            n_small = sum(
+                1
+                for f in man["files"]
+                if fs.getFileStatus(self._jpath(self._absolute(f))).getLen()
+                < small_bytes
+            )
+            if n_small > max_small_files:
+                out["compacted"] = self.compact(
+                    small_bytes=small_bytes, target_bytes=target_bytes
+                )
+        if len(self.history()) > keep_snapshots:
+            out["expired"] = self.expire_snapshots(keep_last=keep_snapshots)
+        return out
+
     # ------------------------------------------------------ write-audit-publish
     def stage_append(self, df: DataFrame) -> int:
         """Write-audit-publish, stage step: write the append's files AND

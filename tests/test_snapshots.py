@@ -457,3 +457,29 @@ def test_decimal_stats_col_refused(spark, tmp_path):
     df = spark.range(3).select(F.col("id").cast("decimal(10,2)").alias("d"))
     with pytest.raises(ValueError, match="unsupported type"):
         t.create(df, stats_cols=["d"])
+
+
+def test_maintain_policy_sweep(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    t.create(_df(spark, 0, 100, "base").repartition(12))  # 12 small files
+    # below delete threshold: deletes stay MOR, but compaction is blocked
+    t.delete_mor(spark.createDataFrame([(1,)], "k long"))
+    out = t.maintain(small_bytes=1 << 20, max_small_files=8,
+                     max_delete_files=4, keep_snapshots=10)
+    assert out == {"materialized": None, "compacted": None, "expired": None}
+    # push past the delete threshold: materialize, then compact fires
+    for k in (2, 3, 4, 5):
+        t.delete_mor(spark.createDataFrame([(k,)], "k long"))
+    out = t.maintain(small_bytes=1 << 20, max_small_files=8,
+                     max_delete_files=4, keep_snapshots=3)
+    assert out["materialized"] is not None
+    assert out["compacted"] is not None
+    assert out["expired"] is not None and out["expired"]["manifests"] > 0
+    final = t.read()
+    assert final.count() == 95
+    assert final.where("k in (1,2,3,4,5)").count() == 0
+    assert len(t.history()) <= 3
+    # idempotent: a second sweep is a full no-op
+    out2 = t.maintain(small_bytes=1 << 20, max_small_files=8,
+                      max_delete_files=4, keep_snapshots=3)
+    assert out2 == {"materialized": None, "compacted": None, "expired": None}
