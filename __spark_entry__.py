@@ -8436,3 +8436,94 @@ def _webtext_oracle() -> str:
 
 _TRAINING_QUERIES["webtext_normalize"] = q_webtext_normalize
 _TRAINING_ORACLES["webtext_normalize"] = _webtext_oracle()
+
+
+# ------------------------------------------------------------------ sentences
+_SENT_FIX_RE = "([a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+) "
+
+
+def _sentence_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents text is a whitespace word salad — inject terminal
+    punctuation after every 5-word run (left-to-right, non-overlapping:
+    identical in Java regex and RE2) plus one abbreviation that must
+    NOT split, so the splitter has real work."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    punct = F.regexp_replace(F.col("text"), _SENT_FIX_RE, "$1. ")
+    return d.select(
+        "doc_id",
+        F.concat(F.lit("Dr. Ada said: "), punct, F.lit(" The end!")).alias("text"),
+    )
+
+
+def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sentences (training/textstats.py): pinned sentinel-based splitter
+    (abbrev protection, terminal-punct run + whitespace boundary)."""
+    from ocr_search_spark.training import textstats as TS2
+
+    return TS2.sentences(_sentence_fixture(spark, sf_dir))
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readability (training/textstats.py): Flesch / FK-grade in exact
+    integer micros over the punctuated fixture."""
+    from ocr_search_spark.training import textstats as TS2
+
+    return TS2.readability(_sentence_fixture(spark, sf_dir))
+
+
+def _sentence_oracle(readability: bool = False) -> str:
+    from ocr_search_spark.training.textstats import SENT_ABBREVS
+
+    rs, prot = "chr(30)", "chr(31)"
+    expr = "t"
+    for a in SENT_ABBREVS:
+        for form in (a, a[:1].upper() + a[1:]):
+            expr = (
+                f"replace({expr}, '{form}', '{form[:-1]}' || {prot})"
+            )
+    expr = (
+        "regexp_replace(" + expr + ", '([.!?]+)\\s+', '\\1' || " + rs + ", 'g')"
+    )
+    sents = (
+        f"list_filter(list_transform(string_split({expr}, {rs}), "
+        f"s -> trim(replace(s, {prot}, '.'))), s -> s <> '')"
+    )
+    corpus = (
+        "SELECT doc_id, 'Dr. Ada said: ' || "
+        f"regexp_replace(text, '{_SENT_FIX_RE}', '\\1. ', 'g')"
+        " || ' The end!' AS t FROM documents"
+    )
+    if not readability:
+        return f"""WITH corpus AS ({corpus}),
+s AS (SELECT doc_id AS id, {sents} AS l FROM corpus)
+SELECT id, (generate_subscripts(l, 1) - 1)::INT AS sent_idx,
+       unnest(l) AS sentence
+FROM s"""
+    words = "list_filter(string_split_regex(lower(t), '\\s+'), w -> w <> '')"
+    syl = (
+        "list_transform({w}, x -> greatest("
+        "len(regexp_extract_all(x, '[aeiouy]+'))"
+        " - (CASE WHEN x LIKE '%e' AND len(regexp_extract_all(x, '[aeiouy]+')) > 1"
+        " THEN 1 ELSE 0 END), 1))"
+    ).format(w=words)
+    return f"""WITH corpus AS ({corpus}),
+m AS (
+  SELECT doc_id AS id,
+         len({words})::BIGINT AS w,
+         greatest(len({sents}), 1)::BIGINT AS s,
+         list_sum({syl})::BIGINT AS y
+  FROM corpus
+)
+SELECT id, w AS n_words, s AS n_sentences, y AS n_syllables,
+       (206835000 - (1015000 * w) // s
+                  - (84600000 * y) // greatest(w, 1))::BIGINT AS flesch_e6,
+       ((390000 * w) // s + (11800000 * y) // greatest(w, 1)
+                  - 15590000)::BIGINT AS fk_grade_e6
+FROM m"""
+
+
+_TRAINING_QUERIES["sentences"] = q_sentences
+_TRAINING_ORACLES["sentences"] = _sentence_oracle()
+
+_TRAINING_QUERIES["readability"] = q_readability
+_TRAINING_ORACLES["readability"] = _sentence_oracle(readability=True)

@@ -1003,3 +1003,103 @@ def winnow_overlap(
         .agg(F.count("*").cast("long").alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
+
+
+# ------------------------------------------------------------------ sentences
+# Pinned abbreviation lexicon for the splitter: these dot-terminated
+# tokens never end a sentence. Deliberately tiny and FROZEN — the split
+# rule's value at corpus scale is that it is deterministic and
+# cross-engine replayable, not that it wins linguistics benchmarks.
+SENT_ABBREVS = ["mr.", "mrs.", "dr.", "prof.", "e.g.", "i.e.", "etc.", "vs.", "st.", "no."]
+
+_RS = "\x1e"  # record separator sentinel (never occurs in cleaned text)
+_PROT = "\x1f"  # protected-dot sentinel
+
+
+def sentence_split_col(text: Column) -> Column:
+    """Array of sentences. Rule (pinned, RE2-safe — no lookarounds):
+
+    1. protect the dot of each SENT_ABBREVS token (case-insensitive via
+       a lowercased twin match is NOT used — the abbrev list is matched
+       in lowercase and Capitalized forms, both literal, keeping the
+       chain pure literal replaces);
+    2. insert a sentinel after every terminal-punctuation run
+       ``[.!?]+`` that is followed by whitespace (group-ref replacement
+       — ``$1`` in Spark, ``\\1`` in DuckDB, both RE2/Java-global);
+    3. split on the sentinel, trim, drop empties, restore dots.
+    """
+    out = text
+    for a in SENT_ABBREVS:
+        prot = a[:-1] + _PROT
+        out = F.replace(out, F.lit(a), F.lit(prot))
+        cap = a[:1].upper() + a[1:]
+        out = F.replace(out, F.lit(cap), F.lit(cap[:-1] + _PROT))
+    out = F.regexp_replace(out, r"([.!?]+)\s+", "$1" + _RS)
+    sents = F.split(out, _RS)
+    return F.filter(
+        F.transform(sents, lambda s: F.trim(F.replace(s, F.lit(_PROT), F.lit(".")))),
+        lambda s: s != "",
+    )
+
+
+def sentences(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sent_idx, sentence): exploded sentence stream — the passage
+    unit for sentence-level dedup/packing. One projection + posexplode,
+    no shuffle."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(sentence_split_col(F.col(text_col))).alias(
+            "sent_idx", "sentence"
+        ),
+    )
+
+
+def _syllables(word: Column) -> Column:
+    """Pinned heuristic: vowel-group count, minus one for a silent
+    trailing 'e' when more than one group, floor 1."""
+    groups = F.size(F.regexp_extract_all(word, F.lit("[aeiouy]+"), 0))
+    silent = (F.endswith(word, F.lit("e")) & (groups > 1)).cast("int")
+    return F.greatest(groups - silent, F.lit(1))
+
+
+def readability(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade in EXACT integer
+    micros (floor division — replayable bit-for-bit):
+
+        flesch_e6 = 206835000 - 1015000*W//S - 84600000*Y//W
+        fk_e6     =               390000*W//S + 11800000*Y//W - 15590000
+
+    with W = words, S = max(sentences, 1), Y = syllables (pinned
+    vowel-group heuristic). The classic quality gate alongside
+    gopher_filters / lm_quality: cheap, interpretable, and a pure
+    projection — no shuffle, corpus-independent per row."""
+    t = F.col(text_col)
+    words = _words(t)
+    w = F.size(words).cast("long")
+    s = F.greatest(F.size(sentence_split_col(t)), F.lit(1)).cast("long")
+    y = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, x: acc + _syllables(x)
+    )
+    w1 = F.greatest(w, F.lit(1))
+    flesch = (
+        F.lit(206835000).cast("long")
+        - F.floor(F.lit(1015000) * w / s).cast("long")
+        - F.floor(F.lit(84600000) * y / w1).cast("long")
+    )
+    fk = (
+        F.floor(F.lit(390000) * w / s).cast("long")
+        + F.floor(F.lit(11800000) * y / w1).cast("long")
+        - F.lit(15590000)
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        y.alias("n_syllables"),
+        flesch.alias("flesch_e6"),
+        fk.cast("long").alias("fk_grade_e6"),
+    )

@@ -1388,3 +1388,46 @@ def test_winnow_overlap_max_df_guard(spark):
     fps = winnow_fingerprints(df, k=5, w=4)
     assert winnow_overlap(fps).count() == 15  # all pairs, footer-driven
     assert winnow_overlap(fps, max_df=2).count() == 0  # guard drops hot fps
+
+
+# ------------------------------------------------------------ sentences
+
+
+def test_sentence_split_rules(spark):
+    from ocr_search_spark.training.textstats import sentences
+
+    rows = [
+        ("a", "Dr. Smith went home. He slept! Did he? Yes... e.g. naps."),
+        ("b", "one sentence no punct"),
+        ("c", "Mr. X vs. Mrs. Y. Round two!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {}
+    for r in sentences(df).collect():
+        out.setdefault(r["id"], []).append((r["sent_idx"], r["sentence"]))
+    assert [s for _, s in sorted(out["a"])] == [
+        "Dr. Smith went home.", "He slept!", "Did he?", "Yes...", "e.g. naps.",
+    ]
+    assert out["b"] == [(0, "one sentence no punct")]
+    assert [s for _, s in sorted(out["c"])] == ["Mr. X vs. Mrs. Y.", "Round two!"]
+
+
+def test_readability_exact_micros(spark):
+    from ocr_search_spark.training.textstats import readability
+
+    # hand-computed: "the cat sat. the cat ran." -> W=6 S=2 Y=6
+    # flesch = 206835000 - 1015000*6//2 - 84600000*6//6 = 119190000
+    # fk     = 390000*6//2 + 11800000*6//6 - 15590000  = -2620000
+    df = spark.createDataFrame(
+        [("a", "the cat sat. the cat ran.")], "doc_id string, text string"
+    )
+    r = readability(df).collect()[0]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 6)
+    assert r["flesch_e6"] == 119190000
+    assert r["fk_grade_e6"] == -2620000
+    # silent-e and floor-1 rules: "the" 1, "make" 1, "a" 1, "rhythm" 1
+    df2 = spark.createDataFrame(
+        [("b", "make a rhythm")], "doc_id string, text string"
+    )
+    r2 = readability(df2).collect()[0]
+    assert r2["n_syllables"] == 3
