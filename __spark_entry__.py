@@ -8527,3 +8527,45 @@ _TRAINING_ORACLES["sentences"] = _sentence_oracle()
 
 _TRAINING_QUERIES["readability"] = q_readability
 _TRAINING_ORACLES["readability"] = _sentence_oracle(readability=True)
+
+
+def q_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_sentences (training/dedup.py): C4-style repeated-sentence
+    removal over the punctuated fixture — every doc ends with the same
+    'The end!' boilerplate sentence, which must survive only in its
+    canonical first doc (min_words=2 so the 2-word closer is in scope);
+    naturally colliding 5-word salad sentences dedup the same way."""
+    return D.dedup_sentences(_sentence_fixture(spark, sf_dir), min_words=2)
+
+
+def _dedup_sentences_oracle() -> str:
+    base = _sentence_oracle()  # reuses corpus + splitter CTE text
+    # swap the final SELECT for rank + reassembly
+    head, _, _tail = base.rpartition("SELECT id,")
+    return f"""{head}
+SELECT id, (generate_subscripts(l, 1) - 1)::INT AS sent_idx,
+       unnest(l) AS sentence
+FROM s
+"""
+
+
+_SD_ORACLE = f"""WITH x AS ({_dedup_sentences_oracle()}),
+n AS (
+  SELECT id, sent_idx, sentence, lower(trim(sentence)) AS norm,
+         len(list_filter(string_split_regex(lower(trim(sentence)), '\\s+'),
+             w -> w <> '')) AS nw
+  FROM x
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY norm ORDER BY id, sent_idx) AS rn
+  FROM n
+),
+k AS (SELECT *, (nw < 2 OR rn = 1) AS keep FROM r)
+SELECT id,
+       coalesce(string_agg(CASE WHEN keep THEN sentence END, ' '
+                           ORDER BY sent_idx), '') AS text,
+       sum((NOT keep)::INT)::BIGINT AS n_dropped
+FROM k GROUP BY id"""
+
+_TRAINING_QUERIES["dedup_sentences"] = q_dedup_sentences
+_TRAINING_ORACLES["dedup_sentences"] = _SD_ORACLE

@@ -967,3 +967,56 @@ def dedup_corpus(
         decisions.where("keep").select(F.col("id").alias(id_col)), id_col
     )
     return decisions, kept
+
+
+# ------------------------------------------------------ sentence dedup (C4)
+def dedup_sentences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+) -> DataFrame:
+    """C4-style cross-document repeated-sentence removal (Raffel et al.
+    2020 used three-sentence spans; the unit here is the pinned
+    sentence of textstats.sentence_split_col): every duplicate
+    occurrence of a sentence is dropped EXCEPT the canonical first —
+    min (doc_id, sent_idx) over the whole corpus — and surviving
+    sentences are reassembled in original order (E6 discipline).
+    Sentences shorter than ``min_words`` words are exempt ("Yes." in a
+    thousand docs is not boilerplate worth deleting).
+
+    Returns (id, text, n_dropped).
+
+    Scale shape: ONE corpus-wide shuffle keyed by the normalized
+    sentence (window rank — partition cardinality = occurrences of one
+    sentence, the quantity being deduped), then one doc-keyed
+    reassembly agg. The hot-key risk is a sentence in 10^9 docs — but
+    rank only needs each occurrence once, there is no pair join, so the
+    cost is linear in occurrences; WindowGroupLimit prunes rank > 1
+    early. Contrast dup_passages (k-gram evidence, reporting) — this
+    operator REWRITES the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    from .textstats import sentences as _sentences
+
+    s = _sentences(docs, text_col=text_col, id_col=id_col)
+    norm = F.lower(F.trim(F.col("sentence")))
+    nw = F.size(F.filter(F.split(norm, r"\s+"), lambda w: w != ""))
+    s = s.withColumn("_norm", norm).withColumn("_exempt", nw < min_words)
+    w = W.partitionBy("_norm").orderBy("id", "sent_idx")
+    ranked = s.withColumn("_rn", F.row_number().over(w))
+    keep = F.col("_exempt") | (F.col("_rn") == 1)
+    kept = F.when(keep, F.struct("sent_idx", "sentence"))
+    return (
+        ranked.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda x: x["sentence"]
+                ),
+                " ",
+            ).alias(text_col),
+            F.sum((~keep).cast("int")).cast("long").alias("n_dropped"),
+        )
+    )

@@ -1431,3 +1431,26 @@ def test_readability_exact_micros(spark):
     )
     r2 = readability(df2).collect()[0]
     assert r2["n_syllables"] == 3
+
+
+def test_dedup_sentences_canonical_first_and_exemption(spark):
+    from ocr_search_spark.training.dedup import dedup_sentences
+
+    rows = [
+        ("a", "Unique alpha sentence here. Subscribe to our newsletter today. More alpha content follows."),
+        ("b", "Beta opens with this. Subscribe to our newsletter today. Beta closes differently."),
+        ("c", "Subscribe to our newsletter today. Gamma remainder text."),
+        ("d", "Yes. Yes. Short ones stay."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["id"]: r for r in dedup_sentences(df).collect()}
+    assert "Subscribe" in out["a"]["text"]  # canonical first occurrence
+    assert "Subscribe" not in out["b"]["text"] and out["b"]["n_dropped"] == 1
+    assert "Subscribe" not in out["c"]["text"] and out["c"]["n_dropped"] == 1
+    assert out["d"]["text"].count("Yes.") == 2  # min_words exemption
+    # order preserved after removal
+    assert out["b"]["text"] == "Beta opens with this. Beta closes differently."
+    # partition invariance
+    a = sorted(map(tuple, dedup_sentences(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, dedup_sentences(df.repartition(7)).collect()))
+    assert a == b
