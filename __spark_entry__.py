@@ -8170,30 +8170,8 @@ def q_layout_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle bit-exact). Window policy: overflow — the pagelayout
     window shapes earn rows via layout_reading_order / layout_page_chrome."""
     from ocr_search_spark.operators.pagelayout import table_cells
-    from ocr_search_spark.training.hashing import h60
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    i = F.explode(F.sequence(F.lit(0), F.lit(17))).alias("i")
-    b = d.select(F.col("doc_id"), i)
-    key = F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("i").cast("string"))
-    jx = F.pmod(h60(F.concat(F.lit("x:"), key)), F.lit(10))
-    jy = F.pmod(h60(F.concat(F.lit("y:"), key)), F.lit(10))
-    r = F.floor(F.col("i") / 6)
-    c = F.pmod(F.floor(F.col("i") / 2), F.lit(3))
-    k = F.pmod(F.col("i"), F.lit(2))
-    x0 = F.lit(100) + c * 500 + k * 150 + jx
-    y0 = F.lit(100) + r * 80 + jy
-    boxes = b.select(
-        "doc_id",
-        F.lit(1).cast("int").alias("page"),
-        F.col("i").cast("int").alias("box_id"),
-        x0.cast("long").alias("x0"),
-        y0.cast("long").alias("y0"),
-        (x0 + 120).cast("long").alias("x1"),
-        (y0 + 40).cast("long").alias("y1"),
-        F.concat(F.lit("w"), r.cast("string"), c.cast("string"), k.cast("string")).alias("text"),
-    )
-    return table_cells(boxes)
+    return table_cells(_table_grid_boxes(spark, sf_dir))
 
 
 _TRAINING_QUERIES["layout_table_cells"] = q_layout_table_cells
@@ -8569,3 +8547,60 @@ FROM k GROUP BY id"""
 
 _TRAINING_QUERIES["dedup_sentences"] = q_dedup_sentences
 _TRAINING_ORACLES["dedup_sentences"] = _SD_ORACLE
+
+
+def _table_grid_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The jittered 3x3x2 grid shared by layout_table_cells/markdown."""
+    from ocr_search_spark.training.hashing import h60
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.explode(F.sequence(F.lit(0), F.lit(17))).alias("i")
+    b = d.select(F.col("doc_id"), i)
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("i").cast("string"))
+    jx = F.pmod(h60(F.concat(F.lit("x:"), key)), F.lit(10))
+    jy = F.pmod(h60(F.concat(F.lit("y:"), key)), F.lit(10))
+    r = F.floor(F.col("i") / 6)
+    c = F.pmod(F.floor(F.col("i") / 2), F.lit(3))
+    k = F.pmod(F.col("i"), F.lit(2))
+    x0 = F.lit(100) + c * 500 + k * 150 + jx
+    y0 = F.lit(100) + r * 80 + jy
+    return b.select(
+        "doc_id",
+        F.lit(1).cast("int").alias("page"),
+        F.col("i").cast("int").alias("box_id"),
+        x0.cast("long").alias("x0"),
+        y0.cast("long").alias("y0"),
+        (x0 + 120).cast("long").alias("x1"),
+        (y0 + 40).cast("long").alias("y1"),
+        F.concat(F.lit("w"), r.cast("string"), c.cast("string"), k.cast("string")).alias("text"),
+    )
+
+
+def q_layout_table_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table_markdown (operators/pagelayout.py): pipe-table rendering of
+    the recovered grid (complete-grid fixture; the ragged/missing-cell
+    dense-render path is pytest-gated)."""
+    from ocr_search_spark.operators.pagelayout import table_cells, table_markdown
+
+    return table_markdown(table_cells(_table_grid_boxes(spark, sf_dir)))
+
+
+_MD_GRID_CTE = _TRAINING_ORACLES["layout_table_cells"].rsplit("SELECT doc_id, page, trow", 1)[0]
+
+_TRAINING_QUERIES["layout_table_markdown"] = q_layout_table_markdown
+_TRAINING_ORACLES["layout_table_markdown"] = f"""{_MD_GRID_CTE.rstrip()},
+cells AS (
+  SELECT doc_id, page, trow, tcol,
+         string_agg(text, ' ' ORDER BY x0, box_id) AS ctext
+  FROM grid GROUP BY doc_id, page, trow, tcol
+),
+lines AS (
+  SELECT doc_id, page, trow,
+         '| ' || string_agg(ctext, ' | ' ORDER BY tcol) || ' |' AS line
+  FROM cells GROUP BY doc_id, page, trow
+)
+SELECT doc_id, page,
+       (max(trow) + 1)::INT AS n_rows,
+       3::INT AS n_cols,
+       string_agg(line, chr(10) ORDER BY trow) AS markdown
+FROM lines GROUP BY doc_id, page"""

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["reading_order", "strip_page_chrome", "table_structure", "table_cells"]
+__all__ = ["reading_order", "strip_page_chrome", "table_structure", "table_cells", "table_markdown"]
 
 
 def reading_order(
@@ -307,4 +307,69 @@ def table_cells(
         F.min("y0").alias("y0"),
         F.max("x1").alias("x1"),
         F.max("y1").alias("y1"),
+    )
+
+
+def table_markdown(
+    cells: DataFrame,
+    doc_col: str = "doc_id",
+    page_col: str = "page",
+) -> DataFrame:
+    """Render :func:`table_cells` output as a GitHub-style pipe table
+    per (doc, page) — the table-to-text form a training pipeline feeds
+    an LM (structure preserved, layout discarded). Missing cells render
+    empty; rows and columns keep their grid order (pinned array_sort
+    reassembly at both levels — same E6 discipline as the cell text).
+
+    Returns (doc, page, n_rows, n_cols, markdown).
+
+    Scale shape: two (doc, page)-keyed aggs (row assembly, then table
+    assembly); per-key cardinality = the table's cell count. The column
+    count is taken per table (max col + 1) so ragged tables pad, not
+    truncate.
+    """
+    keys = [doc_col, page_col]
+    n_cols = F.max("col").over(W.partitionBy(*keys)) + 1
+    c = cells.withColumn("_nc", n_cols)
+    row_line = (
+        c.groupBy(*keys, "row", "_nc")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("col"), F.col("text")))
+            ).alias("_cells")
+        )
+        .withColumn(
+            # dense render over 0.._nc-1: absent cells become ""
+            "_line",
+            F.concat(
+                F.lit("| "),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("_nc") - 1),
+                        lambda i: F.coalesce(
+                            F.element_at(
+                                F.map_from_entries(F.col("_cells")), i
+                            ),
+                            F.lit(""),
+                        ),
+                    ),
+                    " | ",
+                ),
+                F.lit(" |"),
+            ),
+        )
+    )
+    return (
+        row_line.groupBy(*keys)
+        .agg(
+            (F.max("row") + 1).cast("int").alias("n_rows"),
+            F.max("_nc").cast("int").alias("n_cols"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("row", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                chr(10),
+            ).alias("markdown"),
+        )
     )

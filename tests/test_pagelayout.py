@@ -214,3 +214,15 @@ def test_table_structure_partition_invariance(spark):
     a = sorted(map(tuple, table_structure(df.coalesce(1)).collect()))
     b = sorted(map(tuple, table_structure(df.repartition(7)).collect()))
     assert a == b
+
+
+def test_table_markdown_render_and_ragged_padding(spark):
+    from ocr_search_spark.operators.pagelayout import table_cells, table_markdown
+
+    df = _grid_boxes(spark, n_rows=2, n_cols=3)
+    df = df.where("box_id < 110 or box_id >= 120")  # row 1 missing col 1
+    md = table_markdown(table_cells(df)).collect()[0]
+    assert (md["n_rows"], md["n_cols"]) == (2, 3)
+    lines = md["markdown"].split("\n")
+    assert lines[0] == "| w000 w001 | w010 w011 | w020 w021 |"
+    assert lines[1] == "| w100 w101 |  | w120 w121 |"  # dense empty cell
