@@ -483,3 +483,80 @@ def test_maintain_policy_sweep(spark, tmp_path):
     out2 = t.maintain(small_bytes=1 << 20, max_small_files=8,
                       max_delete_files=4, keep_snapshots=3)
     assert out2 == {"materialized": None, "compacted": None, "expired": None}
+
+
+def test_snapshot_random_walk_model(spark, tmp_path):
+    """Model-based chaos: a seeded random sequence of append / merge /
+    delete_mor / materialize / compact / zorder / rollback must keep
+    the table bit-equal to a dict model after EVERY operation, with
+    per-version model snapshots so rollback is checked too."""
+    import random
+
+    rng = random.Random(20260818)
+    t = SnapshotTable(spark, str(tmp_path / "walk"))
+
+    def df_of(model):
+        rows = [(k, v, tag) for k, (v, tag) in sorted(model.items())]
+        return spark.createDataFrame(rows, "k long, v long, tag string")
+
+    def make(keys, tag):
+        return {k: (k * 10 + rng.randint(0, 9), tag) for k in keys}
+
+    model = make(range(0, 40), "base")
+    t.create(df_of(model).repartition(4))
+    models = {1: dict(model)}
+
+    def check():
+        got = sorted((r["k"], r["v"], r["tag"]) for r in t.read().collect())
+        want = sorted((k, v, tag) for k, (v, tag) in model.items())
+        assert got == want, f"divergence: {len(got)} vs {len(want)} rows"
+
+    next_key = 1000
+    for step in range(14):
+        op = rng.choice(
+            ["append", "merge", "delete_mor", "materialize", "compact",
+             "zorder", "rollback"]
+        )
+        man = t._manifest(t.current_version())
+        pending = bool(man.get("delete_files"))
+        if op == "append":
+            batch = make(range(next_key, next_key + rng.randint(1, 8)), f"a{step}")
+            next_key += 100
+            v = t.append(df_of(batch))
+            model.update(batch)
+        elif op == "merge" and not pending:
+            upd_keys = rng.sample(sorted(model), min(3, len(model)))
+            batch = make(upd_keys, f"m{step}")
+            batch.update(make(range(next_key, next_key + 2), f"m{step}"))
+            next_key += 100
+            v = t.merge(df_of(batch), ["k"])
+            model.update(batch)
+        elif op == "delete_mor":
+            doomed = rng.sample(sorted(model), min(4, len(model)))
+            doomed.append(99999999)  # absent key: no-op
+            v = t.delete_mor(
+                spark.createDataFrame([(k,) for k in doomed], "k long")
+            )
+            for k in doomed:
+                model.pop(k, None)
+        elif op == "materialize":
+            v = t.materialize_deletes()
+            if v is None:
+                continue
+        elif op == "compact" and not pending:
+            v = t.compact(small_bytes=1 << 30, target_bytes=1 << 40)
+            if v is None:
+                continue
+        elif op == "zorder" and not pending and model:
+            v = t.optimize_zorder(["k", "v"], n_files=4, bits=10)
+        elif op == "rollback":
+            target = rng.choice(sorted(models))
+            v = t.rollback(target)
+            model = dict(models[target])
+        else:
+            continue  # op skipped under pending-MOR guard
+        models[v] = dict(model)
+        check()
+    # final: materialize everything and re-verify
+    t.materialize_deletes()
+    check()

@@ -52,3 +52,61 @@ def test_clean_text_is_fixed_point(spark):
     assert _run(spark, clean)["n_entities"] == 0
     assert _run(spark, clean)["n_mojibake"] == 0
     assert once != dirty and again is not None
+
+
+
+def test_webtext_normalize_matches_python_twin(spark):
+    """Golden-twin property: 400 seeded random strings assembled from
+    adversarial fragments (entity heads, bare '&#', dangling ';',
+    mojibake marks, controls, CRLF) must normalize identically to a
+    pure-Python mirror of the pinned rules — one Spark job for all."""
+    import random
+    import re as _re
+
+    from ocr_search_spark.operators.webtext import (
+        ENTITY_MAP,
+        MOJIBAKE_MAP,
+        normalize_web_text,
+    )
+
+    def py_norm(text):
+        t = _re.sub(r"\r\n?", "\n", text)
+        t = _re.sub(r"[\x00-\x08\x0B-\x1F\x7F]", "", t)
+        for src, dst in MOJIBAKE_MAP:
+            t = t.replace(src, dst)
+        parts = t.split("&#")
+        out = parts[0]
+        for p in parts[1:]:
+            m = _re.match(r"^([0-9]{1,7});", p)
+            if m and 32 <= int(m.group(1)) <= 126:
+                out += chr(int(m.group(1))) + p[m.end():]
+            else:
+                out += "&#" + p
+        t = out
+        for src, dst in ENTITY_MAP:
+            t = t.replace(src, dst)
+        return t
+
+    frags = [
+        "&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&#34;", "&#", ";",
+        "&", "#", "&#x41;", "&#999999;", "&#7;", "&#65;", "&#65", "65;",
+        "\u00c3\u00a9", "\u00e2\u0080\u0099", "\u00c2\u00a9", "\u00c3",
+        "a", "b ", "word ", "9", ".", "\r\n", "\r", "\n", "\t", "\x07",
+        "\x00", "&amp;lt;", "&&", "#;",
+    ]
+    rng = random.Random(99)
+    texts = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(0, 12)))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(
+        [(str(i), s) for i, s in enumerate(texts)],
+        "doc_id string, text string",
+    )
+    got = {r["id"]: r["text"] for r in normalize_web_text(df).collect()}
+    bad = [
+        (i, texts[int(i)], got[i], py_norm(texts[int(i)]))
+        for i in got
+        if got[i] != py_norm(texts[int(i)])
+    ]
+    assert not bad, bad[:3]
