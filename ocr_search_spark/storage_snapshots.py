@@ -419,6 +419,28 @@ class SnapshotTable:
         man = self._manifest(v)
         return self._apply_mor_deletes(self._read_manifest_files(man), man)
 
+    def count(self, version: int | None = None) -> int:
+        """COUNT(*) from manifest metadata when possible — zero scan,
+        zero Spark job (Iceberg's stats-only count): the per-file row
+        counts recorded by the commit-time stats aggregate are summed
+        driver-side. Falls back to a real ``read().count()`` when the
+        manifest predates stats collection for some file (an empty file
+        writes no aggregate row — absence of a stats entry for a LISTED
+        file therefore means "unknown", so only fully-covered manifests
+        take the metadata path... except files written before this
+        feature, which are also absent) or when merge-on-read deletes
+        are pending (the delete join must run to know the count)."""
+        v = version if version is not None else self._require_current()
+        man = self._manifest(v)
+        stats = man.get("stats") or {}
+        if not man.get("delete_files"):
+            known = [stats[f]["#rows"] for f in man["files"]
+                     if f in stats and "#rows" in stats[f]]
+            if len(known) == len(man["files"]):
+                return sum(known)
+        return self._read_manifest_files(man) \
+            .count() if not man.get("delete_files") else self.read(v).count()
+
     def scan(
         self,
         predicates: list[tuple[str, str, object]],
@@ -980,23 +1002,27 @@ class SnapshotTable:
         fraction of the write it follows. (A production build would
         lift these from the parquet footers the writer already
         produced; an explicit aggregate keeps this engine-portable and
-        exactly as correct.)"""
-        if not stats_cols or not files:
+        exactly as correct.) A per-file row count rides the same
+        aggregate under the reserved key ``#rows`` — the input to
+        metadata-only :meth:`count`."""
+        if not files:
             return {}
         df = self.spark.read.schema(schema).parquet(
             *[self._absolute(f) for f in files]
         )
-        aggs = []
+        aggs = [F.count(F.lit(1)).alias("_n")]
         for c in stats_cols:
             aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
         rows = df.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect()
         out = {}
         for r in rows:
             rel = self._relativize(urlparse(r["_f"]).path)
-            out[rel] = {
+            st = {
                 c: [_stat_scalar(r[f"_mn_{c}"]), _stat_scalar(r[f"_mx_{c}"])]
                 for c in stats_cols
             }
+            st["#rows"] = int(r["_n"])
+            out[rel] = st
         return out
 
     def _pruned_files(

@@ -560,3 +560,20 @@ def test_snapshot_random_walk_model(spark, tmp_path):
     # final: materialize everything and re-verify
     t.materialize_deletes()
     check()
+
+
+def test_metadata_only_count(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    t.create(_df(spark, 0, 100, "base").repartition(4))
+    man = t._manifest(1)
+    assert all(man["stats"][f]["#rows"] > 0 for f in man["files"])
+    assert t.count() == 100
+    t.append(_df(spark, 100, 130, "w"))
+    assert t.count() == 130 and t.count(version=1) == 100
+    # pending MOR deletes force the real count
+    t.delete_mor(spark.createDataFrame([(5,), (6,)], "k long"))
+    assert t.count() == 128
+    t.materialize_deletes()
+    assert t.count() == 128  # metadata path again (rewritten file re-counted)
+    man2 = t._manifest(t.current_version())
+    assert all("#rows" in man2["stats"][f] for f in man2["files"])
