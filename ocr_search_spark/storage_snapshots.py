@@ -757,8 +757,9 @@ class SnapshotTable:
         )
 
     def optimize_zorder(
-        self, cols: list[str], n_files: int = 64, bits: int = 16
-    ) -> int:
+        self, cols: list[str], n_files: int = 64, bits: int = 16,
+        incremental: bool = False,
+    ) -> int | None:
         """OPTIMIZE ZORDER BY: rewrite the table's files clustered along
         the Morton curve of ``cols`` (operators.layout.zvalue_col — pure
         unrolled shift/or arithmetic, whole-stage codegen), as a
@@ -768,13 +769,43 @@ class SnapshotTable:
         column at once — the manifest tier and the parquet row-group
         tier both bite. This is the layout half of the skipping stack
         (Delta/Iceberg ``OPTIMIZE ZORDER BY`` parity); one range
-        shuffle, the same budget as any clustered write."""
+        shuffle, the same budget as any clustered write.
+
+        ``incremental=True`` rewrites ONLY the files added since the
+        last optimize-zorder commit (Iceberg's incremental
+        ``rewrite_data_files``): cost ∝ new data, at the price of one
+        extra clustered file GROUP per maintenance cycle instead of one
+        globally-clustered set — every file still covers a compact
+        hyper-rectangle (its stats are its own), so manifest pruning
+        stays exactly as sound, merely with more surviving files per
+        predicate until the next full rewrite. Returns None if there is
+        nothing new to rewrite. The tail's Morton bounds come from the
+        tail itself (each commit's stats are per-file recomputed —
+        soundness never depends on shared bounds)."""
         from .operators.layout import scaled_col_from_bounds, zvalue_col
 
         parent = self._require_current()
         man = self._manifest(parent)
         self._require_no_mor(man, "optimize_zorder")
-        df = self._read_manifest_files(man)
+        keep: list[str] = []
+        if incremental:
+            # files already clustered = those present at the last
+            # optimize-zorder commit (walk the chain)
+            v = parent
+            baseline: set[str] = set()
+            while v is not None:
+                m = self._manifest(v)
+                if m["operation"] == "optimize-zorder":
+                    baseline = set(m["files"])
+                    break
+                v = m["parent"]
+            tail = [f for f in man["files"] if f not in baseline]
+            keep = [f for f in man["files"] if f in baseline]
+            if not tail:
+                return None
+            df = self._read_files(tail, man)
+        else:
+            df = self._read_manifest_files(man)
         aggs = []
         for c in cols:
             aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
@@ -799,9 +830,10 @@ class SnapshotTable:
         version = parent + 1
         new_files = self._write_commit_files(packed, version)
         schema = T.StructType.fromJson(man["schema"])
-        stats = self._collect_stats(new_files, schema, self._stats_cols(man))
+        stats = {f: v for f, v in (man.get("stats") or {}).items() if f in set(keep)}
+        stats.update(self._collect_stats(new_files, schema, self._stats_cols(man)))
         return self._commit(
-            "optimize-zorder", new_files, schema, parent,
+            "optimize-zorder", keep + new_files, schema, parent,
             stats=stats, stats_cols=self._stats_cols(man),
         )
 

@@ -577,3 +577,38 @@ def test_metadata_only_count(spark, tmp_path):
     assert t.count() == 128  # metadata path again (rewritten file re-counted)
     man2 = t._manifest(t.current_version())
     assert all("#rows" in man2["stats"][f] for f in man2["files"])
+
+
+def test_optimize_zorder_incremental_tail_only(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    df1 = spark.range(1024).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id") * 2654435761, F.lit(1024)).alias("ck"),
+        (F.col("id") * 10).alias("v"),
+    )
+    t.create(df1.repartition(8), stats_cols=["k", "ck"])
+    v_full = t.optimize_zorder(["k", "ck"], n_files=8, bits=10)
+    zfiles = set(t._manifest(v_full)["files"])
+    before_digests = _file_digests(str(tmp_path / "snap"))
+    # append a tail; incremental rewrites ONLY the tail
+    df2 = spark.range(1024, 1536).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id") * 2654435761, F.lit(1024)).alias("ck"),
+        (F.col("id") * 10).alias("v"),
+    )
+    t.append(df2.repartition(6))
+    pre = sorted((r["k"], r["ck"], r["v"]) for r in t.read().collect())
+    v_inc = t.optimize_zorder(["k", "ck"], n_files=4, bits=10, incremental=True)
+    man = t._manifest(v_inc)
+    # the fully-zordered baseline files are carried by reference,
+    # byte-identical; only the appended tail was rewritten
+    assert zfiles <= set(man["files"])
+    after_digests = _file_digests(str(tmp_path / "snap"))
+    assert all(after_digests.get(r) == d for r, d in before_digests.items())
+    assert sorted((r["k"], r["ck"], r["v"]) for r in t.read().collect()) == pre
+    # stats cover every live file (carried + recomputed)
+    assert set(man["stats"]) == set(man["files"])
+    # nothing new -> no-op
+    assert t.optimize_zorder(["k", "ck"], incremental=True) is None
+    # metadata count still exact through the mixed history
+    assert t.count() == 1536
