@@ -680,7 +680,7 @@ class SnapshotTable:
 
 
     # ------------------------------------------------------ merge-on-read
-    def delete_mor(self, keys: DataFrame) -> int:
+    def delete_mor(self, keys: DataFrame, info: dict | None = None) -> int:
         """Merge-on-read EQUALITY DELETE (Iceberg v2 MOR mode): record
         the keys to delete as a delete file; no data file is read or
         rewritten — commit cost O(batch), vs :meth:`delete_where`'s COW
@@ -714,6 +714,7 @@ class SnapshotTable:
             "delete-mor", man["files"], stored, parent,
             stats=man.get("stats"), stats_cols=self._stats_cols(man),
             delete_files=(man.get("delete_files") or []) + new_delete_files,
+            info=info,
         )
 
     def materialize_deletes(self) -> int | None:

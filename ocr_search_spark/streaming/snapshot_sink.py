@@ -36,10 +36,16 @@ from ..schemas import DOCUMENTS
 from ..storage_snapshots import SnapshotTable
 
 
-def last_committed_batch(table: SnapshotTable) -> int | None:
-    """Newest ``batch_id`` recorded in the manifest chain, or None.
-    Walks newest→oldest and stops at the FIRST append-fence entry —
-    O(commits since the last streaming append), not O(history)."""
+def last_committed_batch(
+    table: SnapshotTable, channel: str = "default"
+) -> int | None:
+    """Newest ``batch_id`` recorded on ``channel`` in the manifest
+    chain, or None. Channels namespace the fences so independent
+    streams (an append ingest and a retraction feed, each with its own
+    checkpoint and thus its own batch numbering) can share one table
+    without absorbing each other's batches. Walks newest→oldest and
+    stops at the FIRST fence entry of the channel — O(commits since
+    that stream last landed), not O(history)."""
     v = table.current_version()
     seen: set[int] = set()
     while v is not None and v not in seen:
@@ -48,14 +54,20 @@ def last_committed_batch(table: SnapshotTable) -> int | None:
             man = table._manifest(v)
         except ValueError:
             return None  # expired tail
-        bid = (man.get("info") or {}).get("batch_id")
-        if bid is not None:
+        info = man.get("info") or {}
+        bid = info.get("batch_id")
+        if bid is not None and info.get("channel", "default") == channel:
             return int(bid)
         v = man["parent"]
     return None
 
 
-def append_batch(table: SnapshotTable, df: DataFrame, batch_id: int) -> bool:
+def append_batch(
+    table: SnapshotTable,
+    df: DataFrame,
+    batch_id: int,
+    channel: str = "default",
+) -> bool:
     """Idempotent sink body: append ``df`` unless ``batch_id`` already
     landed. Returns True iff a commit happened. First batch creates the
     table.
@@ -66,14 +78,69 @@ def append_batch(table: SnapshotTable, df: DataFrame, batch_id: int) -> bool:
     and its rows are (correctly, from the fence's view) dropped. Out-of-
     band writes to a streamed table belong in plain ``table.append``
     (no info fence), which the fence walk skips past."""
-    last = last_committed_batch(table)
+    last = last_committed_batch(table, channel)
     if last is not None and last >= batch_id:
         return False  # replay of an already-committed batch
+    fence = {"batch_id": int(batch_id), "channel": channel}
     if table.current_version() is None:
-        table.create(df, info={"batch_id": int(batch_id)})
+        table.create(df, info=fence)
     else:
-        table.append(df, info={"batch_id": int(batch_id)})
+        table.append(df, info=fence)
     return True
+
+
+def delete_batch(
+    table: SnapshotTable,
+    keys: DataFrame,
+    batch_id: int,
+    channel: str = "retract",
+) -> bool:
+    """Idempotent retraction-sink body: merge-on-read delete of ``keys``
+    unless this channel's ``batch_id`` already landed. O(batch) commit,
+    no files rewritten; pair with ``SnapshotTable.maintain`` to fold
+    accumulated delete files back to copy-on-write."""
+    last = last_committed_batch(table, channel)
+    if last is not None and last >= batch_id:
+        return False
+    table.delete_mor(
+        keys, info={"batch_id": int(batch_id), "channel": channel}
+    )
+    return True
+
+
+def stream_delete_snapshot(
+    spark: SparkSession,
+    input_path: str,
+    table: SnapshotTable,
+    checkpoint_path: str,
+    key_schema: str,
+    max_files_per_trigger: int | None = None,
+    await_termination: bool = True,
+):
+    """Retraction feed → exactly-once merge-on-read deletes (the GDPR
+    erasure stream): each micro-batch of key rows becomes ONE O(batch)
+    delete-mor commit, fenced on the ``retract`` channel so replays are
+    no-ops and a concurrent append stream on the ``default`` channel is
+    never disturbed. ``key_schema`` is the DDL of the key parquet files
+    (columns must be a subset of the table schema)."""
+    reader = spark.readStream.schema(key_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_path)
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        delete_batch(table, df, batch_id)
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
 
 
 def stream_append_snapshot(

@@ -913,3 +913,52 @@ def test_stream_append_snapshot_kill_and_resume(spark, dirs, tmp_path):
             bids.append(bid)
         v = man["parent"]
     assert bids == sorted(bids, reverse=True)
+
+
+def test_stream_retraction_feed_exactly_once(spark, dirs, tmp_path):
+    """Append stream (default channel) + retraction stream (retract
+    channel) share one table: deletes land exactly once as O(batch)
+    MOR commits, replays are absorbed per-channel, and the two fences
+    never collide even though both streams number batches from 0."""
+    from ocr_search_spark.storage_snapshots import SnapshotTable
+    from ocr_search_spark.streaming import snapshot_sink
+
+    docs = corpus.documents_table(spark, 80, skew=False)
+    docs.repartition(4).write.mode("append").parquet(dirs["in"])
+    t = SnapshotTable(spark, str(tmp_path / "rt_tbl"))
+    snapshot_sink.stream_append_snapshot(
+        spark, dirs["in"], t, dirs["ckpt"], max_files_per_trigger=1
+    )
+    assert t.read().count() == 80
+
+    # retraction feed: delete docs whose id starts 0-3, two key files
+    is_doomed = F.substring("doc_id", 1, 1).isin(list("0123"))
+    doomed = docs.where(is_doomed).select("doc_id")
+    n_doomed = doomed.count()
+    key_dir = str(tmp_path / "retract_in")
+    doomed.repartition(2).write.parquet(key_dir)
+    rt_ckpt = str(tmp_path / "retract_ckpt")
+    snapshot_sink.stream_delete_snapshot(
+        spark, key_dir, t, rt_ckpt, key_schema="doc_id string",
+        max_files_per_trigger=1,
+    )
+    out = t.read()
+    assert out.count() == 80 - n_doomed and n_doomed > 0
+    assert out.where(F.substring("doc_id", 1, 1).isin(list("0123"))).count() == 0
+    # channel isolation: the retract fence is set, the append fence
+    # unchanged, and a manual replay on either channel is a no-op
+    assert snapshot_sink.last_committed_batch(t, "retract") is not None
+    a_fence = snapshot_sink.last_committed_batch(t, "default")
+    assert a_fence is not None
+    assert snapshot_sink.delete_batch(t, doomed.limit(1), batch_id=0) is False
+    assert snapshot_sink.append_batch(t, docs.limit(1), batch_id=a_fence) is False
+    # re-running the drained streams changes nothing
+    snapshot_sink.stream_delete_snapshot(
+        spark, key_dir, t, rt_ckpt, key_schema="doc_id string",
+        max_files_per_trigger=1,
+    )
+    assert t.read().count() == 80 - n_doomed
+    # maintenance folds the delete files away; content unchanged
+    t.maintain(small_bytes=1, max_delete_files=0, keep_snapshots=50)
+    assert t.read().count() == 80 - n_doomed
+    assert not t._manifest(t.current_version()).get("delete_files")
