@@ -97,6 +97,18 @@ def main(argv: list[str] | None = None) -> int:
     pd_.add_argument("--max-df", type=int, default=None)
     _add_common(pd_)
 
+    pss = sub.add_parser(
+        "snapshot-stream",
+        help="exactly-once streaming into a SnapshotTable (append|retract)",
+    )
+    pss.add_argument("--input", required=True, help="source parquet dir")
+    pss.add_argument("--table", required=True, help="snapshot table root")
+    pss.add_argument("--checkpoint", required=True)
+    pss.add_argument("--mode", default="append", choices=["append", "retract"])
+    pss.add_argument("--key-schema", default="doc_id string",
+                     help="retract: DDL of the key files")
+    _add_common(pss)
+
     pn = sub.add_parser(
         "snapshot", help="SnapshotTable maintenance (lakehouse tier)"
     )
@@ -229,6 +241,24 @@ def main(argv: list[str] | None = None) -> int:
         n_in, n_kept = docs.count(), spark.read.parquet(args.out).count()
         print(json.dumps({"job": "dedup", "n_in": n_in, "n_kept": n_kept,
                           "n_dropped": n_in - n_kept, "out": args.out}))
+    elif args.job == "snapshot-stream":
+        from .storage_snapshots import SnapshotTable
+        from .streaming import snapshot_sink
+
+        t = SnapshotTable(spark, args.table)
+        if args.mode == "append":
+            snapshot_sink.stream_append_snapshot(
+                spark, args.input, t, args.checkpoint
+            )
+        else:
+            snapshot_sink.stream_delete_snapshot(
+                spark, args.input, t, args.checkpoint,
+                key_schema=args.key_schema,
+            )
+        print(json.dumps({"job": "snapshot-stream", "mode": args.mode,
+                          "table": args.table,
+                          "version": t.current_version(),
+                          "rows": t.count()}))
     elif args.job == "snapshot":
         from .storage_snapshots import SnapshotTable
 

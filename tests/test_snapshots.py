@@ -612,3 +612,29 @@ def test_optimize_zorder_incremental_tail_only(spark, tmp_path):
     assert t.optimize_zorder(["k", "ck"], incremental=True) is None
     # metadata count still exact through the mixed history
     assert t.count() == 1536
+
+
+def test_jobs_cli_snapshot_stream_append_and_retract(spark, tmp_path, capsys):
+    import json
+
+    from ocr_search_spark import corpus, jobs
+
+    docs = corpus.documents_table(spark, 40, skew=False)
+    src = str(tmp_path / "src")
+    docs.repartition(2).write.parquet(src)
+    root = str(tmp_path / "tbl")
+    rc = jobs.main(["snapshot-stream", "--input", src, "--table", root,
+                    "--checkpoint", str(tmp_path / "ck_a")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 40 and out["mode"] == "append"
+
+    keys = docs.limit(7).select("doc_id")
+    kdir = str(tmp_path / "keys")
+    keys.write.parquet(kdir)
+    rc = jobs.main(["snapshot-stream", "--mode", "retract", "--input", kdir,
+                    "--table", root, "--checkpoint", str(tmp_path / "ck_r"),
+                    "--key-schema", "doc_id string"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 33
