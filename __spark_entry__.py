@@ -8349,7 +8349,7 @@ def q_webtext_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"),
             F.lit(" &amp; "),
             defect,
-            F.lit(" &#999; x\r\ny\x07z"),
+            F.lit(" &#999; &#x41;h x\r\ny\x07z"),
         ).alias("text"),
     )
     return normalize_web_text(corpus)
@@ -8367,14 +8367,14 @@ def _webtext_oracle() -> str:
         "(CASE WHEN doc_id % 3 = 0 THEN 'caf' || chr(195) || chr(169) "
         " WHEN doc_id % 3 = 1 THEN 'it&#39;s' "
         " ELSE '&lt;b&gt;bold&lt;/b&gt;' END) || "
-        "' &#999; x' || chr(13) || chr(10) || 'y' || chr(7) || 'z' AS t "
+        "' &#999; &#x41;h x' || chr(13) || chr(10) || 'y' || chr(7) || 'z' AS t "
         "FROM documents"
     )
     # counts on the INPUT
     n_ent = (
         "len(regexp_extract_all(t, "
         "'&(lt|gt|quot|apos|nbsp|ndash|mdash|hellip|lsquo|rsquo|ldquo|rdquo"
-        "|copy|deg|amp|#[0-9]{1,7});'))::BIGINT"
+        "|copy|deg|amp|#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6});'))::BIGINT"
     )
     moj_terms = [
         f"((length(t) - length(replace(t, {q(src)}, ''))) // {len(src)})"
@@ -8395,6 +8395,11 @@ def _webtext_oracle() -> str:
         "BETWEEN 32 AND 126 "
         "THEN chr(regexp_extract(x, '^([0-9]{1,7});', 1)::INT) "
         "|| regexp_replace(x, '^[0-9]{1,7};', '') "
+        "WHEN regexp_matches(x, '^[xX][0-9a-fA-F]{1,6};') "
+        "AND TRY_CAST('0x' || regexp_extract(x, '^[xX]([0-9a-fA-F]{1,6});', 1) AS INT) "
+        "BETWEEN 32 AND 126 "
+        "THEN chr(('0x' || regexp_extract(x, '^[xX]([0-9a-fA-F]{1,6});', 1))::INT) "
+        "|| regexp_replace(x, '^[xX][0-9a-fA-F]{1,6};', '') "
         "ELSE '&#' || x END"
     )
     expr = (

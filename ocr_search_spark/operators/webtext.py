@@ -100,19 +100,26 @@ MOJIBAKE_MAP: list[tuple[str, str]] = [
 
 
 def decode_entities_col(text: Column) -> Column:
-    """Named entities (ENTITY_MAP order) + decimal numeric entities for
-    printable ASCII. Numeric path: split on the literal ``&#``; every
-    piece after the first originally started with ``&#`` — decode a
-    leading ``NN;`` (32 <= NN <= 126) to ``chr(NN)``, else restore the
-    ``&#`` prefix untouched."""
+    """Named entities (ENTITY_MAP order) + numeric entities — decimal
+    ``&#39;`` and hex ``&#x27;`` — for printable ASCII. Numeric path:
+    split on the literal ``&#``; every piece after the first originally
+    started with ``&#`` — decode a leading ``NN;``/``xHH;`` whose code
+    point lands in 32..126 to its character, else restore the ``&#``
+    prefix untouched."""
     parts = F.split(text, "&#", -1)
 
     def piece(p: Column) -> Column:
         num = F.regexp_extract(p, r"^([0-9]{1,7});", 1)
-        code = F.when(num != "", num.cast("int")).otherwise(F.lit(None))
+        hexa = F.regexp_extract(p, r"^[xX]([0-9a-fA-F]{1,6});", 1)
+        code = (
+            F.when(num != "", num.cast("int"))
+            .when(hexa != "", F.conv(hexa, 16, 10).cast("int"))
+            .otherwise(F.lit(None))
+        )
         ok = code.isNotNull() & (code >= 32) & (code <= 126)
         decoded = F.concat(
-            F.char(code), F.regexp_replace(p, r"^[0-9]{1,7};", "")
+            F.char(code),
+            F.regexp_replace(p, r"^([0-9]{1,7}|[xX][0-9a-fA-F]{1,6});", ""),
         )
         return F.when(ok, decoded).otherwise(F.concat(F.lit("&#"), p))
 
@@ -155,7 +162,7 @@ def normalize_web_text(
     for mojibake, computed from length deltas in one projection)."""
     t = F.col(text_col)
     n_ent = F.size(
-        F.regexp_extract_all(t, F.lit(r"&(lt|gt|quot|apos|nbsp|ndash|mdash|hellip|lsquo|rsquo|ldquo|rdquo|copy|deg|amp|#[0-9]{1,7});"), 0)
+        F.regexp_extract_all(t, F.lit(r"&(lt|gt|quot|apos|nbsp|ndash|mdash|hellip|lsquo|rsquo|ldquo|rdquo|copy|deg|amp|#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6});"), 0)
     )
     n_moj = F.lit(0).cast("long")
     for src, _dst in MOJIBAKE_MAP:

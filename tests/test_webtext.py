@@ -24,11 +24,13 @@ def test_amp_decodes_last_single_pass(spark):
 
 
 def test_numeric_entity_ascii_guard(spark):
-    # out-of-range and malformed numerics stay literal
+    # out-of-range and malformed numerics stay literal; hex decodes
     r = _run(spark, "&#999999; &#8; &#x41; &#12abc; &#34;ok&#34;")
-    assert r["text"] == '&#999999; &#8; &#x41; &#12abc; "ok"'
-    # count includes every &#NNN; head (well-formed), decoded or not
-    assert r["n_entities"] == 4
+    assert r["text"] == '&#999999; &#8; A &#12abc; "ok"'
+    # count includes every well-formed numeric/hex head, decoded or not
+    assert r["n_entities"] == 5
+    r2 = _run(spark, "&#x27;quoted&#X27; &#xZZ; &#x7; &#x110000;")
+    assert r2["text"] == "'quoted' &#xZZ; &#x7; &#x110000;"
 
 
 def test_mojibake_repair_and_count(spark):
@@ -78,8 +80,11 @@ def test_webtext_normalize_matches_python_twin(spark):
         out = parts[0]
         for p in parts[1:]:
             m = _re.match(r"^([0-9]{1,7});", p)
+            h = _re.match(r"^[xX]([0-9a-fA-F]{1,6});", p)
             if m and 32 <= int(m.group(1)) <= 126:
                 out += chr(int(m.group(1))) + p[m.end():]
+            elif h and 32 <= int(h.group(1), 16) <= 126:
+                out += chr(int(h.group(1), 16)) + p[h.end():]
             else:
                 out += "&#" + p
         t = out
