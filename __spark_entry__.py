@@ -8327,6 +8327,12 @@ FROM orders WHERE o_custkey >= 50 AND o_custkey < 100"""
 
 
 # ------------------------------------------------------------------ webtext
+# Window policy (this and all session-9 text entries below — sentences,
+# readability, dedup_sentences, layout_table_markdown): overflow. Their
+# narrow-projection / window-rank shapes earn driver rows through
+# in-window siblings (extract_dehyphen/span_coalesce projections,
+# stratified_sample's window rank, layout_table_cells' grid), and every
+# entry is check_entry-verified at sf0.01 (COVERAGE.md session-9 rows).
 def q_webtext_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """normalize_web_text (operators/webtext.py): entity decode +
     mojibake repair + control strip over a defect-injected corpus --
