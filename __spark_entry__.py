@@ -8394,28 +8394,36 @@ def _webtext_oracle() -> str:
     )
     for src, dst in MOJIBAKE_MAP:
         expr = f"replace({expr}, {q(src)}, {q(dst)})"
-    # numeric entities: literal '&#' split, piece-wise decode
+    # ONE simultaneous pass: split on '&', decode at most one leading
+    # entity per piece (named CASE chain + ASCII-guarded numerics) —
+    # mirrors decode_entities_col exactly
+    named = ""
+    for src, dst in ENTITY_MAP:
+        body, d = src[1:], q(dst)
+        named += (
+            f"WHEN starts_with(x, '{body}') "
+            f"THEN {d} || substr(x, {len(body) + 1}) "
+        )
     piece = (
-        "CASE WHEN regexp_matches(x, '^[0-9]{1,7};') "
-        "AND TRY_CAST(regexp_extract(x, '^([0-9]{1,7});', 1) AS INT) "
+        "CASE WHEN regexp_matches(x, '^#[0-9]{1,7};') "
+        "AND TRY_CAST(regexp_extract(x, '^#([0-9]{1,7});', 1) AS INT) "
         "BETWEEN 32 AND 126 "
-        "THEN chr(regexp_extract(x, '^([0-9]{1,7});', 1)::INT) "
-        "|| regexp_replace(x, '^[0-9]{1,7};', '') "
-        "WHEN regexp_matches(x, '^[xX][0-9a-fA-F]{1,6};') "
-        "AND TRY_CAST('0x' || regexp_extract(x, '^[xX]([0-9a-fA-F]{1,6});', 1) AS INT) "
+        "THEN chr(regexp_extract(x, '^#([0-9]{1,7});', 1)::INT) "
+        "|| regexp_replace(x, '^#[0-9]{1,7};', '') "
+        "WHEN regexp_matches(x, '^#[xX][0-9a-fA-F]{1,6};') "
+        "AND TRY_CAST('0x' || regexp_extract(x, '^#[xX]([0-9a-fA-F]{1,6});', 1) AS INT) "
         "BETWEEN 32 AND 126 "
-        "THEN chr(('0x' || regexp_extract(x, '^[xX]([0-9a-fA-F]{1,6});', 1))::INT) "
-        "|| regexp_replace(x, '^[xX][0-9a-fA-F]{1,6};', '') "
-        "ELSE '&#' || x END"
+        "THEN chr(('0x' || regexp_extract(x, '^#[xX]([0-9a-fA-F]{1,6});', 1))::INT) "
+        "|| regexp_replace(x, '^#[xX][0-9a-fA-F]{1,6};', '') "
+        + named +
+        "ELSE '&' || x END"
     )
     expr = (
-        f"(list_extract(string_split({expr}, '&#'), 1) || "
+        f"(list_extract(string_split({expr}, '&'), 1) || "
         f"array_to_string(list_transform("
-        f"list_slice(string_split({expr}, '&#'), 2, "
-        f"len(string_split({expr}, '&#'))), x -> {piece}), ''))"
+        f"list_slice(string_split({expr}, '&'), 2, "
+        f"len(string_split({expr}, '&'))), x -> {piece}), ''))"
     )
-    for src, dst in ENTITY_MAP:
-        expr = f"replace({expr}, {q(src)}, {q(dst)})"
     return (
         f"WITH corpus AS ({corpus})\n"
         f"SELECT doc_id AS id, {expr} AS text, {n_ent} AS n_entities, "
@@ -8466,9 +8474,12 @@ def _sentence_oracle(readability: bool = False) -> str:
     rs, prot = "chr(30)", "chr(31)"
     expr = "t"
     for a in SENT_ABBREVS:
-        for form in (a, a[:1].upper() + a[1:]):
+        body = a[:-1]
+        for form in (body, body[:1].upper() + body[1:]):
+            esc = form.replace(".", "\\.")
             expr = (
-                f"replace({expr}, '{form}', '{form[:-1]}' || {prot})"
+                f"regexp_replace({expr}, '(^|[^A-Za-z]){esc}\\.', "
+                f"'\\1{form}' || {prot}, 'g')"
             )
     expr = (
         "regexp_replace(" + expr + ", '([.!?]+)\\s+', '\\1' || " + rs + ", 'g')"
@@ -8527,18 +8538,7 @@ def q_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_sentences(_sentence_fixture(spark, sf_dir), min_words=2)
 
 
-def _dedup_sentences_oracle() -> str:
-    base = _sentence_oracle()  # reuses corpus + splitter CTE text
-    # swap the final SELECT for rank + reassembly
-    head, _, _tail = base.rpartition("SELECT id,")
-    return f"""{head}
-SELECT id, (generate_subscripts(l, 1) - 1)::INT AS sent_idx,
-       unnest(l) AS sentence
-FROM s
-"""
-
-
-_SD_ORACLE = f"""WITH x AS ({_dedup_sentences_oracle()}),
+_SD_ORACLE = f"""WITH x AS ({_sentence_oracle()}),
 n AS (
   SELECT id, sent_idx, sentence, lower(trim(sentence)) AS norm,
          len(list_filter(string_split_regex(lower(trim(sentence)), '\\s+'),
@@ -8549,12 +8549,17 @@ r AS (
   SELECT *, row_number() OVER (PARTITION BY norm ORDER BY id, sent_idx) AS rn
   FROM n
 ),
-k AS (SELECT *, (nw < 2 OR rn = 1) AS keep FROM r)
-SELECT id,
-       coalesce(string_agg(CASE WHEN keep THEN sentence END, ' '
-                           ORDER BY sent_idx), '') AS text,
-       sum((NOT keep)::INT)::BIGINT AS n_dropped
-FROM k GROUP BY id"""
+k AS (SELECT *, (nw < 2 OR rn = 1) AS keep FROM r),
+g AS (
+  SELECT id,
+         coalesce(string_agg(CASE WHEN keep THEN sentence END, ' '
+                             ORDER BY sent_idx), '') AS text,
+         sum((NOT keep)::INT)::BIGINT AS n_dropped
+  FROM k GROUP BY id
+)
+SELECT d.doc_id AS id, coalesce(g.text, '') AS text,
+       coalesce(g.n_dropped, 0)::BIGINT AS n_dropped
+FROM documents d LEFT JOIN g ON g.id = d.doc_id"""
 
 _TRAINING_QUERIES["dedup_sentences"] = q_dedup_sentences
 _TRAINING_ORACLES["dedup_sentences"] = _SD_ORACLE
@@ -8602,7 +8607,7 @@ _TRAINING_QUERIES["layout_table_markdown"] = q_layout_table_markdown
 _TRAINING_ORACLES["layout_table_markdown"] = f"""{_MD_GRID_CTE.rstrip()},
 cells AS (
   SELECT doc_id, page, trow, tcol,
-         string_agg(text, ' ' ORDER BY x0, box_id) AS ctext
+         string_agg(replace(text, '|', '\\|'), ' ' ORDER BY x0, box_id) AS ctext
   FROM grid GROUP BY doc_id, page, trow, tcol
 ),
 lines AS (

@@ -330,13 +330,18 @@ def table_markdown(
     """
     keys = [doc_col, page_col]
     n_cols = F.max("col").over(W.partitionBy(*keys)) + 1
-    c = cells.withColumn("_nc", n_cols)
+    # '|' inside cell text would corrupt the pipe-table structure for
+    # downstream parsers — escape it the markdown way
+    esc = F.replace(F.col("text"), F.lit("|"), F.lit("\\|"))
+    c = cells.withColumn("_nc", n_cols).withColumn("_esc", esc)
     row_line = (
         c.groupBy(*keys, "row", "_nc")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("col"), F.col("text")))
-            ).alias("_cells")
+            # one map per row, materialized once (col ids are unique per
+            # (doc, page, row) by table_structure's construction)
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("col"), F.col("_esc")))
+            ).alias("_bycol")
         )
         .withColumn(
             # dense render over 0.._nc-1: absent cells become ""
@@ -347,10 +352,7 @@ def table_markdown(
                     F.transform(
                         F.sequence(F.lit(0), F.col("_nc") - 1),
                         lambda i: F.coalesce(
-                            F.element_at(
-                                F.map_from_entries(F.col("_cells")), i
-                            ),
-                            F.lit(""),
+                            F.element_at(F.col("_bycol"), i), F.lit("")
                         ),
                     ),
                     " | ",

@@ -25,9 +25,10 @@ re-prefixes non-matching pieces, NOT a lookahead (DuckDB's RE2 has no
 lookahead; keeping both engines on the same mechanism is what makes the
 oracle exact).
 
-Decode order is the standard single-pass rule: every non-``&amp;``
-entity first, ``&amp;`` LAST — so ``&amp;lt;`` decodes to the literal
-text ``&lt;`` (one level), never to ``<``.
+Decoding is ONE simultaneous pass (html.unescape semantics on this
+subset): the text splits on ``&`` and each piece decodes at most one
+leading entity, so ``&amp;lt;`` — and its numeric twin ``&#38;lt;`` —
+decode to the literal text ``&lt;`` (one level), never to ``<``.
 
 Numeric entities are decoded for printable ASCII (32-126) only: Spark's
 ``char()`` wraps at 256 (`chr(n % 256)`) while DuckDB's ``chr`` is full
@@ -100,39 +101,50 @@ MOJIBAKE_MAP: list[tuple[str, str]] = [
 
 
 def decode_entities_col(text: Column) -> Column:
-    """Named entities (ENTITY_MAP order) + numeric entities — decimal
-    ``&#39;`` and hex ``&#x27;`` — for printable ASCII. Numeric path:
-    split on the literal ``&#``; every piece after the first originally
-    started with ``&#`` — decode a leading ``NN;``/``xHH;`` whose code
-    point lands in 32..126 to its character, else restore the ``&#``
-    prefix untouched."""
-    parts = F.split(text, "&#", -1)
+    """ONE simultaneous pass over every entity form — named
+    (ENTITY_MAP), decimal ``&#39;`` and hex ``&#x27;`` numerics (the
+    latter two guarded to printable ASCII 32..126; see module
+    docstring). Mechanism: split on the literal ``&``; every piece
+    after the first originally started with ``&`` — decode exactly one
+    leading entity body (named, or a numeric whose code is in range),
+    else restore the ``&``. A decoded character lands in the OUTPUT
+    and is never rescanned, so ``&amp;lt;`` and its numeric twin
+    ``&#38;lt;`` BOTH yield the literal text ``&lt;``, exactly
+    html.unescape's single-pass semantics on this entity subset."""
+    parts = F.split(text, "&", -1)
 
     def piece(p: Column) -> Column:
-        num = F.regexp_extract(p, r"^([0-9]{1,7});", 1)
-        hexa = F.regexp_extract(p, r"^[xX]([0-9a-fA-F]{1,6});", 1)
+        num = F.regexp_extract(p, r"^#([0-9]{1,7});", 1)
+        hexa = F.regexp_extract(p, r"^#[xX]([0-9a-fA-F]{1,6});", 1)
         code = (
             F.when(num != "", num.cast("int"))
             .when(hexa != "", F.conv(hexa, 16, 10).cast("int"))
             .otherwise(F.lit(None))
         )
-        ok = code.isNotNull() & (code >= 32) & (code <= 126)
-        decoded = F.concat(
+        num_ok = code.isNotNull() & (code >= 32) & (code <= 126)
+        num_decoded = F.concat(
             F.char(code),
-            F.regexp_replace(p, r"^([0-9]{1,7}|[xX][0-9a-fA-F]{1,6});", ""),
+            F.regexp_replace(p, r"^#([0-9]{1,7}|[xX][0-9a-fA-F]{1,6});", ""),
         )
-        return F.when(ok, decoded).otherwise(F.concat(F.lit("&#"), p))
+        out = F.when(num_ok, num_decoded)
+        for src, dst in ENTITY_MAP:
+            body = src[1:]  # e.g. "amp;"
+            out = out.when(
+                F.startswith(p, F.lit(body)),
+                F.concat(F.lit(dst), F.substr(p, F.lit(len(body) + 1))),
+            )
+        return out.otherwise(F.concat(F.lit("&"), p))
 
-    out = F.concat(
+    return F.concat(
         F.element_at(parts, 1),
         F.array_join(
-            F.transform(F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))), piece),
+            F.transform(
+                F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
+                piece,
+            ),
             "",
         ),
     )
-    for src, dst in ENTITY_MAP:
-        out = F.replace(out, F.lit(src), F.lit(dst))
-    return out
 
 
 def fix_mojibake_col(text: Column) -> Column:

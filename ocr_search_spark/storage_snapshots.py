@@ -203,6 +203,13 @@ class SnapshotTable:
                 f"snapshot v{version} already exists — a staged commit is "
                 "pending (publish or abort it) or a concurrent writer won"
             )
+        # streaming fences propagate FORWARD through every commit so
+        # expire_snapshots can never GC the manifest carrying a
+        # channel's high-water mark (a lost fence would re-apply a
+        # replayed micro-batch -> duplicate rows / re-run retractions)
+        fences = self._collect_fences(parent)
+        if info and info.get("batch_id") is not None:
+            fences[str(info.get("channel", "default"))] = int(info["batch_id"])
         man = {
             "version": version,
             "parent": parent,
@@ -213,6 +220,7 @@ class SnapshotTable:
             "stats": {f: stats[f] for f in files if stats and f in stats},
             "delete_files": delete_files or [],
             "info": info or {},
+            "fences": fences,
         }
         if not publish:
             man["staged"] = True
@@ -795,7 +803,11 @@ class SnapshotTable:
             v = parent
             baseline: set[str] = set()
             while v is not None:
-                m = self._manifest(v)
+                try:
+                    m = self._manifest(v)
+                except ValueError:
+                    break  # expired tail: no optimize in retained
+                    # history -> empty baseline = full rewrite (safe)
                 if m["operation"] == "optimize-zorder":
                     baseline = set(m["files"])
                     break
@@ -1037,8 +1049,10 @@ class SnapshotTable:
         produced; an explicit aggregate keeps this engine-portable and
         exactly as correct.) A per-file row count rides the same
         aggregate under the reserved key ``#rows`` — the input to
-        metadata-only :meth:`count`."""
-        if not files:
+        metadata-only :meth:`count`. Tables WITHOUT stats_cols skip the
+        read-back entirely (no extra job on the streaming-sink hot
+        path); their count() takes the real-scan fallback."""
+        if not stats_cols or not files:
             return {}
         df = self.spark.read.schema(schema).parquet(
             *[self._absolute(f) for f in files]
@@ -1078,6 +1092,34 @@ class SnapshotTable:
             if keep:
                 out.append(f)
         return out
+
+    def _collect_fences(self, parent: int | None) -> dict:
+        """Newest streaming batch fence per channel as of ``parent``:
+        the parent's forward-propagated map when present, else (legacy
+        manifests) a one-time walk collecting the first fence seen per
+        channel, tolerant of expired tails."""
+        if parent is None:
+            return {}
+        try:
+            man = self._manifest(parent)
+        except ValueError:
+            return {}
+        if "fences" in man:
+            return dict(man["fences"] or {})
+        fences: dict = {}
+        v, seen = parent, set()
+        while v is not None and v not in seen:
+            seen.add(v)
+            try:
+                m = self._manifest(v)
+            except ValueError:
+                break
+            info = m.get("info") or {}
+            bid = info.get("batch_id")
+            if bid is not None:
+                fences.setdefault(str(info.get("channel", "default")), int(bid))
+            v = m["parent"]
+        return fences
 
     def _require_current(self) -> int:
         v = self.current_version()

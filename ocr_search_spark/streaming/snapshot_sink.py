@@ -43,10 +43,21 @@ def last_committed_batch(
     chain, or None. Channels namespace the fences so independent
     streams (an append ingest and a retraction feed, each with its own
     checkpoint and thus its own batch numbering) can share one table
-    without absorbing each other's batches. Walks newest→oldest and
-    stops at the FIRST fence entry of the channel — O(commits since
-    that stream last landed), not O(history)."""
+    without absorbing each other's batches. Fences propagate forward
+    in every manifest ("fences" map), so this is one O(1) read that
+    survives snapshot expiry; pre-fences histories fall back to the
+    chain walk."""
     v = table.current_version()
+    if v is None:
+        return None
+    try:
+        man = table._manifest(v)
+    except ValueError:
+        return None
+    if "fences" in man:  # forward-propagated map: O(1), expiry-proof
+        bid = (man["fences"] or {}).get(channel)
+        return int(bid) if bid is not None else None
+    # legacy manifests: walk (pre-fences history)
     seen: set[int] = set()
     while v is not None and v not in seen:
         seen.add(v)

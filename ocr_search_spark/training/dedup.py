@@ -1008,7 +1008,7 @@ def dedup_sentences(
     ranked = s.withColumn("_rn", F.row_number().over(w))
     keep = F.col("_exempt") | (F.col("_rn") == 1)
     kept = F.when(keep, F.struct("sent_idx", "sentence"))
-    return (
+    agg = (
         ranked.groupBy("id")
         .agg(
             F.array_join(
@@ -1019,4 +1019,13 @@ def dedup_sentences(
             ).alias(text_col),
             F.sum((~keep).cast("int")).cast("long").alias("n_dropped"),
         )
+    )
+    # a corpus REWRITE must keep every doc: empty/whitespace-only docs
+    # yield zero sentence rows and would vanish from the groupBy —
+    # left-join the result back onto the full id set instead
+    ids = docs.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(agg, "id", "left").select(
+        "id",
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        F.coalesce(F.col("n_dropped"), F.lit(0).cast("long")).alias("n_dropped"),
     )

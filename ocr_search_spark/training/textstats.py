@@ -1019,21 +1019,25 @@ _PROT = "\x1f"  # protected-dot sentinel
 def sentence_split_col(text: Column) -> Column:
     """Array of sentences. Rule (pinned, RE2-safe — no lookarounds):
 
-    1. protect the dot of each SENT_ABBREVS token (case-insensitive via
-       a lowercased twin match is NOT used — the abbrev list is matched
-       in lowercase and Capitalized forms, both literal, keeping the
-       chain pure literal replaces);
+    1. protect the dot of each SENT_ABBREVS token, matched in
+       lowercase and Capitalized forms, anchored at a word boundary
+       via a captured prefix group (see code comment);
     2. insert a sentinel after every terminal-punctuation run
        ``[.!?]+`` that is followed by whitespace (group-ref replacement
        — ``$1`` in Spark, ``\\1`` in DuckDB, both RE2/Java-global);
     3. split on the sentinel, trim, drop empties, restore dots.
     """
+    import re as _re
+
     out = text
+    # anchored at a word boundary via a captured prefix (^|[^A-Za-z]) —
+    # a plain substring match would hit ordinary words ("st." inside
+    # "best.", "no." inside "casino.") and suppress real boundaries
     for a in SENT_ABBREVS:
-        prot = a[:-1] + _PROT
-        out = F.replace(out, F.lit(a), F.lit(prot))
-        cap = a[:1].upper() + a[1:]
-        out = F.replace(out, F.lit(cap), F.lit(cap[:-1] + _PROT))
+        body = a[:-1]
+        for form in (body, body[:1].upper() + body[1:]):
+            pat = "(^|[^A-Za-z])" + _re.escape(form) + "\\."
+            out = F.regexp_replace(out, pat, "$1" + form + _PROT)
     out = F.regexp_replace(out, r"([.!?]+)\s+", "$1" + _RS)
     sents = F.split(out, _RS)
     return F.filter(
@@ -1084,22 +1088,27 @@ def readability(
     y = F.aggregate(
         words, F.lit(0).cast("long"), lambda acc, x: acc + _syllables(x)
     )
-    w1 = F.greatest(w, F.lit(1))
-    flesch = (
-        F.lit(206835000).cast("long")
-        - F.floor(F.lit(1015000) * w / s).cast("long")
-        - F.floor(F.lit(84600000) * y / w1).cast("long")
-    )
-    fk = (
-        F.floor(F.lit(390000) * w / s).cast("long")
-        + F.floor(F.lit(11800000) * y / w1).cast("long")
-        - F.lit(15590000)
-    )
-    return docs.select(
+    base = docs.select(
         F.col(id_col).alias("id"),
         w.alias("n_words"),
         s.alias("n_sentences"),
         y.alias("n_syllables"),
-        flesch.alias("flesch_e6"),
-        fk.cast("long").alias("fk_grade_e6"),
+    )
+    # `div` is Spark SQL's exact integral division — a float quotient
+    # would round through double precision before flooring and could
+    # disagree with the DuckDB oracle's `//` on extreme inputs
+    return base.select(
+        "id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            "206835000 - (1015000 * n_words) div n_sentences"
+            " - (84600000 * n_syllables) div greatest(n_words, 1)"
+        ).cast("long").alias("flesch_e6"),
+        F.expr(
+            "(390000 * n_words) div n_sentences"
+            " + (11800000 * n_syllables) div greatest(n_words, 1)"
+            " - 15590000"
+        ).cast("long").alias("fk_grade_e6"),
     )

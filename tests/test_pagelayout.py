@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ocr_search_spark.operators.pagelayout import reading_order
 
 
@@ -226,3 +228,11 @@ def test_table_markdown_render_and_ragged_padding(spark):
     lines = md["markdown"].split("\n")
     assert lines[0] == "| w000 w001 | w010 w011 | w020 w021 |"
     assert lines[1] == "| w100 w101 |  | w120 w121 |"  # dense empty cell
+    # pipe characters in cell text are escaped, preserving the structure
+    piped = df.withColumn(
+        "text", F.when(F.col("box_id") == 0, F.lit("a|b")).otherwise(F.col("text"))
+    )
+    md2 = table_markdown(table_cells(piped)).collect()[0]
+    row0 = md2["markdown"].split("\n")[0]
+    assert row0.startswith("| a\\|b w001 | ")
+    assert all(len(ln.split(" | ")) == 3 for ln in md2["markdown"].split("\n"))

@@ -564,7 +564,7 @@ def test_snapshot_random_walk_model(spark, tmp_path):
 
 def test_metadata_only_count(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "snap"))
-    t.create(_df(spark, 0, 100, "base").repartition(4))
+    t.create(_df(spark, 0, 100, "base").repartition(4), stats_cols=["k"])
     man = t._manifest(1)
     assert all(man["stats"][f]["#rows"] > 0 for f in man["files"])
     assert t.count() == 100
@@ -577,6 +577,11 @@ def test_metadata_only_count(spark, tmp_path):
     assert t.count() == 128  # metadata path again (rewritten file re-counted)
     man2 = t._manifest(t.current_version())
     assert all("#rows" in man2["stats"][f] for f in man2["files"])
+    # stats-less tables pay no read-back at commit and fall back on read
+    t2 = SnapshotTable(spark, str(tmp_path / "nostats"))
+    t2.create(_df(spark, 0, 10, "x"))
+    assert t2._manifest(1)["stats"] == {}
+    assert t2.count() == 10
 
 
 def test_optimize_zorder_incremental_tail_only(spark, tmp_path):
@@ -638,3 +643,15 @@ def test_jobs_cli_snapshot_stream_append_and_retract(spark, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"] == 33
+
+
+def test_incremental_zorder_survives_expired_history(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    t.create(_df(spark, 0, 50, "a").repartition(2), stats_cols=["k", "v"])
+    t.append(_df(spark, 50, 80, "b").repartition(2))
+    t.expire_snapshots(keep_last=1)  # v1 manifest is gone
+    t.append(_df(spark, 80, 90, "c"))
+    # walk hits the expired tail -> safe full-rewrite fallback, no crash
+    v = t.optimize_zorder(["k", "v"], n_files=2, incremental=True)
+    assert v is not None
+    assert t.count() == 90

@@ -962,3 +962,33 @@ def test_stream_retraction_feed_exactly_once(spark, dirs, tmp_path):
     t.maintain(small_bytes=1, max_delete_files=0, keep_snapshots=50)
     assert t.read().count() == 80 - n_doomed
     assert not t._manifest(t.current_version()).get("delete_files")
+
+
+def test_fences_survive_snapshot_expiry(spark, tmp_path):
+    """maintain()/expire must never lose a channel's high-water mark —
+    fences ride forward in every manifest, so GC'ing the manifest that
+    recorded a batch cannot resurrect that batch on replay."""
+    from ocr_search_spark.storage_snapshots import SnapshotTable
+    from ocr_search_spark.streaming import snapshot_sink
+
+    docs = corpus.documents_table(spark, 30, skew=False)
+    t = SnapshotTable(spark, str(tmp_path / "fence_tbl"))
+    assert snapshot_sink.append_batch(t, docs.limit(10), batch_id=0)
+    assert snapshot_sink.append_batch(t, docs.limit(0), batch_id=1)
+    # maintenance churn pushes the fence-carrying manifests out of history
+    t.compact(small_bytes=1 << 30, target_bytes=1 << 40)
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError):
+        t._manifest(1)  # the batch-0 manifest is really gone
+    # ...but the fence survived in the current manifest
+    assert snapshot_sink.last_committed_batch(t) == 1
+    assert snapshot_sink.append_batch(t, docs.limit(5), batch_id=1) is False
+    assert snapshot_sink.append_batch(t, docs.limit(5), batch_id=2) is True
+    # retract-channel fences propagate independently
+    assert snapshot_sink.delete_batch(
+        t, docs.limit(1).select("doc_id"), batch_id=0
+    ) is True
+    t.materialize_deletes()
+    t.expire_snapshots(keep_last=1)
+    assert snapshot_sink.last_committed_batch(t, "retract") == 0
+    assert snapshot_sink.last_committed_batch(t) == 2

@@ -1412,6 +1412,25 @@ def test_sentence_split_rules(spark):
     assert [s for _, s in sorted(out["c"])] == ["Mr. X vs. Mrs. Y.", "Round two!"]
 
 
+def test_sentence_abbrev_protection_is_word_anchored(spark):
+    from ocr_search_spark.training.textstats import sentences
+
+    # "best." contains "st.", "casino." contains "no." — word-interior
+    # abbreviation matches must NOT suppress the boundary
+    rows = [
+        ("a", "He tried his best. Then he left."),
+        ("b", "They met at the casino. It was loud."),
+        ("c", "See the No. 1 item. Done."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {}
+    for r in sentences(df).collect():
+        out.setdefault(r["id"], []).append((r["sent_idx"], r["sentence"]))
+    assert [s for _, s in sorted(out["a"])] == ["He tried his best.", "Then he left."]
+    assert [s for _, s in sorted(out["b"])] == ["They met at the casino.", "It was loud."]
+    assert [s for _, s in sorted(out["c"])] == ["See the No. 1 item.", "Done."]
+
+
 def test_readability_exact_micros(spark):
     from ocr_search_spark.training.textstats import readability
 
@@ -1454,3 +1473,9 @@ def test_dedup_sentences_canonical_first_and_exemption(spark):
     a = sorted(map(tuple, dedup_sentences(df.coalesce(1)).collect()))
     b = sorted(map(tuple, dedup_sentences(df.repartition(7)).collect()))
     assert a == b
+    # empty / whitespace-only docs survive the rewrite with text ""
+    df2 = df.unionByName(spark.createDataFrame(
+        [("empty", ""), ("blank", "   ")], "doc_id string, text string"))
+    out2 = {r["id"]: r for r in dedup_sentences(df2).collect()}
+    assert out2["empty"]["text"] == "" and out2["empty"]["n_dropped"] == 0
+    assert out2["blank"]["text"] == "" and len(out2) == 6

@@ -21,6 +21,9 @@ def test_amp_decodes_last_single_pass(spark):
     # the classic: &amp;lt; is ONE level of encoding -> literal "&lt;"
     r = _run(spark, "&amp;lt; and &amp;amp;")
     assert r["text"] == "&lt; and &amp;"
+    # the numeric twin must behave identically (single simultaneous pass)
+    r2 = _run(spark, "&#38;lt; and &#x26;amp; and &#38;#38;")
+    assert r2["text"] == "&lt; and &amp; and &#38;"
 
 
 def test_numeric_entity_ascii_guard(spark):
@@ -76,21 +79,23 @@ def test_webtext_normalize_matches_python_twin(spark):
         t = _re.sub(r"[\x00-\x08\x0B-\x1F\x7F]", "", t)
         for src, dst in MOJIBAKE_MAP:
             t = t.replace(src, dst)
-        parts = t.split("&#")
+        parts = t.split("&")
         out = parts[0]
         for p in parts[1:]:
-            m = _re.match(r"^([0-9]{1,7});", p)
-            h = _re.match(r"^[xX]([0-9a-fA-F]{1,6});", p)
+            m = _re.match(r"^#([0-9]{1,7});", p)
+            h = _re.match(r"^#[xX]([0-9a-fA-F]{1,6});", p)
+            named = next(
+                (e for e in ENTITY_MAP if p.startswith(e[0][1:])), None
+            )
             if m and 32 <= int(m.group(1)) <= 126:
                 out += chr(int(m.group(1))) + p[m.end():]
             elif h and 32 <= int(h.group(1), 16) <= 126:
                 out += chr(int(h.group(1), 16)) + p[h.end():]
+            elif named is not None:
+                out += named[1] + p[len(named[0]) - 1:]
             else:
-                out += "&#" + p
-        t = out
-        for src, dst in ENTITY_MAP:
-            t = t.replace(src, dst)
-        return t
+                out += "&" + p
+        return out
 
     frags = [
         "&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&#34;", "&#", ";",
