@@ -8343,6 +8343,13 @@ def q_webtext_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp_replace needs the 'g' flag -- pinned in the generated SQL)."""
     from ocr_search_spark.operators.webtext import normalize_web_text
 
+    return normalize_web_text(_webtext_corpus(spark, sf_dir))
+
+
+def _webtext_corpus(spark: SparkSession, sf_dir: str, closer: str = "") -> DataFrame:
+    """Defect-injected corpus shared by webtext_normalize and the
+    crawl_clean_pipeline capstone; ``closer`` appends a common trailing
+    sentence (boilerplate for the sentence-dedup stage)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     defect = (
         F.when(F.col("doc_id") % 3 == 0, F.lit("caf\u00c3\u00a9"))
@@ -8356,12 +8363,13 @@ def q_webtext_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" &amp; "),
             defect,
             F.lit(" &#999; &#x41;h x\r\ny\x07z"),
+            F.lit(closer),
         ).alias("text"),
     )
-    return normalize_web_text(corpus)
+    return corpus
 
 
-def _webtext_oracle() -> str:
+def _webtext_oracle(closer_sql: str = "") -> str:
     from ocr_search_spark.operators.webtext import ENTITY_MAP, MOJIBAKE_MAP
 
     def q(s: str) -> str:
@@ -8373,8 +8381,9 @@ def _webtext_oracle() -> str:
         "(CASE WHEN doc_id % 3 = 0 THEN 'caf' || chr(195) || chr(169) "
         " WHEN doc_id % 3 = 1 THEN 'it&#39;s' "
         " ELSE '&lt;b&gt;bold&lt;/b&gt;' END) || "
-        "' &#999; &#x41;h x' || chr(13) || chr(10) || 'y' || chr(7) || 'z' AS t "
-        "FROM documents"
+        "' &#999; &#x41;h x' || chr(13) || chr(10) || 'y' || chr(7) || 'z'"
+        + closer_sql +
+        " AS t FROM documents"
     )
     # counts on the INPUT
     n_ent = (
@@ -8468,11 +8477,14 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS2.readability(_sentence_fixture(spark, sf_dir))
 
 
-def _sentence_oracle(readability: bool = False) -> str:
+def _splitter_sql(src: str) -> str:
+    """DuckDB expression: the pinned sentence-list of column ``src``
+    (anchored abbreviation protection -> sentinel -> split/trim/restore
+    -> drop empties), usable over any corpus CTE."""
     from ocr_search_spark.training.textstats import SENT_ABBREVS
 
     rs, prot = "chr(30)", "chr(31)"
-    expr = "t"
+    expr = src
     for a in SENT_ABBREVS:
         body = a[:-1]
         for form in (body, body[:1].upper() + body[1:]):
@@ -8484,10 +8496,14 @@ def _sentence_oracle(readability: bool = False) -> str:
     expr = (
         "regexp_replace(" + expr + ", '([.!?]+)\\s+', '\\1' || " + rs + ", 'g')"
     )
-    sents = (
+    return (
         f"list_filter(list_transform(string_split({expr}, {rs}), "
         f"s -> trim(replace(s, {prot}, '.'))), s -> s <> '')"
     )
+
+
+def _sentence_oracle(readability: bool = False) -> str:
+    sents = _splitter_sql("t")
     corpus = (
         "SELECT doc_id, 'Dr. Ada said: ' || "
         f"regexp_replace(text, '{_SENT_FIX_RE}', '\\1. ', 'g')"
@@ -8620,3 +8636,70 @@ SELECT doc_id, page,
        3::INT AS n_cols,
        string_agg(line, chr(10) ORDER BY trow) AS markdown
 FROM lines GROUP BY doc_id, page"""
+
+
+# ---------------------------------------------------------------- capstone
+def q_crawl_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-to-training-data capstone, ONE oracle-gated query chaining
+    three session-9 stages end-to-end: web-text normalization (entity /
+    mojibake / control repair) -> C4 cross-document repeated-sentence
+    removal (every doc carries the same injected closer sentence, which
+    must survive exactly once corpus-wide) -> per-doc size stats over
+    the cleaned text. The value-hash gate therefore pins the composed
+    semantics, not just each stage in isolation."""
+    from ocr_search_spark.operators.webtext import normalize_web_text
+
+    corpus = _webtext_corpus(spark, sf_dir, closer=". The end of page!")
+    wt = normalize_web_text(corpus).select("id", "text")
+    dd = D.dedup_sentences(wt, text_col="text", id_col="id", min_words=2)
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""
+    )
+    return dd.select(
+        "id",
+        "text",
+        "n_dropped",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(words).cast("long").alias("n_words"),
+    )
+
+
+def _crawl_clean_oracle() -> str:
+    wt_inner = _webtext_oracle(closer_sql=" || '. The end of page!'")
+    wcount = (
+        "len(list_filter(string_split_regex(lower(coalesce(g.text, '')), "
+        "'\\s+'), w -> w <> ''))::BIGINT"
+    )
+    return f"""WITH wt AS (SELECT id, text FROM ({wt_inner})),
+x AS (
+  SELECT id, (generate_subscripts(l, 1) - 1)::INT AS sent_idx,
+         unnest(l) AS sentence
+  FROM (SELECT id, {_splitter_sql("text")} AS l FROM wt) s0
+),
+n AS (
+  SELECT id, sent_idx, sentence, lower(trim(sentence)) AS norm,
+         len(list_filter(string_split_regex(lower(trim(sentence)), '\\s+'),
+             w -> w <> '')) AS nw
+  FROM x
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY norm ORDER BY id, sent_idx) AS rn
+  FROM n
+),
+k AS (SELECT *, (nw < 2 OR rn = 1) AS keep FROM r),
+g AS (
+  SELECT id,
+         coalesce(string_agg(CASE WHEN keep THEN sentence END, ' '
+                             ORDER BY sent_idx), '') AS text,
+         sum((NOT keep)::INT)::BIGINT AS n_dropped
+  FROM k GROUP BY id
+)
+SELECT wt.id, coalesce(g.text, '') AS text,
+       coalesce(g.n_dropped, 0)::BIGINT AS n_dropped,
+       length(coalesce(g.text, ''))::BIGINT AS n_chars,
+       {wcount} AS n_words
+FROM wt LEFT JOIN g ON g.id = wt.id"""
+
+
+_TRAINING_QUERIES["crawl_clean_pipeline"] = q_crawl_clean_pipeline
+_TRAINING_ORACLES["crawl_clean_pipeline"] = _crawl_clean_oracle()
