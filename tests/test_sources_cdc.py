@@ -1,0 +1,86 @@
+"""Streaming CDC data source over the snapshot log (sources_cdc):
+exactly-once delivery from manifest offsets, rewrite-commit skipping,
+WAP invisibility, expired-gap refusal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_search_spark import sources_cdc
+from ocr_search_spark.storage_snapshots import SnapshotTable
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(tag).alias("tag")
+    )
+
+
+def _drain(spark, root, out_dir, ckpt):
+    q = (
+        spark.readStream.format(sources_cdc.FORMAT_NAME)
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+def test_cdc_source_exactly_once_across_maintenance(spark, tmp_path):
+    sources_cdc.register(spark)
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, 0, 50, "a").repartition(2))
+    t.append(_df(spark, 50, 80, "b"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    got = _drain(spark, root, out, ckpt)
+    assert got.count() == 80
+
+    # rewrite commits must NOT re-deliver; MOR deletes add nothing
+    t.compact(small_bytes=1 << 30, target_bytes=1 << 40)
+    t.delete_mor(spark.createDataFrame([(1,)], "k long"))
+    t.materialize_deletes()
+    t.append(_df(spark, 80, 95, "c"))
+    got = _drain(spark, root, out, ckpt)
+    assert got.count() == 95
+    assert got.groupBy("k").count().where("count > 1").count() == 0
+    # the feed is append-driven: the MOR-deleted row was already
+    # delivered and is not retracted (documented semantics)
+    assert got.where("k = 1").count() == 1
+
+
+def test_cdc_source_wap_invisible_until_publish(spark, tmp_path):
+    sources_cdc.register(spark)
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, 0, 10, "a"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    assert _drain(spark, root, out, ckpt).count() == 10
+    staged = t.stage_append(_df(spark, 10, 20, "staged"))
+    assert _drain(spark, root, out, ckpt).count() == 10  # invisible
+    t.publish(staged)
+    assert _drain(spark, root, out, ckpt).count() == 20
+
+
+def test_cdc_source_refuses_expired_gap(spark, tmp_path):
+    sources_cdc.register(spark)
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, 0, 10, "a"))
+    t.append(_df(spark, 10, 20, "b"))
+    t.append(_df(spark, 20, 30, "c"))
+    t.expire_snapshots(keep_last=1)  # v1/v2 manifests gone
+    reader = sources_cdc.SnapshotStreamReader(
+        t.read().schema, {"path": root}
+    )
+    with pytest.raises(ValueError, match="expired before the stream"):
+        reader.partitions({"version": 0}, {"version": 3})
+    # a reader starting AFTER the retained horizon works
+    parts = reader.partitions({"version": 2}, {"version": 3})
+    assert len(parts) >= 1
