@@ -159,6 +159,13 @@ def main() -> None:
         "dedup_report",
         "search_proximity",
         "chunks_cdc",
+        # session-9: lakehouse + crawl-cleaning flagships
+        "snapshot_merge",
+        "snapshot_incremental_postings",
+        "webtext_normalize",
+        "dedup_sentences",
+        "crawl_clean_pipeline",
+        "layout_table_markdown",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:
