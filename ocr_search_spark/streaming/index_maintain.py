@@ -202,3 +202,40 @@ def stream_maintain_postings_and_correlations(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def stream_maintain_postings_from_snapshot(
+    spark: SparkSession,
+    snapshot_root: str,
+    table_path: str,
+    checkpoint_path: str,
+    n_buckets: int = 32,
+    await_termination: bool = True,
+):
+    """The closed lakehouse loop: documents land in a SnapshotTable
+    (batch commits, the exactly-once streaming sink, WAP publishes —
+    any writer) and the standing postings index FOLLOWS THE MANIFEST
+    CHANGELOG via the ``snapshot_cdc`` source (sources_cdc.py) — no
+    directory listing, no modification-time heuristics, and maintenance
+    churn (compaction, zorder, MOR materialization) never re-feeds the
+    index because the source skips rewrite commits by construction."""
+    from .. import sources_cdc
+
+    sources_cdc.register(spark)
+    table = postings_table(spark, table_path, n_buckets)
+    src = (
+        spark.readStream.format(sources_cdc.FORMAT_NAME)
+        .option("path", snapshot_root)
+        .load()
+    )
+    q = (
+        src.writeStream.foreachBatch(
+            lambda batch_df, _batch_id: merge_doc_batch(table, batch_df)
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
