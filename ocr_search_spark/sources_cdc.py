@@ -49,6 +49,7 @@ from typing import Iterator, Sequence
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -80,6 +81,35 @@ def _current_version(root: str) -> int | None:
             return int(fh.read().strip())
     except FileNotFoundError:
         return None
+
+
+def _file_batches(abs_path: str, schema: T.StructType, columns: list):
+    """Arrow batches of one parquet file projected to ``columns`` in
+    order, null-filling columns the file predates (additive schema
+    evolution: old files simply lack the new fields)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    pf = pq.ParquetFile(abs_path)
+    avail = set(pf.schema_arrow.names)
+    present = [c for c in columns if c in avail]
+    table = pq.read_table(abs_path, columns=present)
+    for f in schema.fields:
+        if f.name not in avail:
+            table = table.append_column(
+                f.name, pa.nulls(table.num_rows, type=to_arrow_type(f.dataType))
+            )
+    table = table.select(columns)
+    # cast to the DECLARED schema: files written before a type-widening
+    # evolution (or by writers with narrower literal types) must arrive
+    # as the manifest's types, nullable — Arrow accessors are strict
+    by_name = {f.name: f for f in schema.fields}
+    target = pa.schema(
+        [pa.field(c, to_arrow_type(by_name[c].dataType), nullable=True)
+         for c in columns]
+    )
+    return table.cast(target).to_batches()
 
 
 class SnapshotFilePartition(InputPartition):
@@ -133,16 +163,51 @@ class SnapshotStreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: SnapshotFilePartition) -> Iterator:
-        import pyarrow.parquet as pq
-
-        table = pq.read_table(partition.abs_path, columns=self.columns)
-        # field order must match the declared schema exactly
-        table = table.select(self.columns)
-        for batch in table.to_batches():
-            yield batch
+        yield from _file_batches(partition.abs_path, self.schema, self.columns)
 
     def commit(self, end: dict) -> None:
         pass  # the checkpoint IS the state; nothing engine-side to ack
+
+
+class SnapshotBatchReader(DataSourceReader):
+    """Batch twin: scan one snapshot version (option ``version``,
+    default current) through the same per-file partitions + Arrow
+    executor reads — time travel via ``spark.read.format(...)``.
+    Pending MOR deletes are NOT applied on this path (the reader is
+    schema+files only); tables with pending deletes refuse rather than
+    silently resurrect rows — materialize first or read through
+    ``SnapshotTable.read``."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        self.root = options["path"]
+        self.schema = schema
+        self.version = int(options["version"]) if "version" in options else None
+        self.columns = [f.name for f in schema.fields]
+
+    def partitions(self) -> Sequence[SnapshotFilePartition]:
+        v = self.version
+        if v is None:
+            v = _current_version(self.root)
+            if v is None:
+                raise ValueError(f"snapshot table {self.root} does not exist")
+        man = _read_manifest(self.root, v)
+        if man is None:
+            raise ValueError(f"snapshot v{v} does not exist (expired?)")
+        if man.get("delete_files"):
+            raise ValueError(
+                "table has pending merge-on-read deletes — the batch "
+                "reader cannot apply them; materialize_deletes() first "
+                "or use SnapshotTable.read()"
+            )
+        return [
+            SnapshotFilePartition(
+                os.path.join(_local_root(self.root), rel), v
+            )
+            for rel in man["files"]
+        ]
+
+    def read(self, partition: SnapshotFilePartition) -> Iterator:
+        yield from _file_batches(partition.abs_path, self.schema, self.columns)
 
 
 class SnapshotDataSource(DataSource):
@@ -152,11 +217,19 @@ class SnapshotDataSource(DataSource):
 
     def schema(self):
         root = self.options["path"]
-        v = _current_version(root)
-        if v is None:
-            raise ValueError(f"snapshot table {root} does not exist")
+        if "version" in self.options:
+            v = int(self.options["version"])
+        else:
+            v = _current_version(root)
+            if v is None:
+                raise ValueError(f"snapshot table {root} does not exist")
         man = _read_manifest(root, v)
+        if man is None:
+            raise ValueError(f"snapshot v{v} does not exist (expired?)")
         return T.StructType.fromJson(man["schema"])
+
+    def reader(self, schema: T.StructType) -> SnapshotBatchReader:
+        return SnapshotBatchReader(schema, dict(self.options))
 
     def streamReader(self, schema: T.StructType) -> SnapshotStreamReader:
         return SnapshotStreamReader(schema, dict(self.options))

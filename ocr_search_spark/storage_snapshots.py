@@ -275,7 +275,7 @@ class SnapshotTable:
         files = self._write_commit_files(df, 1)
         stats = self._collect_stats(files, df.schema, stats_cols or [])
         return self._commit(
-            "create", files, df.schema, None, stats=stats,
+            "create", files, self._nullable(df.schema), None, stats=stats,
             stats_cols=stats_cols or [], info=info,
         )
 
@@ -289,8 +289,11 @@ class SnapshotTable:
         new_files = self._write_commit_files(df, version)
         stats = dict(man.get("stats") or {})
         stats.update(self._collect_stats(new_files, df.schema, self._stats_cols(man)))
+        # the TABLE's schema persists — a batch's schema (non-null lit()
+        # fields, narrower literal types) must never clobber evolution
         return self._commit(
-            "append", man["files"] + new_files, df.schema, parent,
+            "append", man["files"] + new_files,
+            T.StructType.fromJson(man["schema"]), parent,
             stats=stats, stats_cols=self._stats_cols(man),
             # pending equality deletes still apply to the OLD files; the
             # appended files carry a higher sequence, so re-inserted keys
@@ -308,7 +311,7 @@ class SnapshotTable:
         files = self._write_commit_files(df, version)
         stats = self._collect_stats(files, df.schema, self._stats_cols(man))
         return self._commit(
-            "overwrite", files, df.schema, parent,
+            "overwrite", files, self._nullable(df.schema), parent,
             stats=stats, stats_cols=self._stats_cols(man),
         )
 
@@ -908,7 +911,8 @@ class SnapshotTable:
         stats = dict(man.get("stats") or {})
         stats.update(self._collect_stats(new_files, df.schema, self._stats_cols(man)))
         return self._commit(
-            "append", man["files"] + new_files, df.schema, parent,
+            "append", man["files"] + new_files,
+            T.StructType.fromJson(man["schema"]), parent,
             stats=stats, stats_cols=self._stats_cols(man),
             delete_files=man.get("delete_files"),
             publish=False,
@@ -1033,6 +1037,17 @@ class SnapshotTable:
         for i in range(len(groups)):
             out = out.drop(f"_hit_{i}")
         return out
+
+    @staticmethod
+    def _nullable(schema: T.StructType) -> T.StructType:
+        """The log treats EVERY column as nullable (Iceberg-style): a
+        batch built from lit()/range() carries non-null fields, but the
+        persisted schema must admit null-filled reads of pre-evolution
+        files and Arrow readers honor nullability strictly."""
+        return T.StructType(
+            [T.StructField(f.name, f.dataType, True, f.metadata)
+             for f in schema.fields]
+        )
 
     @staticmethod
     def _stats_cols(man: dict) -> list[str]:

@@ -119,3 +119,49 @@ def test_cdc_source_drives_postings_maintenance(spark, tmp_path, corpus_df):
     a = sorted(map(tuple, maintained.select("term", "doc_id", "tf").collect()))
     b = sorted(map(tuple, rebuilt.select("term", "doc_id", "tf").collect()))
     assert a == b and len(a) > 0
+
+
+def test_batch_reader_time_travel_and_guards(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    sources_cdc.register(spark)
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, 0, 40, "a").repartition(3))
+    t.append(_df(spark, 40, 60, "b"))
+
+    cur = spark.read.format(sources_cdc.FORMAT_NAME).option("path", root).load()
+    assert cur.count() == 60
+    v1 = (spark.read.format(sources_cdc.FORMAT_NAME)
+          .option("path", root).option("version", 1).load())
+    assert v1.count() == 40  # time travel through the Python reader
+    assert sorted(r["k"] for r in v1.collect()) == list(range(40))
+
+    # pending MOR deletes refuse (reader cannot apply the delete join)
+    t.delete_mor(spark.createDataFrame([(1,)], "k long"))
+    with pytest.raises(Exception, match="merge-on-read"):
+        (spark.read.format(sources_cdc.FORMAT_NAME)
+         .option("path", root).load().count())
+    t.materialize_deletes()
+    assert (spark.read.format(sources_cdc.FORMAT_NAME)
+            .option("path", root).load().count()) == 59
+
+
+def test_reader_null_fills_after_schema_evolution(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    sources_cdc.register(spark)
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.create(_df(spark, 0, 20, "a"))
+    t.add_columns([T.StructField("score", T.LongType(), True)])
+    t.append(_df(spark, 20, 25, "b").withColumn("score", F.lit(7)))
+    # batch: old files read as NULL for the new column
+    cur = spark.read.format(sources_cdc.FORMAT_NAME).option("path", root).load()
+    assert cur.where("score IS NULL").count() == 20
+    assert cur.where("score = 7").count() == 5
+    # streaming from genesis across the evolve commit also null-fills
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    got = _drain(spark, root, out, ckpt)
+    assert got.count() == 25
+    assert got.where("score IS NULL").count() == 20
