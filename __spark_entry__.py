@@ -8703,3 +8703,34 @@ FROM wt LEFT JOIN g ON g.id = wt.id"""
 
 _TRAINING_QUERIES["crawl_clean_pipeline"] = q_crawl_clean_pipeline
 _TRAINING_ORACLES["crawl_clean_pipeline"] = _crawl_clean_oracle()
+
+
+def q_snapshot_pyreader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through the Spark 4 Python Data Source: the snapshot
+    table takes a create (k%2==0) + an append, then version 1 is read
+    back via spark.read.format('snapshot_cdc') — per-file Arrow
+    partitions, schema AS OF v1 — and must hash-equal the base slice
+    (the oracle). The current-version read is asserted in-flight."""
+    from ocr_search_spark import sources_cdc
+
+    sources_cdc.register(spark)
+    o = _snap_orders(spark, sf_dir)
+    t = _snap_table(spark, "pyread")
+    t.create(o.where(F.col("k") % 2 == 0).repartition(3))
+    t.append(o.where(F.col("k") % 2 == 1))
+    cur = (
+        spark.read.format(sources_cdc.FORMAT_NAME)
+        .option("path", t.path)
+        .load()
+    )
+    assert cur.count() == o.count()
+    return (
+        spark.read.format(sources_cdc.FORMAT_NAME)
+        .option("path", t.path)
+        .option("version", 1)
+        .load()
+    )
+
+
+_TRAINING_QUERIES["snapshot_pyreader"] = q_snapshot_pyreader
+_TRAINING_ORACLES["snapshot_pyreader"] = f"{_SNAP_BASE} WHERE o_orderkey % 2 = 0"
