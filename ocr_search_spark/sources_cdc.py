@@ -34,6 +34,12 @@ file; a 10^12-row table streams at whatever parallelism its commit
 cadence produced — and the bin-pack compactor keeps that healthy
 without ever re-entering the feed.
 
+Reference parity: the reference's only change feed is the 15-minute
+poll loop re-listing the entire remote tree and diffing it by hand
+(/root/reference/src/DropboxSynchronizer/DropboxSynchronizer.class.js:64-110,
+interval at config/AppConfig.const.js:26); this source replaces that
+with exact manifest deltas and checkpointed offsets.
+
 The manifest walk reads ``meta/`` via plain file IO: this source
 targets the same posix/file:// roots the rest of the engine's tests
 use; an object-store build would swap in fsspec here and change
