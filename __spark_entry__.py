@@ -1858,8 +1858,14 @@ _GATE_PRIORITY = [
     # quantiles_pricing's slot), rolling_revenue (window-frame agg =
     # events_hourly r2 row + events_sliding sibling).
     "span_coalesce", "passage_removal", "collocations_pmi",
+    # session-10 flagship: boolean retrieval (AND/OR/NOT + phrase parser
+    # compiled to postings set algebra). Window slot freed by
+    # dup_passages (k-gram inventory shape = collocations_pmi's
+    # in-window row + passage_dup_stats/passage_removal siblings;
+    # check_entry-verified in the overflow).
+    "search_boolean",
     # passage-level dedup + training-mix + graph/vector/tokenizer/index ops
-    "dup_passages", "pack_sequences", "source_mix",
+    "pack_sequences", "source_mix",
     "pagerank_centrality", "bpe_merges",
     "postings_compression", "profile_documents",
     # Entries 51+ below exceed the 50-entry driver window on purpose:
@@ -1878,7 +1884,7 @@ _GATE_PRIORITY = [
     # tpch_q3/q5 rows), events_argmax (ranked pick per group =
     # window_top_orders' r2 row), events_sliding (window explode+agg =
     # events_hourly's r2 row + rolling_revenue's in-window slot).
-    "passage_dup_stats", "zorder_scaled",
+    "passage_dup_stats", "zorder_scaled", "dup_passages",
     # session-7 evictions, same sibling policy: tpch_q2/q9 (multiway
     # join-agg + min-subquery shapes = q3/q5/q18 rows), tpch_q14/q17
     # (conditional-agg + correlated-threshold shapes = q4/q22 rows).
@@ -8734,3 +8740,107 @@ def q_snapshot_pyreader(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRAINING_QUERIES["snapshot_pyreader"] = q_snapshot_pyreader
 _TRAINING_ORACLES["snapshot_pyreader"] = f"{_SNAP_BASE} WHERE o_orderkey % 2 = 0"
+
+
+# ------------------------------------------------ boolean retrieval
+# Session-10: AND/OR/NOT + quoted-phrase queries compiled to postings
+# set algebra (operators/boolquery.py) — the retrieval layer the
+# reference's flat TermFreqDict OR-match cannot express
+# (ApiHandler.const.js:28-34). The oracle is generated from the SAME
+# parsed AST: term leaf → postings filter, phrase → posrows adjacency
+# join, OR → UNION, AND → INTERSECT, AND NOT → EXCEPT, then the pinned
+# max-tf scoring over the positive vocabulary. Query mixes a rare
+# marker (nebula, df≈12%), a phrase of two common terms, a common
+# conjunct and a rare exclusion, so every operator path prunes rows.
+
+_BOOL_QUERY = '(nebula OR "table value") AND merge AND NOT summit'
+
+
+def q_search_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.boolquery import boolean_search
+    from ocr_search_spark.operators.tokenize import positional_postings
+
+    ensure_shipped(spark)
+    extracted = extract_spans_columnar(_interleaved(spark, sf_dir))
+    # shared extraction feeds term leaves (filtered-postings scans), the
+    # phrase adjacency join and the scoring pass; like phrase_search,
+    # per-leaf filtered passes over the corpus beat materializing the
+    # full index at gate scale — a deployment reads STORED postings
+    # tables where each leaf is a term-pruned scan
+    pos = positional_postings(extracted.select("doc_id", "spans"))
+    postings = term_postings(extracted.select("doc_id", "spans")).withColumn(
+        "tf", F.col("tf").cast("long")
+    )
+    return boolean_search(postings, _BOOL_QUERY, pos_postings=pos, max_return=50)
+
+
+def _bool_set_sql(node) -> str:
+    """DuckDB set-algebra for a positive AST node (mirrors _doc_set)."""
+    from ocr_search_spark.operators.boolquery import And, Not, Or, Phrase, Term
+
+    if isinstance(node, Term):
+        return f"SELECT doc_id FROM postings WHERE term = '{node.term}'"
+    if isinstance(node, Phrase):
+        joins = "\n  ".join(
+            f"JOIN posrows p{k} ON p{k}.doc_id = p0.doc_id "
+            f"AND p{k}.term = '{t}' AND p{k}.pos = p0.pos + {k}"
+            for k, t in enumerate(node.terms[1:], start=1)
+        )
+        return (
+            "SELECT DISTINCT p0.doc_id FROM posrows p0\n  "
+            + joins
+            + f"\n  WHERE p0.term = '{node.terms[0]}'"
+        )
+    if isinstance(node, Or):
+        return "\nUNION\n".join(f"({_bool_set_sql(c)})" for c in node.children)
+    if isinstance(node, And):
+        pos = [c for c in node.children if not isinstance(c, Not)]
+        neg = [c.child for c in node.children if isinstance(c, Not)]
+        sql = "\nINTERSECT\n".join(f"({_bool_set_sql(c)})" for c in pos)
+        for n in neg:
+            sql = f"({sql})\nEXCEPT\n({_bool_set_sql(n)})"
+        return sql
+    raise TypeError(f"unexpected boolean node {node!r}")
+
+
+def _bool_oracle() -> str:
+    from ocr_search_spark.operators.boolquery import parse_boolean, term_leaves
+
+    ast = parse_boolean(_BOOL_QUERY)
+    vocab = ", ".join(f"'{t}'" for t in term_leaves(ast))
+    filt = (
+        "t -> t <> '' AND regexp_matches(t, '^[\\x00-\\x7F]+$') "
+        "AND length(t) > 1 AND regexp_matches(t, '[a-z]') "
+        f"AND t NOT IN ({_STOPWORDS_IN})"
+    )
+    return f"""WITH {_POSTINGS_BODY},
+wlist AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+           translate(translate(lower(dtext), {_STRIP_LIT}, ''),
+                     {_PUNCT_LIT}, {_SPACES_LIT}), '\\s+'),
+           {filt}) AS ws
+  FROM doctext
+),
+lemlist AS (
+  SELECT doc_id, list_transform(ws, t -> {_lemma_sql("t")}) AS ls FROM wlist
+),
+posidx AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i FROM lemlist),
+posrows AS (SELECT doc_id, (i - 1)::INT AS pos, ls[i] AS term FROM posidx),
+matched AS (
+{_bool_set_sql(ast)}
+),
+scored AS (
+  SELECT m.doc_id, coalesce(max(p.tf), 0)::BIGINT AS score
+  FROM matched m
+  LEFT JOIN (SELECT doc_id, tf FROM postings WHERE term IN ({vocab})) p
+    ON p.doc_id = m.doc_id
+  GROUP BY m.doc_id
+)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 50"""
+
+
+_TRAINING_QUERIES["search_boolean"] = q_search_boolean
+_TRAINING_ORACLES["search_boolean"] = _bool_oracle()
