@@ -8844,3 +8844,71 @@ LIMIT 50"""
 
 _TRAINING_QUERIES["search_boolean"] = q_search_boolean
 _TRAINING_ORACLES["search_boolean"] = _bool_oracle()
+
+
+# ------------------------------------------------ KMV / theta sketch
+# Session-10: bottom-k (Theta) sketch set operations — the estimate HLL
+# registers cannot express is the INTERSECTION of two sketches; the
+# theta framework gives it from the same fixed-size state (k smallest
+# h60 hashes + threshold). Input: per-term doc_id audiences for six
+# pinned terms mixing rare markers (nebula/summit/zephyr, df≈12%,
+# unsaturated → exact mode) with common terms (merge/scan/table,
+# saturated → estimator mode), so both branches of the theta formula
+# are gate-checked. Exact-replay contract: the DuckDB twin builds the
+# SAME sketch (identical hashes, identical rank-k cut) and must land on
+# identical integer estimates.
+
+_KMV_TERMS = ["merge", "nebula", "scan", "summit", "table", "zephyr"]
+_KMV_K = 64
+
+
+def q_kmv_term_audiences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.sketches import kmv_build, kmv_pair_estimates
+
+    p = _postings(spark, sf_dir).where(F.col("term").isin(_KMV_TERMS))
+    sk = kmv_build(p, "doc_id", ("term",), k=_KMV_K)
+    return kmv_pair_estimates(sk, "term")
+
+
+def _kmv_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _KMV_TERMS)
+    H = 1 << 60
+    return f"""WITH {_POSTINGS_BODY},
+hv AS (
+  SELECT DISTINCT term, ('0x' || substring(md5(doc_id), 1, 15))::BIGINT AS h
+  FROM postings WHERE term IN ({terms})
+),
+rk AS (
+  SELECT term, h, row_number() OVER (PARTITION BY term ORDER BY h) AS rn
+  FROM hv
+),
+sk AS (SELECT term, h FROM rk WHERE rn <= {_KMV_K}),
+th AS (
+  SELECT term,
+         CASE WHEN count(*) < {_KMV_K} THEN {H}::BIGINT ELSE max(h) END AS theta
+  FROM sk GROUP BY term
+),
+pairs AS (
+  SELECT a.term AS ta, b.term AS tb, least(a.theta, b.theta) AS theta
+  FROM th a JOIN th b ON a.term < b.term
+),
+counts AS (
+  SELECT p.ta, p.tb, p.theta,
+    (SELECT count(*) FROM sk WHERE sk.term = p.ta AND sk.h < p.theta) AS below_a,
+    (SELECT count(*) FROM sk WHERE sk.term = p.tb AND sk.h < p.theta) AS below_b,
+    (SELECT count(DISTINCT h) FROM sk
+      WHERE sk.term IN (p.ta, p.tb) AND sk.h < p.theta) AS below_u,
+    (SELECT count(*) FROM sk x JOIN sk y ON x.h = y.h
+      WHERE x.term = p.ta AND y.term = p.tb AND x.h < p.theta) AS below_i
+  FROM pairs p
+)
+SELECT ta AS key_a, tb AS key_b,
+       ((below_a::HUGEINT * {H}) // theta)::BIGINT AS est_a,
+       ((below_b::HUGEINT * {H}) // theta)::BIGINT AS est_b,
+       ((below_u::HUGEINT * {H}) // theta)::BIGINT AS est_union,
+       ((below_i::HUGEINT * {H}) // theta)::BIGINT AS est_inter
+FROM counts"""
+
+
+_TRAINING_QUERIES["kmv_term_audiences"] = q_kmv_term_audiences
+_TRAINING_ORACLES["kmv_term_audiences"] = _kmv_oracle()

@@ -317,3 +317,150 @@ def hist_quantiles(
     return hit.select(
         "q_micros", ((F.col("bin") + 1) * F.lit(1 << shift)).alias("est")
     )
+
+
+# ------------------------------------------------------------ KMV / theta
+
+KMV_H = 1 << 60  # h60 hash range: values are uniform in [0, 2^60)
+
+
+def kmv_build(
+    items: DataFrame, col: str, group_cols: tuple = (), k: int = 64
+) -> DataFrame:
+    """K-minimum-values (bottom-k / Theta) sketch per group: the k
+    smallest DISTINCT h60 hashes of ``col``, plus the threshold
+    ``theta`` (the k-th smallest when saturated, else the full hash
+    range ``KMV_H``).
+
+    HLL (above) estimates per-set cardinality but cannot intersect two
+    sketches; the theta framework can — every estimate is
+    ``|samples below theta| * KMV_H / theta``, and union/intersection
+    of sketches stay sketches (Beyer et al., SIGMOD'07; the
+    DataSketches theta design). State is k hashes per group: map-side
+    the per-partition rank-k cut collapses each partition to <= k rows
+    per group before the shuffle (WindowGroupLimit pushes the limit
+    into the partial sort), so at 10^12 rows the shuffle carries
+    O(groups * k), never the corpus.
+
+    Deterministic: md5-backed h60 over the stringified value, so a
+    DuckDB oracle replays the sketch bit-for-bit (the same exact-replay
+    contract as the CMS/HLL/Bloom gates)."""
+    from pyspark.sql import Window as W
+
+    h = h60(F.col(col).cast("string"))
+    d = items.select(*group_cols, h.alias("h")).distinct()
+    w = (
+        W.partitionBy(*group_cols).orderBy("h")
+        if group_cols
+        else W.partitionBy().orderBy("h")
+    )
+    ranked = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    return ranked.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("h")).alias("sketch")
+    ).withColumn(
+        "theta",
+        F.when(F.size("sketch") < k, F.lit(KMV_H)).otherwise(
+            F.element_at("sketch", k)
+        ),
+    )
+
+
+def _kmv_est(below_col: str, theta_col: str = "theta") -> Column:
+    """Integer-exact estimator |{h < theta}| * KMV_H div theta over
+    NAMED columns (both non-negative).
+
+    Unsaturated sketches have theta = KMV_H, so the formula degrades to
+    the EXACT distinct count. DECIMAL(38,0) intermediates: below * 2^60
+    overflows int64 for k > 8. DECIMAL ``div`` truncates, matching
+    DuckDB's HUGEINT ``//`` floor on non-negatives (verified both
+    engines agree bit-for-bit)."""
+    return F.expr(
+        f"CAST((CAST({below_col} AS DECIMAL(38,0))"
+        f" * {KMV_H}) div {theta_col} AS BIGINT)"
+    )
+
+
+def kmv_estimate(sketches: DataFrame, group_cols: tuple = ()) -> DataFrame:
+    """Per-group distinct-count estimates from kmv_build output."""
+    below = F.size(F.filter("sketch", lambda x: x < F.col("theta")))
+    return sketches.withColumn("below", below.cast("long")).select(
+        *group_cols, _kmv_est("below").alias("est")
+    )
+
+
+def kmv_pair_estimates(sketches: DataFrame, key_col: str) -> DataFrame:
+    """Theta set operations for every group pair (key_a < key_b):
+    per-side, union and INTERSECTION distinct-count estimates — the
+    operation HLL registers cannot express.
+
+    theta = min(theta_a, theta_b); each estimate counts the relevant
+    sample hashes strictly below theta and rescales by KMV_H/theta.
+    Runs on sketch state only (a groups x k table): the pair join is
+    over |groups|^2 rows of k-length arrays, never data."""
+    a = sketches.select(
+        F.col(key_col).alias("key_a"),
+        F.col("sketch").alias("sk_a"),
+        F.col("theta").alias("th_a"),
+    )
+    b = sketches.select(
+        F.col(key_col).alias("key_b"),
+        F.col("sketch").alias("sk_b"),
+        F.col("theta").alias("th_b"),
+    )
+    pairs = a.join(b, F.col("key_a") < F.col("key_b")).withColumn(
+        "theta", F.least("th_a", "th_b")
+    )
+    th = F.col("theta")
+    pairs = pairs.withColumns(
+        {
+            "below_a": F.size(F.filter("sk_a", lambda x: x < th)).cast("long"),
+            "below_b": F.size(F.filter("sk_b", lambda x: x < th)).cast("long"),
+            "below_u": F.size(
+                F.array_distinct(
+                    F.filter(F.concat("sk_a", "sk_b"), lambda x: x < th)
+                )
+            ).cast("long"),
+            "below_i": F.size(
+                F.filter(F.array_intersect("sk_a", "sk_b"), lambda x: x < th)
+            ).cast("long"),
+        }
+    )
+    return pairs.select(
+        "key_a",
+        "key_b",
+        _kmv_est("below_a").alias("est_a"),
+        _kmv_est("below_b").alias("est_b"),
+        _kmv_est("below_u").alias("est_union"),
+        _kmv_est("below_i").alias("est_inter"),
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Union-merge sketch states built with the SAME ``k``
+    (shard-parallel builds): merge(build(A), build(B)) == build(A ∪ B)
+    exactly — k smallest of the concatenated distinct hashes, theta
+    recomputed. ``k`` is a property of the BUILD, not inferable from
+    the states (an unsaturated sketch of exactly k elements is
+    indistinguishable from a saturated one), so it must be passed. The
+    first column of each state is the group key."""
+    from functools import reduce
+    from pyspark.sql import Window as W
+
+    u = reduce(
+        DataFrame.unionByName,
+        [s.select(s.columns[0], "sketch") for s in sketches],
+    )
+    key = u.columns[0]
+    rows = u.select(key, F.explode("sketch").alias("h")).distinct()
+    w = W.partitionBy(key).orderBy("h")
+    ranked = rows.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    return ranked.groupBy(key).agg(
+        F.sort_array(F.collect_list("h")).alias("sketch")
+    ).withColumn(
+        "theta",
+        F.when(F.size("sketch") < k, F.lit(KMV_H)).otherwise(
+            F.element_at("sketch", k)
+        ),
+    )

@@ -138,3 +138,74 @@ def test_hist_build_clamps_overflow(spark):
     bins = {r["bin"] for r in SK.hist_build(df, "x", shift=4, n_bins=8).collect()}
     assert bins <= set(range(8))
     assert 7 in bins and 0 in bins
+
+
+# ------------------------------------------------------------ KMV / theta
+
+
+def _kmv_groups(spark, n=3000):
+    """Two groups with known overlap: A = [0, 2000), B = [1000, 3000)
+    → |A|=|B|=2000, |A∩B|=1000, |A∪B|=3000."""
+    ids = spark.range(n).select(F.col("id").cast("long").alias("v"))
+    a = ids.where(F.col("v") < 2000).select(F.lit("A").alias("g"), "v")
+    b = ids.where(F.col("v") >= 1000).select(F.lit("B").alias("g"), "v")
+    return a.unionByName(b)
+
+
+def test_kmv_exact_mode_below_k(spark):
+    """Groups smaller than k: theta = full range, estimate is EXACT."""
+    df = _kmv_groups(spark, n=3000)
+    sk = SK.kmv_build(df.where(F.col("v") % 50 == 0), "v", ("g",), k=64)
+    est = {r["g"]: r["est"] for r in SK.kmv_estimate(sk, ("g",)).collect()}
+    assert est == {"A": 40, "B": 40}  # 2000/50 exactly
+
+
+def test_kmv_estimate_within_tolerance(spark):
+    df = _kmv_groups(spark)
+    sk = SK.kmv_build(df, "v", ("g",), k=256)
+    est = {r["g"]: r["est"] for r in SK.kmv_estimate(sk, ("g",)).collect()}
+    for g in "AB":
+        assert abs(est[g] - 2000) / 2000 < 0.25  # RSE ~ 1/sqrt(k-2) ≈ 6%
+
+
+def test_kmv_pair_set_operations(spark):
+    """Union AND intersection estimates from sketch state only."""
+    df = _kmv_groups(spark)
+    sk = SK.kmv_build(df, "v", ("g",), k=256)
+    row = SK.kmv_pair_estimates(sk, "g").collect()[0]
+    assert (row["key_a"], row["key_b"]) == ("A", "B")
+    assert abs(row["est_union"] - 3000) / 3000 < 0.25
+    assert abs(row["est_inter"] - 1000) / 1000 < 0.40  # fewer samples
+    # inclusion-exclusion consistency within sampling slack
+    assert (
+        abs((row["est_a"] + row["est_b"] - row["est_union"]) - row["est_inter"])
+        / 1000
+        < 0.40
+    )
+
+
+def test_kmv_merge_equals_single_pass(spark):
+    df = _kmv_groups(spark)
+    h1 = df.where(F.col("v") % 2 == 0)
+    h2 = df.where(F.col("v") % 2 == 1)
+    direct = {
+        r["g"]: (r["sketch"], r["theta"])
+        for r in SK.kmv_build(df, "v", ("g",), k=64).collect()
+    }
+    merged = {
+        r["g"]: (r["sketch"], r["theta"])
+        for r in SK.kmv_merge(
+            SK.kmv_build(h1, "v", ("g",), k=64),
+            SK.kmv_build(h2, "v", ("g",), k=64),
+            k=64,
+        ).collect()
+    }
+    assert merged == direct
+
+
+def test_kmv_sketch_state_is_bounded(spark):
+    sk = SK.kmv_build(_kmv_groups(spark), "v", ("g",), k=64)
+    rows = sk.collect()
+    assert len(rows) == 2
+    assert all(len(r["sketch"]) <= 64 for r in rows)
+    assert all(r["sketch"] == sorted(r["sketch"]) for r in rows)
