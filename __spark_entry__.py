@@ -8912,3 +8912,85 @@ FROM counts"""
 
 _TRAINING_QUERIES["kmv_term_audiences"] = q_kmv_term_audiences
 _TRAINING_ORACLES["kmv_term_audiences"] = _kmv_oracle()
+
+
+# ------------------------------------------------ sorted-neighborhood
+# Session-10: the record-linkage classic (Hernandez-Stolfo SNM) as the
+# third candidate-generation strategy beside the shingle self-join and
+# MinHash LSH: sort by blocking key (24-char text prefix), candidates =
+# pairs within 5 positions, exact 3-gram Jaccard on candidates only.
+# Candidate volume is n*window BY CONSTRUCTION — immune to the
+# hot-shingle skew that dedup_skewed's max_df guards against. Runs on
+# the same near-dup twin corpus so the two strategies' outputs are
+# directly comparable; the global sort is the two-pass range-partition
+# rank (driver sees per-partition counts only).
+
+
+def q_dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.sorted_neighborhood_pairs(
+        _neardup_corpus(spark, sf_dir), text_col="text", id_col="id",
+        key_len=24, window=5, k=3, threshold=0.5,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _snm_oracle() -> str:
+    vocab_lit = "[" + ", ".join("'" + w + "'" for w in textproc.OCR_VOCAB) + "]"
+    bp_lit = "[" + ", ".join("'" + w + "'" for w in _BOILERPLATE) + "]"
+    h = lambda e: f"('0x' || substring(md5({e}), 1, 15))::BIGINT"  # noqa: E731
+    pick = (
+        lambda seed: f"({vocab_lit})[(floor(64.0 * ({h(seed)}::DOUBLE"
+        f" / 1152921504606846976.0)) + 1)::INT]"
+    )  # noqa: E731
+    return f"""WITH ids AS (SELECT doc_id::VARCHAR AS did FROM documents),
+base AS (
+  SELECT did,
+         ({h("did || ':grp'")} % {_NEARDUP_GROUPS})::VARCHAR AS g,
+         {h("did || ':bp'")} % 2 = 0 AS bp
+  FROM ids
+),
+wordarr AS (
+  SELECT did,
+    list_transform(range(0, 12),
+      j -> {pick("'g' || g || ':' || j::VARCHAR || ':base'")})
+    || list_transform(range(0, 3),
+      j -> {pick("did || ':' || j::VARCHAR || ':uniq'")})
+    || CASE WHEN bp THEN {bp_lit} ELSE []::VARCHAR[] END AS ws
+  FROM base
+),
+doc AS (SELECT did, ws, array_to_string(ws, ' ') AS text FROM wordarr),
+rk AS (
+  SELECT did,
+         row_number() OVER (ORDER BY substring(lower(text), 1, 24), did)
+           AS rank
+  FROM doc
+),
+pairs AS (
+  SELECT a.did AS id_a, b.did AS id_b
+  FROM rk a JOIN rk b ON b.rank BETWEEN a.rank + 1 AND a.rank + 5
+),
+gramidx AS (
+  SELECT did, ws, unnest(range(1, len(ws) - 1)) AS i FROM wordarr
+),
+grams AS (
+  SELECT DISTINCT did, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS gram
+  FROM gramidx
+),
+sizes AS (SELECT did, count(*) AS n FROM grams GROUP BY did),
+common AS (
+  SELECT p.id_a, p.id_b, count(*) AS c
+  FROM pairs p
+  JOIN grams a ON a.did = p.id_a
+  JOIN grams b ON b.did = p.id_b AND b.gram = a.gram
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.did = common.id_a
+JOIN sizes sb ON sb.did = common.id_b
+WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5"""
+
+
+_TRAINING_QUERIES["dedup_snm"] = q_dedup_snm
+_TRAINING_ORACLES["dedup_snm"] = _snm_oracle()

@@ -1029,3 +1029,111 @@ def dedup_sentences(
         F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
         F.coalesce(F.col("n_dropped"), F.lit(0).cast("long")).alias("n_dropped"),
     )
+
+
+# ------------------------------------------------- sorted neighborhood
+
+
+def global_sort_rank(
+    df: DataFrame, order_cols: list[str], n_parts: int | None = None
+) -> DataFrame:
+    """Scalable global 1-based rank over a TOTAL order (``order_cols``
+    must include a unique tiebreaker): range-partition on the order
+    columns, rank within each partition, add broadcast partition
+    offsets. Two narrow passes; the driver sees only per-partition
+    COUNTS (one row per partition), never data — the
+    single-partition-window global sort this replaces is the classic
+    100 TB bottleneck. The rank is independent of where the range
+    boundaries land, so the sampling inside repartitionByRange cannot
+    perturb the result."""
+    from pyspark.sql import Window as W
+
+    if n_parts is None:
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    part = part.localCheckpoint(eager=False)  # pin: counts + ranks must
+    # see the SAME partitioning (a re-run re-samples range bounds)
+    w = W.partitionBy("_pid").orderBy(*order_cols)
+    counts = [
+        (r["_pid"], r["c"])
+        for r in part.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    ]
+    offsets, acc = {}, 0
+    for pid, c in sorted(counts):
+        offsets[pid] = acc
+        acc += c
+    off_df = part.sparkSession.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "_pid int, _off long"
+    )
+    return (
+        part.withColumn("_lrank", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("rank", (F.col("_lrank") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lrank", "_off")
+    )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_len: int = 24,
+    window: int = 5,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD'95):
+    sort the corpus by a blocking key (here the first ``key_len`` chars
+    of the lowercased text, id-tiebroken), take as candidates only the
+    pairs within ``window`` positions of each other, then score those
+    candidates with EXACT word-k-gram Jaccard and keep >= threshold.
+    Output (id_a, id_b, jaccard) with id_a preceding id_b in sort
+    order.
+
+    Complements the LSH family: candidate volume is corpus_size *
+    window BY CONSTRUCTION — no shingle df skew can blow it up (the
+    hot-shingle failure mode ngram_jaccard_pairs needs ``max_df`` for),
+    at the cost of missing near-dups whose blocking keys diverge (a
+    different-prefix edit). The global sort is the scalable two-pass
+    rank above; the window join is ``window`` equi-joins on rank, never
+    a range cross-join."""
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        F.substring(F.lower(F.col(text_col)), 1, key_len).alias("bkey"),
+    )
+    ranked = global_sort_rank(base, ["bkey", "id"]).select("id", "rank")
+    cand = (
+        ranked.select(F.col("id").alias("id_a"), F.col("rank").alias("ra"))
+        .withColumn("d", F.explode(F.sequence(F.lit(1), F.lit(window))))
+        .select("id_a", (F.col("ra") + F.col("d")).alias("rb"))
+    )
+    pairs = cand.join(
+        ranked.select(F.col("id").alias("id_b"), F.col("rank").alias("rb")),
+        "rb",
+    ).select("id_a", "id_b")
+    rows = shingle_rows(docs, text_col, id_col, k)
+    sizes = rows.groupBy("id").agg(F.count("*").alias("n_sh"))
+    # two-key equi-joins: (id_a) then (id_b, sh) — the shingle match is
+    # a hash-join key, never a post-join filter over the set product
+    common = (
+        pairs.join(rows.withColumnsRenamed({"id": "id_a"}), "id_a")
+        .join(rows.withColumnsRenamed({"id": "id_b"}), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "nb"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

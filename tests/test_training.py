@@ -1479,3 +1479,78 @@ def test_dedup_sentences_canonical_first_and_exemption(spark):
     out2 = {r["id"]: r for r in dedup_sentences(df2).collect()}
     assert out2["empty"]["text"] == "" and out2["empty"]["n_dropped"] == 0
     assert out2["blank"]["text"] == "" and len(out2) == 6
+
+
+# ------------------------------------------------- sorted neighborhood
+
+
+def test_global_sort_rank_exact_and_partition_invariant(spark):
+    df = spark.range(5000).select(
+        F.md5(F.col("id").cast("string")).alias("key"),
+        F.col("id").cast("string").alias("id"),
+    )
+    expected = {
+        t: i + 1
+        for i, t in enumerate(
+            sorted((r["key"], r["id"]) for r in df.collect())
+        )
+    }
+    for n_parts in (1, 3, 16):
+        got = {
+            (r["key"], r["id"]): r["rank"]
+            for r in dedup.global_sort_rank(df, ["key", "id"], n_parts).collect()
+        }
+        assert got == expected, f"rank mismatch at n_parts={n_parts}"
+
+
+def test_snm_finds_prefix_blocked_neardups(small_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.sorted_neighborhood_pairs(
+            small_docs, id_col="doc_id", window=2, threshold=0.1
+        ).collect()
+    }
+    # 1/2/3 share the 24-char prefix block and sort adjacently
+    assert pairs[(1, 2)] == 1.0
+    assert 0.1 < pairs[(1, 3)] < 1.0
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_snm_candidate_volume_is_window_bounded(spark):
+    """A pathological hot shingle (same sentence in every doc) cannot
+    blow up SNM candidates: pairs <= n * window regardless of content —
+    the failure mode ngram_jaccard_pairs needs max_df for."""
+    n, w = 200, 3
+    hot = spark.range(n).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("identical boilerplate sentence repeated everywhere "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    pairs = dedup.sorted_neighborhood_pairs(
+        hot, window=w, threshold=0.0
+    )
+    assert pairs.count() <= n * w
+
+
+def test_snm_misses_divergent_prefix_by_design(spark):
+    """Documented limitation: a near-dup pair whose FIRST words differ
+    lands in distant blocks and is not proposed."""
+    docs = spark.createDataFrame(
+        [
+            ("a", "zebra alpha beta gamma delta epsilon zeta eta"),
+            ("b", "aardvark alpha beta gamma delta epsilon zeta eta"),
+        ],
+        "doc_id string, text string",
+    )
+    many = docs.unionByName(
+        spark.range(50).select(
+            F.concat(F.lit("m"), F.col("id").cast("string")).alias("doc_id"),
+            F.concat(F.lit("middle filler "), F.md5(F.col("id").cast("string"))).alias(
+                "text"
+            ),
+        )
+    )
+    got = dedup.sorted_neighborhood_pairs(many, window=2, threshold=0.1).collect()
+    assert not any({r["id_a"], r["id_b"]} == {"a", "b"} for r in got)
