@@ -8994,3 +8994,83 @@ WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5"""
 
 _TRAINING_QUERIES["dedup_snm"] = q_dedup_snm
 _TRAINING_ORACLES["dedup_snm"] = _snm_oracle()
+
+
+# ------------------------------------------------ IVF-PQ composition
+# Session-10: the billion-vector index architecture (coarse quantizer →
+# probe nprobe inverted lists → PQ asymmetric distance on list members
+# only) composed from the gate-proven ivf_* and pq_* pieces. Query-time
+# corpus work is a code-table lookup per candidate — no stored float
+# vector is read. nprobe=2 so the probe ranking (not just the query's
+# own list) is exercised; oracle splices the embed_ann_ivf assignment
+# CTEs with the embed_pq_topk ADC CTEs.
+
+
+def q_embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = SIM.ivf_centroids(emb, n_centroids=8)
+    assign = SIM.ivf_assign(emb, cents)
+    cb = SIM.pq_codebooks(emb, m_sub=_PQ_M, n_codes=_PQ_CODES)
+    codes = SIM.pq_encode(emb, cb, m_sub=_PQ_M)
+    out = SIM.ivfpq_search(
+        emb.where(F.col("vec_id") < 10), cents, assign, cb, codes,
+        k=5, nprobe=2, m_sub=_PQ_M,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("adc_d2").cast("long").alias("adc_d2"),
+    )
+
+
+_TRAINING_QUERIES["embed_ann_ivfpq"] = q_embed_ann_ivfpq
+_TRAINING_ORACLES["embed_ann_ivfpq"] = f"""WITH {_EMB_FLAT_CTE},
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, vec_id AS cvid
+  FROM embeddings WHERE vec_id < 8
+),
+cflat AS (SELECT c.cid, f.i, f.v FROM cents c JOIN flat f ON f.vec_id = c.cvid),
+cnorm AS (SELECT cid, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS cn FROM cflat GROUP BY cid),
+vc AS (
+  SELECT f.vec_id, cf.cid, sum(f.v::DOUBLE * cf.v::DOUBLE) AS dot
+  FROM flat f JOIN cflat cf ON f.i = cf.i GROUP BY 1, 2
+),
+vccos AS (
+  SELECT vec_id, cid, round(dot / (n.nrm * cn.cn), 6) AS cos
+  FROM vc JOIN norms n USING (vec_id) JOIN cnorm cn USING (cid)
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM vccos
+  ) WHERE rn = 1
+),
+probed AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM vccos WHERE vec_id < 10
+  ) WHERE rn <= 2
+),
+{_PQ_CTE.replace("WITH ", "")},
+dtab AS (
+  SELECT q.vec_id AS query_id, q.sub, c.code,
+         list_sum(list_transform(range(1, {_PQ_SD} + 1),
+                  i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i])))::BIGINT AS d2
+  FROM (SELECT vec_id, sub, mv[sub * {_PQ_SD} + 1 : sub * {_PQ_SD} + {_PQ_SD}] AS sv
+        FROM mv CROSS JOIN subsq WHERE vec_id < 10) q
+  JOIN cb c ON q.sub = c.sub
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probed p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+),
+adc AS (
+  SELECT c.query_id, c.neighbor_id, sum(d.d2)::BIGINT AS adc_d2
+  FROM cand c
+  JOIN best b ON b.id = c.neighbor_id
+  JOIN dtab d ON d.query_id = c.query_id AND d.sub = b.sub AND d.code = b.code
+  GROUP BY 1, 2
+)
+SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id, adc_d2
+FROM adc
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) <= 5"""

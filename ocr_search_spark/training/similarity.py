@@ -613,6 +613,39 @@ def pq_encode(
     return flat.select("id", F.posexplode(codes).alias("sub", "code"))
 
 
+def _adc_table(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    m_sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query ADC distance table (query_id, sub, code, d2): exact
+    integer-micros squared L2 between each query sub-slice and every
+    codeword — m_sub * n_codes rows per query, tiny and broadcastable."""
+    dim = len(queries.select(vec_col).first()[0])
+    sd = dim // m_sub
+    subs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice("mv", s * sd + 1, sd).alias("sv"),
+                )
+                for s in range(m_sub)
+            ]
+        )
+    )
+    qflat = (
+        queries.select(F.col(id_col).alias("query_id"), _micros(F.col(vec_col)).alias("mv"))
+        .select("query_id", subs.alias("sc"))
+        .select("query_id", "sc.sub", "sc.sv")
+    )
+    return qflat.join(F.broadcast(codebooks), "sub").select(
+        "query_id", "sub", "code", _sq_l2(F.col("sv"), F.col("cv")).alias("d2")
+    )
+
+
 def pq_search(
     codebooks: DataFrame,
     codes: DataFrame,
@@ -634,32 +667,71 @@ def pq_search(
     stored code, never a vector arithmetic op; the final top-k is a
     per-query window (TakeOrderedAndProject shape).
     """
-    dim = len(queries.select(vec_col).first()[0])
-    sd = dim // m_sub
-    subs = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("sub"),
-                    F.slice("mv", s * sd + 1, sd).alias("sv"),
-                )
-                for s in range(m_sub)
-            ]
-        )
-    )
-    qflat = (
-        queries.select(F.col(id_col).alias("query_id"), _micros(F.col(vec_col)).alias("mv"))
-        .select("query_id", subs.alias("sc"))
-        .select("query_id", "sc.sub", "sc.sv")
-    )
-    # distance table: (query_id, sub, code, d2) — tiny, broadcastable
-    dtab = qflat.join(F.broadcast(codebooks), "sub").select(
-        "query_id", "sub", "code", _sq_l2(F.col("sv"), F.col("cv")).alias("d2")
-    )
+    dtab = _adc_table(queries, codebooks, m_sub, id_col, vec_col)
     scored = (
         codes.withColumnRenamed("id", "neighbor_id")
         .join(F.broadcast(dtab), ["sub", "code"])
         .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adc_d2")
+    )
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    centroids: DataFrame,
+    assignments: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    m_sub: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ: the billion-vector index architecture (FAISS IVFPQ,
+    Jegou et al., TPAMI'11) as a composition of the two pieces above —
+    probe the query's ``nprobe`` nearest inverted lists (coarse
+    quantizer), then score ONLY those lists' members by PQ asymmetric
+    distance against the broadcast per-query table. Query-time corpus
+    work touches m_sub small-int codes per candidate, never a stored
+    float vector: at 10^12 vectors the scan reads the code table
+    (m_sub bytes/vector) partition-pruned on cid, and no full-precision
+    read happens anywhere. Returns (query_id, neighbor_id, adc_d2),
+    (adc_d2 asc, neighbor_id asc) total order.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_col(F.col(vec_col)).alias("qn"),
+    )
+    qcos = F.round(
+        dot_col(F.col("qv"), F.col("cv")) / (F.col("qn") * norm_col(F.col("cv"))),
+        round_digits,
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cid"))
+    probed = (
+        q.join(F.broadcast(centroids))
+        .select("query_id", "cid", qcos.alias("qcos"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "cid")
+    )
+    dtab = _adc_table(queries, codebooks, m_sub, id_col, vec_col)
+    cand = codes.withColumnRenamed("id", "neighbor_id").join(
+        assignments.withColumnsRenamed({"vec_id": "neighbor_id"}), "neighbor_id"
+    )
+    scored = (
+        cand.join(F.broadcast(probed), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(dtab), ["query_id", "sub", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d2").alias("adc_d2"))
     )

@@ -1554,3 +1554,45 @@ def test_snm_misses_divergent_prefix_by_design(spark):
     )
     got = dedup.sorted_neighborhood_pairs(many, window=2, threshold=0.1).collect()
     assert not any({r["id_a"], r["id_b"]} == {"a", "b"} for r in got)
+
+
+# --------------------------------------------------------------- IVF-PQ
+
+
+def test_ivfpq_with_full_probe_equals_pq_search(spark):
+    """nprobe = n_centroids removes the IVF restriction: IVF-PQ must
+    reproduce the flat ADC ranking exactly."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.ivf_centroids(emb, n_centroids=8)
+    assign = similarity.ivf_assign(emb, cents)
+    cb = similarity.pq_codebooks(emb, m_sub=4, n_codes=8)
+    codes = similarity.pq_encode(emb, cb, m_sub=4)
+    q = emb.where(F.col("vec_id") < 5)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["adc_d2"])
+        for r in similarity.ivfpq_search(
+            q, cents, assign, cb, codes, k=5, nprobe=8, m_sub=4
+        ).collect()
+    )
+    full = sorted(
+        (r["query_id"], r["neighbor_id"], r["adc_d2"])
+        for r in similarity.pq_search(cb, codes, q, k=5, m_sub=4).collect()
+    )
+    assert got == full
+
+
+def test_ivfpq_candidates_restricted_to_probed_lists(spark):
+    """With nprobe=1 every returned neighbor must live in the query's
+    single probed list."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.ivf_centroids(emb, n_centroids=8)
+    assign = similarity.ivf_assign(emb, cents).cache()
+    cb = similarity.pq_codebooks(emb, m_sub=4, n_codes=8)
+    codes = similarity.pq_encode(emb, cb, m_sub=4)
+    q = emb.where(F.col("vec_id") < 5)
+    out = similarity.ivfpq_search(
+        q, cents, assign, cb, codes, k=5, nprobe=1, m_sub=4
+    )
+    amap = {r["vec_id"]: r["cid"] for r in assign.collect()}
+    for r in out.collect():
+        assert amap[r["neighbor_id"]] == amap[r["query_id"]]
