@@ -9074,3 +9074,41 @@ adc AS (
 SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id, adc_d2
 FROM adc
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) <= 5"""
+
+
+# ------------------------------------------ hidden partitioning scan
+# Session-10: Iceberg-style partition transforms on the snapshot table.
+# bucket(8) on the customer key gives point-lookup file pruning that
+# min/max stats CANNOT (hash-scattered key ranges cover every file);
+# result-transparent like the other pruning gates — the oracle is the
+# plain filter, pruning may only skip file opens. The in-flight asserts
+# pin the pruning ratio (1/8 of files for one bucket) and spec
+# inheritance across an append.
+
+
+def q_snapshot_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _snap_orders(spark, sf_dir)
+    t = _snap_table(spark, "partscan")
+    t.create(
+        o.where(F.col("k") % 2 == 0).repartition(2),
+        partition_spec=[("ck", "bucket", 8)],
+    )
+    t.append(o.where(F.col("k") % 2 == 1).repartition(2))
+    man = t._manifest(t.current_version())
+    assert man["partition_spec"] == [["ck", "bucket", 8]]
+    ck0 = o.orderBy("k").select("ck").first()[0]
+    pred = [("ck", "=", int(ck0))]
+    kept = t._partition_pruned(man, man["files"], pred)
+    # one bucket of 8 survives (both commits' file sets prune)
+    assert 0 < len(kept) <= -(-len(man["files"]) // 8) + 2
+    return t.scan(pred).select("k", "ck", "status")
+
+
+def _snap_partition_oracle() -> str:
+    return f"""WITH base AS ({_SNAP_BASE})
+SELECT k, ck, status FROM base
+WHERE ck = (SELECT o_custkey FROM orders ORDER BY o_orderkey LIMIT 1)"""
+
+
+_TRAINING_QUERIES["snapshot_partition_scan"] = q_snapshot_partition_scan
+_TRAINING_ORACLES["snapshot_partition_scan"] = _snap_partition_oracle()

@@ -77,6 +77,85 @@ _PRED_OPS = {
 }
 
 
+# ------------------------------------------------ partition transforms
+# Iceberg-style HIDDEN partitioning: the table declares transforms of
+# data columns; writers route rows to files by transform value, readers
+# prune files from predicates on the DATA column — queries never name a
+# partition column. Transform values are strings (they live in dir
+# names + manifest JSON). Scope pinned for soundness: identity/truncate
+# apply to string and exact-integer columns, bucket hashes the h60 of
+# the value's canonical string (md5-based — same cross-engine-stable
+# family as the dedup/sketch tiers, not Iceberg's murmur3); no
+# time-derived transform (days/hours) — a timezone disagreement between
+# writer and pruner would DROP matching files, and silent wrong results
+# are worse than no pruning.
+
+_INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _check_partition_spec(spec: list, schema: T.StructType) -> list[list]:
+    """Validate + normalize to [[col, kind, arg], ...] (JSON shape)."""
+    out: list[list] = []
+    names = set(schema.fieldNames())
+    for entry in spec:
+        col, kind, arg = entry[0], entry[1], (entry[2] if len(entry) > 2 else None)
+        if col not in names:
+            raise ValueError(f"partition_spec column {col!r} not in schema")
+        t = schema[col].dataType
+        if kind in ("identity", "bucket"):
+            if not isinstance(t, (T.StringType, *_INT_TYPES)):
+                raise ValueError(
+                    f"{kind} transform needs a string/integer column, "
+                    f"{col} is {t}"
+                )
+        elif kind == "truncate":
+            if not isinstance(t, T.StringType):
+                raise ValueError(f"truncate needs a string column, {col} is {t}")
+            if not isinstance(arg, int) or arg < 1:
+                raise ValueError("truncate width must be a positive int")
+        else:
+            raise ValueError(
+                f"unknown partition transform {kind!r} "
+                "(identity | bucket | truncate)"
+            )
+        if kind == "bucket" and (not isinstance(arg, int) or arg < 1):
+            raise ValueError("bucket count must be a positive int")
+        out.append([col, kind, arg])
+    return out
+
+
+def _transform_col(entry: list, c: Column) -> Column:
+    """The transform as a STRING-valued Column (the write-side twin of
+    :func:`_transform_value` — the two must agree or pruning is
+    unsound)."""
+    col, kind, arg = entry
+    if kind == "identity":
+        return c.cast("string")
+    if kind == "truncate":
+        return F.substring(c, 1, int(arg))
+    # bucket: h60 of the canonical string, mod n
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    return (h % int(arg)).cast("string")
+
+
+def _transform_value(entry: list, val) -> str | None:
+    """Driver-side transform of an equality-predicate literal; None =
+    value type outside the pinned scope -> no pruning on this entry
+    (sound: pruning may only ever SKIP work)."""
+    import hashlib
+
+    col, kind, arg = entry
+    if isinstance(val, bool) or not isinstance(val, (int, str)):
+        return None
+    s = str(val)
+    if kind == "identity":
+        return s
+    if kind == "truncate":
+        return s[: int(arg)]
+    h = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+    return str(h % int(arg))
+
+
 def _stat_scalar(v):
     """Stats value → JSON-safe scalar whose ordering matches the column
     ordering (ISO strings for date/timestamp sort like the values)."""
@@ -196,7 +275,9 @@ class SnapshotTable:
                 parent: int | None, stats: dict | None = None,
                 stats_cols: list[str] | None = None,
                 delete_files: list[dict] | None = None,
-                publish: bool = True, info: dict | None = None) -> int:
+                publish: bool = True, info: dict | None = None,
+                partition_spec: list | None = None,
+                partitions: dict | None = None) -> int:
         version = (parent or 0) + 1
         if self._read_text(f"{self.meta_dir}/v{version}.json") is not None:
             raise ValueError(
@@ -210,6 +291,21 @@ class SnapshotTable:
         fences = self._collect_fences(parent)
         if info and info.get("batch_id") is not None:
             fences[str(info.get("channel", "default"))] = int(info["batch_id"])
+        # the partition spec is a table property: inherited from the
+        # parent unless create set it; per-file partition values travel
+        # with their (immutable) files, so carried files keep theirs and
+        # rewritten files (compact/zorder/COW) simply have none — a file
+        # without values is never pruned, so maintenance stays sound
+        pspec = partition_spec
+        pparts: dict = {}
+        if parent is not None:
+            pman = self._manifest(parent)
+            if pspec is None:
+                pspec = pman.get("partition_spec")
+            pparts = pman.get("partitions") or {}
+        allparts = {f: pparts[f] for f in files if f in pparts}
+        if partitions:
+            allparts.update({f: partitions[f] for f in files if f in partitions})
         man = {
             "version": version,
             "parent": parent,
@@ -221,6 +317,8 @@ class SnapshotTable:
             "delete_files": delete_files or [],
             "info": info or {},
             "fences": fences,
+            "partition_spec": pspec or [],
+            "partitions": allparts,
         }
         if not publish:
             man["staged"] = True
@@ -247,9 +345,43 @@ class SnapshotTable:
         df.write.mode("error").parquet(cdir)
         return self._list_parquet(cdir)
 
+    def _write_partitioned_files(
+        self, df: DataFrame, version: int, spec: list
+    ) -> tuple[list[str], dict]:
+        """Write a commit routed by the partition transforms: one
+        derived ``_pk<i>`` column per spec entry, Spark's partitionBy
+        lays files out under ``_pk<i>=<value>/`` dirs (the derived
+        columns are NOT in the file data — hidden partitioning), then
+        each file's transform values are parsed back from its path.
+        Returns (files, {file: [v0, v1, ...]})."""
+        from urllib.parse import unquote
+
+        self._check_version_free(version)
+        cdir = f"{self.data_dir}/c{version}"
+        pk_names = [f"_pk{i}" for i in range(len(spec))]
+        out = df
+        for name, entry in zip(pk_names, spec):
+            out = out.withColumn(name, _transform_col(entry, F.col(entry[0])))
+        out.write.mode("error").partitionBy(*pk_names).parquet(cdir)
+        files = self._list_parquet(cdir)
+        idx = {n: i for i, n in enumerate(pk_names)}
+        parts: dict = {}
+        for rel in files:
+            vals: list = [None] * len(spec)
+            for seg in rel.split("/"):
+                name, _, raw = seg.partition("=")
+                if name in idx and raw:
+                    v = unquote(raw)
+                    vals[idx[name]] = (
+                        None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                    )
+            parts[rel] = vals
+        return files, parts
+
     # ------------------------------------------------------------ public
     def create(self, df: DataFrame, stats_cols: list[str] | None = None,
-               info: dict | None = None) -> int:
+               info: dict | None = None,
+               partition_spec: list | None = None) -> int:
         """Initial snapshot (v1). Fails if the table already exists.
 
         ``stats_cols`` opts the table into per-file min/max stats in the
@@ -257,9 +389,25 @@ class SnapshotTable:
         :meth:`scan` file pruning. The choice is persisted and every
         later commit maintains stats for its NEW files only (carried
         files keep their recorded entries — file immutability makes the
-        stats immutable too)."""
+        stats immutable too).
+
+        ``partition_spec`` opts the table into HIDDEN partitioning:
+        [(col, kind[, arg])] with kind ∈ identity | bucket(n) |
+        truncate(w). Writers (create/append/overwrite) route rows to
+        files by transform value; :meth:`scan` prunes files from
+        EQUALITY predicates on the data column through the same
+        transform — bucket gives point-lookup pruning on
+        high-cardinality keys where min/max stats are useless (hash-
+        scattered ranges cover everything). Per-file values live in the
+        manifest; rewritten files (compact/zorder/COW) have none and
+        are never pruned, so maintenance never risks wrong results."""
         if self.current_version() is not None:
             raise ValueError(f"table {self.path} already exists")
+        nspec = (
+            _check_partition_spec(partition_spec, df.schema)
+            if partition_spec
+            else None
+        )
         for c in stats_cols or []:
             t = df.schema[c].dataType
             if isinstance(t, T.DecimalType) or not isinstance(
@@ -272,11 +420,15 @@ class SnapshotTable:
                     f"stats_cols column {c} has unsupported type {t} "
                     "(numeric-non-decimal, string, date, timestamp only)"
                 )
-        files = self._write_commit_files(df, 1)
+        if nspec:
+            files, parts = self._write_partitioned_files(df, 1, nspec)
+        else:
+            files, parts = self._write_commit_files(df, 1), None
         stats = self._collect_stats(files, df.schema, stats_cols or [])
         return self._commit(
             "create", files, self._nullable(df.schema), None, stats=stats,
             stats_cols=stats_cols or [], info=info,
+            partition_spec=nspec, partitions=parts,
         )
 
     def append(self, df: DataFrame, info: dict | None = None) -> int:
@@ -286,7 +438,11 @@ class SnapshotTable:
         man = self._manifest(parent)
         self._check_schema(df, man)
         version = parent + 1
-        new_files = self._write_commit_files(df, version)
+        spec = man.get("partition_spec") or []
+        if spec:
+            new_files, new_parts = self._write_partitioned_files(df, version, spec)
+        else:
+            new_files, new_parts = self._write_commit_files(df, version), None
         stats = dict(man.get("stats") or {})
         stats.update(self._collect_stats(new_files, df.schema, self._stats_cols(man)))
         # the TABLE's schema persists — a batch's schema (non-null lit()
@@ -299,7 +455,7 @@ class SnapshotTable:
             # appended files carry a higher sequence, so re-inserted keys
             # survive (Iceberg sequence-number semantics)
             delete_files=man.get("delete_files"),
-            info=info,
+            info=info, partitions=new_parts,
         )
 
     def overwrite(self, df: DataFrame) -> int:
@@ -308,11 +464,15 @@ class SnapshotTable:
         parent = self._require_current()
         man = self._manifest(parent)
         version = parent + 1
-        files = self._write_commit_files(df, version)
+        spec = man.get("partition_spec") or []
+        if spec:
+            files, parts = self._write_partitioned_files(df, version, spec)
+        else:
+            files, parts = self._write_commit_files(df, version), None
         stats = self._collect_stats(files, df.schema, self._stats_cols(man))
         return self._commit(
             "overwrite", files, self._nullable(df.schema), parent,
-            stats=stats, stats_cols=self._stats_cols(man),
+            stats=stats, stats_cols=self._stats_cols(man), partitions=parts,
         )
 
     def delete_where(self, cond: Column) -> int:
@@ -476,7 +636,9 @@ class SnapshotTable:
         of files instead of millions."""
         v = version if version is not None else self._require_current()
         man = self._manifest(v)
-        files = self._pruned_files(man, predicates)
+        files = self._partition_pruned(
+            man, self._pruned_files(man, predicates), predicates
+        )
         df = self._apply_mor_deletes(self._read_files(files, man), man)
         for col, op, val in predicates:
             df = df.where(_PRED_OPS[op](F.col(col), F.lit(val)))
@@ -1105,6 +1267,46 @@ class SnapshotTable:
                     keep = False
                     break
             if keep:
+                out.append(f)
+        return out
+
+    def _partition_pruned(
+        self, man: dict, files: list[str],
+        predicates: list[tuple[str, str, object]],
+    ) -> list[str]:
+        """Hidden-partition pruning tier: drop a file when an EQUALITY
+        predicate's transformed value differs from the file's recorded
+        transform value. Sound by construction: only '=' participates,
+        only transforms with a driver-side twin prune, files without
+        recorded values (pre-spec or maintenance-rewritten) and null
+        partition values always survive, and :meth:`scan` re-applies
+        the full predicate afterwards."""
+        spec = man.get("partition_spec") or []
+        parts = man.get("partitions") or {}
+        if not spec:
+            return files
+        # (spec index, wanted value) per prunable predicate
+        wants: list[tuple[int, str]] = []
+        for col, op, val in predicates:
+            if op != "=":
+                continue
+            for i, entry in enumerate(spec):
+                if entry[0] == col:
+                    w = _transform_value(entry, val)
+                    if w is not None:
+                        wants.append((i, w))
+        if not wants:
+            return files
+        out = []
+        for f in files:
+            vals = parts.get(f)
+            if vals is None:
+                out.append(f)
+                continue
+            if all(
+                i >= len(vals) or vals[i] is None or vals[i] == w
+                for i, w in wants
+            ):
                 out.append(f)
         return out
 

@@ -655,3 +655,103 @@ def test_incremental_zorder_survives_expired_history(spark, tmp_path):
     v = t.optimize_zorder(["k", "v"], n_files=2, incremental=True)
     assert v is not None
     assert t.count() == 90
+
+
+# --------------------------------------------------- hidden partitioning
+
+
+def _pdf(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("user_"), (F.col("id") % 23).cast("string")).alias("uid"),
+        (F.col("id") * 7).alias("v"),
+    )
+
+
+def test_partition_spec_bucket_prunes_and_is_result_transparent(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "pt"))
+    t.create(_pdf(spark, 0, 800), partition_spec=[("uid", "bucket", 8)])
+    t.append(_pdf(spark, 800, 1600))
+    man = t._manifest(t.current_version())
+    pred = [("uid", "=", "user_7")]
+    kept = t._partition_pruned(man, man["files"], pred)
+    assert 0 < len(kept) < len(man["files"])
+    got = sorted(r["k"] for r in t.scan(pred).collect())
+    exp = sorted(
+        r["k"] for r in t.read().where(F.col("uid") == "user_7").collect()
+    )
+    assert got == exp and got  # non-empty and identical
+
+
+def test_partition_values_hidden_from_schema(spark, tmp_path):
+    """The derived _pk columns never appear in the read schema."""
+    t = SnapshotTable(spark, str(tmp_path / "ph"))
+    t.create(_pdf(spark, 0, 100), partition_spec=[("uid", "bucket", 4)])
+    assert t.read().columns == ["k", "uid", "v"]
+
+
+def test_partition_spec_survives_append_and_inherits(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "pi"))
+    t.create(_pdf(spark, 0, 100), partition_spec=[("uid", "identity")])
+    t.append(_pdf(spark, 100, 200))
+    man = t._manifest(t.current_version())
+    assert man["partition_spec"] == [["uid", "identity", None]]
+    # every file (create's AND append's) carries its value
+    assert all(man["partitions"].get(f) for f in man["files"])
+
+
+def test_maintenance_rewrite_loses_values_but_stays_sound(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "pm"))
+    t.create(_pdf(spark, 0, 500), partition_spec=[("uid", "bucket", 4)])
+    before = sorted(
+        (r["k"], r["uid"]) for r in t.scan([("uid", "=", "user_3")]).collect()
+    )
+    assert t.compact(small_bytes=1 << 30, target_bytes=1 << 40) is not None
+    man = t._manifest(t.current_version())
+    # compacted file has no partition values -> never pruned
+    assert any(not man["partitions"].get(f) for f in man["files"])
+    after = sorted(
+        (r["k"], r["uid"]) for r in t.scan([("uid", "=", "user_3")]).collect()
+    )
+    assert after == before
+
+
+def test_non_equality_predicates_do_not_partition_prune(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "pr"))
+    t.create(_pdf(spark, 0, 300), partition_spec=[("uid", "bucket", 4)])
+    man = t._manifest(1)
+    assert t._partition_pruned(
+        man, man["files"], [("uid", ">=", "user_5")]
+    ) == man["files"]
+    # ...but the residual filter still applies
+    got = sorted(r["k"] for r in t.scan([("uid", ">=", "user_5")]).collect())
+    exp = sorted(r["k"] for r in t.read().where(F.col("uid") >= "user_5").collect())
+    assert got == exp
+
+
+def test_partition_spec_validation(spark, tmp_path):
+    df = _pdf(spark, 0, 10)
+    t = SnapshotTable(spark, str(tmp_path / "pv"))
+    with pytest.raises(ValueError, match="not in schema"):
+        t.create(df, partition_spec=[("nope", "bucket", 4)])
+    with pytest.raises(ValueError, match="bucket count"):
+        t.create(df, partition_spec=[("uid", "bucket", 0)])
+    with pytest.raises(ValueError, match="truncate needs a string"):
+        t.create(df, partition_spec=[("k", "truncate", 4)])
+    with pytest.raises(ValueError, match="unknown partition transform"):
+        t.create(df, partition_spec=[("uid", "days")])
+
+
+def test_truncate_transform_prunes_on_prefix_match(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ptr"))
+    docs = spark.createDataFrame(
+        [("alpha-1", 1), ("alpha-2", 2), ("beta-1", 3), ("gamma-9", 4)],
+        "name string, n int",
+    )
+    t.create(docs.repartition(2), partition_spec=[("name", "truncate", 5)])
+    man = t._manifest(1)
+    kept = t._partition_pruned(man, man["files"], [("name", "=", "beta-1")])
+    vals = {tuple(man["partitions"][f]) for f in kept}
+    assert vals == {("beta-",)}
+    got = [r["n"] for r in t.scan([("name", "=", "beta-1")]).collect()]
+    assert got == [3]
