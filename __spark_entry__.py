@@ -9112,3 +9112,35 @@ WHERE ck = (SELECT o_custkey FROM orders ORDER BY o_orderkey LIMIT 1)"""
 
 _TRAINING_QUERIES["snapshot_partition_scan"] = q_snapshot_partition_scan
 _TRAINING_ORACLES["snapshot_partition_scan"] = _snap_partition_oracle()
+
+
+# ------------------------------------------------ atomic restatement
+# Session-10: replace_where (Delta replaceWhere / Iceberg overwrite-by-
+# filter) — ONE commit deletes a predicate slice and writes its
+# replacement: the idempotent-backfill primitive the north rule's
+# resumable pipeline needs (re-commit a slice's re-run without
+# duplicating it). In-flight asserts pin idempotence (second identical
+# restatement is a no-op on content) and single-version commits.
+
+
+def q_snapshot_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _snap_orders(spark, sf_dir)
+    t = _snap_table(spark, "replacew")
+    t.create(o.repartition(4))
+    repl = o.where(F.col("status") == "F").select(
+        "k", (F.col("ck") + 1000000).alias("ck"), "status"
+    )
+    t.replace_where(F.col("status") == "F", repl)
+    n1 = t.read().count()
+    t.replace_where(F.col("status") == "F", repl)  # re-run converges
+    assert t.read().count() == n1 == o.count()
+    assert t.current_version() == 3
+    return t.read()
+
+
+_TRAINING_QUERIES["snapshot_replace_where"] = q_snapshot_replace_where
+_TRAINING_ORACLES["snapshot_replace_where"] = f"""WITH base AS ({_SNAP_BASE})
+SELECT k,
+       CASE WHEN status = 'F' THEN ck + 1000000 ELSE ck END AS ck,
+       status
+FROM base"""

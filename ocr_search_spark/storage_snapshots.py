@@ -502,9 +502,13 @@ class SnapshotTable:
                 stats=man.get("stats"), stats_cols=self._stats_cols(man),
             )
         version = parent + 1
+        # NULL-safe survivor filter: a row where cond evaluates NULL is
+        # not matched (three-valued where(cond) semantics), so it must
+        # SURVIVE the rewrite — a bare ~cond is NULL there too and would
+        # silently drop it from the touched file
         survivors = (
             self._read_files(sorted(touched), man)
-            .where(~cond)
+            .where(~F.coalesce(cond, F.lit(False)))
         )
         new_files = self._write_commit_files(survivors, version)
         kept = [f for f in man["files"] if f not in touched]
@@ -515,6 +519,70 @@ class SnapshotTable:
         return self._commit(
             "delete", kept + new_files, current.schema, parent,
             stats=stats, stats_cols=self._stats_cols(man),
+        )
+
+    def replace_where(
+        self, cond: Column, df: DataFrame, info: dict | None = None
+    ) -> int:
+        """Atomic restatement (Delta replaceWhere / Iceberg overwrite-
+        by-filter): ONE commit that deletes every stored row matching
+        ``cond`` and writes ``df``'s rows in their place — the
+        idempotent-backfill primitive. Re-running a slice's pipeline
+        output commits over the old slice; readers see before or after,
+        never a half-replaced state (the pointer flip is the commit
+        point), and a re-run of the same replacement converges to the
+        same table.
+
+        COW at file granularity like :meth:`delete_where`: only files
+        containing matching rows are rewritten (minus those rows);
+        untouched files are carried by reference; survivors + the
+        replacement rows are the commit's new files, routed through the
+        partition spec when the table has one.
+
+        Guard: every ``df`` row must itself satisfy ``cond`` — a
+        replacement row OUTSIDE the predicate would not be cleared by
+        the next re-run of the same restatement, silently accreting
+        duplicates; that is an error, not a policy choice."""
+        parent = self._require_current()
+        man = self._manifest(parent)
+        self._require_no_mor(man, "replace_where")
+        self._check_schema(df, man)
+        n_bad = df.where(~F.coalesce(cond, F.lit(False))).count()
+        if n_bad:
+            raise ValueError(
+                f"replace_where: {n_bad} replacement rows do not satisfy "
+                "the predicate — the restatement would not be idempotent"
+            )
+        current = self._read_manifest_files(man)
+        tagged = current.withColumn("_file", F.input_file_name())
+        touched_abs = {
+            urlparse(r["_file"]).path
+            for r in tagged.where(cond).select("_file").distinct().collect()
+        }
+        touched = {self._relativize(p) for p in touched_abs}
+        version = parent + 1
+        survivors = (
+            self._read_files(sorted(touched), man)
+            .where(~F.coalesce(cond, F.lit(False)))
+            if touched
+            else None
+        )
+        combined = df if survivors is None else survivors.unionByName(df)
+        spec = man.get("partition_spec") or []
+        if spec:
+            new_files, parts = self._write_partitioned_files(
+                combined, version, spec
+            )
+        else:
+            new_files, parts = self._write_commit_files(combined, version), None
+        kept = [f for f in man["files"] if f not in touched]
+        schema = T.StructType.fromJson(man["schema"])
+        stats = dict(man.get("stats") or {})
+        stats.update(self._collect_stats(new_files, schema, self._stats_cols(man)))
+        return self._commit(
+            "replace", kept + new_files, schema, parent,
+            stats=stats, stats_cols=self._stats_cols(man),
+            info=info, partitions=parts,
         )
 
     def merge(self, source: DataFrame, key_cols: list[str]) -> int:

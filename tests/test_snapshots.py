@@ -755,3 +755,67 @@ def test_truncate_transform_prunes_on_prefix_match(spark, tmp_path):
     assert vals == {("beta-",)}
     got = [r["n"] for r in t.scan([("name", "=", "beta-1")]).collect()]
     assert got == [3]
+
+
+# ------------------------------------------------------- replace_where
+
+
+def test_replace_where_restates_slice_atomically(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "rw"))
+    t.create(_df(spark, 0, 100, "base").repartition(4))
+    repl = _df(spark, 0, 100, "restated").where(F.col("k") % 10 == 3)
+    v = t.replace_where(F.col("k") % 10 == 3, repl)
+    cur = t.read()
+    assert cur.where(F.col("tag") == "restated").count() == 10
+    assert cur.count() == 100
+    # one commit: history gained exactly one version
+    assert t.current_version() == v == 2
+    # time travel still sees the pre-restatement slice
+    assert t.read(version=1).where(F.col("tag") == "restated").count() == 0
+
+
+def test_replace_where_is_idempotent_on_rerun(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "rwi"))
+    t.create(_df(spark, 0, 60, "base").repartition(3))
+    repl = _df(spark, 0, 60, "fix").where(F.col("k") < 20)
+    t.replace_where(F.col("k") < 20, repl)
+    t.replace_where(F.col("k") < 20, repl)
+    assert t.read().count() == 60
+    assert t.read().where(F.col("tag") == "fix").count() == 20
+
+
+def test_replace_where_rejects_rows_outside_predicate(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "rwg"))
+    t.create(_df(spark, 0, 50, "base"))
+    with pytest.raises(ValueError, match="not be idempotent"):
+        t.replace_where(F.col("k") < 10, _df(spark, 5, 15, "bad"))
+
+
+def test_replace_where_only_rewrites_touched_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "rwf"))
+    t.create(_df(spark, 0, 100, "base").repartitionByRange(4, "k"))
+    before = _file_digests(str(tmp_path / "rwf"))
+    repl = _df(spark, 0, 100, "fix").where(F.col("k") < 10)
+    t.replace_where(F.col("k") < 10, repl)
+    after = _file_digests(str(tmp_path / "rwf"))
+    # untouched range files are byte-identical (carried by reference)
+    man = t._manifest(t.current_version())
+    carried = [f for f in man["files"] if f.startswith("data/c1")]
+    assert carried and all(before[f] == after[f] for f in carried)
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """Regression: a row where the predicate evaluates NULL is not
+    matched, so the COW rewrite must keep it — a bare ~cond filter
+    would silently drop it from the touched file."""
+    t = SnapshotTable(spark, str(tmp_path / "dn"))
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "k long, v long"
+    )
+    t.create(df.repartition(1))
+    t.delete_where(F.col("v") > 15)
+    left = sorted(
+        ((r["k"], r["v"]) for r in t.read().collect()),
+        key=lambda x: x[0],
+    )
+    assert left == [(1, 10), (2, None)]
