@@ -9144,3 +9144,73 @@ SELECT k,
        CASE WHEN status = 'F' THEN ck + 1000000 ELSE ck END AS ck,
        status
 FROM base"""
+
+
+# ------------------------------------------------ time-series gap fill
+# Session-10: dense per-user hourly spine + last-observation-carried-
+# forward — the resample/fill step every metrics pipeline needs before
+# windowed models. LOCF is computed WITHOUT IGNORE-NULLS dependencies:
+# the cumulative observed-count grouping trick (g = running count of
+# observed rows; each (user, g) group holds exactly one observed row
+# whose value max() carries to the fills) runs on both engines
+# identically. Value sums in exact DECIMAL micros; `filled` marks
+# synthesized hours. Per-user spine length is bounded by the observed
+# span (30 days -> <=720 rows/user; never a cross-user cartesian).
+
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hour = F.floor(_epoch("ts") / 3600).cast("long")
+    hourly = e.groupBy(F.col("user_id"), hour.alias("h")).agg(
+        F.sum(_dec("value")).alias("sv"), F.count("*").cast("long").alias("n")
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    full = spine.join(hourly, ["user_id", "h"], "left")
+    w = W.partitionBy("user_id").orderBy("h")
+    filled = full.withColumn(
+        "g",
+        F.sum(F.when(F.col("n").isNotNull(), 1).otherwise(0)).over(w),
+    )
+    w2 = W.partitionBy("user_id", "g")
+    return (
+        filled.withColumn("sv_f", F.max("sv").over(w2))
+        .select(
+            "user_id",
+            "h",
+            (F.col("sv_f") * 1000000).cast("long").alias("value_micros"),
+            F.col("n").isNull().alias("filled"),
+        )
+    )
+
+
+_TRAINING_QUERIES["events_gapfill"] = q_events_gapfill
+_TRAINING_ORACLES["events_gapfill"] = """WITH hourly AS (
+  SELECT user_id, ((epoch_us(ts) // 1000000) // 3600)::BIGINT AS h,
+         sum(value::DECIMAL(18,4)) AS sv, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+spine AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM span),
+fullsp AS (
+  SELECT s.user_id, s.h, hy.sv, hy.n
+  FROM spine s LEFT JOIN hourly hy ON hy.user_id = s.user_id AND hy.h = s.h
+),
+filled AS (
+  SELECT *, sum(CASE WHEN n IS NOT NULL THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY h) AS g
+  FROM fullsp
+),
+carried AS (
+  SELECT user_id, h, max(sv) OVER (PARTITION BY user_id, g) AS sv_f, n
+  FROM filled
+)
+SELECT user_id, h, (sv_f * 1000000)::BIGINT AS value_micros,
+       n IS NULL AS filled
+FROM carried"""
