@@ -9214,3 +9214,40 @@ carried AS (
 SELECT user_id, h, (sv_f * 1000000)::BIGINT AS value_micros,
        n IS NULL AS filled
 FROM carried"""
+
+
+# --------------------------------------------- materialized aggregate
+# Session-10: incrementally-maintained GROUP BY view over the snapshot
+# log (mview.py). Three append waves refresh incrementally (delta agg +
+# COW merge of changed keys; watermark rides inside the view commit so
+# a crash can never double-apply); the oracle is the full GROUP BY over
+# the final table — incremental == batch, exactly, in DECIMAL sums.
+
+
+def q_snapshot_mview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.mview import MaterializedAggregate
+
+    o = _snap_orders(spark, sf_dir)
+    src = _snap_table(spark, "mvsrc")
+    src.create(o.where(F.col("k") % 3 == 0))
+    import tempfile
+
+    mv = MaterializedAggregate(
+        spark, tempfile.mkdtemp(prefix="mview_"), src,
+        keys=["status"], sum_cols=["ck"],
+    )
+    mv.refresh()
+    src.append(o.where(F.col("k") % 3 == 1))
+    mv.refresh()
+    src.append(o.where(F.col("k") % 3 == 2))
+    v = mv.refresh()
+    assert mv.view._manifest(v)["info"]["mode"] == "incremental"
+    return mv.read().select(
+        "status", "n", F.col("sum_ck").cast("long").alias("sum_ck")
+    )
+
+
+_TRAINING_QUERIES["snapshot_mview"] = q_snapshot_mview
+_TRAINING_ORACLES["snapshot_mview"] = f"""WITH base AS ({_SNAP_BASE})
+SELECT status, count(*)::BIGINT AS n, sum(ck)::BIGINT AS sum_ck
+FROM base GROUP BY status"""

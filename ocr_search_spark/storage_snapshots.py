@@ -458,7 +458,7 @@ class SnapshotTable:
             info=info, partitions=new_parts,
         )
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, info: dict | None = None) -> int:
         """Full logical replace; prior files stay on disk for time
         travel until expired."""
         parent = self._require_current()
@@ -473,6 +473,7 @@ class SnapshotTable:
         return self._commit(
             "overwrite", files, self._nullable(df.schema), parent,
             stats=stats, stats_cols=self._stats_cols(man), partitions=parts,
+            info=info,
         )
 
     def delete_where(self, cond: Column) -> int:
@@ -585,7 +586,8 @@ class SnapshotTable:
             info=info, partitions=parts,
         )
 
-    def merge(self, source: DataFrame, key_cols: list[str]) -> int:
+    def merge(self, source: DataFrame, key_cols: list[str],
+              info: dict | None = None) -> int:
         """MERGE INTO, copy-on-write: rows in ``source`` REPLACE stored
         rows with the same key; source rows with no stored match are
         inserts. Only files that contain a matched key are rewritten;
@@ -645,7 +647,7 @@ class SnapshotTable:
         )
         return self._commit(
             "merge", kept + new_files, current.schema, parent,
-            stats=stats, stats_cols=self._stats_cols(man),
+            stats=stats, stats_cols=self._stats_cols(man), info=info,
         )
 
     def read(self, version: int | None = None) -> DataFrame:

@@ -819,3 +819,74 @@ def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
         key=lambda x: x[0],
     )
     assert left == [(1, 10), (2, None)]
+
+
+# --------------------------------------------------- materialized views
+
+
+def test_mview_incremental_equals_full(spark, tmp_path):
+    from ocr_search_spark.mview import MaterializedAggregate
+
+    df = _df(spark, 0, 200, "x")
+    src = SnapshotTable(spark, str(tmp_path / "mvsrc"))
+    src.create(df.where(F.col("k") % 3 == 0))
+    mv = MaterializedAggregate(
+        spark, str(tmp_path / "mvview"), src, keys=["tag"], sum_cols=["v"]
+    )
+    mv.refresh()
+    src.append(df.where(F.col("k") % 3 == 1))
+    mv.refresh()
+    src.append(df.where(F.col("k") % 3 == 2))
+    mv.refresh()
+    got = {
+        (r["tag"], r["n"], str(r["sum_v"])) for r in mv.read().collect()
+    }
+    exp = {
+        (r["tag"], r["n"], str(r["sum_v"]))
+        for r in mv._agg(src.read()).collect()
+    }
+    assert got == exp
+    assert mv.view._manifest(2)["info"]["mode"] == "incremental"
+    assert mv.view._manifest(3)["info"]["mode"] == "incremental"
+
+
+def test_mview_nonappend_falls_back_to_full(spark, tmp_path):
+    from ocr_search_spark.mview import MaterializedAggregate
+
+    src = SnapshotTable(spark, str(tmp_path / "mfsrc"))
+    src.create(_df(spark, 0, 100, "x"))
+    mv = MaterializedAggregate(
+        spark, str(tmp_path / "mfview"), src, keys=["tag"], sum_cols=["v"]
+    )
+    mv.refresh()
+    src.delete_where(F.col("k") < 50)
+    v = mv.refresh()
+    assert mv.view._manifest(v)["info"]["mode"] == "full"
+    assert mv.read().collect()[0]["n"] == 50
+
+
+def test_mview_refresh_is_noop_when_current(spark, tmp_path):
+    from ocr_search_spark.mview import MaterializedAggregate
+
+    src = SnapshotTable(spark, str(tmp_path / "mnsrc"))
+    src.create(_df(spark, 0, 10, "x"))
+    mv = MaterializedAggregate(
+        spark, str(tmp_path / "mnview"), src, keys=["tag"]
+    )
+    v1 = mv.refresh()
+    assert mv.refresh() == v1 == mv.view.current_version()
+
+
+def test_mview_new_keys_insert_via_merge(spark, tmp_path):
+    from ocr_search_spark.mview import MaterializedAggregate
+
+    src = SnapshotTable(spark, str(tmp_path / "mksrc"))
+    src.create(_df(spark, 0, 10, "a"))
+    mv = MaterializedAggregate(
+        spark, str(tmp_path / "mkview"), src, keys=["tag"]
+    )
+    mv.refresh()
+    src.append(_df(spark, 10, 30, "b"))  # unseen key
+    mv.refresh()
+    got = {(r["tag"], r["n"]) for r in mv.read().collect()}
+    assert got == {("a", 10), ("b", 20)}
