@@ -166,6 +166,16 @@ def main() -> None:
         "dedup_sentences",
         "crawl_clean_pipeline",
         "layout_table_markdown",
+        # session-10: boolean retrieval, sketch set ops, SNM, IVF-PQ,
+        # lakehouse partition/restate/mview, gap fill
+        "search_boolean",
+        "kmv_term_audiences",
+        "dedup_snm",
+        "embed_ann_ivfpq",
+        "snapshot_partition_scan",
+        "snapshot_replace_where",
+        "snapshot_mview",
+        "events_gapfill",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:

@@ -60,8 +60,10 @@ def main(argv: list[str] | None = None) -> int:
     pm.add_argument("--table", required=True)
     pm.add_argument("--checkpoint", required=True)
     pm.add_argument("--n-buckets", type=int, default=32)
-    pm.add_argument("--what", default="postings", choices=["postings", "kn"],
-                    help="postings doc-replace MERGE | KN bigram partials")
+    pm.add_argument("--what", default="postings",
+                    choices=["postings", "kn", "kmv"],
+                    help="postings doc-replace MERGE | KN bigram partials "
+                         "| per-group KMV distinct sketches")
     _add_common(pm)
 
     ps = sub.add_parser("search", help="top-k query against stored postings")
@@ -159,7 +161,14 @@ def main(argv: list[str] | None = None) -> int:
             build_postings(spark, args.out)
         print(json.dumps(summary))
     elif args.job == "maintain-stream":
-        if args.what == "kn":
+        if args.what == "kmv":
+            from .streaming.sketch_maintain import stream_maintain_kmv
+
+            stream_maintain_kmv(
+                spark, args.input, args.table, args.checkpoint,
+                n_buckets=args.n_buckets,
+            )
+        elif args.what == "kn":
             from .streaming.lm_maintain import stream_maintain_kn
 
             stream_maintain_kn(

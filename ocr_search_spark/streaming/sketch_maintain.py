@@ -141,3 +141,120 @@ def stream_maintain_cms(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+# ------------------------------------------------------------ KMV / theta
+# The OTHER exactly-once algebra: KMV union-merge (k smallest of the
+# distinct hash union) is IDEMPOTENT like HLL/Bloom — replaying a
+# micro-batch re-merges the same hashes and the state is unchanged — so
+# the stream merges straight into stored state, no batch-id partials
+# ledger needed. State is <= k ROWS per group ((group, h) pairs), and a
+# micro-batch rewrites only the storage groups its rows touch.
+
+
+def kmv_state_table(
+    spark: SparkSession, table_path: str, n_buckets: int = 8
+) -> BucketedTable:
+    """(g, h) bottom-k hash rows per group, bucketed by group so one
+    micro-batch rewrites only its touched groups' buckets."""
+    return BucketedTable(
+        spark,
+        table_path,
+        keys=["g", "h"],
+        n_buckets=n_buckets,
+        bucket_keys=["g"],
+    )
+
+
+def merge_kmv_batch(
+    table: BucketedTable,
+    items: DataFrame,
+    col: str,
+    group_col: str,
+    k: int = 64,
+) -> None:
+    """Merge one micro-batch into the KMV state: union the batch's
+    distinct hashes with the stored rows of the TOUCHED groups, keep
+    the k smallest per group, replace those groups. Idempotent: a
+    replayed batch unions the same hashes — exactly-once without a
+    partials ledger."""
+    from pyspark.sql import Window as W
+
+    from ..training.hashing import h60
+
+    batch = items.select(
+        F.col(group_col).alias("g"),
+        h60(F.col(col).cast("string")).alias("h"),
+    ).distinct()
+    w = W.partitionBy("g").orderBy("h")
+    if not table.exists():
+        top = batch.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") <= k
+        )
+        table.init(top.select("g", "h"))
+        return
+    groups = batch.select("g").distinct()
+    stored = table.read().join(F.broadcast(groups), "g", "leftsemi")
+    merged = (
+        stored.unionByName(batch)
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("g", "h")
+    )
+    table.replace_group(merged, group_keys=["g"], groups=groups)
+
+
+def current_kmv(table: BucketedTable, k: int = 64) -> DataFrame:
+    """The live sketch in kmv_build's frame: (g, sketch, theta) —
+    identical to a single-pass build over everything ingested so far
+    (union-merge algebra; tested)."""
+    from ..training.sketches import KMV_H
+
+    return (
+        table.read()
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list("h")).alias("sketch"))
+        .withColumn(
+            "theta",
+            F.when(F.size("sketch") < k, F.lit(KMV_H)).otherwise(
+                F.element_at("sketch", k)
+            ),
+        )
+    )
+
+
+def stream_maintain_kmv(
+    spark: SparkSession,
+    input_path: str,
+    table_path: str,
+    checkpoint_path: str,
+    value_col: str = "user_id",
+    group_col: str = "event_type",
+    k: int = 64,
+    n_buckets: int = 8,
+    await_termination: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Maintain per-group KMV distinct sketches from a parquet file
+    stream of events."""
+    table = kmv_state_table(spark, table_path, n_buckets)
+    reader = spark.readStream.schema(
+        f"{value_col} long, {group_col} string"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_path)
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        merge_kmv_batch(table, df, value_col, group_col, k)
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q

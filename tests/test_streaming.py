@@ -992,3 +992,65 @@ def test_fences_survive_snapshot_expiry(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     assert snapshot_sink.last_committed_batch(t, "retract") == 0
     assert snapshot_sink.last_committed_batch(t) == 2
+
+
+def test_stream_maintain_kmv_exactness_and_replay(spark, dirs, tmp_path):
+    """Streaming KMV maintenance == single-pass batch kmv_build, and a
+    replayed micro-batch is a no-op through union-merge IDEMPOTENCE
+    (the other exactly-once algebra: no partials ledger needed)."""
+    from ocr_search_spark.streaming import sketch_maintain as SM
+    from ocr_search_spark.training.sketches import kmv_build
+
+    def mk_events(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 97).alias("user_id"),
+            F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias(
+                "event_type"
+            ),
+        )
+
+    mk_events(0, 300).write.mode("append").parquet(dirs["in"])
+    mk_events(300, 700).write.mode("append").parquet(dirs["in"])
+
+    table_path = str(tmp_path / "kmv_table")
+    SM.stream_maintain_kmv(
+        spark, dirs["in"], table_path, dirs["ckpt"], k=16,
+        max_files_per_trigger=1,
+    )
+    table = SM.kmv_state_table(spark, table_path)
+
+    def batch_state():
+        return sorted(
+            (r["g"], tuple(r["sketch"]), r["theta"])
+            for r in kmv_build(
+                spark.read.parquet(dirs["in"]).withColumnRenamed(
+                    "event_type", "g"
+                ),
+                "user_id",
+                ("g",),
+                k=16,
+            ).collect()
+        )
+
+    def live():
+        return sorted(
+            (r["g"], tuple(r["sketch"]), r["theta"])
+            for r in SM.current_kmv(table, k=16).collect()
+        )
+
+    assert live() == batch_state()
+
+    # replay idempotence: merging the SAME batch again is a no-op
+    replay = mk_events(0, 300)
+    before = live()
+    SM.merge_kmv_batch(table, replay, "user_id", "event_type", k=16)
+    assert live() == before, "replayed batch changed KMV state"
+
+    # a new batch with a NEW group inserts without touching old groups
+    extra = spark.range(5).select(
+        (F.col("id") + 5000).alias("user_id"), F.lit("t9").alias("event_type")
+    )
+    SM.merge_kmv_batch(table, extra, "user_id", "event_type", k=16)
+    got = dict((g, s) for g, s, _ in live())
+    assert "t9" in got and len(got["t9"]) == 5
+    assert {g for g, _, _ in before} == set(got) - {"t9"}
