@@ -54,24 +54,50 @@ def search_pages(
     docs: DataFrame,
     params: dict,
     history_sink=None,
+    pos_postings: DataFrame | None = None,
 ) -> dict:
     """The GET /pages handler, param dict in → response dict out.
 
     Validation order and messages match ApiHandler.const.js:21-25;
     anything the engine raises past validation surfaces as the
     reference's 500 ('internal server error'). The collect is the API
-    boundary — bounded by maxReturn."""
+    boundary — bounded by maxReturn.
+
+    Extension beyond the reference: ``mode=boolean`` routes the query
+    through the boolean parser (operators/boolquery.py — AND/OR/NOT,
+    parens, quoted phrases; phrases need ``pos_postings``). A malformed
+    boolean query (syntax error, unbounded negation) is the CLIENT's
+    error → 400 with the parser's message, never a 500."""
     query = params.get("searchTerm")
     max_return = params.get("maxReturn")
+    mode = params.get("mode", "terms")
     if not isinstance(query, str):
         raise ApiError(400, "search term is not specified or is in wrong format")
     if max_return is not None and not _MAX_RETURN_RE.match(str(max_return)):
         raise ApiError(400, "maxReturn should be a positive integer")
+    if mode not in ("terms", "boolean"):
+        raise ApiError(400, "mode should be 'terms' or 'boolean'")
     k = int(max_return) if max_return is not None else DEFAULT_MAX_RETURN
     try:
-        hits = search(
-            spark, postings, query, docs=docs, max_return=k, history_sink=history_sink
-        )
+        if mode == "boolean":
+            from .operators.boolquery import boolean_search
+
+            try:
+                scored = boolean_search(
+                    postings, query, pos_postings=pos_postings, max_return=k
+                )
+            except ValueError as err:
+                raise ApiError(400, str(err)) from err
+            hits = (
+                scored.join(docs, "doc_id")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .select("ori_file_path", "page_idx", "img_path")
+            )
+        else:
+            hits = search(
+                spark, postings, query, docs=docs, max_return=k,
+                history_sink=history_sink,
+            )
         rows = hits.collect()
     except ApiError:
         raise

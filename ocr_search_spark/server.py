@@ -65,6 +65,8 @@ class PagesServer:
                         params["searchTerm"] = q["searchTerm"][0]
                     if "maxReturn" in q:
                         params["maxReturn"] = q["maxReturn"][0]
+                    if "mode" in q:
+                        params["mode"] = q["mode"][0]
                     try:
                         out = api.search_pages(
                             outer.spark,

@@ -164,3 +164,35 @@ def test_http_server_end_to_end(spark, tiny_index, tmp_path):
         assert (code, body) == (200, b"\x89PNGfake")
         assert get(base + "/pageImg/missing.png")[0] == 404
         assert get(base + "/pageImg/../secret.txt")[0] == 404
+
+
+def test_search_pages_boolean_mode(spark, tiny_index):
+    postings, docs = tiny_index
+    # richer index: add a second term so AND/NOT bite
+    p2 = postings.unionByName(
+        spark.createDataFrame(
+            [("scan", "doc1", 9), ("scan", "doc3", 2)],
+            "term string, doc_id string, tf int",
+        )
+    )
+    out = api.search_pages(
+        spark, p2, docs, {"searchTerm": "table AND scan", "mode": "boolean"}
+    )
+    got = [p["oriFilePath"] for p in out["pageList"]]
+    # doc1 (max tf 9) then doc3 (max tf 4)
+    assert got == ["data/pdf/f1.pdf", "data/pdf/f3.pdf"]
+    out2 = api.search_pages(
+        spark, p2, docs,
+        {"searchTerm": "table AND NOT scan", "mode": "boolean", "maxReturn": "2"},
+    )
+    got2 = [p["oriFilePath"] for p in out2["pageList"]]
+    assert got2 == ["data/pdf/f4.pdf", "data/pdf/f2.pdf"]
+
+
+def test_search_pages_boolean_bad_query_is_400(spark, tiny_index):
+    postings, docs = tiny_index
+    for bad in ["NOT table", "(table", 'table OR "']:
+        e = _err(spark, postings, docs, {"searchTerm": bad, "mode": "boolean"})
+        assert e.status == 400, bad
+    e = _err(spark, postings, docs, {"searchTerm": "table", "mode": "wand"})
+    assert e.status == 400 and "mode" in e.message
