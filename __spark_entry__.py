@@ -9251,3 +9251,38 @@ _TRAINING_QUERIES["snapshot_mview"] = q_snapshot_mview
 _TRAINING_ORACLES["snapshot_mview"] = f"""WITH base AS ({_SNAP_BASE})
 SELECT status, count(*)::BIGINT AS n, sum(ck)::BIGINT AS sum_ck
 FROM base GROUP BY status"""
+
+
+# ------------------------------------------------ substring search
+# Session-10: infix search over a character-trigram index (pg_trgm /
+# code-search shape) — finds needles INSIDE tokens, which the term
+# index structurally cannot. Result-transparent: candidates from the
+# trigram semi-join chain are verified with a real contains(), so the
+# oracle is the plain full-scan filter; the index only skips opens.
+# Needle 'ebul' is an infix of the rare 'nebula' marker — a term-index
+# query for 'ebul' returns nothing, this returns every nebula doc.
+
+_SUBSTR_NEEDLE = "ebul"
+
+
+def q_search_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.search import substring_search, trigram_index
+    from ocr_search_spark.operators.tokenize import _doc_text
+
+    ensure_shipped(spark)
+    extracted = extract_spans_columnar(_interleaved(spark, sf_dir))
+    dt = _doc_text(extracted)
+    idx = trigram_index(dt)
+    return substring_search(idx, dt, _SUBSTR_NEEDLE, max_return=50)
+
+
+_TRAINING_QUERIES["search_substring"] = q_search_substring
+_TRAINING_ORACLES["search_substring"] = f"""WITH {_BASE_CTE}, {_SPANS_CTE}, {_EXTRACTED_CTE}, {_DOCTEXT_CTE},
+lows AS (SELECT doc_id, lower(dtext) AS t FROM doctext)
+SELECT doc_id,
+       ((length(t) - length(replace(t, '{_SUBSTR_NEEDLE}', '')))
+        // {len(_SUBSTR_NEEDLE)})::BIGINT AS n_matches
+FROM lows
+WHERE position('{_SUBSTR_NEEDLE}' IN t) > 0
+ORDER BY n_matches DESC, doc_id ASC
+LIMIT 50"""

@@ -719,3 +719,78 @@ def snippet_search(
         )
         .orderBy(F.desc("n_terms"), F.desc("n_hits"), F.asc("doc_id"))
     )
+
+
+# ------------------------------------------------------------ substring
+
+
+def trigram_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "doc_text"
+) -> DataFrame:
+    """Character-trigram inverted index (tri, doc_id) over lower(text) —
+    the pg_trgm / code-search structure that serves INFIX queries the
+    term index cannot (a term index only finds whole tokens). Distinct
+    trigrams per doc, pure columnar (one HOF + one explode)."""
+    t = F.lower(F.col(text_col))
+    tris = F.when(
+        F.length(t) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - 2),
+                lambda i: t.substr(i, F.lit(3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tris).alias("tri")
+    )
+
+
+def substring_search(
+    index: DataFrame,
+    docs: DataFrame,
+    needle: str,
+    id_col: str = "doc_id",
+    text_col: str = "doc_text",
+    max_return: int = DEFAULT_MAX_RETURN,
+) -> DataFrame:
+    """Exact substring (infix) search: candidate docs = those whose
+    trigram posting lists contain EVERY trigram of the needle (a
+    leftsemi chain over filtered lists — each filter pushes to the
+    index scan), then the needle is verified with a real contains() on
+    the candidates only; score = occurrence count via the replace
+    trick, integer-exact. Result is IDENTICAL to a full-scan contains
+    filter (the index only skips work — result-transparent), which is
+    what the gate oracle checks.
+
+    Needles shorter than 3 chars have no trigram to prune with and
+    fall back to the verify scan (documented cost cliff, as in
+    pg_trgm). Case-insensitive, like the tokenizer."""
+    q = needle.lower()
+    if not q:
+        raise ValueError("substring needle must be non-empty")
+    if "'" in q or "\\" in q:
+        # the occurrence counter embeds the needle in a SQL literal
+        raise ValueError("substring needle may not contain quotes/backslashes")
+    tris = sorted({q[i : i + 3] for i in range(len(q) - 2)}) if len(q) >= 3 else []
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("t")
+    )
+    if tris:
+        cand = index.where(F.col("tri") == tris[0]).select("doc_id")
+        for tq in tris[1:]:
+            cand = cand.join(
+                index.where(F.col("tri") == tq).select("doc_id"),
+                "doc_id",
+                "leftsemi",
+            )
+        base = base.join(cand, "doc_id", "leftsemi")
+    hits = base.where(F.instr(F.col("t"), q) > 0)
+    n = F.expr(
+        f"CAST((length(t) - length(replace(t, '{q}', ''))) div {len(q)} AS BIGINT)"
+    )
+    return (
+        hits.select("doc_id", n.alias("n_matches"))
+        .orderBy(F.desc("n_matches"), F.asc("doc_id"))
+        .limit(max_return)
+    )

@@ -305,3 +305,66 @@ def test_proximity_search_scoring_and_edges(spark):
     with pytest.raises(ValueError):
         proximity_search(pos, ["a", "a"])
     assert proximity_search(pos, []).count() == 0
+
+
+# ------------------------------------------------------------ substring
+
+
+def test_trigram_substring_search(spark):
+    from ocr_search_spark.operators.search import substring_search, trigram_index
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "the Nebula spins; nebular clouds"),
+            ("d2", "nothing relevant here"),
+            ("d3", "NEBULA"),
+            ("d4", "neb ula split across tokens"),
+        ],
+        "doc_id string, doc_text string",
+    )
+    idx = trigram_index(docs).cache()
+    got = [
+        (r["doc_id"], r["n_matches"])
+        for r in substring_search(idx, docs, "ebul").collect()
+    ]
+    # d1 matches twice (nebula + nebular), d3 once (case-folded);
+    # d4's trigrams are broken by the space -> no candidate, no match
+    assert got == [("d1", 2), ("d3", 1)]
+    # result-transparency: identical to the brute contains scan
+    brute = sorted(
+        (r["doc_id"],)
+        for r in docs.where(
+            F.instr(F.lower("doc_text"), "ebul") > 0
+        ).collect()
+    )
+    assert sorted((g[0],) for g in got) == brute
+
+
+def test_substring_short_needle_falls_back_to_scan(spark):
+    from ocr_search_spark.operators.search import substring_search, trigram_index
+
+    docs = spark.createDataFrame(
+        [("d1", "xy appears: xy xy"), ("d2", "zz only")],
+        "doc_id string, doc_text string",
+    )
+    idx = trigram_index(docs)
+    got = [
+        (r["doc_id"], r["n_matches"])
+        for r in substring_search(idx, docs, "xy").collect()
+    ]
+    assert got == [("d1", 3)]
+
+
+def test_substring_needle_guards(spark):
+    import pytest as _pytest
+
+    from ocr_search_spark.operators.search import substring_search, trigram_index
+
+    docs = spark.createDataFrame(
+        [("d1", "abc")], "doc_id string, doc_text string"
+    )
+    idx = trigram_index(docs)
+    with _pytest.raises(ValueError):
+        substring_search(idx, docs, "")
+    with _pytest.raises(ValueError):
+        substring_search(idx, docs, "o'neil")
