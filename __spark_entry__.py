@@ -9286,3 +9286,75 @@ FROM lows
 WHERE position('{_SUBSTR_NEEDLE}' IN t) > 0
 ORDER BY n_matches DESC, doc_id ASC
 LIMIT 50"""
+
+
+# --------------------------------------------- rank-aware ANN evaluation
+# Session-10: precision@k / recall@k / MRR in exact micros, evaluating
+# the IVF-PQ restriction against flat ADC as ground truth — the
+# deployment-gate companion to ann_recall (which is set-based and
+# rank-blind). Oracle reuses the embed_ann_ivfpq CTE chain verbatim
+# (split before its final SELECT) and extends it with the flat-ADC
+# truth ranking and the metric aggregates.
+
+
+def q_ann_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = SIM.ivf_centroids(emb, n_centroids=8)
+    assign = SIM.ivf_assign(emb, cents)
+    cb = SIM.pq_codebooks(emb, m_sub=_PQ_M, n_codes=_PQ_CODES)
+    codes = SIM.pq_encode(emb, cb, m_sub=_PQ_M)
+    q = emb.where(F.col("vec_id") < 10)
+    ivf = SIM.ivfpq_search(
+        q, cents, assign, cb, codes, k=5, nprobe=2, m_sub=_PQ_M
+    )
+    w = W.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    ranking = ivf.withColumn("rank", F.row_number().over(w))
+    truth = SIM.pq_search(cb, codes, q, k=5, m_sub=_PQ_M)
+    out = SIM.ranking_metrics(ranking, truth, k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "n_rel", "n_hit", "p_e6", "recall_e6", "rr_e6",
+    )
+
+
+def _ann_eval_oracle() -> str:
+    ivf_sql = _TRAINING_ORACLES["embed_ann_ivfpq"]
+    head, _ = ivf_sql.rsplit("SELECT query_id::BIGINT", 1)
+    return head + """,
+ivfr AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2, neighbor_id) AS r
+  FROM adc
+  QUALIFY r <= 5
+),
+flatadc AS (
+  SELECT d.query_id, b.id AS neighbor_id, sum(d.d2)::BIGINT AS adc_d2
+  FROM best b JOIN dtab d ON b.sub = d.sub AND b.code = d.code
+  WHERE b.id <> d.query_id
+  GROUP BY 1, 2
+),
+truthr AS (
+  SELECT query_id, neighbor_id FROM flatadc
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY adc_d2, neighbor_id) <= 5
+),
+nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM truthr GROUP BY 1),
+hit AS (
+  SELECT i.query_id, count(*)::BIGINT AS n_hit, min(i.r) AS first_rank
+  FROM ivfr i
+  JOIN truthr t ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+  GROUP BY 1
+)
+SELECT n.query_id::BIGINT AS query_id, n.n_rel,
+       coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       (coalesce(h.n_hit, 0) * 1000000 // 5)::BIGINT AS p_e6,
+       (coalesce(h.n_hit, 0) * 1000000 // n.n_rel)::BIGINT AS recall_e6,
+       coalesce(1000000 // h.first_rank, 0)::BIGINT AS rr_e6
+FROM nrel n LEFT JOIN hit h ON h.query_id = n.query_id"""
+
+
+_TRAINING_QUERIES["ann_eval_metrics"] = q_ann_eval_metrics
+_TRAINING_ORACLES["ann_eval_metrics"] = _ann_eval_oracle()

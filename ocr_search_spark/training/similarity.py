@@ -962,3 +962,61 @@ def ranking_recall(
             .alias("recall_e6"),
         )
     )
+
+
+def ranking_metrics(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Rank-AWARE retrieval evaluation against binary qrels: per query
+    precision@k, recall@k and reciprocal rank, all in exact integer
+    micros (`x_e6 = value * 1e6`, DIV semantics — no floats, replayable
+    cross-engine). Complements :func:`ranking_recall`, which is
+    set-based and rank-blind.
+
+    ``ranking`` must carry a 1-based ``rank_col`` (the evaluated
+    system's order); ``qrels`` is (query, id) relevant pairs. Every
+    query present in ``qrels`` appears in the output — a system that
+    returned nothing for a query scores zeros, it does not vanish.
+
+    Plan: one equi-join of two top-k-sized tables + two query-keyed
+    aggregates — evaluation cost is rankings-sized, never corpus-sized.
+    """
+    r = ranking.select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_n"),
+        F.col(rank_col).cast("long").alias("_r"),
+    ).where(F.col("_r") <= k)
+    rel = qrels.select(
+        F.col(query_col).alias("_q"), F.col(id_col).alias("_n")
+    ).distinct()
+    nrel = rel.groupBy("_q").agg(F.count("*").cast("long").alias("n_rel"))
+    hit = (
+        r.join(rel, ["_q", "_n"])
+        .groupBy("_q")
+        .agg(
+            F.count("*").cast("long").alias("n_hit"),
+            F.min("_r").alias("first_rank"),
+        )
+    )
+    return (
+        nrel.join(hit, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            "n_rel",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.expr(f"coalesce(n_hit, 0) * 1000000 div {int(k)}")
+            .cast("long")
+            .alias("p_e6"),
+            F.expr("coalesce(n_hit, 0) * 1000000 div n_rel")
+            .cast("long")
+            .alias("recall_e6"),
+            F.coalesce(
+                F.expr("1000000 div first_rank"), F.lit(0)
+            ).cast("long").alias("rr_e6"),
+        )
+    )

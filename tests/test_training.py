@@ -1596,3 +1596,28 @@ def test_ivfpq_candidates_restricted_to_probed_lists(spark):
     amap = {r["vec_id"]: r["cid"] for r in assign.collect()}
     for r in out.collect():
         assert amap[r["neighbor_id"]] == amap[r["query_id"]]
+
+
+def test_ranking_metrics_exact_values(spark):
+    """Hand-checkable micros: q1 perfect, q2 partial at rank 2, q3 miss."""
+    ranking = spark.createDataFrame(
+        [
+            ("q1", "a", 1), ("q1", "b", 2),
+            ("q2", "x", 1), ("q2", "a", 2), ("q2", "y", 3),
+            ("q3", "x", 1),
+        ],
+        "query_id string, neighbor_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "a"), ("q1", "b"), ("q2", "a"), ("q2", "b"), ("q3", "z")],
+        "query_id string, neighbor_id string",
+    )
+    got = {
+        r["query_id"]: (r["n_rel"], r["n_hit"], r["p_e6"], r["recall_e6"], r["rr_e6"])
+        for r in similarity.ranking_metrics(ranking, qrels, k=2).collect()
+    }
+    assert got["q1"] == (2, 2, 1000000, 1000000, 1000000)
+    # q2: only rank<=2 counts -> hit 'a' at rank 2
+    assert got["q2"] == (2, 1, 500000, 500000, 500000)
+    # q3: zero hits but still present
+    assert got["q3"] == (1, 0, 0, 0, 0)
