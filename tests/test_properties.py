@@ -255,3 +255,94 @@ def test_dehyphenate_reflow_spark_equals_replica_on_fuzz_corpus(spark):
     }
     for i, t in enumerate(corpus):
         assert got[i] == _reflow_replica(t), (i, repr(t), repr(got[i]))
+
+
+# ------------------------------------------------------------ boolquery
+# Parser robustness, pure Python (no Spark): arbitrary rendered ASTs
+# round-trip through parse_boolean, and arbitrary junk either parses or
+# raises ValueError — never crashes with anything else.
+
+from ocr_search_spark.operators import boolquery as BQ  # noqa: E402
+
+_WORD = st.sampled_from(["nebula", "zephyr", "merge", "table", "value", "summit"])
+
+
+def _ast(depth):
+    if depth == 0:
+        return st.one_of(
+            _WORD.map(BQ.Term),
+            st.tuples(_WORD, _WORD).filter(lambda t: t[0] != t[1]).map(
+                lambda t: BQ.Phrase(t)
+            ),
+        )
+    sub = _ast(depth - 1)
+    return st.one_of(
+        sub,
+        st.lists(sub, min_size=2, max_size=3).map(
+            lambda cs: BQ.And(tuple(cs))
+        ),
+        st.lists(sub, min_size=2, max_size=3).map(lambda cs: BQ.Or(tuple(cs))),
+    )
+
+
+def _render(node, top=True):
+    if isinstance(node, BQ.Term):
+        return node.term
+    if isinstance(node, BQ.Phrase):
+        return '"' + " ".join(node.terms) + '"'
+    if isinstance(node, BQ.And):
+        s = " AND ".join(_render(c, False) for c in node.children)
+    else:
+        s = " OR ".join(_render(c, False) for c in node.children)
+    return s if top else f"({s})"
+
+
+def _norm(node):
+    """Flatten nested same-type nodes + collapse singletons, the
+    parser's canonical shape."""
+    if isinstance(node, (BQ.Term, BQ.Phrase)):
+        return node
+    kids = []
+    for c in node.children:
+        cn = _norm(c)
+        if type(cn) is type(node):
+            kids.extend(cn.children)
+        else:
+            kids.append(cn)
+    if len(kids) == 1:
+        return kids[0]
+    return type(node)(tuple(kids))
+
+
+@settings(max_examples=300, deadline=None)
+@given(_ast(3))
+def test_boolquery_render_parse_roundtrip(ast):
+    # rendering inserts explicit parens per level, so nested same-type
+    # nodes flatten: compare normalized forms
+    assert _norm(BQ.parse_boolean(_render(ast))) == _norm(ast)
+
+
+_JUNK = st.lists(
+    st.sampled_from(
+        ["nebula", "AND", "OR", "NOT", "(", ")", '"', "the", "a", '"table value"']
+    ),
+    min_size=0,
+    max_size=8,
+).map(" ".join)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_JUNK)
+def test_boolquery_junk_never_crashes(q):
+    try:
+        ast = BQ.parse_boolean(q)
+    except ValueError:
+        return  # rejection is an allowed outcome
+    if ast is not None:
+        # whatever parsed must be a well-formed AST the compiler accepts
+        # or rejects with ValueError (unbounded negation)
+        try:
+            BQ.term_leaves(ast)
+            BQ._check_negation(ast)
+        except ValueError:
+            pass
