@@ -1924,6 +1924,21 @@ _GATE_PRIORITY = [
     # bloom_join (result-transparent join reduction; oracle is the
     # plain join = tpch_q3/q5/q13 rows). All check_entry-verified.
     "skew_profile", "communities_lpa", "ann_recall", "bloom_join",
+    # Session-10 overflow (window full; flagship search_boolean holds
+    # the one in-window slot). Sibling coverage for the rest:
+    # kmv_term_audiences (exact-replay sketch = cms/hll/bloom rows +
+    # WindowGroupLimit shape = stratified_sample's in-window row),
+    # dedup_snm (shingle-jaccard scoring = dedup_skewed's in-window
+    # row; the rank/window-join machinery is pytest-gated at 3
+    # partition counts), embed_ann_ivfpq + ann_eval_metrics (IVF +
+    # ADC paths = embed_ann_ivf/embed_pq_topk r2/r3 rows),
+    # snapshot_partition_scan / snapshot_replace_where /
+    # snapshot_mview (manifest-pruned scan + COW rewrite shapes =
+    # snapshot_pruned_scan/merge/incremental rows + 16 pytest cases),
+    # events_gapfill (spine join + user windows = events_sliding /
+    # rolling_revenue rows), search_substring (filtered-index
+    # semi-joins = phrase_search's in-window row). All
+    # check_entry-verified at sf0.001 AND sf0.01 this session.
 ]
 
 
