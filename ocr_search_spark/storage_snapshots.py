@@ -108,6 +108,16 @@ def _check_partition_spec(spec: list, schema: T.StructType) -> list[list]:
                     f"{kind} transform needs a string/integer column, "
                     f"{col} is {t}"
                 )
+        elif kind == "epochday":
+            # day number of an INTEGER epoch-seconds column: pure int
+            # arithmetic on both the write and prune sides — the
+            # timezone-skew soundness objection to a timestamp-typed
+            # 'days' transform does not arise
+            if not isinstance(t, _INT_TYPES):
+                raise ValueError(
+                    f"epochday needs an integer epoch-seconds column, "
+                    f"{col} is {t}"
+                )
         elif kind == "truncate":
             if not isinstance(t, T.StringType):
                 raise ValueError(f"truncate needs a string column, {col} is {t}")
@@ -116,7 +126,7 @@ def _check_partition_spec(spec: list, schema: T.StructType) -> list[list]:
         else:
             raise ValueError(
                 f"unknown partition transform {kind!r} "
-                "(identity | bucket | truncate)"
+                "(identity | bucket | truncate | epochday)"
             )
         if kind == "bucket" and (not isinstance(arg, int) or arg < 1):
             raise ValueError("bucket count must be a positive int")
@@ -133,6 +143,8 @@ def _transform_col(entry: list, c: Column) -> Column:
         return c.cast("string")
     if kind == "truncate":
         return F.substring(c, 1, int(arg))
+    if kind == "epochday":
+        return F.floor(c / F.lit(86400)).cast("long").cast("string")
     # bucket: h60 of the canonical string, mod n
     h = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
     return (h % int(arg)).cast("string")
@@ -152,6 +164,8 @@ def _transform_value(entry: list, val) -> str | None:
         return s
     if kind == "truncate":
         return s[: int(arg)]
+    if kind == "epochday":
+        return str(val // 86400) if isinstance(val, int) else None
     h = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
     return str(h % int(arg))
 
@@ -393,7 +407,7 @@ class SnapshotTable:
 
         ``partition_spec`` opts the table into HIDDEN partitioning:
         [(col, kind[, arg])] with kind ∈ identity | bucket(n) |
-        truncate(w). Writers (create/append/overwrite) route rows to
+        truncate(w) | epochday (int epoch-seconds → day number). Writers (create/append/overwrite) route rows to
         files by transform value; :meth:`scan` prunes files from
         EQUALITY predicates on the data column through the same
         transform — bucket gives point-lookup pruning on

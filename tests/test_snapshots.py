@@ -890,3 +890,24 @@ def test_mview_new_keys_insert_via_merge(spark, tmp_path):
     mv.refresh()
     got = {(r["tag"], r["n"]) for r in mv.read().collect()}
     assert got == {("a", 10), ("b", 20)}
+
+
+def test_epochday_transform_prunes_per_day(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ped"))
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.lit(1700000000) + F.col("id") * 200).alias("ts_sec"),  # ~2.3 days
+        (F.col("id") * 2).alias("v"),
+    )
+    t.create(df, partition_spec=[("ts_sec", "epochday")])
+    man = t._manifest(1)
+    days = {man["partitions"][f][0] for f in man["files"]}
+    exp_days = {str((1700000000 + i * 200) // 86400) for i in range(1000)}
+    assert days == exp_days and len(days) > 1
+    probe = 1700000000 + 500 * 200
+    kept = t._partition_pruned(man, man["files"], [("ts_sec", "=", probe)])
+    vals = {man["partitions"][f][0] for f in kept}
+    assert vals == {str(probe // 86400)}
+    got = sorted(r["k"] for r in t.scan([("ts_sec", "=", probe)]).collect())
+    exp = sorted(r["k"] for r in t.read().where(F.col("ts_sec") == probe).collect())
+    assert got == exp and got == [500]
