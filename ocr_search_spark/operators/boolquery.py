@@ -98,9 +98,6 @@ class Not:
     child: object
 
 
-_KEYWORDS = {"AND", "OR", "NOT"}
-
-
 def _lex(query: str) -> list[str]:
     """Split into parens, quoted phrases (kept with their quotes) and words."""
     out: list[str] = []
