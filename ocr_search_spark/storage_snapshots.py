@@ -841,6 +841,34 @@ class SnapshotTable:
             delete_files=man.get("delete_files"),
         )
 
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """Iceberg-style ``table.files`` metadata table: one row per
+        data file of the snapshot — relative path, introducing commit
+        dir, partition-transform values (JSON strings) and recorded
+        min/max stats (JSON string). Driver-side manifest JSON only; no
+        data file is opened. Bounded by O(n_files), the same budget the
+        manifest itself lives under."""
+        import json as _json
+
+        v = version if version is not None else self._require_current()
+        man = self._manifest(v)
+        parts = man.get("partitions") or {}
+        stats = man.get("stats") or {}
+        rows = [
+            (
+                f,
+                f.split("/")[1] if f.startswith("data/") else None,
+                _json.dumps(parts.get(f)) if f in parts else None,
+                _json.dumps(stats.get(f)) if f in stats else None,
+            )
+            for f in man["files"]
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "file string, commit_dir string, partition_values string, "
+            "stats string",
+        )
+
     def history(self) -> list[dict]:
         """Newest-first [{version, parent, operation, n_files}] for every
         retained snapshot."""

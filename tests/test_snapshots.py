@@ -911,3 +911,21 @@ def test_epochday_transform_prunes_per_day(spark, tmp_path):
     got = sorted(r["k"] for r in t.scan([("ts_sec", "=", probe)]).collect())
     exp = sorted(r["k"] for r in t.read().where(F.col("ts_sec") == probe).collect())
     assert got == exp and got == [500]
+
+
+def test_files_df_metadata_table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ft"))
+    t.create(
+        _pdf(spark, 0, 100), stats_cols=["k"],
+        partition_spec=[("uid", "bucket", 4)],
+    )
+    t.append(_pdf(spark, 100, 200))
+    rows = t.files_df().collect()
+    man = t._manifest(t.current_version())
+    assert {r["file"] for r in rows} == set(man["files"])
+    assert {r["commit_dir"] for r in rows} == {"c1", "c2"}
+    import json as _json
+
+    for r in rows:
+        assert _json.loads(r["partition_values"])  # every file has pvals
+        assert "k" in _json.loads(r["stats"])  # stats recorded for k
