@@ -9373,3 +9373,83 @@ FROM nrel n LEFT JOIN hit h ON h.query_id = n.query_id"""
 
 _TRAINING_QUERIES["ann_eval_metrics"] = q_ann_eval_metrics
 _TRAINING_ORACLES["ann_eval_metrics"] = _ann_eval_oracle()
+
+
+# ------------------------------------------------ filtered vector search
+# Session-10: metadata-filtered ANN — the vector-DB staple (WHERE
+# label = 3 AND nearest-k). Pre-filtering shape: the predicate
+# restricts the ASSIGNMENT table (a semi-join on the narrow id/label
+# projection) before probing, so candidate lists only ever hold
+# eligible vectors — the post-filter pitfall (probe k, filter, return
+# < k) cannot occur. Composition of gate-proven pieces; the oracle is
+# the embed_ann_ivf chain with the same label restriction.
+
+_ANN_FILTER_LABEL = 3
+
+
+def q_embed_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = SIM.ivf_centroids(emb, n_centroids=8)
+    assign = SIM.ivf_assign(emb, cents)
+    eligible = emb.where(F.col("label") == _ANN_FILTER_LABEL).select("vec_id")
+    assign_f = assign.join(eligible, "vec_id", "leftsemi")
+    return SIM.ivf_search(
+        emb, emb.where(F.col("vec_id") < 10), cents, assign_f,
+        k=5, nprobe=2,
+    )
+
+
+_TRAINING_QUERIES["embed_ann_filtered"] = q_embed_ann_filtered
+_TRAINING_ORACLES["embed_ann_filtered"] = f"""WITH {_EMB_FLAT_CTE},
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, vec_id AS cvid
+  FROM embeddings WHERE vec_id < 8
+),
+cflat AS (SELECT c.cid, f.i, f.v FROM cents c JOIN flat f ON f.vec_id = c.cvid),
+cnorm AS (SELECT cid, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS cn FROM cflat GROUP BY cid),
+vc AS (
+  SELECT f.vec_id, cf.cid, sum(f.v::DOUBLE * cf.v::DOUBLE) AS dot
+  FROM flat f JOIN cflat cf ON f.i = cf.i GROUP BY 1, 2
+),
+vccos AS (
+  SELECT vec_id, cid, round(dot / (n.nrm * cn.cn), 6) AS cos
+  FROM vc JOIN norms n USING (vec_id) JOIN cnorm cn USING (cid)
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM vccos
+  ) WHERE rn = 1
+),
+assign_f AS (
+  SELECT a.vec_id, a.cid FROM assign a
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE e.label = {_ANN_FILTER_LABEL}
+),
+probed AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM vccos WHERE vec_id < 10
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probed p JOIN assign_f a ON a.cid = p.cid AND a.vec_id <> p.query_id
+),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, sum(fq.v::DOUBLE * fn.v::DOUBLE) AS dot
+  FROM cand c
+  JOIN flat fq ON fq.vec_id = c.query_id
+  JOIN flat fn ON fn.vec_id = c.neighbor_id AND fn.i = fq.i
+  GROUP BY 1, 2
+),
+cosd AS (
+  SELECT query_id, neighbor_id, round(dot / (nq.nrm * nn.nrm), 6) AS cos
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nn ON nn.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM cosd
+) WHERE rn <= 5"""

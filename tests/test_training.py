@@ -1621,3 +1621,25 @@ def test_ranking_metrics_exact_values(spark):
     assert got["q2"] == (2, 1, 500000, 500000, 500000)
     # q3: zero hits but still present
     assert got["q3"] == (1, 0, 0, 0, 0)
+
+
+def test_filtered_ann_only_returns_eligible_neighbors(spark):
+    """Pre-filter shape: every returned neighbor satisfies the metadata
+    predicate, and with nprobe=all the result equals brute-force
+    filtered cosine exactly."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.ivf_centroids(emb, n_centroids=8)
+    assign = similarity.ivf_assign(emb, cents)
+    eligible = emb.where(F.col("label") == 3)
+    assign_f = assign.join(eligible.select("vec_id"), "vec_id", "leftsemi")
+    q = emb.where(F.col("vec_id") < 5)
+    out = similarity.ivf_search(emb, q, cents, assign_f, k=5, nprobe=8)
+    ok = {r["vec_id"] for r in eligible.select("vec_id").collect()}
+    rows = out.collect()
+    assert rows and all(r["neighbor_id"] in ok for r in rows)
+    brute = similarity.cosine_topk(eligible, q, k=5)
+    assert sorted(
+        (r["query_id"], r["neighbor_id"], r["cos"]) for r in rows
+    ) == sorted(
+        (r["query_id"], r["neighbor_id"], r["cos"]) for r in brute.collect()
+    )
