@@ -176,6 +176,9 @@ def main() -> None:
         "snapshot_replace_where",
         "snapshot_mview",
         "events_gapfill",
+        "search_substring",
+        "ann_eval_metrics",
+        "embed_ann_filtered",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:
