@@ -9453,3 +9453,27 @@ SELECT query_id, neighbor_id, cos FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
   FROM cosd
 ) WHERE rn <= 5"""
+
+
+# ------------------------------------------------ prefix search
+# Session-10: wildcard term queries (val*) — dictionary expansion via a
+# filtered distinct (a range scan on a sorted postings layout), max-tf
+# scoring over the expanded set, and an explicit refusal when the
+# expansion exceeds max_terms (a silent corpus-sized OR is the classic
+# wildcard footgun). 'val*' expands to lemmatized forms like value /
+# valuable in the gate corpus.
+
+
+def q_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.search import prefix_search
+
+    return prefix_search(_postings(spark, sf_dir), "val*", max_return=50)
+
+
+_TRAINING_QUERIES["search_prefix"] = q_search_prefix
+_TRAINING_ORACLES["search_prefix"] = f"""WITH {_POSTINGS_BODY}
+SELECT doc_id, max(tf)::BIGINT AS score
+FROM postings WHERE term LIKE 'val%'
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 50"""

@@ -794,3 +794,36 @@ def substring_search(
         .orderBy(F.desc("n_matches"), F.asc("doc_id"))
         .limit(max_return)
     )
+
+
+def prefix_search(
+    postings: DataFrame,
+    prefix: str,
+    max_return: int = DEFAULT_MAX_RETURN,
+    max_terms: int = 1000,
+) -> DataFrame:
+    """Wildcard term search (``val*``): expand the prefix against the
+    term dictionary (one filtered DISTINCT over the index — on a sorted/
+    bucketed postings table this is a range scan), then score matched
+    docs with the pinned max-tf semantics over ALL expanded terms.
+    Completes the query family: exact (search), boolean, phrase, fuzzy,
+    substring — and raises when the expansion exceeds ``max_terms``
+    (an unselective prefix like 'a*' expands to a scan-sized OR; the
+    reference behavior for runaway queries is an explicit error, not a
+    silent corpus scan)."""
+    p = prefix.lower().rstrip("*")
+    if not p:
+        raise ValueError("prefix must be non-empty")
+    matched = postings.where(F.col("term").startswith(p))
+    n_terms = matched.select("term").distinct().count()
+    if n_terms > max_terms:
+        raise ValueError(
+            f"prefix {prefix!r} expands to {n_terms} terms "
+            f"(> max_terms={max_terms}) — refusing the scan-sized OR"
+        )
+    return (
+        matched.groupBy("doc_id")
+        .agg(F.max("tf").cast("long").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(max_return)
+    )

@@ -368,3 +368,22 @@ def test_substring_needle_guards(spark):
         substring_search(idx, docs, "")
     with _pytest.raises(ValueError):
         substring_search(idx, docs, "o'neil")
+
+
+def test_prefix_search_expansion_and_guard(spark):
+    from ocr_search_spark.operators.search import prefix_search
+
+    postings = spark.createDataFrame(
+        [("value", "d1", 3), ("valuable", "d2", 5), ("vat", "d3", 9),
+         ("value", "d2", 1)],
+        "term string, doc_id string, tf long",
+    )
+    got = [(r["doc_id"], r["score"]) for r in prefix_search(postings, "val*").collect()]
+    # d2: max(valuable 5, value 1) = 5; d1: 3; d3 (vat) not val-prefixed
+    assert got == [("d2", 5), ("d1", 3)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_terms"):
+        prefix_search(postings, "v", max_terms=2)
+    with _pytest.raises(ValueError):
+        prefix_search(postings, "*")
