@@ -9477,3 +9477,47 @@ FROM postings WHERE term LIKE 'val%'
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT 50"""
+
+
+# ------------------------------------------------ event path mining
+# Session-11: top-k behavioural paths — for every user, the ordered
+# stream of event types (ts, then event_id to break same-timestamp
+# ties) is windowed into consecutive 3-step paths with lead(); paths
+# are counted globally and the top 25 returned. Scale shape: the
+# window is per-user (bounded state, WindowExec over a user-hash
+# shuffle), the path groupBy has ≤ |event_types|^3 = 125 keys with
+# map-side partial aggregation, and the final top-k is a
+# TakeOrderedAndProject — no driver-side iteration anywhere.
+
+
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    return (
+        stepped.select(F.concat_ws(">", "t1", "t2", "t3").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(25)
+    )
+
+
+_TRAINING_QUERIES["events_paths"] = q_events_paths
+_TRAINING_ORACLES["events_paths"] = """WITH stepped AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+  FROM events
+)
+SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*)::BIGINT AS n
+FROM stepped WHERE t3 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path ASC
+LIMIT 25"""
