@@ -9521,3 +9521,119 @@ FROM stepped WHERE t3 IS NOT NULL
 GROUP BY 1
 ORDER BY n DESC, path ASC
 LIMIT 25"""
+
+
+# ------------------------------------------- figure-caption association
+# Session-11: the figure/caption pairing stage of layout parsing
+# (pagelayout.figure_captions — PDFFigures2-style proximity with the
+# captions-sit-below-figures print convention pinned). Fixture: two
+# column figures per page, one caption jitter-seated under each, plus a
+# page-wide caption equidistant in x from both figures (the winner is
+# decided by the h60 y-jitter, tie → smaller figure id) and a 'text'
+# distractor block that must be ignored. All integer milli-units so the
+# DuckDB oracle replays the geometry bit-for-bit.
+
+
+def _figcap_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.hashing import h60
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    i = F.explode(F.sequence(F.lit(0), F.lit(1))).alias("i")
+    base = d.select("doc_id", i)
+    key = F.concat(
+        F.col("doc_id").cast("string"), F.lit(":"), F.col("i").cast("string")
+    )
+    jf = F.pmod(h60(F.concat(F.lit("f:"), key)), F.lit(40))
+    jc = F.pmod(h60(F.concat(F.lit("c:"), key)), F.lit(25))
+    j3 = F.pmod(h60(F.concat(F.lit("w:"), F.col("doc_id").cast("string"))), F.lit(60))
+
+    def block(bid, kind, x0, y0, x1, y1):
+        return [
+            F.col("doc_id"),
+            F.lit(1).cast("int").alias("page"),
+            bid.cast("int").alias("block_id"),
+            F.lit(kind).alias("kind"),
+            x0.cast("long").alias("x0"),
+            y0.cast("long").alias("y0"),
+            x1.cast("long").alias("x1"),
+            y1.cast("long").alias("y1"),
+        ]
+
+    figs = base.select(
+        *block(
+            F.col("i"), "figure",
+            F.lit(100) + F.col("i") * 500, F.lit(100) + jf,
+            F.lit(400) + F.col("i") * 500, F.lit(350) + jf,
+        )
+    )
+    caps = base.select(
+        *block(
+            F.lit(10) + F.col("i"), "caption",
+            F.lit(120) + F.col("i") * 500 + jc, F.lit(360) + jf + jc,
+            F.lit(380) + F.col("i") * 500 + jc, F.lit(390) + jf + jc,
+        )
+    )
+    wide = d.select(
+        *block(
+            F.lit(12), "caption",
+            F.lit(300) + j3, F.lit(720), F.lit(680) + j3, F.lit(750),
+        )
+    )
+    text = d.select(
+        *block(F.lit(20), "text", F.lit(100), F.lit(400), F.lit(900), F.lit(700))
+    )
+    return figs.unionByName(caps).unionByName(wide).unionByName(text)
+
+
+def q_layout_figures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.pagelayout import figure_captions
+
+    return figure_captions(_figcap_blocks(spark, sf_dir))
+
+
+_FIGCAP_H = {
+    "jf": _h60_sql("'f:' || doc_id::VARCHAR || ':' || i::VARCHAR") + " % 40",
+    "jc": _h60_sql("'c:' || doc_id::VARCHAR || ':' || i::VARCHAR") + " % 25",
+    "j3": _h60_sql("'w:' || doc_id::VARCHAR") + " % 60",
+}
+
+_TRAINING_QUERIES["layout_figures"] = q_layout_figures
+_TRAINING_ORACLES["layout_figures"] = f"""WITH ids AS (
+  SELECT doc_id, unnest(range(0, 2)) AS i FROM documents
+),
+figs AS (
+  SELECT doc_id, 1 AS page, i::INT AS figure_id,
+         (100 + i * 500)::BIGINT AS fx0,
+         (100 + {_FIGCAP_H['jf']})::BIGINT AS fy0,
+         (400 + i * 500)::BIGINT AS fx1,
+         (350 + {_FIGCAP_H['jf']})::BIGINT AS fy1
+  FROM ids
+),
+caps AS (
+  SELECT doc_id, 1 AS page, (10 + i)::INT AS caption_id,
+         (120 + i * 500 + {_FIGCAP_H['jc']})::BIGINT AS cx0,
+         (360 + {_FIGCAP_H['jf']} + {_FIGCAP_H['jc']})::BIGINT AS cy0,
+         (380 + i * 500 + {_FIGCAP_H['jc']})::BIGINT AS cx1,
+         (390 + {_FIGCAP_H['jf']} + {_FIGCAP_H['jc']})::BIGINT AS cy1
+  FROM ids
+  UNION ALL
+  SELECT doc_id, 1 AS page, 12::INT AS caption_id,
+         (300 + {_FIGCAP_H['j3']})::BIGINT AS cx0, 720::BIGINT AS cy0,
+         (680 + {_FIGCAP_H['j3']})::BIGINT AS cx1, 750::BIGINT AS cy1
+  FROM documents
+),
+scored AS (
+  SELECT c.doc_id, c.page, c.caption_id, f.figure_id,
+         (greatest(0, greatest(f.fx0, c.cx0) - least(f.fx1, c.cx1))
+          + greatest(0, greatest(f.fy0, c.cy0) - least(f.fy1, c.cy1)))::BIGINT AS gap,
+         f.fy1 <= c.cy0 AS above
+  FROM caps c JOIN figs f ON f.doc_id = c.doc_id AND f.page = c.page
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id, page, caption_id
+      ORDER BY above DESC, gap, figure_id) AS rn
+  FROM scored
+)
+SELECT doc_id, page, caption_id, figure_id, gap, above
+FROM ranked WHERE rn = 1"""

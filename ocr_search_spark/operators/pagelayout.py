@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["reading_order", "strip_page_chrome", "table_structure", "table_cells", "table_markdown"]
+__all__ = ["reading_order", "strip_page_chrome", "table_structure", "table_cells", "table_markdown", "figure_captions"]
 
 
 def reading_order(
@@ -374,4 +374,76 @@ def table_markdown(
                 chr(10),
             ).alias("markdown"),
         )
+    )
+
+
+def figure_captions(
+    blocks: DataFrame,
+    doc_col: str = "doc_id",
+    page_col: str = "page",
+) -> DataFrame:
+    """Associate every caption block with one figure on its page — the
+    figure/caption pairing stage of layout parsing (PDFFigures2-style
+    proximity heuristic; the reference's page-render chain stops at
+    whole-page OCR, so this stage exists only here).
+
+    ``blocks`` columns: doc_col, page_col, block_id, kind, x0, y0, x1,
+    y1 — integer milli-units, kind ∈ {'figure', 'caption', …} (other
+    kinds are ignored). Matching rule, fully pinned:
+
+    * candidate set = figures on the SAME (doc, page);
+    * gap = L1 whitespace between the two rectangles
+      (``max(0, x-gap) + max(0, y-gap)``; 0 when they touch/overlap);
+    * a figure wholly ABOVE the caption (``fig.y1 <= cap.y0``) beats
+      any non-above figure regardless of gap (print convention:
+      captions sit under their figures);
+    * remaining ties: smaller gap, then smaller figure block_id.
+
+    Returns (doc, page, caption_id, figure_id, gap, above). Captions on
+    figure-less pages are dropped (inner join semantics — the caller
+    can anti-join to find orphans).
+
+    Scale shape: the join is keyed on (doc, page) — one shuffle; the
+    fanout per caption is the page's figure count (single digits in
+    real layouts), then a per-caption window picks rank 1. Nothing is
+    corpus-wide.
+    """
+    keys = [doc_col, page_col]
+    figs = blocks.where(F.col("kind") == "figure").select(
+        *keys,
+        F.col("block_id").alias("figure_id"),
+        F.col("x0").alias("fx0"),
+        F.col("y0").alias("fy0"),
+        F.col("x1").alias("fx1"),
+        F.col("y1").alias("fy1"),
+    )
+    caps = blocks.where(F.col("kind") == "caption").select(
+        *keys,
+        F.col("block_id").alias("caption_id"),
+        F.col("x0").alias("cx0"),
+        F.col("y0").alias("cy0"),
+        F.col("x1").alias("cx1"),
+        F.col("y1").alias("cy1"),
+    )
+    j = caps.join(figs, keys)
+    dx = F.greatest(
+        F.lit(0),
+        F.greatest(F.col("fx0"), F.col("cx0"))
+        - F.least(F.col("fx1"), F.col("cx1")),
+    )
+    dy = F.greatest(
+        F.lit(0),
+        F.greatest(F.col("fy0"), F.col("cy0"))
+        - F.least(F.col("fy1"), F.col("cy1")),
+    )
+    scored = j.withColumn("gap", (dx + dy).cast("long")).withColumn(
+        "above", F.col("fy1") <= F.col("cy0")
+    )
+    wr = W.partitionBy(*keys, "caption_id").orderBy(
+        F.col("above").desc(), F.col("gap"), F.col("figure_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(wr))
+        .where(F.col("_rn") == 1)
+        .select(*keys, "caption_id", "figure_id", "gap", "above")
     )

@@ -236,3 +236,70 @@ def test_table_markdown_render_and_ragged_padding(spark):
     row0 = md2["markdown"].split("\n")[0]
     assert row0.startswith("| a\\|b w001 | ")
     assert all(len(ln.split(" | ")) == 3 for ln in md2["markdown"].split("\n"))
+
+
+# ---------------------------------------------------- figure_captions
+
+
+def _blocks(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, page int, block_id int, kind string, "
+        "x0 long, y0 long, x1 long, y1 long",
+    )
+
+
+def test_caption_pairs_with_figure_directly_above(spark):
+    from ocr_search_spark.operators.pagelayout import figure_captions
+
+    rows = [
+        (1, 1, 0, "figure", 100, 100, 400, 350),
+        (1, 1, 1, "figure", 600, 100, 900, 350),
+        (1, 1, 10, "caption", 120, 360, 380, 390),   # under figure 0
+        (1, 1, 11, "caption", 620, 360, 880, 390),   # under figure 1
+        (1, 1, 20, "text", 100, 400, 900, 700),      # must be ignored
+    ]
+    out = {r["caption_id"]: r for r in figure_captions(_blocks(spark, rows)).collect()}
+    assert out[10]["figure_id"] == 0 and out[10]["above"] and out[10]["gap"] == 10
+    assert out[11]["figure_id"] == 1 and out[11]["above"] and out[11]["gap"] == 10
+
+
+def test_above_figure_beats_closer_side_figure(spark):
+    from ocr_search_spark.operators.pagelayout import figure_captions
+
+    # fig 0 is ABOVE the caption with a big 300 gap; fig 1 sits right
+    # next to it (gap 20) but not above — print convention wins
+    rows = [
+        (2, 1, 0, "figure", 100, 100, 400, 300),
+        (2, 1, 1, "figure", 600, 600, 900, 800),
+        (2, 1, 10, "caption", 120, 600, 380, 640),
+    ]
+    (r,) = figure_captions(_blocks(spark, rows)).collect()
+    assert r["figure_id"] == 0 and r["above"]
+
+
+def test_tie_broken_by_gap_then_figure_id(spark):
+    from ocr_search_spark.operators.pagelayout import figure_captions
+
+    # both figures above and x-overlapping; equal gaps -> smaller id
+    rows = [
+        (3, 1, 0, "figure", 100, 100, 400, 350),
+        (3, 1, 1, "figure", 600, 100, 900, 350),
+        (3, 1, 12, "caption", 300, 700, 700, 750),
+    ]
+    (r,) = figure_captions(_blocks(spark, rows)).collect()
+    assert r["figure_id"] == 0 and r["gap"] == 350
+    # now figure 1 is nearer vertically -> gap decides
+    rows[1] = (3, 1, 1, "figure", 600, 150, 900, 400)
+    (r,) = figure_captions(_blocks(spark, rows)).collect()
+    assert r["figure_id"] == 1 and r["gap"] == 300
+
+
+def test_figureless_page_drops_caption_and_pages_do_not_mix(spark):
+    from ocr_search_spark.operators.pagelayout import figure_captions
+
+    rows = [
+        (4, 1, 0, "figure", 100, 100, 400, 350),
+        (4, 2, 10, "caption", 120, 360, 380, 390),  # page 2: no figure
+    ]
+    assert figure_captions(_blocks(spark, rows)).count() == 0
