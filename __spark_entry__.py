@@ -1939,6 +1939,16 @@ _GATE_PRIORITY = [
     # rolling_revenue rows), search_substring (filtered-index
     # semi-joins = phrase_search's in-window row). All
     # check_entry-verified at sf0.001 AND sf0.01 this session.
+    # Session-11 overflow, same sibling policy (all check_entry-verified
+    # at sf0.001 AND sf0.01): embed_ann_filtered (pre-filter semi-join +
+    # IVF probe = embed_ann_ivf/embed_ann_kmeans rows), search_prefix
+    # (dictionary-expansion max-tf scoring = search_topk/search_expanded
+    # rows), events_paths (per-user lead() window + bounded groupBy =
+    # events_funnel/events_retention in-window rows), layout_figures
+    # (page-keyed join + per-caption argmin window =
+    # layout_reading_order's in-window row), snapshot_spec_evolution
+    # (manifest-pruned scan + partitioned write = snapshot_partition_scan
+    # / snapshot_pruned_scan shapes + 4 dedicated pytest cases).
 ]
 
 
@@ -9637,3 +9647,43 @@ ranked AS (
 )
 SELECT doc_id, page, caption_id, figure_id, gap, above
 FROM ranked WHERE rn = 1"""
+
+
+# ---------------------------------------------- partition-spec evolution
+# Session-11: Iceberg-style partition evolution — a metadata-only commit
+# changes the WRITE spec; files already on disk keep their recorded
+# values plus the id of the spec that produced them, so equality pruning
+# interprets every file against its own era (positional values replayed
+# under the wrong spec would prune the wrong files — the classic
+# evolution soundness trap). The entry proves both halves in-query:
+# era-localized pruning ratios AND result transparency (the oracle is
+# the plain filter — evolution may only ever skip file opens).
+
+
+def q_snapshot_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _snap_orders(spark, sf_dir)
+    t = _snap_table(spark, "specev")
+    t.create(
+        o.where(F.col("k") % 2 == 0).repartition(4),
+        partition_spec=[("k", "bucket", 4)],
+    )
+    t.evolve_partition_spec([("status", "identity")])
+    t.append(o.where(F.col("k") % 2 == 1).repartition(4))
+    man = t._manifest(t.current_version())
+    fsids = man["file_spec_ids"]
+    old = {f for f in man["files"] if fsids.get(f) == 0}
+    new = {f for f in man["files"] if fsids.get(f) == 1}
+    assert old and new and len(man["spec_registry"]) == 2
+    kept = set(t._partition_pruned(man, man["files"], [("status", "=", "O")]))
+    # a status predicate keeps every old-era file (bucket(k) values say
+    # nothing about status) and prunes the new era to the one status dir
+    assert old <= kept and len(kept & new) < len(new)
+    kept_k = set(t._partition_pruned(man, man["files"], [("k", "=", 4)]))
+    assert new <= kept_k and len(kept_k & old) < len(old)
+    return t.scan([("status", "=", "O")]).select("k", "ck")
+
+
+_TRAINING_QUERIES["snapshot_spec_evolution"] = q_snapshot_spec_evolution
+_TRAINING_ORACLES["snapshot_spec_evolution"] = """SELECT o_orderkey AS k,
+       o_custkey AS ck
+FROM orders WHERE o_orderstatus = 'O'"""

@@ -306,20 +306,44 @@ class SnapshotTable:
         if info and info.get("batch_id") is not None:
             fences[str(info.get("channel", "default"))] = int(info["batch_id"])
         # the partition spec is a table property: inherited from the
-        # parent unless create set it; per-file partition values travel
-        # with their (immutable) files, so carried files keep theirs and
-        # rewritten files (compact/zorder/COW) simply have none — a file
-        # without values is never pruned, so maintenance stays sound
+        # parent unless create/evolve set it; per-file partition values
+        # travel with their (immutable) files, so carried files keep
+        # theirs and rewritten files (compact/zorder/COW) simply have
+        # none — a file without values is never pruned, so maintenance
+        # stays sound. Spec EVOLUTION (Iceberg-style): the manifest
+        # keeps a registry of every spec the table has ever written
+        # under plus a per-file spec id, so pruning always interprets a
+        # file's recorded values against the spec that PRODUCED them —
+        # never against the current default (values are positional;
+        # cross-spec interpretation would silently prune wrong files).
         pspec = partition_spec
         pparts: dict = {}
+        registry: list = []
+        pfsids: dict = {}
         if parent is not None:
             pman = self._manifest(parent)
+            pman_spec = pman.get("partition_spec") or []
             if pspec is None:
-                pspec = pman.get("partition_spec")
+                pspec = pman_spec
+            registry = list(
+                pman.get("spec_registry")
+                or ([pman_spec] if pman_spec else [])
+            )
+            pfsids = dict(pman.get("file_spec_ids") or {})
             pparts = pman.get("partitions") or {}
+        pspec = pspec or []
+        if pspec and pspec not in registry:
+            registry.append(pspec)
+        default_sid = registry.index(pspec) if pspec else None
         allparts = {f: pparts[f] for f in files if f in pparts}
+        # legacy parents (no file_spec_ids) recorded everything under
+        # their single spec -> id 0
+        fsids = {f: pfsids.get(f, 0) for f in allparts}
         if partitions:
             allparts.update({f: partitions[f] for f in files if f in partitions})
+            fsids.update(
+                {f: default_sid for f in files if f in partitions}
+            )
         man = {
             "version": version,
             "parent": parent,
@@ -331,8 +355,10 @@ class SnapshotTable:
             "delete_files": delete_files or [],
             "info": info or {},
             "fences": fences,
-            "partition_spec": pspec or [],
+            "partition_spec": pspec,
             "partitions": allparts,
+            "spec_registry": registry,
+            "file_spec_ids": fsids,
         }
         if not publish:
             man["staged"] = True
@@ -841,6 +867,37 @@ class SnapshotTable:
             delete_files=man.get("delete_files"),
         )
 
+    def evolve_partition_spec(self, spec: list) -> int:
+        """Change the table's WRITE partition spec (Iceberg partition
+        evolution): a metadata-only commit — no file is read, moved or
+        rewritten. Future commits route through the new spec; files
+        already written keep their recorded values AND their producing
+        spec's registry id, so equality pruning stays sound across
+        eras (old-era files prune under the old spec, new-era files
+        under the new one, and a predicate on a column only one era
+        partitions by simply keeps the other era's files).
+
+        Passing the current spec is a no-op (returns the current
+        version, no commit). At 10^12 rows this is the only affordable
+        way to change partitioning — a rewrite is a full-table job, an
+        evolution is one JSON write."""
+        parent = self._require_current()
+        man = self._manifest(parent)
+        schema = T.StructType.fromJson(man["schema"])
+        nspec = _check_partition_spec(spec, schema)
+        if nspec == (man.get("partition_spec") or []):
+            return parent
+        return self._commit(
+            "evolve-spec",
+            man["files"],
+            schema,
+            parent,
+            stats=man.get("stats"),
+            stats_cols=self._stats_cols(man),
+            delete_files=man.get("delete_files"),
+            partition_spec=nspec,
+        )
+
     def files_df(self, version: int | None = None) -> DataFrame:
         """Iceberg-style ``table.files`` metadata table: one row per
         data file of the snapshot — relative path, introducing commit
@@ -854,11 +911,13 @@ class SnapshotTable:
         man = self._manifest(v)
         parts = man.get("partitions") or {}
         stats = man.get("stats") or {}
+        fsids = man.get("file_spec_ids") or {}
         rows = [
             (
                 f,
                 f.split("/")[1] if f.startswith("data/") else None,
                 _json.dumps(parts.get(f)) if f in parts else None,
+                fsids.get(f, 0) if f in parts else None,
                 _json.dumps(stats.get(f)) if f in stats else None,
             )
             for f in man["files"]
@@ -866,7 +925,7 @@ class SnapshotTable:
         return self.spark.createDataFrame(
             rows,
             "file string, commit_dir string, partition_values string, "
-            "stats string",
+            "spec_id int, stats string",
         )
 
     def history(self) -> list[dict]:
@@ -1395,19 +1454,26 @@ class SnapshotTable:
         the full predicate afterwards."""
         spec = man.get("partition_spec") or []
         parts = man.get("partitions") or {}
-        if not spec:
+        registry = man.get("spec_registry") or ([spec] if spec else [])
+        fsids = man.get("file_spec_ids") or {}
+        if not registry:
             return files
-        # (spec index, wanted value) per prunable predicate
-        wants: list[tuple[int, str]] = []
-        for col, op, val in predicates:
-            if op != "=":
-                continue
-            for i, entry in enumerate(spec):
-                if entry[0] == col:
-                    w = _transform_value(entry, val)
-                    if w is not None:
-                        wants.append((i, w))
-        if not wants:
+        # (spec index, wanted value) per prunable predicate, computed
+        # PER SPEC — after evolution a file's positional values only
+        # mean anything under the spec that wrote them
+        wants_by_sid: list[list[tuple[int, str]]] = []
+        for sp in registry:
+            wants: list[tuple[int, str]] = []
+            for col, op, val in predicates:
+                if op != "=":
+                    continue
+                for i, entry in enumerate(sp):
+                    if entry[0] == col:
+                        w = _transform_value(entry, val)
+                        if w is not None:
+                            wants.append((i, w))
+            wants_by_sid.append(wants)
+        if not any(wants_by_sid):
             return files
         out = []
         for f in files:
@@ -1415,9 +1481,13 @@ class SnapshotTable:
             if vals is None:
                 out.append(f)
                 continue
+            sid = fsids.get(f, 0)
+            if not 0 <= sid < len(registry):
+                out.append(f)  # unknown era: never prune
+                continue
             if all(
                 i >= len(vals) or vals[i] is None or vals[i] == w
-                for i, w in wants
+                for i, w in wants_by_sid[sid]
             ):
                 out.append(f)
         return out

@@ -929,3 +929,90 @@ def test_files_df_metadata_table(spark, tmp_path):
     for r in rows:
         assert _json.loads(r["partition_values"])  # every file has pvals
         assert "k" in _json.loads(r["stats"])  # stats recorded for k
+
+
+# ------------------------------------------------- partition evolution
+
+
+def test_spec_evolution_routes_new_writes_and_prunes_per_era(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ev"))
+    t.create(_pdf(spark, 0, 400), partition_spec=[("uid", "bucket", 4)])
+    v2 = t.evolve_partition_spec([("uid", "truncate", 6)])
+    man = t._manifest(v2)
+    assert man["operation"] == "evolve-spec"
+    assert man["partition_spec"] == [["uid", "truncate", 6]]
+    assert len(man["spec_registry"]) == 2
+    t.append(_pdf(spark, 400, 800))
+    man = t._manifest(t.current_version())
+    # era ids recorded per file: old files spec 0, new files spec 1
+    sids = {man["file_spec_ids"][f] for f in man["files"]}
+    assert sids == {0, 1}
+    # equality predicate prunes BOTH eras, each under its own spec
+    kept = t._partition_pruned(man, man["files"], [("uid", "=", "user_3")])
+    assert len(kept) < len(man["files"])
+    by_sid = {0: [], 1: []}
+    for f in kept:
+        by_sid[man["file_spec_ids"][f]].append(man["partitions"][f][0])
+    # old era kept exactly the bucket(user_3) files; new era kept the
+    # truncate-6 prefix ('user_3' truncates to 'user_3'; 'user_31' does
+    # not exist with %23 so the single matching dir remains)
+    import hashlib
+
+    want_bucket = str(int(hashlib.md5(b"user_3").hexdigest()[:15], 16) % 4)
+    assert set(by_sid[0]) == {want_bucket}
+    assert set(by_sid[1]) == {"user_3"}
+    # result transparency
+    got = sorted(r["k"] for r in t.scan([("uid", "=", "user_3")]).collect())
+    exp = sorted(
+        r["k"] for r in t.read().where(F.col("uid") == "user_3").collect()
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_spec_evolution_cross_era_values_never_misprune(spark, tmp_path):
+    # evolve to a DIFFERENT COLUMN: a predicate on the new column must
+    # keep every old-era file (their values mean nothing for it), and a
+    # predicate on the old column must keep every new-era file
+    t = SnapshotTable(spark, str(tmp_path / "ev2"))
+    t.create(_pdf(spark, 0, 300), partition_spec=[("uid", "bucket", 4)])
+    t.evolve_partition_spec([("k", "bucket", 8)])
+    t.append(_pdf(spark, 300, 600))
+    man = t._manifest(t.current_version())
+    old = [f for f in man["files"] if man["file_spec_ids"][f] == 0]
+    new = [f for f in man["files"] if man["file_spec_ids"][f] == 1]
+    kept_k = set(t._partition_pruned(man, man["files"], [("k", "=", 7)]))
+    assert set(old) <= kept_k and len(kept_k & set(new)) < len(new)
+    kept_u = set(t._partition_pruned(man, man["files"], [("uid", "=", "user_3")]))
+    assert set(new) <= kept_u and len(kept_u & set(old)) < len(old)
+    got = sorted(r["k"] for r in t.scan([("k", "=", 7)]).collect())
+    assert got == [7]
+
+
+def test_spec_evolution_noop_and_bad_column(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ev3"))
+    t.create(_pdf(spark, 0, 50), partition_spec=[("uid", "bucket", 4)])
+    v = t.current_version()
+    assert t.evolve_partition_spec([("uid", "bucket", 4)]) == v  # no-op
+    assert t.current_version() == v
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not in schema"):
+        t.evolve_partition_spec([("nope", "identity")])
+
+
+def test_spec_evolution_survives_maintenance_and_rollback(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ev4"))
+    t.create(_pdf(spark, 0, 200), partition_spec=[("uid", "bucket", 4)])
+    t.evolve_partition_spec([("uid", "truncate", 6)])
+    t.append(_pdf(spark, 200, 400))
+    before = {(r["k"], r["uid"], r["v"]) for r in t.read().collect()}
+    v = t.compact(small_bytes=1 << 30, target_bytes=1 << 40)
+    assert v is not None
+    man = t._manifest(v)
+    # rewritten files have no partition values -> never pruned (sound)
+    kept = t._partition_pruned(man, man["files"], [("uid", "=", "user_3")])
+    assert set(kept) == set(man["files"])
+    assert {(r["k"], r["uid"], r["v"]) for r in t.read().collect()} == before
+    # registry + default spec survive the maintenance commit
+    assert man["partition_spec"] == [["uid", "truncate", 6]]
+    assert len(man["spec_registry"]) == 2
