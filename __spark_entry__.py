@@ -9687,3 +9687,31 @@ _TRAINING_QUERIES["snapshot_spec_evolution"] = q_snapshot_spec_evolution
 _TRAINING_ORACLES["snapshot_spec_evolution"] = """SELECT o_orderkey AS k,
        o_custkey AS ck
 FROM orders WHERE o_orderstatus = 'O'"""
+
+
+# ------------------------------------------------------- snapshot tags
+# Session-11: immutable named refs with retention exemption — tag a
+# snapshot ("the corpus as the eval freeze saw it"), keep writing, then
+# expire everything else; the tag still reads bit-for-bit. The entry
+# returns the TAGGED read after an expire that reclaimed the untagged
+# middle version, so the oracle (the frozen slice) only matches if tag
+# resolution, expire protection and file GC all interlock correctly.
+
+
+def q_snapshot_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _snap_orders(spark, sf_dir)
+    t = _snap_table(spark, "tags")
+    t.create(o.where(F.col("k") % 3 == 0))
+    t.tag("eval-freeze")
+    t.overwrite(o.where(F.col("k") % 3 == 1))  # v2: expired below
+    t.append(o.where(F.col("k") % 3 == 2))     # v3: current
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed["manifests"] >= 1           # v2 reclaimed
+    assert t.count() > 0                       # current still reads
+    return t.read(t.resolve_tag("eval-freeze"))
+
+
+_TRAINING_QUERIES["snapshot_tags"] = q_snapshot_tags
+_TRAINING_ORACLES["snapshot_tags"] = """SELECT o_orderkey AS k,
+       o_custkey AS ck, o_orderstatus AS status
+FROM orders WHERE o_orderkey % 3 = 0"""

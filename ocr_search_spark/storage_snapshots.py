@@ -867,6 +867,41 @@ class SnapshotTable:
             delete_files=man.get("delete_files"),
         )
 
+    # ------------------------------------------------------------ tags
+    def _read_tags(self) -> dict:
+        txt = self._read_text(f"{self.meta_dir}/_tags.json")
+        return json.loads(txt) if txt else {}
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``name`` to a snapshot (default: current) — Iceberg-style
+        immutable tag. Tagged snapshots survive :meth:`expire_snapshots`
+        regardless of retention, so a tag is a durability contract for
+        audits / eval-set freezes ("the corpus as model X saw it").
+        Re-tagging an existing name to a different version is refused
+        (tags are immutable); :meth:`untag` first. One JSON write."""
+        v = version if version is not None else self._require_current()
+        self._manifest(v)  # must exist (and not be expired)
+        tags = self._read_tags()
+        if name in tags and tags[name] != v:
+            raise ValueError(
+                f"tag {name!r} already pins v{tags[name]} (tags are "
+                "immutable — untag first)"
+            )
+        tags[name] = v
+        self._write_text(f"{self.meta_dir}/_tags.json", json.dumps(tags))
+        return v
+
+    def untag(self, name: str) -> None:
+        tags = self._read_tags()
+        tags.pop(name, None)
+        self._write_text(f"{self.meta_dir}/_tags.json", json.dumps(tags))
+
+    def resolve_tag(self, name: str) -> int:
+        tags = self._read_tags()
+        if name not in tags:
+            raise ValueError(f"unknown tag {name!r}")
+        return tags[name]
+
     def evolve_partition_spec(self, spec: list) -> int:
         """Change the table's WRITE partition spec (Iceberg partition
         evolution): a metadata-only commit — no file is read, moved or
@@ -961,6 +996,8 @@ class SnapshotTable:
         chain = [h["version"] for h in self.history()]
         keep = set(chain[:keep_last])
         keep.add(current)
+        # tagged snapshots are retention-exempt (the point of a tag)
+        keep.update(self._read_tags().values())
         live: set[str] = set()
         for v in keep:
             m = self._manifest(v)

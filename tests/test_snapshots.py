@@ -1016,3 +1016,44 @@ def test_spec_evolution_survives_maintenance_and_rollback(spark, tmp_path):
     # registry + default spec survive the maintenance commit
     assert man["partition_spec"] == [["uid", "truncate", 6]]
     assert len(man["spec_registry"]) == 2
+
+
+# ----------------------------------------------------------- tags
+
+
+def test_tag_survives_expire_and_pins_content(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tag"))
+    t.create(_pdf(spark, 0, 100))
+    t.tag("eval-freeze")  # pins v1
+    t.overwrite(_pdf(spark, 100, 250))
+    t.append(_pdf(spark, 250, 300))
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed["manifests"] >= 1  # v2 expired, v1 survived via tag
+    v = t.resolve_tag("eval-freeze")
+    frozen = sorted(r["k"] for r in t.read(v).collect())
+    assert frozen == list(range(100))  # v1 content intact post-expire
+    cur = sorted(r["k"] for r in t.read().collect())
+    assert cur == list(range(100, 300))
+    # untag -> next expire reclaims it
+    t.untag("eval-freeze")
+    t.expire_snapshots(keep_last=1)
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        t.read(v).collect()
+
+
+def test_tag_immutability_and_validation(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tag2"))
+    t.create(_pdf(spark, 0, 10))
+    t.append(_pdf(spark, 10, 20))
+    t.tag("r1", 1)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="immutable"):
+        t.tag("r1", 2)
+    assert t.tag("r1", 1) == 1  # same-version re-tag is a no-op
+    with _pt.raises(ValueError):
+        t.resolve_tag("nope")
+    with _pt.raises(ValueError):
+        t.tag("ghost", 99)
