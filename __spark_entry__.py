@@ -9715,3 +9715,124 @@ _TRAINING_QUERIES["snapshot_tags"] = q_snapshot_tags
 _TRAINING_ORACLES["snapshot_tags"] = """SELECT o_orderkey AS k,
        o_custkey AS ck, o_orderstatus AS status
 FROM orders WHERE o_orderkey % 3 = 0"""
+
+
+# ------------------------------------------------ MMR diversification
+# Session-11: oracle upgrade for mmr_rerank (similarity.py:746 — until
+# now pytest-only, "non-SQL-expressible" for general k). For FIXED k=3
+# the greedy selection unrolls into three CTE stages, so the gate can
+# value-hash the full chain: integer-micros relevance (floor-div dot),
+# per-step penalty = max sim to the selected set (NOT clamped at zero —
+# anti-similar items are rewarded, exactly as the operator does), ties
+# on smallest id. Floor division toward -inf is spelled
+# (x - ((x % M + M) % M)) div M on BOTH engines: Spark `div` and DuckDB
+# `//` both truncate, but the subtraction makes the operand an exact
+# multiple, so truncation == floor, bit-for-bit, at any sign.
+
+
+def q_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.similarity import _micros, mmr_rerank
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.pmod("vec_id", F.lit(100)) == 7).select(
+        F.col("vec_id").alias("query_id"), _micros(F.col("embedding")).alias("qm")
+    )
+    c = e.where(F.pmod("vec_id", F.lit(7)) == 3).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding"),
+        _micros(F.col("embedding")).alias("cm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qm", "cm", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        c.join(F.broadcast(q))
+        .where(F.col("id") != F.col("query_id"))
+        .withColumn("_dot", dot)
+        .withColumn(
+            "rel_e6",
+            F.expr(
+                "(_dot - ((_dot % 1000000 + 1000000) % 1000000)) div 1000000"
+            ),
+        )
+        .select("query_id", "id", "rel_e6", "embedding")
+    )
+    return mmr_rerank(cand, k=3, lam_e6=700_000)
+
+
+def _fdiv(x: str) -> str:
+    return f"(({x}) - ((({x}) % 1000000 + 1000000) % 1000000)) // 1000000"
+
+
+_TRAINING_QUERIES["search_mmr"] = q_search_mmr
+_TRAINING_ORACLES["search_mmr"] = f"""WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS m
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 7),
+cids AS (SELECT vec_id AS id FROM embeddings WHERE vec_id % 7 = 3),
+dots AS (
+  SELECT q.query_id, c.id, sum(fq.m * fc.m) AS dot
+  FROM q
+  JOIN flat fq ON fq.vec_id = q.query_id
+  JOIN cids c ON c.id <> q.query_id
+  JOIN flat fc ON fc.vec_id = c.id AND fc.i = fq.i
+  GROUP BY 1, 2
+),
+cand AS (SELECT query_id, id, {_fdiv('dot')} AS rel FROM dots),
+s1 AS (
+  SELECT query_id, id AS sel_id, 700000 * rel AS sel_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, id) AS rn
+    FROM cand) WHERE rn = 1
+),
+sim1 AS (
+  SELECT c.query_id, c.id, {_fdiv('sum(fx.m * fs.m)')} AS sim
+  FROM cand c
+  JOIN s1 ON s1.query_id = c.query_id
+  JOIN flat fx ON fx.vec_id = c.id
+  JOIN flat fs ON fs.vec_id = s1.sel_id AND fs.i = fx.i
+  WHERE c.id <> s1.sel_id
+  GROUP BY c.query_id, c.id
+),
+sc2 AS (
+  SELECT c.query_id, c.id, 700000 * c.rel - 300000 * s.sim AS score
+  FROM cand c JOIN sim1 s ON s.query_id = c.query_id AND s.id = c.id
+),
+s2 AS (
+  SELECT query_id, id AS sel_id, score AS sel_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn
+    FROM sc2) WHERE rn = 1
+),
+sim2 AS (
+  SELECT c.query_id, c.id, {_fdiv('sum(fx.m * fs.m)')} AS sim
+  FROM cand c
+  JOIN s2 ON s2.query_id = c.query_id
+  JOIN flat fx ON fx.vec_id = c.id
+  JOIN flat fs ON fs.vec_id = s2.sel_id AND fs.i = fx.i
+  WHERE c.id <> s2.sel_id
+  GROUP BY c.query_id, c.id
+),
+sc3 AS (
+  SELECT c.query_id, c.id,
+         700000 * c.rel - 300000 * greatest(a.sim, b.sim) AS score
+  FROM cand c
+  JOIN sim1 a ON a.query_id = c.query_id AND a.id = c.id
+  JOIN sim2 b ON b.query_id = c.query_id AND b.id = c.id
+  JOIN s1 ON s1.query_id = c.query_id
+  JOIN s2 ON s2.query_id = c.query_id
+  WHERE c.id <> s1.sel_id AND c.id <> s2.sel_id
+),
+s3 AS (
+  SELECT query_id, id AS sel_id, score AS sel_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn
+    FROM sc3) WHERE rn = 1
+)
+SELECT query_id, sel_id AS id, 1::INT AS rank,
+       ({_fdiv('sel_score')})::BIGINT AS score_e6 FROM s1
+UNION ALL
+SELECT query_id, sel_id, 2::INT, ({_fdiv('sel_score')})::BIGINT FROM s2
+UNION ALL
+SELECT query_id, sel_id, 3::INT, ({_fdiv('sel_score')})::BIGINT FROM s3"""

@@ -771,8 +771,10 @@ def mmr_rerank(
     are unit-normalized, as the fixture embeddings are); every score is
     an integer, ties break on smallest id — bit-deterministic at any
     partitioning (asserted in pytest, with a pure-python greedy
-    replay). Greedy selection is legitimately non-SQL-expressible, so
-    this is pytest-gated like the real media codecs.
+    replay). Greedy selection for general k is non-SQL-expressible, but
+    for FIXED k the loop unrolls into one CTE stage per step — the
+    ``search_mmr`` gate entry value-hashes this operator against a
+    three-stage unrolled DuckDB oracle at k=3 (pytest covers general k).
     """
     import numpy as np
     import pandas as pd
