@@ -9836,3 +9836,44 @@ UNION ALL
 SELECT query_id, sel_id, 2::INT, ({_fdiv('sel_score')})::BIGINT FROM s2
 UNION ALL
 SELECT query_id, sel_id, 3::INT, ({_fdiv('sel_score')})::BIGINT FROM s3"""
+
+
+# ------------------------------------------- right-to-be-forgotten
+# Session-11: physical deletion on an immutable snapshot log — the
+# governance requirement a training-data store actually faces (GDPR
+# erasure / opt-out takedown). Logical delete alone is NOT erasure:
+# time travel still reads the rows. The recipe is COW delete_where
+# (rewrites only the files holding matching rows) + expire_snapshots
+# (drops the pre-delete manifests AND physically removes every file no
+# retained snapshot references). The entry PROVES absence the hard way:
+# it re-reads the surviving parquet files raw, bypassing the manifest,
+# and asserts zero matching rows anywhere on disk before returning the
+# logical table for the value-hash gate.
+
+
+def q_snapshot_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _snap_orders(spark, sf_dir)
+    t = _snap_table(spark, "forget")
+    t.create(o.repartitionByRange(6, "k"))
+    t.append(o.select("k", (F.col("ck") + 1000000).alias("ck"), "status"))
+    doomed = F.col("ck") % 10 == 3
+    t.delete_where(doomed)
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed["manifests"] == 2 and removed["files"] > 0
+    # physical-absence proof: raw scan of everything left in data/,
+    # manifest not consulted — the doomed rows are GONE, not hidden
+    raw = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{t.path}/data")
+    )
+    assert raw.where(doomed).count() == 0
+    return t.read()
+
+
+_TRAINING_QUERIES["snapshot_forget"] = q_snapshot_forget
+_TRAINING_ORACLES["snapshot_forget"] = """WITH uni AS (
+  SELECT o_orderkey AS k, o_custkey AS ck, o_orderstatus AS status FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey + 1000000, o_orderstatus FROM orders
+)
+SELECT k, ck, status FROM uni WHERE ck % 10 <> 3"""
