@@ -1948,7 +1948,12 @@ _GATE_PRIORITY = [
     # (page-keyed join + per-caption argmin window =
     # layout_reading_order's in-window row), snapshot_spec_evolution
     # (manifest-pruned scan + partitioned write = snapshot_partition_scan
-    # / snapshot_pruned_scan shapes + 4 dedicated pytest cases).
+    # / snapshot_pruned_scan shapes + 4 dedicated pytest cases),
+    # snapshot_tags / snapshot_forget (manifest JSON ops + COW delete +
+    # expire GC = snapshot_rollback/merge/replace_where shapes + 5
+    # pytest cases + the in-query physical-absence assert), search_mmr
+    # (bounded applyInPandas over retrieval output = search_maxsim's
+    # in-window row; the k=3 greedy is value-hashed by its own oracle).
 ]
 
 
