@@ -179,6 +179,13 @@ def main() -> None:
         "search_substring",
         "ann_eval_metrics",
         "embed_ann_filtered",
+        "search_prefix",
+        "events_paths",
+        "layout_figures",
+        "snapshot_spec_evolution",
+        "snapshot_tags",
+        "search_mmr",
+        "snapshot_forget",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:
