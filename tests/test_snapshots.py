@@ -487,9 +487,11 @@ def test_maintain_policy_sweep(spark, tmp_path):
 
 def test_snapshot_random_walk_model(spark, tmp_path):
     """Model-based chaos: a seeded random sequence of append / merge /
-    delete_mor / materialize / compact / zorder / rollback must keep
-    the table bit-equal to a dict model after EVERY operation, with
-    per-version model snapshots so rollback is checked too."""
+    delete_mor / materialize / compact / zorder / rollback /
+    delete_where / evolve-spec / tag+expire must keep the table
+    bit-equal to a dict model after EVERY operation, with per-version
+    model snapshots so rollback (to any still-retained version) and
+    tagged reads are checked too."""
     import random
 
     rng = random.Random(20260818)
@@ -512,10 +514,12 @@ def test_snapshot_random_walk_model(spark, tmp_path):
         assert got == want, f"divergence: {len(got)} vs {len(want)} rows"
 
     next_key = 1000
-    for step in range(14):
+    tags: dict = {}
+    for step in range(20):
         op = rng.choice(
             ["append", "merge", "delete_mor", "materialize", "compact",
-             "zorder", "rollback"]
+             "zorder", "rollback", "delete_where", "evolve", "tag",
+             "expire"]
         )
         man = t._manifest(t.current_version())
         pending = bool(man.get("delete_files"))
@@ -550,16 +554,51 @@ def test_snapshot_random_walk_model(spark, tmp_path):
         elif op == "zorder" and not pending and model:
             v = t.optimize_zorder(["k", "v"], n_files=4, bits=10)
         elif op == "rollback":
-            target = rng.choice(sorted(models))
+            retained = {h["version"] for h in t.history()}
+            live = sorted(set(models) & retained)
+            if not live:
+                continue
+            target = rng.choice(live)
             v = t.rollback(target)
             model = dict(models[target])
+        elif op == "delete_where" and not pending and model:
+            r = rng.randint(0, 4)
+            v = t.delete_where(F.col("k") % 5 == r)
+            model = {k: kv for k, kv in model.items() if k % 5 != r}
+        elif op == "evolve":
+            spec = rng.choice(
+                [[("k", "bucket", 4)], [("tag", "truncate", 2)],
+                 [("tag", "identity")]]
+            )
+            v = t.evolve_partition_spec(spec)
+            if v in models:
+                continue  # same-spec no-op: no new version
+        elif op == "tag":
+            v = t.current_version()
+            t.tag(f"walk-{step}", v)
+            tags[f"walk-{step}"] = v
+            continue  # no new version, model unchanged
+        elif op == "expire":
+            t.expire_snapshots(keep_last=rng.randint(2, 4))
+            retained = {h["version"] for h in t.history()} | set(tags.values())
+            models = {vv: m for vv, m in models.items() if vv in retained}
+            check()
+            continue
         else:
             continue  # op skipped under pending-MOR guard
         models[v] = dict(model)
         check()
-    # final: materialize everything and re-verify
+    # final: materialize everything and re-verify, then replay every tag
     t.materialize_deletes()
     check()
+    for name, tv in tags.items():
+        assert t.resolve_tag(name) == tv
+        if tv in models:
+            got = sorted(
+                (r["k"], r["v"], r["tag"]) for r in t.read(tv).collect()
+            )
+            want = sorted((k, v_, g) for k, (v_, g) in models[tv].items())
+            assert got == want, f"tag {name} diverged"
 
 
 def test_metadata_only_count(spark, tmp_path):
