@@ -9882,3 +9882,33 @@ _TRAINING_ORACLES["snapshot_forget"] = """WITH uni AS (
   SELECT o_orderkey, o_custkey + 1000000, o_orderstatus FROM orders
 )
 SELECT k, ck, status FROM uni WHERE ck % 10 <> 3"""
+
+
+# ------------------------------------------- subtractive schema evolution
+# Session-11: drop_column — a metadata-only commit removes the column
+# from the DECLARED schema; old files keep their bytes but every read
+# projects through the declaration, so the column vanishes now while
+# time travel to a pre-drop version still reads it (asserted in-query).
+# Appends after the drop use the narrowed schema; the oracle is the
+# union of both eras. (Finding credit: wiring this entry exposed that
+# _file_seq could not parse hidden-partitioned paths, which had broken
+# merge-on-read materialization on partitioned tables — fixed +
+# regression-tested in tests/test_snapshots.py.)
+
+
+def q_snapshot_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _snap_orders(spark, sf_dir)
+    t = _snap_table(spark, "dropc")
+    t.create(o.where(F.col("k") % 2 == 0).repartition(3))
+    v1 = t.current_version()
+    t.drop_column("ck")
+    t.append(o.where(F.col("k") % 2 == 1).select("k", "status"))
+    assert t.read(v1).columns == ["k", "ck", "status"]  # history intact
+    assert t.read().columns == ["k", "status"]
+    return t.read()
+
+
+_TRAINING_QUERIES["snapshot_drop_column"] = q_snapshot_drop_column
+_TRAINING_ORACLES["snapshot_drop_column"] = """SELECT o_orderkey AS k,
+       o_orderstatus AS status
+FROM orders"""

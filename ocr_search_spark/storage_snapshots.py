@@ -867,6 +867,59 @@ class SnapshotTable:
             delete_files=man.get("delete_files"),
         )
 
+    def drop_column(self, name: str) -> int:
+        """Subtractive schema evolution: drop ``name`` from the table's
+        declared schema — a metadata-only commit, no file touched. Old
+        files still carry the column's bytes; every read projects
+        through the DECLARED schema (``_read_files`` passes it to the
+        parquet scan), so the column vanishes from current reads while
+        time travel to a pre-drop version — whose manifest still
+        declares it — keeps reading the original values. Completes the
+        evolution set next to :meth:`add_columns` (additive) — rename is
+        intentionally unsupported (without Iceberg field ids a rename
+        cannot be told apart from drop+add on old files, so it would
+        silently null a column's history; drop+add states that
+        honestly).
+
+        Refused when: the column is absent, it is the last column, the
+        current WRITE partition spec routes by it (evolve the spec
+        first), or pending merge-on-read deletes key on it (their
+        equality join still needs it — materialize first)."""
+        parent = self._require_current()
+        man = self._manifest(parent)
+        schema = T.StructType.fromJson(man["schema"])
+        if name not in schema.fieldNames():
+            raise ValueError(f"column {name!r} not in schema")
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the last column")
+        if any(e[0] == name for e in man.get("partition_spec") or []):
+            raise ValueError(
+                f"column {name!r} is in the current partition spec — "
+                "evolve_partition_spec away from it first"
+            )
+        for d in man.get("delete_files") or []:
+            if name in (d.get("keys") or []):
+                raise ValueError(
+                    f"pending merge-on-read deletes key on {name!r} — "
+                    "materialize_deletes() first"
+                )
+        new_schema = T.StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        stats = {
+            f: {c: v for c, v in fstats.items() if c != name}
+            for f, fstats in (man.get("stats") or {}).items()
+        }
+        return self._commit(
+            "drop-column",
+            man["files"],
+            new_schema,
+            parent,
+            stats=stats,
+            stats_cols=[c for c in self._stats_cols(man) if c != name],
+            delete_files=man.get("delete_files"),
+        )
+
     # ------------------------------------------------------------ tags
     def _read_tags(self) -> dict:
         txt = self._read_text(f"{self.meta_dir}/_tags.json")
@@ -1353,10 +1406,13 @@ class SnapshotTable:
     @staticmethod
     def _file_seq(rel_or_input: "Column") -> "Column":
         """Commit sequence of a data file, parsed from its immutable
-        ``data/c<version>/`` path segment (the trailing segment match
-        keeps a ``data/cN`` elsewhere in the table root harmless)."""
+        ``data/c<version>/`` path segment. Hidden-partitioned commits
+        nest ``_pk<i>=<value>/`` dirs between the commit dir and the
+        file, so the pattern admits any run of ``key=value`` segments
+        there — while still anchoring to the END of the path, which
+        keeps a ``data/cN`` elsewhere in the table root harmless."""
         return F.regexp_extract(
-            rel_or_input, r"/data/c(\d+)/[^/]+$", 1
+            rel_or_input, r"/data/c(\d+)/(?:[^/]+=[^/]*/)*[^/]+$", 1
         ).cast("int")
 
     def _require_no_mor(self, man: dict, op: str) -> None:

@@ -1096,3 +1096,72 @@ def test_tag_immutability_and_validation(spark, tmp_path):
         t.resolve_tag("nope")
     with _pt.raises(ValueError):
         t.tag("ghost", 99)
+
+
+# ------------------------------------------------------- drop_column
+
+
+def test_drop_column_projects_reads_and_keeps_history(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "dc"))
+    t.create(_df(spark, 0, 50, "base").repartition(2), stats_cols=["k"])
+    v1 = t.current_version()
+    t.drop_column("tag")
+    cur = t.read()
+    assert cur.columns == ["k", "v"]
+    assert sorted(r["k"] for r in cur.collect()) == list(range(50))
+    # time travel: the pre-drop manifest still declares (and reads) tag
+    old = t.read(v1)
+    assert old.columns == ["k", "v", "tag"]
+    assert {r["tag"] for r in old.collect()} == {"base"}
+    # appends use the NEW schema; merge on surviving keys still works
+    t.append(
+        spark.range(50, 60).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    )
+    t.merge(
+        spark.createDataFrame([(0, 999)], "k long, v long"), ["k"]
+    )
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows[0] == 999 and rows[59] == 118 and len(rows) == 60
+    # metadata count survives the evolution
+    assert t.count() == 60
+
+
+def test_drop_column_refusals(spark, tmp_path):
+    import pytest as _pt
+
+    t = SnapshotTable(spark, str(tmp_path / "dc2"))
+    t.create(_df(spark, 0, 20, "x"), partition_spec=[("tag", "identity")])
+    with _pt.raises(ValueError, match="partition spec"):
+        t.drop_column("tag")
+    with _pt.raises(ValueError, match="not in schema"):
+        t.drop_column("ghost")
+    t.delete_mor(spark.createDataFrame([(3,)], "k long"))
+    with _pt.raises(ValueError, match="merge-on-read"):
+        t.drop_column("k")
+    t.materialize_deletes()
+    t.evolve_partition_spec([("k", "bucket", 2)])
+    v = t.drop_column("tag")  # now legal
+    assert t._manifest(v)["operation"] == "drop-column"
+    assert t.read().columns == ["k", "v"]
+
+
+def test_mor_delete_on_partitioned_table(spark, tmp_path):
+    # regression: _file_seq's path parse used to require files DIRECTLY
+    # under data/cN/, so materialize_deletes crashed (CAST_INVALID_INPUT
+    # on '') for any hidden-partitioned table — the _pk0=value dir sits
+    # between the commit dir and the file
+    t = SnapshotTable(spark, str(tmp_path / "morpt"))
+    t.create(_df(spark, 0, 40, "x"), partition_spec=[("tag", "identity")])
+    t.append(_df(spark, 40, 60, "y"))
+    t.delete_mor(spark.createDataFrame([(3,), (45,)], "k long"))
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == [k for k in range(60) if k not in (3, 45)]
+    t.materialize_deletes()
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == [k for k in range(60) if k not in (3, 45)]
+    # sequence semantics survive the nested layout: re-insert after the
+    # delete file's sequence -> the new row must NOT be deleted
+    t.delete_mor(spark.createDataFrame([(7,)], "k long"))
+    t.append(_df(spark, 7, 8, "z"))
+    got = sorted(r["k"] for r in t.read().collect())
+    assert 7 in got
