@@ -186,6 +186,7 @@ def main() -> None:
         "snapshot_tags",
         "search_mmr",
         "snapshot_forget",
+        "snapshot_drop_column",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:

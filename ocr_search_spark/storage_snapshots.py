@@ -1058,17 +1058,30 @@ class SnapshotTable:
             live.update(d["file"] for d in m.get("delete_files") or [])
         fs = self._fs()
         n_manifests = n_files = 0
-        # drop unreferenced manifests (both pre-keep chain and any
-        # orphans from crashed commits)
+        # drop unreferenced manifests (pre-keep chain + orphans from
+        # crashed commits) — EXCEPT staged write-audit-publish commits:
+        # a staged manifest is pending work whose lifecycle belongs to
+        # publish()/abort_staged() (the _commit collision error says
+        # exactly that), so a routine retention sweep must neither
+        # delete it nor GC its data files out from under the audit
+        staged: list[int] = []
         it = fs.listStatus(self._jpath(self.meta_dir))
         for st in it:
             name = st.getPath().getName()
             if not (name.startswith("v") and name.endswith(".json")):
                 continue
             v = int(name[1:-5])
-            if v not in keep:
-                fs.delete(st.getPath(), False)
-                n_manifests += 1
+            if v in keep:
+                continue
+            if json.loads(self._read_text(f"{self.meta_dir}/{name}") or "{}").get("staged"):
+                staged.append(v)
+                continue
+            fs.delete(st.getPath(), False)
+            n_manifests += 1
+        for v in staged:
+            m = self._manifest(v)
+            live.update(m["files"])
+            live.update(d["file"] for d in m.get("delete_files") or [])
         for rel in self._list_parquet(self.data_dir):
             if rel not in live:
                 fs.delete(self._jpath(self._absolute(rel)), False)

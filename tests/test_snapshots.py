@@ -1165,3 +1165,23 @@ def test_mor_delete_on_partitioned_table(spark, tmp_path):
     t.append(_df(spark, 7, 8, "z"))
     got = sorted(r["k"] for r in t.read().collect())
     assert 7 in got
+
+
+def test_expire_protects_staged_wap_commit(spark, tmp_path):
+    # a pending write-audit-publish commit must survive a routine
+    # retention sweep — its lifecycle belongs to publish()/abort_staged()
+    t = SnapshotTable(spark, str(tmp_path / "wapexp"))
+    t.create(_df(spark, 0, 30, "base"))
+    t.append(_df(spark, 30, 40, "w1"))
+    staged_v = t.stage_append(_df(spark, 40, 50, "audit"))
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed["manifests"] == 1  # v1 reclaimed, staged v3 spared
+    v = t.publish(staged_v)  # still publishable after the sweep
+    assert v == staged_v
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == list(range(50))  # staged data files were not GC'd
+    # aborted staged commits ARE reclaimable on the next sweep
+    s2 = t.stage_append(_df(spark, 50, 60, "a2"))
+    t.abort_staged(s2)
+    t.expire_snapshots(keep_last=1)
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(50))
