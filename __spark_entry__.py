@@ -9912,3 +9912,37 @@ _TRAINING_QUERIES["snapshot_drop_column"] = q_snapshot_drop_column
 _TRAINING_ORACLES["snapshot_drop_column"] = """SELECT o_orderkey AS k,
        o_orderstatus AS status
 FROM orders"""
+
+
+# --------------------------------------------------- CHECK constraints
+# Session-11: Delta-style table-level data-quality gates — every
+# row-adding path (append/overwrite/merge/replace_where/stage_append)
+# validates the BATCH with one aggregate job and refuses wholesale on
+# violation; the version never advances, so bad rows cannot become
+# visible. ANSI semantics pinned: NULL predicate passes, only IS FALSE
+# violates (eqNullSafe). The entry proves both halves in-query: a
+# violating batch raises and leaves the version untouched, then the
+# clean table is value-hashed.
+
+
+def q_snapshot_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _snap_orders(spark, sf_dir)
+    t = _snap_table(spark, "checks")
+    t.create(o.where(F.col("k") % 2 == 0))
+    t.set_check("ck_pos", "ck >= 0")
+    t.set_check("status_known", "status IN ('O', 'F', 'P')")
+    v = t.append(o.where(F.col("k") % 2 == 1))
+    bad = o.limit(3).select("k", (F.col("ck") * -1 - 1).alias("ck"), "status")
+    try:
+        t.append(bad)
+        raise AssertionError("violating batch was admitted")
+    except ValueError as exc:
+        assert "ck_pos" in str(exc)
+    assert t.current_version() == v  # refusal never advances the log
+    return t.read()
+
+
+_TRAINING_QUERIES["snapshot_checks"] = q_snapshot_checks
+_TRAINING_ORACLES["snapshot_checks"] = """SELECT o_orderkey AS k,
+       o_custkey AS ck, o_orderstatus AS status
+FROM orders"""

@@ -291,7 +291,8 @@ class SnapshotTable:
                 delete_files: list[dict] | None = None,
                 publish: bool = True, info: dict | None = None,
                 partition_spec: list | None = None,
-                partitions: dict | None = None) -> int:
+                partitions: dict | None = None,
+                checks: dict | None = None) -> int:
         version = (parent or 0) + 1
         if self._read_text(f"{self.meta_dir}/v{version}.json") is not None:
             raise ValueError(
@@ -320,8 +321,11 @@ class SnapshotTable:
         pparts: dict = {}
         registry: list = []
         pfsids: dict = {}
+        pchecks = checks
         if parent is not None:
             pman = self._manifest(parent)
+            if pchecks is None:
+                pchecks = pman.get("checks")
             pman_spec = pman.get("partition_spec") or []
             if pspec is None:
                 pspec = pman_spec
@@ -359,6 +363,7 @@ class SnapshotTable:
             "partitions": allparts,
             "spec_registry": registry,
             "file_spec_ids": fsids,
+            "checks": pchecks or {},
         }
         if not publish:
             man["staged"] = True
@@ -477,6 +482,7 @@ class SnapshotTable:
         parent = self._require_current()
         man = self._manifest(parent)
         self._check_schema(df, man)
+        self._validate_checks(df, man)
         version = parent + 1
         spec = man.get("partition_spec") or []
         if spec:
@@ -503,6 +509,7 @@ class SnapshotTable:
         travel until expired."""
         parent = self._require_current()
         man = self._manifest(parent)
+        self._validate_checks(df, man)
         version = parent + 1
         spec = man.get("partition_spec") or []
         if spec:
@@ -588,6 +595,7 @@ class SnapshotTable:
         man = self._manifest(parent)
         self._require_no_mor(man, "replace_where")
         self._check_schema(df, man)
+        self._validate_checks(df, man)
         n_bad = df.where(~F.coalesce(cond, F.lit(False))).count()
         if n_bad:
             raise ValueError(
@@ -660,6 +668,7 @@ class SnapshotTable:
         man = self._manifest(parent)
         self._require_no_mor(man, "merge")
         self._check_schema(source, man)
+        self._validate_checks(source, man)
         current = self._read_manifest_files(man)
         keys = source.select(*key_cols).distinct()
         touched_abs = {
@@ -867,6 +876,78 @@ class SnapshotTable:
             delete_files=man.get("delete_files"),
         )
 
+    # ------------------------------------------------------------ checks
+    def _validate_checks(self, df: DataFrame, man: dict) -> None:
+        """One aggregate job counting violations of every declared CHECK
+        over the rows about to be written. SQL-standard semantics: a
+        row passes when the predicate is TRUE **or NULL** (unknown
+        passes, as in ANSI CHECK); only IS FALSE is a violation — pinned
+        with eqNullSafe so three-valued logic cannot leak rows."""
+        checks = man.get("checks") or {}
+        if not checks:
+            return
+        aggs = [
+            F.count(
+                F.when(F.expr(p).eqNullSafe(F.lit(False)), F.lit(1))
+            ).alias(n)
+            for n, p in checks.items()
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = {n: row[n] for n in checks if row[n] > 0}
+        if bad:
+            raise ValueError(
+                f"CHECK constraint(s) violated by the batch: {bad} "
+                "(violation counts; NULL predicates pass per ANSI CHECK)"
+            )
+
+    def set_check(self, name: str, predicate: str) -> int:
+        """Declare a table-level CHECK constraint (Delta-style): every
+        future append/overwrite/merge/replace_where/stage_append batch
+        is validated (one aggregate job over the new rows only) and
+        refused wholesale on violation — bad rows never become visible,
+        and the table version does not advance. Adding a check scans the
+        CURRENT table once and refuses if existing data violates it.
+        Same-definition re-set is a no-op; redefining needs
+        :meth:`drop_check` first."""
+        parent = self._require_current()
+        man = self._manifest(parent)
+        checks = dict(man.get("checks") or {})
+        if name in checks:
+            if checks[name] == predicate:
+                return parent
+            raise ValueError(
+                f"check {name!r} already defined as {checks[name]!r} — "
+                "drop_check first"
+            )
+        n_bad = self.read().where(
+            F.expr(predicate).eqNullSafe(F.lit(False))
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"existing data violates check {name!r} ({n_bad} rows)"
+            )
+        checks[name] = predicate
+        return self._commit(
+            "set-check", man["files"],
+            T.StructType.fromJson(man["schema"]), parent,
+            stats=man.get("stats"), stats_cols=self._stats_cols(man),
+            delete_files=man.get("delete_files"), checks=checks,
+        )
+
+    def drop_check(self, name: str) -> int:
+        parent = self._require_current()
+        man = self._manifest(parent)
+        checks = dict(man.get("checks") or {})
+        if name not in checks:
+            raise ValueError(f"unknown check {name!r}")
+        del checks[name]
+        return self._commit(
+            "drop-check", man["files"],
+            T.StructType.fromJson(man["schema"]), parent,
+            stats=man.get("stats"), stats_cols=self._stats_cols(man),
+            delete_files=man.get("delete_files"), checks=checks,
+        )
+
     def drop_column(self, name: str) -> int:
         """Subtractive schema evolution: drop ``name`` from the table's
         declared schema — a metadata-only commit, no file touched. Old
@@ -897,6 +978,14 @@ class SnapshotTable:
                 f"column {name!r} is in the current partition spec — "
                 "evolve_partition_spec away from it first"
             )
+        import re as _re
+
+        for cn, pred in (man.get("checks") or {}).items():
+            if _re.search(rf"\b{_re.escape(name)}\b", pred):
+                raise ValueError(
+                    f"column {name!r} is referenced by check {cn!r} "
+                    f"({pred!r}) — drop_check first"
+                )
         for d in man.get("delete_files") or []:
             if name in (d.get("keys") or []):
                 raise ValueError(
@@ -1342,6 +1431,7 @@ class SnapshotTable:
         parent = self._require_current()
         man = self._manifest(parent)
         self._check_schema(df, man)
+        self._validate_checks(df, man)
         version = parent + 1
         new_files = self._write_commit_files(df, version)
         stats = dict(man.get("stats") or {})

@@ -1185,3 +1185,63 @@ def test_expire_protects_staged_wap_commit(spark, tmp_path):
     t.abort_staged(s2)
     t.expire_snapshots(keep_last=1)
     assert sorted(r["k"] for r in t.read().collect()) == list(range(50))
+
+
+# ----------------------------------------------------------- checks
+
+
+def test_check_constraints_gate_every_write_path(spark, tmp_path):
+    import pytest as _pt
+
+    t = SnapshotTable(spark, str(tmp_path / "chk"))
+    t.create(_df(spark, 0, 30, "base"))
+    t.set_check("v_nonneg", "v >= 0")
+    t.set_check("k_bound", "k < 100000")
+    v_ok = t.append(_df(spark, 30, 40, "w"))
+    bad = spark.createDataFrame([(500, -1, "bad")], "k long, v long, tag string")
+    for write in (
+        lambda: t.append(bad),
+        lambda: t.overwrite(bad),
+        lambda: t.merge(bad, ["k"]),
+        lambda: t.stage_append(bad),
+        lambda: t.replace_where(F.col("k") == 500, bad),
+    ):
+        with _pt.raises(ValueError, match="v_nonneg"):
+            write()
+        assert t.current_version() == v_ok  # refusal never advances
+    # the batch is refused WHOLESALE: one bad row poisons a mixed batch
+    mixed = _df(spark, 40, 45, "m").union(bad.select("k", "v", "tag"))
+    with _pt.raises(ValueError, match="v_nonneg"):
+        t.append(mixed)
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(40))
+
+
+def test_check_null_passes_and_lifecycle(spark, tmp_path):
+    import pytest as _pt
+
+    t = SnapshotTable(spark, str(tmp_path / "chk2"))
+    t.create(_df(spark, 0, 10, "base"))
+    t.set_check("tagged", "tag IS NOT NULL AND length(tag) > 0")
+    # ANSI CHECK: NULL predicate passes — v IS NULL makes 'v >= 0' NULL
+    t.set_check("v_nonneg", "v >= 0")
+    nullv = spark.createDataFrame([(99, None, "x")], "k long, v long, tag string")
+    t.append(nullv)  # admitted: unknown ≠ violation (pinned semantics)
+    assert t.count() == 11
+    # adding a check existing data violates is refused
+    with _pt.raises(ValueError, match="existing data violates"):
+        t.set_check("impossible", "k > 50")
+    # same-definition re-set is a no-op; redefinition needs drop
+    v = t.current_version()
+    assert t.set_check("v_nonneg", "v >= 0") == v
+    with _pt.raises(ValueError, match="drop_check"):
+        t.set_check("v_nonneg", "v >= 1")
+    t.drop_check("v_nonneg")
+    t.append(spark.createDataFrame([(100, -5, "y")], "k long, v long, tag string"))
+    assert t.count() == 12
+    # checks survive unrelated commits (carried like the partition spec)
+    t.compact(small_bytes=1 << 30, target_bytes=1 << 40)
+    man = t._manifest(t.current_version())
+    assert "tagged" in man["checks"]
+    # drop_column refuses while a check references the column
+    with _pt.raises(ValueError, match="referenced by check"):
+        t.drop_column("tag")
