@@ -187,6 +187,7 @@ def main() -> None:
         "search_mmr",
         "snapshot_forget",
         "snapshot_drop_column",
+        "snapshot_checks",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:
