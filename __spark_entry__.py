@@ -9946,3 +9946,31 @@ _TRAINING_QUERIES["snapshot_checks"] = q_snapshot_checks
 _TRAINING_ORACLES["snapshot_checks"] = """SELECT o_orderkey AS k,
        o_custkey AS ck, o_orderstatus AS status
 FROM orders"""
+
+
+# --------------------------------------------------- Bloom file index
+# Session-11: third pruning tier — per-file Bloom bitmaps (8192-bit,
+# k=2 md5-derived hashes, riding the stats read-back aggregate) let an
+# equality predicate skip files min/max NEVER can: the table below is
+# range-laid-out on k, so every file's ck range spans the whole key
+# space, yet the point lookup opens only the files whose bitmap admits
+# the value. False positives only ever ADD files (sound); the residual
+# filter keeps the result exact either way — the oracle is the plain
+# filter. Pruning ratio asserted in-query; the Puffin/Delta-bloom
+# analogue without a sidecar file format.
+
+
+def q_snapshot_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _snap_orders(spark, sf_dir)
+    t = _snap_table(spark, "bloom")
+    t.create(o.repartitionByRange(8, "k"), bloom_cols=["ck"])
+    man = t._manifest(t.current_version())
+    kept = t._pruned_files(man, [("ck", "=", 37)])
+    assert 0 < len(kept) < len(man["files"])  # bites without any layout help
+    return t.scan([("ck", "=", 37)]).select("k", "ck", "status")
+
+
+_TRAINING_QUERIES["snapshot_bloom_scan"] = q_snapshot_bloom_scan
+_TRAINING_ORACLES["snapshot_bloom_scan"] = """SELECT o_orderkey AS k,
+       o_custkey AS ck, o_orderstatus AS status
+FROM orders WHERE o_custkey = 37"""

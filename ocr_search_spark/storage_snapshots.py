@@ -200,6 +200,30 @@ def _range_may_match(lo, hi, op: str, val) -> bool:
     raise ValueError(f"unknown predicate op {op!r}")
 
 
+_BLOOM_BITS = 8192
+
+
+def _bloom_hash_cols(c: Column) -> tuple[Column, Column]:
+    """Two bit positions from the value's canonical-string md5 — the
+    write-side twin of :func:`_bloom_hash_value` (same parity contract
+    as the bucket transform pair: both sides hash ``str(value)``)."""
+    md5 = F.md5(c.cast("string"))
+    h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long") % _BLOOM_BITS
+    h2 = F.conv(F.substring(md5, 16, 15), 16, 10).cast("long") % _BLOOM_BITS
+    return h1, h2
+
+
+def _bloom_hash_value(val) -> tuple[int, int] | None:
+    """Driver-side twin; None = literal type outside the pinned scope
+    (no pruning on it — sound, pruning may only ever skip work)."""
+    import hashlib
+
+    if isinstance(val, bool) or not isinstance(val, (int, str)):
+        return None
+    d = hashlib.md5(str(val).encode("utf-8")).hexdigest()
+    return int(d[:15], 16) % _BLOOM_BITS, int(d[15:30], 16) % _BLOOM_BITS
+
+
 class SnapshotTable:
     """Versioned parquet table with an append-only snapshot log."""
 
@@ -292,7 +316,8 @@ class SnapshotTable:
                 publish: bool = True, info: dict | None = None,
                 partition_spec: list | None = None,
                 partitions: dict | None = None,
-                checks: dict | None = None) -> int:
+                checks: dict | None = None,
+                bloom_cols: list | None = None) -> int:
         version = (parent or 0) + 1
         if self._read_text(f"{self.meta_dir}/v{version}.json") is not None:
             raise ValueError(
@@ -322,10 +347,13 @@ class SnapshotTable:
         registry: list = []
         pfsids: dict = {}
         pchecks = checks
+        pbloom = bloom_cols
         if parent is not None:
             pman = self._manifest(parent)
             if pchecks is None:
                 pchecks = pman.get("checks")
+            if pbloom is None:
+                pbloom = pman.get("bloom_cols")
             pman_spec = pman.get("partition_spec") or []
             if pspec is None:
                 pspec = pman_spec
@@ -364,6 +392,7 @@ class SnapshotTable:
             "spec_registry": registry,
             "file_spec_ids": fsids,
             "checks": pchecks or {},
+            "bloom_cols": pbloom or [],
         }
         if not publish:
             man["staged"] = True
@@ -426,7 +455,8 @@ class SnapshotTable:
     # ------------------------------------------------------------ public
     def create(self, df: DataFrame, stats_cols: list[str] | None = None,
                info: dict | None = None,
-               partition_spec: list | None = None) -> int:
+               partition_spec: list | None = None,
+               bloom_cols: list[str] | None = None) -> int:
         """Initial snapshot (v1). Fails if the table already exists.
 
         ``stats_cols`` opts the table into per-file min/max stats in the
@@ -445,7 +475,16 @@ class SnapshotTable:
         high-cardinality keys where min/max stats are useless (hash-
         scattered ranges cover everything). Per-file values live in the
         manifest; rewritten files (compact/zorder/COW) have none and
-        are never pruned, so maintenance never risks wrong results."""
+        are never pruned, so maintenance never risks wrong results.
+
+        ``bloom_cols`` opts the table into per-file Bloom membership
+        bitmaps (string/integer columns) riding the stats aggregate —
+        the third pruning tier: equality predicates skip files whose
+        bitmap proves the value absent, which bites exactly where
+        min/max cannot (hash-scattered high-cardinality columns) and
+        without requiring the partition layout bucket() would. Unlike
+        partition values, REWRITTEN files keep their blooms fresh
+        (maintenance re-collects them with the stats)."""
         if self.current_version() is not None:
             raise ValueError(f"table {self.path} already exists")
         nspec = (
@@ -469,11 +508,22 @@ class SnapshotTable:
             files, parts = self._write_partitioned_files(df, 1, nspec)
         else:
             files, parts = self._write_commit_files(df, 1), None
-        stats = self._collect_stats(files, df.schema, stats_cols or [])
+        for c in bloom_cols or []:
+            t = df.schema[c].dataType
+            if not isinstance(t, (T.StringType, *_INT_TYPES)):
+                raise ValueError(
+                    f"bloom_cols column {c} has unsupported type {t} "
+                    "(string/integer only — the same canonical-string "
+                    "scope as the bucket transform)"
+                )
+        stats = self._collect_stats(
+            files, df.schema, stats_cols or [], bloom_cols or []
+        )
         return self._commit(
             "create", files, self._nullable(df.schema), None, stats=stats,
             stats_cols=stats_cols or [], info=info,
             partition_spec=nspec, partitions=parts,
+            bloom_cols=bloom_cols or [],
         )
 
     def append(self, df: DataFrame, info: dict | None = None) -> int:
@@ -490,7 +540,7 @@ class SnapshotTable:
         else:
             new_files, new_parts = self._write_commit_files(df, version), None
         stats = dict(man.get("stats") or {})
-        stats.update(self._collect_stats(new_files, df.schema, self._stats_cols(man)))
+        stats.update(self._collect_stats(new_files, df.schema, self._stats_cols(man), self._bloom_cols(man)))
         # the TABLE's schema persists — a batch's schema (non-null lit()
         # fields, narrower literal types) must never clobber evolution
         return self._commit(
@@ -516,7 +566,7 @@ class SnapshotTable:
             files, parts = self._write_partitioned_files(df, version, spec)
         else:
             files, parts = self._write_commit_files(df, version), None
-        stats = self._collect_stats(files, df.schema, self._stats_cols(man))
+        stats = self._collect_stats(files, df.schema, self._stats_cols(man), self._bloom_cols(man))
         return self._commit(
             "overwrite", files, self._nullable(df.schema), parent,
             stats=stats, stats_cols=self._stats_cols(man), partitions=parts,
@@ -562,7 +612,7 @@ class SnapshotTable:
         kept = [f for f in man["files"] if f not in touched]
         stats = dict(man.get("stats") or {})
         stats.update(
-            self._collect_stats(new_files, current.schema, self._stats_cols(man))
+            self._collect_stats(new_files, current.schema, self._stats_cols(man), self._bloom_cols(man))
         )
         return self._commit(
             "delete", kept + new_files, current.schema, parent,
@@ -627,7 +677,7 @@ class SnapshotTable:
         kept = [f for f in man["files"] if f not in touched]
         schema = T.StructType.fromJson(man["schema"])
         stats = dict(man.get("stats") or {})
-        stats.update(self._collect_stats(new_files, schema, self._stats_cols(man)))
+        stats.update(self._collect_stats(new_files, schema, self._stats_cols(man), self._bloom_cols(man)))
         return self._commit(
             "replace", kept + new_files, schema, parent,
             stats=stats, stats_cols=self._stats_cols(man),
@@ -692,7 +742,7 @@ class SnapshotTable:
         kept = [f for f in man["files"] if f not in set(touched)]
         stats = dict(man.get("stats") or {})
         stats.update(
-            self._collect_stats(new_files, current.schema, self._stats_cols(man))
+            self._collect_stats(new_files, current.schema, self._stats_cols(man), self._bloom_cols(man))
         )
         return self._commit(
             "merge", kept + new_files, current.schema, parent,
@@ -854,7 +904,7 @@ class SnapshotTable:
         schema = T.StructType.fromJson(man["schema"])
         stats = dict(man.get("stats") or {})
         stats.update(
-            self._collect_stats(new_files, schema, self._stats_cols(man))
+            self._collect_stats(new_files, schema, self._stats_cols(man), self._bloom_cols(man))
         )
         return self._commit(
             "compact", kept + new_files, schema, parent,
@@ -1287,7 +1337,7 @@ class SnapshotTable:
         new_files = self._write_commit_files(survivors, version)
         kept = [f for f in man["files"] if f not in set(touched)]
         stats = dict(man.get("stats") or {})
-        stats.update(self._collect_stats(new_files, stored, self._stats_cols(man)))
+        stats.update(self._collect_stats(new_files, stored, self._stats_cols(man), self._bloom_cols(man)))
         return self._commit(
             "materialize-deletes", kept + new_files, stored, parent,
             stats=stats, stats_cols=self._stats_cols(man),
@@ -1372,7 +1422,7 @@ class SnapshotTable:
         new_files = self._write_commit_files(packed, version)
         schema = T.StructType.fromJson(man["schema"])
         stats = {f: v for f, v in (man.get("stats") or {}).items() if f in set(keep)}
-        stats.update(self._collect_stats(new_files, schema, self._stats_cols(man)))
+        stats.update(self._collect_stats(new_files, schema, self._stats_cols(man), self._bloom_cols(man)))
         return self._commit(
             "optimize-zorder", keep + new_files, schema, parent,
             stats=stats, stats_cols=self._stats_cols(man),
@@ -1435,7 +1485,7 @@ class SnapshotTable:
         version = parent + 1
         new_files = self._write_commit_files(df, version)
         stats = dict(man.get("stats") or {})
-        stats.update(self._collect_stats(new_files, df.schema, self._stats_cols(man)))
+        stats.update(self._collect_stats(new_files, df.schema, self._stats_cols(man), self._bloom_cols(man)))
         return self._commit(
             "append", man["files"] + new_files,
             T.StructType.fromJson(man["schema"]), parent,
@@ -1579,11 +1629,16 @@ class SnapshotTable:
         )
 
     @staticmethod
+    def _bloom_cols(man: dict) -> list[str]:
+        return man.get("bloom_cols") or []
+
+    @staticmethod
     def _stats_cols(man: dict) -> list[str]:
         return man.get("stats_cols") or []
 
     def _collect_stats(
-        self, files: list[str], schema: T.StructType, stats_cols: list[str]
+        self, files: list[str], schema: T.StructType, stats_cols: list[str],
+        bloom_cols: list[str] | None = None,
     ) -> dict:
         """Per-file min/max for ``stats_cols`` over just-written files:
         one grouped aggregate keyed by ``input_file_name()``. The scan
@@ -1595,8 +1650,17 @@ class SnapshotTable:
         aggregate under the reserved key ``#rows`` — the input to
         metadata-only :meth:`count`. Tables WITHOUT stats_cols skip the
         read-back entirely (no extra job on the streaming-sink hot
-        path); their count() takes the real-scan fallback."""
-        if not stats_cols or not files:
+        path); their count() takes the real-scan fallback. When the
+        table declares ``bloom_cols``, two collect_set aggregates per
+        column ride the SAME job and land as an 8192-bit hex bitmap
+        under the reserved ``#bloom:<col>`` stats key — a 1 KiB/file
+        single-filter Bloom (k=2 md5-derived hashes) that lets equality
+        predicates prune files min/max never can (hash-scattered
+        columns whose per-file range covers everything). Saturates —
+        honestly, to "no pruning", never to wrong pruning — above a
+        few thousand distinct values per file."""
+        bloom_cols = bloom_cols or []
+        if (not stats_cols and not bloom_cols) or not files:
             return {}
         df = self.spark.read.schema(schema).parquet(
             *[self._absolute(f) for f in files]
@@ -1604,6 +1668,12 @@ class SnapshotTable:
         aggs = [F.count(F.lit(1)).alias("_n")]
         for c in stats_cols:
             aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+        for c in bloom_cols:
+            h1, h2 = _bloom_hash_cols(F.col(c))
+            aggs += [
+                F.collect_set(h1).alias(f"_b1_{c}"),
+                F.collect_set(h2).alias(f"_b2_{c}"),
+            ]
         rows = df.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect()
         out = {}
         for r in rows:
@@ -1612,6 +1682,13 @@ class SnapshotTable:
                 c: [_stat_scalar(r[f"_mn_{c}"]), _stat_scalar(r[f"_mx_{c}"])]
                 for c in stats_cols
             }
+            for c in bloom_cols:
+                bits = 0
+                for p in list(r[f"_b1_{c}"]) + list(r[f"_b2_{c}"]):
+                    bits |= 1 << p
+                # hex bitmap under a reserved key — '#' can never collide
+                # with a column name the min/max lookup would consult
+                st[f"#bloom:{c}"] = format(bits, "x")
             st["#rows"] = int(r["_n"])
             out[rel] = st
         return out
@@ -1633,6 +1710,14 @@ class SnapshotTable:
                 if rng is not None and not _range_may_match(rng[0], rng[1], op, val):
                     keep = False
                     break
+                bh = fstats.get(f"#bloom:{col}") if op == "=" else None
+                if bh is not None:
+                    hv = _bloom_hash_value(val)
+                    if hv is not None:
+                        bits = int(bh, 16)
+                        if not ((bits >> hv[0]) & 1 and (bits >> hv[1]) & 1):
+                            keep = False
+                            break
             if keep:
                 out.append(f)
         return out

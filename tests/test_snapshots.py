@@ -1245,3 +1245,51 @@ def test_check_null_passes_and_lifecycle(spark, tmp_path):
     # drop_column refuses while a check references the column
     with _pt.raises(ValueError, match="referenced by check"):
         t.drop_column("tag")
+
+
+# ----------------------------------------------------------- blooms
+
+
+def test_bloom_prunes_where_minmax_cannot(spark, tmp_path):
+    # tag sets per file interleave lexically (A={a,d}, B={b,c}) so
+    # min/max ranges overlap every query — only the bloom can prune
+    t = SnapshotTable(spark, str(tmp_path / "bl"))
+    rows_a = [(1, "aa"), (2, "dd")] * 20
+    rows_b = [(3, "bb"), (4, "cc")] * 20
+    df = spark.createDataFrame(rows_a, "k long, tag string").coalesce(1)
+    t.create(df, stats_cols=["tag"], bloom_cols=["tag"])
+    t.append(spark.createDataFrame(rows_b, "k long, tag string").coalesce(1))
+    man = t._manifest(t.current_version())
+    assert len(man["files"]) == 2
+    kept = t._pruned_files(man, [("tag", "=", "bb")])
+    assert len(kept) == 1  # min/max keeps both; bloom drops file A
+    got = sorted(r["k"] for r in t.scan([("tag", "=", "bb")]).collect())
+    assert got == [3] * 20
+    # non-equality ops never consult the bloom
+    assert len(t._pruned_files(man, [("tag", ">", "bb")])) == 2
+    # absent value prunes everything, result still exact (empty)
+    assert t.scan([("tag", "=", "zz")]).count() == 0
+
+
+def test_bloom_maintained_through_rewrites_and_int_keys(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "bl2"))
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("ck")
+    )
+    t.create(df.repartitionByRange(4, "k"), bloom_cols=["ck"])
+    v = t.compact(small_bytes=1 << 30, target_bytes=1 << 40)
+    man = t._manifest(v)
+    # rewritten files re-collect blooms with their stats (unlike
+    # partition values, which rewrites legitimately lose)
+    assert all("#bloom:ck" in man["stats"][f] for f in man["files"])
+    got = sorted(r["k"] for r in t.scan([("ck", "=", 13)]).collect())
+    assert got == [k for k in range(400) if k % 97 == 13]
+
+
+def test_bloom_type_refusal(spark, tmp_path):
+    import pytest as _pt
+
+    t = SnapshotTable(spark, str(tmp_path / "bl3"))
+    df = spark.range(3).select(F.col("id").alias("k"), (F.col("id") * 0.5).alias("x"))
+    with _pt.raises(ValueError, match="bloom_cols"):
+        t.create(df, bloom_cols=["x"])
