@@ -188,6 +188,7 @@ def main() -> None:
         "snapshot_forget",
         "snapshot_drop_column",
         "snapshot_checks",
+        "snapshot_bloom_scan",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:
