@@ -74,6 +74,9 @@ _PRED_OPS = {
     ">": lambda c, v: c > v,
     ">=": lambda c, v: c >= v,
     "=": lambda c, v: c == v,
+    # unary null tests (the value operand is ignored; pass None)
+    "is_null": lambda c, v: c.isNull(),
+    "is_not_null": lambda c, v: c.isNotNull(),
 }
 
 
@@ -791,8 +794,10 @@ class SnapshotTable:
         can match no row in it, then read the survivors and re-apply
         the full predicate as an ordinary filter.
 
-        ``predicates`` — [(col, op, value)] with op ∈ {<, <=, >, >=, =},
-        conjunctive. Pruning is sound for any stats state: a file with
+        ``predicates`` — [(col, op, value)] with op ∈ {<, <=, >, >=, =,
+        is_null, is_not_null} (the null tests ignore ``value`` — pass
+        None; they prune from the per-file null counts riding the stats
+        aggregate), conjunctive. Pruning is sound for any stats state: a file with
         no stats (column not in ``stats_cols``, or an all-null file) is
         kept, and the residual filter makes the result identical to
         ``read().where(...)`` regardless — stats can only save IO.
@@ -1667,7 +1672,11 @@ class SnapshotTable:
         )
         aggs = [F.count(F.lit(1)).alias("_n")]
         for c in stats_cols:
-            aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+            aggs += [
+                F.min(c).alias(f"_mn_{c}"),
+                F.max(c).alias(f"_mx_{c}"),
+                F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"_nl_{c}"),
+            ]
         for c in bloom_cols:
             h1, h2 = _bloom_hash_cols(F.col(c))
             aggs += [
@@ -1682,6 +1691,8 @@ class SnapshotTable:
                 c: [_stat_scalar(r[f"_mn_{c}"]), _stat_scalar(r[f"_mx_{c}"])]
                 for c in stats_cols
             }
+            for c in stats_cols:
+                st[f"#nulls:{c}"] = int(r[f"_nl_{c}"])
             for c in bloom_cols:
                 bits = 0
                 for p in list(r[f"_b1_{c}"]) + list(r[f"_b2_{c}"]):
@@ -1706,6 +1717,21 @@ class SnapshotTable:
             for col, op, val in predicates:
                 if op not in _PRED_OPS:
                     raise ValueError(f"unknown predicate op {op!r}")
+                if op in ("is_null", "is_not_null"):
+                    # null-count tier: prune when the recorded count
+                    # PROVES no row can match; absent counts (older
+                    # manifests, rewritten files) keep the file
+                    nls = fstats.get(f"#nulls:{col}")
+                    nrows = fstats.get("#rows")
+                    if nls is not None:
+                        if op == "is_null" and nls == 0:
+                            keep = False
+                            break
+                        if (op == "is_not_null" and nrows is not None
+                                and nls == nrows):
+                            keep = False
+                            break
+                    continue
                 rng = fstats.get(col)
                 if rng is not None and not _range_may_match(rng[0], rng[1], op, val):
                     keep = False

@@ -1293,3 +1293,33 @@ def test_bloom_type_refusal(spark, tmp_path):
     df = spark.range(3).select(F.col("id").alias("k"), (F.col("id") * 0.5).alias("x"))
     with _pt.raises(ValueError, match="bloom_cols"):
         t.create(df, bloom_cols=["x"])
+
+
+def test_null_count_stats_prune_null_tests(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "nulls"))
+    with_nulls = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "a"), (3, 30, "a")], "k long, v long, tag string"
+    ).coalesce(1)
+    no_nulls = spark.createDataFrame(
+        [(4, 40, "b"), (5, 50, "b")], "k long, v long, tag string"
+    ).coalesce(1)
+    all_nulls = spark.createDataFrame(
+        [(6, None, "c"), (7, None, "c")], "k long, v long, tag string"
+    ).coalesce(1)
+    t.create(with_nulls, stats_cols=["v"])
+    t.append(no_nulls)
+    t.append(all_nulls)
+    man = t._manifest(t.current_version())
+    assert len(man["files"]) == 3
+    # is_null skips the no-null file; is_not_null skips the all-null file
+    assert len(t._pruned_files(man, [("v", "is_null", None)])) == 2
+    assert len(t._pruned_files(man, [("v", "is_not_null", None)])) == 2
+    got = sorted(r["k"] for r in t.scan([("v", "is_null", None)]).collect())
+    assert got == [1, 2, 6, 7]
+    got = sorted(r["k"] for r in t.scan([("v", "is_not_null", None)]).collect())
+    assert got == [3, 4, 5]
+    # composed with a range predicate on the same column
+    got = sorted(
+        r["k"] for r in t.scan([("v", "is_not_null", None), ("v", ">=", 40)]).collect()
+    )
+    assert got == [4, 5]
