@@ -1323,3 +1323,26 @@ def test_null_count_stats_prune_null_tests(spark, tmp_path):
         r["k"] for r in t.scan([("v", "is_not_null", None), ("v", ">=", 40)]).collect()
     )
     assert got == [4, 5]
+
+
+def test_checks_gate_the_streaming_sink(spark, tmp_path):
+    # the streaming sink appends through table.append, so a declared
+    # CHECK refuses a violating micro-batch BEFORE the fence commits —
+    # the batch can be fixed and replayed (exactly-once state unharmed)
+    from ocr_search_spark.streaming.snapshot_sink import (
+        append_batch, last_committed_batch,
+    )
+    import pytest as _pt
+
+    t = SnapshotTable(spark, str(tmp_path / "schk"))
+    t.create(_df(spark, 0, 10, "base"))
+    t.set_check("v_nonneg", "v >= 0")
+    append_batch(t, _df(spark, 10, 20, "b0"), batch_id=0)
+    bad = spark.createDataFrame([(99, -1, "x")], "k long, v long, tag string")
+    with _pt.raises(ValueError, match="v_nonneg"):
+        append_batch(t, bad, batch_id=1)
+    # the fence did NOT advance: batch 1 is still owed, not skipped
+    assert last_committed_batch(t, "default") == 0
+    append_batch(t, _df(spark, 20, 25, "b1fixed"), batch_id=1)
+    assert last_committed_batch(t, "default") == 1
+    assert t.count() == 25
