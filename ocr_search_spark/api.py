@@ -65,9 +65,12 @@ def search_pages(
 
     Extension beyond the reference: ``mode=boolean`` routes the query
     through the boolean parser (operators/boolquery.py — AND/OR/NOT,
-    parens, quoted phrases; phrases need ``pos_postings``). A malformed
-    boolean query (syntax error, unbounded negation) is the CLIENT's
-    error → 400 with the parser's message, never a 500."""
+    parens, quoted phrases; phrases need ``pos_postings``);
+    ``mode=prefix`` routes '<stem>*' wildcards through prefix_search
+    (the expansion guard's refusal surfaces as a 400); ``mode=fuzzy``
+    tokenizes with the document tokenizer and matches within one edit
+    (match_terms_fuzzy). A malformed query is always the CLIENT's
+    error → 400 with the operator's message, never a 500."""
     query = params.get("searchTerm")
     max_return = params.get("maxReturn")
     mode = params.get("mode", "terms")
@@ -75,8 +78,10 @@ def search_pages(
         raise ApiError(400, "search term is not specified or is in wrong format")
     if max_return is not None and not _MAX_RETURN_RE.match(str(max_return)):
         raise ApiError(400, "maxReturn should be a positive integer")
-    if mode not in ("terms", "boolean"):
-        raise ApiError(400, "mode should be 'terms' or 'boolean'")
+    if mode not in ("terms", "boolean", "prefix", "fuzzy"):
+        raise ApiError(
+            400, "mode should be 'terms', 'boolean', 'prefix' or 'fuzzy'"
+        )
     k = int(max_return) if max_return is not None else DEFAULT_MAX_RETURN
     try:
         if mode == "boolean":
@@ -88,6 +93,33 @@ def search_pages(
                 )
             except ValueError as err:
                 raise ApiError(400, str(err)) from err
+            hits = (
+                scored.join(docs, "doc_id")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .select("ori_file_path", "page_idx", "img_path")
+            )
+        elif mode == "prefix":
+            from .operators.search import prefix_search
+
+            if not query.endswith("*") or len(query.rstrip("*")) == 0:
+                raise ApiError(400, "prefix query must be '<stem>*'")
+            try:
+                scored = prefix_search(postings, query, max_return=k)
+            except ValueError as err:
+                # expansion-guard trip (unselective stem) is the
+                # CLIENT's error, like a malformed boolean query
+                raise ApiError(400, str(err)) from err
+            hits = (
+                scored.join(docs, "doc_id")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .select("ori_file_path", "page_idx", "img_path")
+            )
+        elif mode == "fuzzy":
+            from .operators.search import match_terms_fuzzy
+            from .operators.tokenize import term_freq_dict
+
+            terms = list(term_freq_dict(query).keys())
+            scored = match_terms_fuzzy(postings, terms, max_return=k)
             hits = (
                 scored.join(docs, "doc_id")
                 .orderBy(F.desc("score"), F.asc("doc_id"))

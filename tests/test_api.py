@@ -196,3 +196,42 @@ def test_search_pages_boolean_bad_query_is_400(spark, tiny_index):
         assert e.status == 400, bad
     e = _err(spark, postings, docs, {"searchTerm": "table", "mode": "wand"})
     assert e.status == 400 and "mode" in e.message
+
+
+def test_search_pages_prefix_mode(spark, tiny_index):
+    postings, docs = tiny_index
+    p2 = postings.unionByName(
+        spark.createDataFrame(
+            [("tablet", "doc2", 9)], "term string, doc_id string, tf int"
+        )
+    )
+    out = api.search_pages(
+        spark, p2, docs, {"searchTerm": "tab*", "mode": "prefix", "maxReturn": "3"}
+    )
+    got = [p["oriFilePath"] for p in out["pageList"]]
+    # 'tab*' expands to {table, tablet}: doc2 max tf 9, then doc4 (tf 5)
+    assert got == ["data/pdf/f2.pdf", "data/pdf/f4.pdf", "data/pdf/f3.pdf"]
+    # malformed wildcard and guard trips are 400s, not 500s
+    err = _err(spark, p2, docs, {"searchTerm": "table", "mode": "prefix"})
+    assert err.status == 400 and "stem" in err.message
+    err = _err(spark, p2, docs, {"searchTerm": "*", "mode": "prefix"})
+    assert err.status == 400
+
+
+def test_search_pages_fuzzy_mode(spark, tiny_index):
+    postings, docs = tiny_index
+    out = api.search_pages(
+        spark, postings, docs, {"searchTerm": "tble", "mode": "fuzzy"}
+    )
+    # 'tble' is within one edit of 'table' -> hits despite the typo
+    assert [p["oriFilePath"] for p in out["pageList"]][0] == "data/pdf/f4.pdf"
+    out2 = api.search_pages(
+        spark, postings, docs, {"searchTerm": "zzzzz", "mode": "fuzzy"}
+    )
+    assert out2["pageList"] == []
+
+
+def test_search_pages_unknown_mode_is_400(spark, tiny_index):
+    postings, docs = tiny_index
+    err = _err(spark, postings, docs, {"searchTerm": "x", "mode": "regex"})
+    assert err.status == 400 and "mode" in err.message
