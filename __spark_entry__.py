@@ -9974,3 +9974,92 @@ _TRAINING_QUERIES["snapshot_bloom_scan"] = q_snapshot_bloom_scan
 _TRAINING_ORACLES["snapshot_bloom_scan"] = """SELECT o_orderkey AS k,
        o_custkey AS ck, o_orderstatus AS status
 FROM orders WHERE o_custkey = 37"""
+
+
+# ---------------------------------------------- HTML main content
+# Session-11: the north rule's "HTML boilerplate strip + DOM
+# heuristics" stage as a pure columnar plan (webtext.html_main_content)
+# — subtree removal (script/style/head/nav/header/footer/aside +
+# comments), block segmentation on block-level tags, per-block
+# word-count and link-density classification in integer arithmetic,
+# ordered reassembly. The fixture wraps every document's text in a page
+# template with a tag-soup script trap, chrome nav/footer, a link-farm
+# list, an under-min-words crumb and a diluted-single-anchor closer; the
+# oracle replays the full regex/array pipeline in DuckDB.
+
+_HTML_PRE = (
+    "<html><head><title>t</title><script>var p='<p>trap</p>';</script>"
+    "</head><body><nav><a href='#'>Home</a> <a href='#'>About</a></nav><p>"
+)
+_HTML_POST = (
+    "</p><ul><li><a>one</a></li><li><a>two</a></li><li><a>three</a></li>"
+    "</ul><p>Short note.</p><div>Closing paragraph with a "
+    "<a href='x'>single link</a> and plenty of surrounding words to stay "
+    "under the density threshold.</div><footer>(c) 2026 site</footer>"
+    "</body></html>"
+)
+
+
+def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.webtext import html_main_content
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = d.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)).alias(
+            "html"
+        ),
+    )
+    return html_main_content(pages)
+
+
+def _html_oracle() -> str:
+    subtrees = ("script", "style", "head", "nav", "header", "footer", "aside")
+    t = "h"
+    for tag in subtrees:
+        t = f"regexp_replace({t}, '(?is)<{tag}\\b[^>]*>.*?</{tag}>', ' ', 'g')"
+    t = f"regexp_replace({t}, '(?s)<!--.*?-->', ' ', 'g')"
+    block_re = (
+        "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|section|article"
+        "|blockquote|pre|br)\\b[^>]*>"
+    )
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    return f"""WITH hx AS (
+  SELECT doc_id, '{pre}' || text || '{post}' AS h FROM documents
+),
+st AS (SELECT doc_id, {t} AS t FROM hx),
+sc AS (
+  SELECT doc_id, list_transform(
+    regexp_split_to_array(t, '{block_re}'),
+    b -> struct_pack(
+      txt := trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'),
+                                 '\\s+', ' ', 'g')),
+      links := len(regexp_split_to_array(b, '(?i)<a\\b')) - 1
+    )
+  ) AS ss FROM st
+),
+sc2 AS (
+  SELECT doc_id, list_transform(ss, s -> struct_pack(
+    txt := s.txt, links := s.links,
+    words := len(list_filter(string_split(s.txt, ' '), w -> w <> ''))
+  )) AS ss FROM sc
+),
+ne AS (
+  SELECT doc_id, list_filter(ss, s -> s.words > 0) AS nonempty FROM sc2
+),
+kp AS (
+  SELECT doc_id, nonempty,
+         list_filter(nonempty,
+                     s -> s.words >= 5 AND s.links * 100 <= s.words * 12
+         ) AS kept
+  FROM ne
+)
+SELECT doc_id AS id,
+       array_to_string(list_transform(kept, s -> s.txt), chr(10)) AS text,
+       len(nonempty)::INT AS n_blocks, len(kept)::INT AS n_kept
+FROM kp"""
+
+
+_TRAINING_QUERIES["html_main_content"] = q_html_main_content
+_TRAINING_ORACLES["html_main_content"] = _html_oracle()

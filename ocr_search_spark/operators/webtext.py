@@ -191,3 +191,83 @@ def normalize_web_text(
         n_ent.cast("long").alias("n_entities"),
         n_moj.alias("n_mojibake"),
     )
+
+
+# --------------------------------------------------- HTML main content
+
+# raw-text / non-content subtrees removed wholesale (jusText/Boilerpipe
+# pre-pass): script+style are CDATA-ish (tag soup inside breaks naive
+# stripping), head is metadata, nav/header/footer/aside are the chrome
+# the north rule's "DOM heuristics" names
+_BOILERPLATE_SUBTREES = (
+    "script", "style", "head", "nav", "header", "footer", "aside",
+)
+_BLOCK_TAG_RE = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|section|article"
+    r"|blockquote|pre|br)\b[^>]*>"
+)
+
+
+def html_main_content(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "id",
+    min_words: int = 5,
+    max_link_pct: int = 12,
+) -> DataFrame:
+    """Main-content extraction from raw HTML — the "HTML boilerplate
+    strip + DOM heuristics" stage of the north rule, as a pure columnar
+    plan (regex + array lambdas; whole-stage codegen, no UDF):
+
+    1. remove non-content SUBTREES wholesale (script/style/head plus
+       the nav/header/footer/aside chrome) and comments;
+    2. segment on block-level tags — each block is a candidate content
+       unit (the DOM-free equivalent of Boilerpipe's text blocks);
+    3. classify each block by the two classic signals, both pinned to
+       integer arithmetic: word count (``< min_words`` → boilerplate;
+       dateline/copyright crumbs) and link density (``links·100 >
+       words·max_link_pct`` → boilerplate; menus and link farms are
+       short text with many anchors);
+    4. re-emit surviving blocks in document order, newline-joined.
+
+    Entity decoding / mojibake repair intentionally stay OUT of this
+    operator — compose with :func:`normalize_web_text` (pipeline
+    stages, reference: the conversion chain in
+    /root/reference/src/sh/pdf_to_png.sh keeps stages single-purpose).
+
+    Returns (id, text, n_blocks, n_kept) where n_blocks counts
+    nonempty candidate blocks. Scale shape: one projection — no
+    shuffle, no Python; every step is a string/array expression.
+    """
+    t = F.col(html_col)
+    for tag in _BOILERPLATE_SUBTREES:
+        t = F.regexp_replace(t, f"(?is)<{tag}\\b[^>]*>.*?</{tag}>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    blocks = F.split(t, _BLOCK_TAG_RE)
+
+    def scored(b):
+        stripped = F.regexp_replace(b, r"<[^>]*>", " ")
+        txt = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+        return F.struct(
+            txt.alias("txt"),
+            (F.size(F.split(b, r"(?i)<a\b", -1)) - 1).alias("links"),
+            F.size(
+                F.filter(F.split(txt, " "), lambda w: w != "")
+            ).alias("words"),
+        )
+
+    sc = F.transform(blocks, scored)
+    nonempty = F.filter(sc, lambda s: s["words"] > 0)
+    kept = F.filter(
+        nonempty,
+        lambda s: (s["words"] >= min_words)
+        & (s["links"] * 100 <= s["words"] * max_link_pct),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(
+            F.transform(kept, lambda s: s["txt"]), "\n"
+        ).alias("text"),
+        F.size(nonempty).alias("n_blocks"),
+        F.size(kept).alias("n_kept"),
+    )

@@ -120,3 +120,63 @@ def test_webtext_normalize_matches_python_twin(spark):
         if got[i] != py_norm(texts[int(i)])
     ]
     assert not bad, bad[:3]
+
+
+# ----------------------------------------------- html_main_content
+
+
+def _html_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, html string")
+
+
+def test_html_main_content_strips_chrome_and_keeps_body(spark):
+    from ocr_search_spark.operators.webtext import html_main_content
+
+    page = (
+        "<html><head><title>T</title><script>var x = '<p>trap</p>';"
+        "</script></head><body>"
+        "<nav><a href='#'>Home</a> <a href='#'>About</a></nav>"
+        "<p>The quick brown fox jumps over the lazy dog.</p>"
+        "<ul><li><a>one</a></li><li><a>two</a></li><li><a>three</a></li></ul>"
+        "<p>Short.</p>"
+        "<!-- hidden comment words words words words words -->"
+        "<footer>© 2026 Example Site</footer></body></html>"
+    )
+    (r,) = html_main_content(_html_df(spark, [(1, page)])).collect()
+    assert r["text"] == "The quick brown fox jumps over the lazy dog."
+    assert r["n_kept"] == 1 and r["n_blocks"] >= 2
+    # script content (even containing fake tags), nav, footer, comment
+    # are all gone
+    assert "trap" not in r["text"] and "Home" not in r["text"]
+    assert "Example" not in r["text"]
+
+
+def test_html_main_content_link_density(spark):
+    from ocr_search_spark.operators.webtext import html_main_content
+
+    linky = (
+        "<body><p>read <a href='a'>this</a> and <a href='b'>that</a> and "
+        "<a href='c'>more</a> now</p>"
+        "<p>A perfectly normal paragraph mentioning a "
+        "<a href='d'>reference</a> in passing with many plain words "
+        "around it to dilute the single anchor.</p></body>"
+    )
+    (r,) = html_main_content(_html_df(spark, [(1, linky)])).collect()
+    # block 1: 7 words, 3 links -> 300 > 7*12 -> dropped
+    # block 2: 18 words, 1 link -> 100 <= 216 -> kept
+    assert r["n_blocks"] == 2 and r["n_kept"] == 1
+    assert r["text"].startswith("A perfectly normal paragraph")
+
+
+def test_html_main_content_multiblock_order_and_inline_tags(spark):
+    from ocr_search_spark.operators.webtext import html_main_content
+
+    page = (
+        "<div>First block has exactly six words here.</div>"
+        "<div>Second block with <b>bold</b> and <i>italic</i> inline "
+        "text survives tag stripping.</div>"
+    )
+    (r,) = html_main_content(_html_df(spark, [(1, page)])).collect()
+    lines = r["text"].split("\n")
+    assert len(lines) == 2 and lines[0].startswith("First")
+    assert "bold" in lines[1] and "<b>" not in r["text"]
