@@ -189,6 +189,7 @@ def main() -> None:
         "snapshot_drop_column",
         "snapshot_checks",
         "snapshot_bloom_scan",
+        "html_main_content",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:
