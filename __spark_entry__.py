@@ -10063,3 +10063,127 @@ FROM kp"""
 
 _TRAINING_QUERIES["html_main_content"] = q_html_main_content
 _TRAINING_ORACLES["html_main_content"] = _html_oracle()
+
+
+# ---------------------------------------------- HTML → span arrays
+# Session-11: html_to_spans — crawl HTML re-emitted as the engine's
+# interleaved (kind, text, media_ref, offset) span model, the north
+# rule's span contract applied to a web source (the arrays feed
+# extract_spans unchanged — pytest drives the full chain to a search
+# hit). Fixture per document: kept body paragraph, link-farm <li> with
+# a chrome icon (both dropped), a standalone figure block (media span
+# survives despite zero words), and a kept closer paragraph with an
+# inline image (text span precedes its media span). The oracle rebuilds
+# the span algebra with DuckDB list functions and value-hashes the
+# exploded arrays, offsets included.
+
+_HSPAN_PRE = (
+    "<html><head><script>var p='<p>trap</p>';</script></head><body>"
+    "<nav><a href='#'>Home</a></nav><p>"
+)
+
+
+def _hspan_post(doc_id_expr):
+    return (
+        "</p><ul><li><a>one</a> <img src='img/chrome.png'></li></ul>"
+        "<div><img src='img/fig-" + doc_id_expr + ".png'></div>"
+        "<div>Closing paragraph with a <a href='x'>single link</a> and "
+        "plenty of surrounding words to stay under the density "
+        "threshold. <img src='img/inline-" + doc_id_expr + ".png'></div>"
+        "<footer>(c) site</footer></body></html>"
+    )
+
+
+def q_html_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.webtext import html_to_spans
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    post = F.concat(
+        F.lit("</p><ul><li><a>one</a> <img src='img/chrome.png'></li></ul>"
+              "<div><img src='img/fig-"),
+        did,
+        F.lit(".png'></div><div>Closing paragraph with a "
+              "<a href='x'>single link</a> and plenty of surrounding words "
+              "to stay under the density threshold. <img src='img/inline-"),
+        did,
+        F.lit(".png'></div><footer>(c) site</footer></body></html>"),
+    )
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit(_HSPAN_PRE), F.col("text"), post).alias("html"),
+    )
+    out = html_to_spans(pages)
+    s = F.explode("spans").alias("s")
+    return out.select("doc_id", s).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def _hspan_oracle() -> str:
+    subtrees = ("script", "style", "head", "nav", "header", "footer", "aside")
+    t = "h"
+    for tag in subtrees:
+        t = f"regexp_replace({t}, '(?is)<{tag}\\b[^>]*>.*?</{tag}>', ' ', 'g')"
+    t = f"regexp_replace({t}, '(?s)<!--.*?-->', ' ', 'g')"
+    block_re = (
+        "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|section|article"
+        "|blockquote|pre|br)\\b[^>]*>"
+    )
+    img_re = """(?i)<img\\b[^>]*\\bsrc\\s*=\\s*[''"]([^''"]+)[''"]"""
+    pre = _HSPAN_PRE.replace("'", "''")
+    return f"""WITH hx AS (
+  SELECT doc_id,
+         '{pre}' || text ||
+         '</p><ul><li><a>one</a> <img src=''img/chrome.png''></li></ul>' ||
+         '<div><img src=''img/fig-' || doc_id || '.png''></div>' ||
+         '<div>Closing paragraph with a <a href=''x''>single link</a> ' ||
+         'and plenty of surrounding words to stay under the density ' ||
+         'threshold. <img src=''img/inline-' || doc_id || '.png''></div>' ||
+         '<footer>(c) site</footer></body></html>' AS h
+  FROM documents
+),
+st AS (SELECT doc_id, {t} AS t FROM hx),
+sc AS (
+  SELECT doc_id, list_transform(
+    regexp_split_to_array(t, '{block_re}'),
+    b -> struct_pack(
+      txt := trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'),
+                                 '\\s+', ' ', 'g')),
+      links := len(regexp_split_to_array(b, '(?i)<a\\b')) - 1,
+      imgs := regexp_extract_all(b, '{img_re}', 1)
+    )
+  ) AS ss FROM st
+),
+sc2 AS (
+  SELECT doc_id, list_transform(ss, s -> struct_pack(
+    txt := s.txt, links := s.links, imgs := s.imgs,
+    words := len(list_filter(string_split(s.txt, ' '), w -> w <> ''))
+  )) AS ss FROM sc
+),
+sp AS (
+  SELECT doc_id, flatten(list_transform(ss, s ->
+    list_concat(
+      list_filter(
+        [struct_pack(kind := 'text', text := s.txt, media_ref := '')],
+        x -> s.words >= 5 AND s.links * 100 <= s.words * 12),
+      list_filter(
+        list_transform(s.imgs,
+                       m -> struct_pack(kind := 'media', text := '',
+                                        media_ref := m)),
+        x -> (s.words >= 5 AND s.links * 100 <= s.words * 12)
+             OR (s.words = 0 AND s.links = 0))
+    ))) AS spans
+  FROM sc2
+)
+SELECT doc_id, (generate_subscripts(spans, 1) - 1)::INT AS offset,
+       unnest(spans, recursive := true)
+FROM sp"""
+
+
+_TRAINING_QUERIES["html_spans"] = q_html_spans
+_TRAINING_ORACLES["html_spans"] = _hspan_oracle()

@@ -208,6 +208,34 @@ _BLOCK_TAG_RE = (
 )
 
 
+_IMG_SRC_RE = r"""(?i)<img\b[^>]*\bsrc\s*=\s*['"]([^'"]+)['"]"""
+
+
+def _block_structs(html: Column) -> Column:
+    """Shared block pass: strip boilerplate subtrees + comments, split
+    on block tags, score each block — struct(txt, links, words, imgs).
+    The imgs list carries <img src> references for the span emitter;
+    the text/links/words triple feeds the boilerplate classifier."""
+    t = html
+    for tag in _BOILERPLATE_SUBTREES:
+        t = F.regexp_replace(t, f"(?is)<{tag}\\b[^>]*>.*?</{tag}>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+
+    def scored(b):
+        stripped = F.regexp_replace(b, r"<[^>]*>", " ")
+        txt = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+        return F.struct(
+            txt.alias("txt"),
+            (F.size(F.split(b, r"(?i)<a\b", -1)) - 1).alias("links"),
+            F.size(
+                F.filter(F.split(txt, " "), lambda w: w != "")
+            ).alias("words"),
+            F.regexp_extract_all(b, F.lit(_IMG_SRC_RE), 1).alias("imgs"),
+        )
+
+    return F.transform(F.split(t, _BLOCK_TAG_RE), scored)
+
+
 def html_main_content(
     df: DataFrame,
     html_col: str = "html",
@@ -239,24 +267,7 @@ def html_main_content(
     nonempty candidate blocks. Scale shape: one projection — no
     shuffle, no Python; every step is a string/array expression.
     """
-    t = F.col(html_col)
-    for tag in _BOILERPLATE_SUBTREES:
-        t = F.regexp_replace(t, f"(?is)<{tag}\\b[^>]*>.*?</{tag}>", " ")
-    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
-    blocks = F.split(t, _BLOCK_TAG_RE)
-
-    def scored(b):
-        stripped = F.regexp_replace(b, r"<[^>]*>", " ")
-        txt = F.trim(F.regexp_replace(stripped, r"\s+", " "))
-        return F.struct(
-            txt.alias("txt"),
-            (F.size(F.split(b, r"(?i)<a\b", -1)) - 1).alias("links"),
-            F.size(
-                F.filter(F.split(txt, " "), lambda w: w != "")
-            ).alias("words"),
-        )
-
-    sc = F.transform(blocks, scored)
+    sc = _block_structs(F.col(html_col))
     nonempty = F.filter(sc, lambda s: s["words"] > 0)
     kept = F.filter(
         nonempty,
@@ -271,3 +282,72 @@ def html_main_content(
         F.size(nonempty).alias("n_blocks"),
         F.size(kept).alias("n_kept"),
     )
+
+
+def html_to_spans(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    max_link_pct: int = 12,
+) -> DataFrame:
+    """HTML → the engine's interleaved span model (schemas.SPAN:
+    array<struct<kind, text, media_ref, offset>>) — the north rule's
+    "re-emit normalized (kind, text, media_ref, offset) span arrays"
+    applied to a crawl source. The output feeds
+    :func:`operators.extract.extract_spans` unchanged, so an HTML
+    corpus rides the SAME extraction → postings → search pipeline as
+    the PDF/PPTX one.
+
+    Span emission, fully pinned:
+
+    * a block passing the :func:`html_main_content` classifier
+      (``words >= min_words`` and link density within bound) emits one
+      ``text`` span, followed by one ``media`` span per ``<img src>``
+      it contains (reading order: a figure's caption-side text precedes
+      its image within the block);
+    * a PURE figure block (no words, no anchors, ≥1 image) emits its
+      media spans even though it has no text — dropping it with the
+      boilerplate would lose every standalone ``<div><img></div>``
+      figure;
+    * boilerplate blocks (link farms, crumbs) drop their images too —
+      chrome icons are noise, exactly like their text.
+
+    Offsets are the final array positions (0-based, dense). One
+    projection, no shuffle, no UDF.
+    """
+    sc = _block_structs(F.col(html_col))
+    kept_cond = lambda s: (s["words"] >= min_words) & (
+        s["links"] * 100 <= s["words"] * max_link_pct
+    )
+    figure_cond = lambda s: (s["words"] == 0) & (s["links"] == 0)
+
+    def span(kind, text, ref):
+        return F.struct(
+            kind.alias("kind"), text.alias("text"), ref.alias("media_ref")
+        )
+
+    def block_spans(s):
+        text_one = F.array(span(F.lit("text"), s["txt"], F.lit("")))
+        text_part = F.when(kept_cond(s), text_one).otherwise(
+            F.slice(text_one, 1, 0)
+        )
+        media_all = F.transform(
+            s["imgs"], lambda m: span(F.lit("media"), F.lit(""), m)
+        )
+        media_part = F.when(
+            kept_cond(s) | figure_cond(s), media_all
+        ).otherwise(F.slice(media_all, 1, 0))
+        return F.concat(text_part, media_part)
+
+    flat = F.flatten(F.transform(sc, block_spans))
+    spans = F.transform(
+        flat,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return df.select(F.col(id_col).alias("doc_id"), spans.alias("spans"))

@@ -180,3 +180,36 @@ def test_html_main_content_multiblock_order_and_inline_tags(spark):
     lines = r["text"].split("\n")
     assert len(lines) == 2 and lines[0].startswith("First")
     assert "bold" in lines[1] and "<b>" not in r["text"]
+
+
+# ------------------------------------------------- html_to_spans
+
+
+def test_html_to_spans_interleaves_and_feeds_the_pipeline(spark):
+    from ocr_search_spark.operators.webtext import html_to_spans
+    from ocr_search_spark.operators import extract, tokenize, search
+
+    page = (
+        "<body><nav><a>Home</a></nav>"
+        "<p>The searchable mergeable body paragraph has many words.</p>"
+        "<ul><li><a>one</a> <img src='img/chrome.png'></li></ul>"
+        "<div><img src='img/fig1.png'></div>"
+        "<div>Caption style paragraph describing the figure below nicely."
+        " <img src='img/fig2.png'></div></body>"
+    )
+    df = spark.createDataFrame([(("d1"), page)], "doc_id string, html string")
+    (r,) = html_to_spans(df).collect()
+    got = [(s["offset"], s["kind"], s["media_ref"]) for s in r["spans"]]
+    assert got == [
+        (0, "text", ""),
+        (1, "media", "img/fig1.png"),   # pure figure block survives
+        (2, "text", ""),
+        (3, "media", "img/fig2.png"),   # inline image AFTER its text
+    ]
+    assert "chrome.png" not in str(got)  # link-farm image dropped
+    assert r["spans"][0]["text"].startswith("The searchable")
+    # the span array rides the REAL pipeline end-to-end
+    ext = extract.extract_spans(html_to_spans(df), impl="pandas")
+    post = tokenize.term_postings(ext.drop("error"))
+    hits = search.search(spark, post, "searchable")
+    assert hits.count() == 1
