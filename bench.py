@@ -190,6 +190,7 @@ def main() -> None:
         "snapshot_checks",
         "snapshot_bloom_scan",
         "html_main_content",
+        "html_spans",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:
