@@ -10187,3 +10187,39 @@ FROM sp"""
 
 _TRAINING_QUERIES["html_spans"] = q_html_spans
 _TRAINING_ORACLES["html_spans"] = _hspan_oracle()
+
+
+# ---------------------------------------------- DSv2 write path
+# Session-11: the Python Data Source WRITER (sources_cdc.SnapshotWriter)
+# — df.write.format("snapshot_cdc").mode("append").save(path) commits
+# into the same snapshot log the JVM API maintains: per-task parquet
+# into a hidden staging dir, one atomic dir rename, manifest commit
+# carrying fences/registry/checks forward, per-file stats computed
+# in-task with pyarrow (so writer files prune and metadata-count like
+# API-written ones — asserted in-query). The oracle is the union of
+# both writers' rows: it only matches if the two write paths interleave
+# into one consistent table.
+
+
+def q_snapshot_dsv2_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark import sources_cdc
+
+    sources_cdc.register(spark)
+    o = _snap_orders(spark, sf_dir)
+    t = _snap_table(spark, "dsv2w")
+    t.create(o.where(F.col("k") % 2 == 0), stats_cols=["k"])
+    o.where(F.col("k") % 2 == 1).repartition(3).write.format(
+        "snapshot_cdc"
+    ).mode("append").save(t.path)
+    assert t.current_version() == 2
+    man = t._manifest(2)
+    new = [f for f in man["files"] if f.startswith("data/c2/")]
+    assert new and all("#rows" in man["stats"][f] for f in new)
+    assert t.count() > 0  # metadata-only count across both writers
+    return t.read()
+
+
+_TRAINING_QUERIES["snapshot_dsv2_write"] = q_snapshot_dsv2_write
+_TRAINING_ORACLES["snapshot_dsv2_write"] = """SELECT o_orderkey AS k,
+       o_custkey AS ck, o_orderstatus AS status
+FROM orders"""

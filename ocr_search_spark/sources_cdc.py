@@ -57,7 +57,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 FORMAT_NAME = "snapshot_cdc"
@@ -240,7 +242,204 @@ class SnapshotDataSource(DataSource):
     def streamReader(self, schema: T.StructType) -> SnapshotStreamReader:
         return SnapshotStreamReader(schema, dict(self.options))
 
+    def writer(self, schema: T.StructType, overwrite: bool):
+        return SnapshotWriter(schema, dict(self.options), overwrite)
+
 
 def register(spark) -> None:
     """Idempotent format registration for the current session."""
     spark.dataSource.register(SnapshotDataSource)
+
+
+# ------------------------------------------------------------ write path
+# Spark-native writes: df.write.format("snapshot_cdc").mode("append"/
+# "overwrite").save(path) — the DSv2 symmetry to the batch/stream
+# readers above. Scope, guarded explicitly: plain tables only. A table
+# with CHECK constraints, a partition spec, bloom columns or pending
+# merge-on-read deletes refuses the writer and names the API to use
+# instead (SnapshotTable.append runs those features' validation/layout
+# jobs on the JVM; silently skipping them here would be a correctness
+# hole, not a convenience). Same local-FS scope as the readers.
+#
+# Protocol mapping (the part worth reading): each task writes ONE
+# parquet file into a hidden data/.staging-<uuid>/ dir and returns its
+# name + per-file stats (min/max/null/#rows computed with
+# pyarrow.compute on the already-cast table — the in-task twin of
+# _collect_stats' read-back aggregate, so writer files prune and
+# metadata-count exactly like API-written ones). commit() renames the
+# staging dir to data/c<version>/ (one atomic dir rename), then writes
+# the manifest CARRYING the parent's fences / spec registry / checks —
+# a lost fence would re-admit replayed micro-batches, so the carry is
+# load-bearing, not bookkeeping. abort() removes the staging dir;
+# leftover staging files from a crash are invisible to readers
+# (manifest-listed files only) and reclaimed by expire_snapshots.
+
+
+class _SnapWriteMessage(WriterCommitMessage):
+    def __init__(self, fname, stats):
+        self.fname = fname
+        self.stats = stats
+
+
+class SnapshotWriter(DataSourceWriter):
+    def __init__(self, schema: T.StructType, options: dict, overwrite: bool):
+        import uuid
+
+        self.root = _local_root(options["path"])
+        self.overwrite = overwrite
+        cur = _current_version(self.root)
+        if cur is None:
+            raise ValueError(
+                f"snapshot table {self.root} does not exist — create it "
+                "with SnapshotTable.create first (the DSv2 writer appends"
+                "/overwrites existing plain tables)"
+            )
+        man = _read_manifest(self.root, cur)
+        for feature, key in (
+            ("a partition spec", "partition_spec"),
+            ("CHECK constraints", "checks"),
+            ("bloom columns", "bloom_cols"),
+            ("pending merge-on-read deletes", "delete_files"),
+        ):
+            if man.get(key):
+                raise ValueError(
+                    f"table declares {feature} — use SnapshotTable."
+                    f"{'overwrite' if overwrite else 'append'} (the JVM "
+                    "path runs its validation/layout jobs; the DSv2 "
+                    "writer will not silently skip them)"
+                )
+        declared = T.StructType.fromJson(man["schema"])
+        if [f.name for f in schema.fields] != [f.name for f in declared.fields]:
+            raise ValueError(
+                f"write schema {schema.fieldNames()} does not match table "
+                f"schema {declared.fieldNames()}"
+            )
+        self.declared_json = man["schema"]
+        self.man = man
+        self.parent = cur
+        self.staging = os.path.join(
+            self.root, "data", f".staging-{uuid.uuid4().hex}"
+        )
+
+    # -------------------------------------------------- executor side
+    def write(self, iterator) -> _SnapWriteMessage:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        declared = T.StructType.fromJson(self.declared_json)
+        names = [f.name for f in declared.fields]
+        cols: dict = {n: [] for n in names}
+        n = 0
+        for row in iterator:
+            for name, v in zip(names, row):
+                cols[name].append(v)
+            n += 1
+        if n == 0:
+            return _SnapWriteMessage(None, None)
+        target = pa.schema(
+            [pa.field(f.name, to_arrow_type(f.dataType), nullable=True)
+             for f in declared.fields]
+        )
+        table = pa.table({k: cols[k] for k in names}).cast(target)
+        os.makedirs(self.staging, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        fname = f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
+        pq.write_table(table, os.path.join(self.staging, fname))
+        stats: dict = {"#rows": n}
+        for c in self.man.get("stats_cols") or []:
+            col = table.column(c)
+            mm = pc.min_max(col)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            iso = lambda v: (
+                v.isoformat() if hasattr(v, "isoformat") else v
+            )
+            stats[c] = [iso(lo), iso(hi)]
+            stats[f"#nulls:{c}"] = col.null_count
+        return _SnapWriteMessage(fname, stats)
+
+    # ---------------------------------------------------- driver side
+    def commit(self, messages) -> None:
+        version = self.parent + 1
+        meta_dir = os.path.join(self.root, "meta")
+        vpath = os.path.join(meta_dir, f"v{version}.json")
+        if os.path.exists(vpath) or _current_version(self.root) != self.parent:
+            self.abort(messages)
+            raise ValueError(
+                f"snapshot v{version} already exists — a concurrent "
+                "writer won; re-run the write against the new current"
+            )
+        cdir = os.path.join(self.root, "data", f"c{version}")
+        new_rel, new_stats = [], {}
+        live = [m for m in messages if m is not None and m.fname]
+        if live:
+            os.rename(self.staging, cdir)
+            for m in live:
+                rel = f"data/c{version}/{m.fname}"
+                new_rel.append(rel)
+                new_stats[rel] = m.stats
+        man = self.man
+        kept = [] if self.overwrite else list(man["files"])
+        stats = (
+            {} if self.overwrite
+            else {f: s for f, s in (man.get("stats") or {}).items()
+                  if f in set(kept)}
+        )
+        stats.update(new_stats)
+        parts = (
+            {} if self.overwrite
+            else {f: v for f, v in (man.get("partitions") or {}).items()
+                  if f in set(kept)}
+        )
+        fsids = (
+            {} if self.overwrite
+            else {f: v for f, v in (man.get("file_spec_ids") or {}).items()
+                  if f in set(kept)}
+        )
+        out = {
+            "version": version,
+            "parent": self.parent,
+            "operation": "overwrite" if self.overwrite else "append",
+            "files": kept + new_rel,
+            "schema": man["schema"],
+            "stats_cols": man.get("stats_cols") or [],
+            "stats": stats,
+            "delete_files": [],
+            "info": {"writer": "python-datasource"},
+            # fences MUST travel forward — a dropped fence re-admits a
+            # replayed streaming micro-batch after the next restart
+            "fences": man.get("fences") or {},
+            "partition_spec": man.get("partition_spec") or [],
+            "partitions": parts,
+            "spec_registry": man.get("spec_registry") or [],
+            "file_spec_ids": fsids,
+            "checks": man.get("checks") or {},
+            "bloom_cols": man.get("bloom_cols") or [],
+        }
+        tmp = vpath + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(out, fh)
+        os.replace(tmp, vpath)
+        cur = os.path.join(meta_dir, "_current")
+        with open(cur + ".tmp", "w", encoding="utf-8") as fh:
+            fh.write(str(version))
+        os.replace(cur + ".tmp", cur)
+        # the JVM side writes through Hadoop's ChecksumFileSystem, which
+        # keeps a ._current.crc sidecar; a plain-python rewrite makes it
+        # stale and every later Hadoop read would fail ChecksumException
+        # — drop it (Hadoop reads fine without one and recreates it on
+        # its next write)
+        for side in ("._current.crc", f".v{version}.json.crc"):
+            try:
+                os.unlink(os.path.join(meta_dir, side))
+            except FileNotFoundError:
+                pass
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)

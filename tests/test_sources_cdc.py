@@ -165,3 +165,86 @@ def test_reader_null_fills_after_schema_evolution(spark, tmp_path):
     got = _drain(spark, root, out, ckpt)
     assert got.count() == 25
     assert got.where("score IS NULL").count() == 20
+
+
+# --------------------------------------------------------- DSv2 writes
+
+
+def test_dsv2_writer_append_and_overwrite(spark, tmp_path):
+    from ocr_search_spark import sources_cdc
+    from ocr_search_spark.storage_snapshots import SnapshotTable
+
+    sources_cdc.register(spark)
+    path = str(tmp_path / "wt")
+    t = SnapshotTable(spark, path)
+    t.create(
+        spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        stats_cols=["k"],
+    )
+    spark.range(50, 80).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartition(3).write.format("snapshot_cdc").mode("append").save(path)
+    assert t.current_version() == 2
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(80))
+    # writer files carry real stats: metadata count + min/max pruning work
+    assert t.count() == 80
+    man = t._manifest(2)
+    new_files = [f for f in man["files"] if f.startswith("data/c2/")]
+    assert new_files and all(
+        "#rows" in man["stats"][f] and "k" in man["stats"][f]
+        for f in new_files
+    )
+    kept = t._pruned_files(man, [("k", ">=", 79)])
+    assert len(kept) < len(man["files"])
+    got = sorted(r["k"] for r in t.scan([("k", ">=", 78)]).collect())
+    assert got == [78, 79]
+    # overwrite replaces the logical table, history intact
+    spark.range(100, 110).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).write.format("snapshot_cdc").mode("overwrite").save(path)
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(100, 110))
+    assert sorted(r["k"] for r in t.read(2).collect()) == list(range(80))
+
+
+def test_dsv2_writer_carries_fences_and_guards_features(spark, tmp_path):
+    import pytest as _pt
+
+    from ocr_search_spark import sources_cdc
+    from ocr_search_spark.storage_snapshots import SnapshotTable
+    from ocr_search_spark.streaming.snapshot_sink import append_batch
+
+    sources_cdc.register(spark)
+    path = str(tmp_path / "wt2")
+    t = SnapshotTable(spark, path)
+    base = spark.range(0, 10).select(F.col("id").alias("k"))
+    t.create(base)
+    append_batch(t, spark.range(10, 12).select(F.col("id").alias("k")), batch_id=7)
+    spark.range(12, 15).select(F.col("id").alias("k")).write.format(
+        "snapshot_cdc"
+    ).mode("append").save(path)
+    man = t._manifest(t.current_version())
+    assert man["fences"] == {"default": 7}  # fence survived the DSv2 commit
+    # schema mismatch is refused before anything is written
+    with _pt.raises(Exception, match="does not match"):
+        spark.range(3).select(F.col("id").alias("wrong")).write.format(
+            "snapshot_cdc"
+        ).mode("append").save(path)
+    # feature-bearing tables route to the API
+    t2 = SnapshotTable(spark, str(tmp_path / "wt3"))
+    t2.create(base)
+    t2.set_check("pos", "k >= 0")
+    with _pt.raises(Exception, match="CHECK"):
+        spark.range(3).select(F.col("id").alias("k")).write.format(
+            "snapshot_cdc"
+        ).mode("append").save(str(tmp_path / "wt3"))
+    t3 = SnapshotTable(spark, str(tmp_path / "wt4"))
+    t3.create(
+        spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("tag")),
+        partition_spec=[("tag", "identity")],
+    )
+    with _pt.raises(Exception, match="partition spec"):
+        spark.range(3).select(
+            F.col("id").alias("k"), F.lit("y").alias("tag")
+        ).write.format("snapshot_cdc").mode("append").save(str(tmp_path / "wt4"))
