@@ -191,6 +191,7 @@ def main() -> None:
         "snapshot_bloom_scan",
         "html_main_content",
         "html_spans",
+        "snapshot_dsv2_write",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:
