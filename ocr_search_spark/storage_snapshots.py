@@ -875,7 +875,8 @@ class SnapshotTable:
         return out
 
     def compact(
-        self, small_bytes: int = 32 << 20, target_bytes: int = 128 << 20
+        self, small_bytes: int = 32 << 20, target_bytes: int = 128 << 20,
+        predicates: list | None = None,
     ) -> int | None:
         """Bin-pack data files smaller than ``small_bytes`` into
         ~``target_bytes`` files; content-identical snapshot, operation
@@ -888,14 +889,30 @@ class SnapshotTable:
         append-heavy table degrades without a compactor. Only the small
         files are read and rewritten (``coalesce`` — a plan-side fan-in,
         no shuffle); large files are carried by reference, and history
-        still sees the pre-compaction snapshots unchanged."""
+        still sees the pre-compaction snapshots unchanged.
+
+        ``predicates`` (same [(col, op, val)] language as :meth:`scan`)
+        scopes the sweep — Delta's ``OPTIMIZE ... WHERE``: only small
+        files the stats/partition/bloom tiers CANNOT exclude for the
+        predicate are candidates. At 10^12 rows a global sweep is a
+        full-table job, but the hot slice (today's partition, one
+        tenant's bucket) is where appends dribble — scoping keeps the
+        compactor's cost proportional to the slice. Exclusion-based, so
+        a file without stats simply stays a candidate (sound: at worst
+        we compact more than asked, never corrupt; rewritten files lose
+        their partition values by the standing maintenance rule)."""
         parent = self._require_current()
         man = self._manifest(parent)
         self._require_no_mor(man, "compact")
         fs = self._fs()
+        candidates = man["files"]
+        if predicates:
+            candidates = self._partition_pruned(
+                man, self._pruned_files(man, predicates), predicates
+            )
         sizes = {
             f: fs.getFileStatus(self._jpath(self._absolute(f))).getLen()
-            for f in man["files"]
+            for f in candidates
         }
         small = sorted(f for f, n in sizes.items() if n < small_bytes)
         if len(small) < 2:

@@ -1346,3 +1346,25 @@ def test_checks_gate_the_streaming_sink(spark, tmp_path):
     append_batch(t, _df(spark, 20, 25, "b1fixed"), batch_id=1)
     assert last_committed_batch(t, "default") == 1
     assert t.count() == 25
+
+
+def test_scoped_compaction_touches_only_the_slice(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "optw"))
+    lo = spark.range(0, 100).select(F.col("id").alias("k"), F.lit("old").alias("tag"))
+    hi = spark.range(100, 200).select(F.col("id").alias("k"), F.lit("hot").alias("tag"))
+    t.create(lo.repartition(3), stats_cols=["k"])
+    t.append(hi.repartition(4))
+    before = t._manifest(t.current_version())
+    lo_files = {f for f in before["files"] if f.startswith("data/c1/")}
+    v = t.compact(
+        small_bytes=1 << 30, target_bytes=1 << 40,
+        predicates=[("k", ">=", 100)],
+    )
+    man = t._manifest(v)
+    # the cold slice's files are carried untouched; the hot slice packed
+    assert lo_files <= set(man["files"])
+    assert len(man["files"]) == len(lo_files) + 1
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == list(range(200))
+    # a predicate matching nothing compacts nothing
+    assert t.compact(small_bytes=1 << 30, predicates=[("k", ">=", 10_000)]) is None
