@@ -1,0 +1,158 @@
+"""Container-format conversion: PDF/PPTX/PNG payloads → interleaved spans.
+
+The reference's TypeConverter chain (TypeConverter.class.js:24-191)
+converts one file at a time behind a numParallel=1 queue: PPTX →
+LibreOffice → PDF → pdftoppm per-page PNG + pdftotext per-page text.
+Here the same conversion is a single Arrow-batched ``mapInPandas``
+stage over a binary payload column, using the engine's dependency-free
+codecs (training/pdfmini.py, pptxmini.py, png.py + ocrglyph.py), so a
+10^12-document corpus converts at partition parallelism with zero
+subprocess fan-out and zero driver involvement.
+
+Output shape is the engine's interleaved span contract (schemas.SPAN):
+per page/slide one ``media`` span naming the rendered page image
+(``<doc_id>/page-<i>.png`` — the flat rename of
+ProcessDirector.class.js:119-141 extended with a page index) followed
+by one ``text`` span per extracted line/paragraph, offsets equal to
+final array positions. The result feeds ``extract_spans`` and the
+postings/search stack UNCHANGED — pytest drives PDF bytes → spans →
+postings → a search hit end-to-end.
+
+Failure semantics are X2 (tolerate-and-record): an undecodable payload
+yields an empty span array plus the error string; the stage never
+throws on data.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ocr_search_spark.schemas import SPAN  # noqa: F401  (shape contract)
+
+SPANS_SCHEMA = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "n_pages int, error string"
+)
+
+OCR_SCHEMA = "media_ref string, text string, n_lines int, error string"
+
+
+def _pages_to_spans(doc_id: str, pages: list[list[str]]) -> list[tuple]:
+    spans: list[tuple] = []
+    for i, lines in enumerate(pages):
+        spans.append(("media", "", f"{doc_id}/page-{i}.png", len(spans)))
+        for ln in lines:
+            spans.append(("text", ln, "", len(spans)))
+    return spans
+
+
+def sniff_format(payload: bytes) -> str:
+    """'pdf' | 'pptx' | 'png' | 'unknown' from magic bytes."""
+    if payload[:5] == b"%PDF-":
+        return "pdf"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:4] == b"PK\x03\x04":
+        from ocr_search_spark.training.pptxmini import is_pptx
+
+        return "pptx" if is_pptx(payload) else "unknown"
+    return "unknown"
+
+
+def _decode_pages(payload: bytes) -> list[list[str]]:
+    """Dispatch one payload to its codec → per-page text lines."""
+    kind = sniff_format(payload)
+    if kind == "pdf":
+        from ocr_search_spark.training.pdfmini import decode_pdf
+
+        return decode_pdf(payload)
+    if kind == "pptx":
+        from ocr_search_spark.training.pptxmini import decode_pptx
+
+        return decode_pptx(payload)
+    if kind == "png":
+        from ocr_search_spark.training.ocrglyph import ocr_page
+        from ocr_search_spark.training.png import decode_png
+
+        arr = decode_png(payload)
+        return [ocr_page(arr[:, :, 0] if arr.ndim == 3 else arr)]
+    raise ValueError("unknown container format")
+
+
+def _convert_iter(
+    decode: Callable[[bytes], list[list[str]]],
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for doc_id, payload in zip(pdf_batch["doc_id"], pdf_batch["payload"]):
+                try:
+                    pages = decode(bytes(payload))
+                    rows.append(
+                        (doc_id, _pages_to_spans(doc_id, pages), len(pages), None)
+                    )
+                except Exception as exc:
+                    rows.append((doc_id, [], 0, str(exc)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "spans", "n_pages", "error"]
+            )
+
+    return run
+
+
+def _to_spans(df: DataFrame, decode) -> DataFrame:
+    return df.select("doc_id", "payload").mapInPandas(
+        _convert_iter(decode), schema=SPANS_SCHEMA
+    )
+
+
+def pdf_to_spans(df: DataFrame) -> DataFrame:
+    """(doc_id, payload=PDF bytes) → interleaved spans, one media +
+    N text spans per page (pdfmini.decode_pdf, real Flate parsing)."""
+    from ocr_search_spark.training.pdfmini import decode_pdf
+
+    return _to_spans(df, decode_pdf)
+
+
+def pptx_to_spans(df: DataFrame) -> DataFrame:
+    """(doc_id, payload=PPTX bytes) → interleaved spans, one media +
+    N text spans per slide (pptxmini.decode_pptx, real OOXML rels)."""
+    from ocr_search_spark.training.pptxmini import decode_pptx
+
+    return _to_spans(df, decode_pptx)
+
+
+def convert_to_spans(df: DataFrame) -> DataFrame:
+    """Magic-byte dispatch per row: PDF / PPTX / PNG(OCR) payloads in
+    one mixed binary column → interleaved spans. The TypeConverter
+    chain as one vectorized stage; unknown formats record their error."""
+    return _to_spans(df, _decode_pages)
+
+
+def _ocr_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ocr_search_spark.training.ocrglyph import ocr_page
+    from ocr_search_spark.training.png import decode_png
+
+    for pdf_batch in batches:
+        rows = []
+        for ref, payload in zip(pdf_batch["media_ref"], pdf_batch["payload"]):
+            try:
+                arr = decode_png(bytes(payload))
+                lines = ocr_page(arr[:, :, 0] if arr.ndim == 3 else arr)
+                rows.append((ref, "\n".join(lines), len(lines), None))
+            except Exception as exc:
+                rows.append((ref, None, None, str(exc)))
+        yield pd.DataFrame(rows, columns=["media_ref", "text", "n_lines", "error"])
+
+
+def ocr_png_media(media: DataFrame) -> DataFrame:
+    """(media_ref, payload=PNG bytes) → recognized text: real PNG decode
+    (png.py) + deterministic glyph OCR (ocrglyph.py). The Tesseract slot
+    of TypeConverter.class.js:124-191 as an Arrow-batched stage."""
+    return media.select("media_ref", "payload").mapInPandas(
+        _ocr_iter, schema=OCR_SCHEMA
+    )

@@ -1,0 +1,208 @@
+"""Deterministic glyph OCR over rendered bitmaps (numpy only).
+
+The reference's OCR step is Tesseract via pdftoppm page PNGs
+(TypeConverter.class.js:124-191 renders, then the text side consumes
+``pdftotext`` output — PdfUtil.class.js:103-131). Tesseract is not in
+this container, so the engine ships a self-contained optical pipeline
+that is REAL in every stage a distributed system cares about — render,
+PNG-encode, PNG-decode, binarize, line/glyph segmentation, glyph
+classification — with the one model-shaped stage (glyph classification)
+implemented as nearest-Hamming template matching against a 5×7 bitmap
+font instead of an LSTM. That keeps the whole path deterministic and
+oracle-checkable while exercising the same plumbing Tesseract would:
+binary media spans in, recognized text out, per-row errors recorded.
+
+* ``render_page(lines)``  — text → uint8 grayscale page image (ink=0,
+  bg=255): 5×7 glyphs on a 6-px pitch, 3 blank rows between lines.
+* ``ocr_page(img)``       — the inverse, but written as an OCR, not a
+  decoder: threshold → blank-row line segmentation → blank-column
+  glyph segmentation → per-glyph 35-bit template match (minimum
+  Hamming distance, deterministic tie-break) → word-gap spacing
+  reconstruction. Survives small pixel noise (≤2 flipped bits per
+  glyph keeps classification correct for this font).
+
+Font: the classic HD44780-style 5×7 matrix for a-z (small-caps shapes)
+and 0-9. Every glyph row and every interior column carries ink, which
+the segmentation relies on; ``test_ocrglyph`` asserts both invariants.
+
+Scale note: pages are rendered/recognized inside Arrow-batched
+``mapInPandas`` (operators/convert.py) — per-document numpy work, no
+shuffle, no driver involvement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["FONT", "render_page", "ocr_page", "render_line", "ocr_line"]
+
+# 7 rows per glyph, 5-bit masks, bit 4 = leftmost column.
+FONT: dict[str, tuple[int, ...]] = {
+    "a": (0x0E, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11),
+    "b": (0x1E, 0x11, 0x11, 0x1E, 0x11, 0x11, 0x1E),
+    "c": (0x0E, 0x11, 0x10, 0x10, 0x10, 0x11, 0x0E),
+    "d": (0x1C, 0x12, 0x11, 0x11, 0x11, 0x12, 0x1C),
+    "e": (0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x1F),
+    "f": (0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x10),
+    "g": (0x0E, 0x11, 0x10, 0x17, 0x11, 0x11, 0x0F),
+    "h": (0x11, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11),
+    "i": (0x0E, 0x04, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "j": (0x07, 0x02, 0x02, 0x02, 0x02, 0x12, 0x0C),
+    "k": (0x11, 0x12, 0x14, 0x18, 0x14, 0x12, 0x11),
+    "l": (0x10, 0x10, 0x10, 0x10, 0x10, 0x10, 0x1F),
+    "m": (0x11, 0x1B, 0x15, 0x15, 0x11, 0x11, 0x11),
+    "n": (0x11, 0x11, 0x19, 0x15, 0x13, 0x11, 0x11),
+    "o": (0x0E, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    "p": (0x1E, 0x11, 0x11, 0x1E, 0x10, 0x10, 0x10),
+    "q": (0x0E, 0x11, 0x11, 0x11, 0x15, 0x12, 0x0D),
+    "r": (0x1E, 0x11, 0x11, 0x1E, 0x14, 0x12, 0x11),
+    "s": (0x0F, 0x10, 0x10, 0x0E, 0x01, 0x01, 0x1E),
+    "t": (0x1F, 0x04, 0x04, 0x04, 0x04, 0x04, 0x04),
+    "u": (0x11, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    "v": (0x11, 0x11, 0x11, 0x11, 0x11, 0x0A, 0x04),
+    "w": (0x11, 0x11, 0x11, 0x15, 0x15, 0x15, 0x0A),
+    "x": (0x11, 0x11, 0x0A, 0x04, 0x0A, 0x11, 0x11),
+    "y": (0x11, 0x11, 0x11, 0x0A, 0x04, 0x04, 0x04),
+    "z": (0x1F, 0x01, 0x02, 0x04, 0x08, 0x10, 0x1F),
+    "0": (0x0E, 0x11, 0x13, 0x15, 0x19, 0x11, 0x0E),
+    "1": (0x04, 0x0C, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "2": (0x0E, 0x11, 0x01, 0x02, 0x04, 0x08, 0x1F),
+    "3": (0x1F, 0x02, 0x04, 0x02, 0x01, 0x11, 0x0E),
+    "4": (0x02, 0x06, 0x0A, 0x12, 0x1F, 0x02, 0x02),
+    "5": (0x1F, 0x10, 0x1E, 0x01, 0x01, 0x11, 0x0E),
+    "6": (0x06, 0x08, 0x10, 0x1E, 0x11, 0x11, 0x0E),
+    "7": (0x1F, 0x01, 0x02, 0x04, 0x08, 0x08, 0x08),
+    "8": (0x0E, 0x11, 0x11, 0x0E, 0x11, 0x11, 0x0E),
+    "9": (0x0E, 0x11, 0x11, 0x0F, 0x01, 0x02, 0x0C),
+}
+
+GLYPH_H, GLYPH_W, PITCH, LINE_GAP, MARGIN = 7, 5, 6, 3, 2
+
+
+def _glyph_array(ch: str) -> np.ndarray:
+    rows = FONT[ch]
+    return np.array(
+        [[(r >> (4 - c)) & 1 for c in range(GLYPH_W)] for r in rows], dtype=np.uint8
+    )
+
+
+def render_line(text: str) -> np.ndarray:
+    """One text line → (7, 6·len) binary ink mask (1 = ink)."""
+    out = np.zeros((GLYPH_H, PITCH * max(len(text), 1)), dtype=np.uint8)
+    for i, ch in enumerate(text):
+        if ch == " ":
+            continue
+        if ch not in FONT:
+            raise ValueError(f"no glyph for {ch!r}")
+        out[:, i * PITCH : i * PITCH + GLYPH_W] = _glyph_array(ch)
+    return out
+
+
+def render_page(lines: list[str]) -> np.ndarray:
+    """Text lines → uint8 grayscale page (ink=0, bg=255), 2-px margin."""
+    masks = [render_line(ln) for ln in lines]
+    w = max((m.shape[1] for m in masks), default=1)
+    h = GLYPH_H * len(masks) + LINE_GAP * max(len(masks) - 1, 0)
+    page = np.zeros((h, w), dtype=np.uint8)
+    y = 0
+    for m in masks:
+        page[y : y + GLYPH_H, : m.shape[1]] = m
+        y += GLYPH_H + LINE_GAP
+    img = np.full(
+        (h + 2 * MARGIN, w + 2 * MARGIN), 255, dtype=np.uint8
+    )
+    img[MARGIN : MARGIN + h, MARGIN : MARGIN + w] = np.where(page == 1, 0, 255)
+    return img
+
+
+# ------------------------------------------------------------- matcher
+
+_TEMPLATES: list[tuple[str, np.ndarray, int, int]] | None = None
+
+
+def _templates() -> list[tuple[str, np.ndarray, int, int]]:
+    """(char, trimmed glyph, lead_blank_cols, width) per font entry."""
+    global _TEMPLATES
+    if _TEMPLATES is None:
+        tpl = []
+        for ch in sorted(FONT):
+            g = _glyph_array(ch)
+            cols = np.flatnonzero(g.any(axis=0))
+            trimmed = g[:, cols[0] : cols[-1] + 1]
+            tpl.append((ch, trimmed, int(cols[0]), trimmed.shape[1]))
+        _TEMPLATES = tpl
+    return _TEMPLATES
+
+
+def _classify(seg: np.ndarray) -> str:
+    """Trimmed glyph segment → nearest-Hamming font char (ties: char order)."""
+    best_ch, best_d = "?", 10**9
+    h, w = seg.shape
+    for ch, tpl, _, tw in _templates():
+        box_w = max(w, tw)
+        a = np.zeros((GLYPH_H, box_w), dtype=np.uint8)
+        b = np.zeros((GLYPH_H, box_w), dtype=np.uint8)
+        a[: min(h, GLYPH_H), :w] = seg[:GLYPH_H]
+        b[:, :tw] = tpl
+        d = int((a != b).sum()) + abs(w - tw)  # width slack is evidence too
+        if d < best_d:
+            best_ch, best_d = ch, d
+    return best_ch
+
+
+def ocr_line(mask: np.ndarray) -> str:
+    """(7, W) binary ink mask → recognized text with word spacing."""
+    col_ink = mask.any(axis=0)
+    cols = np.flatnonzero(col_ink)
+    if len(cols) == 0:
+        return ""
+    out: list[str] = []
+    runs: list[tuple[int, int]] = []
+    start = cols[0]
+    prev = cols[0]
+    for c in cols[1:]:
+        if c > prev + 1:
+            runs.append((start, prev))
+            start = c
+        prev = c
+    runs.append((start, prev))
+    # Noise can erase a column and split one glyph into two runs. A
+    # merged pair that still fits one glyph box (span <= 5) cannot be
+    # two real letters (narrowest trimmed pair spans >= 7), so merge.
+    merged: list[tuple[int, int]] = []
+    for s, e in runs:
+        if merged and s - merged[-1][1] == 2 and e - merged[-1][0] + 1 <= GLYPH_W:
+            merged[-1] = (merged[-1][0], e)
+        else:
+            merged.append((s, e))
+    runs = merged
+    last_end = None
+    for s, e in runs:
+        if last_end is not None:
+            gap = s - last_end - 1
+            if gap >= 5:
+                out.append(" " * max(1, round((gap - 1) / PITCH)))
+        out.append(_classify(mask[:, s : e + 1]))
+        last_end = e
+    return "".join(out)
+
+
+def ocr_page(img: np.ndarray) -> list[str]:
+    """uint8 grayscale page → recognized lines (threshold at 128)."""
+    if img.ndim == 3:
+        img = img.mean(axis=2)
+    mask = (img < 128).astype(np.uint8)
+    row_ink = mask.any(axis=1)
+    rows = np.flatnonzero(row_ink)
+    if len(rows) == 0:
+        return []
+    lines: list[str] = []
+    start = rows[0]
+    prev = rows[0]
+    for r in rows[1:]:
+        if r > prev + 1:
+            lines.append(ocr_line(mask[start : prev + 1]))
+            start = r
+        prev = r
+    lines.append(ocr_line(mask[start : prev + 1]))
+    return lines
