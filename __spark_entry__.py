@@ -1866,7 +1866,15 @@ _GATE_PRIORITY = [
     "search_boolean",
     # passage-level dedup + training-mix + graph/vector/tokenizer/index ops
     "pack_sequences", "source_mix",
-    "pagerank_centrality", "bpe_merges",
+    # session-13 flagship: the container-codec round trip — real PDF
+    # parse + real PPTX (OOXML rels) + glyph OCR over real PNG bytes,
+    # dispatched by magic number in ONE mapInPandas stage, value-hashed
+    # against a corpus-derived SQL oracle (the TypeConverter chain made
+    # real). Window slot freed by pagerank_centrality (iterative
+    # label/score-propagation shape = dedup_clusters' in-window row +
+    # communities_lpa sibling; stays check_entry-verified in overflow).
+    "convert_interleaved",
+    "bpe_merges",
     "postings_compression", "profile_documents",
     # Entries 51+ below exceed the 50-entry driver window on purpose:
     # every rowless query can't fit, so the overflow picks queries whose
@@ -10223,3 +10231,243 @@ _TRAINING_QUERIES["snapshot_dsv2_write"] = q_snapshot_dsv2_write
 _TRAINING_ORACLES["snapshot_dsv2_write"] = """SELECT o_orderkey AS k,
        o_custkey AS ck, o_orderstatus AS status
 FROM orders"""
+
+
+# ----------------------------------------------- container-format codecs
+# The reference's TypeConverter chain (TypeConverter.class.js:24-191:
+# pptx → soffice → pdf → pdftoppm PNG + pdftotext per page) made REAL:
+# operators/convert.py dispatches the engine's dependency-free codecs
+# (training/pdfmini.py, pptxmini.py, png.py + ocrglyph.py) by magic
+# bytes inside one Arrow-batched mapInPandas stage. The gate entries
+# are corpus-derived ROUND TRIPS: the Spark side encodes documents.text
+# into real PDF/PPTX/PNG bytes and decodes them back through the full
+# container parse; the DuckDB oracle reconstructs the expected spans
+# from documents.text with pure SQL list algebra — codec-independent,
+# so an encoder bug and a matching decoder bug cannot cancel out the
+# line/page/slide STRUCTURE, and any parse drift breaks the value hash.
+
+
+def _chunk_words(words: list, k: int) -> list:
+    return [" ".join(words[i : i + k]) for i in range(0, len(words), k)]
+
+
+def _encode_container_iter(batches):
+    """(doc_id, fmt, text) → (doc_id, payload): fmt 0=PDF (Flate by
+    doc parity), 1=PPTX, 2=PNG-rendered page (filter = doc_id % 5,
+    exercising all five unfilter paths)."""
+    import pandas as pd
+
+    from ocr_search_spark.training.ocrglyph import render_page
+    from ocr_search_spark.training.pdfmini import encode_pdf
+    from ocr_search_spark.training.png import encode_png
+    from ocr_search_spark.training.pptxmini import encode_pptx
+
+    for b in batches:
+        payloads = []
+        for doc_id, fmt, text in zip(b["doc_id"], b["fmt"], b["text"]):
+            words = text.split(" ")
+            if fmt == 0:
+                payloads.append(
+                    encode_pdf(
+                        _chunk_words(words, 6),
+                        lines_per_page=4,
+                        compress=(int(doc_id) % 2 == 0),
+                    )
+                )
+            elif fmt == 1:
+                paras = _chunk_words(words, 5)
+                payloads.append(
+                    encode_pptx([paras[i : i + 3] for i in range(0, len(paras), 3)])
+                )
+            else:
+                img = render_page(_chunk_words(words, 4))
+                payloads.append(encode_png(img[:, :, None], int(doc_id) % 5))
+        yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+
+def _container_payloads(spark: SparkSession, sf_dir: str, fmt_expr: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(fmt_expr).cast("int").alias("fmt"),
+        "text",
+    )
+    return docs.repartition(8, "doc_id").mapInPandas(
+        _encode_container_iter, schema="doc_id string, payload binary"
+    )
+
+
+def _exploded_spans(out: DataFrame) -> DataFrame:
+    bad = out.where(F.col("error").isNotNull()).count()
+    assert bad == 0, f"{bad} conversion errors"
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+def q_convert_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed corpus (doc_id%3 picks PDF / PPTX / PNG+OCR) through the
+    magic-byte dispatcher → interleaved spans, exploded."""
+    from ocr_search_spark.operators.convert import convert_to_spans
+
+    ensure_shipped(spark)
+    payloads = _container_payloads(spark, sf_dir, "doc_id % 3")
+    return _exploded_spans(convert_to_spans(payloads))
+
+
+_CONVERT_ORACLE = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id % 3 AS fmt,
+         string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS nw
+  FROM documents
+),
+cfg AS (
+  SELECT *,
+         CASE fmt WHEN 0 THEN 6 WHEN 1 THEN 5 ELSE 4 END AS lw,
+         CASE fmt WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE 2147483647 END AS lpp
+  FROM w
+),
+lines AS (
+  SELECT doc_id, unnest(range((nw + lw - 1) // lw)) AS i
+  FROM cfg
+),
+txt AS (
+  SELECT c.doc_id, 'text' AS kind,
+         array_to_string(list_slice(c.ws, l.i*c.lw + 1,
+                                    least((l.i+1)*c.lw, c.nw)), ' ') AS text,
+         '' AS media_ref,
+         CAST(l.i + l.i // c.lpp + 1 AS INT) AS "offset"
+  FROM lines l JOIN cfg c USING (doc_id)
+),
+pages AS (
+  SELECT doc_id, lpp,
+         unnest(range(((nw + lw - 1) // lw + lpp - 1) // lpp)) AS p
+  FROM cfg WHERE fmt <> 2
+),
+med AS (
+  SELECT doc_id, 'media' AS kind, '' AS text,
+         doc_id || '/page-' || p || '.png' AS media_ref,
+         CAST(p * (lpp + 1) AS INT) AS "offset"
+  FROM pages
+  UNION ALL
+  SELECT doc_id, 'media', '', doc_id || '/page-0.png', 0
+  FROM cfg WHERE fmt = 2
+)
+SELECT * FROM txt UNION ALL SELECT * FROM med
+"""
+
+_TRAINING_QUERIES["convert_interleaved"] = q_convert_interleaved
+_TRAINING_ORACLES["convert_interleaved"] = _CONVERT_ORACLE
+
+
+def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVERY document as a real PDF (Flate for even doc_ids, raw streams
+    for odd — both parse paths), decoded by pdfmini back to spans; adds
+    the per-doc page count the reference probes with pdfinfo
+    (PdfUtil.class.js:41-55)."""
+    from ocr_search_spark.operators.convert import pdf_to_spans
+
+    ensure_shipped(spark)
+    payloads = _container_payloads(spark, sf_dir, "0")
+    out = pdf_to_spans(payloads)
+    spans = _exploded_spans(out)
+    return spans.join(out.select("doc_id", "n_pages"), "doc_id")
+
+
+_TRAINING_QUERIES["pdf_roundtrip"] = q_pdf_roundtrip
+_TRAINING_ORACLES["pdf_roundtrip"] = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS nw
+  FROM documents
+),
+cfg AS (SELECT *, (nw + 5) // 6 AS nl FROM w),
+txt AS (
+  SELECT c.doc_id, 'text' AS kind,
+         array_to_string(list_slice(c.ws, l.i*6 + 1, least((l.i+1)*6, c.nw)), ' ') AS text,
+         '' AS media_ref, CAST(l.i + l.i // 4 + 1 AS INT) AS "offset",
+         CAST((c.nl + 3) // 4 AS INT) AS n_pages
+  FROM (SELECT doc_id, unnest(range(nl)) AS i FROM cfg) l
+  JOIN cfg c USING (doc_id)
+),
+med AS (
+  SELECT doc_id, 'media' AS kind, '' AS text,
+         doc_id || '/page-' || p || '.png' AS media_ref,
+         CAST(p * 5 AS INT) AS "offset", CAST((nl + 3) // 4 AS INT) AS n_pages
+  FROM (SELECT doc_id, nl, unnest(range((nl + 3) // 4)) AS p FROM cfg)
+)
+SELECT * FROM txt UNION ALL SELECT * FROM med
+"""
+
+
+def q_pptx_slide_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVERY document as a real PPTX deck (5-word paragraphs, 3 per
+    slide), decoded via OOXML rels resolution; output re-derives the
+    (slide_idx, para_idx) grid from span offsets."""
+    from ocr_search_spark.operators.convert import pptx_to_spans
+
+    ensure_shipped(spark)
+    payloads = _container_payloads(spark, sf_dir, "1")
+    spans = _exploded_spans(pptx_to_spans(payloads))
+    return spans.where(F.col("kind") == "text").select(
+        "doc_id",
+        (F.col("offset") / 4).cast("int").alias("slide_idx"),
+        (F.col("offset") % 4 - 1).cast("int").alias("para_idx"),
+        "text",
+    )
+
+
+_TRAINING_QUERIES["pptx_slide_text"] = q_pptx_slide_text
+_TRAINING_ORACLES["pptx_slide_text"] = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS nw
+  FROM documents
+)
+SELECT c.doc_id,
+       CAST(l.i // 3 AS INT) AS slide_idx,
+       CAST(l.i % 3 AS INT) AS para_idx,
+       array_to_string(list_slice(c.ws, l.i*5 + 1, least((l.i+1)*5, c.nw)), ' ') AS text
+FROM (SELECT doc_id, unnest(range((nw + 4) // 5)) AS i FROM w) l
+JOIN w c USING (doc_id)
+"""
+
+
+def q_ocr_page_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVERY document rendered to a page bitmap (4-word lines, 5x7
+    glyphs), PNG-encoded with all five row filters (doc_id % 5), then
+    recognized back by the glyph OCR — the Tesseract slot end-to-end."""
+    from ocr_search_spark.operators.convert import ocr_png_media
+
+    ensure_shipped(spark)
+    payloads = _container_payloads(spark, sf_dir, "2").withColumnRenamed(
+        "doc_id", "media_ref"
+    )
+    out = ocr_png_media(payloads)
+    bad = out.where(F.col("error").isNotNull()).count()
+    assert bad == 0, f"{bad} OCR errors"
+    return out.select(
+        F.col("media_ref").alias("doc_id"), "n_lines", "text"
+    )
+
+
+_TRAINING_QUERIES["ocr_page_text"] = q_ocr_page_text
+_TRAINING_ORACLES["ocr_page_text"] = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS nw
+  FROM documents
+),
+lines AS (
+  SELECT c.doc_id, l.i,
+         array_to_string(list_slice(c.ws, l.i*4 + 1, least((l.i+1)*4, c.nw)), ' ') AS line
+  FROM (SELECT doc_id, unnest(range((nw + 3) // 4)) AS i FROM w) l
+  JOIN w c USING (doc_id)
+)
+SELECT doc_id, CAST(count(*) AS INT) AS n_lines,
+       string_agg(line, chr(10) ORDER BY i) AS text
+FROM lines GROUP BY doc_id
+"""

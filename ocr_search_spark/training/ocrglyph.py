@@ -117,37 +117,49 @@ def render_page(lines: list[str]) -> np.ndarray:
 
 # ------------------------------------------------------------- matcher
 
-_TEMPLATES: list[tuple[str, np.ndarray, int, int]] | None = None
+_TEMPLATES: tuple[list[str], np.ndarray, np.ndarray, dict[bytes, str]] | None = None
+_BOX_W = GLYPH_W + 2  # match box wide enough for noise-widened segments
 
 
-def _templates() -> list[tuple[str, np.ndarray, int, int]]:
-    """(char, trimmed glyph, lead_blank_cols, width) per font entry."""
+def _templates() -> tuple[list[str], np.ndarray, np.ndarray, dict[bytes, str]]:
+    """(chars, stacked padded templates (N,7,BOX_W), widths, exact map)."""
     global _TEMPLATES
     if _TEMPLATES is None:
-        tpl = []
+        chars: list[str] = []
+        stack = []
+        widths = []
+        exact: dict[bytes, str] = {}
         for ch in sorted(FONT):
             g = _glyph_array(ch)
             cols = np.flatnonzero(g.any(axis=0))
             trimmed = g[:, cols[0] : cols[-1] + 1]
-            tpl.append((ch, trimmed, int(cols[0]), trimmed.shape[1]))
-        _TEMPLATES = tpl
+            pad = np.zeros((GLYPH_H, _BOX_W), dtype=np.uint8)
+            pad[:, : trimmed.shape[1]] = trimmed
+            chars.append(ch)
+            stack.append(pad)
+            widths.append(trimmed.shape[1])
+            exact[trimmed.tobytes() + bytes([trimmed.shape[1]])] = ch
+        _TEMPLATES = (chars, np.stack(stack), np.array(widths), exact)
     return _TEMPLATES
 
 
 def _classify(seg: np.ndarray) -> str:
-    """Trimmed glyph segment → nearest-Hamming font char (ties: char order)."""
-    best_ch, best_d = "?", 10**9
+    """Trimmed glyph segment → nearest-Hamming font char (ties: char order).
+
+    Clean renders hit an exact-pattern dict (O(1)); noisy segments fall
+    back to one vectorized Hamming compare against the whole font, with
+    a width-difference penalty so narrow glyphs don't absorb wide ones.
+    """
+    chars, stack, widths, exact = _templates()
     h, w = seg.shape
-    for ch, tpl, _, tw in _templates():
-        box_w = max(w, tw)
-        a = np.zeros((GLYPH_H, box_w), dtype=np.uint8)
-        b = np.zeros((GLYPH_H, box_w), dtype=np.uint8)
-        a[: min(h, GLYPH_H), :w] = seg[:GLYPH_H]
-        b[:, :tw] = tpl
-        d = int((a != b).sum()) + abs(w - tw)  # width slack is evidence too
-        if d < best_d:
-            best_ch, best_d = ch, d
-    return best_ch
+    if h == GLYPH_H:
+        hit = exact.get(seg.tobytes() + bytes([w]))
+        if hit is not None:
+            return hit
+    a = np.zeros((GLYPH_H, _BOX_W), dtype=np.uint8)
+    a[: min(h, GLYPH_H), : min(w, _BOX_W)] = seg[:GLYPH_H, :_BOX_W]
+    d = (stack != a[None]).sum(axis=(1, 2)) + np.abs(widths - min(w, _BOX_W))
+    return chars[int(np.argmin(d))]
 
 
 def ocr_line(mask: np.ndarray) -> str:

@@ -94,23 +94,31 @@ def decode_png(data: bytes) -> np.ndarray:
         cur = row.copy()
         if ftype == 0:
             pass
-        elif ftype == 1:  # Sub — sequential in pixel units
-            for x in range(ch, stride):
-                cur[x] = (int(cur[x]) + int(cur[x - ch])) & 0xFF
-        elif ftype == 2:  # Up
+        elif ftype == 2:  # Up — fully vectorizable
             cur = (cur.astype(np.int16) + prev).astype(np.uint8)
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                left = int(cur[x - ch]) if x >= ch else 0
-                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0
-                c = int(prev[x - ch]) if x >= ch else 0
-                b = int(prev[x])
-                cur[x] = (int(cur[x]) + int(_paeth(
-                    np.uint8(a), np.uint8(b), np.uint8(c)
-                ))) & 0xFF
+        elif ftype in (1, 3, 4):
+            # Sub/Average/Paeth recur on the left neighbor, so the scan
+            # is inherently sequential; plain-int list arithmetic beats
+            # per-element numpy scalar access by ~2 orders of magnitude.
+            c = cur.tolist()
+            p = prev.tolist()
+            if ftype == 1:  # Sub
+                for x in range(ch, stride):
+                    c[x] = (c[x] + c[x - ch]) & 0xFF
+            elif ftype == 3:  # Average
+                for x in range(stride):
+                    left = c[x - ch] if x >= ch else 0
+                    c[x] = (c[x] + ((left + p[x]) >> 1)) & 0xFF
+            else:  # Paeth
+                for x in range(stride):
+                    a = c[x - ch] if x >= ch else 0
+                    cc = p[x - ch] if x >= ch else 0
+                    b = p[x]
+                    q = a + b - cc
+                    pa, pb, pc = abs(q - a), abs(q - b), abs(q - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                    c[x] = (c[x] + pred) & 0xFF
+            cur = np.asarray(c, dtype=np.uint8)
         else:
             raise ValueError(f"unknown filter {ftype}")
         out[y] = cur
