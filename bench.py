@@ -192,6 +192,9 @@ def main() -> None:
         "html_main_content",
         "html_spans",
         "snapshot_dsv2_write",
+        "convert_interleaved",
+        "pdf_roundtrip",
+        "ocr_page_text",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:
