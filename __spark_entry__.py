@@ -10471,3 +10471,50 @@ SELECT doc_id, CAST(count(*) AS INT) AS n_lines,
        string_agg(line, chr(10) ORDER BY i) AS text
 FROM lines GROUP BY doc_id
 """
+
+
+def q_page_media_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full artifact closure: documents → real PDF bytes → span parse →
+    per-page PNG rendering (the pdftoppm artifact,
+    TypeConverter.class.js:124-141) → PNG decode + glyph OCR. The oracle
+    pins the recovered page text AND the rendered geometry (font
+    metrics: width = 6·longest line + margins, height = 7·lines +
+    3·gaps + margins), so the renderer, the PNG codec, and the OCR are
+    cross-checked against each other with no shared code in the SQL."""
+    from ocr_search_spark.operators.convert import (
+        ocr_png_media,
+        pdf_to_spans,
+        render_page_media,
+    )
+
+    ensure_shipped(spark)
+    payloads = _container_payloads(spark, sf_dir, "0")
+    spans = pdf_to_spans(payloads).select("doc_id", "spans")
+    media = render_page_media(spans)
+    out = ocr_png_media(media)
+    bad = out.where(F.col("error").isNotNull()).count()
+    assert bad == 0, f"{bad} render/OCR errors"
+    return out.select("media_ref", "width", "height", "n_lines", "text")
+
+
+_TRAINING_QUERIES["page_media_render"] = q_page_media_render
+_TRAINING_ORACLES["page_media_render"] = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS nw
+  FROM documents
+),
+lines AS (
+  SELECT c.doc_id, l.i, l.i // 4 AS p,
+         array_to_string(list_slice(c.ws, l.i*6 + 1, least((l.i+1)*6, c.nw)), ' ') AS line
+  FROM (SELECT doc_id, unnest(range((nw + 5) // 6)) AS i FROM w) l
+  JOIN w c USING (doc_id)
+)
+SELECT doc_id || '/page-' || p || '.png' AS media_ref,
+       CAST(6 * max(len(line)) + 4 AS INT) AS width,
+       CAST(7 * count(*) + 3 * (count(*) - 1) + 4 AS INT) AS height,
+       CAST(count(*) AS INT) AS n_lines,
+       string_agg(line, chr(10) ORDER BY i) AS text
+FROM lines
+GROUP BY doc_id, p
+"""

@@ -52,6 +52,11 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--n-buckets", type=int, default=32)
     pe.add_argument("--impl", default="arrow", choices=["columnar", "pandas", "arrow"])
     pe.add_argument("--skew-threshold", type=int, default=64)
+    pe.add_argument(
+        "--source-format", default="spans", choices=["spans", "binary"],
+        help="'binary': input rows are (doc_id, payload) raw PDF/PPTX/PNG "
+        "bytes; the conversion stage runs inside the checkpoint envelope",
+    )
     pe.add_argument("--skip-postings", action="store_true")
     _add_common(pe)
 
@@ -147,7 +152,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.job == "extract":
         from .pipeline import build_postings, run_extraction_job
 
-        docs = spark.read.parquet(args.input).select("doc_id", "spans")
+        src_col = "payload" if args.source_format == "binary" else "spans"
+        docs = spark.read.parquet(args.input).select("doc_id", src_col)
         summary = run_extraction_job(
             spark,
             docs,
@@ -156,6 +162,7 @@ def main(argv: list[str] | None = None) -> int:
             n_buckets=args.n_buckets,
             impl=args.impl,
             skew_threshold=args.skew_threshold,
+            source_format=args.source_format,
         )
         if not args.skip_postings:
             build_postings(spark, args.out)

@@ -38,7 +38,12 @@ SPANS_SCHEMA = (
     "n_pages int, error string"
 )
 
-OCR_SCHEMA = "media_ref string, text string, n_lines int, error string"
+OCR_SCHEMA = (
+    "media_ref string, text string, n_lines int, "
+    "width int, height int, error string"
+)
+
+MEDIA_SCHEMA = "media_ref string, payload binary, width int, height int"
 
 
 def _pages_to_spans(doc_id: str, pages: list[list[str]]) -> list[tuple]:
@@ -143,16 +148,69 @@ def _ocr_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             try:
                 arr = decode_png(bytes(payload))
                 lines = ocr_page(arr[:, :, 0] if arr.ndim == 3 else arr)
-                rows.append((ref, "\n".join(lines), len(lines), None))
+                rows.append(
+                    (ref, "\n".join(lines), len(lines),
+                     arr.shape[1], arr.shape[0], None)
+                )
             except Exception as exc:
-                rows.append((ref, None, None, str(exc)))
-        yield pd.DataFrame(rows, columns=["media_ref", "text", "n_lines", "error"])
+                rows.append((ref, None, None, None, None, str(exc)))
+        yield pd.DataFrame(
+            rows,
+            columns=["media_ref", "text", "n_lines", "width", "height", "error"],
+        )
 
 
 def ocr_png_media(media: DataFrame) -> DataFrame:
-    """(media_ref, payload=PNG bytes) → recognized text: real PNG decode
-    (png.py) + deterministic glyph OCR (ocrglyph.py). The Tesseract slot
-    of TypeConverter.class.js:124-191 as an Arrow-batched stage."""
+    """(media_ref, payload=PNG bytes) → recognized text + pixel dims:
+    real PNG decode (png.py) + deterministic glyph OCR (ocrglyph.py).
+    The Tesseract slot of TypeConverter.class.js:124-191 as an
+    Arrow-batched stage."""
     return media.select("media_ref", "payload").mapInPandas(
         _ocr_iter, schema=OCR_SCHEMA
+    )
+
+
+def _render_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ocr_search_spark.training.ocrglyph import render_page
+    from ocr_search_spark.training.png import encode_png
+
+    for pdf_batch in batches:
+        refs, payloads, ws, hs = [], [], [], []
+        for spans in pdf_batch["spans"]:
+            ref = None
+            lines: list[str] = []
+
+            def flush() -> None:
+                if ref is None:
+                    return
+                img = render_page(lines)
+                refs.append(ref)
+                payloads.append(encode_png(img[:, :, None], 4))
+                ws.append(img.shape[1])
+                hs.append(img.shape[0])
+
+            for s in spans:
+                kind = s["kind"] if isinstance(s, dict) else s.kind
+                if kind == "media":
+                    flush()
+                    ref = s["media_ref"] if isinstance(s, dict) else s.media_ref
+                    lines = []
+                else:
+                    lines.append(s["text"] if isinstance(s, dict) else s.text)
+            flush()
+        yield pd.DataFrame(
+            {"media_ref": refs, "payload": payloads, "width": ws, "height": hs}
+        )
+
+
+def render_page_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, spans) → (media_ref, payload=PNG, width, height): renders
+    each media span's page image from the text spans that FOLLOW it
+    (until the next media span) — the pdftoppm per-page artifact of
+    TypeConverter.class.js:124-141, synthesized deterministically from
+    the extracted text so media refs resolve to real bytes. Page images
+    use the Paeth row filter; ``ocr_png_media`` recovers the exact page
+    text from the output (the round trip is gated)."""
+    return docs.select("doc_id", "spans").mapInPandas(
+        _render_iter, schema=MEDIA_SCHEMA
     )

@@ -47,13 +47,18 @@ def bucket_col(doc_id, n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(doc_id), F.lit(n_buckets))
 
 
-def run_config_hash(n_buckets: int, impl: str, skew_threshold: int | None) -> str:
+def run_config_hash(
+    n_buckets: int, impl: str, skew_threshold: int | None, source_format: str = "spans"
+) -> str:
     """Stable digest of everything bucket membership / output shape depends
     on. Persisted in every checkpoint row so a resume under a DIFFERENT
     config (e.g. another n_buckets — a different bucketing scheme entirely)
-    is refused instead of silently skipping wrong buckets."""
+    is refused instead of silently skipping wrong buckets. ``source_format``
+    participates because a binary-source run and a span-source run produce
+    differently-derived rows for the same doc_ids."""
     return hashlib.md5(
-        f"n_buckets={n_buckets}:impl={impl}:skew={skew_threshold}".encode()
+        f"n_buckets={n_buckets}:impl={impl}:skew={skew_threshold}"
+        f":src={source_format}".encode()
     ).hexdigest()[:16]
 
 
@@ -93,15 +98,27 @@ def run_extraction_job(
     skew_threshold: int | None = 64,
     num_partitions: int | None = None,
     bucket_filter=None,
+    source_format: str = "spans",
 ) -> dict:
     """Extract `documents` into ``out_dir/extracted_spans`` (bucketed,
     resumable) and append per-bucket lineage to ``out_dir/checkpoint``.
 
+    ``source_format='spans'`` (default): `documents` is (doc_id, spans).
+    ``source_format='binary'``: `documents` is (doc_id, payload) raw
+    PDF/PPTX/PNG bytes — the conversion stage (operators.convert,
+    magic-byte dispatch) runs INSIDE the same bucket-checkpoint
+    envelope, so a crash mid-corpus resumes the conversion too and a
+    converted-but-uncommitted bucket is simply re-converted
+    (idempotent). Conversion errors flow into the lineage ``n_errors``
+    exactly like extraction errors (X2).
+
     ``bucket_filter`` (tests/chaos only): optional predicate limiting
     which buckets this invocation processes — simulates a partial run.
     Returns a summary dict."""
+    if source_format not in ("spans", "binary"):
+        raise ValueError(f"unknown source_format {source_format!r}")
     run_id = run_id or uuid.uuid4().hex[:12]
-    cfg = run_config_hash(n_buckets, impl, skew_threshold)
+    cfg = run_config_hash(n_buckets, impl, skew_threshold, source_format)
     done = read_done_buckets(spark, out_dir, run_id, cfg)
 
     docs = documents.withColumn("bucket", bucket_col(F.col("doc_id"), n_buckets))
@@ -114,12 +131,29 @@ def run_extraction_job(
     if todo.isEmpty():
         return {"run_id": run_id, "buckets_done": len(done), "buckets_processed": 0}
 
+    convert_errors = None
+    if source_format == "binary":
+        from .operators.convert import convert_to_spans
+
+        conv = convert_to_spans(todo.select("doc_id", "payload"))
+        todo = conv.select("doc_id", "spans")
+        convert_errors = conv.select(
+            "doc_id", F.col("error").alias("convert_error")
+        )
+
     ext = extract_spans(
         todo.select("doc_id", "spans"),
         impl=impl,
         skew_threshold=skew_threshold,
         num_partitions=num_partitions,
-    ).withColumn("bucket", bucket_col(F.col("doc_id"), n_buckets))
+    )
+    if convert_errors is not None:
+        ext = (
+            ext.join(convert_errors, "doc_id", "left")
+            .withColumn("error", F.coalesce("error", "convert_error"))
+            .drop("convert_error")
+        )
+    ext = ext.withColumn("bucket", bucket_col(F.col("doc_id"), n_buckets))
 
     # 1) data commit first (dynamic overwrite of only the touched buckets)
     with_dyn = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

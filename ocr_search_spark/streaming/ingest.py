@@ -212,3 +212,46 @@ def stream_dedup_watermarked(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def stream_convert_binary(
+    spark: SparkSession,
+    input_glob: str,
+    out_path: str,
+    checkpoint_path: str,
+    await_termination: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Raw container files on disk (PDF/PPTX/PNG, the Dropbox download
+    dir of DropboxSynchronizer.class.js:249-273) → interleaved spans,
+    incrementally: Spark's ``binaryFile`` source streams exactly the
+    files that appeared since the last checkpointed offset, the
+    magic-byte conversion stage (operators.convert) parses them, and the
+    span table appends. doc_id = the file's base name (the reference's
+    flat-rename key, ProcessDirector.class.js:119-141); conversion
+    failures are recorded rows, never stream crashes (X2)."""
+    from ..operators.convert import convert_to_spans
+
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.load(input_glob).select(
+        F.regexp_replace(
+            F.element_at(F.split(F.col("path"), "/"), -1), r"\.[A-Za-z0-9]+$", ""
+        ).alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    spans = convert_to_spans(src)
+    q = (
+        spans.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q

@@ -121,3 +121,25 @@ def test_convert_error_rows_never_fail_stage(spark):
     rows = [("t1", good[: len(good) // 3]), ("t2", encode_pptx([["y"]])[:20])]
     out = convert_to_spans(_payload_df(spark, rows)).collect()
     assert all(r["error"] is not None and r["spans"] == [] for r in out)
+
+
+def test_render_page_media_roundtrip(spark):
+    """media spans → real PNG payloads; OCR recovers each page's text
+    and the geometry matches the font metrics."""
+    from ocr_search_spark.operators.convert import render_page_media
+
+    lines = [f"words for page line {i}" for i in range(6)]
+    pdf = encode_pdf(lines, lines_per_page=4)
+    spans = pdf_to_spans(_payload_df(spark, [("rd", pdf)])).select("doc_id", "spans")
+    media = render_page_media(spans)
+    rows = {r["media_ref"]: r for r in media.collect()}
+    assert set(rows) == {"rd/page-0.png", "rd/page-1.png"}
+    # page 0: 4 lines; page 1: 2 lines — height = 7n + 3(n-1) + 4
+    assert rows["rd/page-0.png"]["height"] == 7 * 4 + 3 * 3 + 4
+    assert rows["rd/page-1.png"]["height"] == 7 * 2 + 3 * 1 + 4
+    assert rows["rd/page-0.png"]["width"] == 6 * max(len(l) for l in lines[:4]) + 4
+    ocr = {r["media_ref"]: r for r in ocr_png_media(media).collect()}
+    assert ocr["rd/page-0.png"]["text"] == "\n".join(lines[:4])
+    assert ocr["rd/page-1.png"]["text"] == "\n".join(lines[4:])
+    assert ocr["rd/page-0.png"]["width"] == rows["rd/page-0.png"]["width"]
+    assert ocr["rd/page-1.png"]["height"] == rows["rd/page-1.png"]["height"]

@@ -218,3 +218,79 @@ def test_jobs_cli_extract_and_search(spark, corpus_df, tmp_path, capsys):
     assert rc == 0
     hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["hits"]
     assert hits and all(h["score"] >= 1 for h in hits)
+
+
+def test_binary_source_pipeline_resume(spark, out_dir, tmp_path):
+    """source_format='binary': PDF/PPTX payloads convert INSIDE the
+    bucket-checkpoint envelope; partial run + resume == cold run; a bad
+    payload lands in lineage n_errors instead of failing the job."""
+    from ocr_search_spark.training.pdfmini import encode_pdf
+    from ocr_search_spark.training.pptxmini import encode_pptx
+
+    rows = []
+    for i in range(40):
+        text_lines = [f"doc {i} alpha beta line {j}" for j in range(3)]
+        if i % 2 == 0:
+            rows.append((f"doc{i:03d}", bytearray(encode_pdf(text_lines))))
+        else:
+            rows.append((f"doc{i:03d}", bytearray(encode_pptx([text_lines]))))
+    rows.append(("docbad", bytearray(b"not a container")))
+    docs = spark.createDataFrame(rows, "doc_id string, payload binary")
+
+    cold_dir = str(tmp_path / "cold_bin")
+    pipeline.run_extraction_job(
+        spark, docs, cold_dir, run_id="bin", n_buckets=8, source_format="binary"
+    )
+
+    # partial run: only buckets < 4, then resume the rest
+    r1 = pipeline.run_extraction_job(
+        spark, docs, out_dir, run_id="bin", n_buckets=8,
+        source_format="binary", bucket_filter=lambda b: b < 4,
+    )
+    assert 0 < r1["buckets_processed"] < 8
+    r2 = pipeline.run_extraction_job(
+        spark, docs, out_dir, run_id="bin", n_buckets=8, source_format="binary"
+    )
+    assert r2["buckets_done"] == r1["buckets_processed"]
+    assert r2["buckets_processed"] == 8 - r1["buckets_processed"]
+
+    cold = spark.read.parquet(f"{cold_dir}/{pipeline.EXTRACTED_DIR}")
+    warm = spark.read.parquet(f"{out_dir}/{pipeline.EXTRACTED_DIR}")
+    assert sorted(map(tuple, _flat(cold).collect())) == sorted(
+        map(tuple, _flat(warm).collect())
+    )
+
+    # the bad payload is an error row, with its convert error recorded
+    err = warm.where(F.col("error").isNotNull()).collect()
+    assert [r["doc_id"] for r in err] == ["docbad"]
+    assert "unknown" in err[0]["error"]
+    cp = spark.read.parquet(f"{out_dir}/{pipeline.CHECKPOINT_DIR}")
+    assert cp.agg(F.sum("n_errors")).first()[0] == 1
+
+    # span-source and binary-source configs never share checkpoints
+    with pytest.raises(ValueError, match="different run config"):
+        pipeline.run_extraction_job(
+            spark, docs.withColumn("spans", F.expr("array()")), out_dir,
+            run_id="bin", n_buckets=8,
+        )
+
+
+def test_binary_source_search_end_to_end(spark, out_dir):
+    from ocr_search_spark.training.pdfmini import encode_pdf
+
+    docs = spark.createDataFrame(
+        [
+            ("w1", bytearray(encode_pdf(["xylophone orchestra rehearsal"]))),
+            ("w2", bytearray(encode_pdf(["everyday ordinary content"]))),
+        ],
+        "doc_id string, payload binary",
+    )
+    pipeline.run_extraction_job(
+        spark, docs, out_dir, run_id="s", n_buckets=4, source_format="binary"
+    )
+    pipeline.build_postings(spark, out_dir)
+    post = spark.read.parquet(f"{out_dir}/{pipeline.POSTINGS_DIR}")
+    from ocr_search_spark.operators.search import match_terms
+
+    hits = match_terms(post, ["xylophone"]).collect()
+    assert [h["doc_id"] for h in hits] == ["w1"]

@@ -1054,3 +1054,40 @@ def test_stream_maintain_kmv_exactness_and_replay(spark, dirs, tmp_path):
     got = dict((g, s) for g, s, _ in live())
     assert "t9" in got and len(got["t9"]) == 5
     assert {g for g, _, _ in before} == set(got) - {"t9"}
+
+
+def test_stream_convert_binary_incremental(spark, tmp_path):
+    """binaryFile-source streaming conversion: first AvailableNow run
+    converts the initial files, a second run converts ONLY the new file
+    (checkpoint = fileLib diff state), errors are rows not crashes."""
+    import os
+
+    from ocr_search_spark.streaming.ingest import stream_convert_binary
+    from ocr_search_spark.training.pdfmini import encode_pdf
+    from ocr_search_spark.training.pptxmini import encode_pptx
+
+    src = tmp_path / "inbox"
+    os.makedirs(src)
+    (src / "a.pdf").write_bytes(encode_pdf(["first doc words"]))
+    (src / "b.pptx").write_bytes(encode_pptx([["second doc words"]]))
+    (src / "c.bin").write_bytes(b"junk payload")
+    out = str(tmp_path / "spans_out")
+    cp = str(tmp_path / "cp_conv")
+
+    stream_convert_binary(spark, str(src), out, cp)
+    first = spark.read.parquet(out)
+    assert first.count() == 3
+    got = {r["doc_id"]: r for r in first.collect()}
+    assert [s["text"] for s in got["a"]["spans"] if s["kind"] == "text"] == [
+        "first doc words"
+    ]
+    assert got["b"]["error"] is None and got["c"]["error"] is not None
+
+    (src / "d.pdf").write_bytes(encode_pdf(["late arrival words"]))
+    stream_convert_binary(spark, str(src), out, cp)
+    second = spark.read.parquet(out)
+    assert second.count() == 4  # only d was appended — a/b/c not redone
+    d = second.where("doc_id = 'd'").collect()[0]
+    assert [s["text"] for s in d["spans"] if s["kind"] == "text"] == [
+        "late arrival words"
+    ]
