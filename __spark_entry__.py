@@ -10518,3 +10518,84 @@ SELECT doc_id || '/page-' || p || '.png' AS media_ref,
 FROM lines
 GROUP BY doc_id, p
 """
+
+
+def _encode_twocol_iter(batches):
+    """(doc_id, text) → two-column layout PDFs whose CONTENT STREAM
+    interleaves the columns row by row (left r, right r, left r+1, …):
+    stream order ≠ reading order, which is what makes the XY-cut
+    recovery non-trivial. Lines = 3-word chunks; even chunks fill the
+    left column top-down (x=72), odd chunks the right (x=330), row r at
+    y = 720 - 14r."""
+    import pandas as pd
+
+    from ocr_search_spark.training.pdfmini import encode_pdf_layout
+
+    for b in batches:
+        payloads = []
+        for text in b["text"]:
+            lines = _chunk_words(text.split(" "), 3)
+            items = []
+            for i, ln in enumerate(lines):
+                x = 72.0 if i % 2 == 0 else 330.0
+                items.append((x, 720.0 - 14 * (i // 2), ln))
+            payloads.append(encode_pdf_layout([items]))
+        yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+
+def q_pdf_layout_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule "PDF/layout parsing": every document becomes a REAL
+    two-column PDF written in interleaved stream order; the layout
+    decoder tracks Td cursor moves to recover true coordinates, and
+    XY-cut reading order (operators/pagelayout.py) restores
+    column-major logical order. The oracle derives the expected
+    (rank, col) grid from documents.text alone."""
+    from ocr_search_spark.operators.convert import pdf_layout_boxes
+    from ocr_search_spark.operators.pagelayout import reading_order
+
+    ensure_shipped(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    payloads = docs.repartition(8, "doc_id").mapInPandas(
+        _encode_twocol_iter, schema="doc_id string, payload binary"
+    )
+    raw = pdf_layout_boxes(payloads)
+    bad = raw.where(F.col("error").isNotNull()).count()
+    assert bad == 0, f"{bad} layout decode errors"
+    boxes = raw.select(
+        "doc_id",
+        "page",
+        F.col("seq").alias("box_id"),
+        F.col("x").cast("int").alias("x0"),
+        (F.col("x") + 6 * F.length("text")).cast("int").alias("x1"),
+        (720 - F.col("y")).cast("int").alias("y0"),
+        (720 - F.col("y") + 12).cast("int").alias("y1"),
+        "text",
+    )
+    ranked = reading_order(boxes, page_col="page", min_gap=60)
+    return ranked.join(
+        boxes.select("doc_id", "box_id", "text"), ["doc_id", "box_id"]
+    ).select("doc_id", F.col("rank").alias("rnk"), "col", "text")
+
+
+_TRAINING_QUERIES["pdf_layout_reading_order"] = q_pdf_layout_reading_order
+_TRAINING_ORACLES["pdf_layout_reading_order"] = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS nw
+  FROM documents
+),
+l AS (
+  SELECT c.doc_id, l.i, (c.nw + 2) // 3 AS nl,
+         array_to_string(list_slice(c.ws, l.i*3 + 1, least((l.i+1)*3, c.nw)), ' ') AS line
+  FROM (SELECT doc_id, unnest(range((nw + 2) // 3)) AS i FROM w) l
+  JOIN w c USING (doc_id)
+)
+SELECT doc_id,
+       CAST(CASE WHEN i % 2 = 0 THEN i // 2 + 1
+                 ELSE (nl + 1) // 2 + i // 2 + 1 END AS INT) AS rnk,
+       CAST(i % 2 AS INT) AS col,
+       line AS text
+FROM l
+"""

@@ -214,3 +214,64 @@ def render_page_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "spans").mapInPandas(
         _render_iter, schema=MEDIA_SCHEMA
     )
+
+
+LAYOUT_SCHEMA = (
+    "doc_id string, page int, seq int, x double, y double, "
+    "text string, error string"
+)
+
+
+def _layout_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ocr_search_spark.training.pdfmini import decode_pdf_layout
+
+    for pdf_batch in batches:
+        rows = []
+        for doc_id, payload in zip(pdf_batch["doc_id"], pdf_batch["payload"]):
+            try:
+                for p, items in enumerate(decode_pdf_layout(bytes(payload))):
+                    for s, (x, y, t) in enumerate(items):
+                        rows.append((doc_id, p, s, x, y, t, None))
+            except Exception as exc:
+                rows.append((doc_id, None, None, None, None, None, str(exc)))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "page", "seq", "x", "y", "text", "error"]
+        )
+
+
+def pdf_layout_boxes(df: DataFrame) -> DataFrame:
+    """(doc_id, payload=PDF bytes) → positioned text items, one row per
+    show-line: (page, seq = content-stream order, x, y in PDF user
+    space with y UP, text). The layout-parse face of the codec — feeds
+    XY-cut reading order (operators/pagelayout.py) with REAL
+    coordinates tracked from Td/TD/TL/T* cursor moves, so multi-column
+    pages whose stream order interleaves columns are recoverable."""
+    return df.select("doc_id", "payload").mapInPandas(
+        _layout_iter, schema=LAYOUT_SCHEMA
+    )
+
+
+def repartition_payload_bucketed(
+    df: DataFrame,
+    num_partitions: int,
+    bucket_bounds: tuple[int, ...] = (4096, 65536, 1 << 20),
+) -> DataFrame:
+    """Size-bucketed + salted repartition for BINARY payloads — the
+    convert-stage twin of extract.repartition_size_bucketed (north rule:
+    "OCR-heavy media … size-bucketed batching"). Conversion cost scales
+    with payload bytes (Flate inflate, zip walk, pixel OCR), so range-
+    partitioning on (length(payload) bucket, salt) keeps one Arrow batch
+    from mixing a 100 MB scan PDF with thousands of one-pagers, while
+    the salt spreads each bucket over all partitions. Bounds are pinned
+    byte thresholds; at 100 TB derive them from
+    ``approxQuantile(length(payload), [.5,.9,.99])``."""
+    from pyspark.sql import functions as F
+
+    w = F.length("payload")
+    bucket = F.lit(0)
+    for i, b in enumerate(bucket_bounds):
+        bucket = F.when(w >= b, F.lit(i + 1)).otherwise(bucket)
+    out = df.withColumn("_pb", bucket).withColumn(
+        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(num_partitions))
+    )
+    return out.repartitionByRange(num_partitions, "_pb", "_salt").drop("_pb", "_salt")

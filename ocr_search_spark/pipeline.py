@@ -133,9 +133,13 @@ def run_extraction_job(
 
     convert_errors = None
     if source_format == "binary":
-        from .operators.convert import convert_to_spans
+        from .operators.convert import convert_to_spans, repartition_payload_bucketed
 
-        conv = convert_to_spans(todo.select("doc_id", "payload"))
+        src = todo.select("doc_id", "payload")
+        if num_partitions:
+            # north rule: OCR-heavy payloads get size-bucketed batching
+            src = repartition_payload_bucketed(src, num_partitions)
+        conv = convert_to_spans(src)
         todo = conv.select("doc_id", "spans")
         convert_errors = conv.select(
             "doc_id", F.col("error").alias("convert_error")

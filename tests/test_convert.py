@@ -143,3 +143,67 @@ def test_render_page_media_roundtrip(spark):
     assert ocr["rd/page-1.png"]["text"] == "\n".join(lines[4:])
     assert ocr["rd/page-0.png"]["width"] == rows["rd/page-0.png"]["width"]
     assert ocr["rd/page-1.png"]["height"] == rows["rd/page-1.png"]["height"]
+
+
+def test_pdf_layout_boxes_two_columns(spark):
+    """A two-column PDF written in interleaved stream order: the layout
+    decode + XY-cut reading order recovers column-major logical order."""
+    from ocr_search_spark.operators.convert import pdf_layout_boxes
+    from ocr_search_spark.operators.pagelayout import reading_order
+    from ocr_search_spark.training.pdfmini import encode_pdf_layout
+    from pyspark.sql import functions as F
+
+    left = [f"left row {r}" for r in range(3)]
+    right = [f"right row {r}" for r in range(3)]
+    items = []
+    for r in range(3):  # stream order interleaves the columns
+        items.append((72.0, 720.0 - 14 * r, left[r]))
+        items.append((330.0, 720.0 - 14 * r, right[r]))
+    df = _payload_df(spark, [("two", encode_pdf_layout([items]))])
+    boxes = pdf_layout_boxes(df).select(
+        "doc_id",
+        "page",
+        F.col("seq").alias("box_id"),
+        F.col("x").cast("int").alias("x0"),
+        (F.col("x") + 6 * F.length("text")).cast("int").alias("x1"),
+        (720 - F.col("y")).cast("int").alias("y0"),
+        (720 - F.col("y") + 12).cast("int").alias("y1"),
+        "text",
+    )
+    ranked = reading_order(boxes, page_col="page", min_gap=60).join(
+        boxes.select("box_id", "text"), "box_id"
+    )
+    ordered = [r["text"] for r in ranked.orderBy("rank").collect()]
+    assert ordered == left + right
+
+
+def test_repartition_payload_bucketed(spark):
+    """Size buckets stay together per partition range while salt spreads
+    them; conversion output is unchanged by the repartition."""
+    from pyspark.sql import functions as F
+
+    from ocr_search_spark.operators.convert import repartition_payload_bucketed
+
+    rows = [(f"s{i}", encode_pdf([f"tiny doc {i}"])) for i in range(30)]
+    # one mega payload (many pages)
+    rows.append(("mega", encode_pdf([f"mega line {j} padding words" for j in range(2000)])))
+    df = _payload_df(spark, rows)
+    bucketed = repartition_payload_bucketed(df, 6)
+    assert bucketed.columns == ["doc_id", "payload"]  # helpers dropped
+    a = sorted(
+        (r["doc_id"], len(r["spans"]))
+        for r in convert_to_spans(bucketed).collect()
+    )
+    b = sorted(
+        (r["doc_id"], len(r["spans"]))
+        for r in convert_to_spans(df).collect()
+    )
+    assert a == b
+    # the mega doc does not share a partition range with the tiny tail
+    parts = bucketed.withColumn("pid", F.spark_partition_id()).select(
+        "doc_id", "pid"
+    ).collect()
+    mega_pid = next(p["pid"] for p in parts if p["doc_id"] == "mega")
+    tiny_pids = {p["pid"] for p in parts if p["doc_id"] != "mega"}
+    assert mega_pid == max(p["pid"] for p in parts)
+    assert len(tiny_pids) > 1  # salt actually spreads the small bucket
