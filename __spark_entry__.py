@@ -1962,6 +1962,10 @@ _GATE_PRIORITY = [
     # pytest cases + the in-query physical-absence assert), search_mmr
     # (bounded applyInPandas over retrieval output = search_maxsim's
     # in-window row; the k=3 greedy is value-hashed by its own oracle).
+    # Session-13 overflow: pptx_layout_reading_order (OOXML a:xfrm
+    # decode + XY-cut = layout_reading_order's in-window row +
+    # convert_interleaved's real-PPTX row + test_pptxmini round-trips;
+    # check_entry-verified at sf0.001 AND sf0.01 this session).
 ]
 
 
@@ -10590,6 +10594,84 @@ l AS (
   SELECT c.doc_id, l.i, (c.nw + 2) // 3 AS nl,
          array_to_string(list_slice(c.ws, l.i*3 + 1, least((l.i+1)*3, c.nw)), ' ') AS line
   FROM (SELECT doc_id, unnest(range((nw + 2) // 3)) AS i FROM w) l
+  JOIN w c USING (doc_id)
+)
+SELECT doc_id,
+       CAST(CASE WHEN i % 2 = 0 THEN i // 2 + 1
+                 ELSE (nl + 1) // 2 + i // 2 + 1 END AS INT) AS rnk,
+       CAST(i % 2 AS INT) AS col,
+       line AS text
+FROM l
+"""
+
+
+def _encode_twocol_pptx_iter(batches):
+    """(doc_id, text) → two-column slide decks in interleaved shape-tree
+    order: 4-word chunks, even chunks left (x = 48 px EMU), odd right
+    (x = 384 px EMU), row r at y = (48 + 14r) px EMU. OOXML y grows
+    DOWNWARD, so no flip is needed before XY-cut."""
+    import pandas as pd
+
+    from ocr_search_spark.training.pptxmini import encode_pptx_layout
+
+    EMU = 9525  # per px
+    for b in batches:
+        payloads = []
+        for text in b["text"]:
+            lines = _chunk_words(text.split(" "), 4)
+            shapes = []
+            for i, ln in enumerate(lines):
+                x = 48 * EMU if i % 2 == 0 else 384 * EMU
+                shapes.append((x, (48 + 14 * (i // 2)) * EMU, ln))
+            payloads.append(encode_pptx_layout([shapes]))
+        yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+
+def q_pptx_layout_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PPTX face of north-rule layout parsing: every document
+    becomes a real two-column slide deck written in interleaved
+    shape-tree order; ``a:xfrm`` transforms are decoded through the
+    OOXML package walk and XY-cut restores column-major order."""
+    from ocr_search_spark.operators.convert import pptx_layout_boxes
+    from ocr_search_spark.operators.pagelayout import reading_order
+
+    ensure_shipped(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    payloads = docs.repartition(8, "doc_id").mapInPandas(
+        _encode_twocol_pptx_iter, schema="doc_id string, payload binary"
+    )
+    raw = pptx_layout_boxes(payloads)
+    bad = raw.where(F.col("error").isNotNull()).count()
+    assert bad == 0, f"{bad} pptx layout decode errors"
+    boxes = raw.select(
+        "doc_id",
+        "page",
+        F.col("seq").alias("box_id"),
+        (F.col("x") / 9525).cast("int").alias("x0"),
+        (F.col("x") / 9525 + 6 * F.length("text")).cast("int").alias("x1"),
+        (F.col("y") / 9525).cast("int").alias("y0"),
+        (F.col("y") / 9525 + 12).cast("int").alias("y1"),
+        "text",
+    )
+    ranked = reading_order(boxes, page_col="page", min_gap=60)
+    return ranked.join(
+        boxes.select("doc_id", "box_id", "text"), ["doc_id", "box_id"]
+    ).select("doc_id", F.col("rank").alias("rnk"), "col", "text")
+
+
+_TRAINING_QUERIES["pptx_layout_reading_order"] = q_pptx_layout_reading_order
+_TRAINING_ORACLES["pptx_layout_reading_order"] = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS nw
+  FROM documents
+),
+l AS (
+  SELECT c.doc_id, l.i, (c.nw + 3) // 4 AS nl,
+         array_to_string(list_slice(c.ws, l.i*4 + 1, least((l.i+1)*4, c.nw)), ' ') AS line
+  FROM (SELECT doc_id, unnest(range((nw + 3) // 4)) AS i FROM w) l
   JOIN w c USING (doc_id)
 )
 SELECT doc_id,

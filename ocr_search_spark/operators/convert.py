@@ -275,3 +275,33 @@ def repartition_payload_bucketed(
         "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(num_partitions))
     )
     return out.repartitionByRange(num_partitions, "_pb", "_salt").drop("_pb", "_salt")
+
+
+def _pptx_layout_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ocr_search_spark.training.pptxmini import decode_pptx_layout
+
+    for pdf_batch in batches:
+        rows = []
+        for doc_id, payload in zip(pdf_batch["doc_id"], pdf_batch["payload"]):
+            try:
+                for p, shapes in enumerate(decode_pptx_layout(bytes(payload))):
+                    for s, (x, y, t) in enumerate(shapes):
+                        rows.append((doc_id, p, s, x, y, t, None))
+            except Exception as exc:
+                rows.append((doc_id, None, None, None, None, None, str(exc)))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "page", "seq", "x", "y", "text", "error"]
+        )
+
+
+def pptx_layout_boxes(df: DataFrame) -> DataFrame:
+    """(doc_id, payload=PPTX bytes) → positioned shapes, one row per
+    ``p:sp``: (page = slide idx, seq = shape-tree order, x/y = EMU
+    offsets from ``a:xfrm/a:off`` with y DOWN, text). The PPTX face of
+    layout parsing; same downstream contract as :func:`pdf_layout_boxes`
+    (EMU→px is ``// 9525``)."""
+    return df.select("doc_id", "payload").mapInPandas(
+        _pptx_layout_iter,
+        schema="doc_id string, page int, seq int, x long, y long, "
+        "text string, error string",
+    )
