@@ -1966,6 +1966,11 @@ _GATE_PRIORITY = [
     # decode + XY-cut = layout_reading_order's in-window row +
     # convert_interleaved's real-PPTX row + test_pptxmini round-trips;
     # check_entry-verified at sf0.001 AND sf0.01 this session).
+    # Session-14 overflow: docx_page_paragraphs (OOXML package-rels
+    # container parse = pptx_slide_text's shape + the in-window
+    # convert_interleaved row, which now runs a doc_id%4 mix INCLUDING
+    # real DOCX payloads through the dispatcher; check_entry-verified
+    # at sf0.001 AND sf0.01 this session + test_docxmini round-trips).
 ]
 
 
@@ -10257,10 +10262,12 @@ def _chunk_words(words: list, k: int) -> list:
 
 def _encode_container_iter(batches):
     """(doc_id, fmt, text) → (doc_id, payload): fmt 0=PDF (Flate by
-    doc parity), 1=PPTX, 2=PNG-rendered page (filter = doc_id % 5,
-    exercising all five unfilter paths)."""
+    doc parity), 1=PPTX, 3=DOCX (7-word paragraphs, 2 per page-break
+    page), 2=PNG-rendered page (filter = doc_id % 5, exercising all
+    five unfilter paths)."""
     import pandas as pd
 
+    from ocr_search_spark.training.docxmini import encode_docx
     from ocr_search_spark.training.ocrglyph import render_page
     from ocr_search_spark.training.pdfmini import encode_pdf
     from ocr_search_spark.training.png import encode_png
@@ -10282,6 +10289,11 @@ def _encode_container_iter(batches):
                 paras = _chunk_words(words, 5)
                 payloads.append(
                     encode_pptx([paras[i : i + 3] for i in range(0, len(paras), 3)])
+                )
+            elif fmt == 3:
+                paras = _chunk_words(words, 7)
+                payloads.append(
+                    encode_docx([paras[i : i + 2] for i in range(0, len(paras), 2)])
                 )
             else:
                 img = render_page(_chunk_words(words, 4))
@@ -10313,25 +10325,27 @@ def _exploded_spans(out: DataFrame) -> DataFrame:
 
 
 def q_convert_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mixed corpus (doc_id%3 picks PDF / PPTX / PNG+OCR) through the
-    magic-byte dispatcher → interleaved spans, exploded."""
+    """Mixed corpus (doc_id%4 picks PDF / PPTX / PNG+OCR / DOCX — the
+    full TypeConverter family) through the magic-byte dispatcher →
+    interleaved spans, exploded."""
     from ocr_search_spark.operators.convert import convert_to_spans
 
     ensure_shipped(spark)
-    payloads = _container_payloads(spark, sf_dir, "doc_id % 3")
+    payloads = _container_payloads(spark, sf_dir, "doc_id % 4")
     return _exploded_spans(convert_to_spans(payloads))
 
 
 _CONVERT_ORACLE = """
 WITH w AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id % 3 AS fmt,
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id % 4 AS fmt,
          string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS nw
   FROM documents
 ),
 cfg AS (
   SELECT *,
-         CASE fmt WHEN 0 THEN 6 WHEN 1 THEN 5 ELSE 4 END AS lw,
-         CASE fmt WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE 2147483647 END AS lpp
+         CASE fmt WHEN 0 THEN 6 WHEN 1 THEN 5 WHEN 3 THEN 7 ELSE 4 END AS lw,
+         CASE fmt WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 3 THEN 2
+                  ELSE 2147483647 END AS lpp
   FROM w
 ),
 lines AS (
@@ -10436,6 +10450,43 @@ SELECT c.doc_id,
        CAST(l.i % 3 AS INT) AS para_idx,
        array_to_string(list_slice(c.ws, l.i*5 + 1, least((l.i+1)*5, c.nw)), ' ') AS text
 FROM (SELECT doc_id, unnest(range((nw + 4) // 5)) AS i FROM w) l
+JOIN w c USING (doc_id)
+"""
+
+
+def q_docx_page_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVERY document as a real DOCX (7-word paragraphs, 2 per page,
+    explicit ``w:br type=page`` boundaries), decoded via the OOXML
+    package-rels walk (docxmini); output re-derives the
+    (page_idx, para_idx) grid from span offsets. Completes the
+    reference's TypeConverter family (docx2pdf,
+    TypeConverter.class.js:70-127) with a real parser instead of a
+    LibreOffice subprocess."""
+    from ocr_search_spark.operators.convert import docx_to_spans
+
+    ensure_shipped(spark)
+    payloads = _container_payloads(spark, sf_dir, "3")
+    spans = _exploded_spans(docx_to_spans(payloads))
+    return spans.where(F.col("kind") == "text").select(
+        "doc_id",
+        (F.col("offset") / 3).cast("int").alias("page_idx"),
+        (F.col("offset") % 3 - 1).cast("int").alias("para_idx"),
+        "text",
+    )
+
+
+_TRAINING_QUERIES["docx_page_paragraphs"] = q_docx_page_paragraphs
+_TRAINING_ORACLES["docx_page_paragraphs"] = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS nw
+  FROM documents
+)
+SELECT c.doc_id,
+       CAST(l.i // 2 AS INT) AS page_idx,
+       CAST(l.i % 2 AS INT) AS para_idx,
+       array_to_string(list_slice(c.ws, l.i*7 + 1, least((l.i+1)*7, c.nw)), ' ') AS text
+FROM (SELECT doc_id, unnest(range((nw + 6) // 7)) AS i FROM w) l
 JOIN w c USING (doc_id)
 """
 

@@ -5,7 +5,8 @@ converts one file at a time behind a numParallel=1 queue: PPTX →
 LibreOffice → PDF → pdftoppm per-page PNG + pdftotext per-page text.
 Here the same conversion is a single Arrow-batched ``mapInPandas``
 stage over a binary payload column, using the engine's dependency-free
-codecs (training/pdfmini.py, pptxmini.py, png.py + ocrglyph.py), so a
+codecs (training/pdfmini.py, pptxmini.py, docxmini.py, png.py +
+ocrglyph.py), so a
 10^12-document corpus converts at partition parallelism with zero
 subprocess fan-out and zero driver involvement.
 
@@ -56,15 +57,20 @@ def _pages_to_spans(doc_id: str, pages: list[list[str]]) -> list[tuple]:
 
 
 def sniff_format(payload: bytes) -> str:
-    """'pdf' | 'pptx' | 'png' | 'unknown' from magic bytes."""
+    """'pdf' | 'pptx' | 'docx' | 'png' | 'unknown' from magic bytes."""
     if payload[:5] == b"%PDF-":
         return "pdf"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if payload[:4] == b"PK\x03\x04":
+        from ocr_search_spark.training.docxmini import is_docx
         from ocr_search_spark.training.pptxmini import is_pptx
 
-        return "pptx" if is_pptx(payload) else "unknown"
+        if is_pptx(payload):
+            return "pptx"
+        if is_docx(payload):
+            return "docx"
+        return "unknown"
     return "unknown"
 
 
@@ -79,6 +85,10 @@ def _decode_pages(payload: bytes) -> list[list[str]]:
         from ocr_search_spark.training.pptxmini import decode_pptx
 
         return decode_pptx(payload)
+    if kind == "docx":
+        from ocr_search_spark.training.docxmini import decode_docx
+
+        return decode_docx(payload)
     if kind == "png":
         from ocr_search_spark.training.ocrglyph import ocr_page
         from ocr_search_spark.training.png import decode_png
@@ -131,10 +141,20 @@ def pptx_to_spans(df: DataFrame) -> DataFrame:
     return _to_spans(df, decode_pptx)
 
 
+def docx_to_spans(df: DataFrame) -> DataFrame:
+    """(doc_id, payload=DOCX bytes) → interleaved spans, one media +
+    N text spans per page-break-delimited page (docxmini.decode_docx,
+    real OOXML rels; reference path TypeConverter.class.js:70-127)."""
+    from ocr_search_spark.training.docxmini import decode_docx
+
+    return _to_spans(df, decode_docx)
+
+
 def convert_to_spans(df: DataFrame) -> DataFrame:
-    """Magic-byte dispatch per row: PDF / PPTX / PNG(OCR) payloads in
-    one mixed binary column → interleaved spans. The TypeConverter
-    chain as one vectorized stage; unknown formats record their error."""
+    """Magic-byte dispatch per row: PDF / PPTX / DOCX / PNG(OCR)
+    payloads in one mixed binary column → interleaved spans. The
+    TypeConverter chain as one vectorized stage; unknown formats record
+    their error."""
     return _to_spans(df, _decode_pages)
 
 

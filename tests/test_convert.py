@@ -67,10 +67,13 @@ def test_ocr_png_media(spark):
 
 
 def test_convert_dispatch_mixed(spark):
+    from ocr_search_spark.training.docxmini import encode_docx
+
     img = render_page(["png doc words"])
     rows = [
         ("pdfdoc", encode_pdf(["pdf doc words"])),
         ("pptdoc", encode_pptx([["pptx doc words"]])),
+        ("docdoc", encode_docx([["docx doc words"]])),
         ("pngdoc", encode_png(img[:, :, None], 0)),
         ("baddoc", b"\x00\x01\x02 garbage"),
     ]
@@ -78,6 +81,7 @@ def test_convert_dispatch_mixed(spark):
     for d, expect in [
         ("pdfdoc", "pdf doc words"),
         ("pptdoc", "pptx doc words"),
+        ("docdoc", "docx doc words"),
         ("pngdoc", "png doc words"),
     ]:
         texts = [s["text"] for s in out[d]["spans"] if s["kind"] == "text"]
@@ -86,12 +90,32 @@ def test_convert_dispatch_mixed(spark):
     assert out["baddoc"]["spans"] == [] and "unknown" in out["baddoc"]["error"]
 
 
+def test_docx_to_spans_page_breaks(spark):
+    from ocr_search_spark.operators.convert import docx_to_spans
+    from ocr_search_spark.training.docxmini import encode_docx
+
+    pages = [["first page para", "second para"], ["next page text"]]
+    out = docx_to_spans(_payload_df(spark, [("w1", encode_docx(pages))]))
+    row = out.collect()[0]
+    assert row["error"] is None and row["n_pages"] == 2
+    assert [s["offset"] for s in row["spans"]] == list(range(5))
+    assert [s["text"] for s in row["spans"] if s["kind"] == "text"] == [
+        "first page para", "second para", "next page text",
+    ]
+    assert [s["media_ref"] for s in row["spans"] if s["kind"] == "media"] == [
+        "w1/page-0.png", "w1/page-1.png",
+    ]
+
+
 def test_sniff_format():
+    from ocr_search_spark.training.docxmini import encode_docx
+
     assert sniff_format(encode_pdf(["x"])) == "pdf"
     assert sniff_format(encode_pptx([["x"]])) == "pptx"
+    assert sniff_format(encode_docx([["x"]])) == "docx"
     arr = np.zeros((3, 3, 1), dtype=np.uint8)
     assert sniff_format(encode_png(arr, 0)) == "png"
-    assert sniff_format(b"PK\x03\x04 but not pptx") == "unknown"
+    assert sniff_format(b"PK\x03\x04 but not an ooxml doc") == "unknown"
     assert sniff_format(b"???") == "unknown"
 
 
