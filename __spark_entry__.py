@@ -1971,6 +1971,10 @@ _GATE_PRIORITY = [
     # convert_interleaved row, which now runs a doc_id%4 mix INCLUDING
     # real DOCX payloads through the dispatcher; check_entry-verified
     # at sf0.001 AND sf0.01 this session + test_docxmini round-trips).
+    # ocr_layout_reading_order (optically-recovered word boxes + XY-cut
+    # = layout_reading_order's in-window row + ocr_page_text/
+    # page_media_render rows for the render/PNG/OCR chain;
+    # check_entry-verified at sf0.001 AND sf0.01 this session).
 ]
 
 
@@ -10714,6 +10718,89 @@ def q_pptx_layout_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRAINING_QUERIES["pptx_layout_reading_order"] = q_pptx_layout_reading_order
 _TRAINING_ORACLES["pptx_layout_reading_order"] = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS nw
+  FROM documents
+),
+l AS (
+  SELECT c.doc_id, l.i, (c.nw + 3) // 4 AS nl,
+         array_to_string(list_slice(c.ws, l.i*4 + 1, least((l.i+1)*4, c.nw)), ' ') AS line
+  FROM (SELECT doc_id, unnest(range((nw + 3) // 4)) AS i FROM w) l
+  JOIN w c USING (doc_id)
+)
+SELECT doc_id,
+       CAST(CASE WHEN i % 2 = 0 THEN i // 2 + 1
+                 ELSE (nl + 1) // 2 + i // 2 + 1 END AS INT) AS rnk,
+       CAST(i % 2 AS INT) AS col,
+       line AS text
+FROM l
+"""
+
+
+def _encode_twocol_png_iter(batches):
+    """(doc_id, text) → PNG page bitmaps rendered in a two-column
+    layout: 4-word chunks, even chunks left (x=4), odd right (x =
+    4 + 6·max-left-len + 30, so the column channel is ≥ 29 px wide for
+    ANY document), row r at y = 4 + 12r. Row filter = doc_id % 5."""
+    import pandas as pd
+
+    from ocr_search_spark.training.ocrglyph import render_page_at
+    from ocr_search_spark.training.png import encode_png
+
+    for b in batches:
+        payloads = []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            lines = _chunk_words(text.split(" "), 4)
+            right_x = 4 + 6 * max(len(ln) for ln in lines[0::2]) + 30
+            boxes = [
+                (4 if i % 2 == 0 else right_x, 4 + 12 * (i // 2), ln)
+                for i, ln in enumerate(lines)
+            ]
+            img = render_page_at(boxes)
+            payloads.append(encode_png(img[:, :, None], int(doc_id) % 5))
+        yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+
+def q_ocr_layout_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OCR face of north-rule layout parsing: every document is
+    rendered as a two-column page BITMAP, PNG-encoded (all five row
+    filters across the corpus), then the geometry is recovered
+    OPTICALLY — glyph OCR emits positioned word-segment boxes (the
+    hOCR analog of the reference's Tesseract stage) and XY-cut restores
+    column-major reading order. Unlike the pdf/pptx layout entries, no
+    coordinates travel with the payload: x/y exist only as pixels."""
+    from ocr_search_spark.operators.convert import ocr_layout_boxes
+    from ocr_search_spark.operators.pagelayout import reading_order
+
+    ensure_shipped(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    payloads = docs.repartition(8, "doc_id").mapInPandas(
+        _encode_twocol_png_iter, schema="doc_id string, payload binary"
+    )
+    raw = ocr_layout_boxes(payloads)
+    bad = raw.where(F.col("error").isNotNull()).count()
+    assert bad == 0, f"{bad} OCR layout decode errors"
+    boxes = raw.select(
+        "doc_id",
+        "page",
+        F.col("seq").alias("box_id"),
+        F.col("x").alias("x0"),
+        (F.col("x") + 6 * F.length("text")).alias("x1"),
+        F.col("y").alias("y0"),
+        (F.col("y") + 7).alias("y1"),
+        "text",
+    )
+    ranked = reading_order(boxes, page_col="page", min_gap=20)
+    return ranked.join(
+        boxes.select("doc_id", "box_id", "text"), ["doc_id", "box_id"]
+    ).select("doc_id", F.col("rank").alias("rnk"), "col", "text")
+
+
+_TRAINING_QUERIES["ocr_layout_reading_order"] = q_ocr_layout_reading_order
+_TRAINING_ORACLES["ocr_layout_reading_order"] = """
 WITH w AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS nw

@@ -325,3 +325,39 @@ def pptx_layout_boxes(df: DataFrame) -> DataFrame:
         schema="doc_id string, page int, seq int, x long, y long, "
         "text string, error string",
     )
+
+
+def _ocr_layout_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ocr_search_spark.training.ocrglyph import ocr_page_boxes
+    from ocr_search_spark.training.png import decode_png
+
+    for pdf_batch in batches:
+        rows = []
+        for doc_id, payload in zip(pdf_batch["doc_id"], pdf_batch["payload"]):
+            try:
+                arr = decode_png(bytes(payload))
+                img = arr[:, :, 0] if arr.ndim == 3 else arr
+                for s, (x, y, t) in enumerate(ocr_page_boxes(img)):
+                    rows.append((doc_id, 0, s, x, y, t, None))
+            except Exception as exc:
+                rows.append((doc_id, None, None, None, None, None, str(exc)))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "page", "seq", "x", "y", "text", "error"]
+        )
+
+
+def ocr_layout_boxes(df: DataFrame) -> DataFrame:
+    """(doc_id, payload=PNG page bytes) → positioned recognized text
+    segments: (page=0, seq = scan order, x/y = pixel coords with y
+    DOWN, text). The OCR face of layout parsing — where
+    ``pdf_layout_boxes``/``pptx_layout_boxes`` read coordinates out of
+    the container, here the geometry is RECOVERED optically from the
+    rendered page bitmap (ocrglyph.ocr_page_boxes), which is what the
+    Tesseract stage of the reference chain would emit (hOCR word
+    boxes). Same downstream contract: feed to
+    ``operators.pagelayout.reading_order``."""
+    return df.select("doc_id", "payload").mapInPandas(
+        _ocr_layout_iter,
+        schema="doc_id string, page int, seq int, x int, y int, "
+        "text string, error string",
+    )
