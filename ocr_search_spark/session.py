@@ -27,9 +27,20 @@ def get_spark(
     initial value) — the point is it is never the Spark default 200 for
     tiny local data nor 200 for a 1000-executor cluster.
     """
+    # Master resolution: an explicit ``cores`` arg or SPARK_GRAFT_CPUS
+    # pins local[N] (the test/bench harness). Under spark-submit the
+    # JVM gateway already runs (PYSPARK_GATEWAY_PORT is exported by
+    # PythonRunner) and carries --master in its conf — setting
+    # .master() here would silently override the cluster deployment
+    # the north rule requires, so in that case we set nothing and let
+    # the submitted conf win. Standalone library use keeps local[N].
+    explicit = cores is not None or bool(os.environ.get("SPARK_GRAFT_CPUS"))
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
-    master = f"local[{cores}]"
+    master: str | None = f"local[{cores}]"
+    if submitted and not explicit:
+        master = None
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
 
@@ -46,7 +57,7 @@ def get_spark(
         )
 
     builder = (
-        SparkSession.builder.master(master)
+        (SparkSession.builder.master(master) if master else SparkSession.builder)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -294,3 +294,62 @@ def test_binary_source_search_end_to_end(spark, out_dir):
 
     hits = match_terms(post, ["xylophone"]).collect()
     assert [h["doc_id"] for h in hits] == ["w1"]
+
+
+def test_spark_submit_py_files_end_to_end(corpus_df, tmp_path):
+    """The LITERAL north-rule deployment: ``spark-submit --master
+    local[2] --py-files <zip> job.py extract …`` as a real subprocess,
+    with the job file copied OUTSIDE the repo so ``ocr_search_spark``
+    can resolve only from the shipped zip (driver and executor Python
+    workers alike), and the submitted master honored by get_spark."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import ocr_search_spark
+    from ocr_search_spark.deploy import package_zip
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pyspark
+
+        spark_submit = os.path.join(
+            os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+        )
+    docs_path = str(tmp_path / "docs")
+    corpus_df.select("doc_id", "spans").limit(40).write.parquet(docs_path)
+    job_file = tmp_path / "submit_job.py"
+    shutil.copyfile(
+        Path(ocr_search_spark.__file__).parent / "__main__.py", job_file
+    )
+    out_dir = str(tmp_path / "wh")
+    env = {
+        **os.environ,
+        "PYSPARK_PYTHON": sys.executable,
+        "PYSPARK_DRIVER_PYTHON": sys.executable,
+    }
+    env.pop("PYTHONPATH", None)  # the zip must be the ONLY import path
+    env.pop("SPARK_GRAFT_CPUS", None)  # must not pin a local master
+    res = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", package_zip(),
+            str(job_file),
+            "extract", "--input", docs_path, "--out", out_dir,
+            "--n-buckets", "2", "--run-id", "submit",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        env=env,
+        timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-4000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["run_id"] == "submit"
+    assert summary["buckets_processed"] == 2
