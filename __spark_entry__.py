@@ -1834,7 +1834,14 @@ _GATE_PRIORITY = [
     # stage — a new operator class). Slot freed by tpch_q21 (EXISTS/NOT
     # EXISTS semi/anti shapes = tpch_q4's slot + tpch_q22's window row).
     "layout_reading_order",
-    "quantiles_pricing", "zorder_curve",
+    # session-14 flagship: RECURSIVE XY-cut (title-band-over-columns
+    # pages that single-cut column detection provably cannot order —
+    # new machinery, so it takes a window slot). Slot freed by
+    # quantiles_pricing (grouped exact-percentile aggregate shape =
+    # tpch_q1's r2 row + profile_documents' in-window row +
+    # events_outliers' overflow entry; stays check_entry-verified).
+    "layout_xycut_title",
+    "zorder_curve",
     # session-5 training-mix ops — first-class curation operators take
     # the window slots of four shape-siblings (see overflow note below)
     "semantic_dedup", "weighted_sample", "gopher_filters",
@@ -1975,6 +1982,8 @@ _GATE_PRIORITY = [
     # = layout_reading_order's in-window row + ocr_page_text/
     # page_media_render rows for the render/PNG/OCR chain;
     # check_entry-verified at sf0.001 AND sf0.01 this session).
+    # quantiles_pricing (evicted for layout_xycut_title, see above).
+    "quantiles_pricing",
 ]
 
 
@@ -10818,4 +10827,107 @@ SELECT doc_id,
        CAST(i % 2 AS INT) AS col,
        line AS text
 FROM l
+"""
+
+
+def _encode_title_twocol_pptx_iter(batches):
+    """(doc_id, text) → decks with a TITLE BAND over two columns: words
+    1-4 left-title at (48,48) px, words 5-8 right-title at (right_x,48),
+    the rest as 4-word chunks in two columns from y=148 (14-px rows).
+    right_x = 48 + 6·max-left-len + 30, so the vertical channel is
+    exactly ~30 px while the title/body horizontal channel is 88 px —
+    the recursive cut MUST go horizontal first or the title band
+    interleaves with the columns."""
+    import pandas as pd
+
+    from ocr_search_spark.training.pptxmini import encode_pptx_layout
+
+    EMU = 9525
+    for b in batches:
+        payloads = []
+        for text in b["text"]:
+            words = text.split(" ")
+            tl = " ".join(words[:4])
+            tr = " ".join(words[4:8])
+            body = _chunk_words(words[8:], 4)
+            left_lens = [len(tl)] + [len(ln) for ln in body[0::2]]
+            rx = 48 + 6 * max(left_lens) + 30
+            shapes = [(48 * EMU, 48 * EMU, tl)]
+            if tr:
+                shapes.append((rx * EMU, 48 * EMU, tr))
+            for i, ln in enumerate(body):
+                x = 48 if i % 2 == 0 else rx
+                shapes.append((x * EMU, (148 + 14 * (i // 2)) * EMU, ln))
+            payloads.append(encode_pptx_layout([shapes]))
+        yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+
+def q_layout_xycut_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive XY-cut over title-band pages: a full-width-ish title
+    row above a two-column body defeats single-cut column detection
+    (every full-height vertical channel is ~30 px while the title/body
+    horizontal channel is 88 px), so reading_order_xy must cut
+    HORIZONTALLY first, then vertically inside each band — title
+    shapes, then the left column, then the right column."""
+    from ocr_search_spark.operators.convert import pptx_layout_boxes
+    from ocr_search_spark.operators.pagelayout import reading_order_xy
+
+    ensure_shipped(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    payloads = docs.repartition(8, "doc_id").mapInPandas(
+        _encode_title_twocol_pptx_iter, schema="doc_id string, payload binary"
+    )
+    raw = pptx_layout_boxes(payloads)
+    bad = raw.where(F.col("error").isNotNull()).count()
+    assert bad == 0, f"{bad} pptx layout decode errors"
+    boxes = raw.select(
+        "doc_id",
+        "page",
+        F.col("seq").alias("box_id"),
+        (F.col("x") / 9525).cast("int").alias("x0"),
+        (F.col("x") / 9525 + 6 * F.length("text")).cast("int").alias("x1"),
+        (F.col("y") / 9525).cast("int").alias("y0"),
+        (F.col("y") / 9525 + 12).cast("int").alias("y1"),
+        "text",
+    )
+    ranked = reading_order_xy(boxes, page_col="page", min_gap=20, depth=3)
+    return ranked.join(
+        boxes.select("doc_id", "box_id", "text"), ["doc_id", "box_id"]
+    ).select("doc_id", F.col("rank").alias("rnk"), "text")
+
+
+_TRAINING_QUERIES["layout_xycut_title"] = q_layout_xycut_title
+_TRAINING_ORACLES["layout_xycut_title"] = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS nw
+  FROM documents
+),
+title AS (
+  SELECT doc_id, 1 AS rnk,
+         array_to_string(list_slice(ws, 1, least(4, nw)), ' ') AS text
+  FROM w
+  UNION ALL
+  SELECT doc_id, 2, array_to_string(list_slice(ws, 5, least(8, nw)), ' ')
+  FROM w WHERE nw >= 5
+),
+b AS (
+  SELECT doc_id, ws, nw, (nw - 8 + 3) // 4 AS nl,
+         CASE WHEN nw >= 5 THEN 2 ELSE 1 END AS base
+  FROM w WHERE nw > 8
+),
+body AS (
+  SELECT c.doc_id,
+         c.base + CASE WHEN l.i % 2 = 0 THEN l.i // 2 + 1
+                       ELSE (c.nl + 1) // 2 + l.i // 2 + 1 END AS rnk,
+         array_to_string(list_slice(c.ws, 8 + l.i*4 + 1,
+                                    least(8 + (l.i+1)*4, c.nw)), ' ') AS text
+  FROM (SELECT doc_id, unnest(range(nl)) AS i FROM b) l
+  JOIN b c USING (doc_id)
+)
+SELECT doc_id, CAST(rnk AS INT) AS rnk, text FROM title
+UNION ALL
+SELECT doc_id, CAST(rnk AS INT) AS rnk, text FROM body
 """

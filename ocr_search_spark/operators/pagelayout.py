@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["reading_order", "strip_page_chrome", "table_structure", "table_cells", "table_markdown", "figure_captions"]
+__all__ = ["reading_order", "reading_order_xy", "strip_page_chrome", "table_structure", "table_cells", "table_markdown", "figure_captions"]
 
 
 def reading_order(
@@ -75,6 +75,103 @@ def reading_order(
         *keys,
         "box_id",
         col.cast("int").alias("col"),
+        F.row_number().over(wr).cast("int").alias("rank"),
+    )
+
+
+def _best_cut(
+    g: DataFrame, part: list, axis: str, min_gap: int
+) -> DataFrame:
+    """Per region: the widest whitespace channel on one axis.
+
+    ``axis`` is 'x' or 'y'. Returns (part…, _{axis}cut2, _{axis}best):
+    the winning channel's midpoint (carried doubled, division-free) and
+    its width, for regions whose best channel is ≥ min_gap. Same
+    running-max construction as :func:`reading_order`: order by the
+    axis' low edge, a channel before box b is ``lo(b) − max_prev_hi``
+    when positive — whitespace the region's full extent crosses."""
+    lo, hi = (f"{axis}0", f"{axis}1")
+    wx = W.partitionBy(*part).orderBy(lo, hi, "box_id")
+    prev_max = F.max(hi).over(wx.rowsBetween(W.unboundedPreceding, -1))
+    g = g.withColumn(
+        "_gap",
+        F.when(
+            prev_max.isNotNull() & (F.col(lo) > prev_max),
+            F.col(lo) - prev_max,
+        ).otherwise(F.lit(0)),
+    ).withColumn("_split2", F.col(lo) + prev_max)
+    wg = W.partitionBy(*part).orderBy(F.desc("_gap"), lo, "box_id")
+    return (
+        g.withColumn("_rn", F.row_number().over(wg))
+        .where((F.col("_rn") == 1) & (F.col("_gap") >= min_gap))
+        .select(
+            *part,
+            F.col("_split2").alias(f"_{axis}cut2"),
+            F.col("_gap").alias(f"_{axis}best"),
+        )
+    )
+
+
+def reading_order_xy(
+    boxes: DataFrame,
+    doc_col: str = "doc_id",
+    page_col: str = "page",
+    min_gap: int = 80,
+    depth: int = 3,
+) -> DataFrame:
+    """Recursive XY-cut reading order (Nagy et al.), ``depth`` levels.
+
+    :func:`reading_order` performs the first level only and on one axis
+    only, which single-cut two-column pages need — but a full-width
+    title band above two columns defeats it (the band's x-extent
+    destroys every full-height vertical channel), and a three-column
+    page needs a second cut. This is the classic recursion, unrolled a
+    fixed ``depth`` so it stays a static DataFrame plan: at each level,
+    WITHIN each current region, find the widest whitespace channel on
+    each axis; if the best is ≥ ``min_gap``, cut there — the wider axis
+    wins, HORIZONTAL preferred on exact ties (pinned; top-to-bottom
+    bands are read before columns). Boxes take side 0 (top/left) or 1
+    (bottom/right) of their region's cut; uncut regions keep side 0.
+    Reading order = row_number over (side₁ … side_d, y0, x0, box_id):
+    lexicographic region paths ARE the recursion's visit order, because
+    side 0 reads before side 1 on both axes.
+
+    ``boxes`` columns: doc_col, page_col, box_id, x0, y0, x1, y1 —
+    integers, lo < hi. Scale shape: per level, two window passes and
+    two page-keyed joins, all partitioned by (doc, page, sides-so-far)
+    — never corpus-wide; depth is a small constant (3 handles
+    title-over-columns and four-column spreads)."""
+    keys = [doc_col, page_col]
+    cur = boxes
+    sides: list[str] = []
+    for lvl in range(depth):
+        part = keys + sides
+        bv = _best_cut(cur, part, "x", min_gap)
+        bh = _best_cut(cur, part, "y", min_gap)
+        cur = cur.join(bv, part, "left").join(bh, part, "left")
+        use_h = F.col("_ybest").isNotNull() & (
+            F.col("_xbest").isNull() | (F.col("_ybest") >= F.col("_xbest"))
+        )
+        side = (
+            F.when(use_h, (F.col("y0") * 2 >= F.col("_ycut2")).cast("int"))
+            .when(
+                F.col("_xbest").isNotNull(),
+                (F.col("x0") * 2 >= F.col("_xcut2")).cast("int"),
+            )
+            .otherwise(F.lit(0))
+        )
+        s = f"_s{lvl}"
+        cur = cur.withColumn(s, side).drop(
+            "_xcut2", "_xbest", "_ycut2", "_ybest"
+        )
+        sides.append(s)
+    wr = W.partitionBy(*keys).orderBy(
+        *sides, F.col("y0"), F.col("x0"), F.col("box_id")
+    )
+    return cur.select(
+        *keys,
+        "box_id",
+        F.concat_ws("", *sides).alias("region"),
         F.row_number().over(wr).cast("int").alias("rank"),
     )
 

@@ -303,3 +303,70 @@ def test_figureless_page_drops_caption_and_pages_do_not_mix(spark):
         (4, 2, 10, "caption", 120, 360, 380, 390),  # page 2: no figure
     ]
     assert figure_captions(_blocks(spark, rows)).count() == 0
+
+
+def _xy_ranks(df, **kw):
+    from ocr_search_spark.operators.pagelayout import reading_order_xy
+
+    out = reading_order_xy(df, **kw).collect()
+    return [r["box_id"] for r in sorted(out, key=lambda r: r["rank"])]
+
+
+def test_xycut_title_band_over_two_columns(spark):
+    # full-width title destroys every vertical channel; the recursive
+    # cut goes horizontal first (wider gap), then vertical inside the
+    # body — title, left column, right column. The single-cut
+    # reading_order provably cannot do this (no column detected).
+    rows = [
+        (1, 0, 0, 0, 0, 500, 12),      # title spans both columns
+        (1, 0, 1, 0, 100, 180, 112),   # left r0
+        (1, 0, 2, 300, 100, 480, 112), # right r0
+        (1, 0, 3, 0, 120, 180, 132),   # left r1
+        (1, 0, 4, 300, 120, 480, 132), # right r1
+    ]
+    df = _boxes(spark, rows)
+    assert _xy_ranks(df, min_gap=50, depth=3) == [0, 1, 3, 2, 4]
+    single = reading_order(df, min_gap=50).collect()
+    assert [r["box_id"] for r in sorted(single, key=lambda r: r["rank"])] == [
+        0, 1, 2, 3, 4,
+    ]  # interleaved = wrong — documents why reading_order_xy exists
+
+
+def test_xycut_three_columns_column_major(spark):
+    rows = [
+        (1, 0, r * 3 + c, c * 200, r * 20, c * 200 + 150, r * 20 + 12)
+        for r in range(2)
+        for c in range(3)
+    ]
+    assert _xy_ranks(_boxes(spark, rows), min_gap=30, depth=3) == [
+        0, 3, 1, 4, 2, 5,
+    ]
+
+
+def test_xycut_wider_gap_wins_and_tie_prefers_horizontal(spark):
+    # vertical channel 40 wide, horizontal channel 60 wide → horizontal
+    # cut first: top band fully before bottom band
+    rows = [
+        (1, 0, 0, 0, 0, 100, 10),
+        (1, 0, 1, 140, 0, 240, 10),
+        (1, 0, 2, 0, 70, 100, 80),
+        (1, 0, 3, 140, 70, 240, 80),
+    ]
+    assert _xy_ranks(_boxes(spark, rows), min_gap=30, depth=1) == [0, 1, 2, 3]
+    # exact tie (both 40): horizontal pinned
+    rows_tie = [
+        (1, 0, 0, 0, 0, 100, 10),
+        (1, 0, 1, 140, 0, 240, 10),
+        (1, 0, 2, 0, 50, 100, 60),
+        (1, 0, 3, 140, 50, 240, 60),
+    ]
+    assert _xy_ranks(_boxes(spark, rows_tie), min_gap=30, depth=1) == [0, 1, 2, 3]
+
+
+def test_xycut_no_gap_falls_back_to_scan_order(spark):
+    rows = [
+        (1, 0, 0, 0, 0, 100, 10),
+        (1, 0, 1, 105, 0, 200, 10),
+        (1, 0, 2, 0, 14, 100, 24),
+    ]
+    assert _xy_ranks(_boxes(spark, rows), min_gap=50, depth=3) == [0, 1, 2]
