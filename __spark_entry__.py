@@ -1882,7 +1882,15 @@ _GATE_PRIORITY = [
     # communities_lpa sibling; stays check_entry-verified in overflow).
     "convert_interleaved",
     "bpe_merges",
-    "postings_compression", "profile_documents",
+    # session-15 flagship: WARC crawl-archive ingestion (ISO 28500
+    # framing + HTTP parse + the BOM > charset-param > UTF-8 decode
+    # rule, all three paths live in the fixture) — a new source-format
+    # family, so it takes a window slot. Slot freed by
+    # profile_documents (grouped doc-profiling aggregate shape =
+    # source_mix's in-window row + source_regression's overflow
+    # sibling; stays check_entry-verified below).
+    "warc_extract",
+    "postings_compression",
     # Entries 51+ below exceed the 50-entry driver window on purpose:
     # every rowless query can't fit, so the overflow picks queries whose
     # key code path already earns a driver row through a sibling entry —
@@ -1984,6 +1992,12 @@ _GATE_PRIORITY = [
     # check_entry-verified at sf0.001 AND sf0.01 this session).
     # quantiles_pricing (evicted for layout_xycut_title, see above).
     "quantiles_pricing",
+    # profile_documents (evicted for warc_extract, see above).
+    # Session-15 overflow: warc_main_content (archive explode = the
+    # in-window warc_extract row; the downstream block algebra =
+    # html_main_content's own oracle entry, same _html_oracle replay;
+    # check_entry-verified at sf0.001 AND sf0.01 this session).
+    "profile_documents",
 ]
 
 
@@ -10043,7 +10057,11 @@ def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_main_content(pages)
 
 
-def _html_oracle() -> str:
+def _html_oracle(hx_sql: str | None = None) -> str:
+    """DuckDB replay of webtext.html_main_content. ``hx_sql`` overrides
+    the page-synthesis CTE body (must yield columns doc_id, h) so
+    chained entries (warc_main_content) reuse the same block algebra
+    over a different fixture."""
     subtrees = ("script", "style", "head", "nav", "header", "footer", "aside")
     t = "h"
     for tag in subtrees:
@@ -10055,8 +10073,10 @@ def _html_oracle() -> str:
     )
     pre = _HTML_PRE.replace("'", "''")
     post = _HTML_POST.replace("'", "''")
+    if hx_sql is None:
+        hx_sql = f"SELECT doc_id, '{pre}' || text || '{post}' AS h FROM documents"
     return f"""WITH hx AS (
-  SELECT doc_id, '{pre}' || text || '{post}' AS h FROM documents
+  {hx_sql}
 ),
 st AS (SELECT doc_id, {t} AS t FROM hx),
 sc AS (
@@ -10931,3 +10951,152 @@ SELECT doc_id, CAST(rnk AS INT) AS rnk, text FROM title
 UNION ALL
 SELECT doc_id, CAST(rnk AS INT) AS rnk, text FROM body
 """
+
+
+# ---------------------------------------------- WARC crawl ingestion
+# Session-15: the crawl-archive source format (ISO 28500) — what a
+# web-scale extraction tier actually reads instead of the reference's
+# one-file-per-document folder listing (DropboxSynchronizer.class.js:
+# 125-156). Fixture: every document becomes one request+response
+# capture pair; captures group (doc_id % 16) into real multi-record
+# WARC files via warcmini.encode_warc_file, so each archive interleaves
+# warcinfo/request/response records exactly as a crawl writer would.
+# Status/charset mix exercises the full pinned decode rule:
+#   doc_id % 7 == 0 → HTTP 404, text/plain body;
+#   else doc_id % 3 == 0 → utf-8 with charset param,
+#        doc_id % 3 == 1 → iso-8859-1 with accented bytes (the
+#                          charset-param decode path),
+#        doc_id % 3 == 2 → BOM'd utf-16-le with NO charset param (the
+#                          BOM-sniff path).
+# warc_extract value-hashes the exploded response rows (url, status,
+# content type, decoded text); warc_main_content chains the
+# 200/text-html bodies through webtext.html_main_content — crawl bytes
+# → archive explode → charset decode → boilerplate strip, end to end.
+
+_WARC_ACCENT = " café München"
+
+
+def _warc_build_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    import pandas as pd
+
+    from ocr_search_spark.training.warcmini import encode_warc_file
+
+    rows = pdf.sort_values("doc_id")
+    caps = []
+    for doc_id, text in zip(rows["doc_id"], rows["text"]):
+        doc_id = int(doc_id)
+        url = f"http://corpus.example/doc/{doc_id}"
+        if doc_id % 7 == 0:
+            caps.append(
+                {
+                    "record_id": doc_id,
+                    "url": url,
+                    "status": 404,
+                    "reason": "Not Found",
+                    "content_type": "text/plain; charset=utf-8",
+                    "body": b"not found",
+                }
+            )
+            continue
+        m = doc_id % 3
+        page = _HTML_PRE + text + (_WARC_ACCENT if m == 1 else "") + _HTML_POST
+        if m == 0:
+            ctype, body = "text/html; charset=utf-8", page.encode("utf-8")
+        elif m == 1:
+            ctype, body = "text/html; charset=iso-8859-1", page.encode("latin-1")
+        else:
+            ctype, body = "text/html", b"\xff\xfe" + page.encode("utf-16-le")
+        caps.append(
+            {
+                "record_id": doc_id,
+                "url": url,
+                "status": 200,
+                "reason": "OK",
+                "content_type": ctype,
+                "body": body,
+            }
+        )
+    gid = int(rows["doc_id"].iloc[0]) % 16
+    return pd.DataFrame(
+        {
+            "warc_id": [f"warc-{gid}"],
+            "payload": [encode_warc_file(caps, filename=f"warc-{gid}.warc")],
+        }
+    )
+
+
+def _warc_archives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", (F.col("doc_id") % 16).alias("grp")
+    )
+    return docs.groupBy("grp").applyInPandas(
+        lambda pdf: _warc_build_group(pdf),
+        schema="warc_id string, payload binary",
+    )
+
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16 multi-record WARC archives exploded to response rows by
+    operators/warc.warc_responses; asserts zero per-record errors (all
+    three charset paths must decode)."""
+    from ocr_search_spark.operators.warc import warc_responses
+
+    ensure_shipped(spark)
+    out = warc_responses(_warc_archives(spark, sf_dir))
+    bad = out.where(F.col("error").isNotNull()).count()
+    assert bad == 0, f"{bad} warc record errors"
+    return out.select("warc_id", "url", "status", "content_type", "text")
+
+
+def _warc_oracle() -> str:
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    return f"""SELECT 'warc-' || (doc_id % 16) AS warc_id,
+       'http://corpus.example/doc/' || doc_id AS url,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INT) AS status,
+       CASE WHEN doc_id % 7 = 0 THEN 'text/plain; charset=utf-8'
+            WHEN doc_id % 3 = 0 THEN 'text/html; charset=utf-8'
+            WHEN doc_id % 3 = 1 THEN 'text/html; charset=iso-8859-1'
+            ELSE 'text/html' END AS content_type,
+       CASE WHEN doc_id % 7 = 0 THEN 'not found'
+            ELSE '{pre}' || text ||
+                 CASE WHEN doc_id % 3 = 1 THEN '{_WARC_ACCENT}' ELSE '' END ||
+                 '{post}' END AS text
+FROM documents"""
+
+
+_TRAINING_QUERIES["warc_extract"] = q_warc_extract
+_TRAINING_ORACLES["warc_extract"] = _warc_oracle()
+
+
+def q_warc_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl chain: WARC archives → response rows → keep HTTP 200
+    text/html → html_main_content boilerplate strip. The id comes back
+    out of the capture URL, so the output joins against documents
+    without any side channel."""
+    from ocr_search_spark.operators.warc import warc_responses
+    from ocr_search_spark.operators.webtext import html_main_content
+
+    ensure_shipped(spark)
+    out = warc_responses(_warc_archives(spark, sf_dir))
+    pages = out.where(
+        (F.col("status") == 200) & F.col("content_type").startswith("text/html")
+    ).select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("id"),
+        F.col("text").alias("html"),
+    )
+    return html_main_content(pages)
+
+
+def _warc_main_hx() -> str:
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    return f"""SELECT doc_id,
+         '{pre}' || text ||
+         CASE WHEN doc_id % 3 = 1 THEN '{_WARC_ACCENT}' ELSE '' END ||
+         '{post}' AS h
+  FROM documents WHERE doc_id % 7 <> 0"""
+
+
+_TRAINING_QUERIES["warc_main_content"] = q_warc_main_content
+_TRAINING_ORACLES["warc_main_content"] = _html_oracle(hx_sql=_warc_main_hx())

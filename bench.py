@@ -195,6 +195,9 @@ def main() -> None:
         "convert_interleaved",
         "pdf_roundtrip",
         "ocr_page_text",
+        # session-15: WARC crawl-archive ingestion
+        "warc_extract",
+        "warc_main_content",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:
