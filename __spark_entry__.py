@@ -1818,7 +1818,13 @@ _GATE_PRIORITY = [
     # new in round 3
     "dedup_skewed", "correlations_incremental", "search_batch_bm25",
     "png_pixel_stats", "postings_wordnet",
-    "tpch_q4",
+    # session-15 flagship: URL canonicalization (regex parse + iterated
+    # dot-segment rewrite + public-suffix registered-domain table, all
+    # shuffle-free columnar) — a new crawl-curation operator family, so
+    # it takes a window slot. Slot freed by tpch_q4 (EXISTS semi-join
+    # count shape = tpch_q22's in-window NOT-EXISTS row + tpch_q21's
+    # overflow sibling; stays check_entry-verified below).
+    "url_canonical",
     "phrase_search", "embed_neardup", "dedup_containment",
     "redact_pii", "repetition_signals",
     # session-7 flagships: the hybrid retrieval stack (dense+sparse RRF
@@ -1998,6 +2004,12 @@ _GATE_PRIORITY = [
     # html_main_content's own oracle entry, same _html_oracle replay;
     # check_entry-verified at sf0.001 AND sf0.01 this session).
     "profile_documents",
+    # tpch_q4 (evicted for url_canonical, see above). domain_stats
+    # (grouped count + count-distinct shape = source_mix's in-window
+    # row; the canonicalization machinery it rides = url_canonical's
+    # in-window row; check_entry-verified at sf0.001 AND sf0.01 this
+    # session).
+    "tpch_q4",
 ]
 
 
@@ -11100,3 +11112,110 @@ def _warc_main_hx() -> str:
 
 _TRAINING_QUERIES["warc_main_content"] = q_warc_main_content
 _TRAINING_ORACLES["warc_main_content"] = _html_oracle(hx_sql=_warc_main_hx())
+
+
+# ---------------------------------------------- URL canonicalization
+# Session-15: crawl-curation URL algebra (operators/urlnorm.py) — the
+# stage that runs BEFORE any content work on a web corpus: canonical
+# form (scheme/host lowercase, default-port strip, dot-segment and
+# duplicate-slash resolution, query sort, fragment drop) plus
+# registered-domain extraction over a pinned public-suffix subset.
+# Fixture: every document gets a deterministically messy URL (doc_id%6
+# picks the defect, doc_id%4 the host family incl. two-label-suffix
+# hosts). The oracle does NOT replay the normalization — it computes
+# the expected canonical string directly from the generation rule, so
+# a wrong rewrite order or a suffix-table bug cannot self-confirm.
+
+_URL_HOST_RAW = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN 'WWW.Example.COM' WHEN 1 THEN 'Sub.Example.CO.UK' "
+    "WHEN 2 THEN 'Files.Example.ORG' ELSE 'img.example.CO.JP' END"
+)
+_URL_HOST_CANON = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN 'www.example.com' WHEN 1 THEN 'sub.example.co.uk' "
+    "WHEN 2 THEN 'files.example.org' ELSE 'img.example.co.jp' END"
+)
+_URL_DOMAIN = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN 'example.com' WHEN 1 THEN 'example.co.uk' "
+    "WHEN 2 THEN 'example.org' ELSE 'example.co.jp' END"
+)
+
+
+def _messy_url_sql(pg: str) -> str:
+    """Shared Spark/DuckDB SQL for the raw (messy) URL; ``pg`` is the
+    page-number expression as a string column."""
+    h = _URL_HOST_RAW
+    return (
+        "CASE CAST(doc_id % 6 AS INT) "
+        f"WHEN 0 THEN 'HTTP://' || {h} || ':80/a/b/page' || {pg} || '?z=9&a=1#frag' "
+        f"WHEN 1 THEN 'https://' || {h} || ':443/a/./b/page' || {pg} "
+        f"WHEN 2 THEN 'http://' || {h} || '/a/x/../b/page' || {pg} "
+        f"WHEN 3 THEN 'http://' || {h} || ':8080/p/./q/../r/page' || {pg} || '?b=2&a=1' "
+        f"WHEN 4 THEN 'http://' || {h} || '//a///b/page' || {pg} "
+        f"ELSE 'http://' || {h} || '/a/b/c/../../d/page' || {pg} || '#sec' END"
+    )
+
+
+def _canon_url_sql(pg: str) -> str:
+    """Oracle-side EXPECTED canonical form, derived from the fixture
+    rule (never from the operator)."""
+    hl = _URL_HOST_CANON
+    return (
+        "CASE CAST(doc_id % 6 AS INT) "
+        f"WHEN 0 THEN 'http://' || {hl} || '/a/b/page' || {pg} || '?a=1&z=9' "
+        f"WHEN 1 THEN 'https://' || {hl} || '/a/b/page' || {pg} "
+        f"WHEN 2 THEN 'http://' || {hl} || '/a/b/page' || {pg} "
+        f"WHEN 3 THEN 'http://' || {hl} || ':8080/p/r/page' || {pg} || '?a=1&b=2' "
+        f"WHEN 4 THEN 'http://' || {hl} || '/a/b/page' || {pg} "
+        f"ELSE 'http://' || {hl} || '/a/d/page' || {pg} END"
+    )
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Messy-URL fixture → canonicalize_urls; one shuffle-free
+    projection (asserted in test_urlnorm.py)."""
+    from ocr_search_spark.operators.urlnorm import canonicalize_urls
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr(_messy_url_sql("CAST(doc_id AS STRING)")).alias("url"),
+    )
+    return canonicalize_urls(docs).select(
+        "doc_id", "url", "canon_url", "host", "registered_domain"
+    )
+
+
+_TRAINING_QUERIES["url_canonical"] = q_url_canonical
+_TRAINING_ORACLES["url_canonical"] = f"""SELECT doc_id,
+       {_messy_url_sql("CAST(doc_id AS VARCHAR)")} AS url,
+       {_canon_url_sql("CAST(doc_id AS VARCHAR)")} AS canon_url,
+       {_URL_HOST_CANON} AS host,
+       {_URL_DOMAIN} AS registered_domain
+FROM documents"""
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain crawl summary over the messy-URL fixture
+    with page = doc_id % 50 so distinct-canonical counting has real
+    collisions to find (different spellings of one page collapse; the
+    %6 defect classes that canonicalize identically collapse too)."""
+    from ocr_search_spark.operators.urlnorm import domain_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr(_messy_url_sql("CAST(doc_id % 50 AS STRING)")).alias("url"),
+    )
+    return domain_stats(docs)
+
+
+_TRAINING_QUERIES["domain_stats"] = q_domain_stats
+_TRAINING_ORACLES["domain_stats"] = f"""WITH c AS (
+  SELECT {_URL_DOMAIN} AS registered_domain,
+         {_canon_url_sql("CAST(doc_id % 50 AS VARCHAR)")} AS canon
+  FROM documents
+)
+SELECT registered_domain, COUNT(*) AS n_captures,
+       COUNT(DISTINCT canon) AS n_unique_urls
+FROM c GROUP BY registered_domain"""

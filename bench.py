@@ -195,9 +195,11 @@ def main() -> None:
         "convert_interleaved",
         "pdf_roundtrip",
         "ocr_page_text",
-        # session-15: WARC crawl-archive ingestion
+        # session-15: WARC crawl-archive ingestion + URL canonicalization
         "warc_extract",
         "warc_main_content",
+        "url_canonical",
+        "domain_stats",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:

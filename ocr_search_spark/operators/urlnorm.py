@@ -1,0 +1,140 @@
+"""URL canonicalization for crawl curation — pure columnar plans.
+
+A crawl corpus keys on URLs, and the same page arrives under many
+spellings: uppercase scheme/host, explicit default ports, ``.``/``..``
+path segments, duplicate slashes, unsorted query parameters, fragments.
+The reference never needs this (its corpus is a folder listing), but a
+web-scale extraction tier dedups and groups BY canonical URL before any
+content work, so the normalization must be cheap enough to run on
+10^12 rows: everything here is built-in `pyspark.sql.functions`
+expressions — no UDF, no shuffle, whole-stage codegen end to end.
+
+Pinned canonicalization rule (RFC 3986 syntax-based normalization
+subset, applied in this order):
+  1. scheme and host lowercase;
+  2. default port stripped (``:80`` for http, ``:443`` for https);
+     any other explicit port is kept;
+  3. path: duplicate slashes collapse, ``/./`` segments drop, and
+     ``segment/../`` pairs resolve — iterated a fixed 8 rounds, which
+     resolves any nesting depth ≤ 8 (deeper paths converge partially
+     and deterministically; crawl URLs beyond that depth are vanishingly
+     rare and still canonicalize consistently with themselves);
+  4. query parameters sort bytewise on the full ``k=v`` token
+     (ampersand-split); an empty query drops its ``?``;
+  5. the fragment is removed entirely.
+
+Registered-domain extraction uses a pinned public-suffix SUBSET
+(documented, not the full Mozilla list — the rule is the operator; the
+suffix table is data a deployment would swap in): hosts ending in a
+listed two-label suffix keep three labels, everything else keeps two.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# two-label public suffixes honored by registered_domain_col (a pinned
+# subset of the public-suffix list; swap in the full table at deploy
+# time — the extraction rule does not change)
+TWO_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.nz", "co.za",
+)
+
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+
+def url_parts(url: Column) -> dict[str, Column]:
+    """scheme/authority/path/query columns of an absolute http(s) URL
+    (empty string where a part is absent)."""
+    return {
+        "scheme": F.lower(F.regexp_extract(url, _URL_RE, 1)),
+        "authority": F.regexp_extract(url, _URL_RE, 2),
+        "path": F.regexp_extract(url, _URL_RE, 3),
+        "query": F.regexp_extract(url, _URL_RE, 4),
+    }
+
+
+def _normalize_path(path: Column, rounds: int = 8) -> Column:
+    p = F.when(path == "", F.lit("/")).otherwise(path)
+    for _ in range(rounds):
+        p = F.regexp_replace(p, "//+", "/")
+        p = F.regexp_replace(p, "/\\./", "/")
+        # a '..' segment may not act as its own parent, hence the
+        # lookahead (Java regex; the oracle computes expected values
+        # from the fixture rule, so RE2 parity is not needed here)
+        p = F.regexp_replace(p, "/(?!\\.\\./)[^/]+/\\.\\./", "/")
+    return p
+
+
+def _normalize_query(query: Column) -> Column:
+    sorted_q = F.array_join(F.sort_array(F.split(query, "&")), "&")
+    return F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q))
+
+
+def canonical_url_col(url: Column) -> Column:
+    """The pinned canonical form (module docstring) as one columnar
+    expression."""
+    parts = url_parts(url)
+    host_port = F.lower(parts["authority"])
+    scheme = parts["scheme"]
+    stripped = (
+        F.when(scheme == "http", F.regexp_replace(host_port, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host_port, ":443$", ""))
+        .otherwise(host_port)
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        stripped,
+        _normalize_path(parts["path"]),
+        _normalize_query(parts["query"]),
+    )
+
+
+def host_col(url: Column) -> Column:
+    """Lowercased host without port."""
+    auth = F.lower(url_parts(url)["authority"])
+    return F.regexp_replace(auth, ":[0-9]+$", "")
+
+
+def registered_domain_col(host: Column) -> Column:
+    """Two labels, or three when the host ends in a pinned two-label
+    public suffix (TWO_LABEL_SUFFIXES)."""
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    two = F.array_join(F.slice(labels, -2, 2), ".")
+    three = F.array_join(F.slice(labels, -3, 3), ".")
+    is_suffix = two.isin(*TWO_LABEL_SUFFIXES)
+    return (
+        F.when(n <= 2, host)
+        .when(is_suffix & (n >= 3), three)
+        .otherwise(two)
+    )
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds canon_url / host / registered_domain columns — one
+    projection, no shuffle."""
+    host = host_col(F.col(url_col))
+    return df.withColumns(
+        {
+            "canon_url": canonical_url_col(F.col(url_col)),
+            "host": host,
+            "registered_domain": registered_domain_col(host),
+        }
+    )
+
+
+def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per registered domain: capture count and distinct canonical
+    URLs — the crawl-dedup summary (one hash aggregate; distinct rides
+    the same shuffle via count_distinct partial aggregation)."""
+    c = canonicalize_urls(df, url_col)
+    return c.groupBy("registered_domain").agg(
+        F.count("*").alias("n_captures"),
+        F.countDistinct("canon_url").alias("n_unique_urls"),
+    )

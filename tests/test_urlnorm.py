@@ -1,0 +1,84 @@
+"""URL canonicalization operator tests (operators/urlnorm.py)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_search_spark.operators.urlnorm import (
+    canonicalize_urls,
+    domain_stats,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    out = canonicalize_urls(df).orderBy("url")
+    return {r.url: (r.canon_url, r.host, r.registered_domain) for r in out.collect()}
+
+
+CASES = [
+    # scheme+host lowercase, default port strip, fragment drop
+    ("HTTP://WWW.Example.COM:80/a/page#frag", "http://www.example.com/a/page"),
+    ("https://Example.COM:443/x", "https://example.com/x"),
+    # non-default port kept
+    ("http://example.com:8080/x", "http://example.com:8080/x"),
+    # https keeps :80 (not its default)
+    ("https://example.com:80/x", "https://example.com:80/x"),
+    # dot-segment and duplicate-slash resolution
+    ("http://example.com/a/./b/page", "http://example.com/a/b/page"),
+    ("http://example.com/a/x/../b/page", "http://example.com/a/b/page"),
+    ("http://example.com//a///b/page", "http://example.com/a/b/page"),
+    ("http://example.com/a/b/c/../../d/page", "http://example.com/a/d/page"),
+    # a '..' segment cannot consume another '..'
+    ("http://example.com/a/b/../../../c", "http://example.com/../c"),
+    # query sort, empty-path root slash
+    ("http://example.com?b=2&a=1", "http://example.com/?a=1&b=2"),
+    ("http://example.com/p?z=9&a=1&m=5#f", "http://example.com/p?a=1&m=5&z=9"),
+]
+
+
+def test_canonical_forms(spark):
+    got = _canon(spark, [u for u, _ in CASES])
+    for url, want in CASES:
+        assert got[url][0] == want, (url, got[url][0], want)
+
+
+def test_host_and_registered_domain(spark):
+    got = _canon(
+        spark,
+        [
+            "http://www.example.com/a",
+            "http://sub.deep.example.co.uk:8080/b",
+            "http://example.co.jp/c",
+            "http://localhost/d",
+        ],
+    )
+    assert got["http://www.example.com/a"][1:] == ("www.example.com", "example.com")
+    assert got["http://sub.deep.example.co.uk:8080/b"][1:] == (
+        "sub.deep.example.co.uk",
+        "example.co.uk",
+    )
+    assert got["http://example.co.jp/c"][1:] == ("example.co.jp", "example.co.jp")
+    assert got["http://localhost/d"][1:] == ("localhost", "localhost")
+
+
+def test_domain_stats_counts_canonical_dupes_once(spark):
+    urls = [
+        "http://Example.com:80/a",     # same canonical …
+        "http://example.com/a",        # … as this
+        "http://example.com/b",
+        "http://other.co.uk/x",
+        "http://www.other.co.uk/x",    # different host ⇒ different canon
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    rows = {r.registered_domain: r for r in domain_stats(df).collect()}
+    assert rows["example.com"].n_captures == 3
+    assert rows["example.com"].n_unique_urls == 2
+    assert rows["other.co.uk"].n_captures == 2
+    assert rows["other.co.uk"].n_unique_urls == 2
+
+
+def test_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame(pd.DataFrame({"url": ["http://a.com/x"]}))
+    plan = canonicalize_urls(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
