@@ -2008,7 +2008,11 @@ _GATE_PRIORITY = [
     # (grouped count + count-distinct shape = source_mix's in-window
     # row; the canonicalization machinery it rides = url_canonical's
     # in-window row; check_entry-verified at sf0.001 AND sf0.01 this
-    # session).
+    # session). link_extract / link_graph (regex explode + RFC 3986
+    # resolution both canonicalize through url_canonical's in-window
+    # machinery; the edge-list aggregate = source_mix/domain_stats
+    # shapes and feeds the pagerank_centrality overflow entry;
+    # check_entry-verified at sf0.001 AND sf0.01 this session).
     "tpch_q4",
 ]
 
@@ -11219,3 +11223,83 @@ _TRAINING_ORACLES["domain_stats"] = f"""WITH c AS (
 SELECT registered_domain, COUNT(*) AS n_captures,
        COUNT(DISTINCT canon) AS n_unique_urls
 FROM c GROUP BY registered_domain"""
+
+
+# ---------------------------------------------- hyperlink extraction
+# Session-15: outgoing-link extraction with RFC 3986 reference
+# resolution (urlnorm.extract_links / resolve_href_col) and the
+# registered-domain link graph that feeds centrality curation
+# (urlnorm.host_link_graph → operators/graph.pagerank_integer).
+# Fixture per document: one absolute link (rotating ext<doc_id%7>.com
+# host), one root-relative, one directory-relative with a ../ segment
+# (resolution must merge onto the base directory AND resolve the dot
+# segment), one protocol-relative, plus a fragment-only anchor and a
+# mailto: that the pinned keep-rule must drop. The oracle states the
+# four expected resolved URLs directly from the fixture rule.
+
+_LINK_BASE_SQL = (
+    f"'http://' || {_URL_HOST_CANON} || '/a/b/page' || CAST(doc_id AS {{st}})"
+)
+_LINK_HTML_SQL = (
+    "'<html><body>"
+    '<a href="http://ext\' || CAST(doc_id % 7 AS {st}) || \'.com/P">t</a>'
+    '<a href="/r/\' || CAST(doc_id AS {st}) || \'">u</a>'
+    '<a href="../up/page\' || CAST(doc_id AS {st}) || \'">v</a>'
+    '<a href="//cdn.example.net/c\' || CAST(doc_id % 5 AS {st}) || \'">w</a>'
+    '<a href="#top">s</a><a href="mailto:x@y.z">m</a>'
+    "</body></html>'"
+)
+
+
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.urlnorm import extract_links
+
+    pages = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr(_LINK_BASE_SQL.format(st="STRING")).alias("base_url"),
+        F.expr(_LINK_HTML_SQL.format(st="STRING")).alias("html"),
+    )
+    return extract_links(pages).select("doc_id", "href", "url")
+
+
+_TRAINING_QUERIES["link_extract"] = q_link_extract
+_TRAINING_ORACLES["link_extract"] = f"""
+SELECT doc_id,
+       'http://ext' || CAST(doc_id % 7 AS VARCHAR) || '.com/P' AS href,
+       'http://ext' || CAST(doc_id % 7 AS VARCHAR) || '.com/P' AS url
+FROM documents
+UNION ALL
+SELECT doc_id, '/r/' || CAST(doc_id AS VARCHAR),
+       'http://' || {_URL_HOST_CANON} || '/r/' || CAST(doc_id AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT doc_id, '../up/page' || CAST(doc_id AS VARCHAR),
+       'http://' || {_URL_HOST_CANON} || '/a/up/page' || CAST(doc_id AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT doc_id, '//cdn.example.net/c' || CAST(doc_id % 5 AS VARCHAR),
+       'http://cdn.example.net/c' || CAST(doc_id % 5 AS VARCHAR)
+FROM documents"""
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.urlnorm import extract_links, host_link_graph
+
+    pages = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr(_LINK_BASE_SQL.format(st="STRING")).alias("base_url"),
+        F.expr(_LINK_HTML_SQL.format(st="STRING")).alias("html"),
+    )
+    return host_link_graph(extract_links(pages))
+
+
+_TRAINING_QUERIES["link_graph"] = q_link_graph
+_TRAINING_ORACLES["link_graph"] = f"""WITH e AS (
+  SELECT {_URL_DOMAIN} AS s,
+         'ext' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS d FROM documents
+  UNION ALL SELECT {_URL_DOMAIN}, {_URL_DOMAIN} FROM documents
+  UNION ALL SELECT {_URL_DOMAIN}, {_URL_DOMAIN} FROM documents
+  UNION ALL SELECT {_URL_DOMAIN}, 'example.net' FROM documents
+)
+SELECT s AS src_domain, d AS dst_domain, COUNT(*) AS n_links
+FROM e GROUP BY s, d"""

@@ -200,6 +200,8 @@ def main() -> None:
         "warc_main_content",
         "url_canonical",
         "domain_stats",
+        "link_extract",
+        "link_graph",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:

@@ -138,3 +138,63 @@ def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
         F.count("*").alias("n_captures"),
         F.countDistinct("canon_url").alias("n_unique_urls"),
     )
+
+
+_HREF_RE = "(?i)<a\\b[^>]*\\bhref\\s*=\\s*[\"']([^\"'#]+)"
+_SCHEME_RE = "^[A-Za-z][A-Za-z0-9+.\\-]*:"
+
+
+def resolve_href_col(base: Column, href: Column) -> Column:
+    """RFC 3986 §5 reference resolution (columnar subset) against an
+    absolute base URL, then canonicalized: absolute references pass
+    through, ``//host/…`` inherits the base scheme, ``/path`` replaces
+    the base path, and relative paths merge onto the base directory —
+    dot segments introduced by the merge resolve inside
+    canonical_url_col's path normalization."""
+    parts = url_parts(base)
+    scheme = parts["scheme"]
+    auth = F.lower(parts["authority"])
+    dirpath = F.regexp_replace(parts["path"], "/[^/]*$", "/")
+    is_abs = href.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*://")
+    proto_rel = href.startswith("//")
+    root_rel = href.startswith("/") & ~proto_rel
+    joined = (
+        F.when(is_abs, href)
+        .when(proto_rel, F.concat(scheme, F.lit(":"), href))
+        .when(root_rel, F.concat(scheme, F.lit("://"), auth, href))
+        .otherwise(F.concat(scheme, F.lit("://"), auth, dirpath, href))
+    )
+    return canonical_url_col(joined)
+
+
+def extract_links(
+    df: DataFrame, html_col: str = "html", base_col: str = "base_url"
+) -> DataFrame:
+    """One row per outgoing hyperlink: (…, href, url) where href is the
+    raw attribute value and url its resolved canonical form. Pinned
+    keep rule: fragment-only anchors never match; a scheme-qualified
+    href survives only when the scheme is http(s) (mailto:/javascript:/
+    data: drop), scheme-less hrefs are resolved as references. Pure
+    explode + projection — the regex scan and resolution stay inside
+    whole-stage codegen; no UDF, no shuffle."""
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), 1)
+    out = df.withColumn("href", F.explode(hrefs))
+    keep = F.col("href").rlike("^(?i)https?://") | ~F.col("href").rlike(_SCHEME_RE)
+    return out.where(keep).withColumn(
+        "url", resolve_href_col(F.col(base_col), F.col("href"))
+    )
+
+
+def host_link_graph(
+    links: DataFrame, src_url_col: str = "base_url", dst_url_col: str = "url"
+) -> DataFrame:
+    """Registered-domain edge list with link counts — the input of
+    centrality/curation passes (operators/graph.pagerank_integer). One
+    hash aggregate over |domain-pairs| groups."""
+    src = registered_domain_col(host_col(F.col(src_url_col)))
+    dst = registered_domain_col(host_col(F.col(dst_url_col)))
+    return (
+        links.select(src.alias("src_domain"), dst.alias("dst_domain"))
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count("*").alias("n_links"))
+    )

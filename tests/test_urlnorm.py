@@ -82,3 +82,60 @@ def test_plan_is_shuffle_free(spark):
     df = spark.createDataFrame(pd.DataFrame({"url": ["http://a.com/x"]}))
     plan = canonicalize_urls(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_extract_links_resolution(spark):
+    from ocr_search_spark.operators.urlnorm import extract_links
+
+    html = (
+        "<html><body>"
+        "<a href='http://Ext.COM:80/p'>abs</a>"
+        "<a href=\"/root/x\">rootrel</a>"
+        "<a href='../up/y'>rel</a>"
+        "<a href='//cdn.example.net/c'>proto</a>"
+        "<a href='#top'>frag-only</a>"
+        "<a href='mailto:a@b.c'>mail</a>"
+        "<a href='javascript:void(0)'>js</a>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"base_url": ["http://www.example.com/a/b/page1"], "html": [html]})
+    )
+    rows = extract_links(df).orderBy("href").collect()
+    got = {r.href: r.url for r in rows}
+    assert got == {
+        "http://Ext.COM:80/p": "http://ext.com/p",
+        "/root/x": "http://www.example.com/root/x",
+        "../up/y": "http://www.example.com/a/up/y",
+        "//cdn.example.net/c": "http://cdn.example.net/c",
+    }
+
+
+def test_host_link_graph(spark):
+    from ocr_search_spark.operators.urlnorm import extract_links, host_link_graph
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "base_url": [
+                    "http://a.example.co.uk/p/1",
+                    "http://a.example.co.uk/p/2",
+                    "http://b.com/x",
+                ],
+                "html": [
+                    "<a href='http://t1.com/'>x</a><a href='/local'>y</a>",
+                    "<a href='http://t1.com/z'>x</a>",
+                    "<a href='http://sub.t2.co.jp/q'>x</a>",
+                ],
+            }
+        )
+    )
+    edges = {
+        (r.src_domain, r.dst_domain): r.n_links
+        for r in host_link_graph(extract_links(df)).collect()
+    }
+    assert edges == {
+        ("example.co.uk", "t1.com"): 2,
+        ("example.co.uk", "example.co.uk"): 1,
+        ("b.com", "t2.co.jp"): 1,
+    }
