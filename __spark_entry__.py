@@ -2013,6 +2013,11 @@ _GATE_PRIORITY = [
     # machinery; the edge-list aggregate = source_mix/domain_stats
     # shapes and feeds the pagerank_centrality overflow entry;
     # check_entry-verified at sf0.001 AND sf0.01 this session).
+    # robots_filter (mapInPandas line parse = warc_extract's in-window
+    # codec row; broadcast dim join + array-HOF argmax = bloom_join /
+    # gopher_filters shapes; the RFC 9309 truth table itself is pinned
+    # by 5 pytest cases + the hand-derived oracle;
+    # check_entry-verified at sf0.001 AND sf0.01 this session).
     "tpch_q4",
 ]
 
@@ -11303,3 +11308,87 @@ _TRAINING_ORACLES["link_graph"] = f"""WITH e AS (
 )
 SELECT s AS src_domain, d AS dst_domain, COUNT(*) AS n_links
 FROM e GROUP BY s, d"""
+
+
+# ---------------------------------------------- robots.txt policy
+# Session-15: RFC 9309 crawl-policy evaluation (operators/robots.py).
+# Fixture: 16 synthetic domains (g = doc_id%16) whose robots.txt text
+# varies structurally — every domain has a '*' group (Disallow
+# /private, Disallow /tmp/, plus an Allow /private/ok/ override when
+# g%3==0); odd g adds a MORE SPECIFIC 'ocrbot' group (Disallow
+# /only-our/) which must then be selected INSTEAD of '*'. URL paths
+# rotate through doc_id%5 shapes hitting every rule. The oracle is a
+# hand-derived truth table over (g parity, g%3, path shape) — it never
+# replays the parser or the matcher, so a group-selection or
+# longest-match bug cannot self-confirm.
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.robots import parse_robots, robots_filter
+
+    ensure_shipped(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", (F.col("doc_id") % 16).alias("g"), (F.col("doc_id") % 5).alias("v")
+    )
+    domain = F.concat(F.lit("site"), F.col("g").cast("string"), F.lit(".example.com"))
+    robots = docs.select("g").distinct().select(
+        F.concat(F.lit("site"), F.col("g").cast("string"), F.lit(".example.com")).alias(
+            "domain"
+        ),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private\n"),
+            F.when(F.col("g") % 3 == 0, F.lit("Allow: /private/ok/\n")).otherwise(
+                F.lit("")
+            ),
+            F.lit("Disallow: /tmp/\n"),
+            F.when(
+                F.col("g") % 2 == 1,
+                F.lit("User-agent: ocrbot\nDisallow: /only-our/\n"),
+            ).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    pid = F.col("doc_id").cast("string")
+    path = (
+        F.when(F.col("v") == 0, F.concat(F.lit("/public/page"), pid))
+        .when(F.col("v") == 1, F.concat(F.lit("/private/page"), pid))
+        .when(F.col("v") == 2, F.concat(F.lit("/private/ok/page"), pid))
+        .when(F.col("v") == 3, F.concat(F.lit("/tmp/x/page"), pid))
+        .otherwise(F.concat(F.lit("/only-our/page"), pid))
+    )
+    urls = docs.select("doc_id", domain.alias("domain"), path.alias("path"))
+    out = robots_filter(urls, parse_robots(robots), "ocrbot")
+    return out.select(
+        "doc_id", "domain", "path", "allowed", "matched_prefix", "matched_allow"
+    )
+
+
+_TRAINING_QUERIES["robots_filter"] = q_robots_filter
+_TRAINING_ORACLES["robots_filter"] = """
+WITH d AS (
+  SELECT doc_id, doc_id % 16 AS g, doc_id % 5 AS v FROM documents
+)
+SELECT doc_id,
+       'site' || CAST(g AS VARCHAR) || '.example.com' AS domain,
+       CASE v WHEN 0 THEN '/public/page' WHEN 1 THEN '/private/page'
+              WHEN 2 THEN '/private/ok/page' WHEN 3 THEN '/tmp/x/page'
+              ELSE '/only-our/page' END || CAST(doc_id AS VARCHAR) AS path,
+       CASE WHEN g % 2 = 1 THEN v <> 4
+            ELSE CASE v WHEN 1 THEN FALSE
+                        WHEN 2 THEN g % 3 = 0
+                        WHEN 3 THEN FALSE
+                        ELSE TRUE END
+       END AS allowed,
+       CASE WHEN g % 2 = 1 THEN CASE WHEN v = 4 THEN '/only-our/' ELSE '' END
+            ELSE CASE v WHEN 1 THEN '/private'
+                        WHEN 2 THEN CASE WHEN g % 3 = 0
+                                         THEN '/private/ok/' ELSE '/private' END
+                        WHEN 3 THEN '/tmp/'
+                        ELSE '' END
+       END AS matched_prefix,
+       CASE WHEN g % 2 = 1 THEN CASE WHEN v = 4 THEN FALSE END
+            ELSE CASE v WHEN 1 THEN FALSE
+                        WHEN 2 THEN g % 3 = 0
+                        WHEN 3 THEN FALSE
+                        END
+       END AS matched_allow
+FROM d"""

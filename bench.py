@@ -202,6 +202,7 @@ def main() -> None:
         "domain_stats",
         "link_extract",
         "link_graph",
+        "robots_filter",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:

@@ -1,0 +1,143 @@
+"""robots.txt crawl-policy evaluation (RFC 9309 subset).
+
+A crawl pipeline must be able to answer, for every captured URL,
+"was this fetch allowed?" — both to filter training corpora down to
+policy-clean pages and to audit an existing archive. The reference has
+no analogue (its corpus is a private folder); the semantics here are
+RFC 9309, which is public:
+
+* a robots.txt file is line-oriented ``key: value`` records; comments
+  (``#`` to end of line) are stripped; keys are case-insensitive;
+* consecutive ``User-agent`` lines open ONE group; the group's
+  Allow/Disallow rules apply to every named agent; a ``User-agent``
+  line after rules starts a new group;
+* the group that applies to a crawler is the most specific one: the
+  group naming the agent if any group does, else the ``*`` group; a
+  domain with neither allows everything;
+* rule matching is longest-prefix: among all rules of the applicable
+  group whose path-prefix matches the URL path, the LONGEST wins; on
+  a length tie, Allow wins; no matching rule means allowed;
+* an empty ``Disallow:`` value means "no restriction" and records no
+  rule (original-spec behavior RFC 9309 keeps).
+
+Shapes at scale: ``parse_robots`` is an Arrow-batched ``mapInPandas``
+over (domain, robots_txt) — one tiny file per domain, embarrassingly
+parallel. ``robots_filter`` is two equi-joins on domain (the rules
+side is orders of magnitude smaller than the URL side — broadcast it
+when |domains| permits) plus one per-URL window argmax; nothing is
+collected.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RULES_SCHEMA = "domain string, agent string, allow boolean, prefix string"
+
+
+def parse_robots_text(text: str) -> list[tuple[str, bool, str]]:
+    """One robots.txt → [(agent, allow, prefix)] per RFC 9309 grouping.
+    Unknown directives (Sitemap, Crawl-delay, …) are ignored."""
+    rules: list[tuple[str, bool, str]] = []
+    agents: list[str] = []
+    in_group_rules = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, value = line.split(":", 1)
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if in_group_rules:
+                agents = []
+                in_group_rules = False
+            agents.append(value.lower())
+        elif key in ("allow", "disallow"):
+            in_group_rules = True
+            if not value:  # empty Disallow: = no restriction recorded
+                continue
+            for a in agents:
+                rules.append((a, key == "allow", value))
+    return rules
+
+
+def _robots_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ["domain", "agent", "allow", "prefix"]
+    for batch in batches:
+        rows = []
+        for domain, text in zip(batch["domain"], batch["robots_txt"]):
+            for agent, allow, prefix in parse_robots_text(text or ""):
+                rows.append((domain, agent, allow, prefix))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def parse_robots(robots: DataFrame) -> DataFrame:
+    """(domain, robots_txt) → one rule row per (group agent × rule):
+    (domain, agent, allow, prefix)."""
+    return robots.select("domain", "robots_txt").mapInPandas(
+        _robots_iter, schema=RULES_SCHEMA
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    domain_col: str = "domain",
+    path_col: str = "path",
+) -> DataFrame:
+    """Adds (allowed, matched_prefix, matched_allow) to ``urls`` under
+    RFC 9309 group selection + longest-prefix matching for ``agent``.
+
+    Plan, sized for 10^12 URLs: group selection and rule collection
+    happen on the RULES side (per-domain aggregates over a table that
+    is orders of magnitude smaller than the URL side), the per-domain
+    rule arrays broadcast-join onto the URLs, and longest-prefix
+    matching runs as array higher-order functions INSIDE the
+    projection — the URL side never shuffles."""
+    agent = agent.lower()
+    has_specific = rules.groupBy("domain").agg(
+        F.max(F.col("agent") == agent).alias("has_specific")
+    )
+    rule_sets = (
+        rules.join(has_specific, "domain")
+        .where(
+            ((F.col("agent") == agent) & F.col("has_specific"))
+            | ((F.col("agent") == "*") & ~F.col("has_specific"))
+        )
+        .groupBy("domain")
+        .agg(F.collect_list(F.struct("allow", "prefix")).alias("_rules"))
+    )
+    joined = urls.join(F.broadcast(rule_sets), on=domain_col, how="left")
+    path = F.col(path_col)
+    matches = F.filter(
+        F.coalesce(F.col("_rules"), F.array()),
+        lambda r: path.startswith(r["prefix"]),
+    )
+    init = F.struct(
+        F.lit(None).cast("boolean").alias("allow"), F.lit("").alias("prefix")
+    )
+    best = F.aggregate(
+        matches,
+        init,
+        lambda acc, r: F.when(
+            (F.length(r["prefix"]) > F.length(acc["prefix"]))
+            | (
+                (F.length(r["prefix"]) == F.length(acc["prefix"]))
+                & r["allow"]
+            ),
+            r,
+        ).otherwise(acc),
+    )
+    return (
+        joined.withColumn("_best", best)
+        .withColumn("allowed", F.coalesce(F.col("_best.allow"), F.lit(True)))
+        .withColumn("matched_prefix", F.col("_best.prefix"))
+        .withColumn("matched_allow", F.col("_best.allow"))
+        .drop("_rules", "_best")
+    )

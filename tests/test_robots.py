@@ -1,0 +1,112 @@
+"""RFC 9309 robots.txt policy tests (operators/robots.py)."""
+
+import pandas as pd
+
+from ocr_search_spark.operators.robots import (
+    parse_robots,
+    parse_robots_text,
+    robots_filter,
+)
+
+ROBOTS = """# site policy
+User-agent: alpha
+User-agent: beta
+Disallow: /private
+Allow: /private/ok/
+Crawl-delay: 10
+
+User-agent: *
+Disallow: /tmp/
+Disallow:
+"""
+
+
+def test_parse_groups_and_directives():
+    rules = parse_robots_text(ROBOTS)
+    assert ("alpha", False, "/private") in rules
+    assert ("beta", False, "/private") in rules
+    assert ("alpha", True, "/private/ok/") in rules
+    assert ("*", False, "/tmp/") in rules
+    # empty Disallow records nothing; crawl-delay ignored
+    assert all(p for (_, _, p) in rules)
+    assert len(rules) == 5
+
+
+def test_ua_after_rules_starts_new_group():
+    rules = parse_robots_text(
+        "User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y\n"
+    )
+    assert rules == [("a", False, "/x"), ("b", False, "/y")]
+
+
+def _filter(spark, urls, agent):
+    robots = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "domain": ["s.com", "open.com"],
+                "robots_txt": [ROBOTS, ""],
+            }
+        )
+    )
+    rules = parse_robots(robots)
+    df = spark.createDataFrame(
+        pd.DataFrame({"domain": [d for d, _ in urls], "path": [p for _, p in urls]})
+    )
+    out = robots_filter(df, rules, agent)
+    return {
+        (r.domain, r.path): (r.allowed, r.matched_prefix) for r in out.collect()
+    }
+
+
+def test_longest_match_and_group_selection(spark):
+    urls = [
+        ("s.com", "/private/doc"),
+        ("s.com", "/private/ok/doc"),
+        ("s.com", "/tmp/doc"),
+        ("s.com", "/public/doc"),
+        ("open.com", "/anything"),
+        ("nobots.net", "/x"),
+    ]
+    # agent alpha → specific group: /private disallowed, /private/ok/
+    # allowed (longest match), /tmp/ NOT in its group → allowed
+    got = _filter(spark, urls, "Alpha")
+    assert got[("s.com", "/private/doc")] == (False, "/private")
+    assert got[("s.com", "/private/ok/doc")] == (True, "/private/ok/")
+    assert got[("s.com", "/tmp/doc")] == (True, "")
+    assert got[("s.com", "/public/doc")] == (True, "")
+    assert got[("open.com", "/anything")] == (True, "")
+    assert got[("nobots.net", "/x")] == (True, "")
+    # unknown agent → * group: /tmp/ disallowed, /private allowed
+    got = _filter(spark, urls, "zeta")
+    assert got[("s.com", "/tmp/doc")] == (False, "/tmp/")
+    assert got[("s.com", "/private/doc")] == (True, "")
+
+
+def test_equal_length_tie_allow_wins(spark):
+    robots = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "domain": ["t.com"],
+                "robots_txt": ["User-agent: *\nDisallow: /a/\nAllow: /a/\n"],
+            }
+        )
+    )
+    df = spark.createDataFrame(pd.DataFrame({"domain": ["t.com"], "path": ["/a/x"]}))
+    out = robots_filter(df, parse_robots(robots), "any").collect()[0]
+    assert out.allowed is True and out.matched_allow is True
+
+
+def test_url_side_plan_has_no_shuffle(spark):
+    robots = spark.createDataFrame(
+        pd.DataFrame({"domain": ["t.com"], "robots_txt": ["User-agent: *\nDisallow: /a\n"]})
+    )
+    df = spark.createDataFrame(pd.DataFrame({"domain": ["t.com"], "path": ["/a"]}))
+    plan = (
+        robots_filter(df, parse_robots(robots), "b")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only exchanges allowed are on the (tiny) rules side feeding
+    # the broadcast; the URL side must join via BroadcastHashJoin
+    assert "BroadcastHashJoin" in plan
