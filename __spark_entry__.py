@@ -2018,6 +2018,11 @@ _GATE_PRIORITY = [
     # gopher_filters shapes; the RFC 9309 truth table itself is pinned
     # by 5 pytest cases + the hand-derived oracle;
     # check_entry-verified at sf0.001 AND sf0.01 this session).
+    # html_meta_policy (regex projection = redact_pii / span_coalesce
+    # in-window shapes) and sitemap_frontier (split/transform/explode +
+    # anti-join = html_spans' list algebra + delete_cascade's anti-join
+    # row); both check_entry-verified at sf0.001 AND sf0.01 this
+    # session.
     "tpch_q4",
 ]
 
@@ -11392,3 +11397,101 @@ SELECT doc_id,
                         END
        END AS matched_allow
 FROM d"""
+
+
+# ---------------------------------------------- page meta policy
+# Session-15: <meta name=robots> noindex + rel=canonical extraction
+# (webtext.html_meta_policy) — the page-level half of crawl policy
+# (robots_filter is the server-level half). Fixture rotates attribute
+# order so both regex alternations are exercised; the oracle is a
+# direct CASE on doc_id%4.
+
+
+def q_html_meta_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.webtext import html_meta_policy
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    head = (
+        F.when(m == 0, F.lit('<head><meta name="robots" content="noindex"></head>'))
+        .when(m == 1, F.lit("<head><meta content='noindex,nofollow' name='robots'></head>"))
+        .when(
+            m == 2,
+            F.concat(
+                F.lit('<head><link rel="canonical" href="http://www.canon.example/c/'),
+                pid,
+                F.lit('"></head>'),
+            ),
+        )
+        .otherwise(F.lit("<head><title>t</title></head>"))
+    )
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("<html>"), head, F.lit("<body><p>"), F.col("text"),
+                 F.lit("</p></body></html>")).alias("html"),
+    )
+    return html_meta_policy(pages).select("doc_id", "noindex", "canonical_href")
+
+
+_TRAINING_QUERIES["html_meta_policy"] = q_html_meta_policy
+_TRAINING_ORACLES["html_meta_policy"] = """
+SELECT doc_id,
+       doc_id % 4 IN (0, 1) AS noindex,
+       CASE WHEN doc_id % 4 = 2
+            THEN 'http://www.canon.example/c/' || CAST(doc_id AS VARCHAR)
+            ELSE '' END AS canonical_href
+FROM documents"""
+
+
+# ---------------------------------------------- sitemap frontier
+# Session-15: sitemap-protocol parsing (urlnorm.parse_sitemap) driving
+# a crawl-frontier diff — per-domain urlset XML is BUILT columnar
+# (groupBy + sort_array + concat_ws), parsed back by the operator, and
+# anti-joined against the already-crawled set; what remains is the
+# fetch frontier. The oracle states the frontier directly from the
+# generation rule.
+
+
+def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.urlnorm import parse_sitemap
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", (F.col("doc_id") % 8).alias("g")
+    )
+    url = F.concat(
+        F.lit("http://site"), F.col("g").cast("string"), F.lit(".com/page"),
+        F.col("doc_id").cast("string"),
+    )
+    lastmod = F.concat(
+        F.lit("2026-0"), ((F.col("doc_id") % 9) + 1).cast("string"), F.lit("-01")
+    )
+    entries = d.select(
+        "g",
+        "doc_id",
+        F.concat(
+            F.lit("<url><loc>"), url, F.lit("</loc><lastmod>"), lastmod,
+            F.lit("</lastmod></url>"),
+        ).alias("entry"),
+        url.alias("url"),
+    )
+    sitemaps = entries.groupBy("g").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.concat_ws("", F.sort_array(F.collect_list("entry"))),
+            F.lit("</urlset>"),
+        ).alias("sitemap_xml")
+    )
+    parsed = parse_sitemap(sitemaps)
+    crawled = entries.where(F.col("doc_id") % 3 == 0).select(
+        F.col("url").alias("loc")
+    )
+    return parsed.join(crawled, "loc", "left_anti").select("loc", "lastmod")
+
+
+_TRAINING_QUERIES["sitemap_frontier"] = q_sitemap_frontier
+_TRAINING_ORACLES["sitemap_frontier"] = """
+SELECT 'http://site' || CAST(doc_id % 8 AS VARCHAR) || '.com/page'
+         || CAST(doc_id AS VARCHAR) AS loc,
+       '2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-01' AS lastmod
+FROM documents WHERE doc_id % 3 <> 0"""

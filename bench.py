@@ -203,6 +203,8 @@ def main() -> None:
         "link_extract",
         "link_graph",
         "robots_filter",
+        "html_meta_policy",
+        "sitemap_frontier",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:

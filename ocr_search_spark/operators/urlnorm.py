@@ -198,3 +198,29 @@ def host_link_graph(
         .groupBy("src_domain", "dst_domain")
         .agg(F.count("*").alias("n_links"))
     )
+
+
+def parse_sitemap(df: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame:
+    """Sitemap-protocol ``urlset`` XML → one row per ``<url>`` entry
+    with (loc, lastmod; lastmod '' when absent). The block split keeps
+    loc/lastmod pairing correct even when entries omit lastmod —
+    columnar split + transform + explode, no UDF."""
+    blocks = F.split(F.col(xml_col), "</url>")
+    entry = F.explode(
+        F.filter(
+            F.transform(
+                blocks,
+                lambda b: F.struct(
+                    F.regexp_extract(b, "<loc>([^<]*)</loc>", 1).alias("loc"),
+                    F.regexp_extract(b, "<lastmod>([^<]*)</lastmod>", 1).alias(
+                        "lastmod"
+                    ),
+                ),
+            ),
+            lambda s: s["loc"] != "",
+        )
+    ).alias("_e")
+    return df.select("*", entry).select(
+        *[c for c in df.columns], F.col("_e.loc").alias("loc"),
+        F.col("_e.lastmod").alias("lastmod")
+    ).drop(xml_col)

@@ -351,3 +351,39 @@ def html_to_spans(
         ),
     )
     return df.select(F.col(id_col).alias("doc_id"), spans.alias("spans"))
+
+
+_META_NOINDEX_RE = (
+    "(?i)<meta\\b(?:[^>]*\\bname\\s*=\\s*[\"']robots[\"'][^>]*"
+    "\\bcontent\\s*=\\s*[\"'][^\"']*noindex"
+    "|[^>]*\\bcontent\\s*=\\s*[\"'][^\"']*noindex[^\"']*[\"'][^>]*"
+    "\\bname\\s*=\\s*[\"']robots[\"'])"
+)
+_CANON_HREF_RE = (
+    "(?i)<link\\b[^>]*\\brel\\s*=\\s*[\"']canonical[\"'][^>]*"
+    "\\bhref\\s*=\\s*[\"']([^\"']+)[\"']"
+)
+_CANON_HREF_RE_REV = (
+    "(?i)<link\\b[^>]*\\bhref\\s*=\\s*[\"']([^\"']+)[\"'][^>]*"
+    "\\brel\\s*=\\s*[\"']canonical[\"']"
+)
+
+
+def html_meta_policy(df, html_col: str = "html"):
+    """Page-level indexing policy from the document head: ``noindex``
+    (a ``<meta name=robots>`` whose content lists noindex — either
+    attribute order) and the ``rel=canonical`` link target (either
+    attribute order; empty string when absent). A crawl curation pass
+    drops noindex pages and keys dedup on the declared canonical.
+    Pure regex projection — no UDF, no shuffle."""
+    from pyspark.sql import functions as F
+
+    h = F.col(html_col)
+    canon = F.coalesce(
+        F.nullif(F.regexp_extract(h, _CANON_HREF_RE, 1), F.lit("")),
+        F.nullif(F.regexp_extract(h, _CANON_HREF_RE_REV, 1), F.lit("")),
+        F.lit(""),
+    )
+    return df.withColumns(
+        {"noindex": h.rlike(_META_NOINDEX_RE), "canonical_href": canon}
+    )

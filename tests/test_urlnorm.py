@@ -139,3 +139,22 @@ def test_host_link_graph(spark):
         ("example.co.uk", "example.co.uk"): 1,
         ("b.com", "t2.co.jp"): 1,
     }
+
+
+def test_parse_sitemap_pairs_loc_lastmod(spark):
+    from ocr_search_spark.operators.urlnorm import parse_sitemap
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>http://a.com/1</loc><lastmod>2026-01-02</lastmod></url>"
+        "<url><loc>http://a.com/2</loc></url>"
+        "<url><lastmod>2026-03-04</lastmod><loc>http://a.com/3</loc></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame(pd.DataFrame({"site": ["a"], "sitemap_xml": [xml]}))
+    rows = {r.loc: r.lastmod for r in parse_sitemap(df).collect()}
+    assert rows == {
+        "http://a.com/1": "2026-01-02",
+        "http://a.com/2": "",
+        "http://a.com/3": "2026-03-04",
+    }

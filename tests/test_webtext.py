@@ -213,3 +213,26 @@ def test_html_to_spans_interleaves_and_feeds_the_pipeline(spark):
     post = tokenize.term_postings(ext.drop("error"))
     hits = search.search(spark, post, "searchable")
     assert hits.count() == 1
+
+
+def test_html_meta_policy(spark):
+    import pandas as pd
+
+    from ocr_search_spark.operators.webtext import html_meta_policy
+
+    pages = [
+        '<head><meta name="robots" content="noindex, nofollow"></head>',
+        "<head><meta content='NOINDEX' name='robots'></head>",
+        '<head><meta name="robots" content="index,follow"></head>',
+        '<head><link rel="canonical" href="http://c.com/x"></head>',
+        "<head><link href='http://c.com/y' rel='canonical'></head>",
+        "<head><meta name='viewport' content='noindex-looking'></head>",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"i": range(len(pages)), "html": pages}))
+    rows = {r.i: (r.noindex, r.canonical_href) for r in html_meta_policy(df).collect()}
+    assert rows[0] == (True, "")
+    assert rows[1] == (True, "")
+    assert rows[2] == (False, "")
+    assert rows[3] == (False, "http://c.com/x")
+    assert rows[4] == (False, "http://c.com/y")
+    assert rows[5] == (False, "")  # content=noindex on a non-robots meta
