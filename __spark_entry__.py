@@ -2022,7 +2022,11 @@ _GATE_PRIORITY = [
     # in-window shapes) and sitemap_frontier (split/transform/explode +
     # anti-join = html_spans' list algebra + delete_cascade's anti-join
     # row); both check_entry-verified at sf0.001 AND sf0.01 this
-    # session.
+    # session. warc_postings (capstone COMPOSITION of three gated
+    # stages: warc_extract's in-window archive row + html_main_content's
+    # oracle + the tokenizer chain behind the r2 `postings` row — same
+    # overflow treatment as crawl_clean_pipeline;
+    # check_entry-verified at sf0.001 AND sf0.01 this session).
     "tpch_q4",
 ]
 
@@ -11495,3 +11499,44 @@ SELECT 'http://site' || CAST(doc_id % 8 AS VARCHAR) || '.com/page'
          || CAST(doc_id AS VARCHAR) AS loc,
        '2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-01' AS lastmod
 FROM documents WHERE doc_id % 3 <> 0"""
+
+
+# ---------------------------------------------- crawl → index capstone
+# Session-15: ONE oracle-gated query chaining the whole web path: WARC
+# archives (16 multi-record files, three charset paths + 404s) →
+# response explode → keep HTTP 200 text/html → html_main_content
+# boilerplate strip → the engine's full tokenizer chain →
+# (term, doc_id, tf) postings. The oracle nests the _html_oracle block
+# algebra as a CTE and feeds its text through the SAME SQL tokenizer
+# fragments the in-window `postings` entry is gated on, so the
+# value-hash pins the composed semantics end to end (non-ASCII bytes
+# decoded from latin-1 must survive decode and then be dropped by the
+# English token filter — both engines agree or the hash breaks).
+
+
+def q_warc_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.warc import warc_responses
+    from ocr_search_spark.operators.webtext import html_main_content
+    from ocr_search_spark.operators.tokenize import term_postings
+
+    ensure_shipped(spark)
+    out = warc_responses(_warc_archives(spark, sf_dir))
+    pages = out.where(
+        (F.col("status") == 200) & F.col("content_type").startswith("text/html")
+    ).select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("id"),
+        F.col("text").alias("html"),
+    )
+    mc = html_main_content(pages)
+    dt = mc.select(F.col("id").alias("doc_id"), F.col("text").alias("doc_text"))
+    return term_postings(dt)
+
+
+_TRAINING_QUERIES["warc_postings"] = q_warc_postings
+_TRAINING_ORACLES["warc_postings"] = f"""WITH mc AS (
+  {_html_oracle(hx_sql=_warc_main_hx())}
+),
+doctext AS (SELECT id AS doc_id, text AS dtext FROM mc),
+{_TOKS_CTE},
+{_ENG_CTE}
+SELECT term, doc_id, count(*)::INT AS tf FROM eng GROUP BY 1, 2"""

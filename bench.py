@@ -205,6 +205,7 @@ def main() -> None:
         "robots_filter",
         "html_meta_policy",
         "sitemap_frontier",
+        "warc_postings",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:
