@@ -2027,6 +2027,11 @@ _GATE_PRIORITY = [
     # oracle + the tokenizer chain behind the r2 `postings` row — same
     # overflow treatment as crawl_clean_pipeline;
     # check_entry-verified at sf0.001 AND sf0.01 this session).
+    # wet_roundtrip (the write/read pair shares warc_extract's gated
+    # framing/decode machinery; the sink's applyInPandas build =
+    # snapshot_dsv2_write's writer shape; byte-determinism under
+    # repartitioning is pytest-pinned;
+    # check_entry-verified at sf0.001 AND sf0.01 this session).
     "tpch_q4",
 ]
 
@@ -11540,3 +11545,40 @@ doctext AS (SELECT id AS doc_id, text AS dtext FROM mc),
 {_TOKS_CTE},
 {_ENG_CTE}
 SELECT term, doc_id, count(*)::INT AS tf FROM eng GROUP BY 1, 2"""
+
+
+# ---------------------------------------------- WET sink round trip
+# Session-15: the extracted-text SINK (warc.texts_to_wet_archives →
+# WET-style 'conversion' records) proven by reading its own output
+# back through the source operator (warc.wet_texts) and value-hashing
+# against documents — write path and read path must agree byte-for-
+# byte on framing, UTF-8 payloads, and the WARC-Refers-To linkage, or
+# the hash breaks. The sink is how a 100 TB extraction run hands its
+# corpus to downstream consumers in a public, engine-neutral format.
+
+
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.warc import texts_to_wet_archives, wet_texts
+
+    ensure_shipped(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        (F.col("doc_id") % 16).alias("wet_group"),
+        F.concat(
+            F.lit("http://corpus.example/doc/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        "text",
+    )
+    out = wet_texts(texts_to_wet_archives(d))
+    bad = out.where(F.col("error").isNotNull()).count()
+    assert bad == 0, f"{bad} wet record errors"
+    return out.select("warc_id", "url", "refers_to", "text")
+
+
+_TRAINING_QUERIES["wet_roundtrip"] = q_wet_roundtrip
+_TRAINING_ORACLES["wet_roundtrip"] = """
+SELECT 'wet-' || CAST(doc_id % 16 AS VARCHAR) AS warc_id,
+       'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       '<urn:uuid:resp-' || CAST(doc_id AS VARCHAR) || '>' AS refers_to,
+       text
+FROM documents"""

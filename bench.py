@@ -206,6 +206,7 @@ def main() -> None:
         "html_meta_policy",
         "sitemap_frontier",
         "warc_postings",
+        "wet_roundtrip",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:

@@ -146,6 +146,39 @@ def encode_warc_file(captures: list[dict], filename: str = "crawl.warc") -> byte
     return b"".join(out)
 
 
+def encode_wet_file(records: list[dict], filename: str = "crawl.wet") -> bytes:
+    """WET-style extracted-text archive: a warcinfo record followed by
+    one ``conversion`` record per input dict (keys url, text,
+    record_id; optional refers_to, date). Payloads are UTF-8 text/plain
+    blocks — the public shape of a post-extraction text corpus."""
+    out: list[bytes] = []
+    out.append(
+        _record(
+            [
+                ("WARC-Type", "warcinfo"),
+                ("WARC-Record-ID", "<urn:uuid:wetinfo-0>"),
+                ("WARC-Date", "2026-01-01T00:00:00Z"),
+                ("WARC-Filename", filename),
+                ("Content-Type", "application/warc-fields"),
+            ],
+            b"software: ocr-search-spark-warcmini/1.0\r\n"
+            b"format: WARC File Format 1.0\r\n",
+        )
+    )
+    for rec in records:
+        headers = [
+            ("WARC-Type", "conversion"),
+            ("WARC-Record-ID", f"<urn:uuid:conv-{rec['record_id']}>"),
+            ("WARC-Date", rec.get("date", "2026-01-01T00:00:00Z")),
+            ("WARC-Target-URI", rec["url"]),
+            ("Content-Type", "text/plain; charset=utf-8"),
+        ]
+        if rec.get("refers_to"):
+            headers.insert(4, ("WARC-Refers-To", rec["refers_to"]))
+        out.append(_record(headers, rec["text"].encode("utf-8")))
+    return b"".join(out)
+
+
 def _parse_headers(text: bytes, what: str) -> dict[str, str]:
     headers: dict[str, str] = {}
     for line in text.split(CRLF):
@@ -219,7 +252,19 @@ def decode_warc(data: bytes) -> list[dict]:
             "date": headers.get("warc-date", ""),
             "block": block,
         }
-        if rec["rec_type"] == "response":
+        if rec["rec_type"] == "conversion":
+            # WET-style extracted-text record: the block IS the payload
+            # (no HTTP framing); same pinned charset rule
+            rec["refers_to"] = headers.get("warc-refers-to", "")
+            try:
+                rec["text"] = decode_body_text(
+                    block, headers.get("content-type", "")
+                )
+                rec["error"] = None
+            except (ValueError, UnicodeDecodeError) as exc:
+                rec["text"] = None
+                rec["error"] = str(exc)
+        elif rec["rec_type"] == "response":
             try:
                 rec.update(_parse_http_response(block))
                 rec["error"] = None
