@@ -275,6 +275,7 @@ def repartition_payload_bucketed(
     df: DataFrame,
     num_partitions: int,
     bucket_bounds: tuple[int, ...] = (4096, 65536, 1 << 20),
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Size-bucketed + salted repartition for BINARY payloads — the
     convert-stage twin of extract.repartition_size_bucketed (north rule:
@@ -292,7 +293,7 @@ def repartition_payload_bucketed(
     for i, b in enumerate(bucket_bounds):
         bucket = F.when(w >= b, F.lit(i + 1)).otherwise(bucket)
     out = df.withColumn("_pb", bucket).withColumn(
-        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(num_partitions))
+        "_salt", F.pmod(F.xxhash64(id_col), F.lit(num_partitions))
     )
     return out.repartitionByRange(num_partitions, "_pb", "_salt").drop("_pb", "_salt")
 

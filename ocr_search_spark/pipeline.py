@@ -146,10 +146,18 @@ def run_extraction_job(
     convert_errors = None
     doc_bucket = None
     if source_format == "warc":
+        from .operators.convert import repartition_payload_bucketed
         from .operators.warc import warc_responses
         from .operators.webtext import html_to_spans
 
-        resp = warc_responses(todo.select("warc_id", "payload")).withColumn(
+        src = todo.select("warc_id", "payload")
+        if num_partitions:
+            # archives are the skew unit here: one mega-archive must not
+            # share an Arrow batch with thousands of small ones
+            src = repartition_payload_bucketed(
+                src, num_partitions, id_col="warc_id"
+            )
+        resp = warc_responses(src).withColumn(
             "bucket", bucket_col(F.col("warc_id"), n_buckets)
         )
         resp = resp.withColumn(

@@ -470,3 +470,45 @@ def test_warc_source_search_end_to_end(spark, out_dir):
 
     want = hashlib.sha256(b"http://q.com/hit").hexdigest()
     assert [h.doc_id for h in hits] == [want]
+
+
+def test_warc_source_with_size_bucketed_batching(spark, out_dir, tmp_path):
+    """num_partitions in warc mode routes archives through the
+    size-bucketed salted repartition; results are identical to the
+    unbatched run."""
+    from ocr_search_spark.training.warcmini import encode_warc_file
+
+    rows = []
+    for a in range(6):
+        n = 1 if a < 5 else 40  # one archive dwarfs the others
+        caps = [
+            {
+                "record_id": f"{a}-{j}",
+                "url": f"http://s{a}.com/p{j}",
+                "status": 200,
+                "reason": "OK",
+                "content_type": "text/html; charset=utf-8",
+                "body": (
+                    f"<html><body><p>archive {a} page {j} plenty of plain "
+                    f"ordinary words right here</p></body></html>"
+                ).encode(),
+            }
+            for j in range(n)
+        ]
+        rows.append((f"arc{a}", bytearray(encode_warc_file(caps))))
+    docs = spark.createDataFrame(rows, "warc_id string, payload binary")
+
+    plain_dir = str(tmp_path / "plain")
+    pipeline.run_extraction_job(
+        spark, docs, plain_dir, run_id="w", n_buckets=4, source_format="warc"
+    )
+    pipeline.run_extraction_job(
+        spark, docs, out_dir, run_id="w", n_buckets=4, source_format="warc",
+        num_partitions=4,
+    )
+    a = spark.read.parquet(f"{plain_dir}/{pipeline.EXTRACTED_DIR}")
+    b = spark.read.parquet(f"{out_dir}/{pipeline.EXTRACTED_DIR}")
+    assert sorted(map(tuple, _flat(a).collect())) == sorted(
+        map(tuple, _flat(b).collect())
+    )
+    assert b.count() == 45
