@@ -255,3 +255,66 @@ def stream_convert_binary(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def stream_warc_archives(
+    spark: SparkSession,
+    input_glob: str,
+    out_path: str,
+    checkpoint_path: str,
+    await_termination: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Crawl archives landing on disk → interleaved spans,
+    incrementally: the ``binaryFile`` source streams exactly the .warc
+    files that appeared since the last checkpointed offset, each
+    archive explodes to response records (operators.warc), the
+    200/text-html policy keep + html_to_spans run inside the same
+    micro-batch plan, and the span table appends. Capture identity is
+    ``doc_id = sha2(url)`` — the same rule as the batch envelope
+    (pipeline.run_extraction_job source_format='warc'), so a corpus can
+    mix batch backfill with streaming tail ingestion and agree on keys.
+    Archive framing failures append an error row (X2), never crash the
+    stream."""
+    from ..operators.warc import warc_responses
+    from ..operators.webtext import html_to_spans
+
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.load(input_glob).select(
+        F.regexp_replace(
+            F.element_at(F.split(F.col("path"), "/"), -1), r"\.[A-Za-z0-9]+$", ""
+        ).alias("warc_id"),
+        F.col("content").alias("payload"),
+    )
+    resp = warc_responses(src)
+    ok = resp.where(
+        F.col("error").isNull()
+        & (F.col("status") == 200)
+        & F.col("content_type").startswith("text/html")
+    ).select(F.sha2(F.col("url"), 256).alias("doc_id"), F.col("text").alias("html"))
+    spans = html_to_spans(ok).withColumn("error", F.lit(None).cast("string"))
+    empty = (
+        "CAST(array() AS array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>)"
+    )
+    errs = resp.where(F.col("error").isNotNull()).select(
+        F.concat(F.lit("archive-error-"), F.col("warc_id")).alias("doc_id"),
+        F.expr(empty).alias("spans"),
+        F.col("error"),
+    )
+    q = (
+        spans.unionByName(errs)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q

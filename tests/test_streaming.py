@@ -1091,3 +1091,63 @@ def test_stream_convert_binary_incremental(spark, tmp_path):
     assert [s["text"] for s in d["spans"] if s["kind"] == "text"] == [
         "late arrival words"
     ]
+
+
+def test_stream_warc_archives_incremental(spark, tmp_path):
+    """Streaming crawl tail: first AvailableNow run ingests the initial
+    archives, a second run ingests ONLY the newly landed archive; a
+    misframed archive appends an error row; doc keys match the batch
+    envelope's sha2(url) rule."""
+    import hashlib
+    import os
+
+    from ocr_search_spark.streaming.ingest import stream_warc_archives
+    from ocr_search_spark.training.warcmini import encode_warc_file
+
+    def _arc(a):
+        return encode_warc_file(
+            [
+                {
+                    "record_id": a,
+                    "url": f"http://w{a}.com/p",
+                    "status": 200,
+                    "reason": "OK",
+                    "content_type": "text/html; charset=utf-8",
+                    "body": (
+                        f"<html><body><p>archive {a} carries plenty of plain "
+                        f"ordinary words right here</p></body></html>"
+                    ).encode(),
+                },
+                {  # policy-dropped capture: 404
+                    "record_id": f"{a}-x",
+                    "url": f"http://w{a}.com/gone",
+                    "status": 404,
+                    "reason": "Not Found",
+                    "content_type": "text/plain; charset=utf-8",
+                    "body": b"not found",
+                },
+            ]
+        )
+
+    src = tmp_path / "crawl"
+    os.makedirs(src)
+    (src / "a0.warc").write_bytes(_arc(0))
+    (src / "a1.warc").write_bytes(_arc(1))
+    (src / "bad.warc").write_bytes(_arc(9)[:-9])
+    out = str(tmp_path / "crawl_spans")
+    cp = str(tmp_path / "cp_crawl")
+
+    stream_warc_archives(spark, str(src), out, cp)
+    first = spark.read.parquet(out)
+    assert first.count() == 3  # 2 pages + 1 archive error
+    err = first.where(first.error.isNotNull()).collect()
+    assert [e.doc_id for e in err] == ["archive-error-bad"]
+    want = hashlib.sha256(b"http://w0.com/p").hexdigest()
+    row = first.where(first.doc_id == want).collect()[0]
+    texts = [s["text"] for s in row["spans"] if s["kind"] == "text"]
+    assert texts == ["archive 0 carries plenty of plain ordinary words right here"]
+
+    (src / "a2.warc").write_bytes(_arc(2))
+    stream_warc_archives(spark, str(src), out, cp)
+    second = spark.read.parquet(out)
+    assert second.count() == 4  # only the new archive appended
