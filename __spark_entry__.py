@@ -1896,6 +1896,16 @@ _GATE_PRIORITY = [
     # source_mix's in-window row + source_regression's overflow
     # sibling; stays check_entry-verified below).
     "warc_extract",
+    # session-16 flagship: span_diff — the north rule's acceptance
+    # invariant (span-sequence equality per doc_id) as a distributed
+    # operator: full-outer join + zip_with positional comparison, a
+    # shape no other entry exercises. Slot freed by
+    # postings_compression (delta+varint aggregate over sorted posting
+    # lists = embed_quantize's overflow compression-stat shape on top
+    # of the postings machinery already earning rows through
+    # search_tfidf/search_bm25/index_stats; stays check_entry-verified
+    # below).
+    "span_diff",
     "postings_compression",
     # Entries 51+ below exceed the 50-entry driver window on purpose:
     # every rowless query can't fit, so the overflow picks queries whose
@@ -11582,3 +11592,91 @@ SELECT 'wet-' || CAST(doc_id % 16 AS VARCHAR) AS warc_id,
        '<urn:uuid:resp-' || CAST(doc_id AS VARCHAR) || '>' AS refers_to,
        text
 FROM documents"""
+
+
+# ---------------------------------------------- span-sequence diff audit
+# The acceptance invariant itself as a distributed operator
+# (operators/spandiff.py): per-document span-sequence equality
+# (kind, text, media_ref, order) between a reference extraction run and
+# a candidate one, with the first divergent position of every
+# mismatching document. The fixture perturbs the interleaved corpus
+# deterministically by doc_id prefix so all four verdicts appear:
+#   prefix ff — dropped from candidate      -> missing_in_candidate
+#   prefix fe — cloned under an x- id       -> missing_in_reference
+#   prefix fd — span[2].text mutated        -> differs @2
+#   prefix fc — last span truncated         -> differs @2 (length)
+# Plan: one full-outer join on doc_id, comparison entirely in zip_with
+# higher-order functions — no explode, no second shuffle, no UDF.
+
+
+def q_span_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.spandiff import span_diff
+
+    ref = _interleaved(spark, sf_dir)
+    p2 = F.substring("doc_id", 1, 2)
+    mutated = F.transform(
+        "spans",
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            F.when((p2 == "fd") & (i == 2), F.concat(s["text"], F.lit("!")))
+            .otherwise(s["text"])
+            .alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    cand = ref.where(p2 != "ff").select(
+        "doc_id",
+        F.when(p2 == "fc", F.slice(mutated, 1, 2)).otherwise(mutated).alias("spans"),
+    )
+    extra = ref.where(p2 == "fe").select(
+        F.concat(F.lit("x-"), "doc_id").alias("doc_id"), "spans"
+    )
+    return span_diff(ref, cand.unionByName(extra))
+
+
+_TRAINING_QUERIES["span_diff"] = q_span_diff
+_TRAINING_ORACLES["span_diff"] = f"""WITH {_BASE_CTE}, {_SPANS_CTE},
+refrows AS (
+  SELECT doc_key AS doc_id, off, kind, raw AS text, ref AS media_ref FROM spans
+),
+candrows AS (
+  SELECT doc_id, off, kind,
+         CASE WHEN substring(doc_id, 1, 2) = 'fd' AND off = 2
+              THEN text || '!' ELSE text END AS text,
+         media_ref
+  FROM refrows
+  WHERE substring(doc_id, 1, 2) <> 'ff'
+    AND NOT (substring(doc_id, 1, 2) = 'fc' AND off = 2)
+  UNION ALL
+  SELECT 'x-' || doc_id, off, kind, text, media_ref
+  FROM refrows WHERE substring(doc_id, 1, 2) = 'fe'
+),
+rl AS (SELECT doc_id, count(*)::INT AS ref_len FROM refrows GROUP BY 1),
+cl AS (SELECT doc_id, count(*)::INT AS cand_len FROM candrows GROUP BY 1),
+pairs AS (
+  SELECT coalesce(r.doc_id, c.doc_id) AS doc_id,
+         coalesce(r.off, c.off) AS off,
+         (r.doc_id IS NOT NULL AND c.doc_id IS NOT NULL
+          AND r.kind = c.kind AND r.text = c.text
+          AND r.media_ref = c.media_ref) AS ok
+  FROM refrows r FULL OUTER JOIN candrows c
+    ON r.doc_id = c.doc_id AND r.off = c.off
+),
+fd AS (
+  SELECT doc_id, min(CASE WHEN NOT ok THEN off END)::INT AS fdiv
+  FROM pairs GROUP BY 1
+)
+SELECT coalesce(rl.doc_id, cl.doc_id) AS doc_id,
+       CASE WHEN rl.doc_id IS NULL THEN 'missing_in_reference'
+            WHEN cl.doc_id IS NULL THEN 'missing_in_candidate'
+            WHEN fd.fdiv IS NULL AND ref_len = cand_len THEN 'equal'
+            ELSE 'differs' END AS status,
+       (CASE WHEN rl.doc_id IS NULL OR cl.doc_id IS NULL THEN -1
+             WHEN fd.fdiv IS NULL AND ref_len = cand_len THEN -1
+             WHEN fd.fdiv IS NOT NULL THEN fd.fdiv
+             ELSE least(ref_len, cand_len) END)::INT AS first_divergence,
+       coalesce(ref_len, -1)::INT AS ref_len,
+       coalesce(cand_len, -1)::INT AS cand_len
+FROM rl FULL OUTER JOIN cl ON rl.doc_id = cl.doc_id
+LEFT JOIN fd ON fd.doc_id = coalesce(rl.doc_id, cl.doc_id)"""

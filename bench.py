@@ -207,6 +207,8 @@ def main() -> None:
         "sitemap_frontier",
         "warc_postings",
         "wet_roundtrip",
+        # session-16: the acceptance invariant as a corpus-wide audit
+        "span_diff",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:
