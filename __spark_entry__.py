@@ -11680,3 +11680,52 @@ SELECT coalesce(rl.doc_id, cl.doc_id) AS doc_id,
        coalesce(cand_len, -1)::INT AS cand_len
 FROM rl FULL OUTER JOIN cl ON rl.doc_id = cl.doc_id
 LEFT JOIN fd ON fd.doc_id = coalesce(rl.doc_id, cl.doc_id)"""
+
+
+# ---------------------------------------------- selective span repair
+# The audit's payoff: span_repair composes span_diff into the selective
+# re-extraction workflow — equal docs untouched, divergent docs pulled
+# from the reference, extras dropped. Starts from the SAME perturbed
+# candidate as span_diff; the oracle is the reference spans themselves,
+# so a value-hash match proves the repaired table is span-identical to
+# the source of truth. An in-query assert re-audits the repaired table
+# corpus-wide (must be all-equal).
+
+
+def q_span_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.spandiff import span_diff, span_repair
+
+    ref = _interleaved(spark, sf_dir)
+    p2 = F.substring("doc_id", 1, 2)
+    mutated = F.transform(
+        "spans",
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            F.when((p2 == "fd") & (i == 2), F.concat(s["text"], F.lit("!")))
+            .otherwise(s["text"])
+            .alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    cand = ref.where(p2 != "ff").select(
+        "doc_id",
+        F.when(p2 == "fc", F.slice(mutated, 1, 2)).otherwise(mutated).alias("spans"),
+    )
+    extra = ref.where(p2 == "fe").select(
+        F.concat(F.lit("x-"), "doc_id").alias("doc_id"), "spans"
+    )
+    repaired = span_repair(ref, cand.unionByName(extra))
+    residue = (
+        span_diff(ref, repaired).where(F.col("status") != "equal").count()
+    )
+    assert residue == 0, f"{residue} docs still diverge after repair"
+    return _flatten_extracted(repaired).select(
+        "doc_id", F.col("offset").cast("int").alias("off"), "kind", "text", "media_ref"
+    )
+
+
+_TRAINING_QUERIES["span_repair"] = q_span_repair
+_TRAINING_ORACLES["span_repair"] = f"""WITH {_BASE_CTE}, {_SPANS_CTE}
+SELECT doc_key AS doc_id, off::INT AS off, kind, raw AS text, ref AS media_ref
+FROM spans"""

@@ -209,6 +209,7 @@ def main() -> None:
         "wet_roundtrip",
         # session-16: the acceptance invariant as a corpus-wide audit
         "span_diff",
+        "span_repair",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:

@@ -107,3 +107,40 @@ def span_diff(
         F.coalesce(rlen, F.lit(-1)).cast("int").alias("ref_len"),
         F.coalesce(clen, F.lit(-1)).cast("int").alias("cand_len"),
     )
+
+
+def span_repair(
+    reference: DataFrame,
+    candidate: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Selective repair: make ``candidate`` span-equal to ``reference``
+    touching ONLY divergent documents.
+
+    The 100 TB migration workflow: after a re-extraction run, audit with
+    :func:`span_diff`, then repair — keep every already-equal candidate
+    row untouched, replace ``differs`` rows and fill
+    ``missing_in_candidate`` rows from the reference, and drop
+    ``missing_in_reference`` extras. Cost is the audit join plus one
+    anti-join and one semi-join, each keyed on the (small) divergent
+    doc_id set — the equal bulk of the corpus is never rewritten, which
+    is the point when 99.9% of 10^12 documents already match.
+
+    Post-condition: ``span_diff(reference, span_repair(...))`` returns
+    only ``equal`` rows.
+    """
+    verdict = span_diff(reference, candidate, id_col, spans_col).where(
+        F.col("status") != "equal"
+    )
+    bad = verdict.select(F.col("doc_id").alias(id_col))
+    pulls = verdict.where(F.col("status") != "missing_in_reference").select(
+        F.col("doc_id").alias(id_col)
+    )
+    keep = candidate.select(
+        F.col(id_col).alias(id_col), F.col(spans_col).alias(spans_col)
+    ).join(bad, id_col, "left_anti")
+    pulled = reference.select(
+        F.col(id_col).alias(id_col), F.col(spans_col).alias(spans_col)
+    ).join(pulls, id_col, "left_semi")
+    return keep.unionByName(pulled)

@@ -138,3 +138,42 @@ def test_custom_column_names(spark):
     out = span_diff(ref, cand, id_col="id", spans_col="body")
     row = out.collect()[0]
     assert row["status"] == "differs" and row["first_divergence"] == 0
+
+
+def test_repair_reaches_equality_touching_only_divergent_docs(spark):
+    from ocr_search_spark.operators.spandiff import span_repair
+
+    ref = _df(
+        spark,
+        [
+            ("keep", [_sp("text", "same", "", 0)]),
+            ("fix", [_sp("text", "truth", "", 0)]),
+            ("fill", [_sp("media", "", "img-9", 0)]),
+        ],
+    )
+    # candidate: keep is equal, fix differs, fill missing, extra is spurious
+    cand = _df(
+        spark,
+        [
+            ("keep", [_sp("text", "same", "", 0)]),
+            ("fix", [_sp("text", "LIES", "", 0)]),
+            ("extra", [_sp("text", "ghost", "", 0)]),
+        ],
+    )
+    rep = span_repair(ref, cand)
+    got = {r["doc_id"]: r["spans"] for r in rep.collect()}
+    assert set(got) == {"keep", "fix", "fill"}
+    assert got["fix"][0]["text"] == "truth"
+    assert got["fill"][0]["media_ref"] == "img-9"
+    # post-condition: re-audit is all-equal
+    residue = span_diff(ref, rep).where(F.col("status") != "equal").count()
+    assert residue == 0
+
+
+def test_repair_identity_on_equal_inputs(spark):
+    from ocr_search_spark.operators.spandiff import span_repair
+
+    ref = _df(spark, [("a", [_sp("text", "x", "", 0)]), ("b", [])])
+    rep = span_repair(ref, ref)
+    assert sorted(r["doc_id"] for r in rep.collect()) == ["a", "b"]
+    assert span_diff(ref, rep).where(F.col("status") != "equal").count() == 0
