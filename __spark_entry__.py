@@ -2042,6 +2042,11 @@ _GATE_PRIORITY = [
     # snapshot_dsv2_write's writer shape; byte-determinism under
     # repartitioning is pytest-pinned;
     # check_entry-verified at sf0.001 AND sf0.01 this session).
+    # Session-17 overflow: anchor_texts (regex explode + RFC 3986
+    # resolution = link_extract's overflow machinery riding
+    # url_canonical's in-window row; the (url, anchor) count +
+    # count-distinct aggregate = domain_stats/source_mix shapes;
+    # check_entry-verified at sf0.001 AND sf0.01 this session).
     "tpch_q4",
 ]
 
@@ -11332,6 +11337,57 @@ _TRAINING_ORACLES["link_graph"] = f"""WITH e AS (
 )
 SELECT s AS src_domain, d AS dst_domain, COUNT(*) AS n_links
 FROM e GROUP BY s, d"""
+
+
+# ---------------------------------------------- anchor-text index
+# Session-17: the anchor-text signal (urlnorm.extract_anchors /
+# anchor_text_index) — for each canonical TARGET URL, every distinct
+# lowercased anchor phrase with link + distinct-source counts. The
+# classic web-index side-channel: anchor text describes the target
+# page, so retrieval/curation can rank pages whose own text is thin.
+# Fixture per document: a cross-document target (ext<doc_id%7>.com/P)
+# carrying a phrase that varies on doc_id%3 (so (url, anchor) groups
+# aggregate ~N/21 sources), a per-document target with nested markup +
+# ragged whitespace the normalizer must collapse, an icon-only (empty
+# anchor — dropped by the index), and fragment-only/mailto links the
+# keep-rule drops. The oracle states the expected (url, anchor) pairs
+# directly from the fixture rule — it never replays the regex.
+
+_ANCHOR_HTML_SQL = (
+    "'<html><body>"
+    '<a href="http://ext\' || CAST(doc_id % 7 AS {st}) || \'.com/P">'
+    "Topic\' || CAST(doc_id % 3 AS {st}) || \'  <b>Guide</b></a>"
+    '<a href="/r/\' || CAST(doc_id AS {st}) || \'"> <i>Page</i>\n\' || CAST(doc_id AS {st}) || \' </a>'
+    '<a href="//cdn.example.net/c\' || CAST(doc_id % 5 AS {st}) || \'"><img src="i.png"/></a>'
+    '<a href="#top">Skip</a><a href="mailto:x@y.z">m</a>'
+    "</body></html>'"
+)
+
+
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.urlnorm import anchor_text_index, extract_anchors
+
+    pages = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr(_LINK_BASE_SQL.format(st="STRING")).alias("base_url"),
+        F.expr(_ANCHOR_HTML_SQL.format(st="STRING")).alias("html"),
+    )
+    return anchor_text_index(extract_anchors(pages))
+
+
+_TRAINING_QUERIES["anchor_texts"] = q_anchor_texts
+_TRAINING_ORACLES["anchor_texts"] = f"""WITH a AS (
+  SELECT 'http://ext' || CAST(doc_id % 7 AS VARCHAR) || '.com/P' AS url,
+         'topic' || CAST(doc_id % 3 AS VARCHAR) || ' guide' AS anchor,
+         doc_id
+  FROM documents
+  UNION ALL
+  SELECT 'http://' || {_URL_HOST_CANON} || '/r/' || CAST(doc_id AS VARCHAR),
+         'page ' || CAST(doc_id AS VARCHAR), doc_id
+  FROM documents
+)
+SELECT url, anchor, COUNT(*) AS n_links, COUNT(DISTINCT doc_id) AS n_docs
+FROM a GROUP BY url, anchor"""
 
 
 # ---------------------------------------------- robots.txt policy

@@ -210,6 +210,8 @@ def main() -> None:
         # session-16: the acceptance invariant as a corpus-wide audit
         "span_diff",
         "span_repair",
+        # session-17: anchor-text index
+        "anchor_texts",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:

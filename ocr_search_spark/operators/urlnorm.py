@@ -200,6 +200,73 @@ def host_link_graph(
     )
 
 
+# Well-formed <a href="…">…</a> elements only: the href group stops at
+# the first '#' (fragment stripped; fragment-ONLY anchors can never
+# match because the group needs ≥1 char), [^"']* eats any fragment
+# remainder up to the closing quote, and the anchor body is the
+# non-greedy run to the first </a>.
+_ANCHOR_RE = (
+    "(?is)<a\\b[^>]*\\bhref\\s*=\\s*[\"']([^\"'#]+)[^\"']*[\"'][^>]*>(.*?)</a>"
+)
+
+
+def extract_anchors(
+    df: DataFrame, html_col: str = "html", base_col: str = "base_url"
+) -> DataFrame:
+    """One row per well-formed hyperlink with its anchor text:
+    (…, href, anchor, url). The anchor is the element's inner markup
+    with nested tags stripped and whitespace collapsed; href keeps the
+    extract_links keep-rule (http(s) or scheme-less only). Two
+    regexp_extract_all passes over ONE pattern (group 1 = href, group
+    2 = body) zip positionally — same pattern, same match sequence, so
+    alignment is exact. Pure explode + projection inside whole-stage
+    codegen; no UDF, no shuffle.
+
+    The reference surfaces links only as rendered page text
+    (TypeConverter output); a web-index needs the anchor signal
+    separately — anchor text describes the TARGET page and feeds
+    retrieval/curation for pages whose own text is thin."""
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(_ANCHOR_RE), 1)
+    bodies = F.regexp_extract_all(F.col(html_col), F.lit(_ANCHOR_RE), 2)
+    pair = F.explode(F.arrays_zip(hrefs.alias("href"), bodies.alias("body")))
+    out = df.select("*", pair.alias("_a")).select(
+        *[c for c in df.columns],
+        F.col("_a.href").alias("href"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("_a.body"), "<[^>]*>", " "), "\\s+", " "
+            )
+        ).alias("anchor"),
+    )
+    keep = F.col("href").rlike("^(?i)https?://") | ~F.col("href").rlike(_SCHEME_RE)
+    return out.where(keep).withColumn(
+        "url", resolve_href_col(F.col(base_col), F.col("href"))
+    )
+
+
+def anchor_text_index(
+    anchors: DataFrame,
+    url_col: str = "url",
+    anchor_col: str = "anchor",
+    src_col: str = "doc_id",
+) -> DataFrame:
+    """Anchor-text index: for every canonical target URL, each distinct
+    (lowercased) anchor phrase with its link count and distinct-source
+    count. ONE hash aggregate keyed (url, anchor) — map-side partials,
+    |url × anchor-phrase| groups; the distinct-source count rides the
+    same shuffle. Empty anchors (image links, icon-only elements) are
+    dropped — they carry no text signal."""
+    a = F.lower(F.col(anchor_col))
+    return (
+        anchors.where(a != "")
+        .groupBy(F.col(url_col).alias("url"), a.alias("anchor"))
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct(F.col(src_col)).alias("n_docs"),
+        )
+    )
+
+
 def parse_sitemap(df: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame:
     """Sitemap-protocol ``urlset`` XML → one row per ``<url>`` entry
     with (loc, lastmod; lastmod '' when absent). The block split keeps

@@ -158,3 +158,66 @@ def test_parse_sitemap_pairs_loc_lastmod(spark):
         "http://a.com/2": "",
         "http://a.com/3": "2026-03-04",
     }
+
+
+def test_extract_anchors_text_and_alignment(spark):
+    from ocr_search_spark.operators.urlnorm import extract_anchors
+
+    html = (
+        "<html><body>"
+        "<a href='http://Ext.COM:80/p'><b>Read</b>  more\n now</a>"
+        "<a href=\"/root/x#sec\">Page  One</a>"
+        "<a href='#top'>frag-only</a>"
+        "<a href='mailto:a@b.c'>mail</a>"
+        "<a href='../up/y'><img src='i.png'/></a>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"base_url": ["http://www.example.com/a/b/page1"], "html": [html]})
+    )
+    rows = extract_anchors(df).orderBy("href").collect()
+    got = {r.href: (r.anchor, r.url) for r in rows}
+    # fragment stripped from the href (matching extract_links), nested
+    # tags stripped from the body, whitespace collapsed; fragment-only
+    # and mailto links never produce rows; icon-only anchor is "".
+    assert got == {
+        "http://Ext.COM:80/p": ("Read more now", "http://ext.com/p"),
+        "/root/x": ("Page One", "http://www.example.com/root/x"),
+        "../up/y": ("", "http://www.example.com/a/up/y"),
+    }
+
+
+def test_anchor_text_index_counts(spark):
+    from ocr_search_spark.operators.urlnorm import anchor_text_index, extract_anchors
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 2],
+                "base_url": ["http://a.com/p"] * 3,
+                "html": [
+                    "<a href='http://t.com/x'>Click  Here</a>",
+                    "<a href='http://t.com/x'>click here</a>"
+                    "<a href='http://t.com/x'>click here</a>",
+                    "<a href='http://t.com/y'><img src='i'/></a>",
+                ],
+            }
+        )
+    )
+    idx = {
+        (r.url, r.anchor): (r.n_links, r.n_docs)
+        for r in anchor_text_index(extract_anchors(df)).collect()
+    }
+    # case-folded grouping; 3 links from 2 docs; empty anchor dropped
+    assert idx == {("http://t.com/x", "click here"): (3, 2)}
+
+
+def test_extract_anchors_plan_no_udf_no_shuffle(spark):
+    from ocr_search_spark.operators.urlnorm import extract_anchors
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"base_url": ["http://a.com/p"], "html": ["<a href='/x'>t</a>"]})
+    )
+    plan = extract_anchors(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
