@@ -2047,6 +2047,12 @@ _GATE_PRIORITY = [
     # url_canonical's in-window row; the (url, anchor) count +
     # count-distinct aggregate = domain_stats/source_mix shapes;
     # check_entry-verified at sf0.001 AND sf0.01 this session).
+    # search_anchor_boost (capstone COMPOSITION of gated stages:
+    # extract_anchors = anchor_texts' machinery, the URL->doc_key
+    # catalog = docs_catalog's in-window key rule, the anchor tokenizer
+    # = the r2 postings row, max-tf top-k = search_topk's r2 row — same
+    # overflow treatment as warc_postings/crawl_clean_pipeline;
+    # check_entry-verified at sf0.001 AND sf0.01 this session).
     "tpch_q4",
 ]
 
@@ -11388,6 +11394,97 @@ _TRAINING_ORACLES["anchor_texts"] = f"""WITH a AS (
 )
 SELECT url, anchor, COUNT(*) AS n_links, COUNT(DISTINCT doc_id) AS n_docs
 FROM a GROUP BY url, anchor"""
+
+
+# ---------------------------------------------- anchor-boosted search
+# Session-17 capstone: incoming-anchor text folded into the inverted
+# index (search.anchor_boosted_postings) — anchor phrases contribute
+# weight×count to the TARGET document's term frequencies, then the
+# pinned max-tf search runs unchanged over the boosted postings. The
+# composition is entirely gated machinery: extract_anchors (anchor_texts
+# row) → URL→doc_key catalog join (docs_catalog's key rule) → the
+# english tokenizer chain (postings row) → match_terms (search_topk
+# row). Fixture: every doc links to two other corpus docs
+# ((id*id+3)%500 — quadratic, so in-degrees vary from 0 to several —
+# and (id*13+5)%500) with phrases built from the search query's own
+# vocabulary, so the boost genuinely reorders the top-20 (a bijective
+# link rule would shift every score uniformly and reorder nothing).
+# The oracle re-derives the anchor postings from the fixture rule with
+# the same gated SQL tokenizer fragments and replays the max-tf search.
+
+_BOOST_HOST = "'http://w.example.com/doc/'"
+_BOOST_HTML_SQL = (
+    "'<a href=\"/doc/' || CAST((doc_id * doc_id + 3) % 500 AS {st}) || "
+    "'\">Fast  <b>Tables</b> guide</a>"
+    "<a href=\"/doc/' || CAST((doc_id * 13 + 5) % 500 AS {st}) || "
+    "'\">slow values index</a><a href=\"#x\">skip</a>'"
+)
+_ANCHOR_WEIGHT = 3
+
+
+def q_search_anchor_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.search import (
+        anchor_boosted_postings,
+        match_terms,
+    )
+    from ocr_search_spark.operators.urlnorm import extract_anchors
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        "doc_id",
+        F.expr(f"{_BOOST_HOST} || CAST(doc_id AS STRING)").alias("base_url"),
+        F.expr(_BOOST_HTML_SQL.format(st="STRING")).alias("html"),
+    )
+    anchors = extract_anchors(pages).select("url", "anchor")
+    catalog = _with_doc_key(_widened(docs)).select(
+        F.expr(f"{_BOOST_HOST} || CAST(flat_id AS STRING)").alias("url"),
+        F.col("doc_key").alias("target_id"),
+    )
+    tgt = anchors.join(catalog, "url").select(
+        F.col("target_id").alias("doc_id"), "anchor"
+    )
+    boosted = anchor_boosted_postings(
+        _postings(spark, sf_dir), tgt, weight=_ANCHOR_WEIGHT
+    )
+    hits = match_terms(boosted, list(_SEARCH_TERMS), max_return=20)
+    return hits.select("doc_id", F.col("score").cast("long").alias("score"))
+
+
+_TRAINING_QUERIES["search_anchor_boost"] = q_search_anchor_boost
+_TRAINING_ORACLES["search_anchor_boost"] = f"""WITH {_POSTINGS_BODY},
+links AS (
+  SELECT ((doc_id * doc_id + 3) % 500) AS tgt, 'fast tables guide' AS phrase
+  FROM documents
+  UNION ALL
+  SELECT ((doc_id * 13 + 5) % 500) AS tgt, 'slow values index' AS phrase
+  FROM documents
+),
+atoks AS (
+  SELECT b.doc_key AS doc_id, unnest(string_split(l.phrase, ' ')) AS tok
+  FROM links l JOIN base b ON b.flat_id = l.tgt
+),
+aterms AS (
+  SELECT doc_id, {_lemma_sql("tok")} AS term
+  FROM atoks
+  WHERE tok <> '' AND regexp_matches(tok, '^[\\x00-\\x7F]+$')
+    AND length(tok) > 1 AND regexp_matches(tok, '[a-z]')
+    AND tok NOT IN ({_STOPWORDS_IN})
+),
+apost AS (
+  SELECT term, doc_id, ({_ANCHOR_WEIGHT} * count(*))::BIGINT AS tf
+  FROM aterms GROUP BY 1, 2
+),
+boosted AS (
+  SELECT term, doc_id, sum(tf)::BIGINT AS tf
+  FROM (SELECT term, doc_id, tf FROM postings
+        UNION ALL SELECT term, doc_id, tf FROM apost)
+  GROUP BY 1, 2
+)
+SELECT doc_id, max(tf)::BIGINT AS score
+FROM boosted WHERE term IN ({_SEARCH_TERMS_IN})
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 20"""
 
 
 # ---------------------------------------------- robots.txt policy

@@ -210,8 +210,9 @@ def main() -> None:
         # session-16: the acceptance invariant as a corpus-wide audit
         "span_diff",
         "span_repair",
-        # session-17: anchor-text index
+        # session-17: anchor-text index + anchor-boosted retrieval
         "anchor_texts",
+        "search_anchor_boost",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:

@@ -55,6 +55,47 @@ def match_terms(
     )
 
 
+def anchor_boosted_postings(
+    postings: DataFrame,
+    anchors: DataFrame,
+    doc_col: str = "doc_id",
+    anchor_col: str = "anchor",
+    weight: int = 3,
+) -> DataFrame:
+    """Fold incoming-anchor text into the inverted index: anchor phrases
+    describing a TARGET document contribute ``weight × count`` to that
+    document's term frequencies — the classic web-search signal for
+    pages whose own text is thin (the reference only ever indexes a
+    page's own rendered text, TermMatcher.class.js:25-53; a crawl corpus
+    has the link graph to mine).
+
+    ``anchors`` is (doc_col = target doc_id, anchor_col = phrase), e.g.
+    urlnorm.extract_anchors output joined to a URL→doc catalog. Anchor
+    text runs through the SAME tokenizer chain as document text
+    (textproc.english_tokens_col — lowercase, strip, lemma, stopword
+    filter), so boosted and content postings share one key space.
+
+    Plan: explode + two hash aggregates riding one (term, doc_id)
+    shuffle each — the anchor side is |links|, tiny next to the corpus,
+    and the merge is a union + re-aggregate that AQE coalesces. No UDF,
+    no driver round-trip."""
+    from ..textproc import english_tokens_col
+
+    toks = anchors.select(
+        F.col(doc_col).alias("doc_id"),
+        F.explode(english_tokens_col(F.col(anchor_col))).alias("term"),
+    )
+    apost = toks.groupBy("term", "doc_id").agg(
+        (F.count("*") * weight).cast("long").alias("tf")
+    )
+    return (
+        postings.select("term", "doc_id", F.col("tf").cast("long").alias("tf"))
+        .unionByName(apost)
+        .groupBy("term", "doc_id")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+    )
+
+
 def search(
     spark: SparkSession,
     postings: DataFrame,

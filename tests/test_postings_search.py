@@ -387,3 +387,40 @@ def test_prefix_search_expansion_and_guard(spark):
         prefix_search(postings, "v", max_terms=2)
     with _pytest.raises(ValueError):
         prefix_search(postings, "*")
+
+
+def test_anchor_boosted_postings(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ocr_search_spark.operators.search import (
+        anchor_boosted_postings,
+        match_terms,
+    )
+
+    postings = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "term": ["table", "table", "fast"],
+                "doc_id": ["d1", "d2", "d1"],
+                "tf": [5, 1, 2],
+            }
+        )
+    )
+    # two anchors point at d2; their text tokenizes through the SAME
+    # chain as document text (lowercase + lemma + stopword filter)
+    anchors = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": ["d2", "d2"], "anchor": ["Fast Tables", "fast tables"]}
+        )
+    )
+    boosted = anchor_boosted_postings(postings, anchors, weight=3)
+    got = {(r.term, r.doc_id): r.tf for r in boosted.collect()}
+    # "tables" lemmatizes to the content key "table": d2 gains 2*3 on
+    # top of its content tf=1; "fast" gains 6 as a new posting for d2
+    assert got[("table", "d2")] == 7
+    assert got[("fast", "d2")] == 6
+    assert got[("table", "d1")] == 5 and got[("fast", "d1")] == 2
+    # the boost flips the ranking for a "table"-term query
+    top = match_terms(boosted, ["table"], max_return=2).collect()
+    assert [(r.doc_id, r.score) for r in top] == [("d2", 7), ("d1", 5)]
