@@ -512,3 +512,64 @@ def test_warc_source_with_size_bucketed_batching(spark, out_dir, tmp_path):
         map(tuple, _flat(b).collect())
     )
     assert b.count() == 45
+
+
+def test_snapshot_table_source_extraction(spark, corpus_df, tmp_path):
+    """North-rule integration: the extraction job reading its corpus
+    from the versioned lakehouse table (the repo's Iceberg analog,
+    storage_snapshots.SnapshotTable) instead of a raw parquet dir.
+
+    Properties:
+    * partial run + resume over ``table.read()`` == cold run over the
+      same frame (the checkpoint envelope is source-agnostic);
+    * after a MERGE restates one document's spans, extracting the new
+      version picks up exactly that change;
+    * time-travel (``read(v1)``) still extracts the ORIGINAL spans —
+      reproducibility of a past training-data build."""
+    from ocr_search_spark.storage_snapshots import SnapshotTable
+
+    docs = corpus_df.select("doc_id", "spans")
+    t = SnapshotTable(spark, str(tmp_path / "corpus_tbl"))
+    v1 = t.create(docs)
+
+    cold_dir = str(tmp_path / "cold")
+    pipeline.run_extraction_job(spark, docs, cold_dir, run_id="c", n_buckets=4)
+    cold = _flat(spark.read.parquet(f"{cold_dir}/extracted_spans"))
+
+    # partial + resume over the snapshot scan
+    snap_dir = str(tmp_path / "snap")
+    pipeline.run_extraction_job(
+        spark, t.read(), snap_dir, run_id="s", n_buckets=4,
+        bucket_filter=lambda b: b < 2,
+    )
+    r = pipeline.run_extraction_job(
+        spark, t.read(), snap_dir, run_id="s", n_buckets=4
+    )
+    assert r["buckets_done"] == 2 and r["buckets_processed"] == 2
+    got = _flat(spark.read.parquet(f"{snap_dir}/extracted_spans"))
+    assert cold.exceptAll(got).count() == 0 and got.exceptAll(cold).count() == 0
+
+    # MERGE restates one multi-span doc to its first span only
+    victim = (
+        docs.where(F.size("spans") > 1).select("doc_id").orderBy("doc_id").first()
+    )["doc_id"]
+    restated = docs.where(F.col("doc_id") == victim).select(
+        "doc_id", F.slice("spans", 1, 1).alias("spans")
+    )
+    t.merge(restated, ["doc_id"])
+
+    v2_dir = str(tmp_path / "v2")
+    pipeline.run_extraction_job(spark, t.read(), v2_dir, run_id="v2", n_buckets=4)
+    v2 = _flat(spark.read.parquet(f"{v2_dir}/extracted_spans"))
+    assert v2.where(F.col("doc_id") == victim).count() == 1
+    a = cold.where(F.col("doc_id") != victim)
+    b = v2.where(F.col("doc_id") != victim)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # time travel: v1 extraction reproduces the original build
+    tt_dir = str(tmp_path / "tt")
+    pipeline.run_extraction_job(
+        spark, t.read(version=v1), tt_dir, run_id="tt", n_buckets=4
+    )
+    tt = _flat(spark.read.parquet(f"{tt_dir}/extracted_spans"))
+    assert cold.exceptAll(tt).count() == 0 and tt.exceptAll(cold).count() == 0
