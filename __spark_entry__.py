@@ -2053,6 +2053,11 @@ _GATE_PRIORITY = [
     # = the r2 postings row, max-tf top-k = search_topk's r2 row — same
     # overflow treatment as warc_postings/crawl_clean_pipeline;
     # check_entry-verified at sf0.001 AND sf0.01 this session).
+    # snapshot_extract (lakehouse-sourced extraction: SnapshotTable
+    # round trip = snapshot_merge/snapshot_pyreader machinery; the
+    # extraction itself = extract_columnar's in-window row and the SAME
+    # oracle SQL; check_entry-verified at sf0.001 AND sf0.01 this
+    # session).
     "tpch_q4",
 ]
 
@@ -11485,6 +11490,28 @@ FROM boosted WHERE term IN ({_SEARCH_TERMS_IN})
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT 20"""
+
+
+# ---------------------------------------------- lakehouse-sourced extraction
+# Session-17: the north rule's literal input shape — "read Iceberg
+# tables of interleaved text + media spans" — as one gated entry: the
+# interleaved corpus lands in a versioned SnapshotTable (the repo's
+# Iceberg analog: manifest + snapshot log + stats), is read back
+# through the manifest scan, and flows through the audited columnar
+# extraction. The oracle is the extraction SQL unchanged — proving the
+# lakehouse round trip preserves the nested span structs bit-exactly.
+# (The checkpoint-envelope + MERGE + time-travel composition is
+# pytest-gated: test_pipeline.py::test_snapshot_table_source_extraction.)
+
+
+def q_snapshot_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _snap_table(spark, "extract")
+    t.create(_interleaved(spark, sf_dir).select("doc_id", "spans"))
+    return _flatten_extracted(extract_spans_columnar(t.read()))
+
+
+_TRAINING_QUERIES["snapshot_extract"] = q_snapshot_extract
+_TRAINING_ORACLES["snapshot_extract"] = _EXTRACT_SQL
 
 
 # ---------------------------------------------- robots.txt policy

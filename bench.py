@@ -213,6 +213,7 @@ def main() -> None:
         # session-17: anchor-text index + anchor-boosted retrieval
         "anchor_texts",
         "search_anchor_boost",
+        "snapshot_extract",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:
