@@ -10068,7 +10068,16 @@ FROM orders"""
 def q_snapshot_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _snap_orders(spark, sf_dir)
     t = _snap_table(spark, "bloom")
-    t.create(o.repartitionByRange(8, "k"), bloom_cols=["ck"])
+    # A Bloom bitmap only prunes at its design load: 8192 bits / k=2
+    # wants ≲2k distinct values per file (m/n ≥ 4 → FP ≈ 8%). Size the
+    # layout to the input instead of pinning 8 files — at sf0.1 orders
+    # is 150k rows, and 8 files would put ~19k custkeys in each bitmap,
+    # saturating every one (all files admit every probe; the scan stays
+    # CORRECT — FPs only add files — but prunes nothing). This is the
+    # same rule a real deployment applies: bloom sizing tracks
+    # row-group row counts, not file counts.
+    n_files = max(8, o.count() // 1500 + 1)
+    t.create(o.repartitionByRange(n_files, "k"), bloom_cols=["ck"])
     man = t._manifest(t.current_version())
     kept = t._pruned_files(man, [("ck", "=", 37)])
     assert 0 < len(kept) < len(man["files"])  # bites without any layout help
