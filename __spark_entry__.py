@@ -2057,7 +2057,12 @@ _GATE_PRIORITY = [
     # round trip = snapshot_merge/snapshot_pyreader machinery; the
     # extraction itself = extract_columnar's in-window row and the SAME
     # oracle SQL; check_entry-verified at sf0.001 AND sf0.01 this
-    # session).
+    # session). extraction_lineage (the checkpoint-envelope job =
+    # test_pipeline.py's resume/lineage suite + the extract_columnar /
+    # extract_pandas in-window rows; the corpus-level lineage
+    # invariants are the oracle, the xxhash64 per-bucket split is
+    # pytest-reconciled; check_entry-verified at sf0.001 AND sf0.01
+    # this session).
     "tpch_q4",
 ]
 
@@ -11521,6 +11526,50 @@ def q_snapshot_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRAINING_QUERIES["snapshot_extract"] = q_snapshot_extract
 _TRAINING_ORACLES["snapshot_extract"] = _EXTRACT_SQL
+
+
+# ---------------------------------------------- extraction lineage
+# Session-17: the north rule's "every partition writes lineage +
+# extraction metrics to a checkpoint table" as a gated entry. The
+# per-BUCKET split keys on xxhash64 (not DuckDB-replayable), so the
+# per-bucket reconciliation stays pytest-gated
+# (test_pipeline.py::test_lineage_matches_committed_data) and the
+# oracle checks the corpus-level invariants the lineage must satisfy:
+# every document accounted once, every span counted, zero errors on
+# the clean corpus, every partition committed 'done'. Bucket-id range
+# sanity is asserted in-query.
+
+
+def q_extraction_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ocr_search_spark import pipeline as _pl
+
+    out = tempfile.mkdtemp(prefix="lineage_gate_") + "/wh"
+    docs = _interleaved(spark, sf_dir).select("doc_id", "spans")
+    _pl.run_extraction_job(spark, docs, out, run_id="gate", n_buckets=8)
+    cp = spark.read.parquet(f"{out}/checkpoint")
+    n_bad = cp.where(
+        (F.col("partition_id") < 0) | (F.col("partition_id") >= 8)
+    ).count()
+    assert n_bad == 0, f"{n_bad} lineage rows outside the bucket range"
+    return cp.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_spans").cast("long").alias("n_spans"),
+        F.sum("n_errors").cast("long").alias("n_errors"),
+        F.countDistinct("status").cast("long").alias("n_statuses"),
+        F.max("status").alias("status"),
+    )
+
+
+_TRAINING_QUERIES["extraction_lineage"] = q_extraction_lineage
+_TRAINING_ORACLES["extraction_lineage"] = """SELECT
+  COUNT(*)::BIGINT AS n_docs,
+  (3 * COUNT(*))::BIGINT AS n_spans,
+  0::BIGINT AS n_errors,
+  1::BIGINT AS n_statuses,
+  'done' AS status
+FROM documents"""
 
 
 # ---------------------------------------------- robots.txt policy

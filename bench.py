@@ -214,6 +214,7 @@ def main() -> None:
         "anchor_texts",
         "search_anchor_boost",
         "snapshot_extract",
+        "extraction_lineage",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:
