@@ -346,3 +346,67 @@ def test_boolquery_junk_never_crashes(q):
             BQ._check_negation(ast)
         except ValueError:
             pass
+
+
+def test_extract_anchors_equals_python_oracle_on_fuzz_corpus(spark):
+    """One Spark job over a fuzz corpus of half-broken HTML: the
+    anchor-extraction regex (operators/urlnorm._ANCHOR_RE, JVM side)
+    must equal a pure-Python re implementation of the SAME pinned rule
+    — well-formed <a href>…</a> only, fragment stripped from the href,
+    fragment-only/mailto/javascript dropped, nested tags stripped and
+    whitespace collapsed in the body. Alphabet stays ASCII (Python
+    \\s is Unicode-aware, Java's is not — the rule is pinned on ASCII
+    whitespace)."""
+    import random
+    import re as _re
+
+    from ocr_search_spark.operators.urlnorm import extract_anchors
+
+    pat = _re.compile(
+        "(?is)<a\\b[^>]*\\bhref\\s*=\\s*[\"']([^\"'#]+)[^\"']*[\"'][^>]*>(.*?)</a>"
+    )
+    scheme = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+    http = _re.compile("^(?i:https?)://")
+
+    def py_anchors(html):
+        out = []
+        for href, body in pat.findall(html):
+            if scheme.match(href) and not http.match(href):
+                continue
+            anchor = _re.sub(
+                r"\s+", " ", _re.sub(r"<[^>]*>", " ", body)
+            ).strip()
+            out.append((href, anchor))
+        return sorted(out)
+
+    rng = random.Random(4321)
+    noise = "abc <a> </a> href= \"'#/:.x\n\t<b></b>= <a hrf='/z'>y</a>"
+    hrefs = [
+        "/r/{}", "http://t{}.com/p", "../u{}", "#top", "mailto:a@b",
+        "javascript:void(0)", "HTTPS://X{}.org/q", "/p{}#frag", "//cdn{}.net/c",
+    ]
+    bodies = [
+        "plain {}", "<b>bold{}</b> tail", "  ws\t{}\n end  ", "",
+        "<img src='i{}.png'/>", "nested <i>x{}</i> <span>y</span>",
+    ]
+
+    def frag(i):
+        if rng.random() < 0.4:
+            a = rng.randrange(len(noise) - 10)
+            return noise[a : a + rng.randrange(1, 10)]
+        h = rng.choice(hrefs).format(i)
+        b = rng.choice(bodies).format(i)
+        q = rng.choice(["'", '"'])
+        return f"<a href={q}{h}{q}>{b}</a>"
+
+    texts = ["".join(frag(i) for _ in range(rng.randrange(0, 5))) for i in range(150)]
+    df = spark.createDataFrame(
+        [(str(i), "http://base.example.com/a/b", t) for i, t in enumerate(texts)],
+        "doc_id string, base_url string, html string",
+    )
+    got: dict[str, list] = {}
+    for r in extract_anchors(df).collect():
+        got.setdefault(r["doc_id"], []).append((r["href"], r["anchor"]))
+    for i, t in enumerate(texts):
+        expect = py_anchors(t)
+        assert sorted(got.get(str(i), [])) == expect, f"doc {i}: {t!r}"
