@@ -2062,7 +2062,11 @@ _GATE_PRIORITY = [
     # extract_pandas in-window rows; the corpus-level lineage
     # invariants are the oracle, the xxhash64 per-bucket split is
     # pytest-reconciled; check_entry-verified at sf0.001 AND sf0.01
-    # this session).
+    # this session). anchors_incremental (IVM carry/recompute =
+    # correlations_incremental's in-window shape; the anchor machinery
+    # = anchor_texts' overflow row; equivalence vs full recompute is
+    # BOTH the oracle and a pytest property;
+    # check_entry-verified at sf0.001 AND sf0.01 this session).
     "tpch_q4",
 ]
 
@@ -11406,6 +11410,74 @@ _TRAINING_ORACLES["anchor_texts"] = f"""WITH a AS (
          'topic' || CAST(doc_id % 3 AS VARCHAR) || ' guide' AS anchor,
          doc_id
   FROM documents
+  UNION ALL
+  SELECT 'http://' || {_URL_HOST_CANON} || '/r/' || CAST(doc_id AS VARCHAR),
+         'page ' || CAST(doc_id AS VARCHAR), doc_id
+  FROM documents
+)
+SELECT url, anchor, COUNT(*) AS n_links, COUNT(DISTINCT doc_id) AS n_docs
+FROM a GROUP BY url, anchor"""
+
+
+# ---------------------------------------------- incremental anchor index
+# Session-17: IVM for the anchor index (urlnorm.anchor_index_incremental)
+# — docs with doc_id%5==0 are RECRAWLED with different links (target
+# ext<d%4> instead of <d%7>, phrase 'fresh guide <d%2>', the per-doc
+# /r/ link kept so some touched groups survive with identical values);
+# the maintained index must equal the full recompute over the
+# post-change corpus, which is exactly what the oracle states. The
+# distinct-source count is the part a naive aggregate-only delta
+# CANNOT maintain — the per-source grain (anchor_postings) exists for
+# this. Cost shape: one left_anti carry + a re-aggregate of touched
+# keys only (pytest asserts equivalence; correlate.py's IVM is the
+# shape sibling).
+
+_ANCHOR_HTML_V2_SQL = (
+    "'<html><body>"
+    '<a href="http://ext\' || CAST(doc_id % 4 AS {st}) || \'.com/P">'
+    "Fresh  <b>Guide</b> \' || CAST(doc_id % 2 AS {st}) || \'</a>"
+    '<a href="/r/\' || CAST(doc_id AS {st}) || \'">Page \' || CAST(doc_id AS {st}) || \'</a>'
+    "</body></html>'"
+)
+
+
+def q_anchors_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.urlnorm import (
+        anchor_index_incremental,
+        anchor_postings,
+        anchor_text_index,
+        extract_anchors,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_url = F.expr(_LINK_BASE_SQL.format(st="STRING")).alias("base_url")
+    v1 = docs.select(
+        "doc_id", base_url,
+        F.expr(_ANCHOR_HTML_SQL.format(st="STRING")).alias("html"),
+    )
+    changed_v2 = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", base_url,
+        F.expr(_ANCHOR_HTML_V2_SQL.format(st="STRING")).alias("html"),
+    )
+    a1 = extract_anchors(v1)
+    base1 = anchor_postings(a1)
+    idx1 = anchor_text_index(a1)
+    old_changed = base1.where(F.col("src_doc") % 5 == 0)
+    new_changed = anchor_postings(extract_anchors(changed_v2))
+    base2 = base1.where(F.col("src_doc") % 5 != 0).unionByName(new_changed)
+    return anchor_index_incremental(idx1, base2, old_changed, new_changed)
+
+
+_TRAINING_QUERIES["anchors_incremental"] = q_anchors_incremental
+_TRAINING_ORACLES["anchors_incremental"] = f"""WITH a AS (
+  SELECT 'http://ext' || CAST(doc_id % 7 AS VARCHAR) || '.com/P' AS url,
+         'topic' || CAST(doc_id % 3 AS VARCHAR) || ' guide' AS anchor,
+         doc_id
+  FROM documents WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT 'http://ext' || CAST(doc_id % 4 AS VARCHAR) || '.com/P',
+         'fresh guide ' || CAST(doc_id % 2 AS VARCHAR), doc_id
+  FROM documents WHERE doc_id % 5 = 0
   UNION ALL
   SELECT 'http://' || {_URL_HOST_CANON} || '/r/' || CAST(doc_id AS VARCHAR),
          'page ' || CAST(doc_id AS VARCHAR), doc_id

@@ -215,6 +215,7 @@ def main() -> None:
         "search_anchor_boost",
         "snapshot_extract",
         "extraction_lineage",
+        "anchors_incremental",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:

@@ -267,6 +267,72 @@ def anchor_text_index(
     )
 
 
+def anchor_postings(
+    anchors: DataFrame,
+    url_col: str = "url",
+    anchor_col: str = "anchor",
+    src_col: str = "doc_id",
+) -> DataFrame:
+    """The anchor-text index at its MAINTAINABLE grain: one row per
+    (target url, lowercased anchor phrase, source doc) with the link
+    count. :func:`anchor_text_index` is the aggregate view of this —
+    keeping the per-source grain is what makes the index incrementally
+    updatable when source pages change (the distinct-source count
+    cannot be maintained from the aggregate alone)."""
+    a = F.lower(F.col(anchor_col))
+    return (
+        anchors.where(a != "")
+        .groupBy(
+            F.col(url_col).alias("url"),
+            a.alias("anchor"),
+            F.col(src_col).alias("src_doc"),
+        )
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+def anchor_index_from_postings(base: DataFrame) -> DataFrame:
+    """Aggregate view of :func:`anchor_postings` — identical output to
+    :func:`anchor_text_index` over the same links."""
+    return base.groupBy("url", "anchor").agg(
+        F.sum("n_links").cast("long").alias("n_links"),
+        F.countDistinct("src_doc").cast("long").alias("n_docs"),
+    )
+
+
+def anchor_index_incremental(
+    index: DataFrame,
+    base: DataFrame,
+    old_changed: DataFrame,
+    new_changed: DataFrame,
+) -> DataFrame:
+    """IVM for the anchor-text index after a set of SOURCE pages
+    changed (recrawl, edit, deletion). ``index`` is the current
+    aggregate; ``base`` is the per-source grain AFTER the doc-replace
+    (changed docs' old rows removed, new rows inserted — the same
+    anti-join + union MERGE the postings maintainer uses);
+    ``old_changed``/``new_changed`` are the changed docs' contribution
+    rows before/after.
+
+    Only (url, anchor) groups the change touches are recomputed: the
+    untouched bulk of the index is carried by ONE left_anti join, and
+    the recompute reads base rows for the touched keys only (left_semi)
+    — cost ∝ the changed docs' link sets, never the corpus. This is
+    the same shape as the correlation IVM (operators/correlate.py):
+    deltas drive a bounded re-aggregate, the full recompute is the
+    oracle."""
+    touched = (
+        old_changed.select("url", "anchor")
+        .unionByName(new_changed.select("url", "anchor"))
+        .distinct()
+    )
+    carried = index.join(touched, ["url", "anchor"], "left_anti")
+    recomputed = anchor_index_from_postings(
+        base.join(touched, ["url", "anchor"], "left_semi")
+    )
+    return carried.unionByName(recomputed)
+
+
 def parse_sitemap(df: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame:
     """Sitemap-protocol ``urlset`` XML → one row per ``<url>`` entry
     with (loc, lastmod; lastmod '' when absent). The block split keeps

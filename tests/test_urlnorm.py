@@ -221,3 +221,63 @@ def test_extract_anchors_plan_no_udf_no_shuffle(spark):
     plan = extract_anchors(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_anchor_index_incremental_equals_full_recompute(spark):
+    from ocr_search_spark.operators.urlnorm import (
+        anchor_index_from_postings,
+        anchor_index_incremental,
+        anchor_postings,
+        anchor_text_index,
+        extract_anchors,
+    )
+
+    def pages(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "base_url", "html"])
+        )
+
+    v1 = pages(
+        [
+            (1, "http://s.com/a", "<a href='http://t.com/x'>alpha</a>"
+             "<a href='http://t.com/y'>beta</a>"),
+            (2, "http://s.com/b", "<a href='http://t.com/x'>alpha</a>"),
+            (3, "http://s.com/c", "<a href='http://t.com/z'>gamma</a>"),
+        ]
+    )
+    # doc 2 changes: drops its alpha link, adds a delta link
+    changed_v2 = pages(
+        [(2, "http://s.com/b", "<a href='http://t.com/w'>delta</a>")]
+    )
+
+    a1 = extract_anchors(v1)
+    base1 = anchor_postings(a1)
+    idx1 = anchor_text_index(a1)
+    old_changed = base1.where(F.col("src_doc") == 2)
+    new_changed = anchor_postings(extract_anchors(changed_v2))
+    base2 = base1.where(F.col("src_doc") != 2).unionByName(new_changed)
+
+    got = anchor_index_incremental(idx1, base2, old_changed, new_changed)
+    rows = {(r.url, r.anchor): (r.n_links, r.n_docs) for r in got.collect()}
+    # full recompute over the post-change corpus
+    v2_full = pages(
+        [
+            (1, "http://s.com/a", "<a href='http://t.com/x'>alpha</a>"
+             "<a href='http://t.com/y'>beta</a>"),
+            (2, "http://s.com/b", "<a href='http://t.com/w'>delta</a>"),
+            (3, "http://s.com/c", "<a href='http://t.com/z'>gamma</a>"),
+        ]
+    )
+    expect = {
+        (r.url, r.anchor): (r.n_links, r.n_docs)
+        for r in anchor_text_index(extract_anchors(v2_full)).collect()
+    }
+    assert rows == expect
+    # the distinct-source count actually shrank for the touched group
+    assert rows[("http://t.com/x", "alpha")] == (1, 1)
+    # aggregate view of the maintained base agrees too
+    view = {
+        (r.url, r.anchor): (r.n_links, r.n_docs)
+        for r in anchor_index_from_postings(base2).collect()
+    }
+    assert view == expect
