@@ -2067,6 +2067,16 @@ _GATE_PRIORITY = [
     # = anchor_texts' overflow row; equivalence vs full recompute is
     # BOTH the oracle and a pytest property;
     # check_entry-verified at sf0.001 AND sf0.01 this session).
+    # Session-18 overflow: the code-curation family (code_blocks /
+    # code_language / license_detect / script_profile) — all four are
+    # zero-shuffle codegen projections over the text column, the same
+    # plan shape as the in-window redact_pii / gopher_filters slots and
+    # the r2 lang_id / quality_score / token_counts rows; the regex /
+    # containment / script-range logic itself is value-hashed by each
+    # entry's own stated-expectation oracle (script_profile's latin
+    # count is additionally cross-engine: DuckDB derives it with its
+    # own RE2 class). All four check_entry-verified at sf0.001, sf0.01
+    # AND sf0.1 this session + test_codetext.py unit suite.
     "tpch_q4",
 ]
 
@@ -12039,3 +12049,194 @@ _TRAINING_QUERIES["span_repair"] = q_span_repair
 _TRAINING_ORACLES["span_repair"] = f"""WITH {_BASE_CTE}, {_SPANS_CTE}
 SELECT doc_key AS doc_id, off::INT AS off, kind, raw AS text, ref AS media_ref
 FROM spans"""
+
+
+# ---------------------------------------------- code-aware curation
+# Session-18: the code-corpus curation signals (The Stack / StarCoder
+# pipeline stages) over the documents table — fenced-code inventory,
+# heuristic language ID, SPDX license detection, Unicode-script
+# profiling. All four are zero-shuffle codegen projections
+# (training/codetext.py); the 100 TB cost is one pass over the text
+# column at scan parallelism. The reference has no code/script notion
+# (its extraction stops at raw OCR page text, PdfUtil.class.js:113);
+# these extend the engine's training-pipeline surface like textstats.
+# Fixtures inject deterministic doc_id%k appendices onto the driver
+# corpus; oracles STATE the expected inventory from the injection rule
+# (never replaying the extraction regex), except the latin char count,
+# which DuckDB derives with its own RE2 class — a cross-engine check.
+
+
+def _code_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id%4 rotation: one labeled python block / two blocks (one
+    unlabeled) separated by prose / backtick decoys incl. an UNCLOSED
+    fence (must match nothing) / no code at all."""
+    d = _docs_flat(spark, sf_dir).select("doc_id", "text")
+    base = F.substring("text", 1, 60)
+    m = F.col("doc_id") % 4
+    fx = F.concat(
+        base,
+        F.when(m == 0, F.lit("\n```python\ndef f(x):\n    return x + 1\n```\n"))
+        .when(
+            m == 1,
+            F.lit(
+                "\n```js\nconst v = 1;\nexport v;\n```\ntail\n"
+                "```\nSELECT a FROM t;\n```"
+            ),
+        )
+        .when(m == 2, F.lit(" inline `code` and ``` stray fence"))
+        .otherwise(F.lit("")),
+    )
+    return d.select("doc_id", fx.alias("text"))
+
+
+def q_code_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fenced-code inventory (codetext.fenced_code_blocks): block count,
+    code chars, distinct fence languages, code ratio. The unclosed-fence
+    decoy (doc_id%4==2) must contribute zero blocks."""
+    from ocr_search_spark.training import codetext as CT
+
+    return CT.fenced_code_blocks(_code_fixture(spark, sf_dir))
+
+
+_TRAINING_QUERIES["code_blocks"] = q_code_blocks
+_TRAINING_ORACLES["code_blocks"] = """WITH fx AS (
+  SELECT doc_id,
+         substr(text, 1, 60) || CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN chr(10) || '```python' || chr(10) || 'def f(x):'
+                || chr(10) || '    return x + 1' || chr(10) || '```' || chr(10)
+           WHEN 1 THEN chr(10) || '```js' || chr(10) || 'const v = 1;'
+                || chr(10) || 'export v;' || chr(10) || '```' || chr(10)
+                || 'tail' || chr(10) || '```' || chr(10) || 'SELECT a FROM t;'
+                || chr(10) || '```'
+           WHEN 2 THEN ' inline `code` and ``` stray fence'
+           ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 0 END)::INT
+         AS n_blocks,
+       (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 27 WHEN 1 THEN 40 ELSE 0 END)::BIGINT
+         AS code_chars,
+       CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'python' WHEN 1 THEN 'js'
+         ELSE '' END AS langs,
+       (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 27 WHEN 1 THEN 40 ELSE 0 END)::DOUBLE
+         / greatest(length(text), 1) AS code_ratio
+FROM fx"""
+
+
+def q_code_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID over unlabeled block bodies
+    (codetext.code_language_heuristic): doc_id%6 rotates through the
+    six keyword families (python/c/rust/java/javascript/unknown)."""
+    from ocr_search_spark.training import codetext as CT
+
+    d = _docs_flat(spark, sf_dir).select("doc_id")
+    m = F.col("doc_id") % 6
+    body = (
+        F.when(m == 0, "def f(x):\n    return 1\n")
+        .when(m == 1, "#include <stdio.h>\nint main(void) { return 0; }\n")
+        .when(m == 2, "fn main() -> i32 { 0 }\n")
+        .when(m == 3, "public static void main(String[] args) {}\n")
+        .when(m == 4, "const f = (x) => x * 2;\n")
+        .otherwise("plain prose words here\n")
+    )
+    return CT.classify_code_blocks(d.select("doc_id", body.alias("body")))
+
+
+_TRAINING_QUERIES["code_language"] = q_code_language
+_TRAINING_ORACLES["code_language"] = """SELECT doc_id,
+       CASE CAST(doc_id % 6 AS INT)
+         WHEN 0 THEN 'python' WHEN 1 THEN 'c' WHEN 2 THEN 'rust'
+         WHEN 3 THEN 'java' WHEN 4 THEN 'javascript'
+         ELSE 'unknown' END AS language
+FROM documents"""
+
+
+def q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPDX license scan (codetext.detect_licenses): doc_id%6 rotates
+    Apache-2.0 / MIT / GPL-3.0 / BSD-3-Clause / dual MIT+MPL-2.0 /
+    none; `permissive` flips false on GPL, MPL and empty."""
+    from ocr_search_spark.training import codetext as CT
+
+    d = _docs_flat(spark, sf_dir).select("doc_id", "text")
+    m = F.col("doc_id") % 6
+    fx = F.concat(
+        F.substring("text", 1, 40),
+        F.when(
+            m == 0,
+            ' Licensed under the Apache License, Version 2.0 (the "License");',
+        )
+        .when(
+            m == 1,
+            " MIT License: Permission is hereby granted, free of charge,"
+            " to any person",
+        )
+        .when(
+            m == 2,
+            " under the terms of the GNU General Public License as"
+            " published by the Free Software Foundation, either version 3",
+        )
+        .when(
+            m == 3,
+            " Redistribution and use in source and binary forms, with or"
+            " without modification (BSD 3-Clause)",
+        )
+        .when(
+            m == 4,
+            " This Source Code Form is subject to the terms of the Mozilla"
+            " Public License, v. 2.0. Also dual-licensed under the MIT"
+            " License.",
+        )
+        .otherwise(F.lit("")),
+    )
+    return CT.detect_licenses(d.select("doc_id", fx.alias("text")))
+
+
+_TRAINING_QUERIES["license_detect"] = q_license_detect
+_TRAINING_ORACLES["license_detect"] = """SELECT doc_id,
+       CASE CAST(doc_id % 6 AS INT)
+         WHEN 0 THEN 'Apache-2.0' WHEN 1 THEN 'MIT' WHEN 2 THEN 'GPL-3.0'
+         WHEN 3 THEN 'BSD-3-Clause' WHEN 4 THEN 'MIT,MPL-2.0'
+         ELSE '' END AS licenses,
+       CAST(doc_id % 6 AS INT) IN (0, 1, 3) AS permissive
+FROM documents"""
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script histogram (codetext.script_profile): doc_id%5
+    appends Cyrillic(9)/Greek(7)/CJK(10, on a 3-char base so cjk
+    DOMINATES)/Arabic(5)/nothing; latin counts derive from the base
+    prose in BOTH engines with each engine's own regex class."""
+    from ocr_search_spark.training import codetext as CT
+
+    d = _docs_flat(spark, sf_dir).select("doc_id", "text")
+    m = F.col("doc_id") % 5
+    base = F.when(m == 2, F.substring("text", 1, 3)).otherwise(
+        F.substring("text", 1, 50)
+    )
+    fx = F.concat(
+        base,
+        F.when(m == 0, " привет мир")
+        .when(m == 1, " γειά σου")
+        .when(m == 2, F.lit("好" * 10))
+        .when(m == 3, " مرحبا")
+        .otherwise(F.lit("")),
+    )
+    return CT.script_profile(d.select("doc_id", fx.alias("text")))
+
+
+_TRAINING_QUERIES["script_profile"] = q_script_profile
+_TRAINING_ORACLES["script_profile"] = """WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 2 THEN substr(text, 1, 3)
+              ELSE substr(text, 1, 50) END AS sub
+  FROM documents
+)
+SELECT doc_id,
+       length(regexp_replace(sub, '[^A-Za-z]', '', 'g'))::BIGINT AS latin_chars,
+       (CASE WHEN doc_id % 5 = 0 THEN 9 ELSE 0 END)::BIGINT AS cyrillic_chars,
+       (CASE WHEN doc_id % 5 = 1 THEN 7 ELSE 0 END)::BIGINT AS greek_chars,
+       (CASE WHEN doc_id % 5 = 2 THEN 10 ELSE 0 END)::BIGINT AS cjk_chars,
+       (CASE WHEN doc_id % 5 = 3 THEN 5 ELSE 0 END)::BIGINT AS arabic_chars,
+       CASE WHEN doc_id % 5 = 2 THEN 'cjk' ELSE 'latin' END AS dominant
+FROM base"""

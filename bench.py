@@ -216,6 +216,11 @@ def main() -> None:
         "snapshot_extract",
         "extraction_lineage",
         "anchors_incremental",
+        # session-18: code-corpus curation signals (codetext)
+        "code_blocks",
+        "code_language",
+        "license_detect",
+        "script_profile",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:
