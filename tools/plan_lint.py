@@ -1,0 +1,233 @@
+"""Global physical-plan lint over EVERY ``queries()`` entry.
+
+The correctness gate proves each entry's VALUES; this tool proves each
+entry's PLAN SHAPE scales. For every entry it builds the DataFrame at a
+small sf and inspects the physical plan (no collect) for the two
+operators that turn into corpus-squared work at 100 TB:
+
+* ``CartesianProduct``        — always a violation (O(N·M) rows moved);
+* ``BroadcastNestedLoopJoin`` — a violation unless the broadcast side
+  is PROVABLY input-size-independent. Instead of a hand whitelist, the
+  lint walks the BNLJ's build subtree and accepts it only when every
+  path bottoms out in
+
+    - an aggregate with ``keys=[]`` whose expressions are scalar
+      (sum/count/avg/min/max …) — exactly one row, O(1) bytes. An
+      empty-keys ``collect_list``/``collect_set`` does NOT qualify:
+      one row, but the broadcast payload grows with the corpus;
+    - driver-local literal data (``LocalTableScan``, ``OneRowRelation``,
+      ``EmptyRelation``) — embedded in the program, cannot grow with
+      the input tables;
+    - a literal ``Range`` of at most ``_RANGE_CAP`` rows (calibration
+      grids, probe lists).
+
+  Anything that reaches a file/table scan un-aggregated (or via a
+  collect_*) is a real violation: that broadcast ships O(corpus) bytes
+  to every task. The handful of justified exceptions live in WHITELIST
+  with a written proof.
+
+It also records the shuffle-exchange count per entry so plan growth is
+visible across sessions (PLANLINT.md).
+
+Usage: python tools/plan_lint.py [sf_dir] [name ...]
+Exit 1 on any non-whitelisted violation.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+# Entries allowed to contain an UNPROVEN BroadcastNestedLoopJoin, each
+# with the bounded-broadcast-side proof the walker cannot see. Keep this
+# list SHORT and justified.
+WHITELIST: dict[str, str] = {
+    "embed_cosine_topk": (
+        "broadcast side is `embeddings WHERE vec_id < 10` — a range "
+        "predicate on the table's unique key: ≤10 rows at ANY corpus "
+        "size (parquet min/max pruning skips the rest of the scan). "
+        "The walker cannot see key uniqueness, only the Filter node."
+    ),
+    "search_maxsim": (
+        "broadcast side is `embeddings WHERE vec_id == <literal>` — a "
+        "point lookup on the unique key: ≤1 row at any corpus size."
+    ),
+}
+
+_RANGE_CAP = 100_000  # literal Range rows accepted as "bounded"
+
+# Formatted explain lists every physical node once as "(N) NodeName".
+_NODE_RE = re.compile(r"^\(\d+\) (\w+)", re.M)
+
+_SCALAR_ONLY_AGG = re.compile(r"keys=\[\]")
+_GROWING_AGG = re.compile(r"collect_list|collect_set")
+_RANGE_ROWS = re.compile(r"Range \((-?\d+), (-?\d+)")
+
+
+def plan_string(df) -> str:
+    """Formatted physical plan WITHOUT executing the frame."""
+    qe = df._jdf.queryExecution()
+    try:
+        jvm = df.sparkSession._jvm
+        return jvm.PythonSQLUtils.explainString(qe, "formatted")
+    except Exception:
+        return qe.executedPlan().toString()
+
+
+def _children(node) -> list:
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _bounded(node) -> bool:
+    """True iff this physical subtree's row count AND byte size are
+    independent of the input tables (safe to broadcast at any scale)."""
+    name = node.nodeName()
+    s = node.simpleString(120)
+    if name in ("LocalTableScan", "EmptyRelation") or "OneRowRelation" in s:
+        return True
+    if name == "Range":
+        m = _RANGE_ROWS.search(s)
+        return bool(m) and abs(int(m.group(2)) - int(m.group(1))) <= _RANGE_CAP
+    if name in ("GlobalLimit", "CollectLimit", "TakeOrderedAndProject"):
+        # row count capped by a program-literal n, independent of input
+        return True
+    if "Aggregate" in name and _SCALAR_ONLY_AGG.search(s):
+        # one row; O(1) bytes unless it smuggles the corpus via collect_*
+        if not _GROWING_AGG.search(node.toString().split("\n", 1)[0]):
+            return True
+        # 1-row but data-dependent payload: bounded only if the input was
+        return all(_bounded(c) for c in _children(node))
+    if name.startswith("Scan") or "FileScan" in name or name == "BatchScan":
+        return False
+    kids = _children(node)
+    if not kids:  # unknown leaf: be conservative
+        return False
+    # project/filter/sort/limit/exchange/join/generate over bounded
+    # inputs stay bounded (explode factors over literal data are fixed
+    # by the program, not the corpus)
+    return all(_bounded(c) for c in kids)
+
+
+def _audit_bnlj(df) -> tuple[int, int]:
+    """(bounded, unbounded) BroadcastNestedLoopJoin counts, walking the
+    pre-AQE physical plan tree."""
+    plan = df._jdf.queryExecution().sparkPlan()
+    ok = bad = 0
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        kids = _children(node)
+        if node.nodeName() == "BroadcastNestedLoopJoin":
+            build_right = "BuildRight" in node.simpleString(200)
+            build = kids[1] if build_right else kids[0]
+            if _bounded(build):
+                ok += 1
+            else:
+                bad += 1
+        stack.extend(kids)
+    return ok, bad
+
+
+def audit(df, plan: str) -> dict:
+    nodes = _NODE_RE.findall(plan)
+    n = lambda name: sum(1 for x in nodes if x == name)
+    bounded, unbounded = _audit_bnlj(df)
+    return {
+        "cartesian": n("CartesianProduct"),
+        "bnlj_ok": bounded,
+        "bnlj_bad": unbounded,
+        # plain "Exchange" = shuffle; BroadcastExchange is a distinct node
+        "shuffles": n("Exchange"),
+        "bhj": n("BroadcastHashJoin"),
+        "smj": n("SortMergeJoin"),
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry
+    from ocr_search_spark.session import get_spark
+
+    spark = get_spark("plan_lint", cores=8, shuffle_partitions=8)
+
+    rows, violations, errors = [], [], []
+    for name, fn in entry.queries().items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            info = audit(df, plan_string(df))
+        except Exception as exc:  # plan construction itself failed
+            errors.append(name)
+            print(f"ERR   {name}: {type(exc).__name__}: {exc}")
+            continue
+        verdict = "ok"
+        if info["cartesian"]:
+            verdict = "CARTESIAN"
+            violations.append(name)
+        elif info["bnlj_bad"] and name not in WHITELIST:
+            verdict = "BNLJ-UNBOUNDED"
+            violations.append(name)
+        elif info["bnlj_bad"]:
+            verdict = "bnlj-whitelisted"
+        elif info["bnlj_ok"]:
+            verdict = "bnlj-bounded"
+        rows.append((name, info, verdict))
+        print(
+            f"{verdict:>18}  {name}: shuffles={info['shuffles']} "
+            f"bhj={info['bhj']} smj={info['smj']} "
+            f"bnlj={info['bnlj_ok']}+{info['bnlj_bad']} "
+            f"({time.time() - t0:.1f}s)"
+        )
+
+    if not only:
+        lines = [
+            "# PLANLINT — physical-plan audit of every gated entry",
+            "",
+            f"Generated by `tools/plan_lint.py {sf_dir}`. Violations:"
+            f" **{len(violations)}**; plan-construction errors:"
+            f" **{len(errors)}**.",
+            "",
+            "Rule: no `CartesianProduct` anywhere. A",
+            "`BroadcastNestedLoopJoin` is accepted only when the lint's",
+            "plan-tree walker PROVES the broadcast side is",
+            "input-size-independent: every path in the build subtree ends",
+            "in an empty-keys scalar aggregate (one row, O(1) bytes — and",
+            "NOT a collect_list/collect_set of corpus data), driver-local",
+            "literal data, or a literal Range ≤ 100k rows. `BNLJ ok` /",
+            "`BNLJ bad` below are the proven / unproven counts; any `bad`",
+            "needs a fix or a written WHITELIST proof. Shuffle counts are",
+            "the per-entry exchange count in the initial physical plan",
+            "(AQE may coalesce at runtime).",
+            "",
+            "| entry | shuffles | BHJ | SMJ | BNLJ ok | BNLJ bad | verdict |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for name, info, verdict in rows:
+            lines.append(
+                f"| {name} | {info['shuffles']} | {info['bhj']} "
+                f"| {info['smj']} | {info['bnlj_ok']} | {info['bnlj_bad']} "
+                f"| {verdict} |"
+            )
+        if WHITELIST:
+            lines += ["", "## BNLJ whitelist", ""]
+            for k, v in WHITELIST.items():
+                lines.append(f"- `{k}` — {v}")
+        Path(__file__).resolve().parents[1].joinpath("PLANLINT.md").write_text(
+            "\n".join(lines) + "\n"
+        )
+
+    print("VIOLATIONS:", violations or "none", "ERRORS:", errors or "none")
+    return 1 if (violations or errors) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
