@@ -924,7 +924,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return SIM.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+    return SIM.cosine_topk(emb, emb.where(F.col("vec_id") < 10).limit(10), k=5)
 
 
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6681,7 +6681,7 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dense = maxsim_topk(
         emb,
-        emb.where(F.col("vec_id") == _HYBRID_QVEC),
+        emb.where(F.col("vec_id") == _HYBRID_QVEC).limit(1),
         n_sub=1,  # one sub-vector == plain exact-integer dot product
         k=_HYBRID_DEPTH,
     )
@@ -6772,7 +6772,7 @@ def q_search_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return maxsim_topk(
         emb,
-        emb.where(F.col("vec_id") == _HYBRID_QVEC),
+        emb.where(F.col("vec_id") == _HYBRID_QVEC).limit(1),
         n_sub=_MAXSIM_NSUB,
         k=20,
     ).select(F.col("vec_id").cast("long").alias("vec_id"), "score")
@@ -7543,7 +7543,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking_recall: one (query, id) equi-join over two top-k tables +
     exact integer-micros recall."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = emb.where(F.col("vec_id") < 10)
+    queries = emb.where(F.col("vec_id") < 10).limit(10)
     truth = SIM.cosine_topk(emb, queries, k=5)
     cents = SIM.ivf_centroids(emb, n_centroids=8)
     assign = SIM.ivf_assign(emb, cents)
@@ -9020,7 +9020,7 @@ def q_kmv_term_audiences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_search_spark.training.sketches import kmv_build, kmv_pair_estimates
 
     p = _postings(spark, sf_dir).where(F.col("term").isin(_KMV_TERMS))
-    sk = kmv_build(p, "doc_id", ("term",), k=_KMV_K)
+    sk = kmv_build(p, "doc_id", ("term",), k=_KMV_K).limit(len(_KMV_TERMS))
     return kmv_pair_estimates(sk, "term")
 
 
@@ -9863,8 +9863,13 @@ def q_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_search_spark.training.similarity import _micros, mmr_rerank
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = e.where(F.pmod("vec_id", F.lit(100)) == 7).select(
-        F.col("vec_id").alias("query_id"), _micros(F.col("embedding")).alias("qm")
+    q = (
+        e.where((F.pmod("vec_id", F.lit(100)) == 7) & (F.col("vec_id") < 500))
+        .limit(5)  # ids 7..407: a fixed batch at every SF, provably bounded
+        .select(
+            F.col("vec_id").alias("query_id"),
+            _micros(F.col("embedding")).alias("qm"),
+        )
     )
     c = e.where(F.pmod("vec_id", F.lit(7)) == 3).select(
         F.col("vec_id").alias("id"),
@@ -9901,7 +9906,7 @@ _TRAINING_ORACLES["search_mmr"] = f"""WITH flat AS (
          floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS m
   FROM embeddings
 ),
-q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 7),
+q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 7 AND vec_id < 500),
 cids AS (SELECT vec_id AS id FROM embeddings WHERE vec_id % 7 = 3),
 dots AS (
   SELECT q.query_id, c.id, sum(fq.m * fc.m) AS dot

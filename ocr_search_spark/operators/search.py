@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import literal_df
 from .tokenize import term_freq_dict
 
 DEFAULT_MAX_RETURN = 20  # AppConfig.const.js:22 NUM_SEARCH_RETURN
@@ -37,7 +38,7 @@ def match_terms(
     if not terms:
         # empty-after-tokenize edge case: no hits (reference: match([]) → [])
         terms = ["\uf0d8never-a-term"]
-    terms_df = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    terms_df = literal_df(spark, sorted(set(terms)), "term")
     scored = (
         postings.join(F.broadcast(terms_df), "term")
         .groupBy("doc_id")
@@ -180,7 +181,7 @@ def match_terms_fuzzy(
             .agg(F.max("tf").alias("score"))
             .limit(0)
         )
-    terms_df = spark.createDataFrame([(t,) for t in set(terms)], "q string")
+    terms_df = literal_df(spark, sorted(set(terms)), "q")
     vocab = postings.select("term").distinct()
     cand = (
         vocab.join(
@@ -215,7 +216,7 @@ def match_terms_tfidf(
     spark = postings.sparkSession
     if not terms:
         terms = ["never-a-term"]
-    terms_df = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    terms_df = literal_df(spark, sorted(set(terms)), "term")
     matched = postings.join(F.broadcast(terms_df), "term")
     dfreq = matched.groupBy("term").agg(F.countDistinct("doc_id").alias("_df"))
     ndocs = postings.select(F.countDistinct("doc_id").alias("_n"))
@@ -280,7 +281,7 @@ def _bm25_rows(
     spark = postings.sparkSession
     if not terms:
         terms = ["never-a-term"]
-    terms_df = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    terms_df = literal_df(spark, sorted(set(terms)), "term")
     dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("long").alias("_n"),
@@ -448,7 +449,7 @@ def search_expanded(
     from pyspark.sql import Window as W
 
     spark = postings.sparkSession
-    terms_df = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    terms_df = literal_df(spark, sorted(set(terms)), "term")
     w = W.partitionBy("term1").orderBy(F.desc("tcr"), F.asc("term2"))
     expansions = (
         correlations.join(F.broadcast(terms_df), correlations.term1 == terms_df.term)
@@ -592,7 +593,7 @@ def match_terms_champion(
     spark = postings.sparkSession
     if not terms:
         terms = ["never-a-term"]
-    terms_df = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    terms_df = literal_df(spark, sorted(set(terms)), "term")
     matched = postings.join(F.broadcast(terms_df), "term")
     champs = champion_lists(matched, m=m)
     cands = champs.select("doc_id").distinct()
@@ -642,7 +643,7 @@ def proximity_search(
     if any(a == b for a, b in zip(terms, terms[1:])):
         raise ValueError("adjacent duplicate terms are not a proximity query")
     uniq = sorted(set(terms))
-    tdf = spark.createDataFrame([(t,) for t in uniq], "term string")
+    tdf = literal_df(spark, sorted(uniq), "term")
     m = pos_postings.join(F.broadcast(tdf), "term")
     if len(terms) == 1:
         scored = m.groupBy("doc_id").agg(
@@ -715,7 +716,7 @@ def snippet_search(
     )
     if not uniq:
         return spark.createDataFrame([], empty_schema)
-    tdf = spark.createDataFrame([(t,) for t in uniq], "term string")
+    tdf = literal_df(spark, sorted(uniq), "term")
     hits = (
         pos_postings.join(F.broadcast(tdf), "term")
         .groupBy("doc_id")

@@ -78,3 +78,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def literal_df(spark: SparkSession, values, colname: str, dtype: str = "string"):
+    """A DataFrame of program-literal values whose physical plan is
+    PROVABLY input-size-independent (Range(1) + explode of a literal
+    array), so it is always safe on the build side of a broadcast join.
+
+    ``spark.createDataFrame(list)`` parallelizes an RDD: the plan shows
+    ``Scan ExistingRDD`` — an opaque leaf that a plan audit (and a human
+    reviewer) cannot distinguish from corpus data. Literal query terms,
+    quantile probes and calibration grids should be visibly literal in
+    the plan; tools/plan_lint.py accepts exactly this shape."""
+    from pyspark.sql import functions as F
+
+    if not values:
+        return spark.createDataFrame([], f"{colname} {dtype}")
+    arr = F.array(*[F.lit(v).cast(dtype) for v in values])
+    return spark.range(1).select(F.explode(arr).alias(colname))

@@ -156,7 +156,10 @@ def kmeans_centroids(
             .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
             .select("cid", F.transform("pairs", lambda s: s["m"]).alias("cv"))
         )
-    return cents.cache()  # assign + search both re-reference it
+    cents = cents.cache()  # assign + search both re-reference it
+    # <= n_centroids rows by construction; the limit is lossless and
+    # makes every broadcast(cents) build side provably bounded
+    return cents.limit(n_centroids)
 
 
 def ivf_assign(

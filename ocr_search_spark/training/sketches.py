@@ -44,6 +44,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import literal_df
+
 from ocr_search_spark.training.hashing import h60, h60_salted
 
 # ------------------------------------------------------------ count-min
@@ -307,9 +309,9 @@ def hist_quantiles(
     spark = hist.sparkSession
     total = hist.select(F.sum("cnt").alias("_n"))
     cum = hist.withColumn("cum", F.sum("cnt").over(W.orderBy("bin")))
-    qs = spark.createDataFrame([(int(q),) for q in qs_micros], "q_micros long")
+    qs = literal_df(spark, [int(q) for q in qs_micros], "q_micros", "long")
     hit = (
-        qs.crossJoin(F.broadcast(cum.crossJoin(F.broadcast(total))))
+        cum.crossJoin(F.broadcast(total)).crossJoin(F.broadcast(qs))
         .where(F.col("cum") * F.lit(1_000_000) >= F.col("q_micros") * F.col("_n"))
         .groupBy("q_micros")
         .agg(F.min("bin").alias("bin"))

@@ -867,7 +867,7 @@ def kn_quality_score(
     )
     ctx = stats.select("u", "c_u", "n1f").distinct()
     cont = stats.select("w", "n1b").distinct()
-    bb = stats.select("bb").distinct()
+    bb = stats.select("bb").distinct().limit(1)  # bb constant: <=1 row, provably bounded broadcast
     j = (
         rows.join(stats.select("u", "w", "c_uw"), ["u", "w"], "left")
         .join(ctx, "u", "left")

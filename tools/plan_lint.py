@@ -46,15 +46,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 # with the bounded-broadcast-side proof the walker cannot see. Keep this
 # list SHORT and justified.
 WHITELIST: dict[str, str] = {
-    "embed_cosine_topk": (
-        "broadcast side is `embeddings WHERE vec_id < 10` — a range "
-        "predicate on the table's unique key: ≤10 rows at ANY corpus "
-        "size (parquet min/max pruning skips the rest of the scan). "
-        "The walker cannot see key uniqueness, only the Filter node."
-    ),
-    "search_maxsim": (
-        "broadcast side is `embeddings WHERE vec_id == <literal>` — a "
-        "point lookup on the unique key: ≤1 row at any corpus size."
+    "nb_classify": (
+        "broadcast side is the trained Naive-Bayes model: one row per "
+        "label with scalar stats (priors + smoothing totals). Label "
+        "cardinality is the closed language-code set of the corpus — "
+        "a few hundred at most, independent of corpus ROW count — so "
+        "model × corpus with the model broadcast is exactly the right "
+        "100 TB shape; a limit() cap would risk silent truncation if "
+        "a new label appeared, which is worse than the unproven BNLJ."
     ),
 }
 
