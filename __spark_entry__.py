@@ -12245,3 +12245,290 @@ SELECT doc_id,
        (CASE WHEN doc_id % 5 = 3 THEN 5 ELSE 0 END)::BIGINT AS arabic_chars,
        CASE WHEN doc_id % 5 = 2 THEN 'cjk' ELSE 'latin' END AS dominant
 FROM base"""
+
+
+# ---------------------------------------------- HTML tables
+# Session-19: explicit <table> extraction (webtext.html_tables) — the
+# one structure boilerplate stripping must not flatten into prose.
+# Pinned rules (nested truncation, closed-rows-only) live in the
+# operator docstring; the fixture gives every doc a 3-row header table
+# with doc-varying cells plus a one-cell second table, and doc_id%5==4
+# docs get NO table (the explode must emit zero rows for them). The
+# oracle states the expected cell grid directly from the generation
+# rule — it never replays the regex algebra.
+
+
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.webtext import html_tables
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    body = F.concat(
+        F.lit(
+            "<html><body><p>prose not a table</p>"
+            "<table class='kv'><tr><th>k</th><th nowrap>v</th></tr>"
+            "<tr><td>id</td><td>"
+        ),
+        did,
+        F.lit("</td></tr><tr><td> alpha </td><td><b>m</b> "),
+        k,
+        F.lit("</td></tr></table><table><tr><td>lone-"),
+        did,
+        F.lit("</td></tr></table></body></html>"),
+    )
+    pages = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 4, F.lit("<p>tableless</p>"))
+        .otherwise(body)
+        .alias("html"),
+    )
+    return html_tables(pages, id_col="doc_id")
+
+
+_TRAINING_QUERIES["html_tables"] = q_html_tables
+_TRAINING_ORACLES["html_tables"] = """WITH docs AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
+         CAST(doc_id % 7 AS VARCHAR) AS k
+  FROM documents WHERE doc_id % 5 <> 4
+),
+cells(table_idx, row_idx, col_idx, tag, pat) AS (VALUES
+  (0, 0, 0, 'th', 'k'), (0, 0, 1, 'th', 'v'),
+  (0, 1, 0, 'td', 'id'), (0, 1, 1, 'td', '{d}'),
+  (0, 2, 0, 'td', 'alpha'), (0, 2, 1, 'td', 'm {k}'),
+  (1, 0, 0, 'td', 'lone-{d}'))
+SELECT doc_id AS id, table_idx::INT AS table_idx, row_idx::INT AS row_idx,
+       col_idx::INT AS col_idx, tag,
+       replace(replace(pat, '{d}', s), '{k}', k) AS cell
+FROM docs CROSS JOIN cells"""
+
+
+# ---------------------------------------------- HTML page metadata
+# Session-19: structured page metadata (webtext.html_metadata) —
+# title / OpenGraph / description / lang, both <meta> attribute orders.
+# doc_id%5 rotates: full forward order, reversed order + messy title
+# whitespace, title-only, og-decoy + reversed description, lang-only.
+
+
+def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.webtext import html_metadata
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 5
+    head = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit('<html lang="EN"><head><title>Doc '),
+                did,
+                F.lit(
+                    '</title><meta property="og:title" content="OG '
+                ),
+                did,
+                F.lit(
+                    '"><meta property="og:type" content="article">'
+                    '<meta property="og:image" content="http://img/'
+                ),
+                did,
+                F.lit(
+                    '.png"><meta name="description" content="sum '
+                ),
+                did,
+                F.lit('"></head>'),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("<html><head><title>  Doc   "),
+                did,
+                F.lit("  </title><meta content='OG "),
+                did,
+                F.lit(
+                    "' property='og:title'><meta content='video.movie' "
+                    "property='og:type'></head>"
+                ),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(F.lit("<html><head><title>Plain "), did, F.lit("</title></head>")),
+        )
+        .when(
+            m == 3,
+            F.concat(
+                F.lit(
+                    "<html><head><meta property='og:titlex' content='DECOY'>"
+                    "<meta content='rev sum "
+                ),
+                did,
+                F.lit("' name='description'></head>"),
+            ),
+        )
+        .otherwise(F.lit('<html lang="zh-TW"><head></head>'))
+    )
+    pages = d.select(
+        "doc_id", F.concat(head, F.lit("<body></body></html>")).alias("html")
+    )
+    return html_metadata(pages).select(
+        "doc_id", "title", "og_title", "og_type", "og_image",
+        "meta_description", "lang_attr",
+    )
+
+
+_TRAINING_QUERIES["html_metadata"] = q_html_metadata
+_TRAINING_ORACLES["html_metadata"] = """SELECT doc_id,
+  CASE CAST(doc_id % 5 AS INT)
+    WHEN 0 THEN 'Doc ' || doc_id WHEN 1 THEN 'Doc ' || doc_id
+    WHEN 2 THEN 'Plain ' || doc_id ELSE '' END AS title,
+  CASE WHEN doc_id % 5 IN (0, 1) THEN 'OG ' || doc_id ELSE '' END AS og_title,
+  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'article'
+    WHEN 1 THEN 'video.movie' ELSE '' END AS og_type,
+  CASE WHEN doc_id % 5 = 0 THEN 'http://img/' || doc_id || '.png'
+    ELSE '' END AS og_image,
+  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'sum ' || doc_id
+    WHEN 3 THEN 'rev sum ' || doc_id ELSE '' END AS meta_description,
+  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'en' WHEN 4 THEN 'zh-tw'
+    ELSE '' END AS lang_attr
+FROM documents"""
+
+
+# ---------------------------------------------- publication date
+# Session-19: publish_date's pinned source-priority chain
+# (meta article:published_time > <time datetime> > /YYYY/MM/ URL path)
+# with the 1990-2030 plausibility window. doc_id%4 rotates: meta wins
+# over a present time element; time-only; url-only; implausible meta
+# year (1971) with a dateless URL -> ('', '').
+
+
+def q_publish_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.webtext import publish_date
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    mo = F.concat(F.lit("0"), ((F.col("doc_id") % 9) + 1).cast("string"))
+    m = F.col("doc_id") % 4
+    html = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit(
+                    "<meta property='article:published_time' content='2024-"
+                ),
+                mo,
+                F.lit("-15T08:30:00Z'><time datetime='2020-01-01'>t</time>"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(F.lit("<time datetime='2019-"), mo, F.lit("-07'>t</time>")),
+        )
+        .when(
+            m == 3,
+            F.lit(
+                "<meta property='article:published_time' content='1971-01-01'>"
+            ),
+        )
+        .otherwise(F.lit("<p>nothing</p>"))
+    )
+    url = F.when(
+        m == 2,
+        F.concat(
+            F.lit("http://s.com/blog/2022/"), mo, F.lit("/post-"), did
+        ),
+    ).otherwise(F.concat(F.lit("http://s.com/page/"), did))
+    pages = d.select("doc_id", html.alias("html"), url.alias("url"))
+    return publish_date(pages).select("doc_id", "publish_date", "date_source")
+
+
+_TRAINING_QUERIES["publish_date"] = q_publish_date
+_TRAINING_ORACLES["publish_date"] = """SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN '2024-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-15'
+    WHEN 1 THEN '2019-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-07'
+    WHEN 2 THEN '2022-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-01'
+    ELSE '' END AS publish_date,
+  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'meta' WHEN 1 THEN 'time'
+    WHEN 2 THEN 'url' ELSE '' END AS date_source
+FROM documents"""
+
+
+# ---------------------------------------------- feed frontier
+# Session-19: RSS/Atom feed parsing (urlnorm.parse_feed) driving the
+# same crawl-frontier diff sitemap_frontier pins — per-domain feed XML
+# is BUILT columnar (groupBy + sort_array + concat_ws; even domains
+# serve RSS, odd serve Atom, BOTH with a channel/feed-level link in the
+# preamble that the entry-window rule must ignore), parsed back, and
+# anti-joined against the crawled set. Oracle states the frontier from
+# the generation rule.
+
+
+def q_feed_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.urlnorm import parse_feed
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", (F.col("doc_id") % 8).alias("g")
+    )
+    g = F.col("g").cast("string")
+    url = F.concat(
+        F.lit("http://site"), g, F.lit(".com/p"), F.col("doc_id").cast("string")
+    )
+    pub = F.concat(
+        F.lit("2026-0"), ((F.col("doc_id") % 9) + 1).cast("string"), F.lit("-02")
+    )
+    is_rss = F.col("g") % 2 == 0
+    entry = F.when(
+        is_rss,
+        F.concat(
+            F.lit("<item><link>"), url, F.lit("</link><pubDate>"), pub,
+            F.lit("</pubDate></item>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<entry><link href="'), url, F.lit('"/><updated>'), pub,
+            F.lit("</updated></entry>"),
+        )
+    )
+    feeds = (
+        d.select("g", "doc_id", entry.alias("entry"), url.alias("url"))
+        .groupBy("g")
+        .agg(
+            F.concat(
+                F.when(
+                    F.col("g") % 2 == 0,
+                    F.concat(
+                        F.lit("<rss><channel><title>c</title><link>http://site"),
+                        g, F.lit(".com/</link>"),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        F.lit('<feed><title>f</title><link href="http://site'),
+                        g, F.lit('.com/feed.xml" rel="self"/>'),
+                    )
+                ),
+                F.concat_ws("", F.sort_array(F.collect_list("entry"))),
+                F.when(F.col("g") % 2 == 0, F.lit("</channel></rss>"))
+                .otherwise(F.lit("</feed>")),
+            ).alias("feed_xml")
+        )
+    )
+    parsed = parse_feed(feeds)
+    crawled = d.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(
+            F.lit("http://site"), F.col("g").cast("string"), F.lit(".com/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return parsed.join(crawled, "url", "left_anti").select(
+        "feed_kind", "url", "published"
+    )
+
+
+_TRAINING_QUERIES["feed_frontier"] = q_feed_frontier
+_TRAINING_ORACLES["feed_frontier"] = """SELECT
+  CASE WHEN (doc_id % 8) % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_kind,
+  'http://site' || CAST(doc_id % 8 AS VARCHAR) || '.com/p'
+    || CAST(doc_id AS VARCHAR) AS url,
+  '2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-02' AS published
+FROM documents WHERE doc_id % 3 <> 0"""

@@ -357,3 +357,81 @@ def parse_sitemap(df: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame:
         *[c for c in df.columns], F.col("_e.loc").alias("loc"),
         F.col("_e.lastmod").alias("lastmod")
     ).drop(xml_col)
+
+
+# --------------------------------------------------- feed parsing
+
+def parse_feed(df: DataFrame, xml_col: str = "feed_xml") -> DataFrame:
+    """RSS 2.0 / Atom feed XML → one row per entry with
+    ``(…, url, published, feed_kind)`` — the syndication sibling of
+    :func:`parse_sitemap`, feeding the same crawl-frontier diff (feeds
+    surface NEW urls faster than sitemaps; a polling crawler reads
+    both).
+
+    Pinned parsing rules:
+
+    * kind detection: a document containing an ``<entry`` opener is
+      ``atom``, else ``rss`` (Atom's required element; RSS has no
+      ``<entry>``);
+    * an entry is the text between an ``<item``/``<entry`` opener and
+      its closer: the XML splits on ``</item>`` / ``</entry>`` and each
+      block keeps only what FOLLOWS its opener (``substring_index(b,
+      opener, -1)``), so channel/feed-level ``<link>`` elements in the
+      preamble can never be mistaken for an entry's link — blocks
+      without an opener (the tail after the last entry) drop;
+    * the entry URL is ``<link>text</link>`` for RSS and the
+      ``href`` attribute of ``<link …/>`` for Atom (either quote
+      style); entries without a URL drop;
+    * ``published`` is the verbatim ``<pubDate>`` (RSS) / ``<updated>``
+      (Atom) text, ``''`` when absent — date PARSING is a downstream
+      concern (publish_date's plausibility window applies there).
+
+    Columnar split + transform + filter + explode — no UDF; one
+    projection per feed row, entry fan-out only at explode."""
+    x = F.col(xml_col)
+    is_atom = x.contains(F.lit("<entry"))
+
+    def entries(opener: str, closer: str, link_fn, pub_tag: str) -> Column:
+        blocks = F.split(x, closer)
+        return F.filter(
+            F.transform(
+                blocks,
+                lambda b: F.struct(
+                    link_fn(F.substring_index(b, opener, -1)).alias("url"),
+                    F.regexp_extract(
+                        F.substring_index(b, opener, -1),
+                        f"<{pub_tag}>([^<]*)</{pub_tag}>",
+                        1,
+                    ).alias("published"),
+                    (F.instr(b, opener) > 0).alias("ok"),
+                ),
+            ),
+            lambda s: s["ok"] & (s["url"] != ""),
+        )
+
+    rss = entries(
+        "<item",
+        "</item>",
+        lambda b: F.regexp_extract(b, "<link>([^<]*)</link>", 1),
+        "pubDate",
+    )
+    atom = entries(
+        "<entry",
+        "</entry>",
+        lambda b: F.regexp_extract(
+            b, "(?is)<link\\b[^>]*\\bhref\\s*=\\s*[\"']([^\"']+)[\"']", 1
+        ),
+        "updated",
+    )
+    ent = F.explode(F.when(is_atom, atom).otherwise(rss)).alias("_e")
+    kind = F.when(is_atom, F.lit("atom")).otherwise(F.lit("rss"))
+    return (
+        df.select("*", kind.alias("feed_kind"), ent)
+        .select(
+            *[c for c in df.columns],
+            "feed_kind",
+            F.col("_e.url").alias("url"),
+            F.col("_e.published").alias("published"),
+        )
+        .drop(xml_col)
+    )

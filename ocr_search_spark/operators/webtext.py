@@ -53,6 +53,9 @@ __all__ = [
     "fix_mojibake_col",
     "strip_controls_col",
     "normalize_web_text",
+    "html_tables",
+    "html_metadata",
+    "publish_date",
 ]
 
 # named entities, decode order = list order (amp LAST — single-pass rule)
@@ -386,4 +389,207 @@ def html_meta_policy(df, html_col: str = "html"):
     )
     return df.withColumns(
         {"noindex": h.rlike(_META_NOINDEX_RE), "canonical_href": canon}
+    )
+
+
+# --------------------------------------------------- HTML tables
+
+# An explicit <table> element is the ONE structure main-content
+# extraction must not flatten into prose: a row read left-to-right
+# interleaves unrelated columns. The reference renders pages to flat
+# text via pdftotext (PdfUtil.class.js:113) and loses every table; a
+# training-data pipeline wants the cells with their grid coordinates
+# (then table_markdown-style rendering, or column-wise serialization).
+#
+# Parsing rules, pinned for determinism on tag soup:
+#   * a table is <table ...> up to the FIRST subsequent </table>
+#     (non-greedy) — a nested inner table therefore TRUNCATES its
+#     outer table at the inner closer; the outer remainder's cells are
+#     lost. Wrong for nested layouts, but deterministic, linear-time,
+#     and nested data tables are rare in the wild (nested TABLES were
+#     a 1990s layout idiom; layout chrome is dropped upstream anyway);
+#   * only explicitly closed rows (<tr ...> … </tr>) and cells
+#     (<td|th ...> … </td|th>) count — closers omitted by sloppy HTML
+#     drop the row/cell rather than guessing a boundary;
+#   * cell text = inner markup with tags stripped and whitespace
+#     collapsed (same normalization as the block classifier).
+
+_TABLE_RE = r"(?is)<table\b[^>]*>(.*?)</table>"
+_TR_RE = r"(?is)<tr\b[^>]*>(.*?)</tr>"
+_CELL_RE = r"(?is)<(t[dh])\b[^>]*>(.*?)</t[dh]>"
+
+
+def html_tables(
+    df: DataFrame, html_col: str = "html", id_col: str = "id"
+) -> DataFrame:
+    """Extract every ``<table>`` in every document into cell rows
+    ``(id, table_idx, row_idx, col_idx, tag, cell)`` — tag is ``th`` or
+    ``td`` (lowercased), indices are 0-based positions in document /
+    table / row order. Documents without tables emit no rows.
+
+    Mechanism: three nested index-carrying ``transform``s over
+    ``regexp_extract_all`` matches; the cell tag and cell body come
+    from TWO group passes over ONE pattern zipped positionally
+    (same pattern → same match sequence → exact alignment, the
+    extract_anchors trick). Pure explode + projection inside
+    whole-stage codegen — no UDF, no shuffle; scale cost is linear in
+    HTML bytes per partition."""
+    h = F.col(html_col)
+    tables = F.regexp_extract_all(h, F.lit(_TABLE_RE), 1)
+
+    def row_cells(row):
+        tags = F.regexp_extract_all(row, F.lit(_CELL_RE), 1)
+        bodies = F.regexp_extract_all(row, F.lit(_CELL_RE), 2)
+        return F.zip_with(
+            tags,
+            bodies,
+            lambda tg, b: F.struct(
+                F.lower(tg).alias("tag"),
+                F.trim(
+                    F.regexp_replace(
+                        F.regexp_replace(b, "<[^>]*>", " "), r"\s+", " "
+                    )
+                ).alias("cell"),
+            ),
+        )
+
+    nested = F.transform(
+        tables,
+        lambda tbl, ti: F.transform(
+            F.regexp_extract_all(tbl, F.lit(_TR_RE), 1),
+            lambda row, ri: F.transform(
+                row_cells(row),
+                lambda c, ci: F.struct(
+                    ti.cast("int").alias("table_idx"),
+                    ri.cast("int").alias("row_idx"),
+                    ci.cast("int").alias("col_idx"),
+                    c["tag"].alias("tag"),
+                    c["cell"].alias("cell"),
+                ),
+            ),
+        ),
+    )
+    cell = F.explode(F.flatten(F.flatten(nested))).alias("_c")
+    return df.select(F.col(id_col).alias("id"), cell).select(
+        "id",
+        F.col("_c.table_idx").alias("table_idx"),
+        F.col("_c.row_idx").alias("row_idx"),
+        F.col("_c.col_idx").alias("col_idx"),
+        F.col("_c.tag").alias("tag"),
+        F.col("_c.cell").alias("cell"),
+    )
+
+
+# --------------------------------------------------- page metadata
+
+# <meta property=…> / <meta name=…> attribute order is author's choice;
+# every extractor below matches BOTH orders (the same double-regex
+# coalesce html_meta_policy pins for rel=canonical). Values are taken
+# verbatim from the content attribute (no entity decode — compose with
+# decode_entities_col downstream if needed).
+
+
+def _meta_attr_col(h: Column, attr: str, value: str) -> Column:
+    fwd = F.regexp_extract(
+        h,
+        f"(?is)<meta\\b[^>]*\\b{attr}\\s*=\\s*[\"']{value}[\"'][^>]*"
+        f"\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']",
+        1,
+    )
+    rev = F.regexp_extract(
+        h,
+        f"(?is)<meta\\b[^>]*\\bcontent\\s*=\\s*[\"']([^\"']*)[\"'][^>]*"
+        f"\\b{attr}\\s*=\\s*[\"']{value}[\"']",
+        1,
+    )
+    return F.coalesce(
+        F.nullif(fwd, F.lit("")), F.nullif(rev, F.lit("")), F.lit("")
+    )
+
+
+def html_metadata(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Structured page metadata: ``title`` (inner text of the first
+    ``<title>``, whitespace-collapsed), OpenGraph ``og_title`` /
+    ``og_type`` / ``og_image`` (``<meta property=…>``, either attribute
+    order), ``meta_description`` (``<meta name=description>``) and the
+    ``<html lang=…>`` attribute (lowercased). Absent fields are ``''``.
+    One regex projection — no UDF, no shuffle; this is the curation
+    signal set (titles for retrieval display, og:type for page-kind
+    filtering, description as a quality prior, lang as a cheap
+    language-ID prior ahead of the n-gram classifier)."""
+    h = F.col(html_col)
+    title = F.trim(
+        F.regexp_replace(
+            F.regexp_extract(h, r"(?is)<title\b[^>]*>(.*?)</title>", 1),
+            r"\s+",
+            " ",
+        )
+    )
+    lang = F.lower(
+        F.regexp_extract(
+            h, "(?is)<html\\b[^>]*\\blang\\s*=\\s*[\"']([A-Za-z-]+)[\"']", 1
+        )
+    )
+    return df.withColumns(
+        {
+            "title": title,
+            "og_title": _meta_attr_col(h, "property", "og:title"),
+            "og_type": _meta_attr_col(h, "property", "og:type"),
+            "og_image": _meta_attr_col(h, "property", "og:image"),
+            "meta_description": _meta_attr_col(h, "name", "description"),
+            "lang_attr": lang,
+        }
+    )
+
+
+# A date is plausible when it parses as YYYY-MM-DD with a sane calendar
+# shape and a year in [1990, 2030] — outside that window a "date" is
+# almost always a serial number, a version string, or vandalized
+# markup. Pinned (inclusive) so both engines agree bit-for-bit.
+_DATE_OK_RE = r"^(199\d|20[0-2]\d|2030)-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])$"
+
+
+def publish_date(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Publication-date extraction with a pinned source-priority rule
+    (the trafilatura/htmldate heuristic reduced to its deterministic
+    core): (1) ``<meta property="article:published_time">`` — the
+    explicit editorial statement; (2) the first ``<time datetime=…>``
+    element; (3) a ``/YYYY/MM/`` segment pair in the URL path (day
+    pinned to 01). Each candidate must pass the plausibility window
+    (YYYY-MM-DD, year 1990-2030) or the chain falls through; no source
+    yields ``('', '')``. Adds ``publish_date`` and ``date_source``
+    (``meta`` / ``time`` / ``url`` / ``''``). Pure projection."""
+    h = F.col(html_col)
+    meta_d = F.regexp_extract(
+        _meta_attr_col(h, "property", "article:published_time"),
+        r"^(\d{4}-\d{2}-\d{2})",
+        1,
+    )
+    time_d = F.regexp_extract(
+        F.regexp_extract(
+            h, "(?is)<time\\b[^>]*\\bdatetime\\s*=\\s*[\"']([^\"']+)[\"']", 1
+        ),
+        r"^(\d{4}-\d{2}-\d{2})",
+        1,
+    )
+    u = F.col(url_col)
+    url_y = F.regexp_extract(u, r"/((?:19|20)\d{2})/(\d{2})/", 1)
+    url_m = F.regexp_extract(u, r"/((?:19|20)\d{2})/(\d{2})/", 2)
+    url_d = F.when(
+        url_y != "", F.concat(url_y, F.lit("-"), url_m, F.lit("-01"))
+    ).otherwise(F.lit(""))
+
+    def ok(c: Column) -> Column:
+        return c.rlike(_DATE_OK_RE)
+
+    picked = (
+        F.when(ok(meta_d), F.struct(meta_d.alias("d"), F.lit("meta").alias("s")))
+        .when(ok(time_d), F.struct(time_d.alias("d"), F.lit("time").alias("s")))
+        .when(ok(url_d), F.struct(url_d.alias("d"), F.lit("url").alias("s")))
+        .otherwise(F.struct(F.lit("").alias("d"), F.lit("").alias("s")))
+    )
+    return df.withColumns(
+        {"publish_date": picked["d"], "date_source": picked["s"]}
     )
