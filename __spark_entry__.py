@@ -12532,3 +12532,55 @@ _TRAINING_ORACLES["feed_frontier"] = """SELECT
     || CAST(doc_id AS VARCHAR) AS url,
   '2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-02' AS published
 FROM documents WHERE doc_id % 3 <> 0"""
+
+
+# ---------------------------------------------- HTML table markdown
+# Session-19: table-to-text — html_tables' cell grid rendered as
+# GitHub pipe tables by the SAME renderer the optical-layout tier uses
+# (pagelayout.table_markdown keyed (id, table_idx)); one pinned
+# dense-render rule for both table sources. Same fixture as
+# html_tables; the oracle states the markdown strings from the rule.
+
+
+def q_html_table_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.webtext import html_table_markdown
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    body = F.concat(
+        F.lit(
+            "<html><body><p>prose not a table</p>"
+            "<table class='kv'><tr><th>k</th><th nowrap>v</th></tr>"
+            "<tr><td>id</td><td>"
+        ),
+        did,
+        F.lit("</td></tr><tr><td> alpha </td><td><b>m</b> "),
+        k,
+        F.lit("</td></tr></table><table><tr><td>lone-"),
+        did,
+        F.lit("</td></tr></table></body></html>"),
+    )
+    pages = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 4, F.lit("<p>tableless</p>"))
+        .otherwise(body)
+        .alias("html"),
+    )
+    return html_table_markdown(pages, id_col="doc_id")
+
+
+_TRAINING_QUERIES["html_table_markdown"] = q_html_table_markdown
+_TRAINING_ORACLES["html_table_markdown"] = """WITH docs AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
+         CAST(doc_id % 7 AS VARCHAR) AS k
+  FROM documents WHERE doc_id % 5 <> 4
+),
+t(table_idx, n_rows, n_cols) AS (VALUES (0, 3, 2), (1, 1, 1))
+SELECT doc_id AS id, table_idx::INT AS table_idx,
+       n_rows::INT AS n_rows, n_cols::INT AS n_cols,
+       CASE table_idx
+         WHEN 0 THEN '| k | v |' || chr(10) || '| id | ' || s || ' |'
+              || chr(10) || '| alpha | m ' || k || ' |'
+         ELSE '| lone-' || s || ' |' END AS markdown
+FROM docs CROSS JOIN t"""

@@ -54,6 +54,7 @@ __all__ = [
     "strip_controls_col",
     "normalize_web_text",
     "html_tables",
+    "html_table_markdown",
     "html_metadata",
     "publish_date",
 ]
@@ -593,3 +594,31 @@ def publish_date(
     return df.withColumns(
         {"publish_date": picked["d"], "date_source": picked["s"]}
     )
+
+
+def html_table_markdown(
+    df: DataFrame, html_col: str = "html", id_col: str = "id"
+) -> DataFrame:
+    """GitHub pipe-table rendering of every ``<table>`` per document —
+    the table-to-text form a training pipeline feeds an LM. Pure
+    composition: :func:`html_tables` produces the cell grid and the
+    optical-layout tier's renderer (:func:`pagelayout.table_markdown`)
+    serializes it, keyed (id, table_idx) instead of (doc, page) — ONE
+    renderer for both table sources, so the pinned dense-render rules
+    (ragged rows pad to the table's max column, ``|`` escapes, grid
+    order via array_sort) are shared, not duplicated.
+
+    Returns (id, table_idx, n_rows, n_cols, markdown). Scale shape:
+    html_tables' zero-shuffle explode, then table_markdown's two
+    (id, table_idx)-keyed aggs — per-key cardinality is one table's
+    cell count."""
+    from .pagelayout import table_markdown
+
+    cells = html_tables(df, html_col=html_col, id_col=id_col).select(
+        "id",
+        "table_idx",
+        F.col("row_idx").alias("row"),
+        F.col("col_idx").alias("col"),
+        F.col("cell").alias("text"),
+    )
+    return table_markdown(cells, doc_col="id", page_col="table_idx")

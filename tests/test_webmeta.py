@@ -231,3 +231,22 @@ def test_feed_frontier_diff_composes(spark):
     crawled = spark.createDataFrame([("http://s.com/a",)], "url string")
     frontier = parse_feed(feeds).join(crawled, "url", "left_anti")
     assert [r["url"] for r in frontier.collect()] == ["http://s.com/b"]
+
+
+# ------------------------------------------------- html_table_markdown
+
+
+def test_html_table_markdown_ragged_and_escape(spark):
+    from ocr_search_spark.operators.webtext import html_table_markdown
+
+    html = (
+        "<table><tr><th>a</th><th>b|c</th></tr>"
+        "<tr><td>only</td></tr></table>"  # ragged second row pads
+        "<table><tr><td>x</td></tr></table>"
+    )
+    df = spark.createDataFrame([("d", html)], "id string, html string")
+    out = {r["table_idx"]: r for r in html_table_markdown(df).collect()}
+    assert out[0]["markdown"] == "| a | b\\|c |\n| only |  |"
+    assert (out[0]["n_rows"], out[0]["n_cols"]) == (2, 2)
+    assert out[1]["markdown"] == "| x |"
+    assert (out[1]["n_rows"], out[1]["n_cols"]) == (1, 1)
