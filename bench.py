@@ -221,6 +221,12 @@ def main() -> None:
         "code_language",
         "license_detect",
         "script_profile",
+        # session-19: crawl discovery + page metadata
+        "html_tables",
+        "html_table_markdown",
+        "html_metadata",
+        "publish_date",
+        "feed_frontier",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:
