@@ -12584,3 +12584,51 @@ SELECT doc_id AS id, table_idx::INT AS table_idx,
               || chr(10) || '| alpha | m ' || k || ' |'
          ELSE '| lone-' || s || ' |' END AS markdown
 FROM docs CROSS JOIN t"""
+
+
+# ---------------------------------------------- frontier scheduling
+# Session-20: politeness-aware crawl scheduling — per-host fetch waves
+# under a crawl-delay budget (the serving-side sibling of
+# sitemap_frontier/feed_frontier, which only DISCOVER urls). One hash
+# shuffle on host + a per-host sort; wave arithmetic in codegen. The
+# oracle replays the pinned rule with DuckDB window functions — the
+# schedule is a pure function of the frontier (url ASC tiebreak).
+
+
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.urlnorm import frontier_schedule
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", (F.col("doc_id") % 7).alias("g")
+    )
+    frontier = d.select(
+        F.concat(
+            F.lit("http://h"), F.col("g").cast("string"), F.lit(".com/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        ((F.col("g") % 3) + 1).cast("int").alias("crawl_delay"),
+        (F.col("doc_id") % 5).cast("int").alias("priority"),
+    )
+    return frontier_schedule(frontier, wave_seconds=4)
+
+
+_TRAINING_QUERIES["frontier_schedule"] = q_frontier_schedule
+_TRAINING_ORACLES["frontier_schedule"] = """WITH f AS (
+  SELECT 'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.com/p'
+           || CAST(doc_id AS VARCHAR) AS url,
+         'h' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+         CAST((doc_id % 7) % 3 + 1 AS INT) AS delay,
+         CAST(doc_id % 5 AS INT) AS priority
+  FROM documents
+),
+p AS (
+  SELECT *, GREATEST(1, 4 // delay) AS cap,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY priority DESC, url ASC) - 1 AS pos
+  FROM f
+)
+SELECT url, host, priority,
+       CAST(pos // cap AS INT) AS wave,
+       CAST(pos % cap AS INT) AS slot,
+       CAST((pos % cap) * delay AS INT) AS fetch_offset_s
+FROM p"""

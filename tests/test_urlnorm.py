@@ -281,3 +281,60 @@ def test_anchor_index_incremental_equals_full_recompute(spark):
         for r in anchor_index_from_postings(base2).collect()
     }
     assert view == expect
+
+
+def test_frontier_schedule_politeness_rule(spark):
+    from ocr_search_spark.operators.urlnorm import frontier_schedule
+
+    # one fast host (delay 1 -> cap 4) and one slow host (delay 3 -> cap 1)
+    rows = []
+    for i in range(6):
+        rows.append((f"http://fast.com/p{i}", 1, i % 2))
+        rows.append((f"http://slow.com/p{i}", 3, 0))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "crawl_delay", "priority"])
+    )
+    out = frontier_schedule(df, wave_seconds=4).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r)
+
+    fast = sorted(by_host["fast.com"], key=lambda r: (r.wave, r.slot))
+    slow = sorted(by_host["slow.com"], key=lambda r: (r.wave, r.slot))
+    # slow host: cap 1 -> six waves, slot always 0, offset 0
+    assert [r.wave for r in slow] == list(range(6))
+    assert all(r.slot == 0 and r.fetch_offset_s == 0 for r in slow)
+    # fast host: cap 4 -> waves 0,0,0,0,1,1; offsets = slot * delay
+    assert [r.wave for r in fast] == [0, 0, 0, 0, 1, 1]
+    assert all(r.fetch_offset_s == r.slot * 1 for r in fast)
+    # priority DESC first: the four wave-0 fast urls are the odd-priority ones
+    w0 = {r.url for r in fast if r.wave == 0}
+    assert {u for u in w0 if u in (f"http://fast.com/p{i}" for i in (1, 3, 5))} == {
+        "http://fast.com/p1", "http://fast.com/p3", "http://fast.com/p5"
+    }
+    # no host ever exceeds its cap within a wave
+    for host, rs in by_host.items():
+        waves = {}
+        for r in rs:
+            waves[r.wave] = waves.get(r.wave, 0) + 1
+        cap = max(r.slot for r in rs) + 1
+        assert all(n <= cap for n in waves.values())
+    # within a wave, slot offsets never collide on a host
+    for host, rs in by_host.items():
+        seen = {(r.wave, r.slot) for r in rs}
+        assert len(seen) == len(rs)
+
+
+def test_frontier_schedule_single_shuffle(spark):
+    from ocr_search_spark.operators.urlnorm import frontier_schedule
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"url": ["http://a.com/x"], "crawl_delay": [2], "priority": [1]}
+        )
+    )
+    plan = (
+        frontier_schedule(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1  # the host hash partitioning only
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
