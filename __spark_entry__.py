@@ -12632,3 +12632,142 @@ SELECT url, host, priority,
        CAST(pos % cap AS INT) AS slot,
        CAST((pos % cap) * delay AS INT) AS fetch_offset_s
 FROM p"""
+
+
+# ------------------------------------------------- ranked-run evaluation
+# Session-20: graded-relevance retrieval evaluation (nDCG@10 / MRR /
+# P@10 / recall) over the REAL BM25 batch run — the eval-harness slot
+# of a retrieval stack (ann_eval_metrics covers vector recall; this is
+# the ranked, graded text-retrieval twin). Every metric is an exact
+# BIGINT in micro-units (L(n)=floor(1e6·ln n) + BIGINT div — the
+# engine-boundary contract the BM25 weights already use), so the oracle
+# replays run AND metrics bit-for-bit. qrels are a judged pool derived
+# from the doc-key rule with a per-query h60 salt: ~20% of docs judged
+# per query, grades 0-3.
+
+
+def q_search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.search import (
+        match_terms_batch_bm25,
+        ranked_eval_metrics,
+    )
+    from ocr_search_spark.training.hashing import h60
+
+    rows = [
+        (qi, t)
+        for qi, q in enumerate(_BATCH_QUERIES)
+        for t in sorted(set(tokenize_text(q)))
+    ]
+    qt = spark.createDataFrame(rows, "query_id int, term string")
+    run = match_terms_batch_bm25(
+        _postings(spark, sf_dir).cache(), qt, max_return=10
+    )
+
+    dk = (
+        _with_doc_key(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        .select(F.col("doc_key").alias("doc_id"))
+        .distinct()
+    )
+    qids = spark.range(len(_BATCH_QUERIES)).select(
+        F.col("id").cast("int").alias("query_id")
+    )
+    hv = h60(
+        F.concat(F.col("query_id").cast("string"), F.lit(":"), F.col("doc_id"))
+    )
+    qrels = (
+        dk.crossJoin(qids)
+        .select("query_id", "doc_id", hv.alias("_hv"))
+        .where(F.col("_hv") % 5 == 0)
+        .select(
+            "query_id",
+            "doc_id",
+            (F.expr("_hv div 5") % 4).cast("int").alias("rel"),
+        )
+    )
+    out = ranked_eval_metrics(run, qrels, k=10)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "dcg_micro",
+        "idcg_micro",
+        "ndcg_micro",
+        "mrr_micro",
+        "p_at_k_micro",
+        "recall_micro",
+        "n_rel",
+    )
+
+
+def _search_eval_ndcg_oracle() -> str:
+    disc_rank = (
+        "(1000000000000 // "
+        "floor(1000000.0 * ln((rank + 1)::DOUBLE))::BIGINT)"
+    )
+    disc_i = (
+        "(1000000000000 // "
+        "floor(1000000.0 * ln((i + 1)::DOUBLE))::BIGINT)"
+    )
+    return f"""WITH run AS (
+{_search_batch_bm25_oracle()}
+),
+dk AS (
+  SELECT DISTINCT sha256(source || '/doc_' || (doc_id // 4)::VARCHAR
+         || '.pdf' || '-' || (doc_id % 4 + 1)::VARCHAR) AS doc_id
+  FROM documents
+),
+q(query_id) AS (VALUES (0), (1), (2), (3), (4)),
+qr0 AS (
+  SELECT query_id, doc_id,
+         ('0x' || substring(md5(query_id::VARCHAR || ':' || doc_id), 1, 15))::BIGINT AS hv
+  FROM dk CROSS JOIN q
+),
+qrels AS (
+  SELECT query_id, doc_id, ((hv // 5) % 4)::INT AS rel
+  FROM qr0 WHERE hv % 5 = 0
+),
+hits AS (
+  SELECT r.query_id, r.rank, coalesce(qq.rel, 0) AS rel
+  FROM run r
+  LEFT JOIN qrels qq ON qq.query_id = r.query_id AND qq.doc_id = r.doc_id
+  WHERE r.rank <= 10
+),
+perq AS (
+  SELECT query_id,
+    sum(CASE WHEN rel > 0
+        THEN ((1::BIGINT << rel) - 1) * {disc_rank} ELSE 0 END)::BIGINT
+      AS dcg_micro,
+    min(CASE WHEN rel > 0 THEN rank END) AS first_rank,
+    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS hits
+  FROM hits GROUP BY 1
+),
+ideal0 AS (
+  SELECT query_id, rel, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, doc_id ASC) AS i
+  FROM qrels WHERE rel > 0
+),
+ideal AS (
+  SELECT query_id,
+    sum(CASE WHEN i <= 10
+        THEN ((1::BIGINT << rel) - 1) * {disc_i} ELSE 0 END)::BIGINT
+      AS idcg_micro,
+    count(*)::BIGINT AS n_rel
+  FROM ideal0 GROUP BY 1
+)
+SELECT p.query_id::BIGINT AS query_id,
+       p.dcg_micro,
+       coalesce(i.idcg_micro, 0)::BIGINT AS idcg_micro,
+       (CASE WHEN coalesce(i.idcg_micro, 0) > 0
+            THEN (1000000 * p.dcg_micro) // i.idcg_micro
+            ELSE 0 END)::BIGINT AS ndcg_micro,
+       (CASE WHEN p.first_rank IS NOT NULL
+            THEN 1000000 // p.first_rank ELSE 0 END)::BIGINT AS mrr_micro,
+       ((1000000 * p.hits) // 10)::BIGINT AS p_at_k_micro,
+       (CASE WHEN coalesce(i.n_rel, 0) > 0
+            THEN (1000000 * p.hits) // i.n_rel
+            ELSE 0 END)::BIGINT AS recall_micro,
+       coalesce(i.n_rel, 0)::BIGINT AS n_rel
+FROM perq p LEFT JOIN ideal i USING (query_id)"""
+
+
+_TRAINING_QUERIES["search_eval_ndcg"] = q_search_eval_ndcg
+_TRAINING_ORACLES["search_eval_ndcg"] = _search_eval_ndcg_oracle()

@@ -869,3 +869,115 @@ def prefix_search(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(max_return)
     )
+
+# ------------------------------------------------- ranked-run evaluation
+
+def ranked_eval_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Graded-relevance evaluation of a ranked retrieval run: per-query
+    nDCG@k, MRR, precision@k and recall, every metric an EXACT integer
+    in micro-units (the cross-engine contract shared with the BM25/
+    TF-IDF weights: ``L(n) = floor(1e6·ln(n))`` over integers, then
+    BIGINT sums and BIGINT ``div`` throughout — no double division
+    anywhere, so Spark and a SQL oracle agree bit-for-bit).
+
+    ``run`` is ``(query_id, doc_id, rank)`` (1-based, top-k per query —
+    the shape :func:`match_terms_batch_bm25` emits); ``qrels`` is
+    ``(query_id, doc_id, rel)`` with integer grades ≥ 0 (0 = judged
+    irrelevant, the TREC convention). Pinned metric definitions:
+
+    * gain ``2^rel − 1`` (Burges-style exponential gain);
+    * discount ``G(r) = 10^12 div L(r+1)`` — the integer twin of
+      ``1/ln(r+1)``; nDCG is discount-base-independent, so ln replaces
+      the conventional log2;
+    * ``dcg  = Σ_{hits} gain·G(rank)``;
+      ``idcg = Σ_{ideal} gain·G(i)`` over the query's relevant grades
+      sorted ``(rel DESC, doc_id ASC)``, capped at k;
+    * ``ndcg_micro   = (1e6·dcg) div idcg`` (0 when no relevant doc);
+      ``mrr_micro    = 1e6 div first_rel_rank`` (0 when no hit);
+      ``p_at_k_micro = (1e6·hits) div k``;
+      ``recall_micro = (1e6·hits) div n_rel``.
+
+    Scale: the run is already top-k per query (|queries|·k rows) and
+    qrels are a judged pool — both eval-set-bounded, never corpus-
+    bounded. One (query_id, doc_id) join, one per-query window over the
+    qrels pool, two per-query hash aggregates; the corpus itself never
+    enters the plan.
+    """
+    from pyspark.sql import Window as W
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    gain = "(shiftleft(1L, cast(rel as int)) - 1L)"
+    # G(r) = 10^12 div floor(1e6 * ln(r+1)) — all BIGINT
+    def disc(rank_expr: str) -> str:
+        return (
+            "(1000000000000L div "
+            f"cast(floor(1000000.0 * ln(cast(({rank_expr}) + 1 as double)))"
+            " as bigint))"
+        )
+
+    rel = F.coalesce(F.col("rel"), F.lit(0)).cast("int")
+    hits = (
+        run.where(F.col("rank") <= k)
+        .join(qrels, ["query_id", "doc_id"], "left")
+        .select("query_id", "rank", rel.alias("rel"))
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.sum(
+            F.expr(f"if(rel > 0, {gain} * {disc('rank')}, 0L)")
+        ).cast("long").alias("dcg_micro"),
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("_first"),
+        F.sum((F.col("rel") > 0).cast("long")).alias("_hits"),
+    )
+
+    wq = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+    ideal = (
+        qrels.where(F.col("rel") > 0)
+        .withColumn("_i", F.row_number().over(wq))
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.expr(f"if(_i <= {int(k)}, {gain} * {disc('_i')}, 0L)")
+            ).cast("long").alias("idcg_micro"),
+            F.count("*").cast("long").alias("n_rel"),
+        )
+    )
+
+    return (
+        per_q.join(ideal, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("dcg_micro").cast("long").alias("dcg_micro"),
+            F.coalesce(F.col("idcg_micro"), F.lit(0))
+            .cast("long")
+            .alias("idcg_micro"),
+            F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+            F.col("_first"),
+            F.col("_hits"),
+        )
+        .select(
+            "query_id",
+            "dcg_micro",
+            "idcg_micro",
+            F.expr(
+                "if(idcg_micro > 0,"
+                " (1000000L * dcg_micro) div idcg_micro, 0L)"
+            ).cast("long").alias("ndcg_micro"),
+            F.expr(
+                "if(_first is not null, 1000000L div cast(_first as bigint),"
+                " 0L)"
+            ).cast("long").alias("mrr_micro"),
+            F.expr(f"(1000000L * _hits) div {int(k)}L")
+            .cast("long")
+            .alias("p_at_k_micro"),
+            F.expr(
+                "if(n_rel > 0, (1000000L * _hits) div n_rel, 0L)"
+            ).cast("long").alias("recall_micro"),
+            "n_rel",
+        )
+    )

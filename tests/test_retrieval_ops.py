@@ -253,3 +253,61 @@ def test_snippet_empty_terms_and_max_return(spark):
     assert snippet_search(pos, toks, [], width=5).count() == 0
     got = snippet_search(pos, toks, ["alpha", "beta"], width=5, max_return=1).collect()
     assert len(got) == 1 and got[0]["doc_id"] == "d1"
+
+
+def test_ranked_eval_metrics_hand_computed(spark):
+    from math import floor, log
+
+    from ocr_search_spark.operators.search import ranked_eval_metrics
+
+    # q0: ranks 1..3 with rels 3, 0, 1; one unretrieved relevant (rel 2)
+    run = spark.createDataFrame(
+        [(0, "a", 1), (0, "b", 2), (0, "c", 3), (1, "a", 1), (1, "b", 2)],
+        "query_id int, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(0, "a", 3), (0, "c", 1), (0, "z", 2), (0, "b", 0), (1, "b", 0)],
+        "query_id int, doc_id string, rel int",
+    )
+    rows = {r.query_id: r for r in ranked_eval_metrics(run, qrels, k=10).collect()}
+
+    def G(r):
+        return 10**12 // floor(1e6 * log(r + 1))
+
+    dcg = 7 * G(1) + 1 * G(3)
+    idcg = 7 * G(1) + 3 * G(2) + 1 * G(3)  # ideal order: rel 3, 2, 1
+    q0 = rows[0]
+    assert q0.dcg_micro == dcg
+    assert q0.idcg_micro == idcg
+    assert q0.ndcg_micro == (1_000_000 * dcg) // idcg
+    assert q0.mrr_micro == 1_000_000  # first relevant at rank 1
+    assert q0.p_at_k_micro == (1_000_000 * 2) // 10  # 2 of top-10 relevant
+    assert q0.recall_micro == (1_000_000 * 2) // 3  # 2 of 3 relevant found
+    assert q0.n_rel == 3
+
+    # q1: judged but nothing relevant -> all zeros
+    q1 = rows[1]
+    assert (
+        q1.dcg_micro, q1.idcg_micro, q1.ndcg_micro, q1.mrr_micro,
+        q1.p_at_k_micro, q1.recall_micro, q1.n_rel,
+    ) == (0, 0, 0, 0, 0, 0, 0)
+
+
+def test_ranked_eval_metrics_k_cap_and_validation(spark):
+    import pytest as _pytest
+
+    from ocr_search_spark.operators.search import ranked_eval_metrics
+
+    run = spark.createDataFrame(
+        [(0, "a", 1), (0, "b", 2)], "query_id int, doc_id string, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [(0, "b", 2)], "query_id int, doc_id string, rel int"
+    )
+    # k=1 drops the rank-2 hit from BOTH dcg and the ideal cap
+    r = ranked_eval_metrics(run, qrels, k=1).collect()[0]
+    assert r.dcg_micro == 0 and r.idcg_micro > 0 and r.ndcg_micro == 0
+    assert r.mrr_micro == 0 and r.p_at_k_micro == 0
+    assert r.n_rel == 1
+    with _pytest.raises(ValueError):
+        ranked_eval_metrics(run, qrels, k=0)
