@@ -1907,6 +1907,16 @@ _GATE_PRIORITY = [
     # below).
     "span_diff",
     "postings_compression",
+    # Session-20 additions land in the OVERFLOW on purpose (the window's
+    # 50 slots hold curated flagships whose machinery nothing else
+    # exercises): frontier_schedule (per-host window + codegen wave
+    # arithmetic = stratified_sample / events_session_window in-window
+    # rows + window_top_orders' r2 row), search_eval_ndcg (composes the
+    # in-window search_batch_bm25 run with the integer-log micro-unit
+    # algebra search_tfidf/search_bm25 already gate; the per-query
+    # ideal-ranking window = stratified_sample's shape). Both
+    # check_entry-verified at sf0.001 + sf0.01.
+    "frontier_schedule", "search_eval_ndcg",
     # Entries 51+ below exceed the 50-entry driver window on purpose:
     # every rowless query can't fit, so the overflow picks queries whose
     # key code path already earns a driver row through a sibling entry —

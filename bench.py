@@ -227,6 +227,9 @@ def main() -> None:
         "html_metadata",
         "publish_date",
         "feed_frontier",
+        # session-20: crawl scheduling + retrieval evaluation
+        "frontier_schedule",
+        "search_eval_ndcg",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:

@@ -458,8 +458,14 @@ def frontier_schedule(
     independent politeness budget (robots.txt ``Crawl-delay``, RFC 9309
     practice). Pinned scheduling rule:
 
+    * the host's effective delay is ``MAX over its queued rows of
+      max(crawl_delay, 1)`` — delay is a host property (robots.txt
+      scopes it per host), and a frontier carrying divergent per-URL
+      values for one host (two robots snapshots, a default backfill)
+      must still yield one well-defined serial timeline, so the
+      conservative maximum wins;
     * per-host capacity per wave: ``cap = greatest(1, wave_seconds div
-      max(delay, 1))`` — a wave is one scheduler tick of
+      effective_delay)`` — a wave is one scheduler tick of
       ``wave_seconds`` wall seconds;
     * URLs order per host by ``(priority DESC, url ASC)`` (the ASC url
       tiebreak makes the schedule a pure function of the frontier);
@@ -477,9 +483,18 @@ def frontier_schedule(
     size. No UDF, no collect; the wave arithmetic is codegen.
     """
     h = host if host is not None else host_col(F.col(url_col))
-    d = F.greatest(F.col(delay_col).cast("int"), F.lit(1))
-    cap = F.greatest(F.lit(1), F.expr(f"int({wave_seconds}) div greatest(cast({delay_col} as int), 1)"))
     from pyspark.sql import Window
+
+    # Crawl-delay is a HOST property (robots.txt scopes it per host).
+    # A frontier that carries divergent per-URL delay values for one
+    # host (two snapshots of robots.txt, a default backfill, …) must
+    # still produce a well-defined serial timeline, so the effective
+    # delay is the host's MAX over its queued rows — the conservative
+    # reading, computed over the SAME host partition the ranking window
+    # already shuffles on (zero extra exchanges).
+    d = F.max(F.greatest(F.col(delay_col).cast("int"), F.lit(1))).over(
+        Window.partitionBy("host")
+    )
 
     w = Window.partitionBy("host").orderBy(
         F.col(priority_col).desc(), F.col(url_col).asc()
@@ -490,8 +505,19 @@ def frontier_schedule(
             F.col(url_col),
             h.alias("host"),
             F.col(priority_col).cast("int").alias(priority_col),
-            d.alias("_delay"),
-            cap.alias("_cap"),
+            F.col(delay_col),
+        )
+        .select(
+            url_col,
+            "host",
+            priority_col,
+            d.cast("int").alias("_delay"),
+        )
+        .withColumn(
+            "_cap",
+            F.greatest(
+                F.lit(1), F.expr(f"int({int(wave_seconds)}) div _delay")
+            ).cast("int"),
         )
         .select(
             url_col,

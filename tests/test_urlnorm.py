@@ -325,6 +325,28 @@ def test_frontier_schedule_politeness_rule(spark):
         assert len(seen) == len(rs)
 
 
+def test_frontier_schedule_mixed_delay_host(spark):
+    """Divergent per-URL delay values for ONE host (two robots.txt
+    snapshots in the same frontier) must still yield a well-defined
+    schedule: the host's MAX delay governs every row, so (wave, slot)
+    never collide and offsets use the effective delay."""
+    from ocr_search_spark.operators.urlnorm import frontier_schedule
+
+    rows = [(f"http://m.com/p{i}", (i % 2) + 1, 0) for i in range(6)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "crawl_delay", "priority"])
+    )
+    out = frontier_schedule(df, wave_seconds=4).collect()
+    # effective delay = max(1, 2) = 2 -> cap = 2 for EVERY row
+    assert [r.wave for r in sorted(out, key=lambda r: r.url)] == [
+        0, 0, 1, 1, 2, 2
+    ]
+    assert {(r.wave, r.slot) for r in out} == {
+        (0, 0), (0, 1), (1, 0), (1, 1), (2, 0), (2, 1)
+    }
+    assert all(r.fetch_offset_s == r.slot * 2 for r in out)
+
+
 def test_frontier_schedule_single_shuffle(spark):
     from ocr_search_spark.operators.urlnorm import frontier_schedule
 
