@@ -1917,6 +1917,17 @@ _GATE_PRIORITY = [
     # ideal-ranking window = stratified_sample's shape). Both
     # check_entry-verified at sf0.001 + sf0.01.
     "frontier_schedule", "search_eval_ndcg",
+    # Session-21 (overflow, same sibling policy): link_hits (integer
+    # iterative centrality = pagerank_centrality's in-window row),
+    # crawl_depth (iterative frontier join = dedup_clusters /
+    # pagerank in-window rows; the localCheckpoint lineage fix is
+    # pytest-pinned), url_traps (regex/array projection = url_canonical
+    # in-window row), dataset_split (h60-threshold projection =
+    # stratified_sample's hash machinery), epoch_order (per-shard
+    # window = stratified_sample / frontier_schedule shapes). All
+    # check_entry-verified at sf0.001 + sf0.01.
+    "link_hits", "crawl_depth", "url_traps", "dataset_split",
+    "epoch_order",
     # Entries 51+ below exceed the 50-entry driver window on purpose:
     # every rowless query can't fit, so the overflow picks queries whose
     # key code path already earns a driver row through a sibling entry —
@@ -12781,3 +12792,223 @@ FROM perq p LEFT JOIN ideal i USING (query_id)"""
 
 _TRAINING_QUERIES["search_eval_ndcg"] = q_search_eval_ndcg
 _TRAINING_ORACLES["search_eval_ndcg"] = _search_eval_ndcg_oracle()
+
+
+# --------------------------------------------------- HITS hubs/authorities
+# Session-21: the second link-centrality prior — HITS separates
+# directory pages (hubs) from content pages (authorities), the split a
+# crawl prioritizer wants on a bipartite-ish purchase/link graph. Same
+# edge fixture as pagerank_centrality; integer L1-normalized iteration
+# (graph.py:hits_integer) so DuckDB unrolls the two rounds bit-exactly.
+
+
+def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.graph import hits_integer
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(_SUPP_NODE_BASE) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits_integer(edges, iters=2)
+
+
+def _hits_oracle() -> str:
+    scale = 1_000_000
+
+    def rescale(raw: str, col: str) -> str:
+        return f"""{raw}t AS (SELECT sum(raw)::BIGINT AS t FROM {raw}),
+{raw}s AS (
+  SELECT nodes.node,
+         (CASE WHEN t IS NOT NULL AND t > 0
+               THEN (coalesce(r.raw, 0) * {scale}) // t
+               ELSE 0 END)::BIGINT AS {col}
+  FROM nodes CROSS JOIN {raw}t LEFT JOIN {raw} r ON r.node = nodes.node
+)"""
+
+    return f"""WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS src, {_SUPP_NODE_BASE} + l.l_suppkey AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+params AS (SELECT count(*)::BIGINT AS n FROM nodes),
+h0 AS (SELECT node, ({scale} // n)::BIGINT AS hub FROM nodes, params),
+a1 AS (
+  SELECT e.dst AS node, sum(h.hub)::BIGINT AS raw
+  FROM edges e JOIN h0 h ON h.node = e.src GROUP BY e.dst
+),
+{rescale('a1', 'auth')},
+h1 AS (
+  SELECT e.src AS node, sum(a.auth)::BIGINT AS raw
+  FROM edges e JOIN a1s a ON a.node = e.dst GROUP BY e.src
+),
+{rescale('h1', 'hub')},
+a2 AS (
+  SELECT e.dst AS node, sum(h.hub)::BIGINT AS raw
+  FROM edges e JOIN h1s h ON h.node = e.src GROUP BY e.dst
+),
+{rescale('a2', 'auth')},
+h2 AS (
+  SELECT e.src AS node, sum(a.auth)::BIGINT AS raw
+  FROM edges e JOIN a2s a ON a.node = e.dst GROUP BY e.src
+),
+{rescale('h2', 'hub')}
+SELECT h.node, h.hub, a.auth FROM h2s h JOIN a2s a USING (node)"""
+
+
+_TRAINING_QUERIES["link_hits"] = q_link_hits
+_TRAINING_ORACLES["link_hits"] = _hits_oracle()
+
+
+# --------------------------------------------------------- crawl depth
+# Session-21: multi-source BFS levels from a seed set — the frontier
+# depth prior (harvest caps per host). Deterministic modular digraph on
+# the 97 doc_id residues (two generators, out-edges removed for the
+# x%7==3 residues so the walk has real structure); seeds {0, 1}. The
+# oracle is a DuckDB recursive CTE with UNION dedup (bounded: distinct
+# (node, depth) pairs), min(depth) per node.
+
+_BFS_MOD = 97
+_BFS_CAP = 8
+
+
+def q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.graph import bfs_depth
+
+    nodes = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select((F.col("doc_id") % _BFS_MOD).alias("x"))
+        .distinct()
+    )
+    src = nodes.where(F.col("x") % 7 != 3)
+    edges = src.select(
+        F.col("x").alias("src"), ((F.col("x") * 2 + 1) % _BFS_MOD).alias("dst")
+    ).unionByName(
+        src.select(
+            F.col("x").alias("src"),
+            ((F.col("x") * 5 + 2) % _BFS_MOD).alias("dst"),
+        )
+    )
+    seeds = nodes.where(F.col("x").isin(0, 1)).select(F.col("x").alias("node"))
+    return bfs_depth(edges, seeds, max_depth=_BFS_CAP)
+
+
+_TRAINING_QUERIES["crawl_depth"] = q_crawl_depth
+_TRAINING_ORACLES["crawl_depth"] = f"""WITH RECURSIVE nodes AS (
+  SELECT DISTINCT (doc_id % {_BFS_MOD})::BIGINT AS x FROM documents
+),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT x AS src, (x * 2 + 1) % {_BFS_MOD} AS dst FROM nodes WHERE x % 7 <> 3
+    UNION ALL
+    SELECT x, (x * 5 + 2) % {_BFS_MOD} FROM nodes WHERE x % 7 <> 3
+  )
+),
+bfs(node, depth) AS (
+  SELECT x, 0 FROM nodes WHERE x IN (0, 1)
+  UNION
+  SELECT e.dst, b.depth + 1 FROM bfs b JOIN e ON e.src = b.node
+  WHERE b.depth < {_BFS_CAP}
+)
+SELECT node, min(depth)::INT AS depth FROM bfs GROUP BY node"""
+
+
+# ------------------------------------------------------ crawl-trap flags
+# Session-21: URL-shape trap detection (Mercator taxonomy) — the
+# frontier gatekeeper before frontier_schedule spends politeness budget.
+# Fixture rotates all four pathologies plus two near-miss controls on
+# doc_id%6; the oracle STATES the flags from the rule (the regex/array
+# machinery is never replayed — the same stated-expectation style as
+# url_canonical).
+
+
+def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.urlnorm import detect_url_traps
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", (F.col("doc_id") % 6).alias("g"),
+        F.col("doc_id").cast("string").alias("s"),
+    )
+    deep = "/".join(f"s{i}" for i in range(13))
+    url = (
+        F.when(F.col("g") == 0, F.concat(F.lit("http://t.com/articles/page"), F.col("s")))
+        .when(F.col("g") == 1, F.concat(F.lit("http://t.com/a/b/a/b/a/p"), F.col("s")))
+        .when(F.col("g") == 2, F.concat(F.lit(f"http://t.com/{deep}/p"), F.col("s")))
+        .when(F.col("g") == 3, F.concat(F.lit("http://t.com/p"), F.col("s"), F.lit("?x=1&PHPSESSID=ab12cd34")))
+        .when(F.col("g") == 4, F.concat(F.lit("http://t.com/2021/01/2021/02/p"), F.col("s")))
+        .otherwise(F.concat(F.lit("http://t.com/x/y/x/p"), F.col("s")))
+    )
+    return detect_url_traps(d.select("doc_id", url.alias("url"))).drop("doc_id")
+
+
+_URL_TRAPS_DEEP = "/".join(f"s{i}" for i in range(13))
+
+_TRAINING_QUERIES["url_traps"] = q_url_traps
+_TRAINING_ORACLES["url_traps"] = f"""SELECT
+  CASE doc_id % 6
+    WHEN 0 THEN 'http://t.com/articles/page' || doc_id::VARCHAR
+    WHEN 1 THEN 'http://t.com/a/b/a/b/a/p' || doc_id::VARCHAR
+    WHEN 2 THEN 'http://t.com/{_URL_TRAPS_DEEP}/p' || doc_id::VARCHAR
+    WHEN 3 THEN 'http://t.com/p' || doc_id::VARCHAR || '?x=1&PHPSESSID=ab12cd34'
+    WHEN 4 THEN 'http://t.com/2021/01/2021/02/p' || doc_id::VARCHAR
+    ELSE 'http://t.com/x/y/x/p' || doc_id::VARCHAR END AS url,
+  (doc_id % 6 = 1) AS repeated_segment,
+  (doc_id % 6 = 2) AS deep_path,
+  (doc_id % 6 = 3) AS session_param,
+  (doc_id % 6 = 4) AS calendar_loop,
+  (doc_id % 6 IN (1, 2, 3, 4)) AS is_trap
+FROM documents"""
+
+
+# ------------------------------------------------- dataset assembly
+# Session-21: the last-mile training-set operators. assign_split's
+# hash-threshold rule is the eval-set stability guarantee (a key's
+# split is a pure function of the key — corpus growth never moves it);
+# epoch_order is the shard-local shuffle (stable shard per key, fresh
+# within-shard permutation per epoch). Both ride the repo-wide h60, so
+# the oracle replays every assignment.
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.assembly import assign_split
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return assign_split(d, key_col="doc_id")
+
+
+_TRAINING_QUERIES["dataset_split"] = q_dataset_split
+_TRAINING_ORACLES["dataset_split"] = f"""WITH b AS (
+  SELECT doc_id,
+         ({_h60_sql("'split:' || doc_id::VARCHAR")} % 100)::INT AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 98 THEN 'train'
+            WHEN bucket < 99 THEN 'valid'
+            ELSE 'test' END AS split
+FROM b"""
+
+
+def q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.assembly import epoch_order
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return epoch_order(d, key_col="doc_id", epoch=1, n_shards=8)
+
+
+_TRAINING_QUERIES["epoch_order"] = q_epoch_order
+_TRAINING_ORACLES["epoch_order"] = f"""WITH s AS (
+  SELECT doc_id,
+         ({_h60_sql("'shard:' || doc_id::VARCHAR")} % 8)::INT AS shard,
+         {_h60_sql("'epoch1:' || doc_id::VARCHAR")} AS draw
+  FROM documents
+)
+SELECT doc_id, shard,
+       (row_number() OVER (PARTITION BY shard ORDER BY draw, doc_id) - 1)::BIGINT
+         AS pos
+FROM s"""

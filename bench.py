@@ -230,6 +230,12 @@ def main() -> None:
         # session-20: crawl scheduling + retrieval evaluation
         "frontier_schedule",
         "search_eval_ndcg",
+        # session-21: graph signals + dataset assembly
+        "link_hits",
+        "crawl_depth",
+        "url_traps",
+        "dataset_split",
+        "epoch_order",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:

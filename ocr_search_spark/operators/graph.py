@@ -95,6 +95,163 @@ def pagerank_integer(
     return ranks
 
 
+HITS_SCALE = 1_000_000  # hub/auth mass in e6 micro-units (see overflow note)
+
+
+def hits_integer(
+    edges: DataFrame,
+    iters: int = 2,
+    scale: int = HITS_SCALE,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+    list (columns ``src``, ``dst``) in exact BIGINT arithmetic; returns
+    ``(node, hub, auth)`` for every node on either side of an edge.
+
+    PageRank (:func:`pagerank_integer`) scores a page by who points at
+    it; HITS separates WHERE to find content (authorities) from WHERE
+    to find links (hubs) — the directory-page vs content-page split a
+    crawl prioritizer wants. Pinned iteration (L1-normalized, the
+    integer-closable choice — classic L2 needs sqrt):
+
+        hub_0(u)  = scale DIV n                         (all nodes)
+        auth'(v)  = SUM over u->v of hub_k(u)
+        auth_k+1  = (auth' * scale) DIV SUM(auth')      (0 if no total)
+        hub'(u)   = SUM over u->v of auth_k+1(v)
+        hub_k+1   = (hub' * scale) DIV SUM(hub')
+
+    Every step is BIGINT sums + BIGINT ``div`` (Spark ``DIV`` == DuckDB
+    ``//`` on the non-negative operands used), so any parallelism and a
+    SQL oracle agree bit-for-bit. Floor losses shrink total mass
+    slightly per step — deterministic, identical both sides.
+
+    Overflow bound: the un-normalized sums satisfy ``SUM(auth') =
+    SUM_u hub(u)*outdeg(u) <= scale * max_outdeg``, and the rescale
+    multiplies by ``scale`` again, so ``scale^2 * max_outdeg`` must
+    stay under 2^63 — the e6 default leaves room for outdeg up to
+    ~9·10^6; raise ``scale`` only with that product in mind.
+
+    Scale shape: per half-iteration ONE join of the (cached,
+    outdeg-free) edge list onto the node-sized score table plus one
+    hash aggregate keyed by the far endpoint, then a scalar-aggregate
+    rescale (broadcast of ONE row — plan-lint's provably-bounded
+    case). Scores are cached per iteration so lineage stays O(1).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select("src", "dst").cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("hub"),
+            F.lit(0).cast("long").alias("auth"),
+        )
+
+    def _rescale(raw: DataFrame, col: str) -> DataFrame:
+        """(node, col) summed to ``scale`` total via one scalar agg."""
+        tot = raw.groupBy().agg(F.sum(col).alias("_t"))
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(tot)
+            .select(
+                "node",
+                F.when(
+                    F.col("_t").isNotNull() & (F.col("_t") > 0),
+                    F.expr(f"({col} * {scale}) DIV _t"),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias(col),
+            )
+            .na.fill({col: 0})
+        )
+
+    hub = nodes.select("node", F.lit(scale // n).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iters):
+        auth_raw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").cast("long").alias("auth"))
+        )
+        auth = _rescale(auth_raw, "auth").cache()
+        hub_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").cast("long").alias("hub"))
+        )
+        hub = _rescale(hub_raw, "hub").cache()
+    return hub.join(auth, "node").select("node", "hub", "auth")
+
+
+def bfs_depth(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 8,
+) -> DataFrame:
+    """Multi-source breadth-first levels over a directed edge list:
+    ``(node, depth)`` where depth is the minimum number of hops from
+    any seed (seeds at 0). Nodes unreachable within ``max_depth`` are
+    ABSENT from the result — the caller left-joins if it wants nulls.
+
+    This is crawl depth from a seed list — the frontier-prioritization
+    signal (pages deep below every portal are low-value; CommonCrawl
+    and friends cap harvest depth per host). The reference's sync walks
+    ONE directory listing (`DropboxSynchronizer.class.js:125-156`);
+    a web frontier is a graph, and depth is its scheduling prior.
+
+    Scale shape: O(reached-diameter) rounds, each ONE equi-join of the
+    edge list against the current frontier (frontier-sized, usually
+    tiny vs edges) + distinct + ONE left-anti join against the visited
+    set — all shuffles keyed by node. The visited set grows to
+    |reached nodes| — node-table-sized state, exactly what
+    connected_components already carries.
+
+    Lineage discipline — STRONGER than the cache()-per-round the other
+    iterative operators use: ``visited_d = visited_{d-1} UNION nxt_d``
+    where ``nxt_d`` itself anti-joins ``visited_{d-1}``, so the
+    logical plan would embed the previous round TWICE per round —
+    exponential 2^depth plan growth that cache() does not stop
+    (caching short-circuits physical re-execution, but the analyzer
+    still walks the full logical tree: observed as a driver-heap OOM
+    at depth 8 on a 97-node graph). Eager ``localCheckpoint`` truncates
+    the round's plan to its materialized RDD, making every round's
+    plan O(1). Local checkpoints do not survive executor loss — the
+    standard trade for iterative DataFrame algorithms; a resumable run
+    wraps the loop in the pipeline checkpoint envelope instead.
+    """
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    e = edges.select("src", "dst").distinct().cache()
+    visited = (
+        seeds.select("node")
+        .distinct()
+        .withColumn("depth", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("depth", F.lit(d).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:  # scalar on the materialized checkpoint
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
 # ------------------------------------------------------ triangle counting
 
 

@@ -538,3 +538,75 @@ def frontier_schedule(
             .alias("fetch_offset_s"),
         )
     )
+
+
+# --------------------------------------------------- crawl-trap detection
+
+_SESSION_PARAM_RE = (
+    r"(?i)(^|&)(sid|sess|sess_?id|session_?id|phpsessid|jsessionid)="
+)
+_OPAQUE_TOKEN_RE = r"(^|&)[A-Za-z_]+=[0-9a-fA-F]{32,}"
+# trailing boundary as a LOOKAHEAD so back-to-back date groups
+# (/2021/01/2021/02) both match — a consumed '/' would hide the second
+_CALENDAR_SEG_RE = r"/(19|20)[0-9]{2}/[0-9]{1,2}(?=/|$)"
+
+
+def detect_url_traps(
+    df: DataFrame,
+    url_col: str = "url",
+    max_path_depth: int = 12,
+    repeat_threshold: int = 3,
+) -> DataFrame:
+    """Crawl-trap heuristics over a URL frontier: flags the URL-shape
+    pathologies that make a crawler loop forever or drown in aliases
+    (Heydon & Najork's Mercator taxonomy — the production frontier's
+    gatekeeper before :func:`frontier_schedule` spends budget on them).
+
+    Adds four boolean columns plus the disjunction ``is_trap``:
+
+    * ``repeated_segment`` — some path segment occurs >=
+      ``repeat_threshold`` times (``/a/b/a/b/a`` — symlink loops,
+      self-referencing relative links);
+    * ``deep_path``        — more than ``max_path_depth`` segments
+      (runaway recursion even without repetition);
+    * ``session_param``    — a session-id query parameter
+      (sid/sessionid/phpsessid/jsessionid/sess…) or any 32+-hex-char
+      opaque token value: each fetch mints a fresh alias of the same
+      page, an unbounded URL space;
+    * ``calendar_loop``    — two or more ``/YYYY/MM`` segments in one
+      path: infinite-calendar navigation (every "next month" link
+      resolves, forever).
+
+    Pure whole-stage-codegen projection — regexes plus array
+    higher-order functions over the split path; no shuffle, no UDF.
+    The segment-repetition check is ``exists(distinct segs, s ->
+    count(segs == s) >= k)`` — quadratic only in one URL's segment
+    count, which ``deep_path`` itself bounds in practice.
+    """
+    if repeat_threshold < 2:
+        raise ValueError(f"repeat_threshold must be >= 2, got {repeat_threshold}")
+    u = F.col(url_col)
+    parts = url_parts(u)
+    segs = F.filter(F.split(parts["path"], "/"), lambda x: x != "")
+    repeated = F.exists(
+        F.array_distinct(segs),
+        lambda s: F.size(F.filter(segs, lambda x: x == s))
+        >= F.lit(repeat_threshold),
+    )
+    deep = F.size(segs) > F.lit(max_path_depth)
+    q = parts["query"]
+    session = q.rlike(_SESSION_PARAM_RE) | q.rlike(_OPAQUE_TOKEN_RE)
+    calendar = (
+        F.size(F.regexp_extract_all(parts["path"], F.lit(_CALENDAR_SEG_RE), 0))
+        >= 2
+    )
+    return df.select(
+        "*",
+        F.coalesce(repeated, F.lit(False)).alias("repeated_segment"),
+        F.coalesce(deep, F.lit(False)).alias("deep_path"),
+        F.coalesce(session, F.lit(False)).alias("session_param"),
+        F.coalesce(calendar, F.lit(False)).alias("calendar_loop"),
+        F.coalesce(
+            repeated | deep | session | calendar, F.lit(False)
+        ).alias("is_trap"),
+    )

@@ -1,0 +1,137 @@
+"""Dataset assembly: deterministic split assignment + epoch ordering.
+
+The last mile of a training-data pipeline: after curation (dedup,
+quality, decontamination) the corpus must be (a) partitioned into
+train/valid/test ONCE, stably, and (b) ordered for each training epoch.
+Both must be pure functions of the row key so that any re-run, any
+parallelism, and any later corpus growth reproduce the same answer —
+the property that makes eval sets trustworthy (a doc that ever lands in
+``test`` must stay there when 10^9 new docs arrive; a hash-threshold
+rule gives exactly that, a percentile/quota rule does not).
+
+The reference has no dataset notion at all (its corpus is whatever the
+synced folder holds — `/root/reference/src/DropboxSynchronizer/
+DropboxSynchronizer.class.js:171-190`); these operators extend the
+engine the same way training/dedup.py does. Hashes are the repo-wide
+cross-engine h60 (training/hashing.py) so a SQL oracle replays every
+assignment bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_search_spark.training.hashing import h60
+
+DEFAULT_WEIGHTS: tuple[tuple[str, int], ...] = (
+    ("train", 98),
+    ("valid", 1),
+    ("test", 1),
+)
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: tuple[tuple[str, int], ...] = DEFAULT_WEIGHTS,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic hash split: adds ``bucket`` (0..total-1) and
+    ``split`` columns; a key's assignment depends on NOTHING but
+    (salt, key).
+
+    ``weights`` are integer proportions in declaration order; a key
+    lands in the first name whose cumulative weight exceeds
+    ``h60(salt:key) mod total``. Properties, each load-bearing:
+
+    * **disjoint + exhaustive** by construction (one bucket, one CASE);
+    * **stable under growth**: adding/removing OTHER rows never moves a
+      key between splits (unlike quota/percentile splits, which
+      reshuffle the boundary on every corpus change — eval
+      contamination by rerun);
+    * **order/partitioning-immune**: no window, no row_number — the
+      bucket is a projection, so the plan is one whole-stage-codegen
+      map over the scan, shuffle-free at any scale.
+
+    In expectation each split receives ``weight/total`` of any stratum
+    (hash uniformity); exact per-stratum quotas are a different
+    operator (textstats.stratified_sample) with a different stability
+    trade-off.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for _, w in weights):
+        raise ValueError(f"weights must be positive, got {weights}")
+    names = [n for n, _ in weights]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate split names in {weights}")
+    total = sum(w for _, w in weights)
+    bucket = h60(
+        F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))
+    ) % F.lit(total)
+    # chained whens evaluate in order, so ascending cumulative
+    # thresholds partition [0, total) left to right
+    expr = None
+    cum = 0
+    for name, w in weights:
+        cum += w
+        cond = bucket < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    expr = expr.otherwise(F.lit(names[-1]))  # unreachable: bucket < total
+    return df.select(
+        "*", bucket.cast("int").alias("bucket"), expr.alias("split")
+    )
+
+
+def epoch_order(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    epoch: int = 0,
+    n_shards: int = 64,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic shard-local shuffle for one training epoch: adds
+    ``shard`` (stable across epochs — a key always feeds the same
+    reader) and ``pos`` (the key's 0-based position within its shard
+    for THIS epoch; re-drawn per epoch from an independent hash).
+
+    This is the distributed form of how large training runs actually
+    shuffle: a GLOBAL permutation per epoch is a full sort of the
+    corpus per epoch — 10^12 rows through one total order, the
+    single most expensive shuffle there is — while shard-local
+    shuffling (shard by stable hash, permute within shard by an
+    epoch-salted hash) is one hash partition + per-shard sort, gives
+    each reader a stationary data subset (cache-friendly), and is the
+    standard quality/cost trade (tf.data / webdataset practice).
+
+    Plan shape: ONE hash shuffle on ``shard`` + per-shard sort
+    (row_number ordered by the epoch hash, key ASC tiebreak for
+    bit-determinism on the astronomically-unlikely collision). Shards
+    bound the sort; pick ``n_shards`` >> executor count so AQE keeps
+    partitions balanced.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if epoch < 0:
+        raise ValueError(f"epoch must be >= 0, got {epoch}")
+    from pyspark.sql import Window
+
+    key = F.col(key_col).cast("string")
+    shard = (h60(F.concat(F.lit("shard:"), key)) % F.lit(n_shards)).cast(
+        "int"
+    )
+    draw = h60(
+        F.concat(F.lit(salt), F.lit(str(int(epoch))), F.lit(":"), key)
+    )
+    staged = df.select(
+        "*", shard.alias("shard"), draw.alias("_draw")
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_draw").asc(), F.col(key_col).asc()
+    )
+    return staged.select(
+        "*", (F.row_number().over(w) - 1).cast("long").alias("pos")
+    ).drop("_draw")

@@ -138,3 +138,141 @@ def test_label_propagation_partition_invariance(spark):
     a = sorted(map(tuple, label_propagation(edges, iters=3).collect()))
     b = sorted(map(tuple, label_propagation(edges.repartition(7), iters=3).collect()))
     assert a == b
+
+
+# ----------------------------------------------------------- HITS
+
+
+def _hits_py(edges, iters=2, scale=1_000_000):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    hub = {v: scale // n for v in nodes}
+    auth = {v: 0 for v in nodes}
+    for _ in range(iters):
+        raw_a = {v: 0 for v in nodes}
+        for s, d in edges:
+            raw_a[d] += hub[s]
+        ta = sum(raw_a.values())
+        auth = {v: (raw_a[v] * scale) // ta if ta > 0 else 0 for v in nodes}
+        raw_h = {v: 0 for v in nodes}
+        for s, d in edges:
+            raw_h[s] += auth[d]
+        th = sum(raw_h.values())
+        hub = {v: (raw_h[v] * scale) // th if th > 0 else 0 for v in nodes}
+    return {v: (hub[v], auth[v]) for v in nodes}
+
+
+def test_hits_vs_bruteforce(spark):
+    from ocr_search_spark.operators.graph import hits_integer
+
+    rng = random.Random(11)
+    edges = sorted({(rng.randrange(25), rng.randrange(25)) for _ in range(150)})
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits_integer(df, iters=2).collect()
+    }
+    assert got == _hits_py(edges)
+
+
+def test_hits_hub_authority_split(spark):
+    """A directory node pointing at three content nodes must score as
+    pure hub; the content nodes as pure authorities."""
+    from ocr_search_spark.operators.graph import hits_integer
+
+    df = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    r = {x["node"]: x for x in hits_integer(df, iters=2).collect()}
+    assert r[0]["hub"] > 0 and r[0]["auth"] == 0
+    for v in (1, 2, 3):
+        assert r[v]["hub"] == 0 and r[v]["auth"] > 0
+    # the three authorities tie exactly (symmetry is integer-preserved)
+    assert len({r[v]["auth"] for v in (1, 2, 3)}) == 1
+
+
+def test_hits_parallelism_invariant(spark):
+    from ocr_search_spark.operators.graph import hits_integer
+
+    rng = random.Random(7)
+    edges = sorted({(rng.randrange(40), rng.randrange(40)) for _ in range(250)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits_integer(df.coalesce(1)).collect()
+    }
+    b = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits_integer(df.repartition(32)).collect()
+    }
+    assert a == b
+
+
+def test_hits_rejects_bad_iters(spark):
+    from ocr_search_spark.operators.graph import hits_integer
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        hits_integer(df, iters=0)
+
+
+# ----------------------------------------------------------- BFS depth
+
+
+def _bfs_py(edges, seeds, max_depth):
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    depth = {v: 0 for v in seeds}
+    frontier = set(seeds)
+    for dd in range(1, max_depth + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in depth:
+                    nxt.add(v)
+        for v in nxt:
+            depth[v] = dd
+        if not nxt:
+            break
+        frontier = nxt
+    return depth
+
+
+def test_bfs_depth_vs_bruteforce(spark):
+    from ocr_search_spark.operators.graph import bfs_depth
+
+    rng = random.Random(3)
+    edges = sorted({(rng.randrange(60), rng.randrange(60)) for _ in range(150)})
+    seeds = [0, 1, 2]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    got = {r["node"]: r["depth"] for r in bfs_depth(e, s, max_depth=8).collect()}
+    assert got == _bfs_py(edges, seeds, 8)
+
+
+def test_bfs_depth_levels_cycle_and_unreachable(spark):
+    """0->1->2->0 cycle plus an island 9: cycle nodes get min-hop depths
+    once, the island never appears."""
+    from ocr_search_spark.operators.graph import bfs_depth
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (9, 9)], "src long, dst long"
+    )
+    s = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["depth"] for r in bfs_depth(e, s, max_depth=5).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_depth_cap_and_multi_seed_min(spark):
+    """max_depth truncates the walk; a node reachable from two seeds
+    takes the MINIMUM depth."""
+    from ocr_search_spark.operators.graph import bfs_depth
+
+    chain = [(i, i + 1) for i in range(6)]  # 0->1->...->6
+    e = spark.createDataFrame(chain, "src long, dst long")
+    s = spark.createDataFrame([(0,), (4,)], "node long")
+    got = {r["node"]: r["depth"] for r in bfs_depth(e, s, max_depth=2).collect()}
+    # node 3 is 3 hops from seed 0 -> cut by the cap; 6 is 2 hops from 4
+    assert got == {0: 0, 4: 0, 1: 1, 5: 1, 2: 2, 6: 2}

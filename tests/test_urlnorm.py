@@ -360,3 +360,49 @@ def test_frontier_schedule_single_shuffle(spark):
     )
     assert plan.count("Exchange") == 1  # the host hash partitioning only
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------------ crawl-trap flags
+
+
+def test_detect_url_traps_each_class(spark):
+    from ocr_search_spark.operators.urlnorm import detect_url_traps
+
+    rows = [
+        ("http://a.com/articles/page1", False, False, False, False),
+        ("http://a.com/a/b/a/b/a", True, False, False, False),
+        ("http://a.com/" + "/".join(f"s{i}" for i in range(13)), False, True, False, False),
+        ("http://a.com/p?x=1&PHPSESSID=ab12cd34", False, False, True, False),
+        ("http://a.com/p?tok=" + "0f" * 16, False, False, True, False),
+        ("http://a.com/2021/01/2021/02/x", False, False, False, True),
+        # two same segments stay BELOW the >=3 repetition threshold
+        ("http://a.com/a/b/a/c", False, False, False, False),
+        # one date group is a normal blog permalink, not a trap
+        ("http://a.com/2021/01/post", False, False, False, False),
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in rows], "url string")
+    got = {r.url: r for r in detect_url_traps(df).collect()}
+    for url, rep, deep, sess, cal in rows:
+        r = got[url]
+        assert (r.repeated_segment, r.deep_path, r.session_param,
+                r.calendar_loop) == (rep, deep, sess, cal), url
+        assert r.is_trap == (rep or deep or sess or cal), url
+
+
+def test_detect_url_traps_zero_shuffle_plan(spark):
+    from ocr_search_spark.operators.urlnorm import detect_url_traps
+
+    df = spark.createDataFrame([("http://a.com/x",)], "url string")
+    plan = detect_url_traps(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_detect_url_traps_rejects_bad_threshold(spark):
+    from ocr_search_spark.operators.urlnorm import detect_url_traps
+
+    df = spark.createDataFrame([("http://a.com/x",)], "url string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        detect_url_traps(df, repeat_threshold=1)
