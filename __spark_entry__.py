@@ -1928,6 +1928,9 @@ _GATE_PRIORITY = [
     # check_entry-verified at sf0.001 + sf0.01.
     "link_hits", "crawl_depth", "url_traps", "dataset_split",
     "epoch_order",
+    # trustrank_seeds: seed-teleport variant of the in-window
+    # pagerank_centrality recurrence; check_entry-verified at both SFs.
+    "trustrank_seeds",
     # Entries 51+ below exceed the 50-entry driver window on purpose:
     # every rowless query can't fit, so the overflow picks queries whose
     # key code path already earns a driver row through a sibling entry —
@@ -13012,3 +13015,88 @@ SELECT doc_id, shard,
        (row_number() OVER (PARTITION BY shard ORDER BY draw, doc_id) - 1)::BIGINT
          AS pos
 FROM s"""
+
+
+# --------------------------------------------------------- TrustRank
+# Session-21: seed-personalized PageRank (trust flows outward from a
+# vetted seed set, decays with link distance, unreached nodes hold
+# exactly 0 — the spam-demotion crawl prior). Same bipartite edge
+# fixture as pagerank_centrality; trusted seeds = custkeys divisible
+# by 50. The oracle unrolls the 3 seed-teleport iterations.
+
+
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.graph import trustrank_integer
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(_SUPP_NODE_BASE) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        orders.select(F.col("o_custkey").alias("node"))
+        .where(F.col("node") % 50 == 0)
+        .distinct()
+    )
+    return trustrank_integer(edges, seeds, iters=3)
+
+
+_TRAINING_QUERIES["trustrank_seeds"] = q_trustrank
+_TRAINING_ORACLES["trustrank_seeds"] = f"""WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS src, {_SUPP_NODE_BASE} + l.l_suppkey AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+sd AS (
+  SELECT DISTINCT o_custkey AS node FROM orders WHERE o_custkey % 50 = 0
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+  UNION SELECT node FROM sd
+),
+params AS (SELECT count(*)::BIGINT AS ns FROM sd),
+flag AS (
+  SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+  FROM nodes n LEFT JOIN sd s ON s.node = n.node
+),
+outdeg AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.od FROM edges e JOIN outdeg d ON d.src = e.src),
+r0 AS (
+  SELECT node, (is_seed * (1000000000000 // ns))::BIGINT AS rank
+  FROM flag, params
+),
+r1 AS (
+  SELECT f.node,
+         (f.is_seed * (150000000000 // p.ns)
+          + coalesce(s.contrib, 0))::BIGINT AS rank
+  FROM flag f CROSS JOIN params p
+  LEFT JOIN (
+    SELECT ed.dst AS node, sum((r.rank * 17) // (20 * ed.od))::BIGINT AS contrib
+    FROM ed JOIN r0 r ON r.node = ed.src GROUP BY ed.dst
+  ) s ON s.node = f.node
+),
+r2 AS (
+  SELECT f.node,
+         (f.is_seed * (150000000000 // p.ns)
+          + coalesce(s.contrib, 0))::BIGINT AS rank
+  FROM flag f CROSS JOIN params p
+  LEFT JOIN (
+    SELECT ed.dst AS node, sum((r.rank * 17) // (20 * ed.od))::BIGINT AS contrib
+    FROM ed JOIN r1 r ON r.node = ed.src GROUP BY ed.dst
+  ) s ON s.node = f.node
+),
+r3 AS (
+  SELECT f.node,
+         (f.is_seed * (150000000000 // p.ns)
+          + coalesce(s.contrib, 0))::BIGINT AS rank
+  FROM flag f CROSS JOIN params p
+  LEFT JOIN (
+    SELECT ed.dst AS node, sum((r.rank * 17) // (20 * ed.od))::BIGINT AS contrib
+    FROM ed JOIN r2 r ON r.node = ed.src GROUP BY ed.dst
+  ) s ON s.node = f.node
+)
+SELECT node, rank FROM r3"""

@@ -236,6 +236,7 @@ def main() -> None:
         "url_traps",
         "dataset_split",
         "epoch_order",
+        "trustrank_seeds",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:

@@ -276,3 +276,58 @@ def test_bfs_depth_cap_and_multi_seed_min(spark):
     got = {r["node"]: r["depth"] for r in bfs_depth(e, s, max_depth=2).collect()}
     # node 3 is 3 hops from seed 0 -> cut by the cap; 6 is 2 hops from 4
     assert got == {0: 0, 4: 0, 1: 1, 5: 1, 2: 2, 6: 2}
+
+
+# ----------------------------------------------------------- TrustRank
+
+
+def _trustrank_py(edges, seeds, iters=3, scale=SCALE):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges} | set(seeds))
+    od = {}
+    for s, _ in edges:
+        od[s] = od.get(s, 0) + 1
+    ns = len(set(seeds))
+    r = {v: (scale // ns if v in seeds else 0) for v in nodes}
+    teleport = (scale * 3 // 20) // ns
+    for _ in range(iters):
+        nxt = {v: (teleport if v in seeds else 0) for v in nodes}
+        for s, d in edges:
+            nxt[d] += (r[s] * 17) // (20 * od[s])
+        r = nxt
+    return r
+
+
+def test_trustrank_vs_bruteforce(spark):
+    from ocr_search_spark.operators.graph import trustrank_integer
+
+    rng = random.Random(17)
+    edges = sorted({(rng.randrange(40), rng.randrange(40)) for _ in range(200)})
+    seeds = [0, 1, 2, 3]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    got = {r["node"]: r["rank"] for r in trustrank_integer(e, s, iters=3).collect()}
+    assert got == _trustrank_py(edges, set(seeds))
+
+
+def test_trustrank_trust_decays_and_unreached_zero(spark):
+    """Chain 0->1->2 with island 9: trust decays along the chain and the
+    island (not a seed, unreachable) holds exactly 0."""
+    from ocr_search_spark.operators.graph import trustrank_integer
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (9, 9)], "src long, dst long")
+    s = spark.createDataFrame([(0,)], "node long")
+    r = {x["node"]: x["rank"] for x in trustrank_integer(e, s, iters=3).collect()}
+    assert r[0] > r[1] > r[2] > 0
+    assert r[9] == 0
+
+
+def test_trustrank_validation(spark):
+    from ocr_search_spark.operators.graph import trustrank_integer
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    s = spark.createDataFrame([(0,)], "node long")
+    with pytest.raises(ValueError):
+        trustrank_integer(e, s, iters=0)
+    empty = spark.createDataFrame([], "node long")
+    with pytest.raises(ValueError):
+        trustrank_integer(e, empty)
