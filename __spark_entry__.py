@@ -1931,6 +1931,11 @@ _GATE_PRIORITY = [
     # trustrank_seeds: seed-teleport variant of the in-window
     # pagerank_centrality recurrence; check_entry-verified at both SFs.
     "trustrank_seeds",
+    # training_triplets: hard-negative mining over the search_eval_ndcg
+    # fixture (same run + qrels CTEs, window/join shapes =
+    # stratified_sample / search_batch_bm25 in-window rows);
+    # check_entry-verified at both SFs.
+    "training_triplets",
     # Entries 51+ below exceed the 50-entry driver window on purpose:
     # every rowless query can't fit, so the overflow picks queries whose
     # key code path already earns a driver row through a sibling entry —
@@ -13100,3 +13105,101 @@ r3 AS (
   ) s ON s.node = f.node
 )
 SELECT node, rank FROM r3"""
+
+
+# -------------------------------------------- hard-negative mining
+# Session-21: contrastive training triplets from the REAL BM25 batch
+# run × the h60-salted judged pool (the search_eval_ndcg fixture) —
+# the DPR-style hard-negative recipe: negatives are docs the retriever
+# ranked highly that the judgments mark non-relevant, assigned
+# round-robin to the query's positives. Both sides eval-set-bounded.
+
+
+def q_training_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.search import (
+        hard_negative_triplets,
+        match_terms_batch_bm25,
+    )
+    from ocr_search_spark.training.hashing import h60
+
+    rows = [
+        (qi, t)
+        for qi, q in enumerate(_BATCH_QUERIES)
+        for t in sorted(set(tokenize_text(q)))
+    ]
+    qt = spark.createDataFrame(rows, "query_id int, term string")
+    run = match_terms_batch_bm25(
+        _postings(spark, sf_dir).cache(), qt, max_return=10
+    )
+    dk = (
+        _with_doc_key(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        .select(F.col("doc_key").alias("doc_id"))
+        .distinct()
+    )
+    qids = spark.range(len(_BATCH_QUERIES)).select(
+        F.col("id").cast("int").alias("query_id")
+    )
+    hv = h60(
+        F.concat(F.col("query_id").cast("string"), F.lit(":"), F.col("doc_id"))
+    )
+    qrels = (
+        dk.crossJoin(qids)
+        .select("query_id", "doc_id", hv.alias("_hv"))
+        .where(F.col("_hv") % 5 == 0)
+        .select(
+            "query_id",
+            "doc_id",
+            (F.expr("_hv div 5") % 4).cast("int").alias("rel"),
+        )
+    )
+    out = hard_negative_triplets(run, qrels, negs_per_pos=2)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "pos_doc", "neg_doc", "neg_rank",
+    )
+
+
+def _training_triplets_oracle() -> str:
+    return f"""WITH run AS (
+{_search_batch_bm25_oracle()}
+),
+dk AS (
+  SELECT DISTINCT sha256(source || '/doc_' || (doc_id // 4)::VARCHAR
+         || '.pdf' || '-' || (doc_id % 4 + 1)::VARCHAR) AS doc_id
+  FROM documents
+),
+q(query_id) AS (VALUES (0), (1), (2), (3), (4)),
+qr0 AS (
+  SELECT query_id, doc_id,
+         ('0x' || substring(md5(query_id::VARCHAR || ':' || doc_id), 1, 15))::BIGINT AS hv
+  FROM dk CROSS JOIN q
+),
+qrels AS (
+  SELECT query_id, doc_id, ((hv // 5) % 4)::INT AS rel
+  FROM qr0 WHERE hv % 5 = 0
+),
+pos AS (
+  SELECT query_id, doc_id AS pos_doc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, doc_id ASC) - 1 AS p
+  FROM qrels WHERE rel > 0
+),
+np AS (SELECT query_id, count(*)::BIGINT AS n_pos FROM pos GROUP BY 1),
+negs AS (
+  SELECT r.query_id, r.doc_id AS neg_doc, r.rank,
+         row_number() OVER (PARTITION BY r.query_id
+                            ORDER BY r.rank ASC, r.doc_id ASC) - 1 AS seq
+  FROM run r
+  LEFT JOIN qrels qq ON qq.query_id = r.query_id AND qq.doc_id = r.doc_id
+  WHERE coalesce(qq.rel, 0) = 0
+)
+SELECT n.query_id::BIGINT AS query_id, p.pos_doc, n.neg_doc,
+       n.rank::INT AS neg_rank
+FROM negs n
+JOIN np USING (query_id)
+JOIN pos p ON p.query_id = n.query_id AND p.p = n.seq % np.n_pos
+WHERE n.seq < np.n_pos * 2"""
+
+
+_TRAINING_QUERIES["training_triplets"] = q_training_triplets
+_TRAINING_ORACLES["training_triplets"] = _training_triplets_oracle()

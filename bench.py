@@ -237,6 +237,7 @@ def main() -> None:
         "dataset_split",
         "epoch_order",
         "trustrank_seeds",
+        "training_triplets",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:

@@ -981,3 +981,67 @@ def ranked_eval_metrics(
             "n_rel",
         )
     )
+
+
+def hard_negative_triplets(
+    run: DataFrame,
+    qrels: DataFrame,
+    negs_per_pos: int = 2,
+) -> DataFrame:
+    """Contrastive training triplets ``(query_id, pos_doc, neg_doc,
+    neg_rank)`` mined from a ranked retrieval run — the standard
+    hard-negative recipe (DPR / sentence-transformers practice): a
+    NEGATIVE is a document the retriever itself ranked highly but the
+    judgments mark non-relevant, which is exactly the example a
+    reranker/bi-encoder learns the most from (random negatives are
+    trivially separable).
+
+    ``run`` is ``(query_id, doc_id, rank)`` (1-based, top-k per query);
+    ``qrels`` is ``(query_id, doc_id, rel)``. Pinned rule:
+
+    * positives: the query's judged ``rel > 0`` docs;
+    * hard negatives: run docs with ``rel = 0`` — judged-irrelevant OR
+      unjudged (the run is the retriever's belief; the TREC convention
+      treats unjudged as non-relevant) — kept in rank order, the top
+      ``negs_per_pos`` PER POSITIVE assigned round-robin by rank so
+      every positive receives distinct negatives:
+      positive #p (ordered rel DESC, doc_id ASC) takes negatives at
+      ``neg_seq mod n_pos == p`` — a pure function of (run, qrels).
+
+    Scale: both inputs are eval-set-bounded (|queries|·k and the judged
+    pool); one join + two per-query windows + one equi-join on the
+    round-robin key. The corpus never enters the plan.
+    """
+    from pyspark.sql import Window as W
+
+    if negs_per_pos < 1:
+        raise ValueError(f"negs_per_pos must be >= 1, got {negs_per_pos}")
+
+    pos = qrels.where(F.col("rel") > 0).select(
+        "query_id", F.col("doc_id").alias("pos_doc"), "rel"
+    )
+    wp = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("pos_doc"))
+    pos = pos.withColumn("_p", F.row_number().over(wp) - 1)
+    n_pos = pos.groupBy("query_id").agg(F.count("*").alias("_np"))
+
+    rel0 = F.coalesce(F.col("rel"), F.lit(0))
+    negs = (
+        run.join(qrels, ["query_id", "doc_id"], "left")
+        .where(rel0 == 0)
+        .select("query_id", F.col("doc_id").alias("neg_doc"), "rank")
+    )
+    wn = W.partitionBy("query_id").orderBy(F.asc("rank"), F.asc("neg_doc"))
+    negs = negs.withColumn("_seq", F.row_number().over(wn) - 1)
+
+    return (
+        negs.join(n_pos, "query_id")
+        .where(F.col("_seq") < F.col("_np") * F.lit(int(negs_per_pos)))
+        .withColumn("_p", F.col("_seq") % F.col("_np"))
+        .join(pos, ["query_id", "_p"])
+        .select(
+            "query_id",
+            "pos_doc",
+            "neg_doc",
+            F.col("rank").cast("int").alias("neg_rank"),
+        )
+    )

@@ -311,3 +311,57 @@ def test_ranked_eval_metrics_k_cap_and_validation(spark):
     assert r.n_rel == 1
     with _pytest.raises(ValueError):
         ranked_eval_metrics(run, qrels, k=0)
+
+
+def test_hard_negative_triplets_round_robin(spark):
+    from ocr_search_spark.operators.search import hard_negative_triplets
+
+    run = spark.createDataFrame(
+        [(0, f"d{r}", r) for r in range(1, 7)],
+        "query_id int, doc_id string, rank int",
+    )
+    # d2 and d5 judged relevant; d3 judged irrelevant; rest unjudged
+    qrels = spark.createDataFrame(
+        [(0, "d2", 2), (0, "d5", 1), (0, "d3", 0)],
+        "query_id int, doc_id string, rel int",
+    )
+    out = hard_negative_triplets(run, qrels, negs_per_pos=2).collect()
+    # negatives in rank order: d1, d3, d4, d6 (d2/d5 excluded as rel>0);
+    # positives ordered rel DESC: d2 (#0), d5 (#1); round-robin:
+    # d1->d2, d3->d5, d4->d2, d6->d5
+    got = {(r.pos_doc, r.neg_doc): r.neg_rank for r in out}
+    assert got == {
+        ("d2", "d1"): 1, ("d5", "d3"): 3, ("d2", "d4"): 4, ("d5", "d6"): 6
+    }
+
+
+def test_hard_negative_triplets_caps_and_validation(spark):
+    import pytest as _pytest
+
+    from ocr_search_spark.operators.search import hard_negative_triplets
+
+    run = spark.createDataFrame(
+        [(0, f"d{r}", r) for r in range(1, 11)],
+        "query_id int, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(0, "d1", 1)], "query_id int, doc_id string, rel int"
+    )
+    out = hard_negative_triplets(run, qrels, negs_per_pos=3).collect()
+    # one positive, cap 3 negatives: ranks 2,3,4
+    assert sorted(r.neg_rank for r in out) == [2, 3, 4]
+    assert all(r.pos_doc == "d1" for r in out)
+    with _pytest.raises(ValueError):
+        hard_negative_triplets(run, qrels, negs_per_pos=0)
+
+
+def test_hard_negative_triplets_no_positives_empty(spark):
+    from ocr_search_spark.operators.search import hard_negative_triplets
+
+    run = spark.createDataFrame(
+        [(0, "d1", 1)], "query_id int, doc_id string, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [(0, "d1", 0)], "query_id int, doc_id string, rel int"
+    )
+    assert hard_negative_triplets(run, qrels).count() == 0
