@@ -13203,3 +13203,69 @@ WHERE n.seq < np.n_pos * 2"""
 
 _TRAINING_QUERIES["training_triplets"] = q_training_triplets
 _TRAINING_ORACLES["training_triplets"] = _training_triplets_oracle()
+
+
+# ------------------------------------------------- mixture planning
+# Session-22: token-budget mixture planning — the LLaMA-style
+# "sampling prop. / epochs over source" table. The corpus inventory is
+# one hash aggregate; the declared mixture is a program literal
+# (Range(1) + inline, the provably bounded broadcast idiom); every
+# output is exact BIGINT so the oracle replays bit-for-bit, including
+# the epoch cap and the pinned no-redistribution rule.
+
+_MIX_WEIGHTS = [(f"src{i}", (i % 4) + 1) for i in range(16)] + [("srcx", 5)]
+_MIX_BUDGET = 60_000
+_MIX_CAP_E6 = 2_500_000  # max 2.5 epochs over any single source
+
+
+def q_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate a 60k-token training budget across 16 declared sources
+    (+1 declared-but-absent source that must show tokens=0 / NULL
+    epochs; 4 corpus sources are undeclared and must be excluded),
+    capping any source at 2.5 epochs. Exact BIGINT end to end."""
+    from ocr_search_spark.training.dedup import words_col
+    from ocr_search_spark.training.packing import mixture_token_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    st = docs.groupBy("source").agg(
+        F.sum(F.size(words_col(F.col("text")))).cast("long").alias("tokens")
+    )
+    return mixture_token_plan(
+        st, weights=_MIX_WEIGHTS, budget=_MIX_BUDGET,
+        max_epochs_e6=_MIX_CAP_E6,
+    )
+
+
+_MIX_TOTAL_W = sum(w for _, w in _MIX_WEIGHTS)
+_MIX_VALUES = ", ".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS)
+
+_TRAINING_QUERIES["mixture_budget"] = q_mixture_budget
+_TRAINING_ORACLES["mixture_budget"] = f"""WITH st AS (
+  SELECT source, sum(len({_WORDS_SQL}))::BIGINT AS tokens
+  FROM documents GROUP BY source
+),
+w(source, weight) AS (VALUES {_MIX_VALUES}),
+j AS (
+  SELECT w.source, coalesce(st.tokens, 0)::BIGINT AS tokens,
+         w.weight::BIGINT AS weight,
+         (({_MIX_BUDGET} * w.weight) // {_MIX_TOTAL_W})::BIGINT AS target_tokens
+  FROM w LEFT JOIN st ON st.source = w.source
+),
+e AS (
+  SELECT *, CASE WHEN tokens > 0
+                 THEN (target_tokens * 1000000) // tokens END AS _eraw
+  FROM j
+),
+c AS (
+  SELECT source, tokens, weight, target_tokens,
+         CASE WHEN _eraw > {_MIX_CAP_E6}
+              THEN (tokens * {_MIX_CAP_E6}) // 1000000
+              ELSE target_tokens END::BIGINT AS planned_tokens,
+         coalesce(_eraw > {_MIX_CAP_E6}, false) AS capped
+  FROM e
+)
+SELECT source, tokens, weight, target_tokens, planned_tokens,
+       CASE WHEN tokens > 0
+            THEN (planned_tokens * 1000000) // tokens END::BIGINT AS epochs_e6,
+       capped
+FROM c"""

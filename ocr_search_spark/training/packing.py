@@ -344,3 +344,117 @@ def cdc_chunks(
         F.col("c.chunk").alias("chunk"),
         F.md5("c.chunk").alias("digest"),
     )
+
+
+def mixture_token_plan(
+    source_tokens: DataFrame,
+    weights: list[tuple[str, int]],
+    budget: int,
+    max_epochs_e6: int | None = None,
+) -> DataFrame:
+    """(source, tokens, weight, target_tokens, planned_tokens,
+    epochs_e6, capped) — token-budget mixture planning: given how many
+    tokens each source HAS and the target mixture WEIGHTS, allocate a
+    total training ``budget`` across sources and report how many passes
+    (epochs) over each source that allocation implies.
+
+    This is the planning table behind every published data-mixture
+    recipe (LLaMA's "sampling prop. / epochs" table, Pile §2): the
+    mixture is declared as integer weights, the corpus inventory is
+    measured, and the resulting per-source epoch count is the signal
+    that a source is over-sampled (epochs > 1 means repeating data).
+
+    Pinned rules, each exact BIGINT so a SQL twin replays bit-for-bit:
+
+    * ``target_tokens = budget * weight div total_weight`` (floor; the
+      remainder ``budget - sum(target)`` is intentionally unallocated —
+      deterministic, rather than an arbitrary largest-remainder tweak);
+    * ``epochs_e6 = target_tokens * 1e6 div tokens`` (NULL when the
+      source has zero tokens — the caller's inventory is broken and the
+      plan says so instead of inventing a number);
+    * with ``max_epochs_e6`` set, a source whose epochs exceed the cap
+      has ``planned_tokens = tokens * max_epochs_e6 div 1e6`` and
+      ``capped = true``; the freed budget is NOT redistributed (a
+      redistribution loop is iterative and belongs to the caller —
+      re-invoke with adjusted weights if desired). Uncapped sources
+      have ``planned_tokens = target_tokens``.
+
+    Scale shape: ``weights`` is a program literal — it enters the plan
+    as Range(1) + inline of a literal struct array (visibly literal,
+    see session.literal_df / PLANLINT.md); ``source_tokens`` is the
+    (n_sources)-row aggregate the caller computes with one hash agg.
+    The weights-preserving left join therefore moves mixture-cardinality
+    rows only, never corpus rows — no hint needed (Spark cannot
+    broadcast the outer-preserved side of a left join anyway; a
+    build-left hint here would just be ignored with a warning).
+
+    Reference parity: none — the reference has no training tier; this
+    extends the engine the same way source_mix_weights does.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    names = [s for s, _ in weights]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate source in weights: {names}")
+    if any(int(w) <= 0 for _, w in weights):
+        raise ValueError("weights must be positive integers")
+    total_w = sum(int(w) for _, w in weights)
+    spark = source_tokens.sparkSession
+    warr = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("source"),
+                F.lit(int(w)).cast("long").alias("weight"),
+            )
+            for s, w in weights
+        ]
+    )
+    wdf = spark.range(1).select(F.inline(warr))
+    # weights drive the plan: a source in the corpus but absent from the
+    # declared mixture is EXCLUDED (left join from weights), a declared
+    # source missing from the corpus shows tokens=0 / epochs NULL.
+    joined = wdf.join(
+        source_tokens.select(
+            F.col("source").alias("_src"), F.col("tokens").cast("long")
+        ),
+        F.col("source") == F.col("_src"),
+        "left",
+    )
+    tgt = F.expr(f"({int(budget)} * weight) div {int(total_w)}")
+    out = joined.select(
+        "source",
+        F.coalesce(F.col("tokens"), F.lit(0)).cast("long").alias("tokens"),
+        "weight",
+        tgt.cast("long").alias("target_tokens"),
+    )
+    epochs = F.when(
+        F.col("tokens") > 0,
+        F.expr("(target_tokens * 1000000) div tokens"),
+    ).cast("long")
+    out = out.withColumn("_epochs_raw", epochs)
+    if max_epochs_e6 is not None:
+        if int(max_epochs_e6) <= 0:
+            raise ValueError(f"max_epochs_e6 must be > 0, got {max_epochs_e6}")
+        capped = F.col("_epochs_raw") > F.lit(int(max_epochs_e6))
+        planned = F.when(
+            capped, F.expr(f"(tokens * {int(max_epochs_e6)}) div 1000000")
+        ).otherwise(F.col("target_tokens"))
+        eff_epochs = F.when(
+            F.col("tokens") > 0, F.expr("(planned_tokens * 1000000) div tokens")
+        ).cast("long")
+        return (
+            out.withColumn(
+                "planned_tokens", planned.cast("long")
+            )
+            .withColumn("epochs_e6", eff_epochs)
+            .withColumn("capped", F.coalesce(capped, F.lit(False)))
+            .drop("_epochs_raw")
+        )
+    return (
+        out.withColumn("planned_tokens", F.col("target_tokens"))
+        .withColumn("epochs_e6", F.col("_epochs_raw"))
+        .withColumn("capped", F.lit(False))
+        .drop("_epochs_raw")
+    )

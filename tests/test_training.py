@@ -1643,3 +1643,76 @@ def test_filtered_ann_only_returns_eligible_neighbors(spark):
     ) == sorted(
         (r["query_id"], r["neighbor_id"], r["cos"]) for r in brute.collect()
     )
+
+
+def test_mixture_token_plan(spark):
+    """Hand-computed budget split: floor allocation, epoch cap with the
+    pinned no-redistribution rule, NULL epochs for an empty source."""
+    from ocr_search_spark.training import packing
+
+    st = spark.createDataFrame(
+        [("web", 1000), ("code", 100), ("books", 0)],
+        "source string, tokens long",
+    )
+    out = {
+        r["source"]: r
+        for r in packing.mixture_token_plan(
+            st,
+            weights=[("web", 3), ("code", 2), ("absent", 1)],
+            budget=600,
+            max_epochs_e6=2_000_000,
+        ).collect()
+    }
+    # books is in the corpus but NOT declared -> excluded entirely
+    assert set(out) == {"web", "code", "absent"}
+    web, code, absent = out["web"], out["code"], out["absent"]
+    # target = 600*w div 6
+    assert (web["target_tokens"], code["target_tokens"]) == (300, 200)
+    # web: 300/1000 tokens = 0.3 epochs, uncapped
+    assert (web["planned_tokens"], web["epochs_e6"], web["capped"]) == (
+        300, 300_000, False)
+    # code: 200/100 = 2.0e6 epochs raw... exactly at cap -> NOT capped
+    assert (code["planned_tokens"], code["epochs_e6"], code["capped"]) == (
+        200, 2_000_000, False)
+    # absent: declared but zero corpus tokens -> NULL epochs, uncapped
+    assert absent["tokens"] == 0 and absent["epochs_e6"] is None
+    assert absent["capped"] is False
+
+    # cap actually binding: lower the cap below code's 2.0 epochs
+    out2 = {
+        r["source"]: r
+        for r in packing.mixture_token_plan(
+            st, weights=[("web", 3), ("code", 2), ("absent", 1)],
+            budget=600, max_epochs_e6=1_500_000,
+        ).collect()
+    }
+    c2 = out2["code"]
+    # planned = 100 * 1.5e6 div 1e6 = 150; epochs replayed from planned
+    assert (c2["planned_tokens"], c2["epochs_e6"], c2["capped"]) == (
+        150, 1_500_000, True)
+    # web unchanged; budget freed by the cap is NOT redistributed
+    assert out2["web"]["planned_tokens"] == 300
+
+    # uncapped variant keeps the raw epochs and capped=false everywhere
+    out3 = {
+        r["source"]: r
+        for r in packing.mixture_token_plan(
+            st, weights=[("web", 3), ("code", 2)], budget=600
+        ).collect()
+    }
+    # total weight is now 5 -> code target = 600*2 div 5 = 240 tokens
+    assert out3["code"]["epochs_e6"] == 2_400_000
+    assert not any(r["capped"] for r in out3.values())
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        packing.mixture_token_plan(st, weights=[], budget=10)
+    with _pt.raises(ValueError):
+        packing.mixture_token_plan(st, weights=[("a", 1), ("a", 2)], budget=10)
+    with _pt.raises(ValueError):
+        packing.mixture_token_plan(st, weights=[("a", 0)], budget=10)
+    with _pt.raises(ValueError):
+        packing.mixture_token_plan(st, weights=[("a", 1)], budget=-1)
+    with _pt.raises(ValueError):
+        packing.mixture_token_plan(st, weights=[("a", 1)], budget=10,
+                                   max_epochs_e6=0)
