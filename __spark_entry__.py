@@ -13269,3 +13269,90 @@ SELECT source, tokens, weight, target_tokens, planned_tokens,
             THEN (planned_tokens * 1000000) // tokens END::BIGINT AS epochs_e6,
        capped
 FROM c"""
+
+
+# ------------------------------------------------- recrawl scheduling
+# Session-22: freshness-driven recrawl prioritization — the revisit
+# half of the crawl scheduler (frontier_schedule answers WHEN within a
+# wave; this answers WHO gets a wave slot). Fixture: each url's fetch
+# history is generated from the doc-id rule (1-4 fetches, per-url
+# interval (doc_id%5+1) hours, digest version v(c) with
+# c = (7*doc_id+k) div 3 - (7*doc_id) div 3 so changes land exactly on
+# multiples of 3); the oracle replays the Cho & Garcia-Molina
+# estimator bit-for-bit under the repo-wide floor(1e6*ln) contract.
+
+_RECRAWL_NOW = 1_000_000 + 30 * 86400
+
+
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.urlnorm import recrawl_priority
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    base = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int"))
+        ).alias("k"),
+    )
+    hist = base.select(
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/p"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (
+            F.lit(1_000_000)
+            + F.col("k") * ((F.col("doc_id") % 5) + 1) * 3600
+        ).cast("long").alias("fetch_ts"),
+        F.concat(
+            F.lit("v"),
+            F.expr("(doc_id*7 + k) div 3 - (doc_id*7) div 3").cast("string"),
+        ).alias("digest"),
+    )
+    return recrawl_priority(hist, now_ts=_RECRAWL_NOW)
+
+
+_TRAINING_QUERIES["recrawl_priority"] = q_recrawl_priority
+_TRAINING_ORACLES["recrawl_priority"] = f"""WITH h AS (
+  SELECT 'http://h' || (doc_id % 7)::VARCHAR || '.com/p'
+           || doc_id::VARCHAR AS url,
+         'h' || (doc_id % 7)::VARCHAR || '.com' AS host,
+         (1000000 + k * ((doc_id % 5) + 1) * 3600)::BIGINT AS fetch_ts,
+         'v' || ((doc_id*7 + k) // 3 - (doc_id*7) // 3)::VARCHAR AS digest
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS k
+        FROM documents)
+),
+m AS (
+  SELECT url, host, fetch_ts, digest,
+         CASE WHEN lag(digest) OVER w IS NOT NULL
+                   AND digest <> lag(digest) OVER w
+              THEN 1 ELSE 0 END::BIGINT AS chg
+  FROM h WINDOW w AS (PARTITION BY url ORDER BY fetch_ts ASC, digest ASC)
+),
+a AS (
+  SELECT url, any_value(host) AS host,
+         count(*)::BIGINT AS n_fetches, sum(chg)::BIGINT AS n_changes,
+         max(fetch_ts) - min(fetch_ts) AS span_s,
+         greatest(0, {_RECRAWL_NOW} - max(fetch_ts))::BIGINT AS age_s
+  FROM m GROUP BY url
+),
+e AS (
+  SELECT *,
+         CASE WHEN n_fetches > 1 THEN
+           floor(1000000.0 * ln((2*(n_fetches-1) + 1)::DOUBLE))::BIGINT
+           - floor(1000000.0 * ln((2*(n_fetches-1-n_changes) + 1)::DOUBLE))::BIGINT
+         END AS lambda_e6
+  FROM a
+),
+r AS (
+  SELECT *,
+         CASE WHEN lambda_e6 IS NOT NULL AND span_s > 0
+              THEN (lambda_e6 * (n_fetches - 1) * 86400) // span_s
+         END AS rate_raw
+  FROM e
+)
+SELECT url, host, n_fetches, n_changes, lambda_e6,
+       coalesce(rate_raw, 500000)::BIGINT AS rate_e6_per_day,
+       age_s,
+       ((coalesce(rate_raw, 500000) * age_s) // 86400)::BIGINT AS priority,
+       rate_raw IS NULL AS cold
+FROM r"""

@@ -610,3 +610,138 @@ def detect_url_traps(
             repeated | deep | session | calendar, F.lit(False)
         ).alias("is_trap"),
     )
+
+
+# --------------------------------------------- recrawl scheduling
+
+
+def recrawl_priority(
+    history: DataFrame,
+    now_ts: int,
+    default_rate_e6: int = 500_000,
+) -> DataFrame:
+    """(url, host, n_fetches, n_changes, lambda_e6, rate_e6_per_day,
+    age_s, priority, cold) — freshness-driven recrawl prioritization
+    from a fetch history: estimate each URL's change rate from observed
+    content changes, then rank URLs by expected staleness.
+
+    This is the revisit-policy half of a crawler that
+    ``frontier_schedule`` leaves open: WHICH urls most deserve a slot
+    in the next wave. The estimator is the published Cho &
+    Garcia-Molina one (ToIT 2003, "Estimating Frequency of Change" —
+    the bias-corrected MLE for a Poisson change process sampled at n
+    intervals with X observed changes):
+
+        lambda_hat * mean_interval = -ln((n - X + 0.5)/(n + 0.5))
+                                   = ln((2n + 1)/(2(n - X) + 1))
+
+    Pinned integer contract (the repo-wide engine-boundary rule — same
+    L(x) = floor(1e6*ln(x)) the BM25 weights use, so a SQL twin replays
+    every row bit-for-bit):
+
+    * fetches of one url order by (ts ASC, digest ASC); a change is
+      ``digest != lag(digest)`` (n = n_fetches - 1 intervals,
+      X = n_changes);
+    * ``lambda_e6 = L(2n + 1) - L(2(n - X) + 1)`` — change probability
+      per MEAN INTERVAL in micro-nats; X == n (always changed)
+      degrades gracefully (denominator ln 1 = 0, no infinity);
+    * ``rate_e6_per_day = (lambda_e6 * n * 86400) div span_s`` where
+      ``span_s = last_ts - first_ts`` (mean interval = span/n);
+    * ``age_s = greatest(0, now_ts - last_ts)``;
+    * ``priority = rate_e6_per_day * age_s div 86400`` — expected
+      changes since the last fetch in micro-units; monotone in the
+      true staleness probability 1 - exp(-lambda*age), so ordering by
+      it IS ordering by staleness, without a transcendental in the
+      ranking path;
+    * a url fetched once (n = 0) has no estimate: ``lambda_e6`` is
+      NULL, ``rate_e6_per_day = default_rate_e6`` (the cold prior —
+      0.5 expected changes/day by default) and ``cold = true``.
+
+    Scale shape: ONE hash shuffle on url (the lag window), and the
+    per-url aggregate reuses that partitioning (exchange reuse — no
+    second shuffle); host extraction and every formula afterwards are
+    whole-stage-codegen projections. No corpus-sized broadcast, no
+    global sort — ranking/top-k composes downstream per host or via
+    TakeOrderedAndProject.
+
+    Reference parity: none — the reference re-syncs its whole folder
+    every poll (`/root/reference/src/DropboxSynchronizer/
+    DropboxSynchronizer.class.js:125-156`: every file, every pass);
+    rate-estimated revisit is what replaces that at web scale.
+    """
+    if default_rate_e6 < 0:
+        raise ValueError(
+            f"default_rate_e6 must be >= 0, got {default_rate_e6}"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(
+        F.col("fetch_ts").asc(), F.col("digest").asc()
+    )
+    marked = history.select(
+        "url",
+        F.col("fetch_ts").cast("long").alias("fetch_ts"),
+        "digest",
+        F.when(
+            F.lag("digest").over(w).isNotNull()
+            & (F.col("digest") != F.lag("digest").over(w)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_chg"),
+    )
+    agg = marked.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum("_chg").cast("long").alias("n_changes"),
+        F.min("fetch_ts").alias("_first_ts"),
+        F.max("fetch_ts").alias("_last_ts"),
+    )
+    n = F.col("n_fetches") - F.lit(1)
+    x = F.col("n_changes")
+    l6 = lambda c: F.floor(  # noqa: E731 — the pinned micro-ln contract
+        F.lit(1_000_000.0) * F.log(c.cast("double"))
+    ).cast("long")
+    lam = F.when(n > 0, l6(2 * n + 1) - l6(2 * (n - x) + 1))
+    span = (F.col("_last_ts") - F.col("_first_ts")).cast("long")
+    staged = agg.select(
+        "url",
+        "n_fetches",
+        "n_changes",
+        lam.alias("lambda_e6"),
+        span.alias("_span_s"),
+        F.greatest(F.lit(0), F.lit(int(now_ts)) - F.col("_last_ts"))
+        .cast("long")
+        .alias("age_s"),
+    )
+    # span_s == 0 with n > 0 means duplicate-timestamp fetches — a
+    # degenerate history; the NULL from div-by-zero falls through to
+    # the cold prior rather than inventing an infinite rate.
+    rate = F.when(
+        F.col("lambda_e6").isNotNull() & (F.col("_span_s") > 0),
+        F.expr("(lambda_e6 * (n_fetches - 1) * 86400) div _span_s"),
+    )
+    out = staged.select(
+        "url",
+        "n_fetches",
+        "n_changes",
+        "lambda_e6",
+        F.coalesce(rate, F.lit(int(default_rate_e6)))
+        .cast("long")
+        .alias("rate_e6_per_day"),
+        "age_s",
+        rate.isNull().alias("cold"),
+    )
+    return out.select(
+        "url",
+        host_col(F.col("url")).alias("host"),
+        "n_fetches",
+        "n_changes",
+        "lambda_e6",
+        "rate_e6_per_day",
+        "age_s",
+        F.expr("(rate_e6_per_day * age_s) div 86400")
+        .cast("long")
+        .alias("priority"),
+        "cold",
+    )

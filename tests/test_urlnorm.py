@@ -406,3 +406,76 @@ def test_detect_url_traps_rejects_bad_threshold(spark):
 
     with _pytest.raises(ValueError):
         detect_url_traps(df, repeat_threshold=1)
+
+
+def test_recrawl_priority_estimator(spark):
+    """Hand-computed Cho & Garcia-Molina micro-nat estimates: a url
+    with 4 fetches / 2 changes, an always-changing url, a cold url,
+    and a degenerate duplicate-timestamp history."""
+    import math
+
+    from ocr_search_spark.operators.urlnorm import recrawl_priority
+
+    rows = [
+        # u1: 4 fetches hourly, digest changes at fetch 2 and 4 (X=2,n=3)
+        ("http://a.com/u1", 1000, "v0"),
+        ("http://a.com/u1", 4600, "v1"),
+        ("http://a.com/u1", 8200, "v1"),
+        ("http://a.com/u1", 11800, "v2"),
+        # u2: every interval changes (X=n=2) — ln denominator hits 1
+        ("http://a.com/u2", 1000, "a"),
+        ("http://a.com/u2", 2000, "b"),
+        ("http://a.com/u2", 3000, "c"),
+        # u3: single fetch -> cold prior
+        ("http://a.com/u3", 5000, "z"),
+        # u4: two fetches with the SAME timestamp -> span 0 -> cold
+        ("http://b.com/u4", 7000, "p"),
+        ("http://b.com/u4", 7000, "q"),
+    ]
+    hist = spark.createDataFrame(rows, "url string, fetch_ts long, digest string")
+    now = 100_000
+    out = {r["url"]: r for r in recrawl_priority(hist, now_ts=now).collect()}
+
+    def l6(x):
+        return math.floor(1_000_000.0 * math.log(x))
+
+    u1 = out["http://a.com/u1"]
+    lam1 = l6(2 * 3 + 1) - l6(2 * (3 - 2) + 1)  # ln(7) - ln(3), micro
+    assert (u1["n_fetches"], u1["n_changes"], u1["lambda_e6"]) == (4, 2, lam1)
+    rate1 = (lam1 * 3 * 86400) // (11800 - 1000)
+    assert u1["rate_e6_per_day"] == rate1
+    assert u1["age_s"] == now - 11800
+    assert u1["priority"] == rate1 * (now - 11800) // 86400
+    assert u1["cold"] is False and u1["host"] == "a.com"
+
+    u2 = out["http://a.com/u2"]
+    assert u2["lambda_e6"] == l6(5) - l6(1)  # denominator ln(1) = 0
+    assert u2["n_changes"] == 2 and not u2["cold"]
+
+    u3 = out["http://a.com/u3"]
+    assert u3["lambda_e6"] is None and u3["cold"] is True
+    assert u3["rate_e6_per_day"] == 500_000
+    assert u3["priority"] == 500_000 * (now - 5000) // 86400
+
+    # duplicate timestamps: lambda defined (digest-ASC order pins the
+    # lag) but span 0 -> rate falls back to the cold prior
+    u4 = out["http://b.com/u4"]
+    assert u4["cold"] is True and u4["rate_e6_per_day"] == 500_000
+
+    with pytest.raises(ValueError):
+        recrawl_priority(hist, now_ts=now, default_rate_e6=-1)
+
+
+def test_recrawl_priority_single_shuffle(spark):
+    """The lag window and the per-url aggregate share one url-keyed
+    exchange; everything else is projection."""
+    from ocr_search_spark.operators.urlnorm import recrawl_priority
+
+    rows = [(f"http://h{i%3}.com/p{i}", 100 + j * 60, f"v{(i + j) % 2}")
+            for i in range(30) for j in range(3)]
+    hist = spark.createDataFrame(rows, "url string, fetch_ts long, digest string")
+    plan = (
+        recrawl_priority(hist, now_ts=10_000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
