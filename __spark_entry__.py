@@ -13356,3 +13356,89 @@ SELECT url, host, n_fetches, n_changes, lambda_e6,
        ((coalesce(rate_raw, 500000) * age_s) // 86400)::BIGINT AS priority,
        rate_raw IS NULL AS cold
 FROM r"""
+
+
+# ------------------------------------------------- domain templates
+# Session-22: per-domain boilerplate template detection (CC-Net-style
+# site furniture). Fixture: the punctuated sentence corpus, 6 domains,
+# a cookie-banner sentence on 60% of each domain's docs (must report),
+# a promo sentence on 10% (must NOT - under the 50% share gate), and a
+# 2-word closer on 80% (must NOT - min_words exempt). The oracle
+# replays the pinned splitter + normalization + df/share arithmetic.
+
+
+def _domain_template_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _sentence_fixture(spark, sf_dir)
+    dom = (F.col("doc_id") % 6).cast("string")
+    boiler = F.when(
+        F.col("doc_id") % 5 < 3,
+        F.concat(
+            F.lit(" Cookie policy applies to domain d"), dom, F.lit(" visitors."),
+        ),
+    ).otherwise(F.lit(""))
+    rare = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.lit(" Rare promo banner for d"), dom, F.lit(" today only."),
+        ),
+    ).otherwise(F.lit(""))
+    shorty = F.when(F.col("doc_id") % 5 < 4, F.lit(" Hi there.")).otherwise(
+        F.lit("")
+    )
+    return d.select(
+        "doc_id",
+        F.concat(F.lit("d"), dom).alias("domain"),
+        F.concat(F.col("text"), boiler, rare, shorty).alias("text"),
+    )
+
+
+def q_domain_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.dedup import domain_template_sentences
+
+    return domain_template_sentences(
+        _domain_template_docs(spark, sf_dir),
+        min_share_e6=500_000,
+        min_docs=3,
+    )
+
+
+def _domain_templates_oracle() -> str:
+    sents = _splitter_sql("t")
+    corpus = f"""SELECT doc_id, 'd' || (doc_id % 6)::VARCHAR AS domain,
+       'Dr. Ada said: ' || regexp_replace(text, '{_SENT_FIX_RE}', '\\1. ', 'g')
+       || ' The end!'
+       || CASE WHEN doc_id % 5 < 3
+               THEN ' Cookie policy applies to domain d'
+                    || (doc_id % 6)::VARCHAR || ' visitors.' ELSE '' END
+       || CASE WHEN doc_id % 10 = 0
+               THEN ' Rare promo banner for d'
+                    || (doc_id % 6)::VARCHAR || ' today only.' ELSE '' END
+       || CASE WHEN doc_id % 5 < 4 THEN ' Hi there.' ELSE '' END AS t
+FROM documents"""
+    nw = (
+        "len(list_filter(string_split_regex(sentence, '\\s+'),"
+        " w -> w <> ''))"
+    )
+    return f"""WITH corpus AS ({corpus}),
+s AS (SELECT doc_id, domain, unnest({sents}) AS sent FROM corpus),
+o AS (
+  SELECT DISTINCT domain, doc_id, sentence FROM (
+    SELECT domain, doc_id, lower(trim(sent)) AS sentence FROM s
+  ) WHERE {nw} >= 3
+),
+dfc AS (
+  SELECT domain, sentence, count(*)::BIGINT AS df_docs
+  FROM o GROUP BY domain, sentence
+),
+dc AS (
+  SELECT domain, count(DISTINCT doc_id)::BIGINT AS domain_docs
+  FROM corpus GROUP BY domain HAVING count(DISTINCT doc_id) >= 3
+)
+SELECT f.domain, f.sentence, f.df_docs, dc.domain_docs,
+       ((f.df_docs * 1000000) // dc.domain_docs)::BIGINT AS share_e6
+FROM dfc f JOIN dc USING (domain)
+WHERE (f.df_docs * 1000000) // dc.domain_docs >= 500000"""
+
+
+_TRAINING_QUERIES["domain_templates"] = q_domain_templates
+_TRAINING_ORACLES["domain_templates"] = _domain_templates_oracle()

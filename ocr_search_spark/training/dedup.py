@@ -1137,3 +1137,148 @@ def sorted_neighborhood_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# ------------------------------------------------- per-domain templates
+
+
+def domain_template_sentences(
+    docs: DataFrame,
+    min_share_e6: int = 500_000,
+    min_docs: int = 3,
+    min_words: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """(domain, sentence, df_docs, domain_docs, share_e6) — per-domain
+    boilerplate TEMPLATE detection: the normalized sentences that
+    appear in at least ``min_share_e6``/1e6 of a domain's documents
+    (domains with fewer than ``min_docs`` docs never report — one page
+    repeated twice is not a template signal).
+
+    This is the site-template primitive behind CC-Net-style curation:
+    nav bars, cookie banners and footer legalese repeat across one
+    SITE, not across the whole web, so global sentence dedup
+    (dedup_sentences — which keeps the canonical FIRST occurrence and
+    therefore keeps one copy of the boilerplate) cannot express "this
+    sentence is furniture on this domain, remove every copy". Pinned
+    rules, shared with dedup_sentences so the two compose:
+
+    * normalized sentence = lower(trim(s)) over the pinned
+      sentence_split_col units;
+    * sentences under ``min_words`` words are exempt ("Yes." half a
+      domain is not furniture);
+    * df_docs counts DISTINCT documents containing the sentence (a doc
+      repeating its own footer 10x counts once);
+    * ``share_e6 = df_docs * 1e6 div domain_docs`` (exact BIGINT).
+
+    Scale shape: explode is shuffle-free; the distinct and the
+    (domain, sentence) count are hash aggregates keyed by the sentence
+    (linear in occurrences — no pair join, so a footer on 10^9 pages
+    costs 10^9 agg rows, never 10^18 pairs); domain doc-counts is one
+    tiny agg; the final join is domain-keyed on rows already reduced
+    to candidate sentences. An AQE skew split handles the
+    mega-domain/mega-sentence key.
+
+    Reference parity: none (the reference OCRs curated folders, not
+    crawled sites); this extends the curation tier next to
+    dedup_sentences (training/dedup.py) the way the north rule's
+    "DOM/boilerplate heuristic stripping" demands at corpus grain.
+    """
+    if not (0 < min_share_e6 <= 1_000_000):
+        raise ValueError(f"min_share_e6 must be in (0, 1e6], got {min_share_e6}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    from .textstats import sentence_split_col
+
+    norm = F.lower(F.trim(F.col("_sent")))
+    nw = F.size(
+        F.filter(F.split(F.col("sentence"), r"\s+"), lambda w: w != "")
+    )
+    occ = (
+        docs.select(
+            F.col(domain_col).alias("domain"),
+            F.col(id_col).alias("id"),
+            F.explode(sentence_split_col(F.col(text_col))).alias("_sent"),
+        )
+        .select("domain", "id", norm.alias("sentence"))
+        .where(nw >= F.lit(int(min_words)))
+        .distinct()
+    )
+    df_counts = occ.groupBy("domain", "sentence").agg(
+        F.count("*").cast("long").alias("df_docs")
+    )
+    dom_counts = (
+        docs.select(F.col(domain_col).alias("domain"), F.col(id_col).alias("id"))
+        .distinct()
+        .groupBy("domain")
+        .agg(F.count("*").cast("long").alias("domain_docs"))
+        .where(F.col("domain_docs") >= F.lit(int(min_docs)))
+    )
+    joined = df_counts.join(dom_counts, "domain")
+    return joined.select(
+        "domain",
+        "sentence",
+        "df_docs",
+        "domain_docs",
+        F.expr("(df_docs * 1000000) div domain_docs")
+        .cast("long")
+        .alias("share_e6"),
+    ).where(F.col("share_e6") >= F.lit(int(min_share_e6)))
+
+
+def strip_domain_templates(
+    docs: DataFrame,
+    templates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """(id, text, n_dropped) — rewrite the corpus with every
+    occurrence of a (domain, sentence) template removed; non-template
+    sentences reassemble in original order (the dedup_sentences
+    reassembly contract, including keep-empty-docs). ``templates`` is
+    domain_template_sentences' output (only (domain, sentence) is
+    read). One sentence-keyed left_anti join against the template
+    table + one doc-keyed reassembly agg."""
+    from pyspark.sql import Window as W  # noqa: F401 — parity with sibling
+
+    from .textstats import sentences as _sentences
+
+    s = _sentences(docs, text_col=text_col, id_col=id_col).join(
+        docs.select(
+            F.col(id_col).alias("id"), F.col(domain_col).alias("domain")
+        ),
+        "id",
+    )
+    s = s.withColumn("_norm", F.lower(F.trim(F.col("sentence"))))
+    tpl = templates.select(
+        "domain", F.col("sentence").alias("_norm")
+    ).distinct()
+    kept = s.join(tpl, ["domain", "_norm"], "left_anti")
+    dropped = s.join(tpl, ["domain", "_norm"], "left_semi")
+    agg = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sent_idx", "sentence"))),
+                lambda x: x["sentence"],
+            ),
+            " ",
+        ).alias(text_col)
+    )
+    drops = dropped.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_dropped")
+    )
+    ids = docs.select(F.col(id_col).alias("id")).distinct()
+    return (
+        ids.join(agg, "id", "left")
+        .join(drops, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_dropped"), F.lit(0).cast("long")).alias(
+                "n_dropped"
+            ),
+        )
+    )

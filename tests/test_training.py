@@ -1716,3 +1716,48 @@ def test_mixture_token_plan(spark):
     with _pt.raises(ValueError):
         packing.mixture_token_plan(st, weights=[("a", 1)], budget=10,
                                    max_epochs_e6=0)
+
+
+def test_domain_template_sentences(spark):
+    """Per-domain furniture: 2/3 share reports, 1/3 doesn't, short
+    sentences are exempt, tiny domains never report, and a doc
+    repeating its own footer counts once."""
+    from ocr_search_spark.training import dedup
+
+    mk = lambda i, d, t: (i, d, t)  # noqa: E731
+    rows = [
+        # domain A: 3 docs; footer on 2 (one doc repeats it twice)
+        mk(1, "a.com", "Unique alpha words here. Visit our great shop today. Visit our great shop today."),
+        mk(2, "a.com", "Different beta content. Visit our great shop today. Ok."),
+        mk(3, "a.com", "Gamma text only, no footer at all."),
+        # domain B: 2 docs (< min_docs=3) with a 100% shared sentence
+        mk(4, "b.com", "Shared banner sentence appears here."),
+        mk(5, "b.com", "Shared banner sentence appears here."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+    out = dedup.domain_template_sentences(
+        docs, min_share_e6=600_000, min_docs=3
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["domain"], r["sentence"]) == ("a.com", "visit our great shop today.")
+    assert (r["df_docs"], r["domain_docs"]) == (2, 3)  # doc 1 counts ONCE
+    assert r["share_e6"] == 2_000_000 // 3
+
+    # strip: every copy of the template goes, incl. doc 1's repeat;
+    # domain B is untouched; doc 3 is untouched
+    tpl = dedup.domain_template_sentences(docs, min_share_e6=600_000, min_docs=3)
+    stripped = {
+        r["id"]: r for r in dedup.strip_domain_templates(docs, tpl).collect()
+    }
+    assert stripped[1]["text"] == "Unique alpha words here."
+    assert stripped[1]["n_dropped"] == 2
+    assert stripped[2]["text"] == "Different beta content. Ok."
+    assert stripped[3]["n_dropped"] == 0
+    assert stripped[4]["text"] == "Shared banner sentence appears here."
+    assert len(stripped) == 5
+
+    with pytest.raises(ValueError):
+        dedup.domain_template_sentences(docs, min_share_e6=0)
+    with pytest.raises(ValueError):
+        dedup.domain_template_sentences(docs, min_docs=0)
