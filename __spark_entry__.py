@@ -13442,3 +13442,89 @@ WHERE (f.df_docs * 1000000) // dc.domain_docs >= 500000"""
 
 _TRAINING_QUERIES["domain_templates"] = q_domain_templates
 _TRAINING_ORACLES["domain_templates"] = _domain_templates_oracle()
+
+
+# ------------------------------------------------- k-core peeling
+# Session-22: k-core decomposition — the link-farm density signal next
+# to trustrank (distance prior) and triangle_count (local clustering).
+# Fixture from doc-id residues r = doc_id % 97: a 10-node core ring
+# with +-1..3 chords (degree 6 inside the core), a 10-node tier
+# (degree 3: two core links + one leaf), 10 leaves (degree 1), and
+# residues >= 30 isolated. k=3 peels leaves in round 1 (tier drops to
+# degree 2), the tier in round 2, and fixpoints in round 3 -- the
+# oracle unrolls exactly that simultaneous-deletion schedule.
+
+
+def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select((F.col("doc_id") % 97).alias("r"))
+        .distinct()
+    )
+    core = r.where(F.col("r") <= 9)
+    tier = r.where((F.col("r") >= 10) & (F.col("r") <= 19))
+    parts = [
+        core.select("r", ((F.col("r") + d) % 10).alias("s")) for d in (1, 2, 3)
+    ] + [
+        tier.select("r", (F.col("r") - 10).alias("s")),
+        tier.select("r", ((F.col("r") - 9) % 10).alias("s")),
+        tier.select("r", (F.col("r") + 10).alias("s")),
+    ]
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    return e.select(
+        F.least("r", "s").cast("long").alias("a"),
+        F.greatest("r", "s").cast("long").alias("b"),
+    ).distinct()
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.graph import kcore
+
+    return kcore(_kcore_edges(spark, sf_dir), k=3, max_iter=10)
+
+
+def _kcore_oracle() -> str:
+    build = """WITH rs AS (SELECT DISTINCT doc_id % 97 AS r FROM documents),
+raw AS (
+  SELECT r, (r + d) % 10 AS s FROM rs, (VALUES (1), (2), (3)) AS v(d)
+  WHERE r <= 9
+  UNION ALL
+  SELECT r, r - 10 FROM rs WHERE r BETWEEN 10 AND 19
+  UNION ALL
+  SELECT r, (r - 9) % 10 FROM rs WHERE r BETWEEN 10 AND 19
+  UNION ALL
+  SELECT r, r + 10 FROM rs WHERE r BETWEEN 10 AND 19
+),
+e0 AS (
+  SELECT DISTINCT least(r, s)::BIGINT AS a, greatest(r, s)::BIGINT AS b
+  FROM raw
+)"""
+    peel = ""
+    prev = "e0"
+    for i in range(1, 5):
+        peel += f""",
+d{i} AS (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT a AS node FROM {prev} UNION ALL SELECT b AS node FROM {prev}
+  ) GROUP BY node
+),
+k{i} AS (SELECT node FROM d{i} WHERE deg >= 3),
+e{i} AS (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN k{i} x ON x.node = e.a JOIN k{i} y ON y.node = e.b
+)"""
+        prev = f"e{i}"
+    return (
+        build
+        + peel
+        + f"""
+SELECT node, count(*)::BIGINT AS core_degree FROM (
+  SELECT a AS node FROM {prev} UNION ALL SELECT b AS node FROM {prev}
+) GROUP BY node"""
+    )
+
+
+_TRAINING_QUERIES["kcore_spam"] = q_kcore
+_TRAINING_ORACLES["kcore_spam"] = _kcore_oracle()

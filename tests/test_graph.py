@@ -331,3 +331,91 @@ def test_trustrank_validation(spark):
     empty = spark.createDataFrame([], "node long")
     with pytest.raises(ValueError):
         trustrank_integer(e, empty)
+
+
+# ----------------------------------------------------------- k-core
+
+
+def _kcore_py(edges, k):
+    """Simultaneous-deletion peeling oracle in plain Python."""
+    cur = {tuple(sorted(e)) for e in edges}
+    while True:
+        deg = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in cur if a in keep and b in keep}
+        if nxt == cur:
+            return deg
+        cur = nxt
+        if not cur:
+            return {}
+
+
+def test_kcore_clique_plus_pendants(spark):
+    """K5 with a pendant chain: the chain peels away, the clique is the
+    3-core with every survivor at degree 4."""
+    from ocr_search_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    e = spark.createDataFrame(clique + chain, "a long, b long")
+    out = {r["node"]: r["core_degree"] for r in kcore(e, k=3).collect()}
+    assert out == {v: 4 for v in range(5)}
+
+
+def test_kcore_vs_bruteforce_random(spark):
+    from ocr_search_spark.operators.graph import kcore
+
+    rng = random.Random(31)
+    edges = set()
+    while len(edges) < 60:
+        a, b = rng.randrange(25), rng.randrange(25)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    e = spark.createDataFrame(sorted(edges), "a long, b long")
+    for k in (2, 3, 4):
+        got = {r["node"]: r["core_degree"] for r in kcore(e, k=k).collect()}
+        assert got == _kcore_py(edges, k)
+
+
+def test_kcore_empty_core_schema(spark):
+    """A path graph has no 2-core; the result is empty but keeps the
+    (node, core_degree) contract schema."""
+    from ocr_search_spark.operators.graph import kcore
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "a long, b long")
+    out = kcore(e, k=2)
+    assert out.columns == ["node", "core_degree"]
+    assert out.count() == 0
+
+
+def test_kcore_parallelism_invariant(spark):
+    from ocr_search_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    e = spark.createDataFrame(clique + [(5, 6), (6, 7)], "a long, b long")
+    a = sorted(map(tuple, kcore(e, k=3).collect()))
+    b = sorted(map(tuple, kcore(e.repartition(7), k=3).collect()))
+    assert a == b
+
+
+def test_kcore_validation(spark):
+    from ocr_search_spark.operators.graph import kcore
+
+    e = spark.createDataFrame([(0, 1)], "a long, b long")
+    with pytest.raises(ValueError):
+        kcore(e, k=0)
+    with pytest.raises(ValueError):
+        kcore(e, k=2, max_iter=0)
+    with pytest.raises(RuntimeError):
+        # a 12-chain peels one endpoint pair per round at k=2... actually
+        # a path has empty 2-core immediately; use max_iter=1 on a graph
+        # needing 2 rounds: K4 plus pendant chain of 2 at k=3
+        clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        kcore(
+            spark.createDataFrame(clique + [(3, 4), (4, 5)], "a long, b long"),
+            k=3,
+            max_iter=1,
+        )
