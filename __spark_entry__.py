@@ -13528,3 +13528,97 @@ SELECT node, count(*)::BIGINT AS core_degree FROM (
 
 _TRAINING_QUERIES["kcore_spam"] = q_kcore
 _TRAINING_ORACLES["kcore_spam"] = _kcore_oracle()
+
+
+# ------------------------------------------------- DUST param mining
+# Session-23: insignificant-URL-parameter mining (Bar-Yossef WWW'07).
+# Mixed-radix fixture: doc_id decomposes into independent digits
+# host(2) / item(5) / page(3) / sess(4), so any two ids that differ in
+# exactly one digit exist densely — every param gets tested bases. The
+# fingerprint depends on (host, item, page) only: sess must come back
+# insignificant, item/page significant with share 0, and the constant
+# v=1 untested (NULL share). The oracle rebuilds the parts from the
+# SAME digit rule, then replays the param-grain aggregation in SQL —
+# the URL-parsing half is stated from the generation rule (the
+# url_canonical precedent), the aggregation half is replayed.
+
+
+def q_dust_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.urlnorm import dust_params
+
+    d = F.col("doc_id")
+    host = F.concat(F.lit("shop"), (d % 2).cast("string"), F.lit(".example.com"))
+    item = (d.cast("long") / 2).cast("long") % 5
+    page = (d.cast("long") / 10).cast("long") % 3
+    sess = (d.cast("long") / 30).cast("long") % 4
+    pages = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.concat(
+                F.lit("https://"),
+                host,
+                F.lit("/p?item="),
+                item.cast("string"),
+                F.lit("&page="),
+                page.cast("string"),
+                F.lit("&sess="),
+                sess.cast("string"),
+                F.lit("&v=1"),
+            ).alias("url"),
+            F.concat(
+                F.lit("fp-"),
+                host,
+                F.lit("-"),
+                item.cast("string"),
+                F.lit("-"),
+                page.cast("string"),
+            ).alias("content_fp"),
+        )
+    )
+    return dust_params(pages).orderBy("host", "param")
+
+
+_DUST_ORACLE = """WITH base AS (
+  SELECT
+    'shop' || (doc_id % 2) || '.example.com' AS host,
+    '/p' AS path,
+    ['item=' || ((doc_id // 2) % 5), 'page=' || ((doc_id // 10) % 3),
+     'sess=' || ((doc_id // 30) % 4), 'v=1'] AS ps,
+    'fp-' || 'shop' || (doc_id % 2) || '.example.com' || '-'
+          || ((doc_id // 2) % 5) || '-' || ((doc_id // 10) % 3) AS fp
+  FROM documents
+),
+k AS (
+  SELECT host, path, ps, fp,
+         unnest(list_distinct(list_transform(ps, x -> split_part(x, '=', 1)))) AS param
+  FROM base
+),
+kb AS (
+  SELECT host, param,
+         host || path || CASE
+           WHEN len(list_filter(ps, x -> NOT starts_with(x, param || '='))) = 0 THEN ''
+           ELSE '?' || array_to_string(list_filter(ps, x -> NOT starts_with(x, param || '=')), '&')
+         END AS b,
+         array_to_string(list_filter(ps, x -> starts_with(x, param || '=')), '&') AS val,
+         fp
+  FROM k
+),
+g1 AS (
+  SELECT host, param, b,
+         count(DISTINCT val) AS n_values, count(DISTINCT fp) AS n_fps
+  FROM kb GROUP BY 1, 2, 3
+),
+g2 AS (
+  SELECT host, param,
+         sum(CASE WHEN n_values >= 2 THEN 1 ELSE 0 END)::BIGINT AS bases_tested,
+         sum(CASE WHEN n_values >= 2 AND n_fps = 1 THEN 1 ELSE 0 END)::BIGINT AS bases_uniform
+  FROM g1 GROUP BY 1, 2
+)
+SELECT host, param, bases_tested, bases_uniform,
+       (CASE WHEN bases_tested > 0 THEN bases_uniform * 1000000 // bases_tested END)::BIGINT AS share_e6,
+       (bases_tested >= 2 AND bases_uniform = bases_tested) AS insignificant
+FROM g2
+ORDER BY host, param"""
+
+_TRAINING_QUERIES["dust_params"] = q_dust_params
+_TRAINING_ORACLES["dust_params"] = _DUST_ORACLE

@@ -745,3 +745,127 @@ def recrawl_priority(
         .alias("priority"),
         "cold",
     )
+
+
+# ------------------------------------- DUST: insignificant URL params
+
+
+def dust_params(
+    pages: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "content_fp",
+    min_values: int = 2,
+    min_bases: int = 2,
+) -> DataFrame:
+    """(host, param, bases_tested, bases_uniform, share_e6,
+    insignificant) — mine the query parameters that DON'T change page
+    content, per host: the "Do not crawl in the DUST" signal
+    (Bar-Yossef, Keidar & Schonfeld, WWW'07 — Different URLs with
+    Similar Text), restricted to the query-parameter rule family,
+    which covers the overwhelmingly common aliases (session ids,
+    tracking tags, affiliate refs).
+
+    Input: one row per FETCHED page — ``url_col`` (feed CANONICAL urls,
+    :func:`canonicalize_urls` output: sorted ``k=v`` query tokens) and
+    ``fp_col``, a content fingerprint (any deterministic hash of the
+    extracted content). Evidence grain:
+
+    * for each URL and each distinct parameter key ``k`` it carries,
+      the BASE is the url with every ``k=…`` token removed (other
+      params kept in canonical order) and the VALUE is the joined
+      ``k=…`` token group;
+    * a (host, k, base) group is TESTED when ≥ ``min_values`` distinct
+      values were observed against the same base, and UNIFORM when,
+      additionally, all its rows carry ONE distinct fingerprint —
+      varying ``k`` provably never changed the content;
+    * per (host, k): ``insignificant`` iff at least ``min_bases``
+      bases were tested and EVERY tested base was uniform (one
+      counterexample kills the rule — content-determining params must
+      never be stripped). ``share_e6 = bases_uniform * 1e6 div
+      bases_tested`` (NULL when nothing was tested) reports the
+      evidence strength either way.
+
+    A crawler folds the verdicts back into canonicalization (strip
+    insignificant params before frontier dedup), collapsing the
+    unbounded alias space that session/tracking params mint —
+    detect_url_traps flags the URL SHAPE; this learns host-specific
+    rules from observed content.
+
+    Scale shape: one explode bounded by per-URL param count, then two
+    hash aggregates keyed (host, param, base) → (host, param) — both
+    finer than host grain, so no host-level skew concentrates; no
+    self-join, no pair blowup (the classic DUST rule-mining is
+    pairwise over urls; the param-grain restriction is what makes it
+    one aggregation pass). Keys are matched by ``k=`` PREFIX on the
+    canonical token, exact under the canonical-url contract.
+    """
+    if min_values < 2:
+        raise ValueError(f"min_values must be >= 2, got {min_values}")
+    if min_bases < 1:
+        raise ValueError(f"min_bases must be >= 1, got {min_bases}")
+    u = F.col(url_col)
+    parts = url_parts(u)
+    ps = F.split(parts["query"], "&")
+    rows = (
+        pages.where(parts["query"] != "")
+        .select(
+            host_col(u).alias("host"),
+            parts["path"].alias("_path"),
+            ps.alias("_ps"),
+            F.col(fp_col).alias("_fp"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.col("_ps"),
+                        lambda x: F.element_at(F.split(x, "=", 2), 1),
+                    )
+                )
+            ).alias("param"),
+        )
+    )
+    others = F.filter(
+        F.col("_ps"), lambda x: ~x.startswith(F.concat(F.col("param"), F.lit("=")))
+    )
+    mine = F.filter(
+        F.col("_ps"), lambda x: x.startswith(F.concat(F.col("param"), F.lit("=")))
+    )
+    keyed = rows.select(
+        "host",
+        "param",
+        F.concat(
+            F.col("host"),
+            F.col("_path"),
+            F.when(F.size(others) > 0, F.concat(F.lit("?"), F.array_join(others, "&"))).otherwise(F.lit("")),
+        ).alias("base"),
+        F.array_join(mine, "&").alias("val"),
+        F.col("_fp").alias("fp"),
+    )
+    g1 = keyed.groupBy("host", "param", "base").agg(
+        F.countDistinct("val").alias("n_values"),
+        F.countDistinct("fp").alias("n_fps"),
+    )
+    tested = (F.col("n_values") >= min_values).cast("long")
+    uniform = ((F.col("n_values") >= min_values) & (F.col("n_fps") == 1)).cast(
+        "long"
+    )
+    g2 = g1.groupBy("host", "param").agg(
+        F.sum(tested).alias("bases_tested"),
+        F.sum(uniform).alias("bases_uniform"),
+    )
+    return g2.select(
+        "host",
+        "param",
+        "bases_tested",
+        "bases_uniform",
+        F.when(
+            F.col("bases_tested") > 0,
+            F.expr("bases_uniform * 1000000 div bases_tested"),
+        ).alias("share_e6"),
+        (
+            (F.col("bases_tested") >= min_bases)
+            & (F.col("bases_uniform") == F.col("bases_tested"))
+        ).alias("insignificant"),
+    )

@@ -479,3 +479,79 @@ def test_recrawl_priority_single_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1
+
+
+# ------------------------------------------------------------ DUST
+
+
+def test_dust_params_verdicts(spark):
+    """s varies with content fixed -> insignificant; id determines
+    content -> significant with share 0; t has one observed value ->
+    untested (NULL share, False); v appears once per base -> untested."""
+    from ocr_search_spark.operators.urlnorm import dust_params
+
+    rows = []
+    for i in (1, 2):
+        for s in (1, 2, 3):
+            rows.append(
+                (f"http://a.com/x?id={i}&s={s}&t=9", f"fp{i}")
+            )
+    pages = spark.createDataFrame(rows, "url string, content_fp string")
+    out = {
+        (r["host"], r["param"]): r
+        for r in dust_params(pages).collect()
+    }
+    s = out[("a.com", "s")]
+    assert (s["bases_tested"], s["bases_uniform"], s["share_e6"], s["insignificant"]) == (2, 2, 1_000_000, True)
+    i = out[("a.com", "id")]
+    assert i["bases_tested"] == 3 and i["bases_uniform"] == 0
+    assert i["share_e6"] == 0 and not i["insignificant"]
+    t = out[("a.com", "t")]
+    assert t["bases_tested"] == 0 and t["share_e6"] is None and not t["insignificant"]
+
+
+def test_dust_params_counterexample_kills_rule(spark):
+    """One tested base where varying the param changed content makes
+    the param significant even if other bases were uniform."""
+    from ocr_search_spark.operators.urlnorm import dust_params
+
+    rows = [
+        ("http://b.com/p?q=1&u=1", "A"),
+        ("http://b.com/p?q=1&u=2", "A"),   # base q=1: uniform
+        ("http://b.com/p?q=2&u=1", "B"),
+        ("http://b.com/p?q=2&u=2", "C"),   # base q=2: u CHANGED content
+    ]
+    pages = spark.createDataFrame(rows, "url string, content_fp string")
+    u = {r["param"]: r for r in dust_params(pages).collect()}["u"]
+    assert u["bases_tested"] == 2 and u["bases_uniform"] == 1
+    assert u["share_e6"] == 500_000 and not u["insignificant"]
+
+
+def test_dust_params_last_param_and_prefix_keys(spark):
+    """Removing the only param leaves a ?-less base; 'id' and 'i' are
+    distinct keys (prefix match is on the full 'k=' token)."""
+    from ocr_search_spark.operators.urlnorm import dust_params
+
+    rows = [
+        ("http://c.com/y?s=1", "Z"),
+        ("http://c.com/y?s=2", "Z"),
+        ("http://c.com/y?i=1&id=7", "W"),
+        ("http://c.com/y?i=2&id=7", "W"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, content_fp string")
+    out = {r["param"]: r for r in dust_params(pages, min_bases=1).collect()}
+    assert out["s"]["insignificant"]          # base is c.com/y (no '?')
+    assert out["i"]["bases_tested"] == 1 and out["i"]["insignificant"]
+    assert out["id"]["bases_tested"] == 0     # only one id value seen
+
+
+def test_dust_params_validation(spark):
+    import pytest as _pytest
+
+    from ocr_search_spark.operators.urlnorm import dust_params
+
+    pages = spark.createDataFrame([("http://a.com/?x=1", "f")], "url string, content_fp string")
+    with _pytest.raises(ValueError):
+        dust_params(pages, min_values=1)
+    with _pytest.raises(ValueError):
+        dust_params(pages, min_bases=0)
