@@ -13622,3 +13622,112 @@ ORDER BY host, param"""
 
 _TRAINING_QUERIES["dust_params"] = q_dust_params
 _TRAINING_ORACLES["dust_params"] = _DUST_ORACLE
+
+
+# ------------------------------------------------- BM25F fielded search
+# Session-23: field-weighted BM25F (Robertson CIKM'04) over a fielded
+# corpus derived from documents: title = first 5 whitespace tokens,
+# body = all tokens (simple lower+split tokenization — this entry pins
+# the RANKING math; the full extraction-chain tokenizer is already
+# gated by the postings/search family). The oracle replays the exact
+# pivoted float fold: per-field CASE columns added left-to-right in
+# fields order, every literal emitted as the repr of the
+# python-computed double so both engines parse the identical IEEE
+# value.
+
+_BM25F_FIELDS = [("title", 2.5, 0.6), ("body", 1.0, 0.75)]
+_BM25F_TERMS = ["merge", "window", "scan"]
+
+
+def _bm25f_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    base = docs.select("doc_id", toks.alias("_l"))
+    title = base.select(
+        "doc_id",
+        F.lit("title").alias("field"),
+        F.explode(F.slice("_l", 1, 5)).alias("term"),
+    )
+    body = base.select(
+        "doc_id", F.lit("body").alias("field"), F.explode("_l").alias("term")
+    )
+    return (
+        title.unionByName(body)
+        .groupBy("doc_id", "field", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def q_search_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.search import match_terms_bm25f
+
+    return match_terms_bm25f(
+        _bm25f_corpus(spark, sf_dir), _BM25F_TERMS, _BM25F_FIELDS, max_return=20
+    )
+
+
+def _bm25f_oracle() -> str:
+    terms_in = ", ".join(f"'{t}'" for t in _BM25F_TERMS)
+    folds = []
+    for i, (f, w, b) in enumerate(_BM25F_FIELDS):
+        folds.append(
+            f"(CASE WHEN tf{i} IS NULL THEN 0.0 ELSE "
+            f"{float(w)!r} * tf{i}::DOUBLE / "
+            f"({1.0 - float(b)!r} + {float(b)!r} * len{i}::DOUBLE / avg{i}) END)"
+        )
+    tft = " + ".join(folds)
+    return f"""WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS l
+  FROM documents
+),
+fp AS (
+  SELECT doc_id, field, term, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, 'title' AS field, unnest(l[1:5]) AS term FROM base
+    UNION ALL
+    SELECT doc_id, 'body', unnest(l) FROM base
+  ) GROUP BY 1, 2, 3
+),
+flen AS (
+  SELECT doc_id,
+         sum(CASE WHEN field = 'title' THEN tf END)::BIGINT AS len0,
+         sum(CASE WHEN field = 'body' THEN tf END)::BIGINT AS len1
+  FROM fp GROUP BY doc_id
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(len0)::DOUBLE / count(len0)::DOUBLE AS avg0,
+         sum(len1)::DOUBLE / count(len1)::DOUBLE AS avg1
+  FROM flen
+),
+matched AS (SELECT * FROM fp WHERE term IN ({terms_in})),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM matched GROUP BY term),
+widf AS (
+  SELECT term, ln((n::DOUBLE - df + 0.5) / (df::DOUBLE + 0.5) + 1.0) AS idf
+  FROM dfreq CROSS JOIN stats
+),
+tfw AS (
+  SELECT doc_id, term,
+         sum(CASE WHEN field = 'title' THEN tf END)::BIGINT AS tf0,
+         sum(CASE WHEN field = 'body' THEN tf END)::BIGINT AS tf1
+  FROM matched GROUP BY 1, 2
+),
+contrib AS (
+  SELECT t.doc_id, t.term, {tft} AS tft
+  FROM tfw t JOIN flen USING (doc_id) CROSS JOIN stats
+),
+scored AS (
+  SELECT c.doc_id,
+         sum(floor(1000000.0 * w.idf * c.tft / ({1.2!r} + c.tft))::BIGINT) AS score
+  FROM contrib c JOIN widf w USING (term)
+  GROUP BY c.doc_id
+)
+SELECT doc_id, score::BIGINT AS score FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 20"""
+
+
+_TRAINING_QUERIES["search_bm25f"] = q_search_bm25f
+_TRAINING_ORACLES["search_bm25f"] = _bm25f_oracle()

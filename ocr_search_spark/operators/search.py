@@ -1045,3 +1045,148 @@ def hard_negative_triplets(
             F.col("rank").cast("int").alias("neg_rank"),
         )
     )
+
+
+# ------------------------------------------------- field-weighted BM25F
+
+
+def match_terms_bm25f(
+    field_postings: DataFrame,
+    terms: list[str],
+    fields: list[tuple[str, float, float]],
+    max_return: int = DEFAULT_MAX_RETURN,
+    k1: float = 1.2,
+) -> DataFrame:
+    """(doc_id, score) — BM25F ranked search over FIELDED postings
+    (doc_id, field, term, tf): Robertson & Zaragoza's "Simple BM25
+    extension to multiple weighted fields" (CIKM'04) — the structure
+    signal plain BM25 throws away (a hit in the title outweighs the
+    same hit in the body, which is exactly how web search uses the
+    title/anchor/body split this engine's html_metadata +
+    anchor_texts extraction produces).
+
+    ``fields``: program-literal (field, weight, b_f) triples —
+    per-field boost and per-field length normalization. Pinned math,
+    every float op a deterministic function of exact integers so a SQL
+    twin replays bit-for-bit:
+
+        len_f(d)  = Σ tf over (d, f);  avglen_f over docs HAVING f
+        B_f(d)    = 1 − b_f + b_f · len_f(d)/avglen_f
+        tf~(t,d)  = Σ_f  w_f · tf_{t,f,d} / B_f(d)
+        idf(t)    = ln((N − df + 0.5)/(df + 0.5) + 1)    (N, df doc-level,
+                                                          field-blind)
+        score     = Σ_t floor(1e6 · idf · tf~/(k1 + tf~))  (exact long)
+
+    Weighting happens INSIDE the saturation (the one property naive
+    per-field BM25 summation lacks: two weak field hits of one term
+    saturate together rather than double-counting idf). The field fold
+    Σ_f is PIVOTED into per-field columns and written as a fixed
+    left-to-right addition in ``fields`` order — a float sum over a
+    grouped field COLUMN would add in partition order and flip ulps
+    across runs; the pivoted fold is bit-deterministic at any
+    parallelism, and |fields| is a program literal so the width is
+    bounded by construction.
+
+    Scale shape: one (doc_id)-keyed conditional-aggregate pivot for
+    field lengths, a |fields|-row scalar aggregate for avglen
+    (broadcast as one row), query terms as a broadcast literal frame
+    (plan-lint's provably-bounded case), one (doc_id, term) hash agg,
+    TakeOrderedAndProject top-k. No corpus-sized broadcast, no
+    self-join.
+    """
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    names = [f for f, _, _ in fields]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate field names in {names}")
+    for f, w, fb in fields:
+        if w <= 0:
+            raise ValueError(f"field {f!r}: weight must be > 0, got {w}")
+        if not 0.0 <= fb <= 1.0:
+            raise ValueError(f"field {f!r}: b must be in [0, 1], got {fb}")
+    if k1 <= 0:
+        raise ValueError(f"k1 must be > 0, got {k1}")
+    spark = field_postings.sparkSession
+    if not terms:
+        terms = ["never-a-term"]
+    terms_df = literal_df(spark, sorted(set(terms)), "term")
+
+    fp = field_postings.where(F.col("field").isin(names))
+    # (doc_id, len_<f> ...) — conditional-agg pivot, one doc-keyed agg
+    flen = fp.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("field") == f, F.col("tf")))
+            .cast("long")
+            .alias(f"_len_{i}")
+            for i, f in enumerate(names)
+        ]
+    )
+    # one row: avglen per field + doc count N (docs having ANY field)
+    stats = flen.agg(
+        F.count("*").cast("long").alias("_n"),
+        *[
+            (
+                F.sum(f"_len_{i}").cast("double")
+                / F.count(f"_len_{i}").cast("double")
+            ).alias(f"_avg_{i}")
+            for i in range(len(names))
+        ],
+    )
+
+    matched = fp.join(F.broadcast(terms_df), "term")
+    dfreq = matched.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("_df")
+    )
+    widf = dfreq.crossJoin(F.broadcast(stats.select("_n"))).select(
+        "term",
+        F.log(
+            (F.col("_n").cast("double") - F.col("_df") + 0.5)
+            / (F.col("_df").cast("double") + 0.5)
+            + 1.0
+        ).alias("idf"),
+    )
+
+    # (doc_id, term, tf_<f> ...) — second conditional-agg pivot
+    tfw = matched.groupBy("doc_id", "term").agg(
+        *[
+            F.sum(F.when(F.col("field") == f, F.col("tf")))
+            .cast("long")
+            .alias(f"_tf_{i}")
+            for i, f in enumerate(names)
+        ]
+    )
+    joined = tfw.join(flen, "doc_id").crossJoin(
+        F.broadcast(stats.drop("_n"))
+    )
+    # fixed left-to-right field fold — bit-deterministic
+    tft = F.lit(0.0)
+    for i, (f, w_f, b_f) in enumerate(fields):
+        c = (
+            F.lit(float(w_f))
+            * F.col(f"_tf_{i}").cast("double")
+            / (
+                F.lit(1.0 - float(b_f))
+                + F.lit(float(b_f))
+                * F.col(f"_len_{i}").cast("double")
+                / F.col(f"_avg_{i}")
+            )
+        )
+        tft = tft + F.when(F.col(f"_tf_{i}").isNull(), F.lit(0.0)).otherwise(c)
+    joined = joined.select("doc_id", "term", tft.alias("_tft"))
+    w = F.floor(
+        F.lit(1_000_000.0)
+        * F.col("idf")
+        * F.col("_tft")
+        / (F.lit(float(k1)) + F.col("_tft"))
+    ).cast("long")
+    scored = (
+        joined.join(F.broadcast(widf), "term")
+        .select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(max_return)
+        .select("doc_id", "score")
+    )

@@ -365,3 +365,147 @@ def test_hard_negative_triplets_no_positives_empty(spark):
         [(0, "d1", 0)], "query_id int, doc_id string, rel int"
     )
     assert hard_negative_triplets(run, qrels).count() == 0
+
+
+# ------------------------------------------------------------ BM25F
+
+
+def _bm25f_py(rows, terms, fields, k1=1.2):
+    """Bit-exact float replay of match_terms_bm25f (same IEEE op order)."""
+    import math
+
+    names = [f for f, _, _ in fields]
+    rows = [r for r in rows if r[1] in names]
+    flen = {}
+    for d, f, t, tf in rows:
+        flen.setdefault(d, {}).setdefault(f, 0)
+        flen[d][f] += tf
+    n = len(flen)
+    avg = {}
+    for f in names:
+        lens = [v[f] for v in flen.values() if f in v]
+        avg[f] = float(sum(lens)) / float(len(lens)) if lens else None
+    docs_with = {}
+    tfw = {}
+    for d, f, t, tf in rows:
+        if t in terms:
+            docs_with.setdefault(t, set()).add(d)
+            tfw.setdefault((d, t), {}).setdefault(f, 0)
+            tfw[(d, t)][f] += tf
+    idf = {
+        t: math.log((float(n) - len(ds) + 0.5) / (float(len(ds)) + 0.5) + 1.0)
+        for t, ds in docs_with.items()
+    }
+    scores = {}
+    for (d, t), per in tfw.items():
+        tft = 0.0
+        for f, w, b in fields:
+            if f in per:
+                tft = tft + (
+                    float(w) * float(per[f])
+                    / ((1.0 - float(b)) + float(b) * float(flen[d][f]) / avg[f])
+                )
+        w_int = math.floor(1_000_000.0 * idf[t] * tft / (float(k1) + tft))
+        scores[d] = scores.get(d, 0) + int(w_int)
+    return scores
+
+
+def _fielded_corpus(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = []
+    for d in range(30):
+        for f, lo, hi in (("title", 1, 3), ("body", 5, 15)):
+            if f == "title" and d % 5 == 0:
+                continue  # some docs have no title
+            counts = {}
+            for _ in range(rng.randint(lo, hi)):
+                counts[rng.choice(vocab)] = counts.get(rng.choice(vocab), 0) + 1
+            for t, tf in counts.items():
+                rows.append((f"d{d}", f, t, tf))
+    return rows
+
+
+def test_bm25f_matches_python_replay(spark):
+    from ocr_search_spark.operators.search import match_terms_bm25f
+
+    rows = _fielded_corpus(spark)
+    fields = [("title", 2.5, 0.6), ("body", 1.0, 0.75)]
+    terms = ["alpha", "gamma", "zeta"]
+    fp = spark.createDataFrame(rows, "doc_id string, field string, term string, tf long")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in match_terms_bm25f(fp, terms, fields, max_return=1000).collect()
+    }
+    assert got == _bm25f_py(rows, set(terms), fields)
+
+
+def test_bm25f_title_outranks_body(spark):
+    """Same tf, same lengths: the boosted title hit must score higher."""
+    from ocr_search_spark.operators.search import match_terms_bm25f
+
+    rows = [
+        ("dt", "title", "q", 1), ("dt", "body", "x", 10),
+        ("db", "title", "x", 1), ("db", "body", "q", 1),
+        ("db", "body", "x", 9),
+    ]
+    fp = spark.createDataFrame(rows, "doc_id string, field string, term string, tf long")
+    out = {
+        r["doc_id"]: r["score"]
+        for r in match_terms_bm25f(
+            fp, ["q"], [("title", 3.0, 0.5), ("body", 1.0, 0.75)]
+        ).collect()
+    }
+    assert out["dt"] > out["db"] > 0
+
+
+def test_bm25f_partition_invariance(spark):
+    from ocr_search_spark.operators.search import match_terms_bm25f
+
+    rows = _fielded_corpus(spark)
+    fields = [("title", 2.5, 0.6), ("body", 1.0, 0.75)]
+    fp = spark.createDataFrame(rows, "doc_id string, field string, term string, tf long")
+    a = sorted(map(tuple, match_terms_bm25f(fp, ["alpha", "beta"], fields, 1000).collect()))
+    b = sorted(
+        map(
+            tuple,
+            match_terms_bm25f(
+                fp.repartition(13), ["alpha", "beta"], fields, 1000
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_bm25f_unknown_field_rows_ignored(spark):
+    from ocr_search_spark.operators.search import match_terms_bm25f
+
+    rows = [("d1", "body", "q", 2), ("d1", "anchor", "q", 50)]
+    fp = spark.createDataFrame(rows, "doc_id string, field string, term string, tf long")
+    only_body = match_terms_bm25f(fp, ["q"], [("body", 1.0, 0.75)]).collect()
+    both = match_terms_bm25f(
+        fp, ["q"], [("body", 1.0, 0.75), ("anchor", 0.5, 0.0)]
+    ).collect()
+    assert only_body[0]["score"] < both[0]["score"]
+
+
+def test_bm25f_validation(spark):
+    import pytest as _pytest
+
+    from ocr_search_spark.operators.search import match_terms_bm25f
+
+    fp = spark.createDataFrame(
+        [("d", "body", "q", 1)], "doc_id string, field string, term string, tf long"
+    )
+    with _pytest.raises(ValueError):
+        match_terms_bm25f(fp, ["q"], [])
+    with _pytest.raises(ValueError):
+        match_terms_bm25f(fp, ["q"], [("b", 1.0, 0.5), ("b", 2.0, 0.5)])
+    with _pytest.raises(ValueError):
+        match_terms_bm25f(fp, ["q"], [("b", 0.0, 0.5)])
+    with _pytest.raises(ValueError):
+        match_terms_bm25f(fp, ["q"], [("b", 1.0, 1.5)])
+    with _pytest.raises(ValueError):
+        match_terms_bm25f(fp, ["q"], [("b", 1.0, 0.5)], k1=0.0)
