@@ -13731,3 +13731,61 @@ LIMIT 20"""
 
 _TRAINING_QUERIES["search_bm25f"] = q_search_bm25f
 _TRAINING_ORACLES["search_bm25f"] = _bm25f_oracle()
+
+
+# ------------------------------------------------- LSH tuning table
+# Session-23: the band/row planning table (MMDS §3.4 S-curve) evaluated
+# against a measured similarity sample — exact e6 fixed-point powers
+# (floor at every step) so the DuckDB twin replays bit-for-bit; the
+# SAME text generator (dedup.lsh_collision_e6) emits both engines'
+# expressions, differing only in the integer-division token.
+
+
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.dedup import lsh_tuning
+
+    pairs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(((F.col("doc_id") * 37 % 101) * 10_000).alias("sim_e6"))
+    )
+    return lsh_tuning(pairs, n_hashes=24, threshold_e6=500_000).orderBy("bands")
+
+
+def _lsh_tuning_oracle() -> str:
+    from ocr_search_spark.training.dedup import lsh_collision_e6
+
+    n_hashes, t = 24, 500_000
+    configs = [
+        (b, n_hashes // b) for b in range(1, n_hashes + 1) if n_hashes % b == 0
+    ]
+    aggs = [
+        "count(*)::BIGINT AS n_pairs",
+        f"sum(CASE WHEN s >= {t} THEN 1 ELSE 0 END)::BIGINT AS n_pos",
+    ]
+    for i, (b, r) in enumerate(configs):
+        p = lsh_collision_e6("s", b, r, divop="//")
+        aggs += [
+            f"sum({p})::BIGINT AS cand_{i}",
+            f"sum(CASE WHEN s < {t} THEN {p} ELSE 0 END)::BIGINT AS fp_{i}",
+            f"sum(CASE WHEN s >= {t} THEN 1000000 - {p} ELSE 0 END)::BIGINT AS fn_{i}",
+            f"sum(CASE WHEN s >= {t} THEN {p} ELSE 0 END)::BIGINT AS pos_{i}",
+        ]
+    rows = []
+    for i, (b, r) in enumerate(configs):
+        rows.append(
+            f"SELECT {b}::BIGINT AS bands, {r}::BIGINT AS rpb, n_pairs, n_pos, "
+            f"cand_{i} AS exp_cand_e6, fp_{i} AS fp_e6, fn_{i} AS fn_e6, "
+            f"(CASE WHEN n_pos > 0 THEN pos_{i} // n_pos END)::BIGINT AS recall_e6 "
+            "FROM agg"
+        )
+    return (
+        "WITH p AS (SELECT greatest(0, least(1000000, "
+        "(doc_id * 37 % 101) * 10000))::BIGINT AS s FROM documents),\n"
+        "agg AS (SELECT " + ", ".join(aggs) + " FROM p)\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY bands"
+    )
+
+
+_TRAINING_QUERIES["lsh_tuning"] = q_lsh_tuning
+_TRAINING_ORACLES["lsh_tuning"] = _lsh_tuning_oracle()

@@ -1282,3 +1282,143 @@ def strip_domain_templates(
             ),
         )
     )
+
+
+# ------------------------------------------------- LSH parameter tuning
+
+
+def lsh_pow_e6(base: str, n: int, divop: str = "div") -> str:
+    """SQL text for an EXACT e6 fixed-point power: ``(base/1e6)^n``
+    scaled by 1e6, as ``n-1`` chained ``x*base divop 1e6`` integer
+    steps (every intermediate ≤ 1e12 — no overflow, no float). The
+    same generator serves both engines: ``divop='div'`` for Spark SQL,
+    ``divop='//'`` for DuckDB, so the replay is textually parallel."""
+    if n < 1:
+        raise ValueError(f"exponent must be >= 1, got {n}")
+    acc = base
+    for _ in range(n - 1):
+        acc = f"(({acc} * {base}) {divop} 1000000)"
+    return acc
+
+
+def lsh_collision_e6(sim: str, bands: int, rpb: int, divop: str = "div") -> str:
+    """SQL text for the banded-MinHash collision probability
+    ``1 − (1 − s^r)^b`` in exact e6 fixed point (floor at every
+    step — the pinned integer semantics both engines replay)."""
+    sr = lsh_pow_e6(sim, rpb, divop)
+    qb = lsh_pow_e6(f"(1000000 - {sr})", bands, divop)
+    return f"(1000000 - {qb})"
+
+
+def lsh_tuning(
+    pairs: DataFrame,
+    n_hashes: int,
+    threshold_e6: int,
+    sim_col: str = "sim_e6",
+) -> DataFrame:
+    """(bands, rpb, n_pairs, n_pos, exp_cand_e6, fp_e6, fn_e6,
+    recall_e6) — the LSH parameter-planning table: for every (bands b,
+    rows-per-band r) factorization of ``n_hashes``, evaluate the
+    banded-MinHash S-curve ``p(s) = 1 − (1 − s^r)^b`` against a
+    MEASURED pair-similarity sample and report the expected outcome of
+    running :func:`lsh_candidate_pairs` at that setting:
+
+    * ``exp_cand_e6``  = Σ p(sᵢ)            (expected candidate pairs, e6)
+    * ``fp_e6``        = Σ_{s<t}  p(sᵢ)     (expected wasted verifications)
+    * ``fn_e6``        = Σ_{s≥t}  1e6−p(sᵢ) (expected missed near-dups)
+    * ``recall_e6``    = Σ_{s≥t} p(sᵢ) div n_pos   (NULL when no pair
+      clears the threshold — the sample cannot estimate recall)
+
+    This is the standard band/row trade (Mining of Massive Datasets
+    §3.4) turned from a rule of thumb into an exact table over the
+    corpus's OWN similarity distribution (a sample of
+    ngram_jaccard_pairs / minhash_jaccard_estimate output — any frame
+    with an e6 similarity column). All arithmetic is e6 fixed point
+    with floor at every step (:func:`lsh_pow_e6`), so a SQL twin
+    replays bit-for-bit; similarities are clamped into [0, 1e6] as the
+    pinned domain rule.
+
+    Scale shape: ONE pass over the pairs sample — per-config collision
+    probabilities are pure projections (unrolled integer chains, whole
+    stage codegen), all configs aggregate in a single scalar hash agg,
+    and the result unpivots from that one row via ``stack``. The
+    sample is dedup-diagnostic-sized, not corpus-sized; nothing here
+    touches the corpus itself.
+    """
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    if not 0 <= threshold_e6 <= 1_000_000:
+        raise ValueError(
+            f"threshold_e6 must be in [0, 1e6], got {threshold_e6}"
+        )
+    configs = [
+        (b, n_hashes // b) for b in range(1, n_hashes + 1) if n_hashes % b == 0
+    ]
+    s = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(1_000_000).cast("long"), F.col(sim_col).cast("long")),
+    )
+    # two-step select: _p_i reference _s by NAME, so _s must exist as a
+    # real column before the collision projections resolve
+    proj = pairs.select(s.alias("_s")).select(
+        "_s",
+        *[
+            F.expr(lsh_collision_e6("_s", b, r)).alias(f"_p_{i}")
+            for i, (b, r) in enumerate(configs)
+        ],
+    )
+    t = F.lit(int(threshold_e6)).cast("long")
+    aggs = [
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum((F.col("_s") >= t).cast("long")).alias("n_pos"),
+    ]
+    for i in range(len(configs)):
+        p = F.col(f"_p_{i}")
+        aggs += [
+            F.sum(p).cast("long").alias(f"_cand_{i}"),
+            F.sum(F.when(F.col("_s") < t, p).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"_fp_{i}"),
+            F.sum(
+                F.when(F.col("_s") >= t, F.lit(1_000_000) - p).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias(f"_fn_{i}"),
+            F.sum(F.when(F.col("_s") >= t, p).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"_pos_{i}"),
+        ]
+    one = proj.agg(*aggs)
+    stack_args = []
+    for i, (b, r) in enumerate(configs):
+        stack_args += [
+            str(b),
+            str(r),
+            f"_cand_{i}",
+            f"_fp_{i}",
+            f"_fn_{i}",
+            f"_pos_{i}",
+        ]
+    stacked = one.select(
+        "n_pairs",
+        "n_pos",
+        F.expr(
+            f"stack({len(configs)}, "
+            + ", ".join(stack_args)
+            + ") AS (bands, rpb, exp_cand_e6, fp_e6, fn_e6, _pos_p)"
+        ),
+    )
+    return stacked.select(
+        F.col("bands").cast("long").alias("bands"),
+        F.col("rpb").cast("long").alias("rpb"),
+        "n_pairs",
+        "n_pos",
+        "exp_cand_e6",
+        "fp_e6",
+        "fn_e6",
+        F.when(
+            F.col("n_pos") > 0, F.expr("_pos_p div n_pos")
+        ).alias("recall_e6"),
+    )

@@ -1761,3 +1761,87 @@ def test_domain_template_sentences(spark):
         dedup.domain_template_sentences(docs, min_share_e6=0)
     with pytest.raises(ValueError):
         dedup.domain_template_sentences(docs, min_docs=0)
+
+
+# ------------------------------------------------------- LSH tuning
+
+
+def _lsh_py(sims, n_hashes, t):
+    def pow_e6(x, n):
+        acc = x
+        for _ in range(n - 1):
+            acc = (acc * x) // 1_000_000
+        return acc
+
+    out = {}
+    configs = [(b, n_hashes // b) for b in range(1, n_hashes + 1) if n_hashes % b == 0]
+    n_pos = sum(1 for s in sims if s >= t)
+    for b, r in configs:
+        cand = fp = fn = pos = 0
+        for s in sims:
+            s = max(0, min(1_000_000, s))
+            p = 1_000_000 - pow_e6(1_000_000 - pow_e6(s, r), b)
+            cand += p
+            if s < t:
+                fp += p
+            else:
+                fn += 1_000_000 - p
+                pos += p
+        out[(b, r)] = (
+            len(sims),
+            n_pos,
+            cand,
+            fp,
+            fn,
+            pos // n_pos if n_pos else None,
+        )
+    return out
+
+
+def test_lsh_tuning_matches_python_replay(spark):
+    from ocr_search_spark.training.dedup import lsh_tuning
+
+    sims = [(i * 37 % 101) * 10_000 for i in range(300)] + [1_000_000, 0, -5, 2_000_000]
+    pairs = spark.createDataFrame([(s,) for s in sims], "sim_e6 long")
+    got = {
+        (r["bands"], r["rpb"]): (
+            r["n_pairs"], r["n_pos"], r["exp_cand_e6"], r["fp_e6"], r["fn_e6"], r["recall_e6"],
+        )
+        for r in lsh_tuning(pairs, n_hashes=24, threshold_e6=500_000).collect()
+    }
+    assert got == _lsh_py(sims, 24, 500_000)
+    assert len(got) == 8  # divisors of 24
+
+
+def test_lsh_tuning_s_curve_monotone(spark):
+    """More bands (fewer rows/band) catches more: recall rises with b,
+    but so does fp — the tradeoff the table exists to show."""
+    from ocr_search_spark.training.dedup import lsh_tuning
+
+    sims = [200_000] * 50 + [800_000] * 50
+    pairs = spark.createDataFrame([(s,) for s in sims], "sim_e6 long")
+    rows = {r["bands"]: r for r in lsh_tuning(pairs, 16, 500_000).collect()}
+    assert rows[16]["recall_e6"] > rows[1]["recall_e6"]
+    assert rows[16]["fp_e6"] > rows[1]["fp_e6"]
+
+
+def test_lsh_tuning_no_positives_null_recall(spark):
+    from ocr_search_spark.training.dedup import lsh_tuning
+
+    pairs = spark.createDataFrame([(100_000,), (200_000,)], "sim_e6 long")
+    for r in lsh_tuning(pairs, 4, 900_000).collect():
+        assert r["recall_e6"] is None and r["fn_e6"] == 0
+
+
+def test_lsh_tuning_validation(spark):
+    import pytest as _pytest
+
+    from ocr_search_spark.training.dedup import lsh_tuning, lsh_pow_e6
+
+    pairs = spark.createDataFrame([(1,)], "sim_e6 long")
+    with _pytest.raises(ValueError):
+        lsh_tuning(pairs, 0, 500_000)
+    with _pytest.raises(ValueError):
+        lsh_tuning(pairs, 4, -1)
+    with _pytest.raises(ValueError):
+        lsh_pow_e6("x", 0)
