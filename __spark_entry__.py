@@ -13789,3 +13789,89 @@ def _lsh_tuning_oracle() -> str:
 
 _TRAINING_QUERIES["lsh_tuning"] = q_lsh_tuning
 _TRAINING_ORACLES["lsh_tuning"] = _lsh_tuning_oracle()
+
+
+# ------------------------------------------------- WordPiece encoding
+# Session-23: the third subword family (Schuster & Nakajima 2012 /
+# BERT greedy longest-match-first, all-or-nothing [UNK]) next to BPE
+# (merge replay) and unigram-LM (Viterbi). The Spark side walks a
+# precomputed (word, pos) -> longest-match table with one bounded
+# equi-join per piece; the oracle replays the SAME walk as a DuckDB
+# recursive CTE over the identically-built best-match relation.
+
+_WP_ENTRY_VOCAB = (
+    [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + ["##" + chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + ["sc", "##an", "wind", "##ow", "me", "##rge", "qu", "##ery",
+       "jo", "##in", "da", "##ta", "or", "##der", "gr", "##oup"]
+)
+_WP_MAX_PIECE = 12
+_WP_MAX_WORD = 32
+
+
+def q_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.wordpiece import wordpiece_encode
+
+    words = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    return wordpiece_encode(
+        words, _WP_ENTRY_VOCAB, max_piece_len=_WP_MAX_PIECE,
+        max_word_len=_WP_MAX_WORD,
+    )
+
+
+def _wordpiece_oracle() -> str:
+    vocab_lit = "[" + ", ".join("'" + p + "'" for p in _WP_ENTRY_VOCAB) + "]"
+    return f"""WITH RECURSIVE words0 AS (
+  SELECT DISTINCT tok AS word FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+words AS (SELECT word FROM words0 WHERE length(word) <= {_WP_MAX_WORD}),
+unk_long AS (SELECT word FROM words0 WHERE length(word) > {_WP_MAX_WORD}),
+vocab AS (SELECT unnest({vocab_lit}) AS piece),
+posn AS (SELECT word, unnest(range(0, length(word))) AS pos FROM words),
+cand0 AS (
+  SELECT word, pos,
+         unnest(range(1, least({_WP_MAX_PIECE}, length(word) - pos) + 1)) AS len
+  FROM posn
+),
+cand AS (
+  SELECT word, pos, len,
+         (CASE WHEN pos > 0 THEN '##' ELSE '' END)
+           || substring(word, pos + 1, len) AS piece
+  FROM cand0
+),
+best AS (
+  SELECT c.word, c.pos, max(c.len) AS len
+  FROM cand c JOIN vocab v USING (piece)
+  GROUP BY 1, 2
+),
+walk AS (
+  SELECT word, 0 AS pos, ''::VARCHAR AS toks, false AS failed FROM words
+  UNION ALL
+  SELECT r.word,
+         (CASE WHEN b.len IS NULL THEN length(r.word)
+               ELSE r.pos + b.len END)::INT,
+         CASE WHEN b.len IS NULL THEN r.toks
+              ELSE r.toks || (CASE WHEN r.toks = '' THEN '' ELSE ' ' END)
+                   || (CASE WHEN r.pos > 0 THEN '##' ELSE '' END)
+                   || substring(r.word, r.pos + 1, b.len) END,
+         r.failed OR b.len IS NULL
+  FROM walk r LEFT JOIN best b ON b.word = r.word AND b.pos = r.pos
+  WHERE r.pos < length(r.word)
+)
+SELECT word, CASE WHEN failed THEN '[UNK]' ELSE toks END AS encoded
+FROM walk WHERE pos >= length(word)
+UNION ALL
+SELECT word, '[UNK]' AS encoded FROM unk_long"""
+
+
+_TRAINING_QUERIES["wordpiece_encode"] = q_wordpiece
+_TRAINING_ORACLES["wordpiece_encode"] = _wordpiece_oracle()

@@ -84,3 +84,78 @@ def test_bpe_exhausts_and_validates(spark):
         bpe.learn_bpe_merges(df, 0)
     with pytest.raises(ValueError):
         bpe.encode_words(df, [("a|", "b")])
+
+
+# ------------------------------------------------------- WordPiece
+
+
+def _wordpiece_py(word, vocab, max_piece_len=12, max_word_len=32):
+    if not word or len(word) > max_word_len:
+        return "[UNK]"
+    pos, toks = 0, []
+    while pos < len(word):
+        best = None
+        for ln in range(min(max_piece_len, len(word) - pos), 0, -1):
+            piece = ("##" if pos else "") + word[pos : pos + ln]
+            if piece in vocab:
+                best = ln
+                break
+        if best is None:
+            return "[UNK]"
+        toks.append(("##" if pos else "") + word[pos : pos + best])
+        pos += best
+    return " ".join(toks)
+
+
+_WP_VOCAB = (
+    [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + ["##" + chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + ["un", "##able", "##ing", "run", "runn", "##er", "merg", "##e", "ta", "##ble"]
+)
+
+
+def test_wordpiece_matches_python_replay(spark):
+    from ocr_search_spark.training.wordpiece import wordpiece_encode
+
+    words = ["unable", "running", "runner", "merge", "table", "x", "ab",
+             "supercalifragilisticexpialidocious1234", ""]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r["word"]: r["encoded"] for r in wordpiece_encode(df, _WP_VOCAB).collect()}
+    assert got == {w: _wordpiece_py(w, set(_WP_VOCAB)) for w in words}
+    # spot checks: greedy longest-first, not shortest
+    assert got["unable"] == "un ##able"
+    assert got["running"] == "runn ##ing"
+    assert got["table"] == "ta ##ble"
+
+
+def test_wordpiece_unk_on_no_match(spark):
+    from ocr_search_spark.training.wordpiece import wordpiece_encode
+
+    df = spark.createDataFrame([("dog!",), ("dog",)], "word string")
+    got = {r["word"]: r["encoded"] for r in wordpiece_encode(df, _WP_VOCAB).collect()}
+    assert got["dog!"] == "[UNK]"        # '!' kills the WHOLE word
+    assert got["dog"] == "d ##o ##g"
+
+
+def test_wordpiece_parallelism_invariant(spark):
+    from ocr_search_spark.training.wordpiece import wordpiece_encode
+
+    words = [f"{a}{b}{c}" for a in "abc" for b in "de" for c in "fg"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    a = sorted(map(tuple, wordpiece_encode(df, _WP_VOCAB).collect()))
+    b = sorted(map(tuple, wordpiece_encode(df.repartition(9), _WP_VOCAB).collect()))
+    assert a == b
+
+
+def test_wordpiece_validation(spark):
+    import pytest as _pytest
+
+    from ocr_search_spark.training.wordpiece import wordpiece_encode
+
+    df = spark.createDataFrame([("a",)], "word string")
+    with _pytest.raises(ValueError):
+        wordpiece_encode(df, [])
+    with _pytest.raises(ValueError):
+        wordpiece_encode(df, ["a"], max_piece_len=0)
+    with _pytest.raises(ValueError):
+        wordpiece_encode(df, ["a"], max_word_len=0)
