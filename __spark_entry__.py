@@ -13875,3 +13875,49 @@ SELECT word, '[UNK]' AS encoded FROM unk_long"""
 
 _TRAINING_QUERIES["wordpiece_encode"] = q_wordpiece
 _TRAINING_ORACLES["wordpiece_encode"] = _wordpiece_oracle()
+
+
+# ------------------------------------------------- cross-source overlap
+# Session-23: pairwise source-overlap matrix on distinct word-trigram
+# shingle sets (the Pile/Dolma mixture diagnostic). Same shingling +
+# h60 as the dedup family; the oracle replays set union per source,
+# the bounded |sources|² self-join, and the exact e6 Jaccard.
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.dedup import source_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_overlap(docs).orderBy("src_a", "src_b")
+
+
+_TRAINING_QUERIES["source_overlap"] = q_source_overlap
+_TRAINING_ORACLES["source_overlap"] = f"""WITH words AS (
+  SELECT source AS src, {_WORDS_SQL} AS ws FROM documents
+),
+sh0 AS (
+  SELECT src, list_distinct(list_transform(
+           range(1, greatest(len(ws) - 1, 1)),
+           i -> array_to_string(ws[i:i+2], ' '))) AS shs
+  FROM words WHERE len(ws) >= 3
+),
+srows AS (
+  SELECT DISTINCT src, {_h60_sql('sh')} AS sh
+  FROM (SELECT src, unnest(shs) AS sh FROM sh0)
+),
+sizes AS (SELECT src, count(*)::BIGINT AS n FROM srows GROUP BY src),
+common AS (
+  SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS n_common
+  FROM srows a JOIN srows b ON a.sh = b.sh AND a.src < b.src
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT a.src AS src_a, b.src AS src_b, a.n AS n_a, b.n AS n_b
+  FROM sizes a JOIN sizes b ON a.src < b.src
+)
+SELECT g.src_a, g.src_b, g.n_a, g.n_b,
+       coalesce(c.n_common, 0)::BIGINT AS n_common,
+       (coalesce(c.n_common, 0) * 1000000
+          // (g.n_a + g.n_b - coalesce(c.n_common, 0)))::BIGINT AS jaccard_e6
+FROM grid g LEFT JOIN common c USING (src_a, src_b)
+ORDER BY src_a, src_b"""

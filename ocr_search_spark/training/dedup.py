@@ -1422,3 +1422,80 @@ def lsh_tuning(
             F.col("n_pos") > 0, F.expr("_pos_p div n_pos")
         ).alias("recall_e6"),
     )
+
+
+# ------------------------------------------------- cross-source overlap
+
+
+def source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    k: int = 3,
+) -> DataFrame:
+    """(src_a, src_b, n_a, n_b, n_common, jaccard_e6) — the pairwise
+    content-overlap matrix between corpus SOURCES, measured on distinct
+    word-k-gram shingle sets (the Pile/Dolma-style diagnostic: how much
+    of source B is already inside source A — double-counted tokens in
+    the mixture, and a leak channel if one source seeds eval sets).
+
+    Pinned semantics: a source's shingle set is the UNION over its
+    docs' distinct shingles (document frequency within the source is
+    deliberately ignored — overlap is about coverage, not mass);
+    ``jaccard_e6 = n_common * 1e6 div (n_a + n_b − n_common)`` exact;
+    only ordered pairs ``src_a < src_b`` emit, and pairs with zero
+    common shingles are reported too (the matrix is complete — absence
+    of overlap is the interesting answer for decontamination planning).
+
+    Scale shape: one explode + (source, shingle)-keyed distinct — the
+    same cost as one shingling pass of the corpus; the shingle
+    self-join fans out at most |sources|² rows PER SHINGLE (the source
+    dimension is small by construction — this is the one self-join in
+    the dedup family whose blowup is bounded by a dimension table, not
+    by document frequency, so no max_df guard is needed); final
+    aggregate is |sources|²-sized.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rows = (
+        docs.select(
+            F.col(source_col).alias("src"),
+            F.explode(shingles_col(F.col(text_col), k)).alias("shingle"),
+        )
+        .select("src", h60(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+    sizes = rows.groupBy("src").agg(F.count("*").cast("long").alias("n"))
+    common = (
+        rows.select(F.col("src").alias("src_a"), "sh")
+        .join(rows.select(F.col("src").alias("src_b"), "sh"), "sh")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    grid = (
+        sizes.select(F.col("src").alias("src_a"), F.col("n").alias("n_a"))
+        .join(
+            sizes.select(F.col("src").alias("src_b"), F.col("n").alias("n_b")),
+            F.col("src_a") < F.col("src_b"),
+        )
+    )
+    return (
+        grid.join(common, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("n_common"), F.lit(0).cast("long")).alias(
+                "n_common"
+            ),
+        )
+        .select(
+            "*",
+            F.expr(
+                "n_common * 1000000 div (n_a + n_b - n_common)"
+            ).alias("jaccard_e6"),
+        )
+    )

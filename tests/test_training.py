@@ -1845,3 +1845,66 @@ def test_lsh_tuning_validation(spark):
         lsh_tuning(pairs, 4, -1)
     with _pytest.raises(ValueError):
         lsh_pow_e6("x", 0)
+
+
+# -------------------------------------------------- source overlap
+
+
+def _shingles_py(text, k=3):
+    ws = [w for w in text.lower().split() if w]
+    return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)} if len(ws) >= k else set()
+
+
+def test_source_overlap_matrix_exact(spark):
+    from ocr_search_spark.training.dedup import source_overlap
+
+    docs = [
+        (0, "A", "the quick brown fox jumps over the lazy dog"),
+        (1, "A", "pack my box with five dozen liquor jugs"),
+        (2, "B", "the quick brown fox naps all day long"),
+        (3, "B", "pack my box with five dozen liquor jugs"),
+        (4, "C", "completely unrelated text with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    sets = {}
+    for _, s, t in docs:
+        sets.setdefault(s, set()).update(_shingles_py(t))
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in source_overlap(df, id_col="doc_id").collect()
+    }
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    for (a, b), r in out.items():
+        inter = len(sets[a] & sets[b])
+        assert (r["n_a"], r["n_b"], r["n_common"]) == (
+            len(sets[a]), len(sets[b]), inter
+        )
+        assert r["jaccard_e6"] == inter * 1_000_000 // len(sets[a] | sets[b])
+    assert out[("A", "C")]["n_common"] == 0 and out[("A", "C")]["jaccard_e6"] == 0
+
+
+def test_source_overlap_union_semantics_not_mass(spark):
+    """Duplicating a doc inside one source changes nothing — overlap is
+    coverage of shingle SETS, not document frequency."""
+    from ocr_search_spark.training.dedup import source_overlap
+
+    base = [
+        (0, "X", "one two three four"),
+        (1, "Y", "one two three five"),
+    ]
+    dup = base + [(2, "X", "one two three four")]
+    df1 = spark.createDataFrame(base, "doc_id long, source string, text string")
+    df2 = spark.createDataFrame(dup, "doc_id long, source string, text string")
+    r1 = sorted(map(tuple, source_overlap(df1).collect()))
+    r2 = sorted(map(tuple, source_overlap(df2).collect()))
+    assert r1 == r2
+
+
+def test_source_overlap_validation(spark):
+    import pytest as _pytest
+
+    from ocr_search_spark.training.dedup import source_overlap
+
+    df = spark.createDataFrame([(0, "A", "x y z")], "doc_id long, source string, text string")
+    with _pytest.raises(ValueError):
+        source_overlap(df, k=0)
