@@ -46,6 +46,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 # with the bounded-broadcast-side proof the walker cannot see. Keep this
 # list SHORT and justified.
 WHITELIST: dict[str, str] = {
+    "source_overlap": (
+        "broadcast side is the per-source shingle-set-size aggregate "
+        "(one row per SOURCE) feeding the src_a < src_b pair grid. "
+        "Source is a mixture dimension — tens of values, set by the "
+        "corpus recipe, independent of corpus ROW count — so the "
+        "dimension × dimension inequality join with one side broadcast "
+        "is exactly the right shape; the walker cannot see that the "
+        "group-by key is a dimension, not a content key."
+    ),
     "nb_classify": (
         "broadcast side is the trained Naive-Bayes model: one row per "
         "label with scalar stats (priors + smoothing totals). Label "
