@@ -13921,3 +13921,70 @@ SELECT g.src_a, g.src_b, g.n_a, g.n_b,
           // (g.n_a + g.n_b - coalesce(c.n_common, 0)))::BIGINT AS jaccard_e6
 FROM grid g LEFT JOIN common c USING (src_a, src_b)
 ORDER BY src_a, src_b"""
+
+
+# ------------------------------------------------- vocabulary growth
+# Session-23: exact Heaps-law curve at bucket grain — per id-bucket
+# token arrivals + FIRST-occurrence term counts, running totals, and
+# the local Heaps exponent in the repo-wide micro-nat contract. The
+# unpartitioned running sum is over BUCKETS (resolution knob), never
+# doc grain — the distributable shape of the classic single-pass
+# measurement.
+
+_VG_BUCKET = 25
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.textstats import vocab_growth
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_growth(docs, bucket_size=_VG_BUCKET)
+
+
+_VG_L = "floor(1000000.0 * ln({x}::DOUBLE))::BIGINT"
+_TRAINING_QUERIES["vocab_growth"] = q_vocab_growth
+_TRAINING_ORACLES["vocab_growth"] = f"""WITH base AS (
+  SELECT doc_id AS id, {_WORDS_SQL} AS ws FROM documents
+),
+per_doc AS (
+  SELECT id, id // {_VG_BUCKET} AS bucket, len(ws)::BIGINT AS n_tokens FROM base
+),
+b_docs AS (
+  SELECT bucket, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+  FROM per_doc GROUP BY bucket
+),
+firsts AS (
+  SELECT (min_id // {_VG_BUCKET}) AS bucket, count(*)::BIGINT AS n_new_terms
+  FROM (
+    SELECT term, min(id) AS min_id
+    FROM (SELECT id, unnest(ws) AS term FROM base)
+    GROUP BY term
+  ) GROUP BY 1
+),
+joined AS (
+  SELECT b.bucket, b.n_docs, b.n_tokens,
+         coalesce(f.n_new_terms, 0)::BIGINT AS n_new_terms
+  FROM b_docs b LEFT JOIN firsts f USING (bucket)
+),
+cum AS (
+  SELECT *,
+         sum(n_docs) OVER w::BIGINT AS cum_docs,
+         sum(n_tokens) OVER w::BIGINT AS cum_tokens,
+         sum(n_new_terms) OVER w::BIGINT AS vocab_size
+  FROM joined
+  WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+lagd AS (
+  SELECT *,
+         lag(cum_tokens) OVER (ORDER BY bucket) AS pt,
+         lag(vocab_size) OVER (ORDER BY bucket) AS pv
+  FROM cum
+)
+SELECT bucket, n_docs, n_tokens, n_new_terms, cum_docs, cum_tokens, vocab_size,
+       (CASE WHEN pv IS NOT NULL AND pv > 0 AND vocab_size > 0
+                  AND pt IS NOT NULL AND pt > 0 AND cum_tokens > 0
+                  AND ({_VG_L.format(x='cum_tokens')} - {_VG_L.format(x='pt')}) > 0
+             THEN ({_VG_L.format(x='vocab_size')} - {_VG_L.format(x='pv')}) * 1000000
+                  // ({_VG_L.format(x='cum_tokens')} - {_VG_L.format(x='pt')})
+        END)::BIGINT AS beta_e6
+FROM lagd"""

@@ -1112,3 +1112,112 @@ def readability(
             " - 15590000"
         ).cast("long").alias("fk_grade_e6"),
     )
+
+
+# ------------------------------------------------ vocabulary growth
+
+
+def vocab_growth(
+    docs: DataFrame,
+    bucket_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(bucket, n_docs, n_tokens, n_new_terms, cum_docs, cum_tokens,
+    vocab_size, beta_e6) — the vocabulary-growth curve (Heaps/Herdan
+    law V ≈ K·Nᵝ) measured EXACTLY over the corpus in ``id_col``
+    order: per id-bucket, how many tokens arrived and how many terms
+    appeared for the FIRST time, with running totals and the pairwise
+    local Heaps exponent
+
+        beta_e6 = (L(V) − L(V_prev)) · 1e6 div (L(T) − L(T_prev)),
+        L(x)    = floor(1e6 · ln x)   (the repo-wide micro-nat contract)
+
+    (NULL on the first bucket or when the token count did not grow).
+    The tokenizer-budget companion to mixture_token_plan: β says how
+    fast the open vocabulary still grows, i.e. whether more data keeps
+    buying new types or only repeats.
+
+    Pinned semantics: a term's arrival bucket is the bucket of the
+    MINIMUM id containing it; tokens are the simple lower/whitespace
+    words (the dedup-family tokenization, not the search chain);
+    buckets with no docs simply don't appear (id gaps are the
+    caller's corpus order).
+
+    Scale shape: one explode + one term-keyed min-aggregate (the only
+    corpus-sized shuffle), doc- then bucket-grain aggregates, and ONE
+    unpartitioned running-sum window — over BUCKETS, whose count is
+    corpus_size / bucket_size and therefore a caller-set resolution
+    knob (10⁴ curve points for 10¹² docs), never corpus grain. That
+    bucketing is what makes the classic single-pass Heaps measurement
+    distributable.
+    """
+    if bucket_size < 1:
+        raise ValueError(f"bucket_size must be >= 1, got {bucket_size}")
+    from pyspark.sql import Window as W
+
+    did = F.col(id_col).cast("long")
+    base = docs.select(
+        did.alias("id"),
+        _words(F.col(text_col)).alias("_ws"),
+    )
+    per_doc = base.select(
+        "id",
+        F.expr(f"id div {int(bucket_size)}").alias("bucket"),
+        F.size("_ws").cast("long").alias("n_tokens"),
+    )
+    b_docs = per_doc.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    first = (
+        base.select("id", F.explode("_ws").alias("term"))
+        .groupBy("term")
+        .agg(F.min("id").alias("_first_id"))
+        .select(F.expr(f"_first_id div {int(bucket_size)}").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_new_terms"))
+    )
+    joined = b_docs.join(first, "bucket", "left").select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        F.coalesce(F.col("n_new_terms"), F.lit(0).cast("long")).alias(
+            "n_new_terms"
+        ),
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = joined.select(
+        "*",
+        F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.sum("n_new_terms").over(w).cast("long").alias("vocab_size"),
+    )
+
+    def l6(c):
+        return F.when(
+            c > 0, F.floor(F.lit(1_000_000.0) * F.log(c.cast("double")))
+        ).cast("long")
+
+    lw = W.orderBy("bucket")
+    prev_t = F.lag("cum_tokens").over(lw)
+    prev_v = F.lag("vocab_size").over(lw)
+    pre = cum.select(
+        "*",
+        (l6(F.col("vocab_size")) - l6(prev_v)).alias("_dv"),
+        (l6(F.col("cum_tokens")) - l6(prev_t)).alias("_dt"),
+    )
+    return pre.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        "n_new_terms",
+        "cum_docs",
+        "cum_tokens",
+        "vocab_size",
+        F.when(
+            F.col("_dv").isNotNull() & F.col("_dt").isNotNull()
+            & (F.col("_dt") > 0),
+            F.expr("_dv * 1000000 div _dt"),
+        ).alias("beta_e6"),
+    )

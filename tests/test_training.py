@@ -1908,3 +1908,58 @@ def test_source_overlap_validation(spark):
     df = spark.createDataFrame([(0, "A", "x y z")], "doc_id long, source string, text string")
     with _pytest.raises(ValueError):
         source_overlap(df, k=0)
+
+
+# -------------------------------------------------- vocabulary growth
+
+
+def test_vocab_growth_exact_curve(spark):
+    import math
+
+    from ocr_search_spark.training.textstats import vocab_growth
+
+    docs = [
+        (0, "a b c"),
+        (1, "a b d"),        # bucket 0: tokens 6, new {a,b,c,d}=4
+        (2, "c d e e"),      # bucket 1: e new
+        (3, "f"),            #           f new
+        (5, "a a a"),        # bucket 2: nothing new (gap at id 4 is fine)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["bucket"]: r for r in vocab_growth(df, bucket_size=2).collect()}
+    assert (out[0]["n_docs"], out[0]["n_tokens"], out[0]["n_new_terms"]) == (2, 6, 4)
+    assert (out[1]["n_docs"], out[1]["n_tokens"], out[1]["n_new_terms"]) == (2, 5, 2)
+    assert (out[2]["n_docs"], out[2]["n_tokens"], out[2]["n_new_terms"]) == (1, 3, 0)
+    assert out[2]["cum_tokens"] == 14 and out[2]["vocab_size"] == 6
+    assert out[0]["beta_e6"] is None
+
+    def L(x):
+        return math.floor(1_000_000.0 * math.log(float(x)))
+
+    exp_b1 = (L(6) - L(4)) * 1_000_000 // (L(11) - L(6))
+    assert out[1]["beta_e6"] == exp_b1
+    assert out[2]["beta_e6"] == 0  # vocab flat, tokens grew
+
+
+def test_vocab_growth_monotone_and_total(spark):
+    from ocr_search_spark.training.textstats import vocab_growth
+
+    rows = [(i, f"w{i % 7} w{i % 13} common") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        vocab_growth(df, bucket_size=10).collect(), key=lambda r: r["bucket"]
+    )
+    vs = [r["vocab_size"] for r in out]
+    assert vs == sorted(vs)
+    assert vs[-1] == len({f"w{i % 7}" for i in range(60)} | {f"w{i % 13}" for i in range(60)} | {"common"})
+    assert out[-1]["cum_docs"] == 60 and out[-1]["cum_tokens"] == 180
+
+
+def test_vocab_growth_validation(spark):
+    import pytest as _pytest
+
+    from ocr_search_spark.training.textstats import vocab_growth
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        vocab_growth(df, bucket_size=0)
