@@ -13988,3 +13988,75 @@ SELECT bucket, n_docs, n_tokens, n_new_terms, cum_docs, cum_tokens, vocab_size,
                   // ({_VG_L.format(x='cum_tokens')} - {_VG_L.format(x='pt')})
         END)::BIGINT AS beta_e6
 FROM lagd"""
+
+
+# ------------------------------------------------- TextRank keywords
+# Session-23: Mihalcea & Tarau EMNLP'04 keyword extraction as a
+# composition — window-2 co-occurrence graph (length-filtered
+# adjacency, corpus-distinct undirected pairs) into the SAME exact
+# BIGINT pagerank recurrence pagerank_centrality gates; the oracle
+# rebuilds the graph in SQL and reuses the 3-iteration unroll pattern.
+
+_TR_MIN_LEN = 3
+_TR_TOP_K = 20
+
+
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.textstats import textrank_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textrank_keywords(docs, top_k=_TR_TOP_K, min_len=_TR_MIN_LEN)
+
+
+def _textrank_oracle() -> str:
+    it_tpl = """r{i} AS (
+  SELECT nodes.node,
+         ((150000000000 // p.n) + coalesce(s.contrib, 0))::BIGINT AS rank
+  FROM nodes CROSS JOIN params p
+  LEFT JOIN (
+    SELECT ed.dst AS node, sum((r.rank * 17) // (20 * ed.od))::BIGINT AS contrib
+    FROM ed JOIN r{prev} r ON r.node = ed.src GROUP BY ed.dst
+  ) s ON s.node = nodes.node
+)"""
+    iters = ",\n".join(it_tpl.format(i=i, prev=i - 1) for i in range(1, 4))
+    return f"""WITH base AS (
+  SELECT list_filter({_WORDS_SQL}, x -> length(x) >= {_TR_MIN_LEN}) AS ws
+  FROM documents
+),
+seq AS (SELECT ws FROM base WHERE len(ws) >= 2),
+adj AS (
+  SELECT unnest(list_transform(range(1, len(ws)),
+                i -> {{'a': ws[i], 'b': ws[i+1]}})) AS p
+  FROM seq
+),
+upairs AS (
+  SELECT DISTINCT least(p.a, p.b) AS wa, greatest(p.a, p.b) AS wb
+  FROM adj WHERE p.a <> p.b
+),
+edges AS (
+  SELECT {_h60_sql('wa')} AS src, {_h60_sql('wb')} AS dst FROM upairs
+  UNION ALL
+  SELECT {_h60_sql('wb')}, {_h60_sql('wa')} FROM upairs
+),
+vocabn AS (
+  SELECT word, {_h60_sql('word')} AS node FROM (
+    SELECT DISTINCT wa AS word FROM upairs
+    UNION SELECT DISTINCT wb FROM upairs
+  )
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+params AS (SELECT count(*)::BIGINT AS n FROM nodes),
+outdeg AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.od FROM edges e JOIN outdeg d ON d.src = e.src),
+r0 AS (
+  SELECT node, (1000000000000 // n)::BIGINT AS rank FROM nodes, params
+),
+{iters}
+SELECT v.word, r.rank
+FROM r3 r JOIN vocabn v ON v.node = r.node
+ORDER BY r.rank DESC, v.word ASC
+LIMIT {_TR_TOP_K}"""
+
+
+_TRAINING_QUERIES["textrank_keywords"] = q_textrank
+_TRAINING_ORACLES["textrank_keywords"] = _textrank_oracle()

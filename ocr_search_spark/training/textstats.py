@@ -1221,3 +1221,89 @@ def vocab_growth(
             F.expr("_dv * 1000000 div _dt"),
         ).alias("beta_e6"),
     )
+
+
+# --------------------------------------------------- TextRank keywords
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    top_k: int = 20,
+    min_len: int = 3,
+    iters: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(word, rank) — corpus-level TextRank keyword extraction
+    (Mihalcea & Tarau, EMNLP 2004): rank words by PageRank over the
+    co-occurrence graph and keep the top ``top_k``. The keyword
+    primitive for corpus summarization / topic labeling that needs no
+    model — just the graph the text already is.
+
+    Pinned construction: tokens are the simple lower/whitespace words
+    of length ≥ ``min_len`` (the paper's syntactic filter approximated
+    by length, keeping the operator model-free); co-occurrence is
+    ADJACENCY IN THE FILTERED SEQUENCE (window 2 — the paper's minimum
+    and the only window that needs no pair explode beyond one zip);
+    self-pairs drop; the undirected edge set is the corpus-level
+    DISTINCT of least/greatest pairs, fed to
+    :func:`...operators.graph.pagerank_integer` (3 iterations, exact
+    BIGINT micro-ranks) as both directions. Node ids are h60(word)
+    (60-bit — collisions vanishingly rare and detectable; ranks join
+    back to words by the same hash). Ties break word-ASC, so the
+    top-k is a total order.
+
+    Scale shape: one zip-adjacent explode (∝ corpus tokens) + one
+    distinct edge aggregate keyed by word pair; then pagerank's
+    per-iteration edge-keyed join/agg over a VOCABULARY-sized graph —
+    the corpus never re-enters after the edge aggregate. Top-k is
+    TakeOrderedAndProject.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    from ..operators.graph import pagerank_integer
+
+    ws = F.filter(
+        _words(F.col(text_col)), lambda w: F.length(w) >= min_len
+    )
+    base = docs.select(ws.alias("_ws")).where(F.size("_ws") >= 2)
+    pairs = (
+        base.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("_ws", 1, F.size("_ws") - 1),
+                    F.slice("_ws", 2, F.size("_ws") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("wa"), F.greatest("a", "b").alias("wb")
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("wa").alias("w_src"), F.col("wb").alias("w_dst")
+    ).unionByName(
+        pairs.select(
+            F.col("wb").alias("w_src"), F.col("wa").alias("w_dst")
+        )
+    )
+    ids = edges.select(
+        h60(F.col("w_src")).alias("src"), h60(F.col("w_dst")).alias("dst")
+    )
+    ranks = pagerank_integer(ids, iters=iters)
+    vocab = (
+        edges.select(F.col("w_src").alias("word"))
+        .distinct()
+        .select("word", h60(F.col("word")).alias("node"))
+    )
+    return (
+        ranks.join(vocab, "node")
+        .select("word", "rank")
+        .orderBy(F.desc("rank"), F.asc("word"))
+        .limit(top_k)
+    )

@@ -1963,3 +1963,68 @@ def test_vocab_growth_validation(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         vocab_growth(df, bucket_size=0)
+
+
+# --------------------------------------------------- TextRank
+
+
+def _textrank_py(texts, top_k=20, min_len=3, iters=3):
+    SCALE = 1_000_000_000_000
+    pairs = set()
+    for t in texts:
+        ws = [w for w in t.lower().split() if w and len(w) >= min_len]
+        for a, b in zip(ws, ws[1:]):
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    if not nodes:
+        return []
+    n = len(nodes)
+    od = {}
+    for s, _ in edges:
+        od[s] = od.get(s, 0) + 1
+    r = {v: SCALE // n for v in nodes}
+    teleport = (SCALE * 3 // 20) // n
+    for _ in range(iters):
+        nxt = {v: teleport for v in nodes}
+        for s, d in edges:
+            nxt[d] += (r[s] * 17) // (20 * od[s])
+        r = nxt
+    ranked = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    return ranked
+
+
+def test_textrank_matches_python_replay(spark):
+    from ocr_search_spark.training.textstats import textrank_keywords
+
+    texts = [
+        "spark engine runs spark jobs with spark shuffle stages",
+        "the engine compiles jobs into stages and tasks",
+        "tiny of in at",   # all filtered by min_len
+        "shuffle stages spill when memory runs out",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [(r["word"], r["rank"]) for r in textrank_keywords(df, top_k=50).collect()]
+    assert got == _textrank_py(texts, top_k=50)
+
+
+def test_textrank_hub_word_wins(spark):
+    from ocr_search_spark.training.textstats import textrank_keywords
+
+    texts = ["hub alpha", "hub beta", "hub gamma", "hub delta", "alpha beta"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    out = [r["word"] for r in textrank_keywords(df, top_k=3).collect()]
+    assert out[0] == "hub"
+
+
+def test_textrank_validation(spark):
+    import pytest as _pytest
+
+    from ocr_search_spark.training.textstats import textrank_keywords
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        textrank_keywords(df, top_k=0)
+    with _pytest.raises(ValueError):
+        textrank_keywords(df, min_len=0)
