@@ -14060,3 +14060,58 @@ LIMIT {_TR_TOP_K}"""
 
 _TRAINING_QUERIES["textrank_keywords"] = q_textrank
 _TRAINING_ORACLES["textrank_keywords"] = _textrank_oracle()
+
+
+# ------------------------------------------------- gazetteer tagging
+# Session-23: dictionary phrase annotation with CONTAINMENT-MAXIMAL
+# resolution (order-free — the set-oriented alternative to greedy
+# leftmost-longest; nested sub-phrase noise drops, overlapping
+# non-nested matches both emit). Oracle replays the per-length n-gram
+# explode + literal dictionary join + dominance NOT EXISTS.
+
+_GAZ_PHRASES = [
+    "merge join", "sort merge join", "hash join",
+    "table scan", "window", "group",
+]
+
+
+def q_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.textstats import gazetteer_match
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gazetteer_match(docs, _GAZ_PHRASES)
+
+
+def _gazetteer_oracle() -> str:
+    by_len: dict[int, list[str]] = {}
+    for p in _GAZ_PHRASES:
+        t = [w for w in p.lower().split() if w]
+        by_len.setdefault(len(t), []).append(" ".join(t))
+    grams = []
+    for n, plist in sorted(by_len.items()):
+        lit = "[" + ", ".join("'" + p + "'" for p in sorted(plist)) + "]"
+        grams.append(f"""
+  SELECT id, g.s AS "start", {n}::BIGINT AS "len", g.g AS phrase
+  FROM (
+    SELECT id, unnest(list_transform(range(1, len(ws) - {n} + 2),
+                 i -> {{'s': i - 1, 'g': array_to_string(ws[i:i+{n - 1}], ' ')}})) AS g
+    FROM base WHERE len(ws) >= {n}
+  ) sub
+  WHERE g.g IN (SELECT unnest({lit}))""")
+    union = "\n  UNION ALL".join(grams)
+    return f"""WITH base AS (
+  SELECT doc_id AS id, {_WORDS_SQL} AS ws FROM documents
+),
+m AS ({union}
+)
+SELECT id, "start"::BIGINT AS "start", "len", phrase FROM m
+WHERE NOT EXISTS (
+  SELECT 1 FROM m d
+  WHERE d.id = m.id AND d."start" <= m."start"
+    AND d."start" + d."len" >= m."start" + m."len"
+    AND d."len" > m."len"
+)"""
+
+
+_TRAINING_QUERIES["gazetteer_match"] = q_gazetteer
+_TRAINING_ORACLES["gazetteer_match"] = _gazetteer_oracle()

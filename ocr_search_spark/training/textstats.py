@@ -1307,3 +1307,92 @@ def textrank_keywords(
         .orderBy(F.desc("rank"), F.asc("word"))
         .limit(top_k)
     )
+
+
+# --------------------------------------------------- gazetteer tagging
+
+
+def gazetteer_match(
+    docs: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, start, len, phrase) — annotate every occurrence of a
+    program-literal phrase dictionary in the token stream, keeping the
+    CONTAINMENT-MAXIMAL matches: a match drops only when another match
+    of the same doc strictly contains its token span (equal spans
+    can't happen — phrase strings are unique). Gazetteer tagging is
+    the model-free entity/terminology annotator of a curation pipeline
+    (blocklists, product names, section cues); containment-maximality
+    is the set-oriented resolution rule — unlike greedy
+    leftmost-longest it needs no sequential scan, is order-free and
+    therefore identical at any parallelism, and still removes the
+    noise case (every sub-phrase of a matched longer phrase firing
+    alongside it). Overlapping-but-not-nested matches BOTH emit,
+    which annotation consumers want anyway.
+
+    Positions are 0-based indices into the simple lower/whitespace
+    token sequence (the dedup-family tokenization); ``start`` is the
+    first token index, ``len`` the phrase's token count.
+
+    Scale shape: one n-gram explode per DISTINCT phrase length (the
+    dictionary is a program literal, so the explode width is known at
+    plan time and bounded by max phrase length), each broadcast-joined
+    against its length's phrase list; the dominance filter is a
+    doc-keyed self-anti-join — fan-out bounded by matches-per-doc,
+    which the dictionary (not the corpus) controls.
+    """
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    toks = {p: [w for w in p.lower().split() if w] for p in phrases}
+    if any(not t for t in toks.values()):
+        raise ValueError("phrases must contain at least one token")
+    norm = {" ".join(t): len(t) for t in toks.values()}
+    by_len: dict[int, list[str]] = {}
+    for p, n in norm.items():
+        by_len.setdefault(n, []).append(p)
+
+    from ..session import literal_df
+
+    spark = docs.sparkSession
+    base = docs.select(
+        F.col(id_col).alias("id"), _words(F.col(text_col)).alias("_ws")
+    )
+    parts = []
+    for n, plist in sorted(by_len.items()):
+        pdf = literal_df(spark, sorted(plist), "phrase")
+        grams = base.where(F.size("_ws") >= n).select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_ws") - (n - 1)),
+                    lambda i: F.array_join(F.slice("_ws", i, n), " "),
+                )
+            ).alias("start", "phrase"),
+        )
+        parts.append(
+            grams.join(F.broadcast(pdf), "phrase").select(
+                "id",
+                F.col("start").cast("long").alias("start"),
+                F.lit(n).cast("long").alias("len"),
+                "phrase",
+            )
+        )
+    m = parts[0]
+    for p in parts[1:]:
+        m = m.unionByName(p)
+    dom = m.select(
+        F.col("id").alias("id2"),
+        F.col("start").alias("s2"),
+        F.col("len").alias("l2"),
+    )
+    kept = m.join(
+        dom,
+        (F.col("id") == F.col("id2"))
+        & (F.col("s2") <= F.col("start"))
+        & (F.col("s2") + F.col("l2") >= F.col("start") + F.col("len"))
+        & (F.col("l2") > F.col("len")),
+        "left_anti",
+    )
+    return kept.select("id", "start", "len", "phrase")

@@ -2028,3 +2028,64 @@ def test_textrank_validation(spark):
         textrank_keywords(df, top_k=0)
     with _pytest.raises(ValueError):
         textrank_keywords(df, min_len=0)
+
+
+# --------------------------------------------------- gazetteer
+
+
+def test_gazetteer_containment_maximal(spark):
+    from ocr_search_spark.training.textstats import gazetteer_match
+
+    docs = [
+        (0, "use a sort merge join for big tables"),
+        (1, "a merge join beats a hash join sometimes"),
+        (2, "join join join"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    phrases = ["join", "merge join", "sort merge join", "hash join"]
+    got = sorted(
+        (r["id"], r["start"], r["len"], r["phrase"])
+        for r in gazetteer_match(df, phrases).collect()
+    )
+    # doc 0: 'sort merge join' at 2 dominates nested 'merge join'@3 and 'join'@4
+    # doc 1: 'merge join'@1 dominates 'join'@2; 'hash join'@5 dominates 'join'@6
+    # doc 2: three bare 'join' matches survive (nothing contains them)
+    assert got == [
+        (0, 2, 3, "sort merge join"),
+        (1, 1, 2, "merge join"),
+        (1, 5, 2, "hash join"),
+        (2, 0, 1, "join"),
+        (2, 1, 1, "join"),
+        (2, 2, 1, "join"),
+    ]
+
+
+def test_gazetteer_overlap_not_nested_both_emit(spark):
+    from ocr_search_spark.training.textstats import gazetteer_match
+
+    df = spark.createDataFrame([(0, "alpha beta gamma")], "doc_id long, text string")
+    got = sorted(
+        (r["start"], r["phrase"])
+        for r in gazetteer_match(df, ["alpha beta", "beta gamma"]).collect()
+    )
+    assert got == [(0, "alpha beta"), (1, "beta gamma")]
+
+
+def test_gazetteer_positions_zero_based(spark):
+    from ocr_search_spark.training.textstats import gazetteer_match
+
+    df = spark.createDataFrame([(0, "x y target z")], "doc_id long, text string")
+    r = gazetteer_match(df, ["target"]).collect()[0]
+    assert (r["start"], r["len"]) == (2, 1)
+
+
+def test_gazetteer_validation(spark):
+    import pytest as _pytest
+
+    from ocr_search_spark.training.textstats import gazetteer_match
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        gazetteer_match(df, [])
+    with _pytest.raises(ValueError):
+        gazetteer_match(df, ["   "])
