@@ -14115,3 +14115,84 @@ WHERE NOT EXISTS (
 
 _TRAINING_QUERIES["gazetteer_match"] = q_gazetteer
 _TRAINING_ORACLES["gazetteer_match"] = _gazetteer_oracle()
+
+
+# ------------------------------------------------- PRF search
+# Session-23: two-pass pseudo-relevance feedback (Rocchio) over the
+# REAL pipeline postings: pass 1 = the search_bm25 chain verbatim, the
+# top-5 docs become the feedback set, their most discriminative terms
+# (tf · micro-nat ln(N/df), half-corpus stopword guard) expand the
+# query at half weight (w div 2 AFTER the BM25 floor), pass 2 rescores.
+# The oracle replays both passes and the expansion selection.
+
+
+def q_search_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.search import match_terms_prf
+
+    return match_terms_prf(
+        _postings(spark, sf_dir).cache(), list(_SEARCH_TERMS),
+        fb_docs=5, fb_terms=3, max_return=20,
+    )
+
+
+_TRAINING_QUERIES["search_prf"] = q_search_prf
+_TRAINING_ORACLES["search_prf"] = f"""WITH {_POSTINGS_BODY},
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+matched1 AS (SELECT * FROM postings WHERE term IN ({_SEARCH_TERMS_IN})),
+dfreq1 AS (SELECT term, count(DISTINCT doc_id) AS df FROM matched1 GROUP BY term),
+widf1 AS (
+  SELECT term, ln((n::DOUBLE - df + 0.5) / (df::DOUBLE + 0.5) + 1.0) AS idf, avgdl
+  FROM dfreq1 CROSS JOIN stats
+),
+scored1 AS (
+  SELECT m.doc_id,
+         sum(floor(1000000.0 * w.idf *
+             ((m.tf::DOUBLE * 2.2) /
+              (m.tf::DOUBLE + 1.2 * (0.25 + 0.75 * d.dl::DOUBLE / w.avgdl))))::BIGINT
+         ) AS score
+  FROM matched1 m JOIN widf1 w USING (term) JOIN dl d USING (doc_id)
+  GROUP BY m.doc_id
+),
+fb AS (SELECT doc_id FROM scored1 ORDER BY score DESC, doc_id ASC LIMIT 5),
+fbpost AS (SELECT p.* FROM postings p JOIN fb USING (doc_id)),
+dfexp AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM postings
+  WHERE term IN (SELECT DISTINCT term FROM fbpost) GROUP BY term
+),
+cand AS (
+  SELECT f.term,
+         sum(f.tf * floor(1000000.0 * ln(s.n::DOUBLE / d.df::DOUBLE))::BIGINT)::BIGINT AS fbw
+  FROM fbpost f JOIN dfexp d USING (term) CROSS JOIN stats s
+  WHERE d.df * 2 <= s.n AND f.term NOT IN ({_SEARCH_TERMS_IN})
+  GROUP BY f.term
+  ORDER BY fbw DESC, term ASC LIMIT 3
+),
+terms_all AS (
+  SELECT term, 1::BIGINT AS wdiv
+  FROM (SELECT unnest([{_SEARCH_TERMS_IN}]) AS term)
+  UNION ALL
+  SELECT term, 2::BIGINT FROM cand
+),
+matched2 AS (SELECT p.*, t.wdiv FROM postings p JOIN terms_all t USING (term)),
+dfreq2 AS (
+  SELECT term, wdiv, count(DISTINCT doc_id) AS df FROM matched2 GROUP BY 1, 2
+),
+widf2 AS (
+  SELECT term, wdiv,
+         ln((n::DOUBLE - df + 0.5) / (df::DOUBLE + 0.5) + 1.0) AS idf, avgdl
+  FROM dfreq2 CROSS JOIN stats
+),
+scored2 AS (
+  SELECT m.doc_id,
+         sum(floor(1000000.0 * w.idf *
+             ((m.tf::DOUBLE * 2.2) /
+              (m.tf::DOUBLE + 1.2 * (0.25 + 0.75 * d.dl::DOUBLE / w.avgdl))))::BIGINT
+             // w.wdiv)::BIGINT AS score
+  FROM matched2 m JOIN widf2 w ON w.term = m.term AND w.wdiv = m.wdiv
+  JOIN dl d USING (doc_id)
+  GROUP BY m.doc_id
+)
+SELECT doc_id, score::BIGINT AS score FROM scored2
+ORDER BY score DESC, doc_id ASC
+LIMIT 20"""

@@ -1190,3 +1190,132 @@ def match_terms_bm25f(
         .limit(max_return)
         .select("doc_id", "score")
     )
+
+
+# ------------------------------------------- pseudo-relevance feedback
+
+
+def match_terms_prf(
+    postings: DataFrame,
+    terms: list[str],
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    max_return: int = DEFAULT_MAX_RETURN,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, score) — BM25 with PSEUDO-RELEVANCE FEEDBACK (Rocchio
+    1971 / the RM-style two-pass): run the query, assume the top
+    ``fb_docs`` results are relevant, mine their most discriminative
+    terms, and rescore with the expanded query. The classic recall
+    lever when queries are short and the corpus vocabulary is wider
+    than the user's — and, unlike search_expanded (correlation
+    thesaurus), it adapts to THIS query's result neighborhood.
+
+    Pinned two-pass contract (every step exact or pinned-float so a
+    SQL twin replays bit-for-bit):
+
+    1. first pass = :func:`match_terms_bm25` (same k1/b), top
+       ``fb_docs`` by (score DESC, doc_id ASC);
+    2. expansion candidates = terms of the feedback docs, minus the
+       original terms, minus corpus-half stopwords (``2·df > N``
+       drops them — the noise guard); candidate weight =
+       Σ_fb tf · floor(1e6·ln(N/df)); top ``fb_terms`` by
+       (weight DESC, term ASC);
+    3. second pass: per-(doc, term) BM25 micro-weights over
+       original ∪ expansion terms; expansion contributions count HALF
+       (``w div 2`` — integer floor AFTER the BM25 floor, the pinned
+       Rocchio β=0.5); score = exact long sum; top ``max_return`` by
+       (score DESC, doc_id ASC).
+
+    Scale shape: the feedback set is a program-literal LIMIT (the
+    plan-proof of boundedness), its postings arrive by one
+    broadcast semi-join; expansion selection aggregates only the
+    feedback docs' terms; the second pass is the plain BM25 shape with
+    a (|terms| + fb_terms)-row broadcast term frame. Two passes, both
+    TakeOrderedAndProject at the top.
+    """
+    if fb_docs < 1:
+        raise ValueError(f"fb_docs must be >= 1, got {fb_docs}")
+    if fb_terms < 0:
+        raise ValueError(f"fb_terms must be >= 0, got {fb_terms}")
+    spark = postings.sparkSession
+    if not terms:
+        terms = ["never-a-term"]
+    orig = sorted(set(terms))
+
+    first = match_terms_bm25(postings, orig, max_return=fb_docs, k1=k1, b=b)
+    fbids = first.select("doc_id")
+
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    n_docs = dl.agg(F.count("*").cast("long").alias("_n"))
+
+    fb_post = postings.join(F.broadcast(fbids), "doc_id")
+    dfreq = postings.join(
+        fb_post.select("term").distinct(), "term", "left_semi"
+    ).groupBy("term").agg(F.countDistinct("doc_id").alias("_df"))
+    cand = (
+        fb_post.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("_df") * 2 <= F.col("_n"))
+        .where(~F.col("term").isin(*orig))
+        .select(
+            "term",
+            (
+                F.col("tf").cast("long")
+                * F.floor(
+                    F.lit(1_000_000.0)
+                    * F.log(
+                        F.col("_n").cast("double") / F.col("_df").cast("double")
+                    )
+                ).cast("long")
+            ).alias("_wc"),
+        )
+        .groupBy("term")
+        .agg(F.sum("_wc").alias("_fbw"))
+        .orderBy(F.desc("_fbw"), F.asc("term"))
+        .limit(fb_terms)
+    )
+
+    orig_df = literal_df(spark, orig, "term").select(
+        "term", F.lit(1).cast("long").alias("_wdiv")
+    )
+    terms_all = orig_df.unionByName(
+        cand.select("term", F.lit(2).cast("long").alias("_wdiv"))
+    )
+
+    stats = dl.agg(
+        F.count("*").cast("long").alias("_n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    matched = postings.join(F.broadcast(terms_all), "term")
+    dfreq2 = matched.groupBy("term", "_wdiv").agg(
+        F.countDistinct("doc_id").alias("_df")
+    )
+    widf = dfreq2.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "_wdiv",
+        F.log(
+            (F.col("_n").cast("double") - F.col("_df") + 0.5)
+            / (F.col("_df").cast("double") + 0.5)
+            + 1.0
+        ).alias("idf"),
+        "avgdl",
+    )
+    j = matched.drop("_wdiv").join(F.broadcast(widf), "term").join(dl, "doc_id")
+    tf = F.col("tf").cast("double")
+    sat = (tf * (k1 + 1.0)) / (
+        tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    w = F.floor(F.lit(1_000_000.0) * F.col("idf") * sat).cast("long")
+    scored = (
+        j.select("doc_id", F.expr(f"{'_wdiv'}").alias("_wdiv"), w.alias("_w"))
+        .select("doc_id", F.expr("_w div _wdiv").alias("_ws"))
+        .groupBy("doc_id")
+        .agg(F.sum("_ws").alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(max_return)
+        .select("doc_id", "score")
+    )

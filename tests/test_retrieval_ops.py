@@ -509,3 +509,59 @@ def test_bm25f_validation(spark):
         match_terms_bm25f(fp, ["q"], [("b", 1.0, 1.5)])
     with _pytest.raises(ValueError):
         match_terms_bm25f(fp, ["q"], [("b", 1.0, 0.5)], k1=0.0)
+
+
+# ------------------------------------------------------------ PRF
+
+
+def _prf_postings(spark):
+    rows = []
+    # docs 0-4: alpha + beta together (feedback neighborhood)
+    for d in range(5):
+        rows += [(f"d{d}", "alpha", 3), (f"d{d}", "beta", 2), (f"d{d}", "filler", 1)]
+    # doc 5: beta only — invisible to the bare query, PRF should find it
+    rows += [("d5", "beta", 5), ("d5", "other", 1)]
+    # background docs diluting df
+    for d in range(6, 30):
+        rows += [(f"d{d}", f"bg{d % 7}", 2), (f"d{d}", "noise", 1)]
+    return spark.createDataFrame(rows, "doc_id string, term string, tf long")
+
+
+def test_prf_zero_expansion_equals_bm25(spark):
+    from ocr_search_spark.operators.search import match_terms_bm25, match_terms_prf
+
+    p = _prf_postings(spark)
+    a = sorted(map(tuple, match_terms_bm25(p, ["alpha"], max_return=100).collect()))
+    b = sorted(map(tuple, match_terms_prf(p, ["alpha"], fb_terms=0, max_return=100).collect()))
+    assert a == b
+
+
+def test_prf_expansion_recalls_unqueried_doc(spark):
+    from ocr_search_spark.operators.search import match_terms_bm25, match_terms_prf
+
+    p = _prf_postings(spark)
+    plain = {r["doc_id"] for r in match_terms_bm25(p, ["alpha"], max_return=100).collect()}
+    prf = {r["doc_id"] for r in match_terms_prf(p, ["alpha"], fb_docs=5, fb_terms=2, max_return=100).collect()}
+    assert "d5" not in plain
+    assert "d5" in prf
+
+
+def test_prf_partition_invariance(spark):
+    from ocr_search_spark.operators.search import match_terms_prf
+
+    p = _prf_postings(spark)
+    a = sorted(map(tuple, match_terms_prf(p, ["alpha"], max_return=100).collect()))
+    b = sorted(map(tuple, match_terms_prf(p.repartition(11), ["alpha"], max_return=100).collect()))
+    assert a == b
+
+
+def test_prf_validation(spark):
+    import pytest as _pytest
+
+    from ocr_search_spark.operators.search import match_terms_prf
+
+    p = _prf_postings(spark)
+    with _pytest.raises(ValueError):
+        match_terms_prf(p, ["alpha"], fb_docs=0)
+    with _pytest.raises(ValueError):
+        match_terms_prf(p, ["alpha"], fb_terms=-1)
