@@ -410,3 +410,65 @@ def test_extract_anchors_equals_python_oracle_on_fuzz_corpus(spark):
     for i, t in enumerate(texts):
         expect = py_anchors(t)
         assert sorted(got.get(str(i), [])) == expect, f"doc {i}: {t!r}"
+
+
+# ---------------------------------------------------------- WordPiece
+
+
+def _wp_py(word, vocab, max_piece_len=12, max_word_len=32):
+    if not word or len(word) > max_word_len:
+        return "[UNK]"
+    pos, toks = 0, []
+    while pos < len(word):
+        hit = None
+        for ln in range(min(max_piece_len, len(word) - pos), 0, -1):
+            piece = ("##" if pos else "") + word[pos : pos + ln]
+            if piece in vocab:
+                hit = ln
+                break
+        if hit is None:
+            return "[UNK]"
+        toks.append(("##" if pos else "") + word[pos : pos + hit])
+        pos += hit
+    return " ".join(toks)
+
+
+_WP_FULL = (
+    {c for c in "abcd"} | {"##" + c for c in "abcd"}
+    | {"ab", "##ab", "abc", "##bc", "bca", "##cd", "dd", "##dd"}
+)
+
+
+@given(st.text(alphabet="abcd", min_size=1, max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_wordpiece_python_roundtrip_property(word):
+    """With all single chars in vocab, encode never fails, the greedy
+    first piece is the longest vocab prefix, and stripping ## and
+    concatenating recovers the word exactly."""
+    enc = _wp_py(word, _WP_FULL)
+    assert enc != "[UNK]"
+    pieces = enc.split(" ")
+    assert "".join(p[2:] if p.startswith("##") else p for p in pieces) == word
+    first = pieces[0]
+    for ln in range(len(first) + 1, min(12, len(word)) + 1):
+        assert word[:ln] not in _WP_FULL
+
+
+def test_wordpiece_spark_equals_python_on_fuzz_corpus(spark):
+    """Pin the Spark walk to the python oracle on an exhaustive short-
+    word corpus (every a-d string up to length 4 + a few long ones)."""
+    import itertools
+
+    from ocr_search_spark.training.wordpiece import wordpiece_encode
+
+    words = [
+        "".join(t)
+        for n in range(1, 5)
+        for t in itertools.product("abcd", repeat=n)
+    ] + ["abcdabcdabcdabcd", "d" * 33, "ddddabc"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: r["encoded"]
+        for r in wordpiece_encode(df, sorted(_WP_FULL)).collect()
+    }
+    assert got == {w: _wp_py(w, _WP_FULL) for w in words}
