@@ -14196,3 +14196,71 @@ scored2 AS (
 SELECT doc_id, score::BIGINT AS score FROM scored2
 ORDER BY score DESC, doc_id ASC
 LIMIT 20"""
+
+
+# ------------------------------------------------- phonetic blocking
+# Session-23: American Soundex (NARA rules incl. the H/W-transparency
+# and first-letter-adjacency subtleties) as a pure codegen key +
+# blocked entity-resolution candidate pairs with the max_block guard.
+# Oracle replays the exact translate/collapse/strip chain and the
+# guarded self-join.
+
+_PHON_NAMES = [
+    "Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak", "Pfister",
+    "Honeyman", "Washington", "Gutierrez", "Jackson", "Lee", "Smith",
+]
+
+
+def q_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.simjoin import phonetic_pairs
+
+    d = F.col("doc_id")
+    base = F.element_at(
+        F.array(*[F.lit(n) for n in _PHON_NAMES]), (d % 12 + 1).cast("int")
+    )
+    name = F.when(d % 4 == 0, F.concat(base, F.lit("son"))).otherwise(base)
+    names = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        d.alias("id"), name.alias("name")
+    )
+    return phonetic_pairs(names, max_block=1000)
+
+
+def _phonetic_oracle() -> str:
+    names_lit = "[" + ", ".join("'" + n + "'" for n in _PHON_NAMES) + "]"
+    sdx = """CASE WHEN s = '' THEN '' ELSE substring(s, 1, 1) ||
+      rpad(substring(regexp_replace(
+        CASE WHEN substring(s, 1, 1) IN ('H', 'W')
+             THEN u ELSE substring(u, 2) END,
+        '0', '', 'g'), 1, 3), 3, '0') END"""
+    return f"""WITH named AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 4 = 0
+              THEN {names_lit}[(doc_id % 12 + 1)::INT] || 'son'
+              ELSE {names_lit}[(doc_id % 12 + 1)::INT] END AS name
+  FROM documents
+),
+stage AS (
+  SELECT id, name,
+         regexp_replace(upper(name), '[^A-Z]', '', 'g') AS s
+  FROM named
+),
+coded AS (
+  SELECT id, name, s,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(translate(s, 'BFPVCGJKQSXZDTLMNRAEIOUYHW', '111122222222334556000000'), '00+', '0', 'g'), '11+', '1', 'g'), '22+', '2', 'g'), '33+', '3', 'g'), '44+', '4', 'g'), '55+', '5', 'g'), '66+', '6', 'g') AS u
+  FROM stage
+),
+keyed AS (
+  SELECT id, name, {sdx} AS soundex FROM coded
+  WHERE s <> ''
+),
+ok AS (
+  SELECT soundex FROM keyed GROUP BY soundex HAVING count(*) <= 1000
+),
+k2 AS (SELECT k.* FROM keyed k JOIN ok USING (soundex))
+SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+       a.soundex
+FROM k2 a JOIN k2 b ON a.soundex = b.soundex AND a.id < b.id"""
+
+
+_TRAINING_QUERIES["phonetic_blocking"] = q_phonetic
+_TRAINING_ORACLES["phonetic_blocking"] = _phonetic_oracle()

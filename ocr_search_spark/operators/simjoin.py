@@ -73,3 +73,84 @@ def edit1_pairs(
         .distinct()
     )
     return cand.where(F.levenshtein("s1", "s2") <= 1)
+
+
+# ---------------------------------------------------- phonetic blocking
+
+# American Soundex letter map: consonant classes 1-6, vowels (incl. Y)
+# to the '0' separator, H/W TRANSPARENT (removed before collapsing so
+# same-class consonants they separate code once — Ashcraft → A261).
+_SOUNDEX_SRC = "BFPVCGJKQSXZDTLMNRAEIOUYHW"
+_SOUNDEX_DST = "111122222222334556000000"  # H, W map to nothing
+
+
+def soundex_col(name: Column) -> Column:
+    """American Soundex key (Russell/NARA rules) of a name column as a
+    pure codegen expression — no UDF: uppercase, strip non-letters,
+    class-translate with H/W removed, collapse adjacent equal codes,
+    drop the leading code unless the name starts with H/W (the
+    first-letter-adjacency rule: Pfister → P236), strip the vowel
+    separators, keep 3 digits zero-padded, prepend the first letter.
+    Empty / letterless input keys to the empty string (callers drop or
+    bucket it explicitly rather than colliding on a fake 'Z000')."""
+    s = F.regexp_replace(F.upper(name), "[^A-Z]", "")
+    t = F.translate(s, _SOUNDEX_SRC, _SOUNDEX_DST)
+    # collapse adjacent equal codes with one replace PER DIGIT — a
+    # backreference pattern would be shorter but DuckDB's RE2 has no
+    # backrefs (the repo-wide RE2-replayable regex rule); per-digit
+    # collapses compose safely because collapsing one digit's runs can
+    # never create a new adjacent pair of another digit
+    u = t
+    for d in "0123456":
+        u = F.regexp_replace(u, d + d + "+", d)
+    first = F.substring(s, 1, 1)
+    digits = F.when(
+        first.isin("H", "W"), u
+    ).otherwise(F.substring(u, 2, 1_000_000))
+    code = F.rpad(
+        F.substring(F.regexp_replace(digits, "0", ""), 1, 3), 3, "0"
+    )
+    return F.when(s == "", F.lit("")).otherwise(F.concat(first, code))
+
+
+def phonetic_pairs(
+    names: DataFrame,
+    name_col: str = "name",
+    id_col: str = "id",
+    max_block: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, name_a, name_b, soundex) — candidate pairs of
+    records whose names share a Soundex key: the classic phonetic
+    BLOCKING stage of entity resolution / author dedup (Fellegi-Sunter
+    pipelines block first, compare second; edit1_pairs is the
+    character-level sibling, this is the sound-level one — Robert and
+    Rupert share R163 at edit distance 2).
+
+    Scale shape: one projection for the key, one key-keyed self-join.
+    Blocks larger than ``max_block`` are DROPPED plan-side before the
+    join (the max_df discipline: a degenerate key — every 'Smith' in a
+    census — would otherwise square; the guard turns it into an
+    explicit coverage decision instead of a detonation). The empty key
+    (letterless names) is always dropped.
+    """
+    if max_block < 2:
+        raise ValueError(f"max_block must be >= 2, got {max_block}")
+    keyed = names.select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("name"),
+        soundex_col(F.col(name_col)).alias("soundex"),
+    ).where(F.col("soundex") != "")
+    sizes = keyed.groupBy("soundex").agg(F.count("*").alias("_n"))
+    ok = sizes.where(F.col("_n") <= max_block).select("soundex")
+    keyed = keyed.join(ok, "soundex")
+    a = keyed.select(
+        "soundex", F.col("id").alias("id_a"), F.col("name").alias("name_a")
+    )
+    b = keyed.select(
+        "soundex", F.col("id").alias("id_b"), F.col("name").alias("name_b")
+    )
+    return (
+        a.join(b, "soundex")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b", "soundex")
+    )

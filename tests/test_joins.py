@@ -71,3 +71,56 @@ def test_bloom_pruned_join_equals_plain_join_and_prunes(spark):
     hits = bloom_probe(bl, big.select("k").distinct(), "k")
     n_pass = hits.where("bloom_hit").count()
     assert 3 <= n_pass <= 10  # 3 true keys + at most a few false positives
+
+
+# ---------------------------------------------------- phonetic blocking
+
+
+_SOUNDEX_GOLDEN = [
+    ("Robert", "R163"), ("Rupert", "R163"), ("Ashcraft", "A261"),
+    ("Ashcroft", "A261"), ("Tymczak", "T522"), ("Pfister", "P236"),
+    ("Honeyman", "H555"), ("Washington", "W252"), ("Lee", "L000"),
+    ("Gutierrez", "G362"), ("Jackson", "J250"), ("O'Brien", "O165"),
+    ("", ""), ("123", ""),
+]
+
+
+def test_soundex_golden_codes(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_search_spark.operators.simjoin import soundex_col
+
+    df = spark.createDataFrame(
+        [(n,) for n, _ in _SOUNDEX_GOLDEN], "name string"
+    )
+    got = {
+        r["name"]: r["sdx"]
+        for r in df.select("name", soundex_col(F.col("name")).alias("sdx")).collect()
+    }
+    for n, e in _SOUNDEX_GOLDEN:
+        assert got[n] == e, (n, got[n], e)
+
+
+def test_phonetic_pairs_blocks_and_guard(spark):
+    from ocr_search_spark.operators.simjoin import phonetic_pairs
+
+    rows = [
+        (0, "Robert"), (1, "Rupert"), (2, "Rubin"),
+        (3, "Ashcraft"), (4, "Ashcroft"), (5, "zzz123!!"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["soundex"])
+        for r in phonetic_pairs(df, max_block=10).collect()
+    )
+    assert got == [(0, 1, "R163"), (3, 4, "A261")]
+    # max_block guard drops the R163 block entirely
+    crowded = df.union(
+        spark.createDataFrame([(i, "Robert") for i in range(10, 20)], "id long, name string")
+    )
+    guarded = phonetic_pairs(crowded, max_block=5).collect()
+    assert all(r["soundex"] != "R163" for r in guarded)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phonetic_pairs(df, max_block=1)
