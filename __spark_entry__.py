@@ -14264,3 +14264,57 @@ FROM k2 a JOIN k2 b ON a.soundex = b.soundex AND a.id < b.id"""
 
 _TRAINING_QUERIES["phonetic_blocking"] = q_phonetic
 _TRAINING_ORACLES["phonetic_blocking"] = _phonetic_oracle()
+
+
+# --------------------------------------- star-contraction components
+# Session-23: the O(log n)-round connected-components scale path
+# (Kiveris SoCC'14 large-star/small-star) gated on a DIAMETER-96 path
+# fixture — exactly the graph shape where dedup_clusters' min-label
+# propagation (O(diameter) rounds) is structurally dead and star
+# contraction converges in ~2·log2(n). Oracle = recursive-CTE
+# min-reachable closure over the same generated edges.
+
+
+def _cc_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = docs.select((F.col("doc_id") % 97).alias("r")).distinct()
+    path = r.where(F.col("r") <= 95).select(
+        F.col("r").cast("long").alias("a"),
+        (F.col("r") + 1).cast("long").alias("b"),
+    )
+    c = docs.select((F.col("doc_id") % 5).alias("i")).distinct()
+    clique = (
+        c.select(F.col("i").alias("x"))
+        .join(c.select(F.col("i").alias("y")), F.col("x") < F.col("y"))
+        .select(
+            (F.col("x") + 1000).cast("long").alias("a"),
+            (F.col("y") + 1000).cast("long").alias("b"),
+        )
+    )
+    return path.unionByName(clique)
+
+
+def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.graph import connected_components_star
+
+    return connected_components_star(_cc_star_edges(spark, sf_dir))
+
+
+_TRAINING_QUERIES["cc_star"] = q_cc_star
+_TRAINING_ORACLES["cc_star"] = """WITH RECURSIVE rs AS (
+  SELECT DISTINCT doc_id % 97 AS r FROM documents
+),
+ci AS (SELECT DISTINCT doc_id % 5 AS i FROM documents),
+e0 AS (
+  SELECT r::BIGINT AS a, (r + 1)::BIGINT AS b FROM rs WHERE r <= 95
+  UNION ALL
+  SELECT (x.i + 1000)::BIGINT, (y.i + 1000)::BIGINT
+  FROM ci x JOIN ci y ON x.i < y.i
+),
+und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+reach AS (
+  SELECT a AS node, a AS m FROM (SELECT DISTINCT a FROM und)
+  UNION
+  SELECT u.a AS node, r.m FROM und u JOIN reach r ON r.node = u.b
+)
+SELECT node, min(m)::BIGINT AS component FROM reach GROUP BY node"""

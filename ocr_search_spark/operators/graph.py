@@ -557,3 +557,100 @@ def kcore(
         f"k-core peeling did not converge within {max_iter} rounds "
         f"(k={k}); raise max_iter"
     )
+
+
+# ---------------------------------------- two-phase star contraction
+
+
+def connected_components_star(
+    edges: DataFrame, max_rounds: int = 30
+) -> DataFrame:
+    """(node, component) — connected components by ALTERNATING
+    large-star / small-star contraction (Kiveris, Lattanzi, Mirrokni,
+    Rastogi & Vassilvitskii, SoCC'14 "Connected Components in
+    MapReduce and Beyond"): per round every node re-points its
+    neighbors at the minimum of its closed neighborhood, which
+    CONTRACTS long chains exponentially — O(log n) rounds on ANY
+    graph, versus the O(diameter) rounds of min-label propagation
+    (``training/dedup.py:dedup_transitive_clusters``). On a 10⁹-node
+    near-chain dedup graph (bucket chains from overlapping LSH bands)
+    diameter can be millions: label propagation is structurally dead
+    there, star contraction is not — this operator is the scale path,
+    the label-propagation twin stays as the low-constant choice for
+    shallow graphs.
+
+    Pinned semantics (the paper's rules, node order = ascending id):
+
+    * large-star at u: every STRICTLY GREATER neighbor re-points to
+      ``m = min(N(u) ∪ {u})``;
+    * small-star at u: every neighbor ``≤ u`` (and u itself) re-points
+      to m;
+    * edges live canonically as (a < b) pairs; a round = large THEN
+      small; convergence = the canonical edge set is UNCHANGED by a
+      full round (checked exactly with two anti-joins, a scalar per
+      round); at the fixpoint every component is a star around its
+      minimum node and the label read-off is each node's closed-
+      neighborhood minimum.
+
+    Deterministic at any parallelism (all rules are min/comparisons),
+    RAISES RuntimeError if ``max_rounds`` rounds don't converge
+    (2·log₂(n) bounds it in theory; 30 covers 10⁹ nodes with margin)
+    rather than returning a half-contracted forest that looks like
+    labels. Per-phase cost: one explode-to-both-orientations, one
+    node-keyed min aggregate, one join back — all shuffles keyed by
+    node id; eager localCheckpoint per phase keeps the plan O(1)
+    (the bfs_depth lineage discipline).
+    """
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+
+    def canon(df: DataFrame) -> DataFrame:
+        return (
+            df.where(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
+            .distinct()
+        )
+
+    def star(cur: DataFrame, large: bool) -> DataFrame:
+        nbrs = cur.select("a", "b").unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        m = nbrs.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        j = nbrs.join(m, "a")
+        if large:
+            out = j.where(F.col("b") > F.col("a")).select(
+                F.col("b").alias("a"), F.col("m").alias("b")
+            )
+        else:
+            out = j.where(F.col("b") <= F.col("a")).select(
+                F.col("b").alias("a"), F.col("m").alias("b")
+            ).unionByName(m.select(F.col("a"), F.col("m").alias("b")))
+        return canon(out).localCheckpoint(eager=True)
+
+    cur = canon(
+        edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nxt = star(star(cur, large=True), large=False)
+        changed = (
+            nxt.join(cur, ["a", "b"], "left_anti").count()
+            + cur.join(nxt, ["a", "b"], "left_anti").count()
+        )
+        if changed == 0:
+            nbrs = cur.select("a", "b").unionByName(
+                cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            return (
+                nbrs.groupBy("a")
+                .agg(F.least(F.min("b"), F.first("a")).alias("component"))
+                .select(F.col("a").alias("node"), "component")
+            )
+        cur = nxt
+    raise RuntimeError(
+        f"star contraction did not converge within {max_rounds} rounds "
+        "(theory bound ~2·log2(n)); raise max_rounds"
+    )

@@ -419,3 +419,69 @@ def test_kcore_validation(spark):
             k=3,
             max_iter=1,
         )
+
+
+# ---------------------------------------- star-contraction components
+
+
+def _cc_py(edges):
+    import itertools
+
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    nodes = set(itertools.chain.from_iterable(edges))
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in nodes}
+
+
+def test_cc_star_vs_union_find_random(spark):
+    from ocr_search_spark.operators.graph import connected_components_star
+
+    rng = random.Random(41)
+    edges = set()
+    while len(edges) < 40:
+        a, b = rng.randrange(40), rng.randrange(40)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    e = spark.createDataFrame(sorted(edges), "a long, b long")
+    got = {r["node"]: r["component"] for r in connected_components_star(e).collect()}
+    assert got == _cc_py(edges)
+
+
+def test_cc_star_long_chain_logarithmic(spark):
+    """A 60-node path has diameter 59 — min-label propagation needs ~59
+    rounds; star contraction must finish well inside 2·log2(60)+slack."""
+    from ocr_search_spark.operators.graph import connected_components_star
+
+    chain = [(i, i + 1) for i in range(59)]
+    e = spark.createDataFrame(chain, "a long, b long")
+    out = {r["node"]: r["component"] for r in connected_components_star(e, max_rounds=14).collect()}
+    assert set(out.values()) == {0} and len(out) == 60
+
+
+def test_cc_star_multiple_components_and_self_loops(spark):
+    from ocr_search_spark.operators.graph import connected_components_star
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (9, 9)], "a long, b long"
+    )
+    out = {r["node"]: r["component"] for r in connected_components_star(e).collect()}
+    # self-loop-only node 9 drops (no real edge); two components remain
+    assert out == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
+
+
+def test_cc_star_validation_and_nonconvergence_guard(spark):
+    from ocr_search_spark.operators.graph import connected_components_star
+
+    e = spark.createDataFrame([(0, 1)], "a long, b long")
+    with pytest.raises(ValueError):
+        connected_components_star(e, max_rounds=0)
