@@ -14225,14 +14225,19 @@ def q_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phonetic_pairs(names, max_block=1000)
 
 
-def _phonetic_oracle() -> str:
+def _phonetic_ctes() -> str:
+    """Shared CTE chain: generated names -> soundex keys -> guarded
+    candidate pairs (used by phonetic_blocking and blocking_quality)."""
     names_lit = "[" + ", ".join("'" + n + "'" for n in _PHON_NAMES) + "]"
     sdx = """CASE WHEN s = '' THEN '' ELSE substring(s, 1, 1) ||
       rpad(substring(regexp_replace(
         CASE WHEN substring(s, 1, 1) IN ('H', 'W')
              THEN u ELSE substring(u, 2) END,
         '0', '', 'g'), 1, 3), 3, '0') END"""
-    return f"""WITH named AS (
+    collapse = "translate(s, 'BFPVCGJKQSXZDTLMNRAEIOUYHW', '111122222222334556000000')"
+    for d in "0123456":
+        collapse = f"regexp_replace({collapse}, '{d}{d}+', '{d}', 'g')"
+    return f"""named AS (
   SELECT doc_id AS id,
          CASE WHEN doc_id % 4 = 0
               THEN {names_lit}[(doc_id % 12 + 1)::INT] || 'son'
@@ -14245,9 +14250,7 @@ stage AS (
   FROM named
 ),
 coded AS (
-  SELECT id, name, s,
-         regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(translate(s, 'BFPVCGJKQSXZDTLMNRAEIOUYHW', '111122222222334556000000'), '00+', '0', 'g'), '11+', '1', 'g'), '22+', '2', 'g'), '33+', '3', 'g'), '44+', '4', 'g'), '55+', '5', 'g'), '66+', '6', 'g') AS u
-  FROM stage
+  SELECT id, name, s, {collapse} AS u FROM stage
 ),
 keyed AS (
   SELECT id, name, {sdx} AS soundex FROM coded
@@ -14256,10 +14259,19 @@ keyed AS (
 ok AS (
   SELECT soundex FROM keyed GROUP BY soundex HAVING count(*) <= 1000
 ),
-k2 AS (SELECT k.* FROM keyed k JOIN ok USING (soundex))
-SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
-       a.soundex
-FROM k2 a JOIN k2 b ON a.soundex = b.soundex AND a.id < b.id"""
+k2 AS (SELECT k.* FROM keyed k JOIN ok USING (soundex)),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+         a.soundex
+  FROM k2 a JOIN k2 b ON a.soundex = b.soundex AND a.id < b.id
+)"""
+
+
+def _phonetic_oracle() -> str:
+    return (
+        "WITH " + _phonetic_ctes()
+        + "\nSELECT id_a, id_b, name_a, name_b, soundex FROM cand"
+    )
 
 
 _TRAINING_QUERIES["phonetic_blocking"] = q_phonetic
@@ -14318,3 +14330,66 @@ reach AS (
   SELECT u.a AS node, r.m FROM und u JOIN reach r ON r.node = u.b
 )
 SELECT node, min(m)::BIGINT AS component FROM reach GROUP BY node"""
+
+
+# ------------------------------------------------- blocking quality
+# Session-23: reduction ratio + pair completeness (Christen 2012) of
+# the Soundex blocker against the generation-rule truth (same base
+# surname = same record entity; the 'son' variants are exactly the
+# matches phonetic blocking can miss — S530 Smith vs S532 Smithson).
+# Oracle reuses the shared phonetic CTE chain and replays the exact
+# e6 metrics; the C(n,2) comparison space is arithmetic on count(*).
+
+
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.simjoin import blocking_eval, phonetic_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    d = F.col("doc_id")
+    base = F.element_at(
+        F.array(*[F.lit(x) for x in _PHON_NAMES]), (d % 12 + 1).cast("int")
+    )
+    name = F.when(d % 4 == 0, F.concat(base, F.lit("son"))).otherwise(base)
+    names = docs.select(d.alias("id"), name.alias("name"))
+    cand = phonetic_pairs(names, max_block=1000)
+    ent = docs.select(d.alias("id"), (d % 12).alias("_e"))
+    truth = (
+        ent.select(F.col("id").alias("id_a"), "_e")
+        .join(ent.select(F.col("id").alias("id_b"), "_e"), "_e")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return blocking_eval(cand, truth, n_records=n)
+
+
+_TRAINING_QUERIES["blocking_quality"] = q_blocking_quality
+
+
+def _blocking_quality_oracle() -> str:
+    return f"""WITH {_phonetic_ctes()},
+ent AS (SELECT doc_id AS id, doc_id % 12 AS e FROM documents),
+truth AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM ent a JOIN ent b ON a.e = b.e AND a.id < b.id
+),
+n AS (SELECT count(*)::BIGINT AS n_records FROM documents),
+cd AS (SELECT DISTINCT id_a, id_b FROM cand),
+td AS (SELECT DISTINCT id_a, id_b FROM truth),
+hits AS (SELECT t.* FROM td t JOIN cd c USING (id_a, id_b)),
+counts AS (
+  SELECT (SELECT count(*)::BIGINT FROM cd) AS n_cand,
+         (SELECT count(*)::BIGINT FROM td) AS n_true,
+         (SELECT count(*)::BIGINT FROM hits) AS n_hit,
+         n_records
+  FROM n
+)
+SELECT n_records, n_cand, n_true, n_hit,
+       ((n_records * (n_records - 1) // 2 - n_cand) * 1000000
+          // (n_records * (n_records - 1) // 2))::BIGINT AS reduction_ratio_e6,
+       (CASE WHEN n_true > 0 THEN n_hit * 1000000 // n_true END)::BIGINT
+         AS pair_completeness_e6
+FROM counts"""
+
+
+_TRAINING_ORACLES["blocking_quality"] = _blocking_quality_oracle()

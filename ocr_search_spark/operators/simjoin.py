@@ -29,7 +29,7 @@ join (single-character tokens are noise in every curation pipeline).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -153,4 +153,56 @@ def phonetic_pairs(
         a.join(b, "soundex")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "name_a", "name_b", "soundex")
+    )
+
+
+# ---------------------------------------------------- blocking quality
+
+
+def blocking_eval(
+    candidates: DataFrame,
+    truth: DataFrame,
+    n_records: int,
+) -> DataFrame:
+    """One row: (n_records, n_cand, n_true, n_hit, reduction_ratio_e6,
+    pair_completeness_e6) — the two standard blocking-quality metrics
+    of entity resolution (Christen 2012): REDUCTION RATIO, the share
+    of the C(n,2) comparison space the blocker eliminated, and PAIR
+    COMPLETENESS, the share of TRUE matching pairs that survive into
+    the candidate set. Together they are the blocker's cost/recall
+    trade — exactly what decides between phonetic_pairs, edit1_pairs
+    and dedup_snm on a given corpus.
+
+    Both inputs are canonical (id_a < id_b) pair frames; metrics in
+    exact e6 fixed point:
+
+        rr_e6 = (C(n,2) − n_cand) · 1e6 div C(n,2)
+        pc_e6 = n_hit · 1e6 div n_true          (NULL when n_true = 0)
+
+    Scale shape: one distinct + count per input and one pair-keyed
+    semi-join for the hits — the comparison SPACE C(n,2) is arithmetic,
+    never materialized.
+    """
+    if n_records < 2:
+        raise ValueError(f"n_records must be >= 2, got {n_records}")
+    total = n_records * (n_records - 1) // 2
+    c = candidates.select("id_a", "id_b").distinct()
+    t = truth.select("id_a", "id_b").distinct()
+    hit = t.join(c, ["id_a", "id_b"], "left_semi")
+    counts = (
+        c.agg(F.count("*").cast("long").alias("n_cand"))
+        .crossJoin(t.agg(F.count("*").cast("long").alias("n_true")))
+        .crossJoin(hit.agg(F.count("*").cast("long").alias("n_hit")))
+    )
+    return counts.select(
+        F.lit(int(n_records)).cast("long").alias("n_records"),
+        "n_cand",
+        "n_true",
+        "n_hit",
+        F.expr(f"({total} - n_cand) * 1000000 div {total}").alias(
+            "reduction_ratio_e6"
+        ),
+        F.when(
+            F.col("n_true") > 0, F.expr("n_hit * 1000000 div n_true")
+        ).alias("pair_completeness_e6"),
     )

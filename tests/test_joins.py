@@ -124,3 +124,31 @@ def test_phonetic_pairs_blocks_and_guard(spark):
 
     with _pytest.raises(ValueError):
         phonetic_pairs(df, max_block=1)
+
+
+def test_blocking_eval_exact_metrics(spark):
+    from ocr_search_spark.operators.simjoin import blocking_eval
+
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 2), (3, 4)], "id_a long, id_b long"
+    )
+    truth = spark.createDataFrame(
+        [(0, 1), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    r = blocking_eval(cand, truth, n_records=10).collect()[0]
+    assert (r["n_cand"], r["n_true"], r["n_hit"]) == (3, 3, 2)
+    assert r["reduction_ratio_e6"] == (45 - 3) * 1_000_000 // 45
+    assert r["pair_completeness_e6"] == 2 * 1_000_000 // 3
+
+
+def test_blocking_eval_empty_truth_null_pc(spark):
+    from ocr_search_spark.operators.simjoin import blocking_eval
+
+    cand = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    truth = spark.createDataFrame([], "id_a long, id_b long")
+    r = blocking_eval(cand, truth, 5).collect()[0]
+    assert r["pair_completeness_e6"] is None and r["n_hit"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        blocking_eval(cand, truth, 1)
