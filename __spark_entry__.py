@@ -14393,3 +14393,54 @@ FROM counts"""
 
 
 _TRAINING_ORACLES["blocking_quality"] = _blocking_quality_oracle()
+
+
+# ------------------------------------------------- homoglyph folding
+# Session-23: TR39 confusable folding + IDN-homograph spoof counting
+# over a corpus with DETERMINISTICALLY INJECTED lookalikes (doc_id%3
+# rotates Cyrillic-a injection, Greek-omicron injection, clean). Both
+# engines inject with the same translate and replay the same fold /
+# count expressions — codepoint semantics proven equal end to end.
+
+
+def q_homoglyphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.webtext import fold_homoglyphs
+
+    d = F.col("doc_id")
+    t = F.col("text")
+    injected = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.when(d % 3 == 0, F.translate(t, "a", "а"))
+        .when(d % 3 == 1, F.translate(t, "o", "ο"))
+        .otherwise(t)
+        .alias("text"),
+    )
+    return fold_homoglyphs(injected)
+
+
+def _homoglyph_oracle() -> str:
+    from ocr_search_spark.operators.webtext import (
+        _HG_CLASS,
+        _HG_DST,
+        _HG_MIXED_RE,
+        _HG_SRC,
+    )
+
+    return f"""WITH injected AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 3 = 0 THEN translate(text, 'a', 'а')
+              WHEN doc_id % 3 = 1 THEN translate(text, 'o', 'ο')
+              ELSE text END AS t
+  FROM documents
+)
+SELECT id,
+       translate(t, '{_HG_SRC}', '{_HG_DST}') AS folded,
+       len(regexp_extract_all(t, '{_HG_CLASS}'))::BIGINT AS n_confusables,
+       len(list_filter(
+             list_filter(string_split_regex(lower(t), '\\s+'), x -> x <> ''),
+             w -> regexp_matches(w, '{_HG_MIXED_RE}')))::BIGINT AS n_spoof_tokens
+FROM injected"""
+
+
+_TRAINING_QUERIES["homoglyph_fold"] = q_homoglyphs
+_TRAINING_ORACLES["homoglyph_fold"] = _homoglyph_oracle()

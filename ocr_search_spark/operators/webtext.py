@@ -622,3 +622,63 @@ def html_table_markdown(
         F.col("cell").alias("text"),
     )
     return table_markdown(cells, doc_col="id", page_col="table_idx")
+
+
+# --------------------------------------------------- homoglyph folding
+
+# Pinned confusable subset (Unicode TR39 confusables, the high-traffic
+# Cyrillic/Greek lookalikes of Latin lowercase). The RULE is the
+# operator; a deployment swaps in the full confusables table as data —
+# the same contract as urlnorm's public-suffix subset.
+HOMOGLYPHS: dict[str, str] = {
+    "а": "a",  # CYRILLIC SMALL A
+    "е": "e",  # CYRILLIC SMALL IE
+    "о": "o",  # CYRILLIC SMALL O
+    "р": "p",  # CYRILLIC SMALL ER
+    "с": "c",  # CYRILLIC SMALL ES
+    "х": "x",  # CYRILLIC SMALL HA
+    "у": "y",  # CYRILLIC SMALL U
+    "і": "i",  # CYRILLIC SMALL BYELORUSSIAN-UKRAINIAN I
+    "ѕ": "s",  # CYRILLIC SMALL DZE
+    "ο": "o",  # GREEK SMALL OMICRON
+    "α": "a",  # GREEK SMALL ALPHA
+    "ν": "v",  # GREEK SMALL NU
+}
+_HG_SRC = "".join(HOMOGLYPHS)
+_HG_DST = "".join(HOMOGLYPHS.values())
+_HG_CLASS = "[" + _HG_SRC + "]"
+# a token is a SPOOF candidate when it mixes plain Latin letters with
+# confusable lookalikes — the IDN-homograph shape ("pаypal": Latin
+# p,y,l + Cyrillic а) — pure ASCII and pure foreign-script tokens are
+# both legitimate
+_HG_MIXED_RE = f"([a-z]{_HG_CLASS}|{_HG_CLASS}[a-z])"
+
+
+def fold_homoglyphs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, folded, n_confusables, n_spoof_tokens) — fold the pinned
+    Latin-lookalike confusables (TR39 subset) to their Latin targets
+    and measure the damage: total confusable codepoints, and the count
+    of MIXED-SCRIPT tokens (Latin letters and lookalikes in one token
+    — the IDN-homograph spoof shape; pure-Cyrillic words are fine and
+    pure-ASCII obviously so). Search keys, dedup shingles and URL
+    hosts must fold BEFORE hashing or the spoof and its target live in
+    different buckets forever — which is also why this is a separate
+    operator from webtext_normalize (mojibake is encoding DAMAGE,
+    homoglyphs are content that is deliberately wrong).
+
+    Pure codegen projection: one translate + two regexp counts, no
+    shuffle, no UDF."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != "")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.translate(t, _HG_SRC, _HG_DST).alias("folded"),
+        F.size(
+            F.regexp_extract_all(t, F.lit(_HG_CLASS), 0)
+        ).cast("long").alias("n_confusables"),
+        F.size(F.filter(toks, lambda w: w.rlike(_HG_MIXED_RE)))
+        .cast("long")
+        .alias("n_spoof_tokens"),
+    )

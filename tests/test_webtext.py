@@ -236,3 +236,37 @@ def test_html_meta_policy(spark):
     assert rows[3] == (False, "http://c.com/x")
     assert rows[4] == (False, "http://c.com/y")
     assert rows[5] == (False, "")  # content=noindex on a non-robots meta
+
+
+# --------------------------------------------------- homoglyph folding
+
+
+def test_fold_homoglyphs_spoof_detection(spark):
+    from ocr_search_spark.operators.webtext import fold_homoglyphs
+
+    docs = [
+        (0, "pаypal login"),          # Cyrillic а inside Latin word
+        (1, "plain ascii text"),
+        (2, "привет мир"),  # pure Cyrillic — no spoof
+        (3, "νisa cоrp"),        # Greek nu + Cyrillic o, two spoof tokens
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["id"]: r for r in fold_homoglyphs(df).collect()}
+    assert out[0]["folded"] == "paypal login"
+    assert out[0]["n_confusables"] == 1 and out[0]["n_spoof_tokens"] == 1
+    assert out[1]["n_confusables"] == 0 and out[1]["n_spoof_tokens"] == 0
+    assert out[2]["n_spoof_tokens"] == 0          # pure foreign script is fine
+    assert out[2]["n_confusables"] > 0            # but its confusables still count
+    assert out[3]["folded"] == "visa corp"
+    assert out[3]["n_spoof_tokens"] == 2
+
+
+def test_fold_homoglyphs_idempotent(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_search_spark.operators.webtext import fold_homoglyphs
+
+    df = spark.createDataFrame([(0, "pаypаl")], "doc_id long, text string")
+    once = fold_homoglyphs(df).select(F.col("folded").alias("text"), F.lit(0).alias("doc_id"))
+    twice = fold_homoglyphs(once).collect()[0]
+    assert twice["folded"] == "paypal" and twice["n_confusables"] == 0
