@@ -14444,3 +14444,70 @@ FROM injected"""
 
 _TRAINING_QUERIES["homoglyph_fold"] = q_homoglyphs
 _TRAINING_ORACLES["homoglyph_fold"] = _homoglyph_oracle()
+
+
+# ------------------------------------------------- k-means|| seeding
+# Session-23: Bahmani VLDB'12 oversampling init in EXACT integer
+# arithmetic — micros quantization, BIGINT distances, the Bernoulli
+# draw as a cross-multiplied HUGEINT/DECIMAL comparison on h60 — so
+# the DuckDB twin replays every draw bit-for-bit. 2 rounds, ell=8.
+
+_KMPP_ELL = 8
+_KMPP_ROUNDS = 2
+
+
+def q_kmeanspp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.similarity import kmeanspp_oversample
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeanspp_oversample(emb, ell=_KMPP_ELL, rounds=_KMPP_ROUNDS)
+
+
+def _kmpp_oracle() -> str:
+    two60 = 1 << 60
+
+    def dist_block(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT p.vec_id, c.vec_id AS cand,
+         sum((p.m - c.m) * (p.m - c.m))::BIGINT AS d2
+  FROM fm p JOIN fm c ON c.i = p.i JOIN {cents} t ON t.cand = c.vec_id
+  GROUP BY 1, 2
+)"""
+
+    def round_blocks(r: int, cents_in: str, cents_out: str) -> str:
+        h = _h60_sql(f"d.vec_id::VARCHAR || ':{r}:kmpp'")
+        return f"""{dist_block(f'pc{r}', cents_in)},
+dmin{r} AS (SELECT vec_id, min(d2)::BIGINT AS d2 FROM pc{r} GROUP BY vec_id),
+phi{r} AS (SELECT sum(d2)::BIGINT AS phi FROM dmin{r}),
+s{r} AS (
+  SELECT d.vec_id FROM dmin{r} d CROSS JOIN phi{r}
+  WHERE phi > 0 AND ({h})::HUGEINT * phi::HUGEINT
+        < {_KMPP_ELL}::HUGEINT * d.d2::HUGEINT * {two60}::HUGEINT
+),
+{cents_out} AS (SELECT cand FROM {cents_in} UNION SELECT vec_id FROM s{r})"""
+
+    rounds_sql = ",\n".join(
+        round_blocks(r, f"cent{r - 1}", f"cent{r}")
+        for r in range(1, _KMPP_ROUNDS + 1)
+    )
+    last = f"cent{_KMPP_ROUNDS}"
+    return f"""WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+  FROM embeddings
+),
+fm AS (SELECT vec_id, i, floor(v::DOUBLE * 1000000)::BIGINT AS m FROM flat),
+cent0 AS (SELECT min(vec_id)::BIGINT AS cand FROM embeddings),
+{rounds_sql},
+{dist_block('pcf', last)},
+assign AS (
+  SELECT vec_id, cand FROM (
+    SELECT vec_id, cand,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cand ASC) AS rn
+    FROM pcf
+  ) WHERE rn = 1
+)
+SELECT cand AS cand_id, count(*)::BIGINT AS weight FROM assign GROUP BY cand"""
+
+
+_TRAINING_QUERIES["kmeanspp_seeds"] = q_kmeanspp
+_TRAINING_ORACLES["kmeanspp_seeds"] = _kmpp_oracle()

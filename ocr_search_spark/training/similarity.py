@@ -1025,3 +1025,124 @@ def ranking_metrics(
             ).cast("long").alias("rr_e6"),
         )
     )
+
+
+# ------------------------------------------------- k-means|| seeding
+
+
+def kmeanspp_oversample(
+    corpus: DataFrame,
+    ell: int = 8,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "kmpp",
+) -> DataFrame:
+    """(cand_id, weight) — k-means|| oversampling initialization
+    (Bahmani, Moseley, Vattani, Kumar & Vassilvitskii, VLDB'12): start
+    from one seed, then for a few rounds sample each point with
+    probability ∝ ℓ·d²(x, C)/φ(C) and add the draws to the center
+    set; finish by weighting every candidate with the size of its
+    nearest-neighbor cell. The candidate set (≈ ℓ·rounds points)
+    replaces k-means++'s k SEQUENTIAL corpus passes with O(rounds)
+    passes — THE published distributed seeding — and feeds
+    :func:`kmeans_centroids` as a drop-in better seed than first-m.
+
+    Every decision is exact integer arithmetic so any SQL twin replays
+    bit-for-bit and the draw is identical at any parallelism:
+
+    * vectors quantize once to integer micros (``_micros`` — the PQ
+      contract); d² is an exact BIGINT component sum;
+    * φ = exact BIGINT sum of per-point minima;
+    * the Bernoulli draw ``u < ℓ·d²/φ`` is the cross-multiplied
+      integer comparison ``h60(id:round:salt) · φ < ℓ · d² · 2⁶⁰``
+      evaluated in DECIMAL(38,0)/HUGEINT (max magnitude ~1e37 at
+      10⁴-vector diagnostic scale; at larger N divide both sides by a
+      power of two first — the comparison is scale-free);
+    * already-chosen centers have d² = 0 and can never re-select;
+      ties in the final assignment break (d² ASC, cand_id ASC).
+
+    Scale shape per round: one component-grain equi-join on the
+    dimension index against the (tiny, checkpointed) center set —
+    broadcast hash join, NO nested-loop anywhere — one (point, center)
+    hash aggregate with full map-side combine, one point-keyed min,
+    one scalar φ aggregate. Center state is eagerly checkpointed per
+    round (the iterative-lineage discipline).
+    """
+    if ell < 1:
+        raise ValueError(f"ell must be >= 1, got {ell}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    from .hashing import h60
+
+    TWO60 = 1 << 60
+    vm = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        _micros(F.col(vec_col)).alias("v"),
+    )
+    flat = vm.select(
+        "vec_id", F.posexplode("v").alias("i", "m")
+    )
+    centers = (
+        vm.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+
+    def dists(cent: DataFrame) -> DataFrame:
+        cflat = cent.select(
+            F.col("cand_id"), F.posexplode("cv").alias("i", "cm")
+        )
+        return (
+            flat.join(F.broadcast(cflat), "i")
+            .groupBy("vec_id", "cand_id")
+            .agg(
+                F.sum(
+                    (F.col("m") - F.col("cm")) * (F.col("m") - F.col("cm"))
+                ).alias("d2")
+            )
+        )
+
+    for r in range(1, rounds + 1):
+        dmin = dists(centers).groupBy("vec_id").agg(F.min("d2").alias("d2"))
+        phi = dmin.agg(F.sum("d2").cast("long").alias("phi"))
+        drawn = (
+            dmin.crossJoin(F.broadcast(phi))
+            .where(F.col("phi") > 0)
+            .select(
+                "vec_id",
+                "d2",
+                "phi",
+                h60(
+                    F.concat(
+                        F.col("vec_id").cast("string"),
+                        F.lit(f":{r}:{salt}"),
+                    )
+                ).alias("h"),
+            )
+            .where(
+                F.expr(
+                    "cast(h as decimal(38,0)) * cast(phi as decimal(38,0)) "
+                    f"< cast({ell} as decimal(38,0)) "
+                    "* cast(d2 as decimal(38,0)) "
+                    f"* cast({TWO60} as decimal(38,0))"
+                )
+            )
+            .select("vec_id")
+        )
+        new = vm.join(drawn, "vec_id", "left_semi").select(
+            F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
+        )
+        centers = centers.unionByName(new).localCheckpoint(eager=True)
+
+    from pyspark.sql import Window as W
+
+    d = dists(centers)
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cand_id"))
+    )
+    assign = d.withColumn("_rn", rn).where(F.col("_rn") == 1)
+    return assign.groupBy("cand_id").agg(
+        F.count("*").cast("long").alias("weight")
+    )

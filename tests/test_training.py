@@ -2089,3 +2089,104 @@ def test_gazetteer_validation(spark):
         gazetteer_match(df, [])
     with _pytest.raises(ValueError):
         gazetteer_match(df, ["   "])
+
+
+# ------------------------------------------------- k-means|| seeding
+
+
+def _kmpp_py(vecs, ell, rounds, salt="kmpp"):
+    import hashlib
+    import math
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    vm = {i: [math.floor(float(x) * 1_000_000) for x in v] for i, v in vecs.items()}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    centers = [min(vm)]
+    for r in range(1, rounds + 1):
+        dmin = {i: min(d2(v, vm[c]) for c in centers) for i, v in vm.items()}
+        phi = sum(dmin.values())
+        if phi > 0:
+            for i in sorted(vm):
+                if h60(f"{i}:{r}:{salt}") * phi < ell * dmin[i] * (1 << 60):
+                    centers.append(i)
+    w = {}
+    for i, v in vm.items():
+        best = min(centers, key=lambda c: (d2(v, vm[c]), c))
+        w[best] = w.get(best, 0) + 1
+    return w
+
+
+def _kmpp_vecs(n=60, dim=6):
+    import math
+
+    return {
+        i: [math.sin(i * 7 + j) * 2.0 for j in range(dim)] for i in range(n)
+    }
+
+
+def test_kmeanspp_matches_python_replay(spark):
+    from ocr_search_spark.training.similarity import kmeanspp_oversample
+
+    vecs = _kmpp_vecs()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["cand_id"]: r["weight"]
+        for r in kmeanspp_oversample(df, ell=4, rounds=2).collect()
+    }
+    exp = _kmpp_py({i: v for i, v in vecs.items()}, ell=4, rounds=2)
+    assert got == exp
+    assert sum(got.values()) == 60
+    assert len(got) > 1  # oversampling actually drew extra candidates
+
+
+def test_kmeanspp_partition_invariance(spark):
+    from ocr_search_spark.training.similarity import kmeanspp_oversample
+
+    vecs = _kmpp_vecs(40, 4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    a = sorted(map(tuple, kmeanspp_oversample(df, ell=3, rounds=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            kmeanspp_oversample(df.repartition(7), ell=3, rounds=2).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_kmeanspp_degenerate_all_identical(spark):
+    """All-equal vectors: phi = 0 every round, the single seed absorbs
+    everything."""
+    from ocr_search_spark.training.similarity import kmeanspp_oversample
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    got = kmeanspp_oversample(df, ell=5, rounds=2).collect()
+    assert len(got) == 1 and got[0]["cand_id"] == 0 and got[0]["weight"] == 10
+
+
+def test_kmeanspp_validation(spark):
+    import pytest as _pytest
+
+    from ocr_search_spark.training.similarity import kmeanspp_oversample
+
+    df = spark.createDataFrame(
+        [(0, [1.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError):
+        kmeanspp_oversample(df, ell=0)
+    with _pytest.raises(ValueError):
+        kmeanspp_oversample(df, rounds=0)
