@@ -238,6 +238,27 @@ def main() -> None:
         "epoch_order",
         "trustrank_seeds",
         "training_triplets",
+        # session-22/23: mixture planning, crawl freshness, alias mining,
+        # subword trio completion, graph density + log-round CC, fielded
+        # and feedback retrieval, ER blocking, seeding
+        "mixture_budget",
+        "recrawl_priority",
+        "domain_templates",
+        "kcore_spam",
+        "dust_params",
+        "search_bm25f",
+        "lsh_tuning",
+        "wordpiece_encode",
+        "source_overlap",
+        "vocab_growth",
+        "textrank_keywords",
+        "gazetteer_match",
+        "search_prf",
+        "phonetic_blocking",
+        "cc_star",
+        "blocking_quality",
+        "homoglyph_fold",
+        "kmeanspp_seeds",
     ]
     times_ext: dict[str, float] = {}
     for name in extended:
