@@ -1817,7 +1817,14 @@ _GATE_PRIORITY = [
     "lm_quality", "events_funnel", "events_retention", "search_bm25",
     # new in round 3
     "dedup_skewed", "correlations_incremental", "search_batch_bm25",
-    "png_pixel_stats", "postings_wordnet",
+    # session-23 flagship: k-means|| oversampling — the only entry whose
+    # gate covers DECIMAL/HUGEINT cross-multiplied Bernoulli draws (an
+    # exactness mechanism nothing else exercises). Slot freed by
+    # png_pixel_stats (real-codec media gate shape = convert_interleaved's
+    # in-window glyph-OCR-over-real-PNG row + multimodal_features r2 row +
+    # test_png; stays check_entry-verified in the overflow).
+    "kmeanspp_seeds",
+    "postings_wordnet",
     # session-15 flagship: URL canonicalization (regex parse + iterated
     # dot-segment rewrite + public-suffix registered-domain table, all
     # shuffle-free columnar) — a new crawl-curation operator family, so
@@ -1834,7 +1841,15 @@ _GATE_PRIORITY = [
     # tpch_q14/q17 (join-agg / conditional-agg shapes already earning
     # driver rows through q1/q3/q5/q18/q22 and q4's EXISTS row; all four
     # remain check_entry-verified below).
-    "search_hybrid_rrf", "search_maxsim", "search_champion",
+    "search_hybrid_rrf", "search_maxsim",
+    # session-23 flagship: BM25F — the only entry gating the pivoted
+    # fixed-order float fold (bit-deterministic field mixing), new
+    # ranking machinery beyond the bm25/tfidf rows. Slot freed by
+    # search_champion (champion-list subset scoring = search_maxscore's
+    # overflow pruned-scoring sibling on top of the broadcast-term
+    # machinery search_topk/search_tfidf/search_bm25 already gate;
+    # stays check_entry-verified in the overflow).
+    "search_bm25f",
     "term_neighbors",
     # session-6: page-layout reading order (north-star "layout parsing"
     # stage — a new operator class). Slot freed by tpch_q21 (EXISTS/NOT
@@ -1847,7 +1862,14 @@ _GATE_PRIORITY = [
     # tpch_q1's r2 row + profile_documents' in-window row +
     # events_outliers' overflow entry; stays check_entry-verified).
     "layout_xycut_title",
-    "zorder_curve",
+    # session-23 flagship: star-contraction connected components — the
+    # O(log n)-round algorithm class (alternating re-pointing + exact
+    # anti-join convergence) that dedup_clusters' min-label row does
+    # NOT cover. Slot freed by zorder_curve (bit-interleave arithmetic
+    # projection = zorder_scaled's overflow sibling + the z-order
+    # machinery snapshot_zorder_scan gates end-to-end; stays
+    # check_entry-verified in the overflow).
+    "cc_star",
     # session-5 training-mix ops — first-class curation operators take
     # the window slots of four shape-siblings (see overflow note below)
     "semantic_dedup", "weighted_sample", "gopher_filters",
