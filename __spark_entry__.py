@@ -14533,3 +14533,61 @@ SELECT cand AS cand_id, count(*)::BIGINT AS weight FROM assign GROUP BY cand"""
 
 _TRAINING_QUERIES["kmeanspp_seeds"] = q_kmeanspp
 _TRAINING_ORACLES["kmeanspp_seeds"] = _kmpp_oracle()
+
+
+# ------------------------------------------------- paired sign test
+# Session-24: exact two-sided sign test between two per-query metric
+# columns — the binomial tail via the exact in-plan multiplicative
+# recurrence (64-bit safe for n <= 60, 'exact or absent' beyond). The
+# oracle replays the recurrence as a recursive CTE and the final e6
+# scale through HUGEINT.
+
+
+def q_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.search import sign_test
+
+    q = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select((F.col("doc_id") % 50).alias("query_id"))
+        .distinct()
+    )
+    a = q.select("query_id", (F.col("query_id") * 37 % 101).alias("metric"))
+    b = q.select("query_id", (F.col("query_id") * 53 % 97).alias("metric"))
+    return sign_test(a, b)
+
+
+_TRAINING_QUERIES["sign_test"] = q_sign_test
+_TRAINING_ORACLES["sign_test"] = """WITH RECURSIVE q AS (
+  SELECT DISTINCT doc_id % 50 AS qid FROM documents
+),
+m AS (SELECT qid, (qid * 37) % 101 AS ma, (qid * 53) % 97 AS mb FROM q),
+stats AS (
+  SELECT count(*)::BIGINT AS n_queries,
+         sum(CASE WHEN ma = mb THEN 1 ELSE 0 END)::BIGINT AS ties,
+         sum(CASE WHEN ma > mb THEN 1 ELSE 0 END)::BIGINT AS wins_a,
+         sum(CASE WHEN ma < mb THEN 1 ELSE 0 END)::BIGINT AS wins_b
+  FROM m
+),
+s2 AS (
+  SELECT *, (wins_a + wins_b)::BIGINT AS n,
+         greatest(wins_a, wins_b)::BIGINT AS w
+  FROM stats
+),
+b AS (
+  SELECT 0::BIGINT AS k, 1::BIGINT AS c, 1::BIGINT AS s FROM s2
+  UNION ALL
+  SELECT b.k + 1,
+         (b.c * (s2.n - b.k)) // (b.k + 1),
+         b.s + (b.c * (s2.n - b.k)) // (b.k + 1)
+  FROM b, s2 WHERE b.k + 1 <= s2.w - 1
+),
+sl AS (SELECT max(s)::BIGINT AS sl FROM b)
+SELECT n_queries, ties, wins_a, wins_b, n,
+       (CASE WHEN n > 0 AND n <= 60 THEN
+          least(1000000::BIGINT,
+                ((2000000::HUGEINT *
+                  (((1::BIGINT << n::INT)::HUGEINT) - sl::HUGEINT))
+                 // ((1::BIGINT << n::INT)::HUGEINT))::BIGINT)
+        END) AS p_e6,
+       n > 60 AS overflow
+FROM s2 CROSS JOIN sl"""

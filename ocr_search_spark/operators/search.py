@@ -1319,3 +1319,103 @@ def match_terms_prf(
         .limit(max_return)
         .select("doc_id", "score")
     )
+
+
+# ------------------------------------------------- paired sign test
+
+
+def sign_test(
+    metrics_a: DataFrame,
+    metrics_b: DataFrame,
+    id_col: str = "query_id",
+    metric_col: str = "metric",
+) -> DataFrame:
+    """One row: (n_queries, ties, wins_a, wins_b, n, p_e6, overflow) —
+    the EXACT two-sided paired sign test between two ranked runs'
+    per-query metrics (the standard "is ranker B actually better"
+    gate of IR evaluation — Smucker, Allan & Carterette CIKM'07 rank
+    the sign test among the safe choices; it assumes nothing about
+    the metric's distribution, only the per-query comparisons):
+
+        n = wins_a + wins_b            (ties drop, the classic rule)
+        w = max(wins_a, wins_b)
+        p = min(1, 2 · P[X ≥ w]),  X ~ Binomial(n, 1/2)
+
+    The binomial tail is computed EXACTLY in 64-bit integers via the
+    in-plan multiplicative recurrence C(n,k+1) = C(n,k)·(n−k) div
+    (k+1) (each division exact), folded over a bounded sequence —
+    valid for n ≤ 60 where every intermediate fits a signed long
+    (C(60,30)·31 < 2⁶³); only the final scale to e6 runs through one
+    DECIMAL(38,0) expression. For n > 60 the row reports
+    ``overflow = true`` and a NULL ``p_e6`` instead of silently
+    rounding through floats — the pinned contract is "exact or
+    absent" (sample the query set, or use the normal approximation
+    offline, when an eval set exceeds 60 effective queries).
+
+    Scale shape: one equi-join on the query id + one scalar
+    aggregate; the binomial fold is a ≤60-step in-row expression.
+    Input metrics should be exact integers (micro-units — e.g.
+    ranked_eval_metrics' ndcg_e6), which is what makes win/tie
+    decisions replayable.
+    """
+    a = metrics_a.select(
+        F.col(id_col).alias("qid"), F.col(metric_col).alias("ma")
+    )
+    b = metrics_b.select(
+        F.col(id_col).alias("qid"), F.col(metric_col).alias("mb")
+    )
+    j = a.join(b, "qid")
+    stats = j.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum((F.col("ma") == F.col("mb")).cast("long")).alias("ties"),
+        F.sum((F.col("ma") > F.col("mb")).cast("long")).alias("wins_a"),
+        F.sum((F.col("ma") < F.col("mb")).cast("long")).alias("wins_b"),
+    ).select(
+        "*",
+        (F.col("wins_a") + F.col("wins_b")).cast("long").alias("n"),
+        F.greatest("wins_a", "wins_b").cast("long").alias("_w"),
+    )
+    # S_lower = sum_{k=0}^{w-1} C(n,k): k=0 contributes 1; fold the
+    # exact recurrence over k=1..w-1 carrying (C(n,k), running sum);
+    # written as a SQL expr so `div` stays exact integral division
+    slower = F.when(F.col("_w") >= 2, F.expr(
+        "aggregate(sequence(cast(1 as bigint), _w - 1), "
+        "named_struct('c', cast(1 as bigint), 's', cast(1 as bigint)), "
+        "(acc, k) -> named_struct("
+        "'c', (acc.c * (n - k + 1)) div k, "
+        "'s', acc.s + (acc.c * (n - k + 1)) div k), "
+        "acc -> acc.s)"
+    )).otherwise(
+        F.when(F.col("_w") == 1, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    )
+    out = stats.select(
+        "n_queries",
+        "ties",
+        "wins_a",
+        "wins_b",
+        "n",
+        (F.col("n") > 60).alias("overflow"),
+        F.when((F.col("n") > 0) & (F.col("n") <= 60), slower)
+        .otherwise(F.lit(None))
+        .alias("_sl"),
+    )
+    p = F.expr(
+        "least(cast(1000000 as bigint), cast("
+        "cast(2000000 as decimal(38,0)) * "
+        "cast(shiftleft(cast(1 as bigint), cast(n as int)) - _sl as decimal(38,0)) "
+        "div cast(shiftleft(cast(1 as bigint), cast(n as int)) as decimal(38,0)) "
+        "as bigint))"
+    )
+    return out.select(
+        "n_queries",
+        "ties",
+        "wins_a",
+        "wins_b",
+        "n",
+        F.when(
+            (F.col("n") > 0) & (~F.col("overflow")), p
+        ).alias("p_e6"),
+        "overflow",
+    )

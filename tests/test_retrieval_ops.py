@@ -565,3 +565,61 @@ def test_prf_validation(spark):
         match_terms_prf(p, ["alpha"], fb_docs=0)
     with _pytest.raises(ValueError):
         match_terms_prf(p, ["alpha"], fb_terms=-1)
+
+
+# ------------------------------------------------------------ sign test
+
+
+def _sign_test_py(pairs):
+    from math import comb
+
+    wins_a = sum(1 for a, b in pairs if a > b)
+    wins_b = sum(1 for a, b in pairs if a < b)
+    ties = sum(1 for a, b in pairs if a == b)
+    n = wins_a + wins_b
+    if n == 0 or n > 60:
+        return wins_a, wins_b, ties, n, None
+    w = max(wins_a, wins_b)
+    s_upper = sum(comb(n, k) for k in range(w, n + 1))
+    p = min(1_000_000, 2_000_000 * s_upper // (1 << n))
+    return wins_a, wins_b, ties, n, p
+
+
+def _metric_frames(spark, pairs):
+    a = spark.createDataFrame(
+        [(i, m) for i, (m, _) in enumerate(pairs)], "query_id long, metric long"
+    )
+    b = spark.createDataFrame(
+        [(i, m) for i, (_, m) in enumerate(pairs)], "query_id long, metric long"
+    )
+    return a, b
+
+
+def test_sign_test_matches_exact_binomial(spark):
+    from ocr_search_spark.operators.search import sign_test
+
+    cases = [
+        [(i * 37 % 101, i * 53 % 97) for i in range(40)],
+        [(5, 3)] * 9 + [(3, 5)] * 2,          # 9 vs 2 -> significant-ish
+        [(1, 1)] * 5 + [(2, 1)] * 3,          # ties drop
+        [(2, 1)] * 60,                        # extreme one-sided at the cap
+    ]
+    for pairs in cases:
+        a, b = _metric_frames(spark, pairs)
+        r = sign_test(a, b).collect()[0]
+        wa, wb, t, n, p = _sign_test_py(pairs)
+        assert (r["wins_a"], r["wins_b"], r["ties"], r["n"]) == (wa, wb, t, n)
+        assert r["p_e6"] == p, (pairs[:3], r["p_e6"], p)
+        assert not r["overflow"]
+
+
+def test_sign_test_all_ties_and_overflow(spark):
+    from ocr_search_spark.operators.search import sign_test
+
+    a, b = _metric_frames(spark, [(7, 7)] * 10)
+    r = sign_test(a, b).collect()[0]
+    assert r["n"] == 0 and r["p_e6"] is None and not r["overflow"]
+
+    a, b = _metric_frames(spark, [(2, 1)] * 61)
+    r = sign_test(a, b).collect()[0]
+    assert r["overflow"] and r["p_e6"] is None and r["n"] == 61
