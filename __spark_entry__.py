@@ -14591,3 +14591,118 @@ SELECT n_queries, ties, wins_a, wins_b, n,
         END) AS p_e6,
        n > 60 AS overflow
 FROM s2 CROSS JOIN sl"""
+
+
+# ------------------------------------------------- robots wildcards
+# Session-24: RFC 9309 metacharacter matching ('*' any-sequence,
+# trailing-'$' anchor, longest-PATTERN-octets precedence, Allow wins
+# ties) — robots_filter now compiles wildcard rules to RE2-safe
+# regexes ONCE on the rules side; this entry gates the wildcard paths
+# the original prefix-only fixture never exercised. Oracle replays the
+# compile chain (escape, * -> .*, conditional anchor) and the
+# longest-pattern window.
+
+_RW_RULES = [
+    ("*", False, "/*.pdf$"),
+    ("*", False, "/sec/*/x"),
+    ("*", True, "/sec/pub/x"),
+    ("*", False, "/exact$"),
+    ("googlebot", True, "/"),
+]
+_RW_PATHS = [
+    "/a.pdf", "/a.pdfx", "/sec/z/x", "/sec/pub/x",
+    "/exact", "/exactly", "/other",
+]
+
+
+def q_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.robots import robots_filter
+
+    d4 = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select((F.col("doc_id") % 4).alias("r"))
+        .distinct()
+    )
+    rules = d4.select(
+        F.concat(F.lit("w"), F.col("r").cast("string"), F.lit(".com")).alias(
+            "domain"
+        ),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("agent"),
+                        F.lit(al).alias("allow"),
+                        F.lit(p).alias("prefix"),
+                    )
+                    for a, al, p in _RW_RULES
+                ]
+            )
+        ).alias("_r"),
+    ).select("domain", "_r.*")
+    d = F.col("doc_id")
+    urls = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        d.alias("doc_id"),
+        F.concat(F.lit("w"), (d % 4).cast("string"), F.lit(".com")).alias(
+            "domain"
+        ),
+        F.element_at(
+            F.array(*[F.lit(p) for p in _RW_PATHS]), (d % 7 + 1).cast("int")
+        ).alias("path"),
+    )
+    from ocr_search_spark.operators.robots import robots_filter as _rf
+
+    return _rf(urls, rules, "bot").select(
+        "doc_id", "domain", "path", "allowed", "matched_prefix", "matched_allow"
+    )
+
+
+def _robots_wild_oracle() -> str:
+    rules_vals = ", ".join(
+        f"('{a}', {str(al).lower()}, '{p}')" for a, al, p in _RW_RULES
+    )
+    paths_lit = "[" + ", ".join("'" + p + "'" for p in _RW_PATHS) + "]"
+    return f"""WITH d4 AS (SELECT DISTINCT doc_id % 4 AS r FROM documents),
+rules AS (
+  SELECT 'w' || r || '.com' AS domain, a.agent, a.allow, a.prefix
+  FROM d4, (VALUES {rules_vals}) a(agent, allow, prefix)
+),
+sel AS (SELECT * FROM rules WHERE agent = '*'),
+compiled AS (
+  SELECT domain, allow, prefix,
+         (prefix LIKE '%*%' OR suffix(prefix, '$')) AS wild,
+         '^' || replace(
+            regexp_replace(
+              CASE WHEN suffix(prefix, '$')
+                   THEN regexp_replace(prefix, '\\$$', '')
+                   ELSE prefix END,
+              '([.^$+?(){{}}\\[\\]|\\\\])', '\\\\\\1', 'g'),
+            '*', '.*')
+         || CASE WHEN suffix(prefix, '$') THEN '$' ELSE '' END AS rx
+  FROM sel
+),
+urls AS (
+  SELECT doc_id, 'w' || (doc_id % 4) || '.com' AS domain,
+         ({paths_lit})[(doc_id % 7 + 1)::INT] AS path
+  FROM documents
+),
+m AS (
+  SELECT u.doc_id, c.allow, c.prefix,
+         row_number() OVER (
+           PARTITION BY u.doc_id
+           ORDER BY length(c.prefix) DESC, c.allow DESC, c.prefix
+         ) AS rn
+  FROM urls u JOIN compiled c USING (domain)
+  WHERE CASE WHEN c.wild THEN regexp_matches(u.path, c.rx)
+             ELSE starts_with(u.path, c.prefix) END
+),
+best AS (SELECT doc_id, allow, prefix FROM m WHERE rn = 1)
+SELECT u.doc_id, u.domain, u.path,
+       coalesce(b.allow, true) AS allowed,
+       coalesce(b.prefix, '') AS matched_prefix,
+       b.allow AS matched_allow
+FROM urls u LEFT JOIN best b USING (doc_id)"""
+
+
+_TRAINING_QUERIES["robots_wildcards"] = q_robots_wildcards
+_TRAINING_ORACLES["robots_wildcards"] = _robots_wild_oracle()

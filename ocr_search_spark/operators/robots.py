@@ -92,7 +92,18 @@ def robots_filter(
     path_col: str = "path",
 ) -> DataFrame:
     """Adds (allowed, matched_prefix, matched_allow) to ``urls`` under
-    RFC 9309 group selection + longest-prefix matching for ``agent``.
+    RFC 9309 group selection + longest-match for ``agent``, INCLUDING
+    the spec's two metacharacters: ``*`` matches any character
+    sequence and a TRAILING ``$`` anchors the match at path end (a
+    ``$`` anywhere else is literal). Precedence stays "most specific =
+    longest PATTERN in octets" (RFC 9309 §2.2.2 — measured on the
+    pattern as written, wildcards included), Allow winning length
+    ties. Wildcard-free rules keep the cheap ``startswith`` path; only
+    rules that actually contain ``*``/trailing ``$`` pay the regex,
+    and their patterns compile ONCE on the rules side (escape regex
+    specials, ``*`` → ``.*``, conditional anchor) — the per-URL work
+    is a match against a precompiled column, and the escape uses no
+    backreferences or lookarounds (the repo-wide RE2-replayable rule).
 
     Plan, sized for 10^12 URLs: group selection and rule collection
     happen on the RULES side (per-domain aggregates over a table that
@@ -104,6 +115,21 @@ def robots_filter(
     has_specific = rules.groupBy("domain").agg(
         F.max(F.col("agent") == agent).alias("has_specific")
     )
+    pat = F.col("prefix")
+    ends = pat.endswith("$")
+    core = F.when(ends, F.regexp_replace(pat, r"\$$", "")).otherwise(pat)
+    esc = F.regexp_replace(
+        core, r"([.^$+?(){}\[\]|\\])", r"\\$1"
+    )
+    rx = F.concat(
+        F.lit("^"),
+        F.replace(esc, F.lit("*"), F.lit(".*")),
+        F.when(ends, F.lit("$")).otherwise(F.lit("")),
+    )
+    wild = pat.contains("*") | ends
+    rules = rules.select(
+        "*", wild.alias("_wild"), F.when(wild, rx).otherwise(F.lit("^")).alias("_rx")
+    )
     rule_sets = (
         rules.join(has_specific, "domain")
         .where(
@@ -111,16 +137,25 @@ def robots_filter(
             | ((F.col("agent") == "*") & ~F.col("has_specific"))
         )
         .groupBy("domain")
-        .agg(F.collect_list(F.struct("allow", "prefix")).alias("_rules"))
+        .agg(
+            F.collect_list(
+                F.struct("allow", "prefix", "_wild", "_rx")
+            ).alias("_rules")
+        )
     )
     joined = urls.join(F.broadcast(rule_sets), on=domain_col, how="left")
     path = F.col(path_col)
     matches = F.filter(
         F.coalesce(F.col("_rules"), F.array()),
-        lambda r: path.startswith(r["prefix"]),
+        lambda r: F.when(
+            r["_wild"], F.regexp_like(path, r["_rx"])
+        ).otherwise(path.startswith(r["prefix"])),
     )
     init = F.struct(
-        F.lit(None).cast("boolean").alias("allow"), F.lit("").alias("prefix")
+        F.lit(None).cast("boolean").alias("allow"),
+        F.lit("").alias("prefix"),
+        F.lit(False).alias("_wild"),
+        F.lit("^").alias("_rx"),
     )
     best = F.aggregate(
         matches,

@@ -110,3 +110,79 @@ def test_url_side_plan_has_no_shuffle(spark):
     # the only exchanges allowed are on the (tiny) rules side feeding
     # the broadcast; the URL side must join via BroadcastHashJoin
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------ RFC 9309 wildcards
+
+
+def _wild_rules(spark):
+    rows = [
+        ("d.com", "*", False, "/private/*/x"),   # * in the middle
+        ("d.com", "*", False, "/*.pdf$"),        # classic extension block
+        ("d.com", "*", True, "/private/open/x"), # longer literal beats *
+        ("d.com", "*", False, "/cash$"),         # anchored exact path
+        ("d.com", "*", False, "/lit.$ral"),      # '.', inner '$' literal
+    ]
+    return spark.createDataFrame(
+        rows, "domain string, agent string, allow boolean, prefix string"
+    )
+
+
+def test_robots_wildcard_star_and_anchor(spark):
+    from ocr_search_spark.operators.robots import robots_filter
+
+    urls = spark.createDataFrame(
+        [
+            ("d.com", "/private/a/x"),     # matched by /private/*/x -> deny
+            ("d.com", "/private/open/x"),  # longer allow wins the tie race
+            ("d.com", "/doc.pdf"),         # *.pdf$ -> deny
+            ("d.com", "/doc.pdfx"),        # $ anchor: NOT denied
+            ("d.com", "/cash"),            # anchored deny
+            ("d.com", "/cashier"),         # anchor: allowed
+            ("d.com", "/lit.$ral"),        # literal . and inner $ match
+            ("d.com", "/litX$ral"),        # '.' must NOT match as regex any
+        ],
+        "domain string, path string",
+    )
+    out = {
+        r["path"]: r["allowed"]
+        for r in robots_filter(urls, _wild_rules(spark), "bot").collect()
+    }
+    assert out["/private/a/x"] is False
+    assert out["/private/open/x"] is True
+    assert out["/doc.pdf"] is False
+    assert out["/doc.pdfx"] is True
+    assert out["/cash"] is False
+    assert out["/cashier"] is True
+    assert out["/lit.$ral"] is False
+    assert out["/litX$ral"] is True
+
+
+def test_robots_wildcard_precedence_by_pattern_octets(spark):
+    """RFC 9309: most specific = longest PATTERN (as written). The
+    9-octet '/p/*/z.js' beats the 5-octet allow '/p/q/'... wait, it
+    doesn't: 9 > 5 so the deny wins; flipping to a longer allow flips
+    the verdict."""
+    from ocr_search_spark.operators.robots import robots_filter
+
+    rules = spark.createDataFrame(
+        [
+            ("e.com", "*", False, "/p/*/z.js"),
+            ("e.com", "*", True, "/p/q/"),
+        ],
+        "domain string, agent string, allow boolean, prefix string",
+    )
+    urls = spark.createDataFrame([("e.com", "/p/q/z.js")], "domain string, path string")
+    out = robots_filter(urls, rules, "bot").collect()[0]
+    assert out["allowed"] is False  # 9-octet deny > 5-octet allow
+
+    rules2 = spark.createDataFrame(
+        [
+            ("e.com", "*", False, "/p/*/z.js"),
+            ("e.com", "*", True, "/p/q/z.js__"),
+        ],
+        "domain string, agent string, allow boolean, prefix string",
+    )
+    urls2 = spark.createDataFrame([("e.com", "/p/q/z.js__")], "domain string, path string")
+    out2 = robots_filter(urls2, rules2, "bot").collect()[0]
+    assert out2["allowed"] is True  # 11-octet allow > 9-octet deny
