@@ -14706,3 +14706,55 @@ FROM urls u LEFT JOIN best b USING (doc_id)"""
 
 _TRAINING_QUERIES["robots_wildcards"] = q_robots_wildcards
 _TRAINING_ORACLES["robots_wildcards"] = _robots_wild_oracle()
+
+
+# ------------------------------------------------- sitemap index dispatch
+# Session-24: nested-sitemap support (sitemap.org caps a file at 50k
+# URLs, so real sites publish <sitemapindex> of child sitemaps). Even
+# domains serve a urlset, odd serve an index; the oracle STATES the
+# expected rows from the generation rule (the url_canonical
+# precedent — the split/transform machinery itself is replayed by the
+# sitemap_frontier oracle).
+
+
+def q_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.urlnorm import parse_sitemap_any
+
+    h = F.col("h")
+    hs = F.col("h").cast("string")
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select((F.col("doc_id") % 5).alias("h"))
+        .distinct()
+    )
+    urlset = F.concat(
+        F.lit("<urlset><url><loc>https://h"), hs,
+        F.lit(".com/p0</loc><lastmod>2024-01-01</lastmod></url>"),
+        F.lit("<url><loc>https://h"), hs, F.lit(".com/p1</loc></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://h"), hs,
+        F.lit(".com/s0.xml</loc><lastmod>2024-01-01</lastmod></sitemap>"),
+        F.lit("<sitemap><loc>https://h"), hs,
+        F.lit(".com/s1.xml</loc></sitemap></sitemapindex>"),
+    )
+    fetched = base.select(
+        F.concat(F.lit("h"), hs, F.lit(".com")).alias("src"),
+        F.when(h % 2 == 0, urlset).otherwise(index).alias("sitemap_xml"),
+    )
+    return parse_sitemap_any(fetched)
+
+
+_TRAINING_QUERIES["sitemap_index"] = q_sitemap_index
+_TRAINING_ORACLES["sitemap_index"] = """WITH hs AS (
+  SELECT DISTINCT doc_id % 5 AS h FROM documents
+),
+rows_ AS (
+  SELECT 'h' || h || '.com' AS src,
+         CASE WHEN h % 2 = 0 THEN 'url' ELSE 'sitemap' END AS kind,
+         'https://h' || h || '.com/' ||
+           CASE WHEN h % 2 = 0 THEN 'p' || e.i ELSE 's' || e.i || '.xml' END AS loc,
+         CASE WHEN e.i = 0 THEN '2024-01-01' ELSE '' END AS lastmod
+  FROM hs, (VALUES (0), (1)) e(i)
+)
+SELECT src, kind, loc, lastmod FROM rows_"""

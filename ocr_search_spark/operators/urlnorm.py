@@ -869,3 +869,54 @@ def dust_params(
             & (F.col("bases_uniform") == F.col("bases_tested"))
         ).alias("insignificant"),
     )
+
+
+def parse_sitemap_any(df: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame:
+    """Sitemap-protocol dispatch: classify each fetched XML as a
+    ``<sitemapindex>`` (kind ``sitemap``: one row per child sitemap —
+    the NEXT fetch wave) or a ``<urlset>`` (kind ``url``: one row per
+    page entry), emitting (…, kind, loc, lastmod; lastmod '' when
+    absent). Real site maps nest — sitemap.org caps one file at 50k
+    URLs, so large sites MUST publish an index of child sitemaps — and
+    the crawler iterates fetch→parse generations; this operator
+    handles one generation set-orientedly (:func:`parse_sitemap` is
+    the urlset-only special case, kept for callers that pre-filter).
+
+    Pinned classification: a document containing ``<sitemapindex`` is
+    an index (its entries split on ``</sitemap>``); anything else
+    parses as a urlset (split on ``</url>``). Same columnar
+    split/transform/explode shape as parse_sitemap — no UDF, no
+    shuffle."""
+    x = F.col(xml_col)
+    is_idx = x.contains("<sitemapindex")
+
+    def entries(closer: str, kind: str):
+        return F.filter(
+            F.transform(
+                F.split(x, closer),
+                lambda b: F.struct(
+                    F.lit(kind).alias("kind"),
+                    F.regexp_extract(b, "<loc>([^<]*)</loc>", 1).alias("loc"),
+                    F.regexp_extract(
+                        b, "<lastmod>([^<]*)</lastmod>", 1
+                    ).alias("lastmod"),
+                ),
+            ),
+            lambda s: s["loc"] != "",
+        )
+
+    entry = F.explode(
+        F.when(is_idx, entries("</sitemap>", "sitemap")).otherwise(
+            entries("</url>", "url")
+        )
+    ).alias("_e")
+    return (
+        df.select("*", entry)
+        .select(
+            *[c for c in df.columns],
+            F.col("_e.kind").alias("kind"),
+            F.col("_e.loc").alias("loc"),
+            F.col("_e.lastmod").alias("lastmod"),
+        )
+        .drop(xml_col)
+    )

@@ -555,3 +555,44 @@ def test_dust_params_validation(spark):
         dust_params(pages, min_values=1)
     with _pytest.raises(ValueError):
         dust_params(pages, min_bases=0)
+
+
+# --------------------------------------------- sitemap index dispatch
+
+
+def test_parse_sitemap_any_dispatch(spark):
+    from ocr_search_spark.operators.urlnorm import parse_sitemap_any
+
+    idx = (
+        "<sitemapindex><sitemap><loc>https://s.com/a.xml</loc>"
+        "<lastmod>2024-01-01</lastmod></sitemap>"
+        "<sitemap><loc>https://s.com/b.xml</loc></sitemap></sitemapindex>"
+    )
+    us = (
+        "<urlset><url><loc>https://s.com/p1</loc>"
+        "<lastmod>2024-02-02</lastmod></url>"
+        "<url><loc>https://s.com/p2</loc></url></urlset>"
+    )
+    df = spark.createDataFrame(
+        [("i", idx), ("u", us)], "src string, sitemap_xml string"
+    )
+    got = sorted(
+        (r["src"], r["kind"], r["loc"], r["lastmod"])
+        for r in parse_sitemap_any(df).collect()
+    )
+    assert got == [
+        ("i", "sitemap", "https://s.com/a.xml", "2024-01-01"),
+        ("i", "sitemap", "https://s.com/b.xml", ""),
+        ("u", "url", "https://s.com/p1", "2024-02-02"),
+        ("u", "url", "https://s.com/p2", ""),
+    ]
+
+
+def test_parse_sitemap_any_empty_and_malformed(spark):
+    from ocr_search_spark.operators.urlnorm import parse_sitemap_any
+
+    df = spark.createDataFrame(
+        [("e", "<urlset></urlset>"), ("m", "not xml at all")],
+        "src string, sitemap_xml string",
+    )
+    assert parse_sitemap_any(df).count() == 0
