@@ -14758,3 +14758,66 @@ rows_ AS (
   FROM hs, (VALUES (0), (1)) e(i)
 )
 SELECT src, kind, loc, lastmod FROM rows_"""
+
+
+# ------------------------------------------------- dataset card
+# Session-24: the per-source datasheet row (Gebru et al.) — volume,
+# token mass, exact-dup rate, English share — one aggregation pass,
+# every figure exact. Oracle reuses the pinned lang lexicon chain
+# (the lang_id oracle's s1..s4 CASE cascade) grouped at source grain.
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.assembly import dataset_card
+
+    return dataset_card(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).orderBy("source")
+
+
+def _dataset_card_oracle() -> str:
+    from ocr_search_spark.training import textstats as TS
+
+    def in_list(ws):
+        return ", ".join("'" + w + "'" for w in ws)
+
+    lex = TS.LANG_STOPWORDS
+    return f"""WITH w AS (
+  SELECT source, doc_id AS id, text, length(text)::BIGINT AS chars,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+h AS (
+  SELECT source, id, chars, len(ws)::BIGINT AS toks, md5(text) AS digest,
+         len(list_filter(ws, x -> x IN ({in_list(lex['en'])}))) AS h_en,
+         len(list_filter(ws, x -> x IN ({in_list(lex['de'])}))) AS h_de,
+         len(list_filter(ws, x -> x IN ({in_list(lex['fr'])}))) AS h_fr,
+         len(list_filter(ws, x -> x IN ({in_list(lex['es'])}))) AS h_es
+  FROM w
+),
+s1 AS (SELECT *, CASE WHEN h_en > 0 THEN 'en' ELSE 'und' END AS bl1,
+              CASE WHEN h_en > 0 THEN h_en ELSE 0 END AS bh1 FROM h),
+s2 AS (SELECT *, CASE WHEN h_de > bh1 THEN 'de' ELSE bl1 END AS bl2,
+              CASE WHEN h_de > bh1 THEN h_de ELSE bh1 END AS bh2 FROM s1),
+s3 AS (SELECT *, CASE WHEN h_fr > bh2 THEN 'fr' ELSE bl2 END AS bl3,
+              CASE WHEN h_fr > bh2 THEN h_fr ELSE bh2 END AS bh3 FROM s2),
+s4 AS (SELECT *, CASE WHEN h_es > bh3 THEN 'es' ELSE bl3 END AS bl4 FROM s3),
+g AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS n_tokens,
+         sum(chars)::BIGINT AS n_chars,
+         count(DISTINCT digest)::BIGINT AS uniq,
+         sum(CASE WHEN bl4 = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_english
+  FROM s4 GROUP BY source
+)
+SELECT source, n_docs, n_tokens, n_chars,
+       (n_chars // n_docs)::BIGINT AS mean_chars,
+       (n_docs - uniq)::BIGINT AS n_exact_dups,
+       ((n_docs - uniq) * 1000000 // n_docs)::BIGINT AS dup_rate_e6,
+       n_english,
+       (n_english * 1000000 // n_docs)::BIGINT AS pct_en_e6
+FROM g
+ORDER BY source"""
+
+
+_TRAINING_QUERIES["dataset_card"] = q_dataset_card
+_TRAINING_ORACLES["dataset_card"] = _dataset_card_oracle()

@@ -135,3 +135,61 @@ def epoch_order(
     return staged.select(
         "*", (F.row_number().over(w) - 1).cast("long").alias("pos")
     ).drop("_draw")
+
+
+# ---------------------------------------------------- dataset card
+
+
+def dataset_card(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, n_tokens, n_chars, mean_chars, n_exact_dups,
+    dup_rate_e6, n_english, pct_en_e6) — the per-source DATASHEET row
+    (Gebru et al., "Datasheets for Datasets"): the composition
+    summary every released corpus ships — volume, token mass, exact-
+    duplicate rate, language share — as ONE aggregation pass over the
+    corpus, every figure an exact integer (e6 rates via integral
+    division) so the card is reproducible to the digit across engines
+    and re-runs.
+
+    Pinned rules: tokens = lower/whitespace words; language = the
+    pinned lang_id_col lexicon heuristic ('en' share reported — the
+    one split every mixture recipe needs first); exact duplicates
+    count WITHIN source against md5(text) (cross-source overlap is
+    source_overlap's job); mean_chars = sum div n (floor).
+
+    Scale shape: one projection + one source-keyed aggregate; the
+    dup count is countDistinct on the digest inside the same
+    aggregate (two-phase, map-side partial). No joins.
+    """
+    from .textstats import _words, lang_id_col
+
+    t = F.col(text_col)
+    per = docs.select(
+        F.col(source_col).alias("source"),
+        F.length(t).cast("long").alias("_chars"),
+        F.size(_words(t)).cast("long").alias("_toks"),
+        (lang_id_col(t) == "en").cast("long").alias("_en"),
+        F.md5(t).alias("_digest"),
+    )
+    g = per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_toks").cast("long").alias("n_tokens"),
+        F.sum("_chars").cast("long").alias("n_chars"),
+        F.countDistinct("_digest").cast("long").alias("_uniq"),
+        F.sum("_en").cast("long").alias("n_english"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.expr("n_chars div n_docs").alias("mean_chars"),
+        (F.col("n_docs") - F.col("_uniq")).alias("n_exact_dups"),
+        F.expr("(n_docs - _uniq) * 1000000 div n_docs").alias("dup_rate_e6"),
+        "n_english",
+        F.expr("n_english * 1000000 div n_docs").alias("pct_en_e6"),
+    )

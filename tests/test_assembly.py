@@ -89,3 +89,40 @@ def test_epoch_order_validation(spark):
         epoch_order(_ids(spark, 1), "doc_id", n_shards=0)
     with pytest.raises(ValueError):
         epoch_order(_ids(spark, 1), "doc_id", epoch=-1)
+
+
+# ---------------------------------------------------- dataset card
+
+
+def test_dataset_card_exact_figures(spark):
+    from ocr_search_spark.training.assembly import dataset_card
+
+    docs = [
+        (0, "A", "the cat and the dog"),        # en (3 hits)
+        (1, "A", "the cat and the dog"),        # exact dup of 0
+        (2, "A", "xyzzy plugh"),                # und
+        (3, "B", "der hund und die katze ist"), # de
+        (4, "B", "completely wordless"),        # und (0 hits)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in dataset_card(df).collect()}
+    a = out["A"]
+    assert (a["n_docs"], a["n_tokens"], a["n_exact_dups"]) == (3, 12, 1)
+    assert a["dup_rate_e6"] == 1_000_000 // 3
+    assert a["n_english"] == 2 and a["pct_en_e6"] == 2_000_000 // 3
+    assert a["mean_chars"] == (19 + 19 + 11) // 3
+    b = out["B"]
+    assert b["n_exact_dups"] == 0 and b["n_english"] == 0
+
+
+def test_dataset_card_single_pass_no_join(spark):
+    from ocr_search_spark.training.assembly import dataset_card
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}", f"text {i}") for i in range(20)],
+        "doc_id long, source string, text string",
+    )
+    plan = (
+        dataset_card(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
