@@ -14821,3 +14821,46 @@ ORDER BY source"""
 
 _TRAINING_QUERIES["dataset_card"] = q_dataset_card
 _TRAINING_ORACLES["dataset_card"] = _dataset_card_oracle()
+
+
+# ------------------------------------------------- rendezvous shards
+# Session-24: highest-random-weight fetcher sharding (Thaler &
+# Ravishankar '98) — the mod-N replacement whose resize property
+# (K->K+1 moves only new-shard winners) the pytest proves; the oracle
+# replays the argmax over h60 draws per host.
+
+_HRW_SHARDS = 8
+
+
+def q_fetcher_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.urlnorm import fetcher_shards
+
+    hosts = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.concat(
+                F.lit("crawl"), (F.col("doc_id") % 40).cast("string"),
+                F.lit(".example.org"),
+            ).alias("host")
+        )
+        .distinct()
+    )
+    return fetcher_shards(hosts, _HRW_SHARDS)
+
+
+_TRAINING_QUERIES["fetcher_shards"] = q_fetcher_shards
+_TRAINING_ORACLES["fetcher_shards"] = f"""WITH hosts AS (
+  SELECT DISTINCT 'crawl' || (doc_id % 40) || '.example.org' AS host
+  FROM documents
+),
+draws AS (
+  SELECT host, s,
+         ('0x' || substring(md5(host || ':' || s || ':hrw'), 1, 15))::BIGINT AS w
+  FROM hosts, (SELECT unnest(range(0, {_HRW_SHARDS})) AS s)
+),
+best AS (
+  SELECT host, s AS shard, w AS weight,
+         row_number() OVER (PARTITION BY host ORDER BY w DESC, s ASC) AS rn
+  FROM draws
+)
+SELECT host, shard::BIGINT AS shard, weight FROM best WHERE rn = 1"""

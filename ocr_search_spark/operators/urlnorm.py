@@ -920,3 +920,60 @@ def parse_sitemap_any(df: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame:
         )
         .drop(xml_col)
     )
+
+
+# ------------------------------------------- rendezvous fetcher shards
+
+
+def fetcher_shards(
+    hosts: DataFrame,
+    n_shards: int,
+    host_col: str = "host",
+    salt: str = "hrw",
+) -> DataFrame:
+    """(host, shard, weight) — assign every host to a fetcher shard by
+    RENDEZVOUS (highest-random-weight) hashing (Thaler & Ravishankar
+    1998): shard = argmax over s of h60(host ':' s ':' salt). The
+    property a crawler fleet needs and mod-N lacks: when the fleet
+    grows K→K+1, ONLY the hosts whose new shard wins move (≈ 1/(K+1)
+    of them) — every other host keeps its fetcher, so per-host
+    politeness state (robots cache, connection pools, crawl-delay
+    clocks) survives resizes. Deterministic (pure h60), no
+    coordination, no ring metadata.
+
+    Argmax ties are impossible in practice (distinct 60-bit draws);
+    the pinned order is (weight DESC, shard ASC) so even a collision
+    is a total order. One projection over the host table: the shard
+    draws explode from a literal sequence (plan-time n_shards), the
+    argmax folds in-row — no shuffle, no join.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from ..training.hashing import h60
+
+    h = F.col(host_col)
+    draws = F.transform(
+        F.sequence(F.lit(0), F.lit(n_shards - 1)),
+        lambda s: F.struct(
+            h60(
+                F.concat(h, F.lit(":"), s.cast("string"), F.lit(":" + salt))
+            ).alias("w"),
+            s.cast("long").alias("s"),
+        ),
+    )
+    best = F.aggregate(
+        draws,
+        F.struct(
+            F.lit(-1).cast("long").alias("w"), F.lit(-1).cast("long").alias("s")
+        ),
+        lambda acc, d: F.when(
+            (d["w"] > acc["w"])
+            | ((d["w"] == acc["w"]) & (d["s"] < acc["s"])),
+            d,
+        ).otherwise(acc),
+    )
+    return hosts.select(
+        h.alias("host"),
+        best["s"].alias("shard"),
+        best["w"].alias("weight"),
+    )

@@ -596,3 +596,53 @@ def test_parse_sitemap_any_empty_and_malformed(spark):
         "src string, sitemap_xml string",
     )
     assert parse_sitemap_any(df).count() == 0
+
+
+# ------------------------------------------- rendezvous fetcher shards
+
+
+def _hrw_py(host, n, salt="hrw"):
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return max(range(n), key=lambda s: (h60(f"{host}:{s}:{salt}"), -s))
+
+
+def test_fetcher_shards_matches_python_argmax(spark):
+    from ocr_search_spark.operators.urlnorm import fetcher_shards
+
+    hosts = [f"h{i}.example.com" for i in range(60)]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {r["host"]: r["shard"] for r in fetcher_shards(df, 8).collect()}
+    assert got == {h: _hrw_py(h, 8) for h in hosts}
+    # rough balance: every shard gets something at 60 hosts / 8 shards
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert len(c) >= 6
+
+
+def test_fetcher_shards_resize_stability(spark):
+    """THE rendezvous property: growing K -> K+1 moves only the hosts
+    the NEW shard wins; nobody else changes fetcher."""
+    from ocr_search_spark.operators.urlnorm import fetcher_shards
+
+    hosts = [f"h{i}.example.com" for i in range(120)]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    k8 = {r["host"]: r["shard"] for r in fetcher_shards(df, 8).collect()}
+    k9 = {r["host"]: r["shard"] for r in fetcher_shards(df, 9).collect()}
+    moved = [h for h in hosts if k8[h] != k9[h]]
+    assert all(k9[h] == 8 for h in moved)      # movers go ONLY to the new shard
+    assert len(moved) < len(hosts) * 0.25      # ~1/9 expected; generous bound
+
+
+def test_fetcher_shards_validation(spark):
+    import pytest as _pytest
+
+    from ocr_search_spark.operators.urlnorm import fetcher_shards
+
+    df = spark.createDataFrame([("a",)], "host string")
+    with _pytest.raises(ValueError):
+        fetcher_shards(df, 0)
