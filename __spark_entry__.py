@@ -14864,3 +14864,116 @@ best AS (
   FROM draws
 )
 SELECT host, shard::BIGINT AS shard, weight FROM best WHERE rn = 1"""
+
+
+# ------------------------------------------------- revalidation plan
+# Session-24: conditional-GET planning (RFC 9111 crawler side) on top
+# of the Cho–Garcia-Molina change-rate estimate the recrawl_priority
+# entry gates: validator presence from the LAST fetch row, predicted
+# 304 via expected-changes threshold, saved body bytes. Fixture =
+# the recrawl history extended with doc_id-rotated ETag / Last-
+# Modified / content-length; oracle replays estimator + latest-row
+# window + verdicts.
+
+
+def q_revalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.urlnorm import revalidation_plan
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    base = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int"))
+        ).alias("k"),
+    )
+    hist = base.select(
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/p"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (
+            F.lit(1_000_000)
+            + F.col("k") * ((F.col("doc_id") % 5) + 1) * 3600
+        ).cast("long").alias("fetch_ts"),
+        F.concat(
+            F.lit("v"),
+            F.expr("(doc_id*7 + k) div 3 - (doc_id*7) div 3").cast("string"),
+        ).alias("digest"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit('W/"'), F.col("doc_id").cast("string"), F.lit('"')),
+        ).otherwise(F.lit("")).alias("etag"),
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("LM"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")).alias("last_modified"),
+        (F.lit(1000) + F.col("doc_id") % 500).cast("long").alias(
+            "content_length"
+        ),
+    )
+    return revalidation_plan(hist, now_ts=_RECRAWL_NOW)
+
+
+_TRAINING_QUERIES["revalidation_plan"] = q_revalidation
+_TRAINING_ORACLES["revalidation_plan"] = f"""WITH h AS (
+  SELECT 'http://h' || (doc_id % 7)::VARCHAR || '.com/p'
+           || doc_id::VARCHAR AS url,
+         (1000000 + k * ((doc_id % 5) + 1) * 3600)::BIGINT AS fetch_ts,
+         'v' || ((doc_id*7 + k) // 3 - (doc_id*7) // 3)::VARCHAR AS digest,
+         CASE WHEN doc_id % 3 = 0 THEN 'W/"' || doc_id || '"' ELSE '' END AS etag,
+         CASE WHEN doc_id % 3 = 1 THEN 'LM' || doc_id ELSE '' END AS last_modified,
+         (1000 + doc_id % 500)::BIGINT AS content_length
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS k
+        FROM documents)
+),
+m AS (
+  SELECT url, fetch_ts, digest,
+         CASE WHEN lag(digest) OVER w IS NOT NULL
+                   AND digest <> lag(digest) OVER w
+              THEN 1 ELSE 0 END::BIGINT AS chg
+  FROM h WINDOW w AS (PARTITION BY url ORDER BY fetch_ts ASC, digest ASC)
+),
+a AS (
+  SELECT url,
+         count(*)::BIGINT AS n_fetches, sum(chg)::BIGINT AS n_changes,
+         max(fetch_ts) - min(fetch_ts) AS span_s,
+         greatest(0, {_RECRAWL_NOW} - max(fetch_ts))::BIGINT AS age_s
+  FROM m GROUP BY url
+),
+e AS (
+  SELECT *,
+         CASE WHEN n_fetches > 1 THEN
+           floor(1000000.0 * ln((2*(n_fetches-1) + 1)::DOUBLE))::BIGINT
+           - floor(1000000.0 * ln((2*(n_fetches-1-n_changes) + 1)::DOUBLE))::BIGINT
+         END AS lambda_e6
+  FROM a
+),
+r AS (
+  SELECT *,
+         CASE WHEN lambda_e6 IS NOT NULL AND span_s > 0
+              THEN (lambda_e6 * (n_fetches - 1) * 86400) // span_s
+         END AS rate_raw
+  FROM e
+),
+pr AS (
+  SELECT url, n_fetches,
+         coalesce(rate_raw, 500000)::BIGINT AS rate_e6_per_day, age_s,
+         ((coalesce(rate_raw, 500000) * age_s) // 86400)::BIGINT AS expected_changes_e6
+  FROM r
+),
+last AS (
+  SELECT url, etag, last_modified, content_length FROM (
+    SELECT url, etag, last_modified, content_length,
+           row_number() OVER (
+             PARTITION BY url ORDER BY fetch_ts DESC, digest DESC
+           ) AS rn
+    FROM h
+  ) WHERE rn = 1
+)
+SELECT p.url, p.n_fetches, p.rate_e6_per_day, p.age_s, p.expected_changes_e6,
+       (l.etag <> '' OR l.last_modified <> '') AS revalidatable,
+       p.expected_changes_e6 < 500000 AS predicted_unchanged,
+       CASE WHEN (l.etag <> '' OR l.last_modified <> '')
+                 AND p.expected_changes_e6 < 500000
+            THEN l.content_length ELSE 0 END::BIGINT AS saved_bytes
+FROM pr p JOIN last l USING (url)"""

@@ -977,3 +977,64 @@ def fetcher_shards(
         best["s"].alias("shard"),
         best["w"].alias("weight"),
     )
+
+
+def revalidation_plan(
+    history: DataFrame,
+    now_ts: int,
+    threshold_e6: int = 500_000,
+    default_rate_e6: int = 500_000,
+) -> DataFrame:
+    """(url, n_fetches, rate_e6_per_day, age_s, expected_changes_e6,
+    revalidatable, predicted_unchanged, saved_bytes) — the conditional-
+    GET planning table: which recrawls can be issued as revalidations
+    (``If-None-Match`` when the last response carried an ETag,
+    ``If-Modified-Since`` for a Last-Modified) and which of those are
+    PREDICTED to come back 304 (expected changes since the last fetch
+    — :func:`recrawl_priority`'s Cho & Garcia-Molina estimate,
+    ``rate · age div 86400`` in e6 — below ``threshold_e6``), with the
+    body bytes a 304 would save. Summing ``saved_bytes`` per host is
+    the recrawl-bandwidth budget case for validator-aware scheduling
+    (RFC 9111 semantics; the crawler-side plan, not the cache).
+
+    ``history`` rows: (url, fetch_ts, digest, etag, last_modified,
+    content_length) — header fields '' when absent, latest row per
+    url wins (fetch_ts DESC, digest DESC pinned tie-break). Exact
+    integer arithmetic end to end; the change-rate half is exactly
+    recrawl_priority's (same estimator, same cold-start default).
+
+    Scale shape: recrawl_priority's one url-keyed aggregate + one
+    url-keyed latest-row window + one join — all keyed by url.
+    """
+    pr = recrawl_priority(
+        history.select("url", "fetch_ts", "digest"), now_ts, default_rate_e6
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("url").orderBy(
+        F.desc("fetch_ts"), F.desc("digest")
+    )
+    last = (
+        history.select(
+            "url", "fetch_ts", "digest", "etag", "last_modified",
+            F.col("content_length").cast("long").alias("content_length"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("url", "etag", "last_modified", "content_length")
+    )
+    j = pr.join(last, "url")
+    reval = (F.col("etag") != "") | (F.col("last_modified") != "")
+    unchanged = F.col("priority") < F.lit(int(threshold_e6))
+    return j.select(
+        "url",
+        "n_fetches",
+        "rate_e6_per_day",
+        "age_s",
+        F.col("priority").alias("expected_changes_e6"),
+        reval.alias("revalidatable"),
+        unchanged.alias("predicted_unchanged"),
+        F.when(reval & unchanged, F.col("content_length"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("saved_bytes"),
+    )

@@ -646,3 +646,52 @@ def test_fetcher_shards_validation(spark):
     df = spark.createDataFrame([("a",)], "host string")
     with _pytest.raises(ValueError):
         fetcher_shards(df, 0)
+
+
+# ------------------------------------------- revalidation planning
+
+
+def test_revalidation_plan_verdicts(spark):
+    from ocr_search_spark.operators.urlnorm import revalidation_plan
+
+    rows = [
+        # stable page with etag: 3 fetches, no change -> cheap 304
+        ("u1", 0, "a", 'W/"1"', "", 5000),
+        ("u1", 100, "a", 'W/"1"', "", 5000),
+        ("u1", 200, "a", 'W/"1"', "", 5000),
+        # churny page with etag: changes every fetch -> revalidatable but
+        # predicted changed -> no savings
+        ("u2", 0, "x", "W/a", "", 7000),
+        ("u2", 100, "y", "W/b", "", 7000),
+        ("u2", 200, "z", "W/c", "", 7000),
+        # stable page WITHOUT validators -> no conditional GET possible
+        ("u3", 0, "s", "", "", 9000),
+        ("u3", 200, "s", "", "", 9000),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, fetch_ts long, digest string, etag string, "
+        "last_modified string, content_length long",
+    )
+    out = {r["url"]: r for r in revalidation_plan(df, now_ts=400).collect()}
+    assert out["u1"]["revalidatable"] and out["u1"]["predicted_unchanged"]
+    assert out["u1"]["saved_bytes"] == 5000
+    assert out["u2"]["revalidatable"] and not out["u2"]["predicted_unchanged"]
+    assert out["u2"]["saved_bytes"] == 0
+    assert not out["u3"]["revalidatable"] and out["u3"]["saved_bytes"] == 0
+
+
+def test_revalidation_latest_row_wins(spark):
+    from ocr_search_spark.operators.urlnorm import revalidation_plan
+
+    rows = [
+        ("u", 0, "a", "", "", 100),
+        ("u", 50, "a", 'W/"new"', "", 250),   # validator appears later
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, fetch_ts long, digest string, etag string, "
+        "last_modified string, content_length long",
+    )
+    r = revalidation_plan(df, now_ts=60).collect()[0]
+    assert r["revalidatable"] and r["saved_bytes"] == 250
