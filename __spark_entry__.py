@@ -14977,3 +14977,61 @@ SELECT p.url, p.n_fetches, p.rate_e6_per_day, p.age_s, p.expected_changes_e6,
                  AND p.expected_changes_e6 < 500000
             THEN l.content_length ELSE 0 END::BIGINT AS saved_bytes
 FROM pr p JOIN last l USING (url)"""
+
+
+# ------------------------------------------------- robots crawl-delay
+# Session-24: Crawl-delay extraction with RFC-9309 group attribution
+# (delay lines close groups exactly like rules), fractional seconds to
+# exact micros, last-declaration-wins, specific-agent-over-star
+# selection. Robots text is generated from doc_id; the oracle STATES
+# the expected (domain, delay_us) from the generation rule (the
+# parser is an Arrow UDF — robots_filter's established oracle style).
+
+
+def q_robots_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.robots import (
+        crawl_delay_for,
+        parse_robots_delays,
+    )
+
+    r = F.col("r")
+    rs = r.cast("string")
+    txt = (
+        F.when(
+            r % 4 == 0,
+            F.concat(
+                F.lit("User-agent: bot\nCrawl-delay: 1."), rs,
+                F.lit("\nDisallow: /x\nUser-agent: *\nCrawl-delay: 9\n"),
+            ),
+        )
+        .when(
+            r % 4 == 1,
+            F.concat(
+                F.lit("User-agent: *\nCrawl-delay: 2\nCrawl-delay: "), rs,
+                F.lit("\n"),
+            ),
+        )
+        .when(r % 4 == 2, F.lit("User-agent: *\nDisallow: /private\n"))
+        .otherwise(F.lit("User-agent: *\nCrawl-delay: nope\n"))
+    )
+    robots = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select((F.col("doc_id") % 8).alias("r"))
+        .distinct()
+        .select(
+            F.concat(F.lit("rd"), rs, F.lit(".com")).alias("domain"),
+            txt.alias("robots_txt"),
+        )
+    )
+    return crawl_delay_for(parse_robots_delays(robots), "bot")
+
+
+_TRAINING_QUERIES["robots_crawl_delay"] = q_robots_delay
+_TRAINING_ORACLES["robots_crawl_delay"] = """WITH rs AS (
+  SELECT DISTINCT doc_id % 8 AS r FROM documents
+)
+SELECT 'rd' || r || '.com' AS domain,
+       CASE WHEN r % 4 = 0 THEN 1000000 + r * 100000
+            WHEN r % 4 = 1 THEN r * 1000000
+       END::BIGINT AS delay_us
+FROM rs WHERE r % 4 IN (0, 1)"""

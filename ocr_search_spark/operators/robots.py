@@ -176,3 +176,98 @@ def robots_filter(
         .withColumn("matched_allow", F.col("_best.allow"))
         .drop("_rules", "_best")
     )
+
+
+# ------------------------------------------------- crawl-delay records
+
+DELAYS_SCHEMA = "domain string, agent string, delay_us long, ord int"
+
+
+def parse_robots_delays_text(text: str) -> list[tuple[str, int, int]]:
+    """One robots.txt → [(agent, delay_us, ord)] for every
+    ``Crawl-delay`` directive, attributed to its User-agent group by
+    the SAME grouping rule parse_robots_text applies to Allow/Disallow
+    (a delay line, like a rule line, closes the group). Crawl-delay is
+    not in RFC 9309 but is honored by most large crawlers; seconds may
+    be fractional — values convert to integer MICROSECONDS; invalid or
+    negative values are ignored. ``ord`` is the declaration index so a
+    later directive can be selected over an earlier one
+    deterministically after any shuffle."""
+    out: list[tuple[str, int, int]] = []
+    agents: list[str] = []
+    in_group_rules = False
+    ordn = 0
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, value = line.split(":", 1)
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if in_group_rules:
+                agents = []
+                in_group_rules = False
+            agents.append(value.lower())
+        elif key in ("allow", "disallow"):
+            in_group_rules = True
+        elif key == "crawl-delay":
+            in_group_rules = True
+            try:
+                micros = int(float(value) * 1_000_000)
+            except ValueError:
+                continue
+            if micros < 0:
+                continue
+            for a in agents:
+                out.append((a, micros, ordn))
+                ordn += 1
+    return out
+
+
+def _delays_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ["domain", "agent", "delay_us", "ord"]
+    for batch in batches:
+        rows = []
+        for domain, text in zip(batch["domain"], batch["robots_txt"]):
+            for agent, micros, ordn in parse_robots_delays_text(text or ""):
+                rows.append((domain, agent, micros, ordn))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def parse_robots_delays(robots: DataFrame) -> DataFrame:
+    """(domain, robots_txt) → (domain, agent, delay_us, ord)."""
+    return robots.select("domain", "robots_txt").mapInPandas(
+        _delays_iter, schema=DELAYS_SCHEMA
+    )
+
+
+def crawl_delay_for(delays: DataFrame, agent: str) -> DataFrame:
+    """(domain, delay_us) — the effective Crawl-delay per domain for
+    ``agent`` under RFC 9309 group selection (the agent-specific group
+    if one declared a delay, else the ``*`` group; domains with
+    neither emit no row — the scheduler's default applies). When a
+    group declares several delays the LAST one in file order wins
+    (``ord`` DESC — the observed de-facto behavior of major parsers).
+
+    One tiny per-domain aggregate + window over the delays table —
+    the output feeds frontier_schedule's per-host delay column."""
+    agent = agent.lower()
+    from pyspark.sql import Window as W
+
+    has_specific = delays.groupBy("domain").agg(
+        F.max(F.col("agent") == agent).alias("_spec")
+    )
+    sel = (
+        delays.join(has_specific, "domain")
+        .where(
+            ((F.col("agent") == agent) & F.col("_spec"))
+            | ((F.col("agent") == "*") & ~F.col("_spec"))
+        )
+    )
+    w = W.partitionBy("domain").orderBy(F.desc("ord"))
+    return (
+        sel.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("domain", "delay_us")
+    )

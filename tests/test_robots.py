@@ -186,3 +186,46 @@ def test_robots_wildcard_precedence_by_pattern_octets(spark):
     urls2 = spark.createDataFrame([("e.com", "/p/q/z.js__")], "domain string, path string")
     out2 = robots_filter(urls2, rules2, "bot").collect()[0]
     assert out2["allowed"] is True  # 11-octet allow > 9-octet deny
+
+
+# ------------------------------------------------- crawl-delay records
+
+
+def test_crawl_delay_parse_and_selection(spark):
+    from ocr_search_spark.operators.robots import (
+        crawl_delay_for,
+        parse_robots_delays,
+    )
+
+    txt_specific = (
+        "User-agent: bot\nCrawl-delay: 1.5\nDisallow: /x\n"
+        "User-agent: *\nCrawl-delay: 9\n"
+    )
+    txt_star = "User-agent: *\nCrawl-delay: 2\nCrawl-delay: 3\n"
+    txt_none = "User-agent: *\nDisallow: /private\n"
+    txt_bad = "User-agent: *\nCrawl-delay: soon\nCrawl-delay: -4\n"
+    df = spark.createDataFrame(
+        [("a.com", txt_specific), ("b.com", txt_star),
+         ("c.com", txt_none), ("d.com", txt_bad)],
+        "domain string, robots_txt string",
+    )
+    delays = parse_robots_delays(df)
+    got = {r["domain"]: r["delay_us"] for r in crawl_delay_for(delays, "Bot").collect()}
+    assert got == {"a.com": 1_500_000, "b.com": 3_000_000}  # last-wins on b
+
+
+def test_crawl_delay_group_reset(spark):
+    """A delay after rules belongs to ITS group, not a stale agent list."""
+    from ocr_search_spark.operators.robots import (
+        crawl_delay_for,
+        parse_robots_delays,
+    )
+
+    txt = (
+        "User-agent: other\nDisallow: /z\n"
+        "User-agent: bot\nCrawl-delay: 4\n"
+    )
+    df = spark.createDataFrame([("e.com", txt)], "domain string, robots_txt string")
+    got = {r["domain"]: r["delay_us"] for r in crawl_delay_for(parse_robots_delays(df), "bot").collect()}
+    assert got == {"e.com": 4_000_000}
+    assert crawl_delay_for(parse_robots_delays(df), "other").count() == 0
