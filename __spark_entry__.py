@@ -15035,3 +15035,43 @@ SELECT 'rd' || r || '.com' AS domain,
             WHEN r % 4 = 1 THEN r * 1000000
        END::BIGINT AS delay_us
 FROM rs WHERE r % 4 IN (0, 1)"""
+
+
+# ------------------------------------------------- b-bit MinHash
+# Session-24: Li & König signature compression over the SAME corpus /
+# signatures / LSH candidate pairs the dedup_minhash_* entries gate —
+# lowest-4-bit compare with the exact integer collision correction.
+# Oracle reuses _MINHASH_CTE + the pairs CTE and unrolls the 16
+# low-bit compares.
+
+
+def q_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training import dedup as D
+
+    sigs = D.minhash_signatures(_docs_flat(spark, sf_dir), k=3, num_hashes=16)
+    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    return D.minhash_bbit_estimate(sigs, pairs.select("id_a", "id_b"), 16, b=4)
+
+
+_BBIT_MATCHES = " + ".join(
+    f"(CASE WHEN sa.m{i} % 16 = sb.m{i} % 16 THEN 1 ELSE 0 END)"
+    for i in range(16)
+)
+_TRAINING_QUERIES["minhash_bbit"] = q_minhash_bbit
+_TRAINING_ORACLES["minhash_bbit"] = f"""WITH {_MINHASH_CTE},
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT id_a, id_b, ({_BBIT_MATCHES})::BIGINT AS matches
+  FROM pairs
+  JOIN sigs sa ON sa.id = id_a
+  JOIN sigs sb ON sb.id = id_b
+)
+SELECT id_a, id_b, matches,
+       greatest(0, ((matches * 1000000 // 16) - 62500) * 1000000 // 937500)::BIGINT
+         AS est_jaccard_e6
+FROM m"""

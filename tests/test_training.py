@@ -2190,3 +2190,52 @@ def test_kmeanspp_validation(spark):
         kmeanspp_oversample(df, ell=0)
     with _pytest.raises(ValueError):
         kmeanspp_oversample(df, rounds=0)
+
+
+# ---------------------------------------------------- b-bit MinHash
+
+
+def test_minhash_bbit_matches_python(spark):
+    from ocr_search_spark.training.dedup import minhash_bbit_estimate
+
+    import random
+
+    rng = random.Random(9)
+    sigs = {i: [rng.getrandbits(60) for _ in range(16)] for i in range(8)}
+    sigs[1] = list(sigs[0])          # identical twin
+    sigs[2] = sigs[0][:8] + [rng.getrandbits(60) for _ in range(8)]
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in sigs.items()], "id long, sig array<long>"
+    )
+    pdf = spark.createDataFrame(
+        [(0, 1), (0, 2), (3, 4)], "id_a long, id_b long"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): (r["matches"], r["est_jaccard_e6"])
+        for r in minhash_bbit_estimate(sdf, pdf, 16, b=4).collect()
+    }
+
+    def py(a, bx, b=4):
+        m = sum(1 for x, y in zip(sigs[a], sigs[bx]) if x % (1 << b) == y % (1 << b))
+        c = 1_000_000 // (1 << b)
+        est = max(0, ((m * 1_000_000 // 16) - c) * 1_000_000 // (1_000_000 - c))
+        return m, est
+
+    assert out == {(0, 1): py(0, 1), (0, 2): py(0, 2), (3, 4): py(3, 4)}
+    assert out[(0, 1)] == (16, 1_000_000)        # twin estimates exactly 1
+    assert out[(3, 4)][1] < 250_000              # unrelated stays near 0
+
+
+def test_minhash_bbit_validation(spark):
+    import pytest as _pytest
+
+    from ocr_search_spark.training.dedup import minhash_bbit_estimate
+
+    s = spark.createDataFrame([(0, [1])], "id long, sig array<long>")
+    p = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    with _pytest.raises(ValueError):
+        minhash_bbit_estimate(s, p, 0)
+    with _pytest.raises(ValueError):
+        minhash_bbit_estimate(s, p, 16, b=0)
+    with _pytest.raises(ValueError):
+        minhash_bbit_estimate(s, p, 16, b=61)
