@@ -15075,3 +15075,37 @@ SELECT id_a, id_b, matches,
        greatest(0, ((matches * 1000000 // 16) - 62500) * 1000000 // 937500)::BIGINT
          AS est_jaccard_e6
 FROM m"""
+
+
+# ------------------------------------------------- acronym mining
+# Session-24: Schwartz & Hearst initialism rule over injected
+# definition patterns — matches verified columnar (last-|short|-words
+# initials), the mismatch rotation proves the verifier rejects;
+# stated-expectation oracle from the generation rule.
+
+
+def q_acronyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.webtext import acronym_pairs
+
+    d = F.col("doc_id")
+    phrase = (
+        F.when(d % 4 == 0, F.lit("the Global Crawl Initiative (GCI) reports"))
+        .when(d % 4 == 1, F.lit("a Data Processing Engine (DPE) shines"))
+        .when(d % 4 == 2, F.lit("random noise words (ZQX) here"))
+        .otherwise(F.lit("no definitions at all"))
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.concat(F.lit("filler start "), phrase).alias("text")
+    )
+    return acronym_pairs(docs)
+
+
+_TRAINING_QUERIES["acronym_pairs"] = q_acronyms
+_TRAINING_ORACLES["acronym_pairs"] = """WITH c AS (
+  SELECT sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END)::BIGINT AS b
+  FROM documents
+)
+SELECT 'GCI' AS short, 'Global Crawl Initiative' AS "long", a AS n_docs FROM c
+UNION ALL
+SELECT 'DPE', 'Data Processing Engine', b FROM c"""

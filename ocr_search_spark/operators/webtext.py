@@ -682,3 +682,67 @@ def fold_homoglyphs(
         .cast("long")
         .alias("n_spoof_tokens"),
     )
+
+
+# --------------------------------------------------- acronym mining
+
+# generous candidate window: 2-6 words immediately before "(SHORT)";
+# the columnar verifier then keeps exactly |short| of them and checks
+# initials — the regex only has to over-capture, never to count
+ACRONYM_RE = (
+    r"((?:[A-Za-z][A-Za-z-]* ){2,6})\(([A-Z]{2,6})\)"
+)
+
+
+def acronym_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(short, long, n_docs) — mine acronym/definition pairs with the
+    INITIALISM special case of Schwartz & Hearst (PSB 2003): a 2-6
+    letter uppercase token in parentheses whose letters are exactly
+    the initials (case-insensitive) of the |short| words immediately
+    preceding the parenthesis. The curation/knowledge primitive for
+    glossary building and for expanding search queries over technical
+    corpora — and deliberately the PINNED-RULE subset (the full S&H
+    inner-letter alignment is a per-pair DP; the initials rule covers
+    the dominant pattern and stays whole-stage-codegen).
+
+    One regex scan per doc (non-overlapping matches, the engine-native
+    scan order), per-match verification as array ops, then a
+    (short, long)-keyed count of supporting docs. No UDF, no
+    self-join; the explode is bounded by matches-per-doc.
+    """
+    t = F.col(text_col)
+    m = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(t, F.lit(ACRONYM_RE), 0)
+        ).alias("_m"),
+    ).select(
+        "id",
+        F.regexp_extract("_m", ACRONYM_RE, 2).alias("short"),
+        F.filter(
+            F.split(F.trim(F.regexp_extract("_m", ACRONYM_RE, 1)), " "),
+            lambda w: w != "",
+        ).alias("_win"),
+    )
+    n = F.length("short")
+    cand = m.where(F.size("_win") >= n).select(
+        "id",
+        "short",
+        F.array_join(
+            F.slice("_win", F.size("_win") - n + 1, n), " "
+        ).alias("long"),
+        F.slice("_win", F.size("_win") - n + 1, n).alias("_lw"),
+    )
+    # index-based compare (split-on-empty-pattern edge behaviors differ
+    # across engines; substr(i, 1) is pinned everywhere)
+    ok = F.forall(
+        F.sequence(F.lit(1), F.length("short")),
+        lambda i: F.lower(F.col("short").substr(i, F.lit(1)))
+        == F.lower(F.element_at("_lw", i).substr(F.lit(1), F.lit(1))),
+    )
+    verified = cand.where(ok)
+    return verified.groupBy("short", "long").agg(
+        F.countDistinct("id").cast("long").alias("n_docs")
+    )

@@ -270,3 +270,41 @@ def test_fold_homoglyphs_idempotent(spark):
     once = fold_homoglyphs(df).select(F.col("folded").alias("text"), F.lit(0).alias("doc_id"))
     twice = fold_homoglyphs(once).collect()[0]
     assert twice["folded"] == "paypal" and twice["n_confusables"] == 0
+
+
+# --------------------------------------------------- acronym mining
+
+
+def test_acronym_pairs_initialism_rule(spark):
+    from ocr_search_spark.operators.webtext import acronym_pairs
+
+    docs = [
+        (0, "the World Health Organization (WHO) said so"),
+        (1, "we asked the World Health Organization (WHO) again"),
+        (2, "totally random words (XYZ) here"),          # initials mismatch
+        (3, "big data (BD) wins"),                       # lowercase long ok
+        (4, "one (AB) short window"),                    # only 1 word before
+        (5, "Frequently Asked Questions (FAQ) page"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["short"], r["long"]): r["n_docs"]
+        for r in acronym_pairs(df).collect()
+    }
+    assert got == {
+        ("WHO", "World Health Organization"): 2,
+        ("BD", "big data"): 1,
+        ("FAQ", "Frequently Asked Questions"): 1,
+    }
+
+
+def test_acronym_pairs_window_takes_last_n_words(spark):
+    """Over-captured window: only the LAST |short| words verify."""
+    from ocr_search_spark.operators.webtext import acronym_pairs
+
+    df = spark.createDataFrame(
+        [(0, "we love the Central Processing Unit (CPU) dearly")],
+        "doc_id long, text string",
+    )
+    got = [(r["short"], r["long"]) for r in acronym_pairs(df).collect()]
+    assert got == [("CPU", "Central Processing Unit")]
