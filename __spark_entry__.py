@@ -15109,3 +15109,44 @@ _TRAINING_ORACLES["acronym_pairs"] = """WITH c AS (
 SELECT 'GCI' AS short, 'Global Crawl Initiative' AS "long", a AS n_docs FROM c
 UNION ALL
 SELECT 'DPE', 'Data Processing Engine', b FROM c"""
+
+
+# ------------------------------------------- prefix-filter set-sim join
+# Session-24: exact Jaccard similarity join via prefix filtering
+# (Chaudhuri ICDE'06) — the no-false-negative sibling of the MinHash
+# LSH path. Fixture: 4-doc families sharing 10 family words + the
+# universal 'the' (ranked last by df-ascending order, so it never
+# becomes a join key); even families carry 1 unique token each
+# (J = 11/13 >= 0.8, IN), odd families 3 (J = 11/17, OUT) — the
+# stated-expectation oracle derives both from the generation rule.
+
+
+def q_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.simjoin import jaccard_prefix_pairs
+
+    gs = F.expr("cast(doc_id div 4 as string)")
+    fam = F.concat_ws(
+        " ", *[F.concat(F.lit("w"), gs, F.lit(f"x{j}")) for j in range(10)]
+    )
+    ub = F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+    uniq = F.when(
+        F.expr("(doc_id div 4) % 2 = 1"),
+        F.concat_ws(
+            " ",
+            F.concat(ub, F.lit("a")),
+            F.concat(ub, F.lit("b")),
+            F.concat(ub, F.lit("c")),
+        ),
+    ).otherwise(F.concat(ub, F.lit("a")))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.concat_ws(" ", F.lit("the"), fam, uniq).alias("text")
+    )
+    return jaccard_prefix_pairs(docs, tau_e6=800000)
+
+
+_TRAINING_QUERIES["setjoin_prefix"] = q_setjoin_prefix
+_TRAINING_ORACLES["setjoin_prefix"] = """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       (11 * 1000000 // 13)::BIGINT AS jacc_e6
+FROM documents a JOIN documents b
+  ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id
+WHERE (a.doc_id // 4) % 2 = 0"""

@@ -156,6 +156,111 @@ def phonetic_pairs(
     )
 
 
+# ------------------------------------------- prefix-filter set-sim join
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau_e6: int = 800000,
+) -> DataFrame:
+    """(id_a, id_b, jacc_e6) — ALL unordered pairs of documents whose
+    token-set Jaccard similarity is >= tau_e6/1e6, found EXACTLY (no
+    false negatives, unlike the MinHash-LSH path in training/dedup.py)
+    via PREFIX FILTERING (Chaudhuri/Ganti/Kaushik ICDE'06; the
+    all-pairs backbone of PPJoin, Xiao et al. WWW'08).
+
+    Mechanism: order the vocabulary by ascending document frequency
+    (rarest first, ties by token), sort every doc's token set under
+    that one global order, and emit only the first
+    ``p = |s| - ceil(tau*|s|) + 1`` tokens as join keys. Completeness:
+    J(a,b) >= tau implies overlap o >= ceil(tau*max(|a|,|b|)), and the
+    minimal-rank COMMON token c has at most |s| - o non-common tokens
+    before it in either set, so c sits within both prefixes — the
+    equi-join on prefix tokens is a candidate SUPERSET, and one exact
+    array-intersect verify removes the false positives.
+
+    Scale shape: cost is sum over prefix tokens of bucket², and the
+    frequency-ascending order puts corpus-hot tokens ('the', boiler-
+    plate) at the END of every set — they never become join keys, which
+    is the guard the raw shingle self-join needs max_df for. The
+    remaining candidate volume is output-sensitive (identical corpora
+    legitimately produce quadratic OUTPUT). The vocabulary ranking is
+    one sort of |V| rows (vocab ≪ corpus; ~10⁸ at web scale — a single
+    comfortable stage). The verify carries each side's rank array
+    through the join; batch shuffle width ∝ set size, so span-level
+    chunking (chunk_documents) is the upstream lever for mega-docs.
+    PPJoin's positional/suffix filters are deliberately out: they
+    shrink candidates by constants at the price of per-token position
+    bookkeeping, and the candidate set here is already prefix-bounded.
+    """
+    if not 0 < tau_e6 <= 1_000_000:
+        raise ValueError(f"tau_e6 must be in (0, 1e6], got {tau_e6}")
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    # global df-ascending total order over the vocabulary
+    from pyspark.sql import Window
+
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    rank = vocab.select(
+        "tok",
+        F.row_number()
+        .over(Window.orderBy(F.asc("df"), F.asc("tok")))
+        .cast("long")
+        .alias("rk"),
+    )
+    ranked = toks.join(rank, "tok").select("id", "rk")
+    sets = ranked.groupBy("id").agg(
+        F.array_sort(F.collect_list("rk")).alias("rks"),
+        F.count("*").cast("long").alias("sz"),
+    )
+    # prefix length p = sz - ceil(tau*sz) + 1  (exact integer ceil)
+    p = F.expr(f"sz - ((sz * {tau_e6} + 999999) div 1000000) + 1").cast("int")
+    pref = sets.select(
+        "id", "rks", "sz", F.explode(F.slice("rks", F.lit(1), p)).alias("k")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    # length filter: J <= min/max, so tau*max(|a|,|b|) <= min(|a|,|b|)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.sz") * tau_e6 <= F.col("b.sz") * 1_000_000)
+            & (F.col("b.sz") * tau_e6 <= F.col("a.sz") * 1_000_000),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.rks").alias("_ra"),
+            F.col("b.rks").alias("_rb"),
+            F.col("a.sz").alias("_sa"),
+            F.col("b.sz").alias("_sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    o = F.size(F.array_intersect("_ra", "_rb")).cast("long")
+    verified = cand.select(
+        "id_a",
+        "id_b",
+        o.alias("_o"),
+        (F.col("_sa") + F.col("_sb") - o).alias("_u"),
+    ).where(F.col("_o") * 1_000_000 >= F.lit(tau_e6) * F.col("_u"))
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.expr("_o * 1000000 div _u").cast("long").alias("jacc_e6"),
+    )
+
+
 # ---------------------------------------------------- blocking quality
 
 

@@ -152,3 +152,52 @@ def test_blocking_eval_empty_truth_null_pc(spark):
 
     with _pytest.raises(ValueError):
         blocking_eval(cand, truth, 1)
+
+
+def test_jaccard_prefix_pairs_vs_bruteforce(spark):
+    """Prefix-filtered exact Jaccard join == brute-force all-pairs, on a
+    corpus with a universal hot token, near-dup families, a just-below-
+    threshold family, and disjoint singletons."""
+    import itertools
+
+    from ocr_search_spark.operators.simjoin import jaccard_prefix_pairs
+
+    rows = []
+    for g in range(6):
+        fam = [f"w{g}x{j}" for j in range(10)]
+        for m in range(3):
+            uniq = [f"u{g}m{m}{j}" for j in range(1 if g % 2 == 0 else 4)]
+            rows.append((g * 3 + m, " ".join(["the"] + fam + uniq)))
+    rows.append((900, "zq1 zq2 zq3"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tau = 780000
+    got = {
+        (r["id_a"], r["id_b"]): r["jacc_e6"]
+        for r in jaccard_prefix_pairs(df, tau_e6=tau).collect()
+    }
+
+    sets = {i: set(t.lower().split()) for i, t in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        o = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if o * 1_000_000 >= tau * u:
+            want[(a, b)] = o * 1_000_000 // u
+    assert want and got == want
+    # even-g families are in (J = 11/13), odd-g families out (11/19)
+    assert (0, 1) in want and (3, 4) not in want
+
+
+def test_jaccard_prefix_hot_token_never_joins(spark):
+    """The universal token is ranked LAST by df-ascending order, so it
+    never lands in any prefix: two docs sharing only 'the' produce zero
+    candidate pairs (the guard that replaces max_df here)."""
+    from ocr_search_spark.operators.simjoin import jaccard_prefix_pairs
+
+    df = spark.createDataFrame(
+        [(1, "the alpha beta gamma"), (2, "the delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    assert jaccard_prefix_pairs(df, tau_e6=300000).count() == 0
+    with __import__("pytest").raises(ValueError):
+        jaccard_prefix_pairs(df, tau_e6=0)
