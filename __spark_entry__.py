@@ -15150,3 +15150,30 @@ _TRAINING_ORACLES["setjoin_prefix"] = """SELECT a.doc_id AS id_a, b.doc_id AS id
 FROM documents a JOIN documents b
   ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id
 WHERE (a.doc_id // 4) % 2 = 0"""
+
+
+# --------------------------------------------- sharded BM25 serving
+# Session-24: document-sharded serving topology — shard-local top-k
+# (rank window partitioned by the first-hex-byte router) merged to the
+# global list, with idf/avgdl broadcast from the WHOLE corpus. The
+# oracle is the single-index BM25 ranking plus the router column: the
+# gate proves the merge is bit-identical to the unsharded truth.
+
+
+def q_search_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.search import match_terms_bm25_sharded
+
+    return match_terms_bm25_sharded(
+        _postings(spark, sf_dir).cache(),
+        list(_SEARCH_TERMS),
+        n_shards=8,
+        max_return=20,
+    )
+
+
+_TRAINING_QUERIES["search_sharded"] = q_search_sharded
+_TRAINING_ORACLES["search_sharded"] = (
+    "SELECT doc_id, score,\n"
+    "       (('0x' || substring(doc_id, 1, 2))::INT % 8)::BIGINT AS shard\n"
+    "FROM (" + _TRAINING_ORACLES["search_bm25"] + ")"
+)

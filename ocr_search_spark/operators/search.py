@@ -18,7 +18,7 @@ SURVEY §7.0); default k=20 (AppConfig.const.js:22).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import literal_df
@@ -375,6 +375,71 @@ def match_terms_maxscore(
         scored.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(max_return)
         .select("doc_id", "score")
+    )
+
+
+def match_terms_bm25_sharded(
+    postings: DataFrame,
+    terms: list[str],
+    n_shards: int = 8,
+    max_return: int = DEFAULT_MAX_RETURN,
+    k1: float = 1.2,
+    b: float = 0.75,
+    shard_col: Column | None = None,
+) -> DataFrame:
+    """Document-SHARDED BM25 serving: (doc_id, score, shard) — the
+    distributed-index topology every web-scale engine runs (one index
+    shard per doc partition, shard-local top-k, k-way merge), expressed
+    as one plan and provably identical to the single-index ranking.
+
+    The two systems invariants this operator pins:
+
+    * **Global statistics, broadcast — never per-shard.** idf's df/N
+      and the avgdl length normalizer are corpus-level aggregates; a
+      shard computing them locally ranks differently from its siblings
+      and the merged list is garbage (the classic distributed-BM25
+      bug). Here the weights come from :func:`_bm25_rows`, which
+      aggregates over the WHOLE postings relation once and broadcasts —
+      at cluster scale these are a few KB per term regardless of corpus
+      size.
+    * **Shard-local top-k is a cover of global top-k** under the total
+      order (score desc, doc_id asc): if doc d is in the global top-k,
+      fewer than k docs precede it globally, hence fewer than k within
+      its own shard — so d survives its shard's cut. The merge
+      therefore sees every global winner; ties are broken identically
+      at both levels, making the result BIT-IDENTICAL to
+      :func:`match_terms_bm25` (which is exactly what the gate's
+      oracle checks).
+
+    Plan shape: the per-shard cut is a rank window partitioned by
+    shard (Spark's WindowGroupLimit pushes the ``rn <= k`` filter into
+    the sort — no shard ever materializes more than k rows past the
+    window), and the merge is a TakeOrderedAndProject over ≤ k·S rows.
+    ``shard_col`` defaults to the first hex byte of the sha256 doc_id
+    mod ``n_shards`` — uniform by construction, and replayable in any
+    engine; pass a column to mirror a real deployment's router.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if shard_col is None:
+        shard_col = (
+            F.conv(F.substring("doc_id", 1, 2), 16, 10).cast("long") % n_shards
+        )
+    rows = _bm25_rows(postings, terms, k1, b)
+    scored = rows.groupBy("doc_id").agg(F.sum("w").alias("score"))
+    sharded = scored.select(
+        "doc_id", "score", shard_col.cast("long").alias("shard")
+    )
+    win = Window.partitionBy("shard").orderBy(F.desc("score"), F.asc("doc_id"))
+    local = (
+        sharded.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= max_return)
+        .drop("_rn")
+    )
+    return (
+        local.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(max_return)
+        .select("doc_id", "score", "shard")
     )
 
 

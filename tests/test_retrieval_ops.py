@@ -623,3 +623,50 @@ def test_sign_test_all_ties_and_overflow(spark):
     a, b = _metric_frames(spark, [(2, 1)] * 61)
     r = sign_test(a, b).collect()[0]
     assert r["overflow"] and r["p_e6"] is None and r["n"] == 61
+
+
+# ----------------------------------------------- sharded BM25 serving
+
+
+def test_sharded_bm25_identical_to_global(spark):
+    """Shard-local top-k + merge with GLOBAL stats == the single-index
+    ranking, bit for bit, at several shard counts (incl. n=1 and more
+    shards than matching docs)."""
+    import random
+
+    from ocr_search_spark.operators.search import (
+        match_terms_bm25,
+        match_terms_bm25_sharded,
+    )
+
+    rng = random.Random(24)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = []
+    for d in range(60):
+        did = f"{rng.randrange(16):x}{d:03d}"
+        for t in rng.sample(vocab, 8):
+            rows.append((t, did, rng.randrange(1, 9)))
+    post = spark.createDataFrame(rows, "term string, doc_id string, tf long")
+    terms = ["t1", "t2", "t3"]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in match_terms_bm25(post, terms, max_return=10).collect()
+    ]
+    for s in (1, 4, 64):
+        got = match_terms_bm25_sharded(post, terms, n_shards=s, max_return=10)
+        assert [(r["doc_id"], r["score"]) for r in got.collect()] == want, s
+
+
+def test_sharded_bm25_shard_column_and_validation(spark):
+    from ocr_search_spark.operators.search import match_terms_bm25_sharded
+    import pytest
+
+    post = spark.createDataFrame(
+        [("a", "0b1", 3), ("a", "ff2", 1), ("b", "0b1", 2)],
+        "term string, doc_id string, tf long",
+    )
+    out = match_terms_bm25_sharded(post, ["a", "b"], n_shards=4).collect()
+    for r in out:
+        assert r["shard"] == int(r["doc_id"][:2], 16) % 4
+    with pytest.raises(ValueError):
+        match_terms_bm25_sharded(post, ["a"], n_shards=0)
