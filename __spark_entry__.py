@@ -15177,3 +15177,50 @@ _TRAINING_ORACLES["search_sharded"] = (
     "       (('0x' || substring(doc_id, 1, 2))::INT % 8)::BIGINT AS shard\n"
     "FROM (" + _TRAINING_ORACLES["search_bm25"] + ")"
 )
+
+
+# ------------------------------------------------- COEC click model
+# Session-24: position-bias-corrected click-through from the events
+# log. The impression fixture is position-biased BY CONSTRUCTION
+# (click threshold 600 div pos) with a doc-quality term (150·(doc%3)),
+# so the correction has real structure to recover; the oracle replays
+# the generation rule and the exact per-cell-floor expectation.
+
+
+def q_click_coec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.clicklog import coec
+
+    imp = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.expr("(event_id div 5) % 50").alias("doc"),
+        F.expr("1 + (event_id % 5)").alias("pos"),
+        F.expr(
+            "CASE WHEN (event_id * 7919) % 1000 < "
+            "(600 div (1 + event_id % 5) + 150 * (((event_id div 5) % 50) % 3)) "
+            "THEN 1 ELSE 0 END"
+        ).alias("clicked"),
+    )
+    return coec(imp)
+
+
+_TRAINING_QUERIES["click_coec"] = q_click_coec
+_TRAINING_ORACLES["click_coec"] = """WITH imp AS (
+  SELECT (event_id // 5) % 50 AS doc,
+         1 + (event_id % 5) AS pos,
+         CASE WHEN (event_id * 7919) % 1000 <
+              (600 // (1 + event_id % 5) + 150 * (((event_id // 5) % 50) % 3))
+              THEN 1 ELSE 0 END AS clicked
+  FROM events
+),
+pri AS (SELECT pos, count(*)::BIGINT AS n_imp, sum(clicked)::BIGINT AS n_click
+        FROM imp GROUP BY pos),
+cell AS (SELECT doc, pos, count(*)::BIGINT AS ci, sum(clicked)::BIGINT AS cc
+         FROM imp GROUP BY doc, pos),
+per AS (
+  SELECT c.doc, sum(c.ci)::BIGINT AS n_imp, sum(c.cc)::BIGINT AS n_click,
+         sum(c.ci * p.n_click * 1000000 // p.n_imp)::BIGINT AS expected_e6
+  FROM cell c JOIN pri p USING (pos) GROUP BY c.doc
+)
+SELECT doc, n_imp, n_click, expected_e6,
+       (CASE WHEN expected_e6 > 0
+             THEN n_click * 1000000000000 // expected_e6 END)::BIGINT AS coec_e6
+FROM per"""
