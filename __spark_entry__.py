@@ -15224,3 +15224,44 @@ SELECT doc, n_imp, n_click, expected_e6,
        (CASE WHEN expected_e6 > 0
              THEN n_click * 1000000000000 // expected_e6 END)::BIGINT AS coec_e6
 FROM per"""
+
+
+# ------------------------------------- relative-error quantile sketch
+# Session-24: DDSketch-guarantee quantiles (VLDB'19) in exact integer
+# arithmetic — log-spaced buckets via length(bin(v)) bit-length, the
+# top-5-significant-bits rule, merge = cell-wise sum. The oracle
+# replays bucketing, cumulative window and exact-ceil rank selection
+# over the orders price column in cents.
+
+
+def q_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.sketches import (
+        ddsketch_build,
+        ddsketch_quantiles,
+    )
+
+    vals = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.expr("cast(floor(o_totalprice * 100) as long)").alias("v")
+    )
+    return ddsketch_quantiles(
+        ddsketch_build(vals, "v", m_bits=4), [250000, 500000, 900000, 990000]
+    )
+
+
+_TRAINING_QUERIES["ddsketch_quantiles"] = q_ddsketch
+_TRAINING_ORACLES["ddsketch_quantiles"] = """WITH vals AS (
+  SELECT floor(o_totalprice * 100)::BIGINT AS v FROM orders
+),
+sk AS (
+  SELECT (v >> greatest(length(bin(v)) - 5, 0))
+           << greatest(length(bin(v)) - 5, 0) AS rep,
+         count(*)::BIGINT AS cnt
+  FROM vals GROUP BY 1
+),
+cum AS (SELECT rep, sum(cnt) OVER (ORDER BY rep) AS cum,
+               sum(cnt) OVER () AS n
+        FROM sk)
+SELECT q.q_micros::BIGINT AS q_micros, min(rep)::BIGINT AS est
+FROM cum, (VALUES (250000), (500000), (900000), (990000)) AS q(q_micros)
+WHERE cum * 1000000 >= q.q_micros * n
+GROUP BY 1"""

@@ -209,3 +209,51 @@ def test_kmv_sketch_state_is_bounded(spark):
     assert len(rows) == 2
     assert all(len(r["sketch"]) <= 64 for r in rows)
     assert all(r["sketch"] == sorted(r["sketch"]) for r in rows)
+
+
+# ------------------------------------------- relative-error quantiles
+
+
+def test_ddsketch_relative_error_and_merge(spark):
+    """est <= true < est*(1+2^-m) at every probed quantile across 6
+    orders of magnitude, and shard-merge == global build exactly."""
+    import random
+
+    from ocr_search_spark.training.sketches import (
+        ddsketch_build,
+        ddsketch_merge,
+        ddsketch_quantiles,
+    )
+
+    rng = random.Random(24)
+    vals = [rng.randrange(0, 10 ** rng.randrange(1, 7)) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    m = 4
+    sk = ddsketch_build(df, "v", m_bits=m).cache()
+    qs = [250000, 500000, 900000, 990000]
+    got = {r["q_micros"]: r["est"] for r in ddsketch_quantiles(sk, qs).collect()}
+    svals = sorted(vals)
+    for q in qs:
+        true = svals[-(-q * len(vals) // 1_000_000) - 1]  # ceil rank, 1-based
+        est = got[q]
+        assert est <= true <= est * (1 + 2 ** -m) + 1, (q, est, true)
+    # shard merge == global
+    half = len(vals) // 2
+    a = ddsketch_build(spark.createDataFrame([(v,) for v in vals[:half]], "v long"), "v", m)
+    b = ddsketch_build(spark.createDataFrame([(v,) for v in vals[half:]], "v long"), "v", m)
+    merged = {(r["rep"], r["cnt"]) for r in ddsketch_merge(a, b).collect()}
+    direct = {(r["rep"], r["cnt"]) for r in sk.collect()}
+    assert merged == direct
+
+
+def test_ddsketch_rejects_negative_and_bad_m(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from ocr_search_spark.training.sketches import ddsketch_build
+
+    df = spark.createDataFrame([(5,), (-1,)], "v long")
+    with pytest.raises(Exception) as ei:
+        ddsketch_build(df, "v").collect()
+    assert "non-negative" in str(ei.value)
+    with pytest.raises(ValueError):
+        ddsketch_build(df, "v", m_bits=0)
