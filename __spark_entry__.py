@@ -15265,3 +15265,45 @@ SELECT q.q_micros::BIGINT AS q_micros, min(rep)::BIGINT AS est
 FROM cum, (VALUES (250000), (500000), (900000), (990000)) AS q(q_micros)
 WHERE cum * 1000000 >= q.q_micros * n
 GROUP BY 1"""
+
+
+# ------------------------------------------- query reformulation mining
+# Session-24: session-adjacent (q1 -> q2) rewrite pairs with exact
+# integer lift over the transition space (Jones WWW'06). The query
+# stream is derived from events (user_id-bucketed users, event_id-
+# rotated query ids) with event_id as the total tie-break; the oracle
+# replays the lead window, gap cut, marginals and lift division.
+
+
+def q_query_reformulations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.clicklog import query_reformulations
+
+    log = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("user_id") % 200).alias("user"),
+        _ep_us("ts").alias("ts_us"),
+        F.concat(F.lit("q"), F.expr("(event_id div 3) % 6")).alias("query"),
+        F.col("event_id").alias("eid"),
+    )
+    return query_reformulations(log, order_cols=("eid",))
+
+
+_TRAINING_QUERIES["query_reformulations"] = q_query_reformulations
+_TRAINING_ORACLES["query_reformulations"] = """WITH lg AS (
+  SELECT user_id % 200 AS u, epoch_us(ts) AS t,
+         'q' || ((event_id // 3) % 6)::VARCHAR AS q, event_id AS eid
+  FROM events
+),
+nx AS (
+  SELECT u, q AS q1, lead(q) OVER w AS q2, lead(t) OVER w - t AS dt
+  FROM lg WINDOW w AS (PARTITION BY u ORDER BY t, eid)
+),
+tr AS (SELECT q1, q2 FROM nx
+       WHERE q2 IS NOT NULL AND q2 <> q1 AND dt <= 1800000000),
+pc AS (SELECT q1, q2, count(*)::BIGINT AS n_pairs FROM tr GROUP BY 1, 2),
+m1 AS (SELECT q1, count(*)::BIGINT AS n_q1 FROM tr GROUP BY 1),
+m2 AS (SELECT q2, count(*)::BIGINT AS n_q2 FROM tr GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS total FROM tr)
+SELECT p.q1, p.q2, p.n_pairs, m1.n_q1, m2.n_q2,
+       (p.n_pairs * n.total * 1000000 // (m1.n_q1 * m2.n_q2))::BIGINT AS lift_e6
+FROM pc p JOIN m1 USING (q1) JOIN m2 USING (q2) CROSS JOIN n
+WHERE p.n_pairs >= 2"""

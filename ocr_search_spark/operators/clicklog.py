@@ -46,6 +46,73 @@ def position_priors(
     )
 
 
+def query_reformulations(
+    log: DataFrame,
+    user_col: str = "user",
+    ts_col: str = "ts_us",
+    query_col: str = "query",
+    gap_us: int = 1800 * E6,
+    min_support: int = 2,
+    order_cols: tuple = (),
+) -> DataFrame:
+    """(q1, q2, n_pairs, n_q1, n_q2, lift_e6) — session-adjacent query
+    REFORMULATION pairs mined from the query log (Jones et al.,
+    "Generating query substitutions", WWW'06): q2 issued by the same
+    user directly after q1 within ``gap_us``, with q2 ≠ q1. The raw
+    material for query-suggestion and spell-fix candidates — the other
+    half of the loop the reference's write-only search_history misses.
+
+    lift_e6 = n_pairs · |T| · 1e6 div (n_q1 · n_q2) over the transition
+    space T (all counted adjacencies), where n_q1 counts q1 as a
+    SOURCE and n_q2 counts q2 as a TARGET — lift > 1e6 means the
+    rewrite happens more often than the marginals predict (a directed
+    association, not a popularity artifact). All exact integer
+    arithmetic. Pairs below ``min_support`` are dropped AFTER the
+    marginals are taken, so the lift denominator never shifts with the
+    support cut.
+
+    ``order_cols`` must break timestamp ties totally (pass the event
+    id); adjacency under a non-total order is nondeterministic, which
+    would poison every downstream count. Plan: one per-user window
+    (lead), then three hash aggregates over the transition relation
+    joined back on q1/q2 — no self-join of the log itself.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col).orderBy(ts_col, *order_cols)
+    nxt_q = F.lead(query_col).over(w)
+    nxt_t = F.lead(ts_col).over(w)
+    tr = (
+        log.select(
+            F.col(query_col).alias("q1"),
+            nxt_q.alias("q2"),
+            (nxt_t - F.col(ts_col)).alias("_dt"),
+        )
+        .where(F.col("q2").isNotNull() & (F.col("q2") != F.col("q1")) & (F.col("_dt") <= gap_us))
+        .select("q1", "q2")
+    )
+    pc = tr.groupBy("q1", "q2").agg(F.count("*").cast("long").alias("n_pairs"))
+    m1 = tr.groupBy("q1").agg(F.count("*").cast("long").alias("n_q1"))
+    m2 = tr.groupBy("q2").agg(F.count("*").cast("long").alias("n_q2"))
+    total = tr.agg(F.count("*").cast("long").alias("_total"))
+    return (
+        pc.where(F.col("n_pairs") >= min_support)
+        .join(m1, "q1")
+        .join(m2, "q2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "q1",
+            "q2",
+            "n_pairs",
+            "n_q1",
+            "n_q2",
+            F.expr("n_pairs * _total * 1000000 div (n_q1 * n_q2)").alias(
+                "lift_e6"
+            ),
+        )
+    )
+
+
 def coec(
     impressions: DataFrame,
     doc_col: str = "doc",

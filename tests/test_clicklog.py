@@ -37,3 +37,59 @@ def test_coec_average_doc_is_one(spark):
     got = {r["doc"]: r["coec_e6"] for r in coec(df).collect()}
     assert got["x"] == 1_000_000 and got["y"] == 1_000_000
     assert got["ghost"] is None
+
+
+def test_query_reformulations_hand_case(spark):
+    """Adjacency, gap cut, self-loop exclusion, min_support, and the
+    exact lift arithmetic on a 3-user log."""
+    from ocr_search_spark.operators.clicklog import query_reformulations
+
+    S = 1_000_000
+    rows = [
+        # u1: a -> b -> b (self-loop dropped) -> c
+        ("u1", 0 * S, "a", 0), ("u1", 60 * S, "b", 1),
+        ("u1", 120 * S, "b", 2), ("u1", 180 * S, "c", 3),
+        # u2: a -> b again; then a gap > 30 min kills b -> a
+        ("u2", 0 * S, "a", 4), ("u2", 10 * S, "b", 5),
+        ("u2", 10 * S + 1801 * S, "a", 6),
+        # u3: lone query, no transitions
+        ("u3", 0 * S, "a", 7),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts_us long, query string, eid long")
+    got = {
+        (r["q1"], r["q2"]): r
+        for r in query_reformulations(df, order_cols=("eid",)).collect()
+    }
+    # transitions T = {a->b, b->c, a->b} (b->b self, b->a gapped out)
+    assert set(got) == {("a", "b")}
+    r = got[("a", "b")]
+    assert r["n_pairs"] == 2 and r["n_q1"] == 2 and r["n_q2"] == 2
+    # lift = 2 * 3 * 1e6 // (2 * 2) = 1.5e6
+    assert r["lift_e6"] == 1_500_000
+
+
+def test_query_reformulations_tie_break_total_order(spark):
+    """Equal timestamps: the order_cols tie-break pins adjacency, so
+    the result is identical at any partitioning."""
+    from ocr_search_spark.operators.clicklog import query_reformulations
+
+    rows = [("u", 5, "x", 2), ("u", 5, "y", 1), ("u", 5, "x", 3),
+            ("u", 5, "z", 4)] * 2
+    rows = [(f"{u}{i}", t, q, e) for i, (u, t, q, e) in enumerate(rows)]
+    # two users with the same tied pattern y->x->x->z (by eid)
+    df = spark.createDataFrame(
+        [("uA", t, q, e) for _, t, q, e in rows[:4]]
+        + [("uB", t, q, e) for _, t, q, e in rows[4:]],
+        "user string, ts_us long, query string, eid long",
+    )
+    a = sorted(
+        (r["q1"], r["q2"], r["n_pairs"])
+        for r in query_reformulations(df, min_support=1, order_cols=("eid",)).collect()
+    )
+    b = sorted(
+        (r["q1"], r["q2"], r["n_pairs"])
+        for r in query_reformulations(
+            df.repartition(7), min_support=1, order_cols=("eid",)
+        ).collect()
+    )
+    assert a == b == [("x", "z", 2), ("y", "x", 2)]
