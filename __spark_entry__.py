@@ -15307,3 +15307,44 @@ SELECT p.q1, p.q2, p.n_pairs, m1.n_q1, m2.n_q2,
        (p.n_pairs * n.total * 1000000 // (m1.n_q1 * m2.n_q2))::BIGINT AS lift_e6
 FROM pc p JOIN m1 USING (q1) JOIN m2 USING (q2) CROSS JOIN n
 WHERE p.n_pairs >= 2"""
+
+
+# --------------------------------------------- cascade click model
+# Session-24: first-click stopping MLE over event-derived sessions
+# (5-position lists, doc rotated by event_id·31, the same position-
+# biased click rule as click_coec on the rotated doc). Oracle replays
+# first-click window + examination filter + exact ratio.
+
+
+def q_click_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.clicklog import cascade_attractiveness
+
+    imp = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.expr("event_id div 5").alias("sid"),
+        F.expr("(event_id * 31) % 40").alias("doc"),
+        F.expr("1 + (event_id % 5)").alias("pos"),
+        F.expr(
+            "CASE WHEN (event_id * 7919) % 1000 < "
+            "(600 div (1 + event_id % 5) + 150 * (((event_id * 31) % 40) % 3)) "
+            "THEN 1 ELSE 0 END"
+        ).alias("clicked"),
+    )
+    return cascade_attractiveness(imp)
+
+
+_TRAINING_QUERIES["click_cascade"] = q_click_cascade
+_TRAINING_ORACLES["click_cascade"] = """WITH imp AS (
+  SELECT event_id // 5 AS sid, 1 + (event_id % 5) AS pos,
+         (event_id * 31) % 40 AS doc,
+         CASE WHEN (event_id * 7919) % 1000 <
+              (600 // (1 + event_id % 5) + 150 * (((event_id * 31) % 40) % 3))
+              THEN 1 ELSE 0 END AS clicked
+  FROM events
+),
+fc AS (SELECT sid, min(CASE WHEN clicked = 1 THEN pos END) AS fcp
+       FROM imp GROUP BY sid),
+ex AS (SELECT i.doc, i.clicked FROM imp i JOIN fc USING (sid)
+       WHERE fc.fcp IS NULL OR i.pos <= fc.fcp)
+SELECT doc, count(*)::BIGINT AS n_exam, sum(clicked)::BIGINT AS n_click,
+       (sum(clicked) * 1000000 // count(*))::BIGINT AS attract_e6
+FROM ex GROUP BY doc"""

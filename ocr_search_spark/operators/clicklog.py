@@ -46,6 +46,48 @@ def position_priors(
     )
 
 
+def cascade_attractiveness(
+    impressions: DataFrame,
+    session_col: str = "sid",
+    doc_col: str = "doc",
+    pos_col: str = "pos",
+    click_col: str = "clicked",
+) -> DataFrame:
+    """(doc, n_exam, n_click, attract_e6) — the CASCADE click model's
+    closed-form MLE (Craswell/Zoeter/Taylor/Ramsey WSDM'08): the user
+    scans a result list top-down and stops at the first click, so a
+    document is EXAMINED only when it sits at or above the session's
+    first click (sessions with no click examine the whole list).
+    attractiveness = clicks / examinations — unlike raw CTR this does
+    not punish a doc for ranking below an attractive competitor, and
+    unlike :func:`coec` it uses the per-SESSION stopping structure,
+    not a global position prior; the two models bracket the bias.
+
+    attract_e6 = n_click · 1e6 div n_exam, exact. Plan: one min-window
+    per session (first click position), one filter, one hash agg —
+    linear in the log; the window partitions by session (millions of
+    tiny groups — the shape Spark shuffles best).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(session_col)
+    first_click = F.min(
+        F.when(F.col(click_col).cast("long") == 1, F.col(pos_col))
+    ).over(w)
+    examined = impressions.withColumn("_fc", first_click).where(
+        F.col("_fc").isNull() | (F.col(pos_col) <= F.col("_fc"))
+    )
+    return examined.groupBy(F.col(doc_col).alias("doc")).agg(
+        F.count("*").cast("long").alias("n_exam"),
+        F.sum(F.col(click_col).cast("long")).cast("long").alias("n_click"),
+    ).select(
+        "doc",
+        "n_exam",
+        "n_click",
+        F.expr("n_click * 1000000 div n_exam").alias("attract_e6"),
+    )
+
+
 def query_reformulations(
     log: DataFrame,
     user_col: str = "user",

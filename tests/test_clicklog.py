@@ -93,3 +93,27 @@ def test_query_reformulations_tie_break_total_order(spark):
         ).collect()
     )
     assert a == b == [("x", "z", 2), ("y", "x", 2)]
+
+
+def test_cascade_attractiveness_hand_case(spark):
+    """First-click stopping: below-first-click rows are not examined;
+    no-click sessions examine everything."""
+    from ocr_search_spark.operators.clicklog import cascade_attractiveness
+
+    rows = [
+        # s1: click at pos 2 -> pos 3 unexamined
+        ("s1", "a", 1, 0), ("s1", "b", 2, 1), ("s1", "c", 3, 0),
+        # s2: no click -> all examined
+        ("s2", "a", 1, 0), ("s2", "c", 2, 0),
+        # s3: click at pos 1 -> only pos 1 examined
+        ("s3", "c", 1, 1), ("s3", "a", 2, 1),
+    ]
+    df = spark.createDataFrame(rows, "sid string, doc string, pos int, clicked int")
+    got = {r["doc"]: (r["n_exam"], r["n_click"], r["attract_e6"])
+           for r in cascade_attractiveness(df).collect()}
+    # a: examined s1p1, s2p1 (s3p2 is below s3's first click) -> 0/2
+    assert got["a"] == (2, 0, 0)
+    # b: examined s1p2, clicked -> 1/1
+    assert got["b"] == (1, 1, 1_000_000)
+    # c: s2p2 examined unclicked + s3p1 clicked; s1p3 unexamined -> 1/2
+    assert got["c"] == (2, 1, 500_000)
