@@ -15348,3 +15348,39 @@ ex AS (SELECT i.doc, i.clicked FROM imp i JOIN fc USING (sid)
 SELECT doc, count(*)::BIGINT AS n_exam, sum(clicked)::BIGINT AS n_click,
        (sum(clicked) * 1000000 // count(*))::BIGINT AS attract_e6
 FROM ex GROUP BY doc"""
+
+
+# --------------------------------------- crawl-budget apportionment
+# Session-24: Hamilton largest-remainder allocation of a 10,000-slot
+# fetch budget over 23 hosts weighted by their measured content volume
+# (sum of n_chars) — Σ alloc == budget EXACTLY plus the quota
+# property; oracle replays base/remainder arithmetic and the ranked
+# seat assignment.
+
+
+def q_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.urlnorm import apportion_budget
+
+    w = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy(F.concat(F.lit("h"), F.expr("doc_id % 23")).alias("host"))
+        .agg(F.sum("n_chars").cast("long").alias("w"))
+    )
+    return apportion_budget(w, 10000)
+
+
+_TRAINING_QUERIES["crawl_apportion"] = q_apportion
+_TRAINING_ORACLES["crawl_apportion"] = """WITH w AS (
+  SELECT 'h' || (doc_id % 23)::VARCHAR AS host, sum(n_chars)::BIGINT AS wt
+  FROM documents GROUP BY 1
+),
+t AS (SELECT sum(wt)::BIGINT AS tw FROM w),
+b AS (SELECT host, wt, (10000 * wt) // t.tw AS base, (10000 * wt) % t.tw AS rem
+      FROM w, t),
+s AS (SELECT (10000 - sum(base))::BIGINT AS extra FROM b),
+r AS (SELECT host, wt, base, rem,
+             row_number() OVER (ORDER BY rem DESC, host ASC) AS rk
+      FROM b)
+SELECT r.host, r.wt AS w,
+       (r.base + CASE WHEN r.rk <= s.extra THEN 1 ELSE 0 END)::BIGINT AS alloc
+FROM r, s"""

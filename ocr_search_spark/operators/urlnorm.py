@@ -1038,3 +1038,68 @@ def revalidation_plan(
         .otherwise(F.lit(0).cast("long"))
         .alias("saved_bytes"),
     )
+
+
+# ------------------------------------- crawl-budget apportionment
+
+
+def apportion_budget(
+    weights: DataFrame,
+    budget: int,
+    key_col: str = "host",
+    weight_col: str = "w",
+) -> DataFrame:
+    """(key, w, alloc) — divide an INTEGER global crawl budget across
+    hosts proportionally to weight, summing to the budget EXACTLY:
+    Hamilton's largest-remainder method (the quota apportionment used
+    from seat allocation to shard capacity planning).
+
+        base_i = budget·w_i div W        rem_i = (budget·w_i) mod W
+        extra  = budget − Σ base          (< #hosts seats left over)
+        alloc_i = base_i + 1 for the ``extra`` largest remainders
+                  (ties broken by key ASC — total, deterministic)
+
+    Guarantees, both tested: **Σ alloc == budget** (no fetch slot lost
+    or invented — the property ``mixture_token_plan`` deliberately
+    does NOT provide, leaving its remainder unallocated), and the
+    QUOTA property |alloc_i − budget·w_i/W| < 1 (no host over- or
+    under-served by a whole slot). Hamilton is the only divisor-free
+    quota method; its known paradoxes (Alabama) concern budget
+    CHANGES, not one allocation, and determinism across runs is what
+    the pipeline needs.
+
+    A zero-weight host gets exactly 0 (rem = 0 rows can never win a
+    seat: extra = Σrem/W < #positive-remainder rows). Negative weights
+    fail loudly in-plan. Scale shape: two scalar aggregates broadcast
+    back, one row_number window over the HOST dimension (≪ corpus; a
+    single sort of |hosts| rows — the same class as the vocabulary
+    rank in jaccard_prefix_pairs).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from pyspark.sql import Window as W
+
+    w = F.expr(
+        f"if({weight_col} < 0, "
+        f"cast(raise_error('{weight_col} must be non-negative') as bigint), "
+        f"cast({weight_col} as bigint))"
+    )
+    base = weights.select(F.col(key_col).alias("key"), w.alias("w"))
+    tot = base.agg(F.sum("w").cast("long").alias("_tw"))
+    b = base.crossJoin(F.broadcast(tot)).select(
+        "key",
+        "w",
+        F.expr(f"{budget} * w div _tw").alias("_base"),
+        F.expr(f"({budget} * w) % _tw").alias("_rem"),
+    )
+    extra = b.agg((F.lit(budget) - F.sum("_base")).cast("long").alias("_extra"))
+    ranked = b.withColumn(
+        "_rk", F.row_number().over(W.orderBy(F.desc("_rem"), F.asc("key")))
+    )
+    return ranked.crossJoin(F.broadcast(extra)).select(
+        F.col("key").alias(key_col),
+        "w",
+        (F.col("_base") + F.when(F.col("_rk") <= F.col("_extra"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc"),
+    )

@@ -695,3 +695,50 @@ def test_revalidation_latest_row_wins(spark):
     )
     r = revalidation_plan(df, now_ts=60).collect()[0]
     assert r["revalidatable"] and r["saved_bytes"] == 250
+
+
+# ------------------------------------- crawl-budget apportionment
+
+
+def test_apportion_budget_exact_sum_and_quota(spark):
+    """Sum == budget exactly; |alloc - exact share| < 1; python replay
+    parity on random weights; zero-weight host gets 0."""
+    import random
+    from fractions import Fraction
+
+    from ocr_search_spark.operators.urlnorm import apportion_budget
+
+    rng = random.Random(24)
+    ws = [(f"h{i:02d}", rng.randrange(0, 500)) for i in range(40)]
+    ws[7] = ("h07", 0)
+    budget = 1777
+    df = spark.createDataFrame(ws, "host string, w long")
+    got = {r["host"]: r["alloc"] for r in apportion_budget(df, budget).collect()}
+    W = sum(w for _, w in ws)
+    assert sum(got.values()) == budget
+    for h, w in ws:
+        share = Fraction(budget * w, W)
+        assert share - 1 < got[h] < share + 1, (h, got[h], share)
+    assert got["h07"] == 0
+    # python replay of the exact rule
+    base = {h: budget * w // W for h, w in ws}
+    rem = {h: (budget * w) % W for h, w in ws}
+    extra = budget - sum(base.values())
+    order = sorted(ws, key=lambda hw: (-rem[hw[0]], hw[0]))
+    want = dict(base)
+    for h, _ in order[:extra]:
+        want[h] += 1
+    assert got == want
+
+
+def test_apportion_budget_validation(spark):
+    import pytest
+
+    from ocr_search_spark.operators.urlnorm import apportion_budget
+
+    df = spark.createDataFrame([("a", 5), ("b", -1)], "host string, w long")
+    with pytest.raises(ValueError):
+        apportion_budget(df, -3)
+    with pytest.raises(Exception) as ei:
+        apportion_budget(df, 10).collect()
+    assert "non-negative" in str(ei.value)
