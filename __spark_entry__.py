@@ -15384,3 +15384,66 @@ r AS (SELECT host, wt, base, rem,
 SELECT r.host, r.wt AS w,
        (r.base + CASE WHEN r.rk <= s.extra THEN 1 ELSE 0 END)::BIGINT AS alloc
 FROM r, s"""
+
+
+# ------------------------------------------- team-draft interleaving
+# Session-24 flagship: deterministic team-draft (Radlinski CIKM'08)
+# as a pure columnar fold. Fixture: per query, A = [a, c, x<qid>] and
+# B = [c, a, y<qid>] — the shared head forces the SKIP rule (each
+# team's second pick is already taken) and simultaneous exhaustion
+# ends the draft at 4 of 6 slots; the qid-parity coin flips the whole
+# sequence. The oracle states the hand-derived draft for both
+# parities; the random-list fold is pytest-replayed.
+
+
+def q_team_draft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.clicklog import team_draft_interleave
+
+    qs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.expr("doc_id % 60").alias("query_id"))
+        .distinct()
+    )
+    r = F.explode(F.sequence(F.lit(1), F.lit(3))).alias("rank")
+    a = qs.select("query_id", r).select(
+        "query_id",
+        "rank",
+        F.when(F.col("rank") == 1, "a")
+        .when(F.col("rank") == 2, "c")
+        .otherwise(F.concat(F.lit("x"), F.col("query_id")))
+        .alias("doc"),
+    )
+    b = qs.select("query_id", r).select(
+        "query_id",
+        "rank",
+        F.when(F.col("rank") == 1, "c")
+        .when(F.col("rank") == 2, "a")
+        .otherwise(F.concat(F.lit("y"), F.col("query_id")))
+        .alias("doc"),
+    )
+    return team_draft_interleave(a, b, k=3)
+
+
+_TRAINING_QUERIES["team_draft_interleave"] = q_team_draft
+_TRAINING_ORACLES["team_draft_interleave"] = """WITH q AS (
+  SELECT DISTINCT doc_id % 60 AS qid FROM documents
+),
+s AS (SELECT unnest([1, 2, 3, 4]) AS slot)
+SELECT qid AS query_id, s.slot::INT AS slot,
+       CASE WHEN qid % 2 = 0 THEN
+              CASE s.slot WHEN 1 THEN 'a' WHEN 2 THEN 'c'
+                   WHEN 3 THEN 'x' || qid::VARCHAR
+                   ELSE 'y' || qid::VARCHAR END
+            ELSE
+              CASE s.slot WHEN 1 THEN 'c' WHEN 2 THEN 'a'
+                   WHEN 3 THEN 'y' || qid::VARCHAR
+                   ELSE 'x' || qid::VARCHAR END
+       END AS doc,
+       CASE WHEN qid % 2 = 0 THEN
+              CASE s.slot WHEN 1 THEN 'A' WHEN 2 THEN 'B'
+                   WHEN 3 THEN 'A' ELSE 'B' END
+            ELSE
+              CASE s.slot WHEN 1 THEN 'B' WHEN 2 THEN 'A'
+                   WHEN 3 THEN 'B' ELSE 'A' END
+       END AS team
+FROM q CROSS JOIN s"""

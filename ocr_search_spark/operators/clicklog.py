@@ -46,6 +46,96 @@ def position_priors(
     )
 
 
+def team_draft_interleave(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 3,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    doc_col: str = "doc",
+    a_first_on_tie=None,
+) -> DataFrame:
+    """(query_id, slot, doc, team) — TEAM-DRAFT INTERLEAVING (Radlinski/
+    Kurup/Joachims CIKM'08), the standard online A/B ranker comparison:
+    merge two systems' ranked lists into one result list where each
+    slot is owned by team 'A' or 'B'; clicks on a team's slots credit
+    that team, and per-query credit feeds a paired test (this repo's
+    ``sign_test``). Deterministic variant: the published coin flip on
+    picking order is pinned to ``a_first_on_tie`` (default: even
+    ``query_col`` → A first) — reproducibility over randomization, with
+    debiasing recovered across the query population by the parity
+    split.
+
+    Pinned draft rule, applied for up to 2k steps per query: the team
+    with FEWER picks so far picks next (tie → the pinned coin); a team
+    picks its highest-ranked doc not already in the interleaved list;
+    if its list is exhausted the turn falls through to the other team;
+    when both are exhausted the list is final (shorter than 2k).
+    Duplicate docs within one system's list are a caller error
+    (ranked lists are distinct by construction).
+
+    The whole draft is ONE columnar fold — ``aggregate`` over a static
+    2k-step sequence with the interleaved prefix as state, nested
+    higher-order filters for pick counts and next-candidate lookup. No
+    UDF, no driver loop, no self-join: cost per query is O(k²) array
+    scans over k-length arrays, embarrassingly parallel over queries —
+    millions of query pairs interleave in one stage.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = query_col
+
+    def side(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy(F.col(q).alias(q)).agg(
+            F.expr(
+                f"transform(array_sort(collect_list(struct({rank_col} AS r, "
+                f"{doc_col} AS d))), x -> x.d)"
+            ).alias(out)
+        )
+
+    j = (
+        side(ranked_a, "la")
+        .join(side(ranked_b, "lb"), q, "full_outer")
+        .select(
+            q,
+            F.expr("coalesce(la, cast(array() as array<string>))").alias("la"),
+            F.expr("coalesce(lb, cast(array() as array<string>))").alias("lb"),
+        )
+    )
+    if a_first_on_tie is None:
+        a_first_on_tie = F.expr(f"({q} % 2) = 0")
+    j = j.withColumn("afirst", a_first_on_tie)
+
+    cnt_a = "size(filter(acc, p -> p.team = 'A'))"
+    cnt_b = f"(size(acc) - {cnt_a})"
+    a_turn = f"(({cnt_a} < {cnt_b}) OR (({cnt_a} = {cnt_b}) AND afirst))"
+    cand_a = "get(filter(la, d -> NOT exists(acc, p -> p.doc = d)), 0)"
+    cand_b = "get(filter(lb, d -> NOT exists(acc, p -> p.doc = d)), 0)"
+    chosen_doc = (
+        f"if({a_turn}, coalesce({cand_a}, {cand_b}), "
+        f"coalesce({cand_b}, {cand_a}))"
+    )
+    chosen_team = (
+        f"if({a_turn}, if({cand_a} IS NOT NULL, 'A', 'B'), "
+        f"if({cand_b} IS NOT NULL, 'B', 'A'))"
+    )
+    fold = f"""aggregate(
+      sequence(1, {2 * k}),
+      cast(array() as array<struct<doc: string, team: string>>),
+      (acc, s) -> if({chosen_doc} IS NULL, acc,
+        array_append(acc, named_struct('doc', {chosen_doc},
+                                       'team', {chosen_team}))))"""
+    drafted = j.select(q, F.expr(fold).alias("_draft"))
+    return drafted.select(
+        q, F.posexplode("_draft").alias("_pos", "_p")
+    ).select(
+        F.col(q).alias("query_id"),
+        (F.col("_pos") + 1).cast("int").alias("slot"),
+        F.col("_p.doc").alias("doc"),
+        F.col("_p.team").alias("team"),
+    )
+
+
 def cascade_attractiveness(
     impressions: DataFrame,
     session_col: str = "sid",

@@ -117,3 +117,69 @@ def test_cascade_attractiveness_hand_case(spark):
     assert got["b"] == (1, 1, 1_000_000)
     # c: s2p2 examined unclicked + s3p1 clicked; s1p3 unexamined -> 1/2
     assert got["c"] == (2, 1, 500_000)
+
+
+def _tdi_py(la, lb, afirst, k):
+    """Python replay of the pinned team-draft rule."""
+    acc = []
+    for _ in range(2 * k):
+        taken = {d for d, _ in acc}
+        ca = next((d for d in la if d not in taken), None)
+        cb = next((d for d in lb if d not in taken), None)
+        na = sum(1 for _, t in acc if t == "A")
+        nb = len(acc) - na
+        a_turn = na < nb or (na == nb and afirst)
+        if a_turn:
+            doc, team = (ca, "A") if ca is not None else (cb, "B")
+        else:
+            doc, team = (cb, "B") if cb is not None else (ca, "A")
+        if doc is None:
+            break
+        acc.append((doc, team))
+    return acc
+
+
+def test_team_draft_vs_python_replay(spark):
+    """Overlapping, disjoint, exhausted and one-sided lists, both coin
+    values, against the python replay of the same pinned rule."""
+    import random
+
+    from ocr_search_spark.operators.clicklog import team_draft_interleave
+
+    rng = random.Random(24)
+    docs = [f"d{i}" for i in range(8)]
+    arows, brows, want = [], [], {}
+    for qid in range(20):
+        la = rng.sample(docs, rng.randrange(0, 4))
+        lb = rng.sample(docs, rng.randrange(0, 4))
+        arows += [(qid, r + 1, d) for r, d in enumerate(la)]
+        brows += [(qid, r + 1, d) for r, d in enumerate(lb)]
+        want[qid] = _tdi_py(la, lb, qid % 2 == 0, 3)
+    a = spark.createDataFrame(arows or [(99, 1, "z")], "query_id long, rank int, doc string")
+    b = spark.createDataFrame(brows or [(99, 1, "z")], "query_id long, rank int, doc string")
+    out = team_draft_interleave(a, b, k=3).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["slot"])):
+        got.setdefault(r["query_id"], []).append((r["doc"], r["team"]))
+    assert got == {q: v for q, v in want.items() if v}
+
+
+def test_team_draft_balance_and_validation(spark):
+    """Team pick counts never differ by more than 1 while both lists
+    live; k validation raises."""
+    import pytest
+
+    from ocr_search_spark.operators.clicklog import team_draft_interleave
+
+    a = spark.createDataFrame(
+        [(1, r, f"a{r}") for r in range(1, 4)], "query_id long, rank int, doc string"
+    )
+    b = spark.createDataFrame(
+        [(1, r, f"b{r}") for r in range(1, 4)], "query_id long, rank int, doc string"
+    )
+    rows = sorted(
+        team_draft_interleave(a, b, k=3).collect(), key=lambda r: r["slot"]
+    )
+    assert [r["team"] for r in rows] == ["B", "A", "B", "A", "B", "A"]  # qid 1 odd
+    with pytest.raises(ValueError):
+        team_draft_interleave(a, b, k=0)
