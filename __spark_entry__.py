@@ -15447,3 +15447,39 @@ SELECT qid AS query_id, s.slot::INT AS slot,
                    WHEN 3 THEN 'B' ELSE 'A' END
        END AS team
 FROM q CROSS JOIN s"""
+
+
+# --------------------------------------------- interleaving credit
+# Session-24: the credit half of the interleaving experiment over the
+# team_draft fixture — clicks derived by the (qid·7+slot)%3 rule,
+# winner per query, clickless queries kept as ties. Composed with
+# sign_test this is the full online-experiment readout.
+
+
+def q_interleave_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.clicklog import interleave_credit
+
+    inter = q_team_draft(spark, sf_dir)
+    qs = inter.select("query_id").distinct()
+    clicks = qs.select(
+        "query_id", F.explode(F.sequence(F.lit(1), F.lit(4))).alias("slot")
+    ).where(F.expr("(query_id * 7 + slot) % 3 = 0"))
+    return interleave_credit(inter, clicks)
+
+
+_TRAINING_QUERIES["interleave_credit"] = q_interleave_credit
+_TRAINING_ORACLES["interleave_credit"] = (
+    "WITH inter AS (" + _TRAINING_ORACLES["team_draft_interleave"] + """),
+cl AS (SELECT query_id, slot FROM inter WHERE (query_id * 7 + slot) % 3 = 0),
+j AS (SELECT i.query_id, i.team FROM inter i JOIN cl USING (query_id, slot)),
+per AS (SELECT query_id,
+               sum(CASE WHEN team = 'A' THEN 1 ELSE 0 END)::BIGINT AS credit_a,
+               sum(CASE WHEN team = 'B' THEN 1 ELSE 0 END)::BIGINT AS credit_b
+        FROM j GROUP BY 1)
+SELECT q.query_id, coalesce(per.credit_a, 0)::BIGINT AS credit_a,
+       coalesce(per.credit_b, 0)::BIGINT AS credit_b,
+       CASE WHEN coalesce(per.credit_a, 0) > coalesce(per.credit_b, 0) THEN 'A'
+            WHEN coalesce(per.credit_b, 0) > coalesce(per.credit_a, 0) THEN 'B'
+            ELSE 'tie' END AS winner
+FROM (SELECT DISTINCT query_id FROM inter) q LEFT JOIN per USING (query_id)"""
+)

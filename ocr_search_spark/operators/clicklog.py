@@ -136,6 +136,51 @@ def team_draft_interleave(
     )
 
 
+def interleave_credit(
+    interleaved: DataFrame,
+    clicks: DataFrame,
+    query_col: str = "query_id",
+    slot_col: str = "slot",
+) -> DataFrame:
+    """(query_id, credit_a, credit_b, winner) — the credit half of the
+    interleaving experiment: each click on an interleaved slot credits
+    the team that contributed it; per query the team with more credited
+    clicks wins ('A' / 'B' / 'tie', ties including the no-click case).
+    The winner column is exactly the paired-comparison input
+    ``sign_test`` consumes — interleave → credit → sign test is the
+    complete online-experiment readout, every stage oracle-gated.
+
+    ``clicks`` carries (query_col, slot_col) rows; clicks on slots the
+    draft never filled simply match nothing. Queries with no clicks
+    still appear (left join from the interleaved query set) — dropping
+    them would silently shrink the experiment's n. One join + one hash
+    agg, both on the query key."""
+    qs = interleaved.select(query_col).distinct()
+    j = interleaved.join(clicks.select(query_col, slot_col), [query_col, slot_col])
+    per = j.groupBy(query_col).agg(
+        F.sum(F.when(F.col("team") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("credit_a"),
+        F.sum(F.when(F.col("team") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("credit_b"),
+    )
+    full = qs.join(per, query_col, "left").select(
+        query_col,
+        F.coalesce("credit_a", F.lit(0)).cast("long").alias("credit_a"),
+        F.coalesce("credit_b", F.lit(0)).cast("long").alias("credit_b"),
+    )
+    return full.select(
+        query_col,
+        "credit_a",
+        "credit_b",
+        F.when(F.col("credit_a") > F.col("credit_b"), "A")
+        .when(F.col("credit_b") > F.col("credit_a"), "B")
+        .otherwise("tie")
+        .alias("winner"),
+    )
+
+
 def cascade_attractiveness(
     impressions: DataFrame,
     session_col: str = "sid",

@@ -183,3 +183,23 @@ def test_team_draft_balance_and_validation(spark):
     assert [r["team"] for r in rows] == ["B", "A", "B", "A", "B", "A"]  # qid 1 odd
     with pytest.raises(ValueError):
         team_draft_interleave(a, b, k=0)
+
+
+def test_interleave_credit_hand_case(spark):
+    from ocr_search_spark.operators.clicklog import interleave_credit
+
+    inter = spark.createDataFrame(
+        [(1, 1, "a", "A"), (1, 2, "c", "B"), (1, 3, "x", "A"),
+         (2, 1, "c", "B"), (2, 2, "a", "A"),
+         (3, 1, "a", "A"), (3, 2, "b", "B")],
+        "query_id long, slot int, doc string, team string",
+    )
+    clicks = spark.createDataFrame(
+        # q1: clicks on A,A -> A wins; q2: one click each... only slot 1 (B)
+        # q3: no clicks -> tie; plus a phantom click on an unfilled slot
+        [(1, 1), (1, 3), (2, 1), (3, 9)],
+        "query_id long, slot int",
+    )
+    got = {r["query_id"]: (r["credit_a"], r["credit_b"], r["winner"])
+           for r in interleave_credit(inter, clicks).collect()}
+    assert got == {1: (2, 0, "A"), 2: (0, 1, "B"), 3: (0, 0, "tie")}
