@@ -1810,11 +1810,25 @@ _base_oracles = oracle_sql
 # window (VERDICT r2 item #1); everything else follows in insertion
 # order and keeps its prior-round rows on record.
 _GATE_PRIORITY = [
-    # 15 entries added late in round 2 that fell outside the r2 window
-    "events_cube", "search_batch", "dedup_clusters", "decontaminate",
-    "stratified_sample", "search_tfidf", "events_session_window",
+    # entries added late in round 2 that fell outside the r2 window.
+    # Session-24 evictions (each stays check_entry-verified in the
+    # overflow): search_batch + search_tfidf (broadcast-weight scoring
+    # and the per-query batch window = search_batch_bm25's in-window
+    # superset machinery plus search_bm25's in-window weight row);
+    # events_retention (cohort window/agg shape = events_cube's
+    # grouping row + events_session_window + events_funnel in-window).
+    "events_cube", "dedup_clusters", "decontaminate",
+    "stratified_sample", "events_session_window",
     "tpch_q18", "tpch_q22", "index_stats", "extract_density",
-    "lm_quality", "events_funnel", "events_retention", "search_bm25",
+    "lm_quality", "events_funnel", "search_bm25",
+    # session-24 flagships: team-draft interleaving (the stateful
+    # columnar DRAFT fold with nested higher-order candidate lookup —
+    # an operator class nothing else gates), the prefix-filter exact
+    # Jaccard JOIN (the no-false-negative similarity-join family next
+    # to the probabilistic LSH/SNM rows), and the relative-error
+    # quantile sketch (log-bucket guarantee class vs hist's absolute
+    # grid).
+    "team_draft_interleave", "setjoin_prefix", "ddsketch_quantiles",
     # new in round 3
     "dedup_skewed", "correlations_incremental", "search_batch_bm25",
     # session-23 flagship: k-means|| oversampling — the only entry whose
