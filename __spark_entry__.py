@@ -15497,3 +15497,60 @@ SELECT q.query_id, coalesce(per.credit_a, 0)::BIGINT AS credit_a,
             ELSE 'tie' END AS winner
 FROM (SELECT DISTINCT query_id FROM inter) q LEFT JOIN per USING (query_id)"""
 )
+
+
+# --------------------------------------------------- snapshot branches
+# Session-24: Iceberg-style branch refs — divergent branch commits are
+# invisible on main, the allocator steps main over branch-owned
+# version numbers, fast-forward adopts a descendant head in one
+# pointer move. Result = main rows (post-FF: base + two branch waves)
+# UNION the still-isolated second branch, labeled by ref.
+
+
+def q_snapshot_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch lifecycle: base (k%3==0) on main; branch 'ingest' takes
+    two append waves (k%3==1 then k%3==2 with status 'W2'); main stays
+    base until fast_forward adopts the head. A second branch 'exp' cut
+    AFTER the FF appends a sentinel wave that must remain invisible on
+    main. Output: (ref, k, ck, status) for main ∪ exp."""
+    o = _snap_orders(spark, sf_dir)
+    t = _snap_table(spark, "branch")
+    t.create(o.where(F.col("k") % 3 == 0))
+    t.branch_create("ingest")
+    t.branch_append("ingest", o.where(F.col("k") % 3 == 1))
+    t.branch_append(
+        "ingest",
+        o.where(F.col("k") % 3 == 2).select(
+            "k", "ck", F.lit("W2").alias("status")
+        ),
+    )
+    assert t.read().where(F.col("k") % 3 != 0).count() == 0  # isolation
+    t.fast_forward("ingest")
+    t.branch_create("exp")
+    t.branch_append(
+        "exp",
+        o.where(F.col("k") % 6 == 0).select(
+            "k", (F.col("ck") + 5_000_000).alias("ck"), F.lit("EXP").alias("status")
+        ),
+    )
+    main = t.read().select(F.lit("main").alias("ref"), "k", "ck", "status")
+    exp = t.read_branch("exp").select(
+        F.lit("exp").alias("ref"), "k", "ck", "status"
+    )
+    return main.unionByName(exp)
+
+
+_TRAINING_QUERIES["snapshot_branch"] = q_snapshot_branch
+_TRAINING_ORACLES["snapshot_branch"] = f"""WITH base AS ({_SNAP_BASE}),
+post_ff AS (
+  SELECT k, ck, status FROM base WHERE k % 3 = 0
+  UNION ALL
+  SELECT k, ck, status FROM base WHERE k % 3 = 1
+  UNION ALL
+  SELECT k, ck, 'W2' AS status FROM base WHERE k % 3 = 2
+)
+SELECT 'main' AS ref, k, ck, status FROM post_ff
+UNION ALL
+SELECT 'exp', k, ck, status FROM post_ff
+UNION ALL
+SELECT 'exp', k, ck + 5000000, 'EXP' FROM base WHERE k % 6 = 0"""

@@ -320,8 +320,15 @@ class SnapshotTable:
                 partition_spec: list | None = None,
                 partitions: dict | None = None,
                 checks: dict | None = None,
-                bloom_cols: list | None = None) -> int:
-        version = (parent or 0) + 1
+                bloom_cols: list | None = None,
+                version: int | None = None,
+                branch: str | None = None) -> int:
+        # branch commits pick their version EXPLICITLY (global max + 1 —
+        # two branches both committing parent+1 would collide on the
+        # linear numbering); main-chain commits take the next number NOT
+        # owned by a branch (and still fail loudly on a pending staged
+        # commit — that guard is a feature)
+        version = version if version is not None else self._next_version(parent)
         if self._read_text(f"{self.meta_dir}/v{version}.json") is not None:
             raise ValueError(
                 f"snapshot v{version} already exists — a staged commit is "
@@ -397,6 +404,18 @@ class SnapshotTable:
             "checks": pchecks or {},
             "bloom_cols": pbloom or [],
         }
+        if branch is not None:
+            # a branch commit is PUBLISHED (not staged — WAP lifecycle
+            # does not own it) but visible only through its branch ref;
+            # the main pointer never moves. The marker lets the main
+            # chain's version allocator step OVER branch-owned numbers
+            # instead of colliding on them.
+            man["branch"] = branch
+            self._write_text(f"{self.meta_dir}/v{version}.json", json.dumps(man))
+            refs = self._read_branches()
+            refs[branch] = version
+            self._write_text(f"{self.meta_dir}/_branches.json", json.dumps(refs))
+            return version
         if not publish:
             man["staged"] = True
         self._write_text(f"{self.meta_dir}/v{version}.json", json.dumps(man))
@@ -536,7 +555,7 @@ class SnapshotTable:
         man = self._manifest(parent)
         self._check_schema(df, man)
         self._validate_checks(df, man)
-        version = parent + 1
+        version = self._next_version(parent)
         spec = man.get("partition_spec") or []
         if spec:
             new_files, new_parts = self._write_partitioned_files(df, version, spec)
@@ -563,7 +582,7 @@ class SnapshotTable:
         parent = self._require_current()
         man = self._manifest(parent)
         self._validate_checks(df, man)
-        version = parent + 1
+        version = self._next_version(parent)
         spec = man.get("partition_spec") or []
         if spec:
             files, parts = self._write_partitioned_files(df, version, spec)
@@ -602,7 +621,7 @@ class SnapshotTable:
                 "delete", man["files"], current.schema, parent,
                 stats=man.get("stats"), stats_cols=self._stats_cols(man),
             )
-        version = parent + 1
+        version = self._next_version(parent)
         # NULL-safe survivor filter: a row where cond evaluates NULL is
         # not matched (three-valued where(cond) semantics), so it must
         # SURVIVE the rewrite — a bare ~cond is NULL there too and would
@@ -662,7 +681,7 @@ class SnapshotTable:
             for r in tagged.where(cond).select("_file").distinct().collect()
         }
         touched = {self._relativize(p) for p in touched_abs}
-        version = parent + 1
+        version = self._next_version(parent)
         survivors = (
             self._read_files(sorted(touched), man)
             .where(~F.coalesce(cond, F.lit(False)))
@@ -733,7 +752,7 @@ class SnapshotTable:
             .collect()
         }
         touched = sorted(self._relativize(p) for p in touched_abs)
-        version = parent + 1
+        version = self._next_version(parent)
         if touched:
             survivors = self._read_files(touched, man).join(
                 keys, key_cols, "left_anti"
@@ -919,7 +938,7 @@ class SnapshotTable:
             return None
         total = sum(sizes[f] for f in small)
         n_out = max(1, -(-total // target_bytes))
-        version = parent + 1
+        version = self._next_version(parent)
         packed = self._read_files(small, man).coalesce(int(n_out))
         new_files = self._write_commit_files(packed, version)
         kept = [f for f in man["files"] if f not in set(small)]
@@ -1210,8 +1229,12 @@ class SnapshotTable:
         chain = [h["version"] for h in self.history()]
         keep = set(chain[:keep_last])
         keep.add(current)
-        # tagged snapshots are retention-exempt (the point of a tag)
+        # tagged snapshots are retention-exempt (the point of a tag);
+        # branch HEADS likewise — a live ref must stay readable and its
+        # files stay on disk (older branch commits are ordinary
+        # unreferenced history once the ref moves past them)
         keep.update(self._read_tags().values())
+        keep.update(self._read_branches().values())
         live: set[str] = set()
         for v in keep:
             m = self._manifest(v)
@@ -1310,7 +1333,7 @@ class SnapshotTable:
         for c in keys.columns:
             if c not in stored.fieldNames():
                 raise ValueError(f"delete key column {c} not in table schema")
-        version = parent + 1
+        version = self._next_version(parent)
         self._check_version_free(version)
         ddir = f"{self.data_dir}/c{version}"
         keys.write.mode("error").parquet(ddir)
@@ -1345,7 +1368,7 @@ class SnapshotTable:
             for r in doomed.select("_file").distinct().collect()
         }
         touched = sorted(self._relativize(pth) for pth in touched_abs)
-        version = parent + 1
+        version = self._next_version(parent)
         stored = T.StructType.fromJson(man["schema"])
         if not touched:
             # deletes matched nothing: just clear them
@@ -1440,7 +1463,7 @@ class SnapshotTable:
             .sortWithinPartitions("_z")
             .drop("_z")
         )
-        version = parent + 1
+        version = self._next_version(parent)
         new_files = self._write_commit_files(packed, version)
         schema = T.StructType.fromJson(man["schema"])
         stats = {f: v for f, v in (man.get("stats") or {}).items() if f in set(keep)}
@@ -1504,7 +1527,7 @@ class SnapshotTable:
         man = self._manifest(parent)
         self._check_schema(df, man)
         self._validate_checks(df, man)
-        version = parent + 1
+        version = self._next_version(parent)
         new_files = self._write_commit_files(df, version)
         stats = dict(man.get("stats") or {})
         stats.update(self._collect_stats(new_files, df.schema, self._stats_cols(man), self._bloom_cols(man)))
@@ -1868,3 +1891,129 @@ class SnapshotTable:
         return self.spark.read.schema(schema).parquet(
             *[self._absolute(f) for f in files]
         )
+
+    # ------------------------------------------------------------ branches
+
+    def _read_branches(self) -> dict:
+        txt = self._read_text(f"{self.meta_dir}/_branches.json")
+        return json.loads(txt) if txt else {}
+
+    def _max_version(self) -> int:
+        """Highest manifest version on disk — branch commits number from
+        here so two refs never collide on the shared integer space."""
+        mx = 0
+        for st in self._fs().listStatus(self._jpath(self.meta_dir)):
+            name = st.getPath().getName()
+            if name.startswith("v") and name.endswith(".json"):
+                mx = max(mx, int(name[1:-5]))
+        return mx
+
+    def branch_create(self, name: str, version: int | None = None) -> int:
+        """Create a writable branch ref at ``version`` (default: the
+        current snapshot) — Iceberg-style branching: the ref names a
+        snapshot, :meth:`branch_append` advances it along its own
+        commit chain, and main never sees branch work until
+        :meth:`fast_forward`. The per-experiment / WAP-at-scale tool:
+        stage a whole multi-commit ingest on a branch, audit the branch
+        head, fast-forward main in one pointer move.
+
+        Unlike tags (immutable pins), branches move; like tags, a
+        branch head is retention-exempt in :meth:`expire_snapshots`.
+        'main' is reserved (it is the ``_current`` pointer itself)."""
+        if name == "main":
+            raise ValueError("'main' is the table's current pointer itself")
+        v = version if version is not None else self._require_current()
+        self._manifest(v)
+        refs = self._read_branches()
+        if name in refs:
+            raise ValueError(
+                f"branch {name!r} already at v{refs[name]} — delete it first"
+            )
+        refs[name] = v
+        self._write_text(f"{self.meta_dir}/_branches.json", json.dumps(refs))
+        return v
+
+    def resolve_branch(self, name: str) -> int:
+        if name == "main":
+            return self._require_current()
+        refs = self._read_branches()
+        if name not in refs:
+            raise ValueError(f"unknown branch {name!r}")
+        return refs[name]
+
+    def branch_delete(self, name: str) -> None:
+        """Drop the ref; the branch's manifests/files become ordinary
+        unreferenced history (GC'd by the next retention sweep)."""
+        if name == "main":
+            raise ValueError("'main' cannot be deleted")
+        refs = self._read_branches()
+        refs.pop(name, None)
+        self._write_text(f"{self.meta_dir}/_branches.json", json.dumps(refs))
+
+    def read_branch(self, name: str) -> DataFrame:
+        return self.read(version=self.resolve_branch(name))
+
+    def branch_append(self, name: str, df: DataFrame,
+                      info: dict | None = None) -> int:
+        """Append on the BRANCH head: new snapshot = branch head's files
+        + the new files, numbered past every existing manifest, ref
+        advanced, ``_current`` untouched. Schema/checks/partition-spec
+        are enforced against the branch head exactly as :meth:`append`
+        enforces them against main."""
+        head = self.resolve_branch(name)
+        man = self._manifest(head)
+        self._check_schema(df, man)
+        self._validate_checks(df, man)
+        version = self._max_version() + 1
+        spec = man.get("partition_spec") or []
+        if spec:
+            new_files, new_parts = self._write_partitioned_files(df, version, spec)
+        else:
+            new_files, new_parts = self._write_commit_files(df, version), None
+        stats = dict(man.get("stats") or {})
+        stats.update(self._collect_stats(
+            new_files, df.schema, self._stats_cols(man), self._bloom_cols(man)
+        ))
+        return self._commit(
+            "branch_append", man["files"] + new_files,
+            T.StructType.fromJson(man["schema"]), head,
+            stats=stats, stats_cols=self._stats_cols(man),
+            delete_files=man.get("delete_files"),
+            info=info, partitions=new_parts,
+            version=version, branch=name,
+        )
+
+    def fast_forward(self, name: str) -> int:
+        """Move main (``_current``) to the branch head — allowed ONLY
+        when the branch head is a DESCENDANT of the current snapshot
+        (walk the parent chain from head to current), i.e. main has not
+        advanced since the branch was cut. A diverged branch is
+        refused: silently adopting it would drop main's commits —
+        rebase by replaying the branch's changes on a fresh branch
+        instead. One pointer write; no data moves."""
+        head = self.resolve_branch(name)
+        cur = self._require_current()
+        v = head
+        while v is not None and v != cur:
+            v = self._manifest(v).get("parent")
+        if v != cur:
+            raise ValueError(
+                f"branch {name!r} (v{head}) does not descend from the "
+                f"current v{cur} — main advanced since the branch was cut"
+            )
+        self._write_text(f"{self.meta_dir}/{CURRENT_PTR}", str(head))
+        return head
+
+    def _next_version(self, parent: int | None) -> int:
+        """Next main-chain version: parent + 1, stepping over numbers a
+        BRANCH commit owns (the shared integer space means a branch at
+        v4 must not block main's next commit — main takes v5). A
+        non-branch occupant (pending staged commit / concurrent writer)
+        is NOT skipped: _check_version_free keeps failing loudly there,
+        exactly as before branches existed."""
+        v = (parent or 0) + 1
+        while True:
+            txt = self._read_text(f"{self.meta_dir}/v{v}.json")
+            if txt is None or not json.loads(txt).get("branch"):
+                return v
+            v += 1

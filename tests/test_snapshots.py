@@ -1368,3 +1368,109 @@ def test_scoped_compaction_touches_only_the_slice(spark, tmp_path):
     assert got == list(range(200))
     # a predicate matching nothing compacts nothing
     assert t.compact(small_bytes=1 << 30, predicates=[("k", ">=", 10_000)]) is None
+
+
+# --------------------------------------------------------------- branches
+
+
+def test_branch_isolation_and_fast_forward(spark, tmp_path):
+    from ocr_search_spark.storage_snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "b1"))
+    t.create(spark.createDataFrame([(1, "a")], "id long, s string"))
+    t.append(spark.createDataFrame([(2, "b")], "id long, s string"))  # v2
+    t.branch_create("exp")
+    t.branch_append("exp", spark.createDataFrame([(3, "c")], "id long, s string"))
+    t.branch_append("exp", spark.createDataFrame([(4, "d")], "id long, s string"))
+    # main untouched; branch sees everything
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2]
+    assert sorted(r["id"] for r in t.read_branch("exp").collect()) == [1, 2, 3, 4]
+    # fast-forward: one pointer move, main adopts the branch head
+    head = t.fast_forward("exp")
+    assert t.current_version() == head
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3, 4]
+    # main can keep committing past the adopted branch numbering
+    t.append(spark.createDataFrame([(5, "e")], "id long, s string"))
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3, 4, 5]
+
+
+def test_branch_divergence_refused_and_allocator_skips(spark, tmp_path):
+    from ocr_search_spark.storage_snapshots import SnapshotTable
+    import pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "b2"))
+    t.create(spark.createDataFrame([(1,)], "id long"))
+    t.branch_create("exp")
+    t.branch_append("exp", spark.createDataFrame([(2,)], "id long"))  # owns v2
+    # main's next commit steps OVER the branch-owned v2
+    v = t.append(spark.createDataFrame([(9,)], "id long"))
+    assert v == 3 and sorted(r["id"] for r in t.read().collect()) == [1, 9]
+    assert sorted(r["id"] for r in t.read_branch("exp").collect()) == [1, 2]
+    # diverged branch cannot fast-forward main
+    with pytest.raises(ValueError, match="does not descend"):
+        t.fast_forward("exp")
+    # ref bookkeeping
+    with pytest.raises(ValueError, match="already at"):
+        t.branch_create("exp")
+    with pytest.raises(ValueError, match="unknown branch"):
+        t.resolve_branch("nope")
+    with pytest.raises(ValueError, match="current pointer"):
+        t.branch_create("main")
+    with pytest.raises(ValueError, match="cannot be deleted"):
+        t.branch_delete("main")
+
+
+def test_branch_retention_and_delete(spark, tmp_path):
+    from ocr_search_spark.storage_snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "b3"))
+    t.create(spark.createDataFrame([(1,)], "id long"))
+    t.branch_create("exp")
+    t.branch_append("exp", spark.createDataFrame([(2,)], "id long"))
+    t.append(spark.createDataFrame([(3,)], "id long"))
+    t.append(spark.createDataFrame([(4,)], "id long"))
+    # retention keeps the branch HEAD readable
+    t.expire_snapshots(keep_last=1)
+    assert sorted(r["id"] for r in t.read_branch("exp").collect()) == [1, 2]
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 3, 4]
+    # dropping the ref makes the branch ordinary garbage
+    t.branch_delete("exp")
+    t.expire_snapshots(keep_last=1)
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown branch"):
+        t.read_branch("exp")
+
+
+def test_branch_with_staged_wap_coexists(spark, tmp_path):
+    from ocr_search_spark.storage_snapshots import SnapshotTable
+    import pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "b4"))
+    t.create(spark.createDataFrame([(1,)], "id long"))
+    staged = t.stage_append(spark.createDataFrame([(2,)], "id long"))  # v2 staged
+    t.branch_create("exp")
+    bv = t.branch_append("exp", spark.createDataFrame([(3,)], "id long"))
+    assert bv == 3  # numbered past the staged commit
+    # the staged guard still fires for main (not silently skipped)
+    with pytest.raises(ValueError, match="already exists"):
+        t.append(spark.createDataFrame([(9,)], "id long"))
+    t.publish(staged)
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2]
+    assert sorted(r["id"] for r in t.read_branch("exp").collect()) == [1, 3]
+
+
+def test_branch_append_partitioned_prunes(spark, tmp_path):
+    from ocr_search_spark.storage_snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "b5"))
+    df = spark.createDataFrame([(i, i % 3) for i in range(12)], "id long, g long")
+    t.create(df, partition_spec=[["g", "identity"]])
+    t.branch_create("exp")
+    t.branch_append(
+        "exp", spark.createDataFrame([(100, 1), (101, 2)], "id long, g long")
+    )
+    got = sorted(
+        r["id"] for r in t.read_branch("exp").where("g = 1").collect()
+    )
+    assert got == [1, 4, 7, 10, 100]
