@@ -15554,3 +15554,41 @@ UNION ALL
 SELECT 'exp', k, ck, status FROM post_ff
 UNION ALL
 SELECT 'exp', k, ck + 5000000, 'EXP' FROM base WHERE k % 6 = 0"""
+
+
+# ----------------------------------------------- query-likelihood QLD
+# Session-24: Dirichlet-smoothed query likelihood (Zhai-Lafferty
+# SIGIR'01) — the language-model ranking family joining the gated
+# tfidf/bm25 rows, micro-nat exact. Oracle replays the decomposition
+# over the same postings CTE.
+
+
+def q_search_qld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.search import match_terms_qld
+
+    return match_terms_qld(
+        _postings(spark, sf_dir).cache(), list(_SEARCH_TERMS), max_return=20
+    )
+
+
+_TRAINING_QUERIES["search_qld"] = q_search_qld
+_TRAINING_ORACLES["search_qld"] = f"""WITH {_POSTINGS_BODY},
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+corpus AS (SELECT sum(tf)::BIGINT AS c FROM postings),
+matched AS (SELECT * FROM postings WHERE term IN ({_SEARCH_TERMS_IN})),
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM matched GROUP BY term),
+s1 AS (
+  SELECT m.doc_id,
+         sum(floor(1000000.0 * (ln((2000 * cf.cf + m.tf * corpus.c)::DOUBLE)
+                                - ln((2000 * cf.cf)::DOUBLE)))::BIGINT) AS s1
+  FROM matched m JOIN cf USING (term) CROSS JOIN corpus
+  GROUP BY m.doc_id
+),
+nq AS (SELECT count(DISTINCT term)::BIGINT AS n FROM matched)
+SELECT s1.doc_id,
+       (s1.s1 + {len(_SEARCH_TERMS)} *
+        floor(1000000.0 * (ln(2000.0) - ln((dl.dl + 2000)::DOUBLE)))::BIGINT
+       )::BIGINT AS score_e6
+FROM s1 JOIN dl USING (doc_id)
+ORDER BY score_e6 DESC, doc_id ASC
+LIMIT 20"""

@@ -378,6 +378,71 @@ def match_terms_maxscore(
     )
 
 
+def match_terms_qld(
+    postings: DataFrame,
+    terms: list[str],
+    max_return: int = DEFAULT_MAX_RETURN,
+    mu: int = 2000,
+) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing (Zhai &
+    Lafferty SIGIR'01) — the LANGUAGE-MODEL retrieval family, completing
+    the classical trio next to the gated vector-space (tfidf) and
+    probabilistic (bm25) rows. Zhai-Lafferty rank-equivalent
+    decomposition, pinned exactly:
+
+        score(d) = Σ_{t ∈ q ∩ d} ln(1 + tf·C / (μ·cf_t))
+                   + |q| · ln(μ / (dl + μ))
+
+    (the doc-independent Σ ln(cf_t/C) is dropped — rank-neutral). Both
+    logs run on EXACT integer arguments in the repo-wide micro-nat
+    contract — ``floor(1e6·(ln a − ln b))`` per matched row and per
+    doc-length term — and the doc score is an exact long sum, so the
+    ranking value-hashes across engines. ``mu`` is the Dirichlet
+    pseudo-count (2000 = the Zhai-Lafferty sweet spot for short
+    queries). Only docs matching ≥ 1 query term are scored (every
+    no-match doc would otherwise rank by length alone — noise, and a
+    full-corpus sort).
+
+    Plan: corpus total + per-term cf are broadcast scalars/dims off
+    the same postings lineage bm25 uses; one matched-rows aggregate +
+    one dl join; TakeOrderedAndProject top-k."""
+    spark = postings.sparkSession
+    if not terms:
+        terms = ["never-a-term"]
+    uniq = sorted(set(terms))
+    terms_df = literal_df(spark, uniq, "term")
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    corpus = postings.agg(F.sum("tf").cast("long").alias("_c"))
+    matched = postings.join(F.broadcast(terms_df), "term")
+    cf = matched.groupBy("term").agg(F.sum("tf").cast("long").alias("_cf"))
+    j = (
+        matched.join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(corpus))
+    )
+    w1 = F.floor(
+        F.lit(1_000_000.0)
+        * (
+            F.log((F.lit(mu) * F.col("_cf") + F.col("tf") * F.col("_c")).cast("double"))
+            - F.log((F.lit(mu) * F.col("_cf")).cast("double"))
+        )
+    ).cast("long")
+    s1 = j.select("doc_id", w1.alias("_w")).groupBy("doc_id").agg(
+        F.sum("_w").alias("_s1")
+    )
+    part2 = F.floor(
+        F.lit(1_000_000.0)
+        * (F.log(F.lit(float(mu))) - F.log((F.col("dl") + mu).cast("double")))
+    ).cast("long")
+    scored = s1.join(dl, "doc_id").select(
+        "doc_id", (F.col("_s1") + F.lit(len(uniq)) * part2).alias("score_e6")
+    )
+    return (
+        scored.orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(max_return)
+        .select("doc_id", "score_e6")
+    )
+
+
 def match_terms_bm25_sharded(
     postings: DataFrame,
     terms: list[str],

@@ -670,3 +670,41 @@ def test_sharded_bm25_shard_column_and_validation(spark):
         assert r["shard"] == int(r["doc_id"][:2], 16) % 4
     with pytest.raises(ValueError):
         match_terms_bm25_sharded(post, ["a"], n_shards=0)
+
+
+# ----------------------------------------------- query-likelihood QLD
+
+
+def test_qld_vs_python_replay(spark):
+    """Exact micro-nat parity with a python replay of the pinned
+    Zhai-Lafferty decomposition, and sane ordering (a doc stuffed with
+    the query term outranks a diluted one)."""
+    import math
+
+    from ocr_search_spark.operators.search import match_terms_qld
+
+    rows = [
+        ("apple", "d1", 5), ("pear", "d1", 1),
+        ("apple", "d2", 1), ("noise", "d2", 20),
+        ("pear", "d3", 4), ("plum", "d3", 2),
+    ]
+    post = spark.createDataFrame(rows, "term string, doc_id string, tf long")
+    terms, mu = ["apple", "pear"], 2000
+    got = [(r["doc_id"], r["score_e6"])
+           for r in match_terms_qld(post, terms, max_return=10, mu=mu).collect()]
+
+    C = sum(tf for _, _, tf in rows)
+    cf = {}
+    dl = {}
+    for t, d, tf in rows:
+        cf[t] = cf.get(t, 0) + tf
+        dl[d] = dl.get(d, 0) + tf
+    want = {}
+    for t, d, tf in rows:
+        if t in terms:
+            w = math.floor(1e6 * (math.log(mu * cf[t] + tf * C) - math.log(mu * cf[t])))
+            want[d] = want.get(d, 0) + w
+    for d in want:
+        want[d] += len(terms) * math.floor(1e6 * (math.log(mu) - math.log(dl[d] + mu)))
+    assert got == sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got[0][0] == "d1"  # concentrated match wins
