@@ -15592,3 +15592,41 @@ SELECT s1.doc_id,
 FROM s1 JOIN dl USING (doc_id)
 ORDER BY score_e6 DESC, doc_id ASC
 LIMIT 20"""
+
+
+# ------------------------------------------- aggregate pushdown (stats)
+# Session-24: metadata-only min/max/count from manifest stats — zero
+# data scan. The gate cross-checks the manifest-derived envelope
+# against DuckDB's DATA-side aggregate over the same relation (create
+# + append + COW delete keep stats complete for every live file).
+
+
+def q_snapshot_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _snap_orders(spark, sf_dir)
+    t = _snap_table(spark, "aggpd")
+    t.create(
+        o.where(F.col("k") % 3 != 0).repartition(4),
+        stats_cols=["k", "ck", "status"],
+    )
+    t.append(o.where(F.col("k") % 3 == 0).repartition(2))
+    t.delete_where(F.col("k") % 5 == 0)
+    a = t.agg_from_stats(["k", "ck", "status"])
+    return spark.createDataFrame(
+        [(
+            a["n_rows"],
+            a["k"]["min"], a["k"]["max"],
+            a["ck"]["min"], a["ck"]["max"],
+            a["status"]["min"], a["status"]["max"],
+        )],
+        "n_rows long, k_min long, k_max long, ck_min long, ck_max long, "
+        "status_min string, status_max string",
+    )
+
+
+_TRAINING_QUERIES["snapshot_agg_pushdown"] = q_snapshot_agg_pushdown
+_TRAINING_ORACLES["snapshot_agg_pushdown"] = f"""WITH base AS ({_SNAP_BASE})
+SELECT count(*)::BIGINT AS n_rows,
+       min(k)::BIGINT AS k_min, max(k)::BIGINT AS k_max,
+       min(ck)::BIGINT AS ck_min, max(ck)::BIGINT AS ck_max,
+       min(status) AS status_min, max(status) AS status_max
+FROM base WHERE k % 5 <> 0"""

@@ -2017,3 +2017,62 @@ class SnapshotTable:
             if txt is None or not json.loads(txt).get("branch"):
                 return v
             v += 1
+
+    # ------------------------------------------------ aggregate pushdown
+
+    def agg_from_stats(
+        self, cols: list[str], version: int | None = None
+    ) -> dict:
+        """Metadata-only aggregates — Iceberg's aggregate PUSHDOWN tier:
+        ``{"n_rows": N, "<col>": {"min": m, "max": M, "n_nulls": k}}``
+        computed entirely from the manifest's per-file stats. Zero data
+        scan, zero Spark job: a 100 TB table answers its dashboard
+        min/max/count in one driver-side JSON walk.
+
+        min/max over files composes because per-file min/max IGNORE
+        nulls (SQL semantics) and every live file contributes its
+        recorded envelope; an all-null file carries [null, null] and is
+        skipped for min/max while its ``#nulls`` still counts. Dates /
+        timestamps come back as their recorded ISO strings (ordering-
+        faithful per ``_stat_scalar``).
+
+        Strict, never silently wrong — raises when the metadata cannot
+        prove the answer: pending merge-on-read deletes (the delete
+        join must run), a column outside the table's declared
+        ``stats_cols``, or any live file lacking its stats entry (a
+        pre-stats legacy file, or an all-empty write). The caller's
+        fallback is the real aggregate over :meth:`read` — identical
+        semantics, data-priced."""
+        v = version if version is not None else self._require_current()
+        man = self._manifest(v)
+        if man.get("delete_files"):
+            raise ValueError(
+                "aggregate pushdown with pending MOR deletes would "
+                "overcount — materialize_deletes() first"
+            )
+        declared = self._stats_cols(man)
+        for c in cols:
+            if c not in declared:
+                raise ValueError(
+                    f"column {c!r} is not in stats_cols {declared} — no "
+                    "recorded envelope to aggregate"
+                )
+        stats = man.get("stats") or {}
+        for f in man["files"]:
+            if f not in stats or "#rows" not in stats[f]:
+                raise ValueError(
+                    f"file {f} has no stats entry — metadata cannot "
+                    "prove the aggregate (fall back to read())"
+                )
+        out: dict = {"n_rows": sum(stats[f]["#rows"] for f in man["files"])}
+        for c in cols:
+            mins = [stats[f][c][0] for f in man["files"] if stats[f][c][0] is not None]
+            maxs = [stats[f][c][1] for f in man["files"] if stats[f][c][1] is not None]
+            out[c] = {
+                "min": min(mins) if mins else None,
+                "max": max(maxs) if maxs else None,
+                "n_nulls": sum(
+                    int(stats[f].get(f"#nulls:{c}", 0)) for f in man["files"]
+                ),
+            }
+        return out

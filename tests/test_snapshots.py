@@ -1474,3 +1474,45 @@ def test_branch_append_partitioned_prunes(spark, tmp_path):
         r["id"] for r in t.read_branch("exp").where("g = 1").collect()
     )
     assert got == [1, 4, 7, 10, 100]
+
+
+# ---------------------------------------------------- aggregate pushdown
+
+
+def test_agg_from_stats_matches_data_and_refuses(spark, tmp_path):
+    import pytest
+
+    from ocr_search_spark.storage_snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "agg"))
+    df = spark.createDataFrame(
+        [(i, float(i * 3 % 17), f"s{i:02d}" if i % 5 else None) for i in range(40)],
+        "id long, x double, s string",
+    )
+    t.create(df, stats_cols=["id", "x", "s"])
+    t.append(
+        spark.createDataFrame(
+            [(100, -2.5, "zz")], "id long, x double, s string"
+        ).repartition(1)  # avoid empty part files: no stats row = "unknown"
+    )
+    t.delete_where(F.col("id") % 7 == 3)  # COW rewrite keeps stats complete
+    got = t.agg_from_stats(["id", "x", "s"])
+    data = t.read().agg(
+        F.count("*"), F.min("id"), F.max("id"), F.min("x"), F.max("x"),
+        F.min("s"), F.max("s"), F.count(F.when(F.col("s").isNull(), 1)),
+    ).collect()[0]
+    assert got["n_rows"] == data[0]
+    assert (got["id"]["min"], got["id"]["max"]) == (data[1], data[2])
+    assert (got["x"]["min"], got["x"]["max"]) == (data[3], data[4])
+    assert (got["s"]["min"], got["s"]["max"]) == (data[5], data[6])
+    assert got["s"]["n_nulls"] == data[7]
+    # refusals: undeclared column; pending MOR deletes
+    with pytest.raises(ValueError, match="not in stats_cols"):
+        t.agg_from_stats(["nope"])
+    before = t.agg_from_stats(["id"])["n_rows"]
+    t.delete_mor(spark.createDataFrame([(7,)], "id long"))
+    with pytest.raises(ValueError, match="MOR deletes"):
+        t.agg_from_stats(["id"])
+    t.materialize_deletes()
+    after = t.agg_from_stats(["id"])
+    assert after["n_rows"] == before - 1 and after["id"]["max"] == 100
