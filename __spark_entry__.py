@@ -15630,3 +15630,22 @@ SELECT count(*)::BIGINT AS n_rows,
        min(ck)::BIGINT AS ck_min, max(ck)::BIGINT AS ck_max,
        min(status) AS status_min, max(status) AS status_max
 FROM base WHERE k % 5 <> 0"""
+
+
+# ----------------------------------------------- block-max pruned BM25
+# Session-24: Ding & Suel SIGIR'11 block-grain safe pruning — the
+# oracle is the FULL bm25 ranking (identical SQL to search_bm25), so
+# the gate proves the block bound never drops a true top-k doc, the
+# same treatment search_maxscore got for term-grain pruning.
+
+
+def q_search_blockmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.search import match_terms_bm25_blockmax
+
+    return match_terms_bm25_blockmax(
+        _postings(spark, sf_dir).cache(), list(_SEARCH_TERMS), max_return=20
+    )
+
+
+_TRAINING_QUERIES["search_blockmax"] = q_search_blockmax
+_TRAINING_ORACLES["search_blockmax"] = _TRAINING_ORACLES["search_bm25"]

@@ -508,6 +508,76 @@ def match_terms_bm25_sharded(
     )
 
 
+def match_terms_bm25_blockmax(
+    postings: DataFrame,
+    terms: list[str],
+    max_return: int = DEFAULT_MAX_RETURN,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_blocks: int = 64,
+    block_col: Column | None = None,
+) -> DataFrame:
+    """Block-max pruned BM25 top-k (the Block-Max WAND bound of Ding &
+    Suel SIGIR'11, re-expressed set-oriented) — SAFE pruning at BLOCK
+    grain where :func:`match_terms_maxscore` prunes at term grain:
+    bit-identical results, less work when impact mass is locally
+    concentrated.
+
+    Docs are grouped into blocks (default: first hex byte of the
+    sha256 doc_id mod ``n_blocks`` — any deterministic doc partition
+    works, and a stored impact-ordered index would persist these
+    maxima instead of computing them live; cf. the champion_lists
+    note). Bound argument, all exact longs:
+
+      1. θ = the ``max_return``-th largest per-doc MAX single-term w
+         (the same champion floor maxscore uses): true k-th best score
+         ≥ θ.
+      2. ub(t, B) = max w over term t's rows in block B. For doc d in
+         block B(d): score(d) = Σ_t w(t,d) ≤ Σ_t ub(t, B(d)) =: ub(d).
+      3. Docs with ub(d) < θ are pruned BEFORE exact scoring — they
+         can never enter the top-k (ties included: survivors keep
+         ub ≥ θ, and exact scoring decides). With fewer than
+         ``max_return`` matched docs θ is undefined and pruning is
+         skipped.
+
+    The block-bound table is |terms|·n_blocks rows — broadcast-sized
+    for any query. Matched rows are cached (they feed the floor, the
+    bounds, and the final scoring)."""
+    if n_blocks < 1:
+        raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
+    if block_col is None:
+        block_col = (
+            F.conv(F.substring("doc_id", 1, 2), 16, 10).cast("long") % n_blocks
+        )
+    rows = _bm25_rows(postings, terms, k1, b).withColumn(
+        "_blk", block_col.cast("long")
+    ).cache()
+    champ = (
+        rows.groupBy("doc_id")
+        .agg(F.max("w").alias("_mw"))
+        .orderBy(F.desc("_mw"), F.asc("doc_id"))
+        .limit(max_return)
+        .collect()
+    )
+    theta = champ[-1]["_mw"] if len(champ) >= max_return else None
+    if theta is not None:
+        ub = rows.groupBy("term", "_blk").agg(F.max("w").alias("_ub"))
+        doc_ub = (
+            rows.select("doc_id", "term", "_blk")
+            .join(F.broadcast(ub), ["term", "_blk"])
+            .groupBy("doc_id")
+            .agg(F.sum("_ub").alias("_dub"))
+        )
+        cand = doc_ub.where(F.col("_dub") >= theta).select("doc_id")
+        rows = rows.join(cand, "doc_id")
+    scored = rows.groupBy("doc_id").agg(F.sum("w").alias("score"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(max_return)
+        .select("doc_id", "score")
+    )
+
+
 def match_terms_batch_bm25(
     postings: DataFrame,
     query_terms: DataFrame,

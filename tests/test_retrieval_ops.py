@@ -708,3 +708,42 @@ def test_qld_vs_python_replay(spark):
         want[d] += len(terms) * math.floor(1e6 * (math.log(mu) - math.log(dl[d] + mu)))
     assert got == sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
     assert got[0][0] == "d1"  # concentrated match wins
+
+
+# ----------------------------------------------- block-max pruned BM25
+
+
+def test_blockmax_bit_parity_and_prunes(spark):
+    import random
+
+    from ocr_search_spark.operators.search import (
+        match_terms_bm25,
+        match_terms_bm25_blockmax,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(25)]
+    rows = []
+    for d in range(120):
+        did = f"{rng.randrange(256):02x}{d:03d}"
+        for t in rng.sample(vocab, 6):
+            rows.append((t, did, rng.randrange(1, 12)))
+    post = spark.createDataFrame(rows, "term string, doc_id string, tf long")
+    terms = ["t0", "t1", "t2", "t3"]
+    want = [(r["doc_id"], r["score"])
+            for r in match_terms_bm25(post, terms, max_return=10).collect()]
+    for nb in (1, 16, 256):
+        got = [(r["doc_id"], r["score"])
+               for r in match_terms_bm25_blockmax(post, terms, max_return=10,
+                                                  n_blocks=nb).collect()]
+        assert got == want, nb
+    # under-k corpus: pruning skipped, still correct
+    tiny = spark.createDataFrame(rows[:12], "term string, doc_id string, tf long")
+    a = [(r["doc_id"], r["score"])
+         for r in match_terms_bm25(tiny, terms, max_return=50).collect()]
+    c = [(r["doc_id"], r["score"])
+         for r in match_terms_bm25_blockmax(tiny, terms, max_return=50).collect()]
+    assert a == c
+    import pytest
+    with pytest.raises(ValueError):
+        match_terms_bm25_blockmax(post, terms, n_blocks=0)
