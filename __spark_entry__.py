@@ -15649,3 +15649,62 @@ def q_search_blockmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRAINING_QUERIES["search_blockmax"] = q_search_blockmax
 _TRAINING_ORACLES["search_blockmax"] = _TRAINING_ORACLES["search_bm25"]
+
+
+# ----------------------------------------------- corpus drift (PSI)
+# Session-24: population-stability drift between the even-doc slice
+# and the odd-doc slice with an injected one-sided source bin
+# (doc_id%7 rotation) — exactly where PSI must fire. Oracle replays
+# shares, micro-nat logs and the per-bin terms plus the NULL-bin
+# total.
+
+
+def q_corpus_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.textstats import psi_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.where("doc_id % 2 = 0")
+    cmp_ = docs.where("doc_id % 2 = 1").select(
+        F.expr(
+            "CASE WHEN doc_id % 7 = 0 THEN 'driftsrc' ELSE source END"
+        ).alias("source")
+    )
+    return psi_drift(base, cmp_, F.col("source"))
+
+
+_TRAINING_QUERIES["corpus_psi"] = q_corpus_psi
+_TRAINING_ORACLES["corpus_psi"] = """WITH b AS (
+  SELECT source AS bin, count(*)::BIGINT AS n FROM documents
+  WHERE doc_id % 2 = 0 GROUP BY 1
+),
+c AS (
+  SELECT CASE WHEN doc_id % 7 = 0 THEN 'driftsrc' ELSE source END AS bin,
+         count(*)::BIGINT AS n
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+),
+j AS (
+  SELECT coalesce(b.bin, c.bin) AS bin,
+         coalesce(b.n, 0)::BIGINT AS n_base,
+         coalesce(c.n, 0)::BIGINT AS n_cmp
+  FROM b FULL OUTER JOIN c ON b.bin = c.bin
+),
+tot AS (SELECT sum(n_base)::BIGINT AS tb, sum(n_cmp)::BIGINT AS tc,
+               count(*)::BIGINT AS k FROM j),
+sh AS (
+  SELECT bin, n_base, n_cmp,
+         (n_base + 1) * 1000000 // (tb + k) AS p,
+         (n_cmp + 1) * 1000000 // (tc + k) AS q
+  FROM j CROSS JOIN tot
+),
+per AS (
+  SELECT bin, n_base, n_cmp, p AS p_base_e6, q AS p_cmp_e6,
+         ((p - q) * (floor(1000000.0 * ln(p::DOUBLE))::BIGINT
+                     - floor(1000000.0 * ln(q::DOUBLE))::BIGINT)
+          // 1000000)::BIGINT AS psi_e6
+  FROM sh
+)
+SELECT bin, n_base, n_cmp, p_base_e6, p_cmp_e6, psi_e6 FROM per
+UNION ALL
+SELECT NULL, sum(n_base)::BIGINT, sum(n_cmp)::BIGINT, NULL, NULL,
+       sum(psi_e6)::BIGINT
+FROM per"""

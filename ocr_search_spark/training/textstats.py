@@ -1396,3 +1396,89 @@ def gazetteer_match(
         "left_anti",
     )
     return kept.select("id", "start", "len", "phrase")
+
+
+# ----------------------------------------------- corpus drift (PSI)
+
+
+def psi_drift(
+    base: DataFrame,
+    compare: DataFrame,
+    bin_col: Column,
+    smooth: int = 1,
+) -> DataFrame:
+    """(bin, n_base, n_cmp, p_base_e6, p_cmp_e6, psi_e6) plus the
+    corpus-level total under bin = NULL — the POPULATION STABILITY
+    INDEX between two corpus slices (the standard drift monitor of
+    scorecard/ML-ops practice; same functional form as symmetrized
+    KL): per bin,
+
+        psi_term = (p − q) · ln(p / q)
+
+    where p/q are the smoothed bin shares of the base/compare slices.
+    For a continuously crawled corpus this is the alarm wire: feed it
+    ``n_chars`` deciles, language ids, source labels — PSI < 0.1 is
+    calm, 0.1-0.25 drifting, > 0.25 a population break (the industry
+    folklore thresholds; they ride on the e6 scale unchanged).
+
+    Exactness contract: shares are additive-smoothed integers
+    ``p_e6 = (n_b + smooth)·1e6 div (N_b + smooth·K)`` (K = number of
+    OBSERVED bins across both slices — smoothing keeps ln finite for
+    one-sided bins without dropping them, which is where drift LIVES);
+    the psi term is ``(p_e6 − q_e6) · (L(p_e6) − L(q_e6)) div 1e6``
+    with ``L(x) = floor(1e6·ln x)`` — the repo-wide micro-nat
+    contract, every ln on an exact integer. Plan: one hash agg per
+    slice on the bin key, one full-outer join over BINS (≪ data), one
+    broadcast of the two scalar totals."""
+    if smooth < 1:
+        raise ValueError(f"smooth must be >= 1, got {smooth}")
+    b = base.select(bin_col.alias("bin")).groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_base")
+    )
+    c = compare.select(bin_col.alias("bin")).groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_cmp")
+    )
+    j = b.join(c, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+        F.coalesce("n_cmp", F.lit(0)).cast("long").alias("n_cmp"),
+    )
+    tot = j.agg(
+        F.sum("n_base").cast("long").alias("_tb"),
+        F.sum("n_cmp").cast("long").alias("_tc"),
+        F.count("*").cast("long").alias("_k"),
+    )
+    shares = j.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_base",
+        "n_cmp",
+        F.expr(f"(n_base + {smooth}) * 1000000 div (_tb + {smooth} * _k)").alias(
+            "p_base_e6"
+        ),
+        F.expr(f"(n_cmp + {smooth}) * 1000000 div (_tc + {smooth} * _k)").alias(
+            "p_cmp_e6"
+        ),
+    )
+    lmic = (
+        "floor(1000000.0 * ln(cast(p_base_e6 as double))) - "
+        "floor(1000000.0 * ln(cast(p_cmp_e6 as double)))"
+    )
+    per_bin = shares.select(
+        "bin",
+        "n_base",
+        "n_cmp",
+        "p_base_e6",
+        "p_cmp_e6",
+        F.expr(f"(p_base_e6 - p_cmp_e6) * ({lmic}) div 1000000")
+        .cast("long")
+        .alias("psi_e6"),
+    )
+    total = per_bin.agg(
+        F.lit(None).cast(per_bin.schema["bin"].dataType).alias("bin"),
+        F.sum("n_base").cast("long").alias("n_base"),
+        F.sum("n_cmp").cast("long").alias("n_cmp"),
+        F.lit(None).cast("long").alias("p_base_e6"),
+        F.lit(None).cast("long").alias("p_cmp_e6"),
+        F.sum("psi_e6").cast("long").alias("psi_e6"),
+    )
+    return per_bin.unionByName(total)

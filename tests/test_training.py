@@ -2239,3 +2239,41 @@ def test_minhash_bbit_validation(spark):
         minhash_bbit_estimate(s, p, 16, b=0)
     with _pytest.raises(ValueError):
         minhash_bbit_estimate(s, p, 16, b=61)
+
+
+# ----------------------------------------------- corpus drift (PSI)
+
+
+def test_psi_drift_python_replay_and_edges(spark):
+    """Exact replay incl. one-sided bins (drift lives there) and the
+    identical-slices → zero-PSI property."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ocr_search_spark.training.textstats import psi_drift
+
+    base = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20, "g string"
+    )
+    cmp_ = spark.createDataFrame(
+        [("a",)] * 20 + [("b",)] * 30 + [("d",)] * 50, "g string"
+    )
+    rows = {r["bin"]: r for r in psi_drift(base, cmp_, F.col("g")).collect()}
+    K, tb, tc, s = 4, 100, 100, 1
+    nb = {"a": 50, "b": 30, "c": 20, "d": 0}
+    nc = {"a": 20, "b": 30, "c": 0, "d": 50}
+    want_total = 0
+    for g in "abcd":
+        p = (nb[g] + s) * 1_000_000 // (tb + s * K)
+        q = (nc[g] + s) * 1_000_000 // (tc + s * K)
+        dl = math.floor(1e6 * math.log(p)) - math.floor(1e6 * math.log(q))
+        # Spark's `div` truncates toward zero (not floor) — replay that
+        psi = int((p - q) * dl / 1_000_000)
+        assert (rows[g]["p_base_e6"], rows[g]["p_cmp_e6"], rows[g]["psi_e6"]) == (p, q, psi), g
+        want_total += psi
+    assert rows[None]["psi_e6"] == want_total
+    assert rows[None]["n_base"] == 100 and rows[None]["n_cmp"] == 100
+    # identical slices: every term exactly zero
+    same = {r["bin"]: r["psi_e6"] for r in psi_drift(base, base, F.col("g")).collect()}
+    assert all(v == 0 for v in same.values())
