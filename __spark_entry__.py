@@ -15708,3 +15708,59 @@ UNION ALL
 SELECT NULL, sum(n_base)::BIGINT, sum(n_cmp)::BIGINT, NULL, NULL,
        sum(psi_e6)::BIGINT
 FROM per"""
+
+
+# ------------------------------------------------ CUSUM changepoints
+# Session-24: Page's CUSUM over hourly per-type event counts with an
+# injected periodic burst (+30 when hour%50>=45) — the sequential
+# max(0,·) recursion in its exact window closed form (prefix sum minus
+# running min incl. the origin). Oracle replays both cumulative
+# windows bit-for-bit.
+
+
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.profile import cusum_series
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "hour", F.floor(_ep_us("ts") / F.lit(3_600_000_000)).cast("long")
+    )
+    series = (
+        e.groupBy("event_type", "hour")
+        .agg(F.count("*").cast("long").alias("_c"))
+        .select(
+            "event_type",
+            "hour",
+            (
+                F.col("_c")
+                + F.when(F.col("hour") % 50 >= 45, 30).otherwise(0)
+            ).cast("long").alias("x"),
+        )
+    )
+    return cusum_series(
+        series, ["event_type"], "hour", "x", mu=5, slack=1, threshold=40
+    )
+
+
+_TRAINING_QUERIES["events_cusum"] = q_events_cusum
+_TRAINING_ORACLES["events_cusum"] = """WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+s AS (SELECT event_type, hour,
+             c + CASE WHEN hour % 50 >= 45 THEN 30 ELSE 0 END AS x FROM h),
+c1 AS (
+  SELECT event_type, hour, x,
+         sum(x - 6) OVER w AS cu, sum(4 - x) OVER w AS cd
+  FROM s
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour ROWS UNBOUNDED PRECEDING)
+),
+c2 AS (
+  SELECT *, least(0, min(cu) OVER w) AS mu_, least(0, min(cd) OVER w) AS md_
+  FROM c1
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type, hour, x,
+       (cu - mu_)::BIGINT AS s_up, (cd - md_)::BIGINT AS s_down,
+       (cu - mu_) >= 40 AS alarm_up, (cd - md_) >= 40 AS alarm_down
+FROM c2"""

@@ -271,3 +271,67 @@ def skew_profile(
         .orderBy(F.desc("cnt"), F.asc("key"))
         .limit(n_top)
     )
+
+
+# ------------------------------------------------ CUSUM changepoints
+
+
+def cusum_series(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    x_col: str,
+    mu: int,
+    slack: int,
+    threshold: int,
+) -> DataFrame:
+    """(key…, t, x, s_up, s_down, alarm_up, alarm_down) — Page's CUSUM
+    changepoint statistic (Page, Biometrika 1954) over per-key ordered
+    series: the standard sequential monitor for level shifts in hourly
+    crawl volumes, error counts, ingest rates.
+
+        s_up(t)   = max(0, s_up(t−1)   + (x_t − mu − slack))
+        s_down(t) = max(0, s_down(t−1) + (mu − x_t − slack))
+        alarm when the statistic reaches ``threshold``
+
+    The reset-at-zero recursion looks inherently sequential, but has an
+    exact WINDOW closed form: with C_t the running sum of the drift
+    increments, ``s(t) = C_t − min(0, min_{j≤t} C_j)`` — distance above
+    the running minimum (the origin included for the empty prefix). So
+    the whole monitor is two cumulative sums + two running minima per
+    key: one shuffle on the key, no recursion, no UDF — the same
+    closed-form trick that makes reduce-like analytics plan-friendly.
+    All integer arithmetic (``mu``/``slack``/``threshold`` in the
+    series' own count units).
+
+    ``t_col`` must be unique per key (aggregate first); a non-total
+    order would make every downstream cumulative nondeterministic.
+    """
+    if threshold <= 0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy(t_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    up_inc = (F.col(x_col) - F.lit(mu) - F.lit(slack)).cast("long")
+    dn_inc = (F.lit(mu) - F.col(x_col) - F.lit(slack)).cast("long")
+    out = (
+        series.withColumn("_cu", F.sum(up_inc).over(w))
+        .withColumn("_cd", F.sum(dn_inc).over(w))
+        .withColumn("_mu", F.least(F.lit(0).cast("long"), F.min("_cu").over(w)))
+        .withColumn("_md", F.least(F.lit(0).cast("long"), F.min("_cd").over(w)))
+    )
+    s_up = (F.col("_cu") - F.col("_mu")).cast("long")
+    s_down = (F.col("_cd") - F.col("_md")).cast("long")
+    return out.select(
+        *key_cols,
+        F.col(t_col),
+        F.col(x_col),
+        s_up.alias("s_up"),
+        s_down.alias("s_down"),
+        (s_up >= threshold).alias("alarm_up"),
+        (s_down >= threshold).alias("alarm_down"),
+    )

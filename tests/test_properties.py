@@ -472,3 +472,37 @@ def test_wordpiece_spark_equals_python_on_fuzz_corpus(spark):
         for r in wordpiece_encode(df, sorted(_WP_FULL)).collect()
     }
     assert got == {w: _wp_py(w, _WP_FULL) for w in words}
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    """Window closed form == the sequential max(0, ·) recursion on
+    random series, and the alarm fires exactly at the injected shift."""
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ocr_search_spark.operators.profile import cusum_series
+
+    rng = random.Random(24)
+    rows, want = [], {}
+    for key in ("a", "b"):
+        xs = [rng.randrange(5, 15) for _ in range(30)]
+        if key == "a":
+            xs[20:] = [x + 25 for x in xs[20:]]  # level shift at t=20
+        su = sd = 0
+        for t, x in enumerate(xs):
+            rows.append((key, t, x))
+            su = max(0, su + (x - 10 - 2))
+            sd = max(0, sd + (10 - x - 2))
+            want[(key, t)] = (su, sd)
+    df = spark.createDataFrame(rows, "k string, t int, x long")
+    got = {
+        (r["k"], r["t"]): (r["s_up"], r["s_down"], r["alarm_up"])
+        for r in cusum_series(df, ["k"], "t", "x", mu=10, slack=2,
+                              threshold=60).collect()
+    }
+    for kt, (su, sd) in want.items():
+        assert got[kt][:2] == (su, sd), kt
+    # the shifted key alarms after t=20; the calm key never does
+    assert any(got[("a", t)][2] for t in range(21, 30))
+    assert not any(got[("b", t)][2] for t in range(30))
