@@ -15764,3 +15764,50 @@ SELECT event_type, hour, x,
        (cu - mu_)::BIGINT AS s_up, (cd - md_)::BIGINT AS s_down,
        (cu - mu_) >= 40 AS alarm_up, (cd - md_) >= 40 AS alarm_down
 FROM c2"""
+
+
+# ------------------------------------------------- T5 span corruption
+# Session-24: deterministic denoising-objective pairs over a 40-token
+# fixture (S = 2 spans, 20-token segments, avail = 18). The oracle
+# replays the h60 span draws and builds input/target in closed form —
+# pure arithmetic + string assembly, no list lambdas needed.
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.packing import span_corruption
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(39)),
+                lambda i: F.concat(F.lit("w"), i.cast("string")),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return span_corruption(docs)
+
+
+_TRAINING_QUERIES["span_corruption"] = q_span_corruption
+_TRAINING_ORACLES["span_corruption"] = """WITH d AS (
+  SELECT doc_id::VARCHAR AS id,
+         ('0x' || substring(md5(doc_id::VARCHAR || ':sc:0'), 1, 15))::BIGINT % 18
+           AS s0,
+         20 + ('0x' || substring(md5(doc_id::VARCHAR || ':sc:1'), 1, 15))::BIGINT % 18
+           AS s1
+  FROM documents
+)
+SELECT id,
+       array_to_string(
+         list_concat(list_concat(list_concat(list_concat(
+           list_transform(range(0, s0), i -> 'w' || i),
+           ['<extra_id_0>']),
+           list_transform(range(s0 + 3, s1), i -> 'w' || i)),
+           ['<extra_id_1>']),
+           list_transform(range(s1 + 3, 40), i -> 'w' || i)),
+         ' ') AS input_text,
+       '<extra_id_0> w' || s0 || ' w' || (s0 + 1) || ' w' || (s0 + 2)
+       || ' <extra_id_1> w' || s1 || ' w' || (s1 + 1) || ' w' || (s1 + 2)
+         AS target_text
+FROM d"""

@@ -458,3 +458,93 @@ def mixture_token_plan(
         .withColumn("capped", F.lit(False))
         .drop("_epochs_raw")
     )
+
+
+# ------------------------------------------------- T5 span corruption
+
+
+def span_corruption(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 3,
+    density_e6: int = 150_000,
+) -> DataFrame:
+    """(id, input_text, target_text) — the T5/UL2 SPAN-CORRUPTION
+    objective's data prep (Raffel et al. JMLR'20 §3.1.4): mask spans of
+    tokens with ``<extra_id_j>`` sentinels in the input and emit the
+    masked spans, each prefixed by its sentinel, as the target. The
+    pretraining-pair generator every denoising LM run needs, as one
+    columnar plan over the corpus.
+
+    T5 samples span placements; this build PINS them deterministically
+    (same doc → same pair, any cluster, any partitioning — the
+    reproducibility contract the rest of the engine keeps):
+
+    * ``S = (n·density_e6 div 1e6) div span_len`` spans for an n-token
+      doc (S = 0 → input passes through, empty target);
+    * the index range splits into S equal segments ``[j·n div S,
+      (j+1)·n div S)`` — spans can never overlap or touch segment
+      neighbours' tokens;
+    * span j starts at ``seg_lo + h60(id:':sc:':j) % avail`` with
+      ``avail = seg_len − span_len + 1`` (md5-derived :func:`h60`, so
+      any engine replays the draw); a segment too short to host a span
+      (avail < 1) contributes nothing and its sentinel number is
+      SKIPPED (numbering follows j, not emission order — stable under
+      skips).
+
+    Whole-stage-codegen array expressions end to end: one transform
+    builds the span structs, one per-position flatten rebuilds the
+    masked input, one span-wise flatten builds the target. Per-doc
+    cost O(n·S); no shuffle at all — the operator is a projection.
+    """
+    if span_len < 1:
+        raise ValueError(f"span_len must be >= 1, got {span_len}")
+    if not 0 < density_e6 <= 1_000_000:
+        raise ValueError(f"density_e6 must be in (0, 1e6], got {density_e6}")
+    L = span_len
+    base = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.expr(
+            f"filter(split({text_col}, '\\\\s+'), w -> w != '')"
+        ).alias("_toks"),
+    ).withColumn("_n", F.size("_toks").cast("long")).withColumn(
+        "_s", F.expr(f"(_n * {density_e6} div 1000000) div {L}")
+    )
+    h = (
+        "cast(conv(substring(md5(concat(id, ':sc:', cast(j as string))), 1, 15),"
+        " 16, 10) as bigint)"
+    )
+    spans = f"""filter(
+      transform(sequence(0, bigint(_s) - 1), j ->
+        named_struct(
+          'j', j,
+          's', (j * _n div _s) +
+               if(((j + 1) * _n div _s) - (j * _n div _s) - {L} + 1 > 0,
+                  {h} % (((j + 1) * _n div _s) - (j * _n div _s) - {L} + 1),
+                  -999999999),
+          'e', (j * _n div _s) +
+               if(((j + 1) * _n div _s) - (j * _n div _s) - {L} + 1 > 0,
+                  {h} % (((j + 1) * _n div _s) - (j * _n div _s) - {L} + 1),
+                  -999999999) + {L})),
+      sp -> sp.s >= 0)"""
+    withspans = base.withColumn(
+        "_spans", F.expr(f"if(_s > 0, {spans}, array())")
+    )
+    input_expr = """array_join(flatten(transform(sequence(0, int(_n) - 1), i ->
+      CASE
+        WHEN exists(_spans, sp -> sp.s = i)
+          THEN array(concat('<extra_id_',
+                            cast(filter(_spans, sp -> sp.s = i)[0].j as string),
+                            '>'))
+        WHEN exists(_spans, sp -> i > sp.s AND i < sp.e) THEN array()
+        ELSE array(element_at(_toks, i + 1))
+      END)), ' ')"""
+    target_expr = f"""array_join(flatten(transform(_spans, sp ->
+      concat(array(concat('<extra_id_', cast(sp.j as string), '>')),
+             slice(_toks, int(sp.s) + 1, {L})))), ' ')"""
+    return withspans.select(
+        "id",
+        F.expr(input_expr).alias("input_text"),
+        F.expr(target_expr).alias("target_text"),
+    )

@@ -2277,3 +2277,82 @@ def test_psi_drift_python_replay_and_edges(spark):
     # identical slices: every term exactly zero
     same = {r["bin"]: r["psi_e6"] for r in psi_drift(base, base, F.col("g")).collect()}
     assert all(v == 0 for v in same.values())
+
+
+# ------------------------------------------------- T5 span corruption
+
+
+def _span_corruption_py(doc_id, text, L=3, density_e6=150_000):
+    import hashlib
+
+    toks = [w for w in text.split() if w]
+    n = len(toks)
+    S = (n * density_e6 // 1_000_000) // L
+    if S == 0:
+        return " ".join(toks), ""
+    spans = []
+    for j in range(S):
+        lo, hi = j * n // S, (j + 1) * n // S
+        avail = hi - lo - L + 1
+        if avail < 1:
+            continue
+        h = int(hashlib.md5(f"{doc_id}:sc:{j}".encode()).hexdigest()[:15], 16)
+        s = lo + h % avail
+        spans.append((j, s, s + L))
+    inp, tgt = [], []
+    starts = {s: j for j, s, _ in spans}
+    covered = {i for _, s, e in spans for i in range(s, e)}
+    for i, w in enumerate(toks):
+        if i in starts:
+            inp.append(f"<extra_id_{starts[i]}>")
+        elif i not in covered:
+            inp.append(w)
+    for j, s, e in spans:
+        tgt.append(f"<extra_id_{j}>")
+        tgt.extend(toks[s:e])
+    return " ".join(inp), " ".join(tgt)
+
+
+def test_span_corruption_vs_python_replay(spark):
+    """Replay parity on varied lengths incl. no-span short docs and a
+    round-trip property: de-masking input with target restores the
+    original token sequence."""
+    from ocr_search_spark.training.packing import span_corruption
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(40))),
+        (2, " ".join(f"tok{i}" for i in range(97))),
+        (3, "a b c"),              # too short: passthrough
+        (4, " ".join(f"x{i}" for i in range(20))),  # S=1 exactly
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: (r["input_text"], r["target_text"])
+           for r in span_corruption(df).collect()}
+    for did, text in rows:
+        assert got[str(did)] == _span_corruption_py(did, text), did
+    # round-trip: splice targets back into inputs
+    for did, text in rows:
+        inp, tgt = got[str(did)]
+        toks, spans, cur = inp.split(), {}, None
+        for w in tgt.split():
+            if w.startswith("<extra_id_"):
+                cur = w
+                spans[cur] = []
+            else:
+                spans[cur].append(w)
+        restored = []
+        for w in toks:
+            restored.extend(spans.get(w, [w]))
+        assert restored == text.split(), did
+
+
+def test_span_corruption_validation(spark):
+    import pytest
+
+    from ocr_search_spark.training.packing import span_corruption
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        span_corruption(df, span_len=0)
+    with pytest.raises(ValueError):
+        span_corruption(df, density_e6=0)
