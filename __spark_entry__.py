@@ -15811,3 +15811,36 @@ SELECT id,
        || ' <extra_id_1> w' || s1 || ' w' || (s1 + 1) || ' w' || (s1 + 2)
          AS target_text
 FROM d"""
+
+
+# ------------------------------------------------- FIM transformation
+# Session-24: fill-in-the-middle PSM serialization over the REAL
+# corpus text — h60 character cuts, short docs pass through causal.
+# Oracle replays cuts + substrings; mod guards keep the unused branch
+# finite in DuckDB's eager evaluation.
+
+
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.packing import fim_transform
+
+    return fim_transform(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+_TRAINING_QUERIES["fim_transform"] = q_fim_transform
+_TRAINING_ORACLES["fim_transform"] = """WITH d AS (
+  SELECT doc_id::VARCHAR AS id, text AS t, length(text)::BIGINT AS n,
+         ('0x' || substring(md5(doc_id::VARCHAR || ':fim:1'), 1, 15))::BIGINT AS h1,
+         ('0x' || substring(md5(doc_id::VARCHAR || ':fim:2'), 1, 15))::BIGINT AS h2
+  FROM documents
+),
+c AS (SELECT id, t, n, h2, h1 % greatest(n - 2, 1) AS c1 FROM d),
+cc AS (SELECT id, t, n, c1, c1 + 1 + h2 % greatest(n - 1 - c1, 1) AS c2 FROM c)
+SELECT id,
+       CASE WHEN n >= 12
+            THEN '<PRE>' || substring(t, 1, c1)
+                 || '<SUF>' || substring(t, c2 + 1, n - c2)
+                 || '<MID>' || substring(t, c1 + 1, c2 - c1)
+            ELSE t END AS fim_text
+FROM cc"""

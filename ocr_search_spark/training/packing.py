@@ -548,3 +548,54 @@ def span_corruption(
         F.expr(input_expr).alias("input_text"),
         F.expr(target_expr).alias("target_text"),
     )
+
+
+def fim_transform(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 12,
+) -> DataFrame:
+    """(id, fim_text) — FILL-IN-THE-MIDDLE document transformation
+    (Bavarian et al. 2022, arXiv:2207.14255; the objective behind every
+    code-completion LLM): split the text at two pinned cut points into
+    prefix/middle/suffix and re-serialize in PSM order
+
+        <PRE> prefix <SUF> suffix <MID> middle
+
+    so an autoregressive model learns infilling for free. Cut points
+    are h60 character draws (c1 = h % (n−2), c2 = c1 + 1 + h' %
+    (n−1−c1), so 0 ≤ c1 < c2 < n and the middle is never empty);
+    every engine replays them. Docs shorter than ``min_len`` chars
+    pass through untransformed (the published practice of mixing FIM
+    with plain causal text keeps short docs causal). Zero-shuffle
+    substring projection."""
+    if min_len < 3:
+        raise ValueError(f"min_len must be >= 3, got {min_len}")
+    from .hashing import h60
+
+    base = docs.select(
+        F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("_t")
+    ).withColumn("_n", F.length("_t").cast("long"))
+    c1 = h60(F.concat(F.col("id"), F.lit(":fim:1"))) % (F.col("_n") - 2)
+    c2 = (
+        F.col("_c1")
+        + 1
+        + h60(F.concat(F.col("id"), F.lit(":fim:2")))
+        % (F.col("_n") - 1 - F.col("_c1"))
+    )
+    cut = base.withColumn("_c1", c1).withColumn("_c2", c2)
+    fim = F.concat(
+        F.lit("<PRE>"),
+        F.expr("substring(_t, 1, _c1)"),
+        F.lit("<SUF>"),
+        F.expr("substring(_t, _c2 + 1, _n - _c2)"),
+        F.lit("<MID>"),
+        F.expr("substring(_t, _c1 + 1, _c2 - _c1)"),
+    )
+    return cut.select(
+        "id",
+        F.when(F.col("_n") >= min_len, fim).otherwise(F.col("_t")).alias(
+            "fim_text"
+        ),
+    )

@@ -2356,3 +2356,27 @@ def test_span_corruption_validation(spark):
         span_corruption(df, span_len=0)
     with pytest.raises(ValueError):
         span_corruption(df, density_e6=0)
+
+
+def test_fim_transform_round_trip_and_short_passthrough(spark):
+    """PSM pieces re-assemble to the original text; short docs pass
+    through; the middle is never empty."""
+    import re
+
+    from ocr_search_spark.training.packing import fim_transform
+
+    rows = [(1, "def f(x):\n    return x + 1\n"), (2, "tiny"),
+            (3, "a" * 11), (4, "x = 1\ny = 2\nz = x + y\nprint(z)\n")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["fim_text"] for r in fim_transform(df).collect()}
+    for did, text in rows:
+        out = got[str(did)]
+        if len(text) < 12:
+            assert out == text
+            continue
+        m = re.fullmatch(r"<PRE>(.*)<SUF>(.*)<MID>(.*)", out, re.S)
+        pre, suf, mid = m.groups()
+        assert mid and pre + mid + suf == text, did
+    import pytest
+    with pytest.raises(ValueError):
+        fim_transform(df, min_len=2)
