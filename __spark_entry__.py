@@ -15844,3 +15844,79 @@ SELECT id,
                  || '<MID>' || substring(t, c1 + 1, c2 - c1)
             ELSE t END AS fim_text
 FROM cc"""
+
+
+# --------------------------------------------------- streaming CUSUM
+# Session-24: the transfer-function ledger (c,d compose associatively;
+# replay rewrites identical rows) driven through a REAL 3-wave file
+# stream inside the entry; the oracle is the batch closed form's final
+# row per key — stream == batch is the gated claim.
+
+
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ocr_search_spark.streaming.sketch_maintain import (
+        cusum_partials_table,
+        current_cusum,
+        stream_maintain_cusum,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cusum_gate_")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "hour", F.floor(_ep_us("ts") / F.lit(3_600_000_000)).cast("long")
+    )
+    series = (
+        e.groupBy("event_type", "hour")
+        .agg(F.count("*").cast("long").alias("_c"))
+        .select(
+            "event_type",
+            F.col("hour").alias("t"),
+            (
+                F.col("_c") + F.when(F.col("hour") % 50 >= 45, 30).otherwise(0)
+            ).cast("long").alias("x"),
+        )
+    )
+    lo, hi = series.agg(F.min("t"), F.max("t")).collect()[0]
+    cuts = [lo, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi + 1]
+    for i in range(3):
+        series.where(
+            (F.col("t") >= cuts[i]) & (F.col("t") < cuts[i + 1])
+        ).coalesce(1).write.parquet(f"{tmp}/src/wave{i}.parquet")
+    stream_maintain_cusum(
+        spark, f"{tmp}/src/*", f"{tmp}/tbl", f"{tmp}/ck",
+        key_col="event_type", t_col="t", x_col="x",
+        mu=5, slack=1, max_files_per_trigger=1,
+    )
+    return current_cusum(
+        cusum_partials_table(spark, f"{tmp}/tbl"), threshold=40
+    )
+
+
+_TRAINING_QUERIES["stream_cusum"] = q_stream_cusum
+_TRAINING_ORACLES["stream_cusum"] = """WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+s AS (SELECT event_type, hour,
+             c + CASE WHEN hour % 50 >= 45 THEN 30 ELSE 0 END AS x FROM h),
+c1 AS (
+  SELECT event_type, hour, x,
+         sum(x - 6) OVER w AS cu, sum(4 - x) OVER w AS cd
+  FROM s
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour ROWS UNBOUNDED PRECEDING)
+),
+c2 AS (
+  SELECT *, least(0, min(cu) OVER w) AS mu_, least(0, min(cd) OVER w) AS md_
+  FROM c1
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour ROWS UNBOUNDED PRECEDING)
+),
+fin AS (
+  SELECT event_type, (cu - mu_)::BIGINT AS s_up, (cd - md_)::BIGINT AS s_down,
+         row_number() OVER (PARTITION BY event_type ORDER BY hour DESC) AS rn
+  FROM c2
+)
+SELECT event_type AS k, s_up, s_down,
+       s_up >= 40 AS alarm_up, s_down >= 40 AS alarm_down
+FROM fin WHERE rn = 1"""

@@ -258,3 +258,154 @@ def stream_maintain_kmv(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+# ------------------------------------------------------------ CUSUM
+# Streaming changepoint monitoring. The CUSUM recursion is NOT
+# idempotent (replay would re-apply increments, like the CMS sum), so
+# it takes the partials-ledger shape — but with a twist that makes it
+# exact: the per-batch effect of the recursion is the TRANSFER
+# FUNCTION s_out = max(D, C + s_in) with C = the batch's increment sum
+# and D = C − min(0, min-prefix-of-C), and these functions COMPOSE
+# associatively (f2∘f1 has C' = C1+C2, D' = max(D2, C2+D1)). Each
+# micro-batch therefore stores one idempotent (batch_id, key, C, D)
+# row per side, and the live statistic folds the ledger in batch order
+# as a WINDOW: s = max_k(D_k + Σ_{i>k} C_i) — closed form again, no
+# recursion at read time either. Contract: batch arrival order must
+# align with per-key event-time order (pair with an ordered file
+# stream / watermarked source); a replayed batch rewrites identical
+# rows.
+
+
+def cusum_partials_table(
+    spark: SparkSession, table_path: str, n_buckets: int = 8
+) -> BucketedTable:
+    """(batch_id, k, c_up, d_up, c_dn, d_dn) transfer-function ledger,
+    bucketed by batch_id so one micro-batch rewrites one bucket."""
+    return BucketedTable(
+        spark,
+        table_path,
+        keys=["batch_id", "k"],
+        n_buckets=n_buckets,
+        bucket_keys=["batch_id"],
+    )
+
+
+def merge_cusum_batch(
+    table: BucketedTable,
+    series: DataFrame,
+    batch_id: int,
+    key_col: str,
+    t_col: str,
+    x_col: str,
+    mu: int,
+    slack: int,
+) -> None:
+    """Reduce one micro-batch to per-key transfer functions and write
+    them idempotently under ``batch_id``."""
+    from pyspark.sql import Window as W
+
+    spark = series.sparkSession
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(t_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    up = (F.col(x_col) - F.lit(mu) - F.lit(slack)).cast("long")
+    dn = (F.lit(mu) - F.col(x_col) - F.lit(slack)).cast("long")
+    pref = series.select(
+        F.col(key_col).alias("k"),
+        up.alias("_up"),
+        dn.alias("_dn"),
+        F.sum(up).over(w).alias("_cu"),
+        F.sum(dn).over(w).alias("_cd"),
+    )
+    part = pref.groupBy("k").agg(
+        F.sum("_up").cast("long").alias("c_up"),  # = final prefix sum
+        F.least(F.lit(0).cast("long"), F.min("_cu")).alias("_mu"),
+        F.sum("_dn").cast("long").alias("c_dn"),
+        F.least(F.lit(0).cast("long"), F.min("_cd")).alias("_md"),
+    )
+    part = part.select(
+        F.lit(int(batch_id)).cast("long").alias("batch_id"),
+        "k",
+        F.col("c_up").cast("long"),
+        (F.col("c_up") - F.col("_mu")).cast("long").alias("d_up"),
+        F.col("c_dn").cast("long"),
+        (F.col("c_dn") - F.col("_md")).cast("long").alias("d_dn"),
+    )
+    groups = spark.createDataFrame([(int(batch_id),)], "batch_id long")
+    if not table.exists():
+        table.init(part)
+    else:
+        table.replace_group(part, group_keys=["batch_id"], groups=groups)
+
+
+def current_cusum(table: BucketedTable, threshold: int) -> DataFrame:
+    """(k, s_up, s_down, alarm_up, alarm_down) — the live statistic:
+    fold the ledger in batch order via the suffix-sum closed form
+    ``s = max_k(D_k + Σ_{i>k} C_i)`` (batches where a key is absent are
+    the identity transfer and simply have no row). Window runs over the
+    LEDGER (batches × keys), never event grain."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("k")
+        .orderBy("batch_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    folded = (
+        table.read()
+        .withColumn("_su", F.coalesce(F.sum("c_up").over(w), F.lit(0)))
+        .withColumn("_sd", F.coalesce(F.sum("c_dn").over(w), F.lit(0)))
+        .groupBy("k")
+        .agg(
+            F.max(F.col("d_up") + F.col("_su")).cast("long").alias("s_up"),
+            F.max(F.col("d_dn") + F.col("_sd")).cast("long").alias("s_down"),
+        )
+    )
+    return folded.select(
+        "k",
+        "s_up",
+        "s_down",
+        (F.col("s_up") >= threshold).alias("alarm_up"),
+        (F.col("s_down") >= threshold).alias("alarm_down"),
+    )
+
+
+def stream_maintain_cusum(
+    spark: SparkSession,
+    input_path: str,
+    table_path: str,
+    checkpoint_path: str,
+    key_col: str = "event_type",
+    t_col: str = "t",
+    x_col: str = "x",
+    mu: int = 10,
+    slack: int = 2,
+    n_buckets: int = 8,
+    await_termination: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Maintain per-key CUSUM transfer partials from a parquet file
+    stream of (key, t, x) series rows."""
+    table = cusum_partials_table(spark, table_path, n_buckets)
+    reader = spark.readStream.schema(
+        f"{key_col} string, {t_col} long, {x_col} long"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_path)
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        merge_cusum_batch(table, df, batch_id, key_col, t_col, x_col, mu, slack)
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q

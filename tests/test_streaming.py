@@ -1151,3 +1151,55 @@ def test_stream_warc_archives_incremental(spark, tmp_path):
     stream_warc_archives(spark, str(src), out, cp)
     second = spark.read.parquet(out)
     assert second.count() == 4  # only the new archive appended
+
+
+# ------------------------------------------------------------ CUSUM
+
+
+def test_stream_cusum_equals_batch_and_replay(spark, tmp_path):
+    """Transfer-function ledger folded in batch order == the batch
+    closed form over the full series; replaying a batch_id is a no-op
+    (exactly-once); a second wave advances the statistic."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ocr_search_spark.operators.profile import cusum_series
+    from ocr_search_spark.streaming.sketch_maintain import (
+        cusum_partials_table,
+        current_cusum,
+        merge_cusum_batch,
+        stream_maintain_cusum,
+    )
+
+    rows = []
+    for key in ("a", "b"):
+        for t in range(40):
+            x = 10 if key == "b" or t < 25 else 24
+            rows.append((key, t, x))
+    # three time-ordered waves as separate parquet files
+    src = tmp_path / "src"
+    for i, lo in enumerate((0, 14, 28)):
+        spark.createDataFrame(
+            [r for r in rows if lo <= r[1] < lo + 14],
+            "event_type string, t long, x long",
+        ).coalesce(1).write.parquet(str(src / f"wave{i}.parquet"))
+    stream_maintain_cusum(
+        spark, str(src / "*"), str(tmp_path / "tbl"), str(tmp_path / "ck"),
+        mu=10, slack=2, max_files_per_trigger=1,
+    )
+    table = cusum_partials_table(spark, str(tmp_path / "tbl"))
+    got = {r["k"]: (r["s_up"], r["alarm_up"], r["s_down"])
+           for r in current_cusum(table, threshold=60).collect()}
+    batch = spark.createDataFrame(rows, "k string, t long, x long")
+    want_rows = cusum_series(batch, ["k"], "t", "x", mu=10, slack=2,
+                             threshold=60).collect()
+    last = {}
+    for r in sorted(want_rows, key=lambda r: r["t"]):
+        last[r["k"]] = (r["s_up"], r["alarm_up"], r["s_down"])
+    assert got == last
+    assert got["a"][1] and not got["b"][1]
+    # replay: rewrite batch 1 from the same wave -> state unchanged
+    wave1 = spark.read.parquet(str(src / "wave1.parquet"))
+    merge_cusum_batch(table, wave1, 1, "event_type", "t", "x", 10, 2)
+    again = {r["k"]: (r["s_up"], r["alarm_up"], r["s_down"])
+             for r in current_cusum(table, threshold=60).collect()}
+    assert again == got
