@@ -15920,3 +15920,76 @@ fin AS (
 SELECT event_type AS k, s_up, s_down,
        s_up >= 40 AS alarm_up, s_down >= 40 AS alarm_down
 FROM fin WHERE rn = 1"""
+
+
+# ------------------------------------------- Fellegi-Sunter linkage
+# Session-24: probabilistic record-linkage decisions over blocked
+# candidate pairs — name typo tiers (lev1-tolerant 'x', breaking 'xy')
+# and city agreement drive the three-way decision; oracle replays the
+# micro-nat weights and thresholds.
+
+
+def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.simjoin import fs_link_score
+
+    r = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr(
+            "concat('n', cast(doc_id % 60 as string), "
+            "CASE WHEN doc_id % 9 = 0 THEN 'xy' "
+            "WHEN doc_id % 5 = 0 THEN 'x' ELSE '' END)"
+        ).alias("name"),
+        F.concat(F.lit("c"), F.expr("cast(doc_id % 7 as string)")).alias("city"),
+    )
+    a, b = r.alias("a"), r.alias("b")
+    pairs = a.join(
+        b,
+        (F.expr("a.doc_id % 60") == F.expr("b.doc_id % 60"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.name").alias("name_a"),
+        F.col("b.name").alias("name_b"),
+        F.col("a.city").alias("city_a"),
+        F.col("b.city").alias("city_b"),
+    )
+    fields = [
+        ("name_a", "name_b", 900_000, 10_000, "lev1"),
+        ("city_a", "city_b", 800_000, 100_000, "exact"),
+    ]
+    return fs_link_score(pairs, fields, upper_e6=4_000_000, lower_e6=1_000_000)
+
+
+_TRAINING_QUERIES["fs_linkage"] = q_fs_linkage
+_TRAINING_ORACLES["fs_linkage"] = """WITH r AS (
+  SELECT doc_id,
+         'n' || (doc_id % 60)::VARCHAR ||
+         CASE WHEN doc_id % 9 = 0 THEN 'xy'
+              WHEN doc_id % 5 = 0 THEN 'x' ELSE '' END AS name,
+         'c' || (doc_id % 7)::VARCHAR AS city
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.name AS name_a, b.name AS name_b,
+         a.city AS city_a, b.city AS city_b
+  FROM r a JOIN r b
+    ON a.doc_id % 60 = b.doc_id % 60 AND a.doc_id < b.doc_id
+),
+sc AS (
+  SELECT *,
+         (CASE WHEN levenshtein(name_a, name_b) <= 1
+               THEN floor(1000000.0 * (ln(900000.0) - ln(10000.0)))::BIGINT
+               ELSE floor(1000000.0 * (ln(100000.0) - ln(990000.0)))::BIGINT END
+          + CASE WHEN city_a = city_b
+               THEN floor(1000000.0 * (ln(800000.0) - ln(100000.0)))::BIGINT
+               ELSE floor(1000000.0 * (ln(200000.0) - ln(900000.0)))::BIGINT END
+         ) AS score_e6
+  FROM p
+)
+SELECT id_a, id_b, name_a, name_b, city_a, city_b, score_e6,
+       CASE WHEN score_e6 >= 4000000 THEN 'link'
+            WHEN score_e6 >= 1000000 THEN 'possible'
+            ELSE 'non-link' END AS decision
+FROM sc"""

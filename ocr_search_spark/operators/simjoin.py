@@ -261,6 +261,69 @@ def jaccard_prefix_pairs(
     )
 
 
+# ------------------------------------------- Fellegi-Sunter linkage
+
+
+def fs_link_score(
+    pairs: DataFrame,
+    fields: list[tuple],
+    upper_e6: int,
+    lower_e6: int,
+) -> DataFrame:
+    """(…pairs…, score_e6, decision) — the SCORING half of probabilistic
+    record linkage (Fellegi & Sunter, JASA 1969), completing the ER
+    pipeline whose blocking half is already gated (phonetic_pairs /
+    edit1_pairs / dedup_snm feed candidate pairs in; this decides).
+
+    ``fields`` = [(col_a, col_b, m_e6, u_e6, mode)]: m = P(agree |
+    match), u = P(agree | non-match) as e6 integers (estimated upstream
+    or set from domain knowledge — the EM fit is a separate concern);
+    mode ∈ {'exact', 'lev1'} (agreement = equality, or Levenshtein ≤ 1
+    — typo-tolerant agreement for name fields). Per-field log-likelihood
+    weights in the micro-nat contract:
+
+        agree:    floor(1e6·(ln m_e6 − ln u_e6))          (> 0)
+        disagree: floor(1e6·(ln(1e6−m_e6) − ln(1e6−u_e6)))  (< 0)
+
+    (the 1e6 scale cancels inside the ratio). score = exact long sum;
+    the classic TWO-THRESHOLD decision: 'link' at ≥ upper, 'possible'
+    in between (the clerical-review band), 'non-link' below. Pure
+    projection over the candidate-pair relation — cost ∝ pairs, fields
+    are a compile-time literal."""
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    if lower_e6 > upper_e6:
+        raise ValueError(f"lower {lower_e6} must be <= upper {upper_e6}")
+    import math
+
+    score = F.lit(0).cast("long")
+    for col_a, col_b, m_e6, u_e6, mode in fields:
+        if not (0 < u_e6 < m_e6 < 1_000_000):
+            raise ValueError(
+                f"need 0 < u < m < 1e6 for field {col_a}, got m={m_e6} u={u_e6}"
+            )
+        if mode == "exact":
+            agree = F.col(col_a) == F.col(col_b)
+        elif mode == "lev1":
+            agree = F.levenshtein(col_a, col_b) <= 1
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        w_a = math.floor(1e6 * (math.log(m_e6) - math.log(u_e6)))
+        w_d = math.floor(
+            1e6 * (math.log(1_000_000 - m_e6) - math.log(1_000_000 - u_e6))
+        )
+        score = score + F.when(agree, w_a).otherwise(w_d).cast("long")
+    return pairs.select(
+        "*",
+        score.alias("score_e6"),
+    ).withColumn(
+        "decision",
+        F.when(F.col("score_e6") >= upper_e6, "link")
+        .when(F.col("score_e6") >= lower_e6, "possible")
+        .otherwise("non-link"),
+    )
+
+
 # ---------------------------------------------------- blocking quality
 
 

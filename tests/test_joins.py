@@ -201,3 +201,43 @@ def test_jaccard_prefix_hot_token_never_joins(spark):
     assert jaccard_prefix_pairs(df, tau_e6=300000).count() == 0
     with __import__("pytest").raises(ValueError):
         jaccard_prefix_pairs(df, tau_e6=0)
+
+
+# ------------------------------------------- Fellegi-Sunter linkage
+
+
+def test_fs_link_score_hand_case(spark):
+    import math
+
+    from ocr_search_spark.operators.simjoin import fs_link_score
+
+    pairs = spark.createDataFrame(
+        [
+            ("p1", "smith", "smith", "nyc", "nyc"),     # both agree
+            ("p2", "smith", "smyth", "nyc", "sfo"),     # lev1 name, city off
+            ("p3", "alice", "zelda", "nyc", "ber"),     # all disagree
+        ],
+        "pid string, name_a string, name_b string, city_a string, city_b string",
+    )
+    fields = [
+        ("name_a", "name_b", 900_000, 10_000, "lev1"),
+        ("city_a", "city_b", 800_000, 100_000, "exact"),
+    ]
+    wa_n = math.floor(1e6 * (math.log(900_000) - math.log(10_000)))
+    wd_n = math.floor(1e6 * (math.log(100_000) - math.log(990_000)))
+    wa_c = math.floor(1e6 * (math.log(800_000) - math.log(100_000)))
+    wd_c = math.floor(1e6 * (math.log(200_000) - math.log(900_000)))
+    got = {r["pid"]: (r["score_e6"], r["decision"])
+           for r in fs_link_score(pairs, fields, upper_e6=4_000_000,
+                                  lower_e6=1_000_000).collect()}
+    assert got["p1"] == (wa_n + wa_c, "link")
+    assert got["p2"] == (wa_n + wd_c, "possible")
+    assert got["p3"] == (wd_n + wd_c, "non-link")
+
+    import pytest
+    with pytest.raises(ValueError):
+        fs_link_score(pairs, [], 1, 0)
+    with pytest.raises(ValueError):
+        fs_link_score(pairs, fields, 1, 2)
+    with pytest.raises(ValueError):
+        fs_link_score(pairs, [("name_a", "name_b", 10, 20, "exact")], 1, 0)
