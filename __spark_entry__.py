@@ -15993,3 +15993,50 @@ SELECT id_a, id_b, name_a, name_b, city_a, city_b, score_e6,
             WHEN score_e6 >= 1000000 THEN 'possible'
             ELSE 'non-link' END AS decision
 FROM sc"""
+
+
+# --------------------------------------------- skip-gram training pairs
+# Session-24: Mikolov subsampled skip-gram pairs over the REAL corpus
+# text — h60 occurrence draws vs the sqrt keep rule, survivor-sequence
+# windows (deletion shrinks distances). Oracle replays tokenization
+# (ordinality re-ranked after the empty filter), the keep rule and the
+# bounded self-join.
+
+
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.packing import skipgram_pairs
+
+    return skipgram_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), window=2, t_e6=5000
+    )
+
+
+_TRAINING_QUERIES["skipgram_pairs"] = q_skipgram_pairs
+_TRAINING_ORACLES["skipgram_pairs"] = r"""WITH raw AS (
+  SELECT doc_id::VARCHAR AS id,
+         generate_subscripts(l, 1) AS ord, unnest(l) AS w
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+        FROM documents)
+),
+toks AS (
+  SELECT id, w,
+         row_number() OVER (PARTITION BY id ORDER BY ord) - 1 AS pos
+  FROM raw WHERE w <> ''
+),
+freq AS (SELECT w, count(*)::BIGINT AS f FROM toks GROUP BY w),
+tot AS (SELECT count(*)::BIGINT AS n FROM toks),
+kept AS (
+  SELECT id, w, row_number() OVER (PARTITION BY id ORDER BY pos) AS r
+  FROM toks JOIN freq USING (w) CROSS JOIN tot
+  WHERE ('0x' || substring(md5(id || ':' || pos::VARCHAR), 1, 15))::BIGINT
+          % 1000000
+        < least(1000000,
+                floor(1000000.0 * sqrt((5000 * n)::DOUBLE
+                                       / (1000000 * f)::DOUBLE))::BIGINT)
+),
+p AS (
+  SELECT a.w AS center, b.w AS context
+  FROM kept a JOIN kept b
+    ON a.id = b.id AND a.r <> b.r AND abs(a.r - b.r) <= 2
+)
+SELECT center, context, count(*)::BIGINT AS cnt FROM p GROUP BY 1, 2"""

@@ -599,3 +599,86 @@ def fim_transform(
             "fim_text"
         ),
     )
+
+
+# --------------------------------------------- skip-gram training pairs
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 2,
+    t_e6: int = 5000,
+) -> DataFrame:
+    """(center, context, cnt) — skip-gram training pairs with frequency
+    SUBSAMPLING (Mikolov et al. NIPS'13 §2.3): drop occurrences of
+    very frequent words before windowing (they carry little signal and
+    dominate the pair mass), then pair every surviving token with its
+    neighbours within ``window`` positions of the SURVIVING sequence
+    (deletion shrinks distances — the published semantics).
+
+    Pinned subsampling: occurrence (doc, pos) survives iff
+    ``h60(doc:':':pos) % 1e6 < keep_e6(word)`` with
+
+        keep_e6 = min(1e6, floor(1e6 · sqrt((t_e6·N) / (1e6·f))))
+
+    — t is Mikolov's threshold (1e-3-ish; 5e-3 default here), f the
+    corpus count, N total tokens; sqrt is IEEE-correctly-rounded, so
+    the double sequence replays exactly in any engine, and the h60
+    draw is the md5 twin. Positions are indices in the empty-filtered
+    token array.
+
+    Plan: one explode, one broadcast frequency join + scalar N, one
+    per-doc re-rank window over survivors, one doc-keyed bounded
+    self-join (|Δr| ≤ window — n·2w pairs, never n²), one hash count.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if not 0 < t_e6 <= 1_000_000:
+        raise ValueError(f"t_e6 must be in (0, 1e6], got {t_e6}")
+    from pyspark.sql import Window as W
+
+    from .hashing import h60
+
+    toks = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.posexplode(
+            F.expr(f"filter(split(lower({text_col}), '\\\\s+'), w -> w != '')")
+        ).alias("pos", "w"),
+    )
+    freq = toks.groupBy("w").agg(F.count("*").cast("long").alias("_f"))
+    tot = toks.agg(F.count("*").cast("long").alias("_n"))
+    keep = F.least(
+        F.lit(1_000_000).cast("long"),
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.sqrt(
+                (F.lit(t_e6) * F.col("_n")).cast("double")
+                / (F.lit(1_000_000) * F.col("_f")).cast("double")
+            )
+        ).cast("long"),
+    )
+    kept = (
+        toks.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(tot))
+        .where(
+            h60(F.concat(F.col("id"), F.lit(":"), F.col("pos").cast("string")))
+            % 1_000_000
+            < keep
+        )
+        .withColumn(
+            "r", F.row_number().over(W.partitionBy("id").orderBy("pos"))
+        )
+        .select("id", "r", "w")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.id") == F.col("b.id"))
+        & (F.col("a.r") != F.col("b.r"))
+        & (F.abs(F.col("a.r") - F.col("b.r")) <= window),
+    ).select(F.col("a.w").alias("center"), F.col("b.w").alias("context"))
+    return pairs.groupBy("center", "context").agg(
+        F.count("*").cast("long").alias("cnt")
+    )

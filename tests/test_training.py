@@ -2380,3 +2380,44 @@ def test_fim_transform_round_trip_and_short_passthrough(spark):
     import pytest
     with pytest.raises(ValueError):
         fim_transform(df, min_len=2)
+
+
+def test_skipgram_pairs_python_replay(spark):
+    """Pair counts == a python replay of the pinned subsample + window
+    rules on a corpus with one hyper-frequent word."""
+    import hashlib
+    import math
+
+    from ocr_search_spark.training.packing import skipgram_pairs
+
+    texts = ["the cat sat on the mat the end", "the dog the log the fog"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t_e6, w = 200_000, 2
+
+    toks = {str(i): t.lower().split() for i, t in rows}
+    N = sum(len(v) for v in toks.values())
+    f = {}
+    for v in toks.values():
+        for x in v:
+            f[x] = f.get(x, 0) + 1
+    want = {}
+    for did, v in toks.items():
+        surv = []
+        for pos, word in enumerate(v):
+            keep = min(
+                1_000_000,
+                math.floor(1e6 * math.sqrt((t_e6 * N) / (1_000_000 * f[word]))),
+            )
+            h = int(hashlib.md5(f"{did}:{pos}".encode()).hexdigest()[:15], 16)
+            if h % 1_000_000 < keep:
+                surv.append(word)
+        for i, c in enumerate(surv):
+            for j in range(max(0, i - w), min(len(surv), i + w + 1)):
+                if j != i:
+                    want[(c, surv[j])] = want.get((c, surv[j]), 0) + 1
+    got = {(r["center"], r["context"]): r["cnt"]
+           for r in skipgram_pairs(df, window=w, t_e6=t_e6).collect()}
+    assert got == want
+    # the hyper-frequent 'the' (8/22 tokens) must actually lose occurrences
+    assert sum(v for (c, _), v in want.items() if c == "the") < 8 * 2 * w
