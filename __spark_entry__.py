@@ -16040,3 +16040,52 @@ p AS (
     ON a.id = b.id AND a.r <> b.r AND abs(a.r - b.r) <= 2
 )
 SELECT center, context, count(*)::BIGINT AS cnt FROM p GROUP BY 1, 2"""
+
+
+# ------------------------------------------- negative-sampling table
+# Session-24 capstone composition: word2vec's noise distribution —
+# slots ∝ f^0.75 (computed as sqrt(f·sqrt(f)): two correctly-rounded
+# IEEE sqrts replace the non-portable pow) — allocated over a 100k-slot
+# table by the gated Hamilton apportionment, so Σ slots == 100000
+# exactly. Oracle replays freq, the sqrt chain and the seat assignment.
+
+
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.urlnorm import apportion_budget
+
+    toks = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.explode(
+            F.expr("filter(split(lower(text), '\\\\s+'), w -> w != '')")
+        ).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count("*").cast("long").alias("_f"))
+    weights = freq.select(
+        F.col("w").alias("word"),
+        F.floor(
+            F.lit(1000.0)
+            * F.sqrt(F.col("_f").cast("double") * F.sqrt(F.col("_f").cast("double")))
+        ).cast("long").alias("wt"),
+    )
+    return apportion_budget(weights, 100_000, key_col="word", weight_col="wt")
+
+
+_TRAINING_QUERIES["negative_sampling"] = q_negative_sampling
+_TRAINING_ORACLES["negative_sampling"] = r"""WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
+),
+freq AS (SELECT w, count(*)::BIGINT AS f FROM toks WHERE w <> '' GROUP BY w),
+wts AS (
+  SELECT w AS word,
+         floor(1000.0 * sqrt(f::DOUBLE * sqrt(f::DOUBLE)))::BIGINT AS wt
+  FROM freq
+),
+t AS (SELECT sum(wt)::BIGINT AS tw FROM wts),
+b AS (SELECT word, wt, (100000 * wt) // t.tw AS base, (100000 * wt) % t.tw AS rem
+      FROM wts, t),
+s AS (SELECT (100000 - sum(base))::BIGINT AS extra FROM b),
+r AS (SELECT word, wt, base, rem,
+             row_number() OVER (ORDER BY rem DESC, word ASC) AS rk
+      FROM b)
+SELECT r.word, r.wt AS w,
+       (r.base + CASE WHEN r.rk <= s.extra THEN 1 ELSE 0 END)::BIGINT AS alloc
+FROM r, s"""
