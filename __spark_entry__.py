@@ -16089,3 +16089,41 @@ r AS (SELECT word, wt, base, rem,
 SELECT r.word, r.wt AS w,
        (r.base + CASE WHEN r.rk <= s.extra THEN 1 ELSE 0 END)::BIGINT AS alloc
 FROM r, s"""
+
+
+# ------------------------------------------------- multi-table txn
+# Session-24: atomic cross-table commit via the catalog pointer — two
+# tables staged, one commit point, the entry returns the JOIN of both
+# transactional reads (a torn commit would produce unmatched keys; the
+# oracle is the fully-committed relation).
+
+
+def q_snapshot_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ocr_search_spark.storage_snapshots import (
+        MultiTableCatalog,
+        SnapshotTable,
+    )
+
+    o = _snap_orders(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="snap_txn_")
+    docs = SnapshotTable(spark, f"{base}/docs")
+    post = SnapshotTable(spark, f"{base}/post")
+    docs.create(o.where(F.col("k") % 2 == 0).select("k", "status"))
+    post.create(o.where(F.col("k") % 2 == 0).select("k", "ck"))
+    cat = MultiTableCatalog(spark, f"{base}/cat")
+    cat.register("docs", docs)
+    cat.register("post", post)
+    sd = docs.stage_append(o.where(F.col("k") % 2 == 1).select("k", "status"))
+    sp = post.stage_append(o.where(F.col("k") % 2 == 1).select("k", "ck"))
+    assert cat.read("docs").count() * 2 == o.count()  # still pre-txn
+    cat.commit_txn({"docs": sd, "post": sp})
+    return cat.read("docs").join(cat.read("post"), "k").select(
+        "k", "status", "ck"
+    )
+
+
+_TRAINING_QUERIES["snapshot_txn"] = q_snapshot_txn
+_TRAINING_ORACLES["snapshot_txn"] = f"""WITH base AS ({_SNAP_BASE})
+SELECT k, status, ck FROM base"""

@@ -2076,3 +2076,135 @@ class SnapshotTable:
                 ),
             }
         return out
+
+
+class MultiTableCatalog:
+    """ATOMIC MULTI-TABLE TRANSACTIONS over :class:`SnapshotTable`s —
+    the cross-table consistency tier (Iceberg REST-catalog / Nessie
+    multi-table commit concept): an extraction run that must flip
+    ``docs`` + ``term_postings`` + ``extracted_spans`` TOGETHER gets
+    one commit point instead of three.
+
+    Mechanism: the catalog is itself a tiny versioned log — manifest
+    ``c<N>.json`` maps table name → (path, pinned version), and the
+    ``_current`` pointer flip is the single atomic commit point.
+    Readers that resolve through :meth:`read` see every table at its
+    pinned version, so a transaction is visible all-or-nothing
+    REGARDLESS of the member tables' own pointer states. The commit
+    protocol rides the tables' existing WAP machinery:
+
+      1. stage each table's change (``stage_append`` or any
+         ``publish=False`` commit) — data + manifests durable,
+         invisible;
+      2. :meth:`commit_txn` validates every staged version's parent
+         against the CATALOG's pins (a member advanced since staging →
+         refuse, exactly like ``publish``), writes catalog N+1, flips
+         the catalog pointer — **the transaction is now committed** —
+         then best-effort publishes each member pointer;
+      3. a crash between catalog flip and member publishes leaves
+         catalog readers fully consistent; :meth:`recover` re-plays
+         the member publishes idempotently (a staged manifest whose
+         version the catalog already pins is simply published).
+
+    Scale: catalog state is |tables| rows of JSON; commits move no
+    data. Member tables stay independently usable (their own
+    ``_current`` still serves single-table readers — the catalog pins
+    are the stronger, transactional view).
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        # reuse SnapshotTable's Hadoop-FS text primitives on the
+        # catalog directory
+        self._io = SnapshotTable.__new__(SnapshotTable)
+        self._io.spark = spark
+        self._io.path = self.path
+        self._io.meta_dir = self.path
+        self._tables: dict[str, SnapshotTable] = {}
+
+    # ------------------------------------------------------------ state
+    def _cur_n(self) -> int:
+        txt = self._io._read_text(f"{self.path}/_current")
+        return int(txt) if txt is not None else 0
+
+    def _pins(self, n: int | None = None) -> dict:
+        n = self._cur_n() if n is None else n
+        if n == 0:
+            return {}
+        return json.loads(self._io._read_text(f"{self.path}/c{n}.json"))
+
+    def table(self, name: str) -> SnapshotTable:
+        pins = self._pins()
+        if name not in pins:
+            raise ValueError(f"unknown catalog table {name!r}")
+        if name not in self._tables:
+            self._tables[name] = SnapshotTable(self.spark, pins[name]["path"])
+        return self._tables[name]
+
+    # ------------------------------------------------------------ lifecycle
+    def register(self, name: str, table: SnapshotTable) -> None:
+        """Add a table at its current version — itself a catalog commit."""
+        pins = self._pins()
+        if name in pins:
+            raise ValueError(f"table {name!r} already registered")
+        pins[name] = {
+            "path": table.path,
+            "version": table._require_current(),
+        }
+        self._commit_pins(pins)
+        self._tables[name] = table
+
+    def _commit_pins(self, pins: dict) -> None:
+        n = self._cur_n() + 1
+        self._io._write_text(f"{self.path}/c{n}.json", json.dumps(pins))
+        self._io._write_text(f"{self.path}/_current", str(n))
+
+    def read(self, name: str) -> DataFrame:
+        """The TRANSACTIONAL view: the table at its pinned version."""
+        pins = self._pins()
+        if name not in pins:
+            raise ValueError(f"unknown catalog table {name!r}")
+        return self.table(name).read(version=pins[name]["version"])
+
+    # ------------------------------------------------------------ txn
+    def commit_txn(self, staged: dict) -> int:
+        """Atomically adopt ``{name: staged_version}`` across tables.
+        Every staged version must be a pending staged commit whose
+        parent equals the catalog's pin for that table."""
+        pins = self._pins()
+        for name, v in staged.items():
+            if name not in pins:
+                raise ValueError(f"unknown catalog table {name!r}")
+            man = self.table(name)._manifest(v)
+            if not man.get("staged"):
+                raise ValueError(f"{name} v{v} is not a staged commit")
+            if man["parent"] != pins[name]["version"]:
+                raise ValueError(
+                    f"{name} staged v{v} was built on v{man['parent']} but "
+                    f"the catalog pins v{pins[name]['version']} — re-stage"
+                )
+        new_pins = {
+            n: {"path": p["path"], "version": staged.get(n, p["version"])}
+            for n, p in pins.items()
+        }
+        self._commit_pins(new_pins)  # <- the atomic commit point
+        self.recover()
+        return self._cur_n()
+
+    def abort_txn(self, staged: dict) -> None:
+        for name, v in staged.items():
+            self.table(name).abort_staged(v)
+
+    def recover(self) -> list[str]:
+        """Idempotently publish every member whose catalog pin is still
+        a staged manifest (crash between catalog flip and member
+        publishes). Safe to call any time."""
+        done = []
+        for name, pin in self._pins().items():
+            t = self.table(name)
+            man = t._manifest(pin["version"])
+            if man.get("staged"):
+                t.publish(pin["version"])
+                done.append(name)
+        return done

@@ -1516,3 +1516,72 @@ def test_agg_from_stats_matches_data_and_refuses(spark, tmp_path):
     t.materialize_deletes()
     after = t.agg_from_stats(["id"])
     assert after["n_rows"] == before - 1 and after["id"]["max"] == 100
+
+
+# ------------------------------------------------- multi-table catalog
+
+
+def test_catalog_txn_atomic_visibility_and_recover(spark, tmp_path):
+    import pytest
+
+    from ocr_search_spark.storage_snapshots import MultiTableCatalog, SnapshotTable
+
+    docs = SnapshotTable(spark, str(tmp_path / "docs"))
+    post = SnapshotTable(spark, str(tmp_path / "post"))
+    docs.create(spark.createDataFrame([(1, "a")], "id long, t string"))
+    post.create(spark.createDataFrame([("a", 1, 1)], "term string, id long, tf long"))
+    cat = MultiTableCatalog(spark, str(tmp_path / "cat"))
+    cat.register("docs", docs)
+    cat.register("post", post)
+
+    sd = docs.stage_append(spark.createDataFrame([(2, "b b")], "id long, t string"))
+    sp = post.stage_append(
+        spark.createDataFrame([("b", 2, 2)], "term string, id long, tf long")
+    )
+    # staged: invisible through the catalog AND through the tables
+    assert cat.read("docs").count() == 1 and cat.read("post").count() == 1
+    cat.commit_txn({"docs": sd, "post": sp})
+    # committed: both flips visible transactionally and on the tables
+    assert cat.read("docs").count() == 2 and cat.read("post").count() == 2
+    assert docs.read().count() == 2 and post.read().count() == 2
+
+    # concurrent-writer guard: member advanced since staging -> refuse
+    s2 = docs.stage_append(spark.createDataFrame([(3, "c")], "id long, t string"))
+    docs.publish(s2)
+    s3 = post.stage_append(
+        spark.createDataFrame([("c", 3, 1)], "term string, id long, tf long")
+    )
+    stale = {"docs": s2, "post": s3}
+    with pytest.raises(ValueError, match="not a staged commit"):
+        cat.commit_txn(stale)  # docs s2 already published outside the txn
+    cat.abort_txn({"post": s3})
+    with pytest.raises(ValueError, match="does not exist"):
+        post._manifest(s3)
+
+
+def test_catalog_crash_between_flip_and_publish(spark, tmp_path):
+    """Simulate the crash window: catalog pointer flipped, member
+    publishes skipped — catalog readers are already consistent and
+    recover() replays the publishes idempotently."""
+    from ocr_search_spark.storage_snapshots import MultiTableCatalog, SnapshotTable
+
+    a = SnapshotTable(spark, str(tmp_path / "a"))
+    b = SnapshotTable(spark, str(tmp_path / "b"))
+    a.create(spark.createDataFrame([(1,)], "id long"))
+    b.create(spark.createDataFrame([(10,)], "id long"))
+    cat = MultiTableCatalog(spark, str(tmp_path / "cat"))
+    cat.register("a", a)
+    cat.register("b", b)
+    sa = a.stage_append(spark.createDataFrame([(2,)], "id long"))
+    sb = b.stage_append(spark.createDataFrame([(20,)], "id long"))
+    # crash simulation: flip the catalog WITHOUT publishing members
+    pins = cat._pins()
+    pins["a"]["version"] = sa
+    pins["b"]["version"] = sb
+    cat._commit_pins(pins)
+    # catalog view is consistent; member pointers still old
+    assert cat.read("a").count() == 2 and cat.read("b").count() == 2
+    assert a.read().count() == 1 and b.read().count() == 1
+    assert sorted(cat.recover()) == ["a", "b"]
+    assert a.read().count() == 2 and b.read().count() == 2
+    assert cat.recover() == []  # idempotent
