@@ -16127,3 +16127,43 @@ def q_snapshot_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRAINING_QUERIES["snapshot_txn"] = q_snapshot_txn
 _TRAINING_ORACLES["snapshot_txn"] = f"""WITH base AS ({_SNAP_BASE})
 SELECT k, status, ck FROM base"""
+
+
+# ------------------------------------------------- LTR feature assembly
+# Session-24: the learning-to-rank dataset generator over the gated
+# scoring stack — bm25 micros + raw tf stats + coverage + dl per
+# candidate. Oracle composes the bm25 CTEs with the raw aggregates.
+
+
+def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.search import ltr_features
+
+    return ltr_features(_postings(spark, sf_dir).cache(), list(_SEARCH_TERMS))
+
+
+_TRAINING_QUERIES["ltr_features"] = q_ltr_features
+_TRAINING_ORACLES["ltr_features"] = f"""WITH {_POSTINGS_BODY},
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+matched AS (SELECT * FROM postings WHERE term IN ({_SEARCH_TERMS_IN})),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM matched GROUP BY term),
+widf AS (
+  SELECT term, ln((n::DOUBLE - df + 0.5) / (df::DOUBLE + 0.5) + 1.0) AS idf, avgdl
+  FROM dfreq CROSS JOIN stats
+),
+bm AS (
+  SELECT m.doc_id,
+         sum(floor(1000000.0 * w.idf *
+             ((m.tf::DOUBLE * 2.2) /
+              (m.tf::DOUBLE + 1.2 * (0.25 + 0.75 * d.dl::DOUBLE / w.avgdl))))::BIGINT
+         ) AS bm25_e6
+  FROM matched m JOIN widf w USING (term) JOIN dl d USING (doc_id)
+  GROUP BY m.doc_id
+),
+raw AS (
+  SELECT doc_id, max(tf)::BIGINT AS max_tf, sum(tf)::BIGINT AS sum_tf,
+         count(DISTINCT term)::BIGINT AS n_terms
+  FROM matched GROUP BY doc_id
+)
+SELECT bm.doc_id, bm.bm25_e6::BIGINT AS bm25_e6, raw.max_tf, raw.sum_tf, raw.n_terms, dl.dl
+FROM bm JOIN raw USING (doc_id) JOIN dl USING (doc_id)"""

@@ -578,6 +578,47 @@ def match_terms_bm25_blockmax(
     )
 
 
+def ltr_features(
+    postings: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, bm25_e6, max_tf, sum_tf, n_terms, dl) — per-candidate
+    LEARNING-TO-RANK feature assembly (the dataset generator behind
+    every LambdaMART/linear reranker: Liu, F&T IR 2009): one row per
+    doc matching ≥ 1 query term, carrying the classical feature set —
+    the exact-integer BM25 total (:func:`_bm25_rows`' micros), raw
+    max/sum term frequency (the reference's own Q3 scoring and its
+    sum-variant), query coverage (how many distinct query terms hit),
+    and document length. Downstream training joins labels on doc_id;
+    more features (anchor boosts, pagerank, qld) are further columns
+    off the same matched-rows lineage.
+
+    Plan: the bm25 row relation already carries everything — one extra
+    join back to raw matched tf and the dl relation, three hash
+    aggregates total, no new shuffle keys."""
+    spark = postings.sparkSession
+    if not terms:
+        terms = ["never-a-term"]
+    terms_df = literal_df(spark, sorted(set(terms)), "term")
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    matched = postings.join(F.broadcast(terms_df), "term")
+    raw = matched.groupBy("doc_id").agg(
+        F.max("tf").cast("long").alias("max_tf"),
+        F.sum("tf").cast("long").alias("sum_tf"),
+        F.countDistinct("term").cast("long").alias("n_terms"),
+    )
+    bm = _bm25_rows(postings, terms, k1, b).groupBy("doc_id").agg(
+        F.sum("w").cast("long").alias("bm25_e6")
+    )
+    return (
+        bm.join(raw, "doc_id")
+        .join(dl, "doc_id")
+        .select("doc_id", "bm25_e6", "max_tf", "sum_tf", "n_terms", "dl")
+    )
+
+
 def match_terms_batch_bm25(
     postings: DataFrame,
     query_terms: DataFrame,

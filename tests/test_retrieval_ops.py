@@ -747,3 +747,24 @@ def test_blockmax_bit_parity_and_prunes(spark):
     import pytest
     with pytest.raises(ValueError):
         match_terms_bm25_blockmax(post, terms, n_blocks=0)
+
+
+def test_ltr_features_consistent_with_scorers(spark):
+    """Feature columns agree with the gated scorers: bm25_e6 equals the
+    ranking's score, raw stats match hand counts."""
+    from ocr_search_spark.operators.search import ltr_features, match_terms_bm25
+
+    rows = [("a", "d1", 5), ("b", "d1", 2), ("a", "d2", 1), ("z", "d2", 7),
+            ("z", "d3", 4)]
+    post = spark.createDataFrame(rows, "term string, doc_id string, tf long")
+    terms = ["a", "b"]
+    feats = {r["doc_id"]: r for r in ltr_features(post, terms).collect()}
+    scores = {r["doc_id"]: r["score"]
+              for r in match_terms_bm25(post, terms, max_return=10).collect()}
+    assert set(feats) == {"d1", "d2"}  # d3 matches nothing
+    for d, r in feats.items():
+        assert r["bm25_e6"] == scores[d]
+    assert (feats["d1"]["max_tf"], feats["d1"]["sum_tf"],
+            feats["d1"]["n_terms"], feats["d1"]["dl"]) == (5, 7, 2, 7)
+    assert (feats["d2"]["max_tf"], feats["d2"]["n_terms"],
+            feats["d2"]["dl"]) == (1, 1, 8)
