@@ -1817,10 +1817,21 @@ _GATE_PRIORITY = [
     # superset machinery plus search_bm25's in-window weight row);
     # events_retention (cohort window/agg shape = events_cube's
     # grouping row + events_session_window + events_funnel in-window).
+    # Further session-24 evictions: tpch_q18 (large-IN join-agg shape =
+    # the in-window tpch_q4 EXISTS row + the r2 q1/q3/q5 rows and the
+    # q21/q20 overflow siblings) and tpch_q22 (NOT-EXISTS anti shape =
+    # q4's slot + q21's overflow EXISTS/NOT-EXISTS pair); both remain
+    # check_entry-verified in the overflow.
     "events_cube", "dedup_clusters", "decontaminate",
     "stratified_sample", "events_session_window",
-    "tpch_q18", "tpch_q22", "index_stats", "extract_density",
+    "index_stats", "extract_density",
     "lm_quality", "events_funnel", "search_bm25",
+    # session-24 systems flagships: the streaming CUSUM transfer-
+    # function ledger (associative-compose exactly-once — an algebra
+    # class the CMS/KMV rows do not cover) and the multi-table atomic
+    # catalog transaction (the only cross-TABLE commit-point mechanism
+    # in the repo).
+    "stream_cusum", "snapshot_txn",
     # session-24 flagships: team-draft interleaving (the stateful
     # columnar DRAFT fold with nested higher-order candidate lookup —
     # an operator class nothing else gates), the prefix-filter exact
