@@ -16178,3 +16178,50 @@ raw AS (
 )
 SELECT bm.doc_id, bm.bm25_e6::BIGINT AS bm25_e6, raw.max_tf, raw.sum_tf, raw.n_terms, dl.dl
 FROM bm JOIN raw USING (doc_id) JOIN dl USING (doc_id)"""
+
+
+# ------------------------------------------------- BM25 grid sweep
+# Session-24: the hyperparameter sweep as DATA — three (k1, b) points
+# ranked in one matched-rows pass; the (1200, 750) row is bit-equal to
+# search_bm25 (pytest) and the oracle replays the whole grid.
+
+
+def q_bm25_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.search import match_terms_bm25_grid
+
+    return match_terms_bm25_grid(
+        _postings(spark, sf_dir).cache(),
+        list(_SEARCH_TERMS),
+        [(1200, 750), (900, 400), (2000, 0)],
+        max_return=20,
+    )
+
+
+_TRAINING_QUERIES["bm25_grid"] = q_bm25_grid
+_TRAINING_ORACLES["bm25_grid"] = f"""WITH {_POSTINGS_BODY},
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+matched AS (SELECT * FROM postings WHERE term IN ({_SEARCH_TERMS_IN})),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM matched GROUP BY term),
+widf AS (
+  SELECT term, ln((n::DOUBLE - df + 0.5) / (df::DOUBLE + 0.5) + 1.0) AS idf, avgdl
+  FROM dfreq CROSS JOIN stats
+),
+g(k1_e3, b_e3) AS (SELECT * FROM (VALUES (1200, 750), (900, 400), (2000, 0))),
+scored AS (
+  SELECT g.k1_e3, g.b_e3, m.doc_id,
+         sum(floor(1000000.0 * w.idf *
+             ((m.tf::DOUBLE * (g.k1_e3 / 1000.0 + 1.0)) /
+              (m.tf::DOUBLE + (g.k1_e3 / 1000.0) *
+               (1.0 - g.b_e3 / 1000.0 +
+                (g.b_e3 / 1000.0) * d.dl::DOUBLE / w.avgdl))))::BIGINT
+         ) AS score
+  FROM matched m JOIN widf w USING (term) JOIN dl d USING (doc_id) CROSS JOIN g
+  GROUP BY 1, 2, 3
+)
+SELECT k1_e3::BIGINT AS k1_e3, b_e3::BIGINT AS b_e3, doc_id,
+       score::BIGINT AS score, rank::INT AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY k1_e3, b_e3
+                                   ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 20"""

@@ -578,6 +578,78 @@ def match_terms_bm25_blockmax(
     )
 
 
+def match_terms_bm25_grid(
+    postings: DataFrame,
+    terms: list[str],
+    grid: list[tuple[int, int]],
+    max_return: int = DEFAULT_MAX_RETURN,
+) -> DataFrame:
+    """(k1_e3, b_e3, doc_id, score, rank) — BM25 rankings for EVERY
+    (k1, b) parameter pair in one job: the hyperparameter sweep as
+    DATA, not as N sequential runs. Tuning on a 100 TB index is
+    shuffle-bound; this shares the matched-rows pass, the df/avgdl
+    statistics and the dl join across the whole grid, so a 20-point
+    sweep costs one scan + one (param, doc) aggregate instead of 20
+    pipelines.
+
+    Parameters come as e3 integers (k1_e3=1200, b_e3=750 is the
+    default operating point) and the per-row weight uses exactly
+    :func:`_bm25_rows`' pinned float recipe with k1 = k1_e3/1e3,
+    b = b_e3/1e3 — so the grid row (1200, 750) is bit-identical to
+    ``match_terms_bm25``'s ranking (tested). Per-param top-k via the
+    rank window (WindowGroupLimit); ties by doc_id."""
+    spark = postings.sparkSession
+    if not grid:
+        raise ValueError("grid must be non-empty")
+    if not terms:
+        terms = ["never-a-term"]
+    terms_df = literal_df(spark, sorted(set(terms)), "term")
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("_n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    matched = postings.join(F.broadcast(terms_df), "term")
+    dfreq = matched.groupBy("term").agg(F.countDistinct("doc_id").alias("_df"))
+    widf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            (F.col("_n").cast("double") - F.col("_df") + 0.5)
+            / (F.col("_df").cast("double") + 0.5)
+            + 1.0
+        ).alias("idf"),
+        "avgdl",
+    )
+    gdf = spark.createDataFrame(
+        sorted(set((int(a), int(b)) for a, b in grid)), "k1_e3 long, b_e3 long"
+    )
+    j = (
+        matched.join(F.broadcast(widf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(gdf))
+    )
+    k1 = F.col("k1_e3").cast("double") / 1000.0
+    bb = F.col("b_e3").cast("double") / 1000.0
+    tf = F.col("tf").cast("double")
+    sat = (tf * (k1 + 1.0)) / (
+        tf + k1 * (1.0 - bb + bb * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    w = F.floor(F.lit(1_000_000.0) * F.col("idf") * sat).cast("long")
+    scored = (
+        j.select("k1_e3", "b_e3", "doc_id", w.alias("_w"))
+        .groupBy("k1_e3", "b_e3", "doc_id")
+        .agg(F.sum("_w").alias("score"))
+    )
+    win = Window.partitionBy("k1_e3", "b_e3").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= max_return)
+        .select("k1_e3", "b_e3", "doc_id", "score", "rank")
+    )
+
+
 def ltr_features(
     postings: DataFrame,
     terms: list[str],

@@ -768,3 +768,35 @@ def test_ltr_features_consistent_with_scorers(spark):
             feats["d1"]["n_terms"], feats["d1"]["dl"]) == (5, 7, 2, 7)
     assert (feats["d2"]["max_tf"], feats["d2"]["n_terms"],
             feats["d2"]["dl"]) == (1, 1, 8)
+
+
+def test_bm25_grid_default_point_bit_identical(spark):
+    import random
+
+    from ocr_search_spark.operators.search import (
+        match_terms_bm25,
+        match_terms_bm25_grid,
+    )
+
+    rng = random.Random(3)
+    rows = [(f"t{i%9}", f"d{rng.randrange(40)}", rng.randrange(1, 7))
+            for i in range(400)]
+    post = spark.createDataFrame(rows, "term string, doc_id string, tf long")
+    post = post.groupBy("term", "doc_id").agg(F.sum("tf").alias("tf"))
+    terms = ["t1", "t5"]
+    grid = [(1200, 750), (900, 400), (2000, 0)]
+    out = match_terms_bm25_grid(post, terms, grid, max_return=8).collect()
+    by_param = {}
+    for r in out:
+        by_param.setdefault((r["k1_e3"], r["b_e3"]), []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    assert set(by_param) == set(grid)
+    want = [(i + 1, r["doc_id"], r["score"]) for i, r in
+            enumerate(match_terms_bm25(post, terms, max_return=8).collect())]
+    assert sorted(by_param[(1200, 750)]) == want
+    # b=0 kills length normalization: rankings genuinely differ somewhere
+    assert sorted(by_param[(2000, 0)]) != want
+    import pytest
+    with pytest.raises(ValueError):
+        match_terms_bm25_grid(post, terms, [])
