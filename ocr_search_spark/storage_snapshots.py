@@ -2167,6 +2167,19 @@ class MultiTableCatalog:
             raise ValueError(f"unknown catalog table {name!r}")
         return self.table(name).read(version=pins[name]["version"])
 
+    def read_at(self, name: str, catalog_version: int) -> DataFrame:
+        """CROSS-TABLE CONSISTENT time travel: the table as catalog
+        version N pinned it — every table read at the same N is from
+        the same transaction boundary, the guarantee per-table
+        ``read(version=…)`` cannot give (two tables' own version
+        numbers say nothing about which commits were joint)."""
+        pins = self._pins(catalog_version)
+        if name not in pins:
+            raise ValueError(
+                f"table {name!r} not in catalog version {catalog_version}"
+            )
+        return self.table(name).read(version=pins[name]["version"])
+
     # ------------------------------------------------------------ txn
     def commit_txn(self, staged: dict) -> int:
         """Atomically adopt ``{name: staged_version}`` across tables.

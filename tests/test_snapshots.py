@@ -1585,3 +1585,28 @@ def test_catalog_crash_between_flip_and_publish(spark, tmp_path):
     assert sorted(cat.recover()) == ["a", "b"]
     assert a.read().count() == 2 and b.read().count() == 2
     assert cat.recover() == []  # idempotent
+
+
+def test_catalog_time_travel_is_cross_table_consistent(spark, tmp_path):
+    """read_at(N) reconstructs the exact transaction boundary: both
+    tables pre-txn at the pre-txn catalog version, both post-txn after
+    — never a mixed view."""
+    import pytest
+
+    from ocr_search_spark.storage_snapshots import MultiTableCatalog, SnapshotTable
+
+    a = SnapshotTable(spark, str(tmp_path / "a"))
+    b = SnapshotTable(spark, str(tmp_path / "b"))
+    a.create(spark.createDataFrame([(1,)], "id long"))
+    b.create(spark.createDataFrame([(1,)], "id long"))
+    cat = MultiTableCatalog(spark, str(tmp_path / "cat"))
+    cat.register("a", a)
+    cat.register("b", b)
+    pre = cat._cur_n()
+    sa = a.stage_append(spark.createDataFrame([(2,)], "id long"))
+    sb = b.stage_append(spark.createDataFrame([(2,)], "id long"))
+    post = cat.commit_txn({"a": sa, "b": sb})
+    assert cat.read_at("a", pre).count() == 1 == cat.read_at("b", pre).count()
+    assert cat.read_at("a", post).count() == 2 == cat.read_at("b", post).count()
+    with pytest.raises(ValueError, match="not in catalog"):
+        cat.read_at("nope", post)
