@@ -16225,3 +16225,55 @@ FROM (SELECT *, row_number() OVER (PARTITION BY k1_e3, b_e3
                                    ORDER BY score DESC, doc_id ASC) AS rank
       FROM scored)
 WHERE rank <= 20"""
+
+
+# ------------------------------------------- Matryoshka truncation eval
+# Session-24: MRL serving-dimension curve — exact prefix-dim top-5 vs
+# full-dim top-5 agreement per query at d in (8, 16, 64); d=64 is the
+# identity row set (overlap == k), the sanity anchor. Oracle replays
+# per-dim flats/norms/rankings and the left-join overlap counts.
+
+
+def q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.similarity import matryoshka_overlap
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return matryoshka_overlap(emb, emb.where("vec_id < 10"), dims=[8, 16, 64], k=5)
+
+
+_TRAINING_QUERIES["embed_matryoshka"] = q_matryoshka
+
+_dimcte = []
+for _d in (8, 16, 64):
+    _dimcte.append(f"""f{_d} AS (SELECT * FROM flat WHERE i <= {_d}),
+n{_d} AS (SELECT vec_id, sqrt(sum(v::DOUBLE * v::DOUBLE)) AS nrm
+          FROM f{_d} GROUP BY vec_id),
+d{_d} AS (
+  SELECT fq.vec_id AS query_id, fc.vec_id AS neighbor_id,
+         sum(fq.v::DOUBLE * fc.v::DOUBLE) AS dot
+  FROM f{_d} fq JOIN f{_d} fc ON fq.i = fc.i AND fq.vec_id <> fc.vec_id
+  WHERE fq.vec_id < 10 GROUP BY 1, 2
+),
+t{_d} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT dd.query_id, dd.neighbor_id,
+           row_number() OVER (PARTITION BY dd.query_id
+             ORDER BY round(dd.dot / (nq.nrm * nn.nrm), 6) DESC,
+                      dd.neighbor_id) AS rn
+    FROM d{_d} dd
+    JOIN n{_d} nq ON nq.vec_id = dd.query_id
+    JOIN n{_d} nn ON nn.vec_id = dd.neighbor_id
+  ) WHERE rn <= 5
+)""")
+_overlaps = "\nUNION ALL\n".join(
+    f"""SELECT {_d}::BIGINT AS dim, a.query_id,
+       sum(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_overlap
+FROM t64 a LEFT JOIN t{_d} b
+  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY 1, 2"""
+    for _d in (8, 16, 64)
+)
+_TRAINING_ORACLES["embed_matryoshka"] = (
+    "WITH " + _EMB_FLAT_CTE + ",\n" + ",\n".join(_dimcte) + "\n" + _overlaps
+)

@@ -1146,3 +1146,57 @@ def kmeanspp_oversample(
     return assign.groupBy("cand_id").agg(
         F.count("*").cast("long").alias("weight")
     )
+
+
+def matryoshka_overlap(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dims: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(dim, query_id, n_overlap) — MATRYOSHKA truncation evaluation
+    (Kusupati et al. NeurIPS'22: MRL embeddings are served at prefix
+    dimensions; the deployment question is how much top-k agreement a
+    d-dim prefix retains vs the full vector). For every ``d`` in
+    ``dims``: run the SAME exact brute-force cosine top-k
+    (:func:`cosine_topk` — rounded-score + id tie-break total order)
+    on prefix-sliced vectors, and count its agreement with the
+    full-dimension top-k per query (0..k; zero-overlap queries kept).
+
+    This is the capacity curve that picks the serving dimension — the
+    vector-store bytes/recall trade measured exactly, in one plan per
+    dimension over the same broadcast query set. The prefix slice is a
+    projection; nothing about the index machinery changes, which is
+    precisely MRL's operational appeal."""
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    if any(d < 1 for d in dims):
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    full = cosine_topk(vectors, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    outs = []
+    for d in sorted(set(dims)):
+        tv = vectors.select(
+            F.col(id_col), F.slice(vec_col, 1, d).alias(vec_col)
+        )
+        tq = queries.select(
+            F.col(id_col), F.slice(vec_col, 1, d).alias(vec_col)
+        )
+        top_d = cosine_topk(tv, tq, k, id_col, vec_col).select(
+            "query_id", "neighbor_id", F.lit(1).alias("_hit")
+        )
+        per_q = (
+            full.join(top_d, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_overlap")
+            )
+            .select(F.lit(d).cast("long").alias("dim"), "query_id", "n_overlap")
+        )
+        outs.append(per_q)
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, outs)

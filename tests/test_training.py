@@ -2421,3 +2421,31 @@ def test_skipgram_pairs_python_replay(spark):
     assert got == want
     # the hyper-frequent 'the' (8/22 tokens) must actually lose occurrences
     assert sum(v for (c, _), v in want.items() if c == "the") < 8 * 2 * w
+
+
+def test_matryoshka_overlap_bounds_and_full_dim_identity(spark):
+    """Overlap at the FULL dimension is exactly k for every query;
+    overlaps are within [0, k] and weakly improve in expectation as d
+    grows on structured vectors."""
+    from ocr_search_spark.training.similarity import matryoshka_overlap
+
+    rows = []
+    for i in range(40):
+        # structure in the leading dims, noise after
+        v = [float((i % 7) == j) + 0.05 * (j + 1) for j in range(8)] + [
+            float((i * j) % 5) / 5.0 for j in range(8)
+        ]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where("vec_id < 6")
+    out = matryoshka_overlap(df, q, dims=[2, 8, 16], k=4).collect()
+    got = {(r["dim"], r["query_id"]): r["n_overlap"] for r in out}
+    assert len(got) == 3 * 6
+    assert all(0 <= v <= 4 for v in got.values())
+    assert all(got[(16, qid)] == 4 for qid in range(6))  # full dim == identity
+    mean2 = sum(got[(2, q_)] for q_ in range(6)) / 6
+    mean8 = sum(got[(8, q_)] for q_ in range(6)) / 6
+    assert mean8 >= mean2
+    import pytest
+    with pytest.raises(ValueError):
+        matryoshka_overlap(df, q, dims=[])
