@@ -85,6 +85,32 @@ def main() -> None:
     # NOT part of `value`, which stays comparable round-over-round).
     extended = [
         "cjk_postings",
+        # session-24 additions
+        "setjoin_prefix",
+        "search_sharded",
+        "click_coec",
+        "click_cascade",
+        "query_reformulations",
+        "team_draft_interleave",
+        "interleave_credit",
+        "ddsketch_quantiles",
+        "crawl_apportion",
+        "search_qld",
+        "search_blockmax",
+        "corpus_psi",
+        "events_cusum",
+        "stream_cusum",
+        "span_corruption",
+        "fim_transform",
+        "fs_linkage",
+        "skipgram_pairs",
+        "negative_sampling",
+        "snapshot_branch",
+        "snapshot_agg_pushdown",
+        "snapshot_txn",
+        "ltr_features",
+        "bm25_grid",
+        "embed_matryoshka",
         "cjk_postings_search",
         "postings_skewed",
         "correlations_skewed",
