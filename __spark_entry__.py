@@ -16277,3 +16277,50 @@ GROUP BY 1, 2"""
 _TRAINING_ORACLES["embed_matryoshka"] = (
     "WITH " + _EMB_FLAT_CTE + ",\n" + ",\n".join(_dimcte) + "\n" + _overlaps
 )
+
+
+# ------------------------------------------- co-citation analysis
+# Session-24: Small'73 co-citation over a synthetic citation graph
+# with a HUB tier (doc_id%97==0 citers get 10 extra references,
+# degree 13 > max 5) that the degree guard must drop plan-side — the
+# guard is IN the gate, the correlations_skewed treatment. Oracle
+# replays the non-hub 3-reference pairs.
+
+
+def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.graph import copair_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                F.expr("(doc_id * 7) % 50"),
+                F.expr("(doc_id * 7 + 1) % 50"),
+                F.expr("(doc_id * 7 + 2) % 50"),
+            )
+        ).alias("dst"),
+    )
+    hub = docs.where("doc_id % 97 = 0").select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.sequence(F.lit(100).cast("long"), F.lit(109).cast("long"))).alias("dst"),
+    )
+    edges = base.unionByName(hub)
+    return copair_counts(
+        edges, "src", "dst", min_count=2, max_group_degree=5
+    )
+
+
+_TRAINING_QUERIES["cocitation"] = q_cocitation
+_TRAINING_ORACLES["cocitation"] = """WITH t AS (
+  SELECT doc_id,
+         unnest([(doc_id * 7) % 50, (doc_id * 7 + 1) % 50,
+                 (doc_id * 7 + 2) % 50]) AS tgt
+  FROM documents WHERE doc_id % 97 <> 0
+),
+p AS (
+  SELECT a.tgt AS item_a, b.tgt AS item_b
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tgt < b.tgt
+)
+SELECT item_a, item_b, count(*)::BIGINT AS n_common
+FROM p GROUP BY 1, 2 HAVING count(*) >= 2"""

@@ -654,3 +654,50 @@ def connected_components_star(
         f"star contraction did not converge within {max_rounds} rounds "
         "(theory bound ~2·log2(n)); raise max_rounds"
     )
+
+
+# ------------------------------------------- co-citation / coupling
+
+
+def copair_counts(
+    edges: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_count: int = 1,
+    max_group_degree: int | None = None,
+) -> DataFrame:
+    """(item_a, item_b, n_common) — unordered pairs of items that share
+    ``n_common`` groups: one group-keyed self-join + hash count. With
+    (group=citing doc, item=cited doc) this is CO-CITATION (Small,
+    JASIS 1973 — documents cited TOGETHER are related); with the roles
+    swapped it is BIBLIOGRAPHIC COUPLING (Kessler 1963 — documents
+    sharing references are related). The same mechanism ranks related
+    pages from the web link graph.
+
+    Scale shape: cost is Σ degree² over groups — a hub group (a review
+    article citing thousands, a directory page linking everything)
+    detonates it, so ``max_group_degree`` drops over-degree groups
+    plan-side BEFORE the join (the max_df discipline; an explicit
+    coverage decision, never a silent one — the count of dropped
+    groups is the caller's to audit via a degree profile).
+    ``min_count`` thresholds the output AFTER counting."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    e = edges.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("it")
+    ).distinct()
+    if max_group_degree is not None:
+        if max_group_degree < 2:
+            raise ValueError(
+                f"max_group_degree must be >= 2, got {max_group_degree}"
+            )
+        deg = e.groupBy("g").agg(F.count("*").alias("_d"))
+        ok = deg.where(F.col("_d") <= max_group_degree).select("g")
+        e = e.join(ok, "g")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.it") < F.col("b.it")))
+        .groupBy(F.col("a.it").alias("item_a"), F.col("b.it").alias("item_b"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+        .where(F.col("n_common") >= min_count)
+    )

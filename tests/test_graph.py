@@ -485,3 +485,39 @@ def test_cc_star_validation_and_nonconvergence_guard(spark):
     e = spark.createDataFrame([(0, 1)], "a long, b long")
     with pytest.raises(ValueError):
         connected_components_star(e, max_rounds=0)
+
+
+# ------------------------------------------- co-citation / coupling
+
+
+def test_copair_counts_cocitation_and_guard(spark):
+    """Hand-checked co-citation counts, the coupling dual via role
+    swap, and the hub-degree guard dropping a mega-citer plan-side."""
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ocr_search_spark.operators.graph import copair_counts
+
+    edges = [
+        ("c1", "x"), ("c1", "y"),
+        ("c2", "x"), ("c2", "y"), ("c2", "z"),
+        ("c3", "y"), ("c3", "z"),
+        ("hub", "x"), ("hub", "y"), ("hub", "z"), ("hub", "w"), ("hub", "v"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["item_a"], r["item_b"]): r["n_common"]
+           for r in copair_counts(df, "src", "dst", max_group_degree=4).collect()}
+    # hub (degree 5) excluded: x,y co-cited by c1+c2; y,z by c2+c3; x,z by c2
+    assert got == {("x", "y"): 2, ("y", "z"): 2, ("x", "z"): 1}
+    # without the guard the hub inflates every pair and adds w/v pairs
+    unguarded = {(r["item_a"], r["item_b"]): r["n_common"]
+                 for r in copair_counts(df, "src", "dst").collect()}
+    assert unguarded[("x", "y")] == 3 and ("v", "w") in unguarded
+    # bibliographic coupling = the role swap: citing docs sharing refs
+    coup = {(r["item_a"], r["item_b"]): r["n_common"]
+            for r in copair_counts(df, "dst", "src", max_group_degree=4).collect()}
+    assert coup[("c1", "c2")] == 2  # share x and y
+    with pytest.raises(ValueError):
+        copair_counts(df, "src", "dst", min_count=0)
+    with pytest.raises(ValueError):
+        copair_counts(df, "src", "dst", max_group_degree=1)
