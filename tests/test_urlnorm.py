@@ -742,3 +742,33 @@ def test_apportion_budget_validation(spark):
     with pytest.raises(Exception) as ei:
         apportion_budget(df, 10).collect()
     assert "non-negative" in str(ei.value)
+
+
+def test_aimd_rates_fold_vs_python(spark):
+    import random
+
+    from ocr_search_spark.operators.urlnorm import aimd_rates
+
+    rng = random.Random(24)
+    rows, want = [], {}
+    for h in range(8):
+        host = f"h{h}"
+        rate = 1
+        ok_n = fail_n = 0
+        for t in range(25):
+            ok = rng.random() < 0.7
+            rows.append((host, t, 1 if ok else 0))
+            if ok:
+                rate = min(rate + 1, 16)
+                ok_n += 1
+            else:
+                rate = max(1, rate // 2)
+                fail_n += 1
+        want[host] = (ok_n, fail_n, rate)
+    df = spark.createDataFrame(rows, "host string, t int, ok int")
+    got = {r["host"]: (r["n_ok"], r["n_fail"], r["rate"])
+           for r in aimd_rates(df.repartition(5)).collect()}
+    assert got == want
+    import pytest
+    with pytest.raises(ValueError):
+        aimd_rates(df, max_rate=0)
