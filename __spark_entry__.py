@@ -16361,3 +16361,29 @@ SELECT host, n_ok, n_fail,
                    (r, o) -> CASE WHEN o = 1 THEN least(r + 1, 16)
                                   ELSE greatest(1, r // 2) END)::BIGINT AS rate
 FROM per"""
+
+
+# ------------------------------------------------ Holt forecasting
+# Session-24: Holt linear smoothing over hourly per-type counts in
+# e6-scaled integer state (sub-unit trends survive), truncating `div`
+# pinned; the forecasting family's first gated row. Oracle folds the
+# same ordered list with list_reduce and exact integer trunc-division.
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.profile import holt_forecast
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "hour", F.floor(_ep_us("ts") / F.lit(3_600_000_000)).cast("long")
+    )
+    series = e.groupBy("event_type", "hour").agg(
+        F.count("*").cast("long").alias("x")
+    )
+    return holt_forecast(
+        series, ["event_type"], "hour", "x",
+        alpha_e6=300_000, beta_e6=100_000, horizon=3,
+    )
+
+
+_TRAINING_QUERIES["holt_forecast"] = q_holt_forecast
+_TRAINING_ORACLES["holt_forecast"] = 'WITH RECURSIVE h AS (\n  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,\n         count(*)::BIGINT AS x\n  FROM events GROUP BY 1, 2\n),\nper AS (\n  SELECT event_type, list(x ORDER BY hour) AS xs, count(*)::BIGINT AS n\n  FROM h GROUP BY event_type\n),\nrec AS (\n  SELECT event_type, xs, n, 1::BIGINT AS i,\n         xs[1] * 1000000 AS l, 0::BIGINT AS b\n  FROM per\n  UNION ALL\n  SELECT event_type, xs, n, i + 1, (CASE WHEN (300000 * xs[i + 1] * 1000000 + 700000 * (l + b)) < 0 THEN -((-((300000 * xs[i + 1] * 1000000 + 700000 * (l + b)))) // 1000000) ELSE ((300000 * xs[i + 1] * 1000000 + 700000 * (l + b))) // 1000000 END), (CASE WHEN (100000 * ((CASE WHEN (300000 * xs[i + 1] * 1000000 + 700000 * (l + b)) < 0 THEN -((-((300000 * xs[i + 1] * 1000000 + 700000 * (l + b)))) // 1000000) ELSE ((300000 * xs[i + 1] * 1000000 + 700000 * (l + b))) // 1000000 END) - l) + 900000 * b) < 0 THEN -((-((100000 * ((CASE WHEN (300000 * xs[i + 1] * 1000000 + 700000 * (l + b)) < 0 THEN -((-((300000 * xs[i + 1] * 1000000 + 700000 * (l + b)))) // 1000000) ELSE ((300000 * xs[i + 1] * 1000000 + 700000 * (l + b))) // 1000000 END) - l) + 900000 * b))) // 1000000) ELSE ((100000 * ((CASE WHEN (300000 * xs[i + 1] * 1000000 + 700000 * (l + b)) < 0 THEN -((-((300000 * xs[i + 1] * 1000000 + 700000 * (l + b)))) // 1000000) ELSE ((300000 * xs[i + 1] * 1000000 + 700000 * (l + b))) // 1000000 END) - l) + 900000 * b)) // 1000000 END)\n  FROM rec WHERE i < n\n)\nSELECT event_type, n AS n_obs,\n       (CASE WHEN l < 0 THEN -((-l) // 1000000)\n             ELSE l // 1000000 END)::BIGINT AS level,\n       b::BIGINT AS trend_e6,\n       (CASE WHEN l + 3 * b < 0 THEN -((-(l + 3 * b)) // 1000000)\n             ELSE (l + 3 * b) // 1000000 END)::BIGINT AS forecast\nFROM rec WHERE i = n'

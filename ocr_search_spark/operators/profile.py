@@ -335,3 +335,71 @@ def cusum_series(
         (s_up >= threshold).alias("alarm_up"),
         (s_down >= threshold).alias("alarm_down"),
     )
+
+
+# ------------------------------------------------ Holt forecasting
+
+
+def holt_forecast(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    x_col: str,
+    alpha_e6: int = 300_000,
+    beta_e6: int = 100_000,
+    horizon: int = 1,
+) -> DataFrame:
+    """(key…, n_obs, level, trend_e6, forecast) — Holt's linear
+    exponential smoothing (Holt 1957 / Winters 1960; the capacity-
+    planning workhorse for crawl volume and ingest-rate forecasting),
+    in E6-SCALED integer state (level and trend both carried ×1e6 —
+    a raw-unit state would truncate every sub-unit trend increment to
+    zero and never learn a slope):
+
+        L_t = (α·(x_t·1e6) + (1e6−α)·(L_{t−1} + B_{t−1})) div 1e6
+        B_t = (β·(L_t − L_{t−1}) + (1e6−β)·B_{t−1}) div 1e6
+        level = L_n div 1e6,  forecast(h) = (L_n + h·B_n) div 1e6
+
+    initialized L_1 = x_1·1e6, B_1 = 0; every step an integer `div`
+    (TRUNCATING toward zero on negative trend intermediates — the
+    pinned rule an oracle must mirror with trunc(), not floor). Like
+    AIMD (and unlike CUSUM) the floored recursion has no algebraic
+    closed form, so it ships as the bounded per-key fold of SCALE.md
+    rule 15: one ordered collect per key per forecasting window —
+    state is two integers, keys embarrassingly parallel. ``t_col``
+    must be unique per key."""
+    if not 0 < alpha_e6 <= 1_000_000 or not 0 <= beta_e6 <= 1_000_000:
+        raise ValueError(
+            f"alpha_e6 in (0,1e6], beta_e6 in [0,1e6]; got {alpha_e6}, {beta_e6}"
+        )
+    if horizon < 0:
+        raise ValueError(f"horizon must be >= 0, got {horizon}")
+    a, b = alpha_e6, beta_e6
+    per = series.groupBy(*[F.col(k) for k in key_cols]).agg(
+        F.expr(
+            f"transform(array_sort(collect_list(struct({t_col} AS t, "
+            f"{x_col} AS x))), p -> bigint(p.x))"
+        ).alias("_xs")
+    )
+    lp = f"(({a} * e * 1000000 + (1000000 - {a}) * (acc.l + acc.b)) div 1000000)"
+    step = (
+        f"(acc, e) -> named_struct("
+        f"'l', {lp}, "
+        f"'b', (({b} * ({lp} - acc.l) + (1000000 - {b}) * acc.b) div 1000000))"
+    )
+    fold = (
+        f"aggregate(slice(_xs, 2, size(_xs) - 1), "
+        f"named_struct('l', element_at(_xs, 1) * cast(1000000 as bigint), "
+        f"'b', cast(0 as bigint)), "
+        f"{step})"
+    )
+    out = per.where(F.size("_xs") >= 1).withColumn("_st", F.expr(fold))
+    return out.select(
+        *key_cols,
+        F.size("_xs").cast("long").alias("n_obs"),
+        F.expr("_st.l div 1000000").cast("long").alias("level"),
+        F.col("_st.b").alias("trend_e6"),
+        F.expr(f"(_st.l + {horizon} * _st.b) div 1000000").cast("long").alias(
+            "forecast"
+        ),
+    )

@@ -506,3 +506,41 @@ def test_cusum_closed_form_equals_recursion(spark):
     # the shifted key alarms after t=20; the calm key never does
     assert any(got[("a", t)][2] for t in range(21, 30))
     assert not any(got[("b", t)][2] for t in range(30))
+
+
+def test_holt_forecast_fold_vs_python(spark):
+    import random
+
+    from ocr_search_spark.operators.profile import holt_forecast
+
+    rng = random.Random(24)
+    rows, want = [], {}
+    a, be = 300_000, 100_000
+    for key in ("up", "flat", "one"):
+        n = 1 if key == "one" else 40
+        xs = []
+        for t in range(n):
+            base = 100 + (6 * t if key == "up" else 0)
+            xs.append(base + rng.randrange(-5, 6))
+            rows.append((key, t, xs[-1]))
+
+        def tdiv(v):  # Spark's `div` truncates toward zero, not floor
+            return -((-v) // 1_000_000) if v < 0 else v // 1_000_000
+
+        l, b = xs[0] * 1_000_000, 0
+        for x in xs[1:]:
+            l2 = tdiv(a * x * 1_000_000 + (1_000_000 - a) * (l + b))
+            b = tdiv(be * (l2 - l) + (1_000_000 - be) * b)
+            l = l2
+        want[key] = (n, tdiv(l), b, tdiv(l + 3 * b))
+    df = spark.createDataFrame(rows, "k string, t int, x long")
+    got = {r["k"]: (r["n_obs"], r["level"], r["trend_e6"], r["forecast"])
+           for r in holt_forecast(df.repartition(4), ["k"], "t", "x",
+                                  horizon=3).collect()}
+    assert got == want
+    # the slope-6 series learns a positive per-step trend near 6e6
+    assert 3_000_000 < got["up"][2] < 9_000_000
+    assert abs(got["flat"][2]) < 1_000_000
+    import pytest
+    with pytest.raises(ValueError):
+        holt_forecast(df, ["k"], "t", "x", alpha_e6=0)
