@@ -16387,3 +16387,32 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRAINING_QUERIES["holt_forecast"] = q_holt_forecast
 _TRAINING_ORACLES["holt_forecast"] = 'WITH RECURSIVE h AS (\n  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,\n         count(*)::BIGINT AS x\n  FROM events GROUP BY 1, 2\n),\nper AS (\n  SELECT event_type, list(x ORDER BY hour) AS xs, count(*)::BIGINT AS n\n  FROM h GROUP BY event_type\n),\nrec AS (\n  SELECT event_type, xs, n, 1::BIGINT AS i,\n         xs[1] * 1000000 AS l, 0::BIGINT AS b\n  FROM per\n  UNION ALL\n  SELECT event_type, xs, n, i + 1, (CASE WHEN (300000 * xs[i + 1] * 1000000 + 700000 * (l + b)) < 0 THEN -((-((300000 * xs[i + 1] * 1000000 + 700000 * (l + b)))) // 1000000) ELSE ((300000 * xs[i + 1] * 1000000 + 700000 * (l + b))) // 1000000 END), (CASE WHEN (100000 * ((CASE WHEN (300000 * xs[i + 1] * 1000000 + 700000 * (l + b)) < 0 THEN -((-((300000 * xs[i + 1] * 1000000 + 700000 * (l + b)))) // 1000000) ELSE ((300000 * xs[i + 1] * 1000000 + 700000 * (l + b))) // 1000000 END) - l) + 900000 * b) < 0 THEN -((-((100000 * ((CASE WHEN (300000 * xs[i + 1] * 1000000 + 700000 * (l + b)) < 0 THEN -((-((300000 * xs[i + 1] * 1000000 + 700000 * (l + b)))) // 1000000) ELSE ((300000 * xs[i + 1] * 1000000 + 700000 * (l + b))) // 1000000 END) - l) + 900000 * b))) // 1000000) ELSE ((100000 * ((CASE WHEN (300000 * xs[i + 1] * 1000000 + 700000 * (l + b)) < 0 THEN -((-((300000 * xs[i + 1] * 1000000 + 700000 * (l + b)))) // 1000000) ELSE ((300000 * xs[i + 1] * 1000000 + 700000 * (l + b))) // 1000000 END) - l) + 900000 * b)) // 1000000 END)\n  FROM rec WHERE i < n\n)\nSELECT event_type, n AS n_obs,\n       (CASE WHEN l < 0 THEN -((-l) // 1000000)\n             ELSE l // 1000000 END)::BIGINT AS level,\n       b::BIGINT AS trend_e6,\n       (CASE WHEN l + 3 * b < 0 THEN -((-(l + 3 * b)) // 1000000)\n             ELSE (l + 3 * b) // 1000000 END)::BIGINT AS forecast\nFROM rec WHERE i = n'
+
+
+# ------------------------------------------------ k-anonymity audit
+# Session-24: Sweeney'02 release-gate metric over corpus metadata
+# quasi-identifiers (source × lang × a coarse length bucket) — the
+# joinability complement to redact_pii. Oracle replays classes and
+# the exact ratio.
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.profile import k_anonymity
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "lang", F.expr("n_chars div 400").alias("len_bucket")
+    )
+    return k_anonymity(d, ["source", "lang", "len_bucket"], k=5)
+
+
+_TRAINING_QUERIES["k_anonymity"] = q_k_anonymity
+_TRAINING_ORACLES["k_anonymity"] = """WITH c AS (
+  SELECT source, lang, n_chars // 400 AS len_bucket, count(*)::BIGINT AS n
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_classes,
+       min(n)::BIGINT AS k_anonymity,
+       sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT AS n_below_k,
+       (sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1000000 // sum(n))::BIGINT
+         AS below_k_e6
+FROM c"""

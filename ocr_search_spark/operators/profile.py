@@ -273,6 +273,48 @@ def skew_profile(
     )
 
 
+# ------------------------------------------------ k-anonymity audit
+
+
+def k_anonymity(
+    df: DataFrame, qi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """One row: (n_rows, n_classes, k_anonymity, n_below_k, below_k_e6)
+    — the k-ANONYMITY audit (Sweeney, IJUFKS 2002): rows sharing a
+    quasi-identifier combination form an equivalence class; the
+    dataset's k-anonymity is the SMALLEST class size, and every row in
+    a class below ``k`` is a re-identification risk. The release-gate
+    metric for shipping a curated corpus with metadata columns
+    (source, language, date bucket, host…) — ``redact_pii`` scrubs
+    values, this measures the JOINABILITY of what remains.
+
+    below_k_e6 = n_below_k·1e6 div n_rows (exact). One hash aggregate
+    over the QI key + one scalar aggregate over classes — the class
+    relation is the only shuffle and is bounded by distinct QI combos.
+    """
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    classes = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    return classes.agg(
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("_n").cast("long").alias("k_anonymity"),
+        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("n_below_k"),
+    ).select(
+        "n_rows",
+        "n_classes",
+        "k_anonymity",
+        "n_below_k",
+        F.expr("n_below_k * 1000000 div n_rows").alias("below_k_e6"),
+    )
+
+
 # ------------------------------------------------ CUSUM changepoints
 
 

@@ -544,3 +544,20 @@ def test_holt_forecast_fold_vs_python(spark):
     import pytest
     with pytest.raises(ValueError):
         holt_forecast(df, ["k"], "t", "x", alpha_e6=0)
+
+
+def test_k_anonymity_hand_case(spark):
+    import pytest
+
+    from ocr_search_spark.operators.profile import k_anonymity
+
+    rows = [("us", "en")] * 5 + [("us", "fr")] * 2 + [("de", "en")] * 1
+    df = spark.createDataFrame(rows, "country string, lang string")
+    r = k_anonymity(df, ["country", "lang"], k=3).collect()[0]
+    assert (r["n_rows"], r["n_classes"], r["k_anonymity"]) == (8, 3, 1)
+    assert r["n_below_k"] == 3  # the 2-row and 1-row classes
+    assert r["below_k_e6"] == 3 * 1_000_000 // 8
+    with pytest.raises(ValueError):
+        k_anonymity(df, [], 3)
+    with pytest.raises(ValueError):
+        k_anonymity(df, ["lang"], 0)
