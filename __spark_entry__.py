@@ -16416,3 +16416,28 @@ SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_classes,
        (sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1000000 // sum(n))::BIGINT
          AS below_k_e6
 FROM c"""
+
+
+# ------------------------------------------------ l-diversity audit
+# Session-24: the homogeneity-attack metric completing the privacy
+# pair — distinct lang values per (source × length-bucket) class.
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.profile import l_diversity
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "lang", F.expr("n_chars div 400").alias("len_bucket")
+    )
+    return l_diversity(d, ["source", "len_bucket"], "lang", l=2)
+
+
+_TRAINING_QUERIES["l_diversity"] = q_l_diversity
+_TRAINING_ORACLES["l_diversity"] = """WITH c AS (
+  SELECT source, n_chars // 400 AS len_bucket,
+         count(DISTINCT lang)::BIGINT AS d
+  FROM documents GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_classes, min(d)::BIGINT AS l_diversity,
+       sum(CASE WHEN d < 2 THEN 1 ELSE 0 END)::BIGINT AS n_classes_below_l
+FROM c"""

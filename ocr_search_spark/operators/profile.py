@@ -315,6 +315,33 @@ def k_anonymity(
     )
 
 
+def l_diversity(
+    df: DataFrame, qi_cols: list[str], sensitive_col: str, l: int = 2
+) -> DataFrame:
+    """One row: (n_classes, l_diversity, n_classes_below_l) — distinct
+    l-DIVERSITY (Machanavajjhala et al., TKDD 2007), the attack
+    k-anonymity misses: a class of 50 rows that all share one
+    sensitive value re-identifies the ATTRIBUTE even though k = 50.
+    l_diversity = the minimum count of DISTINCT sensitive values per
+    quasi-identifier class; classes below ``l`` are homogeneity-attack
+    exposures. Same plan shape as :func:`k_anonymity` with a
+    countDistinct riding the class aggregate."""
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    classes = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.countDistinct(sensitive_col).cast("long").alias("_d")
+    )
+    return classes.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("_d").cast("long").alias("l_diversity"),
+        F.sum(F.when(F.col("_d") < l, 1).otherwise(0))
+        .cast("long")
+        .alias("n_classes_below_l"),
+    )
+
+
 # ------------------------------------------------ CUSUM changepoints
 
 

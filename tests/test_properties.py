@@ -561,3 +561,20 @@ def test_k_anonymity_hand_case(spark):
         k_anonymity(df, [], 3)
     with pytest.raises(ValueError):
         k_anonymity(df, ["lang"], 0)
+
+
+def test_l_diversity_homogeneity_attack_case(spark):
+    """A large-k class with ONE sensitive value is exactly what
+    l-diversity catches and k-anonymity misses."""
+    import pytest
+
+    from ocr_search_spark.operators.profile import k_anonymity, l_diversity
+
+    rows = [("us", "flu")] * 50 + [("de", "flu")] * 5 + [("de", "ok")] * 5
+    df = spark.createDataFrame(rows, "country string, dx string")
+    k = k_anonymity(df, ["country"], k=5).collect()[0]
+    assert k["k_anonymity"] == 10 and k["n_below_k"] == 0  # k says fine
+    ld = l_diversity(df, ["country"], "dx", l=2).collect()[0]
+    assert (ld["n_classes"], ld["l_diversity"], ld["n_classes_below_l"]) == (2, 1, 1)
+    with pytest.raises(ValueError):
+        l_diversity(df, [], "dx")
