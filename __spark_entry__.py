@@ -16441,3 +16441,39 @@ _TRAINING_ORACLES["l_diversity"] = """WITH c AS (
 SELECT count(*)::BIGINT AS n_classes, min(d)::BIGINT AS l_diversity,
        sum(CASE WHEN d < 2 THEN 1 ELSE 0 END)::BIGINT AS n_classes_below_l
 FROM c"""
+
+
+# ------------------------------------------------ Benford audit
+# Session-24: first-significant-digit forensic screen over the
+# documents length measure — exact integer shares vs the precomputed
+# floor(1e6·log10(1+1/d)) constants; oracle replays digit extraction
+# and arithmetic, with all nine digits present.
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.profile import benford_audit
+
+    return benford_audit(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "n_chars"
+    )
+
+
+_TRAINING_QUERIES["benford_audit"] = q_benford
+_TRAINING_ORACLES["benford_audit"] = """WITH v AS (
+  SELECT n_chars AS x FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+c AS (SELECT cast(substring(x::VARCHAR, 1, 1) AS INT) AS digit,
+             count(*)::BIGINT AS n
+      FROM v GROUP BY 1),
+b(digit, expected_e6) AS (
+  SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938), (4, 96910),
+                        (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+                        (9, 45757))
+),
+t AS (SELECT sum(n)::BIGINT AS tt FROM c)
+SELECT b.digit::INT AS digit, coalesce(c.n, 0)::BIGINT AS n,
+       (coalesce(c.n, 0) * 1000000 // t.tt)::BIGINT AS p_e6,
+       b.expected_e6::BIGINT AS expected_e6,
+       abs((coalesce(c.n, 0) * 1000000 // t.tt) - b.expected_e6)::BIGINT
+         AS dev_e6
+FROM b LEFT JOIN c USING (digit) CROSS JOIN t"""

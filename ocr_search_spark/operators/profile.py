@@ -273,6 +273,60 @@ def skew_profile(
     )
 
 
+# ------------------------------------------------ Benford audit
+
+# floor(1e6 · log10(1 + 1/d)) for d = 1..9 — the Benford first-digit
+# law as exact integer constants (no runtime transcendentals)
+BENFORD_E6 = [301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757]
+
+
+def benford_audit(
+    df: DataFrame, col: str
+) -> DataFrame:
+    """(digit, n, p_e6, expected_e6, dev_e6) for digits 1-9 — the
+    BENFORD first-significant-digit audit (Newcomb 1881 / Benford
+    1938; the standard forensic screen for fabricated or truncated
+    numeric data — grown metrics like crawl byte counts, durations
+    and prices follow the log-uniform law; uniform or hand-made
+    numbers do not). Contract: ``col`` is a POSITIVE INTEGER measure
+    (the decimal rendering's first character IS the first significant
+    digit — exact in any engine; floats would drag rendering/sci-
+    notation differences in); zero/negative/null rows are excluded.
+    Shares are exact e6 floors against the precomputed ``BENFORD_E6``
+    constants; dev_e6 = |p − expected|. One projection + one 9-row
+    aggregate; digits with no rows still appear (n = 0)."""
+    fsd = F.expr(f"cast(substring(cast({col} as string), 1, 1) as int)")
+    vals = df.where(F.expr(f"{col} is not null and {col} > 0")).select(
+        fsd.alias("_d")
+    )
+    counts = vals.groupBy("_d").agg(F.count("*").cast("long").alias("n"))
+    spark = df.sparkSession
+    base = spark.createDataFrame(
+        [(d, BENFORD_E6[d - 1]) for d in range(1, 10)],
+        "digit int, expected_e6 long",
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("_t"))
+    return (
+        base.join(counts.withColumnRenamed("_d", "digit"), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.expr("coalesce(n, 0) * 1000000 div _t").alias("p_e6"),
+            "expected_e6",
+        )
+        .select(
+            "digit",
+            "n",
+            "p_e6",
+            "expected_e6",
+            F.abs(F.col("p_e6") - F.col("expected_e6"))
+            .cast("long")
+            .alias("dev_e6"),
+        )
+    )
+
+
 # ------------------------------------------------ k-anonymity audit
 
 

@@ -578,3 +578,23 @@ def test_l_diversity_homogeneity_attack_case(spark):
     assert (ld["n_classes"], ld["l_diversity"], ld["n_classes_below_l"]) == (2, 1, 1)
     with pytest.raises(ValueError):
         l_diversity(df, [], "dx")
+
+
+def test_benford_audit_log_uniform_vs_uniform(spark):
+    """Exponentially-grown values track Benford closely; uniform values
+    deviate hard on digit 1; zero/negative rows excluded; empty digits
+    present."""
+    from ocr_search_spark.operators.profile import benford_audit
+
+    grown = [(int(1.07 ** i),) for i in range(60, 400)]
+    g = benford_audit(
+        spark.createDataFrame(grown, "v long"), "v"
+    ).collect()
+    gd = {r["digit"]: r for r in g}
+    assert sum(r["n"] for r in g) == len(grown)
+    assert gd[1]["dev_e6"] < 40_000  # within 4 points of 30.1%
+    uni = [(i,) for i in range(1000, 2000)] + [(0,), (-5,)]
+    u = benford_audit(spark.createDataFrame(uni, "v long"), "v").collect()
+    ud = {r["digit"]: r for r in u}
+    assert ud[1]["p_e6"] == 1_000_000 and ud[1]["dev_e6"] > 600_000
+    assert ud[9]["n"] == 0 and sum(r["n"] for r in u) == 1000
