@@ -16477,3 +16477,53 @@ SELECT b.digit::INT AS digit, coalesce(c.n, 0)::BIGINT AS n,
        abs((coalesce(c.n, 0) * 1000000 // t.tt) - b.expected_e6)::BIGINT
          AS dev_e6
 FROM b LEFT JOIN c USING (digit) CROSS JOIN t"""
+
+
+# ------------------------------------------------ Theil-Sen slope
+# Session-24: robust trend per event_type over a 16-hour-sampled
+# series; trunc-div pair slopes + the lower-median rank rule. Oracle
+# replays pairs, the sign-aware trunc division, and the rank pick.
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.profile import theil_sen_slope
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "hour", F.floor(_ep_us("ts") / F.lit(3_600_000_000)).cast("long")
+    )
+    series = (
+        e.where("hour % 16 = 0")
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    return theil_sen_slope(series, ["event_type"], "hour", "x")
+
+
+_TRAINING_QUERIES["theil_sen"] = q_theil_sen
+_TRAINING_ORACLES["theil_sen"] = """WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+         count(*)::BIGINT AS x
+  FROM events
+  WHERE (epoch_us(ts) // 3600000000) % 16 = 0
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT a.event_type,
+         a.hour AS t1, b.hour AS t2,
+         (CASE WHEN ((b.x - a.x) < 0) <> ((b.hour - a.hour) < 0)
+               THEN -((abs(b.x - a.x) * 1000000) // abs(b.hour - a.hour))
+               ELSE (abs(b.x - a.x) * 1000000) // abs(b.hour - a.hour) END)
+           AS s
+  FROM h a JOIN h b
+    ON a.event_type = b.event_type AND a.hour < b.hour
+),
+r AS (
+  SELECT event_type, s,
+         row_number() OVER (PARTITION BY event_type ORDER BY s, t1, t2) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM p
+),
+np AS (SELECT event_type, count(*)::BIGINT AS n_points FROM h GROUP BY 1)
+SELECT r.event_type, np.n_points, r.m::BIGINT AS n_pairs, r.s::BIGINT AS slope_e6
+FROM r JOIN np USING (event_type)
+WHERE r.rn = (r.m + 1) // 2"""

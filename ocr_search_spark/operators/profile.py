@@ -273,6 +273,65 @@ def skew_profile(
     )
 
 
+# ------------------------------------------------ Theil-Sen slope
+
+
+def theil_sen_slope(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    x_col: str,
+) -> DataFrame:
+    """(key…, n_points, n_pairs, slope_e6) — the THEIL-SEN robust
+    trend estimator (Theil 1950 / Sen 1968): the median of all
+    pairwise slopes, with ~29% breakdown point where
+    ``grouped_regression``'s OLS slope is wrecked by a single outlier
+    (crawl series have outages and burst artifacts; the robust slope
+    is the one to alert on).
+
+    Pinned exactness: slope_e6 = (x_j−x_i)·1e6 div (t_j−t_i) per pair
+    (`div` TRUNCATES toward zero on negative slopes — oracles mirror
+    with trunc, the Holt rule), median = the value at rank
+    ``(n_pairs+1) div 2`` under (slope, t_i, t_j) ordering — the LOWER
+    median, an element of the multiset, no averaging, total order.
+
+    Scale shape: the per-key pair join is C(n,2) — bounded by the
+    analysis WINDOW like the other per-key folds (rule 15), never by
+    history; keys parallelize. Groups with < 2 points are dropped
+    (no pair, no slope)."""
+    ti = [F.col(k) for k in key_cols]
+    a = series.select(*ti, F.col(t_col).alias("_t1"), F.col(x_col).alias("_x1"))
+    b = series.select(
+        *[F.col(k).alias(f"_k{i}") for i, k in enumerate(key_cols)],
+        F.col(t_col).alias("_t2"),
+        F.col(x_col).alias("_x2"),
+    )
+    cond = F.lit(True)
+    for i, k in enumerate(key_cols):
+        cond = cond & (F.col(k) == F.col(f"_k{i}"))
+    pairs = a.join(b, cond & (F.col("_t1") < F.col("_t2"))).select(
+        *ti,
+        "_t1",
+        "_t2",
+        F.expr("(_x2 - _x1) * 1000000 div (_t2 - _t1)").alias("_s"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*key_cols).orderBy("_s", "_t1", "_t2")
+    ranked = pairs.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_m", F.count("*").over(W.partitionBy(*key_cols))
+    )
+    npts = series.groupBy(*ti).agg(F.count("*").cast("long").alias("n_points"))
+    med = ranked.where(F.expr("_rn = (_m + 1) div 2")).select(
+        *ti,
+        F.col("_m").cast("long").alias("n_pairs"),
+        F.col("_s").cast("long").alias("slope_e6"),
+    )
+    return med.join(npts, key_cols).select(
+        *ti, "n_points", "n_pairs", "slope_e6"
+    )
+
+
 # ------------------------------------------------ Benford audit
 
 # floor(1e6 · log10(1 + 1/d)) for d = 1..9 — the Benford first-digit

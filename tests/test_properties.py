@@ -598,3 +598,33 @@ def test_benford_audit_log_uniform_vs_uniform(spark):
     ud = {r["digit"]: r for r in u}
     assert ud[1]["p_e6"] == 1_000_000 and ud[1]["dev_e6"] > 600_000
     assert ud[9]["n"] == 0 and sum(r["n"] for r in u) == 1000
+
+
+def test_theil_sen_robust_to_outlier_vs_python(spark):
+    """Python replay parity, and the robustness headline: one wild
+    outlier moves OLS but not the Theil-Sen median slope."""
+    from ocr_search_spark.operators.profile import theil_sen_slope
+
+    def tdiv(v, d):
+        q = abs(v) * 1_000_000 // abs(d)
+        return -q if (v < 0) != (d < 0) else q
+
+    rows, want = [], {}
+    for key, outlier in (("clean", False), ("dirty", True)):
+        pts = [(t, 10 + 3 * t) for t in range(12)]
+        if outlier:
+            pts[6] = (6, 10_000)
+        rows += [(key, t, x) for t, x in pts]
+        slopes = sorted(
+            (tdiv(x2 - x1, t2 - t1), t1, t2)
+            for i, (t1, x1) in enumerate(pts)
+            for (t2, x2) in pts[i + 1:]
+        )
+        m = len(slopes)
+        want[key] = (len(pts), m, slopes[(m + 1) // 2 - 1][0])
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    got = {r["k"]: (r["n_points"], r["n_pairs"], r["slope_e6"])
+           for r in theil_sen_slope(df, ["k"], "t", "x").collect()}
+    assert got == want
+    assert got["clean"][2] == 3_000_000
+    assert got["dirty"][2] == 3_000_000  # the median shrugs the outlier off
