@@ -16527,3 +16527,62 @@ np AS (SELECT event_type, count(*)::BIGINT AS n_points FROM h GROUP BY 1)
 SELECT r.event_type, np.n_points, r.m::BIGINT AS n_pairs, r.s::BIGINT AS slope_e6
 FROM r JOIN np USING (event_type)
 WHERE r.rn = (r.m + 1) // 2"""
+
+
+# ------------------------------------------------ Kendall tau
+# Session-24: order-sensitive ranking comparison — price-ranked vs
+# customer-ranked order lists per query bucket; sign-aware trunc
+# division in the oracle (the Holt rule).
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ocr_search_spark.operators.search import kendall_tau
+
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where("o_orderkey < 400")
+        .select(
+            (F.col("o_orderkey") % 20).alias("query_id"),
+            F.col("o_orderkey").alias("doc"),
+            "o_totalprice",
+            "o_custkey",
+        )
+    )
+    wa = W.partitionBy("query_id").orderBy(
+        F.desc("o_totalprice"), F.asc("doc")
+    )
+    wb = W.partitionBy("query_id").orderBy(F.asc("o_custkey"), F.asc("doc"))
+    a = o.select("query_id", "doc", F.row_number().over(wa).alias("rank"))
+    b = o.select("query_id", "doc", F.row_number().over(wb).alias("rank"))
+    return kendall_tau(a, b)
+
+
+_TRAINING_QUERIES["kendall_tau"] = q_kendall_tau
+_TRAINING_ORACLES["kendall_tau"] = """WITH o AS (
+  SELECT o_orderkey % 20 AS q, o_orderkey AS d, o_totalprice, o_custkey
+  FROM orders WHERE o_orderkey < 400
+),
+a AS (SELECT q, d, row_number() OVER (PARTITION BY q
+        ORDER BY o_totalprice DESC, d ASC) AS ra FROM o),
+b AS (SELECT q, d, row_number() OVER (PARTITION BY q
+        ORDER BY o_custkey ASC, d ASC) AS rb FROM o),
+bo AS (SELECT a.q, a.d, a.ra, b.rb FROM a JOIN b USING (q, d)),
+p AS (
+  SELECT p1.q,
+         ((p1.ra - p2.ra) * (p1.rb - p2.rb) > 0) AS conc
+  FROM bo p1 JOIN bo p2 ON p1.q = p2.q AND p1.d < p2.d
+),
+agg AS (
+  SELECT q, sum(CASE WHEN conc THEN 1 ELSE 0 END)::BIGINT AS nc,
+         sum(CASE WHEN conc THEN 0 ELSE 1 END)::BIGINT AS nd
+  FROM p GROUP BY q
+),
+n AS (SELECT q, count(*)::BIGINT AS n FROM bo GROUP BY q)
+SELECT agg.q AS query_id, n.n, agg.nc AS n_concordant, agg.nd AS n_discordant,
+       (CASE WHEN (agg.nc - agg.nd) < 0
+             THEN -(((agg.nd - agg.nc) * 1000000) // ((n.n * (n.n - 1)) // 2))
+             ELSE ((agg.nc - agg.nd) * 1000000) // ((n.n * (n.n - 1)) // 2)
+        END)::BIGINT AS tau_e6
+FROM agg JOIN n USING (q) WHERE n.n >= 2"""

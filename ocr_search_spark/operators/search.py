@@ -1637,6 +1637,76 @@ def match_terms_prf(
 # ------------------------------------------------- paired sign test
 
 
+def kendall_tau(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """(query_id, n, n_concordant, n_discordant, tau_e6) — KENDALL's
+    tau-a between two systems' rankings per query (Kendall 1938): the
+    ORDER-sensitive comparison the overlap metrics (matryoshka,
+    ann_recall) cannot see — two rankers can return identical top-k
+    sets in opposite orders. Computed over the INTERSECTION of the two
+    lists (docs one system missed carry no order information between
+    the systems; the set difference is overlap's job); queries with
+    fewer than 2 common docs are dropped (no pair, no tau).
+
+    tau_e6 = (nc − nd)·1e6 div (n(n−1) div 2), exact (ranks within a
+    system are distinct so tau-a applies — no tie correction needed).
+    Pairs are C(n,2) per query with n ≤ k — bounded by the result-list
+    depth, never by the corpus; one (query, doc) join + one bounded
+    self-join."""
+    a = ranked_a.select(
+        F.col(query_col).alias("q"),
+        F.col(doc_col).alias("d"),
+        F.col(rank_col).alias("ra"),
+    )
+    b = ranked_b.select(
+        F.col(query_col).alias("q"),
+        F.col(doc_col).alias("d"),
+        F.col(rank_col).alias("rb"),
+    )
+    both = a.join(b, ["q", "d"])
+    p1, p2 = both.alias("p1"), both.alias("p2")
+    pairs = p1.join(
+        p2,
+        (F.col("p1.q") == F.col("p2.q")) & (F.col("p1.d") < F.col("p2.d")),
+    ).select(
+        F.col("p1.q").alias("q"),
+        (
+            (F.col("p1.ra") - F.col("p2.ra"))
+            * (F.col("p1.rb") - F.col("p2.rb"))
+            > 0
+        ).alias("_conc"),
+    )
+    return (
+        pairs.groupBy("q")
+        .agg(
+            F.sum(F.when(F.col("_conc"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_concordant"),
+            F.sum(F.when(F.col("_conc"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_discordant"),
+        )
+        .join(
+            both.groupBy("q").agg(F.count("*").cast("long").alias("n")), "q"
+        )
+        .where(F.col("n") >= 2)
+        .select(
+            F.col("q").alias(query_col),
+            "n",
+            "n_concordant",
+            "n_discordant",
+            F.expr(
+                "(n_concordant - n_discordant) * 1000000 div ((n * (n - 1)) div 2)"
+            ).alias("tau_e6"),
+        )
+    )
+
+
 def sign_test(
     metrics_a: DataFrame,
     metrics_b: DataFrame,

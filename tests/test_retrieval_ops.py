@@ -800,3 +800,30 @@ def test_bm25_grid_default_point_bit_identical(spark):
     import pytest
     with pytest.raises(ValueError):
         match_terms_bm25_grid(post, terms, [])
+
+
+def test_kendall_tau_hand_cases(spark):
+    """Perfect agreement +1e6, perfect reversal -1e6, a known mixed
+    case, intersection-only and the n<2 drop."""
+    from ocr_search_spark.operators.search import kendall_tau
+
+    def mk(qid, order):
+        return [(qid, d, r + 1) for r, d in enumerate(order)]
+
+    a = spark.createDataFrame(
+        mk(1, ["w", "x", "y", "z"]) + mk(2, ["w", "x", "y"])
+        + mk(3, ["a", "b"]) + mk(4, ["only"]),
+        "query_id long, doc string, rank int",
+    )
+    b = spark.createDataFrame(
+        mk(1, ["w", "x", "y", "z"]) + mk(2, ["y", "x", "w"])
+        + mk(3, ["b", "ghost", "a"]) + mk(4, ["other"]),
+        "query_id long, doc string, rank int",
+    )
+    got = {r["query_id"]: (r["n"], r["n_concordant"], r["n_discordant"], r["tau_e6"])
+           for r in kendall_tau(a, b).collect()}
+    assert got[1] == (4, 6, 0, 1_000_000)
+    assert got[2] == (3, 0, 3, -1_000_000)
+    # q3: intersection {a, b}; a<b ranks (1,3) vs (2,1): discordant
+    assert got[3] == (2, 0, 1, -1_000_000)
+    assert 4 not in got  # no common docs
