@@ -16586,3 +16586,55 @@ SELECT agg.q AS query_id, n.n, agg.nc AS n_concordant, agg.nd AS n_discordant,
              ELSE ((agg.nc - agg.nd) * 1000000) // ((n.n * (n.n - 1)) // 2)
         END)::BIGINT AS tau_e6
 FROM agg JOIN n USING (q) WHERE n.n >= 2"""
+
+
+# ------------------------------------------------ rank-sum test
+# Session-24: Mann-Whitney U over two event-derived unpaired samples
+# (odd users' values shifted up by construction, with deliberate
+# ties); doubled midranks keep everything integer until one pinned
+# sqrt chain. Oracle replays ranks, U and z.
+
+
+def q_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.search import rank_sum_test
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = e.where("user_id % 2 = 0").select(
+        F.expr("(event_id * 3) % 40").alias("v")
+    )
+    b = e.where("user_id % 2 = 1").select(
+        F.expr("(event_id * 3) % 40 + 6").alias("v")
+    )
+    return rank_sum_test(a, b)
+
+
+_TRAINING_QUERIES["rank_sum_test"] = q_rank_sum
+_TRAINING_ORACLES["rank_sum_test"] = """WITH u AS (
+  SELECT (event_id * 3) % 40 AS v, 1 AS a FROM events WHERE user_id % 2 = 0
+  UNION ALL
+  SELECT (event_id * 3) % 40 + 6, 0 FROM events WHERE user_id % 2 = 1
+),
+per AS (SELECT v, count(*)::BIGINT AS t, sum(a)::BIGINT AS na
+        FROM u GROUP BY v),
+rk AS (
+  SELECT v, t, na,
+         coalesce(sum(t) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS less
+  FROM per
+),
+agg AS (
+  SELECT sum(na)::BIGINT AS n1, sum(t - na)::BIGINT AS n2,
+         sum(na * (2 * less + t + 1))::BIGINT AS r1x2,
+         sum(CASE WHEN t > 1 THEN t * t * t - t ELSE 0 END)::BIGINT AS tt
+  FROM rk
+)
+SELECT n1, n2, (r1x2 - n1 * (n1 + 1))::BIGINT AS u1_x2,
+       (2 * n1 * n2 - (r1x2 - n1 * (n1 + 1)))::BIGINT AS u2_x2,
+       tt AS tie_term,
+       floor(1000000.0 * ((r1x2 - n1 * (n1 + 1)) - n1 * n2)::DOUBLE /
+             (2.0 * sqrt((n1 * n2)::DOUBLE *
+                         ((n1 + n2) * (n1 + n2 - 1) * (n1 + n2 + 1)
+                          - tt)::DOUBLE /
+                         (12 * (n1 + n2) * (n1 + n2 - 1))::DOUBLE)))::BIGINT
+         AS z_e6
+FROM agg"""

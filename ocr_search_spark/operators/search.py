@@ -1707,6 +1707,85 @@ def kendall_tau(
     )
 
 
+def rank_sum_test(
+    sample_a: DataFrame,
+    sample_b: DataFrame,
+    value_col: str = "v",
+) -> DataFrame:
+    """One row: (n1, n2, u1_x2, u2_x2, tie_term, z_e6) — the
+    MANN-WHITNEY U / Wilcoxon rank-sum test (Mann & Whitney 1947), the
+    UNPAIRED companion to the gated paired ``sign_test``: compare two
+    systems' per-query metric samples when the query sets differ (new
+    eval shard, A/B buckets), where pairing is impossible.
+
+    Integer-exact construction: values are ranked jointly with
+    DOUBLED midranks (rank2(v) = 2·|{x < v}| + t_v + 1 — an integer
+    even under ties), R1_x2 = Σ_A rank2, U1_x2 = R1_x2 − n1(n1+1),
+    U2_x2 = 2n1n2 − U1_x2. The normal approximation with tie
+    correction rides the exact integers:
+
+        z_e6 = floor(1e6 · (U1_x2 − n1n2) /
+                     (2·sqrt(n1n2·(n(n−1)(n+1) − T) / (12n(n−1)))))
+
+    with T = Σ(t³−t) over tied groups (= the ``tie_term`` column) —
+    numerator and radicand arguments exact BIGINTs, the sqrt/division
+    chain deterministic IEEE (the repo's float contract). |z| ≳ 1.96e6
+    rejects at 5%. Plan: one distinct-VALUE aggregate + one window
+    over values (≪ samples) + broadcast scalars; input sizes are eval
+    sets, not corpora."""
+    a = sample_a.select(F.col(value_col).alias("v"), F.lit(1).alias("_a"))
+    b = sample_b.select(F.col(value_col).alias("v"), F.lit(0).alias("_a"))
+    u = a.unionByName(b)
+    per_v = u.groupBy("v").agg(
+        F.count("*").cast("long").alias("_t"),
+        F.sum("_a").cast("long").alias("_na"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    ranked = per_v.withColumn(
+        "_less", F.coalesce(F.sum("_t").over(w), F.lit(0))
+    ).withColumn("_rank2", 2 * F.col("_less") + F.col("_t") + 1)
+    agg = ranked.agg(
+        F.sum("_na").cast("long").alias("n1"),
+        F.sum(F.col("_t") - F.col("_na")).cast("long").alias("n2"),
+        F.sum(F.col("_na") * F.col("_rank2")).cast("long").alias("_r1x2"),
+        F.sum(
+            F.when(
+                F.col("_t") > 1,
+                F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("tie_term"),
+    )
+    # the radicand factors stay exact in int64 separately but their
+    # PRODUCT overflows it — multiply as doubles (each factor an
+    # exactly-representable integer, the chain IEEE-deterministic)
+    z = (
+        "floor(1000000.0 * cast(u1_x2 - n1 * n2 as double) / "
+        "(2.0 * sqrt(cast(n1 * n2 as double) * "
+        "cast((n1 + n2) * (n1 + n2 - 1) * (n1 + n2 + 1) - tie_term as double)"
+        " / cast(12 * (n1 + n2) * (n1 + n2 - 1) as double))))"
+    )
+    return (
+        agg.select(
+            "n1",
+            "n2",
+            (F.col("_r1x2") - F.col("n1") * (F.col("n1") + 1)).alias("u1_x2"),
+            "tie_term",
+        )
+        .select(
+            "n1",
+            "n2",
+            "u1_x2",
+            (2 * F.col("n1") * F.col("n2") - F.col("u1_x2")).alias("u2_x2"),
+            "tie_term",
+            F.expr(z).cast("long").alias("z_e6"),
+        )
+    )
+
+
 def sign_test(
     metrics_a: DataFrame,
     metrics_b: DataFrame,

@@ -827,3 +827,36 @@ def test_kendall_tau_hand_cases(spark):
     # q3: intersection {a, b}; a<b ranks (1,3) vs (2,1): discordant
     assert got[3] == (2, 0, 1, -1_000_000)
     assert 4 not in got  # no common docs
+
+
+def test_rank_sum_test_vs_scipy_free_replay(spark):
+    """U statistics match a python replay (incl. ties), symmetric case
+    gives z ~ 0, shifted case a large |z| agreeing with the classical
+    formula."""
+    import math
+    import random
+
+    from ocr_search_spark.operators.search import rank_sum_test
+
+    rng = random.Random(24)
+    xa = [rng.randrange(0, 40) for _ in range(60)]
+    xb = [rng.randrange(10, 50) for _ in range(45)]
+    A = spark.createDataFrame([(v,) for v in xa], "v long")
+    B = spark.createDataFrame([(v,) for v in xb], "v long")
+    r = rank_sum_test(A, B).collect()[0]
+    allv = sorted(xa + xb)
+    def rank2(v):
+        return 2 * sum(1 for x in allv if x < v) + allv.count(v) + 1
+    r1x2 = sum(rank2(v) for v in xa)
+    n1, n2, n = len(xa), len(xb), len(allv)
+    u1x2 = r1x2 - n1 * (n1 + 1)
+    T = sum(t ** 3 - t for t in
+            (allv.count(v) for v in set(allv)) if t > 1)
+    assert (r["n1"], r["n2"], r["u1_x2"], r["u2_x2"], r["tie_term"]) == (
+        n1, n2, u1x2, 2 * n1 * n2 - u1x2, T)
+    z = math.floor(1e6 * (u1x2 - n1 * n2) /
+                   (2.0 * math.sqrt(n1 * n2 * (n * (n - 1) * (n + 1) - T)
+                                    / (12 * n * (n - 1)))))
+    assert r["z_e6"] == z and r["z_e6"] < -1_960_000  # B is shifted up
+    same = rank_sum_test(A, A).collect()[0]
+    assert abs(same["z_e6"]) < 100_000
