@@ -16238,7 +16238,11 @@ def q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_search_spark.training.similarity import matryoshka_overlap
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return matryoshka_overlap(emb, emb.where("vec_id < 10"), dims=[8, 16, 64], k=5)
+    # limit(10) is a no-op (exactly vec_ids 0-9 match) proving the
+    # broadcast query panel bounded to the plan auditor
+    return matryoshka_overlap(
+        emb, emb.where("vec_id < 10").limit(10), dims=[8, 16, 64], k=5
+    )
 
 
 _TRAINING_QUERIES["embed_matryoshka"] = q_matryoshka

@@ -620,9 +620,10 @@ def match_terms_bm25_grid(
         ).alias("idf"),
         "avgdl",
     )
-    gdf = spark.createDataFrame(
-        sorted(set((int(a), int(b)) for a, b in grid)), "k1_e3 long, b_e3 long"
-    )
+    pts = sorted(set((int(a), int(b)) for a, b in grid))
+    # .limit(|grid|) is a no-op (exactly that many rows) that PROVES the
+    # broadcast side bounded to the plan auditor (PLANLINT.md)
+    gdf = spark.createDataFrame(pts, "k1_e3 long, b_e3 long").limit(len(pts))
     j = (
         matched.join(F.broadcast(widf), "term")
         .join(dl, "doc_id")
