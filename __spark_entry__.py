@@ -16642,3 +16642,43 @@ SELECT n1, n2, (r1x2 - n1 * (n1 + 1))::BIGINT AS u1_x2,
                          (12 * (n1 + n2) * (n1 + n2 - 1))::DOUBLE)))::BIGINT
          AS z_e6
 FROM agg"""
+
+
+# ------------------------------------------ chi-square independence
+# Session-24: source × lang association over documents — full r×c
+# grid incl. EMPTY cells (their R·C/N terms are real), per-cell e6
+# floors, exact sums; the categorical companion to corpus_psi.
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.profile import chi_square_independence
+
+    return chi_square_independence(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "source", "lang"
+    )
+
+
+_TRAINING_QUERIES["chi_square_independence"] = q_chi_square
+_TRAINING_ORACLES["chi_square_independence"] = """WITH cells AS (
+  SELECT source AS r, lang AS c, count(*)::BIGINT AS o
+  FROM documents GROUP BY 1, 2
+),
+rm AS (SELECT r, sum(o)::BIGINT AS rn FROM cells GROUP BY r),
+cm AS (SELECT c, sum(o)::BIGINT AS cn FROM cells GROUP BY c),
+t AS (SELECT sum(o)::BIGINT AS n FROM cells),
+grid AS (
+  SELECT rm.r, cm.c, rm.rn, cm.cn, coalesce(cells.o, 0)::BIGINT AS o
+  FROM rm CROSS JOIN cm LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c
+),
+terms AS (
+  SELECT ((o * t.n - rn * cn) * (o * t.n - rn * cn) * 1000000)
+           // (t.n * rn * cn) AS term, t.n
+  FROM grid CROSS JOIN t
+)
+SELECT max(n)::BIGINT AS n,
+       (SELECT count(*)::BIGINT FROM rm) AS n_row_levels,
+       (SELECT count(*)::BIGINT FROM cm) AS n_col_levels,
+       ((SELECT count(*) FROM rm) - 1) * ((SELECT count(*) FROM cm) - 1)
+         AS dof,
+       sum(term)::BIGINT AS chi2_e6
+FROM terms"""

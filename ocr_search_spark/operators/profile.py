@@ -273,6 +273,78 @@ def skew_profile(
     )
 
 
+# ------------------------------------------ chi-square independence
+
+
+def chi_square_independence(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """One row: (n, n_rows_levels, n_col_levels, dof, chi2_e6) — the
+    chi-square test of INDEPENDENCE over a two-way contingency table
+    (Pearson 1900): are two corpus dimensions (source × language,
+    host × quality-band) associated, or does the mixture factorize?
+    The categorical companion to :func:`psi_drift`'s marginal drift.
+
+    Exact integer construction: each cell's term
+
+        (O − E)²/E = (O·N − R·C)² / (N·R·C)
+
+    is computed as ``(O·N − R·C)²·1e6 div (N·R·C)`` — floored PER CELL
+    then long-summed (the PSI discipline); dof = (r−1)(c−1). Compare
+    chi2_e6 against the critical value for dof (3.84e6 at dof 1, 5%).
+    Plan: one contingency aggregate + two broadcast marginal joins —
+    cells = r·c, never data-sized. Watch magnitudes: O·N must fit
+    int64 (n ≲ 3e9 per analysis window — slice first above that)."""
+    cells = df.groupBy(
+        F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
+    ).agg(F.count("*").cast("long").alias("_o"))
+    rm = cells.groupBy("_r").agg(F.sum("_o").cast("long").alias("_rn"))
+    cm = cells.groupBy("_c").agg(F.sum("_o").cast("long").alias("_cn"))
+    tot = cells.agg(F.sum("_o").cast("long").alias("_n"))
+    # the FULL r x c grid: absent combinations are real cells with
+    # O = 0 and term R*C/N — dropping them would understate chi-square
+    j = (
+        rm.crossJoin(cm)
+        .join(cells, ["_r", "_c"], "left")
+        .select(
+            "_r", "_c", "_rn", "_cn",
+            F.coalesce("_o", F.lit(0)).cast("long").alias("_o"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    term = F.expr(
+        "((_o * _n - _rn * _cn) * (_o * _n - _rn * _cn) * 1000000) "
+        "div (_n * _rn * _cn)"
+    )
+    return (
+        j.select(term.alias("_t"), "_n")
+        .groupBy()
+        .agg(
+            F.first("_n").alias("n"),
+            F.sum("_t").cast("long").alias("chi2_e6"),
+        )
+        .crossJoin(
+            F.broadcast(
+                rm.agg(F.count("*").cast("long").alias("n_row_levels"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                cm.agg(F.count("*").cast("long").alias("n_col_levels"))
+            )
+        )
+        .select(
+            "n",
+            "n_row_levels",
+            "n_col_levels",
+            (
+                (F.col("n_row_levels") - 1) * (F.col("n_col_levels") - 1)
+            ).cast("long").alias("dof"),
+            "chi2_e6",
+        )
+    )
+
+
 # ------------------------------------------------ Theil-Sen slope
 
 

@@ -628,3 +628,32 @@ def test_theil_sen_robust_to_outlier_vs_python(spark):
     assert got == want
     assert got["clean"][2] == 3_000_000
     assert got["dirty"][2] == 3_000_000  # the median shrugs the outlier off
+
+
+def test_chi_square_independence_replay_and_extremes(spark):
+    """Python replay parity incl. an EMPTY cell; independent columns
+    give tiny chi2, a deterministic association a huge one."""
+    from ocr_search_spark.operators.profile import chi_square_independence
+
+    rows = ([("a", "x")] * 30 + [("a", "y")] * 10
+            + [("b", "x")] * 10 + [("b", "y")] * 30 + [("c", "x")] * 8)
+    df = spark.createDataFrame(rows, "r string, c string")
+    got = chi_square_independence(df, "r", "c").collect()[0]
+    # python replay over the full grid (c,y) empty cell included
+    from collections import Counter
+
+    obs = Counter(rows)
+    rmarg = Counter(r for r, _ in rows)
+    cmarg = Counter(c for _, c in rows)
+    n = len(rows)
+    chi = 0
+    for r in rmarg:
+        for c in cmarg:
+            o, R, C = obs.get((r, c), 0), rmarg[r], cmarg[c]
+            chi += ((o * n - R * C) ** 2 * 1_000_000) // (n * R * C)
+    assert (got["n"], got["dof"], got["chi2_e6"]) == (n, 2, chi)
+    assert got["chi2_e6"] > 5_991_000  # rejects independence at dof 2
+    ind = spark.createDataFrame(
+        [(f"r{i % 2}", f"c{i % 3}") for i in range(600)], "r string, c string"
+    )
+    assert chi_square_independence(ind, "r", "c").collect()[0]["chi2_e6"] == 0
