@@ -293,8 +293,18 @@ def chi_square_independence(
     then long-summed (the PSI discipline); dof = (r−1)(c−1). Compare
     chi2_e6 against the critical value for dof (3.84e6 at dof 1, 5%).
     Plan: one contingency aggregate + two broadcast marginal joins —
-    cells = r·c, never data-sized. Watch magnitudes: O·N must fit
-    int64 (n ≲ 3e9 per analysis window — slice first above that)."""
+    cells = r·c, never data-sized.
+
+    Magnitudes: the products and the squared difference are computed in
+    ``decimal(38,0)`` (|O·N − R·C| ≤ n² needs ~38 digits squared, far
+    past int64 — a 2×2 table over a mere 200k strongly-associated rows
+    already overflows 64-bit), and the per-cell e6 floor is taken as
+    the EXACT two-step split ``(q² div D)·1e6 + ((q² mod D)·1e6) div
+    D`` so every intermediate stays in range without losing the
+    integer-floor discipline. Envelope: n ≤ ~3e9 keeps q² inside 38
+    digits, and the summed ``chi2_e6`` output fits int64 whenever the
+    statistic itself satisfies χ² ≤ 9.2e12 (always true for a usable
+    test — χ² ≤ n·min(r−1, c−1))."""
     cells = df.groupBy(
         F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
     ).agg(F.count("*").cast("long").alias("_o"))
@@ -311,10 +321,28 @@ def chi_square_independence(
             F.coalesce("_o", F.lit(0)).cast("long").alias("_o"),
         )
         .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_q",
+            F.col("_o").cast("decimal(38,0)") * F.col("_n").cast("decimal(38,0)")
+            - F.col("_rn").cast("decimal(38,0)") * F.col("_cn").cast("decimal(38,0)"),
+        )
+        .withColumn("_q2", F.col("_q") * F.col("_q"))
+        .withColumn(
+            "_d",
+            F.col("_n").cast("decimal(38,0)")
+            * F.col("_rn").cast("decimal(38,0)")
+            * F.col("_cn").cast("decimal(38,0)"),
+        )
     )
+    # decimal(38,0) intermediates: q = O·N − R·C can reach ~n² and its
+    # square ~n⁴ — int64 overflows (ANSI error / silent wrap) on tables
+    # as small as 200k rows with strong association.  The e6 floor is
+    # split exactly: floor(q²·1e6/D) = (q² div D)·1e6 + ((q² mod
+    # D)·1e6) div D, where q² div D ≤ the cell's χ² contribution (small
+    # by the output envelope) and (q² mod D)·1e6 < D·1e6 stays inside
+    # decimal(38,0).
     term = F.expr(
-        "((_o * _n - _rn * _cn) * (_o * _n - _rn * _cn) * 1000000) "
-        "div (_n * _rn * _cn)"
+        "(_q2 div _d) * 1000000 + ((_q2 % _d) * 1000000) div _d"
     )
     return (
         j.select(term.alias("_t"), "_n")

@@ -577,12 +577,22 @@ def fim_transform(
     base = docs.select(
         F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("_t")
     ).withColumn("_n", F.length("_t").cast("long"))
-    c1 = h60(F.concat(F.col("id"), F.lit(":fim:1"))) % (F.col("_n") - 2)
+    # The cut-point expressions are evaluated for EVERY row (the
+    # short-doc pass-through only selects which column wins at the end),
+    # so the modulo divisors must never be <= 0: a 1- or 2-char doc
+    # would otherwise raise REMAINDER_BY_ZERO under ANSI mode and abort
+    # the job.  greatest(·, 1) keeps the divisor unchanged whenever the
+    # FIM branch can actually win (_n >= min_len >= 3 implies _n-2 >= 1
+    # and _n-1-_c1 >= 1) and merely yields a harmless dead value for
+    # pass-through rows.
+    c1 = h60(F.concat(F.col("id"), F.lit(":fim:1"))) % F.greatest(
+        F.col("_n") - 2, F.lit(1)
+    )
     c2 = (
         F.col("_c1")
         + 1
         + h60(F.concat(F.col("id"), F.lit(":fim:2")))
-        % (F.col("_n") - 1 - F.col("_c1"))
+        % F.greatest(F.col("_n") - 1 - F.col("_c1"), F.lit(1))
     )
     cut = base.withColumn("_c1", c1).withColumn("_c2", c2)
     fim = F.concat(

@@ -657,3 +657,34 @@ def test_chi_square_independence_replay_and_extremes(spark):
         [(f"r{i % 2}", f"c{i % 3}") for i in range(600)], "r string, c string"
     )
     assert chi_square_independence(ind, "r", "c").collect()[0]["chi2_e6"] == 0
+
+
+def test_chi_square_independence_large_table_no_overflow(spark):
+    """A 2x2 table with 200k rows and a strong (near-diagonal)
+    association: (O·N − R·C)² ~ 1e20 overflows int64 — the decimal
+    (38,0) two-step floor must still be bit-exact vs the big-int
+    Python replay (ADVICE r3, high)."""
+    from collections import Counter
+
+    from ocr_search_spark.operators.profile import chi_square_independence
+
+    counts = {("a", "x"): 99_000, ("a", "y"): 1_000,
+              ("b", "x"): 2_000, ("b", "y"): 98_000}
+    df = spark.createDataFrame(
+        [(r, c, cnt) for (r, c), cnt in counts.items()],
+        "r string, c string, cnt long",
+    ).selectExpr("r", "c", "explode(sequence(1, cnt))")
+    got = chi_square_independence(df, "r", "c").collect()[0]
+    obs = Counter()
+    for k, v in counts.items():
+        obs[k] = v
+    rmarg = Counter({"a": 100_000, "b": 100_000})
+    cmarg = Counter({"x": 101_000, "y": 99_000})
+    n = 200_000
+    chi = 0
+    for r in rmarg:
+        for c in cmarg:
+            o, R, C = obs[(r, c)], rmarg[r], cmarg[c]
+            chi += ((o * n - R * C) ** 2 * 1_000_000) // (n * R * C)
+    assert (got["n"], got["dof"], got["chi2_e6"]) == (n, 1, chi)
+    assert got["chi2_e6"] > 10**11  # the statistic really is huge

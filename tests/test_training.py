@@ -2365,8 +2365,13 @@ def test_fim_transform_round_trip_and_short_passthrough(spark):
 
     from ocr_search_spark.training.packing import fim_transform
 
+    # 1- and 2-char docs are the ANSI landmine: the cut-point modulos
+    # are evaluated for every row, so an unguarded divisor (n-2 = 0 or
+    # -1) raises REMAINDER_BY_ZERO and aborts the whole job instead of
+    # the documented pass-through (ADVICE r3, high).
     rows = [(1, "def f(x):\n    return x + 1\n"), (2, "tiny"),
-            (3, "a" * 11), (4, "x = 1\ny = 2\nz = x + y\nprint(z)\n")]
+            (3, "a" * 11), (4, "x = 1\ny = 2\nz = x + y\nprint(z)\n"),
+            (5, "a"), (6, "ab"), (7, "")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["id"]: r["fim_text"] for r in fim_transform(df).collect()}
     for did, text in rows:
