@@ -16330,8 +16330,8 @@ SELECT n1, n2, (r1x2 - n1 * (n1 + 1))::BIGINT AS u1_x2,
        tt AS tie_term,
        floor(1000000.0 * ((r1x2 - n1 * (n1 + 1)) - n1 * n2)::DOUBLE /
              (2.0 * sqrt((n1 * n2)::DOUBLE *
-                         ((n1 + n2) * (n1 + n2 - 1) * (n1 + n2 + 1)
-                          - tt)::DOUBLE /
+                         ((n1 + n2)::DOUBLE * (n1 + n2 - 1)::DOUBLE
+                          * (n1 + n2 + 1)::DOUBLE - tt::DOUBLE) /
                          (12 * (n1 + n2) * (n1 + n2 - 1))::DOUBLE)))::BIGINT
          AS z_e6
 FROM agg"""

@@ -338,8 +338,12 @@ def match_terms_maxscore(
     per-term maxima champion_lists materializes), making phase 1 a
     k-row read; here both are computed exactly from the live rows. The
     matched rows are cached — they feed three passes (floor, UBs,
-    final scoring), all bounded by the query's postings volume."""
-    rows = _bm25_rows(postings, terms, k1, b).cache()
+    final scoring), all bounded by the query's postings volume —
+    via an eager localCheckpoint rather than cache(): same three-pass
+    reuse, but the materialized blocks are released by the context
+    cleaner once the query's result is dropped, instead of leaking a
+    CacheManager entry per query until memory-pressure eviction."""
+    rows = _bm25_rows(postings, terms, k1, b).localCheckpoint(eager=True)
     champ = (
         rows.groupBy("doc_id")
         .agg(F.max("w").alias("_mw"))
@@ -541,8 +545,11 @@ def match_terms_bm25_blockmax(
          skipped.
 
     The block-bound table is |terms|·n_blocks rows — broadcast-sized
-    for any query. Matched rows are cached (they feed the floor, the
-    bounds, and the final scoring)."""
+    for any query. Matched rows are materialized once via an eager
+    localCheckpoint (they feed the floor, the bounds, and the final
+    scoring); unlike cache(), the blocks are released by the context
+    cleaner when the query's result is dropped instead of leaking a
+    CacheManager entry per query."""
     if n_blocks < 1:
         raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
     if block_col is None:
@@ -551,7 +558,7 @@ def match_terms_bm25_blockmax(
         )
     rows = _bm25_rows(postings, terms, k1, b).withColumn(
         "_blk", block_col.cast("long")
-    ).cache()
+    ).localCheckpoint(eager=True)
     champ = (
         rows.groupBy("doc_id")
         .agg(F.max("w").alias("_mw"))
@@ -1761,12 +1768,15 @@ def rank_sum_test(
         .alias("tie_term"),
     )
     # the radicand factors stay exact in int64 separately but their
-    # PRODUCT overflows it — multiply as doubles (each factor an
-    # exactly-representable integer, the chain IEEE-deterministic)
+    # PRODUCT overflows it — so each FACTOR is cast to double before
+    # the multiply (left-to-right, IEEE-deterministic; bit-identical to
+    # the old int64-product path whenever that product fits 2^53, i.e.
+    # n1+n2 ≲ 94k, and well-defined instead of an ANSI overflow beyond)
     z = (
         "floor(1000000.0 * cast(u1_x2 - n1 * n2 as double) / "
         "(2.0 * sqrt(cast(n1 * n2 as double) * "
-        "cast((n1 + n2) * (n1 + n2 - 1) * (n1 + n2 + 1) - tie_term as double)"
+        "(cast(n1 + n2 as double) * cast(n1 + n2 - 1 as double) * "
+        "cast(n1 + n2 + 1 as double) - cast(tie_term as double))"
         " / cast(12 * (n1 + n2) * (n1 + n2 - 1) as double))))"
     )
     return (

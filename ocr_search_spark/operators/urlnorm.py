@@ -1135,16 +1135,30 @@ def aimd_rates(
     """
     if max_rate < 1:
         raise ValueError(f"max_rate must be >= 1, got {max_rate}")
-    per = log.groupBy(F.col(host_col).alias("host")).agg(
+    aggs = [
         F.expr(
             f"transform(array_sort(collect_list(struct({t_col} AS t, "
             f"{ok_col} AS ok))), x -> bigint(x.ok))"
         ).alias("_outs"),
         F.sum(F.col(ok_col).cast("long")).cast("long").alias("n_ok"),
         F.sum(1 - F.col(ok_col).cast("long")).cast("long").alias("n_fail"),
-    )
+    ]
+    # carried state between control waves: a per-host init_rate column,
+    # when present, seeds the fold (clamped to [1, max_rate]); absent
+    # or null hosts start cold at 1
+    if "init_rate" in log.columns:
+        aggs.append(
+            F.expr(
+                f"greatest(cast(1 as bigint), least(cast({max_rate} as "
+                f"bigint), coalesce(max(init_rate), cast(1 as bigint))))"
+            ).alias("_seed")
+        )
+        zero = "_seed"
+    else:
+        zero = "cast(1 as bigint)"
+    per = log.groupBy(F.col(host_col).alias("host")).agg(*aggs)
     fold = (
-        f"aggregate(_outs, cast(1 as bigint), (r, o) -> "
+        f"aggregate(_outs, {zero}, (r, o) -> "
         f"if(o = 1, least(r + 1, cast({max_rate} as bigint)), "
         f"greatest(cast(1 as bigint), r div 2)))"
     )

@@ -96,8 +96,11 @@ def compact_kn_partials(table: BucketedTable) -> None:
     all_groups = table.read().select("batch_id").distinct().unionByName(
         spark.createDataFrame([(BASE_BATCH_ID,)], "batch_id long")
     )
-    # materialize before replace_group drops the rows it reads from
-    base = spark.createDataFrame(base.collect(), base.schema)
+    # materialize before replace_group drops the rows it reads from —
+    # via an eager localCheckpoint, NOT collect(): KN bigram counts are
+    # vocab²-scale, and driver state must stay bounded by choice
+    # (SCALE.md rule 3); the checkpoint pins the rows executor-side
+    base = base.localCheckpoint(eager=True)
     table.replace_group(base, group_keys=["batch_id"], groups=all_groups)
 
 

@@ -100,8 +100,9 @@ def compact_cms_partials(table: BucketedTable) -> None:
         spark.createDataFrame([(BASE_BATCH_ID,)], "batch_id long")
     )
     # base must be materialized BEFORE replace_group starts dropping the
-    # rows it reads from.
-    base = spark.createDataFrame(base.collect(), base.schema)
+    # rows it reads from; localCheckpoint keeps even this (sketch-sized)
+    # state executor-side — no collect()-materialization anywhere.
+    base = base.localCheckpoint(eager=True)
     table.replace_group(base, group_keys=["batch_id"], groups=all_groups)
 
 

@@ -34,6 +34,11 @@ from .operators.maintenance import diff_filelib
 from .storage import BucketedTable
 from .streaming.index_maintain import merge_doc_batch, postings_table
 
+# polls touching at most this many files take the per-file read path
+# (driver path list bounded by CHOICE — SCALE.md rule 3); larger change
+# sets switch to one full-source scan + semi-join with no driver lists
+_SMALL_POLL_FILES = 128
+
 
 def _list_source(spark: SparkSession, source_path: str) -> DataFrame:
     """(path, mtime) for every parquet data file under ``source_path`` —
@@ -78,7 +83,12 @@ def sync_once(
     old = lib.read() if lib.exists() else spark.createDataFrame(
         [], "path string, mtime long"
     )
-    diff = diff_filelib(old, listing).cache()
+    # eager localCheckpoint, not cache(): (a) the diff reads the very
+    # filelib files the tail of this function rewrites, so it must be
+    # fully materialized first; (b) a cache() entry would leak per poll
+    # iteration, a localCheckpoint is reclaimed when the DataFrame goes
+    # out of scope.
+    diff = diff_filelib(old, listing).localCheckpoint(eager=True)
     counts = {
         r["status"]: r["n"]
         for r in diff.groupBy("status").agg(F.count("*").alias("n")).collect()
@@ -86,6 +96,90 @@ def sync_once(
     out = {k: counts.get(k, 0) for k in ("added", "modified", "deleted")}
     if not any(out.values()):
         return out
+
+    # the change sets stay DataFrames throughout — a cold-start sync of
+    # a full catalog never materializes every path on the driver
+    changed = diff.where(F.col("status") != "deleted").select("path")
+    deleted = diff.where(F.col("status") == "deleted").select("path")
+    n_changed = out["added"] + out["modified"]
+
+    # deletions first (a path deleted and re-added in one poll is a
+    # modify; the diff never emits both states for one path)
+    if out["deleted"]:
+        doomed_docs = (
+            mem.read().join(deleted, "path")
+            .select("doc_id").distinct().localCheckpoint()
+        )
+        if posts.exists():
+            posts.replace_group(
+                posts.read().where(F.lit(False)),
+                group_keys=["doc_id"],
+                groups=doomed_docs,
+            )
+        mem.replace_group(
+            mem.read().where(F.lit(False)), group_keys=["path"], groups=deleted
+        )
+
+    if n_changed:
+        if n_changed <= _SMALL_POLL_FILES:
+            # steady-state poll: a handful of files — per-file read +
+            # lit(path) (robust against input_file_name URL-encoding);
+            # the driver path list is bounded by _SMALL_POLL_FILES by
+            # construction, never by catalog size
+            from functools import reduce
+
+            parts = [
+                spark.read.parquet(os.path.join(source_path, rel)).withColumn(
+                    "path", F.lit(rel)
+                )
+                for (rel,) in changed.collect()
+            ]
+            src = reduce(DataFrame.unionByName, parts)
+        else:
+            # cold start / bulk change: one scan of the whole source
+            # tree, each row tagged with its url-decoded relative path
+            # and semi-joined against the changed set — zero driver
+            # lists, and scanning everything is exactly right when
+            # (nearly) everything changed
+            absroot = os.path.abspath(source_path).rstrip("/") + "/"
+            marker = absroot.replace("'", "\\'")
+            src = (
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(source_path)
+                .withColumn("_fn", F.url_decode(F.input_file_name()))
+                .withColumn(
+                    "path",
+                    F.expr(
+                        f"substring(_fn, instr(_fn, '{marker}')"
+                        f" + {len(absroot)})"
+                    ),
+                )
+                .drop("_fn")
+                .join(changed, "path")
+            )
+        docs = src.select("doc_id", "spans")
+        merge_doc_batch(posts, docs)
+        new_mem = src.select("path", "doc_id").distinct()
+        if mem.exists():
+            # groups = the changed PATHS (not the paths present in
+            # new_mem): a modified file that now carries zero docs must
+            # still have its stale membership rows replaced away
+            mem.replace_group(new_mem, group_keys=["path"], groups=changed)
+        else:
+            mem.init(new_mem)
+
+    if lib.exists():
+        if out["deleted"]:
+            lib.replace_group(
+                listing.where(F.lit(False)).select("path", "mtime"),
+                group_keys=["path"],
+                groups=deleted,
+            )
+        if n_changed:
+            lib.upsert(listing.join(changed, "path"))
+    else:
+        lib.init(listing)
+    return out
 
     changed_paths = [
         r["path"] for r in diff.where(F.col("status") != "deleted").collect()

@@ -117,3 +117,41 @@ def test_cli_tokenizer_train_both_algos(spark, tmp_path, capsys, monkeypatch):
                     "--vocab-size", "5"])
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out2["algo"] == "bpe" and out2["merges"] > 0
+
+
+def test_sync_bulk_scan_path_equals_per_file(spark, tmp_path, monkeypatch):
+    """Cold-start syncs past _SMALL_POLL_FILES take the one-scan +
+    semi-join ingest (no driver path lists); forcing that path on a
+    small source must produce tables identical to the per-file route,
+    including a subdirectory and a space-bearing file name (the
+    input_file_name URL-encoding hazard)."""
+    monkeypatch.setattr(sync, "_SMALL_POLL_FILES", 0)
+    source = str(tmp_path / "source")
+    wh = str(tmp_path / "wh")
+    os.makedirs(f"{source}/nested")
+    all_docs = corpus.documents_table(spark, 30, skew=False).cache()
+    ids = sorted(r["doc_id"] for r in all_docs.select("doc_id").collect())
+    half = len(ids) // 2
+    f1 = all_docs.where(F.col("doc_id").isin(ids[:half]))
+    f2 = all_docs.where(F.col("doc_id").isin(ids[half:]))
+    _write_file(f1, f"{source}/nested/f one.parquet")
+    _write_file(f2, f"{source}/f2.parquet")
+
+    out = sync.sync_once(spark, source, wh)
+    assert out == {"added": 2, "modified": 0, "deleted": 0}
+    posts = sync.postings_table(spark, f"{wh}/postings", 32)
+    got = posts.read()
+    want = term_postings(
+        extract_spans_columnar(all_docs.select("doc_id", "spans"))
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # membership carries the decoded RELATIVE path for every file
+    mem = sync.membership_table(spark, f"{wh}/membership")
+    paths = {r["path"] for r in mem.read().select("path").distinct().collect()}
+    assert paths == {"nested/f one.parquet", "f2.parquet"}
+    # deletion driven off the DataFrame diff: drop one file, docs cascade
+    os.remove(f"{source}/f2.parquet")
+    out = sync.sync_once(spark, source, wh)
+    assert out == {"added": 0, "modified": 0, "deleted": 1}
+    f2_ids = [r["doc_id"] for r in f2.select("doc_id").collect()]
+    assert posts.read().where(F.col("doc_id").isin(f2_ids)).count() == 0

@@ -772,3 +772,24 @@ def test_aimd_rates_fold_vs_python(spark):
     import pytest
     with pytest.raises(ValueError):
         aimd_rates(df, max_rate=0)
+
+
+def test_aimd_rates_init_rate_carries_state(spark):
+    """The documented between-wave carry: an init_rate column seeds the
+    fold (clamped to [1, max_rate]); null/absent seeds start at 1."""
+    from ocr_search_spark.operators.urlnorm import aimd_rates
+
+    rows = [
+        ("warm", 0, 0, 12), ("warm", 1, 1, 12),      # 12 -> 6 -> 7
+        ("cold", 0, 1, None), ("cold", 1, 1, None),  # 1 -> 2 -> 3
+        ("over", 0, 0, 99),                          # clamp 16 -> 8
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, t int, ok int, init_rate int"
+    )
+    got = {r["host"]: r["rate"] for r in aimd_rates(df).collect()}
+    assert got == {"warm": 7, "cold": 3, "over": 8}
+    # without the column, identical input starts cold at 1
+    got2 = {r["host"]: r["rate"]
+            for r in aimd_rates(df.drop("init_rate")).collect()}
+    assert got2 == {"warm": 2, "cold": 3, "over": 1}
