@@ -10398,10 +10398,16 @@ def q_ocr_page_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "media_ref"
     )
     out = ocr_png_media(payloads)
-    bad = out.where(F.col("error").isNotNull()).count()
-    assert bad == 0, f"{bad} OCR errors"
+    # zero-error assertion folded INTO the plan: any decode/OCR error
+    # raises during the one and only execution, instead of a separate
+    # count() action running the render→encode→OCR chain twice
     return out.select(
-        F.col("media_ref").alias("doc_id"), "n_lines", "text"
+        F.col("media_ref").alias("doc_id"),
+        "n_lines",
+        F.expr(
+            "if(error IS NOT NULL,"
+            " raise_error(concat('OCR error: ', error)), text)"
+        ).alias("text"),
     )
 
 

@@ -79,17 +79,22 @@ def reading_order(
     )
 
 
-def _best_cut(
+def _attach_best_cut(
     g: DataFrame, part: list, axis: str, min_gap: int
 ) -> DataFrame:
-    """Per region: the widest whitespace channel on one axis.
+    """Attach each region's widest whitespace channel on one axis as
+    columns ``_{axis}best`` / ``_{axis}cut2`` (both NULL when the best
+    channel is narrower than ``min_gap``).
 
-    ``axis`` is 'x' or 'y'. Returns (part…, _{axis}cut2, _{axis}best):
-    the winning channel's midpoint (carried doubled, division-free) and
-    its width, for regions whose best channel is ≥ min_gap. Same
-    running-max construction as :func:`reading_order`: order by the
-    axis' low edge, a channel before box b is ``lo(b) − max_prev_hi``
-    when positive — whitespace the region's full extent crosses."""
+    ``axis`` is 'x' or 'y'. Join-free: the scan pass (order by the
+    axis' low edge; a channel before box b is ``lo(b) − max_prev_hi``
+    when positive — whitespace the region's full extent crosses) and
+    the winner pick are BOTH windows over the same partitioning, so
+    the winner is an argmax ``max(struct(gap, −lo, −box_id, split2))``
+    over the region — the pinned (gap DESC, lo ASC, box_id ASC)
+    tiebreak as struct order — and each level costs one exchange
+    instead of two window shuffles plus a join-back. The split point
+    is carried doubled (division-free)."""
     lo, hi = (f"{axis}0", f"{axis}1")
     wx = W.partitionBy(*part).orderBy(lo, hi, "box_id")
     prev_max = F.max(hi).over(wx.rowsBetween(W.unboundedPreceding, -1))
@@ -100,15 +105,24 @@ def _best_cut(
             F.col(lo) - prev_max,
         ).otherwise(F.lit(0)),
     ).withColumn("_split2", F.col(lo) + prev_max)
-    wg = W.partitionBy(*part).orderBy(F.desc("_gap"), lo, "box_id")
-    return (
-        g.withColumn("_rn", F.row_number().over(wg))
-        .where((F.col("_rn") == 1) & (F.col("_gap") >= min_gap))
-        .select(
-            *part,
-            F.col("_split2").alias(f"_{axis}cut2"),
-            F.col("_gap").alias(f"_{axis}best"),
+    wr = W.partitionBy(*part).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    # box_id is unique per page, so struct order never reaches _split2
+    # (whose NULL on the scan's first row must not take part in ties)
+    best = F.max(
+        F.struct(
+            F.col("_gap").alias("g"),
+            (-F.col(lo)).alias("_nl"),
+            (-F.col("box_id")).alias("_nb"),
+            F.col("_split2").alias("sp"),
         )
+    ).over(wr)
+    keep = best.getField("g") >= F.lit(min_gap)
+    return (
+        g.withColumn(f"_{axis}best", F.when(keep, best.getField("g")))
+        .withColumn(f"_{axis}cut2", F.when(keep, best.getField("sp")))
+        .drop("_gap", "_split2")
     )
 
 
@@ -137,18 +151,23 @@ def reading_order_xy(
     side 0 reads before side 1 on both axes.
 
     ``boxes`` columns: doc_col, page_col, box_id, x0, y0, x1, y1 —
-    integers, lo < hi. Scale shape: per level, two window passes and
-    two page-keyed joins, all partitioned by (doc, page, sides-so-far)
-    — never corpus-wide; depth is a small constant (3 handles
-    title-over-columns and four-column spreads)."""
+    integers, lo < hi; box_id unique per page. Scale shape: per level,
+    two scan windows and two argmax windows, ALL partitioned by (doc,
+    page, sides-so-far) and join-free — one exchange per level, so the
+    whole plan is exactly depth + 1 shuffles (a static function of the
+    ``depth`` literal, never of the data; the final rank window adds
+    the + 1), each keyed by the page, never corpus-wide. depth is a
+    small constant (3 handles title-over-columns and four-column
+    spreads)."""
+    if min_gap < 1:
+        raise ValueError(f"min_gap must be >= 1, got {min_gap}")
     keys = [doc_col, page_col]
     cur = boxes
     sides: list[str] = []
     for lvl in range(depth):
         part = keys + sides
-        bv = _best_cut(cur, part, "x", min_gap)
-        bh = _best_cut(cur, part, "y", min_gap)
-        cur = cur.join(bv, part, "left").join(bh, part, "left")
+        cur = _attach_best_cut(cur, part, "x", min_gap)
+        cur = _attach_best_cut(cur, part, "y", min_gap)
         use_h = F.col("_ybest").isNotNull() & (
             F.col("_xbest").isNull() | (F.col("_ybest") >= F.col("_xbest"))
         )

@@ -26,6 +26,12 @@ from .tokenize import term_freq_dict
 
 DEFAULT_MAX_RETURN = 20  # AppConfig.const.js:22 NUM_SEARCH_RETURN
 
+# Upper bound for operators whose contract is an eval-set-sized input
+# driven through a deliberately unpartitioned window (rank_sum_test):
+# past this, the single-partition sort silently becomes the job — the
+# guard raises an actionable error instead.
+_MAX_SINGLE_PARTITION_ROWS = 5_000_000
+
 
 def match_terms(
     postings: DataFrame,
@@ -1552,9 +1558,13 @@ def match_terms_prf(
     Scale shape: the feedback set is a program-literal LIMIT (the
     plan-proof of boundedness), its postings arrive by one
     broadcast semi-join; expansion selection aggregates only the
-    feedback docs' terms; the second pass is the plain BM25 shape with
-    a (|terms| + fb_terms)-row broadcast term frame. Two passes, both
-    TakeOrderedAndProject at the top.
+    feedback docs' terms. The original terms' per-(doc, term) BM25
+    micro-weights are computed ONCE (an eager localCheckpoint) and
+    reused by BOTH passes — idf and saturation depend only on the
+    term and the corpus, never on the query's term set, so pass 2
+    only scores the fb_terms expansion terms and unions; the result
+    is bit-identical to rebuilding the joint term frame at roughly
+    half the cost. Both passes end in TakeOrderedAndProject.
     """
     if fb_docs < 1:
         raise ValueError(f"fb_docs must be >= 1, got {fb_docs}")
@@ -1565,7 +1575,13 @@ def match_terms_prf(
         terms = ["never-a-term"]
     orig = sorted(set(terms))
 
-    first = match_terms_bm25(postings, orig, max_return=fb_docs, k1=k1, b=b)
+    rows1 = _bm25_rows(postings, orig, k1, b).localCheckpoint(eager=True)
+    first = (
+        rows1.groupBy("doc_id")
+        .agg(F.sum("w").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(fb_docs)
+    )
     fbids = first.select("doc_id")
 
     dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
@@ -1598,43 +1614,18 @@ def match_terms_prf(
         .limit(fb_terms)
     )
 
-    orig_df = literal_df(spark, orig, "term").select(
-        "term", F.lit(1).cast("long").alias("_wdiv")
-    )
-    terms_all = orig_df.unionByName(
-        cand.select("term", F.lit(2).cast("long").alias("_wdiv"))
-    )
-
-    stats = dl.agg(
-        F.count("*").cast("long").alias("_n"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    )
-    matched = postings.join(F.broadcast(terms_all), "term")
-    dfreq2 = matched.groupBy("term", "_wdiv").agg(
-        F.countDistinct("doc_id").alias("_df")
-    )
-    widf = dfreq2.crossJoin(F.broadcast(stats)).select(
-        "term",
-        "_wdiv",
-        F.log(
-            (F.col("_n").cast("double") - F.col("_df") + 0.5)
-            / (F.col("_df").cast("double") + 0.5)
-            + 1.0
-        ).alias("idf"),
-        "avgdl",
-    )
-    j = matched.drop("_wdiv").join(F.broadcast(widf), "term").join(dl, "doc_id")
-    tf = F.col("tf").cast("double")
-    sat = (tf * (k1 + 1.0)) / (
-        tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
-    )
-    w = F.floor(F.lit(1_000_000.0) * F.col("idf") * sat).cast("long")
-    scored = (
-        j.select("doc_id", F.expr(f"{'_wdiv'}").alias("_wdiv"), w.alias("_w"))
-        .select("doc_id", F.expr("_w div _wdiv").alias("_ws"))
-        .groupBy("doc_id")
-        .agg(F.sum("_ws").alias("score"))
-    )
+    # pass 2: expansion terms only — fb_terms is a program literal, so
+    # the collect is bounded by choice; original-term rows are rows1
+    exp_terms = [r["term"] for r in cand.collect()]
+    pass2 = rows1.select("doc_id", F.col("w").alias("_ws"))
+    if exp_terms:
+        exp_rows = _bm25_rows(postings, exp_terms, k1, b)
+        pass2 = pass2.unionByName(
+            # expansion contributions count HALF (pinned Rocchio β=0.5):
+            # integer floor AFTER the BM25 floor
+            exp_rows.select("doc_id", F.expr("w div 2").alias("_ws"))
+        )
+    scored = pass2.groupBy("doc_id").agg(F.sum("_ws").alias("score"))
     return (
         scored.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(max_return)
@@ -1751,9 +1742,24 @@ def rank_sum_test(
     from pyspark.sql import Window as W
 
     w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
-    ranked = per_v.withColumn(
-        "_less", F.coalesce(F.sum("_t").over(w), F.lit(0))
-    ).withColumn("_rank2", 2 * F.col("_less") + F.col("_t") + 1)
+    # loud scale guard: the running-sum window above is deliberately
+    # UNPARTITIONED (midranks need a global value order) under the
+    # documented eval-set-sized contract — when that contract is
+    # violated, raise an actionable error in-plan (the count rides the
+    # same single-partition exchange; no extra action) instead of
+    # silently single-partition-sorting a corpus
+    guard = (
+        f"if(_gn > {_MAX_SINGLE_PARTITION_ROWS}, cast(raise_error(concat("
+        f"'rank_sum_test: ', _gn, ' distinct metric values exceed the "
+        f"documented eval-set bound {_MAX_SINGLE_PARTITION_ROWS}; sample "
+        f"the eval set first')) as bigint), _less0)"
+    )
+    ranked = (
+        per_v.withColumn("_gn", F.count("*").over(W.partitionBy()))
+        .withColumn("_less0", F.coalesce(F.sum("_t").over(w), F.lit(0)))
+        .withColumn("_less", F.expr(guard))
+        .withColumn("_rank2", 2 * F.col("_less") + F.col("_t") + 1)
+    )
     agg = ranked.agg(
         F.sum("_na").cast("long").alias("n1"),
         F.sum(F.col("_t") - F.col("_na")).cast("long").alias("n2"),

@@ -20,6 +20,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+# coarse-quantizer codebooks are hundreds-to-thousands of centroids;
+# the centroid pick is a single-partition sort, so asking for more than
+# this is a loud error rather than a silent one-core stall
+_MAX_COARSE_CENTROIDS = 131_072
+
 
 def dot_col(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double, strict left-to-right (deterministic)."""
@@ -84,8 +89,16 @@ def ivf_centroids(
     Scale note: the row_number window below is UNPARTITIONED — a single-
     partition sort. Fine for the coarse-quantizer regime (n_centroids in
     the hundreds-to-thousands: the input is already `.limit(n)`-pruned),
-    wrong if anyone raises n_centroids toward corpus size — partition the
-    id space first if that ever happens."""
+    wrong if anyone raises n_centroids toward corpus size — so that is
+    a loud ValueError (partition the id space first if a larger coarse
+    codebook is ever genuinely needed)."""
+    if n_centroids > _MAX_COARSE_CENTROIDS:
+        raise ValueError(
+            f"n_centroids={n_centroids} exceeds the coarse-quantizer bound "
+            f"{_MAX_COARSE_CENTROIDS}: the centroid pick is an unpartitioned "
+            "single-partition sort sized for hundreds-to-thousands of "
+            "centroids — partition the id space first for bigger codebooks"
+        )
     return (
         corpus.orderBy(F.asc(id_col))
         .limit(n_centroids)

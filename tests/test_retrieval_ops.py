@@ -860,3 +860,30 @@ def test_rank_sum_test_vs_scipy_free_replay(spark):
     assert r["z_e6"] == z and r["z_e6"] < -1_960_000  # B is shifted up
     same = rank_sum_test(A, A).collect()[0]
     assert abs(same["z_e6"]) < 100_000
+
+
+def test_single_partition_guards_raise_loudly(spark, monkeypatch):
+    """The documented-small unpartitioned paths fail actionably past
+    their bounds instead of silently single-partition-sorting: the
+    rank_sum_test in-plan row guard and the ivf_centroids parameter
+    guard (VERDICT r3 item #7)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from ocr_search_spark.operators import search as S
+    from ocr_search_spark.training.similarity import ivf_centroids
+
+    monkeypatch.setattr(S, "_MAX_SINGLE_PARTITION_ROWS", 10)
+    A = spark.range(20).selectExpr("cast(id as long) as v")
+    B = spark.range(20).selectExpr("cast(id + 100 as long) as v")
+    with pytest.raises(SparkRuntimeException, match="eval-set bound"):
+        S.rank_sum_test(A, B).collect()
+    # under the bound the same plan still runs
+    monkeypatch.setattr(S, "_MAX_SINGLE_PARTITION_ROWS", 5_000_000)
+    assert S.rank_sum_test(A, B).collect()[0]["n1"] == 20
+
+    vecs = spark.range(4).selectExpr(
+        "cast(id as long) as vec_id", "array(double(id), 1.0d) as embedding"
+    )
+    with pytest.raises(ValueError, match="coarse-quantizer bound"):
+        ivf_centroids(vecs, n_centroids=200_000)
