@@ -64,6 +64,16 @@ WHITELIST: dict[str, str] = {
         "100 TB shape; a limit() cap would risk silent truncation if "
         "a new label appeared, which is worse than the unproven BNLJ."
     ),
+    "chi_square_independence": (
+        "broadcast side is a contingency-table MARGINAL (one row per "
+        "level of a categorical dimension - source/lang here) feeding "
+        "the full r x c level grid, which must include EMPTY cells "
+        "(their R*C/N terms are real chi-square mass). Level "
+        "cardinality is a dimension property - tens of values, "
+        "independent of corpus ROW count - the same dimension-grid "
+        "shape as source_overlap; the walker cannot see that the "
+        "group-by key is a dimension, not a content key."
+    ),
 }
 
 _RANGE_CAP = 100_000  # literal Range rows accepted as "bounded"
