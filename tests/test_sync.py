@@ -155,3 +155,50 @@ def test_sync_bulk_scan_path_equals_per_file(spark, tmp_path, monkeypatch):
     assert out == {"added": 0, "modified": 0, "deleted": 1}
     f2_ids = [r["doc_id"] for r in f2.select("doc_id").collect()]
     assert posts.read().where(F.col("doc_id").isin(f2_ids)).count() == 0
+
+
+def test_sync_bulk_driver_collects_stay_bounded(spark, tmp_path, monkeypatch):
+    """SCALE.md rule 3 as a regression test: a bulk sync over N files
+    must never materialize a path list on the driver — every collect()
+    during the poll returns a row count bounded by configuration
+    (status classes, bucket ids), independent of N (=40 here)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # Spark 4: the concrete class (pyspark.sql.classic) overrides the
+    # public DataFrame ABC — patch the class whose collect actually runs
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    monkeypatch.setattr(sync, "_SMALL_POLL_FILES", 0)
+    source = str(tmp_path / "source")
+    os.makedirs(source)
+    span_t = pa.list_(pa.struct([
+        ("kind", pa.string()), ("text", pa.string()),
+        ("media_ref", pa.string()), ("offset", pa.int32()),
+    ]))
+    n_files = 40
+    for i in range(n_files):
+        tbl = pa.table({
+            "doc_id": pa.array([i * 10 + j for j in range(3)], pa.int64()),
+            "spans": pa.array(
+                [[{"kind": "text", "text": f"alpha beta doc{i} row{j}",
+                   "media_ref": "", "offset": 0}] for j in range(3)],
+                span_t),
+        })
+        pq.write_table(tbl, f"{source}/f{i:03d}.parquet")
+
+    sizes = []
+    orig = DataFrame.collect
+
+    def counting_collect(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    out = sync.sync_once(spark, source, str(tmp_path / "wh"))
+    assert out == {"added": n_files, "modified": 0, "deleted": 0}
+    assert sizes, "expected at least the status-count collect"
+    # every driver materialization is config-bounded: 3 status classes /
+    # 32 bucket ids — never the 40-path change set
+    assert max(sizes) < n_files, sizes
