@@ -1849,6 +1849,30 @@ _GATE_PRIORITY = [
     "warc_main_content",
 ]
 
+# ROUND-5 ROTATION PLAN (do not enable before the r4 driver gate has
+# recorded the window above): 164 entries remain driver-rowless after
+# r4.  The next 50, chosen tier-first like this round (all already
+# green in CHECKSWEEP_r4.txt — re-verify in-window before flipping):
+#   html/text extraction (12): html_main_content html_spans html_tables
+#     html_metadata html_table_markdown publish_date webtext_normalize
+#     sentences readability span_repair extract_dehyphen nfc_normalize
+#   layout/containers (9): docx_page_paragraphs
+#     pdf_layout_reading_order pptx_layout_reading_order
+#     ocr_layout_reading_order layout_table_cells layout_table_markdown
+#     layout_figures ocr_page_text png_resize_stats
+#   crawl intelligence (12): domain_stats link_extract link_graph
+#     anchor_texts search_anchor_boost sitemap_frontier robots_wildcards
+#     robots_crawl_delay sitemap_index feed_frontier dust_params
+#     recrawl_priority
+#   lakehouse remainder (8): snapshot_incremental_postings
+#     snapshot_pyreader snapshot_partition_scan snapshot_spec_evolution
+#     snapshot_forget snapshot_drop_column snapshot_checks
+#     snapshot_bloom_scan
+#   pipeline/lineage capstones (7): extraction_lineage snapshot_extract
+#     warc_postings wet_roundtrip crawl_clean_pipeline curation_pipeline
+#     extract_clean_pipeline
+#   stats/serving leftovers (2): sign_test search_maxscore
+
 
 def _prioritized(full: dict) -> dict:
     head = {k: full[k] for k in _GATE_PRIORITY if k in full}

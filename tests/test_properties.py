@@ -688,3 +688,69 @@ def test_chi_square_independence_large_table_no_overflow(spark):
             chi += ((o * n - R * C) ** 2 * 1_000_000) // (n * R * C)
     assert (got["n"], got["dof"], got["chi2_e6"]) == (n, 1, chi)
     assert got["chi2_e6"] > 10**11  # the statistic really is huge
+
+
+def test_chi_square_random_tables_vs_bigint_replay(spark):
+    """Structural fuzz for the decimal(38,0) path: random r x c tables
+    (sparse — empty cells included by construction) must match the
+    exact big-int Python replay cell for cell."""
+    import random
+    from collections import Counter
+
+    from ocr_search_spark.operators.profile import chi_square_independence
+
+    rng = random.Random(41)
+    for trial in range(8):
+        r_lv = rng.randint(2, 5)
+        c_lv = rng.randint(2, 5)
+        rows = []
+        for ri in range(r_lv):
+            for ci in range(c_lv):
+                if rng.random() < 0.25:
+                    continue  # leave a real empty cell in the grid
+                rows += [(f"r{ri}", f"c{ci}")] * rng.randint(1, 40)
+        obs = Counter(rows)
+        rmarg = Counter(x for x, _ in rows)
+        cmarg = Counter(y for _, y in rows)
+        if len(rmarg) < 2 or len(cmarg) < 2:
+            continue
+        n = len(rows)
+        chi = 0
+        for rr in rmarg:
+            for cc in cmarg:
+                o, R, C = obs.get((rr, cc), 0), rmarg[rr], cmarg[cc]
+                chi += ((o * n - R * C) ** 2 * 1_000_000) // (n * R * C)
+        df = spark.createDataFrame(rows, "r string, c string")
+        got = chi_square_independence(df, "r", "c").collect()[0]
+        assert (got["n"], got["n_row_levels"], got["n_col_levels"],
+                got["chi2_e6"]) == (n, len(rmarg), len(cmarg), chi), trial
+
+
+def test_fim_transform_random_corpus_reassembles(spark):
+    """Seeded random corpus (lengths 0-30, unicode, many below min_len)
+    through ONE Spark job: every doc either passes through verbatim or
+    reassembles pre+mid+suf == original with a non-empty middle."""
+    import random
+    import re
+
+    from ocr_search_spark.training.packing import fim_transform
+
+    rng = random.Random(17)
+    alphabet = "ab \n.!é中𝔘"
+    texts = ["", "a", "ab"] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 30)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {int(r["id"]): r["fim_text"] for r in fim_transform(df).collect()}
+    assert len(got) == len(texts)
+    for i, t in enumerate(texts):
+        if len(t) < 12:
+            assert got[i] == t, (i, t)
+        else:
+            m = re.fullmatch(r"<PRE>(.*)<SUF>(.*)<MID>(.*)", got[i], re.S)
+            assert m, (i, got[i])
+            pre, suf, mid = m.groups()
+            assert mid and pre + mid + suf == t, (i, t)
