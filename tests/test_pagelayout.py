@@ -370,3 +370,77 @@ def test_xycut_no_gap_falls_back_to_scan_order(spark):
         (1, 0, 2, 0, 14, 100, 24),
     ]
     assert _xy_ranks(_boxes(spark, rows), min_gap=50, depth=3) == [0, 1, 2]
+
+
+def test_xycut_random_pages_vs_python_replica(spark):
+    """Randomized pin of the join-free argmax restructure: a pure-Python
+    replica of the pinned recursion (per region: widest whitespace
+    channel per axis via the scan rule, gap DESC / lo ASC / box_id ASC
+    winner, horizontal preferred on exact ties, depth levels, final
+    (sides…, y0, x0, box_id) order) must agree with the Spark plan on
+    random multi-page box sets — one Spark job for all pages."""
+    import random
+
+    from ocr_search_spark.operators.pagelayout import reading_order_xy
+
+    MIN_GAP, DEPTH = 30, 3
+
+    def best_cut(boxes, axis):
+        lo_i, hi_i = (3, 5) if axis == "x" else (4, 6)
+        srt = sorted(boxes, key=lambda b: (b[lo_i], b[hi_i], b[2]))
+        prev_max = None
+        cands = []  # (gap, lo, box_id, split2)
+        for b in srt:
+            gap = (
+                b[lo_i] - prev_max
+                if prev_max is not None and b[lo_i] > prev_max
+                else 0
+            )
+            cands.append((gap, b[lo_i], b[2],
+                          b[lo_i] + prev_max if prev_max is not None else None))
+            prev_max = b[hi_i] if prev_max is None else max(prev_max, b[hi_i])
+        g, lo, bid, sp = max(cands, key=lambda c: (c[0], -c[1], -c[2]))
+        return (g, sp) if g >= MIN_GAP else (None, None)
+
+    def replica(boxes):
+        sides = {b[2]: [] for b in boxes}
+        regions = [list(boxes)]
+        for _ in range(DEPTH):
+            nxt = []
+            for reg in regions:
+                xb, xc = best_cut(reg, "x")
+                yb, yc = best_cut(reg, "y")
+                use_h = yb is not None and (xb is None or yb >= xb)
+                s0, s1 = [], []
+                for b in reg:
+                    if use_h:
+                        side = int(b[4] * 2 >= yc)
+                    elif xb is not None:
+                        side = int(b[3] * 2 >= xc)
+                    else:
+                        side = 0
+                    sides[b[2]].append(side)
+                    (s1 if side else s0).append(b)
+                nxt += [r for r in (s0, s1) if r]
+            regions = nxt
+        order = sorted(boxes, key=lambda b: (*sides[b[2]], b[4], b[3], b[2]))
+        return [b[2] for b in order]
+
+    rng = random.Random(99)
+    rows, want = [], {}
+    for page in range(30):
+        boxes = []
+        for bid in range(rng.randint(1, 12)):
+            x0 = rng.randrange(0, 900, 10)
+            y0 = rng.randrange(0, 900, 10)
+            boxes.append((7, page, bid, x0, y0,
+                          x0 + rng.randrange(10, 260, 10),
+                          y0 + rng.randrange(10, 60, 10)))
+        rows += boxes
+        want[page] = replica(boxes)
+    df = _boxes(spark, rows)
+    out = reading_order_xy(df, min_gap=MIN_GAP, depth=DEPTH).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r["page"], r["rank"])):
+        got.setdefault(r["page"], []).append(r["box_id"])
+    assert got == want
