@@ -348,7 +348,18 @@ def match_terms_maxscore(
     via an eager localCheckpoint rather than cache(): same three-pass
     reuse, but the materialized blocks are released by the context
     cleaner once the query's result is dropped, instead of leaking a
-    CacheManager entry per query until memory-pressure eviction."""
+    CacheManager entry per query until memory-pressure eviction.
+
+    Known trade-offs of the eager localCheckpoint (deliberate): the
+    lineage is truncated and the blocks are unreplicated, so losing an
+    executor mid-query FAILS the query (retry at the serving layer)
+    rather than recomputing; and materialization happens at
+    plan-construction time, so this function is not lazy. Both are the
+    right defaults for a serving path where queries are short and
+    retried, and where an unbounded CacheManager leak is the worse
+    failure mode; a batch caller that owns the result lifecycle and
+    prefers recompute-on-loss can cache()+unpersist around it
+    instead."""
     rows = _bm25_rows(postings, terms, k1, b).localCheckpoint(eager=True)
     champ = (
         rows.groupBy("doc_id")

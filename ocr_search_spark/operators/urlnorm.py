@@ -1114,6 +1114,7 @@ def aimd_rates(
     t_col: str = "t",
     ok_col: str = "ok",
     max_rate: int = 16,
+    init_rate_col: str | None = "init_rate",
 ) -> DataFrame:
     """(host, n_ok, n_fail, rate) — per-host crawl-rate control by
     AIMD, TCP congestion control's additive-increase /
@@ -1129,9 +1130,12 @@ def aimd_rates(
     time-ordered outcome sequence (SCALE.md rule 15's bounded-fold
     arm): one collect per host per control WAVE — the sequence length
     is bounded by the wave's per-host fetch count, never by history
-    (the resulting rate is the carried state for the next wave via the
-    ``init_rate`` column if present). ``t_col`` must be unique per
-    host (a non-total order would make the fold nondeterministic).
+    (the resulting rate is the carried state for the next wave via
+    ``init_rate_col`` when that column is present — pass ``None`` to
+    never seed). ``t_col`` must be unique per host (a non-total order
+    would make the fold nondeterministic). Conflicting non-null seeds
+    for one host raise at execution time rather than silently picking
+    the max.
     """
     if max_rate < 1:
         raise ValueError(f"max_rate must be >= 1, got {max_rate}")
@@ -1143,14 +1147,21 @@ def aimd_rates(
         F.sum(F.col(ok_col).cast("long")).cast("long").alias("n_ok"),
         F.sum(1 - F.col(ok_col).cast("long")).cast("long").alias("n_fail"),
     ]
-    # carried state between control waves: a per-host init_rate column,
+    # carried state between control waves: the explicit init_rate_col,
     # when present, seeds the fold (clamped to [1, max_rate]); absent
-    # or null hosts start cold at 1
-    if "init_rate" in log.columns:
+    # or null hosts start cold at 1. min<>max on non-null seeds for a
+    # host means two control waves disagree about the carried state —
+    # raise loudly instead of letting max() pick a winner.
+    if init_rate_col is not None and init_rate_col in log.columns:
         aggs.append(
             F.expr(
+                f"if(min({init_rate_col}) <> max({init_rate_col}), "
+                f"raise_error(concat('aimd_rates: conflicting "
+                f"{init_rate_col} seeds for host ', "
+                f"first({host_col}))), "
                 f"greatest(cast(1 as bigint), least(cast({max_rate} as "
-                f"bigint), coalesce(max(init_rate), cast(1 as bigint))))"
+                f"bigint), coalesce(max({init_rate_col}), "
+                f"cast(1 as bigint)))))"
             ).alias("_seed")
         )
         zero = "_seed"

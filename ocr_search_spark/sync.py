@@ -140,13 +140,24 @@ def sync_once(
             # tree, each row tagged with its url-decoded relative path
             # and semi-joined against the changed set — zero driver
             # lists, and scanning everything is exactly right when
-            # (nearly) everything changed
+            # (nearly) everything changed.
+            #
+            # input_file_name() yields a URI whose %XX escapes need
+            # decoding, but it leaves a literal '+' unescaped — and
+            # url_decode is x-www-form-urlencoded, which would turn
+            # that '+' into a space and silently drop the file from
+            # the semi-join. Shield '+' as %2B first so it round-trips.
             absroot = os.path.abspath(source_path).rstrip("/") + "/"
             marker = absroot.replace("'", "\\'")
             src = (
                 spark.read.option("recursiveFileLookup", "true")
                 .parquet(source_path)
-                .withColumn("_fn", F.url_decode(F.input_file_name()))
+                .withColumn(
+                    "_fn",
+                    F.url_decode(
+                        F.regexp_replace(F.input_file_name(), r"\+", "%2B")
+                    ),
+                )
                 .withColumn(
                     "path",
                     F.expr(
@@ -157,6 +168,34 @@ def sync_once(
                 .drop("_fn")
                 .join(changed, "path")
             )
+            # Loud-failure guard: any changed path the decoded scan
+            # failed to match is re-read per-file (bounded — a miss is
+            # either a zero-row file, which contributes nothing, or a
+            # decode bug, which the bounded repair makes correct and
+            # visible instead of silently dropping docs while the
+            # filelib below still records the new mtime forever).
+            missed = [
+                r["path"]
+                for r in changed.join(
+                    src.select("path").distinct(), "path", "left_anti"
+                ).limit(_SMALL_POLL_FILES + 1).collect()
+            ]
+            if len(missed) > _SMALL_POLL_FILES:
+                raise RuntimeError(
+                    f"bulk sync path join missed >{_SMALL_POLL_FILES} "
+                    f"changed files (first: {missed[0]!r}) — "
+                    "input_file_name decoding is broken for this source"
+                )
+            if missed:
+                from functools import reduce
+
+                repaired = [
+                    spark.read.parquet(
+                        os.path.join(source_path, rel)
+                    ).withColumn("path", F.lit(rel))
+                    for rel in missed
+                ]
+                src = reduce(DataFrame.unionByName, [src, *repaired])
         docs = src.select("doc_id", "spans")
         merge_doc_batch(posts, docs)
         new_mem = src.select("path", "doc_id").distinct()
@@ -177,83 +216,6 @@ def sync_once(
             )
         if n_changed:
             lib.upsert(listing.join(changed, "path"))
-    else:
-        lib.init(listing)
-    return out
-
-    changed_paths = [
-        r["path"] for r in diff.where(F.col("status") != "deleted").collect()
-    ]
-    deleted_paths = [
-        r["path"] for r in diff.where(F.col("status") == "deleted").collect()
-    ]
-
-    # deletions first (a path deleted and re-added in one poll is a
-    # modify; the diff never emits both states for one path)
-    if deleted_paths:
-        doomed_paths = spark.createDataFrame(
-            [(p,) for p in deleted_paths], "path string"
-        )
-        doomed_docs = (
-            mem.read().join(F.broadcast(doomed_paths), "path")
-            .select("doc_id").distinct().localCheckpoint()
-        )
-        if posts.exists():
-            posts.replace_group(
-                posts.read().where(F.lit(False)),
-                group_keys=["doc_id"],
-                groups=doomed_docs,
-            )
-        mem.replace_group(
-            mem.read().where(F.lit(False)), group_keys=["path"], groups=doomed_paths
-        )
-
-    if changed_paths:
-        # per-file read + lit(path): robust against input_file_name's
-        # URL-encoding; the poll batch is a handful of files (at object-
-        # store scale the listing arrives as a table and this becomes a
-        # join against it instead)
-        from functools import reduce
-
-        parts = [
-            spark.read.parquet(os.path.join(source_path, rel)).withColumn(
-                "path", F.lit(rel)
-            )
-            for rel in changed_paths
-        ]
-        src = reduce(DataFrame.unionByName, parts)
-        docs = src.select("doc_id", "spans")
-        merge_doc_batch(posts, docs)
-        new_mem = src.select("path", "doc_id").distinct()
-        if mem.exists():
-            mem.replace_group(
-                new_mem,
-                group_keys=["path"],
-                groups=new_mem.select("path").distinct(),
-            )
-        else:
-            mem.init(new_mem)
-
-    if lib.exists():
-        if deleted_paths:
-            lib.replace_group(
-                listing.where(F.lit(False)).select("path", "mtime"),
-                group_keys=["path"],
-                groups=spark.createDataFrame(
-                    [(p,) for p in deleted_paths], "path string"
-                ),
-            )
-        if changed_paths:
-            lib.upsert(
-                listing.join(
-                    F.broadcast(
-                        spark.createDataFrame(
-                            [(p,) for p in changed_paths], "path string"
-                        )
-                    ),
-                    "path",
-                )
-            )
     else:
         lib.init(listing)
     return out

@@ -157,6 +157,37 @@ def test_sync_bulk_scan_path_equals_per_file(spark, tmp_path, monkeypatch):
     assert posts.read().where(F.col("doc_id").isin(f2_ids)).count() == 0
 
 
+def test_sync_bulk_plus_in_filename_not_dropped(spark, tmp_path, monkeypatch):
+    """A literal '+' in a file name survives the bulk-scan path decode.
+    input_file_name() leaves '+' unescaped while url_decode treats it
+    as an encoded space — without the %2B shield the file's docs were
+    silently dropped from postings/membership while the filelib still
+    recorded its mtime (permanent data loss on every later poll)."""
+    monkeypatch.setattr(sync, "_SMALL_POLL_FILES", 0)
+    source = str(tmp_path / "source")
+    wh = str(tmp_path / "wh")
+    os.makedirs(source)
+    all_docs = corpus.documents_table(spark, 20, skew=False).cache()
+    ids = sorted(r["doc_id"] for r in all_docs.select("doc_id").collect())
+    half = len(ids) // 2
+    f1 = all_docs.where(F.col("doc_id").isin(ids[:half]))
+    f2 = all_docs.where(F.col("doc_id").isin(ids[half:]))
+    _write_file(f1, f"{source}/a+b.parquet")
+    _write_file(f2, f"{source}/c %41+d.parquet")
+
+    out = sync.sync_once(spark, source, wh)
+    assert out == {"added": 2, "modified": 0, "deleted": 0}
+    posts = sync.postings_table(spark, f"{wh}/postings", 32)
+    got = posts.read()
+    want = term_postings(
+        extract_spans_columnar(all_docs.select("doc_id", "spans"))
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    mem = sync.membership_table(spark, f"{wh}/membership")
+    paths = {r["path"] for r in mem.read().select("path").distinct().collect()}
+    assert paths == {"a+b.parquet", "c %41+d.parquet"}
+
+
 def test_sync_bulk_driver_collects_stay_bounded(spark, tmp_path, monkeypatch):
     """SCALE.md rule 3 as a regression test: a bulk sync over N files
     must never materialize a path list on the driver — every collect()

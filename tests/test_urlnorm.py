@@ -793,3 +793,29 @@ def test_aimd_rates_init_rate_carries_state(spark):
     got2 = {r["host"]: r["rate"]
             for r in aimd_rates(df.drop("init_rate")).collect()}
     assert got2 == {"warm": 2, "cold": 3, "over": 1}
+    # init_rate_col=None opts out of seeding even with the column there
+    got3 = {r["host"]: r["rate"]
+            for r in aimd_rates(df, init_rate_col=None).collect()}
+    assert got3 == got2
+
+
+def test_aimd_rates_conflicting_seeds_raise(spark):
+    """Two rows of one host disagreeing on the non-null seed is a
+    corrupted carry — it raises instead of max() silently winning."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from ocr_search_spark.operators.urlnorm import aimd_rates
+
+    df = spark.createDataFrame(
+        [("h", 0, 1, 4), ("h", 1, 1, 9)],
+        "host string, t int, ok int, init_rate int",
+    )
+    with pytest.raises(PySparkException, match="conflicting"):
+        aimd_rates(df).collect()
+    # a null beside a single non-null value is NOT a conflict
+    ok = spark.createDataFrame(
+        [("h", 0, 1, None), ("h", 1, 1, 4)],
+        "host string, t int, ok int, init_rate int",
+    )
+    assert {r["rate"] for r in aimd_rates(ok).collect()} == {6}
