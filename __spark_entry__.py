@@ -1810,68 +1810,71 @@ _base_oracles = oracle_sql
 # window (VERDICT r2 item #1); everything else follows in insertion
 # order and keeps its prior-round rows on record.
 _GATE_PRIORITY = [
-    # ROUND 4 WINDOW — the driver's correctness gate hard-verifies the
+    # ROUND 5 WINDOW — the driver's correctness gate hard-verifies the
     # FIRST 50 entries of queries() in dict order each round.  Per
-    # VERDICT r3 item #1, this round's window is spent ENTIRELY on
-    # entries that have never received a driver row (driver coverage
-    # 100/314 after r1-r3).  Every entry evicted from previous windows
-    # keeps its green row from the round that recorded it, and every
-    # entry below is freshly re-verified this session via
-    # tools/check_entry.py at sf0.001 + sf0.01 (see CHECKSWEEP_r4.txt).
-    # Selection follows the judge's stated priority: whole unverified
-    # tiers first.
+    # VERDICT r4 item #1 this window is exactly the staged round-5
+    # rotation plan: 50 entries that have never received a driver row
+    # (driver coverage 150/314 after r1-r4), chosen whole-tier-first.
+    # Every entry evicted from previous windows keeps its green row
+    # from the round that recorded it, and every entry below is freshly
+    # re-verified this session via tools/check_entry.py at sf0.01 (see
+    # CHECKSWEEP_r5.txt for the full-registry sweep).
     #
-    # -- remaining TPC-H (16): join/agg/subquery shapes
-    "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q9", "tpch_q10",
-    "tpch_q11", "tpch_q12", "tpch_q14", "tpch_q15", "tpch_q16",
-    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
-    "tpch_q22",
-    # -- lakehouse snapshot tier (14): COW/MOR, WAP, branches, manifest
-    #    pruning, z-order, DSv2 write, agg pushdown, incremental MV
-    "snapshot_merge", "snapshot_mor_delete", "snapshot_wap",
-    "snapshot_branch", "snapshot_rollback", "snapshot_compact",
-    "snapshot_incremental", "snapshot_zorder_scan",
-    "snapshot_pruned_scan", "snapshot_replace_where", "snapshot_mview",
-    "snapshot_tags", "snapshot_dsv2_write", "snapshot_agg_pushdown",
-    # -- real-codec / media tier (6): PNG, WAV, PDF/PPTX containers,
-    #    page render + media digests
-    "png_pixel_stats", "wav_sample_stats", "media_dedup",
-    "pdf_roundtrip", "page_media_render", "pptx_slide_text",
-    # -- embeddings / ANN tier (7): IVF-PQ, ADC, filtered probe,
-    #    recall evaluation, incremental IVF maintenance
-    "embed_ann_ivfpq", "embed_pq_topk", "embed_pq_codes", "ann_recall",
-    "ann_eval_metrics", "embed_ann_filtered", "ivf_incremental",
-    # -- never-gated singleton tiers (7): CMS/HLL sketches, BPE +
-    #    WordPiece encoders, cascade click model, robots.txt RFC 9309,
-    #    WARC main-content extraction
-    "cms_heavy_hitters", "hll_registers", "bpe_encode",
-    "wordpiece_encode", "click_cascade", "robots_filter",
-    "warc_main_content",
+    # -- html/text extraction (12): boilerplate strip, spans, tables,
+    #    metadata, dates, normalization, repair
+    "html_main_content", "html_spans", "html_tables", "html_metadata",
+    "html_table_markdown", "publish_date", "webtext_normalize",
+    "sentences", "readability", "span_repair", "extract_dehyphen",
+    "nfc_normalize",
+    # -- layout / containers (9): reading order across formats, table
+    #    cells/markdown, figures, glyph OCR, PNG resize
+    "docx_page_paragraphs", "pdf_layout_reading_order",
+    "pptx_layout_reading_order", "ocr_layout_reading_order",
+    "layout_table_cells", "layout_table_markdown", "layout_figures",
+    "ocr_page_text", "png_resize_stats",
+    # -- crawl intelligence (12): domains, link graph, anchors,
+    #    sitemaps, robots edge cases, DUST, recrawl
+    "domain_stats", "link_extract", "link_graph", "anchor_texts",
+    "search_anchor_boost", "sitemap_frontier", "robots_wildcards",
+    "robots_crawl_delay", "sitemap_index", "feed_frontier",
+    "dust_params", "recrawl_priority",
+    # -- lakehouse remainder (8): incremental postings, py-reader,
+    #    partition scan, spec evolution, GDPR forget, drop column,
+    #    checks, bloom scan
+    "snapshot_incremental_postings", "snapshot_pyreader",
+    "snapshot_partition_scan", "snapshot_spec_evolution",
+    "snapshot_forget", "snapshot_drop_column", "snapshot_checks",
+    "snapshot_bloom_scan",
+    # -- pipeline / lineage capstones (7)
+    "extraction_lineage", "snapshot_extract", "warc_postings",
+    "wet_roundtrip", "crawl_clean_pipeline", "curation_pipeline",
+    "extract_clean_pipeline",
+    # -- stats / serving leftovers (2)
+    "sign_test", "search_maxscore",
 ]
 
-# ROUND-5 ROTATION PLAN (do not enable before the r4 driver gate has
-# recorded the window above): 164 entries remain driver-rowless after
-# r4.  The next 50, chosen tier-first like this round (all already
-# green in CHECKSWEEP_r4.txt — re-verify in-window before flipping):
-#   html/text extraction (12): html_main_content html_spans html_tables
-#     html_metadata html_table_markdown publish_date webtext_normalize
-#     sentences readability span_repair extract_dehyphen nfc_normalize
-#   layout/containers (9): docx_page_paragraphs
-#     pdf_layout_reading_order pptx_layout_reading_order
-#     ocr_layout_reading_order layout_table_cells layout_table_markdown
-#     layout_figures ocr_page_text png_resize_stats
-#   crawl intelligence (12): domain_stats link_extract link_graph
-#     anchor_texts search_anchor_boost sitemap_frontier robots_wildcards
-#     robots_crawl_delay sitemap_index feed_frontier dust_params
-#     recrawl_priority
-#   lakehouse remainder (8): snapshot_incremental_postings
-#     snapshot_pyreader snapshot_partition_scan snapshot_spec_evolution
-#     snapshot_forget snapshot_drop_column snapshot_checks
-#     snapshot_bloom_scan
-#   pipeline/lineage capstones (7): extraction_lineage snapshot_extract
-#     warc_postings wet_roundtrip crawl_clean_pipeline curation_pipeline
-#     extract_clean_pipeline
-#   stats/serving leftovers (2): sign_test search_maxscore
+# ROUND-6 ROTATION PLAN (do not enable before the r5 driver gate has
+# recorded the window above): 114 entries remain driver-rowless after
+# r5.  The next 50, chosen whole-tier-first like this round (all green
+# in CHECKSWEEP_r5.txt — re-verify in-window before flipping):
+#   retrieval/serving remainder (16): search_batch search_tfidf
+#     search_fuzzy search_champion search_proximity search_snippets
+#     search_substring search_prefix search_mmr search_eval_ndcg
+#     search_prf search_sharded search_qld search_blockmax bm25_grid
+#     ltr_features
+#   dedup remainder (13): dup_passages passage_dup_stats
+#     dedup_sentences dedup_snm dedup_keep_best dedup_clusters_jump
+#     dedup_report fingerprint_winnow winnow_overlap minhash_bbit
+#     phonetic_blocking blocking_quality lsh_tuning
+#   graph remainder (9): pagerank_centrality communities_lpa link_hits
+#     kcore_spam trustrank_seeds crawl_depth cocitation word_triangles
+#     fs_linkage
+#   stats/audit (9): k_anonymity l_diversity benford_audit theil_sen
+#     kendall_tau rank_sum_test chi_square_independence holt_forecast
+#     source_regression
+#   click models (3): click_coec query_reformulations interleave_credit
+# Leaving 64 for round 7: events/time-series tier, embeddings/encoding
+# leftovers, packing/sampling, corpus profiling, crawl ops singletons.
 
 
 def _prioritized(full: dict) -> dict:
