@@ -10236,8 +10236,17 @@ def _container_payloads(spark: SparkSession, sf_dir: str, fmt_expr: str) -> Data
 
 
 def _exploded_spans(out: DataFrame) -> DataFrame:
-    bad = out.where(F.col("error").isNotNull()).count()
-    assert bad == 0, f"{bad} conversion errors"
+    # zero-error assertion folded INTO the plan (same treatment as
+    # q_ocr_page_text): any conversion error raises during the one and
+    # only execution, instead of a separate count() action running the
+    # container-encode→convert codec chain a second time
+    out = out.withColumn(
+        "spans",
+        F.expr(
+            "if(error IS NOT NULL,"
+            " raise_error(concat('conversion error: ', error)), spans)"
+        ),
+    )
     return out.select("doc_id", F.explode("spans").alias("s")).select(
         "doc_id",
         F.col("s.kind").alias("kind"),

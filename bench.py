@@ -61,24 +61,48 @@ def main() -> None:
 
     # Two estimators per query (VERDICT r1 item 10): BEST of the samples
     # (least-interference estimate given the 2-3x host noise — the number
-    # compared against the gate) and the MEDIAN of 3 samples (robust
+    # compared against the gate) and the MEDIAN of 5 samples (robust
     # center — the number to compare round-over-round, since the best is
     # a noise-floor estimate that improves with luck).
+    #
+    # Contention robustness (VERDICT r4 item 2): the r4 driver run showed
+    # every headline query ~2x slow while the extended leg got faster —
+    # host contention concentrated on the first/cold leg. Counters:
+    # (a) samples are taken ROUND-ROBIN across the whole headline list
+    #     (pass 1 runs q1..q13, then pass 2, ...), so a contention burst
+    #     degrades one sample of many queries instead of all samples of
+    #     a few — and the per-query best is taken across well-separated
+    #     points in time;
+    # (b) 5 passes instead of 3;
+    # (c) the 1-minute host load average is recorded before each pass
+    #     (headline_loadavg_per_pass) so an inflated record is
+    #     distinguishable from a plan regression after the fact.
     import statistics
+
+    def _load1() -> float:
+        try:
+            return round(os.getloadavg()[0], 2)
+        except OSError:
+            return -1.0
+
+    n_passes = 5
+    samples: dict[str, list[float]] = {name: [] for name in bench_queries}
+    pass_loads: list[float] = []
+    for _ in range(n_passes):
+        pass_loads.append(_load1())
+        for name in bench_queries:
+            t0 = time.time()
+            _noop(qs[name](spark, sf_dir))
+            samples[name].append(time.time() - t0)
 
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
     total = 0.0
     total_med = 0.0
     for name in bench_queries:
-        samples = []
-        for _ in range(3):
-            t0 = time.time()
-            _noop(qs[name](spark, sf_dir))
-            samples.append(time.time() - t0)
-        times[name] = round(min(samples), 3)
-        medians[name] = round(statistics.median(samples), 3)
-        total += min(samples)
+        times[name] = round(min(samples[name]), 3)
+        medians[name] = round(statistics.median(samples[name]), 3)
+        total += times[name]
         total_med += medians[name]
 
     # Extended section: round-2 operators, single-sample (informational —
@@ -286,6 +310,7 @@ def main() -> None:
         "homoglyph_fold",
         "kmeanspp_seeds",
     ]
+    load_before_ext = _load1()
     times_ext: dict[str, float] = {}
     for name in extended:
         t0 = time.time()
@@ -318,7 +343,9 @@ def main() -> None:
     # best-of-2: this sandbox's host steals CPU with 2-3x wall-clock
     # noise; the minimum is the least-interference estimate
     pipe_samples = []
+    pipe_loads = []
     for _ in range(2):
+        pipe_loads.append(_load1())
         t0 = time.time()
         pipeline(src)
         pipe_samples.append(time.time() - t0)
@@ -345,6 +372,11 @@ def main() -> None:
                 "sf": sf,
                 "extract_docs_per_sec": round(docs_per_sec, 1),
                 "cpus": cpus,
+                "headline_passes": n_passes,
+                "headline_loadavg_per_pass": pass_loads,
+                "pipeline_loadavg_per_sample": pipe_loads,
+                "loadavg_before_extended": load_before_ext,
+                "loadavg_end": _load1(),
             }
         )
     )
