@@ -141,8 +141,19 @@ def _postings(
     inverted index (term, doc_id, tf)."""
     extracted = extract_spans_columnar(_interleaved(spark, sf_dir, widen=widen))
     ensure_shipped(spark)  # CJK segmenter pandas UDF runs on executors
-    return term_postings(extracted.select("doc_id", "spans")).withColumn(
-        "tf", F.col("tf").cast("long")
+    # Term-hash the index into a few fat partitions before callers
+    # .cache() it: the sf0.1 index is ~10^5 rows, so serving it from the
+    # shuffle default's 64 slivers makes every downstream micro-query
+    # pay ~64 tasks per scan (pure dispatch overhead), while 8 term-
+    # bucketed partitions serve term-keyed groupBys/joins shuffle-free.
+    # At real index scale the same idea is the term-bucketed postings
+    # table (storage.BucketedTable) — partition count sized to data
+    # volume, never to the shuffle default.
+    n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    return (
+        term_postings(extracted.select("doc_id", "spans"))
+        .withColumn("tf", F.col("tf").cast("long"))
+        .repartition(n_parts, "term")
     )
 
 

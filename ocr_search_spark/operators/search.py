@@ -279,16 +279,25 @@ def match_terms_bm25(
 
 
 def _bm25_rows(
-    postings: DataFrame, terms: list[str], k1: float, b: float
+    postings: DataFrame,
+    terms: list[str],
+    k1: float,
+    b: float,
+    dl: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, term, w): the exact integer-micros per-(doc, term) BM25
     contribution — the shared core of match_terms_bm25 and the
-    MaxScore-pruned variant."""
+    MaxScore-pruned variant. ``dl`` lets a multi-pass caller (PRF)
+    share one materialized doc-length table instead of re-aggregating
+    the full postings per pass."""
     spark = postings.sparkSession
     if not terms:
         terms = ["never-a-term"]
     terms_df = literal_df(spark, sorted(set(terms)), "term")
-    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    if dl is None:
+        dl = postings.groupBy("doc_id").agg(
+            F.sum("tf").cast("long").alias("dl")
+        )
     stats = dl.agg(
         F.count("*").cast("long").alias("_n"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
@@ -1566,16 +1575,27 @@ def match_terms_prf(
        Rocchio β=0.5); score = exact long sum; top ``max_return`` by
        (score DESC, doc_id ASC).
 
-    Scale shape: the feedback set is a program-literal LIMIT (the
-    plan-proof of boundedness), its postings arrive by one
-    broadcast semi-join; expansion selection aggregates only the
-    feedback docs' terms. The original terms' per-(doc, term) BM25
-    micro-weights are computed ONCE (an eager localCheckpoint) and
-    reused by BOTH passes — idf and saturation depend only on the
-    term and the corpus, never on the query's term set, so pass 2
-    only scores the fb_terms expansion terms and unions; the result
-    is bit-identical to rebuilding the joint term frame at roughly
-    half the cost. Both passes end in TakeOrderedAndProject.
+    Scale shape — the full postings is touched exactly TWICE, and the
+    driver holds nothing (zero collects):
+
+    * one doc-length aggregation (``dl``, eagerly checkpointed — in
+      production this is the stored doc-stats side table) shared by
+      both passes' saturation terms;
+    * one broadcast semi-join pulling the posting lists of the
+      feedback docs' vocabulary (``fbv_post``, eagerly checkpointed —
+      bounded by Σ df over the feedback vocabulary). Candidate df,
+      candidate Rocchio weights AND the pass-2 expansion rows are all
+      served from this one materialization, and the fb_terms winners
+      flow into pass 2 as a broadcast of the LIMIT plan itself — the
+      expansion term list never lands on the driver.
+
+    The original terms' per-(doc, term) micro-weights are computed
+    ONCE (eager localCheckpoint) and reused by both passes — idf and
+    saturation depend only on the term and the corpus, never on the
+    query's term set, so pass 2 only scores the expansion terms and
+    unions; the result is bit-identical to rebuilding the joint term
+    frame at a fraction of the cost. Both passes end in
+    TakeOrderedAndProject.
     """
     if fb_docs < 1:
         raise ValueError(f"fb_docs must be >= 1, got {fb_docs}")
@@ -1586,7 +1606,20 @@ def match_terms_prf(
         terms = ["never-a-term"]
     orig = sorted(set(terms))
 
-    rows1 = _bm25_rows(postings, orig, k1, b).localCheckpoint(eager=True)
+    dl = (
+        postings.groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("dl"))
+        .localCheckpoint(eager=True)
+    )
+    stats = dl.agg(
+        F.count("*").cast("long").alias("_n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    n_docs = stats.select("_n")
+
+    rows1 = _bm25_rows(postings, orig, k1, b, dl=dl).localCheckpoint(
+        eager=True
+    )
     first = (
         rows1.groupBy("doc_id")
         .agg(F.sum("w").alias("score"))
@@ -1595,15 +1628,20 @@ def match_terms_prf(
     )
     fbids = first.select("doc_id")
 
-    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    n_docs = dl.agg(F.count("*").cast("long").alias("_n"))
-
-    fb_post = postings.join(F.broadcast(fbids), "doc_id")
-    dfreq = postings.join(
-        fb_post.select("term").distinct(), "term", "left_semi"
-    ).groupBy("term").agg(F.countDistinct("doc_id").alias("_df"))
+    # ONE pull of the feedback vocabulary's posting lists; df, Rocchio
+    # candidate weights and pass-2 expansion rows all read this frame
+    fb_vocab = (
+        postings.join(F.broadcast(fbids), "doc_id").select("term").distinct()
+    )
+    fbv_post = postings.join(
+        F.broadcast(fb_vocab), "term"
+    ).localCheckpoint(eager=True)
+    dfreq_fb = fbv_post.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("_df")
+    )
     cand = (
-        fb_post.join(dfreq, "term")
+        fbv_post.join(F.broadcast(fbids), "doc_id")
+        .join(dfreq_fb, "term")
         .crossJoin(F.broadcast(n_docs))
         .where(F.col("_df") * 2 <= F.col("_n"))
         .where(~F.col("term").isin(*orig))
@@ -1625,17 +1663,38 @@ def match_terms_prf(
         .limit(fb_terms)
     )
 
-    # pass 2: expansion terms only — fb_terms is a program literal, so
-    # the collect is bounded by choice; original-term rows are rows1
-    exp_terms = [r["term"] for r in cand.collect()]
-    pass2 = rows1.select("doc_id", F.col("w").alias("_ws"))
-    if exp_terms:
-        exp_rows = _bm25_rows(postings, exp_terms, k1, b)
-        pass2 = pass2.unionByName(
-            # expansion contributions count HALF (pinned Rocchio β=0.5):
-            # integer floor AFTER the BM25 floor
-            exp_rows.select("doc_id", F.expr("w div 2").alias("_ws"))
+    # pass 2: expansion rows = fbv_post restricted to the fb_terms
+    # winners (broadcast of the LIMIT plan — no driver round-trip),
+    # weighted with exactly _bm25_rows' pinned recipe off the shared
+    # dl/stats; expansion contributions count HALF (pinned Rocchio
+    # β=0.5): integer floor AFTER the BM25 floor
+    widf2 = (
+        cand.select("term")
+        .join(dfreq_fb, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                (F.col("_n").cast("double") - F.col("_df") + 0.5)
+                / (F.col("_df").cast("double") + 0.5)
+                + 1.0
+            ).alias("idf"),
+            "avgdl",
         )
+    )
+    tf = F.col("tf").cast("double")
+    sat = (tf * (k1 + 1.0)) / (
+        tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    w2 = F.floor(F.lit(1_000_000.0) * F.col("idf") * sat).cast("long")
+    exp_rows = (
+        fbv_post.join(F.broadcast(widf2), "term")
+        .join(dl, "doc_id")
+        .select("doc_id", w2.alias("w"))
+    )
+    pass2 = rows1.select("doc_id", F.col("w").alias("_ws")).unionByName(
+        exp_rows.select("doc_id", F.expr("w div 2").alias("_ws"))
+    )
     scored = pass2.groupBy("doc_id").agg(F.sum("_ws").alias("score"))
     return (
         scored.orderBy(F.desc("score"), F.asc("doc_id"))
