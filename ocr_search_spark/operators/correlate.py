@@ -88,6 +88,18 @@ def term_correlations(
     return out
 
 
+def _guard_keep(p: DataFrame, max_df_ratio: float) -> DataFrame:
+    """Terms passing the df-ratio guard — the keep set of
+    :func:`term_correlations`'s ``max_df_ratio`` arm."""
+    dfreq = p.groupBy("term").agg(F.count("*").alias("_df"))
+    ndocs = p.select(F.countDistinct("doc_id").alias("_n"))
+    return (
+        dfreq.crossJoin(F.broadcast(ndocs))
+        .where(F.col("_df") <= F.lit(max_df_ratio) * F.col("_n"))
+        .select("term")
+    )
+
+
 def incremental_correlations(
     old_postings: DataFrame,
     new_postings: DataFrame,
@@ -121,39 +133,62 @@ def incremental_correlations(
     against ``term_correlations(new_postings, …)`` for equivalence."""
     changed = changed_doc_ids.select("doc_id").distinct()
 
-    def _keep(p: DataFrame) -> DataFrame:
-        if max_df_ratio is None:
-            return p.select("term").distinct()
-        dfreq = p.groupBy("term").agg(F.count("*").alias("_df"))
-        ndocs = p.select(F.countDistinct("doc_id").alias("_n"))
-        return (
-            dfreq.crossJoin(F.broadcast(ndocs))
-            .where(F.col("_df") <= F.lit(max_df_ratio) * F.col("_n"))
-            .select("term")
-        )
-
-    # keep_old/keep_new/affected are SMALL term lists (≤ affected vocab
-    # slice) but expensive plans (agg + crossJoin + 4 exceptAll), and
-    # they fan out into 4+ downstream branches. A plain reference
-    # re-derives the whole subtree per branch (~80 near-empty shuffle
-    # stages of scheduler overhead measured at sf0.1 — 46 s for 37
-    # output rows); cache() would keep the logical plan AND leak (no
-    # unpersist point in this function). lazy localCheckpoint pins each
-    # to ONE RDD, so every branch shares a single materialization and
-    # the blocks are freed when the handle is GC'd.
-    keep_old = _keep(old_postings).localCheckpoint(eager=False)
-    keep_new = _keep(new_postings).localCheckpoint(eager=False)
+    # affected/keep_new are SMALL term lists but fan out into 4+
+    # downstream branches. A plain reference re-derives the whole
+    # subtree per branch (~80 near-empty shuffle stages of scheduler
+    # overhead measured at sf0.1 — 46 s for 37 output rows); cache()
+    # would keep the logical plan AND leak (no unpersist point in this
+    # function). lazy localCheckpoint pins each to ONE RDD, so every
+    # branch shares a single materialization and the blocks are freed
+    # when the handle is GC'd.
     touched_terms = (
         old_postings.join(changed, "doc_id")
         .select("term")
         .unionByName(new_postings.join(changed, "doc_id").select("term"))
         .distinct()
     )
-    flipped = keep_old.exceptAll(keep_new).unionByName(
-        keep_new.exceptAll(keep_old)
-    ).distinct()
-    affected = (
-        touched_terms.unionByName(flipped).distinct().localCheckpoint(eager=False)
+    if max_df_ratio is None:
+        # no guard → "guard membership" is vocabulary membership, and a
+        # term can only appear in / vanish from the vocabulary via a
+        # changed doc — flips are a subset of touched_terms already
+        affected = touched_terms.localCheckpoint(eager=False)
+    else:
+        # guard-flip detection in ONE pass over the OLD dfreq instead
+        # of old/new keep sets + a double exceptAll: an UNtouched term
+        # has df_new = df_old, so its keep flag flips iff df_old lands
+        # between max_df_ratio·n_old and max_df_ratio·n_new (the doc
+        # count moved under it). Touched terms this band test may also
+        # emit are harmless — they are unioned into the affected set
+        # regardless.
+        dfreq_old = old_postings.groupBy("term").agg(
+            F.count("*").alias("_df")
+        )
+        n_old = old_postings.select(
+            F.countDistinct("doc_id").alias("_n_old")
+        )
+        n_new = new_postings.select(
+            F.countDistinct("doc_id").alias("_n_new")
+        )
+        flipped = (
+            dfreq_old.crossJoin(F.broadcast(n_old))
+            .crossJoin(F.broadcast(n_new))
+            .where(
+                (F.col("_df") <= F.lit(max_df_ratio) * F.col("_n_old"))
+                != (F.col("_df") <= F.lit(max_df_ratio) * F.col("_n_new"))
+            )
+            .select("term")
+        )
+        affected = (
+            touched_terms.unionByName(flipped)
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    keep_new = (
+        None
+        if max_df_ratio is None
+        else _guard_keep(new_postings, max_df_ratio).localCheckpoint(
+            eager=False
+        )
     )
 
     # carried: stored pairs with BOTH sides unaffected (dot, norms and
