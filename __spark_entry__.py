@@ -16431,3 +16431,92 @@ SELECT max(n)::BIGINT AS n,
          AS dof,
        sum(term)::BIGINT AS chi2_e6
 FROM terms"""
+
+
+# ------------------------------------------------ Zipf corpus-health fit
+# One scalar pair (slope, intercept) profiling the whole index: OLS of
+# ln(count) on ln(rank) over the term vocabulary (Zipf 1949, slope ≈ −1
+# for healthy natural text; template spam / failed dedup / OCR noise
+# all bend it). Ranking comes from the count-distribution (intra-count
+# window + distribution-sized cumulative), never a vocabulary-sized
+# single-partition sort; all five OLS sums are integer-exact
+# (decimal(38,0) / HUGEINT), so the fit is bit-stable at any
+# parallelism.
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.profile import zipf_fit
+
+    return zipf_fit(_postings(spark, sf_dir).cache())
+
+
+_TRAINING_QUERIES["zipf_fit"] = q_zipf_fit
+_TRAINING_ORACLES["zipf_fit"] = f"""WITH {_POSTINGS_BODY},
+counts AS (
+  SELECT term, sum(tf)::BIGINT AS c FROM postings GROUP BY term
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, term)::BIGINT AS rank
+  FROM counts
+),
+xy AS (
+  SELECT floor(1000000.0 * ln(rank::DOUBLE))::BIGINT AS x,
+         floor(1000000.0 * ln(c::DOUBLE))::BIGINT AS y
+  FROM ranked
+),
+sums AS (
+  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
+  FROM xy
+)
+SELECT n AS n_terms,
+       CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx = 0 THEN NULL
+            ELSE round((n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+                       / (n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE, 6)
+       END AS slope,
+       CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx = 0 THEN NULL
+            ELSE round((sy::DOUBLE / n - ((n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+                        / (n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE)
+                        * (sx::DOUBLE / n)) / 1000000.0, 6)
+       END AS intercept
+FROM sums"""
+
+
+# ------------------------------------------------ eval-set novelty audit
+# The complement of decontaminate: instead of flagging TRAINING docs
+# that leak the eval set, score every EVAL doc by how much of it the
+# training corpus already contains (novelty_e6 = 1e6 · unseen shingles
+# / own shingles, exact integer div). An eval doc at novelty ≈ 0
+# measures memorization, not capability — the audit run before a
+# benchmark number is trusted. Same 60-bit-hashed word-3-gram shingles
+# as the dedup tier; both join sides stay distributed (the train
+# shingle set is the big one), shuffle keyed by shingle hash.
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.dedup import shingle_novelty
+
+    docs = _docs_flat(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 29 == 0)
+    tr = docs.where(F.col("doc_id") % 29 != 0)
+    return shingle_novelty(tr, ev, k=3)
+
+
+_TRAINING_QUERIES["ngram_novelty"] = q_ngram_novelty
+_TRAINING_ORACLES["ngram_novelty"] = f"""WITH {_SHINGLES_CTE},
+tr AS (SELECT DISTINCT sh FROM shingle_rows WHERE id % 29 <> 0),
+ev AS (SELECT id, sh FROM shingle_rows WHERE id % 29 = 0),
+per AS (
+  SELECT ev.id, count(*)::BIGINT AS n_sh,
+         sum(CASE WHEN tr.sh IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_novel
+  FROM ev LEFT JOIN tr ON tr.sh = ev.sh
+  GROUP BY ev.id
+)
+SELECT d.doc_id AS id,
+       coalesce(per.n_sh, 0)::BIGINT AS n_shingles,
+       coalesce(per.n_novel, 0)::BIGINT AS n_novel,
+       (CASE WHEN coalesce(per.n_sh, 0) > 0
+             THEN (per.n_novel * 1000000) // per.n_sh
+             ELSE 0 END)::BIGINT AS novelty_e6
+FROM documents d LEFT JOIN per ON per.id = d.doc_id
+WHERE d.doc_id % 29 = 0"""

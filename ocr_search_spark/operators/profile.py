@@ -622,6 +622,100 @@ def cusum_series(
 # ------------------------------------------------ Holt forecasting
 
 
+def zipf_fit(postings: DataFrame) -> DataFrame:
+    """One row (n_terms, slope, intercept) — ZIPF rank-frequency fit
+    over the term vocabulary: OLS of ln(count) on ln(rank). A healthy
+    natural-language corpus sits near slope ≈ −1 (Zipf 1949); template
+    spam flattens the head, boilerplate dedup failures fatten it, OCR
+    noise fattens the tail — one scalar pair that profiles the whole
+    index (the corpus-health diagnostic the reference's term_freqs
+    table could support but never computes,
+    /root/reference/src/DbInterface/DbInterface.class.js:366-381).
+
+    Pinned exactness: x = floor(1e6·ln rank) and y = floor(1e6·ln c)
+    as BIGINTs; the five OLS sums (n, Σx, Σy, Σxy, Σx²) in exact
+    decimal(38,0) (HUGEINT oracle-side); slope = cast-to-double of the
+    exact numerator/denominator, round 6 — deterministic at any
+    parallelism because every sum is integer-exact.
+
+    Scale shape: ranking avoids a vocabulary-sized single-partition
+    sort — ranks come from the COUNT-DISTRIBUTION: rank(t) =
+    (# terms with larger count) + intra-count row_number. The
+    intra-count window partitions by count (parallel), and the
+    count-level cumulative runs over the DISTINCT-count table, which
+    is distribution-sized (thousands of rows for any corpus), not
+    vocabulary-sized. The OLS reduction is one scalar aggregate."""
+    from pyspark.sql import Window as W
+
+    counts = postings.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("c")
+    )
+    hist = counts.groupBy("c").agg(F.count("*").cast("long").alias("_m"))
+    cum = hist.withColumn(
+        "_before",
+        F.coalesce(
+            F.sum("_m").over(
+                W.orderBy(F.desc("c")).rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    ranked = (
+        counts.withColumn(
+            "_i",
+            F.row_number().over(W.partitionBy("c").orderBy("term")),
+        )
+        .join(cum.select("c", "_before"), "c")
+        .select(
+            "c", (F.col("_before") + F.col("_i")).cast("long").alias("rank")
+        )
+    )
+    xy = ranked.select(
+        F.floor(F.lit(1_000_000.0) * F.log(F.col("rank").cast("double")))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.lit(1_000_000.0) * F.log(F.col("c").cast("double")))
+        .cast("long")
+        .alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    sums = xy.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("sxx"),
+    )
+    num = F.col("n").cast(d38) * F.col("sxy") - F.col("sx").cast(
+        d38
+    ) * F.col("sy")
+    den = F.col("n").cast(d38) * F.col("sxx") - F.col("sx").cast(
+        d38
+    ) * F.col("sx")
+    slope_raw = num.cast("double") / den.cast("double")
+    # den = 0 ⟺ every term shares one rank-x (≤1 term): no fit, nulls
+    return sums.select(
+        F.col("n").alias("n_terms"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(slope_raw, 6))
+        .alias("slope"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (
+                    F.col("sy").cast("double") / F.col("n")
+                    - slope_raw * (F.col("sx").cast("double") / F.col("n"))
+                )
+                / 1_000_000.0,
+                6,
+            )
+        )
+        .alias("intercept"),
+    )
+
+
 def holt_forecast(
     series: DataFrame,
     key_cols: list[str],

@@ -373,6 +373,62 @@ def contamination(
     )
 
 
+def shingle_novelty(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-eval-doc NOVELTY against the training corpus: (id,
+    n_shingles, n_novel, novelty_e6) for every eval doc, where
+    novelty_e6 = 1e6·(shingles NOT present anywhere in train) / own
+    shingles (exact integer div; 0 for shingle-less docs).
+
+    :func:`contamination` answers "which TRAINING docs leak the eval
+    set" (a boolean per training doc); this is the complementary
+    memorization-risk audit — "how much of each EVAL doc is already in
+    the training data". An eval doc at novelty ≈ 0 measures recall of
+    training text, not capability; held-out splits are routinely
+    audited this way before a benchmark number is trusted.
+
+    Shingles are the 60-bit-hashed word-k-grams of :func:`shingle_rows`
+    (per-doc distinct pre-hash; the oracle replays the same hash, so
+    collision behavior is bit-identical). Scale shape: the train
+    shingle set is deduplicated then equi-joined — shuffle keyed by
+    shingle hash with partial aggregation, cost ∝ corpus shingles,
+    never pairs; unlike contamination's broadcast-eval shape, BOTH
+    sides here stay distributed (the train side is the big one)."""
+    tr = shingle_rows(train, text_col, id_col, k).select("sh").distinct()
+    ev = shingle_rows(eval_docs, text_col, id_col, k)
+    per = (
+        ev.join(tr.withColumn("_seen", F.lit(1)), "sh", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("_novel"),
+        )
+    )
+    return (
+        eval_docs.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select(
+            "id",
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.coalesce("_n", F.lit(0)) > 0,
+                F.expr("_novel * 1000000 div _n"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("novelty_e6"),
+        )
+    )
+
+
 # ------------------------------------------------- connected components
 
 

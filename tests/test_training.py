@@ -2454,3 +2454,83 @@ def test_matryoshka_overlap_bounds_and_full_dim_identity(spark):
     import pytest
     with pytest.raises(ValueError):
         matryoshka_overlap(df, q, dims=[])
+
+
+def test_shingle_novelty_matrix(spark, small_docs):
+    """Copy of a train doc → novelty 0; disjoint vocabulary → 1e6;
+    <k words → zero shingles and defined-zero novelty; counts match a
+    semantic replica; partition-invariant."""
+    ev = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog"),  # = train 1
+            (102, "zebra xylophone quartz vortex jackal umbra nadir"),
+            (103, "two words"),
+            (104, "the quick brown fox jumps over distant green hills"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in dedup.shingle_novelty(small_docs, ev, k=3).collect()
+    }
+    assert set(out) == {101, 102, 103, 104}
+    assert out[101]["n_shingles"] == 7 and out[101]["n_novel"] == 0
+    assert out[101]["novelty_e6"] == 0
+    assert out[102]["n_shingles"] == 5 and out[102]["n_novel"] == 5
+    assert out[102]["novelty_e6"] == 1_000_000
+    assert out[103]["n_shingles"] == 0 and out[103]["novelty_e6"] == 0
+    # 104 shares 'the quick brown'..'jumps over' prefix 3-grams with
+    # train doc 1: shingles = 7 total, novel = the 3 involving
+    # 'distant'/'green'/'hills'
+    assert out[104]["n_shingles"] == 7 and out[104]["n_novel"] == 3
+    assert out[104]["novelty_e6"] == 3 * 1_000_000 // 7
+    # partition invariance
+    out2 = {
+        r["id"]: r["novelty_e6"]
+        for r in dedup.shingle_novelty(
+            small_docs.repartition(5), ev.repartition(3), k=3
+        ).collect()
+    }
+    assert out2 == {k: v["novelty_e6"] for k, v in out.items()}
+
+
+def test_zipf_fit_exact_ols_replica(spark):
+    """The fit equals a pure-Python replica of the pinned integer OLS
+    (floor-1e6-ln x/y, exact sums), is partition-invariant, and a
+    single-term vocabulary yields null slope/intercept."""
+    from ocr_search_spark.operators.profile import zipf_fit
+
+    rows = []
+    counts = [400, 190, 120, 90, 70, 55, 44, 37, 30, 11]
+    for i, c in enumerate(counts):
+        # spread each term's total over a few (doc, tf) postings rows
+        rows += [(f"t{i:02d}", d, c // 2 if d == 0 else c - c // 2)
+                 for d in (0, 1)]
+    post = spark.createDataFrame(rows, "term string, doc_id long, tf long")
+    got = zipf_fit(post.repartition(7)).collect()[0]
+    # replica: ranks by (count desc, term asc)
+    ranked = sorted(
+        [(f"t{i:02d}", c) for i, c in enumerate(counts)],
+        key=lambda tc: (-tc[1], tc[0]),
+    )
+    xy = [
+        (math.floor(1e6 * math.log(r + 1)), math.floor(1e6 * math.log(c)))
+        for r, (_, c) in enumerate(ranked)
+    ]
+    n = len(xy)
+    sx = sum(x for x, _ in xy)
+    sy = sum(y for _, y in xy)
+    sxy = sum(x * y for x, y in xy)
+    sxx = sum(x * x for x, _ in xy)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy / n - slope * (sx / n)) / 1e6
+    assert got["n_terms"] == n
+    assert got["slope"] == round(slope, 6)
+    assert got["intercept"] == round(intercept, 6)
+    assert -2.0 < got["slope"] < -0.3  # zipf-shaped input
+    one = spark.createDataFrame(
+        [("only", 0, 5)], "term string, doc_id long, tf long"
+    )
+    got1 = zipf_fit(one).collect()[0]
+    assert got1["n_terms"] == 1
+    assert got1["slope"] is None and got1["intercept"] is None
