@@ -1884,8 +1884,9 @@ _GATE_PRIORITY = [
 #     kendall_tau rank_sum_test chi_square_independence holt_forecast
 #     source_regression
 #   click models (3): click_coec query_reformulations interleave_credit
-# Leaving 64 for round 7: events/time-series tier, embeddings/encoding
-# leftovers, packing/sampling, corpus profiling, crawl ops singletons.
+# Leaving 66 for round 7: events/time-series tier, embeddings/encoding
+# leftovers, packing/sampling, corpus profiling, crawl ops singletons,
+# plus the two round-5 additions (zipf_fit, ngram_novelty).
 
 
 def _prioritized(full: dict) -> dict:
