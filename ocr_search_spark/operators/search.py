@@ -1583,7 +1583,10 @@ def match_terms_prf(
       both passes' saturation terms;
     * one broadcast semi-join pulling the posting lists of the
       feedback docs' vocabulary (``fbv_post``, eagerly checkpointed —
-      bounded by Σ df over the feedback vocabulary). Candidate df,
+      bounded by Σ df over the feedback vocabulary; the broadcast
+      vocabulary itself is ≤ fb_docs · max-doc-vocab — bounded by the
+      program-literal fb_docs and the extraction pipeline's mega-doc
+      split, never by the corpus). Candidate df,
       candidate Rocchio weights AND the pass-2 expansion rows are all
       served from this one materialization, and the fb_terms winners
       flow into pass 2 as a broadcast of the LIMIT plan itself — the
