@@ -424,3 +424,71 @@ def test_anchor_boosted_postings(spark):
     # the boost flips the ranking for a "table"-term query
     top = match_terms(boosted, ["table"], max_return=2).collect()
     assert [(r.doc_id, r.score) for r in top] == [("d2", 7), ("d1", 5)]
+
+
+def test_incremental_correlations_guard_flip_fuzz(spark):
+    """Seeded randomized IVM equivalence sweep aimed at the df-guard
+    FLIP boundary: corpora where the doc count moves under an untouched
+    term's df (deletes shrink n, adds grow it), ratios chosen to land
+    exactly ON df/n thresholds, plus degenerate shapes (touch-nothing,
+    touch-everything, vocabulary wipe). incremental == full recompute
+    for every case, both guard arms."""
+    import random
+
+    from ocr_search_spark.operators import correlate
+
+    def build(rng, n_docs, n_terms):
+        rows = []
+        for d in range(n_docs):
+            for t in rng.sample(range(n_terms), rng.randint(1, n_terms)):
+                rows.append((f"t{t:02d}", f"d{d:03d}", rng.randint(1, 4)))
+        return rows
+
+    cases = [
+        # (seed, n_docs, n_terms, n_delete, n_add, n_modify, ratios)
+        (1, 12, 8, 3, 0, 2, (0.25, 3 / 12, 3 / 9)),   # shrink: n 12→9
+        (2, 10, 6, 0, 5, 1, (0.3, 3 / 10, 3 / 15)),   # grow: n 10→15
+        (3, 8, 5, 2, 2, 8, (None, 0.5)),              # touch everything
+        (4, 9, 7, 0, 0, 0, (None, 0.4)),              # empty change set
+        (5, 6, 4, 6, 3, 0, (None, 0.5)),              # full wipe + re-add
+    ]
+    r9 = lambda df: df.select(  # noqa: E731
+        "term1", "term2", F.round("tcr", 9).alias("tcr")
+    )
+    for seed, n_docs, n_terms, n_del, n_add, n_mod, ratios in cases:
+        rng = random.Random(seed)
+        old_rows = build(rng, n_docs, n_terms)
+        doomed = {f"d{d:03d}" for d in rng.sample(range(n_docs), n_del)}
+        modded = {
+            f"d{d:03d}"
+            for d in rng.sample(range(n_docs), n_mod)
+        } - doomed
+        new_rows = []
+        for term, doc, tf in old_rows:
+            if doc in doomed:
+                continue
+            if doc in modded and rng.random() < 0.5:
+                if rng.random() < 0.5:
+                    continue  # drop this (term, doc) posting
+                tf = tf + rng.randint(1, 3)  # retune tf
+            new_rows.append((term, doc, tf))
+        added = set()
+        for a in range(n_add):
+            doc = f"a{a:03d}"
+            added.add(doc)
+            for t in rng.sample(range(n_terms), rng.randint(1, n_terms)):
+                new_rows.append((f"t{t:02d}", doc, rng.randint(1, 4)))
+        changed = sorted(doomed | modded | added)
+        schema = "term string, doc_id string, tf long"
+        p_old = spark.createDataFrame(old_rows, schema).cache()
+        p_new = spark.createDataFrame(new_rows, schema).cache()
+        ch = spark.createDataFrame([(d,) for d in changed] or [("",)],
+                                   "doc_id string")
+        for ratio in ratios:
+            stored = correlate.term_correlations(p_old, max_df_ratio=ratio)
+            inc = correlate.incremental_correlations(
+                p_old, p_new, ch, stored, max_df_ratio=ratio
+            )
+            full = correlate.term_correlations(p_new, max_df_ratio=ratio)
+            assert r9(inc).exceptAll(r9(full)).count() == 0, (seed, ratio)
+            assert r9(full).exceptAll(r9(inc)).count() == 0, (seed, ratio)
