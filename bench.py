@@ -309,6 +309,9 @@ def main() -> None:
         "blocking_quality",
         "homoglyph_fold",
         "kmeanspp_seeds",
+        # round-5 additions
+        "zipf_fit",
+        "ngram_novelty",
     ]
     load_before_ext = _load1()
     times_ext: dict[str, float] = {}
