@@ -1886,7 +1886,8 @@ _GATE_PRIORITY = [
 #   click models (3): click_coec query_reformulations interleave_credit
 # Leaving 66 for round 7: events/time-series tier, embeddings/encoding
 # leftovers, packing/sampling, corpus profiling, crawl ops singletons,
-# plus the two round-5 additions (zipf_fit, ngram_novelty).
+# plus the three round-5 additions (zipf_fit, ngram_novelty,
+# wav_energy_segments).
 
 
 def _prioritized(full: dict) -> dict:
@@ -16521,3 +16522,118 @@ SELECT d.doc_id AS id,
              ELSE 0 END)::BIGINT AS novelty_e6
 FROM documents d LEFT JOIN per ON per.id = d.doc_id
 WHERE d.doc_id % 29 = 0"""
+
+
+# ------------------------------------------------ WAV activity segments
+# The VAD pre-filter of an audio training pipeline (multimodal.
+# energy_segments): real RIFF/PCM decode → exact-integer frame energies
+# → threshold runs → segments. Fixture clips are BUILT from known
+# silence/active blocks at both bit depths and channel counts (block
+# amplitudes exactly representable on the PCM grid), so the expected
+# segment table is computed from the pre-encoding integer arrays with
+# the operator's own pinned formulas — encode → Spark decode → segment
+# must reproduce it bit-for-bit, tail partial frames and an
+# undecodable payload included.
+
+_VAD_FRAME = 160
+_VAD_THRESH = 10_000
+
+
+def _vad_fixture():
+    import numpy as np
+
+    from ocr_search_spark.training.wav import encode_wav
+
+    def blocks_to_samples(blocks, ch):
+        # blocks: list of (n_samples, amplitude) — amplitude on the
+        # 16-bit grid (exact at 8-bit too when a multiple of 256)
+        parts = [np.full((n, ch), a / 32768.0) for n, a in blocks]
+        return np.concatenate(parts) if parts else np.zeros((0, ch))
+
+    LOUD = 16384   # 0.5   → energy_e6 = 250000
+    QUIET = 2048   # 0.0625 → energy_e6 ≈ 3906 (below threshold)
+    cases = [
+        # (name, bits, ch, rate, blocks)
+        ("mono16", 16, 1, 16000, [
+            (320, 0), (480, LOUD), (320, QUIET), (160, LOUD), (80, 0),
+        ]),
+        ("stereo16", 16, 2, 8000, [
+            (160, LOUD), (160, 0), (160, LOUD), (200, LOUD),  # tail mid-frame
+        ]),
+        ("mono8", 8, 1, 8000, [
+            (480, QUIET),                      # never active
+        ]),
+        ("stereo8", 8, 2, 44100, [
+            (80, 0), (240, LOUD),              # active run off frame grid
+        ]),
+        ("empty", 16, 1, 8000, []),
+    ]
+    rows, expected = [], []
+    for name, bits, ch, rate, blocks in cases:
+        s = blocks_to_samples(blocks, ch)
+        rows.append((f"vad/{name}.wav", encode_wav(s, rate, bits=bits)))
+        # reference segmentation from the pre-encoding integer arrays,
+        # same pinned formulas as the operator
+        ints = np.rint(s * 32768.0).astype(np.int64)
+        mono = ints.sum(axis=1) if len(ints) else np.zeros(0, dtype=np.int64)
+        scale2 = (ch * 32768) ** 2
+        energies = [
+            (1_000_000 * int(np.dot(mono[i:i + _VAD_FRAME],
+                                    mono[i:i + _VAD_FRAME])))
+            // (len(mono[i:i + _VAD_FRAME]) * scale2)
+            for i in range(0, len(mono), _VAD_FRAME)
+        ]
+        i = seg = 0
+        while i < len(energies):
+            if energies[i] >= _VAD_THRESH:
+                j = i
+                while j < len(energies) and energies[j] >= _VAD_THRESH:
+                    j += 1
+                run = energies[i:j]
+                expected.append((f"vad/{name}.wav", seg, i, j - i,
+                                 max(run), sum(run) // len(run), None))
+                seg += 1
+                i = j
+            else:
+                i += 1
+    rows.append(("vad/broken.bin", b"definitely not a riff payload"))
+    expected.append(("vad/broken.bin", None, None, None, None, None,
+                     "not a WAV (bad RIFF/WAVE signature)"))
+    return rows, expected
+
+
+def q_wav_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.multimodal import energy_segments
+
+    ensure_shipped(spark)
+    rows, _ = _vad_fixture()
+    media = spark.createDataFrame(
+        [(ref, bytearray(p)) for ref, p in rows],
+        "media_ref string, payload binary",
+    ).repartition(3, "media_ref")
+    return energy_segments(
+        media, frame_len=_VAD_FRAME, threshold_e6=_VAD_THRESH
+    )
+
+
+def _vad_oracle() -> str:
+    _, expected = _vad_fixture()
+    vals = ",\n    ".join(
+        "('{}', {}, {}, {}, {}, {}, {})".format(
+            ref,
+            *("NULL" if v is None else v for v in (a, b, c, d, e)),
+            "NULL" if err is None else "'{}'".format(err.replace("'", "''")),
+        )
+        for ref, a, b, c, d, e, err in expected
+    )
+    return f"""SELECT media_ref,
+       seg_idx::INT AS seg_idx, start_frame::BIGINT AS start_frame,
+       n_frames::BIGINT AS n_frames, peak_e6::BIGINT AS peak_e6,
+       mean_e6::BIGINT AS mean_e6, error::VARCHAR AS error
+FROM (VALUES
+    {vals}
+) AS t(media_ref, seg_idx, start_frame, n_frames, peak_e6, mean_e6, error)"""
+
+
+_TRAINING_QUERIES["wav_energy_segments"] = q_wav_energy_segments
+_TRAINING_ORACLES["wav_energy_segments"] = _vad_oracle()

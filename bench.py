@@ -312,6 +312,7 @@ def main() -> None:
         # round-5 additions
         "zipf_fit",
         "ngram_novelty",
+        "wav_energy_segments",
     ]
     load_before_ext = _load1()
     times_ext: dict[str, float] = {}

@@ -2534,3 +2534,50 @@ def test_zipf_fit_exact_ols_replica(spark):
     got1 = zipf_fit(one).collect()[0]
     assert got1["n_terms"] == 1
     assert got1["slope"] is None and got1["intercept"] is None
+
+
+def test_energy_segments_vad(spark):
+    """Designed silence/active block clips: segment spans, tail partial
+    frames, mid-frame run starts, silent clips absent, undecodable
+    payloads carried as error rows; partition-invariant."""
+    import numpy as np
+
+    from ocr_search_spark.training.wav import encode_wav
+
+    loud, quiet = 16384 / 32768.0, 2048 / 32768.0
+    clip = np.concatenate([
+        np.zeros((320, 1)), np.full((480, 1), loud),
+        np.full((320, 1), quiet), np.full((160, 1), loud),
+    ])
+    media = spark.createDataFrame(
+        [
+            ("a.wav", bytearray(encode_wav(clip, 16000))),
+            ("silent.wav", bytearray(encode_wav(np.zeros((480, 1)), 8000))),
+            ("bad.bin", bytearray(b"nope")),
+        ],
+        "media_ref string, payload binary",
+    )
+    out = multimodal.energy_segments(media, frame_len=160,
+                                     threshold_e6=10_000)
+    rows = sorted(
+        ((r["media_ref"], r["seg_idx"], r["start_frame"], r["n_frames"],
+          r["peak_e6"], r["mean_e6"], r["error"]) for r in out.collect()),
+        key=lambda x: (x[0], x[1] if x[1] is not None else -1),
+    )
+    # constant 0.5 amplitude → energy exactly 250000 micros
+    assert rows == [
+        ("a.wav", 0, 2, 3, 250000, 250000, None),
+        ("a.wav", 1, 7, 1, 250000, 250000, None),
+        ("bad.bin", None, None, None, None, None,
+         "not a WAV (bad RIFF/WAVE signature)"),
+    ]
+    rows2 = sorted(
+        ((r["media_ref"], r["seg_idx"]) for r in multimodal.energy_segments(
+            media.repartition(4), frame_len=160, threshold_e6=10_000
+        ).collect()),
+        key=lambda x: (x[0], x[1] if x[1] is not None else -1),
+    )
+    assert rows2 == [(m, s) for m, s, *_ in rows]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        multimodal.energy_segments(media, frame_len=0)
