@@ -1886,8 +1886,8 @@ _GATE_PRIORITY = [
 #   click models (3): click_coec query_reformulations interleave_credit
 # Leaving 66 for round 7: events/time-series tier, embeddings/encoding
 # leftovers, packing/sampling, corpus profiling, crawl ops singletons,
-# plus the three round-5 additions (zipf_fit, ngram_novelty,
-# wav_energy_segments).
+# plus the four round-5 additions (zipf_fit, ngram_novelty,
+# wav_energy_segments, wav_resample_stats).
 
 
 def _prioritized(full: dict) -> dict:
@@ -16637,3 +16637,81 @@ FROM (VALUES
 
 _TRAINING_QUERIES["wav_energy_segments"] = q_wav_energy_segments
 _TRAINING_ORACLES["wav_energy_segments"] = _vad_oracle()
+
+
+# ------------------------------------------------ WAV resample gate
+# The audio twin of png_resize_stats: decode → pinned integer-grid
+# nearest-frame resample to 16 kHz → re-encode 16-bit → REAL re-decode →
+# waveform stats, verified against stats computed by replaying the same
+# integer grid on the pre-encoding arrays. Chains BOTH codec directions
+# and the transform in one gate entry.
+
+
+def q_wav_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.multimodal import (
+        decode_audio_real,
+        resample_audio,
+    )
+
+    ensure_shipped(spark)
+    fix = _wav_fixture()
+    media = spark.createDataFrame(
+        [(r["media_ref"], bytearray(r["payload"])) for r in fix],
+        "media_ref string, payload binary",
+    ).repartition(4, "media_ref")
+    res = resample_audio(media, out_rate=16000)
+    out = decode_audio_real(res.select("media_ref", "payload"))
+    return out.select(
+        "media_ref",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_frames",
+        F.col("n_channels").cast("long").alias("n_channels"),
+        "rms",
+        "zero_crossings",
+        "error",
+    )
+
+
+def _wav_resample_oracle() -> str:
+    import math as _math
+
+    import numpy as np
+
+    from ocr_search_spark.training.wav import decode_wav
+
+    rows = []
+    for r in _wav_fixture():
+        rate, s = decode_wav(bytes(r["payload"]))
+        n_in = s.shape[0]
+        n_out = (n_in * 16000) // rate
+        idx = (np.arange(n_out, dtype=np.int64) * rate) // 16000
+        out = s[idx] if n_out else s[:0]
+        # 16-bit re-encode round-trip is exact for these grids
+        mono = out.mean(axis=1) if len(out) else np.zeros(0)
+        rms = (
+            round(_math.sqrt(float((mono * mono).sum()) / len(mono)), 6)
+            if len(mono) else 0.0
+        )
+        zc = (
+            int(((mono[:-1] >= 0) != (mono[1:] >= 0)).sum())
+            if len(mono) > 1 else 0
+        )
+        rows.append(
+            (r["media_ref"], 16000, n_out, s.shape[1], rms, zc)
+        )
+    vals = ",\n    ".join(
+        f"('{ref}', {sr}, {nf}, {nc}, {rms!r}, {zc}, NULL)"
+        for ref, sr, nf, nc, rms, zc in rows
+    )
+    return f"""SELECT media_ref, sample_rate::BIGINT AS sample_rate,
+       n_frames::BIGINT AS n_frames, n_channels::BIGINT AS n_channels,
+       rms::DOUBLE AS rms, zero_crossings::BIGINT AS zero_crossings,
+       error::VARCHAR AS error
+FROM (VALUES
+    {vals}
+) AS t(media_ref, sample_rate, n_frames, n_channels, rms,
+       zero_crossings, error)"""
+
+
+_TRAINING_QUERIES["wav_resample_stats"] = q_wav_resample_stats
+_TRAINING_ORACLES["wav_resample_stats"] = _wav_resample_oracle()

@@ -313,6 +313,7 @@ def main() -> None:
         "zipf_fit",
         "ngram_novelty",
         "wav_energy_segments",
+        "wav_resample_stats",
     ]
     load_before_ext = _load1()
     times_ext: dict[str, float] = {}

@@ -405,6 +405,75 @@ def decode_image_real(media: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("in_rate", T.IntegerType(), True),
+        T.StructField("out_rate", T.IntegerType(), True),
+        T.StructField("n_frames_in", T.LongType(), True),
+        T.StructField("n_frames_out", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def _resample_audio_iter(out_rate: int):
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .wav import decode_wav, encode_wav
+
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                try:
+                    rate, s = decode_wav(bytes(payload))
+                    n_in = s.shape[0]
+                    n_out = (n_in * out_rate) // rate
+                    idx = (np.arange(n_out, dtype=np.int64) * rate) // out_rate
+                    out = s[idx] if n_out else s[:0]
+                    rows.append(
+                        (
+                            ref, rate, out_rate, n_in, n_out,
+                            encode_wav(out, out_rate, bits=16), None,
+                        )
+                    )
+                except Exception as exc:
+                    rows.append((ref, None, None, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "in_rate", "out_rate", "n_frames_in",
+                    "n_frames_out", "payload", "error",
+                ],
+            )
+
+    return it
+
+
+def resample_audio(media: DataFrame, out_rate: int) -> DataFrame:
+    """Task-list audio RESAMPLE, real and byte-deterministic: WAV bytes
+    → decode (wav.py) → nearest-frame resample on the PINNED integer
+    grid ``src = (dst · in_rate) // out_rate`` (the audio twin of
+    :func:`resize_nearest`'s pixel grid — pure integer floor, no
+    interpolation, no floats) → RE-ENCODE as 16-bit PCM at ``out_rate``
+    (8-bit inputs promote losslessly: every 8-bit level sits exactly on
+    the 16-bit grid). The normalize-to-16kHz stage every ASR/audio
+    training pipeline runs before feature extraction, in the same
+    Arrow-batched mapInPandas slot as the decoders; undecodable
+    payloads carry their error per row (X2).
+
+    Output frame count is the floor ratio ``(n_in · out_rate) //
+    in_rate`` — exact, and output BYTES are identical on every
+    executor/platform (pytest asserts the round trip)."""
+    if out_rate < 1:
+        raise ValueError(f"out_rate must be >= 1, got {out_rate}")
+    return media.select("media_ref", "payload").mapInPandas(
+        _resample_audio_iter(out_rate), schema=AUDIO_RESAMPLE_SCHEMA
+    )
+
+
 VAD_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType(), False),

@@ -2581,3 +2581,48 @@ def test_energy_segments_vad(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         multimodal.energy_segments(media, frame_len=0)
+
+
+def test_resample_audio_grid_and_roundtrip(spark):
+    """Pinned integer-grid resample: exact output frame counts for up-
+    and down-sampling, byte-identical payloads across partitionings,
+    lossless 8->16-bit promotion, error rows for broken payloads."""
+    import numpy as np
+
+    from ocr_search_spark.training.wav import decode_wav, encode_wav
+
+    t = np.arange(800) / 8000.0
+    tone = (np.sin(2 * np.pi * 440 * t) * 0.5)[:, None]
+    tone = np.round(tone * 32768.0) / 32768.0  # pin to the PCM grid
+    lvl8 = np.full((100, 2), 64 / 128.0)       # exact at 8-bit
+    media = spark.createDataFrame(
+        [
+            ("tone.wav", bytearray(encode_wav(tone, 8000))),
+            ("lvl8.wav", bytearray(encode_wav(lvl8, 44100, bits=8))),
+            ("bad.bin", bytearray(b"nope")),
+        ],
+        "media_ref string, payload binary",
+    )
+    out = {r["media_ref"]: r for r in
+           multimodal.resample_audio(media, 16000).collect()}
+    assert out["tone.wav"]["n_frames_in"] == 800
+    assert out["tone.wav"]["n_frames_out"] == 1600          # upsample x2
+    assert out["lvl8.wav"]["n_frames_out"] == (100 * 16000) // 44100
+    assert out["bad.bin"]["error"] is not None
+    # upsampled tone: every src frame duplicated on the nearest grid
+    rate, s = decode_wav(bytes(out["tone.wav"]["payload"]))
+    assert rate == 16000 and s.shape == (1600, 1)
+    np.testing.assert_array_equal(s[::2], tone)
+    np.testing.assert_array_equal(s[1::2], tone)
+    # 8-bit constant promotes losslessly to the 16-bit grid
+    _, s8 = decode_wav(bytes(out["lvl8.wav"]["payload"]))
+    assert float(np.unique(s8)) == 64 / 128.0
+    # byte determinism across partitionings
+    out2 = {r["media_ref"]: bytes(r["payload"]) for r in
+            multimodal.resample_audio(media.repartition(5), 16000).collect()
+            if r["payload"] is not None}
+    assert out2 == {k: bytes(v["payload"]) for k, v in out.items()
+                    if v["payload"] is not None}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        multimodal.resample_audio(media, 0)
