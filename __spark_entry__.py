@@ -1886,8 +1886,8 @@ _GATE_PRIORITY = [
 #   click models (3): click_coec query_reformulations interleave_credit
 # Leaving 66 for round 7: events/time-series tier, embeddings/encoding
 # leftovers, packing/sampling, corpus profiling, crawl ops singletons,
-# plus the four round-5 additions (zipf_fit, ngram_novelty,
-# wav_energy_segments, wav_resample_stats).
+# plus the five round-5 additions (zipf_fit, ngram_novelty,
+# wav_energy_segments, wav_resample_stats, snapshot_orphan_cleanup).
 
 
 def _prioritized(full: dict) -> dict:
@@ -16715,3 +16715,34 @@ FROM (VALUES
 
 _TRAINING_QUERIES["wav_resample_stats"] = q_wav_resample_stats
 _TRAINING_ORACLES["wav_resample_stats"] = _wav_resample_oracle()
+
+
+# ------------------------------------------------ orphan-file GC
+# Iceberg remove_orphan_files as a first-class maintenance action:
+# crashed-write debris under data/ is deleted while EVERY manifest on
+# disk (live chain, tags, branches, staged WAP commits) keeps
+# protecting its files — no history expires, every version stays
+# readable. The entry plants stray parquet files beside two real
+# commits, sweeps, and asserts in-flight that exactly the strays went,
+# both versions still read, and the final read equals the oracle.
+
+
+def q_snapshot_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _snap_orders(spark, sf_dir)
+    t = _snap_table(spark, "orphan")
+    t.create(o.where(F.col("k") % 3 != 0))
+    t.append(o.where(F.col("k") % 3 == 0))
+    # plant crashed-write debris: parquet files no manifest references
+    o.limit(7).write.mode("overwrite").parquet(f"{t.data_dir}/c999")
+    n_stray = len([p for p in t._list_parquet(f"{t.data_dir}/c999")])
+    out = t.remove_orphans()
+    assert out["files"] == n_stray, (out, n_stray)
+    assert t.remove_orphans() == {"files": 0}  # idempotent
+    assert t.read(1).count() > 0  # full history still readable
+    return t.read(2).select("k", "ck", "status")
+
+
+_TRAINING_QUERIES["snapshot_orphan_cleanup"] = q_snapshot_orphan_cleanup
+_TRAINING_ORACLES["snapshot_orphan_cleanup"] = """SELECT o_orderkey AS k,
+       o_custkey AS ck, o_orderstatus AS status
+FROM orders"""

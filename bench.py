@@ -314,6 +314,7 @@ def main() -> None:
         "ngram_novelty",
         "wav_energy_segments",
         "wav_resample_stats",
+        "snapshot_orphan_cleanup",
     ]
     load_before_ext = _load1()
     times_ext: dict[str, float] = {}

@@ -1272,6 +1272,37 @@ class SnapshotTable:
                 n_files += 1
         return {"manifests": n_manifests, "files": n_files}
 
+    def remove_orphans(self) -> dict:
+        """Delete data files referenced by NO manifest — crashed-write
+        debris GC (Iceberg's ``remove_orphan_files``). Every manifest
+        on disk protects its files: the live chain, tagged and branch
+        snapshots, AND staged write-audit-publish commits (pending work
+        is not debris). Unlike :meth:`expire_snapshots`, no history is
+        dropped — every snapshot stays readable afterwards, and
+        referenced files are never touched (byte-identity is
+        pytest-asserted). Returns ``{"files": n_removed}``.
+
+        A production variant adds an age threshold so the sweep cannot
+        race a writer whose manifest is not yet committed; this table's
+        single-writer commit fence makes that window empty here."""
+        self._require_current()
+        fs = self._fs()
+        live: set[str] = set()
+        it = fs.listStatus(self._jpath(self.meta_dir))
+        for st in it:
+            name = st.getPath().getName()
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            m = self._manifest(int(name[1:-5]))
+            live.update(m["files"])
+            live.update(d["file"] for d in m.get("delete_files") or [])
+        n_files = 0
+        for rel in self._list_parquet(self.data_dir):
+            if rel not in live:
+                fs.delete(self._jpath(self._absolute(rel)), False)
+                n_files += 1
+        return {"files": n_files}
+
     def diff_versions(
         self, v_old: int, v_new: int, key_cols: list[str]
     ) -> DataFrame:

@@ -1610,3 +1610,42 @@ def test_catalog_time_travel_is_cross_table_consistent(spark, tmp_path):
     assert cat.read_at("a", post).count() == 2 == cat.read_at("b", post).count()
     with pytest.raises(ValueError, match="not in catalog"):
         cat.read_at("nope", post)
+
+
+def test_remove_orphans_gc_without_expiry(spark, tmp_path):
+    """Orphan GC deletes exactly the unreferenced debris: every
+    manifest on disk protects its files (live chain, rolled-past
+    versions, staged WAP commits), all versions stay readable, and
+    protected files are byte-identical afterwards. Idempotent."""
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    t.create(_df(spark, 0, 60, "base").repartition(3))
+    t.append(_df(spark, 60, 90, "wave2"))
+    staged = t.stage_append(_df(spark, 90, 100, "staged"))
+    # crashed-write debris in two shapes: a stray commit dir and a
+    # loose file at the data root
+    _df(spark, 0, 7, "junk").coalesce(1).write.parquet(
+        str(tmp_path / "snap" / "data" / "c777")
+    )
+    import shutil
+
+    src = glob.glob(str(tmp_path / "snap" / "data" / "c777" / "*.parquet"))[0]
+    shutil.copy(src, str(tmp_path / "snap" / "data" / "loose.parquet"))
+    n_junk = len(
+        glob.glob(
+            str(tmp_path / "snap" / "data" / "c777" / "*.parquet")
+        )
+    ) + 1
+    before = {
+        k: v
+        for k, v in _file_digests(str(tmp_path / "snap")).items()
+        if "c777" not in k and "loose.parquet" not in k
+    }
+    out = t.remove_orphans()
+    assert out == {"files": n_junk}
+    after = _file_digests(str(tmp_path / "snap"))
+    assert after == before  # protected files untouched, debris gone
+    assert t.remove_orphans() == {"files": 0}
+    assert t.read(1).count() == 60 and t.read(2).count() == 90
+    # the staged WAP commit survived the sweep and still publishes
+    t.publish(staged)
+    assert t.read().count() == 100
