@@ -1886,8 +1886,9 @@ _GATE_PRIORITY = [
 #   click models (3): click_coec query_reformulations interleave_credit
 # Leaving 66 for round 7: events/time-series tier, embeddings/encoding
 # leftovers, packing/sampling, corpus profiling, crawl ops singletons,
-# plus the five round-5 additions (zipf_fit, ngram_novelty,
-# wav_energy_segments, wav_resample_stats, snapshot_orphan_cleanup).
+# plus the six round-5 additions (zipf_fit, ngram_novelty,
+# wav_energy_segments, wav_resample_stats, snapshot_orphan_cleanup,
+# bpe_fertility).
 
 
 def _prioritized(full: dict) -> dict:
@@ -16746,3 +16747,59 @@ _TRAINING_QUERIES["snapshot_orphan_cleanup"] = q_snapshot_orphan_cleanup
 _TRAINING_ORACLES["snapshot_orphan_cleanup"] = """SELECT o_orderkey AS k,
        o_custkey AS ck, o_orderstatus AS status
 FROM orders"""
+
+
+# ------------------------------------------------ tokenizer fertility
+# The vocabulary-fairness audit (bpe.fertility_stats): learn the same
+# BPE merges as bpe_encode, encode the global distinct-word table once,
+# then join per-language word counts and aggregate pieces/words and
+# chars/pieces in exact integer micros. A vocab that is 3x more fertile
+# on one language starves it of effective context — this is the
+# per-language table read before a tokenizer ships. The oracle nests
+# the full bpe_encode replay as a CTE and aggregates identically.
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    ).where(F.col("word").rlike("^[a-z]+$"))
+    words = base.groupBy("word").agg(F.count("*").cast("long").alias("freq"))
+    by_lang = base.groupBy("lang", "word").agg(
+        F.count("*").cast("long").alias("freq")
+    )
+    merges = [
+        (r.sym_a, r.sym_b)
+        for r in BPE.learn_bpe_merges(words, _BPE_STEPS)
+        .orderBy("step")
+        .collect()
+    ]
+    enc = BPE.encode_words(words, merges)
+    return BPE.fertility_stats(by_lang, enc, group_col="lang")
+
+
+_TRAINING_QUERIES["bpe_fertility"] = q_bpe_fertility
+_TRAINING_ORACLES["bpe_fertility"] = f"""WITH enc AS (
+{_bpe_encode_oracle(_BPE_STEPS)}
+),
+wl AS (
+  SELECT lang, word, count(*)::BIGINT AS freq
+  FROM (
+    SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS word
+    FROM documents
+  )
+  WHERE regexp_full_match(word, '[a-z]+')
+  GROUP BY lang, word
+),
+agg AS (
+  SELECT wl.lang,
+         sum(wl.freq)::BIGINT AS n_words,
+         sum(wl.freq * enc.n_symbols)::BIGINT AS n_pieces,
+         sum(wl.freq * length(wl.word))::BIGINT AS n_chars
+  FROM wl JOIN enc ON enc.word = wl.word
+  GROUP BY wl.lang
+)
+SELECT lang, n_words, n_pieces, n_chars,
+       (n_pieces * 1000000 // n_words)::BIGINT AS fertility_e6,
+       (n_chars * 1000000 // n_pieces)::BIGINT AS compression_e6
+FROM agg"""

@@ -315,6 +315,7 @@ def main() -> None:
         "wav_energy_segments",
         "wav_resample_stats",
         "snapshot_orphan_cleanup",
+        "bpe_fertility",
     ]
     load_before_ext = _load1()
     times_ext: dict[str, float] = {}

@@ -127,3 +127,46 @@ def encode_words(word_freq: DataFrame, merges: list[tuple[str, str]]) -> DataFra
         )
     arr = F.filter(F.split("s", r"\|\|"), lambda x: x != "")
     return cur.select("word", "freq", arr.alias("symbols"))
+
+
+def fertility_stats(
+    grouped_words: DataFrame, encoded: DataFrame, group_col: str = "lang"
+) -> DataFrame:
+    """Per-group TOKENIZER FERTILITY — the standard subword-vocab
+    evaluation (how many pieces a word costs, how many chars a piece
+    buys): ``(group, n_words, n_pieces, n_chars, fertility_e6,
+    compression_e6)`` where fertility_e6 = 1e6·pieces/words and
+    compression_e6 = 1e6·chars/pieces, both exact integer div.
+
+    ``grouped_words`` is (group, word, freq) — per-group word counts;
+    ``encoded`` is :func:`encode_words`' output (the GLOBAL distinct-
+    word segmentation — encode once, join everywhere). A vocabulary
+    that is fair on one language and 3× fertile on another starves the
+    second of effective context length; this is the table that audit
+    reads per language/source before a vocab ships.
+
+    Scale shape: one broadcast-friendly equi-join on word (the distinct
+    vocabulary, ≪ corpus) + one grouped aggregate with partial
+    map-side combine; all arithmetic exact BIGINT."""
+    seg = encoded.select(
+        "word", F.size("symbols").cast("long").alias("_np")
+    )
+    j = grouped_words.join(seg, "word")
+    return (
+        j.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.sum("freq").cast("long").alias("n_words"),
+            F.sum(F.col("freq") * F.col("_np")).cast("long").alias("n_pieces"),
+            F.sum(F.col("freq") * F.length("word"))
+            .cast("long")
+            .alias("n_chars"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_words",
+            "n_pieces",
+            "n_chars",
+            F.expr("n_pieces * 1000000 div n_words").alias("fertility_e6"),
+            F.expr("n_chars * 1000000 div n_pieces").alias("compression_e6"),
+        )
+    )

@@ -159,3 +159,32 @@ def test_wordpiece_validation(spark):
         wordpiece_encode(df, ["a"], max_piece_len=0)
     with _pytest.raises(ValueError):
         wordpiece_encode(df, ["a"], max_word_len=0)
+
+
+def test_fertility_stats_exact(spark):
+    """Hand-checkable fertility: groups with known word counts and a
+    fixed segmentation give exact integer ratios; join drops words
+    absent from the encode table (never invents pieces)."""
+    from ocr_search_spark.training.bpe import fertility_stats
+
+    enc = spark.createDataFrame(
+        [("ab", 9, ["ab"]), ("abc", 9, ["ab", "c"]), ("dddd", 9, ["d"] * 4)],
+        "word string, freq long, symbols array<string>",
+    )
+    grouped = spark.createDataFrame(
+        [("en", "ab", 3), ("en", "abc", 1), ("zz", "dddd", 2),
+         ("zz", "missing", 5)],
+        "lang string, word string, freq long",
+    )
+    got = {r["lang"]: r for r in
+           fertility_stats(grouped, enc).collect()}
+    # en: words 4, pieces 3*1+1*2=5, chars 3*2+1*3=9
+    assert (got["en"]["n_words"], got["en"]["n_pieces"],
+            got["en"]["n_chars"]) == (4, 5, 9)
+    assert got["en"]["fertility_e6"] == 5 * 1_000_000 // 4
+    assert got["en"]["compression_e6"] == 9 * 1_000_000 // 5
+    # zz: 'missing' is not in the vocab table — dropped, not invented
+    assert (got["zz"]["n_words"], got["zz"]["n_pieces"],
+            got["zz"]["n_chars"]) == (2, 8, 8)
+    assert got["zz"]["fertility_e6"] == 4_000_000
+    assert got["zz"]["compression_e6"] == 1_000_000
