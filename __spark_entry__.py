@@ -1886,9 +1886,9 @@ _GATE_PRIORITY = [
 #   click models (3): click_coec query_reformulations interleave_credit
 # Leaving 66 for round 7: events/time-series tier, embeddings/encoding
 # leftovers, packing/sampling, corpus profiling, crawl ops singletons,
-# plus the six round-5 additions (zipf_fit, ngram_novelty,
+# plus the seven round-5 additions (zipf_fit, ngram_novelty,
 # wav_energy_segments, wav_resample_stats, snapshot_orphan_cleanup,
-# bpe_fertility).
+# bpe_fertility, ocr_confidence).
 
 
 def _prioritized(full: dict) -> dict:
@@ -16803,3 +16803,101 @@ SELECT lang, n_words, n_pieces, n_chars,
        (n_pieces * 1000000 // n_words)::BIGINT AS fertility_e6,
        (n_chars * 1000000 // n_pieces)::BIGINT AS compression_e6
 FROM agg"""
+
+
+# ------------------------------------------------ OCR confidence gate
+# The quality signal an extraction pipeline thresholds before trusting
+# OCR text (convert.ocr_png_confidence / ocrglyph.ocr_page_scored):
+# per-page glyph count, exact-template hits, and summed winning Hamming
+# distance. The entry renders clean pages, then flips EXACTLY ONE
+# provably-safe ink pixel per ≥2-glyph line (a pixel whose band row and
+# band column both keep ink — segmentation provably unchanged, the
+# damaged glyph classifies correctly at distance exactly 1 because the
+# font's pairwise template distance ≥ 4), so the expected confidence
+# table is computable from the word-chunk layout alone: dist_sum =
+# #lines with ≥2 glyphs, n_exact = n_glyphs − dist_sum.
+
+
+def _ocr_noise_iter(batches):
+    import numpy as np
+    import pandas as pd
+
+    from ocr_search_spark.training.png import decode_png, encode_png
+
+    for pdf in batches:
+        refs, outs = [], []
+        for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+            arr = decode_png(bytes(payload))
+            img = (arr[:, :, 0] if arr.ndim == 3 else arr).copy()
+            mask = img < 128
+            rows = np.flatnonzero(mask.any(axis=1))
+            bands, start, prev = [], rows[0], rows[0]
+            for r in rows[1:]:
+                if r > prev + 1:
+                    bands.append((start, prev))
+                    start = r
+                prev = r
+            bands.append((start, prev))
+            for y0, y1 in bands:
+                band = mask[y0 : y1 + 1]
+                cols = np.flatnonzero(band.any(axis=0))
+                n_runs = (1 + int((np.diff(cols) > 1).sum())) if len(cols) else 0
+                if n_runs < 2:
+                    continue  # no provably-safe flip; leave pristine
+                rowc, colc = band.sum(axis=1), band.sum(axis=0)
+                done = False
+                for r in range(band.shape[0]):
+                    if done or rowc[r] < 2:
+                        continue
+                    for c in np.flatnonzero(band[r]):
+                        if colc[c] >= 2:
+                            img[y0 + r, c] = 255
+                            done = True
+                            break
+            refs.append(ref)
+            outs.append(encode_png(img[:, :, None], 2))
+        yield pd.DataFrame({"media_ref": refs, "payload": outs})
+
+
+def q_ocr_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.operators.convert import ocr_png_confidence
+
+    ensure_shipped(spark)
+    payloads = _container_payloads(spark, sf_dir, "2").withColumnRenamed(
+        "doc_id", "media_ref"
+    )
+    noisy = payloads.mapInPandas(
+        _ocr_noise_iter, schema="media_ref string, payload binary"
+    )
+    out = ocr_png_confidence(noisy)
+    return out.select(
+        F.col("media_ref").alias("doc_id"),
+        F.expr(
+            "if(error IS NOT NULL,"
+            " raise_error(concat('OCR error: ', error)), n_lines)"
+        ).alias("n_lines"),
+        "n_glyphs",
+        "n_exact",
+        "dist_sum",
+    )
+
+
+_TRAINING_QUERIES["ocr_confidence"] = q_ocr_confidence
+_TRAINING_ORACLES["ocr_confidence"] = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS nw
+  FROM documents
+),
+lines AS (
+  SELECT c.doc_id, l.i,
+         array_to_string(list_slice(c.ws, l.i*4 + 1, least((l.i+1)*4, c.nw)), ' ') AS line
+  FROM (SELECT doc_id, unnest(range((nw + 3) // 4)) AS i FROM w) l
+  JOIN w c USING (doc_id)
+),
+per AS (SELECT doc_id, length(replace(line, ' ', '')) AS g FROM lines)
+SELECT doc_id, count(*)::BIGINT AS n_lines, sum(g)::BIGINT AS n_glyphs,
+       (sum(g) - sum(CASE WHEN g >= 2 THEN 1 ELSE 0 END))::BIGINT AS n_exact,
+       sum(CASE WHEN g >= 2 THEN 1 ELSE 0 END)::BIGINT AS dist_sum
+FROM per GROUP BY doc_id
+"""

@@ -316,6 +316,7 @@ def main() -> None:
         "wav_resample_stats",
         "snapshot_orphan_cleanup",
         "bpe_fertility",
+        "ocr_confidence",
     ]
     load_before_ext = _load1()
     times_ext: dict[str, float] = {}

@@ -40,6 +40,8 @@ __all__ = [
     "ocr_page",
     "render_line",
     "ocr_line",
+    "ocr_line_scored",
+    "ocr_page_scored",
     "render_page_at",
     "ocr_page_boxes",
 ]
@@ -229,31 +231,45 @@ def _templates() -> tuple[list[str], np.ndarray, np.ndarray, dict[bytes, str]]:
     return _TEMPLATES
 
 
-def _classify(seg: np.ndarray) -> str:
-    """Trimmed glyph segment → nearest-Hamming font char (ties: char order).
+def _classify_scored(seg: np.ndarray) -> tuple[str, int]:
+    """Trimmed glyph segment → (nearest-Hamming font char, distance).
 
-    Clean renders hit an exact-pattern dict (O(1)); noisy segments fall
-    back to one vectorized Hamming compare against the whole font, with
-    a width-difference penalty so narrow glyphs don't absorb wide ones.
-    """
+    Clean renders hit an exact-pattern dict (O(1), distance 0); noisy
+    segments fall back to one vectorized Hamming compare against the
+    whole font (plus a width-difference penalty so narrow glyphs don't
+    absorb wide ones) — the winning distance IS the per-glyph OCR
+    confidence signal (0 = template-perfect)."""
     chars, stack, widths, exact = _templates()
     h, w = seg.shape
     if h == GLYPH_H:
         hit = exact.get(seg.tobytes() + bytes([w]))
         if hit is not None:
-            return hit
+            return hit, 0
     a = np.zeros((GLYPH_H, _BOX_W), dtype=np.uint8)
     a[: min(h, GLYPH_H), : min(w, _BOX_W)] = seg[:GLYPH_H, :_BOX_W]
     d = (stack != a[None]).sum(axis=(1, 2)) + np.abs(widths - min(w, _BOX_W))
-    return chars[int(np.argmin(d))]
+    i = int(np.argmin(d))
+    return chars[i], int(d[i])
+
+
+def _classify(seg: np.ndarray) -> str:
+    return _classify_scored(seg)[0]
 
 
 def ocr_line(mask: np.ndarray) -> str:
     """(7, W) binary ink mask → recognized text with word spacing."""
+    return ocr_line_scored(mask)[0]
+
+
+def ocr_line_scored(mask: np.ndarray) -> tuple[str, int, int, int]:
+    """(7, W) binary ink mask → (text, n_glyphs, dist_sum, n_exact):
+    the recognized line plus its CONFIDENCE raw counts — glyphs
+    classified, total winning Hamming distance, and glyphs that hit a
+    font template exactly (distance 0)."""
     col_ink = mask.any(axis=0)
     cols = np.flatnonzero(col_ink)
     if len(cols) == 0:
-        return ""
+        return "", 0, 0, 0
     out: list[str] = []
     runs: list[tuple[int, int]] = []
     start = cols[0]
@@ -275,32 +291,52 @@ def ocr_line(mask: np.ndarray) -> str:
             merged.append((s, e))
     runs = merged
     last_end = None
+    n_glyphs = dist_sum = n_exact = 0
     for s, e in runs:
         if last_end is not None:
             gap = s - last_end - 1
             if gap >= 5:
                 out.append(" " * max(1, round((gap - 1) / PITCH)))
-        out.append(_classify(mask[:, s : e + 1]))
+        ch, d = _classify_scored(mask[:, s : e + 1])
+        out.append(ch)
+        n_glyphs += 1
+        dist_sum += d
+        n_exact += d == 0
         last_end = e
-    return "".join(out)
+    return "".join(out), n_glyphs, dist_sum, n_exact
 
 
 def ocr_page(img: np.ndarray) -> list[str]:
     """uint8 grayscale page → recognized lines (threshold at 128)."""
+    return ocr_page_scored(img)[0]
+
+
+def ocr_page_scored(img: np.ndarray) -> tuple[list[str], int, int, int]:
+    """uint8 grayscale page → (lines, n_glyphs, dist_sum, n_exact):
+    recognition plus page-level CONFIDENCE raw counts (Σ over lines of
+    :func:`ocr_line_scored`) — the per-page quality signal an
+    extraction pipeline thresholds before trusting OCR text."""
     if img.ndim == 3:
         img = img.mean(axis=2)
     mask = (img < 128).astype(np.uint8)
     row_ink = mask.any(axis=1)
     rows = np.flatnonzero(row_ink)
     if len(rows) == 0:
-        return []
+        return [], 0, 0, 0
     lines: list[str] = []
-    start = rows[0]
-    prev = rows[0]
+    n_glyphs = dist_sum = n_exact = 0
+    bands: list[tuple[int, int]] = []
+    start = prev = rows[0]
     for r in rows[1:]:
         if r > prev + 1:
-            lines.append(ocr_line(mask[start : prev + 1]))
+            bands.append((start, prev))
             start = r
         prev = r
-    lines.append(ocr_line(mask[start : prev + 1]))
-    return lines
+    bands.append((start, prev))
+    for y0, y1 in bands:
+        t, g, d, x = ocr_line_scored(mask[y0 : y1 + 1])
+        lines.append(t)
+        n_glyphs += g
+        dist_sum += d
+        n_exact += x
+    return lines, n_glyphs, dist_sum, n_exact

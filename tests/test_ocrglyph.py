@@ -143,3 +143,38 @@ def test_ocr_layout_boxes_operator(spark):
     assert rows[("d1", 1)]["text"] == "col b" and rows[("d1", 1)]["x"] == 120
     assert rows[("d1", 0)]["y"] == 4
     assert rows[("bad", None)]["error"] is not None
+
+
+def test_scored_ocr_confidence_counts():
+    """Scored OCR: clean renders are all exact-template hits; a single
+    safe bit flip costs distance exactly 1 on exactly one glyph and
+    leaves recognition intact; the page aggregate sums lines."""
+    import numpy as np
+
+    from ocr_search_spark.training.ocrglyph import (
+        ocr_page,
+        ocr_page_scored,
+        render_page,
+    )
+
+    img = render_page(["hello world", "spark 42"])
+    lines, g, d, x = ocr_page_scored(img)
+    assert lines == ["hello world", "spark 42"]
+    assert (g, d, x) == (17, 0, 17)
+    # flip one safe ink pixel (band row and band column both keep ink)
+    noisy = img.copy()
+    mask = noisy < 128
+    flipped = False
+    for r in range(mask.shape[0]):
+        if flipped or mask[r].sum() < 2:
+            continue
+        for c in np.flatnonzero(mask[r]):
+            if mask[:, c].sum() >= 2:
+                noisy[r, c] = 255
+                flipped = True
+                break
+    assert flipped
+    lines2, g2, d2, x2 = ocr_page_scored(noisy)
+    assert lines2 == lines and g2 == 17
+    assert d2 == 1 and x2 == 16
+    assert ocr_page(noisy) == lines  # unscored wrapper agrees
