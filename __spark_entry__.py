@@ -16901,3 +16901,136 @@ SELECT doc_id, count(*)::BIGINT AS n_lines, sum(g)::BIGINT AS n_glyphs,
        sum(CASE WHEN g >= 2 THEN 1 ELSE 0 END)::BIGINT AS dist_sum
 FROM per GROUP BY doc_id
 """
+
+
+# ------------------------------------------------- round-5 session 2
+# Three audit/export operators rounding out the training-pipeline ops
+# surface: extraction-quality CER gate, export shard planning, and
+# reindex vocabulary-drift monitoring.
+
+
+def q_cer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-error-rate regression gate: golden text vs a candidate
+    extraction carrying three deterministic defect families (char
+    drops, substitutions, trailing insertions) plus dropped docs
+    (doc_id % 5 == 3 absent from the candidate → worst score, never
+    silently perfect)."""
+    from ocr_search_spark.training.textstats import char_error_rate
+
+    # widen before the O(len^2) levenshtein projection: the small-SF
+    # corpus is one input split, and a single-core DP over every doc
+    # pair serializes the whole audit (14.7 → ~4 s at sf0.01)
+    d = _widened(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id", "text")
+    m = F.col("doc_id") % 5
+    cand_text = (
+        F.when(m == 0, F.replace(F.col("text"), F.lit("e"), F.lit("")))
+        .when(m == 1, F.replace(F.col("text"), F.lit("a"), F.lit("o")))
+        .when(m == 2, F.concat(F.col("text"), F.lit(" xqz")))
+        .otherwise(F.col("text"))
+    )
+    cand = d.where(m != 3).select("doc_id", cand_text.alias("text"))
+    return char_error_rate(d, cand)
+
+
+_TRAINING_QUERIES["cer_audit"] = q_cer_audit
+_TRAINING_ORACLES["cer_audit"] = """WITH c AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN replace(text, 'e', '')
+              WHEN doc_id % 5 = 1 THEN replace(text, 'a', 'o')
+              WHEN doc_id % 5 = 2 THEN text || ' xqz'
+              ELSE text END AS ctext
+  FROM documents WHERE doc_id % 5 <> 3
+)
+SELECT d.doc_id,
+       (CASE WHEN c.doc_id IS NULL THEN -1
+             ELSE levenshtein(d.text, c.ctext) END)::BIGINT AS dist,
+       length(d.text)::BIGINT AS ref_len,
+       coalesce(length(c.ctext), -1)::BIGINT AS cand_len,
+       (CASE WHEN c.doc_id IS NULL THEN 1000000
+             ELSE (1000000 * levenshtein(d.text, c.ctext)) // length(d.text)
+        END)::BIGINT AS cer_micros
+FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id"""
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export-shard planning manifest: hash-bucketed next-fit packing
+    of docs into ~16k-char shards (see assembly.shard_manifest for the
+    scale argument — n_buckets independent running sums, never one)."""
+    from ocr_search_spark.training.assembly import shard_manifest
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    return shard_manifest(
+        d, key_col="doc_id", weight_col="n_chars",
+        target_weight=16_000, n_buckets=16,
+    )
+
+
+_TRAINING_QUERIES["shard_manifest"] = q_shard_manifest
+_TRAINING_ORACLES["shard_manifest"] = f"""WITH s AS (
+  SELECT doc_id, n_chars::BIGINT AS w,
+         ({_h60_sql("'pack:' || doc_id::VARCHAR")} % 16)::INT AS bucket
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w, bucket,
+         coalesce(sum(w) OVER (PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM s
+)
+SELECT bucket, (cum // 16000)::BIGINT AS file, count(*)::BIGINT AS n_docs,
+       sum(w)::BIGINT AS total_weight, min(doc_id)::BIGINT AS first_key,
+       max(doc_id)::BIGINT AS last_key
+FROM c GROUP BY 1, 2"""
+
+
+def q_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reindex vocabulary-drift audit: per-term df of two overlapping
+    index builds (flat_id%10 < 8 vs >= 2 — exercises new / vanished /
+    grew / shrunk / stable). Both builds are row-filters of ONE
+    postings table, so the tagged single-pass form applies: broadcast
+    the doc→(in_old, in_new) flags onto the postings stream and
+    aggregate once — the extraction lineage executes exactly once (the
+    two-semi-join form re-ran it per side: Catalyst pushes each
+    semi-join below the extract chain, defeating exchange reuse)."""
+    from ocr_search_spark.operators.maintenance import index_drift_flags
+
+    p = _postings(spark, sf_dir)
+    keys = _with_doc_key(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select(
+        "doc_key",
+        (F.col("flat_id") % 10 < 8).cast("int").alias("in_old"),
+        (F.col("flat_id") % 10 >= 2).cast("int").alias("in_new"),
+    )
+    tagged = p.join(
+        F.broadcast(keys), p["doc_id"] == keys["doc_key"]
+    ).select("term", "doc_id", "in_old", "in_new")
+    return index_drift_flags(tagged)
+
+
+_TRAINING_QUERIES["index_drift"] = q_index_drift
+_TRAINING_ORACLES["index_drift"] = f"""WITH {_POSTINGS_BODY},
+o AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df_old FROM postings
+  WHERE doc_id IN (SELECT doc_key FROM base WHERE flat_id % 10 < 8)
+  GROUP BY 1
+),
+n AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df_new FROM postings
+  WHERE doc_id IN (SELECT doc_key FROM base WHERE flat_id % 10 >= 2)
+  GROUP BY 1
+)
+SELECT coalesce(o.term, n.term) AS term,
+       coalesce(o.df_old, 0)::BIGINT AS df_old,
+       coalesce(n.df_new, 0)::BIGINT AS df_new,
+       (coalesce(n.df_new, 0) - coalesce(o.df_old, 0))::BIGINT AS delta,
+       CASE WHEN coalesce(o.df_old, 0) = 0 THEN 'new'
+            WHEN coalesce(n.df_new, 0) = 0 THEN 'vanished'
+            WHEN n.df_new > o.df_old THEN 'grew'
+            WHEN n.df_new < o.df_old THEN 'shrunk'
+            ELSE 'stable' END AS status
+FROM o FULL OUTER JOIN n ON o.term = n.term"""

@@ -317,6 +317,9 @@ def main() -> None:
         "snapshot_orphan_cleanup",
         "bpe_fertility",
         "ocr_confidence",
+        "cer_audit",
+        "shard_manifest",
+        "index_drift",
     ]
     load_before_ext = _load1()
     times_ext: dict[str, float] = {}

@@ -201,3 +201,58 @@ def postings_varint_stats(postings: DataFrame) -> DataFrame:
         F.sum(vb).cast("long").alias("bytes_varint"),
         (F.count("*") * 8).cast("long").alias("bytes_fixed"),
     )
+
+
+def index_drift(old_postings: DataFrame, new_postings: DataFrame) -> DataFrame:
+    """Term-level document-frequency drift between two index builds —
+    the vocabulary-health audit an operator reads after every reindex
+    (the reference rebuilds its Mongo postings blind on every sync,
+    DbInterface.class.js:236-251; it has no before/after comparison at
+    all, so a bad extractor release silently reshapes the index).
+
+    Input: two (term, doc_id, ...) posting sets. Output one row per
+    term in either build: (term, df_old, df_new, delta, status) with
+    status in {new, vanished, grew, shrunk, stable}.
+
+    Scale shape: the two sides union into ONE tagged stream (no join of
+    posting lists, no second pass over either input), collapse to
+    doc-level membership, then to per-term df — two partial-agg
+    shuffles total, both vocab/postings-bounded; driver holds nothing.
+    When both builds derive from one filtered source (the reindex-audit
+    case), prefer ``index_drift_flags`` — it reads the source ONCE.
+    """
+    tagged = old_postings.select(
+        "term", "doc_id", F.lit(1).alias("in_old"), F.lit(0).alias("in_new")
+    ).unionByName(
+        new_postings.select(
+            "term", "doc_id", F.lit(0).alias("in_old"), F.lit(1).alias("in_new")
+        )
+    )
+    per_doc = tagged.groupBy("term", "doc_id").agg(
+        F.max("in_old").alias("in_old"), F.max("in_new").alias("in_new")
+    )
+    return index_drift_flags(per_doc)
+
+
+def index_drift_flags(tagged: DataFrame) -> DataFrame:
+    """``index_drift`` over a single tagged posting set: input rows are
+    UNIQUE (term, doc_id) pairs carrying 0/1 ``in_old``/``in_new``
+    membership flags. One per-term aggregation (partial-agg map-side
+    combine → vocab-sized) — the shape to use when old and new builds
+    are row-filters of one postings table, so the expensive extraction
+    lineage executes exactly once."""
+    j = tagged.groupBy("term").agg(
+        F.sum("in_old").cast("long").alias("df_old"),
+        F.sum("in_new").cast("long").alias("df_new"),
+    )
+    delta = (F.col("df_new") - F.col("df_old")).cast("long")
+    status = (
+        F.when(F.col("df_old") == 0, F.lit("new"))
+        .when(F.col("df_new") == 0, F.lit("vanished"))
+        .when(delta > 0, F.lit("grew"))
+        .when(delta < 0, F.lit("shrunk"))
+        .otherwise(F.lit("stable"))
+    )
+    return j.where((F.col("df_old") > 0) | (F.col("df_new") > 0)).select(
+        "term", "df_old", "df_new", delta.alias("delta"), status.alias("status")
+    )

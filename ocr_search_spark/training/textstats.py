@@ -1482,3 +1482,53 @@ def psi_drift(
         F.sum("psi_e6").cast("long").alias("psi_e6"),
     )
     return per_bin.unionByName(total)
+
+
+def char_error_rate(
+    ref: DataFrame,
+    cand: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document character error rate of a candidate extraction
+    against a golden reference — the regression gate an OCR/extraction
+    release runs before it ships (the reference has no quality gate at
+    all: whatever tesseract emits is stored, TextUtil.class.js
+    extract_text path). CER = levenshtein / ref_len, reported in exact
+    integer micros so the audit is bit-reproducible cross-engine.
+
+    Output: (doc_id, dist, ref_len, cand_len, cer_micros); docs missing
+    from the candidate surface as dist = -1, cer_micros = 1_000_000
+    (worst score — a silently dropped page must not read as perfect).
+
+    Scale shape: ONE left join on the id (sort-merge or broadcast per
+    Catalyst stats) and a whole-stage-codegen projection. levenshtein
+    is the JVM built-in — O(len^2) per row on PAGE-sized strings, no
+    Python; at 10^12 docs the cost is linear in docs and embarrassingly
+    parallel (no shuffle beyond the join).
+    """
+    r = ref.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_ref"),
+    )
+    c = cand.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_cand"),
+    )
+    j = r.join(c, "doc_id", "left")
+    dist = F.when(F.col("_cand").isNull(), F.lit(-1)).otherwise(
+        F.levenshtein("_ref", "_cand")
+    )
+    ref_len = F.length("_ref").cast("long")
+    cer = F.when(F.col("dist") < 0, F.lit(1_000_000)).otherwise(
+        F.expr("(1000000 * CAST(dist AS BIGINT)) div ref_len")
+    )
+    return (
+        j.select(
+            "doc_id",
+            dist.cast("long").alias("dist"),
+            ref_len.alias("ref_len"),
+            F.coalesce(F.length("_cand"), F.lit(-1)).cast("long").alias("cand_len"),
+        )
+        .select("*", cer.cast("long").alias("cer_micros"))
+    )

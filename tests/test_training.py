@@ -2626,3 +2626,112 @@ def test_resample_audio_grid_and_roundtrip(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         multimodal.resample_audio(media, 0)
+
+
+# ------------------------------------------------- char_error_rate
+
+
+def test_char_error_rate_hand_cases(spark):
+    from ocr_search_spark.training.textstats import char_error_rate
+
+    ref = spark.createDataFrame(
+        [(0, "abcd"), (1, "abcd"), (2, "ab"), (3, "abcd")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(0, "abcd"), (1, "abxd"), (2, "b")],  # 3 dropped entirely
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in char_error_rate(ref, cand).collect()}
+    assert (out[0]["dist"], out[0]["cer_micros"]) == (0, 0)
+    assert (out[1]["dist"], out[1]["cer_micros"]) == (1, 250_000)
+    assert (out[2]["dist"], out[2]["cer_micros"]) == (1, 500_000)
+    # dropped page: worst score, never silently perfect
+    assert (out[3]["dist"], out[3]["cand_len"], out[3]["cer_micros"]) == (
+        -1,
+        -1,
+        1_000_000,
+    )
+    assert all(r["ref_len"] == len("abcd") for r in (out[0], out[1], out[3]))
+
+
+# ------------------------------------------------- shard_manifest
+
+
+def test_shard_manifest_next_fit_hand_case(spark):
+    from ocr_search_spark.training.assembly import shard_manifest
+
+    df = spark.createDataFrame(
+        [(k, 4) for k in range(1, 6)], "doc_id long, n_chars long"
+    )
+    out = shard_manifest(
+        df, target_weight=10, n_buckets=1
+    ).collect()
+    by_file = {r["file"]: r for r in out}
+    # exclusive cumsums 0,4,8,12,16 over keys 1..5 → files 0,0,0,1,1
+    assert (by_file[0]["n_docs"], by_file[0]["total_weight"]) == (3, 12)
+    assert (by_file[0]["first_key"], by_file[0]["last_key"]) == (1, 3)
+    assert (by_file[1]["n_docs"], by_file[1]["total_weight"]) == (2, 8)
+    assert (by_file[1]["first_key"], by_file[1]["last_key"]) == (4, 5)
+
+
+def test_shard_manifest_coverage_and_determinism(spark):
+    from ocr_search_spark.training.assembly import shard_manifest
+
+    rows = [(k, 1 + (k * 37) % 90) for k in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    a = shard_manifest(df, target_weight=100, n_buckets=4).collect()
+    # disjoint + exhaustive: every doc packed exactly once
+    assert sum(r["n_docs"] for r in a) == 200
+    assert sum(r["total_weight"] for r in a) == sum(w for _, w in rows)
+    # partitioning-immune: same manifest from a reshuffled input
+    b = shard_manifest(
+        df.repartition(7), target_weight=100, n_buckets=4
+    ).collect()
+    key = lambda r: (r["bucket"], r["file"])  # noqa: E731
+    assert sorted(map(tuple, a), key=str) == sorted(map(tuple, b), key=str)
+    # next-fit bound: every non-final file in a bucket reaches target
+    import collections
+
+    last = {
+        b_: max(r["file"] for r in a if r["bucket"] == b_)
+        for b_ in {r["bucket"] for r in a}
+    }
+    for r in a:
+        if r["file"] < last[r["bucket"]]:
+            assert r["total_weight"] >= 100 - 90 + 1  # ≥ T - max_w + 1
+
+
+def test_shard_manifest_validation(spark):
+    import pytest
+
+    from ocr_search_spark.training.assembly import shard_manifest
+
+    df = spark.createDataFrame([(1, 1)], "doc_id long, n_chars long")
+    with pytest.raises(ValueError):
+        shard_manifest(df, target_weight=0)
+    with pytest.raises(ValueError):
+        shard_manifest(df, n_buckets=0)
+
+
+# ------------------------------------------------- index_drift
+
+
+def test_index_drift_statuses(spark):
+    from ocr_search_spark.operators.maintenance import index_drift
+
+    old = spark.createDataFrame(
+        [("a", "d1"), ("a", "d2"), ("b", "d1"), ("c", "d1"), ("e", "d1"), ("e", "d2")],
+        "term string, doc_id string",
+    )
+    new = spark.createDataFrame(
+        [("a", "d1"), ("b", "d1"), ("b", "d2"), ("d", "d9"), ("e", "d1"), ("e", "d3")],
+        "term string, doc_id string",
+    )
+    out = {r["term"]: r for r in index_drift(old, new).collect()}
+    assert (out["a"]["df_old"], out["a"]["df_new"], out["a"]["status"]) == (2, 1, "shrunk")
+    assert (out["b"]["delta"], out["b"]["status"]) == (1, "grew")
+    assert (out["c"]["df_new"], out["c"]["status"]) == (0, "vanished")
+    assert (out["d"]["df_old"], out["d"]["status"]) == (0, "new")
+    assert (out["e"]["delta"], out["e"]["status"]) == (0, "stable")
+    assert set(out) == {"a", "b", "c", "d", "e"}
