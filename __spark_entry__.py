@@ -912,12 +912,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = D.minhash_signatures(_docs_flat(spark, sf_dir), k=3, num_hashes=16)
+    # sigs is doc-count-sized (one row per doc) and feeds BOTH sides of
+    # the band self-join; without pinning, the shingle-explode→minhash
+    # derivation re-executes per side (Catalyst pushes each band
+    # projection below the agg — no exchange reuse). Same documented
+    # eager-localCheckpoint trade as operators/search.py:357.
+    sigs = D.minhash_signatures(
+        _docs_flat(spark, sf_dir), k=3, num_hashes=16
+    ).localCheckpoint(eager=True)
     return D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
 
 
 def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = D.minhash_signatures(_docs_flat(spark, sf_dir), k=3, num_hashes=16)
+    # sigs feeds the band self-join (2×) AND both estimate probes (2×):
+    # unpinned, the signature derivation executed 4× (8 parquet scans,
+    # 12 explodes, 0 reused exchanges in the physical plan).
+    sigs = D.minhash_signatures(
+        _docs_flat(spark, sf_dir), k=3, num_hashes=16
+    ).localCheckpoint(eager=True)
     pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
     return D.minhash_jaccard_estimate(sigs, pairs.select("id_a", "id_b"), 16)
 
@@ -17034,3 +17046,64 @@ SELECT coalesce(o.term, n.term) AS term,
             WHEN n.df_new < o.df_old THEN 'shrunk'
             ELSE 'stable' END AS status
 FROM o FULL OUTER JOIN n ON o.term = n.term"""
+
+
+# ------------------------------------------- BPE vocab coverage audit
+# training/bpe.py:vocab_coverage — the companion gate to bpe_fertility:
+# with the piece vocabulary truncated to rank ≤ 20 (chars + merges
+# compete on corpus frequency), which words still encode fully? The
+# oracle extends the bpe_encode CTE chain with the same rank-window +
+# per-piece membership count.
+
+_BPE_VOCAB_K = 20
+
+
+def q_bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .where(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    merges = [
+        (r.sym_a, r.sym_b)
+        for r in BPE.learn_bpe_merges(words, _BPE_STEPS)
+        .orderBy("step")
+        .collect()
+    ]
+    enc = BPE.encode_words(words, merges)
+    return BPE.vocab_coverage(enc, _BPE_VOCAB_K)
+
+
+def _bpe_vocab_coverage_oracle(steps: int, k: int) -> str:
+    base = _bpe_oracle(steps)
+    head, _sel = base.split("\nSELECT 1::BIGINT AS step", 1)
+    return f"""{head},
+seg AS (
+  SELECT word, freq,
+         list_filter(string_split(s, '||'), x -> x <> '') AS syms
+  FROM w{steps}
+),
+pc AS (
+  SELECT piece, sum(freq)::BIGINT AS pfreq
+  FROM (SELECT unnest(syms) AS piece, freq FROM seg)
+  GROUP BY 1
+),
+vocab AS (
+  SELECT piece FROM pc
+  QUALIFY row_number() OVER (ORDER BY pfreq DESC, piece) <= {k}
+),
+per AS (SELECT word, freq, len(syms)::BIGINT AS n_symbols,
+               unnest(syms) AS piece
+        FROM seg)
+SELECT word, freq, n_symbols,
+       sum(CASE WHEN piece IN (SELECT piece FROM vocab) THEN 0 ELSE 1 END)::BIGINT AS n_unk,
+       (sum(CASE WHEN piece IN (SELECT piece FROM vocab) THEN 0 ELSE 1 END) = 0) AS covered
+FROM per GROUP BY 1, 2, 3"""
+
+
+_TRAINING_QUERIES["bpe_vocab_coverage"] = q_bpe_vocab_coverage
+_TRAINING_ORACLES["bpe_vocab_coverage"] = _bpe_vocab_coverage_oracle(
+    _BPE_STEPS, _BPE_VOCAB_K
+)

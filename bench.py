@@ -320,6 +320,7 @@ def main() -> None:
         "cer_audit",
         "shard_manifest",
         "index_drift",
+        "bpe_vocab_coverage",
     ]
     load_before_ext = _load1()
     times_ext: dict[str, float] = {}

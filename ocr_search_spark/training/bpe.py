@@ -170,3 +170,52 @@ def fertility_stats(
             F.expr("n_chars * 1000000 div n_pieces").alias("compression_e6"),
         )
     )
+
+
+def vocab_coverage(encoded: DataFrame, vocab_size: int) -> DataFrame:
+    """OOV / coverage audit of a rank-truncated piece vocabulary — the
+    check a tokenizer release runs before shipping a finite vocab: with
+    only the top ``vocab_size`` pieces kept (by corpus frequency, piece
+    asc tiebreak for bit-determinism), how many pieces of each word
+    fall out of vocabulary? Complements :func:`fertility_stats` (cost
+    per word) with coverage (which words break at all).
+
+    Input: :func:`encode_words` output ``(word, freq, symbols)``.
+    Output: ``(word, freq, n_symbols, n_unk, covered)``.
+
+    Scale shape: the piece table aggregates the DISTINCT-word
+    segmentation — vocab-sized (≤ chars + merges), orders of magnitude
+    below the corpus — so the rank is a bounded single-partition
+    window (same justification as postings_varint_stats' doc
+    numbering) and the kept vocab broadcast-joins back onto the
+    exploded segmentation. No corpus-scale shuffle anywhere.
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    from pyspark.sql import Window as W
+
+    pieces = encoded.select(F.explode("symbols").alias("piece"), "freq")
+    ranked = pieces.groupBy("piece").agg(
+        F.sum("freq").cast("long").alias("pfreq")
+    )
+    rn = F.row_number().over(
+        W.orderBy(F.col("pfreq").desc(), F.col("piece").asc())
+    )
+    vocab = (
+        ranked.select("piece", rn.alias("rank"))
+        .where(F.col("rank") <= vocab_size)
+        .select("piece", F.lit(1).alias("_inv"))
+    )
+    ex = encoded.select(
+        "word",
+        "freq",
+        F.size("symbols").cast("long").alias("n_symbols"),
+        F.explode("symbols").alias("piece"),
+    )
+    j = ex.join(F.broadcast(vocab), "piece", "left")
+    out = j.groupBy("word", "freq", "n_symbols").agg(
+        F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unk")
+    )
+    return out.select("*", (F.col("n_unk") == 0).alias("covered"))

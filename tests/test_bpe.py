@@ -188,3 +188,30 @@ def test_fertility_stats_exact(spark):
             got["zz"]["n_chars"]) == (2, 8, 8)
     assert got["zz"]["fertility_e6"] == 4_000_000
     assert got["zz"]["compression_e6"] == 1_000_000
+
+
+def test_vocab_coverage_hand_case(spark):
+    from ocr_search_spark.training.bpe import encode_words, vocab_coverage
+
+    words = spark.createDataFrame(
+        [("aa", 3), ("ab", 1)], "word string, freq long"
+    )
+    enc = encode_words(words, [])  # no merges: every char a piece
+    # pfreq: a = 3+3+1 = 7, b = 1 → top-1 vocab = {a}
+    out = {r["word"]: r for r in vocab_coverage(enc, 1).collect()}
+    assert (out["aa"]["n_unk"], out["aa"]["covered"]) == (0, True)
+    assert (out["ab"]["n_unk"], out["ab"]["covered"]) == (1, False)
+    assert out["ab"]["n_symbols"] == 2
+    # widening the vocab to 2 covers everything
+    out2 = vocab_coverage(enc, 2).collect()
+    assert all(r["covered"] for r in out2)
+
+
+def test_vocab_coverage_validation(spark):
+    import pytest
+
+    from ocr_search_spark.training.bpe import encode_words, vocab_coverage
+
+    words = spark.createDataFrame([("a", 1)], "word string, freq long")
+    with pytest.raises(ValueError):
+        vocab_coverage(encode_words(words, []), 0)
