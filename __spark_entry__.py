@@ -7934,7 +7934,9 @@ sel AS (SELECT DISTINCT id, (p - 1)::INT AS pos, h AS fp FROM wins WHERE rn = 1)
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_search_spark.training.textstats import winnow_fingerprints
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # widen: the md5-per-gram transform otherwise runs on the corpus
+    # file's 1-2 input splits (8.5 → ~2 s at sf0.1 on 32 cores)
+    d = _widened(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return winnow_fingerprints(d, k=_WIN_K, w=_WIN_W)
 
 
@@ -7977,7 +7979,13 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_WIN_FOOTER),
         ).alias("text"),
     )
-    fps = winnow_fingerprints(corpus, k=_WIN_K, w=_WIN_W)
+    # pin the fingerprint frame: it feeds the df-guard AND both sides
+    # of the fp self-join — unpinned, the md5-per-gram chain executed
+    # 3× (16 parquet scans, 0 reused exchanges). Same documented
+    # eager-localCheckpoint trade as the minhash entries.
+    fps = winnow_fingerprints(
+        _widened(corpus), k=_WIN_K, w=_WIN_W
+    ).localCheckpoint(eager=True)
     return winnow_overlap(fps, max_df=30)
 
 
@@ -10511,9 +10519,18 @@ def q_page_media_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = pdf_to_spans(payloads).select("doc_id", "spans")
     media = render_page_media(spans)
     out = ocr_png_media(media)
-    bad = out.where(F.col("error").isNotNull()).count()
-    assert bad == 0, f"{bad} render/OCR errors"
-    return out.select("media_ref", "width", "height", "n_lines", "text")
+    # zero-error assert folded into the plan (raise_error) so the
+    # pdf→render→decode→OCR chain executes once, not twice
+    return out.select(
+        "media_ref",
+        "width",
+        "height",
+        F.expr(
+            "if(error IS NOT NULL,"
+            " raise_error(concat('render/OCR error: ', error)), n_lines)"
+        ).alias("n_lines"),
+        "text",
+    )
 
 
 _TRAINING_QUERIES["page_media_render"] = q_page_media_render
@@ -10741,18 +10758,23 @@ def q_ocr_layout_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         _encode_twocol_png_iter, schema="doc_id string, payload binary"
     )
     raw = ocr_layout_boxes(payloads)
-    bad = raw.where(F.col("error").isNotNull()).count()
-    assert bad == 0, f"{bad} OCR layout decode errors"
+    # zero-error assert folded into the plan (raise_error, the
+    # q_ocr_page_text treatment) and the box table pinned: it feeds
+    # reading_order AND the text re-join, so unpinned the whole
+    # render→PNG→OCR chain executed 3× (assert + rank + join).
     boxes = raw.select(
         "doc_id",
         "page",
         F.col("seq").alias("box_id"),
-        F.col("x").alias("x0"),
+        F.expr(
+            "if(error IS NOT NULL,"
+            " raise_error(concat('OCR layout decode error: ', error)), x)"
+        ).alias("x0"),
         (F.col("x") + 6 * F.length("text")).alias("x1"),
         F.col("y").alias("y0"),
         (F.col("y") + 7).alias("y1"),
         "text",
-    )
+    ).localCheckpoint(eager=True)
     ranked = reading_order(boxes, page_col="page", min_gap=20)
     return ranked.join(
         boxes.select("doc_id", "box_id", "text"), ["doc_id", "box_id"]
