@@ -5931,7 +5931,9 @@ FROM documents d JOIN pred p ON p.id = d.doc_id AND p.rn = 1"""
 
 
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # widen: the gram explode + partial agg otherwise runs on the
+    # corpus file's 1-2 input splits
+    docs = _widened(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return TS.dsir_weights(docs, F.col("lang") == "en", n=3)
 
 

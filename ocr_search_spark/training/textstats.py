@@ -386,9 +386,19 @@ def dsir_weights(
     scalar masses ride a broadcast 1-row crossJoin (never a driver
     collect), and scoring is one explode + one gram-keyed join + one id
     aggregation. ``broadcast_lm=False`` switches the scoring join to a
-    shuffle join when the gram table outgrows the broadcast budget."""
-    lm_r = char_ngram_counts(docs, text_col, n)
-    lm_t = char_ngram_counts(docs.where(target_pred), text_col, n)
+    shuffle join when the gram table outgrows the broadcast budget.
+
+    The two LM tables are pinned with an eager localCheckpoint: each
+    feeds its scalar-mass aggregate AND the per-gram weight join, so
+    unpinned the corpus gram-explode chain executed ~5× (once per
+    consumer — 12 parquet scans, 0 reused exchanges in the physical
+    plan). Both tables are vocab-sized (distinct n-grams, never
+    corpus-sized), so the checkpoint is bounded at any corpus scale;
+    same documented trade as operators/search.py:357."""
+    lm_r = char_ngram_counts(docs, text_col, n).localCheckpoint(eager=True)
+    lm_t = char_ngram_counts(
+        docs.where(target_pred), text_col, n
+    ).localCheckpoint(eager=True)
 
     def lmicro(x: Column) -> Column:
         return F.floor(F.lit(1_000_000.0) * F.log(x.cast("double"))).cast("long")
