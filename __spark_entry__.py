@@ -11901,7 +11901,13 @@ def q_span_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra = ref.where(p2 == "fe").select(
         F.concat(F.lit("x-"), "doc_id").alias("doc_id"), "spans"
     )
-    repaired = span_repair(ref, cand.unionByName(extra))
+    # pin the repaired table: the corpus-wide re-audit AND the returned
+    # frame both consume it — unpinned, the diff+repair join lineage
+    # executed twice (once per consumer). The audit still runs over the
+    # full corpus, now against the pinned rows.
+    repaired = span_repair(ref, cand.unionByName(extra)).localCheckpoint(
+        eager=True
+    )
     residue = (
         span_diff(ref, repaired).where(F.col("status") != "equal").count()
     )
