@@ -1898,9 +1898,10 @@ _GATE_PRIORITY = [
 #   click models (3): click_coec query_reformulations interleave_credit
 # Leaving 66 for round 7: events/time-series tier, embeddings/encoding
 # leftovers, packing/sampling, corpus profiling, crawl ops singletons,
-# plus the seven round-5 additions (zipf_fit, ngram_novelty,
+# plus the eleven round-5 additions (zipf_fit, ngram_novelty,
 # wav_energy_segments, wav_resample_stats, snapshot_orphan_cleanup,
-# bpe_fertility, ocr_confidence).
+# bpe_fertility, ocr_confidence, cer_audit, shard_manifest,
+# index_drift, bpe_vocab_coverage).
 
 
 def _prioritized(full: dict) -> dict:

@@ -2735,3 +2735,158 @@ def test_index_drift_statuses(spark):
     assert (out["d"]["df_old"], out["d"]["status"]) == (0, "new")
     assert (out["e"]["delta"], out["e"]["status"]) == (0, "stable")
     assert set(out) == {"a", "b", "c", "d", "e"}
+
+
+def test_char_error_rate_python_replica(spark):
+    """Seeded fuzz: Spark levenshtein + CER math vs a pure-Python DP."""
+    import random
+
+    from ocr_search_spark.training.textstats import char_error_rate
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(42)
+    alpha = "abcx "
+    refs, cands = [], []
+    for i in range(60):
+        r = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 30)))
+        c = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        refs.append((i, r))
+        if i % 7 != 3:
+            cands.append((i, c))
+    ref = spark.createDataFrame(refs, "doc_id long, text string")
+    cand = spark.createDataFrame(cands, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in char_error_rate(ref, cand).collect()}
+    cmap = dict(cands)
+    for i, rtext in refs:
+        row = got[i]
+        if i % 7 == 3:
+            assert (row["dist"], row["cer_micros"]) == (-1, 1_000_000)
+        else:
+            d = lev(rtext, cmap[i])
+            assert row["dist"] == d
+            assert row["cer_micros"] == (1_000_000 * d) // len(rtext)
+
+
+def test_shard_manifest_python_replica(spark):
+    """Seeded fuzz: packing replicated with the md5-based h60 twin."""
+    import hashlib
+    import random
+
+    from ocr_search_spark.training.assembly import shard_manifest
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rng = random.Random(7)
+    rows = [(k, rng.randint(1, 500)) for k in rng.sample(range(10_000), 300)]
+    target, nb = 1000, 8
+    # python replica: bucket, order by key, exclusive cumsum // target
+    model = {}
+    buckets = {}
+    for k, w in sorted(rows):
+        buckets.setdefault(h60(f"pack:{k}") % nb, []).append((k, w))
+    for b, docs in buckets.items():
+        cum = 0
+        for k, w in docs:
+            f = cum // target
+            st = model.setdefault((b, f), [0, 0, k, k])
+            st[0] += 1
+            st[1] += w
+            st[2] = min(st[2], k)
+            st[3] = max(st[3], k)
+            cum += w
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = shard_manifest(df, target_weight=target, n_buckets=nb).collect()
+    got = {
+        (r["bucket"], r["file"]): [
+            r["n_docs"], r["total_weight"], r["first_key"], r["last_key"]
+        ]
+        for r in out
+    }
+    assert got == model
+
+
+def test_index_drift_python_replica(spark):
+    """Seeded fuzz over random posting sets, incl. docs in neither/both."""
+    import random
+
+    from ocr_search_spark.operators.maintenance import index_drift
+
+    rng = random.Random(11)
+    terms = [f"t{i}" for i in range(20)]
+    docs = [f"d{i}" for i in range(30)]
+    old = sorted({(rng.choice(terms), rng.choice(docs)) for _ in range(150)})
+    new = sorted({(rng.choice(terms), rng.choice(docs)) for _ in range(150)})
+    o = spark.createDataFrame(old, "term string, doc_id string")
+    n = spark.createDataFrame(new, "term string, doc_id string")
+    got = {r["term"]: r for r in index_drift(o, n).collect()}
+    from collections import Counter
+
+    co = Counter(t for t, _ in old)
+    cn = Counter(t for t, _ in new)
+    for t in set(co) | set(cn):
+        a, b = co.get(t, 0), cn.get(t, 0)
+        exp = (
+            "new" if a == 0 else "vanished" if b == 0
+            else "grew" if b > a else "shrunk" if b < a else "stable"
+        )
+        r = got[t]
+        assert (r["df_old"], r["df_new"], r["delta"], r["status"]) == (
+            a, b, b - a, exp
+        )
+    assert set(got) == set(co) | set(cn)
+
+
+def test_vocab_coverage_python_replica(spark):
+    """Replica over a random word-freq table with two learned merges."""
+    import random
+
+    from ocr_search_spark.training.bpe import encode_words, vocab_coverage
+
+    rng = random.Random(3)
+    alpha = "abcd"
+    wf = {}
+    for _ in range(40):
+        w = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+        wf[w] = wf.get(w, 0) + rng.randint(1, 9)
+    merges = [("a", "b"), ("ab", "c")]
+
+    def seg(word):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    pfreq = {}
+    for w, f in wf.items():
+        for p in seg(w):
+            pfreq[p] = pfreq.get(p, 0) + f
+    k = 3
+    vocab = {p for p, _ in sorted(pfreq.items(), key=lambda kv: (-kv[1], kv[0]))[:k]}
+    df = spark.createDataFrame(list(wf.items()), "word string, freq long")
+    out = {r["word"]: r for r in vocab_coverage(encode_words(df, merges), k).collect()}
+    for w, f in wf.items():
+        s = seg(w)
+        unk = sum(1 for p in s if p not in vocab)
+        r = out[w]
+        assert (r["freq"], r["n_symbols"], r["n_unk"], r["covered"]) == (
+            f, len(s), unk, unk == 0
+        )
