@@ -321,6 +321,14 @@ def main() -> None:
         "shard_manifest",
         "index_drift",
         "bpe_vocab_coverage",
+        # session-3 recompute-fix targets, tracked so regressions show
+        "dedup_minhash_lsh",
+        "dedup_minhash_estimate",
+        "fingerprint_winnow",
+        "winnow_overlap",
+        "dsir_weights",
+        "ocr_layout_reading_order",
+        "page_media_render",
     ]
     load_before_ext = _load1()
     times_ext: dict[str, float] = {}
