@@ -10600,18 +10600,22 @@ def q_pdf_layout_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         _encode_twocol_iter, schema="doc_id string, payload binary"
     )
     raw = pdf_layout_boxes(payloads)
-    bad = raw.where(F.col("error").isNotNull()).count()
-    assert bad == 0, f"{bad} layout decode errors"
+    # raise_error fold + pin (the ocr_layout_reading_order treatment):
+    # boxes feeds reading_order AND the text re-join, so unpinned the
+    # PDF-container parse chain executed 3× (assert + rank + join)
     boxes = raw.select(
         "doc_id",
         "page",
         F.col("seq").alias("box_id"),
-        F.col("x").cast("int").alias("x0"),
+        F.expr(
+            "if(error IS NOT NULL,"
+            " raise_error(concat('layout decode error: ', error)), x)"
+        ).cast("int").alias("x0"),
         (F.col("x") + 6 * F.length("text")).cast("int").alias("x1"),
         (720 - F.col("y")).cast("int").alias("y0"),
         (720 - F.col("y") + 12).cast("int").alias("y1"),
         "text",
-    )
+    ).localCheckpoint(eager=True)
     ranked = reading_order(boxes, page_col="page", min_gap=60)
     return ranked.join(
         boxes.select("doc_id", "box_id", "text"), ["doc_id", "box_id"]
@@ -10678,18 +10682,22 @@ def q_pptx_layout_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         _encode_twocol_pptx_iter, schema="doc_id string, payload binary"
     )
     raw = pptx_layout_boxes(payloads)
-    bad = raw.where(F.col("error").isNotNull()).count()
-    assert bad == 0, f"{bad} pptx layout decode errors"
+    # raise_error fold + pin: boxes feeds reading_order AND the text
+    # re-join — unpinned, the OOXML package walk executed 3×
     boxes = raw.select(
         "doc_id",
         "page",
         F.col("seq").alias("box_id"),
-        (F.col("x") / 9525).cast("int").alias("x0"),
+        F.expr(
+            "if(error IS NOT NULL,"
+            " raise_error(concat('pptx layout decode error: ', error)),"
+            " x div 9525)"
+        ).cast("int").alias("x0"),
         (F.col("x") / 9525 + 6 * F.length("text")).cast("int").alias("x1"),
         (F.col("y") / 9525).cast("int").alias("y0"),
         (F.col("y") / 9525 + 12).cast("int").alias("y1"),
         "text",
-    )
+    ).localCheckpoint(eager=True)
     ranked = reading_order(boxes, page_col="page", min_gap=60)
     return ranked.join(
         boxes.select("doc_id", "box_id", "text"), ["doc_id", "box_id"]
@@ -10856,18 +10864,22 @@ def q_layout_xycut_title(spark: SparkSession, sf_dir: str) -> DataFrame:
         _encode_title_twocol_pptx_iter, schema="doc_id string, payload binary"
     )
     raw = pptx_layout_boxes(payloads)
-    bad = raw.where(F.col("error").isNotNull()).count()
-    assert bad == 0, f"{bad} pptx layout decode errors"
+    # raise_error fold + pin: boxes feeds the recursive XY-cut AND the
+    # text re-join — unpinned, the OOXML package walk executed 3×
     boxes = raw.select(
         "doc_id",
         "page",
         F.col("seq").alias("box_id"),
-        (F.col("x") / 9525).cast("int").alias("x0"),
+        F.expr(
+            "if(error IS NOT NULL,"
+            " raise_error(concat('pptx layout decode error: ', error)),"
+            " x div 9525)"
+        ).cast("int").alias("x0"),
         (F.col("x") / 9525 + 6 * F.length("text")).cast("int").alias("x1"),
         (F.col("y") / 9525).cast("int").alias("y0"),
         (F.col("y") / 9525 + 12).cast("int").alias("y1"),
         "text",
-    )
+    ).localCheckpoint(eager=True)
     ranked = reading_order_xy(boxes, page_col="page", min_gap=20, depth=3)
     return ranked.join(
         boxes.select("doc_id", "box_id", "text"), ["doc_id", "box_id"]
@@ -10999,9 +11011,18 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_shipped(spark)
     out = warc_responses(_warc_archives(spark, sf_dir))
-    bad = out.where(F.col("error").isNotNull()).count()
-    assert bad == 0, f"{bad} warc record errors"
-    return out.select("warc_id", "url", "status", "content_type", "text")
+    # zero-error assert folded into the plan: the archive parse chain
+    # executes once, not twice
+    return out.select(
+        "warc_id",
+        F.expr(
+            "if(error IS NOT NULL,"
+            " raise_error(concat('warc record error: ', error)), url)"
+        ).alias("url"),
+        "status",
+        "content_type",
+        "text",
+    )
 
 
 def _warc_oracle() -> str:
@@ -11767,9 +11788,16 @@ def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
     )
     out = wet_texts(texts_to_wet_archives(d))
-    bad = out.where(F.col("error").isNotNull()).count()
-    assert bad == 0, f"{bad} wet record errors"
-    return out.select("warc_id", "url", "refers_to", "text")
+    # zero-error assert folded into the plan: encode→parse runs once
+    return out.select(
+        "warc_id",
+        F.expr(
+            "if(error IS NOT NULL,"
+            " raise_error(concat('wet record error: ', error)), url)"
+        ).alias("url"),
+        "refers_to",
+        "text",
+    )
 
 
 _TRAINING_QUERIES["wet_roundtrip"] = q_wet_roundtrip
