@@ -17166,3 +17166,49 @@ _TRAINING_QUERIES["bpe_vocab_coverage"] = q_bpe_vocab_coverage
 _TRAINING_ORACLES["bpe_vocab_coverage"] = _bpe_vocab_coverage_oracle(
     _BPE_STEPS, _BPE_VOCAB_K
 )
+
+
+# ------------------------------------------- NB margin calibration
+# training/classify.py:nb_margin_calibration — reliability audit of
+# the quality-classifier stage: bin predictions by exact top1−top2
+# margin, report empirical accuracy per bin. The oracle reuses the
+# nb_classify CTE chain verbatim (same trainer, same scorer) and adds
+# the rn≤2 margin + bucket aggregation.
+
+_NB_CAL_BINW, _NB_CAL_BINS = 250_000, 10
+
+
+def q_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_search_spark.training.classify import nb_margin_calibration
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    return nb_margin_calibration(
+        train, test, label_col="lang",
+        bin_width_micros=_NB_CAL_BINW, n_bins=_NB_CAL_BINS,
+    )
+
+
+def _nb_calibration_oracle() -> str:
+    head = _TRAINING_ORACLES["nb_classify"].rsplit("\nSELECT d.doc_id", 1)[0]
+    return f"""{head},
+m AS (
+  SELECT p1.id, p1.label_pred, (p1.score - p2.score)::BIGINT AS margin
+  FROM pred p1 JOIN pred p2 ON p1.id = p2.id AND p1.rn = 1 AND p2.rn = 2
+),
+lab AS (
+  SELECT m.margin, (m.label_pred = d.lang) AS ok
+  FROM m JOIN documents d ON d.doc_id = m.id
+)
+SELECT least(margin // {_NB_CAL_BINW}, {_NB_CAL_BINS - 1})::INT AS bin,
+       count(*)::BIGINT AS n,
+       sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+       ((1000000 * sum(CASE WHEN ok THEN 1 ELSE 0 END)) // count(*))::BIGINT
+         AS acc_micros,
+       min(margin)::BIGINT AS margin_min, max(margin)::BIGINT AS margin_max
+FROM lab GROUP BY 1"""
+
+
+_TRAINING_QUERIES["nb_calibration"] = q_nb_calibration
+_TRAINING_ORACLES["nb_calibration"] = _nb_calibration_oracle()

@@ -329,6 +329,7 @@ def main() -> None:
         "dsir_weights",
         "ocr_layout_reading_order",
         "page_media_render",
+        "nb_calibration",
     ]
     load_before_ext = _load1()
     times_ext: dict[str, float] = {}

@@ -110,6 +110,30 @@ def nb_score(
     window (WindowGroupLimit) for the argmax. ``broadcast_weights=False``
     for vocabularies past the broadcast budget — same plan, shuffle join.
     """
+    scored = _nb_scored(
+        docs, weights, classes, text_col, id_col, broadcast_weights
+    )
+    rn = F.row_number().over(
+        W.partitionBy("id").orderBy(F.desc("score"), F.asc("label"))
+    )
+    return (
+        scored.withColumn("_rn", rn)
+        .where(F.col("_rn") == 1)
+        .select("id", F.col("label").alias("label_pred"), "score")
+    )
+
+
+def _nb_scored(
+    docs: DataFrame,
+    weights: DataFrame,
+    classes: DataFrame,
+    text_col: str,
+    id_col: str,
+    broadcast_weights: bool,
+) -> DataFrame:
+    """Shared scoring core: every doc × every class → (id, label,
+    score) log-posterior in micros (see :func:`nb_score` for the plan
+    shape)."""
     tok = (
         docs.select(
             F.col(id_col).alias("id"),
@@ -138,18 +162,10 @@ def nb_score(
             ).alias("base_w"),
         )
     )
-    scored = base.join(seen, ["id", "label"], "left").select(
+    return base.join(seen, ["id", "label"], "left").select(
         "id",
         "label",
         (F.col("base_w") + F.coalesce(F.col("seen_w"), F.lit(0))).alias("score"),
-    )
-    rn = F.row_number().over(
-        W.partitionBy("id").orderBy(F.desc("score"), F.asc("label"))
-    )
-    return (
-        scored.withColumn("_rn", rn)
-        .where(F.col("_rn") == 1)
-        .select("id", F.col("label").alias("label_pred"), "score")
     )
 
 
@@ -173,4 +189,75 @@ def nb_classify(
         "label_pred",
         "score",
         (F.col("label_pred") == F.col("label_true")).alias("correct"),
+    )
+
+
+def nb_margin_calibration(
+    train: DataFrame,
+    test: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bin_width_micros: int = 250_000,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability audit of the NB classifier by decision MARGIN — the
+    check a pipeline runs before using classifier scores as filter
+    thresholds (is a high-margin prediction actually more often
+    right?). Softmax confidence would need float exp over large
+    log-posteriors (not cross-engine exact); the top1−top2 margin is
+    the standard exact-integer confidence proxy and preserves the
+    ranking a threshold would use.
+
+    Bins the margin into ``n_bins`` fixed-width buckets (last bucket
+    open-ended) and reports per bucket: n, n_correct, empirical
+    accuracy in exact integer micros, and the margin range. A
+    monotone acc_micros column = well-calibrated ranking; any
+    inversion marks a margin band whose predictions are worse than
+    lower-confidence ones.
+
+    Plan: the shared scoring core once, ONE rn≤2 window
+    (WindowGroupLimit prunes per id), a conditional per-id aggregate
+    for (top1, top2), a broadcast truth join, and a bucket-keyed
+    aggregate — bins-sized output, no extra corpus pass.
+    """
+    if bin_width_micros < 1:
+        raise ValueError(f"bin_width_micros must be >= 1, got {bin_width_micros}")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    weights, classes = nb_train(train, label_col, text_col, id_col)
+    scored = _nb_scored(test, weights, classes, text_col, id_col, True)
+    rn = F.row_number().over(
+        W.partitionBy("id").orderBy(F.desc("score"), F.asc("label"))
+    )
+    top2 = scored.withColumn("_rn", rn).where(F.col("_rn") <= 2)
+    per = top2.groupBy("id").agg(
+        F.max(F.when(F.col("_rn") == 1, F.col("label"))).alias("label_pred"),
+        F.max(F.when(F.col("_rn") == 1, F.col("score"))).alias("s1"),
+        F.max(F.when(F.col("_rn") == 2, F.col("score"))).alias("s2"),
+    ).where(F.col("s2").isNotNull())
+    truth = test.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("label_true")
+    )
+    m = per.join(truth, "id").select(
+        "id",
+        (F.col("s1") - F.col("s2")).cast("long").alias("margin"),
+        (F.col("label_pred") == F.col("label_true")).alias("ok"),
+    )
+    bin_ = F.least(
+        F.expr(f"margin div {int(bin_width_micros)}"), F.lit(n_bins - 1)
+    ).cast("int")
+    out = m.groupBy(bin_.alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_correct"),
+        F.min("margin").cast("long").alias("margin_min"),
+        F.max("margin").cast("long").alias("margin_max"),
+    )
+    return out.select(
+        "bin",
+        "n",
+        "n_correct",
+        F.expr("(1000000 * n_correct) div n").cast("long").alias("acc_micros"),
+        "margin_min",
+        "margin_max",
     )

@@ -2890,3 +2890,67 @@ def test_vocab_coverage_python_replica(spark):
         assert (r["freq"], r["n_symbols"], r["n_unk"], r["covered"]) == (
             f, len(s), unk, unk == 0
         )
+
+
+def test_nb_margin_calibration_python_replica(spark):
+    """Calibration bins replicated from nb_classify's own scored rows:
+    train/score with the library, then re-derive margins + bins in
+    Python from the full scored frame and compare bucket by bucket."""
+    from ocr_search_spark.training.classify import (
+        _nb_scored,
+        nb_margin_calibration,
+        nb_train,
+    )
+
+    docs = [
+        (i, ["en", "de", "fr"][i % 3], f"w{i % 5} w{(i * 3) % 7} common")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    train = df.where("doc_id % 4 != 0")
+    test = df.where("doc_id % 4 = 0")
+    binw, nb = 50_000, 4
+    out = {
+        r["bin"]: r
+        for r in nb_margin_calibration(
+            train, test, bin_width_micros=binw, n_bins=nb
+        ).collect()
+    }
+    w, c = nb_train(train)
+    scored = _nb_scored(test, w, c, "text", "doc_id", True).collect()
+    truth = {r["doc_id"]: r["lang"] for r in test.collect()}
+    by_id = {}
+    for r in scored:
+        by_id.setdefault(r["id"], []).append((r["label"], r["score"]))
+    model = {}
+    for i, rows in by_id.items():
+        rows.sort(key=lambda lr: (-lr[1], lr[0]))
+        (l1, s1), (_, s2) = rows[0], rows[1]
+        m = s1 - s2
+        b = min(m // binw, nb - 1)
+        st = model.setdefault(b, [0, 0, m, m])
+        st[0] += 1
+        st[1] += l1 == truth[i]
+        st[2] = min(st[2], m)
+        st[3] = max(st[3], m)
+    assert set(out) == set(model)
+    for b, (n, ok, mn, mx) in model.items():
+        r = out[b]
+        assert (r["n"], r["n_correct"], r["margin_min"], r["margin_max"]) == (
+            n, ok, mn, mx
+        )
+        assert r["acc_micros"] == (1_000_000 * ok) // n
+
+
+def test_nb_margin_calibration_validation(spark):
+    import pytest
+
+    from ocr_search_spark.training.classify import nb_margin_calibration
+
+    df = spark.createDataFrame(
+        [(1, "en", "a b"), (2, "de", "c d")], "doc_id long, lang string, text string"
+    )
+    with pytest.raises(ValueError):
+        nb_margin_calibration(df, df, bin_width_micros=0)
+    with pytest.raises(ValueError):
+        nb_margin_calibration(df, df, n_bins=0)

@@ -64,6 +64,15 @@ WHITELIST: dict[str, str] = {
         "100 TB shape; a limit() cap would risk silent truncation if "
         "a new label appeared, which is worse than the unproven BNLJ."
     ),
+    "nb_calibration": (
+        "same BNLJ as nb_classify (shared _nb_scored core): the "
+        "broadcast side is the trained NB model, one row per label "
+        "with scalar stats. Label cardinality is the closed "
+        "language-code set — independent of corpus ROW count — so "
+        "model × corpus with the model broadcast is the right shape; "
+        "the calibration suffix only adds a rn≤2 window and a "
+        "bins-sized aggregate on top."
+    ),
     "chi_square_independence": (
         "broadcast side is a contingency-table MARGINAL (one row per "
         "level of a categorical dimension - source/lang here) feeding "
